@@ -1,0 +1,277 @@
+"""Scalar function implementations.
+
+Each function cites the reference macro whose semantics it re-expresses
+(paths under ``/root/reference/``). All functions return Catalyst
+``Column`` expressions (JVM-side, whole-stage-codegen friendly) — no
+Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys / hashing
+# ---------------------------------------------------------------------------
+
+def surrogate_key(*cols: Column | str, sep: str = "|") -> Column:
+    """MD5 surrogate key over pipe-joined, null-coalesced string casts.
+
+    Semantics of the inline key in
+    ``models/marts/gaps/fct_gap_exceptions.sql:9-16``: each argument is
+    cast to string, NULL -> '' via coalesce, joined with '|', then md5'd.
+    Coalescing happens *per argument before joining*, so the key is stable
+    under NULLs (unlike raw ``||`` which would null the whole key).
+    """
+    parts = [F.coalesce(_col(c).cast("string"), F.lit("")) for c in cols]
+    return F.md5(F.concat_ws(sep, *parts))
+
+
+def hash_(c: Column | str) -> Column:
+    """``md5(cast(x as varchar))`` — dbt ``hash`` macro
+    (``dbt-adapters/macros/utils/hash.sql:5-7``)."""
+    return F.md5(_col(c).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic (the Snowflake boundary-count family)
+# ---------------------------------------------------------------------------
+
+def datediff_year(a: Column | str, b: Column | str) -> Column:
+    """Snowflake ``datediff('year', a, b)``: count of year *boundaries*
+    crossed, i.e. ``year(b) - year(a)`` — NOT elapsed years.
+
+    The reference relies on this in the age computation
+    (``models/intermediate/gaps/col/int_gap_col_status.sql:39``).
+    """
+    return F.year(_col(b)) - F.year(_col(a))
+
+
+def add_years(d: Column | str, n: Column | int) -> Column:
+    """Snowflake ``dateadd('year', n, d)``; clamps Feb-29 to Feb-28 like
+    Snowflake (``add_months`` shares that behavior)."""
+    n_col = F.lit(n) if isinstance(n, int) else n
+    return F.add_months(_col(d), n_col * 12)
+
+
+def age_at(birth_date: Column | str, as_of: Column | str) -> Column:
+    """Correct age-in-completed-years at ``as_of``.
+
+    The reference idiom (``int_gap_col_status.sql:39-54``): boundary-count
+    year diff, minus 1 if the birthday hasn't occurred by ``as_of``
+    (``iff(dateadd('year', diff, birth) > as_of, 1, 0)``). Keeping the
+    explicit correction term (rather than ``floor(months_between/12)``)
+    preserves the reference's leap-day behavior exactly.
+    """
+    birth, asof = _col(birth_date), _col(as_of)
+    diff = datediff_year(birth, asof)
+    correction = F.when(add_years(birth, diff) > asof, F.lit(1)).otherwise(F.lit(0))
+    return diff - correction
+
+
+_TRUNC_PART = {
+    "year": "year", "quarter": "quarter", "month": "month", "week": "week",
+}
+
+
+def dateadd(part: str, n: Column | int, d: Column | str) -> Column:
+    """dbt ``dateadd`` macro (``dbt-adapters/macros/utils/dateadd.sql:6-14``)."""
+    n_col = F.lit(n) if isinstance(n, int) else n
+    d = _col(d)
+    part = part.lower()
+    if part == "year":
+        return F.add_months(d, n_col * 12)
+    if part == "quarter":
+        return F.add_months(d, n_col * 3)
+    if part == "month":
+        return F.add_months(d, n_col)
+    if part == "week":
+        return F.date_add(d, n_col * 7)
+    if part == "day":
+        return F.date_add(d, n_col)
+    if part in ("hour", "minute", "second"):
+        secs = {"hour": 3600, "minute": 60, "second": 1}[part]
+        return F.timestamp_seconds(F.unix_timestamp(d) + n_col * secs)
+    raise ValueError(f"unsupported datepart: {part}")
+
+
+def datediff(part: str, a: Column | str, b: Column | str) -> Column:
+    """dbt ``datediff`` macro with Snowflake boundary-count semantics
+    (``dbt-adapters/macros/utils/datediff.sql:6-14``): counts part
+    boundaries crossed between a and b, not elapsed units.
+    """
+    a, b = _col(a), _col(b)
+    part = part.lower()
+    if part == "year":
+        return F.year(b) - F.year(a)
+    if part == "quarter":
+        return (F.year(b) - F.year(a)) * 4 + (F.quarter(b) - F.quarter(a))
+    if part == "month":
+        return (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
+    if part == "week":
+        # boundary-count on week starts (Snowflake counts Monday starts)
+        return F.datediff(F.date_trunc("week", b), F.date_trunc("week", a)) / 7
+    if part == "day":
+        return F.datediff(b, a)
+    if part in ("hour", "minute", "second"):
+        secs = {"hour": 3600, "minute": 60, "second": 1}[part]
+        trunc_a = F.floor(F.unix_timestamp(F.date_trunc(part, a)) / secs)
+        trunc_b = F.floor(F.unix_timestamp(F.date_trunc(part, b)) / secs)
+        return trunc_b - trunc_a
+    raise ValueError(f"unsupported datepart: {part}")
+
+
+def last_day_(d: Column | str, part: str = "month") -> Column:
+    """dbt ``last_day`` macro (``dbt-adapters/macros/utils/last_day.sql:5-15``):
+    ``dateadd(day, -1, dateadd(part, 1, date_trunc(part, d)))``."""
+    d = _col(d)
+    if part == "month":
+        return F.last_day(d)
+    return F.date_add(dateadd(part, 1, F.date_trunc(part, d).cast("date")), -1)
+
+
+# ---------------------------------------------------------------------------
+# Series / spine generation
+# ---------------------------------------------------------------------------
+
+def generate_series(spark: SparkSession, upper_bound: int) -> DataFrame:
+    """dbt ``generate_series`` (power-of-two UNION ALL ladder,
+    ``dbt-adapters/macros/utils/generate_series.sql:18-52``) — in Spark the
+    ladder is pointless; ``spark.range`` is already a distributed series.
+    Returns column ``generated_number`` (1-based like dbt's)."""
+    return spark.range(1, upper_bound + 1).select(
+        F.col("id").cast("long").alias("generated_number")
+    )
+
+
+def date_spine(
+    spark: SparkSession, datepart: str, start_date: str, end_date: str
+) -> DataFrame:
+    """dbt ``date_spine`` (``dbt-adapters/macros/utils/date_spine.sql:26-73``;
+    Snowflake variant uses ``array_generate_range`` + ``flatten`` —
+    ``dbt-snowflake/macros/utils/date_spine.sql:1-12``). Spark-native:
+    ``sequence()`` + ``explode`` — one expression, fully distributed.
+    End-exclusive like dbt's. Returns column ``date_<datepart>``."""
+    interval = {
+        "day": "interval 1 day", "week": "interval 1 week",
+        "month": "interval 1 month", "year": "interval 1 year",
+    }[datepart]
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(to_date('{start_date}'), to_date('{end_date}'), {interval})"
+                )
+            ).alias(f"date_{datepart}")
+        )
+        .filter(F.col(f"date_{datepart}") < F.lit(end_date).cast("date"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strings
+# ---------------------------------------------------------------------------
+
+def split_part(s: Column | str, delimiter: str, part_number: int) -> Column:
+    """dbt ``split_part`` incl. the negative-index emulation
+    (``dbt-adapters/macros/utils/split_part.sql:7-28``)."""
+    s = _col(s)
+    if part_number >= 0:
+        return F.split_part(s, F.lit(delimiter), F.lit(part_number))
+    # F.split takes a regex; \Q...\E quotes the literal delimiter
+    arr = F.split(s, "\\Q" + delimiter + "\\E", -1)
+    return F.element_at(arr, F.size(arr) + part_number + 1)
+
+
+def position(substring: str, s: Column | str) -> Column:
+    """dbt ``position`` (``dbt-adapters/macros/utils/position.sql:5-10``)."""
+    return F.instr(_col(s), substring)
+
+
+def right_(s: Column | str, length: Column | int) -> Column:
+    """Snowflake-guarded ``right``: length 0 -> '' not NULL
+    (``dbt-snowflake/macros/utils/right.sql:1-12``)."""
+    n = F.lit(length) if isinstance(length, int) else length
+    return F.when(n <= 0, F.lit("")).otherwise(F.right(_col(s), n))
+
+
+def concat_pipe(*cols: Column | str) -> Column:
+    """Snowflake ``||`` chain — NULL-propagating concat
+    (``dbt-adapters/macros/utils/concat.sql:5-7``)."""
+    return F.concat(*[_col(c) for c in cols])
+
+
+def listagg(
+    c: Column | str,
+    delimiter: str = ",",
+    order_by: Column | str | None = None,
+    limit_num: int | None = None,
+) -> Column:
+    """dbt ``listagg`` (``dbt-adapters/macros/utils/listagg.sql:5-29``):
+    ordered, delimited string agg; limited variant mirrors the reference's
+    ``array_agg -> array_slice -> array_to_string`` composition with
+    ``collect_list -> slice -> concat_ws``. With ``order_by`` defaulting to
+    the value column itself the result is deterministic under Spark's
+    unordered ``collect_list``."""
+    arr = F.array_sort(F.collect_list(_col(order_by if order_by is not None else c)))
+    if limit_num is not None:
+        arr = F.slice(arr, 1, limit_num)
+    return F.array_join(arr, delimiter)
+
+
+# ---------------------------------------------------------------------------
+# Casts / null handling / aggregates
+# ---------------------------------------------------------------------------
+
+def safe_cast(c: Column | str, dtype: str) -> Column:
+    """Snowflake ``try_cast`` (``dbt-snowflake/macros/utils/safe_cast.sql:2-14``)."""
+    return _col(c).try_cast(dtype)
+
+
+def cast_bool_to_text(c: Column | str) -> Column:
+    """dbt ``cast_bool_to_text`` macro."""
+    return _col(c).cast("string")
+
+
+def null_safe_eq(a: Column | str, b: Column | str) -> Column:
+    """dbt ``equals`` macro: ``(a = b) or (a is null and b is null)``
+    (``dbt-adapters/macros/utils/equals.sql:9-17``) — Spark's ``<=>``."""
+    return _col(a).eqNullSafe(_col(b))
+
+
+def bool_or_(c: Column | str) -> Column:
+    """``boolor_agg`` (``dbt-snowflake/macros/utils/bool_or.sql:1-5``)."""
+    return F.bool_or(_col(c))
+
+
+def any_value(c: Column | str) -> Column:
+    """``any_value`` (``dbt-adapters/macros/utils/any_value.sql:7-10``).
+    Spark's any_value with ignoreNulls=False matches Snowflake's."""
+    return F.any_value(_col(c))
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL set EXCEPT (``dbt-adapters/macros/utils/except.sql:5-9``)."""
+    return a.exceptAll(b.distinct()).distinct()
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL set INTERSECT (``dbt-adapters/macros/utils/intersect.sql:5-9``)."""
+    return a.intersect(b)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """UNION ALL by name (``macros/gap_tri_state_violations.sql:84-87``)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,718 @@
+"""Driver-facing query inventory over /root/testdata parquet tables.
+
+Each entry re-expresses an operator family from SURVEY.md §2 on the
+TPC-H-ish synthetic tables (role mapping per FIXTURES.md §B: customer ≈
+member, lineitem+orders ≈ claim lines, part-brand list ≈ the FIT/FOBT code
+set). Every Spark query has a DuckDB oracle in ORACLE with *identical
+column names and types*; computed float columns are either derived from
+exact decimal arithmetic (bit-identical after cast to double) or rounded
+identically on both sides.
+
+Scale discipline: code sets and 1-row param relations are broadcast; all
+aggregations are partial-aggregate friendly (no distinct-heavy shapes);
+top-k uses rank-then-filter or orderBy+limit (TakeOrderedAndProject);
+no driver-side collect on any data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions import age_at, date_spine, surrogate_key
+from ..session import ensure_utc
+from .gap_pipeline import GapParams, fct_gap_exceptions, gap_status, gap_tri_state_violations
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which vanilla Spark rejects;
+        # read the raw int64 nanos and floor-convert to microseconds (DuckDB
+        # casting TIMESTAMP_NS -> TIMESTAMP floors identically).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The COL code set recast onto part brands (FIXTURES.md §B role mapping).
+GAP_CODES: list[tuple[str, str]] = [
+    ("BRAND#13", "COLONOSCOPY"),
+    ("BRAND#20", "SIGMOIDOSCOPY"),
+    ("BRAND#23", "CT_COLONOGRAPHY"),
+    ("BRAND#15", "STOOL_DNA_FIT"),
+    ("BRAND#9", "FIT_FOBT"),
+]
+
+GAP_PARAMS = GapParams(
+    period_start="2000-01-01", period_end="2000-12-31", min_age=2, max_age=4
+)
+
+DEC = "decimal(18,2)"  # exact money arithmetic → bit-identical doubles
+
+
+def _gap_inputs(spark: SparkSession, sf_dir: str):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    # member spine: birth_date ≈ first order date (left join keeps
+    # order-less customers with NULL birth_date → NOT-QUALIFIED branch)
+    members = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(customer.c_custkey.alias("member_id"))
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("birth_date"))
+    )
+    claims = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("claim_id"),
+            F.col("o_custkey").alias("member_id"),
+            F.col("l_shipdate").cast("date").alias("service_date"),
+            F.upper("p_brand").alias("proc_code"),
+        )
+    )
+    codes = spark.createDataFrame(GAP_CODES, "code string, evidence_type string")
+    return members, claims, codes
+
+
+# SQL CTE block shared by the three gap oracles — mirrors _gap_inputs +
+# gap_pipeline.gap_status step for step.
+_GAP_STATUS_CTES = """
+params AS (
+  SELECT DATE '2000-01-01' AS period_start, DATE '2000-12-31' AS period_end,
+         2 AS min_age, 4 AS max_age
+),
+members AS (
+  SELECT c.c_custkey AS member_id,
+         CAST(MIN(o.o_orderdate) AS DATE) AS birth_date
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+),
+codes(code, evidence_type) AS (
+  VALUES ('BRAND#13','COLONOSCOPY'), ('BRAND#20','SIGMOIDOSCOPY'),
+         ('BRAND#23','CT_COLONOGRAPHY'), ('BRAND#15','STOOL_DNA_FIT'),
+         ('BRAND#9','FIT_FOBT')
+),
+claims AS (
+  SELECT l.l_orderkey * 10 + l.l_linenumber AS claim_id,
+         o.o_custkey AS member_id,
+         CAST(l.l_shipdate AS DATE) AS service_date,
+         UPPER(p.p_brand) AS proc_code
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+spine AS (
+  SELECT m.member_id, m.birth_date, p.period_start, p.period_end,
+         CAST((YEAR(p.period_end) - YEAR(m.birth_date))
+           - CASE WHEN m.birth_date
+                       + to_years(CAST(YEAR(p.period_end) - YEAR(m.birth_date) AS INTEGER))
+                     > p.period_end
+                  THEN 1 ELSE 0 END AS INTEGER) AS age,
+         p.min_age, p.max_age
+  FROM members m CROSS JOIN params p
+),
+spine2 AS (
+  SELECT *, COALESCE(age BETWEEN min_age AND max_age, FALSE) AS is_age_eligible
+  FROM spine
+),
+qualifying AS (
+  SELECT c.member_id, c.claim_id, c.service_date,
+         k.evidence_type AS closure_reason,
+         CASE k.evidence_type
+           WHEN 'COLONOSCOPY' THEN 1 WHEN 'SIGMOIDOSCOPY' THEN 2
+           WHEN 'CT_COLONOGRAPHY' THEN 2 WHEN 'STOOL_DNA_FIT' THEN 3
+           WHEN 'FIT_FOBT' THEN 4 ELSE 99 END AS reason_rank
+  FROM claims c
+  JOIN codes k ON c.proc_code = UPPER(k.code)
+  CROSS JOIN params p
+  WHERE CASE
+    WHEN k.evidence_type = 'FIT_FOBT'
+      THEN c.service_date BETWEEN p.period_start AND p.period_end
+    WHEN k.evidence_type = 'COLONOSCOPY'
+      THEN c.service_date BETWEEN p.period_end - to_years(10) AND p.period_end
+    WHEN k.evidence_type IN ('SIGMOIDOSCOPY','CT_COLONOGRAPHY')
+      THEN c.service_date BETWEEN p.period_end - to_years(5) AND p.period_end
+    WHEN k.evidence_type = 'STOOL_DNA_FIT'
+      THEN c.service_date BETWEEN p.period_end - to_years(3) AND p.period_end
+    END
+),
+best AS (
+  SELECT member_id, service_date AS closure_date, closure_reason,
+         claim_id AS evidence_id
+  FROM (
+    SELECT q.*, ROW_NUMBER() OVER (
+        PARTITION BY member_id
+        ORDER BY reason_rank ASC, service_date DESC, claim_id DESC) AS rn
+    FROM qualifying q)
+  WHERE rn = 1
+),
+status AS (
+  SELECT s.member_id, 'COL' AS measure_id,
+         CAST(YEAR(s.period_end) AS INTEGER) AS measurement_year,
+         s.age, s.is_age_eligible,
+         CAST(CASE WHEN NOT s.is_age_eligible THEN NULL
+                   WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS gap_flag,
+         CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
+              THEN b.closure_date END AS closure_date,
+         CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
+              THEN b.closure_reason END AS closure_reason,
+         CAST(CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
+              THEN b.evidence_id END AS BIGINT) AS evidence_id,
+         s.period_start, s.period_end, 'COL_V1' AS rule_version
+  FROM spine2 s LEFT JOIN best b ON s.member_id = b.member_id
+)
+"""
+
+# deterministic rule-breaking noise so the violation families are non-empty
+# (member_id % 37 selects which invariant to break)
+_GAP_NOISY_CTE = """
+noisy AS (
+  SELECT member_id, measure_id,
+         CAST(CASE WHEN member_id % 37 = 0 THEN 2 ELSE gap_flag END AS INTEGER)
+           AS gap_flag,
+         CASE WHEN member_id % 37 = 2 AND gap_flag IS NULL THEN period_end
+              ELSE closure_date END AS closure_date,
+         CASE WHEN member_id % 37 = 1 AND gap_flag = 1 THEN NULL
+              ELSE closure_reason END AS closure_reason,
+         evidence_id,
+         CASE WHEN member_id % 37 = 3 AND gap_flag = 0 THEN NULL
+              ELSE period_start END AS period_start,
+         period_end
+  FROM status
+)
+"""
+
+_GAP_VIOLATIONS_CTE = """
+violations AS (
+  SELECT 'INVALID_FLAG_VALUE' AS violation_rule, member_id, measure_id,
+         CAST(gap_flag AS INTEGER) AS flag_value
+  FROM noisy WHERE gap_flag IS NOT NULL AND gap_flag NOT IN (0, 1)
+  UNION ALL
+  SELECT 'OPEN_MISSING_REQUIRED', member_id, measure_id, CAST(gap_flag AS INTEGER)
+  FROM noisy WHERE gap_flag = 0
+    AND (period_start IS NULL OR period_end IS NULL)
+  UNION ALL
+  SELECT 'CLOSED_MISSING_REQUIRED', member_id, measure_id, CAST(gap_flag AS INTEGER)
+  FROM noisy WHERE gap_flag = 1
+    AND (closure_date IS NULL OR closure_reason IS NULL OR evidence_id IS NULL)
+  UNION ALL
+  SELECT 'NOT_QUALIFIED_HAS_VALUE', member_id, measure_id, CAST(gap_flag AS INTEGER)
+  FROM noisy WHERE gap_flag IS NULL
+    AND (closure_date IS NOT NULL OR closure_reason IS NOT NULL
+         OR evidence_id IS NOT NULL)
+)
+"""
+
+_RUN_TS = "2026-01-01 00:00:00"
+
+
+def _noisy_status(status: DataFrame) -> DataFrame:
+    """Spark mirror of _GAP_NOISY_CTE."""
+    m = F.col("member_id") % 37
+    return status.select(
+        "member_id",
+        "measure_id",
+        F.when(m == 0, F.lit(2)).otherwise(F.col("gap_flag")).cast("int").alias("gap_flag"),
+        F.when((m == 2) & F.col("gap_flag").isNull(), F.col("period_end"))
+        .otherwise(F.col("closure_date"))
+        .alias("closure_date"),
+        F.when((m == 1) & (F.col("gap_flag") == 1), F.lit(None).cast("string"))
+        .otherwise(F.col("closure_reason"))
+        .alias("closure_reason"),
+        "evidence_id",
+        F.when((m == 3) & (F.col("gap_flag") == 0), F.lit(None).cast("date"))
+        .otherwise(F.col("period_start"))
+        .alias("period_start"),
+        "period_end",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap pipeline (flagship)
+# ---------------------------------------------------------------------------
+
+def q_gap_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: tri-state COL gap status recast onto the star schema.
+    SURVEY §2 P1-P7, J1-J3, W1, A-family; int_gap_col_status.sql."""
+    members, claims, codes = _gap_inputs(spark, sf_dir)
+    return gap_status(members, claims, codes, GAP_PARAMS)
+
+
+def q_gap_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-state rule-violation families over a deterministically noised
+    status relation (macros/gap_tri_state_violations.sql, P5+U1)."""
+    return gap_tri_state_violations(_noisy_status(q_gap_status(spark, sf_dir)))
+
+
+def q_gap_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exception fact first-run projection with md5 surrogate
+    keys (fct_gap_exceptions.sql:9-16); timestamp stringified for the
+    cross-engine hash."""
+    exceptions = fct_gap_exceptions(q_gap_violations(spark, sf_dir), _RUN_TS)
+    return exceptions.withColumn("exception_ts", F.col("exception_ts").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# projections / filters
+# ---------------------------------------------------------------------------
+
+def q_stg_claim_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 typed projection (stg_claim_lines.sql:3-8): rename + cast +
+    upper-normalize, pushed fully into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("claim_id"),
+        F.col("l_suppkey").alias("member_id"),
+        F.col("l_shipdate").cast("date").alias("service_date"),
+        F.upper(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))).alias("proc_code"),
+        F.col("l_extendedprice").cast(DEC).alias("billed_amount"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: partial-agg-friendly groupBy with exact
+    decimal sums cast to double (A1/A4 family at scale)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_price = price * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (O4): broadcast-joined dims,
+    TakeOrderedAndProject for the limit."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_codeset_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: EXISTS-against-code-set as a broadcast semi join, then agg."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    codes = [c for c, _ in GAP_CODES]
+    matched = li.join(
+        broadcast(part.filter(F.upper("p_brand").isin(codes))),
+        li.l_partkey == part.p_partkey,
+    )
+    return matched.groupBy(F.upper("p_brand").alias("proc_code")).agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: customers with no orders — LEFT ANTI join (the engine's
+    NOT-IN-safe dedup/relationship primitive)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# test library shapes (§5)
+# ---------------------------------------------------------------------------
+
+def q_unique_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 unique test (generic_test_sql/unique.sql:1-12)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderkey").alias("unique_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+def q_accepted_values_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 accepted_values test (generic_test_sql/accepted_values.sql:2-27)
+    with accepted set {A, N} so the R rows surface as violations."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(~F.col("value_field").isin("A", "N"))
+    )
+
+
+def q_relationships_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 relationships test (generic_test_sql/relationships.sql:1-23):
+    lineitem.l_orderkey → orders.o_orderkey orphans."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.select(F.col("l_orderkey").alias("from_field"))
+        .join(
+            orders.select(F.col("o_orderkey").alias("from_field")),
+            "from_field",
+            "left_anti",
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregates / windows / set ops
+# ---------------------------------------------------------------------------
+
+def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 ordered listagg (utils/listagg.sql:5-29) via
+    collect_list → array_sort → array_join."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+def q_window_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 rank-then-filter top-1 per group (int_gap_col_status.sql:159-183
+    shape) — Spark pushes the rn=1 filter into a window group limit."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("member_id"),
+            F.col("o_orderkey").alias("best_order"),
+            F.col("o_totalprice").alias("best_price"),
+            F.col("o_orderdate").cast("date").alias("best_date"),
+        )
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 EXCEPT distinct (utils/except.sql:5-9)."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(ordered)
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 INTERSECT distinct (utils/intersect.sql:5-9)."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ordered = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return cust.intersect(ordered)
+
+
+def q_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 actual/expected tagged union (unit-test harness shape,
+    materializations/tests/helpers.sql)."""
+    orders = load(spark, sf_dir, "orders")
+    actual = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.sum("pn").alias("n"))
+    )
+    return actual.select(F.lit("actual").alias("which"), "status", "n").unionByName(
+        expected.select(F.lit("expected").alias("which"), "status", "n")
+    )
+
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_gap_exceptions.sql:9-16 surrogate-key pattern standalone."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        surrogate_key(
+            F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderdate").cast("date")
+        ).alias("order_sk"),
+    )
+
+
+def q_date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_spine (utils/date_spine.sql) joined against per-day order
+    counts — agg-then-join so the spine join is a broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    spine = date_spine(spark, "day", "1996-01-01", "1996-02-01")
+    per_day = orders.groupBy(F.col("o_orderdate").cast("date").alias("date_day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+    )
+    return (
+        spine.join(per_day, "date_day", "left")
+        .select(
+            "date_day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("total_price"), F.lit(0.0)).alias("total_price"),
+        )
+    )
+
+
+def q_datediff_age_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Snowflake datediff('year') + birthday-correction age idiom
+    (int_gap_col_status.sql:39-54) applied across every order date."""
+    orders = load(spark, sf_dir, "orders")
+    as_of = F.lit("2000-12-31").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        age_at(F.col("o_orderdate").cast("date"), as_of).cast("int").alias("order_age"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (streaming surface, batch-checkable analogs)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch analog of the §2.11 streaming surface):
+    1-hour buckets per event_type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT analog: JSON props extraction (get_json_object) + agg."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+QUERIES = {
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "stg_claim_lines": q_stg_claim_lines,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "listagg_nations": q_listagg_nations,
+    "window_best_order": q_window_best_order,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "union_all_tagged": q_union_all_tagged,
+    "surrogate_keys": q_surrogate_keys,
+    "date_spine_orders": q_date_spine_orders,
+    "datediff_age_orders": q_datediff_age_orders,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+}
+
+
+ORACLE = {
+    "gap_status": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
+    "gap_violations": (
+        f"WITH {_GAP_STATUS_CTES}, {_GAP_NOISY_CTE}, {_GAP_VIOLATIONS_CTE} "
+        "SELECT * FROM violations"
+    ),
+    "gap_exceptions": f"""
+WITH {_GAP_STATUS_CTES}, {_GAP_NOISY_CTE}, {_GAP_VIOLATIONS_CTE}
+SELECT md5(concat_ws('|',
+         coalesce(violation_rule, ''),
+         coalesce(CAST(member_id AS VARCHAR), ''),
+         coalesce(measure_id, ''),
+         coalesce(CAST(flag_value AS VARCHAR), ''))) AS exception_key,
+       violation_rule,
+       CAST(member_id AS VARCHAR) AS member_id,
+       measure_id,
+       CAST(flag_value AS VARCHAR) AS flag_value,
+       CAST(TIMESTAMP '{_RUN_TS}' AS VARCHAR) AS exception_ts
+FROM violations
+""",
+    "stg_claim_lines": """
+SELECT l_orderkey * 10 + l_linenumber AS claim_id,
+       l_suppkey AS member_id,
+       CAST(l_shipdate AS DATE) AS service_date,
+       UPPER(l_returnflag || l_linestatus) AS proc_code,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS billed_amount
+FROM lineitem
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_revenue_orders": """
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+    "codeset_semi_join": """
+SELECT UPPER(p.p_brand) AS proc_code,
+       COUNT(*) AS n_claims,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE UPPER(p.p_brand) IN ('BRAND#13','BRAND#20','BRAND#23','BRAND#15','BRAND#9')
+GROUP BY UPPER(p.p_brand)
+""",
+    "anti_join_customers": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "unique_test_orders": """
+SELECT o_orderkey AS unique_field, COUNT(*) AS n_records
+FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+""",
+    "accepted_values_returnflag": """
+SELECT l_returnflag AS value_field, COUNT(*) AS n_records
+FROM lineitem GROUP BY l_returnflag
+HAVING l_returnflag NOT IN ('A', 'N')
+""",
+    "relationships_test": """
+SELECT DISTINCT l_orderkey AS from_field
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+""",
+    "listagg_nations": """
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    "window_best_order": """
+SELECT o_custkey AS member_id, o_orderkey AS best_order,
+       o_totalprice AS best_price, CAST(o_orderdate AS DATE) AS best_date
+FROM (
+  SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders o)
+WHERE rn = 1
+""",
+    "set_except": """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+    "set_intersect": """
+SELECT c_custkey AS custkey FROM customer
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+""",
+    "union_all_tagged": """
+SELECT 'actual' AS which, o_orderstatus AS status, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'expected' AS which, status, SUM(pn) AS n
+FROM (SELECT o_orderstatus AS status, o_orderpriority, COUNT(*) AS pn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+GROUP BY status
+""",
+    "surrogate_keys": """
+SELECT o_orderkey,
+       md5(concat_ws('|',
+         coalesce(CAST(o_orderkey AS VARCHAR), ''),
+         coalesce(CAST(o_custkey AS VARCHAR), ''),
+         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''))) AS order_sk
+FROM orders
+""",
+    "date_spine_orders": """
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1996-01-01', DATE '1996-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS date_day
+),
+per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS date_day, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT s.date_day,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_orders,
+       COALESCE(p.total_price, 0.0) AS total_price
+FROM spine s LEFT JOIN per_day p ON s.date_day = p.date_day
+""",
+    "datediff_age_orders": """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST((2000 - YEAR(o_orderdate))
+         - CASE WHEN CAST(o_orderdate AS DATE)
+                     + to_years(CAST(2000 - YEAR(o_orderdate) AS INTEGER)) > DATE '2000-12-31'
+                THEN 1 ELSE 0 END AS INTEGER) AS order_age
+FROM orders
+""",
+    "events_hourly": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "events_json": """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+}

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Mirrors the runtime assumptions the reference bakes into its adapter:
+UTC timestamps (dbt-snowflake normalizes ``current_timestamp`` to UTC,
+reference ``dbt_internal_packages/dbt-snowflake/macros/utils/timestamps.sql:1-3``)
+and an optimizer that is trusted to pick physical strategies (Snowflake
+there, Catalyst + AQE here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "healthcare-dbt-datamart-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local testing uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    master is taken from the environment / spark-submit. AQE is always on:
+    it supplies runtime join re-planning, partition coalescing and skew-join
+    splitting, which is how this engine survives skewed keys at 100 TB.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC (idempotent).
+
+    Query functions call this defensively so date extraction from the
+    timestamp-typed parquet columns is deterministic regardless of which
+    session the driver hands us.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

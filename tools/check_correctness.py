@@ -1,0 +1,92 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet dir, then compares row count, column-name
+schema, and an order-insensitive value hash (columns sorted by name, rows
+sorted, values stringified). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def frame_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return sorted(cols), len(rows), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from healthcare_dbt_datamart_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        s_cols = sdf.columns
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(s_rows)} rows (no oracle)")
+            continue
+        d = con.execute(oracles[name])
+        d_cols = [c[0] for c in d.description]
+        d_rows = d.fetchall()
+        sc, sn, sh = frame_fingerprint(s_cols, s_rows)
+        dc, dn, dh = frame_fingerprint(d_cols, d_rows)
+        ok = (sc == dc) and (sn == dn) and (sh == dh)
+        status = "OK " if ok else "FAIL"
+        print(f"{name:28s} {status} spark={sn} duck={dn} "
+              f"schema={'=' if sc == dc else f'{sc} vs {dc}'} hash={'=' if sh == dh else 'MISMATCH'}")
+        if not ok:
+            failures.append(name)
+            if sc == dc and sn == dn:
+                # show first differing rows for debugging
+                s_set = {tuple(norm_cell(v) for v in r) for r in s_rows}
+                d_set = {tuple(norm_cell(v) for v in r) for r in d_rows}
+                print("  spark-only:", list(s_set - d_set)[:3])
+                print("  duck-only :", list(d_set - s_set)[:3])
+    print("\nFAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

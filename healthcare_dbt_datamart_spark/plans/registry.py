@@ -1,0 +1,152 @@
+"""Model registry and DAG-ordered runner.
+
+The reference's execution model (SURVEY §3): dbt parses ``ref()`` calls
+into a manifest DAG, then executes materializations in topological order.
+Here the DAG is discovered by *demand-driven memoized resolution*: a model
+body calls ``ctx.ref('upstream')``, which builds the upstream first (with
+cycle detection). Parse/compile/materialize collapse into Python building
+lazy DataFrames; Catalyst replaces the warehouse optimizer; the
+driver→executor boundary replaces dbt's client→warehouse boundary.
+
+View-materialized models stay *lazy* (temp views inline into downstream
+plans — the reference's single-query CTE pipelining, and Catalyst
+optimizes across model boundaries). Table/incremental/snapshot models
+execute an action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class _ModelDef:
+    fn: Callable[["ModelContext"], DataFrame]
+    materialized: str = "view"
+    config: dict[str, Any] = field(default_factory=dict)
+
+
+class ModelContext:
+    """What a model body sees — ``ref``/``source``/``this``/
+    ``is_incremental`` (``is_incremental.sql:2-13``)."""
+
+    def __init__(self, registry: "ModelRegistry", name: str):
+        self._r = registry
+        self.name = name
+        self.spark = registry.spark
+
+    def ref(self, name: str) -> DataFrame:
+        return self._r.build(name)
+
+    def source(self, name: str) -> DataFrame:
+        return self._r.get_source(name)
+
+    @property
+    def this(self) -> DataFrame | None:
+        if self.spark.catalog.tableExists(self.name):
+            return self.spark.table(self.name)
+        return None
+
+    def is_incremental(self) -> bool:
+        from ..operators.incremental import is_incremental
+
+        return is_incremental(self.spark, self.name, self._r.full_refresh)
+
+
+class ModelRegistry:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._models: dict[str, _ModelDef] = {}
+        self._sources: dict[str, DataFrame] = {}
+        self._built: dict[str, DataFrame] = {}
+        self._building: list[str] = []
+        self.full_refresh = False
+
+    # -- declaration ------------------------------------------------------
+
+    def model(self, name: str | None = None, materialized: str = "view", **config):
+        """Decorator: ``@r.model(materialized='table', cluster_by=[...])``."""
+
+        def deco(fn: Callable[[ModelContext], DataFrame]):
+            self._models[name or fn.__name__] = _ModelDef(fn, materialized, config)
+            return fn
+
+        return deco
+
+    def add_source(self, name: str, df: DataFrame) -> None:
+        self._sources[name] = df
+
+    def get_source(self, name: str) -> DataFrame:
+        return self._sources[name]
+
+    # -- execution --------------------------------------------------------
+
+    def build(self, name: str) -> DataFrame:
+        """Build one model (and transitively its upstreams), memoized."""
+        if name in self._built:
+            return self._built[name]
+        if name in self._sources:
+            return self._sources[name]
+        if name in self._building:
+            cycle = " -> ".join(self._building + [name])
+            raise ValueError(f"model cycle: {cycle}")
+        mdef = self._models[name]
+        self._building.append(name)
+        try:
+            df = mdef.fn(ModelContext(self, name))
+        finally:
+            self._building.pop()
+
+        from ..operators import materialize as mat
+        from ..operators.incremental import incremental_run
+        from ..operators.snapshot import snapshot_run
+
+        m = mdef.materialized
+        if m == "view":
+            mat.materialize_view(self.spark, name, df)
+            out = df  # stay lazy: downstream plans inline this subtree
+        elif m in ("table", "materialized_view"):
+            mat.materialize_table(
+                self.spark, name, df, cluster_by=mdef.config.get("cluster_by")
+            )
+            out = self.spark.table(name)
+        elif m == "incremental":
+            incremental_run(
+                self.spark,
+                name,
+                df,
+                strategy=mdef.config.get("incremental_strategy", "merge"),
+                unique_key=mdef.config.get("unique_key"),
+                full_refresh=self.full_refresh,
+                on_schema_change=mdef.config.get("on_schema_change", "ignore"),
+                event_time=mdef.config.get("event_time"),
+                batch_start=mdef.config.get("batch_start"),
+                batch_end=mdef.config.get("batch_end"),
+            )
+            out = self.spark.table(name)
+        elif m == "snapshot":
+            snapshot_run(
+                self.spark,
+                name,
+                df,
+                unique_key=mdef.config["unique_key"],
+                strategy=mdef.config.get("strategy", "timestamp"),
+                updated_at=mdef.config.get("updated_at"),
+                check_cols=mdef.config.get("check_cols", "all"),
+                hard_deletes=mdef.config.get("hard_deletes", "ignore"),
+                run_ts=mdef.config.get("run_ts"),
+            )
+            out = self.spark.table(name)
+        else:
+            raise ValueError(f"unknown materialization: {m}")
+        self._built[name] = out
+        return out
+
+    def run(self, full_refresh: bool = False) -> dict[str, DataFrame]:
+        """Build every registered model (DAG order via demand resolution)."""
+        self.full_refresh = full_refresh
+        self._built.clear()
+        return {name: self.build(name) for name in self._models}

@@ -1,0 +1,290 @@
+"""Tests for the runtime layer: materializations, incremental strategies,
+SCD2 snapshots, schema tests, and the DAG registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_dbt_datamart_spark.operators import materialize as mat
+from healthcare_dbt_datamart_spark.operators.incremental import incremental_run
+from healthcare_dbt_datamart_spark.operators.snapshot import snapshot_run
+from healthcare_dbt_datamart_spark.operators.testing import (
+    accepted_values_test,
+    freshness_check,
+    not_null_test,
+    relationships_test,
+    run_test,
+    unique_test,
+)
+from healthcare_dbt_datamart_spark.plans import ModelRegistry
+
+
+@pytest.fixture(autouse=True)
+def clean_catalog(spark):
+    yield
+    for t in spark.catalog.listTables():
+        if t.tableType != "TEMPORARY":
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- materializations ------------------------------------------------------
+
+def test_table_swap_replaces_contents(spark):
+    mat.materialize_table(spark, "t_swap", _df(spark, [(1,)], "a long"))
+    assert spark.table("t_swap").count() == 1
+    mat.materialize_table(spark, "t_swap", _df(spark, [(1,), (2,)], "a long"))
+    assert spark.table("t_swap").count() == 2
+
+
+# -- incremental strategies ------------------------------------------------
+
+def test_incremental_first_run_is_ctas(spark):
+    incremental_run(spark, "inc_a", _df(spark, [(1, "x")], "id long, v string"),
+                    strategy="merge", unique_key="id")
+    assert spark.table("inc_a").count() == 1
+
+
+def test_merge_updates_matched_inserts_new(spark):
+    incremental_run(spark, "inc_m", _df(spark, [(1, "old"), (2, "keep")], "id long, v string"),
+                    strategy="merge", unique_key="id")
+    incremental_run(spark, "inc_m", _df(spark, [(1, "new"), (3, "ins")], "id long, v string"),
+                    strategy="merge", unique_key="id")
+    rows = {r.id: r.v for r in spark.table("inc_m").collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_append_keeps_duplicates(spark):
+    src = _df(spark, [(1, "x")], "id long, v string")
+    incremental_run(spark, "inc_ap", src, strategy="append")
+    incremental_run(spark, "inc_ap", src, strategy="append")
+    assert spark.table("inc_ap").count() == 2
+
+
+def test_delete_insert(spark):
+    incremental_run(spark, "inc_di", _df(spark, [(1, "a"), (2, "b")], "id long, v string"),
+                    strategy="delete+insert", unique_key="id")
+    incremental_run(spark, "inc_di",
+                    _df(spark, [(2, "b2"), (2, "b3")], "id long, v string"),
+                    strategy="delete+insert", unique_key="id")
+    rows = sorted((r.id, r.v) for r in spark.table("inc_di").collect())
+    # both source rows for key 2 inserted (delete+insert, unlike merge)
+    assert rows == [(1, "a"), (2, "b2"), (2, "b3")]
+
+
+def test_insert_overwrite_truncates(spark):
+    incremental_run(spark, "inc_io", _df(spark, [(1,), (2,)], "id long"),
+                    strategy="insert_overwrite")
+    incremental_run(spark, "inc_io", _df(spark, [(9,)], "id long"),
+                    strategy="insert_overwrite")
+    assert [r.id for r in spark.table("inc_io").collect()] == [9]
+
+
+def test_microbatch_windowed_delete_insert(spark):
+    incremental_run(
+        spark, "inc_mb",
+        _df(spark, [("2024-01-01", 1), ("2024-01-02", 2)], "d string, v long")
+        .withColumn("d", F.col("d").cast("date")),
+        strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-01-02",
+    )
+    # re-run the 01-01 window with corrected data
+    incremental_run(
+        spark, "inc_mb",
+        _df(spark, [("2024-01-01", 10), ("2024-01-02", 99)], "d string, v long")
+        .withColumn("d", F.col("d").cast("date")),
+        strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-01-02",
+    )
+    rows = {str(r.d): r.v for r in spark.table("inc_mb").collect()}
+    # 01-01 replaced; 01-02 outside the window keeps its original value
+    assert rows == {"2024-01-01": 10, "2024-01-02": 2}
+
+
+def test_on_schema_change_ignore_and_append(spark):
+    incremental_run(spark, "inc_sc", _df(spark, [(1, "a")], "id long, v string"),
+                    strategy="append")
+    wider = _df(spark, [(2, "b", 9.0)], "id long, v string, extra double")
+    incremental_run(spark, "inc_sc", wider, strategy="append", on_schema_change="ignore")
+    assert spark.table("inc_sc").columns == ["id", "v"]
+    incremental_run(spark, "inc_sc", wider, strategy="append",
+                    on_schema_change="append_new_columns")
+    t = spark.table("inc_sc")
+    assert "extra" in t.columns
+    assert t.filter(F.col("extra").isNotNull()).count() == 1
+
+
+# -- snapshots -------------------------------------------------------------
+
+def test_snapshot_timestamp_scd2(spark):
+    snapshot_run(
+        spark, "snap_t",
+        _df(spark, [(1, "A", "2024-01-01 00:00:00")], "id long, v string, updated_at string")
+        .withColumn("updated_at", F.col("updated_at").cast("timestamp")),
+        unique_key="id", strategy="timestamp", updated_at="updated_at",
+    )
+    assert spark.table("snap_t").count() == 1
+
+    # changed row (newer updated_at) -> old version closed, new opened
+    snapshot_run(
+        spark, "snap_t",
+        _df(spark, [(1, "B", "2024-02-01 00:00:00")], "id long, v string, updated_at string")
+        .withColumn("updated_at", F.col("updated_at").cast("timestamp")),
+        unique_key="id", strategy="timestamp", updated_at="updated_at",
+    )
+    t = spark.table("snap_t")
+    assert t.count() == 2
+    open_rows = t.filter(F.col("dbt_valid_to").isNull()).collect()
+    assert len(open_rows) == 1 and open_rows[0].v == "B"
+    closed = t.filter(F.col("dbt_valid_to").isNotNull()).collect()[0]
+    assert closed.v == "A" and str(closed.dbt_valid_to).startswith("2024-02-01")
+
+    # unchanged re-run -> no new versions
+    snapshot_run(
+        spark, "snap_t",
+        _df(spark, [(1, "B", "2024-02-01 00:00:00")], "id long, v string, updated_at string")
+        .withColumn("updated_at", F.col("updated_at").cast("timestamp")),
+        unique_key="id", strategy="timestamp", updated_at="updated_at",
+    )
+    assert spark.table("snap_t").count() == 2
+
+
+def test_snapshot_check_strategy_null_asymmetry(spark):
+    snapshot_run(
+        spark, "snap_c",
+        _df(spark, [(1, None), (2, "x")], "id long, v string"),
+        unique_key="id", strategy="check", check_cols=["v"],
+        run_ts="2024-01-01 00:00:00",
+    )
+    # NULL -> value and value -> same are handled per strategies.sql:157-174
+    snapshot_run(
+        spark, "snap_c",
+        _df(spark, [(1, "now-set"), (2, "x")], "id long, v string"),
+        unique_key="id", strategy="check", check_cols=["v"],
+        run_ts="2024-02-01 00:00:00",
+    )
+    t = spark.table("snap_c")
+    assert t.count() == 3  # id=1 has two versions; id=2 unchanged
+    assert t.filter((F.col("id") == 2)).count() == 1
+
+
+def test_snapshot_hard_delete_invalidate_and_new_record(spark):
+    snapshot_run(spark, "snap_d", _df(spark, [(1, "A"), (2, "B")], "id long, v string"),
+                 unique_key="id", strategy="check", check_cols=["v"],
+                 run_ts="2024-01-01 00:00:00")
+    snapshot_run(spark, "snap_d", _df(spark, [(1, "A")], "id long, v string"),
+                 unique_key="id", strategy="check", check_cols=["v"],
+                 hard_deletes="invalidate", run_ts="2024-02-01 00:00:00")
+    t = spark.table("snap_d")
+    gone = t.filter(F.col("id") == 2).collect()[0]
+    assert gone.dbt_valid_to is not None  # closed out
+
+    snapshot_run(spark, "snap_n", _df(spark, [(1, "A"), (2, "B")], "id long, v string"),
+                 unique_key="id", strategy="check", check_cols=["v"],
+                 run_ts="2024-01-01 00:00:00")
+    snapshot_run(spark, "snap_n", _df(spark, [(1, "A")], "id long, v string"),
+                 unique_key="id", strategy="check", check_cols=["v"],
+                 hard_deletes="new_record", run_ts="2024-02-01 00:00:00")
+    t2 = spark.table("snap_n")
+    tomb = t2.filter((F.col("id") == 2) & (F.col("dbt_is_deleted") == "True"))
+    assert tomb.count() == 1
+
+
+# -- schema tests ----------------------------------------------------------
+
+def test_generic_tests_and_harness(spark):
+    df = _df(spark, [(1, "A"), (1, "B"), (None, "Z")], "id long, v string")
+    assert unique_test(df, "id").count() == 1
+    assert not_null_test(df, "id").count() == 1
+    assert accepted_values_test(df, "v", ["A", "B"]).count() == 1
+
+    parent = _df(spark, [(1,)], "pk long")
+    child = _df(spark, [(1,), (2,)], "fk long")
+    assert relationships_test(child, "fk", parent, "pk").count() == 1
+
+    res = run_test(unique_test(df, "id"), name="unique_id")
+    assert res.status == "fail" and res.failures == 1
+    res2 = run_test(unique_test(df, "id"), name="unique_id", error_if="> 5")
+    assert res2.status == "warn"
+    res3 = run_test(unique_test(df, "id"), name="unique_id",
+                    warn_if="> 5", error_if="> 5")
+    assert res3.status == "pass"
+
+
+def test_freshness_check(spark):
+    df = _df(spark, [("2024-01-01 00:00:00",)], "loaded_at string")
+    r = freshness_check(df, "loaded_at", warn_after_seconds=3600,
+                        error_after_seconds=86400, now="2024-01-01 00:30:00")
+    assert r["status"] == "pass"
+    r2 = freshness_check(df, "loaded_at", warn_after_seconds=60,
+                         error_after_seconds=86400, now="2024-01-01 00:30:00")
+    assert r2["status"] == "warn"
+
+
+# -- registry / DAG --------------------------------------------------------
+
+def test_registry_dag_and_materializations(spark):
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1, "x"), (2, "y")], "id long, v string"))
+
+    @r.model()
+    def stg(ctx):
+        return ctx.source("raw").withColumn("v", F.upper("v"))
+
+    @r.model(materialized="table")
+    def mart(ctx):
+        return ctx.ref("stg").filter(F.col("id") > 1)
+
+    out = r.run()
+    assert sorted(out) == ["mart", "stg"]
+    assert spark.table("mart").collect()[0].v == "Y"
+    # view stays lazy but queryable by name
+    assert spark.table("stg").count() == 2
+
+
+def test_registry_incremental_model_uses_this(spark):
+    r = ModelRegistry(spark)
+    r.add_source("events_src", _df(spark, [(1, "a"), (2, "b")], "id long, v string"))
+
+    @r.model(materialized="incremental", incremental_strategy="append")
+    def inc_fact(ctx):
+        src = ctx.source("events_src")
+        if ctx.is_incremental():
+            existing = ctx.this.select("id")
+            src = src.join(existing, "id", "left_anti")
+        return src
+
+    r.run()
+    assert spark.table("inc_fact").count() == 2
+    # second run: anti-join dedup -> nothing appended
+    r2 = ModelRegistry(spark)
+    r2.add_source("events_src", _df(spark, [(1, "a"), (3, "c")], "id long, v string"))
+
+    @r2.model(name="inc_fact", materialized="incremental", incremental_strategy="append")
+    def inc_fact2(ctx):
+        src = ctx.source("events_src")
+        if ctx.is_incremental():
+            src = src.join(ctx.this.select("id"), "id", "left_anti")
+        return src
+
+    r2.run()
+    assert spark.table("inc_fact").count() == 3
+
+
+def test_registry_cycle_detection(spark):
+    r = ModelRegistry(spark)
+
+    @r.model()
+    def a(ctx):
+        return ctx.ref("b")
+
+    @r.model()
+    def b(ctx):
+        return ctx.ref("a")
+
+    with pytest.raises(ValueError, match="cycle"):
+        r.run()

@@ -1,0 +1,20 @@
+"""LLM-data-pipeline operators (the north-star extensions).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search over embedding columns (brute-force + bucketed ANN), text analysis
+(language ID, quality scoring, token counting, fingerprinting), and
+multimodal binary-column plumbing. All hot paths are Catalyst expressions
+(higher-order array functions) — no per-row Python; the only Python is
+Arrow-batched ``mapInPandas`` in the multimodal decode path where a real
+deployment would call image/audio libraries.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup_fingerprints,
+    jaccard_pairs,
+    lsh_band_buckets,
+    minhash_signatures,
+    simhash16,
+)
+from .similarity import cosine_topk, sign_lsh_bucket  # noqa: F401
+from .textstats import langid_scores, quality_stats, rolling_fingerprint  # noqa: F401

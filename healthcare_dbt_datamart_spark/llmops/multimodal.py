@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode step is STUBBED (the image/audio libraries are not in this
+container): ``decode_stub='deterministic'`` produces a fake-but-stable
+"decode" from the byte content so the Spark-side plumbing — schema,
+Arrow batch shape, ``mapInPandas`` signature, partition-parallel
+execution — is real and tested; ``decode_stub='raise'`` marks where a
+real decoder (PIL/ffmpeg) plugs in.
+
+Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched, one
+Python worker per partition — the right shape for CPU-bound decode);
+binary payloads stay columnar end-to-end; metadata joins are broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("meta", StringType()),  # JSON sidecar metadata
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def text_as_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test harness: treat utf-8 text bytes as an opaque media payload so
+    the binary-column path can run on the ``documents`` table."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.to_json(F.struct(F.length(F.col(text_col)).alias("orig_chars"))).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derive a stable
+    "width/height" from the byte content."""
+    import hashlib
+
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> DataFrame:
+    """Decode/feature-extract over Arrow batches via ``mapInPandas``.
+
+    A real deployment replaces ``_fake_decode`` with PIL / torchvision /
+    ffmpeg calls; everything else (batching, schema, parallelism) is the
+    production shape.
+    """
+    if decode_stub not in ("deterministic", "raise"):
+        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container"
+                )
+            dims = [_fake_decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "content_md5": [
+                        hashlib.md5(c).hexdigest() for c in pdf["content"]
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: explodes a frame index per media row
+    (the decode of each frame is the stubbed step). Demonstrates the
+    fan-out shape: one row per sampled frame, repartitionable downstream."""
+    n_frames = (F.length(F.col("content")) / 1000).cast("long") + 1  # fake fps proxy
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
+    )

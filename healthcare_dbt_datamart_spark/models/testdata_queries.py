@@ -529,6 +529,136 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star): dedup / similarity / text stats
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint hash-groupBy on documents."""
+    from ..llmops.dedup import exact_dedup_fingerprints
+
+    return exact_dedup_fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes over 3-word shingles) + LSH banding (4 bands of
+    2); emits multi-doc buckets (the near-dup candidate cells)."""
+    from ..llmops.dedup import lsh_band_buckets, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    return (
+        lsh_band_buckets(sigs, "doc_id", num_hashes=8, band_size=2)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> bucket-join ->
+    exact-Jaccard verification at 0.4."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    return jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    from ..llmops.dedup import simhash16
+
+    return simhash16(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: token stats + ratios + composite score."""
+    from ..llmops.textstats import quality_stats
+
+    return quality_stats(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax."""
+    from ..llmops.textstats import langid_scores
+
+    return langid_scores(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint + length bucket (shard-level dedup key)."""
+    from ..llmops.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)."""
+    from ..llmops.similarity import cosine_topk
+
+    return cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_cosine_topk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed ANN: scan restricted to the query's label cell."""
+    from ..llmops.similarity import cosine_topk
+
+    return cosine_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, restrict_label=True
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: sign-LSH buckets -> in-bucket pairs -> exact
+    cosine >= 0.35."""
+    from ..llmops.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column path: text bytes as opaque media ->
+    Arrow-batched mapInPandas feature extraction (decode stubbed —
+    rows-only check, no SQL oracle)."""
+    from ..llmops.multimodal import extract_features, text_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(text_as_media(docs, "text", "doc_id"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch form (§2.11 streaming surface): 30-min
+    inactivity gap splits sessions; lag + running-sum session ids."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("session_end_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 QUERIES = {
     "gap_status": q_gap_status,
     "gap_violations": q_gap_violations,
@@ -551,6 +681,214 @@ QUERIES = {
     "datediff_age_orders": q_datediff_age_orders,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_buckets": q_minhash_buckets,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash_docs": q_simhash_docs,
+    "text_quality": q_text_quality,
+    "langid_stopwords": q_langid_stopwords,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_label": q_cosine_topk_label,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "events_sessionize": q_events_sessionize,
+}
+
+
+# -- oracle SQL builders for the LLM ops (kept programmatic where the SQL
+#    is repetitive: minhash signature CTEs, simhash bit expressions) -------
+
+_TOKS_1 = (
+    "SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t "
+    "FROM documents"
+)
+_TOKS_3 = """
+SELECT doc_id,
+       list_distinct([array_to_string(w[i:i+2], ' ')
+                      for i in range(1, greatest(len(w)-2, 1) + 1)]) AS t
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents)
+"""
+
+_SIGS = "SELECT doc_id, " + ", ".join(
+    f"list_min(list_transform(t, x -> md5('{s}|' || x))) AS mh{s}" for s in range(8)
+) + " FROM toks"
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key, doc_id FROM sigs"
+    for b in range(4)
+)
+
+_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN 2 * len(list_filter(h, x -> substr(x, {i}, 1) IN "
+    "('8','9','a','b','c','d','e','f')"
+    ")) >= len(h) THEN '1' ELSE '0' END)"
+    for i in range(1, 17)
+)
+
+_COSINE_SIMS = """
+pairs AS (
+  SELECT e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.qv) AS y
+  FROM embeddings e, q
+  WHERE e.vec_id != 0 {label_filter}
+),
+sims AS (
+  SELECT vec_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+_SIGN_BUCKET = (
+  "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || "
+  "(CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) || "
+  "(CASE WHEN embedding[18] >= 0 THEN '1' ELSE '0' END) || "
+  "(CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END)"
+)
+
+_LLM_ORACLE = {
+    "dedup_exact_docs": """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "minhash_buckets": f"""
+WITH toks AS ({_TOKS_3}),
+sigs AS ({_SIGS}),
+bands AS ({_BANDS})
+SELECT band_idx, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM bands GROUP BY band_idx, band_key HAVING COUNT(*) > 1
+""",
+    "near_dup_jaccard": f"""
+WITH toks AS ({_TOKS_3}),
+sigs AS ({_SIGS}),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(ta.t, tb.t))::DOUBLE
+             / len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jaccard
+FROM cand
+JOIN toks ta ON ta.doc_id = id_a
+JOIN toks tb ON tb.doc_id = id_b
+WHERE round(len(list_intersect(ta.t, tb.t))::DOUBLE
+            / len(list_distinct(list_concat(ta.t, tb.t))), 6) >= 0.4
+""",
+    "simhash_docs": f"""
+WITH toks AS ({_TOKS_1}),
+hashes AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS h FROM toks)
+SELECT doc_id, {_SIMHASH_BITS} AS simhash
+FROM hashes
+""",
+    "text_quality": """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, n_chars,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_uniq_tokens,
+         round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6)
+           AS avg_token_len,
+         round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_ratio,
+         round(len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is')))::DOUBLE
+               / len(w), 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_uniq_tokens AS INTEGER) AS n_uniq_tokens,
+       avg_token_len, uniq_ratio, stopword_ratio,
+       round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+             + uniq_ratio * 0.3
+             + least(stopword_ratio * 3, 1.0) * 0.3, 6) AS quality_score
+FROM stats
+""",
+    "langid_stopwords": """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is'))) AS INTEGER) AS en_hits,
+    CAST(len(list_filter(t, x -> x IN ('el','la','de','los','y','en','que'))) AS INTEGER) AS es_hits,
+    CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un'))) AS INTEGER) AS fr_hits,
+    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','ein'))) AS INTEGER) AS de_hits
+  FROM w
+)
+SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+       CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+            WHEN de_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'de'
+            WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+            WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM hits
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(substr(lower(trim(text)), 1, 64)) AS prefix_fp,
+       CAST(floor(length(lower(trim(text))) / 64) AS BIGINT) AS len_bucket
+FROM documents
+""",
+    "cosine_topk": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),\n"
+        + _COSINE_SIMS.format(label_filter="")
+    ),
+    "cosine_topk_label": (
+        "WITH q AS (SELECT embedding AS qv, label AS q_label FROM embeddings WHERE vec_id = 0),\n"
+        + _COSINE_SIMS.format(label_filter="AND e.label = q.q_label")
+    ),
+    "embedding_near_dup": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         a.embedding AS ea, c.embedding AS eb
+  FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id
+),
+un AS (
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand
+),
+sims AS (
+  SELECT id_a, id_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM un GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sims WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.35
+""",
+    "events_sessionize": """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_id
+""",
 }
 
 
@@ -716,3 +1054,5 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type
 """,
 }
+
+ORACLE.update(_LLM_ORACLE)

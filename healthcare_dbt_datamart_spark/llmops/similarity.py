@@ -102,15 +102,28 @@ def near_dup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup detection: bucket by sign-LSH, pair within
     buckets, verify with exact cosine. The bucket join is the only
-    shuffle; candidate count is Σ bucket² instead of n²."""
+    shuffle; candidate count is Σ bucket² instead of n².
+
+    The vector norm is precomputed per VECTOR before the join (each vector
+    participates in O(bucket) pairs, so folding it per pair would triple
+    the per-pair array work); per pair only the dot product folds."""
     with_bucket = emb.select(
-        F.col(id_col), F.col(vec_col), sign_lsh_bucket(F.col(vec_col), dims).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("nrm"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     a = with_bucket.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = with_bucket.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     return (
         a.join(b, "bucket")
@@ -118,7 +131,11 @@ def near_dup_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -39,25 +39,55 @@ def token_stats(text: Column | str) -> dict[str, Column]:
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc quality signals: length/uniqueness/stopword ratios and a
     composite score — the pre-training filter shape (length + lexical
-    diversity + stopword density)."""
-    stats = token_stats(text_col)
-    en_hits = stopword_hits(text_col, STOPWORDS["en"])
-    n = stats["n_tokens"]
-    uniq_ratio = F.round(stats["n_uniq_tokens"] / n.cast("double"), 6)
-    stop_ratio = F.round(en_hits / n.cast("double"), 6)
-    return df.select(
+    diversity + stopword density).
+
+    Staged projections: tokenize once, then counters, then ratios, then
+    the composite — each level reads *named* columns of the previous one
+    so no expression tree is duplicated (cf. dedup.tokens_df)."""
+    w = df.select(
         F.col(id_col),
-        stats["n_chars"].alias("n_chars"),
-        n.alias("n_tokens"),
-        stats["n_uniq_tokens"].alias("n_uniq_tokens"),
-        stats["avg_token_len"].alias("avg_token_len"),
-        uniq_ratio.alias("uniq_ratio"),
-        stop_ratio.alias("stopword_ratio"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    counts = w.select(
+        F.col(id_col),
+        "n_chars",
+        F.size("_w").alias("n_tokens"),
+        F.size(F.array_distinct("_w")).alias("n_uniq_tokens"),
+        F.round(
+            F.aggregate(
+                F.col("_w"), F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size("_w").cast("double"),
+            6,
+        ).alias("avg_token_len"),
+        F.size(
+            F.filter(F.col("_w"), lambda t: t.isin(*STOPWORDS["en"]))
+        ).alias("_en_hits"),
+    )
+    n = F.col("n_tokens")
+    ratios = counts.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        "avg_token_len",
+        F.round(F.col("n_uniq_tokens") / n.cast("double"), 6).alias("uniq_ratio"),
+        F.round(F.col("_en_hits") / n.cast("double"), 6).alias("stopword_ratio"),
+    )
+    return ratios.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        "avg_token_len",
+        "uniq_ratio",
+        "stopword_ratio",
         # composite: in-range length + diversity + some stopwords
         F.round(
             F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
-            + uniq_ratio * 0.3
-            + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3,
+            + F.col("uniq_ratio") * 0.3
+            + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3,
             6,
         ).alias("quality_score"),
     )
@@ -71,15 +101,29 @@ def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
 
 def langid_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stopword-hit language ID: count hits per language wordlist, predict
-    the argmax (ties broken by language-code order, deterministically)."""
-    hits = {lang: stopword_hits(text_col, ws) for lang, ws in STOPWORDS.items()}
+    the argmax (ties broken by language-code order, deterministically).
+
+    Staged: tokenize once, count hits per language once, then the argmax
+    reads the named hit columns (no tokenize duplication)."""
+    w = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    hit_df = w.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws))).alias(f"{lang}_hits")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    hits = {lang: F.col(f"{lang}_hits") for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
     for lang in sorted(STOPWORDS, reverse=True):  # earlier lang wins ties
         pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.select(
+    return hit_df.select(
         F.col(id_col),
-        *[hits[lang].alias(f"{lang}_hits") for lang in STOPWORDS],
+        *[F.col(f"{lang}_hits") for lang in STOPWORDS],
         pred.alias("predicted_lang"),
     )
 

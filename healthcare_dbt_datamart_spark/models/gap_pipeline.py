@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions import age_at, dateadd, surrogate_key, union_all
+from ..functions import age_at, dateadd, surrogate_key
 
 # Durability ranking of screening evidence — the CASE at
 # ``int_gap_col_status.sql:150-157`` (kept as ONE column and reused in the
@@ -209,18 +209,17 @@ def gap_tri_state_violations(
       D (:66-81)  flag NULL has a forbidden column   -> NOT_QUALIFIED_HAS_VALUE
 
     Violations are *rows*, not assertions — they flow into the exceptions
-    fact. Each family is a filter + tagged literal, identical schema:
-    (violation_rule, *pk_cols, flag_value).
+    fact. Schema: (violation_rule, *pk_cols, flag_value).
+
+    Scale note: the reference UNION ALLs four filtered scans of the model;
+    Snowflake dedups the shared scan, but a naive Spark union would run the
+    upstream status pipeline (window + join) four times. Instead each row
+    emits the array of rules it violates and one ``explode`` produces the
+    identical multiset of rows in a SINGLE pass — at 100 TB that is one
+    scan instead of four.
     """
     flag = F.col(flag_col)
     pk = [F.col(c) for c in pk_cols]
-
-    def emit(rule: str, cond: F.Column) -> DataFrame:
-        return status.filter(cond).select(
-            F.lit(rule).alias("violation_rule"),
-            *pk,
-            flag.cast("int").alias("flag_value"),
-        )
 
     def any_not_null(cols: tuple[str, ...]) -> F.Column:
         cond = F.lit(False)
@@ -234,13 +233,19 @@ def gap_tri_state_violations(
             cond = cond | F.col(c).isNull()
         return cond
 
-    return union_all(
-        [
-            emit("INVALID_FLAG_VALUE", flag.isNotNull() & ~flag.isin(0, 1)),
-            emit("OPEN_MISSING_REQUIRED", (flag == 0) & any_null(required_when_open)),
-            emit("CLOSED_MISSING_REQUIRED", (flag == 1) & any_null(required_when_closed)),
-            emit("NOT_QUALIFIED_HAS_VALUE", flag.isNull() & any_not_null(forbidden_when_null)),
-        ]
+    families = [
+        ("INVALID_FLAG_VALUE", flag.isNotNull() & ~flag.isin(0, 1)),
+        ("OPEN_MISSING_REQUIRED", (flag == 0) & any_null(required_when_open)),
+        ("CLOSED_MISSING_REQUIRED", (flag == 1) & any_null(required_when_closed)),
+        ("NOT_QUALIFIED_HAS_VALUE", flag.isNull() & any_not_null(forbidden_when_null)),
+    ]
+    rules = F.array_compact(
+        F.array(*[F.when(cond, F.lit(rule)) for rule, cond in families])
+    )
+    return status.select(
+        F.explode(rules).alias("violation_rule"),
+        *pk,
+        flag.cast("int").alias("flag_value"),
     )
 
 

@@ -712,7 +712,8 @@ FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
 """
 
 _SIGS = "SELECT doc_id, " + ", ".join(
-    f"list_min(list_transform(t, x -> md5('{s}|' || x))) AS mh{s}" for s in range(8)
+    f"list_min(list_transform(t, x -> substr(md5(x), {1 + 4 * s}, 4))) AS mh{s}"
+    for s in range(8)
 ) + " FROM toks"
 
 _BANDS = " UNION ALL ".join(

@@ -21,7 +21,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions import age_at, date_spine, surrogate_key
+from ..functions import (
+    age_at,
+    bool_or_,
+    cast_bool_to_text,
+    date_spine,
+    dateadd,
+    datediff,
+    last_day_,
+    position,
+    right_,
+    safe_cast,
+    split_part,
+    surrogate_key,
+)
 from ..session import ensure_utc
 from .gap_pipeline import GapParams, fct_gap_exceptions, gap_status, gap_tri_state_violations
 
@@ -659,6 +672,200 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# scalar-surface / runtime-strategy / SCD2 coverage (SURVEY §2.8-§2.10)
+# ---------------------------------------------------------------------------
+
+def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 string/cast surface in one projection: split_part, position,
+    right (Snowflake zero-guard), length, replace, safe_cast/try_cast,
+    bool->text — all JVM-side Column expressions (utils/split_part.sql,
+    position.sql, right.sql, replace.sql, safe_cast.sql)."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        safe_cast(split_part("c_name", "#", 2), "int").alias("cust_num"),
+        position("#", "c_name").alias("hash_pos"),
+        right_("c_mktsegment", 3).alias("seg_right3"),
+        right_("c_mktsegment", 0).alias("seg_right0"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("B"), F.lit("X")).alias("seg_x"),
+        cast_bool_to_text(F.col("c_acctbal") > 0).alias("is_pos_txt"),
+        safe_cast("c_mktsegment", "int").alias("seg_as_int"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 date surface: date_trunc, last_day, dateadd(month/day),
+    boundary-count datediff(day/month/year) (utils/dateadd.sql,
+    datediff.sql, date_trunc.sql, last_day.sql)."""
+    orders = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    ref_day = F.lit("1998-12-31").cast("date")
+    return orders.select(
+        "o_orderkey",
+        od.alias("order_date"),
+        F.trunc(od, "month").alias("month_start"),
+        last_day_(od).alias("month_end"),
+        dateadd("month", 2, od).alias("plus_2m"),
+        dateadd("day", -10, od).alias("minus_10d"),
+        datediff("day", od, ref_day).cast("int").alias("days_to_ref"),
+        datediff("month", od, ref_day).cast("int").alias("months_to_ref"),
+        datediff("year", od, ref_day).cast("int").alias("years_to_ref"),
+    )
+
+
+# fixed "now" for the freshness check — injectable like GapParams.as_of
+_FRESHNESS_AS_OF_US = 1706745600000000  # 2024-02-01 00:00:00 UTC
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/A3 source freshness: ungrouped MAX of the loaded-at column vs an
+    injectable as-of instant (dbt-adapters/macros/adapters/freshness.sql:
+    7-18) — one map-side-combined agg, no shuffle of raw rows."""
+    ev = load(spark, sf_dir, "events")
+    max_us = F.max(F.unix_micros(F.col("ts")))
+    lag_min = F.floor((F.lit(_FRESHNESS_AS_OF_US) - max_us) / 60_000_000)
+    return ev.agg(
+        max_us.alias("max_loaded_at_us"),
+        lag_min.alias("lag_minutes"),
+        (lag_min <= 2880).alias("is_fresh"),
+    )
+
+
+def q_agg_any_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 any_value + A7 bool_or (+ bool_and) per nation: any_value is
+    deterministic here because n_name is functionally dependent on the
+    grouping key (utils/any_value.sql:7-10, bool_or.sql:5-9)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            broadcast(nation.select(F.col("n_nationkey").cast("int").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.any_value(F.col("n_name")).alias("nation_name"),
+            bool_or_(F.col("c_acctbal") < 0).alias("has_negative"),
+            F.bool_and(F.col("c_acctbal") < 5000).alias("all_small"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 null-safe equality join (utils/equals.sql:9-17 → ``<=>``): the
+    NULL group matches the NULL group, unlike plain ``=``."""
+    cust = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    a = cust.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("n_all"))
+    b = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .select(seg)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]), "left")
+        .select(a["seg"].alias("seg"), "n_all", "n_pos")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 merge strategy as a batch relation: matched keys take the source
+    row (update), unmatched source rows insert — the anti-join + unionByName
+    shape of operators/incremental.py::incremental_run('merge')
+    (dbt-adapters merge.sql:9-54)."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    target = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        price.cast("double").alias("total"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (price * F.lit(1.05).cast(DEC)).cast("double").alias("total"),
+    )
+    kept = target.join(source.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.unionByName(source)
+
+
+def q_microbatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 microbatch: event-time-windowed delete+insert — target rows in
+    [lo, hi) replaced by the re-delivered batch (value doubled marks the
+    replacement) (dbt-snowflake incremental/merge.sql:73-101;
+    operators/incremental.py::incremental_run('microbatch'))."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    lo = 1704844800000000  # 2024-01-10 00:00:00 UTC
+    hi = 1705276800000000  # 2024-01-15 00:00:00 UTC
+    in_win = (F.col("ts_us") >= lo) & (F.col("ts_us") < hi)
+    kept = ev.filter(~in_win)
+    batch = ev.filter(in_win).withColumn("value", F.col("value") * 2)
+    return kept.unionByName(batch)
+
+
+_SCD_TS1 = "2026-01-01 00:00:00"
+_SCD_TS2 = "2026-02-01 00:00:00"
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SN1/SN5 timestamp-strategy SCD2 after one change batch: v1 snapshot
+    at TS1, source update (acctbal +100 where custkey%7=0, updated TS2) →
+    changed rows close out (valid_to=TS2) and re-insert as current; scd_id
+    = md5(key ‖ '|' ‖ updated_at) (snapshots/strategies.sql:45-50,73-75;
+    operators/snapshot.py::snapshot_run)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = F.col("c_custkey") % 7 == 0
+    ts1, ts2 = F.lit(_SCD_TS1), F.lit(_SCD_TS2)
+
+    def scd_cols(updated_at: F.Column, valid_to: F.Column):
+        return [
+            surrogate_key(F.col("c_custkey"), updated_at).alias("dbt_scd_id"),
+            updated_at.alias("dbt_updated_at"),
+            updated_at.alias("dbt_valid_from"),
+            valid_to.alias("dbt_valid_to"),
+        ]
+
+    unchanged = cust.filter(~changed).select(
+        "c_custkey", "c_acctbal", *scd_cols(ts1, F.lit(None).cast("string"))
+    )
+    closed = cust.filter(changed).select(
+        "c_custkey", "c_acctbal", *scd_cols(ts1, ts2)
+    )
+    current = cust.filter(changed).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        *scd_cols(ts2, F.lit(None).cast("string")),
+    )
+    return unchanged.unionByName(closed).unionByName(current)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex (word runs and single
+    punctuation marks as separate tokens — the pre-tokenizer shape):
+    regexp_extract_all stays in the JVM, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\w+|[^\w\s]"
+    counts = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n_bpeish"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_ws",
+        "n_bpeish",
+        F.round(F.col("n_bpeish") / F.col("n_ws").cast("double"), 6).alias("bpe_per_ws"),
+    )
+
+
 QUERIES = {
     "gap_status": q_gap_status,
     "gap_violations": q_gap_violations,
@@ -693,6 +900,15 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
     "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "date_functions": q_date_functions,
+    "freshness_events": q_freshness_events,
+    "agg_any_bool": q_agg_any_bool,
+    "nullsafe_join": q_nullsafe_join,
+    "merge_upsert": q_merge_upsert,
+    "microbatch_events": q_microbatch_events,
+    "scd2_customers": q_scd2_customers,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 
@@ -1057,3 +1273,116 @@ FROM events GROUP BY event_type
 }
 
 ORACLE.update(_LLM_ORACLE)
+
+_SCD_KEY1 = f"md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''), '{_SCD_TS1}'))"
+_SCD_KEY2 = f"md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''), '{_SCD_TS2}'))"
+
+ORACLE.update({
+    "scalar_surface": """
+SELECT c_custkey,
+       TRY_CAST(split_part(c_name, '#', 2) AS INTEGER) AS cust_num,
+       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+       right(c_mktsegment, 3) AS seg_right3,
+       right(c_mktsegment, 0) AS seg_right0,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       replace(c_mktsegment, 'B', 'X') AS seg_x,
+       CAST(c_acctbal > 0 AS VARCHAR) AS is_pos_txt,
+       TRY_CAST(c_mktsegment AS INTEGER) AS seg_as_int
+FROM customer
+""",
+    "date_functions": """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 10 DAY AS DATE) AS minus_10d,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_ref,
+       CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS months_to_ref,
+       CAST(date_diff('year', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS years_to_ref
+FROM orders
+""",
+    "freshness_events": f"""
+SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_loaded_at_us,
+       CAST(floor(({_FRESHNESS_AS_OF_US} - max(epoch_us(CAST(ts AS TIMESTAMP)))) / 60000000) AS BIGINT) AS lag_minutes,
+       CAST(floor(({_FRESHNESS_AS_OF_US} - max(epoch_us(CAST(ts AS TIMESTAMP)))) / 60000000) AS BIGINT) <= 2880 AS is_fresh
+FROM events
+""",
+    "agg_any_bool": """
+SELECT CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+       any_value(n.n_name) AS nation_name,
+       bool_or(c.c_acctbal < 0) AS has_negative,
+       bool_and(c.c_acctbal < 5000) AS all_small,
+       COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_nationkey
+""",
+    "nullsafe_join": """
+WITH a AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_all
+  FROM customer GROUP BY 1
+),
+b AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1
+)
+SELECT a.seg, a.n_all, b.n_pos
+FROM a LEFT JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+""",
+    "merge_upsert": """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+),
+source AS (
+  SELECT o_orderkey, 'U' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(18,2)) AS DOUBLE) AS total
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT t.o_orderkey, t.status, t.total FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, status, total FROM source
+""",
+    "microbatch_events": """
+WITH ev AS (
+  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
+)
+SELECT event_id, ts_us, value FROM ev
+WHERE NOT (ts_us >= 1704844800000000 AND ts_us < 1705276800000000)
+UNION ALL
+SELECT event_id, ts_us, value * 2 AS value FROM ev
+WHERE ts_us >= 1704844800000000 AND ts_us < 1705276800000000
+""",
+    "scd2_customers": f"""
+SELECT c_custkey, c_acctbal,
+       {_SCD_KEY1} AS dbt_scd_id,
+       '{_SCD_TS1}' AS dbt_updated_at, '{_SCD_TS1}' AS dbt_valid_from,
+       CAST(NULL AS VARCHAR) AS dbt_valid_to
+FROM customer WHERE c_custkey % 7 != 0
+UNION ALL
+SELECT c_custkey, c_acctbal,
+       {_SCD_KEY1} AS dbt_scd_id,
+       '{_SCD_TS1}' AS dbt_updated_at, '{_SCD_TS1}' AS dbt_valid_from,
+       '{_SCD_TS2}' AS dbt_valid_to
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+       {_SCD_KEY2} AS dbt_scd_id,
+       '{_SCD_TS2}' AS dbt_updated_at, '{_SCD_TS2}' AS dbt_valid_from,
+       CAST(NULL AS VARCHAR) AS dbt_valid_to
+FROM customer WHERE c_custkey % 7 = 0
+""",
+    "bpe_token_count": """
+WITH c AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish
+  FROM documents
+)
+SELECT doc_id, CAST(n_ws AS INTEGER) AS n_ws, CAST(n_bpeish AS INTEGER) AS n_bpeish,
+       round(CAST(n_bpeish AS DOUBLE) / n_ws, 6) AS bpe_per_ws
+FROM c
+""",
+})

@@ -49,6 +49,8 @@ def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
     new_contents.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    # readers that resolved `name` before the swap hold a stale file index
+    spark.catalog.refreshTable(name)
 
 
 def _key_cols(unique_key: str | list[str]) -> list[str]:

@@ -175,3 +175,87 @@ def test_streaming_dynamic_table(spark, events, tmp_path):
         assert spark.sql("select * from dyn_events").count() >= 2
     finally:
         q.stop()
+
+
+def test_stateful_user_totals_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    totals after batch 2 include batch 1's rows."""
+    from healthcare_dbt_datamart_spark.streaming import stateful_user_totals
+
+    src_dir = tmp_path / "stateful_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "stateful_ckpt")
+    events.write.mode("overwrite").parquet(str(src_dir / "b1"))
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir / "*"))
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = spark.createDataFrame(
+            [("2024-01-01 13:00:00", 1, "click", 10.0)],
+            "ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        batch2.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from user_totals").collect()
+        # last emitted row for user 1 accumulates batch1 (3 events, 6.0)
+        # + batch2 (1 event, 10.0)
+        latest_u1 = [r for r in rows if r.user_id == 1][-1]
+        assert latest_u1.n_events == 4
+        assert latest_u1.total_value == pytest.approx(16.0)
+    finally:
+        q.stop()
+
+
+def test_microbatch_stream_delete_insert(spark, events, tmp_path):
+    """foreachBatch microbatch path: re-delivered rows inside the batch's
+    event-time span replace prior target rows (I5 semantics) instead of
+    double-appending."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    src_dir = tmp_path / "mb_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "mb_ckpt")
+    name = "mb_target"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    events.write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir / "*"))
+    q = microbatch_stream(stream, name, event_time="ts", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        n1 = spark.table(name).count()
+        assert n1 == events.count()
+        # re-deliver one event (same span) with a changed value
+        redeliver = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 1, "click", 99.0),
+             ("2024-01-01 12:00:00", 1, "view", 3.0),
+             ("2024-01-01 10:10:00", 1, "click", 2.0),
+             ("2024-01-01 10:05:00", 2, "click", 4.0)],
+            "ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        redeliver.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        # foreachBatch swaps the table from a cloned session; this session
+        # must drop its cached relation before re-reading
+        spark.catalog.refreshTable(name)
+        out = spark.table(name)
+        # replaced, not appended: same row count, updated value present
+        assert out.count() == events.count()
+        assert out.filter(
+            (F.col("user_id") == 1) & (F.col("value") == 99.0)
+        ).count() == 1
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -79,6 +79,114 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer centroids: the k lowest-id vectors (deterministic
+    seeding; a production build would Lloyd-iterate from these). Returns
+    driver-side Python values — centroids are bounded MODEL STATE (k·d
+    floats), not data, so this collect is the same class as dbt's
+    introspective compile-time queries (SURVEY §3), not a data-path
+    collect."""
+    rows = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties to the
+    lowest centroid id) — one map-only projection, zero shuffle: the k
+    centroid similarities are literal expressions folded per row, and the
+    argmax is ``array_max`` over (sim, -cid) structs.
+
+    At scale the assignment is written once and the table is PARTITIONED
+    BY (cell): probing then becomes partition pruning at the scan."""
+    nrm = _norm(F.col(vec_col))
+    cells = F.array(
+        *[
+            F.struct(
+                F.round(_dot(F.col(vec_col), _lit_vec(cv)) / (nrm * F.lit(_py_norm(cv))), 6).alias("sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_max(cells)
+    staged = emb.select(F.col(id_col), F.col(vec_col), best.alias("_best"))
+    return staged.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-F.col("_best.neg_cid")).cast("int").alias("cell"),
+        F.col("_best.sim").alias("cell_sim"),
+    )
+
+
+def _py_norm(vals: list[float]) -> float:
+    s = 0.0
+    for v in vals:
+        s += float(v) * float(v)
+    return s ** 0.5
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign vectors to coarse cells, probe the ``nprobe``
+    cells nearest the query, exact cosine top-k inside the probed cells
+    only — the scan shrinks by ~nprobe/n_centroids vs brute force (and
+    becomes partition pruning on a cell-partitioned table)."""
+    centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    # probe selection is k·d driver-side arithmetic on model state
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
+    ]
+    qn = _py_norm(qvec)
+
+    def cos(cv: list[float]) -> float:
+        return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+
+    probes = [
+        cid for cid, _ in sorted(centroids, key=lambda c: (-round(cos(c[1]), 6), c[0]))
+    ][:nprobe]
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(
+        F.col("cell").isin(probes) & (F.col(id_col) != query_id)
+    )
+    return (
+        cand.select(
+            id_col,
+            "cell",
+            F.round(
+                _dot(F.col(vec_col), _lit_vec(qvec)) / (_norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = (0, 7, 17, 31)) -> Column:
     """Random-hyperplane-style LSH bucket: concatenated signs of chosen
     coordinates (axis-aligned hyperplanes — deterministic and

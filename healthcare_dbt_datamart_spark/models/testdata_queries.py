@@ -636,6 +636,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: coarse-quantize to 8 cells, probe the 2 cells
+    nearest the query, exact cosine top-10 inside the probed cells only
+    (llmops/similarity.py::ivf_topk — becomes partition pruning on a
+    cell-partitioned table)."""
+    from ..llmops.similarity import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=8, nprobe=2
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column path: text bytes as opaque media ->
     Arrow-batched mapInPandas feature extraction (decode stubbed —
@@ -866,6 +878,29 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (Spark extension beyond the reference
+    — SURVEY §2.4 notes cube/rollup come free): revenue by
+    (priority, returnflag), by priority, and grand total in ONE pass —
+    partial aggregation covers all grouping sets without re-scanning."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .rollup("o_orderpriority", "l_returnflag")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            "revenue",
+            "n",
+        )
+    )
+
+
 QUERIES = {
     "gap_status": q_gap_status,
     "gap_violations": q_gap_violations,
@@ -898,6 +933,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_label": q_cosine_topk_label,
     "embedding_near_dup": q_embedding_near_dup,
+    "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
@@ -909,6 +945,7 @@ QUERIES = {
     "microbatch_events": q_microbatch_events,
     "scd2_customers": q_scd2_customers,
     "bpe_token_count": q_bpe_token_count,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 
@@ -1373,6 +1410,66 @@ SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
        '{_SCD_TS2}' AS dbt_updated_at, '{_SCD_TS2}' AS dbt_valid_from,
        CAST(NULL AS VARCHAR) AS dbt_valid_to
 FROM customer WHERE c_custkey % 7 = 0
+""",
+    "rollup_revenue": """
+SELECT coalesce(o.o_orderpriority, 'ALL') AS priority,
+       coalesce(l.l_returnflag, 'ALL') AS returnflag,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY ROLLUP (o.o_orderpriority, l.l_returnflag)
+""",
+    "ivf_topk": """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pair AS (
+  SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+  FROM embeddings e CROSS JOIN cent c
+),
+sims AS (
+  SELECT vec_id, cid,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM pair GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+qpair AS (
+  SELECT c.cid, unnest(c.cvec) AS x, unnest(q.qv) AS y FROM cent c, q
+),
+qsims AS (
+  SELECT cid,
+         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS s
+  FROM qpair GROUP BY cid
+),
+probes AS (SELECT cid FROM qsims ORDER BY s DESC, cid ASC LIMIT 2),
+fpair AS (
+  SELECT e.vec_id, a.cell, unnest(e.embedding) AS x, unnest(q.qv) AS y
+  FROM embeddings e JOIN assign a USING (vec_id), q
+  WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id != 0
+),
+fsims AS (
+  SELECT vec_id, cell,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM fpair GROUP BY vec_id, cell
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM fsims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
     "bpe_token_count": """
 WITH c AS (

@@ -288,3 +288,24 @@ def test_registry_cycle_detection(spark):
 
     with pytest.raises(ValueError, match="cycle"):
         r.run()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is result-identical to a plain join on skewed data
+    (one hot key owning 90% of rows), for inner and left."""
+    from healthcare_dbt_datamart_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (950, "cold"), (999, "cold2")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", how, n_salt=8)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )

@@ -104,6 +104,55 @@ def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> Da
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 64, decode_stub: str = "deterministic"
+) -> DataFrame:
+    """Resize over Arrow batches via ``mapInPandas``: decode → scale the
+    longest side to ``max_side`` preserving aspect → re-encode. The
+    decode/re-encode pair is the stubbed step (dims come from
+    ``_fake_decode``, "re-encoded" bytes are a deterministic truncation);
+    batching, schema and parallelism are the production shape.
+    """
+    if decode_stub not in ("deterministic", "raise"):
+        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container"
+                )
+            out_w, out_h, out_c = [], [], []
+            for c in pdf["content"]:
+                w, h = _fake_decode(c)
+                scale = max_side / max(w, h)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out_w.append(nw)
+                out_h.append(nh)
+                # stub re-encode: byte budget proportional to pixel count
+                out_c.append(bytes(c)[: max(1, nw * nh // 8)])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "content": out_c,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explodes a frame index per media row
     (the decode of each frame is the stubbed step). Demonstrates the

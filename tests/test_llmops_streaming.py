@@ -259,3 +259,14 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
     finally:
         q.stop()
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_multimodal_resize(spark, docs):
+    from healthcare_dbt_datamart_spark.llmops.multimodal import resize_images, text_as_media
+
+    media = text_as_media(docs, "text", "doc_id")
+    out = resize_images(media, max_side=32).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert max(r.width, r.height) == 32
+        assert len(r.content) >= 1

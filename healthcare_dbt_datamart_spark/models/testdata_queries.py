@@ -878,6 +878,24 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_status_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline authored as ONE raw Spark SQL statement
+    (models/sql_datamart.py) — dbt's SQL models port 1:1 onto the
+    engine's SQL surface; must hash-match the DataFrame version's
+    oracle exactly."""
+    from .sql_datamart import gap_status_sql
+
+    for t in ("customer", "orders", "lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return gap_status_sql(
+        spark,
+        period_start=GAP_PARAMS.period_start,
+        period_end=GAP_PARAMS.period_end,
+        min_age=GAP_PARAMS.min_age,
+        max_age=GAP_PARAMS.max_age,
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (Spark extension beyond the reference
     — SURVEY §2.4 notes cube/rollup come free): revenue by
@@ -946,6 +964,7 @@ QUERIES = {
     "scd2_customers": q_scd2_customers,
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
+    "gap_status_sql": q_gap_status_sql,
 }
 
 
@@ -1148,6 +1167,7 @@ FROM sess GROUP BY user_id, session_id
 
 ORACLE = {
     "gap_status": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
+    "gap_status_sql": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
     "gap_violations": (
         f"WITH {_GAP_STATUS_CTES}, {_GAP_NOISY_CTE}, {_GAP_VIOLATIONS_CTE} "
         "SELECT * FROM violations"

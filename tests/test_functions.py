@@ -95,3 +95,65 @@ def test_null_safe_eq(spark):
         [(None, None), (None, "x"), ("x", "x")], "a string, b string"
     ).select(null_safe_eq("a", "b").alias("eq"))
     assert [r.eq for r in df.collect()] == [True, False, True]
+
+
+# --- property test: the Snowflake datediff('year') age idiom ------------
+# SURVEY §7 flags this as the one silently-breaking translation. Validate
+# age_at against an independent Python calendar model of the reference
+# formula (boundary count minus not-yet-birthday correction, with
+# Feb-29 birthdays clamped to Feb 28 in non-leap years — add_months
+# semantics, int_gap_col_status.sql:39-54).
+import datetime as _dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_add_years(d: _dt.date, n: int) -> _dt.date:
+    try:
+        return d.replace(year=d.year + n)
+    except ValueError:  # Feb 29 -> Feb 28 (add_months clamping)
+        return d.replace(year=d.year + n, day=28)
+
+
+def _py_age(birth: _dt.date, as_of: _dt.date) -> int:
+    diff = as_of.year - birth.year
+    return diff - (1 if _py_add_years(birth, diff) > as_of else 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(_dt.date(1900, 1, 1), _dt.date(2030, 12, 31)),
+            st.dates(_dt.date(1950, 1, 1), _dt.date(2050, 12, 31)),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_age_at_matches_reference_formula(spark, pairs):
+    from healthcare_dbt_datamart_spark.functions import age_at
+
+    df = spark.createDataFrame(pairs, "birth date, as_of date")
+    got = df.select(age_at("birth", "as_of").alias("age")).collect()
+    want = [_py_age(b, a) for b, a in pairs]
+    assert [r.age for r in got] == want
+
+
+def test_age_at_leap_day_edges(spark):
+    """Feb-29 birthday: reached on Feb 28 of a non-leap year (clamping),
+    on Feb 29 itself in a leap year."""
+    from healthcare_dbt_datamart_spark.functions import age_at
+
+    cases = [
+        ("2000-02-29", "2023-02-27", 22),  # day before clamped birthday
+        ("2000-02-29", "2023-02-28", 23),  # clamped birthday reached
+        ("2000-02-29", "2024-02-28", 23),  # leap year: not yet
+        ("2000-02-29", "2024-02-29", 24),  # real birthday
+    ]
+    df = spark.createDataFrame(
+        [(b, a) for b, a, _ in cases], "birth string, as_of string"
+    ).selectExpr("CAST(birth AS DATE) birth", "CAST(as_of AS DATE) as_of")
+    got = [r.age for r in df.select(age_at("birth", "as_of").alias("age")).collect()]
+    assert got == [w for _, _, w in cases]

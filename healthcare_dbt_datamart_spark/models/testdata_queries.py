@@ -878,6 +878,48 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg with the real ``F.window`` operator (§2.11):
+    1-hour windows sliding every 15 min — each event lands in 4 windows;
+    starts/ends emitted as unix micros for cross-engine hashing."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (median/p90/p99) per
+    returnflag — single pass, partial-agg percentile; the exact baseline
+    the approx sketches (percentile_approx, tested in pytest) trade
+    against."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.percentile(F.col("l_extendedprice"), F.lit([0.5, 0.9, 0.99]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("_p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p50"),
+            F.round(F.col("_p")[1], 4).alias("p90"),
+            F.round(F.col("_p")[2], 4).alias("p99"),
+            "n",
+        )
+    )
+
+
 def q_gap_status_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline authored as ONE raw Spark SQL statement
     (models/sql_datamart.py) — dbt's SQL models port 1:1 onto the
@@ -965,6 +1007,8 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
     "gap_status_sql": q_gap_status_sql,
+    "events_sliding": q_events_sliding,
+    "quantiles_price": q_quantiles_price,
 }
 
 
@@ -1430,6 +1474,29 @@ SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
        '{_SCD_TS2}' AS dbt_updated_at, '{_SCD_TS2}' AS dbt_valid_from,
        CAST(NULL AS VARCHAR) AS dbt_valid_to
 FROM customer WHERE c_custkey % 7 = 0
+""",
+    "events_sliding": """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+w AS (
+  SELECT event_type, v,
+         (us - (us % 900000000)) - k * 900000000 AS window_start_us
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+)
+SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+       event_type, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM w GROUP BY window_start_us, event_type
+""",
+    "quantiles_price": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
 """,
     "rollup_revenue": """
 SELECT coalesce(o.o_orderpriority, 'ALL') AS priority,

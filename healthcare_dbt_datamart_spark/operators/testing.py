@@ -103,6 +103,23 @@ def run_test(
     return TestResult(name, fail_calc, should_warn, should_error, status)
 
 
+def unit_test(actual: DataFrame, expected: DataFrame) -> DataFrame:
+    """U3 unit-test harness (``tests/helpers.sql`` —
+    ``default__get_unit_test_sql``): rows present in one relation but not
+    the other, tagged 'actual'/'expected'. Multiset semantics via
+    ``exceptAll`` both ways — dbt's given/expect comparison; an empty
+    result means the model matches the fixture."""
+    cols = actual.columns
+    expected = expected.select(*cols)
+    only_actual = actual.exceptAll(expected).select(
+        F.lit("actual").alias("which"), *cols
+    )
+    only_expected = expected.exceptAll(actual).select(
+        F.lit("expected").alias("which"), *cols
+    )
+    return only_actual.unionByName(only_expected)
+
+
 def freshness_check(
     df: DataFrame,
     loaded_at_field: str,

@@ -157,3 +157,22 @@ def test_age_at_leap_day_edges(spark):
     ).selectExpr("CAST(birth AS DATE) birth", "CAST(as_of AS DATE) as_of")
     got = [r.age for r in df.select(age_at("birth", "as_of").alias("age")).collect()]
     assert got == [w for _, _, w in cases]
+
+
+def test_approx_sketches_vs_exact(spark):
+    """Spark's sketch aggregates (HLL++ approx_count_distinct, GK
+    percentile_approx) land within tolerance of the exact answers — the
+    scale path for 100TB distinct-count / quantile work."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        (F.col("id") % 3777).alias("k"), (F.col("id") * 7 % 10007).cast("double").alias("v")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.01).alias("ad"),
+        F.countDistinct("k").alias("ed"),
+        F.percentile_approx("v", 0.5, 10000).alias("ap"),
+        F.percentile("v", F.lit(0.5)).alias("ep"),
+    ).collect()[0]
+    assert abs(row.ad - row.ed) / row.ed < 0.05
+    assert abs(row.ap - row.ep) / max(row.ep, 1) < 0.05

@@ -309,3 +309,17 @@ def test_salted_join_matches_plain_join(spark):
         assert sorted(map(tuple, plain.collect())) == sorted(
             map(tuple, salted.collect())
         )
+
+
+def test_unit_test_harness(spark):
+    """U3: actual-vs-expected tagged diff; empty when equal, multiset-aware."""
+    from healthcare_dbt_datamart_spark.operators.testing import unit_test
+    from pyspark.sql import functions as F
+
+    actual = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "id long, v string")
+    same = spark.createDataFrame([(2, "b"), (1, "a"), (2, "b")], "id long, v string")
+    assert unit_test(actual, same).count() == 0
+    # one duplicate missing + one value wrong -> both sides report
+    diff = spark.createDataFrame([(1, "a"), (2, "X")], "id long, v string")
+    rows = {(r.which, r.id, r.v) for r in unit_test(actual, diff).collect()}
+    assert ("actual", 2, "b") in rows and ("expected", 2, "X") in rows

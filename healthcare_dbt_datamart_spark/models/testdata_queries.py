@@ -878,6 +878,29 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-quality analytics composite: stopword language-ID vs the
+    declared ``lang`` column, agreement rate per ``source`` — the
+    classifier-audit shape of a training-data pipeline (join on doc_id,
+    group by source, conditional agg)."""
+    from ..llmops.textstats import langid_scores
+
+    docs = load(spark, sf_dir, "documents")
+    pred = langid_scores(docs, "text", "doc_id").select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", "lang", "source").join(pred, "doc_id")
+    agree = F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(agree).alias("n_agree"),
+            F.round(F.sum(agree) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "agreement_rate"
+            ),
+        )
+    )
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window agg with the real ``F.window`` operator (§2.11):
     1-hour windows sliding every 15 min — each event lands in 4 windows;
@@ -948,10 +971,17 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
-    return (
+    # pre-aggregate to the ~15 (priority, flag) cells BEFORE the rollup:
+    # ROLLUP's Expand would otherwise triple every fact row pre-shuffle;
+    # decimal sums reassociate exactly, so totals are bit-identical.
+    cells = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .rollup("o_orderpriority", "l_returnflag")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cells.rollup("o_orderpriority", "l_returnflag")
+        .agg(F.sum("_rev").cast("double").alias("revenue"), F.sum("_n").alias("n"))
         .select(
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
@@ -1007,6 +1037,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
     "gap_status_sql": q_gap_status_sql,
+    "lang_agreement": q_lang_agreement,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1374,6 +1405,17 @@ FROM events GROUP BY event_type
 }
 
 ORACLE.update(_LLM_ORACLE)
+
+ORACLE["lang_agreement"] = f"""
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN p.predicted_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       round(SUM(CASE WHEN p.predicted_lang = d.lang THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS agreement_rate
+FROM documents d JOIN ({_LLM_ORACLE["langid_stopwords"]}) p ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
 
 _SCD_KEY1 = f"md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''), '{_SCD_TS1}'))"
 _SCD_KEY2 = f"md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''), '{_SCD_TS2}'))"

@@ -69,6 +69,21 @@ GAP_PARAMS = GapParams(
     period_start="2000-01-01", period_end="2000-12-31", min_age=2, max_age=4
 )
 
+# A second measure over the SAME claims feed (BCS-like: one evidence type,
+# 2-year lookback, different age band) — the multi-measure datamart shape;
+# proves gap_status is truly parameterized, not COL-hardcoded.
+BCS_CODES: list[tuple[str, str]] = [("BRAND#32", "MAMMOGRAPHY")]
+BCS_PARAMS = GapParams(
+    period_start="2000-01-01",
+    period_end="2000-12-31",
+    min_age=3,
+    max_age=5,
+    measure_id="BCS",
+    rule_version="BCS_V1",
+    evidence_rank={"MAMMOGRAPHY": 1},
+    lookback_years={"MAMMOGRAPHY": 2},
+)
+
 DEC = "decimal(18,2)"  # exact money arithmetic → bit-identical doubles
 
 
@@ -99,12 +114,29 @@ def _gap_inputs(spark: SparkSession, sf_dir: str):
     return members, claims, codes
 
 
-# SQL CTE block shared by the three gap oracles — mirrors _gap_inputs +
-# gap_pipeline.gap_status step for step.
-_GAP_STATUS_CTES = """
+# SQL CTE block shared by the gap oracles — mirrors _gap_inputs +
+# gap_pipeline.gap_status step for step, GENERATED from the same GapParams
+# + code set so any measure configuration gets a matching oracle.
+def _gap_status_ctes(params: GapParams, codes: list[tuple[str, str]]) -> str:
+    codes_values = ", ".join(f"('{c}','{e}')" for c, e in codes)
+    rank_whens = " ".join(
+        f"WHEN '{ev}' THEN {r}" for ev, r in params.evidence_rank.items()
+    )
+    window_whens = "\n    ".join(
+        ["WHEN k.evidence_type = 'FIT_FOBT'\n"
+         "      THEN c.service_date BETWEEN p.period_start AND p.period_end"]
+        + [
+            f"WHEN k.evidence_type = '{ev}'\n"
+            f"      THEN c.service_date BETWEEN p.period_end - to_years({yrs})"
+            " AND p.period_end"
+            for ev, yrs in params.lookback_years.items()
+        ]
+    )
+    return f"""
 params AS (
-  SELECT DATE '2000-01-01' AS period_start, DATE '2000-12-31' AS period_end,
-         2 AS min_age, 4 AS max_age
+  SELECT DATE '{params.period_start}' AS period_start,
+         DATE '{params.period_end}' AS period_end,
+         {params.min_age} AS min_age, {params.max_age} AS max_age
 ),
 members AS (
   SELECT c.c_custkey AS member_id,
@@ -113,9 +145,7 @@ members AS (
   GROUP BY c.c_custkey
 ),
 codes(code, evidence_type) AS (
-  VALUES ('BRAND#13','COLONOSCOPY'), ('BRAND#20','SIGMOIDOSCOPY'),
-         ('BRAND#23','CT_COLONOGRAPHY'), ('BRAND#15','STOOL_DNA_FIT'),
-         ('BRAND#9','FIT_FOBT')
+  VALUES {codes_values}
 ),
 claims AS (
   SELECT l.l_orderkey * 10 + l.l_linenumber AS claim_id,
@@ -143,22 +173,12 @@ spine2 AS (
 qualifying AS (
   SELECT c.member_id, c.claim_id, c.service_date,
          k.evidence_type AS closure_reason,
-         CASE k.evidence_type
-           WHEN 'COLONOSCOPY' THEN 1 WHEN 'SIGMOIDOSCOPY' THEN 2
-           WHEN 'CT_COLONOGRAPHY' THEN 2 WHEN 'STOOL_DNA_FIT' THEN 3
-           WHEN 'FIT_FOBT' THEN 4 ELSE 99 END AS reason_rank
+         CASE k.evidence_type {rank_whens} ELSE 99 END AS reason_rank
   FROM claims c
   JOIN codes k ON c.proc_code = UPPER(k.code)
   CROSS JOIN params p
   WHERE CASE
-    WHEN k.evidence_type = 'FIT_FOBT'
-      THEN c.service_date BETWEEN p.period_start AND p.period_end
-    WHEN k.evidence_type = 'COLONOSCOPY'
-      THEN c.service_date BETWEEN p.period_end - to_years(10) AND p.period_end
-    WHEN k.evidence_type IN ('SIGMOIDOSCOPY','CT_COLONOGRAPHY')
-      THEN c.service_date BETWEEN p.period_end - to_years(5) AND p.period_end
-    WHEN k.evidence_type = 'STOOL_DNA_FIT'
-      THEN c.service_date BETWEEN p.period_end - to_years(3) AND p.period_end
+    {window_whens}
     END
 ),
 best AS (
@@ -172,7 +192,7 @@ best AS (
   WHERE rn = 1
 ),
 status AS (
-  SELECT s.member_id, 'COL' AS measure_id,
+  SELECT s.member_id, '{params.measure_id}' AS measure_id,
          CAST(YEAR(s.period_end) AS INTEGER) AS measurement_year,
          s.age, s.is_age_eligible,
          CAST(CASE WHEN NOT s.is_age_eligible THEN NULL
@@ -184,10 +204,13 @@ status AS (
               THEN b.closure_reason END AS closure_reason,
          CAST(CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
               THEN b.evidence_id END AS BIGINT) AS evidence_id,
-         s.period_start, s.period_end, 'COL_V1' AS rule_version
+         s.period_start, s.period_end, '{params.rule_version}' AS rule_version
   FROM spine2 s LEFT JOIN best b ON s.member_id = b.member_id
 )
 """
+
+
+_GAP_STATUS_CTES = _gap_status_ctes(GAP_PARAMS, GAP_CODES)
 
 # deterministic rule-breaking noise so the violation families are non-empty
 # (member_id % 37 selects which invariant to break)
@@ -878,6 +901,19 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_status_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure datamart: COL and BCS gap status over the same member
+    spine and claims feed, unioned — one scan pipeline per measure, each
+    fully parameterized (code set, age band, lookbacks, ranking), the
+    measure_id column discriminating. The reference's per-measure model
+    tree (int_gap_<measure>_status) generalizes to config rows here."""
+    members, claims, codes_col = _gap_inputs(spark, sf_dir)
+    codes_bcs = spark.createDataFrame(BCS_CODES, "code string, evidence_type string")
+    col_status = gap_status(members, claims, codes_col, GAP_PARAMS)
+    bcs_status = gap_status(members, claims, codes_bcs, BCS_PARAMS)
+    return col_status.unionByName(bcs_status)
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-quality analytics composite: stopword language-ID vs the
     declared ``lang`` column, agreement rate per ``source`` — the
@@ -1037,6 +1073,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
     "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
     "lang_agreement": q_lang_agreement,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
@@ -1405,6 +1442,16 @@ FROM events GROUP BY event_type
 }
 
 ORACLE.update(_LLM_ORACLE)
+
+ORACLE["gap_status_multi"] = f"""
+WITH {_GAP_STATUS_CTES}
+SELECT * FROM status
+UNION ALL
+SELECT * FROM (
+  WITH {_gap_status_ctes(BCS_PARAMS, BCS_CODES)}
+  SELECT * FROM status
+) bcs
+"""
 
 ORACLE["lang_agreement"] = f"""
 SELECT d.source,

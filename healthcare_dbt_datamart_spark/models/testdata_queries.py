@@ -56,6 +56,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + fan-out repartition, for queries whose cost is PER-ROW
+    expression work (tokenize/hash folds) rather than the scan itself.
+
+    The driver testdata is single-row-group parquet, so the scan is one
+    task no matter how many cores exist; a cheap repartition of these
+    small-but-compute-dense rows spreads the interpreted higher-order-
+    function work across all executor threads (measured 3-8x on the
+    minhash/simhash family). NOT used for scan-bound queries, Python
+    worker paths (mapInPandas — per-partition worker startup dominates),
+    or queries that driver-collect tiny model state first. On a real
+    cluster with multi-row-group files the scan splits naturally and this
+    fan-out merely re-balances."""
+    return load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # The COL code set recast onto part brands (FIXTURES.md §B role mapping).
 GAP_CODES: list[tuple[str, str]] = [
     ("BRAND#13", "COLONOSCOPY"),
@@ -581,7 +599,7 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     2); emits multi-doc buckets (the near-dup candidate cells)."""
     from ..llmops.dedup import lsh_band_buckets, minhash_signatures
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
     return (
         lsh_band_buckets(sigs, "doc_id", num_hashes=8, band_size=2)
@@ -601,7 +619,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
     pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
     return jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
@@ -611,21 +629,21 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
     from ..llmops.dedup import simhash16
 
-    return simhash16(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash16(load_spread(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality scoring: token stats + ratios + composite score."""
     from ..llmops.textstats import quality_stats
 
-    return quality_stats(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return quality_stats(load_spread(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with deterministic argmax."""
     from ..llmops.textstats import langid_scores
 
-    return langid_scores(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return langid_scores(load_spread(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,7 +904,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, whitespace + BPE-ish regex (word runs and single
     punctuation marks as separate tokens — the pre-tokenizer shape):
     regexp_extract_all stays in the JVM, no Python."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pat = r"\w+|[^\w\s]"
     counts = docs.select(
         "doc_id",
@@ -922,7 +940,7 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.textstats import langid_scores
 
     docs = load(spark, sf_dir, "documents")
-    pred = langid_scores(docs, "text", "doc_id").select("doc_id", "predicted_lang")
+    pred = langid_scores(docs.repartition(spark.sparkContext.defaultParallelism), "text", "doc_id").select("doc_id", "predicted_lang")
     joined = docs.select("doc_id", "lang", "source").join(pred, "doc_id")
     agree = F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
     return (

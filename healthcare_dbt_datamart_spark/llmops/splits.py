@@ -1,0 +1,75 @@
+"""Dataset splitting and split-contamination checks.
+
+Training-data pipelines need (a) a DETERMINISTIC, engine-independent
+train/val/test assignment — re-running the pipeline anywhere must put
+every document in the same split — and (b) a leakage check: near-dup
+pairs that straddle a split boundary contaminate evaluation.
+
+The split key is the first hex digit of ``md5(text)`` (16 uniform
+buckets): digits 0-b → train (75%), c-d → val (12.5%), e-f → test
+(12.5%). Pure projection, zero shuffle, and reproducible in any engine
+with md5 — the same oracle-ability property as the dedup family.
+
+Contamination composes the MinHash near-dup pipeline with the split
+assignment: pairs whose members land in different splits are the leaks.
+At 100 TB both sides are the same banding shuffle the dedup path already
+pays; the split column rides along for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    candidate_pairs,
+    jaccard_pairs,
+    lsh_band_buckets,
+    minhash_signatures,
+)
+
+TRAIN_DIGITS = tuple("0123456789ab")
+VAL_DIGITS = ("c", "d")
+
+
+def split_col(text: Column | str) -> Column:
+    """Deterministic split label from the content hash (not the id, so
+    re-ingested copies of the same text land in the same split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    d = F.substring(F.md5(c), 1, 1)
+    return (
+        F.when(d.isin(*TRAIN_DIGITS), F.lit("train"))
+        .when(d.isin(*VAL_DIGITS), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def assign_splits(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, split) assignment — one projection over the scan."""
+    return df.select(F.col(id_col), split_col(text_col).alias("split"))
+
+
+def split_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Near-dup pairs that straddle split boundaries: verified (Jaccard >=
+    threshold) pairs where the two documents were assigned different
+    splits — the train/test leakage set an eval pipeline must drop."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes=8, n_shingle=n_shingle)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, id_col, 8, 2), id_col)
+    verified = jaccard_pairs(pairs, df, text_col, id_col, threshold, n_shingle)
+    splits = assign_splits(df, text_col, id_col)
+    return (
+        verified.join(
+            splits.withColumnsRenamed({id_col: "id_a", "split": "split_a"}), "id_a"
+        )
+        .join(
+            splits.withColumnsRenamed({id_col: "id_b", "split": "split_b"}), "id_b"
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

@@ -919,6 +919,34 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (llmops/splits.py):
+    per-split document count and mean length — the 75/12.5/12.5 hex-digit
+    assignment every engine reproduces identically."""
+    from ..llmops.splits import split_col
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(split_col("text").alias("split"), F.length("text").alias("n"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detector: verified near-dup pairs (MinHash→LSH→
+    Jaccard>=0.4) whose documents landed in DIFFERENT content-hash splits
+    (llmops/splits.py::split_contamination)."""
+    from ..llmops.splits import split_contamination
+
+    return split_contamination(
+        load_spread(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_gap_status_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure datamart: COL and BCS gap status over the same member
     spine and claims feed, unioned — one scan pipeline per measure, each
@@ -1093,6 +1121,8 @@ QUERIES = {
     "gap_status_sql": q_gap_status_sql,
     "gap_status_multi": q_gap_status_multi,
     "lang_agreement": q_lang_agreement,
+    "hash_split": q_hash_split,
+    "split_contamination": q_split_contamination,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1460,6 +1490,29 @@ FROM events GROUP BY event_type
 }
 
 ORACLE.update(_LLM_ORACLE)
+
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5(text), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train' "
+    "WHEN substr(md5(text), 1, 1) IN ('c','d') THEN 'val' "
+    "ELSE 'test' END"
+)
+
+ORACLE["hash_split"] = f"""
+SELECT {_SPLIT_CASE} AS split,
+       COUNT(*) AS n_docs,
+       round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+ORACLE["split_contamination"] = f"""
+WITH sp AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+SELECT v.id_a, v.id_b, v.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM ({_LLM_ORACLE["near_dup_jaccard"]}) v
+JOIN sp sa ON sa.doc_id = v.id_a
+JOIN sp sb ON sb.doc_id = v.id_b
+WHERE sa.split != sb.split
+"""
 
 ORACLE["gap_status_multi"] = f"""
 WITH {_GAP_STATUS_CTES}

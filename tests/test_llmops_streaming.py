@@ -270,3 +270,20 @@ def test_multimodal_resize(spark, docs):
     for r in out:
         assert max(r.width, r.height) == 32
         assert len(r.content) >= 1
+
+
+def test_hash_split_deterministic_and_leakage(spark, docs):
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        assign_splits,
+        split_contamination,
+    )
+
+    a = {r.doc_id: r.split for r in assign_splits(docs, "text", "doc_id").collect()}
+    b = {r.doc_id: r.split for r in assign_splits(docs, "text", "doc_id").collect()}
+    assert a == b  # deterministic
+    assert a[1] == a[2]  # identical text -> identical split (content hash)
+    assert set(a.values()) <= {"train", "val", "test"}
+    # doc 1/2 are exact dups: if they ever straddled splits the detector
+    # must catch them — they can't, by construction, so filter by pair
+    leaks = split_contamination(docs, "text", "doc_id", threshold=0.4).collect()
+    assert all(not (r.id_a == 1 and r.id_b == 2) for r in leaks)

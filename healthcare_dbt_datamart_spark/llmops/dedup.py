@@ -194,6 +194,62 @@ def candidate_pairs(
     )
 
 
+def near_dup_components(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every doc converges to the smallest id reachable through
+    the dup graph — the cluster representative for keep-one dedup.
+
+    Genuinely iterative (not single-statement-SQL-expressible): each round
+    joins the current labels across the edge list and keeps the min;
+    terminates early when a round changes nothing. Rounds needed =
+    graph diameter (near-dup clusters are shallow, so few); each round is
+    one shuffle join on ids — the standard large-graph CC shape
+    (GraphFrames' algorithm without the dependency).
+
+    Input: (id_a, id_b) pairs. Output: (doc_id, component) for every doc
+    that appears in at least one pair.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, min'd with own
+        neighbor = (
+            sym.join(labels.withColumnsRenamed({"id": "dst", "component": "n_comp"}), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("n_comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 def jaccard_pairs(
     pairs: DataFrame,
     df: DataFrame,

@@ -919,6 +919,45 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: within each exact-dup fingerprint group keep the
+    highest-quality copy (rank by quality_score desc, doc_id asc) — the
+    representative-selection step after detection."""
+    from ..llmops.textstats import quality_stats
+
+    docs = load_spread(spark, sf_dir, "documents")
+    q = quality_stats(docs, "text", "doc_id").select("doc_id", "quality_score")
+    scored = docs.select("doc_id", F.md5("text").alias("fingerprint")).join(q, "doc_id")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fingerprint", F.col("doc_id").alias("keep_id"), "quality_score")
+    )
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over verified near-dup pairs
+    (llmops/dedup.py::near_dup_components) — min-label propagation until
+    fixpoint. Genuinely iterative, hence NO SQL oracle (driver records the
+    rows-only check, per the contract's iterative-algorithms carve-out)."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+        near_dup_components,
+    )
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+    return near_dup_components(verified.select("id_a", "id_b"))
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (llmops/splits.py):
     per-split document count and mean length — the 75/12.5/12.5 hex-digit
@@ -1123,6 +1162,8 @@ QUERIES = {
     "lang_agreement": q_lang_agreement,
     "hash_split": q_hash_split,
     "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "near_dup_clusters": q_near_dup_clusters,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1513,6 +1554,21 @@ JOIN sp sa ON sa.doc_id = v.id_a
 JOIN sp sb ON sb.doc_id = v.id_b
 WHERE sa.split != sb.split
 """
+
+ORACLE["dedup_keep_best"] = f"""
+WITH q AS ({_LLM_ORACLE["text_quality"]}),
+s AS (
+  SELECT d.doc_id, md5(d.text) AS fingerprint, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY fingerprint
+      ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM s) WHERE rn = 1
+"""
+# near_dup_clusters: iterative fixpoint — deliberately NO oracle entry
+# (driver records the rows-only check per the contract carve-out).
 
 ORACLE["gap_status_multi"] = f"""
 WITH {_GAP_STATUS_CTES}

@@ -287,3 +287,15 @@ def test_hash_split_deterministic_and_leakage(spark, docs):
     # must catch them — they can't, by construction, so filter by pair
     leaks = split_contamination(docs, "text", "doc_id", threshold=0.4).collect()
     assert all(not (r.id_a == 1 and r.id_b == 2) for r in leaks)
+
+
+def test_near_dup_components_transitive(spark):
+    """Min-label propagation: chains collapse to one component, disjoint
+    pairs stay separate, fixpoint reached within diameter rounds."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.component for r in near_dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}

@@ -214,10 +214,13 @@ def near_dup_components(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    # undirected: propagate both ways
+    # undirected: propagate both ways. Materialize ONCE — every round joins
+    # this edge list, and without the checkpoint each round would re-run the
+    # whole upstream candidate-generation pipeline (minhash → banding →
+    # verify) that produced the pairs.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
@@ -228,6 +231,8 @@ def near_dup_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("n_comp").alias("n_comp"))
         )
+        # carry a changed flag through the checkpoint so convergence is read
+        # off the materialized partitions instead of recomputing the round
         updated = (
             labels.join(neighbor, "id", "left")
             .select(
@@ -235,17 +240,14 @@ def near_dup_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("n_comp"), F.col("component")) < F.col("component")).alias(
+                    "chg"
+                ),
             )
+            .localCheckpoint(eager=True)  # cut the lineage per round
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # cut the lineage per round
-        if changed == 0:
+        labels = updated.drop("chg")
+        if updated.filter("chg").limit(1).count() == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "component")
 

@@ -30,6 +30,29 @@ from .dedup import (
 
 TRAIN_DIGITS = tuple("0123456789ab")
 VAL_DIGITS = ("c", "d")
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket256(text: Column | str) -> Column:
+    """Deterministic 0..255 bucket from the first two hex digits of
+    ``md5(text)``. Engine-independent by construction (any SQL engine
+    with md5 + strpos reproduces it) — the same property the split
+    assignment relies on, at 16x finer rate granularity."""
+    c = F.col(text) if isinstance(text, str) else text
+    h = F.md5(c)
+    d1 = F.call_function("instr", F.lit(_HEX), F.substring(h, 1, 1))
+    d2 = F.call_function("instr", F.lit(_HEX), F.substring(h, 2, 1))
+    return (d1 - 1) * 16 + (d2 - 1)
+
+
+def mixture_sample(df: DataFrame, text_col: str, rate_num: Column) -> DataFrame:
+    """Deterministic mixture/downsampling filter: keep a row iff its
+    content-hash bucket < ``rate_num`` (out of 256), where ``rate_num``
+    may vary per row (e.g. per-source mixture weights). The training-data
+    "domain reweighting" step: re-running anywhere keeps exactly the same
+    documents, and the kept fraction per group converges to rate/256.
+    Pure projection+filter — zero shuffle, fully pushdown-friendly."""
+    return df.filter(hash_bucket256(text_col) < rate_num)
 
 
 def split_col(text: Column | str) -> Column:

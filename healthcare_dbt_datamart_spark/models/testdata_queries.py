@@ -1044,6 +1044,84 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every purchase event picks up the
+    latest error (ts, value) of the same user at-or-before it — the
+    temporal-table / "state as of event time" join. Union+window plan:
+    one shuffle on user_id, no per-key pair blowup. Oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique per (user_id, ts): max value on (vanishingly unlikely) ties
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .withColumn("err_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases, errors, "user_id", "ts", "ts", ["err_ts", "err_value"]
+    ).select("event_id", "user_id", "ts", "err_ts", "err_value")
+
+
+def q_events_follow_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join (operators/asof.py::interval_join): non-error
+    events within 10 minutes AFTER an error by the same user — the
+    "what happened next" range join, bucketed into an equi-shuffle
+    instead of an inequality nested loop."""
+    from ..operators.asof import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    acts = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("next_id"),
+        F.col("ts").alias("next_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    return interval_join(errors, acts, "user_id", "err_ts", "next_ts", 600).select(
+        "user_id", "error_id", "next_id", "next_type"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling (llmops/splits.py::
+    mixture_sample): per-source keep rates (full / half / quarter / ~10%
+    by source index mod 4) applied via content-hash bucket — the dataset
+    reweighting step of a training-data pipeline. Output: per-source
+    kept/total counts + kept chars (all exact ints)."""
+    from ..llmops.splits import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    src_n = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = (
+        F.when(src_n % 4 == 0, 256)
+        .when(src_n % 4 == 1, 128)
+        .when(src_n % 4 == 2, 64)
+        .otherwise(26)
+    )
+    kept = mixture_sample(docs.withColumn("__rate", rate), "text", F.col("__rate"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"), F.sum("n_chars").alias("kept_chars")
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1164,6 +1242,9 @@ QUERIES = {
     "split_contamination": q_split_contamination,
     "dedup_keep_best": q_dedup_keep_best,
     "near_dup_clusters": q_near_dup_clusters,
+    "events_asof_error": q_events_asof_error,
+    "events_follow_error": q_events_follow_error,
+    "mixture_sample": q_mixture_sample,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1569,6 +1650,52 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
 """
 # near_dup_clusters: iterative fixpoint — deliberately NO oracle entry
 # (driver records the rows-only check per the contract carve-out).
+
+ORACLE["events_asof_error"] = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS err_ts, r.err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+ORACLE["events_follow_error"] = """
+WITH e AS (
+  SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS err_ts
+  FROM events WHERE event_type = 'error'
+),
+a AS (
+  SELECT user_id, event_id AS next_id, CAST(ts AS TIMESTAMP) AS next_ts,
+         event_type AS next_type
+  FROM events WHERE event_type <> 'error'
+)
+SELECT e.user_id, e.error_id, a.next_id, a.next_type
+FROM e JOIN a
+  ON e.user_id = a.user_id
+ AND a.next_ts > e.err_ts
+ AND a.next_ts <= e.err_ts + INTERVAL 600 SECOND
+"""
+
+ORACLE["mixture_sample"] = """
+WITH b AS (
+  SELECT source, n_chars,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS bucket,
+         CASE (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4)
+           WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 26 END AS rate
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS total_docs,
+       COALESCE(SUM(CASE WHEN bucket < rate THEN 1 END), 0) AS kept_docs,
+       COALESCE(SUM(CASE WHEN bucket < rate THEN n_chars END), 0) AS kept_chars
+FROM b GROUP BY source
+"""
 
 ORACLE["gap_status_multi"] = f"""
 WITH {_GAP_STATUS_CTES}

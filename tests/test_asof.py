@@ -1,0 +1,92 @@
+"""Edge-semantics tests for the temporal joins (operators/asof.py) and
+deterministic mixture sampling (llmops/splits.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from healthcare_dbt_datamart_spark.llmops.splits import hash_bucket256, mixture_sample
+from healthcare_dbt_datamart_spark.operators.asof import asof_join, interval_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_inclusive_backward(spark):
+    """<= boundary is inclusive; earlier rows pick the latest prior right
+    row; rows before any right row get NULLs; keys never cross."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),  # before any error -> NULL
+            (2, _ts("2024-01-01 12:00:00")),  # exactly at error ts -> inclusive
+            (3, _ts("2024-01-01 15:00:00")),  # after both -> latest (14:00)
+            (4, _ts("2024-01-01 13:00:00")),  # other key, own stream
+        ],
+        "event_id long, ts timestamp",
+    ).withColumn("user_id", F.when(F.col("event_id") == 4, 9).otherwise(7))
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 12:00:00"), 1.0),
+            (7, _ts("2024-01-01 14:00:00"), 2.0),
+            (9, _ts("2024-01-01 12:30:00"), 3.0),
+        ],
+        "user_id long, ts timestamp, err_value double",
+    ).withColumn("err_ts", F.col("ts"))
+    out = {
+        r.event_id: (r.err_ts, r.err_value)
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["err_ts", "err_value"]
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-01 12:00:00"), 1.0)
+    assert out[3] == (_ts("2024-01-01 14:00:00"), 2.0)
+    assert out[4] == (_ts("2024-01-01 12:30:00"), 3.0)
+
+
+def test_interval_join_bounds_and_bucket_straddle(spark):
+    """(l, l+W] bounds: strictly-after lower, inclusive upper; matches
+    found across quantization-bucket boundaries; same-key only."""
+    left = spark.createDataFrame(
+        [(7, 100, _ts("2024-01-01 10:09:50"))],
+        "user_id long, error_id long, err_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 200, _ts("2024-01-01 10:09:50")),  # == lower bound: excluded
+            (7, 201, _ts("2024-01-01 10:10:10")),  # next bucket, in window
+            (7, 202, _ts("2024-01-01 10:19:50")),  # == upper bound: included
+            (7, 203, _ts("2024-01-01 10:19:51")),  # past upper: excluded
+            (8, 204, _ts("2024-01-01 10:10:00")),  # other key: excluded
+        ],
+        "user_id long, next_id long, next_ts timestamp",
+    )
+    got = sorted(
+        r.next_id
+        for r in interval_join(
+            left, right, "user_id", "err_ts", "next_ts", 600
+        ).collect()
+    )
+    assert got == [201, 202]
+
+
+def test_mixture_sample_deterministic_subset(spark):
+    """Same input -> identical kept set on re-run; rate 256 keeps all,
+    rate 0 keeps none; kept set is bucket-consistent."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    full = mixture_sample(docs, "text", F.lit(256)).count()
+    none = mixture_sample(docs, "text", F.lit(0)).count()
+    assert (full, none) == (200, 0)
+    half_a = {r.doc_id for r in mixture_sample(docs, "text", F.lit(128)).collect()}
+    half_b = {r.doc_id for r in mixture_sample(docs, "text", F.lit(128)).collect()}
+    assert half_a == half_b and 0 < len(half_a) < 200
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select("doc_id", hash_bucket256("text").alias("b")).collect()
+    }
+    assert half_a == {d for d, b in buckets.items() if b < 128}

@@ -1,0 +1,78 @@
+"""Sequence packing: lay documents end-to-end and chunk into fixed-size
+context windows — the standard pretraining batch-construction step
+("concat then chunk"). No reference counterpart (LLM-pipeline extension
+per BASELINE.json north star).
+
+Packing is computed per shard (``group_col``): a window cumsum over a
+deterministic in-shard order gives each document its token offset, from
+which first/last context-window index and boundary-straddling fall out
+arithmetically. Partitioned by shard the window is parallel — the global
+sort a naive single-ORDER-BY packing would need never happens; at 100 TB
+each shard packs independently, which is also how training shards are
+actually consumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_offsets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Per-document packing position: whitespace token count, start/end
+    offset in the shard's concatenated token stream (order = ``id_col``
+    asc), first/last window index at ``capacity`` tokens per window, and
+    whether the doc straddles a window boundary (is split across training
+    sequences — the packing-quality signal)."""
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("end_offset", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("end_offset") - F.col("n_tokens"))
+        .withColumn("first_window", F.floor(F.col("start_offset") / capacity))
+        .withColumn("last_window", F.floor((F.col("end_offset") - 1) / capacity))
+        .withColumn(
+            "straddles", (F.col("last_window") > F.col("first_window")).cast("int")
+        )
+    )
+
+
+def pack_summary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Shard-level packing report: total tokens, number of context windows
+    produced, docs split across a window boundary, and last-window fill —
+    what a data-loading team reviews before a training run."""
+    off = pack_offsets(df, text_col, id_col, group_col, capacity)
+    return off.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.max("end_offset") - 1) / capacity) + 1).alias("n_windows"),
+        F.sum("straddles").alias("n_straddlers"),
+        F.round(
+            (
+                (F.max("end_offset") - F.floor((F.max("end_offset") - 1) / capacity) * capacity)
+            ).cast("double")
+            / capacity,
+            6,
+        ).alias("last_window_fill"),
+    )

@@ -139,3 +139,47 @@ def rolling_fingerprint(
         F.md5(F.substring(norm, 1, prefix_len)).alias("prefix_fp"),
         (F.floor(F.length(norm) / 64)).cast("long").alias("len_bucket"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document n-gram repetition — the Gopher-style "repetitious
+    text" quality filter (boilerplate, keyword stuffing, decode loops all
+    score high). ``rep_ratio`` = 1 - distinct/total word n-grams; 0.0 for
+    docs shorter than n tokens.
+
+    Pure per-row array expressions (tokenize once, gram construction via
+    transform over an index sequence) — zero shuffle, scales as a scan."""
+    w = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_w"), i + k) for k in range(n)]
+        ),
+    )
+    grams = w.select(
+        F.col(id_col),
+        F.when(F.size("_w") >= n, mk).otherwise(F.array().cast("array<string>")).alias(
+            "_g"
+        ),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.size("_g").alias("n_grams"),
+        F.size(F.array_distinct("_g")).alias("n_uniq_grams"),
+        F.when(
+            F.size("_g") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_g")).cast("double")
+                / F.size("_g").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )

@@ -1122,6 +1122,63 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filter (textstats.py::
+    repetition_stats): word-trigram distinct ratio per document — pure
+    per-row array expressions, scales as a scan."""
+    from ..llmops.textstats import repetition_stats
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id", n=3)
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing report (llmops/packing.py): concat-then-chunk
+    documents into 512-token context windows per source shard — windows
+    produced, boundary-straddling docs, last-window fill. Window cumsum
+    partitioned by shard: no global sort."""
+    from ..llmops.packing import pack_summary
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_summary(docs, "text", "doc_id", "source", capacity=512)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region, revenue per nation where customer and
+    supplier share a nation. Join-order/broadcast showcase: the two big
+    facts shuffle on their keys once; nation/region (and supplier at
+    test SF) broadcast — Catalyst + AQE pick the same plan a hand-tuned
+    warehouse would."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    asia_nations = broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(asia_nations, customer.c_nationkey == asia_nations.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1245,6 +1302,9 @@ QUERIES = {
     "events_asof_error": q_events_asof_error,
     "events_follow_error": q_events_follow_error,
     "mixture_sample": q_mixture_sample,
+    "repetition_docs": q_repetition_docs,
+    "pack_docs": q_pack_docs,
+    "revenue_by_nation": q_revenue_by_nation,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1679,6 +1739,72 @@ FROM e JOIN a
   ON e.user_id = a.user_id
  AND a.next_ts > e.err_ts
  AND a.next_ts <= e.err_ts + INTERVAL 600 SECOND
+"""
+
+ORACLE["repetition_docs"] = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS grams
+  FROM base
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_uniq_grams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+"""
+
+ORACLE["pack_docs"] = """
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_offset
+  FROM toks
+),
+pos AS (
+  SELECT source, n_tokens, end_offset,
+         end_offset - n_tokens AS start_offset,
+         (end_offset - n_tokens) // 512 AS first_window,
+         (end_offset - 1) // 512 AS last_window
+  FROM off
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       (MAX(end_offset) - 1) // 512 + 1 AS n_windows,
+       SUM(CASE WHEN last_window > first_window THEN 1 ELSE 0 END) AS n_straddlers,
+       round((MAX(end_offset) - ((MAX(end_offset) - 1) // 512) * 512)::DOUBLE / 512,
+             6) AS last_window_fill
+FROM pos GROUP BY source
+"""
+
+ORACLE["revenue_by_nation"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
 """
 
 ORACLE["mixture_sample"] = """

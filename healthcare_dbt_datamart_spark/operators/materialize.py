@@ -40,6 +40,7 @@ def materialize_table(
     name: str,
     df: DataFrame,
     cluster_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> None:
     """CTAS + swap (``table.sql:30-59``).
 
@@ -47,11 +48,22 @@ def materialize_table(
     (``dbt-snowflake/macros/relations/table/create.sql:115-120``):
     repartitionByRange + sortWithinPartitions before write, which gives
     parquet min/max row-group stats and downstream partition pruning.
+
+    ``bucket_by=(n, cols)`` hash-buckets the table on ``cols`` — the
+    engine's co-located-join knob (no Snowflake analog; micro-partition
+    pruning is implicit there). Two tables bucketed on their join key
+    with the same bucket count join WITHOUT an Exchange: the shuffle is
+    paid once at write time instead of on every read — the right trade
+    for 100 TB fact tables joined repeatedly on the same key.
     """
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     tmp = f"{name}__dbt_tmp"
-    df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    writer = df.write.mode("overwrite").format("parquet")
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         spark.sql(f"DROP TABLE {name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")

@@ -90,3 +90,34 @@ def test_mixture_sample_deterministic_subset(spark):
         for r in docs.select("doc_id", hash_bucket256("text").alias("b")).collect()
     }
     assert half_a == {d for d, b in buckets.items() if b < 128}
+
+
+def test_pack_offsets_straddle_and_windows(spark):
+    """Concat-then-chunk packing: offsets accumulate in doc_id order per
+    group, straddlers flagged exactly when a doc crosses a capacity
+    boundary, window count = ceil(total/capacity)."""
+    from healthcare_dbt_datamart_spark.llmops.packing import pack_offsets, pack_summary
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", 1, "a b c"),          # 3 tokens: [0,3) in window 0
+            ("s1", 2, "d e f g"),        # 4 tokens: [3,7) straddles 4-boundary
+            ("s1", 3, "h i"),            # 2 tokens: [7,9) window 1
+            ("s2", 4, "x y z w v"),      # 5 tokens: [0,5) straddles
+        ],
+        "source string, doc_id long, text string",
+    )
+    off = {
+        r.doc_id: (r.start_offset, r.end_offset, r.first_window, r.last_window, r.straddles)
+        for r in pack_offsets(docs, "text", "doc_id", "source", capacity=4).collect()
+    }
+    assert off[1] == (0, 3, 0, 0, 0)
+    assert off[2] == (3, 7, 0, 1, 1)
+    assert off[3] == (7, 9, 1, 2, 1)
+    assert off[4] == (0, 5, 0, 1, 1)
+    summ = {
+        r.source: (r.n_docs, r.total_tokens, r.n_windows, r.n_straddlers)
+        for r in pack_summary(docs, "text", "doc_id", "source", capacity=4).collect()
+    }
+    assert summ["s1"] == (3, 9, 3, 2)
+    assert summ["s2"] == (1, 5, 2, 1)

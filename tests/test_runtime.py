@@ -323,3 +323,26 @@ def test_unit_test_harness(spark):
     diff = spark.createDataFrame([(1, "a"), (2, "X")], "id long, v string")
     rows = {(r.which, r.id, r.v) for r in unit_test(actual, diff).collect()}
     assert ("actual", 2, "b") in rows and ("expected", 2, "X") in rows
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO Exchange in the physical plan — the write-time-shuffle
+    trade materialize_table(bucket_by=...) exists for."""
+    big = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    mat.materialize_table(spark, "t_bkt_fact", big, bucket_by=(4, ["k"]))
+    mat.materialize_table(spark, "t_bkt_dim", dim, bucket_by=(4, ["k"]))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bkt_fact").join(spark.table("t_bkt_dim"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1179,6 +1179,27 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-subquery decorrelation: lineitems whose
+    quantity is below 20% of their part's average — the per-group-average
+    comparison authored the way Catalyst decorrelates it (aggregate once
+    per partkey, rejoin) instead of a per-row subquery. One shuffle for
+    the per-part averages, one for the join (AQE coalesces both)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("avg_qty")
+    )
+    qualifying = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty")
+    )
+    return qualifying.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast(DEC)) / F.lit(7.0)).cast("double"), 4
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_qty"),
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1305,6 +1326,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "pack_docs": q_pack_docs,
     "revenue_by_nation": q_revenue_by_nation,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1805,6 +1827,18 @@ JOIN nation n   ON c.c_nationkey = n.n_nationkey
 JOIN region r   ON n.n_regionkey = r.r_regionkey
 WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
 GROUP BY n.n_name
+"""
+
+ORACLE["small_quantity_revenue"] = """
+WITH avg_q AS (
+  SELECT l_partkey, AVG(CAST(l_quantity AS DOUBLE)) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE), 4)
+         AS avg_yearly,
+       COUNT(*) AS n_small_qty
+FROM lineitem l JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * a.avg_qty
 """
 
 ORACLE["mixture_sample"] = """

@@ -1,0 +1,64 @@
+"""Streaming dedup and stream-stream temporal join — the streaming faces
+of the batch dedup (llmops/dedup.py) and interval-join (operators/asof.py)
+operators. A training-data ingest that runs continuously needs both: feeds
+re-deliver (at-least-once sources), and correlating two live streams is
+the streaming analog of the batch "what followed within the window" join.
+
+State discipline at scale: both operators bound their state with event-
+time watermarks — dedup keys and join buffers are dropped once the
+watermark passes, so state size tracks the delay window x arrival rate,
+not the stream's history. Without the watermark either operator grows
+state forever; the constructors here make it non-optional.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key output over an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each key
+    and suppresses re-deliveries that arrive within ``delay`` of the
+    watermark — the streaming exact-dedup operator. State per key is
+    dropped when the watermark passes, so memory is bounded."""
+    return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_sec: int,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with the same semantics as the batch
+    ``operators.asof.interval_join``: pairs where ``left_ts < right_ts <=
+    left_ts + window_sec`` on the same ``key``. The event-time range
+    condition lets Spark expire both join buffers at watermark + window —
+    bounded state, same answer as the batch operator (asserted in tests).
+
+    ``right_ts``/``left_ts`` must be distinct column names (pre-alias)."""
+    l_wm = left.withWatermark(left_ts, delay)
+    r_wm = right.withWatermark(right_ts, delay)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] > l_wm[left_ts])
+        & (
+            r_wm[right_ts]
+            <= l_wm[left_ts] + F.expr(f"INTERVAL {int(window_sec)} SECONDS")
+        )
+    )
+    return l_wm.join(r_wm, cond).drop(r_wm[key])

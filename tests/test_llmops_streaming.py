@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import time
+from datetime import datetime
 
 import pytest
 from pyspark.sql import functions as F
@@ -299,3 +300,96 @@ def test_near_dup_components_transitive(spark):
     )
     got = {r.doc_id: r.component for r in near_dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
+    """At-least-once source: in-batch duplicates and cross-batch
+    re-deliveries within the watermark delay emit exactly once."""
+    from healthcare_dbt_datamart_spark.streaming import streaming_dedup
+
+    schema = "event_id long, ts timestamp, value double"
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 1.0),
+         (1, datetime(2024, 1, 1, 10, 0), 1.0),   # in-batch dup
+         (2, datetime(2024, 1, 1, 10, 1), 2.0)],
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        streaming_dedup(stream, ["event_id"], "ts", delay="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch redelivery of id 1 + one genuinely new id
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10, 2), 9.9),
+             (3, datetime(2024, 1, 1, 10, 3), 3.0)],
+            schema,
+        ).write.mode("overwrite").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM dd_out").collect()
+        assert sorted(r.event_id for r in out) == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the pairs the batch
+    interval_join produces on the same data (semantics parity)."""
+    from healthcare_dbt_datamart_spark.operators.asof import interval_join
+    from healthcare_dbt_datamart_spark.streaming import stream_interval_join
+
+    errors = spark.createDataFrame(
+        [(7, 100, datetime(2024, 1, 1, 10, 0, 0)),
+         (7, 101, datetime(2024, 1, 1, 11, 0, 0)),
+         (8, 102, datetime(2024, 1, 1, 10, 0, 30))],
+        "user_id long, error_id long, err_ts timestamp",
+    )
+    acts = spark.createDataFrame(
+        [(7, 200, datetime(2024, 1, 1, 10, 0, 10)),   # in window of 100
+         (7, 201, datetime(2024, 1, 1, 10, 20, 0)),   # past 600s: excluded
+         (7, 202, datetime(2024, 1, 1, 11, 9, 59)),   # in window of 101
+         (8, 203, datetime(2024, 1, 1, 10, 0, 31))],  # in window of 102
+        "user_id long, next_id long, next_ts timestamp",
+    )
+    expected = sorted(
+        (r.error_id, r.next_id)
+        for r in interval_join(
+            errors, acts, "user_id", "err_ts", "next_ts", 600
+        ).collect()
+    )
+    l_dir, r_dir = tmp_path / "sj_l", tmp_path / "sj_r"
+    l_dir.mkdir(); r_dir.mkdir()
+    errors.write.mode("overwrite").parquet(str(l_dir / "b1"))
+    acts.write.mode("overwrite").parquet(str(r_dir / "b1"))
+    l_stream = spark.readStream.schema(errors.schema).parquet(str(l_dir / "*"))
+    r_stream = spark.readStream.schema(acts.schema).parquet(str(r_dir / "*"))
+    q = (
+        stream_interval_join(
+            l_stream, r_stream, "user_id", "err_ts", "next_ts", 600
+        )
+        .writeStream.format("memory")
+        .queryName("sj_out")
+        .option("checkpointLocation", str(tmp_path / "sj_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.error_id, r.next_id)
+            for r in spark.sql("SELECT error_id, next_id FROM sj_out").collect()
+        )
+        assert got == expected and len(got) == 3
+    finally:
+        q.stop()

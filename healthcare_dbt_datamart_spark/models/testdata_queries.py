@@ -1200,6 +1200,54 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped count-of-counts: orders per customer (left join
+    keeps zero-order customers), then the distribution of that count —
+    two cascaded aggregations, both partial-agg friendly."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot operator: order counts by priority x status, statuses pivoted
+    to columns (explicit value list keeps the plan static — one partial
+    agg, no second pass to discover values)."""
+    orders = load(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bucket = floor(price/20000)):
+    the profiling scan every dataset audit starts with — one shuffle on
+    the bucket key, exact min/max/count per bucket."""
+    orders = load(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 20000).cast("long")
+    return (
+        orders.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1327,6 +1375,9 @@ QUERIES = {
     "pack_docs": q_pack_docs,
     "revenue_by_nation": q_revenue_by_nation,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "priority_status_pivot": q_priority_status_pivot,
+    "price_histogram": q_price_histogram,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1839,6 +1890,31 @@ SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
        COUNT(*) AS n_small_qty
 FROM lineitem l JOIN avg_q a ON l.l_partkey = a.l_partkey
 WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * a.avg_qty
+"""
+
+ORACLE["order_count_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders
+"""
+
+ORACLE["priority_status_pivot"] = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLE["price_histogram"] = """
+SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       round(MIN(o_totalprice), 2) AS min_price,
+       round(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
 """
 
 ORACLE["mixture_sample"] = """

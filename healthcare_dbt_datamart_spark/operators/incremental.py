@@ -110,11 +110,17 @@ def incremental_run(
     batch_start=None,
     batch_end=None,
     incremental_predicates: list[str] | None = None,
+    merge_update_columns: list[str] | None = None,
+    merge_exclude_columns: list[str] | None = None,
 ) -> None:
     """Run one incremental build (``incremental.sql:38-69`` dispatch).
 
     First run (or full refresh) is a plain CTAS regardless of strategy —
-    same as the reference.
+    same as the reference. ``merge_update_columns`` /
+    ``merge_exclude_columns`` mirror the MERGE matched-update column
+    subset (``merge.sql:19-29``): matched rows take the listed columns
+    (resp. all-but-excluded) from the source and KEEP the target's values
+    for the rest; mutually exclusive, like the reference.
     """
     from .materialize import materialize_table
 
@@ -140,6 +146,31 @@ def incremental_run(
             return
         keys = _key_cols(unique_key)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        if merge_update_columns and merge_exclude_columns:
+            raise ValueError(
+                "merge_update_columns and merge_exclude_columns are mutually"
+                " exclusive (merge.sql:19-29)"
+            )
+        update_cols = merge_update_columns
+        if merge_exclude_columns:
+            update_cols = [
+                c
+                for c in target.columns
+                if c not in merge_exclude_columns and c not in keys
+            ]
+        if update_cols:
+            # matched rows: listed columns from source, the rest from the
+            # target row; unmatched source rows insert whole.
+            upd = {c for c in update_cols}
+            matched = target.alias("t").join(source.alias("s"), keys, "inner").select(
+                *[
+                    (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
+                    for c in target.columns
+                ]
+            )
+            new_rows = source.join(target.select(*keys).distinct(), keys, "left_anti")
+            _swap_in(spark, name, kept.unionByName(matched).unionByName(new_rows))
+            return
         _swap_in(spark, name, kept.unionByName(source))
         return
 

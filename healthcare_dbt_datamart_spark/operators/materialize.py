@@ -41,6 +41,7 @@ def materialize_table(
     df: DataFrame,
     cluster_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """CTAS + swap (``table.sql:30-59``).
 
@@ -55,14 +56,25 @@ def materialize_table(
     with the same bucket count join WITHOUT an Exchange: the shuffle is
     paid once at write time instead of on every read — the right trade
     for 100 TB fact tables joined repeatedly on the same key.
+
+    ``partition_by`` writes hive-style directory partitions — coarse,
+    low-cardinality keys only (date, region): downstream filters on the
+    key prune whole directories at planning time (``PartitionFilters`` in
+    the scan), the first lever against a 100 TB full scan.
     """
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
-    tmp = f"{name}__dbt_tmp"
     writer = df.write.mode("overwrite").format("parquet")
     if bucket_by:
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    if partition_by:
+        # partition metadata stores absolute locations, which an ALTER
+        # TABLE RENAME does not rewrite — the tmp+rename swap would strand
+        # them. Direct overwrite instead; on Delta this is atomic anyway.
+        writer.partitionBy(*partition_by).saveAsTable(name)
+        return
+    tmp = f"{name}__dbt_tmp"
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         spark.sql(f"DROP TABLE {name}")

@@ -1,0 +1,74 @@
+"""External source readers (SURVEY §2.1 S3): the reference declares
+sources in ``models/sources/src_*.yml`` (empty placeholders) and reads
+whatever the warehouse ingested. Spark reads the files directly, so the
+engine exposes the format surface a real feed needs — each reader takes
+an EXPLICIT schema (the dbt source contract: declared, not inferred) and
+never triggers an inference pass over 100 TB.
+
+Malformed-row policy mirrors dbt's load-then-test philosophy: rows that
+fail the schema land in ``_corrupt_record`` instead of killing the load,
+and ``corrupt_records`` surfaces them as a test-style violations
+DataFrame (rows = failures, SURVEY §5). Text feeds are read as a raw
+line scan + ``from_json``/``from_csv`` parse: the parse is a plain
+projection, so (unlike the native reader's internal corrupt column,
+which can't be queried alone without caching the load) the corrupt
+subset is directly filterable — and the raw line is preserved verbatim
+for quarantine replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+_PARSE_OPTS = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Newline-delimited JSON with declared schema; malformed lines are
+    kept verbatim in ``_corrupt_record`` rather than dropped or fatal."""
+    parsed = F.from_json(F.col("value"), _with_corrupt(schema), _PARSE_OPTS)
+    return spark.read.text(path).select(parsed.alias("d")).select("d.*")
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV source with declared schema (no inference scan) and corrupt-
+    line capture — the S1 seed loader's big-data sibling."""
+    lines = spark.read.text(path)
+    if header:
+        hdr = ",".join(schema.fieldNames())
+        lines = lines.filter(F.col("value") != hdr)
+    parsed = F.from_csv(F.col("value"), _with_corrupt(schema).simpleString(), _PARSE_OPTS)
+    return lines.select(parsed.alias("d")).select("d.*")
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (self-describing columnar; schema travels with the file —
+    same pushdown/pruning properties as parquet)."""
+    return spark.read.orc(path)
+
+
+def corrupt_records(df: DataFrame) -> DataFrame:
+    """Violation rows for the load: inputs that failed the declared
+    schema. Feed to ``operators.testing.run_test`` like any other test."""
+    if CORRUPT_COL not in df.columns:
+        return df.limit(0)
+    return df.filter(F.col(CORRUPT_COL).isNotNull())
+
+
+def good_records(df: DataFrame) -> DataFrame:
+    """The clean side of a PERMISSIVE load, corrupt column dropped."""
+    if CORRUPT_COL not in df.columns:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

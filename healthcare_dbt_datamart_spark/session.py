@@ -10,6 +10,7 @@ there, Catalyst + AQE here).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -54,3 +55,19 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+@contextmanager
+def job_group(spark: SparkSession, group_id: str, description: str = ""):
+    """Workload attribution: tag every job submitted inside the block —
+    the Spark analog of Snowflake query tags (reference
+    ``dbt-snowflake/macros/adapters.sql:134-167``). Shows up in the Spark
+    UI / event logs per group, which is how a shared 1000-executor
+    cluster attributes cost back to a model."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group_id, description or group_id, interruptOnCancel=False)
+    try:
+        yield spark
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)

@@ -346,3 +346,85 @@ def test_bucketed_tables_join_without_exchange(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_update_columns_subset(spark):
+    """I2 matched-update column subset (merge.sql:19-29): listed columns
+    take the source value, unlisted keep the target's; exclude variant is
+    the complement; new keys insert whole."""
+    t0 = _df(spark, [(1, "a", 10), (2, "b", 20)], "k long, name string, v long")
+    incremental_run(spark, "t_mupd", t0, strategy="merge", unique_key="k")
+    src = _df(spark, [(2, "B!", 99), (3, "c", 30)], "k long, name string, v long")
+    incremental_run(
+        spark, "t_mupd", src, strategy="merge", unique_key="k",
+        merge_update_columns=["v"],
+    )
+    rows = {r.k: (r.name, r.v) for r in spark.table("t_mupd").collect()}
+    assert rows[1] == ("a", 10)      # untouched
+    assert rows[2] == ("b", 99)      # v updated, name KEPT from target
+    assert rows[3] == ("c", 30)      # new key inserts whole row
+    # exclude variant: everything except 'name' updates (i.e. v)
+    src2 = _df(spark, [(2, "ZZZ", 7)], "k long, name string, v long")
+    incremental_run(
+        spark, "t_mupd", src2, strategy="merge", unique_key="k",
+        merge_exclude_columns=["name"],
+    )
+    rows = {r.k: (r.name, r.v) for r in spark.table("t_mupd").collect()}
+    assert rows[2] == ("b", 7)
+    with pytest.raises(ValueError):
+        incremental_run(
+            spark, "t_mupd", src2, strategy="merge", unique_key="k",
+            merge_update_columns=["v"], merge_exclude_columns=["name"],
+        )
+
+
+def test_partitioned_table_prunes_at_plan_time(spark):
+    """partition_by writes hive-style partitions; a filter on the key
+    must show up as PartitionFilters (directory pruning), not a data
+    filter over a full scan."""
+    df = _df(
+        spark,
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(90)],
+        "id long, ds string",
+    )
+    mat.materialize_table(spark, "t_part", df, partition_by=["ds"])
+    q = spark.table("t_part").filter(F.col("ds") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert q.count() == 30
+
+
+def test_sources_permissive_corrupt_capture(spark, tmp_path):
+    """JSONL/CSV loads with declared schema: malformed rows land in
+    _corrupt_record and surface as test violations; clean side drops the
+    capture column."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from healthcare_dbt_datamart_spark.operators import sources as src
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    jl = tmp_path / "feed.jsonl"
+    jl.write_text('{"id": 1, "name": "ok"}\n{not json at all}\n{"id": 2, "name": "b"}\n')
+    df = src.read_jsonl(spark, str(jl), schema)
+    assert src.corrupt_records(df).count() == 1
+    good = src.good_records(df)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert src.CORRUPT_COL not in good.columns
+    csvf = tmp_path / "feed.csv"
+    csvf.write_text("id,name\n1,ok\nnot_a_number,x\n")
+    cdf = src.read_csv(spark, str(csvf), schema)
+    assert src.corrupt_records(cdf).count() == 1
+    assert src.good_records(cdf).count() == 1
+
+
+def test_job_group_tags_and_clears(spark):
+    from healthcare_dbt_datamart_spark.session import job_group
+
+    with job_group(spark, "model:test_model", "unit test") as s:
+        assert s.range(10).count() == 10
+        assert (
+            s.sparkContext.getLocalProperty("spark.jobGroup.id") == "model:test_model"
+        )
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None

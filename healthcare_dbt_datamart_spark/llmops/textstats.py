@@ -183,3 +183,25 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalization profile: whitespace-collapsed clean text length,
+    alphanumeric character ratio, and leading/trailing-junk detection —
+    the pre-tokenization cleanup pass. Regexes restricted to portable
+    character classes so any regex engine (Java here, RE2 elsewhere)
+    agrees. Pure projection — zero shuffle."""
+    c = F.col(text_col)
+    cleaned = F.trim(F.regexp_replace(c, r"\s+", " "))
+    alnum = F.length(F.regexp_replace(c, r"[^0-9A-Za-z]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+        F.when(
+            F.length(c) > 0, F.round(alnum.cast("double") / F.length(c), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alnum_ratio"),
+        (F.length(c) != F.length(cleaned)).cast("int").alias("had_extra_ws"),
+    )

@@ -1248,6 +1248,44 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average account balance and
+    no RECENT orders (lapsed) — scalar-aggregate subquery (1-row broadcast
+    cross join) composed with a windowed anti-join, per market segment.
+    The date filter is pushed below the anti-join's shuffle (smaller build
+    side at scale)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal")
+    )
+    rich = customer.crossJoin(broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle_rich = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 2).alias(
+            "total_balance"
+        ),
+    )
+
+
+def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization profile (textstats.py::normalize_text): collapsed
+    whitespace, stripped non-printable chars, alphanumeric ratio — the
+    cleanup pass before tokenization in a training-data pipeline."""
+    from ..llmops.textstats import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    return normalize_text(docs, "text", "doc_id")
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1378,6 +1416,8 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "priority_status_pivot": q_priority_status_pivot,
     "price_histogram": q_price_histogram,
+    "idle_rich_customers": q_idle_rich_customers,
+    "clean_docs": q_clean_docs,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1915,6 +1955,37 @@ SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
        round(MIN(o_totalprice), 2) AS min_price,
        round(MAX(o_totalprice), 2) AS max_price
 FROM orders GROUP BY 1
+"""
+
+ORACLE["idle_rich_customers"] = """
+WITH avg_bal AS (SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS avg_bal FROM customer),
+rich AS (
+  SELECT c.* FROM customer c, avg_bal a
+  WHERE CAST(c.c_acctbal AS DOUBLE) > a.avg_bal
+),
+idle_rich AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_balance
+FROM idle_rich GROUP BY c_mktsegment
+"""
+
+ORACLE["clean_docs"] = """
+SELECT doc_id,
+       length(text) AS raw_len,
+       length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_len,
+       CASE WHEN length(text) > 0
+            THEN round(length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))::DOUBLE
+                       / length(text), 6)
+            ELSE 0.0 END AS alnum_ratio,
+       CAST(length(text) != length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            AS INT) AS had_extra_ws
+FROM documents
 """
 
 ORACLE["mixture_sample"] = """

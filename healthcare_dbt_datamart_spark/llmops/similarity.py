@@ -247,3 +247,62 @@ def near_dup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over the embedding column — the trained
+    coarse quantizer ``ivf_centroids`` stubs (deterministic low-id seeds
+    kept as the seeding rule, so the whole fit is reproducible).
+
+    Each round: (1) ``ivf_assign`` — map-only nearest-centroid pass;
+    (2) centroid update — posexplode to (cell, dim, value) and one
+    groupBy(cell, dim) avg: a single shuffle of n·d skinny rows with full
+    partial aggregation, the standard scalable mean-update (no driver
+    data-path collect; only the k·d model state comes back per round).
+    Empty cells keep their previous centroid. Genuinely iterative —
+    driver-held model state feeds the next round's literal expressions,
+    same carve-out class as the connected-components fixpoint."""
+    centroids = ivf_centroids(emb, k, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        updated = {int(r["cell"]): [float(v) for v in r["centroid"]] for r in means}
+        centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+    return centroids
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-quality report after a Lloyd fit: per-cell population and
+    mean/min similarity to the trained centroid (the IVF cell-balance
+    check run before committing a partitioning)."""
+    trained = kmeans_lloyd(emb, k, n_iter, id_col, vec_col)
+    assigned = ivf_assign(emb, trained, id_col, vec_col)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cell_sim"), 6).alias("mean_sim"),
+        F.round(F.min("cell_sim"), 6).alias("min_sim"),
+    )

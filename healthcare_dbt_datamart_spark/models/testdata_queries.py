@@ -1286,6 +1286,18 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained IVF coarse quantizer (similarity.py::kmeans_lloyd)
+    cell-balance report: population and centroid similarity per trained
+    cell. Iterative (driver-held k·d model state feeds each round's
+    literal expressions) — NO SQL oracle, rows-only check per the
+    contract's iterative-algorithms carve-out."""
+    from ..llmops.similarity import kmeans_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_cells(emb, k=8, n_iter=3)
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1418,6 +1430,7 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "idle_rich_customers": q_idle_rich_customers,
     "clean_docs": q_clean_docs,
+    "kmeans_cells": q_kmeans_cells,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -1821,8 +1834,9 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
       ORDER BY quality_score DESC, doc_id ASC) AS rn
   FROM s) WHERE rn = 1
 """
-# near_dup_clusters: iterative fixpoint — deliberately NO oracle entry
-# (driver records the rows-only check per the contract carve-out).
+# near_dup_clusters, kmeans_cells: iterative fixpoints — deliberately NO
+# oracle entries (driver records the rows-only check per the contract
+# carve-out).
 
 ORACLE["events_asof_error"] = """
 WITH r AS (

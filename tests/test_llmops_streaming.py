@@ -393,3 +393,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         assert got == expected and len(got) == 3
     finally:
         q.stop()
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    """Three well-separated direction blobs: Lloyd assignment groups each
+    blob into one cell, iterations are deterministic, and the trained
+    centroids beat the raw seeds on within-cell similarity."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_lloyd,
+    )
+
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}[blob]
+        jitter = [(i * 7 % 5) * 0.1, (i * 3 % 5) * 0.1, (i * 11 % 5) * 0.1]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    trained = kmeans_lloyd(emb, k=3, n_iter=4)
+    assigned = ivf_assign(emb, trained)
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    # every blob lands in exactly one cell, cells are distinct
+    blob_cells = [{cells[i] for i in range(30) if i % 3 == b} for b in range(3)]
+    assert all(len(bc) == 1 for bc in blob_cells)
+    assert len(set().union(*blob_cells)) == 3
+    # determinism
+    again = kmeans_lloyd(emb, k=3, n_iter=4)
+    assert trained == again
+    # trained centroids fit at least as well as the seed centroids
+    seed_sim = ivf_assign(emb, ivf_centroids(emb, 3)).agg(
+        F.avg("cell_sim")
+    ).collect()[0][0]
+    trained_sim = assigned.agg(F.avg("cell_sim")).collect()[0][0]
+    assert trained_sim >= seed_sim - 1e-9

@@ -121,3 +121,80 @@ def test_pack_offsets_straddle_and_windows(spark):
     }
     assert summ["s1"] == (3, 9, 3, 2)
     assert summ["s2"] == (1, 5, 2, 1)
+
+
+# -- property tests: temporal joins vs brute-force reference models ---------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ts_s = st.integers(min_value=0, max_value=3600)  # seconds within an hour
+_key_s = st.integers(min_value=0, max_value=2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(_key_s, _ts_s), min_size=1, max_size=25, unique=True),
+    st.lists(st.tuples(_key_s, _ts_s), min_size=1, max_size=25, unique=True),
+)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """asof_join == per-row max(right_ts <= left_ts) brute force, for any
+    key/timestamp layout (incl. same-ts collisions across keys)."""
+    base = datetime(2024, 1, 1)
+
+    def ts(s):
+        return datetime(2024, 1, 1, s // 3600, (s // 60) % 60, s % 60)
+
+    # right unique per (key, ts) by construction (unique tuples)
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lrows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), float(s)) for k, s in rrows],
+        "user_id long, ts timestamp, err_value double",
+    ).withColumn("err_ts", F.col("ts"))
+    got = {
+        r.event_id: r.err_value
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["err_ts", "err_value"]
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lrows):
+        prior = [rs for rk, rs in rrows if rk == k and rs <= s]
+        want = float(max(prior)) if prior else None
+        assert got[i] == want, (i, k, s, got[i], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(_key_s, _ts_s), min_size=1, max_size=20, unique=True),
+    st.lists(st.tuples(_key_s, _ts_s), min_size=1, max_size=20, unique=True),
+    st.integers(min_value=1, max_value=900),
+)
+def test_interval_join_matches_bruteforce(spark, lrows, rrows, win):
+    """interval_join == the raw inequality-join predicate, for any window
+    width (bucket straddling included by construction)."""
+    def ts(s):
+        return datetime(2024, 1, 1, s // 3600, (s // 60) % 60, s % 60)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lrows)],
+        "error_id long, user_id long, err_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j, k, ts(s)) for j, (k, s) in enumerate(rrows)],
+        "next_id long, user_id long, next_ts timestamp",
+    )
+    got = sorted(
+        (r.error_id, r.next_id)
+        for r in interval_join(
+            left, right, "user_id", "err_ts", "next_ts", win
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(lrows)
+        for j, (rk, rs) in enumerate(rrows)
+        if lk == rk and ls < rs <= ls + win
+    )
+    assert got == want

@@ -100,3 +100,26 @@ def materialize_seed(
 def materialize_materialized_view(spark: SparkSession, name: str, df: DataFrame) -> None:
     """S10: Spark has no native MV — recompute-on-run table."""
     materialize_table(spark, name, df)
+
+
+def materialize_scalar_function(
+    spark: SparkSession,
+    name: str,
+    params: list[tuple[str, str]],
+    return_type: str,
+    body_sql: str,
+) -> None:
+    """SQL scalar function materialization (reference
+    ``dbt-adapters/macros/materializations/functions/scalar.sql``;
+    Snowflake variant ``dbt-snowflake/macros/materializations/functions/
+    scalar.sql``): CREATE OR REPLACE FUNCTION with a SQL body.
+
+    Spark-native SQL UDFs (Spark 4) inline into Catalyst like any
+    expression — no serialization boundary, full codegen — so this is the
+    preferred path; ``spark.udf.register`` (Python) is only for bodies
+    SQL can't express and pays the Python-worker toll."""
+    sig = ", ".join(f"{p} {t}" for p, t in params)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+        f"RETURNS {return_type} RETURN {body_sql}"
+    )

@@ -428,3 +428,21 @@ def test_job_group_tags_and_clears(spark):
             s.sparkContext.getLocalProperty("spark.jobGroup.id") == "model:test_model"
         )
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_scalar_function_materialization(spark):
+    """SQL UDF materialization: callable from SQL, inlined by Catalyst
+    (no BatchEvalPython in the plan), replace-on-rerun."""
+    mat.materialize_scalar_function(
+        spark, "t_sk",
+        [("a", "STRING"), ("b", "STRING")], "STRING",
+        "md5(concat(coalesce(a, ''), '|', coalesce(b, '')))",
+    )
+    got = spark.sql("SELECT t_sk('x', NULL) AS k").collect()[0].k
+    want = spark.sql("SELECT md5('x|') AS k").collect()[0].k
+    assert got == want
+    plan = spark.sql("SELECT t_sk('x', 'y') AS k")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # replace-on-rerun (same name, new body)
+    mat.materialize_scalar_function(spark, "t_sk", [("a", "STRING"), ("b", "STRING")], "STRING", "upper(a)")
+    assert spark.sql("SELECT t_sk('x', 'y') AS k").collect()[0].k == "X"

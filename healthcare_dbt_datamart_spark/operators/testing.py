@@ -14,6 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def unique_test(df: DataFrame, column: str) -> DataFrame:
@@ -153,3 +154,32 @@ def freshness_check(
         "age_seconds": age,
         "status": status,
     }
+
+
+def enforce_contract(df: DataFrame, contract: StructType) -> DataFrame:
+    """Model contract enforcement: the reference's per-model schema yml
+    files (``models/stage/_claims.yml`` etc. — declared, empty) mark the
+    dbt model-contract intent: a model's output schema is FIXED BY
+    DECLARATION (SURVEY §1.3). Raises on missing/extra/mistyped columns
+    with a full diff; on success returns ``df`` with columns reordered to
+    the contract (so positional writers like ``insertInto`` are safe).
+
+    Nullability is advisory in Spark (parquet round-trips lose it), so
+    only names and types are enforced — same as dbt's contract checks.
+    """
+    have = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in contract.fields}
+    missing = [c for c in want if c not in have]
+    extra = [c for c in have if c not in want]
+    mistyped = [
+        f"{c}: have {have[c].simpleString()}, contract {want[c].simpleString()}"
+        for c in want
+        if c in have and have[c] != want[c]
+    ]
+    if missing or extra or mistyped:
+        raise ValueError(
+            "model contract violated — "
+            f"missing: {missing or '[]'}; extra: {extra or '[]'}; "
+            f"mistyped: {mistyped or '[]'}"
+        )
+    return df.select(*[F.col(f.name) for f in contract.fields])

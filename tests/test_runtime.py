@@ -446,3 +446,54 @@ def test_scalar_function_materialization(spark):
     # replace-on-rerun (same name, new body)
     mat.materialize_scalar_function(spark, "t_sk", [("a", "STRING"), ("b", "STRING")], "STRING", "upper(a)")
     assert spark.sql("SELECT t_sk('x', 'y') AS k").collect()[0].k == "X"
+
+
+def test_enforce_contract_diff_and_reorder(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from healthcare_dbt_datamart_spark.operators.testing import enforce_contract
+
+    contract = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    ok = _df(spark, [("a", 1)], "name string, id long")  # wrong order: fine
+    assert enforce_contract(ok, contract).columns == ["id", "name"]
+    with pytest.raises(ValueError, match="missing: \\['name'\\]"):
+        enforce_contract(_df(spark, [(1,)], "id long"), contract)
+    with pytest.raises(ValueError, match="extra: \\['zzz'\\]"):
+        enforce_contract(
+            _df(spark, [(1, "a", 2)], "id long, name string, zzz long"), contract
+        )
+    with pytest.raises(ValueError, match="mistyped: .*id: have string"):
+        enforce_contract(_df(spark, [("1", "a")], "id string, name string"), contract)
+
+
+def test_pandas_grouped_agg_udaf_matches_builtin(spark):
+    """§2.12 UDAF extension point: an Arrow-batched grouped-agg pandas UDF
+    (geometric mean) agrees with the pure-Catalyst exp(avg(ln)) identity —
+    the sanctioned path when an aggregate has no builtin."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the annotation-driven inference can't see
+    # through this module's postponed (string) annotations
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    df = _df(
+        spark,
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0), ("b", 9.0)],
+        "k string, v double",
+    )
+    got = {r.k: r.g for r in df.groupBy("k").agg(geomean("v").alias("g")).collect()}
+    want = {
+        r.k: r.g
+        for r in df.groupBy("k")
+        .agg(F.exp(F.avg(F.log("v"))).alias("g"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)

@@ -64,6 +64,7 @@ class ModelRegistry:
         self._built: dict[str, DataFrame] = {}
         self._building: list[str] = []
         self.full_refresh = False
+        self._selected: set[str] | None = None
 
     # -- declaration ------------------------------------------------------
 
@@ -93,6 +94,15 @@ class ModelRegistry:
         if name in self._building:
             cycle = " -> ".join(self._building + [name])
             raise ValueError(f"model cycle: {cycle}")
+        if (
+            self._selected is not None
+            and name not in self._selected
+            and self.spark.catalog.tableExists(name)
+        ):
+            # unselected, already-materialized upstream: read, don't rebuild
+            out = self.spark.table(name)
+            self._built[name] = out
+            return out
         mdef = self._models[name]
         self._building.append(name)
         try:
@@ -145,8 +155,89 @@ class ModelRegistry:
         self._built[name] = out
         return out
 
-    def run(self, full_refresh: bool = False) -> dict[str, DataFrame]:
-        """Build every registered model (DAG order via demand resolution)."""
+    def run(
+        self, full_refresh: bool = False, select: str | None = None
+    ) -> dict[str, DataFrame]:
+        """Build every registered model (DAG order via demand resolution),
+        or — with ``select`` — a dbt-style graph selection:
+
+        - ``"name"``  just that model
+        - ``"+name"`` the model and its upstream closure
+        - ``"name+"`` the model and its downstream closure
+        - ``"+name+"`` both
+
+        Unselected upstreams that already exist as tables are READ, not
+        rebuilt (dbt ``--select`` semantics); unselected view-materialized
+        upstreams rebuild lazily — they are inlined plan fragments, not
+        materialized state, so "reusing" them is the same as building them.
+        """
         self.full_refresh = full_refresh
         self._built.clear()
-        return {name: self.build(name) for name in self._models}
+        if select is None:
+            return {name: self.build(name) for name in self._models}
+        selected = self.select_nodes(select)
+        self._selected = selected
+        try:
+            return {name: self.build(name) for name in self._models if name in selected}
+        finally:
+            self._selected = None
+
+    # -- graph selection ---------------------------------------------------
+
+    def deps(self) -> dict[str, set[str]]:
+        """Model -> direct upstream models, discovered by running each
+        model body with a recording, non-materializing context (the
+        engine's analog of dbt's manifest parse: bodies are Python, so
+        dependencies are observed rather than parsed)."""
+        edges: dict[str, set[str]] = {name: set() for name in self._models}
+        memo: dict[str, DataFrame] = {}
+
+        registry = self
+
+        class _Discover(ModelContext):
+            def ref(self, name: str) -> DataFrame:  # type: ignore[override]
+                edges[self.name].add(name)
+                return discover(name)
+
+        def discover(name: str) -> DataFrame:
+            if name in memo:
+                return memo[name]
+            if name in registry._sources:
+                return registry._sources[name]
+            df = registry._models[name].fn(_Discover(registry, name))
+            memo[name] = df
+            return df
+
+        for name in self._models:
+            discover(name)
+        return edges
+
+    def select_nodes(self, selector: str) -> set[str]:
+        up = selector.startswith("+")
+        down = selector.endswith("+")
+        name = selector.strip("+")
+        if name not in self._models:
+            raise KeyError(f"unknown model: {name}")
+        g = self.deps()
+        selected = {name}
+        if up:
+            frontier = [name]
+            while frontier:
+                n = frontier.pop()
+                for parent in g.get(n, ()):  # sources have no entry
+                    if parent in g and parent not in selected:
+                        selected.add(parent)
+                        frontier.append(parent)
+        if down:
+            children: dict[str, set[str]] = {}
+            for child, parents in g.items():
+                for p in parents:
+                    children.setdefault(p, set()).add(child)
+            frontier = [name]
+            while frontier:
+                n = frontier.pop()
+                for c in children.get(n, ()):
+                    if c not in selected:
+                        selected.add(c)
+                        frontier.append(c)
+        return selected

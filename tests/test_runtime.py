@@ -497,3 +497,39 @@ def test_pandas_grouped_agg_udaf_matches_builtin(spark):
     }
     assert got.keys() == want.keys()
     assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_graph_selection_closures_and_reuse(spark):
+    """dbt --select semantics: +name pulls upstreams, name+ pulls
+    downstreams, unselected materialized upstreams are read not rebuilt."""
+    r = ModelRegistry(spark)
+    built = []
+
+    @r.model(materialized="table")
+    def g_a(ctx):
+        built.append("g_a")
+        return spark.range(3).select(F.col("id").alias("k"))
+
+    @r.model(materialized="table")
+    def g_b(ctx):
+        built.append("g_b")
+        return ctx.ref("g_a").withColumn("b", F.col("k") * 2)
+
+    @r.model(materialized="table")
+    def g_c(ctx):
+        built.append("g_c")
+        return ctx.ref("g_b").withColumn("c", F.col("b") + 1)
+
+    assert r.select_nodes("+g_b") == {"g_a", "g_b"}
+    assert r.select_nodes("g_b+") == {"g_b", "g_c"}
+    assert r.select_nodes("+g_b+") == {"g_a", "g_b", "g_c"}
+
+    r.run()  # materialize everything once
+    built.clear()
+    out = r.run(select="g_b+")  # downstream of b: b and c rebuild, a reused
+    assert set(out) == {"g_b", "g_c"}
+    # dependency discovery runs each body once (lazily); only b and c run
+    # again for materialization — g_a is read from its table, not rebuilt
+    assert built.count("g_a") == 1
+    assert built.count("g_b") == 2 and built.count("g_c") == 2
+    assert spark.table("g_c").count() == 3

@@ -146,6 +146,20 @@ def incremental_run(
             return
         keys = _key_cols(unique_key)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        if incremental_predicates:
+            # merge.sql predicates: target rows OUTSIDE the predicates are
+            # protected from matching (never updated) — at scale this is
+            # the partition-pruning hint that keeps the MERGE from
+            # scanning the whole target.
+            pred = reduce(
+                lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]
+            )
+            protected = target.filter(~pred)
+            kept = protected.unionByName(
+                target.filter(pred).join(
+                    source.select(*keys).distinct(), keys, "left_anti"
+                )
+            )
         if merge_update_columns and merge_exclude_columns:
             raise ValueError(
                 "merge_update_columns and merge_exclude_columns are mutually"
@@ -160,15 +174,26 @@ def incremental_run(
             ]
         if update_cols:
             # matched rows: listed columns from source, the rest from the
-            # target row; unmatched source rows insert whole.
+            # target row; unmatched source rows insert whole. Predicates
+            # (if any) restrict which target rows are matchable.
+            match_target = target
+            if incremental_predicates:
+                match_target = target.filter(
+                    reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates])
+                )
             upd = {c for c in update_cols}
-            matched = target.alias("t").join(source.alias("s"), keys, "inner").select(
+            matched = match_target.alias("t").join(source.alias("s"), keys, "inner").select(
                 *[
                     (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
                     for c in target.columns
                 ]
             )
-            new_rows = source.join(target.select(*keys).distinct(), keys, "left_anti")
+            # anti vs the MATCHABLE target: a source row whose key exists
+            # only outside the predicates inserts (MERGE ON includes the
+            # predicates — dbt's documented duplicate-risk behavior)
+            new_rows = source.join(
+                match_target.select(*keys).distinct(), keys, "left_anti"
+            )
             _swap_in(spark, name, kept.unionByName(matched).unionByName(new_rows))
             return
         _swap_in(spark, name, kept.unionByName(source))

@@ -123,3 +123,27 @@ def materialize_scalar_function(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
         f"RETURNS {return_type} RETURN {body_sql}"
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    name: str,
+    target_partitions: int | None = None,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-files maintenance (the OPTIMIZE/compaction analog — no
+    reference counterpart; incremental strategies append small files
+    forever, and at 100 TB scan throughput dies by a thousand 2 MB
+    files). Rewrites the table into ``target_partitions`` files
+    (default: one per executor core), optionally re-clustering for
+    min/max pruning while the data is being rewritten anyway. Returns
+    the file count after compaction. Atomic via the same tmp+rename
+    swap as materialize_table."""
+    df = spark.table(name)
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    if cluster_by:
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
+    materialize_table(spark, name, df)
+    return spark.table(name).rdd.getNumPartitions()

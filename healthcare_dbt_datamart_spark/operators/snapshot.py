@@ -62,15 +62,26 @@ def snapshot_run(
     check_cols: list[str] | str = "all",
     hard_deletes: str = "ignore",
     run_ts: str | None = None,
+    dbt_valid_to_current: str | None = None,
 ) -> None:
     """Execute one snapshot pass against table ``name``.
 
     ``run_ts`` (ISO timestamp) stamps validity for the check strategy and
     deletes; injectable for deterministic tests (the reference uses
     ``current_timestamp``).
+
+    ``dbt_valid_to_current`` (helpers.sql:272-276): when set (e.g.
+    '9999-12-31'), OPEN rows carry that literal in ``dbt_valid_to``
+    instead of NULL — BETWEEN-friendly validity ranges; rows with either
+    NULL or the literal are treated as current on subsequent passes.
     """
     keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
     ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
+    open_to = (
+        F.lit(dbt_valid_to_current).cast("timestamp")
+        if dbt_valid_to_current
+        else F.lit(None).cast("timestamp")
+    )
 
     if strategy == "timestamp":
         if not updated_at:
@@ -90,7 +101,7 @@ def snapshot_run(
             else surrogate_key(*keys, F.lit(run_ts or "")).alias("dbt_scd_id"),
             upd.alias("dbt_updated_at"),
             upd.alias("dbt_valid_from"),
-            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            open_to.alias("dbt_valid_to"),
         )
         from .materialize import materialize_table
 
@@ -108,7 +119,12 @@ def snapshot_run(
 
     # current (open) rows of the snapshot (helpers.sql: snapshotted CTE —
     # dbt_valid_to is null)
-    current = target.filter(F.col("dbt_valid_to").isNull())
+    is_open = F.col("dbt_valid_to").isNull()
+    if dbt_valid_to_current:
+        is_open = is_open | (
+            F.col("dbt_valid_to") == F.lit(dbt_valid_to_current).cast("timestamp")
+        )
+    current = target.filter(is_open)
     snap = current.select(
         *[F.col(k).alias(f"key_{k}") for k in keys],
         *[F.col(c).alias(f"snap_{c}") for c in data_cols if c not in keys],
@@ -152,7 +168,7 @@ def snapshot_run(
         ins_scd.alias("dbt_scd_id"),
         new_valid_from.alias("dbt_updated_at"),
         new_valid_from.alias("dbt_valid_from"),
-        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        open_to.alias("dbt_valid_to"),
         F.lit("insert").alias("dbt_change_type"),
         F.lit(None).cast("string").alias("close_scd_id"),
     )
@@ -164,7 +180,7 @@ def snapshot_run(
         upd_scd.alias("dbt_scd_id"),
         new_valid_from.alias("dbt_updated_at"),
         new_valid_from.alias("dbt_valid_from"),
-        F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+        open_to.alias("dbt_valid_to"),
         F.lit("update").alias("dbt_change_type"),
         F.col("snap_dbt_scd_id").alias("close_scd_id"),
     )
@@ -221,7 +237,7 @@ def snapshot_run(
             ).alias("dbt_scd_id"),
             ts.alias("dbt_updated_at"),
             ts.alias("dbt_valid_from"),
-            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            open_to.alias("dbt_valid_to"),
         ).withColumn("dbt_is_deleted", F.lit("True"))
         result = result.unionByName(tombstones, allowMissingColumns=True)
         if "dbt_is_deleted" not in target.columns:

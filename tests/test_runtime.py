@@ -533,3 +533,69 @@ def test_graph_selection_closures_and_reuse(spark):
     assert built.count("g_a") == 1
     assert built.count("g_b") == 2 and built.count("g_c") == 2
     assert spark.table("g_c").count() == 3
+
+
+def test_snapshot_valid_to_current_literal(spark):
+    """dbt_valid_to_current (helpers.sql:272-276): open rows carry the
+    far-future literal instead of NULL; closed rows get the real close
+    timestamp; the literal is still recognized as 'current' next pass."""
+    far = "9999-12-31 00:00:00"
+    s1 = _df(spark, [(1, "a", "2024-01-01 00:00:00")], "k long, v string, upd string")
+    s1 = s1.withColumn("upd", F.col("upd").cast("timestamp"))
+    snapshot_run(
+        spark, "snap_v2c", s1, unique_key="k", strategy="timestamp",
+        updated_at="upd", dbt_valid_to_current=far,
+    )
+    r1 = spark.table("snap_v2c").collect()
+    assert str(r1[0].dbt_valid_to) == far
+    s2 = _df(spark, [(1, "b", "2024-02-01 00:00:00")], "k long, v string, upd string")
+    s2 = s2.withColumn("upd", F.col("upd").cast("timestamp"))
+    snapshot_run(
+        spark, "snap_v2c", s2, unique_key="k", strategy="timestamp",
+        updated_at="upd", dbt_valid_to_current=far,
+    )
+    rows = sorted(spark.table("snap_v2c").collect(), key=lambda r: r.dbt_valid_from)
+    assert len(rows) == 2
+    assert str(rows[0].dbt_valid_to) == "2024-02-01 00:00:00"  # closed for real
+    assert str(rows[1].dbt_valid_to) == far                     # new current
+
+
+def test_merge_incremental_predicates_protect_target(spark):
+    """merge with incremental_predicates: target rows outside the
+    predicate window never update, even on key match."""
+    t0 = _df(
+        spark,
+        [(1, "2023", 10), (1, "2024", 20), (2, "2024", 30)],
+        "k long, yr string, v long",
+    )
+    # composite key (k, yr) unique; predicate scopes matching to yr=2024
+    incremental_run(spark, "t_mpred", t0, strategy="merge", unique_key=["k", "yr"])
+    src = _df(
+        spark,
+        [(1, "2023", 99), (1, "2024", 88)],
+        "k long, yr string, v long",
+    )
+    incremental_run(
+        spark, "t_mpred", src, strategy="merge", unique_key=["k", "yr"],
+        incremental_predicates=["yr = '2024'"],
+    )
+    rows = {(r.k, r.yr): r.v for r in spark.table("t_mpred").collect()}
+    assert rows[(1, "2024")] == 88          # inside predicate: updated
+    assert rows[(2, "2024")] == 30          # untouched
+    # outside predicate: protected original + the source row appended
+    vals = sorted(
+        r.v for r in spark.table("t_mpred").filter("k=1 and yr='2023'").collect()
+    )
+    assert vals == [10, 99]
+
+
+def test_compact_table_reduces_files(spark):
+    df = spark.range(10000).repartition(64).selectExpr("id AS k", "id*2 AS v")
+    mat.materialize_table(spark, "t_compact", df)
+    assert spark.table("t_compact").rdd.getNumPartitions() >= 32
+    n = mat.compact_table(spark, "t_compact", target_partitions=4)
+    assert n <= 4
+    assert spark.table("t_compact").count() == 10000
+    # clustered recompaction keeps data + sorts within files
+    n2 = mat.compact_table(spark, "t_compact", target_partitions=4, cluster_by=["k"])
+    assert spark.table("t_compact").count() == 10000

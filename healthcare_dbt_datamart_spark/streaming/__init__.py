@@ -2,5 +2,6 @@
 
 from .dedup_join import stream_interval_join, streaming_dedup  # noqa: F401
 from .dynamic_table import dynamic_table, microbatch_stream  # noqa: F401
+from .gap import streaming_best_evidence  # noqa: F401
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

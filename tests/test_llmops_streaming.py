@@ -429,3 +429,52 @@ def test_kmeans_lloyd_separates_blobs(spark):
     ).collect()[0][0]
     trained_sim = assigned.agg(F.avg("cell_sim")).collect()[0][0]
     assert trained_sim >= seed_sim - 1e-9
+
+
+def test_streaming_best_evidence_upgrades_winner(spark, tmp_path):
+    """Dynamic-table analog on the flagship shape: per-member best
+    evidence maintained incrementally; a later batch with more durable
+    evidence replaces the winner, less durable doesn't."""
+    from healthcare_dbt_datamart_spark.streaming import streaming_best_evidence
+
+    schema = (
+        "member_id long, claim_id long, event_date string, "
+        "closure_reason string, reason_rank int"
+    )
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    name = "stream_best_ev"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    b1 = spark.createDataFrame(
+        [(1, 100, "2024-01-05", "FIT_FOBT", 4),
+         (1, 101, "2024-01-02", "FIT_FOBT", 4),   # older same rank: loses
+         (2, 102, "2024-01-03", "SIGMOIDOSCOPY", 2)],
+        schema,
+    )
+    b1.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = streaming_best_evidence(stream, name, str(tmp_path / "ev_ckpt"))
+    try:
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        r1 = {r.member_id: (r.claim_id, r.closure_reason)
+              for r in spark.table(name).collect()}
+        assert r1[1] == (100, "FIT_FOBT")       # most recent of rank 4
+        assert r1[2] == (102, "SIGMOIDOSCOPY")
+        b2 = spark.createDataFrame(
+            [(1, 200, "2024-01-01", "COLONOSCOPY", 1),   # more durable: wins
+             (2, 201, "2024-01-09", "FIT_FOBT", 4)],     # less durable: loses
+            schema,
+        )
+        b2.write.mode("overwrite").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        r2 = {r.member_id: (r.claim_id, r.closure_reason)
+              for r in spark.table(name).collect()}
+        assert r2[1] == (200, "COLONOSCOPY")
+        assert r2[2] == (102, "SIGMOIDOSCOPY")
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1298,6 +1298,37 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(emb, k=8, n_iter=3)
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: verified near-dup pairs rolled up
+    by source pair (canonical order) — which feeds copy each other, the
+    curation question the pair-level dedup output exists to answer."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        verified.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+    )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return (
+        tagged.groupBy(lo.alias("source_1"), hi.alias("source_2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1431,6 +1462,7 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "clean_docs": q_clean_docs,
     "kmeans_cells": q_kmeans_cells,
+    "cross_source_dups": q_cross_source_dups,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2000,6 +2032,20 @@ SELECT doc_id,
        CAST(length(text) != length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
             AS INT) AS had_extra_ws
 FROM documents
+"""
+
+ORACLE["cross_source_dups"] = f"""
+WITH v AS ({_LLM_ORACLE["near_dup_jaccard"]}),
+tagged AS (
+  SELECT v.jaccard, da.source AS src_a, db.source AS src_b
+  FROM v JOIN documents da ON da.doc_id = v.id_a
+         JOIN documents db ON db.doc_id = v.id_b
+)
+SELECT least(src_a, src_b) AS source_1,
+       greatest(src_a, src_b) AS source_2,
+       COUNT(*) AS n_pairs,
+       round(AVG(jaccard), 6) AS mean_jaccard
+FROM tagged GROUP BY 1, 2
 """
 
 ORACLE["mixture_sample"] = """

@@ -1295,7 +1295,7 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import kmeans_cells
 
     emb = load(spark, sf_dir, "embeddings")
-    return kmeans_cells(emb, k=8, n_iter=3)
+    return kmeans_cells(emb, k=8, n_iter=2)
 
 
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

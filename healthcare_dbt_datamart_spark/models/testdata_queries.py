@@ -1329,6 +1329,57 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio: promo revenue share
+    per month — broadcast dim join + CASE-gated sums in one partial-agg
+    pass (no second scan for the denominator)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    month = F.date_trunc("month", F.col("l_shipdate")).cast("date")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        joined.groupBy(month.alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.round(
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate: three disjunctive
+    brand/size/quantity branches evaluated in ONE join pass — the shape
+    that tests whether the engine pushes a disjunction into the scan
+    instead of unioning three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity").cast("double")
+    branch1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & qty.between(1, 11)
+    branch2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & qty.between(10, 20)
+    branch3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & qty.between(20, 30)
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        joined.filter(branch1 | branch2 | branch3)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1463,6 +1514,8 @@ QUERIES = {
     "clean_docs": q_clean_docs,
     "kmeans_cells": q_kmeans_cells,
     "cross_source_dups": q_cross_source_dups,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "brand_size_revenue": q_brand_size_revenue,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2046,6 +2099,42 @@ SELECT least(src_a, src_b) AS source_1,
        COUNT(*) AS n_pairs,
        round(AVG(jaccard), 6) AS mean_jaccard
 FROM tagged GROUP BY 1, 2
+"""
+
+ORACLE["promo_revenue_ratio"] = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+ORACLE["brand_size_revenue"] = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 30)
+GROUP BY p_brand
 """
 
 ORACLE["mixture_sample"] = """

@@ -1380,6 +1380,23 @@ def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate profile per returnflag: sample stddev /
+    variance / covariance / correlation in one partial-agg pass — the
+    numeric column-profiling scan (all single-pass co-moment aggregates,
+    stable merge across partitions)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(price), 2).alias("price_stddev"),
+        F.round(F.var_samp(qty), 2).alias("qty_var"),
+        F.round(F.covar_samp(qty, price), 2).alias("qty_price_covar"),
+        F.round(F.corr(qty, price), 6).alias("qty_price_corr"),
+    )
+
+
 def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (median/p90/p99) per
     returnflag — single pass, partial-agg percentile; the exact baseline
@@ -1516,6 +1533,7 @@ QUERIES = {
     "cross_source_dups": q_cross_source_dups,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "brand_size_revenue": q_brand_size_revenue,
+    "stats_profile": q_stats_profile,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2135,6 +2153,18 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
        AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 30)
 GROUP BY p_brand
+"""
+
+ORACLE["stats_profile"] = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 2) AS price_stddev,
+       round(var_samp(CAST(l_quantity AS DOUBLE)), 2) AS qty_var,
+       round(covar_samp(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)), 2) AS qty_price_covar,
+       round(corr(CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE)), 6) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag
 """
 
 ORACLE["mixture_sample"] = """

@@ -1380,6 +1380,74 @@ def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction: top-3 TF-IDF terms per source. Explode
+    tokens once; term frequency and document frequency are both
+    partial-agg groupBys; idf joins back on the term (shuffle on token —
+    the natural key); rank-then-filter top-k per source. The classic
+    text-analytics shuffle pipeline, all exact."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    n_docs = docs.count()  # scalar model state (one number)
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tfidf", "rn")
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first view precedes their first
+    click precedes their first purchase — conditional min-timestamps in
+    ONE groupBy pass per user, then a single-row summary (no per-stage
+    rescans, no joins)."""
+    ev = load(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_view") < F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_view_then_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
 def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate profile per returnflag: sample stddev /
     variance / covariance / correlation in one partial-agg pass — the
@@ -1534,6 +1602,8 @@ QUERIES = {
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "brand_size_revenue": q_brand_size_revenue,
     "stats_profile": q_stats_profile,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "event_funnel": q_event_funnel,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2165,6 +2235,43 @@ SELECT l_returnflag,
        round(corr(CAST(l_quantity AS DOUBLE),
                   CAST(l_extendedprice AS DOUBLE)), 6) AS qty_price_corr
 FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.source, tf.term,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT source, term, tfidf, rn FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
+ORACLE["event_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_view < t_click THEN 1 ELSE 0 END) AS n_view_then_click,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_purchase IS NOT NULL AND t_view < t_click
+                 AND t_click < t_purchase THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
 """
 
 ORACLE["mixture_sample"] = """

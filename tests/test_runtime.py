@@ -599,3 +599,51 @@ def test_compact_table_reduces_files(spark):
     # clustered recompaction keeps data + sorts within files
     n2 = mat.compact_table(spark, "t_compact", target_partitions=4, cluster_by=["k"])
     assert spark.table("t_compact").count() == 10000
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # batches of (key, value) upserts; updated_at increases per batch
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 9)),
+            min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_scd2_invariants_under_random_histories(spark, batches):
+    """SCD2 structural invariants hold for ANY change sequence:
+    exactly one open row per key ever seen, closed ranges are well-formed
+    (valid_from <= valid_to), and the open row carries the latest value
+    written for its key."""
+    name = "snap_fuzz"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    latest = {}
+    for i, batch in enumerate(batches):
+        day = f"2024-01-{i+1:02d} 00:00:00"
+        for k, v in batch:
+            latest[k] = v
+        # carry forward all previously-seen keys (hard_deletes=ignore means
+        # missing keys keep their open row; sending all keeps value model simple)
+        src_rows = [(k, latest[k], day) for k in latest]
+        src = _df(spark, src_rows, "k long, v long, upd string").withColumn(
+            "upd", F.col("upd").cast("timestamp")
+        )
+        snapshot_run(
+            spark, name, src, unique_key="k", strategy="timestamp", updated_at="upd"
+        )
+        rows = spark.table(name).collect()
+        open_rows = [r for r in rows if r.dbt_valid_to is None]
+        assert sorted(r.k for r in open_rows) == sorted(latest)  # one open/key
+        for r in rows:
+            if r.dbt_valid_to is not None:
+                assert r.dbt_valid_from <= r.dbt_valid_to
+        assert {r.k: r.v for r in open_rows} == latest
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

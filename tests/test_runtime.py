@@ -647,3 +647,43 @@ def test_scd2_invariants_under_random_histories(spark, batches):
                 assert r.dbt_valid_from <= r.dbt_valid_to
         assert {r.k: r.v for r in open_rows} == latest
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["merge", "delete+insert", "append", "insert_overwrite"]),
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(0, 99)),
+                min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+            ),
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_incremental_strategies_match_dict_model(spark, runs):
+    """Every incremental strategy sequence agrees with the obvious Python
+    model: merge/delete+insert upsert by key, append concatenates,
+    insert_overwrite replaces the table."""
+    name = "inc_fuzz"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    model: list[tuple[int, int]] = []
+    first = True
+    for strategy, batch in runs:
+        src = _df(spark, list(batch), "k long, v long")
+        incremental_run(spark, name, src, strategy=strategy, unique_key="k")
+        if first or strategy == "insert_overwrite":
+            model = list(batch)
+        elif strategy == "append":
+            model = model + list(batch)
+        else:  # merge / delete+insert: upsert by key
+            keys = {k for k, _ in batch}
+            model = [(k, v) for k, v in model if k not in keys] + list(batch)
+        first = False
+        got = sorted((r.k, r.v) for r in spark.table(name).collect())
+        assert got == sorted(model), (strategy, got, model)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

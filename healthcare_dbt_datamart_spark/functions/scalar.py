@@ -275,3 +275,24 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def audit_columns(
+    df: DataFrame,
+    run_ts: str | None = None,
+    run_id: str | None = None,
+    loaded_by: str = "healthcare_dbt_datamart_spark",
+) -> DataFrame:
+    """Standard warehouse audit columns — the intent marked by the
+    reference's declared-but-empty ``macros/audit_columns.sql``: stamp
+    every materialized row with load time, run identity, and loader.
+    ``run_ts``/``run_id`` injectable for deterministic tests (defaults:
+    UTC now / derived from the timestamp)."""
+    ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
+    rid = F.lit(run_id) if run_id else F.md5(F.concat(F.lit(loaded_by), ts.cast("string")))
+    return df.select(
+        "*",
+        ts.alias("_loaded_at"),
+        rid.alias("_run_id"),
+        F.lit(loaded_by).alias("_loaded_by"),
+    )

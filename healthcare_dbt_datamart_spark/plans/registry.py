@@ -182,6 +182,30 @@ class ModelRegistry:
         finally:
             self._selected = None
 
+    def compile(self, name: str) -> DataFrame:
+        """Compile-without-running (the reference's ``analyses/`` concept —
+        ``analyses/sanity_checks.sql`` is a declared placeholder: queries
+        dbt compiles but never executes). Returns the model's lazy
+        DataFrame with upstreams resolved in-memory; nothing is
+        materialized. ``.explain()`` on the result is the compiled-SQL
+        inspection analog."""
+        memo: dict[str, DataFrame] = {}
+        registry = self
+
+        class _Compile(ModelContext):
+            def ref(self, name: str) -> DataFrame:  # type: ignore[override]
+                return build(name)
+
+        def build(n: str) -> DataFrame:
+            if n in memo:
+                return memo[n]
+            if n in registry._sources:
+                return registry._sources[n]
+            memo[n] = registry._models[n].fn(_Compile(registry, n))
+            return memo[n]
+
+        return build(name)
+
     # -- graph selection ---------------------------------------------------
 
     def deps(self) -> dict[str, set[str]]:

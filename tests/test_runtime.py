@@ -687,3 +687,32 @@ def test_incremental_strategies_match_dict_model(spark, runs):
         got = sorted((r.k, r.v) for r in spark.table(name).collect())
         assert got == sorted(model), (strategy, got, model)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_audit_columns_and_compile_only(spark):
+    from healthcare_dbt_datamart_spark.functions.scalar import audit_columns
+
+    df = audit_columns(
+        _df(spark, [(1,)], "a long"), run_ts="2024-01-01 00:00:00", run_id="r1"
+    )
+    row = df.collect()[0]
+    assert row._run_id == "r1" and row._loaded_by and str(row._loaded_at).startswith("2024-01-01")
+
+    r = ModelRegistry(spark)
+    ran = []
+
+    @r.model(materialized="table")
+    def c_up(ctx):
+        ran.append("c_up")
+        return spark.range(2).select(F.col("id").alias("k"))
+
+    @r.model(materialized="table")
+    def c_down(ctx):
+        ran.append("c_down")
+        return ctx.ref("c_up").withColumn("d", F.col("k") + 1)
+
+    plan = r.compile("c_down")
+    assert plan.columns == ["k", "d"]
+    # bodies ran to build the lazy plan, but nothing materialized
+    assert not spark.catalog.tableExists("c_up")
+    assert not spark.catalog.tableExists("c_down")

@@ -1448,6 +1448,31 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame + lag extension (absent from the reference, SURVEY
+    §2.5 notes only row_number appears): per-customer order sequence with
+    days-since-previous-order (lag) and running spend (ROWS UNBOUNDED
+    PRECEDING frame) — one shuffle on customer, both windows share the
+    same sort."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(run).cast("double").alias(
+            "running_spend"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
 def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate profile per returnflag: sample stddev /
     variance / covariance / correlation in one partial-agg pass — the
@@ -1604,6 +1629,7 @@ QUERIES = {
     "stats_profile": q_stats_profile,
     "tfidf_top_terms": q_tfidf_top_terms,
     "event_funnel": q_event_funnel,
+    "customer_order_running": q_customer_order_running,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2272,6 +2298,20 @@ SELECT COUNT(*) AS n_users,
                  AND t_purchase IS NOT NULL AND t_view < t_click
                  AND t_click < t_purchase THEN 1 ELSE 0 END) AS n_full_funnel
 FROM per_user
+"""
+
+ORACLE["customer_order_running"] = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 LAG(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 ORACLE["mixture_sample"] = """

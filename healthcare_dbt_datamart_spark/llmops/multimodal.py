@@ -162,3 +162,34 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def audio_chunk_plan(
+    media: DataFrame,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 5_000,
+    bytes_per_ms: int = 16,
+) -> DataFrame:
+    """Audio segmentation *plan*: one row per overlapping chunk window
+    over each media row's (stubbed) duration — the ASR/feature-extraction
+    fan-out shape. Duration derives from byte length at a fixed fake
+    bitrate (a real build reads the container header in the decode UDF);
+    chunk boundaries are pure arithmetic, so the fan-out is an explode of
+    a generated sequence — no Python until the per-chunk decode, which is
+    the stubbed step. Output: (media_id, chunk_idx, start_ms, end_ms).
+    """
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap must be smaller than the chunk")
+    duration = (F.length(F.col("content")) / bytes_per_ms).cast("long") + 1
+    step = chunk_ms - overlap_ms
+    starts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(step))
+    return media.select(
+        "media_id",
+        F.posexplode(starts).alias("chunk_idx", "start_ms"),
+        duration.alias("_dur"),
+    ).select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        F.least(F.col("start_ms") + chunk_ms, F.col("_dur")).alias("end_ms"),
+    )

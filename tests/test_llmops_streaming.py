@@ -478,3 +478,35 @@ def test_streaming_best_evidence_upgrades_winner(spark, tmp_path):
     finally:
         q.stop()
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_audio_chunk_plan_windows(spark, docs):
+    """Chunk plan: overlapping windows tile each media row's duration;
+    last window clips at the duration; fan-out = one row per chunk."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import (
+        audio_chunk_plan,
+        text_as_media,
+    )
+
+    media = text_as_media(docs, "text", "doc_id")
+    chunks = audio_chunk_plan(media, chunk_ms=2000, overlap_ms=500, bytes_per_ms=1)
+    rows = [r for r in chunks.collect() if r.media_id == 1]
+    # doc 1 text is 49 chars -> duration 50ms at 1 byte/ms... too short for
+    # 2000ms chunks: exactly one clipped chunk
+    assert len(rows) == 1 and rows[0].start_ms == 0 and rows[0].end_ms == 50
+    # longer synthetic media: verify tiling arithmetic
+    import pyspark.sql.functions as SF
+
+    big = media.withColumn("content", SF.expr("repeat(content, 200)"))
+    rows = sorted(
+        (r.chunk_idx, r.start_ms, r.end_ms)
+        for r in audio_chunk_plan(
+            big, chunk_ms=2000, overlap_ms=500, bytes_per_ms=1
+        ).collect()
+        if r.media_id == 1
+    )
+    dur = 49 * 200 + 1
+    assert rows[0] == (0, 0, 2000)
+    assert rows[1] == (1, 1500, 3500)          # overlap = 500
+    assert rows[-1][2] == dur                   # final chunk clips
+    assert all(b[1] - a[1] == 1500 for a, b in zip(rows, rows[1:]))

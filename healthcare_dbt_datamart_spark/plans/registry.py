@@ -265,3 +265,20 @@ class ModelRegistry:
                         selected.add(c)
                         frontier.append(c)
         return selected
+
+
+def admin_print_query(
+    spark: SparkSession, sql: str, limit: int = 100, log=print
+) -> str:
+    """Admin/debug helper mirroring the reference's
+    ``macros/admin_print_query.sql:1-19`` (run_query + log of every row):
+    execute a SQL statement, log the query and its rows, return "OK".
+    ``limit`` bounds the driver fetch — the reference's unbounded row loop
+    is fine for admin SELECTs but a footgun against a 100 TB table."""
+    res = spark.sql(sql)
+    log("---- QUERY ----")
+    log(sql)
+    log("---- RESULTS ----")
+    for row in res.limit(limit).collect():
+        log(row)
+    return "OK"

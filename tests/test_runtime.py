@@ -716,3 +716,15 @@ def test_audit_columns_and_compile_only(spark):
     # bodies ran to build the lazy plan, but nothing materialized
     assert not spark.catalog.tableExists("c_up")
     assert not spark.catalog.tableExists("c_down")
+
+
+def test_admin_print_query_logs_rows(spark):
+    from healthcare_dbt_datamart_spark.plans.registry import admin_print_query
+
+    lines = []
+    out = admin_print_query(
+        spark, "SELECT 1 AS a UNION ALL SELECT 2", log=lines.append
+    )
+    assert out == "OK"
+    assert any("QUERY" in str(l) for l in lines)
+    assert sum(1 for l in lines if "Row" in str(l)) == 2

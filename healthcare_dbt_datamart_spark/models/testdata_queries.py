@@ -1473,6 +1473,29 @@ def q_customer_order_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-likelihood quality score (KenLM-style proxy): mean unigram
+    log-probability per document against the corpus's own term
+    frequencies — low scorers are the out-of-distribution/garbage docs.
+    Two partial-agg passes (corpus freqs, per-doc mean) joined on the
+    token — the same shuffle shape as TF-IDF; no Python."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    total = toks.count()  # scalar model state
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    scored = toks.join(freq, "term").select(
+        "doc_id",
+        F.log(F.col("tc").cast("double") / F.lit(float(total))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
 def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate profile per returnflag: sample stddev /
     variance / covariance / correlation in one partial-agg pass — the
@@ -1630,6 +1653,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "event_funnel": q_event_funnel,
     "customer_order_running": q_customer_order_running,
+    "unigram_logprob": q_unigram_logprob,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
 }
@@ -2312,6 +2336,19 @@ SELECT o_custkey, o_orderkey,
        ROW_NUMBER() OVER w AS order_seq
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+ORACLE["unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+total AS (SELECT COUNT(*)::DOUBLE AS n FROM toks),
+freq AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(AVG(ln(freq.tc / total.n)), 6) AS mean_logprob
+FROM toks JOIN freq USING (term), total
+GROUP BY doc_id
 """
 
 ORACLE["mixture_sample"] = """

@@ -332,7 +332,10 @@ def q_stg_claim_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("member_id"),
         F.col("l_shipdate").cast("date").alias("service_date"),
         F.upper(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))).alias("proc_code"),
-        F.col("l_extendedprice").cast(DEC).alias("billed_amount"),
+        # money lands as exact decimal then surfaces as double: DECIMAL output
+        # columns stringify differently across engine fetch layers (DuckDB
+        # Decimal('x.40') vs float), so every money OUTPUT is double
+        F.col("l_extendedprice").cast(DEC).cast("double").alias("billed_amount"),
     )
 
 
@@ -1882,7 +1885,7 @@ SELECT l_orderkey * 10 + l_linenumber AS claim_id,
        l_suppkey AS member_id,
        CAST(l_shipdate AS DATE) AS service_date,
        UPPER(l_returnflag || l_linestatus) AS proc_code,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS billed_amount
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS billed_amount
 FROM lineitem
 """,
     "pricing_summary": """
@@ -1970,7 +1973,7 @@ SELECT o_custkey AS custkey FROM orders
 SELECT 'actual' AS which, o_orderstatus AS status, COUNT(*) AS n
 FROM orders GROUP BY o_orderstatus
 UNION ALL
-SELECT 'expected' AS which, status, SUM(pn) AS n
+SELECT 'expected' AS which, status, CAST(SUM(pn) AS BIGINT) AS n
 FROM (SELECT o_orderstatus AS status, o_orderpriority, COUNT(*) AS pn
       FROM orders GROUP BY o_orderstatus, o_orderpriority)
 GROUP BY status
@@ -2014,8 +2017,8 @@ FROM events GROUP BY 1, 2
 """,
     "events_json": """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
 }
@@ -2133,9 +2136,10 @@ pos AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       (MAX(end_offset) - 1) // 512 + 1 AS n_windows,
-       SUM(CASE WHEN last_window > first_window THEN 1 ELSE 0 END) AS n_straddlers,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((MAX(end_offset) - 1) // 512 + 1 AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN last_window > first_window THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddlers,
        round((MAX(end_offset) - ((MAX(end_offset) - 1) // 512) * 512)::DOUBLE / 512,
              6) AS last_window_fill
 FROM pos GROUP BY source
@@ -2180,9 +2184,9 @@ SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders
 
 ORACLE["priority_status_pivot"] = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -2315,12 +2319,12 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-                 AND t_view < t_click THEN 1 ELSE 0 END) AS n_view_then_click,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
                  AND t_purchase IS NOT NULL AND t_view < t_click
-                 AND t_click < t_purchase THEN 1 ELSE 0 END) AS n_full_funnel
+                 AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -2362,8 +2366,8 @@ WITH b AS (
 )
 SELECT source,
        COUNT(*) AS total_docs,
-       COALESCE(SUM(CASE WHEN bucket < rate THEN 1 END), 0) AS kept_docs,
-       COALESCE(SUM(CASE WHEN bucket < rate THEN n_chars END), 0) AS kept_chars
+       CAST(COALESCE(SUM(CASE WHEN bucket < rate THEN 1 END), 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(SUM(CASE WHEN bucket < rate THEN n_chars END), 0) AS BIGINT) AS kept_chars
 FROM b GROUP BY source
 """
 

@@ -219,10 +219,23 @@ def listagg(
     """dbt ``listagg`` (``dbt-adapters/macros/utils/listagg.sql:5-29``):
     ordered, delimited string agg; limited variant mirrors the reference's
     ``array_agg -> array_slice -> array_to_string`` composition with
-    ``collect_list -> slice -> concat_ws``. With ``order_by`` defaulting to
-    the value column itself the result is deterministic under Spark's
-    unordered ``collect_list``."""
-    arr = F.array_sort(F.collect_list(_col(order_by if order_by is not None else c)))
+    ``collect_list -> slice -> array_join``. With ``order_by`` the VALUE
+    column is aggregated ordered by the order column: collect
+    struct(order, value), array_sort (sorts by fields in declaration
+    order, value as deterministic tie-break), then project the value field
+    back out. Without ``order_by`` the values sort themselves, keeping the
+    result deterministic under Spark's unordered ``collect_list``."""
+    if order_by is None:
+        arr = F.array_sort(F.collect_list(_col(c)))
+    else:
+        arr = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(_col(order_by).alias("o"), _col(c).alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        )
     if limit_num is not None:
         arr = F.slice(arr, 1, limit_num)
     return F.array_join(arr, delimiter)
@@ -260,8 +273,12 @@ def any_value(c: Column | str) -> Column:
 
 
 def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
-    """SQL set EXCEPT (``dbt-adapters/macros/utils/except.sql:5-9``)."""
-    return a.exceptAll(b.distinct()).distinct()
+    """SQL set EXCEPT (``dbt-adapters/macros/utils/except.sql:5-9``):
+    distinct rows of ``a`` not present in ``b`` — Spark's ``subtract`` IS
+    EXCEPT DISTINCT. (The previous ``exceptAll(...).distinct()`` kept a
+    row of ``a`` that also exists in ``b`` whenever ``a`` held duplicate
+    copies of it: a=[1,1,2], b=[1] must yield [2], not [1,2].)"""
+    return a.subtract(b)
 
 
 def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -57,6 +57,15 @@ def asof_join(
     """
     if key in right_cols:
         raise ValueError("right_cols must not include the join key")
+    clashes = sorted(set(right_cols) & set(left.columns))
+    if clashes:
+        # a right column sharing a left column's name would be silently
+        # merged by unionByName and then overwritten by the carried-forward
+        # right value — corrupting the left side's data with no error
+        raise ValueError(
+            f"right_cols collide with left columns: {clashes}; alias them"
+            " on the right side before joining"
+        )
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ats", F.col(left_ts))
     r_tag = (
         right.select(key, F.col(right_ts).alias("__ats"), *right_cols)

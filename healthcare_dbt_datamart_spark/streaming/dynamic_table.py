@@ -47,6 +47,22 @@ def dynamic_table(
     return writer.start()
 
 
+def _period_end(start, period: str):
+    from datetime import timedelta
+
+    if period == "hour":
+        return start + timedelta(hours=1)
+    if period == "day":
+        return start + timedelta(days=1)
+    if period == "month":
+        if start.month == 12:
+            return start.replace(year=start.year + 1, month=1)
+        return start.replace(month=start.month + 1)
+    if period == "year":
+        return start.replace(year=start.year + 1)
+    raise ValueError(f"unsupported microbatch period: {period}")
+
+
 def microbatch_stream(
     source_stream: DataFrame,
     name: str,
@@ -54,11 +70,26 @@ def microbatch_stream(
     watermark_delay: str = "30 minutes",
     checkpoint_dir: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    period: str = "hour",
 ) -> StreamingQuery:
     """Microbatch incremental: each foreachBatch applies the reference's
-    windowed delete+insert (I5) for the batch's event-time span — late
-    rows inside the watermark re-land in their window; rows beyond it are
-    dropped, matching dbt microbatch re-run semantics."""
+    windowed delete+insert (I5), with delete windows aligned to FIXED
+    event-time periods (``period`` ∈ hour/day/month/year — dbt's
+    microbatch ``batch_size``, ``dbt-snowflake/.../merge.sql:73-101``).
+
+    The batch is grouped by its rows' periods and each period runs one
+    delete+insert containing ONLY that period's rows. Aligning to fixed
+    periods (rather than the batch's min/max span) is what makes
+    out-of-order arrival safe: a batch holding a late row at t=3 and a
+    new row at t=6 replaces only period(3) and period(6) — previously
+    landed rows in the untouched periods between them survive. Late rows
+    inside the watermark re-land in their own period; rows beyond it are
+    dropped, matching dbt microbatch re-run semantics.
+
+    The per-batch distinct-period collect is bounded model state: the
+    watermark bounds the batch's event-time span, so the period count is
+    span/period, never data-sized.
+    """
     from ..operators.incremental import incremental_run
     from pyspark.sql import functions as F
 
@@ -69,18 +100,26 @@ def microbatch_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bounds = batch_df.agg(
-            F.min(event_time).alias("lo"), F.max(event_time).alias("hi")
-        ).collect()[0]
-        incremental_run(
-            batch_df.sparkSession,
-            name,
-            batch_df,
-            strategy="microbatch",
-            event_time=event_time,
-            batch_start=bounds.lo,
-            batch_end=bounds.hi + __import__("datetime").timedelta(microseconds=1),
-        )
+        starts = [
+            r[0]
+            for r in batch_df.select(
+                F.date_trunc(period, F.col(event_time)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        ev = F.col(event_time)
+        for start in sorted(starts):
+            end = _period_end(start, period)
+            incremental_run(
+                batch_df.sparkSession,
+                name,
+                batch_df.filter((ev >= F.lit(start)) & (ev < F.lit(end))),
+                strategy="microbatch",
+                event_time=event_time,
+                batch_start=start,
+                batch_end=end,
+            )
 
     writer = stream.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

@@ -131,6 +131,17 @@ _ts_s = st.integers(min_value=0, max_value=3600)  # seconds within an hour
 _key_s = st.integers(min_value=0, max_value=2)
 
 
+def test_asof_join_rejects_column_collision(spark):
+    """A right column sharing a left column's name would silently
+    overwrite the left side's values — must raise instead."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 10.0)], "k long, ts long, v double")
+    right = spark.createDataFrame([(1, 1, 99.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "ts", "ts", ["v"])
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(st.tuples(_key_s, _ts_s), min_size=1, max_size=25, unique=True),

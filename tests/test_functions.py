@@ -80,6 +80,30 @@ def test_listagg_ordered_limited(spark):
     assert (r.all_, r.lim) == ("a,b,c", "a,b")
 
 
+def test_listagg_order_by_aggregates_value_column(spark):
+    """listagg('v', order_by='d') must return the v values ordered by d —
+    not the sorted d values themselves."""
+    df = spark.createDataFrame(
+        [("g", "b", "2020-01-01"), ("g", "c", "2020-02-01"), ("g", "a", "2020-03-01")],
+        "g string, v string, d string",
+    ).groupBy("g").agg(
+        listagg("v", ",", order_by="d").alias("by_date"),
+        listagg("v", ",", order_by="d", limit_num=2).alias("by_date_lim"),
+    )
+    r = df.collect()[0]
+    assert (r.by_date, r.by_date_lim) == ("b,c,a", "b,c")
+
+
+def test_except_distinct_set_semantics(spark):
+    """SQL EXCEPT: a=[1,1,2] except b=[1,3] is [2] — a duplicated row of
+    ``a`` that exists in ``b`` must not survive."""
+    from healthcare_dbt_datamart_spark.functions import except_distinct
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], "x long")
+    b = spark.createDataFrame([(1,), (3,)], "x long")
+    assert [r.x for r in except_distinct(a, b).collect()] == [2]
+
+
 def test_date_spine_end_exclusive(spark):
     df = date_spine(spark, "day", "2020-01-01", "2020-01-05")
     days = sorted(r[0] for r in df.collect())

@@ -262,6 +262,59 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_microbatch_stream_out_of_order_batch_preserves_middle(spark, tmp_path):
+    """A batch holding a late row (hour 10) plus a new row (hour 12) must
+    only replace those two periods — previously-landed rows in hour 11
+    that are NOT re-delivered must survive (period-aligned windows, not
+    the batch's min/max span)."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    schema = "ts string, user_id long, event_type string, value double"
+    base = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "click", 1.0),
+         ("2024-01-01 11:00:00", 1, "view", 2.0),
+         ("2024-01-01 12:00:00", 1, "view", 3.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src_dir = tmp_path / "mb_src2"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "mb_ckpt2")
+    name = "mb_target_ooo"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base.write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir / "*"))
+    q = microbatch_stream(
+        stream, name, event_time="ts", watermark_delay="6 hours",
+        checkpoint_dir=ckpt, period="hour",
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late row in hour 10 + new row in hour 12; hour 11 absent
+        late_plus_new = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 1, "click", 99.0),
+             ("2024-01-01 12:00:00", 1, "view", 3.0),
+             ("2024-01-01 12:30:00", 1, "purchase", 4.0)],
+            schema,
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        late_plus_new.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        out = spark.table(name)
+        # hour 11 row survived untouched
+        assert out.filter(F.col("value") == 2.0).count() == 1
+        # hour 10 replaced with the late re-delivery
+        assert out.filter(F.col("value") == 99.0).count() == 1
+        assert out.filter(F.col("value") == 1.0).count() == 0
+        # hour 12 replaced by the two re-delivered rows
+        assert out.count() == 4
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_multimodal_resize(spark, docs):
     from healthcare_dbt_datamart_spark.llmops.multimodal import resize_images, text_as_media
 

@@ -76,11 +76,15 @@ def _rank_expr(params: GapParams) -> F.Column:
     return expr
 
 
+EXCLUSION_FLAGS = ("has_crc_cancer_history", "has_total_colectomy", "in_hospice")
+
+
 def gap_status(
     members: DataFrame,
     claims: DataFrame,
     codes: DataFrame,
     params: GapParams,
+    exclusions: DataFrame | None = None,
 ) -> DataFrame:
     """Tri-state COL gap status, one row per member.
 
@@ -90,10 +94,25 @@ def gap_status(
                 proc_code string)
       codes:   (code string, evidence_type string) — the code set(s); tiny,
                always broadcast.
+      exclusions: optional (member_id, has_crc_cancer_history,
+               has_total_colectomy, in_hospice) — the
+               ``member_exclusions`` branch
+               (``int_gap_col_status.sql:60-66``). Any flag = 1 NULLs
+               ``gap_flag`` (``:196-203``). None mirrors the reference's
+               stub: every flag 0, emitted as literal columns (no extra
+               members scan). A partial table left-joins; missing members
+               coalesce to 0.
 
     Output: member_id, measure_id, measurement_year, age, is_age_eligible,
+    has_crc_cancer_history, has_total_colectomy, in_hospice,
     gap_flag ∈ {1=CLOSED, 0=OPEN, NULL=NOT QUALIFIED}, closure_date,
     closure_reason, evidence_id, period_start, period_end, rule_version.
+
+    The closure columns pass through UNMASKED for gap_flag=NULL rows —
+    the reference's final select (``int_gap_col_status.sql:205-207``)
+    carries ``best_evidence`` columns for every member, which is exactly
+    what the NOT_QUALIFIED_HAS_VALUE violation family exists to catch
+    downstream.
     """
     spark = members.sparkSession
     p_start = F.lit(params.period_start).cast("date")
@@ -165,30 +184,47 @@ def gap_status(
         )
     )
 
-    # final status: eligibility spine ⟕ best evidence, tri-state flag CASE
-    # (int_gap_col_status.sql:186-221). NULL is semantic ("not qualified");
-    # never fillna this column.
+    # final status: eligibility spine ⟕ exclusions ⟕ best evidence,
+    # tri-state flag CASE (int_gap_col_status.sql:185-218). NULL is
+    # semantic ("not qualified"); never fillna this column. Closure
+    # columns pass through unmasked (reference final select :205-207).
+    joined = spine.join(best, "member_id", "left")
+    if exclusions is None:
+        # reference stub (int_gap_col_status.sql:60-66): all-zero flags,
+        # literal columns — no second members scan
+        for flag in EXCLUSION_FLAGS:
+            joined = joined.withColumn(flag, F.lit(0))
+    else:
+        joined = joined.join(
+            exclusions.select("member_id", *EXCLUSION_FLAGS), "member_id", "left"
+        )
+        for flag in EXCLUSION_FLAGS:
+            joined = joined.withColumn(
+                flag, F.coalesce(F.col(flag).cast("int"), F.lit(0))
+            )
     has_evidence = F.col("evidence_id").isNotNull()
     eligible = F.col("is_age_eligible")
-    return (
-        spine.join(best, "member_id", "left")
-        .select(
-            "member_id",
-            F.lit(params.measure_id).alias("measure_id"),
-            F.year("period_end").alias("measurement_year"),
-            "age",
-            "is_age_eligible",
-            F.when(~eligible, F.lit(None).cast("int"))
-            .when(has_evidence, F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("gap_flag"),
-            F.when(eligible & has_evidence, F.col("closure_date")).alias("closure_date"),
-            F.when(eligible & has_evidence, F.col("closure_reason")).alias("closure_reason"),
-            F.when(eligible & has_evidence, F.col("evidence_id")).alias("evidence_id"),
-            "period_start",
-            "period_end",
-            F.lit(params.rule_version).alias("rule_version"),
-        )
+    excluded = F.lit(False)
+    for flag in EXCLUSION_FLAGS:
+        excluded = excluded | (F.col(flag) == 1)
+    return joined.select(
+        "member_id",
+        F.lit(params.measure_id).alias("measure_id"),
+        F.year("period_end").alias("measurement_year"),
+        "age",
+        "is_age_eligible",
+        *EXCLUSION_FLAGS,
+        F.when(~eligible, F.lit(None).cast("int"))
+        .when(excluded, F.lit(None).cast("int"))
+        .when(has_evidence, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gap_flag"),
+        "closure_date",
+        "closure_reason",
+        "evidence_id",
+        "period_start",
+        "period_end",
+        F.lit(params.rule_version).alias("rule_version"),
     )
 
 

@@ -59,6 +59,15 @@ spine2 AS (
   SELECT *, COALESCE(age BETWEEN min_age AND max_age, FALSE) AS is_age_eligible
   FROM spine
 ),
+exclusions AS (
+  -- member_exclusions stub (int_gap_col_status.sql:60-66): flags wired
+  -- to 0 until real exclusion feeds exist, exactly like the reference
+  SELECT member_id,
+         0 AS has_crc_cancer_history,
+         0 AS has_total_colectomy,
+         0 AS in_hospice
+  FROM members
+),
 qualifying AS (
   SELECT c.member_id, c.claim_id, c.service_date,
          k.evidence_type AS closure_reason,
@@ -93,17 +102,22 @@ best AS (
 SELECT s.member_id, '{measure_id}' AS measure_id,
        YEAR(s.period_end) AS measurement_year,
        s.age, s.is_age_eligible,
+       ex.has_crc_cancer_history, ex.has_total_colectomy, ex.in_hospice,
        CAST(CASE WHEN NOT s.is_age_eligible THEN NULL
+                 WHEN ex.has_crc_cancer_history = 1 THEN NULL
+                 WHEN ex.has_total_colectomy = 1 THEN NULL
+                 WHEN ex.in_hospice = 1 THEN NULL
                  WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
          AS gap_flag,
-       CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-            THEN b.closure_date END AS closure_date,
-       CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-            THEN b.closure_reason END AS closure_reason,
-       CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-            THEN b.evidence_id END AS evidence_id,
+       -- best_evidence columns pass through unmasked, per the reference
+       -- final select (int_gap_col_status.sql:205-207)
+       b.closure_date,
+       b.closure_reason,
+       b.evidence_id,
        s.period_start, s.period_end, '{rule_version}' AS rule_version
-FROM spine2 s LEFT JOIN best b ON s.member_id = b.member_id
+FROM spine2 s
+LEFT JOIN exclusions ex ON s.member_id = ex.member_id
+LEFT JOIN best b ON s.member_id = b.member_id
 """
 
 

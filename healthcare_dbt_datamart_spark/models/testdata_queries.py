@@ -132,10 +132,24 @@ def _gap_inputs(spark: SparkSession, sf_dir: str):
     return members, claims, codes
 
 
+# Deterministic exclusion-flag rule for the exclusions-exercising query:
+# member_id residues mod EXCL_MOD pick which flag fires (reference stubs
+# all three to 0; this proves the NULL-on-exclusion branch with a real
+# oracle). Residues chosen so each flag hits a different member set.
+EXCL_MOD = 97
+EXCL_RESIDUES = {
+    "has_crc_cancer_history": 11,
+    "has_total_colectomy": 23,
+    "in_hospice": 31,
+}
+
+
 # SQL CTE block shared by the gap oracles — mirrors _gap_inputs +
 # gap_pipeline.gap_status step for step, GENERATED from the same GapParams
 # + code set so any measure configuration gets a matching oracle.
-def _gap_status_ctes(params: GapParams, codes: list[tuple[str, str]]) -> str:
+def _gap_status_ctes(
+    params: GapParams, codes: list[tuple[str, str]], excl_mod: int | None = None
+) -> str:
     codes_values = ", ".join(f"('{c}','{e}')" for c, e in codes)
     rank_whens = " ".join(
         f"WHEN '{ev}' THEN {r}" for ev, r in params.evidence_rank.items()
@@ -149,6 +163,16 @@ def _gap_status_ctes(params: GapParams, codes: list[tuple[str, str]]) -> str:
             " AND p.period_end"
             for ev, yrs in params.lookback_years.items()
         ]
+    )
+    if excl_mod is None:
+        flag_exprs = {f: "0" for f in EXCL_RESIDUES}
+    else:
+        flag_exprs = {
+            f: f"CASE WHEN member_id % {excl_mod} = {r} THEN 1 ELSE 0 END"
+            for f, r in EXCL_RESIDUES.items()
+        }
+    excl_cols = ",\n         ".join(
+        f"CAST({expr} AS INTEGER) AS {name}" for name, expr in flag_exprs.items()
     )
     return f"""
 params AS (
@@ -209,21 +233,29 @@ best AS (
     FROM qualifying q)
   WHERE rn = 1
 ),
+exclusions AS (
+  SELECT member_id,
+         {excl_cols}
+  FROM members
+),
 status AS (
   SELECT s.member_id, '{params.measure_id}' AS measure_id,
          CAST(YEAR(s.period_end) AS INTEGER) AS measurement_year,
          s.age, s.is_age_eligible,
+         ex.has_crc_cancer_history, ex.has_total_colectomy, ex.in_hospice,
          CAST(CASE WHEN NOT s.is_age_eligible THEN NULL
+                   WHEN ex.has_crc_cancer_history = 1 THEN NULL
+                   WHEN ex.has_total_colectomy = 1 THEN NULL
+                   WHEN ex.in_hospice = 1 THEN NULL
                    WHEN b.evidence_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
            AS gap_flag,
-         CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-              THEN b.closure_date END AS closure_date,
-         CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-              THEN b.closure_reason END AS closure_reason,
-         CAST(CASE WHEN s.is_age_eligible AND b.evidence_id IS NOT NULL
-              THEN b.evidence_id END AS BIGINT) AS evidence_id,
+         b.closure_date,
+         b.closure_reason,
+         CAST(b.evidence_id AS BIGINT) AS evidence_id,
          s.period_start, s.period_end, '{params.rule_version}' AS rule_version
-  FROM spine2 s LEFT JOIN best b ON s.member_id = b.member_id
+  FROM spine2 s
+  LEFT JOIN exclusions ex ON s.member_id = ex.member_id
+  LEFT JOIN best b ON s.member_id = b.member_id
 )
 """
 
@@ -303,6 +335,22 @@ def q_gap_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2 P1-P7, J1-J3, W1, A-family; int_gap_col_status.sql."""
     members, claims, codes = _gap_inputs(spark, sf_dir)
     return gap_status(members, claims, codes, GAP_PARAMS)
+
+
+def q_gap_status_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-exclusions branch exercised with NON-zero flags: deterministic
+    member_id-residue exclusions (mod EXCL_MOD) NULL the gap_flag for hit
+    members (int_gap_col_status.sql:60-66,196-203), while the reference's
+    stub (all-zero flags) is what the flagship ``gap_status`` runs."""
+    members, claims, codes = _gap_inputs(spark, sf_dir)
+    exclusions = members.select(
+        "member_id",
+        *[
+            (F.col("member_id") % EXCL_MOD == r).cast("int").alias(name)
+            for name, r in EXCL_RESIDUES.items()
+        ],
+    )
+    return gap_status(members, claims, codes, GAP_PARAMS, exclusions=exclusions)
 
 
 def q_gap_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,6 +1634,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "gap_status": q_gap_status,
+    "gap_status_excl": q_gap_status_excl,
     "gap_violations": q_gap_violations,
     "gap_exceptions": q_gap_exceptions,
     "stg_claim_lines": q_stg_claim_lines,
@@ -1862,6 +1911,10 @@ FROM sess GROUP BY user_id, session_id
 ORACLE = {
     "gap_status": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
     "gap_status_sql": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
+    "gap_status_excl": (
+        f"WITH {_gap_status_ctes(GAP_PARAMS, GAP_CODES, excl_mod=EXCL_MOD)} "
+        "SELECT * FROM status"
+    ),
     "gap_violations": (
         f"WITH {_GAP_STATUS_CTES}, {_GAP_NOISY_CTE}, {_GAP_VIOLATIONS_CTE} "
         "SELECT * FROM violations"

@@ -97,6 +97,40 @@ def test_lookback_window_excludes_stale_evidence(spark, demo):
     assert rows[1].gap_flag == 0  # stale FIT does not close the gap
 
 
+def test_member_exclusions_null_the_flag(spark, demo):
+    """int_gap_col_status.sql:60-66,196-218: any exclusion flag = 1 NULLs
+    gap_flag even when qualifying evidence exists, the evidence columns
+    still pass through unmasked, and the three flag columns are part of
+    the output schema."""
+    members, claims, codes = demo
+    exclusions = spark.createDataFrame(
+        [(1, 1, 0, 0), (5, 0, 0, 1)],
+        "member_id long, has_crc_cancer_history int, has_total_colectomy int,"
+        " in_hospice int",
+    )
+    out = gap_status(members, claims, codes, PARAMS, exclusions=exclusions)
+    for c in ("has_crc_cancer_history", "has_total_colectomy", "in_hospice"):
+        assert c in out.columns
+    rows = {r.member_id: r for r in out.collect()}
+    # member 1: eligible, has FIT evidence, but crc-history excluded -> NULL
+    assert rows[1].gap_flag is None
+    assert rows[1].has_crc_cancer_history == 1
+    # unmasked passthrough: the evidence the exclusion overrode is visible
+    assert rows[1].closure_reason == "FIT_FOBT"
+    assert rows[1].evidence_id == 1001
+    # member 5: hospice exclusion -> NULL despite evidence
+    assert rows[5].gap_flag is None and rows[5].in_hospice == 1
+    # member 2: absent from the exclusions table -> flags coalesce to 0
+    assert rows[2].gap_flag == 0 and rows[2].has_crc_cancer_history == 0
+    # excluded-with-evidence rows are exactly what family D exists to catch
+    v = {
+        (r.violation_rule, r.member_id)
+        for r in gap_tri_state_violations(out).collect()
+    }
+    assert ("NOT_QUALIFIED_HAS_VALUE", 1) in v
+    assert ("NOT_QUALIFIED_HAS_VALUE", 5) in v
+
+
 def test_violations_empty_on_clean_pipeline(spark, demo):
     members, claims, codes = demo
     status = gap_status(members, claims, codes, PARAMS)

@@ -228,6 +228,146 @@ def gap_status(
     )
 
 
+def gap_status_multi(
+    members: DataFrame,
+    claims: DataFrame,
+    measures: list[tuple[GapParams, DataFrame]],
+    exclusions: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-measure gap status in ONE pass over members and claims.
+
+    The per-measure model tree (``int_gap_<measure>_status``) naively runs
+    ``gap_status`` once per measure — M full claims/members scans. Here
+    the measure configuration is data: each measure's code set explodes
+    into (measure_id, proc_code, evidence_type, reason_rank, win_start,
+    win_end) rows, the union of all measures' configs broadcasts onto a
+    SINGLE claims scan (a claim hitting K measures fans out K ways —
+    bounded by the config, not the data), and best-evidence ranking
+    windows on (member_id, measure_id). The member spine cross-joins the
+    M-row params relation once. Plan: one claims join tree + one window
+    shuffle + one spine join, regardless of M — at 100 TB adding a
+    measure adds broadcast rows, not scans.
+
+    Output: identical schema to ``gap_status``, one row per
+    member × measure; exclusions (if given) apply to every measure.
+    """
+    spark = members.sparkSession
+    config_parts = []
+    params_parts = []
+    for params, codes in measures:
+        p_start = F.lit(params.period_start).cast("date")
+        p_end = F.lit(params.period_end).cast("date")
+        rank = F.lit(DEFAULT_RANK_FALLBACK)
+        for reason, rk in reversed(list(params.evidence_rank.items())):
+            rank = F.when(F.col("evidence_type") == reason, F.lit(rk)).otherwise(rank)
+        # qualifying window per evidence type, resolved to literal dates at
+        # config-build time (int_gap_col_status.sql:106-144): FIT_FOBT the
+        # measurement year, otherwise the N-year lookback from period_end;
+        # unknown types get NULL bounds -> never qualify
+        win_start = F.when(F.col("evidence_type") == "FIT_FOBT", p_start)
+        for ev, years in params.lookback_years.items():
+            win_start = win_start.when(
+                F.col("evidence_type") == ev, dateadd("year", -years, p_end)
+            )
+        config_parts.append(
+            codes.select(
+                F.upper("code").alias("proc_code_u"),
+                "evidence_type",
+                F.lit(params.measure_id).alias("measure_id"),
+                rank.alias("reason_rank"),
+                win_start.alias("win_start"),
+                p_end.alias("win_end"),
+            )
+        )
+        params_parts.append(
+            spark.range(1).select(
+                F.lit(params.measure_id).alias("measure_id"),
+                p_start.alias("period_start"),
+                p_end.alias("period_end"),
+                F.lit(params.min_age).alias("min_age"),
+                F.lit(params.max_age).alias("max_age"),
+                F.lit(params.rule_version).alias("rule_version"),
+            )
+        )
+    config = config_parts[0]
+    for part in config_parts[1:]:
+        config = config.unionByName(part)
+    params_df = params_parts[0]
+    for part in params_parts[1:]:
+        params_df = params_df.unionByName(part)
+
+    spine = (
+        members.crossJoin(broadcast(params_df))
+        .withColumn("age", age_at("birth_date", "period_end"))
+        .withColumn(
+            "is_age_eligible",
+            F.coalesce(
+                F.col("age").between(F.col("min_age"), F.col("max_age")), F.lit(False)
+            ),
+        )
+    )
+
+    qualifying = (
+        claims.withColumn("proc_code_u", F.upper("proc_code"))
+        .join(broadcast(config), "proc_code_u")
+        .filter(F.col("service_date").between(F.col("win_start"), F.col("win_end")))
+        .withColumnRenamed("evidence_type", "closure_reason")
+    )
+    w = Window.partitionBy("member_id", "measure_id").orderBy(
+        F.col("reason_rank").asc(),
+        F.col("service_date").desc(),
+        F.col("claim_id").desc(),
+    )
+    best = (
+        qualifying.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "member_id",
+            "measure_id",
+            F.col("service_date").alias("closure_date"),
+            "closure_reason",
+            F.col("claim_id").alias("evidence_id"),
+        )
+    )
+
+    joined = spine.join(best, ["member_id", "measure_id"], "left")
+    if exclusions is None:
+        for flag in EXCLUSION_FLAGS:
+            joined = joined.withColumn(flag, F.lit(0))
+    else:
+        joined = joined.join(
+            exclusions.select("member_id", *EXCLUSION_FLAGS), "member_id", "left"
+        )
+        for flag in EXCLUSION_FLAGS:
+            joined = joined.withColumn(
+                flag, F.coalesce(F.col(flag).cast("int"), F.lit(0))
+            )
+    has_evidence = F.col("evidence_id").isNotNull()
+    eligible = F.col("is_age_eligible")
+    excluded = F.lit(False)
+    for flag in EXCLUSION_FLAGS:
+        excluded = excluded | (F.col(flag) == 1)
+    return joined.select(
+        "member_id",
+        "measure_id",
+        F.year("period_end").alias("measurement_year"),
+        "age",
+        "is_age_eligible",
+        *EXCLUSION_FLAGS,
+        F.when(~eligible, F.lit(None).cast("int"))
+        .when(excluded, F.lit(None).cast("int"))
+        .when(has_evidence, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gap_flag"),
+        "closure_date",
+        "closure_reason",
+        "evidence_id",
+        "period_start",
+        "period_end",
+        "rule_version",
+    )
+
+
 def gap_tri_state_violations(
     status: DataFrame,
     flag_col: str = "gap_flag",

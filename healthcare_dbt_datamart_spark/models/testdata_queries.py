@@ -1039,15 +1039,18 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gap_status_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure datamart: COL and BCS gap status over the same member
-    spine and claims feed, unioned — one scan pipeline per measure, each
-    fully parameterized (code set, age band, lookbacks, ranking), the
-    measure_id column discriminating. The reference's per-measure model
-    tree (int_gap_<measure>_status) generalizes to config rows here."""
+    spine and claims feed in ONE pass (gap_pipeline.gap_status_multi):
+    the measure×code config broadcasts onto a single claims scan, ranking
+    windows on (member, measure) — adding a measure adds config rows, not
+    scans. The reference's per-measure model tree (int_gap_<measure>_
+    status) generalizes to config rows here."""
+    from .gap_pipeline import gap_status_multi
+
     members, claims, codes_col = _gap_inputs(spark, sf_dir)
     codes_bcs = spark.createDataFrame(BCS_CODES, "code string, evidence_type string")
-    col_status = gap_status(members, claims, codes_col, GAP_PARAMS)
-    bcs_status = gap_status(members, claims, codes_bcs, BCS_PARAMS)
-    return col_status.unionByName(bcs_status)
+    return gap_status_multi(
+        members, claims, [(GAP_PARAMS, codes_col), (BCS_PARAMS, codes_bcs)]
+    )
 
 
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

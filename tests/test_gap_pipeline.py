@@ -158,6 +158,30 @@ def test_violation_families_fire(spark, demo):
     assert ("NOT_QUALIFIED_HAS_VALUE", 3) in v
 
 
+def test_gap_status_multi_equals_per_measure_union(spark, demo):
+    """The single-pass multi-measure plan must produce exactly the union
+    of independent per-measure gap_status runs."""
+    from healthcare_dbt_datamart_spark.models.gap_pipeline import gap_status_multi
+
+    members, claims, codes = demo
+    params2 = GapParams(
+        period_start="2025-01-01", period_end="2025-12-31",
+        min_age=20, max_age=30, measure_id="M2", rule_version="M2_V1",
+        evidence_rank={"FIT_FOBT": 1}, lookback_years={},
+    )
+    single = gap_status(members, claims, codes, PARAMS).unionByName(
+        gap_status(members, claims, codes, params2)
+    )
+    multi = gap_status_multi(
+        members, claims, [(PARAMS, codes), (params2, codes)]
+    )
+    assert multi.columns == single.columns
+    key = lambda r: (r.member_id, r.measure_id)
+    s_rows = {key(r): r for r in single.collect()}
+    m_rows = {key(r): r for r in multi.collect()}
+    assert s_rows == m_rows
+
+
 def test_exception_fact_dedups_incrementally(spark, demo):
     members, claims, codes = demo
     status = gap_status(members, claims, codes, PARAMS)

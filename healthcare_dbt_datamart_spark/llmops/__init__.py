@@ -16,5 +16,5 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash16,
 )
-from .similarity import cosine_topk, sign_lsh_bucket  # noqa: F401
+from .similarity import cosine_topk, sign_lsh_bits  # noqa: F401
 from .textstats import langid_scores, quality_stats, rolling_fingerprint  # noqa: F401

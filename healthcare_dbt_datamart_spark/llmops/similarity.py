@@ -187,11 +187,15 @@ def ivf_topk(
     )
 
 
-def sign_lsh_bucket(vec: Column, dims: tuple[int, ...] = (0, 7, 17, 31)) -> Column:
-    """Random-hyperplane-style LSH bucket: concatenated signs of chosen
+# 16 axis-aligned hyperplane dims spread across a 64-dim embedding
+DEFAULT_LSH_DIMS: tuple[int, ...] = tuple(range(0, 64, 4))
+
+
+def sign_lsh_bits(vec: Column, dims: tuple[int, ...] = DEFAULT_LSH_DIMS) -> Column:
+    """Random-hyperplane-style LSH signature: concatenated signs of chosen
     coordinates (axis-aligned hyperplanes — deterministic and
     cross-engine-reproducible; a production variant would use seeded
-    random projections). 2^len(dims) buckets."""
+    random projections). len(dims) sign bits as a '0'/'1' string."""
     bits = [
         F.when(F.element_at(vec, d + 1).cast("double") >= 0, F.lit("1")).otherwise(
             F.lit("0")
@@ -206,36 +210,63 @@ def near_dup_pairs_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: tuple[int, ...] = (0, 7, 17, 31),
+    dims: tuple[int, ...] = DEFAULT_LSH_DIMS,
+    band_size: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding near-dup detection: bucket by sign-LSH, pair within
-    buckets, verify with exact cosine. The bucket join is the only
-    shuffle; candidate count is Σ bucket² instead of n².
+    """Embedding near-dup detection: 16-bit sign-LSH signature, banded
+    (MinHash-style) into ``len(dims)/band_size`` bands, candidate pairs
+    from shared (band_idx, band_key) cells, verified with exact cosine.
 
-    The vector norm is precomputed per VECTOR before the join (each vector
-    participates in O(bucket) pairs, so folding it per pair would triple
-    the per-pair array work); per pair only the dot product folds."""
-    with_bucket = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("nrm"),
-        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    Scale shape: with b-bit bands the corpus spreads over 2^b cells per
+    band (256 at the default), so candidate count is Σ bucket² ≈ n²/2^b
+    per band — not the n²/16 of a single short signature — and banding
+    keeps recall (a pair needs to agree on any ONE band, not all bits).
+    ``max_bucket`` drops degenerate mega-cells (the all-positive
+    signature region of normalized embeddings) whose quadratic pair
+    blowup would otherwise dominate at 100 TB — same guard as the
+    MinHash ``candidate_pairs``. Pair generation reuses
+    ``dedup.candidate_pairs``: one groupBy shuffle per band key,
+    in-cell pairing as an array expression, distinct across bands.
+
+    The vector norm is computed once per VECTOR before the pair join
+    (each vector participates in O(bucket) pairs); per pair only the dot
+    product folds."""
+    from .dedup import candidate_pairs
+
+    n_bands = len(dims) // band_size
+    bits = sign_lsh_bits(F.col(vec_col), dims)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring(bits, 1 + b * band_size, band_size).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = with_bucket.select(
-        F.col("bucket"),
+    buckets = emb.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+        F.col(id_col),
+    )
+    pairs = candidate_pairs(buckets, id_col, max_bucket=max_bucket)
+    vec = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    a = vec.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = with_bucket.select(
-        F.col("bucket"),
+    b = vec.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -267,25 +298,37 @@ def kmeans_lloyd(
     data-path collect; only the k·d model state comes back per round).
     Empty cells keep their previous centroid. Genuinely iterative —
     driver-held model state feeds the next round's literal expressions,
-    same carve-out class as the connected-components fixpoint."""
-    centroids = ivf_centroids(emb, k, id_col, vec_col)
-    for _ in range(n_iter):
-        assigned = ivf_assign(emb, centroids, id_col, vec_col)
-        means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda x: x["m"],
-                ).alias("centroid")
+    same carve-out class as the connected-components fixpoint.
+
+    The input is persisted for the duration of the fit: every round
+    re-reads the full vector set, and without the cache each Lloyd round
+    re-runs whatever lineage produced ``emb`` — at 100 TB that is a full
+    re-scan per round (memory-and-disk: spills rather than evicts under
+    pressure). Released before returning."""
+    from pyspark import StorageLevel
+
+    cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        centroids = ivf_centroids(cached, k, id_col, vec_col)
+        for _ in range(n_iter):
+            assigned = ivf_assign(cached, centroids, id_col, vec_col)
+            means = (
+                assigned.select("cell", F.posexplode(F.col(vec_col)))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda x: x["m"],
+                    ).alias("centroid")
+                )
+                .collect()
             )
-            .collect()
-        )
-        updated = {int(r["cell"]): [float(v) for v in r["centroid"]] for r in means}
-        centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+            updated = {int(r["cell"]): [float(v) for v in r["centroid"]] for r in means}
+            centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+    finally:
+        cached.unpersist()
     return centroids
 
 

@@ -1438,24 +1438,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus keyword extraction: top-3 TF-IDF terms per source. Explode
     tokens once; term frequency and document frequency are both
     partial-agg groupBys; idf joins back on the term (shuffle on token —
-    the natural key); rank-then-filter top-k per source. The classic
-    text-analytics shuffle pipeline, all exact."""
+    the natural key); rank-then-filter top-k per source. The corpus size
+    is a 1-row aggregate cross-joined (broadcast) into the scoring plan —
+    no separate count() action, the whole query is ONE lazy plan. The
+    classic text-analytics shuffle pipeline, all exact."""
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
     )
-    n_docs = docs.count()  # scalar model state (one number)
+    # scalar model state folded into the plan: column-pruned count branch
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq, "term").crossJoin(broadcast(n_docs)).select(
         "source",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -1532,17 +1535,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability per document against the corpus's own term
     frequencies — low scorers are the out-of-distribution/garbage docs.
     Two partial-agg passes (corpus freqs, per-doc mean) joined on the
-    token — the same shuffle shape as TF-IDF; no Python."""
+    token — the same shuffle shape as TF-IDF; no Python. The corpus token
+    total is a 1-row aggregate cross-joined (broadcast) into the scoring
+    plan — no separate count() action splitting the query in two."""
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
     )
-    total = toks.count()  # scalar model state
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
-    scored = toks.join(freq, "term").select(
+    scored = toks.join(freq, "term").crossJoin(broadcast(total)).select(
         "doc_id",
-        F.log(F.col("tc").cast("double") / F.lit(float(total))).alias("lp"),
+        F.log(F.col("tc").cast("double") / F.col("total")).alias("lp"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1763,11 +1768,11 @@ SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
-_SIGN_BUCKET = (
-  "(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) || "
-  "(CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) || "
-  "(CASE WHEN embedding[18] >= 0 THEN '1' ELSE '0' END) || "
-  "(CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END)"
+# 16 sign bits at dims 0,4,...,60 (1-indexed in DuckDB), banded 2 x 8 —
+# mirrors llmops.similarity.DEFAULT_LSH_DIMS / near_dup_pairs_lsh
+_SIGN_BITS_16 = " || ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for d in range(0, 64, 4)
 )
 
 _LLM_ORACLE = {
@@ -1867,15 +1872,29 @@ FROM documents
     ),
     "embedding_near_dup": f"""
 WITH b AS (
-  SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_SIGN_BITS_16} AS bits FROM embeddings
+),
+bands AS (
+  SELECT vec_id, 0 AS band_idx, substr(bits, 1, 8) AS band_key FROM b
+  UNION ALL
+  SELECT vec_id, 1 AS band_idx, substr(bits, 9, 8) AS band_key FROM b
+),
+ok_cells AS (
+  SELECT band_idx, band_key FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
 ),
 cand AS (
-  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         a.embedding AS ea, c.embedding AS eb
-  FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands a
+  JOIN bands c USING (band_idx, band_key)
+  JOIN ok_cells USING (band_idx, band_key)
+  WHERE a.vec_id < c.vec_id
 ),
 un AS (
-  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand
+  SELECT cand.id_a, cand.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
 ),
 sims AS (
   SELECT id_a, id_b,

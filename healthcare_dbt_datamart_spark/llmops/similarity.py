@@ -234,6 +234,7 @@ def near_dup_pairs_lsh(
     product folds."""
     from .dedup import candidate_pairs
 
+    band_size = min(band_size, len(dims))  # short signatures: one band
     n_bands = len(dims) // band_size
     bits = sign_lsh_bits(F.col(vec_col), dims)
     bands = F.array(

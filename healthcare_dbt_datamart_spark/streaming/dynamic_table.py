@@ -71,6 +71,7 @@ def microbatch_stream(
     checkpoint_dir: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     period: str = "hour",
+    unique_key: str | list[str] | None = None,
 ) -> StreamingQuery:
     """Microbatch incremental: each foreachBatch applies the reference's
     windowed delete+insert (I5), with delete windows aligned to FIXED
@@ -86,6 +87,14 @@ def microbatch_stream(
     inside the watermark re-land in their own period; rows beyond it are
     dropped, matching dbt microbatch re-run semantics.
 
+    CONTRACT (dbt's own): a batch that touches a period re-delivers that
+    period COMPLETELY — the period is the re-run unit. For arrival-based
+    feeds whose micro-batches slice periods arbitrarily (e.g. a file
+    stream with per-row files), pass ``unique_key`` instead: each batch
+    then MERGEs on the key (update re-delivered rows, insert new ones,
+    never delete), which is the order-safe semantic when period-complete
+    delivery cannot be assumed.
+
     The per-batch distinct-period collect is bounded model state: the
     watermark bounds the batch's event-time span, so the period count is
     span/period, never data-sized.
@@ -99,6 +108,15 @@ def microbatch_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if unique_key is not None:
+            incremental_run(
+                batch_df.sparkSession,
+                name,
+                batch_df,
+                strategy="merge",
+                unique_key=unique_key,
+            )
             return
         starts = [
             r[0]

@@ -220,7 +220,10 @@ def test_stateful_user_totals_across_batches(spark, events, tmp_path):
 def test_microbatch_stream_delete_insert(spark, events, tmp_path):
     """foreachBatch microbatch path: re-delivered rows inside the batch's
     event-time span replace prior target rows (I5 semantics) instead of
-    double-appending."""
+    double-appending. Batches are delivered period-complete (one file per
+    directory drop) — the dbt microbatch contract the period-aligned
+    delete+insert assumes; see the unique_key test for arrival-based
+    feeds."""
     from healthcare_dbt_datamart_spark.streaming import microbatch_stream
 
     src_dir = tmp_path / "mb_src"
@@ -229,10 +232,8 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
     name = "mb_target"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
-    events.write.mode("overwrite").parquet(str(src_dir / "b1"))
-    stream = spark.readStream.schema(events.schema).option(
-        "maxFilesPerTrigger", "1"
-    ).parquet(str(src_dir / "*"))
+    events.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir / "*"))
     q = microbatch_stream(stream, name, event_time="ts", checkpoint_dir=ckpt)
     try:
         q.processAllAvailable()
@@ -246,7 +247,7 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
              ("2024-01-01 10:05:00", 2, "click", 4.0)],
             "ts string, user_id long, event_type string, value double",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
-        redeliver.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        redeliver.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
         q.processAllAvailable()
         # foreachBatch swaps the table from a cloned session; this session
         # must drop its cached relation before re-reading
@@ -257,6 +258,49 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
         assert out.filter(
             (F.col("user_id") == 1) & (F.col("value") == 99.0)
         ).count() == 1
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_microbatch_stream_unique_key_merge_for_arrival_batches(
+    spark, events, tmp_path
+):
+    """Arrival-based feeds (row-grain files, one per micro-batch) cannot
+    assume period-complete delivery; with unique_key the stream MERGEs
+    each batch — earlier rows of the same period survive, re-delivered
+    keys update in place."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    src_dir = tmp_path / "mb_src3"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "mb_ckpt3")
+    name = "mb_target_keyed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    events.write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"  # deliberately slices periods across batches
+    ).parquet(str(src_dir / "*"))
+    q = microbatch_stream(
+        stream, name, event_time="ts", checkpoint_dir=ckpt,
+        unique_key=["ts", "user_id", "event_type"],
+    )
+    try:
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        assert spark.table(name).count() == events.count()
+        redeliver = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 1, "click", 99.0)],
+            "ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        redeliver.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        out = spark.table(name)
+        assert out.count() == events.count()  # updated, not appended
+        assert out.filter(F.col("value") == 99.0).count() == 1
+        assert out.filter(F.col("value") == 1.0).count() == 0
     finally:
         q.stop()
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -282,10 +326,8 @@ def test_microbatch_stream_out_of_order_batch_preserves_middle(spark, tmp_path):
     ckpt = str(tmp_path / "mb_ckpt2")
     name = "mb_target_ooo"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    base.write.mode("overwrite").parquet(str(src_dir / "b1"))
-    stream = spark.readStream.schema(base.schema).option(
-        "maxFilesPerTrigger", "1"
-    ).parquet(str(src_dir / "*"))
+    base.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(base.schema).parquet(str(src_dir / "*"))
     q = microbatch_stream(
         stream, name, event_time="ts", watermark_delay="6 hours",
         checkpoint_dir=ckpt, period="hour",
@@ -299,7 +341,7 @@ def test_microbatch_stream_out_of_order_batch_preserves_middle(spark, tmp_path):
              ("2024-01-01 12:30:00", 1, "purchase", 4.0)],
             schema,
         ).withColumn("ts", F.col("ts").cast("timestamp"))
-        late_plus_new.write.mode("overwrite").parquet(str(src_dir / "b2"))
+        late_plus_new.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
         q.processAllAvailable()
         spark.catalog.refreshTable(name)
         out = spark.table(name)

@@ -11,6 +11,7 @@ from .scalar import (  # noqa: F401
     add_years,
     age_at,
     any_value,
+    audit_columns,
     bool_or_,
     cast_bool_to_text,
     concat_pipe,

@@ -11,6 +11,20 @@ models:
   fct_gap_exceptions   <- models/marts/gaps/fct_gap_exceptions.sql
                           (incremental, unique_key=exception_key)
 
+plus the reference's DECLARED-empty marts (0-byte files marking intent,
+SURVEY §0; semantics are this engine's, the names and layer placement
+are the reference's):
+
+  fct_claims           <- models/marts/claims/fct_claims.sql (0-byte):
+                          claim-line fact + surrogate key + screening flag
+  dim_member           <- models/marts/members/dim_member.sql (0-byte):
+                          member dim + age/eligibility as of period_end
+  member_cost_summary  <- models/marts/analytics/member_cost_summary.sql
+                          (0-byte): per-member claim rollup
+  snap_dim_member      <- snapshots/snap_dim_member.sql (0-byte): SCD2
+                          snapshot over dim_member (check strategy, all
+                          columns — no updated_at on the dim)
+
 A user of the reference runs ``dbt run``; a user of this engine calls
 ``build_datamart(...).run()``.
 """
@@ -83,5 +97,91 @@ def build_datamart(
         violations = ctx.ref("int_gap_col_violations")
         existing = ctx.this if ctx.is_incremental() else None
         return fct_gap_exceptions(violations, run_ts, existing=existing)
+
+    from ..functions import age_at, audit_columns, surrogate_key
+
+    @r.model(materialized="table")
+    def fct_claims(ctx):
+        # declared intent of models/marts/claims/fct_claims.sql (0-byte):
+        # one row per claim line, surrogate-keyed, screening-code flagged
+        claims = ctx.ref("stg_claim_lines")
+        codes = ctx.source("col_fit_fobt_codes")
+        flagged = claims.join(
+            F.broadcast(
+                codes.select(F.upper("code").alias("proc_code")).distinct()
+                .withColumn("is_screening", F.lit(1))
+            ),
+            "proc_code",
+            "left",
+        )
+        return audit_columns(
+            flagged.select(
+                surrogate_key(F.col("claim_id"), F.col("member_id")).alias("claim_sk"),
+                "claim_id",
+                "member_id",
+                "service_date",
+                "proc_code",
+                F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+            ),
+            run_ts=run_ts,
+        )
+
+    @r.model(materialized="table")
+    def dim_member(ctx):
+        # declared intent of models/marts/members/dim_member.sql (0-byte)
+        members = ctx.ref("stg_members")
+        p_end = F.lit(params.period_end).cast("date")
+        age = age_at("birth_date", p_end)
+        return audit_columns(
+            members.select(
+                surrogate_key(F.col("member_id")).alias("member_sk"),
+                "member_id",
+                "birth_date",
+                age.alias("age"),
+                F.coalesce(
+                    age.between(params.min_age, params.max_age), F.lit(False)
+                ).alias("is_age_eligible"),
+            ),
+            run_ts=run_ts,
+        )
+
+    @r.model(materialized="table")
+    def member_cost_summary(ctx):
+        # declared intent of models/marts/analytics/member_cost_summary.sql
+        # (0-byte): per-member rollup over the claims fact — one partial-agg
+        # groupBy on the member key
+        claims = ctx.ref("fct_claims")
+        return ctx.ref("dim_member").select("member_id", "is_age_eligible").join(
+            claims.groupBy("member_id").agg(
+                F.count(F.lit(1)).alias("n_claims"),
+                F.sum("is_screening").alias("n_screening_claims"),
+                F.min("service_date").alias("first_service_date"),
+                F.max("service_date").alias("last_service_date"),
+            ),
+            "member_id",
+            "left",
+        ).select(
+            "member_id",
+            "is_age_eligible",
+            F.coalesce("n_claims", F.lit(0)).alias("n_claims"),
+            F.coalesce("n_screening_claims", F.lit(0)).alias("n_screening_claims"),
+            "first_service_date",
+            "last_service_date",
+        )
+
+    @r.model(
+        name="snap_dim_member",
+        materialized="snapshot",
+        unique_key="member_id",
+        strategy="check",
+        check_cols="all",
+        run_ts=run_ts,
+    )
+    def snap_dim_member_model(ctx):
+        # declared intent of snapshots/snap_dim_member.sql (0-byte): SCD2
+        # history over the member dim; check strategy compares all columns
+        # (snapshots/strategies.sql:145-187) since the dim has no
+        # reliable updated_at
+        return ctx.ref("dim_member").drop("_loaded_at", "_run_id", "_loaded_by")
 
     return r

@@ -368,6 +368,77 @@ def q_gap_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# declared marts (reference 0-byte files; datamart.py registers them as
+# models — these are the same shapes as standalone driver queries)
+# ---------------------------------------------------------------------------
+
+def _screening_flagged_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members, claims, codes = _gap_inputs(spark, sf_dir)
+    return members, claims.join(
+        broadcast(
+            codes.select(F.upper("code").alias("proc_code")).distinct()
+            .withColumn("is_screening", F.lit(1))
+        ),
+        "proc_code",
+        "left",
+    )
+
+
+def q_fct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claims fact (models/marts/claims/fct_claims.sql declared intent):
+    surrogate-keyed claim lines + screening-code flag via broadcast
+    code-set left join (models/datamart.py::fct_claims)."""
+    _, flagged = _screening_flagged_claims(spark, sf_dir)
+    return flagged.select(
+        surrogate_key(F.col("claim_id"), F.col("member_id")).alias("claim_sk"),
+        "claim_id",
+        "member_id",
+        "service_date",
+        "proc_code",
+        F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+    )
+
+
+def q_dim_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member dimension (models/marts/members/dim_member.sql declared
+    intent): spine + age/eligibility as of period_end
+    (models/datamart.py::dim_member)."""
+    members, _, _ = _gap_inputs(spark, sf_dir)
+    p_end = F.lit(GAP_PARAMS.period_end).cast("date")
+    age = age_at("birth_date", p_end)
+    return members.select(
+        surrogate_key(F.col("member_id")).alias("member_sk"),
+        "member_id",
+        "birth_date",
+        age.cast("int").alias("age"),
+        F.coalesce(
+            age.between(GAP_PARAMS.min_age, GAP_PARAMS.max_age), F.lit(False)
+        ).alias("is_age_eligible"),
+    )
+
+
+def q_member_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-member rollup (models/marts/analytics/member_cost_summary.sql
+    declared intent): claim counts + screening counts + service-date span,
+    left-joined so claim-less members keep zero rows
+    (models/datamart.py::member_cost_summary)."""
+    members, flagged = _screening_flagged_claims(spark, sf_dir)
+    per = flagged.groupBy("member_id").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum(F.coalesce("is_screening", F.lit(0))).alias("n_screening_claims"),
+        F.min("service_date").alias("first_service_date"),
+        F.max("service_date").alias("last_service_date"),
+    )
+    return members.select("member_id").join(per, "member_id", "left").select(
+        "member_id",
+        F.coalesce("n_claims", F.lit(0)).alias("n_claims"),
+        F.coalesce("n_screening_claims", F.lit(0)).alias("n_screening_claims"),
+        "first_service_date",
+        "last_service_date",
+    )
+
+
+# ---------------------------------------------------------------------------
 # projections / filters
 # ---------------------------------------------------------------------------
 
@@ -742,12 +813,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column path: text bytes as opaque media ->
-    Arrow-batched mapInPandas feature extraction (decode stubbed —
-    rows-only check, no SQL oracle)."""
+    Arrow-batched mapInPandas feature extraction. Projects the columns
+    that are pure functions of the payload bytes (n_bytes, content_md5)
+    so the Python-path plumbing gets a REAL DuckDB oracle; the
+    stub-decoded width/height stay in q_multimodal_decode (rows-only)."""
     from ..llmops.multimodal import extract_features, text_as_media
 
     docs = load(spark, sf_dir, "documents")
-    return extract_features(text_as_media(docs, "text", "doc_id"))
+    return extract_features(text_as_media(docs, "text", "doc_id")).select(
+        "media_id", "media_type", "n_bytes", "content_md5"
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decoded dimensions from the same mapInPandas pass (decode is
+    the explicitly-stubbed step — rows-only check, no SQL oracle)."""
+    from ..llmops.multimodal import extract_features, text_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(text_as_media(docs, "text", "doc_id")).select(
+        "media_id", "width", "height"
+    )
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,6 +1729,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "gap_status": q_gap_status,
     "gap_status_excl": q_gap_status_excl,
+    "fct_claims": q_fct_claims,
+    "dim_member": q_dim_member,
+    "member_cost_summary": q_member_cost_summary,
     "gap_violations": q_gap_violations,
     "gap_exceptions": q_gap_exceptions,
     "stg_claim_lines": q_stg_claim_lines,
@@ -1675,6 +1764,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "date_functions": q_date_functions,
@@ -2138,6 +2228,87 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
 # near_dup_clusters, kmeans_cells: iterative fixpoints — deliberately NO
 # oracle entries (driver records the rows-only check per the contract
 # carve-out).
+
+# -- declared-mart oracles (share the recast star CTEs of _gap_inputs) -----
+
+_STAR_CTES = f"""
+members AS (
+  SELECT c.c_custkey AS member_id, CAST(MIN(o.o_orderdate) AS DATE) AS birth_date
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+),
+codes(code, evidence_type) AS (
+  VALUES {", ".join(f"('{c}','{e}')" for c, e in GAP_CODES)}
+),
+claims AS (
+  SELECT l.l_orderkey * 10 + l.l_linenumber AS claim_id,
+         o.o_custkey AS member_id,
+         CAST(l.l_shipdate AS DATE) AS service_date,
+         UPPER(p.p_brand) AS proc_code
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+flagged AS (
+  SELECT c.*, CASE WHEN c.proc_code IN (SELECT DISTINCT UPPER(code) FROM codes)
+                   THEN 1 ELSE 0 END AS is_screening
+  FROM claims c
+)
+"""
+
+ORACLE["fct_claims"] = f"""
+WITH {_STAR_CTES}
+SELECT md5(concat_ws('|', coalesce(CAST(claim_id AS VARCHAR), ''),
+                          coalesce(CAST(member_id AS VARCHAR), ''))) AS claim_sk,
+       claim_id, member_id, service_date, proc_code,
+       CAST(is_screening AS INTEGER) AS is_screening
+FROM flagged
+"""
+
+_PE = GAP_PARAMS.period_end
+_DIM_AGE = (
+    f"(YEAR(DATE '{_PE}') - YEAR(birth_date))"
+    f" - CASE WHEN birth_date + to_years(CAST(YEAR(DATE '{_PE}')"
+    f" - YEAR(birth_date) AS INTEGER)) > DATE '{_PE}' THEN 1 ELSE 0 END"
+)
+
+ORACLE["dim_member"] = f"""
+WITH {_STAR_CTES}
+SELECT md5(concat_ws('|', coalesce(CAST(member_id AS VARCHAR), ''))) AS member_sk,
+       member_id, birth_date,
+       CAST({_DIM_AGE} AS INTEGER) AS age,
+       COALESCE({_DIM_AGE} BETWEEN {GAP_PARAMS.min_age} AND {GAP_PARAMS.max_age},
+                FALSE) AS is_age_eligible
+FROM members
+"""
+
+ORACLE["member_cost_summary"] = f"""
+WITH {_STAR_CTES},
+per AS (
+  SELECT member_id, COUNT(*) AS n_claims,
+         CAST(SUM(is_screening) AS BIGINT) AS n_screening_claims,
+         MIN(service_date) AS first_service_date,
+         MAX(service_date) AS last_service_date
+  FROM flagged GROUP BY member_id
+)
+SELECT m.member_id,
+       CAST(COALESCE(p.n_claims, 0) AS BIGINT) AS n_claims,
+       CAST(COALESCE(p.n_screening_claims, 0) AS BIGINT) AS n_screening_claims,
+       p.first_service_date, p.last_service_date
+FROM members m LEFT JOIN per p ON m.member_id = p.member_id
+"""
+
+# multimodal_features: the Arrow mapInPandas path checked against the
+# byte-pure columns (DuckDB md5(VARCHAR) hashes the UTF-8 encoding —
+# identical to hashing the encoded payload bytes). multimodal_decode
+# (width/height) is the stubbed decode: rows-only by design.
+ORACLE["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
 
 ORACLE["events_asof_error"] = """
 WITH r AS (

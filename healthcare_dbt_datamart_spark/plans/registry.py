@@ -114,6 +114,11 @@ class ModelRegistry:
         from ..operators.incremental import incremental_run
         from ..operators.snapshot import snapshot_run
 
+        # pre-hooks run after compile, before the main build — the
+        # reference's run_hooks wrapper around every materialization
+        # (dbt-adapters/macros/materializations/hooks.sql; called from
+        # e.g. incremental.sql:28-31)
+        self._run_hooks(mdef.config.get("pre_hook"), name)
         m = mdef.materialized
         if m == "view":
             mat.materialize_view(self.spark, name, df)
@@ -152,8 +157,61 @@ class ModelRegistry:
             out = self.spark.table(name)
         else:
             raise ValueError(f"unknown materialization: {m}")
+        self._run_hooks(mdef.config.get("post_hook"), name)
         self._built[name] = out
         return out
+
+    def _run_hooks(self, hooks, model_name: str) -> None:
+        """Execute pre/post hooks (``hooks.sql`` run_hooks): each hook is
+        a SQL string (run via ``spark.sql``) or a Python callable taking
+        the model's ``ModelContext`` — the engine's "Jinja hook" analog.
+        A single hook or a list both work, like dbt's config."""
+        if hooks is None:
+            return
+        if isinstance(hooks, (str,)) or callable(hooks):
+            hooks = [hooks]
+        for h in hooks:
+            if callable(h):
+                h(ModelContext(self, model_name))
+            else:
+                self.spark.sql(h)
+
+    def unit_test(
+        self,
+        name: str,
+        given: dict[str, DataFrame],
+        expect: DataFrame,
+    ) -> DataFrame:
+        """dbt unit test (``dbt-adapters/macros/unit_test_sql/
+        get_fixture_sql.sql`` + ``default__get_unit_test_sql``): build
+        model ``name`` with its refs/sources REPLACED by the ``given``
+        fixture relations (anything not overridden resolves normally,
+        compile-style — nothing materializes), then compare against the
+        ``expect`` fixture. Returns the tagged actual/expected diff —
+        empty means the unit test passes."""
+        from ..operators.testing import unit_test as compare
+
+        memo: dict[str, DataFrame] = {}
+        registry = self
+
+        class _Fixture(ModelContext):
+            def ref(self, n: str) -> DataFrame:  # type: ignore[override]
+                return build(n)
+
+            def source(self, n: str) -> DataFrame:  # type: ignore[override]
+                return given[n] if n in given else registry.get_source(n)
+
+        def build(n: str) -> DataFrame:
+            if n in given:
+                return given[n]
+            if n in memo:
+                return memo[n]
+            if n in registry._sources:
+                return registry._sources[n]
+            memo[n] = registry._models[n].fn(_Fixture(registry, n))
+            return memo[n]
+
+        return compare(build(name), expect)
 
     def run(
         self, full_refresh: bool = False, select: str | None = None

@@ -728,3 +728,110 @@ def test_admin_print_query_logs_rows(spark):
     assert out == "OK"
     assert any("QUERY" in str(l) for l in lines)
     assert sum(1 for l in lines if "Row" in str(l)) == 2
+
+
+# -- full datamart DAG, hooks, unit tests ----------------------------------
+
+def test_full_datamart_dag_with_marts_and_snapshot(spark):
+    """registry.run() builds the complete reference DAG including the
+    declared-empty marts (fct_claims / dim_member / member_cost_summary)
+    and the snap_dim_member SCD2 snapshot, with the generic test library
+    green over the outputs."""
+    from datetime import date
+
+    from healthcare_dbt_datamart_spark.models.datamart import build_datamart
+    from healthcare_dbt_datamart_spark.models.gap_pipeline import GapParams
+
+    members = _df(
+        spark,
+        [(1, date(1970, 1, 1)), (2, date(1950, 6, 15)), (3, date(2000, 5, 20))],
+        "member_id long, birth_date date",
+    )
+    claims = _df(
+        spark,
+        [(1001, 1, date(2025, 7, 1), "82274"),
+         (1002, 2, date(2025, 2, 10), "12345")],
+        "claim_id long, member_id long, service_date date, proc_code string",
+    )
+    codes = _df(spark, [("82274", "FIT_FOBT")], "code string, evidence_type string")
+    params = GapParams(period_start="2025-01-01", period_end="2025-12-31")
+    r = build_datamart(spark, members, claims, codes, params,
+                       run_ts="2026-01-01 00:00:00")
+    out = r.run()
+    assert set(out) >= {
+        "stg_members", "stg_claim_lines", "int_gap_col_status",
+        "int_gap_col_violations", "fct_gap_exceptions",
+        "fct_claims", "dim_member", "member_cost_summary", "snap_dim_member",
+    }
+
+    fct = spark.table("fct_claims")
+    assert fct.count() == 2
+    assert fct.filter("is_screening = 1").count() == 1
+    dim = spark.table("dim_member")
+    assert dim.count() == 3
+    mcs = {r.member_id: r for r in spark.table("member_cost_summary").collect()}
+    assert mcs[1].n_claims == 1 and mcs[1].n_screening_claims == 1
+    assert mcs[3].n_claims == 0
+
+    # snapshot: first run all-current; a changed member closes out + re-inserts
+    snap = spark.table("snap_dim_member")
+    assert snap.filter("dbt_valid_to IS NULL").count() == 3
+
+    # generic tests attached to the marts
+    assert run_test(unique_test(fct, "claim_sk")).status == "pass"
+    assert run_test(not_null_test(dim, "member_sk")).status == "pass"
+    assert run_test(
+        relationships_test(fct, "member_id", dim, "member_id")
+    ).status == "pass"
+    assert run_test(
+        accepted_values_test(fct, "is_screening", [0, 1])
+    ).status == "pass"
+
+
+def test_registry_hooks_run_in_order(spark):
+    """Pre-hooks run after compile / before the build, post-hooks after
+    (hooks.sql run_hooks); SQL-string and callable hooks both work."""
+    r = ModelRegistry(spark)
+    calls = []
+
+    @r.model(
+        materialized="table",
+        pre_hook=[lambda ctx: calls.append(("pre", ctx.name)),
+                  "SELECT 1 AS hook_probe"],
+        post_hook=lambda ctx: calls.append(
+            ("post", ctx.this is not None and ctx.this.count())
+        ),
+    )
+    def hooked(ctx):
+        calls.append(("build", None))
+        return _df(spark, [(1,), (2,)], "a long")
+
+    r.run()
+    assert calls[0] == ("build", None)       # compile happens first
+    assert calls[1] == ("pre", "hooked")     # then pre-hooks
+    assert calls[2] == ("post", 2)           # post sees the built table
+
+
+def test_registry_unit_test_fixture_override(spark):
+    """Registry unit tests (get_fixture_sql analog): refs resolve to the
+    given fixtures, the model output compares against expect; an empty
+    diff is a pass and a wrong expectation surfaces as tagged rows."""
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1, 5), (2, 6)], "id long, v long"))
+
+    @r.model()
+    def base(ctx):
+        return ctx.source("raw")
+
+    @r.model()
+    def doubled(ctx):
+        return ctx.ref("base").select("id", (F.col("v") * 2).alias("v2"))
+
+    given = {"base": _df(spark, [(1, 10)], "id long, v long")}
+    ok = r.unit_test("doubled", given, _df(spark, [(1, 20)], "id long, v2 long"))
+    assert ok.count() == 0
+    bad = r.unit_test("doubled", given, _df(spark, [(1, 21)], "id long, v2 long"))
+    tags = {row.which for row in bad.collect()}
+    assert tags == {"actual", "expected"}
+    # nothing materialized by unit tests
+    assert not spark.catalog.tableExists("doubled")

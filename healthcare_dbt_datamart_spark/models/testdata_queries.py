@@ -343,10 +343,13 @@ def q_gap_status_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
     members (int_gap_col_status.sql:60-66,196-203), while the reference's
     stub (all-zero flags) is what the flagship ``gap_status`` runs."""
     members, claims, codes = _gap_inputs(spark, sf_dir)
-    exclusions = members.select(
-        "member_id",
+    # flags are pure functions of member_id, so derive them from the bare
+    # customer scan — NOT from `members`, whose customer⟕orders aggregate
+    # would otherwise compute twice (once for the spine, once here)
+    exclusions = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("member_id"),
         *[
-            (F.col("member_id") % EXCL_MOD == r).cast("int").alias(name)
+            (F.col("c_custkey") % EXCL_MOD == r).cast("int").alias(name)
             for name, r in EXCL_RESIDUES.items()
         ],
     )
@@ -1726,62 +1729,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dict ORDER is load-bearing: the driver's correctness gate checks the
+# first 50 keys. Round-2 ordering: (1) the 24 queries round 1's window
+# never reached, (2) queries new or semantically changed this round,
+# (3) round-1-green unchanged queries trail (their r01 rows stand).
 QUERIES = {
-    "gap_status": q_gap_status,
-    "gap_status_excl": q_gap_status_excl,
-    "fct_claims": q_fct_claims,
-    "dim_member": q_dim_member,
-    "member_cost_summary": q_member_cost_summary,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "stg_claim_lines": q_stg_claim_lines,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "listagg_nations": q_listagg_nations,
-    "window_best_order": q_window_best_order,
-    "set_except": q_set_except,
-    "set_intersect": q_set_intersect,
-    "union_all_tagged": q_union_all_tagged,
-    "surrogate_keys": q_surrogate_keys,
-    "date_spine_orders": q_date_spine_orders,
-    "datediff_age_orders": q_datediff_age_orders,
-    "events_hourly": q_events_hourly,
-    "events_json": q_events_json,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "minhash_buckets": q_minhash_buckets,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "simhash_docs": q_simhash_docs,
-    "text_quality": q_text_quality,
-    "langid_stopwords": q_langid_stopwords,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk": q_cosine_topk,
-    "cosine_topk_label": q_cosine_topk_label,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ivf_topk": q_ivf_topk,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_decode": q_multimodal_decode,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "date_functions": q_date_functions,
-    "freshness_events": q_freshness_events,
-    "agg_any_bool": q_agg_any_bool,
-    "nullsafe_join": q_nullsafe_join,
-    "merge_upsert": q_merge_upsert,
-    "microbatch_events": q_microbatch_events,
-    "scd2_customers": q_scd2_customers,
-    "bpe_token_count": q_bpe_token_count,
-    "rollup_revenue": q_rollup_revenue,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "lang_agreement": q_lang_agreement,
-    "hash_split": q_hash_split,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
+    # -- (1) previously outside the driver's 50-query window ---------------
     "near_dup_clusters": q_near_dup_clusters,
     "events_asof_error": q_events_asof_error,
     "events_follow_error": q_events_follow_error,
@@ -1806,6 +1759,63 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "events_sliding": q_events_sliding,
     "quantiles_price": q_quantiles_price,
+    # -- (2) new or changed in round 2 -------------------------------------
+    "gap_status_excl": q_gap_status_excl,
+    "fct_claims": q_fct_claims,
+    "dim_member": q_dim_member,
+    "member_cost_summary": q_member_cost_summary,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
+    "stg_claim_lines": q_stg_claim_lines,
+    "union_all_tagged": q_union_all_tagged,
+    "events_json": q_events_json,
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "embedding_near_dup": q_embedding_near_dup,
+    # -- (3) round-1 green, unchanged --------------------------------------
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "listagg_nations": q_listagg_nations,
+    "window_best_order": q_window_best_order,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "surrogate_keys": q_surrogate_keys,
+    "date_spine_orders": q_date_spine_orders,
+    "datediff_age_orders": q_datediff_age_orders,
+    "events_hourly": q_events_hourly,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_buckets": q_minhash_buckets,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash_docs": q_simhash_docs,
+    "text_quality": q_text_quality,
+    "langid_stopwords": q_langid_stopwords,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_label": q_cosine_topk_label,
+    "ivf_topk": q_ivf_topk,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "date_functions": q_date_functions,
+    "freshness_events": q_freshness_events,
+    "agg_any_bool": q_agg_any_bool,
+    "nullsafe_join": q_nullsafe_join,
+    "merge_upsert": q_merge_upsert,
+    "microbatch_events": q_microbatch_events,
+    "scd2_customers": q_scd2_customers,
+    "bpe_token_count": q_bpe_token_count,
+    "rollup_revenue": q_rollup_revenue,
+    "lang_agreement": q_lang_agreement,
+    "hash_split": q_hash_split,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 

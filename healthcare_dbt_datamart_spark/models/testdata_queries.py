@@ -1681,6 +1681,105 @@ def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_check_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SN2 check-strategy change detection with the null-asymmetry
+    branches (snapshots/strategies.sql:145-187; operators/snapshot.py::
+    _row_changed_check): v2 NULLs the segment for custkey%11=0 and bumps
+    acctbal for custkey%13=0; a row changed iff any check column fails
+    null-safe equality — value→NULL and NULL→value both count."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 50)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    j = cust.alias("snap").join(v2.alias("src"), "c_custkey")
+    changed = (
+        ~F.col("snap.c_mktsegment").eqNullSafe(F.col("src.c_mktsegment"))
+    ) | (~F.col("snap.c_acctbal").eqNullSafe(F.col("src.c_acctbal")))
+    return j.filter(changed).select(
+        "c_custkey",
+        F.col("snap.c_mktsegment").alias("old_segment"),
+        F.col("src.c_mktsegment").alias("new_segment"),
+        F.col("snap.c_acctbal").alias("old_bal"),
+        F.col("src.c_acctbal").alias("new_bal"),
+    )
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent word pairs by PMI
+    (log(p(ab) / p(a)p(b))) with a min-count support floor — the phrase
+    mining / tokenizer-merge-candidate pass of a training-data pipeline.
+    One tokenize pass fans into bigram counts and unigram counts; the two
+    corpus totals fold in as 1-row broadcast aggregates; the unigram
+    table joins back twice on the word — all partial-agg shuffles on
+    natural keys, no Python."""
+    docs = load_spread(spark, sf_dir, "documents")
+    w = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    uni = w.select(F.explode("w").alias("t"))
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("a"),
+                    F.element_at("w", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_uni = uni.agg(F.count(F.lit(1)).cast("double").alias("n_uni"))
+    n_big = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("uc"))
+    bcnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        bcnt.filter(F.col("bc") >= 20)
+        .join(ucnt.withColumnsRenamed({"t": "a", "uc": "ua"}), "a")
+        .join(ucnt.withColumnsRenamed({"t": "b", "uc": "ub"}), "b")
+        .crossJoin(broadcast(n_uni))
+        .crossJoin(broadcast(n_big))
+        .select(
+            "a",
+            "b",
+            "bc",
+            F.round(
+                F.log(
+                    (F.col("bc") / F.col("n_big"))
+                    / ((F.col("ua") / F.col("n_uni")) * (F.col("ub") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+
+
+def q_vocab_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank-frequency table (the Zipf audit every corpus
+    profile starts with): top-50 terms by frequency with their rank —
+    one explode + partial-agg groupBy + global rank-then-filter."""
+    docs = load_spread(spark, sf_dir, "documents")
+    freq = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    ).groupBy("t").agg(F.count(F.lit(1)).alias("freq"))
+    # top-k FIRST (TakeOrderedAndProject, distributed), THEN rank the 50
+    # survivors — a global row_number window over the whole vocabulary
+    # would single-partition it
+    top = freq.orderBy(F.col("freq").desc(), F.col("t").asc()).limit(50)
+    w = Window.orderBy(F.col("freq").desc(), F.col("t").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("t", "freq", "rank")
+
+
 def q_gap_status_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline authored as ONE raw Spark SQL statement
     (models/sql_datamart.py) — dbt's SQL models port 1:1 onto the
@@ -1775,6 +1874,9 @@ QUERIES = {
     "gap_status_sql": q_gap_status_sql,
     "gap_status_multi": q_gap_status_multi,
     "embedding_near_dup": q_embedding_near_dup,
+    "scd2_check_customers": q_scd2_check_customers,
+    "bigram_pmi": q_bigram_pmi,
+    "vocab_ranked": q_vocab_ranked,
     # -- (3) round-1 green, unchanged --------------------------------------
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2238,6 +2340,59 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
 # near_dup_clusters, kmeans_cells: iterative fixpoints — deliberately NO
 # oracle entries (driver records the rows-only check per the contract
 # carve-out).
+
+ORACLE["scd2_check_customers"] = """
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+)
+SELECT s.c_custkey,
+       s.c_mktsegment AS old_segment, v.c_mktsegment AS new_segment,
+       s.c_acctbal AS old_bal, v.c_acctbal AS new_bal
+FROM customer s JOIN v2 v USING (c_custkey)
+WHERE s.c_mktsegment IS DISTINCT FROM v.c_mktsegment
+   OR s.c_acctbal IS DISTINCT FROM v.c_acctbal
+"""
+
+ORACLE["bigram_pmi"] = """
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+uni AS (SELECT unnest(w) AS t FROM w),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'a': w[i], 'b': w[i+1]})) AS p
+  FROM w WHERE len(w) >= 2
+),
+pab AS (SELECT p.a AS a, p.b AS b FROM pairs),
+n_uni AS (SELECT COUNT(*)::DOUBLE AS n_uni FROM uni),
+n_big AS (SELECT COUNT(*)::DOUBLE AS n_big FROM pab),
+ucnt AS (SELECT t, COUNT(*) AS uc FROM uni GROUP BY t),
+bcnt AS (SELECT a, b, COUNT(*) AS bc FROM pab GROUP BY a, b)
+SELECT a, b, bc,
+       round(ln((bc / n_big.n_big)
+                / ((ua.uc / n_uni.n_uni) * (ub.uc / n_uni.n_uni))), 6) AS pmi
+FROM bcnt
+JOIN ucnt ua ON ua.t = bcnt.a
+JOIN ucnt ub ON ub.t = bcnt.b
+CROSS JOIN n_uni CROSS JOIN n_big
+WHERE bc >= 20
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+ORACLE["vocab_ranked"] = """
+WITH freq AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+cnt AS (SELECT t, COUNT(*) AS freq FROM freq GROUP BY t)
+SELECT t, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t ASC) AS INTEGER) AS rank
+FROM cnt ORDER BY freq DESC, t ASC LIMIT 50
+"""
 
 # -- declared-mart oracles (share the recast star CTEs of _gap_inputs) -----
 

@@ -108,24 +108,39 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties to the
-    lowest centroid id) — one map-only projection, zero shuffle: the k
-    centroid similarities are literal expressions folded per row, and the
-    argmax is ``array_max`` over (sim, -cid) structs.
+    lowest centroid id) — one map-only pass, zero shuffle: the centroid
+    table rides in as a broadcast 1-row array-of-structs and the per-row
+    work is a generic ``transform`` + ``array_max`` over (sim, -cid)
+    structs. Carrying the centroids as broadcast DATA (not k·d literal
+    expressions) keeps the generated code small and constant in k — an
+    iterative caller (Lloyd) recompiles only a tiny plan per round, and
+    k can grow to thousands of cells without blowing up codegen.
 
     At scale the assignment is written once and the table is PARTITIONED
     BY (cell): probing then becomes partition pruning at the scan."""
-    nrm = _norm(F.col(vec_col))
-    cells = F.array(
-        *[
-            F.struct(
-                F.round(_dot(F.col(vec_col), _lit_vec(cv)) / (nrm * F.lit(_py_norm(cv))), 6).alias("sim"),
-                F.lit(-cid).alias("neg_cid"),
-            )
-            for cid, cv in centroids
-        ]
+    spark = emb.sparkSession
+    cdata = [
+        (int(cid), [float(x) for x in cv], float(_py_norm(cv)))
+        for cid, cv in centroids
+    ]
+    cdf = spark.createDataFrame(
+        [(cdata,)],
+        "cents array<struct<cid:int,cvec:array<double>,cnorm:double>>",
     )
-    best = F.array_max(cells)
-    staged = emb.select(F.col(id_col), F.col(vec_col), best.alias("_best"))
+    nrm = _norm(F.col(vec_col))
+    sims = F.transform(
+        "cents",
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col(vec_col), c["cvec"]) / (nrm * c["cnorm"]), 6
+            ).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+        ),
+    )
+    staged = (
+        emb.crossJoin(broadcast(cdf))
+        .select(F.col(id_col), F.col(vec_col), F.array_max(sims).alias("_best"))
+    )
     return staged.select(
         F.col(id_col),
         F.col(vec_col),

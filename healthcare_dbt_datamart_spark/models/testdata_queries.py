@@ -1681,6 +1681,20 @@ def q_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datamart_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship model built THROUGH the registry runtime (S2 ref()
+    resolution + S4 view materializations, plans/registry.py): raw
+    sources feed the registered stg_* staging models, ref() chains
+    resolve demand-driven, and the returned int_gap_col_status is the
+    lazy composed plan — Catalyst sees one query, same oracle as
+    gap_status. Proves the dbt-runtime path end-to-end on driver data."""
+    from .datamart import build_datamart
+
+    members, claims, codes = _gap_inputs(spark, sf_dir)
+    r = build_datamart(spark, members, claims, codes, GAP_PARAMS)
+    return r.build("int_gap_col_status")
+
+
 def q_scd2_check_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SN2 check-strategy change detection with the null-asymmetry
     branches (snapshots/strategies.sql:145-187; operators/snapshot.py::
@@ -1877,6 +1891,7 @@ QUERIES = {
     "scd2_check_customers": q_scd2_check_customers,
     "bigram_pmi": q_bigram_pmi,
     "vocab_ranked": q_vocab_ranked,
+    "datamart_dag": q_datamart_dag,
     # -- (3) round-1 green, unchanged --------------------------------------
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2135,6 +2150,7 @@ FROM sess GROUP BY user_id, session_id
 ORACLE = {
     "gap_status": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
     "gap_status_sql": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
+    "datamart_dag": f"WITH {_GAP_STATUS_CTES} SELECT * FROM status",
     "gap_status_excl": (
         f"WITH {_gap_status_ctes(GAP_PARAMS, GAP_CODES, excl_mod=EXCL_MOD)} "
         "SELECT * FROM status"

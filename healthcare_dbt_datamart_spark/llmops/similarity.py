@@ -8,9 +8,9 @@ fold — sequential, deterministic, whole-stage codegen; no Python UDF):
   TakeOrderedAndProject; it parallelizes perfectly.
 - **bucketed ANN**: restrict the scan to a coarse partition — here the
   ``label`` column plays the IVF cell / LSH bucket role, and
-  ``sign_lsh_bucket`` derives a random-hyperplane-style bucket from the
-  vector itself. On a partitioned/bucketed table this becomes partition
-  pruning: the scan reads only the candidate cells.
+  ``sign_lsh_bits`` derives a banded random-hyperplane-style signature
+  from the vector itself. On a partitioned/bucketed table this becomes
+  partition pruning: the scan reads only the candidate cells.
 
 The fold accumulates in ``double`` left-to-right, so results are
 bit-reproducible; cross-engine comparison rounds to 6 decimals to absorb

@@ -1892,6 +1892,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "vocab_ranked": q_vocab_ranked,
     "datamart_dag": q_datamart_dag,
+    "ivf_topk": q_ivf_topk,  # assignment path rewritten in round 2
     # -- (3) round-1 green, unchanged --------------------------------------
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -1917,7 +1918,6 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_label": q_cosine_topk_label,
-    "ivf_topk": q_ivf_topk,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "date_functions": q_date_functions,

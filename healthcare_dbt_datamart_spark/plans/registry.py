@@ -61,6 +61,7 @@ class ModelRegistry:
         self.spark = spark
         self._models: dict[str, _ModelDef] = {}
         self._sources: dict[str, DataFrame] = {}
+        self._freshness: dict[str, dict] = {}
         self._built: dict[str, DataFrame] = {}
         self._building: list[str] = []
         self.full_refresh = False
@@ -77,11 +78,71 @@ class ModelRegistry:
 
         return deco
 
-    def add_source(self, name: str, df: DataFrame) -> None:
+    def add_source(
+        self,
+        name: str,
+        df: DataFrame,
+        loaded_at_field: str | None = None,
+        warn_after_seconds: float | None = None,
+        error_after_seconds: float | None = None,
+        freshness_filter: str | None = None,
+    ) -> None:
+        """Register a source; the optional freshness arguments mirror the
+        source-yml freshness contract (``dbt-adapters/macros/adapters/
+        freshness.sql:7-36`` — the reference's ``models/sources/src_*.yml``
+        are declared-empty placeholders for exactly this)."""
         self._sources[name] = df
+        if loaded_at_field is not None:
+            self._freshness[name] = {
+                "loaded_at_field": loaded_at_field,
+                "warn_after_seconds": warn_after_seconds,
+                "error_after_seconds": error_after_seconds,
+                "filter_expr": freshness_filter,
+            }
 
     def get_source(self, name: str) -> DataFrame:
         return self._sources[name]
+
+    def check_freshness(self, now=None) -> dict[str, dict]:
+        """``dbt source freshness``: run the max(loaded_at)-vs-now check
+        for every source declaring a freshness contract. ``now`` is
+        injectable for deterministic tests. Returns {source: result}
+        with status pass/warn/error."""
+        from ..operators.testing import freshness_check
+
+        out = {}
+        for name, cfg in self._freshness.items():
+            out[name] = freshness_check(
+                self._sources[name],
+                cfg["loaded_at_field"],
+                warn_after_seconds=cfg["warn_after_seconds"],
+                error_after_seconds=cfg["error_after_seconds"],
+                filter_expr=cfg["filter_expr"],
+                now=now,
+            )
+        return out
+
+    def manifest(self) -> dict:
+        """The engine's manifest.json analog: every node with its
+        materialization, config, and discovered upstream edges (dbt's
+        manifest is the lineage artifact downstream tooling consumes;
+        here dependencies are OBSERVED by running model bodies against a
+        recording context rather than parsed from Jinja)."""
+        edges = self.deps()
+        return {
+            "sources": sorted(self._sources),
+            "nodes": {
+                name: {
+                    "materialized": mdef.materialized,
+                    "config": {
+                        k: v for k, v in mdef.config.items() if not callable(v)
+                        and not (isinstance(v, list) and any(callable(x) for x in v))
+                    },
+                    "depends_on": sorted(edges.get(name, ())),
+                }
+                for name, mdef in self._models.items()
+            },
+        }
 
     # -- execution --------------------------------------------------------
 

@@ -835,3 +835,41 @@ def test_registry_unit_test_fixture_override(spark):
     assert tags == {"actual", "expected"}
     # nothing materialized by unit tests
     assert not spark.catalog.tableExists("doubled")
+
+
+def test_registry_manifest_and_source_freshness(spark):
+    """manifest(): nodes with materializations + observed dependency
+    edges; check_freshness(): dbt-source-freshness over sources declaring
+    a loaded_at contract, with injectable now."""
+    r = ModelRegistry(spark)
+    src = _df(
+        spark,
+        [("2024-01-01 00:00:00",), ("2024-01-02 00:00:00",)],
+        "loaded_at string",
+    ).withColumn("loaded_at", F.col("loaded_at").cast("timestamp"))
+    r.add_source(
+        "feed", src, loaded_at_field="loaded_at",
+        warn_after_seconds=3600, error_after_seconds=7 * 86400,
+    )
+
+    @r.model()
+    def staged(ctx):
+        return ctx.source("feed")
+
+    @r.model(materialized="table", unique_key="loaded_at")
+    def final(ctx):
+        return ctx.ref("staged")
+
+    m = r.manifest()
+    assert m["sources"] == ["feed"]
+    assert m["nodes"]["final"]["materialized"] == "table"
+    assert m["nodes"]["final"]["depends_on"] == ["staged"]
+    assert m["nodes"]["final"]["config"] == {"unique_key": "loaded_at"}
+    assert m["nodes"]["staged"]["depends_on"] == []
+
+    fresh = r.check_freshness(now="2024-01-02 00:30:00")  # 30 min stale
+    assert fresh["feed"]["status"] == "pass"
+    warn = r.check_freshness(now="2024-01-03 00:00:00")   # 1 day stale
+    assert warn["feed"]["status"] == "warn"
+    err = r.check_freshness(now="2024-02-01 00:00:00")    # ~30 days stale
+    assert err["feed"]["status"] == "error"

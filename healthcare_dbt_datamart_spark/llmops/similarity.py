@@ -296,6 +296,54 @@ def near_dup_pairs_lsh(
     )
 
 
+def quantize_int8_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization + reconstruction-error report —
+    the storage-compression pass before ANN indexing (4x smaller than
+    float32; at 100 TB of embeddings the scan-time win IS the feature).
+
+    Each vector quantizes against its own [min, max] range:
+    ``q = round((x - mn) / scale)`` with ``scale = (mx - mn) / 255``;
+    the report carries the max and mean absolute reconstruction error.
+    Pure per-row array expressions (map-only, zero shuffle), arithmetic
+    entirely in double with half-up rounding on non-negative values —
+    bit-reproducible across engines. Constant vectors (scale 0)
+    reconstruct exactly."""
+    v = F.col(vec_col)
+    mn = F.array_min(F.transform(v, lambda x: x.cast("double")))
+    mx = F.array_max(F.transform(v, lambda x: x.cast("double")))
+    scale = (mx - mn) / F.lit(255.0)
+    err = F.transform(
+        v,
+        lambda x: F.when(F.col("_scale") == 0, F.lit(0.0)).otherwise(
+            F.abs(
+                x.cast("double")
+                - (
+                    F.round((x.cast("double") - F.col("_mn")) / F.col("_scale"), 0)
+                    * F.col("_scale")
+                    + F.col("_mn")
+                )
+            )
+        ),
+    )
+    staged = emb.select(
+        F.col(id_col), v, mn.alias("_mn"), scale.alias("_scale")
+    ).select(F.col(id_col), F.size(v).alias("n_dims"), err.alias("_err"))
+    return staged.select(
+        id_col,
+        "n_dims",
+        F.round(F.array_max("_err"), 6).alias("max_err"),
+        F.round(
+            F.aggregate("_err", F.lit(0.0), lambda a, x: a + x)
+            / F.col("n_dims").cast("double"),
+            6,
+        ).alias("mean_err"),
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = 8,

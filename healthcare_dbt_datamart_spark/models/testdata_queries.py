@@ -814,6 +814,15 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization error report per embedding
+    (llmops/similarity.py::quantize_int8_report): the vector-compression
+    pass before ANN storage — map-only array expressions, zero shuffle."""
+    from ..llmops.similarity import quantize_int8_report
+
+    return quantize_int8_report(load(spark, sf_dir, "embeddings"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column path: text bytes as opaque media ->
     Arrow-batched mapInPandas feature extraction. Projects the columns
@@ -1893,6 +1902,7 @@ QUERIES = {
     "vocab_ranked": q_vocab_ranked,
     "datamart_dag": q_datamart_dag,
     "ivf_topk": q_ivf_topk,  # assignment path rewritten in round 2
+    "embedding_quantize": q_embedding_quantize,
     # -- (3) round-1 green, unchanged --------------------------------------
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2356,6 +2366,30 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
 # near_dup_clusters, kmeans_cells: iterative fixpoints — deliberately NO
 # oracle entries (driver records the rows-only check per the contract
 # carve-out).
+
+ORACLE["embedding_quantize"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS n_dims,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+         (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+          - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0
+           AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, n_dims,
+         list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0.0
+           ELSE abs(CAST(x AS DOUBLE)
+                    - (round((CAST(x AS DOUBLE) - mn) / scale, 0) * scale + mn))
+           END) AS err
+  FROM s
+)
+SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims,
+       round(list_max(err), 6) AS max_err,
+       round(list_sum(err) / n_dims, 6) AS mean_err
+FROM e
+"""
 
 ORACLE["scd2_check_customers"] = """
 WITH v2 AS (

@@ -111,6 +111,27 @@ def test_near_dup_pairs_lsh(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_quantize_int8_error_bounds(spark):
+    """Int8 quantization: reconstruction error bounded by scale/2 per
+    dim; constant vectors (scale 0) reconstruct exactly."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import quantize_int8_report
+
+    rows = [
+        (0, [0.0, 1.0, 0.5, 0.25]),
+        (1, [3.0, 3.0, 3.0, 3.0]),        # constant -> exact
+        (2, [-1.0, 1.0, 0.123, -0.456]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8_report(emb).collect()}
+    assert out[1].max_err == 0.0 and out[1].mean_err == 0.0
+    for vid in (0, 2):
+        rng = {0: 1.0, 2: 2.0}[vid]
+        half_step = (rng / 255.0) / 2.0
+        assert out[vid].max_err <= half_step + 1e-9
+        assert 0.0 <= out[vid].mean_err <= out[vid].max_err
+        assert out[vid].n_dims == 4
+
+
 def test_multimodal_feature_extraction(spark, docs):
     media = text_as_media(docs, "text", "doc_id")
     feats = {r.media_id: r for r in extract_features(media).collect()}

@@ -127,7 +127,7 @@ def test_quantize_int8_error_bounds(spark):
     for vid in (0, 2):
         rng = {0: 1.0, 2: 2.0}[vid]
         half_step = (rng / 255.0) / 2.0
-        assert out[vid].max_err <= half_step + 1e-9
+        assert out[vid].max_err <= half_step + 1e-6  # report rounds to 6dp
         assert 0.0 <= out[vid].mean_err <= out[vid].max_err
         assert out[vid].n_dims == 4
 

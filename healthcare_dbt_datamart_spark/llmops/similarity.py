@@ -162,44 +162,72 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: assign vectors to coarse cells, probe the ``nprobe``
-    cells nearest the query, exact cosine top-k inside the probed cells
-    only — the scan shrinks by ~nprobe/n_centroids vs brute force (and
-    becomes partition pruning on a cell-partitioned table)."""
-    centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
-    # probe selection is k·d driver-side arithmetic on model state
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
-    ]
-    qn = _py_norm(qvec)
+    """IVF-style ANN: TRAIN the coarse quantizer (``n_iter`` Lloyd rounds
+    from the deterministic low-id seeds — pass ``n_iter=0`` for the raw
+    seed cells, or supply pre-trained ``centroids``), assign vectors to
+    cells, probe the ``nprobe`` cells nearest the query, exact cosine
+    top-k inside the probed cells only — the scan shrinks by
+    ~nprobe/n_centroids vs brute force (and becomes partition pruning on
+    a cell-partitioned table).
 
-    def cos(cv: list[float]) -> float:
-        return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+    The input is persisted across train + assign + scan (each is a full
+    pass over the vectors; without the cache every pass re-runs the
+    upstream lineage — a per-round full re-scan at 100 TB), and the k-row
+    result is eagerly materialized off the cache before release. In a
+    real deployment train/assign happen once at index-build time and only
+    the probe scan runs per query."""
+    from pyspark import StorageLevel
 
-    probes = [
-        cid for cid, _ in sorted(centroids, key=lambda c: (-round(cos(c[1]), 6), c[0]))
-    ][:nprobe]
+    cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if centroids is None:
+            centroids = _lloyd_fit(cached, n_centroids, n_iter, id_col, vec_col)
+        # probe selection is k·d driver-side arithmetic on model state
+        qvec = [
+            float(x)
+            for x in cached.filter(F.col(id_col) == query_id)
+            .select(vec_col)
+            .collect()[0][0]
+        ]
+        qn = _py_norm(qvec)
 
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    cand = assigned.filter(
-        F.col("cell").isin(probes) & (F.col(id_col) != query_id)
-    )
-    return (
-        cand.select(
-            id_col,
-            "cell",
-            F.round(
-                _dot(F.col(vec_col), _lit_vec(qvec)) / (_norm(F.col(vec_col)) * F.lit(qn)),
-                6,
-            ).alias("cosine"),
+        def cos(cv: list[float]) -> float:
+            return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+
+        probes = [
+            cid
+            for cid, _ in sorted(
+                centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
+            )
+        ][:nprobe]
+
+        assigned = ivf_assign(cached, centroids, id_col, vec_col)
+        cand = assigned.filter(
+            F.col("cell").isin(probes) & (F.col(id_col) != query_id)
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+        out = (
+            cand.select(
+                id_col,
+                "cell",
+                F.round(
+                    _dot(F.col(vec_col), _lit_vec(qvec))
+                    / (_norm(F.col(vec_col)) * F.lit(qn)),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        # k rows; materialize before the cache is released so the caller's
+        # later action doesn't recompute the whole train+assign lineage
+        return out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
 
 
 # 16 axis-aligned hyperplane dims spread across a 64-dim embedding
@@ -250,15 +278,20 @@ def near_dup_pairs_lsh(
     from .dedup import candidate_pairs
 
     band_size = min(band_size, len(dims))  # short signatures: one band
-    n_bands = len(dims) // band_size
+    # cover ALL signature bits: len(dims) % band_size != 0 emits a final
+    # shorter band for the remainder bits instead of silently dropping them
+    # (e.g. 12 dims with band_size=8 -> bands of 8 and 4 bits)
+    starts = list(range(0, len(dims), band_size))
     bits = sign_lsh_bits(F.col(vec_col), dims)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.substring(bits, 1 + b * band_size, band_size).alias("band_key"),
+                F.substring(
+                    bits, 1 + s, min(band_size, len(dims) - s)
+                ).alias("band_key"),
             )
-            for b in range(n_bands)
+            for b, s in enumerate(starts)
         ]
     )
     buckets = emb.select(F.col(id_col), F.explode(bands).alias("band")).select(
@@ -373,26 +406,40 @@ def kmeans_lloyd(
 
     cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        centroids = ivf_centroids(cached, k, id_col, vec_col)
-        for _ in range(n_iter):
-            assigned = ivf_assign(cached, centroids, id_col, vec_col)
-            means = (
-                assigned.select("cell", F.posexplode(F.col(vec_col)))
-                .groupBy("cell", "pos")
-                .agg(F.avg(F.col("col").cast("double")).alias("m"))
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda x: x["m"],
-                    ).alias("centroid")
-                )
-                .collect()
-            )
-            updated = {int(r["cell"]): [float(v) for v in r["centroid"]] for r in means}
-            centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+        return _lloyd_fit(cached, k, n_iter, id_col, vec_col)
     finally:
         cached.unpersist()
+
+
+def _lloyd_fit(
+    cached: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd iterations over an ALREADY-PERSISTED input — callers that do
+    further passes over the same vectors (``kmeans_cells`` report,
+    ``ivf_topk`` assignment) share one persist lifecycle instead of
+    re-scanning the unpersisted lineage after the fit."""
+    centroids = ivf_centroids(cached, k, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = ivf_assign(cached, centroids, id_col, vec_col)
+        # ONE shuffle per round: groupBy(cell, pos) with full partial
+        # aggregation; the k·d mean rows are bounded model state, so the
+        # per-cell centroid lists assemble on the driver (a second
+        # groupBy(cell) stage would only re-shuffle those k·d rows)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        updated = {cid: [d[p] for p in sorted(d)] for cid, d in acc.items()}
+        centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
     return centroids
 
 
@@ -405,11 +452,27 @@ def kmeans_cells(
 ) -> DataFrame:
     """Cluster-quality report after a Lloyd fit: per-cell population and
     mean/min similarity to the trained centroid (the IVF cell-balance
-    check run before committing a partitioning)."""
-    trained = kmeans_lloyd(emb, k, n_iter, id_col, vec_col)
-    assigned = ivf_assign(emb, trained, id_col, vec_col)
-    return assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("cell_sim"), 6).alias("mean_sim"),
-        F.round(F.min("cell_sim"), 6).alias("min_sim"),
-    )
+    check run before committing a partitioning).
+
+    The fit and the final report pass share ONE persist of the input —
+    the report's ``ivf_assign`` reads the cache instead of re-running the
+    unpersisted lineage a further time (the round-2 bench regression),
+    and the k-row report is eagerly materialized before the cache is
+    released so the caller's collect doesn't recompute anything."""
+    from pyspark import StorageLevel
+
+    cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        trained = _lloyd_fit(cached, k, n_iter, id_col, vec_col)
+        report = (
+            ivf_assign(cached, trained, id_col, vec_col)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.avg("cell_sim"), 6).alias("mean_sim"),
+                F.round(F.min("cell_sim"), 6).alias("min_sim"),
+            )
+        )
+        return report.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()

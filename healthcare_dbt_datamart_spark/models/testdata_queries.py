@@ -803,14 +803,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: coarse-quantize to 8 cells, probe the 2 cells
-    nearest the query, exact cosine top-10 inside the probed cells only
-    (llmops/similarity.py::ivf_topk — becomes partition pruning on a
-    cell-partitioned table)."""
+    """IVF ANN scale path: TRAIN the 8-cell coarse quantizer (2 Lloyd
+    rounds from the deterministic low-id seeds), probe the 2 trained
+    cells nearest the query, exact cosine top-10 inside the probed cells
+    only (llmops/similarity.py::ivf_topk — becomes partition pruning on
+    a cell-partitioned table). The oracle unrolls the same Lloyd rounds
+    in SQL."""
     from ..llmops.similarity import ivf_topk
 
     return ivf_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=8, nprobe=2
+        load(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        n_centroids=8,
+        nprobe=2,
+        n_iter=2,
     )
 
 
@@ -838,8 +845,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub-decoded dimensions from the same mapInPandas pass (decode is
-    the explicitly-stubbed step — rows-only check, no SQL oracle)."""
+    """Stub-decoded dimensions from the same mapInPandas pass. The stub
+    dims are md5-derived (llmops/multimodal.py::_fake_decode: byte i of
+    the digest -> 16 + b % 240), so the oracle reproduces them in SQL
+    from the digest hex — the Arrow decode path gets a REAL hash gate."""
     from ..llmops.multimodal import extract_features, text_as_media
 
     docs = load(spark, sf_dir, "documents")
@@ -1090,8 +1099,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected components over verified near-dup pairs
     (llmops/dedup.py::near_dup_components) — min-label propagation until
-    fixpoint. Genuinely iterative, hence NO SQL oracle (driver records the
-    rows-only check, per the contract's iterative-algorithms carve-out)."""
+    fixpoint. Genuinely iterative on the Spark side; the oracle expresses
+    the same fixpoint as a DuckDB ``WITH RECURSIVE`` transitive closure
+    (min reachable id = component label), so the driver gets a full hash
+    gate despite the iterative implementation."""
     from ..llmops.dedup import (
         candidate_pairs,
         jaccard_pairs,
@@ -1441,9 +1452,9 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd-trained IVF coarse quantizer (similarity.py::kmeans_lloyd)
     cell-balance report: population and centroid similarity per trained
-    cell. Iterative (driver-held k·d model state feeds each round's
-    literal expressions) — NO SQL oracle, rows-only check per the
-    contract's iterative-algorithms carve-out."""
+    cell. Iterative on the Spark side (driver-held k·d model state feeds
+    each round's broadcast centroid data); the oracle unrolls the same 2
+    Lloyd rounds as SQL CTEs, so the report gets a full hash gate."""
     from ..llmops.similarity import kmeans_cells
 
     emb = load(spark, sf_dir, "embeddings")
@@ -2363,9 +2374,9 @@ SELECT fingerprint, doc_id AS keep_id, quality_score FROM (
       ORDER BY quality_score DESC, doc_id ASC) AS rn
   FROM s) WHERE rn = 1
 """
-# near_dup_clusters, kmeans_cells: iterative fixpoints — deliberately NO
-# oracle entries (driver records the rows-only check per the contract
-# carve-out).
+# near_dup_clusters / kmeans_cells are iterative on the Spark side but
+# their fixpoints ARE SQL-expressible (recursive closure / unrolled Lloyd
+# rounds) — oracles defined at the end of this file.
 
 ORACLE["embedding_quantize"] = """
 WITH s AS (
@@ -2515,8 +2526,8 @@ FROM members m LEFT JOIN per p ON m.member_id = p.member_id
 
 # multimodal_features: the Arrow mapInPandas path checked against the
 # byte-pure columns (DuckDB md5(VARCHAR) hashes the UTF-8 encoding —
-# identical to hashing the encoded payload bytes). multimodal_decode
-# (width/height) is the stubbed decode: rows-only by design.
+# identical to hashing the encoded payload bytes). multimodal_decode's
+# stub dims are md5-derived, so it too gets a real oracle (end of file).
 ORACLE["multimodal_features"] = """
 SELECT doc_id AS media_id,
        'image' AS media_type,
@@ -2986,56 +2997,6 @@ SELECT coalesce(o.o_orderpriority, 'ALL') AS priority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY ROLLUP (o.o_orderpriority, l.l_returnflag)
 """,
-    "ivf_topk": """
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-pair AS (
-  SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cvec) AS y
-  FROM embeddings e CROSS JOIN cent c
-),
-sims AS (
-  SELECT vec_id, cid,
-         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-  FROM pair GROUP BY vec_id, cid
-),
-assign AS (
-  SELECT vec_id, cid AS cell FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, cid ASC) AS rn
-    FROM sims) WHERE rn = 1
-),
-qpair AS (
-  SELECT c.cid, unnest(c.cvec) AS x, unnest(q.qv) AS y FROM cent c, q
-),
-qsims AS (
-  SELECT cid,
-         round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-               / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-                  * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS s
-  FROM qpair GROUP BY cid
-),
-probes AS (SELECT cid FROM qsims ORDER BY s DESC, cid ASC LIMIT 2),
-fpair AS (
-  SELECT e.vec_id, a.cell, unnest(e.embedding) AS x, unnest(q.qv) AS y
-  FROM embeddings e JOIN assign a USING (vec_id), q
-  WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id != 0
-),
-fsims AS (
-  SELECT vec_id, cell,
-         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-  FROM fpair GROUP BY vec_id, cell
-)
-SELECT vec_id, CAST(cell AS INTEGER) AS cell,
-       round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
-FROM fsims ORDER BY cosine DESC, vec_id ASC LIMIT 10
-""",
     "bpe_token_count": """
 WITH c AS (
   SELECT doc_id,
@@ -3048,3 +3009,133 @@ SELECT doc_id, CAST(n_ws AS INTEGER) AS n_ws, CAST(n_bpeish AS INTEGER) AS n_bpe
 FROM c
 """,
 })
+
+
+def _lloyd_ctes(n_iter: int, k: int) -> str:
+    """CTE chain ``cent0 .. cent{n_iter}`` + final assignment ``asgf``
+    mirroring llmops/similarity.py::_lloyd_fit + ivf_assign exactly:
+    seeds = the k lowest-id vectors; each round assigns every vector to
+    the argmax 6dp-ROUNDED cosine (ties -> lowest cid, the array_max
+    struct ordering) and re-centers each non-empty cell on the
+    per-dimension mean (empty cells keep the previous centroid).
+    All arithmetic in DOUBLE, like the Spark fold."""
+
+    def _assign(i: int, cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, cell, cell_sim FROM (
+    SELECT s.vec_id, s.cid AS cell,
+           round(s.dot / (sqrt(s.nx) * sqrt(s.ny)), 6) AS cell_sim,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY round(s.dot / (sqrt(s.nx) * sqrt(s.ny)), 6) DESC,
+                      s.cid ASC) AS rn
+    FROM (
+      SELECT p.vec_id, p.cid,
+             sum(p.x * p.y) AS dot, sum(p.x * p.x) AS nx, sum(p.y * p.y) AS ny
+      FROM (SELECT e.vec_id, c.cid,
+                   unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+                   unnest(c.cvec) AS y
+            FROM embeddings e CROSS JOIN {cent} c) p
+      GROUP BY p.vec_id, p.cid) s) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""cent0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(n_iter):
+        parts.append(_assign(i, f"cent{i}", f"asg{i}"))
+        parts.append(f"""cent{i + 1} AS (
+  SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
+  FROM cent{i} c LEFT JOIN (
+    SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+      SELECT g.cell, g.pos, avg(g.x) AS m FROM (
+        SELECT a.cell,
+               unnest(generate_series(1, len(e.embedding))) AS pos,
+               unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x
+        FROM asg{i} a JOIN embeddings e USING (vec_id)) g
+      GROUP BY g.cell, g.pos) m2
+    GROUP BY cell) u ON u.cid = c.cid
+)""")
+    parts.append(_assign(n_iter, f"cent{n_iter}", "asgf"))
+    return ",\n".join(parts)
+
+
+# ivf_topk: the 2-round Lloyd fit unrolled, then the same probe-and-scan
+# the Spark path runs (probe = 2 trained cells nearest the query by
+# 6dp-rounded cosine, ties to lowest cid; exact cosine inside the probes).
+ORACLE["ivf_topk"] = f"""
+WITH {_lloyd_ctes(2, 8)},
+q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+qpair AS (
+  SELECT c.cid, unnest(c.cvec) AS x, unnest(q.qv) AS y FROM cent2 c, q
+),
+qsims AS (
+  SELECT cid, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS s
+  FROM qpair GROUP BY cid
+),
+probes AS (SELECT cid FROM qsims ORDER BY s DESC, cid ASC LIMIT 2),
+fpair AS (
+  SELECT e.vec_id, a.cell,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e JOIN asgf a USING (vec_id), q
+  WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id != 0
+),
+fsims AS (
+  SELECT vec_id, cell,
+         sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM fpair GROUP BY vec_id, cell
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM fsims ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+# kmeans_cells: same unrolled fit; report = per-cell population +
+# mean/min of the 6dp-rounded similarity to the trained centroid.
+ORACLE["kmeans_cells"] = f"""
+WITH {_lloyd_ctes(2, 8)}
+SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vectors,
+       round(avg(cell_sim), 6) AS mean_sim,
+       round(min(cell_sim), 6) AS min_sim
+FROM asgf GROUP BY cell
+"""
+
+# near_dup_clusters: the iterative min-label fixpoint expressed as a
+# recursive transitive closure — component(v) = min id reachable from v
+# through the verified near-dup pair graph (including v itself).
+ORACLE["near_dup_clusters"] = f"""
+WITH RECURSIVE
+v AS ({_LLM_ORACLE["near_dup_jaccard"]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM v
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM v
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, least(id, min(r)) AS component
+FROM reach GROUP BY id
+"""
+
+# multimodal_decode: the deterministic stub dims are pure functions of
+# the md5 digest bytes (llmops/multimodal.py::_fake_decode —
+# width = 16 + digest[0] % 240, height = 16 + digest[1] % 240), so the
+# SQL re-derives them from the digest hex. DuckDB md5(VARCHAR) hashes
+# the UTF-8 encoding — the same bytes the Spark path encodes.
+_HEX_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
+)
+ORACLE["multimodal_decode"] = f"""
+SELECT doc_id AS media_id,
+       CAST(16 + {_HEX_BYTE.format(a=1, b=2)} % 240 AS BIGINT) AS width,
+       CAST(16 + {_HEX_BYTE.format(a=3, b=4)} % 240 AS BIGINT) AS height
+FROM documents
+"""

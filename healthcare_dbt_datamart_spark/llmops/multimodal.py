@@ -69,15 +69,59 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def pil_available() -> bool:
+    """Import probe for the optional real decoder. PIL is not baked into
+    this container; a deployment that has it gets real decode for free
+    via ``decode_stub='auto'``."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _pil_decode(content: bytes) -> tuple[int, int] | None:
+    """Real image decode via PIL when importable; None when PIL is
+    missing or the payload is not a decodable image (callers fall back
+    to the deterministic stub per row, keeping mixed feeds flowing)."""
+    try:
+        import io
+
+        from PIL import Image
+    except Exception:
+        return None
+    try:
+        with Image.open(io.BytesIO(bytes(content))) as im:
+            return im.width, im.height
+    except Exception:
+        return None
+
+
+def _decode_dims(content: bytes, mode: str) -> tuple[int, int]:
+    if mode == "auto":
+        real = _pil_decode(content)
+        if real is not None:
+            return real
+    return _fake_decode(content)
+
+
+_DECODE_MODES = ("deterministic", "raise", "auto")
+
+
 def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> DataFrame:
     """Decode/feature-extract over Arrow batches via ``mapInPandas``.
 
-    A real deployment replaces ``_fake_decode`` with PIL / torchvision /
-    ffmpeg calls; everything else (batching, schema, parallelism) is the
-    production shape.
+    ``decode_stub='auto'`` uses PIL per row when importable (real
+    width/height from the image header) and falls back to the
+    deterministic stub otherwise — the import probe runs inside the
+    Python worker, so executors with PIL decode for real even if the
+    driver lacks it. 'deterministic' keeps the oracle-stable fake dims;
+    'raise' marks the plug-in point loudly. Everything else (batching,
+    schema, parallelism) is the production shape in all modes.
     """
-    if decode_stub not in ("deterministic", "raise"):
-        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+    if decode_stub not in _DECODE_MODES:
+        raise ValueError(f"decode_stub must be one of {_DECODE_MODES}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -87,7 +131,7 @@ def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> Da
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
-            dims = [_fake_decode(c) for c in pdf["content"]]
+            dims = [_decode_dims(c, decode_stub) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -118,13 +162,32 @@ def resize_images(
     media: DataFrame, max_side: int = 64, decode_stub: str = "deterministic"
 ) -> DataFrame:
     """Resize over Arrow batches via ``mapInPandas``: decode → scale the
-    longest side to ``max_side`` preserving aspect → re-encode. The
-    decode/re-encode pair is the stubbed step (dims come from
-    ``_fake_decode``, "re-encoded" bytes are a deterministic truncation);
+    longest side to ``max_side`` preserving aspect → re-encode.
+    ``decode_stub='auto'`` decodes+resizes+re-encodes (PNG) for real via
+    PIL when importable, per-row falling back to the stub (dims from
+    ``_fake_decode``, "re-encoded" bytes a deterministic truncation);
     batching, schema and parallelism are the production shape.
     """
-    if decode_stub not in ("deterministic", "raise"):
-        raise ValueError("decode_stub must be 'deterministic' or 'raise'")
+    if decode_stub not in _DECODE_MODES:
+        raise ValueError(f"decode_stub must be one of {_DECODE_MODES}")
+
+    def _pil_resize(c: bytes, side: int) -> tuple[int, int, bytes] | None:
+        try:
+            import io
+
+            from PIL import Image
+        except Exception:
+            return None
+        try:
+            with Image.open(io.BytesIO(bytes(c))) as im:
+                scale = side / max(im.width, im.height)
+                nw = max(1, int(im.width * scale))
+                nh = max(1, int(im.height * scale))
+                buf = io.BytesIO()
+                im.resize((nw, nh)).save(buf, format="PNG")
+                return nw, nh, buf.getvalue()
+        except Exception:
+            return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -134,6 +197,12 @@ def resize_images(
                 )
             out_w, out_h, out_c = [], [], []
             for c in pdf["content"]:
+                real = _pil_resize(c, max_side) if decode_stub == "auto" else None
+                if real is not None:
+                    out_w.append(real[0])
+                    out_h.append(real[1])
+                    out_c.append(real[2])
+                    continue
                 w, h = _fake_decode(c)
                 scale = max_side / max(w, h)
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))

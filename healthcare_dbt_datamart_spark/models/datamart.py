@@ -106,14 +106,18 @@ def build_datamart(
         # one row per claim line, surrogate-keyed, screening-code flagged
         claims = ctx.ref("stg_claim_lines")
         codes = ctx.source("col_fit_fobt_codes")
-        flagged = claims.join(
-            F.broadcast(
-                codes.select(F.upper("code").alias("proc_code")).distinct()
-                .withColumn("is_screening", F.lit(1))
-            ),
-            "proc_code",
-            "left",
+        # upper() BOTH sides (like gap_status): staging already
+        # upper-normalizes proc_code, but the screening flag must not
+        # silently drop to 0 if a mixed-case code ever reaches this join
+        code_dim = (
+            codes.select(F.upper("code").alias("_sc_code")).distinct()
+            .withColumn("is_screening", F.lit(1))
         )
+        flagged = claims.join(
+            F.broadcast(code_dim),
+            F.upper(claims["proc_code"]) == code_dim["_sc_code"],
+            "left",
+        ).drop("_sc_code")
         return audit_columns(
             flagged.select(
                 surrogate_key(F.col("claim_id"), F.col("member_id")).alias("claim_sk"),

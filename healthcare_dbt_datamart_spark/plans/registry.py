@@ -167,6 +167,12 @@ class ModelRegistry:
         mdef = self._models[name]
         self._building.append(name)
         try:
+            # pre-hooks run STRICTLY before the model body — dbt's
+            # run_hooks ordering (dbt-adapters/macros/materializations/
+            # hooks.sql; called from e.g. incremental.sql:28-31). Bodies
+            # may take eager actions (kmeans-style fit collects), so the
+            # hook cannot come after compile.
+            self._run_hooks(mdef.config.get("pre_hook"), name)
             df = mdef.fn(ModelContext(self, name))
         finally:
             self._building.pop()
@@ -174,12 +180,6 @@ class ModelRegistry:
         from ..operators import materialize as mat
         from ..operators.incremental import incremental_run
         from ..operators.snapshot import snapshot_run
-
-        # pre-hooks run after compile, before the main build — the
-        # reference's run_hooks wrapper around every materialization
-        # (dbt-adapters/macros/materializations/hooks.sql; called from
-        # e.g. incremental.sql:28-31)
-        self._run_hooks(mdef.config.get("pre_hook"), name)
         m = mdef.materialized
         if m == "view":
             mat.materialize_view(self.spark, name, df)

@@ -47,6 +47,19 @@ def dynamic_table(
     return writer.start()
 
 
+def _parse_delay(delay: str):
+    """Parse a Spark-style delay string ('30 minutes', '1 hour') into a
+    timedelta, for the explicit late-row guard in ``microbatch_stream``."""
+    import re
+    from datetime import timedelta
+
+    m = re.match(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*$", delay)
+    if not m:
+        raise ValueError(f"unsupported watermark delay: {delay!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return timedelta(**{unit + "s": n})
+
+
 def _period_end(start, period: str):
     from datetime import timedelta
 
@@ -85,7 +98,16 @@ def microbatch_stream(
     new row at t=6 replaces only period(3) and period(6) — previously
     landed rows in the untouched periods between them survive. Late rows
     inside the watermark re-land in their own period; rows beyond it are
-    dropped, matching dbt microbatch re-run semantics.
+    dropped by an EXPLICIT filter in the batch hook (``withWatermark``
+    alone does NOT filter rows for a stateless foreachBatch sink — a
+    beyond-watermark straggler would otherwise reach the period
+    delete+insert and wipe its already-complete period, re-inserting only
+    itself). The guard tracks the max event time seen across batches on
+    the driver and drops rows older than ``max_seen - watermark_delay``,
+    matching dbt microbatch re-run semantics. The tracked high-water mark
+    is in-memory per query run; after a checkpoint restart it re-learns
+    from the first batch, which can only make the guard more permissive,
+    never destructive, because replayed batches re-deliver whole periods.
 
     CONTRACT (dbt's own): a batch that touches a period re-delivers that
     period COMPLETELY — the period is the re-run unit. For arrival-based
@@ -105,11 +127,16 @@ def microbatch_stream(
     stream = source_stream.withWatermark(event_time, watermark_delay)
     if transform is not None:
         stream = transform(stream)
+    delay = _parse_delay(watermark_delay)
+    max_seen = None  # driver-side event-time high-water mark
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal max_seen
         if batch_df.isEmpty():
             return
         if unique_key is not None:
+            # merge mode never deletes, so stragglers are order-safe:
+            # a late row simply updates/inserts its own key
             incremental_run(
                 batch_df.sparkSession,
                 name,
@@ -118,6 +145,21 @@ def microbatch_stream(
                 unique_key=unique_key,
             )
             return
+        # explicit late-row guard (see docstring): drop rows beyond the
+        # watermark BEFORE the period-aligned delete+insert, so a
+        # straggler cannot trigger a destructive re-delivery of a period
+        # the stream has already moved past. Like Spark's own watermark,
+        # the threshold comes from PRIOR batches' max event time — a
+        # batch is never late relative to itself.
+        if max_seen is not None:
+            batch_df = batch_df.filter(
+                F.col(event_time) >= F.lit(max_seen - delay)
+            )
+        batch_hi = batch_df.agg(F.max(event_time)).first()[0]
+        if batch_hi is not None and (max_seen is None or batch_hi > max_seen):
+            max_seen = batch_hi
+        if batch_hi is None:
+            return  # every row was beyond the watermark
         starts = [
             r[0]
             for r in batch_df.select(

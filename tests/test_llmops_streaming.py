@@ -255,7 +255,12 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
 
     events.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
     stream = spark.readStream.schema(events.schema).parquet(str(src_dir / "*"))
-    q = microbatch_stream(stream, name, event_time="ts", checkpoint_dir=ckpt)
+    # re-delivery arrives 2h behind the stream head → needs an
+    # in-watermark delay (the guard drops beyond-watermark stragglers)
+    q = microbatch_stream(
+        stream, name, event_time="ts", watermark_delay="6 hours",
+        checkpoint_dir=ckpt,
+    )
     try:
         q.processAllAvailable()
         n1 = spark.table(name).count()
@@ -279,6 +284,53 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
         assert out.filter(
             (F.col("user_id") == 1) & (F.col("value") == 99.0)
         ).count() == 1
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_microbatch_stream_drops_beyond_watermark_straggler(spark, tmp_path):
+    """A straggler older than max-seen-event-time minus the watermark must
+    be DROPPED by the explicit batch guard — withWatermark alone does not
+    filter for a stateless foreachBatch sink, and without the guard the
+    straggler's period-aligned delete+insert would wipe its whole
+    already-landed period and re-insert only itself."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    schema = "ts string, user_id long, event_type string, value double"
+    base = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "click", 1.0),
+         ("2024-01-01 10:20:00", 2, "click", 2.0),
+         ("2024-01-01 14:00:00", 1, "view", 3.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src_dir = tmp_path / "mb_src3"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "mb_ckpt3")
+    name = "mb_target_straggler"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(base.schema).parquet(str(src_dir / "*"))
+    q = microbatch_stream(
+        stream, name, event_time="ts", watermark_delay="30 minutes",
+        checkpoint_dir=ckpt, period="hour",
+    )
+    try:
+        q.processAllAvailable()
+        # straggler: hour-10 row, 4h behind the 14:00 head, watermark 30m
+        straggler = spark.createDataFrame(
+            [("2024-01-01 10:40:00", 9, "click", 99.0)], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        straggler.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        out = spark.table(name)
+        # straggler dropped — and crucially hour 10's landed rows SURVIVE
+        assert out.filter(F.col("value") == 99.0).count() == 0
+        assert out.filter(F.col("value") == 1.0).count() == 1
+        assert out.filter(F.col("value") == 2.0).count() == 1
+        assert out.count() == 3
     finally:
         q.stop()
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -387,6 +439,37 @@ def test_multimodal_resize(spark, docs):
     for r in out:
         assert max(r.width, r.height) == 32
         assert len(r.content) >= 1
+
+
+def test_multimodal_auto_decode_path(spark, docs):
+    """decode_stub='auto' selects the real PIL decoder by import probe.
+    Text payloads are not decodable images, so without PIL — and with
+    PIL, for undecodable rows — auto must match the deterministic stub
+    row-for-row (the per-row fallback contract)."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import (
+        _pil_decode,
+        pil_available,
+        text_as_media,
+    )
+
+    media = text_as_media(docs, "text", "doc_id")
+    stub = {r.media_id: r for r in extract_features(media).collect()}
+    auto = {r.media_id: r for r in extract_features(media, decode_stub="auto").collect()}
+    assert set(stub) == set(auto)
+    for mid in stub:
+        assert (auto[mid].width, auto[mid].height) == (stub[mid].width, stub[mid].height)
+
+    if pil_available():
+        # real path: a 1x1 PNG decodes to its true dims, not the fake's
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        assert _pil_decode(buf.getvalue()) == (3, 2)
+    else:
+        assert _pil_decode(b"not an image") is None
 
 
 def test_hash_split_deterministic_and_leakage(spark, docs):

@@ -1184,6 +1184,66 @@ def q_except_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return except_distinct(ordered, negative)
 
 
+def q_test_harness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The test materialization harness as ONE relation (A4 fail_calc +
+    warn_if/error_if thresholds, tests/helpers.sql:7-16; P8 where-config
+    pushdown, where_subquery.sql:1-16; O1 test limit, test.sql:6-8):
+    ``select {fail_calc} as failures, {fail_calc} {warn_if} as
+    should_warn, {fail_calc} {error_if} as should_error`` over a
+    where-filtered, limited violations body
+    (operators/testing.py::accepted_values_test + run_test)."""
+    from ..operators.testing import accepted_values_test
+
+    orders = load(spark, sf_dir, "orders")
+    # P8: the where config pushes INTO the tested relation
+    tested = orders.filter(F.col("o_totalprice").cast(DEC) > F.lit(100000).cast(DEC))
+    violations = accepted_values_test(tested, "o_orderstatus", ["F", "O"])
+    limited = violations.limit(5)  # O1
+    return limited.agg(F.count(F.lit(1)).alias("failures")).select(
+        "failures",
+        (F.col("failures") != 0).alias("should_warn"),   # warn_if '!= 0'
+        (F.col("failures") > 1).alias("should_error"),   # error_if '> 1'
+    )
+
+
+def q_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SN6 hard_deletes='new_record' as a batch relation: v1 snapshot of
+    customers at TS1 (check strategy); the second pass's source DROPS
+    every custkey%9==0 row → the vanished keys' current rows close
+    (valid_to=TS2) AND a tombstone row lands per key with
+    dbt_is_deleted='True' (snapshots/helpers.sql:144-205,
+    strategies.sql:60-61; operators/snapshot.py::snapshot_run).
+    SCD timestamps stringified for the cross-engine hash."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    gone = F.col("c_custkey") % 9 == 0
+    ts1, ts2 = F.lit(_SCD_TS1), F.lit(_SCD_TS2)
+
+    def v1_cols(valid_to: F.Column):
+        # first-run check-strategy SCD columns: scd_id = md5(key ‖ run_ts)
+        return [
+            surrogate_key(F.col("c_custkey"), ts1).alias("dbt_scd_id"),
+            ts1.alias("dbt_updated_at"),
+            ts1.alias("dbt_valid_from"),
+            valid_to.alias("dbt_valid_to"),
+            F.lit("False").alias("dbt_is_deleted"),
+        ]
+
+    kept = cust.filter(~gone).select(
+        "c_custkey", "c_acctbal", *v1_cols(F.lit(None).cast("string"))
+    )
+    closed = cust.filter(gone).select("c_custkey", "c_acctbal", *v1_cols(ts2))
+    tombstones = cust.filter(gone).select(
+        "c_custkey",
+        "c_acctbal",
+        surrogate_key(F.col("c_custkey"), ts2, F.lit("deleted")).alias("dbt_scd_id"),
+        ts2.alias("dbt_updated_at"),
+        ts2.alias("dbt_valid_from"),
+        F.lit(None).cast("string").alias("dbt_valid_to"),
+        F.lit("True").alias("dbt_is_deleted"),
+    )
+    return kept.unionByName(closed).unionByName(tombstones)
+
+
 _SCD_TS1 = "2026-01-01 00:00:00"
 _SCD_TS2 = "2026-02-01 00:00:00"
 
@@ -2078,6 +2138,8 @@ QUERIES = {
     "dynamic_table_batch": q_dynamic_table_batch,
     "listagg_ordered": q_listagg_ordered,
     "except_fn": q_except_fn,
+    "test_harness_orders": q_test_harness_orders,
+    "scd2_hard_delete": q_scd2_hard_delete,
     # -- (3) code changed since the round-2 gate ---------------------------
     "near_dup_clusters": q_near_dup_clusters,
     "kmeans_cells": q_kmeans_cells,
@@ -2086,10 +2148,10 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "fct_claims": q_fct_claims,
     "datamart_dag": q_datamart_dag,
-    "dim_member": q_dim_member,
     "member_cost_summary": q_member_cost_summary,
-    "gap_status": q_gap_status,
     # -- (4) round-2 green, unchanged --------------------------------------
+    "gap_status": q_gap_status,
+    "dim_member": q_dim_member,
     "events_asof_error": q_events_asof_error,
     "events_follow_error": q_events_follow_error,
     "mixture_sample": q_mixture_sample,
@@ -3388,4 +3450,52 @@ ORACLE["except_fn"] = """
 SELECT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+"""
+
+ORACLE["test_harness_orders"] = """
+SELECT failures,
+       failures != 0 AS should_warn,
+       failures > 1 AS should_error
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS failures FROM (
+    SELECT o_orderstatus AS value_field, COUNT(*) AS n_records
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > CAST(100000 AS DECIMAL(18,2))
+    GROUP BY o_orderstatus
+    HAVING o_orderstatus NOT IN ('F', 'O')
+    LIMIT 5
+  )
+)
+"""
+
+ORACLE["scd2_hard_delete"] = """
+WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+keep AS (SELECT * FROM base WHERE c_custkey % 9 != 0),
+gone AS (SELECT * FROM base WHERE c_custkey % 9 = 0)
+SELECT c_custkey, c_acctbal,
+       md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+                     '2026-01-01 00:00:00')) AS dbt_scd_id,
+       '2026-01-01 00:00:00' AS dbt_updated_at,
+       '2026-01-01 00:00:00' AS dbt_valid_from,
+       CAST(NULL AS VARCHAR) AS dbt_valid_to,
+       'False' AS dbt_is_deleted
+FROM keep
+UNION ALL
+SELECT c_custkey, c_acctbal,
+       md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+                     '2026-01-01 00:00:00')) AS dbt_scd_id,
+       '2026-01-01 00:00:00' AS dbt_updated_at,
+       '2026-01-01 00:00:00' AS dbt_valid_from,
+       '2026-02-01 00:00:00' AS dbt_valid_to,
+       'False' AS dbt_is_deleted
+FROM gone
+UNION ALL
+SELECT c_custkey, c_acctbal,
+       md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+                     '2026-02-01 00:00:00', 'deleted')) AS dbt_scd_id,
+       '2026-02-01 00:00:00' AS dbt_updated_at,
+       '2026-02-01 00:00:00' AS dbt_valid_from,
+       CAST(NULL AS VARCHAR) AS dbt_valid_to,
+       'True' AS dbt_is_deleted
+FROM gone
 """

@@ -789,8 +789,10 @@ def test_full_datamart_dag_with_marts_and_snapshot(spark):
 
 
 def test_registry_hooks_run_in_order(spark):
-    """Pre-hooks run after compile / before the build, post-hooks after
-    (hooks.sql run_hooks); SQL-string and callable hooks both work."""
+    """Pre-hooks run STRICTLY before the model body (dbt's run_hooks
+    ordering — bodies may take eager actions, so compile cannot precede
+    the hook), post-hooks after; SQL-string and callable hooks both
+    work."""
     r = ModelRegistry(spark)
     calls = []
 
@@ -807,8 +809,8 @@ def test_registry_hooks_run_in_order(spark):
         return _df(spark, [(1,), (2,)], "a long")
 
     r.run()
-    assert calls[0] == ("build", None)       # compile happens first
-    assert calls[1] == ("pre", "hooked")     # then pre-hooks
+    assert calls[0] == ("pre", "hooked")     # pre-hooks strictly first
+    assert calls[1] == ("build", None)       # then the model body
     assert calls[2] == ("post", 2)           # post sees the built table
 
 

@@ -30,9 +30,19 @@ def main() -> None:
 
     qs = e.queries()
 
-    # warmup: touch every table + trigger codegen once
-    for fn in list(qs.values())[:1]:
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup: pay one-time session costs BEFORE timing so per-query
+    # numbers measure the plan, not JVM/codegen/Python-worker startup —
+    # and stay comparable when the query dict is reordered between
+    # rounds. Four representative shapes: the first query (scan +
+    # groupBy codegen), a tokenize/regex/higher-order-function query
+    # (the text family's interpreter+JIT warm), a mapInPandas query
+    # (Arrow + Python worker pool startup), and an embedding-array query
+    # (aggregate/zip_with HOF compile for the similarity family).
+    first = next(iter(qs))
+    warm = [first, "text_quality", "multimodal_features", "cosine_topk"]
+    for wname in dict.fromkeys(warm):
+        if wname in qs:
+            qs[wname](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

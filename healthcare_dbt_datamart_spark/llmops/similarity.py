@@ -449,10 +449,14 @@ def kmeans_cells(
     n_iter: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Cluster-quality report after a Lloyd fit: per-cell population and
     mean/min similarity to the trained centroid (the IVF cell-balance
-    check run before committing a partitioning).
+    check run before committing a partitioning). Pass pre-trained
+    ``centroids`` to skip the fit — a quantizer is trained ONCE at
+    index-build time and shared by every downstream pass (the same
+    contract as ``ivf_topk``'s centroids parameter).
 
     The fit and the final report pass share ONE persist of the input —
     the report's ``ivf_assign`` reads the cache instead of re-running the
@@ -463,7 +467,11 @@ def kmeans_cells(
 
     cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        trained = _lloyd_fit(cached, k, n_iter, id_col, vec_col)
+        trained = (
+            centroids
+            if centroids is not None
+            else _lloyd_fit(cached, k, n_iter, id_col, vec_col)
+        )
         report = (
             ivf_assign(cached, trained, id_col, vec_col)
             .groupBy("cell")

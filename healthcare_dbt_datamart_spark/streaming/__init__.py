@@ -1,7 +1,12 @@
 """Structured Streaming surface (SURVEY §2.11)."""
 
 from .dedup_join import stream_interval_join, streaming_dedup  # noqa: F401
-from .dynamic_table import dynamic_table, microbatch_stream  # noqa: F401
+from .dynamic_table import (  # noqa: F401
+    alter_dynamic_table_lag,
+    dynamic_table,
+    microbatch_stream,
+    refresh_dynamic_table,
+)
 from .gap import streaming_best_evidence  # noqa: F401
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

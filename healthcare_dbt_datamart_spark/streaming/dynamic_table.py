@@ -47,6 +47,58 @@ def dynamic_table(
     return writer.start()
 
 
+def refresh_dynamic_table(
+    source: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    name: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+) -> None:
+    """Manual one-shot refresh — the analog of ``ALTER DYNAMIC TABLE …
+    REFRESH`` (``dbt-snowflake/macros/relations/dynamic_table/refresh.sql``):
+    process everything currently available in the source once
+    (``trigger(availableNow)``) and return when the result table is
+    up to date, instead of running on the continuous target-lag cadence."""
+    out = transform(source)
+    writer = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def alter_dynamic_table_lag(
+    query: StreamingQuery,
+    source_stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    name: str,
+    target_lag: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """``ALTER DYNAMIC TABLE … SET TARGET_LAG`` analog
+    (``dbt-snowflake/macros/relations/dynamic_table/alter.sql`` — the
+    reference alters lag in place; Spark triggers are immutable on a
+    running query, so the alter is stop-and-restart with the new trigger
+    against the same sink name and checkpoint, which resumes from the
+    recorded stream offsets)."""
+    query.stop()
+    query.awaitTermination()
+    return dynamic_table(
+        source_stream,
+        transform,
+        name,
+        target_lag=target_lag,
+        checkpoint_dir=checkpoint_dir,
+        output_mode=output_mode,
+    )
+
+
 def _parse_delay(delay: str):
     """Parse a Spark-style delay string ('30 minutes', '1 hour') into a
     timedelta, for the explicit late-row guard in ``microbatch_stream``."""

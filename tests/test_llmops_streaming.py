@@ -199,6 +199,50 @@ def test_streaming_dynamic_table(spark, events, tmp_path):
         q.stop()
 
 
+def test_dynamic_table_refresh_and_alter_lag(spark, events, tmp_path):
+    """The alter/refresh surface around dynamic_table: one-shot manual
+    refresh (availableNow) fills the result table, and altering the
+    target lag stops + restarts the query on the same name/checkpoint."""
+    from healthcare_dbt_datamart_spark.streaming import (
+        alter_dynamic_table_lag,
+        dynamic_table,
+        refresh_dynamic_table,
+    )
+
+    src_dir = str(tmp_path / "dyn_src2")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    def xform(df):
+        return tumbling_window_agg(df.withWatermark("ts", "1 hour"), "1 hour")
+
+    # manual refresh: processes all available input once, then returns
+    stream1 = spark.readStream.schema(events.schema).parquet(src_dir)
+    refresh_dynamic_table(stream1, xform, name="dyn_refresh")
+    assert spark.sql("select * from dyn_refresh").count() >= 2
+
+    # alter target_lag: old query stops, replacement runs with new trigger
+    stream2 = spark.readStream.schema(events.schema).parquet(src_dir)
+    q1 = dynamic_table(stream2, xform, name="dyn_alter", target_lag="10 seconds")
+    try:
+        q2 = alter_dynamic_table_lag(
+            q1, stream2, xform, name="dyn_alter", target_lag="1 seconds"
+        )
+        try:
+            assert not q1.isActive
+            assert q2.isActive
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("select * from dyn_alter").count() >= 2:
+                    break
+                time.sleep(1)
+            assert spark.sql("select * from dyn_alter").count() >= 2
+        finally:
+            q2.stop()
+    finally:
+        if q1.isActive:
+            q1.stop()
+
+
 def test_stateful_user_totals_across_batches(spark, events, tmp_path):
     """applyInPandasWithState keeps per-key state across micro-batches:
     totals after batch 2 include batch 1's rows."""

@@ -377,6 +377,99 @@ def quantize_int8_report(
     )
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the d-dim space into ``m``
+    subspaces of d/m dims; each subspace gets ``k`` centroids taken from
+    the k lowest-id vectors' subvectors (deterministic seeding, the same
+    rule as ``ivf_centroids`` — a production build Lloyd-iterates each
+    subspace from these). Returns bounded MODEL STATE: m·k·(d/m) = k·d
+    floats, one driver collect of k rows."""
+    rows = (
+        emb.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        [(cid, v[s * sub : (s + 1) * sub]) for cid, v in enumerate(vecs)]
+        for s in range(m)
+    ]
+
+
+def pq_encode_report(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Product quantization encode + reconstruction-error report — the
+    memory-compression path for ANN at 100 TB: d float32 dims become m
+    uint8 codes (64-dim → 8 bytes = 32x), small enough to keep the whole
+    index in executor memory while the raw vectors stay on disk for
+    re-ranking.
+
+    Per row and subspace: nearest codebook entry by squared L2 (ties to
+    the lowest code id); ``code`` is the dash-joined per-subspace ids and
+    ``recon_err`` the full-vector L2 distance to the PQ reconstruction.
+    The codebooks ride in as ONE broadcast array-of-arrays-of-structs
+    data row (codegen constant in m·k, same pattern as ``ivf_assign``);
+    the encode itself is map-only, zero shuffle, no Python."""
+    spark = emb.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, k, id_col, vec_col)
+    sub = len(codebooks[0][0][1])
+    cdata = [
+        [(int(cid), [float(x) for x in cv]) for cid, cv in book]
+        for book in codebooks
+    ]
+    cdf = spark.createDataFrame(
+        [(cdata,)], "cb array<array<struct<cid:int,cvec:array<double>>>>"
+    )
+
+    def best_for(s: int) -> Column:
+        seg = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cands = F.transform(
+            F.element_at("cb", s + 1),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        seg,
+                        c["cvec"],
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(cands)
+
+    staged = emb.crossJoin(broadcast(cdf)).select(
+        F.col(id_col),
+        *[best_for(s).alias(f"_b{s}") for s in range(len(codebooks))],
+    )
+    n = len(codebooks)
+    total_d2 = sum((F.col(f"_b{s}.d2") for s in range(1, n)), F.col("_b0.d2"))
+    return staged.select(
+        id_col,
+        F.concat_ws(
+            "-", *[F.col(f"_b{s}.cid").cast("string") for s in range(n)]
+        ).alias("code"),
+        F.round(F.sqrt(total_d2), 6).alias("recon_err"),
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = 8,

@@ -855,6 +855,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + reconstruction-error report
+    (llmops/similarity.py::pq_encode_report): 64 dims → 8 uint8 codes
+    (32x memory compression, the keep-the-index-in-RAM path for ANN at
+    100 TB). Deterministic seed codebooks (16 lowest-id vectors per
+    subspace); map-only, zero shuffle; the oracle re-derives the same
+    codebooks and argmin in SQL."""
+    from ..llmops.similarity import pq_encode_report
+
+    return pq_encode_report(load(spark, sf_dir, "embeddings"), m=8, k=16)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization error report per embedding
     (llmops/similarity.py::quantize_int8_report): the vector-compression
@@ -2173,8 +2185,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "fct_claims": q_fct_claims,
     "datamart_dag": q_datamart_dag,
-    "member_cost_summary": q_member_cost_summary,
+    "pq_encode": q_pq_encode,  # new operator (round 3)
     # -- (4) round-2 green, unchanged --------------------------------------
+    "member_cost_summary": q_member_cost_summary,
     "gap_status": q_gap_status,
     "dim_member": q_dim_member,
     "events_asof_error": q_events_asof_error,
@@ -3523,4 +3536,40 @@ SELECT c_custkey, c_acctbal,
        CAST(NULL AS VARCHAR) AS dbt_valid_to,
        'True' AS dbt_is_deleted
 FROM gone
+"""
+
+# pq_encode: PQ seed codebooks + per-subspace argmin re-derived in SQL.
+# Subspace s (0..7) of vector v is v[s*8+1 : s*8+8] (DuckDB list slices
+# are 1-based inclusive); codebook entry cid is seed vector cid's
+# subvector; d2 sums 8 sequential double adds — identical fold order to
+# the Spark aggregate, so round(…, 6) hashes match.
+ORACLE["pq_encode"] = """
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16
+),
+subs AS (SELECT unnest(range(8)) AS s),
+cb AS (
+  SELECT s.s, c.cid, c.embedding[s.s*8+1 : s.s*8+8] AS cvec
+  FROM seeds c, subs s
+),
+dists AS (
+  SELECT e.vec_id, c.s, c.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+              * (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+         )) AS d2
+  FROM embeddings e, cb c
+),
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS code,
+       round(sqrt(SUM(d2)), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
 """

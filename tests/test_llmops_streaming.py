@@ -111,6 +111,33 @@ def test_near_dup_pairs_lsh(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_pq_encode_reconstruction(spark):
+    """Product quantization: seed vectors reconstruct EXACTLY (their own
+    subvectors are codebook entries → d2=0 per subspace); a non-seed
+    vector gets the nearest codes with a positive but bounded error."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import pq_encode_report
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0] * 8),
+        (2, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [0.9, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1, 0.1]),  # non-seed probe
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in pq_encode_report(emb, m=2, k=3).collect()}
+    # seeds (vec_id < k=3): exact reconstruction
+    for vid in (0, 1, 2):
+        assert out[vid].recon_err == 0.0
+    # seed codes are their own cids per subspace (no duplicate subvectors
+    # except vec 2's halves, which tie to the LOWEST cid)
+    assert out[1].code == "1-1"
+    assert out[2].code == "0-1"  # first half == vec0's, ties to cid 0
+    # probe: first half nearest all-ones (cid 1), second nearest all-zeros
+    assert out[3].code == "1-0"
+    expected = (4 * 0.1**2 + 4 * 0.1**2) ** 0.5
+    assert out[3].recon_err == pytest.approx(expected, abs=1e-6)
+
+
 def test_quantize_int8_error_bounds(spark):
     """Int8 quantization: reconstruction error bounded by scale/2 per
     dim; constant vectors (scale 0) reconstruct exactly."""

@@ -404,6 +404,45 @@ def pq_codebooks(
     ]
 
 
+def _pq_best_cols(
+    vec_col: str, codebooks: list[list[tuple[int, list[float]]]]
+) -> list[Column]:
+    """Per-subspace nearest-code struct(d2, cid) columns against the
+    broadcast codebook column ``cb`` (see ``pq_encode_report``)."""
+    sub = len(codebooks[0][0][1])
+
+    def best_for(s: int) -> Column:
+        seg = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cands = F.transform(
+            F.element_at("cb", s + 1),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        seg,
+                        c["cvec"],
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(cands)
+
+    return [best_for(s).alias(f"_b{s}") for s in range(len(codebooks))]
+
+
+def _pq_cdf(spark, codebooks):
+    cdata = [
+        [(int(cid), [float(x) for x in cv]) for cid, cv in book]
+        for book in codebooks
+    ]
+    return spark.createDataFrame(
+        [(cdata,)], "cb array<array<struct<cid:int,cvec:array<double>>>>"
+    )
+
+
 def pq_encode_report(
     emb: DataFrame,
     m: int = 8,
@@ -427,37 +466,8 @@ def pq_encode_report(
     spark = emb.sparkSession
     if codebooks is None:
         codebooks = pq_codebooks(emb, m, k, id_col, vec_col)
-    sub = len(codebooks[0][0][1])
-    cdata = [
-        [(int(cid), [float(x) for x in cv]) for cid, cv in book]
-        for book in codebooks
-    ]
-    cdf = spark.createDataFrame(
-        [(cdata,)], "cb array<array<struct<cid:int,cvec:array<double>>>>"
-    )
-
-    def best_for(s: int) -> Column:
-        seg = F.slice(F.col(vec_col), s * sub + 1, sub)
-        cands = F.transform(
-            F.element_at("cb", s + 1),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        seg,
-                        c["cvec"],
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return F.array_min(cands)
-
-    staged = emb.crossJoin(broadcast(cdf)).select(
-        F.col(id_col),
-        *[best_for(s).alias(f"_b{s}") for s in range(len(codebooks))],
+    staged = emb.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
+        F.col(id_col), *_pq_best_cols(vec_col, codebooks)
     )
     n = len(codebooks)
     total_d2 = sum((F.col(f"_b{s}.d2") for s in range(1, n)), F.col("_b0.d2"))
@@ -467,6 +477,70 @@ def pq_encode_report(
             "-", *[F.col(f"_b{s}.cid").cast("string") for s in range(n)]
         ).alias("code"),
         F.round(F.sqrt(total_d2), 6).alias("recon_err"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    search half of a production PQ index: the QUERY stays exact, every
+    database vector is represented by its m codes, and its distance is
+    approximated as sqrt(Σ_s ‖q_s − cvec_{s,code_s}‖²) via per-subspace
+    lookup tables (m·n_codes doubles of driver-computed model state, like
+    the IVF probe list). Here codes are derived in the same pass for the
+    test fixture; at scale the encode is materialized once at index-build
+    and this scan reads ONLY the 32x-smaller code columns. Map-only +
+    TakeOrderedAndProject — no shuffle, no Python on the data path."""
+    spark = emb.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    sub = len(codebooks[0][0][1])
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .collect()[0][0]
+    ]
+    # per-subspace distance table: ‖q_s − codebook entry‖² (model state)
+    dt = [
+        [
+            sum(
+                (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
+                for i in range(sub)
+            )
+            for _cid, cv in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
+    staged = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(broadcast(_pq_cdf(spark, codebooks)))
+        .crossJoin(broadcast(ddf))
+        .select(F.col(id_col), F.col("dt"), *_pq_best_cols(vec_col, codebooks))
+    )
+    n = len(codebooks)
+    lookups = [
+        F.element_at(F.element_at("dt", s + 1), F.col(f"_b{s}.cid") + 1)
+        for s in range(n)
+    ]
+    total = lookups[0]
+    for term in lookups[1:]:
+        total = total + term
+    return (
+        staged.select(
+            id_col, F.round(F.sqrt(total), 6).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

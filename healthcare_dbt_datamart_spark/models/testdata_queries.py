@@ -867,6 +867,17 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode_report(load(spark, sf_dir, "embeddings"), m=8, k=16)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes (llmops/similarity.py::pq_topk): exact
+    query vs compressed database vectors via per-subspace distance-table
+    lookups — the search half of the PQ index, map-only +
+    TakeOrderedAndProject. Oracle re-derives codes and table lookups in
+    SQL."""
+    from ..llmops.similarity import pq_topk
+
+    return pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization error report per embedding
     (llmops/similarity.py::quantize_int8_report): the vector-compression
@@ -2182,11 +2193,14 @@ QUERIES = {
     "kmeans_cells": q_kmeans_cells,
     "ivf_topk": q_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
-    "embedding_near_dup": q_embedding_near_dup,
     "fct_claims": q_fct_claims,
     "datamart_dag": q_datamart_dag,
     "pq_encode": q_pq_encode,  # new operator (round 3)
+    "pq_topk": q_pq_topk,  # new operator (round 3)
     # -- (4) round-2 green, unchanged --------------------------------------
+    # embedding_near_dup: r2-green; the 740991a remainder-band fix does
+    # not alter its 16%8==0 default banding, so that row stands
+    "embedding_near_dup": q_embedding_near_dup,
     "member_cost_summary": q_member_cost_summary,
     "gap_status": q_gap_status,
     "dim_member": q_dim_member,
@@ -3572,4 +3586,49 @@ SELECT vec_id,
        round(sqrt(SUM(d2)), 6) AS recon_err
 FROM best WHERE rn = 1
 GROUP BY vec_id
+"""
+
+# pq_topk: ADC lookup — codes from the pq_encode argmin, distance from
+# the QUERY's subvector to each vector's chosen centroid, summed over
+# subspaces. Same fold orders as the Spark side; round(…, 6) before the
+# (dist, vec_id) ordering on both engines.
+ORACLE["pq_topk"] = """
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         embedding
+  FROM embeddings WHERE vec_id < 16
+),
+subs AS (SELECT unnest(range(8)) AS s),
+cb AS (
+  SELECT s.s, c.cid, c.embedding[s.s*8+1 : s.s*8+8] AS cvec
+  FROM seeds c, subs s
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+  SELECT e.vec_id, c.s, c.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+              * (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+         )) AS d2
+  FROM embeddings e, cb c
+  WHERE e.vec_id != 0
+),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM dists
+),
+adc AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (CAST(q.qv[b.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+              * (CAST(q.qv[b.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+         )) AS dq
+  FROM best b
+  JOIN cb c ON c.s = b.s AND c.cid = b.cid, q
+  WHERE b.rn = 1
+)
+SELECT vec_id, round(sqrt(SUM(dq)), 6) AS adc_dist
+FROM adc GROUP BY vec_id
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """

@@ -138,6 +138,28 @@ def test_pq_encode_reconstruction(spark):
     assert out[3].recon_err == pytest.approx(expected, abs=1e-6)
 
 
+def test_pq_topk_adc_ranking(spark):
+    """ADC search ranks by distance-table lookups on the codes: the query
+    (all-zeros) is exact, database vectors contribute the distance from
+    the query's subvectors to their CHOSEN centroids."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import pq_topk
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0] * 8),
+        (2, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [0.9, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1, 0.1]),  # codes (1, 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(emb, query_id=0, k=3, m=2, n_codes=3).collect()
+    # vec2 reconstructs exactly → adc = |q - [0,0,0,0,1,1,1,1]| = 2.0;
+    # vec3's codes reconstruct to the same point → ties at 2.0, id order;
+    # vec1 → |q - ones| = 2*sqrt(2)
+    assert [r.vec_id for r in out] == [2, 3, 1]
+    assert out[0].adc_dist == 2.0 and out[1].adc_dist == 2.0
+    assert out[2].adc_dist == pytest.approx(8 ** 0.5, abs=1e-6)
+
+
 def test_quantize_int8_error_bounds(spark):
     """Int8 quantization: reconstruction error bounded by scale/2 per
     dim; constant vectors (scale 0) reconstruct exactly."""

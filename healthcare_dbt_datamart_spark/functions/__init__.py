@@ -11,14 +11,20 @@ from .scalar import (  # noqa: F401
     add_years,
     age_at,
     any_value,
+    array_append_,
+    array_concat_,
+    array_construct,
     audit_columns,
     bool_or_,
     cast_bool_to_text,
     concat_pipe,
+    date_literal,
     date_spine,
+    date_trunc_,
     dateadd,
     datediff,
     datediff_year,
+    escape_single_quotes,
     except_distinct,
     generate_series,
     intersect_distinct,
@@ -27,9 +33,11 @@ from .scalar import (  # noqa: F401
     listagg,
     null_safe_eq,
     position,
+    replace_,
     right_,
     safe_cast,
     split_part,
+    string_literal,
     surrogate_key,
     union_all,
 )

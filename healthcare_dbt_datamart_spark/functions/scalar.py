@@ -241,6 +241,53 @@ def listagg(
     return F.array_join(arr, delimiter)
 
 
+def replace_(s: Column | str, old: str, new: str) -> Column:
+    """dbt ``replace`` (``dbt-adapters/macros/utils/replace.sql:5-13``) —
+    literal (non-regex) substring replacement."""
+    return F.replace(_col(s), F.lit(old), F.lit(new))
+
+
+def escape_single_quotes(s: str) -> str:
+    """Snowflake ``escape_single_quotes``
+    (``dbt-snowflake/macros/utils/escape_single_quotes.sql:1-4``): the
+    compile-time string escape for embedding a value in SQL text —
+    Python-side by design, exactly like the Jinja original."""
+    return s.replace("'", "\\'")
+
+
+def string_literal(v) -> Column:
+    """dbt ``string_literal`` (``dbt-adapters/macros/utils/literal.sql``):
+    a quoted string literal in the plan."""
+    return F.lit(str(v))
+
+
+def date_literal(v: str) -> Column:
+    """dbt ``date`` literal macro
+    (``dbt-adapters/macros/utils/date.sql:6-11``)."""
+    return F.to_date(F.lit(v))
+
+
+def date_trunc_(part: str, d: Column | str) -> Column:
+    """dbt ``date_trunc`` (``dbt-adapters/macros/utils/date_trunc.sql:5-7``)."""
+    return F.date_trunc(part, _col(d))
+
+
+def array_construct(*cols: Column | str) -> Column:
+    """Snowflake ``array_construct``
+    (``dbt-snowflake/macros/utils/array_construct.sql:1-3``)."""
+    return F.array(*[_col(c) for c in cols])
+
+
+def array_append_(arr: Column | str, x: Column | str) -> Column:
+    """dbt ``array_append`` (``dbt-adapters/macros/utils/array_append.sql``)."""
+    return F.array_append(_col(arr), _col(x))
+
+
+def array_concat_(a: Column | str, b: Column | str) -> Column:
+    """dbt ``array_concat`` (``dbt-adapters/macros/utils/array_concat.sql``)."""
+    return F.concat(_col(a), _col(b))
+
+
 # ---------------------------------------------------------------------------
 # Casts / null handling / aggregates
 # ---------------------------------------------------------------------------

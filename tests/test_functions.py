@@ -122,6 +122,43 @@ def test_null_safe_eq(spark):
 
 
 # --- property test: the Snowflake datediff('year') age idiom ------------
+def test_small_macro_wrappers(spark):
+    """The remaining §2.10 names: replace / literals / date_trunc /
+    array_construct-append-concat / escape_single_quotes."""
+    from healthcare_dbt_datamart_spark.functions import (
+        array_append_,
+        array_concat_,
+        array_construct,
+        date_literal,
+        date_trunc_,
+        escape_single_quotes,
+        replace_,
+        string_literal,
+    )
+
+    assert escape_single_quotes("it's") == "it\\'s"
+    row = (
+        spark.range(1)
+        .select(
+            replace_(F.lit("a.b.c"), ".", "-").alias("rep"),
+            string_literal(7).alias("sl"),
+            date_literal("2024-03-05").alias("dl"),
+            date_trunc_("month", F.lit("2024-03-05").cast("date")).alias("dt"),
+            array_construct(F.lit(1), F.lit(2)).alias("ac"),
+            array_append_(array_construct(F.lit(1)), F.lit(9)).alias("aa"),
+            array_concat_(
+                array_construct(F.lit(1)), array_construct(F.lit(2), F.lit(3))
+            ).alias("cc"),
+        )
+        .collect()[0]
+    )
+    assert row.rep == "a-b-c"
+    assert row.sl == "7"
+    assert str(row.dl) == "2024-03-05"
+    assert str(row.dt).startswith("2024-03-01")
+    assert row.ac == [1, 2] and row.aa == [1, 9] and row.cc == [1, 2, 3]
+
+
 # SURVEY §7 flags this as the one silently-breaking translation. Validate
 # age_at against an independent Python calendar model of the reference
 # formula (boundary count minus not-yet-birthday correction, with

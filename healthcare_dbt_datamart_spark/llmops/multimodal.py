@@ -98,8 +98,8 @@ def _pil_decode(content: bytes) -> tuple[int, int] | None:
         return None
 
 
-def _decode_dims(content: bytes, mode: str) -> tuple[int, int]:
-    if mode == "auto":
+def _decode_dims(content: bytes, use_pil: bool) -> tuple[int, int]:
+    if use_pil:
         real = _pil_decode(content)
         if real is not None:
             return real
@@ -126,12 +126,16 @@ def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> Da
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        # probe ONCE per worker iterator: a failed import is not cached
+        # by Python, so probing per row would pay a full sys.path scan
+        # for every record on PIL-less executors
+        use_pil = decode_stub == "auto" and pil_available()
         for pdf in it:
             if decode_stub == "raise":
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
-            dims = [_decode_dims(c, decode_stub) for c in pdf["content"]]
+            dims = [_decode_dims(c, use_pil) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -190,6 +194,8 @@ def resize_images(
             return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import probe once per worker iterator (see extract_features)
+        use_pil = decode_stub == "auto" and pil_available()
         for pdf in it:
             if decode_stub == "raise":
                 raise NotImplementedError(
@@ -197,7 +203,7 @@ def resize_images(
                 )
             out_w, out_h, out_c = [], [], []
             for c in pdf["content"]:
-                real = _pil_resize(c, max_side) if decode_stub == "auto" else None
+                real = _pil_resize(c, max_side) if use_pil else None
                 if real is not None:
                     out_w.append(real[0])
                     out_h.append(real[1])

@@ -394,6 +394,11 @@ def pq_codebooks(
         emb.filter(F.col(id_col) < k).select(id_col, vec_col).orderBy(id_col).collect()
     )
     vecs = [[float(x) for x in r[1]] for r in rows]
+    if len(vecs) < k:
+        raise ValueError(
+            f"pq_codebooks needs {k} seed vectors with {id_col} < {k};"
+            f" found {len(vecs)} — pass a smaller k or reassign ids"
+        )
     d = len(vecs[0])
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")

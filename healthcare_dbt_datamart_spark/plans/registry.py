@@ -171,7 +171,12 @@ class ModelRegistry:
             # run_hooks ordering (dbt-adapters/macros/materializations/
             # hooks.sql; called from e.g. incremental.sql:28-31). Bodies
             # may take eager actions (kmeans-style fit collects), so the
-            # hook cannot come after compile.
+            # hook cannot come after compile. Documented trade-off: in
+            # dbt, Jinja compile happens at parse time, so a compile
+            # error never reaches the hooks; here body compile and
+            # execution are one Python call, so a failing body runs
+            # AFTER its pre-hook's side effects. Keep pre-hooks
+            # idempotent (they may also re-run on retry).
             self._run_hooks(mdef.config.get("pre_hook"), name)
             df = mdef.fn(ModelContext(self, name))
         finally:

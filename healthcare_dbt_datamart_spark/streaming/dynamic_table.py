@@ -100,16 +100,37 @@ def alter_dynamic_table_lag(
 
 
 def _parse_delay(delay: str):
-    """Parse a Spark-style delay string ('30 minutes', '1 hour') into a
-    timedelta, for the explicit late-row guard in ``microbatch_stream``."""
+    """Parse a Spark-style delay string into a timedelta for the explicit
+    late-period guard in ``microbatch_stream``. Accepts what
+    ``withWatermark`` accepts for fixed-length units: case-insensitive,
+    multi-unit ('1 hour 30 minutes'), microsecond through week.
+    Month/year delays have no fixed length and are rejected loudly
+    rather than approximated."""
     import re
     from datetime import timedelta
 
-    m = re.match(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*$", delay)
-    if not m:
+    units = {
+        "microsecond": "microseconds",
+        "millisecond": "milliseconds",
+        "second": "seconds",
+        "minute": "minutes",
+        "hour": "hours",
+        "day": "days",
+        "week": "weeks",
+    }
+    parts = re.findall(r"(\d+)\s*([a-zA-Z]+)", delay)
+    if not parts or re.sub(r"[\d\sa-zA-Z]", "", delay):
         raise ValueError(f"unsupported watermark delay: {delay!r}")
-    n, unit = int(m.group(1)), m.group(2)
-    return timedelta(**{unit + "s": n})
+    total = timedelta()
+    for n, unit in parts:
+        u = unit.lower().rstrip("s")
+        if u not in units:
+            raise ValueError(
+                f"unsupported watermark delay unit {unit!r} in {delay!r}"
+                " (month/year have no fixed length)"
+            )
+        total += timedelta(**{units[u]: int(n)})
+    return total
 
 
 def _period_end(start, period: str):
@@ -148,18 +169,21 @@ def microbatch_stream(
     periods (rather than the batch's min/max span) is what makes
     out-of-order arrival safe: a batch holding a late row at t=3 and a
     new row at t=6 replaces only period(3) and period(6) — previously
-    landed rows in the untouched periods between them survive. Late rows
-    inside the watermark re-land in their own period; rows beyond it are
-    dropped by an EXPLICIT filter in the batch hook (``withWatermark``
+    landed rows in the untouched periods between them survive. Late
+    periods inside the watermark re-land whole; periods wholly beyond it
+    are dropped by an EXPLICIT guard in the batch hook (``withWatermark``
     alone does NOT filter rows for a stateless foreachBatch sink — a
     beyond-watermark straggler would otherwise reach the period
     delete+insert and wipe its already-complete period, re-inserting only
     itself). The guard tracks the max event time seen across batches on
-    the driver and drops rows older than ``max_seen - watermark_delay``,
-    matching dbt microbatch re-run semantics. The tracked high-water mark
-    is in-memory per query run; after a checkpoint restart it re-learns
-    from the first batch, which can only make the guard more permissive,
-    never destructive, because replayed batches re-deliver whole periods.
+    the driver and drops the re-delivery of any period whose END is at or
+    before ``max_seen - watermark_delay`` — period-granular, because the
+    period is the re-run unit: a threshold-straddling period keeps ALL
+    its rows, matching dbt microbatch re-run semantics. The tracked
+    high-water mark is in-memory per query run; after a checkpoint
+    restart it re-learns from the first batch, which can only make the
+    guard more permissive, never destructive, because replayed batches
+    re-deliver whole periods.
 
     CONTRACT (dbt's own): a batch that touches a period re-delivers that
     period COMPLETELY — the period is the re-run unit. For arrival-based
@@ -197,21 +221,31 @@ def microbatch_stream(
                 unique_key=unique_key,
             )
             return
-        # explicit late-row guard (see docstring): drop rows beyond the
-        # watermark BEFORE the period-aligned delete+insert, so a
-        # straggler cannot trigger a destructive re-delivery of a period
-        # the stream has already moved past. Like Spark's own watermark,
-        # the threshold comes from PRIOR batches' max event time — a
-        # batch is never late relative to itself.
+        # explicit late-PERIOD guard (see docstring): drop re-deliveries
+        # of periods the stream has moved past, BEFORE the period-aligned
+        # delete+insert, so a straggler cannot wipe its already-complete
+        # period. The guard is PERIOD-granular, not row-granular: the
+        # period is the re-run unit, so a period still inside the
+        # watermark (period_end > threshold) keeps ALL its rows — a
+        # row-level filter would truncate a legitimate complete
+        # re-delivery of a threshold-straddling period and the delete
+        # would destroy the filtered-out rows. Like Spark's own
+        # watermark, the threshold comes from PRIOR batches' max event
+        # time — a batch is never late relative to itself.
         if max_seen is not None:
+            threshold = max_seen - delay
+            # period_end > threshold  <=>  date_trunc(period, ts) >=
+            # date_trunc(period, threshold)  (boundary case: a threshold
+            # exactly on a period boundary drops the period it closes)
             batch_df = batch_df.filter(
-                F.col(event_time) >= F.lit(max_seen - delay)
+                F.date_trunc(period, F.col(event_time))
+                >= F.date_trunc(period, F.lit(threshold))
             )
         batch_hi = batch_df.agg(F.max(event_time)).first()[0]
         if batch_hi is not None and (max_seen is None or batch_hi > max_seen):
             max_seen = batch_hi
         if batch_hi is None:
-            return  # every row was beyond the watermark
+            return  # every row was in a beyond-watermark period
         starts = [
             r[0]
             for r in batch_df.select(

@@ -429,6 +429,56 @@ def test_microbatch_stream_drops_beyond_watermark_straggler(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_microbatch_stream_keeps_whole_straddling_period(spark, tmp_path):
+    """A re-delivered period whose span STRADDLES the watermark threshold
+    must land completely — the guard is period-granular (the period is
+    the re-run unit); a row-level filter would truncate the re-delivery
+    and the period delete would permanently destroy the older rows."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    schema = "ts string, user_id long, event_type string, value double"
+    base = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "click", 1.0),
+         ("2024-01-01 10:20:00", 2, "click", 2.0),
+         ("2024-01-01 10:45:00", 3, "view", 3.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src_dir = tmp_path / "mb_src4"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "mb_ckpt4")
+    name = "mb_target_straddle"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(base.schema).parquet(str(src_dir / "*"))
+    q = microbatch_stream(
+        stream, name, event_time="ts", watermark_delay="30 minutes",
+        checkpoint_dir=ckpt, period="hour",
+    )
+    try:
+        q.processAllAvailable()
+        # head=10:45, threshold=10:15 — hour 10 straddles it (ends 11:00)
+        # and is re-delivered COMPLETELY with corrected values
+        corrected = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 1, "click", 10.0),
+             ("2024-01-01 10:20:00", 2, "click", 20.0),
+             ("2024-01-01 10:45:00", 3, "view", 30.0)],
+            schema,
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        corrected.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        spark.catalog.refreshTable(name)
+        out = spark.table(name)
+        # the WHOLE corrected period landed — including the 10:00 row
+        # that a row-granular guard would have dropped then deleted
+        assert out.count() == 3
+        assert out.filter(F.col("value") == 10.0).count() == 1
+        assert out.filter(F.col("value") == 1.0).count() == 0
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_microbatch_stream_unique_key_merge_for_arrival_batches(
     spark, events, tmp_path
 ):
@@ -592,6 +642,21 @@ def test_near_dup_components_transitive(spark):
     )
     got = {r.doc_id: r.component for r in near_dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_near_dup_components_deep_chain_converges(spark):
+    """Pointer doubling: a chain DEEPER than max_iter still converges
+    exactly (plain 1-hop propagation would need diameter rounds and
+    return silently-wrong labels — it now raises instead)."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import near_dup_components
+
+    chain = [(i, i + 1) for i in range(25)]  # diameter 25 > max_iter 5
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component
+        for r in near_dup_components(pairs, max_iter=5).collect()
+    }
+    assert got == {i: 0 for i in range(26)}
 
 
 def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):

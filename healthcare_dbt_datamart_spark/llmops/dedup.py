@@ -34,8 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HEX = "0123456789abcdef"
-
 
 def tokens_col(text: Column | str, n_shingle: int = 1) -> Column:
     """Distinct token (or word-n-shingle) set of lowercased text.

@@ -79,12 +79,21 @@ def asof_join(
         .orderBy("__ats", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
+    # carry the right side as ONE struct: the struct is non-null exactly
+    # on right rows (even when every field inside is NULL), so
+    # last(ignorenulls) picks the latest right ROW atomically. Carrying
+    # columns individually would skip a legitimate NULL in the as-of row
+    # (returning a stale older value) and could stitch fields from
+    # DIFFERENT right rows when the latest row is NULL in only some.
+    r_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
+    out = u.withColumn("__rrow", F.last(r_struct, ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
     for c in right_cols:
-        out = out.withColumn(
-            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    return out.filter(F.col("__side") == 1).drop("__side", "__ats")
+        out = out.withColumn(c, F.col("__rrow")[c])
+    return out.drop("__side", "__ats", "__rrow")
 
 
 def interval_join(

@@ -57,6 +57,31 @@ def _key_cols(unique_key: str | list[str]) -> list[str]:
     return [unique_key] if isinstance(unique_key, str) else list(unique_key)
 
 
+def _assert_unique_source_keys(
+    source: DataFrame, keys: list[str], strategy: str
+) -> None:
+    """MERGE with a duplicate-keyed source is nondeterministic — Snowflake
+    and Delta both raise; silently fanning the target row out (or
+    inserting duplicate keys) corrupts downstream joins. One cheap
+    aggregation over the batch (the small side) guards it.
+    delete+insert deliberately skips this: its semantics allow multiple
+    source rows per key (delete once, insert all)."""
+    dup = (
+        source.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"{strategy}: source has multiple rows for unique_key {key_vals}"
+            " — MERGE would be nondeterministic (dedupe the batch first,"
+            " e.g. keep-latest by a timestamp)"
+        )
+
+
 def _apply_schema_change(
     spark: SparkSession, name: str, source: DataFrame, on_schema_change: str
 ) -> DataFrame:
@@ -65,11 +90,27 @@ def _apply_schema_change(
     ignore             -> project source onto the target's columns
     append_new_columns -> add new source columns to the target (backfill NULL)
     sync_all_columns   -> add new, drop removed
+    fail               -> raise when source and target schemas differ
     ``expand_target_column_types`` is implicit: the union casts by name.
+    Unknown modes raise up front — a typo'd mode must not silently run
+    as ``ignore`` just because this batch happens to add no columns.
     """
+    allowed = ("ignore", "append_new_columns", "sync_all_columns", "fail")
+    if on_schema_change not in allowed:
+        raise ValueError(
+            f"unknown on_schema_change: {on_schema_change!r} (allowed: {allowed})"
+        )
     target = spark.table(name)
     t_cols, s_cols = target.columns, source.columns
     new_cols = [c for c in s_cols if c not in t_cols]
+    if on_schema_change == "fail":
+        if set(t_cols) != set(s_cols):
+            raise ValueError(
+                "on_schema_change='fail': source schema differs from target"
+                f" (new: {sorted(set(s_cols) - set(t_cols))},"
+                f" missing: {sorted(set(t_cols) - set(s_cols))})"
+            )
+        return source.select(*[F.col(c) for c in t_cols])
     if on_schema_change == "ignore" or not new_cols and on_schema_change != "sync_all_columns":
         common = [c for c in t_cols if c in s_cols]
         missing = [c for c in t_cols if c not in s_cols]
@@ -145,14 +186,20 @@ def incremental_run(
             source.write.mode("append").format("parquet").insertInto(name)
             return
         keys = _key_cols(unique_key)
+        _assert_unique_source_keys(source, keys, "merge")
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         if incremental_predicates:
             # merge.sql predicates: target rows OUTSIDE the predicates are
             # protected from matching (never updated) — at scale this is
             # the partition-pruning hint that keeps the MERGE from
-            # scanning the whole target.
-            pred = reduce(
-                lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]
+            # scanning the whole target. SQL 3VL: a row where the
+            # predicate evaluates to NULL is NOT matched by MERGE/DELETE,
+            # so NULL rows belong with the protected set — coalesce to
+            # FALSE before negating, or ~NULL (= NULL) silently drops
+            # them from BOTH filters and the rebuilt table loses rows.
+            pred = F.coalesce(
+                reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]),
+                F.lit(False),
             )
             protected = target.filter(~pred)
             kept = protected.unionByName(
@@ -179,7 +226,13 @@ def incremental_run(
             match_target = target
             if incremental_predicates:
                 match_target = target.filter(
-                    reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates])
+                    F.coalesce(
+                        reduce(
+                            lambda a, b: a & b,
+                            [F.expr(p) for p in incremental_predicates],
+                        ),
+                        F.lit(False),
+                    )
                 )
             upd = {c for c in update_cols}
             matched = match_target.alias("t").join(source.alias("s"), keys, "inner").select(
@@ -208,8 +261,13 @@ def incremental_run(
         keys = _key_cols(unique_key)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         if incremental_predicates:
-            # predicates restrict which target rows are delete-candidates
-            pred = reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates])
+            # predicates restrict which target rows are delete-candidates;
+            # NULL-evaluating rows are NOT delete-candidates (SQL DELETE
+            # 3VL) — coalesce before negating so they stay protected
+            pred = F.coalesce(
+                reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]),
+                F.lit(False),
+            )
             protected = target.filter(~pred)
             candidates = target.filter(pred)
             kept = protected.unionByName(
@@ -232,8 +290,12 @@ def incremental_run(
             raise ValueError("microbatch needs event_time, batch_start, batch_end")
         ev = F.col(event_time)
         lo, hi = F.lit(batch_start), F.lit(batch_end)
-        kept = target.filter(~((ev >= lo) & (ev < hi)))
-        windowed = source.filter((ev >= lo) & (ev < hi))
+        # DELETE WHERE ev in [lo, hi): a NULL event_time is NOT in the
+        # window (3VL), so those rows must survive — coalesce the window
+        # predicate to FALSE before negating or ~NULL drops them
+        in_window = F.coalesce((ev >= lo) & (ev < hi), F.lit(False))
+        kept = target.filter(~in_window)
+        windowed = source.filter(in_window)
         _swap_in(spark, name, kept.unionByName(windowed))
         return
 

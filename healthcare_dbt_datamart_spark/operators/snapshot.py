@@ -149,17 +149,14 @@ def snapshot_run(
         changed = _row_changed_check(cols_to_check)
         new_valid_from = ts
 
-    def src_row(extra_valid_to: Column | None = None):
+    def src_row():
         cols = [joined[k].alias(k) for k in keys] + [
             F.col(f"src_{c}").alias(c) for c in data_cols if c not in keys
         ]
         scd = surrogate_key(
             *[joined[k] for k in keys], new_valid_from.cast("string")
         )
-        return (
-            cols,
-            scd,
-        )
+        return cols, scd
 
     # insertions: in source, not in snapshot (helpers.sql:107-124)
     ins_cols, ins_scd = src_row()

@@ -44,11 +44,37 @@ def read_csv(
     spark: SparkSession, path: str, schema: StructType, header: bool = True
 ) -> DataFrame:
     """CSV source with declared schema (no inference scan) and corrupt-
-    line capture — the S1 seed loader's big-data sibling."""
+    line capture — the S1 seed loader's big-data sibling.
+
+    Header lines are detected by PARSING each line as CSV and comparing
+    the fields to the declared column names (trimmed, case-insensitive) —
+    robust to quoting, spacing, and casing, where a raw string-equality
+    check would let a real header through as data (landing in
+    ``_corrupt_record``) whenever it differs cosmetically from
+    ``','.join(names)``. A header with REORDERED columns deliberately
+    does not match: that is a contract violation worth surfacing as a
+    corrupt row. Residual edge: a data row whose every field equals its
+    own column name is indistinguishable from a header and is dropped.
+    (The native csv reader's header option skips per-file first lines,
+    but its internal corrupt column cannot be filtered standalone without
+    caching the whole load — this line-scan keeps quarantine queryable.)
+    """
+    from functools import reduce as _reduce
+
     lines = spark.read.text(path)
     if header:
-        hdr = ",".join(schema.fieldNames())
-        lines = lines.filter(F.col("value") != hdr)
+        str_schema = StructType(
+            [StructField(f.name, StringType()) for f in schema.fields]
+        )
+        probe = F.from_csv(F.col("value"), str_schema.simpleString())
+        is_hdr = _reduce(
+            lambda a, b: a & b,
+            [
+                F.upper(F.trim(probe[f.name])) == F.lit(f.name.upper())
+                for f in schema.fields
+            ],
+        )
+        lines = lines.filter(~F.coalesce(is_hdr, F.lit(False)))
     parsed = F.from_csv(F.col("value"), _with_corrupt(schema).simpleString(), _PARSE_OPTS)
     return lines.select(parsed.alias("d")).select("d.*")
 

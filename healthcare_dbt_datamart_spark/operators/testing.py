@@ -36,11 +36,16 @@ def accepted_values_test(
     df: DataFrame, column: str, values: list, quote: bool = True
 ) -> DataFrame:
     """``accepted_values.sql:2-27``: value histogram filtered to values
-    outside the accepted list."""
+    outside the accepted list. ``quote`` mirrors dbt's knob: quoted
+    (default) compares as string literals — the column is cast to string
+    so a numeric column tested against string values behaves like the
+    reference SQL; ``quote=False`` compares natively typed."""
+    field = F.col(column).cast("string") if quote else F.col(column)
+    cmp_values = [str(v) for v in values] if quote else values
     return (
-        df.groupBy(F.col(column).alias("value_field"))
+        df.groupBy(field.alias("value_field"))
         .agg(F.count(F.lit(1)).alias("n_records"))
-        .filter(~F.col("value_field").isin(values))
+        .filter(~F.col("value_field").isin(cmp_values))
     )
 
 
@@ -90,9 +95,14 @@ def run_test(
     fail_calc = violations.count()
 
     def _thresh(expr: str) -> bool:
-        # expr like "!= 0", "> 10", ">= 5"
-        op, _, val = expr.strip().partition(" ")
-        v = int(val)
+        # dbt accepts both "!= 0" and "!=0" / ">10" (no space); parse
+        # operator and number independently of whitespace
+        import re
+
+        m = re.match(r"\s*(!=|==|>=|<=|=|>|<)\s*(\d+)\s*$", expr)
+        if not m:
+            raise ValueError(f"unsupported threshold expression: {expr!r}")
+        op, v = m.group(1), int(m.group(2))
         return {
             "!=": fail_calc != v, "=": fail_calc == v, "==": fail_calc == v,
             ">": fail_calc > v, ">=": fail_calc >= v,

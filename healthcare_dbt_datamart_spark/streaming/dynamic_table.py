@@ -212,11 +212,27 @@ def microbatch_stream(
             return
         if unique_key is not None:
             # merge mode never deletes, so stragglers are order-safe:
-            # a late row simply updates/inserts its own key
+            # a late row simply updates/inserts its own key. An arrival
+            # batch can carry the same key several times (two updates in
+            # one trigger) — MERGE would be nondeterministic, so keep
+            # the LATEST row per key by event time first (the standard
+            # streaming-upsert dedupe; batch-side only, one window over
+            # the small batch)
+            from pyspark.sql.window import Window
+
+            keys = (
+                [unique_key] if isinstance(unique_key, str) else list(unique_key)
+            )
+            w = Window.partitionBy(*keys).orderBy(F.col(event_time).desc())
+            deduped = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
             incremental_run(
                 batch_df.sparkSession,
                 name,
-                batch_df,
+                deduped,
                 strategy="merge",
                 unique_key=unique_key,
             )

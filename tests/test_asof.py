@@ -47,6 +47,30 @@ def test_asof_join_inclusive_backward(spark):
     assert out[4] == (_ts("2024-01-01 12:30:00"), 3.0)
 
 
+def test_asof_join_null_fields_carry_atomically(spark):
+    """The as-of row's values carry as ONE row even when some of its
+    fields are NULL: a NULL in the latest right row must NOT fall back
+    to a stale older value, and fields must never stitch across
+    different right rows."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 15:00:00"), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 12:00:00"), 5.0, "old"),
+            (7, _ts("2024-01-01 14:00:00"), None, "new"),  # latest: v NULL
+        ],
+        "user_id long, ts timestamp, v double, tag string",
+    ).withColumn("err_ts", F.col("ts"))
+    out = asof_join(
+        left, right, "user_id", "ts", "ts", ["err_ts", "v", "tag"]
+    ).collect()[0]
+    assert out.err_ts == _ts("2024-01-01 14:00:00")
+    assert out.v is None          # NOT the stale 5.0
+    assert out.tag == "new"       # no cross-row stitching
+
+
 def test_interval_join_bounds_and_bucket_straddle(spark):
     """(l, l+W] bounds: strictly-after lower, inclusive upper; matches
     found across quantization-bucket boundaries; same-key only."""

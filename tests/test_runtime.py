@@ -589,6 +589,92 @@ def test_merge_incremental_predicates_protect_target(spark):
     assert vals == [10, 99]
 
 
+def test_merge_predicate_null_rows_are_protected(spark):
+    """SQL 3VL: a target row where the incremental predicate evaluates to
+    NULL is NOT matched by MERGE — it must survive the rebuild, not be
+    silently dropped by landing in neither filter(pred) nor filter(~pred)."""
+    t0 = _df(
+        spark,
+        [(1, "2024", 10), (2, None, 20), (3, "2024", 30)],
+        "k long, yr string, v long",
+    )
+    incremental_run(spark, "t_mpnull", t0, strategy="merge", unique_key="k")
+    src = _df(spark, [(1, "2024", 99)], "k long, yr string, v long")
+    incremental_run(
+        spark, "t_mpnull", src, strategy="merge", unique_key="k",
+        incremental_predicates=["yr = '2024'"],
+    )
+    rows = {r.k: r.v for r in spark.table("t_mpnull").collect()}
+    # the NULL-yr row survived as protected; matched row updated
+    assert rows == {1: 99, 2: 20, 3: 30}
+
+
+def test_microbatch_keeps_null_event_time_rows(spark):
+    """DELETE WHERE ev in [lo, hi): NULL event_time is not in the window
+    (3VL) — those rows must survive every microbatch run."""
+    t0 = _df(
+        spark, [("2024-01-01", 1), (None, 2)], "d string, v long"
+    ).withColumn("d", F.col("d").cast("date"))
+    incremental_run(
+        spark, "inc_mbnull", t0, strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-01-02",
+    )
+    redo = _df(spark, [("2024-01-01", 10)], "d string, v long").withColumn(
+        "d", F.col("d").cast("date")
+    )
+    incremental_run(
+        spark, "inc_mbnull", redo, strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-01-02",
+    )
+    rows = sorted(r.v for r in spark.table("inc_mbnull").collect())
+    assert rows == [2, 10]  # NULL-date row survived; window replaced
+
+
+def test_merge_duplicate_source_keys_raise(spark):
+    """MERGE with a duplicate-keyed source is nondeterministic — raise
+    like Snowflake/Delta instead of silently corrupting the table."""
+    incremental_run(spark, "inc_dup", _df(spark, [(1, "a")], "id long, v string"),
+                    strategy="merge", unique_key="id")
+    with pytest.raises(ValueError, match="multiple rows"):
+        incremental_run(
+            spark, "inc_dup",
+            _df(spark, [(1, "x"), (1, "y")], "id long, v string"),
+            strategy="merge", unique_key="id",
+        )
+
+
+def test_on_schema_change_fail_and_unknown(spark):
+    """'fail' raises on any schema difference; unknown modes raise even
+    when the batch happens to add no columns."""
+    incremental_run(spark, "inc_scf", _df(spark, [(1, "a")], "id long, v string"),
+                    strategy="append")
+    with pytest.raises(ValueError, match="unknown on_schema_change"):
+        incremental_run(
+            spark, "inc_scf", _df(spark, [(2, "b")], "id long, v string"),
+            strategy="append", on_schema_change="fial",
+        )
+    with pytest.raises(ValueError, match="differs from target"):
+        incremental_run(
+            spark, "inc_scf", _df(spark, [(2,)], "id long"),
+            strategy="append", on_schema_change="fail",
+        )
+    # same schema passes under 'fail'
+    incremental_run(
+        spark, "inc_scf", _df(spark, [(3, "c")], "id long, v string"),
+        strategy="append", on_schema_change="fail",
+    )
+    assert spark.table("inc_scf").count() == 2
+
+
+def test_run_test_threshold_no_space(spark):
+    """dbt threshold syntax without spaces ('>10', '!=0') parses."""
+    from healthcare_dbt_datamart_spark.operators.testing import run_test
+
+    v = _df(spark, [(1,), (2,)], "id long")
+    res = run_test(v, warn_if=">10", error_if="!=0")
+    assert not res.should_warn and res.should_error
+
+
 def test_compact_table_reduces_files(spark):
     df = spark.range(10000).repartition(64).selectExpr("id AS k", "id*2 AS v")
     mat.materialize_table(spark, "t_compact", df)

@@ -98,8 +98,13 @@ def dateadd(part: str, n: Column | int, d: Column | str) -> Column:
     if part == "day":
         return F.date_add(d, n_col)
     if part in ("hour", "minute", "second"):
-        secs = {"hour": 3600, "minute": 60, "second": 1}[part]
-        return F.timestamp_seconds(F.unix_timestamp(d) + n_col * secs)
+        # micros arithmetic, not unix_timestamp: whole-second conversion
+        # would destroy sub-second precision (dateadd('second', 0, ts)
+        # must round-trip exactly, like Snowflake's)
+        us = {"hour": 3_600_000_000, "minute": 60_000_000, "second": 1_000_000}[part]
+        return F.timestamp_micros(
+            F.unix_micros(d.cast("timestamp")) + n_col.cast("long") * us
+        )
     raise ValueError(f"unsupported datepart: {part}")
 
 
@@ -117,8 +122,12 @@ def datediff(part: str, a: Column | str, b: Column | str) -> Column:
     if part == "month":
         return (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
     if part == "week":
-        # boundary-count on week starts (Snowflake counts Monday starts)
-        return F.datediff(F.date_trunc("week", b), F.date_trunc("week", a)) / 7
+        # boundary-count on week starts (Snowflake counts Monday starts);
+        # integer like every other datepart — a bare /7 would surface a
+        # fractional DOUBLE into table schemas
+        return (
+            F.datediff(F.date_trunc("week", b), F.date_trunc("week", a)) / 7
+        ).cast("int")
     if part == "day":
         return F.datediff(b, a)
     if part in ("hour", "minute", "second"):
@@ -164,6 +173,12 @@ def date_spine(
         "day": "interval 1 day", "week": "interval 1 week",
         "month": "interval 1 month", "year": "interval 1 year",
     }[datepart]
+    import re
+
+    for d in (start_date, end_date):
+        # the bounds embed in SQL text — validate, don't interpolate raw
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", d):
+            raise ValueError(f"date_spine bound must be YYYY-MM-DD: {d!r}")
     return (
         spark.range(1)
         .select(

@@ -131,14 +131,25 @@ def gap_status_sql(
     rule_version: str = "COL_V1",
 ) -> DataFrame:
     """Run the SQL-authored pipeline; expects temp views ``customer``,
-    ``orders``, ``lineitem``, ``part`` to be registered."""
+    ``orders``, ``lineitem``, ``part`` to be registered.
+
+    String params are escaped and date/int params validated before
+    interpolation — these values embed in SQL text (the compile-time
+    macro-expansion model), so a stray quote must not alter the query."""
+    import re
+
+    from ..functions import escape_single_quotes
+
+    for d in (period_start, period_end):
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", d):
+            raise ValueError(f"period bound must be YYYY-MM-DD: {d!r}")
     return spark.sql(
         GAP_STATUS_SQL.format(
             period_start=period_start,
             period_end=period_end,
-            min_age=min_age,
-            max_age=max_age,
-            measure_id=measure_id,
-            rule_version=rule_version,
+            min_age=int(min_age),
+            max_age=int(max_age),
+            measure_id=escape_single_quotes(measure_id),
+            rule_version=escape_single_quotes(rule_version),
         )
     )

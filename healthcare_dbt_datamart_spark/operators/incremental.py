@@ -37,18 +37,42 @@ from pyspark.sql import functions as F
 
 
 def is_incremental(spark: SparkSession, name: str, full_refresh: bool = False) -> bool:
-    """I6 (``is_incremental.sql:2-13``)."""
-    return spark.catalog.tableExists(name) and not full_refresh
+    """I6 (``is_incremental.sql:2-13``) — with crash recovery: a target
+    missing because a previous run died mid-swap is restored from its
+    backup before answering."""
+    return recover_swap(spark, name) and not full_refresh
+
+
+def recover_swap(spark: SparkSession, name: str) -> bool:
+    """If a crash mid-``_swap_in`` left no target, promote the backup —
+    the swap never completed, so the pre-swap contents are the correct
+    durable state. Returns whether the target exists after recovery."""
+    if spark.catalog.tableExists(name):
+        return True
+    backup = f"{name}__dbt_backup"
+    if spark.catalog.tableExists(backup):
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {name}")
+        spark.catalog.refreshTable(name)
+        return True
+    return False
 
 
 def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
     """Write new contents (which may read from the current target) to a
-    temp table, then swap — the plain-parquet analog of Snowflake's atomic
-    create-or-replace."""
-    tmp = f"{name}__dbt_tmp"
+    temp table, then swap via the reference's backup-rename-drop
+    (``dbt-adapters/.../table.sql:36-59``): the old target is RENAMED to
+    a backup — never dropped before the new table holds its name — so a
+    crash at any point leaves either the target or its backup in the
+    catalog, and ``recover_swap`` restores the pre-swap state on the next
+    run (a DROP-then-RENAME swap has a window where a crash silently
+    loses the whole table)."""
+    tmp, backup = f"{name}__dbt_tmp", f"{name}__dbt_backup"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
     new_contents.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {name} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    spark.sql(f"DROP TABLE {backup}")
     # readers that resolved `name` before the swap hold a stale file index
     spark.catalog.refreshTable(name)
 

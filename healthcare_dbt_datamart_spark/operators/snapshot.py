@@ -92,7 +92,9 @@ def snapshot_run(
     else:
         raise ValueError(f"unknown snapshot strategy: {strategy}")
 
-    if not spark.catalog.tableExists(name):
+    from .incremental import recover_swap
+
+    if not recover_swap(spark, name):
         # SN5 first-run build (helpers.sql:216-231): all rows current.
         first = source.select(
             "*",

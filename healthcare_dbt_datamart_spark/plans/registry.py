@@ -158,9 +158,13 @@ class ModelRegistry:
         if (
             self._selected is not None
             and name not in self._selected
-            and self.spark.catalog.tableExists(name)
+            and self._is_materialized_table(name)
         ):
-            # unselected, already-materialized upstream: read, don't rebuild
+            # unselected, already-materialized upstream: read, don't rebuild.
+            # Must be a REAL table — tableExists() is also true for the
+            # temp view a prior run's view-materialization registered, and
+            # reading that would resolve to the previous run's lazy plan
+            # over stale sources; view models rebuild lazily instead
             out = self.spark.table(name)
             self._built[name] = out
             return out
@@ -226,6 +230,15 @@ class ModelRegistry:
         self._run_hooks(mdef.config.get("post_hook"), name)
         self._built[name] = out
         return out
+
+    def _is_materialized_table(self, name: str) -> bool:
+        """True only for a real managed/external table — NOT for temp
+        views (``tableExists`` counts those too)."""
+        try:
+            t = self.spark.catalog.getTable(name)
+        except Exception:
+            return False
+        return (t.tableType or "").upper() not in ("TEMPORARY", "TEMP_VIEW", "VIEW")
 
     def _run_hooks(self, hooks, model_name: str) -> None:
         """Execute pre/post hooks (``hooks.sql`` run_hooks): each hook is
@@ -336,7 +349,16 @@ class ModelRegistry:
         """Model -> direct upstream models, discovered by running each
         model body with a recording, non-materializing context (the
         engine's analog of dbt's manifest parse: bodies are Python, so
-        dependencies are observed rather than parsed)."""
+        dependencies are observed rather than parsed).
+
+        KNOWN TRADE-OFFS of observed (vs parsed) discovery, accepted and
+        documented: (1) bodies that take eager actions pay them during
+        discovery — keep bodies lazy (the registry's general contract;
+        eager fits belong in pre-hooks or materialized upstreams);
+        (2) a body branching on runtime state (``if ctx.is_incremental():
+        ref(a) else ref(b)``) records only the taken branch, so declare
+        both refs unconditionally before branching if the closure
+        matters for ``select``."""
         edges: dict[str, set[str]] = {name: set() for name in self._models}
         memo: dict[str, DataFrame] = {}
 

@@ -179,11 +179,11 @@ def microbatch_stream(
     the driver and drops the re-delivery of any period whose END is at or
     before ``max_seen - watermark_delay`` — period-granular, because the
     period is the re-run unit: a threshold-straddling period keeps ALL
-    its rows, matching dbt microbatch re-run semantics. The tracked
-    high-water mark is in-memory per query run; after a checkpoint
-    restart it re-learns from the first batch, which can only make the
-    guard more permissive, never destructive, because replayed batches
-    re-deliver whole periods.
+    its rows, matching dbt microbatch re-run semantics. The high-water
+    mark is tracked in memory and RE-ARMED after a restart from the
+    target table's own max event time — the landed data is the durable
+    mark — so the guard stays armed across driver failures instead of
+    letting the first post-restart straggler wipe its period.
 
     CONTRACT (dbt's own): a batch that touches a period re-delivers that
     period COMPLETELY — the period is the re-run unit. For arrival-based
@@ -208,6 +208,19 @@ def microbatch_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal max_seen
+        # several passes read the batch (guard max, distinct periods, one
+        # filtered write per period) — persist once, or each pass re-runs
+        # the micro-batch source + transform
+        from pyspark import StorageLevel
+
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _apply_batch_inner(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_batch_inner(batch_df: DataFrame) -> None:
+        nonlocal max_seen
         if batch_df.isEmpty():
             return
         if unique_key is not None:
@@ -223,7 +236,14 @@ def microbatch_stream(
             keys = (
                 [unique_key] if isinstance(unique_key, str) else list(unique_key)
             )
-            w = Window.partitionBy(*keys).orderBy(F.col(event_time).desc())
+            # xxhash64 over the whole row as the secondary sort: equal
+            # event times for one key would otherwise pick an arbitrary
+            # winner per partition layout — replays of the same batch
+            # must merge the SAME row
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(event_time).desc(),
+                F.xxhash64(*[F.col(c) for c in batch_df.columns]).asc(),
+            )
             deduped = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -248,6 +268,16 @@ def microbatch_stream(
         # would destroy the filtered-out rows. Like Spark's own
         # watermark, the threshold comes from PRIOR batches' max event
         # time — a batch is never late relative to itself.
+        if max_seen is None:
+            # restart: re-arm from the TARGET's landed high-water mark —
+            # the in-memory mark dies with the driver, and an unarmed
+            # guard would let a straggler in the first post-restart
+            # batch wipe its already-complete period
+            spark = batch_df.sparkSession
+            if spark.catalog.tableExists(name):
+                max_seen = (
+                    spark.table(name).agg(F.max(event_time)).first()[0]
+                )
         if max_seen is not None:
             threshold = max_seen - delay
             # period_end > threshold  <=>  date_trunc(period, ts) >=

@@ -22,12 +22,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 def _best_of(df: DataFrame) -> DataFrame:
     """Per-member argmin over (reason_rank asc, event_date desc, claim_id
-    asc) — packed into one min_by-able struct (partial-agg friendly: no
-    window, no shuffle beyond the groupBy)."""
+    DESC) — the SAME tie-break order as the batch pipeline's W1 window
+    (gap_pipeline.py: 'claim_id DESC'), so the streaming table never
+    silently disagrees with the batch rebuild on rank+date ties. Packed
+    into one min_by-able struct (partial-agg friendly: no window, no
+    shuffle beyond the groupBy)."""
     pick = F.struct(
         F.col("reason_rank").alias("r"),
         (-F.unix_date(F.col("event_date").cast("date"))).alias("neg_d"),
-        F.col("claim_id").alias("c"),
+        (-F.col("claim_id")).alias("neg_c"),
     )
     return (
         df.groupBy("member_id")
@@ -63,9 +66,13 @@ def streaming_best_evidence(
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.incremental import recover_swap
+
         spark = batch_df.sparkSession
         batch_best = _best_of(batch_df)
-        if not spark.catalog.tableExists(name):
+        # recover_swap: a restart after a crash mid-swap must restore the
+        # accumulated state table, not rebuild it from this batch alone
+        if not recover_swap(spark, name):
             batch_best.write.format("parquet").saveAsTable(name)
             return
         # re-rank ONLY members present in this batch (semi-join); the rest

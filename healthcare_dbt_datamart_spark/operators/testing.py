@@ -78,11 +78,15 @@ def run_test(
     warn_if: str = "!= 0",
     error_if: str = "!= 0",
     store_failures_as: str | None = None,
+    fail_calc: str = "count(*)",
 ) -> TestResult:
     """The test harness (``tests/helpers.sql:7-16``):
     ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
     {fail_calc} {error_if} as should_error`` with optional where/limit
-    wrappers and persisted failures (``test.sql:10-45``)."""
+    wrappers and persisted failures (``test.sql:10-45``). ``fail_calc``
+    is dbt's knob verbatim: any aggregate SQL expression over the
+    violations relation (default ``count(*)``; e.g. ``sum(n_records)``
+    to weight a histogram test by row counts)."""
     if where:
         violations = violations.filter(where)
     if limit is not None:
@@ -92,7 +96,11 @@ def run_test(
             store_failures_as
         )
         violations = violations.sparkSession.table(store_failures_as)
-    fail_calc = violations.count()
+    if fail_calc.replace(" ", "").lower() in ("count(*)", "count(1)"):
+        fail_calc = violations.count()
+    else:
+        val = violations.agg(F.expr(fail_calc).alias("fc")).first()[0]
+        fail_calc = int(val or 0)
 
     def _thresh(expr: str) -> bool:
         # dbt accepts both "!= 0" and "!=0" / ">10" (no space); parse

@@ -675,6 +675,20 @@ def test_run_test_threshold_no_space(spark):
     assert not res.should_warn and res.should_error
 
 
+def test_run_test_custom_fail_calc(spark):
+    """fail_calc is an arbitrary aggregate expression like dbt's —
+    sum(n_records) weights a histogram test by row counts."""
+    from healthcare_dbt_datamart_spark.operators.testing import run_test
+
+    v = _df(spark, [("P", 7), ("X", 5)], "value_field string, n_records long")
+    res = run_test(v, fail_calc="sum(n_records)", warn_if="> 10", error_if="> 100")
+    assert res.failures == 12
+    assert res.should_warn and not res.should_error
+    # empty relation: custom fail_calc coalesces NULL to 0
+    empty = v.limit(0)
+    assert run_test(empty, fail_calc="sum(n_records)").failures == 0
+
+
 def test_compact_table_reduces_files(spark):
     df = spark.range(10000).repartition(64).selectExpr("id AS k", "id*2 AS v")
     mat.materialize_table(spark, "t_compact", df)

@@ -16,5 +16,11 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash16,
 )
-from .similarity import cosine_topk, sign_lsh_bits  # noqa: F401
+from .filtering import (  # noqa: F401
+    epoch_order,
+    importance_weights,
+    ngram_contamination,
+    redact_report,
+)
+from .similarity import cosine_topk, embedding_outliers, sign_lsh_bits  # noqa: F401
 from .textstats import langid_scores, quality_stats, rolling_fingerprint  # noqa: F401

@@ -1,0 +1,243 @@
+"""Content filtering and data-curation operators for training pipelines:
+pattern redaction (PII / denylist scrub), n-gram eval-set decontamination,
+DSIR-style importance weighting, and deterministic epoch ordering.
+
+All four are engine-independent by construction (md5 buckets, portable
+regex character classes, add-alpha smoothed count ratios) so every one has
+an exact DuckDB oracle, like the dedup/split families.
+
+Scale shapes (100 TB discipline):
+
+- ``redact_report`` is a pure projection — zero shuffle, scales as a scan.
+- ``ngram_contamination`` is the Dolma/RedPajama decontamination join:
+  per-doc DISTINCT grams (array ops, no explode-then-distinct shuffle per
+  doc), md5-compressed gram keys so the join shuffles fixed-width hashes
+  instead of raw n-gram strings, and a semi-join against the train side's
+  deduplicated gram set.
+- ``importance_weights`` shares the TF-IDF shuffle shape: two partial-agg
+  groupBys on the term plus one join; scalar corpus totals fold in as
+  1-row broadcast aggregates (no plan-splitting ``count()`` actions).
+- ``epoch_order`` never materializes a global order: rows are hashed into
+  shards and ordered within the shard only (window partitioned by shard),
+  which is exactly how a 1000-executor trainer consumes data — one
+  deterministic shard per reader, never a single-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .splits import _HEX
+
+# Portable regexes: character classes + \b only — no backreferences, no
+# lookaround — so Java (Spark) and RE2 (DuckDB/Go) agree on every match.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+}
+
+
+def redact_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: dict[str, str],
+    mask: str = "<X>",
+) -> DataFrame:
+    """Per-document match counts for each named pattern plus the length of
+    the text after all patterns are masked — the PII-scrub / denylist
+    report a curation pipeline emits before dropping or rewriting docs.
+
+    Counting and replacement stay JVM-side (``regexp_count`` /
+    ``regexp_replace`` are codegen'd); one projection, zero shuffle. The
+    replacement chain applies patterns in dict order, so an overlapping
+    match is consumed by the first pattern that claims it — deterministic
+    and mirrored exactly by the oracle's nested regexp_replace.
+    """
+    c = F.col(text_col)
+    cols = [F.col(id_col), F.length(c).alias("raw_len")]
+    for name, pat in patterns.items():
+        cols.append(F.regexp_count(c, F.lit(pat)).alias(f"{name}_hits"))
+    redacted = c
+    for pat in patterns.values():
+        redacted = F.regexp_replace(redacted, pat, mask)
+    cols.append(F.length(redacted).alias("redacted_len"))
+    return df.select(*cols)
+
+
+def _distinct_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram_hash) pairs — per-doc DISTINCT word n-grams, built with
+    array expressions inside the row (tokenize once, transform over an
+    index sequence, array_distinct) and only THEN exploded, so the shuffle
+    sees each (doc, gram) once. Grams travel as md5 hashes: fixed 32-byte
+    keys instead of unbounded strings — at 100 TB the decontamination
+    shuffle is dominated by key width, and a hash collision (2^-64-ish on
+    the join range) only ever FLAGS a clean doc, never misses a dirty one.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_w"), i + k) for k in range(n)]
+        ),
+    )
+    grams = w.select(
+        F.col(id_col),
+        F.when(F.size("_w") >= n, mk)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.explode(F.array_distinct("_g")).alias("_gram"),
+    ).select(F.col(id_col), F.md5(F.col("_gram")).alias("gram_hash"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination report: for every eval document, how many
+    of its distinct word n-grams also occur anywhere in the train split.
+
+    The canonical pre-training hygiene check (13-grams in GPT-3/Dolma; n
+    is a parameter — driver data uses shorter docs, so tests run n=3..5).
+    Returns ``(id, n_grams, n_contaminated, contamination_ratio)`` with
+    ratio 0.0 for gram-less docs.
+
+    Shape: one inner join of eval grams against the train side's
+    DEDUPLICATED gram set (dedup collapses the heavy tail of repeated
+    boilerplate grams before the join), then a per-doc count — two
+    shuffles total, both on the fixed-width gram hash.
+    """
+    ev = _distinct_grams(eval_, text_col, id_col, n)
+    tr = _distinct_grams(train, text_col, id_col, n).select("gram_hash").distinct()
+    hits = (
+        ev.join(tr, "gram_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    out = totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination_ratio"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public arXiv:2302.03169):
+    score every document by the mean per-token log-likelihood ratio
+    between a TARGET unigram model (docs matching ``target_pred``) and the
+    CORPUS unigram model. High scorers look like the target domain;
+    sampling proportional to the weight reshapes the corpus toward it.
+
+    Both models are add-alpha smoothed over the SAME corpus vocabulary, so
+    out-of-target tokens get finite mass and the ratio is defined
+    everywhere. All counts are exact integers and the per-token ratio is
+    computed in double then averaged and rounded to 6dp — cross-engine
+    reproducible, same as ``unigram_logprob``.
+
+    Returns ``(id, n_tokens, dsir_weight)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_corpus"),
+        F.sum("_is_target").alias("c_target"),
+    )
+    # scalar totals as ONE 1-row broadcast aggregate: corpus tokens,
+    # target tokens, vocabulary size (= rows of freq, partial-agg safe)
+    totals = freq.agg(
+        F.sum("c_corpus").cast("double").alias("t_corpus"),
+        F.sum("c_target").cast("double").alias("t_target"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    a = F.lit(float(alpha))
+    ratio = freq.crossJoin(broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("c_target") + a) / (F.col("t_target") + a * F.col("vocab")))
+            - F.log((F.col("c_corpus") + a) / (F.col("t_corpus") + a * F.col("vocab")))
+        ).alias("llr"),
+    )
+    return (
+        toks.join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("llr"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row gets a
+    shard (reader assignment) and a position within the shard, both pure
+    functions of ``(seed, id)`` — rerunning anywhere reproduces the exact
+    order, and changing the seed reshuffles.
+
+    ``shard = md5-bucket(seed:id) mod n_shards``; within a shard rows sort
+    by the full md5 key. The window partitions BY SHARD — there is never a
+    global single-partition sort, matching how distributed trainers
+    actually read (one shard per data-loader). At 100 TB: write out
+    partitioned by shard; each reader scans its shard pre-sorted.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    # shard from the key's own first two hex digits (no second md5) —
+    # engine-independent instr arithmetic, same trick as hash_bucket256
+    d1 = F.call_function("instr", F.lit(_HEX), F.substring(key, 1, 1))
+    d2 = F.call_function("instr", F.lit(_HEX), F.substring(key, 2, 1))
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        (((d1 - 1) * 16 + (d2 - 1)) % n_shards).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).alias("position"),
+        "shuffle_key",
+    )

@@ -656,3 +656,57 @@ def kmeans_cells(
         return report.localCheckpoint(eager=True)
     finally:
         cached.unpersist()
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-space quality filter: the k vectors FARTHEST from their
+    own group's centroid (lowest cosine), per group — the "does this doc
+    belong to its cluster/domain" outlier sweep run before training
+    (mislabeled, junk, or off-domain points surface first).
+
+    Fully in-plan — no driver model state: per-(group, dim) means come
+    from one posexplode + partial-agg groupBy (k·d rows), centroid arrays
+    reassemble via collect_list(struct(pos, m)) + array_sort (ordered by
+    pos regardless of arrival order), and join back broadcast (group
+    count is bounded). Centroid components round to 9dp on both engines
+    to absorb partial-sum order jitter BEFORE the 6dp cosine. Outliers
+    rank per group (window partitioned by group — never a global sort).
+
+    At 100 TB: the means pass is the same single-shuffle shape as the
+    Lloyd update; the rank pass shuffles once on the group key. With a
+    bounded group count the centroid join is always a broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    means = (
+        emb.select(F.col(group_col).alias("_g"), F.posexplode(F.col(vec_col)))
+        .groupBy("_g", "pos")
+        .agg(F.round(F.avg(F.col("col").cast("double")), 9).alias("m"))
+    )
+    cents = means.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("_cvec")
+    )
+    scored = emb.join(
+        broadcast(cents), emb[group_col] == cents["_g"], "inner"
+    ).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col("_cvec")), 6).alias("centroid_cosine"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("centroid_cosine").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            group_col, id_col, "centroid_cosine", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )

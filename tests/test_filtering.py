@@ -1,0 +1,121 @@
+"""Tests for llmops/filtering.py (redaction, decontamination, DSIR,
+epoch order) and similarity.embedding_outliers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_dbt_datamart_spark.llmops.filtering import (
+    PII_PATTERNS,
+    epoch_order,
+    importance_weights,
+    ngram_contamination,
+    redact_report,
+)
+from healthcare_dbt_datamart_spark.llmops.similarity import embedding_outliers
+
+
+def test_redact_report_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or alice@test.org thanks"),
+            (2, "server 10.0.0.1 called 555-123-4567 twice"),
+            (3, "clean text with no sensitive content"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in redact_report(df, "text", "doc_id", dict(PII_PATTERNS)).collect()
+    }
+    assert out[1]["email_hits"] == 2 and out[1]["ipv4_hits"] == 0
+    assert out[2]["ipv4_hits"] == 1 and out[2]["phone_hits"] == 1
+    assert out[3]["email_hits"] == out[3]["ipv4_hits"] == out[3]["phone_hits"] == 0
+    # masking shrinks redacted docs, leaves clean ones untouched
+    assert out[1]["redacted_len"] < out[1]["raw_len"]
+    assert out[3]["redacted_len"] == out[3]["raw_len"]
+
+
+def test_redact_report_pattern_order_first_claim_wins(spark):
+    # the email pattern consumes the token before the denylist term sees it
+    df = spark.createDataFrame([(1, "ping spark@spark.io and spark")], ["doc_id", "text"])
+    pats = {"email": PII_PATTERNS["email"], "term": r"\bspark\b"}
+    row = redact_report(df, "text", "doc_id", pats).collect()[0]
+    assert row["email_hits"] == 1
+    # bare "spark" occurrences: the standalone one plus the two inside the
+    # email count toward regexp_count (counting is independent per pattern)
+    assert row["term_hits"] == 3
+    # but replacement is sequential: after the email is masked, only the
+    # standalone term remains to redact -> "ping <X> and <X>"
+    assert row["redacted_len"] == len("ping <X> and <X>")
+
+
+def test_ngram_contamination_detects_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "quick brown fox seen again"),  # shares grams
+            (11, "completely different words entirely here"),  # clean
+            (12, "xy"),  # < n tokens -> no grams -> absent from report
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_contamination(train, ev, "text", "doc_id", n=3).collect()
+    }
+    assert rows[10]["n_contaminated"] == 1  # "quick brown fox"
+    assert rows[10]["contamination_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[11]["n_contaminated"] == 0
+    assert 12 not in rows
+
+
+def test_importance_weights_prefers_target_domain(spark):
+    # target domain talks about medicine; corpus noise about sports
+    rows = [(i, "heart dose clinic patient nurse", "med") for i in range(5)]
+    rows += [(10 + i, "goal match score team league", "sport") for i in range(5)]
+    rows.append((99, "heart dose patient visit", "unlabeled"))
+    rows.append((98, "goal match score replay", "unlabeled"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in importance_weights(
+            df, "text", "doc_id", target_pred=F.col("source") == "med"
+        ).collect()
+    }
+    # med-like doc scores higher than sport-like doc; target docs highest
+    assert w[99] > w[98]
+    assert w[0] > w[99] > 0 > w[98]
+
+
+def test_epoch_order_deterministic_and_sharded(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = epoch_order(df, "doc_id", seed="s1", n_shards=4).collect()
+    b = epoch_order(df, "doc_id", seed="s1", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    c = epoch_order(df, "doc_id", seed="s2", n_shards=4).collect()
+    order_a = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["position"]))]
+    order_c = [r["doc_id"] for r in sorted(c, key=lambda r: (r["shard"], r["position"]))]
+    assert order_a != order_c  # seed reshuffles
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():  # dense 1..n per shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_embedding_outliers_flags_far_point(spark):
+    vecs = [(i, [1.0, 0.0, 0.01 * i], 0) for i in range(6)]
+    vecs.append((100, [-1.0, 0.5, 0.0], 0))  # far from the tight cluster
+    vecs += [(200 + i, [0.0, 1.0, 0.0], 1) for i in range(3)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    out = embedding_outliers(df, "label", "vec_id", "embedding", k=2).collect()
+    worst_label0 = [r for r in out if r["label"] == 0 and r["rank"] == 1][0]
+    assert worst_label0["vec_id"] == 100
+    # identical vectors in label 1 tie -> rank breaks by vec_id
+    l1 = sorted([r for r in out if r["label"] == 1], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in l1] == [200, 201]

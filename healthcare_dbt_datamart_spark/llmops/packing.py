@@ -52,6 +52,48 @@ def pack_offsets(
     )
 
 
+def chunk_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Per-document sliding-window chunk plan: token windows of ``size``
+    starting every ``stride`` tokens (overlap = size - stride) — the
+    RAG / long-doc-eval chunker, kept as a PLAN (offsets, not text
+    copies) so downstream substring extraction happens at read time and
+    the exploded table stays narrow.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while < n_tokens; the
+    final chunks clamp to the document end (may be short). Zero-token
+    docs emit no rows. Pure array expression + explode — zero shuffle,
+    all-integer output (engine-independent by construction).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(stride))
+    chunks = toks.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col),
+        "n_tokens",
+        F.explode(starts).alias("tok_start"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        (F.col("tok_start") / stride).cast("int").alias("chunk_idx"),
+        "tok_start",
+        F.least(F.col("tok_start") + size, F.col("n_tokens")).alias("tok_end"),
+        (
+            F.least(F.col("tok_start") + size, F.col("n_tokens"))
+            - F.col("tok_start")
+        ).alias("chunk_tokens"),
+    )
+
+
 def pack_summary(
     df: DataFrame,
     text_col: str,

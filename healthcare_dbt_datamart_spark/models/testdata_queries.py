@@ -2220,8 +2220,20 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(emb, "label", "vec_id", "embedding", k=5)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan (llmops/packing.py::chunk_plan): 16-token
+    windows every 8 tokens (50% overlap) per document — the RAG/long-doc
+    chunker as offsets-only plan. Pure array expression + explode, zero
+    shuffle, all-integer output."""
+    from ..llmops.packing import chunk_plan
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return chunk_plan(docs, "text", "doc_id", size=16, stride=8)
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
+    "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
     "ngram_contamination": q_ngram_contamination,
     "dsir_weights": q_dsir_weights,
@@ -2232,8 +2244,8 @@ QUERIES = {
     #  set_except / set_intersect rotated below the 50-line window to make
     #  room for (0): each keeps an IN-window sibling on the same code path —
     #  the test harness via test_harness_orders + unique-test shape, W1 via
-    #  gap_status, U4's fixed fn path via except_fn — and leads round 4.)
-    "listagg_nations": q_listagg_nations,
+    #  gap_status, U4's fixed fn path via except_fn; listagg_nations'
+    #  unordered A8 path via listagg_ordered — and leads round 4.)
     "surrogate_keys": q_surrogate_keys,
     "date_spine_orders": q_date_spine_orders,
     "datediff_age_orders": q_datediff_age_orders,
@@ -2281,6 +2293,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    "listagg_nations": q_listagg_nations,
     "accepted_values_returnflag": q_accepted_values_returnflag,
     "relationships_test": q_relationships_test,
     "window_best_order": q_window_best_order,
@@ -3861,4 +3874,22 @@ ranked AS (
 )
 SELECT label, vec_id, centroid_cosine, CAST(rank AS INTEGER) AS "rank"
 FROM ranked WHERE rank <= 5
+"""
+
+# doc_chunks: same start ladder (0, 8, 16, … < n_tokens), ends clamped.
+ORACLE["doc_chunks"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, n_tokens, unnest(generate_series(0, n_tokens - 1, 8)) AS s
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(s / 8 AS INTEGER) AS chunk_idx,
+       CAST(s AS INTEGER) AS tok_start,
+       CAST(least(s + 16, n_tokens) AS INTEGER) AS tok_end,
+       CAST(least(s + 16, n_tokens) - s AS INTEGER) AS chunk_tokens
+FROM starts
 """

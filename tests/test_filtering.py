@@ -119,3 +119,27 @@ def test_embedding_outliers_flags_far_point(spark):
     # identical vectors in label 1 tie -> rank breaks by vec_id
     l1 = sorted([r for r in out if r["label"] == 1], key=lambda r: r["rank"])
     assert [r["vec_id"] for r in l1] == [200, 201]
+
+
+def test_chunk_plan_offsets_and_clamping(spark):
+    from healthcare_dbt_datamart_spark.llmops.packing import chunk_plan
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_plan(df, "text", "doc_id", size=8, stride=4).collect()
+    d1 = sorted(
+        [r for r in rows if r["doc_id"] == 1], key=lambda r: r["chunk_idx"]
+    )
+    # 20 tokens, starts 0,4,8,12,16; ends clamp at 20
+    assert [(r["tok_start"], r["tok_end"]) for r in d1] == [
+        (0, 8), (4, 12), (8, 16), (12, 20), (16, 20)
+    ]
+    assert all(r["chunk_tokens"] == r["tok_end"] - r["tok_start"] for r in rows)
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_tokens"] == 2
+    # empty text still tokenizes to [''] (1 token) per the family's
+    # whitespace-split convention -> one 1-token chunk, not zero rows
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_tokens"] == 1

@@ -2231,9 +2231,69 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_plan(docs, "text", "doc_id", size=16, stride=8)
 
 
+def q_append_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 append strategy as a batch relation, with the by-NAME column
+    mapping dbt's insert uses (dest_columns resolved from the existing
+    relation, incremental.sql:50-58 + strategies.sql:9-13): the source
+    batch arrives with a column the target lacks (dropped — on_schema_
+    change='ignore') and misses one the target has (null-filled), and
+    append keeps BOTH copies of re-delivered keys — no dedup, unlike
+    merge/delete+insert (operators/incremental.py::incremental_run
+    ('append'))."""
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    src = orders.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey",
+        F.lit("A").alias("status"),
+        F.lit("late-batch").alias("_loaded_by"),  # extra: dropped by ignore
+        # "priority" missing: null-filled on insert
+    )
+    aligned = src.select(
+        "o_orderkey", "status", F.lit(None).cast("string").alias("priority")
+    )
+    return target.unionByName(aligned)
+
+
+def q_seed_nation_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV seed load through the REAL operator (operators/
+    materialize.py::materialize_seed — header, type inference,
+    column_types override, atomic table swap; seeds/helpers.sql:7-27):
+    the nation table round-trips parquet → CSV → seed table, and the
+    oracle reads the original parquet — the hash match proves the CSV
+    reader reconstructs identical values and the override casts land.
+    The 25-row seed write is the operator's own cost, like dbt's."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_seed_nation_{os.path.basename(sf_dir)}.csv"
+    )
+    pdf.to_csv(path, index=False)
+    from ..operators.materialize import materialize_seed
+
+    materialize_seed(
+        spark,
+        "seed_nation_q",
+        path,
+        column_types={"n_nationkey": "bigint", "n_regionkey": "bigint"},
+    )
+    return spark.table("seed_nation_q")
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "doc_chunks": q_doc_chunks,
+    "append_run": q_append_run,
+    "seed_nation_csv": q_seed_nation_csv,
     "pii_redact": q_pii_redact,
     "ngram_contamination": q_ngram_contamination,
     "dsir_weights": q_dsir_weights,
@@ -2245,9 +2305,8 @@ QUERIES = {
     #  room for (0): each keeps an IN-window sibling on the same code path —
     #  the test harness via test_harness_orders + unique-test shape, W1 via
     #  gap_status, U4's fixed fn path via except_fn; listagg_nations'
-    #  unordered A8 path via listagg_ordered — and leads round 4.)
-    "surrogate_keys": q_surrogate_keys,
-    "date_spine_orders": q_date_spine_orders,
+    #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
+    #  scalar surface via scalar_surface + date_functions — leads round 4.)
     "datediff_age_orders": q_datediff_age_orders,
     "events_hourly": q_events_hourly,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -2293,6 +2352,8 @@ QUERIES = {
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    "surrogate_keys": q_surrogate_keys,
+    "date_spine_orders": q_date_spine_orders,
     "listagg_nations": q_listagg_nations,
     "accepted_values_returnflag": q_accepted_values_returnflag,
     "relationships_test": q_relationships_test,
@@ -3892,4 +3953,20 @@ SELECT doc_id, CAST(s / 8 AS INTEGER) AS chunk_idx,
        CAST(least(s + 16, n_tokens) AS INTEGER) AS tok_end,
        CAST(least(s + 16, n_tokens) - s AS INTEGER) AS chunk_tokens
 FROM starts
+"""
+
+# append_run: by-name union with the source's extra column dropped and
+# the missing target column null-filled; duplicates kept.
+ORACLE["append_run"] = """
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+FROM orders WHERE o_orderdate < DATE '1996-01-01'
+UNION ALL
+SELECT o_orderkey, 'A' AS status, CAST(NULL AS VARCHAR) AS priority
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+
+# seed_nation_csv: the oracle reads the ORIGINAL parquet — equality
+# proves the CSV round-trip + inference reconstructed identical values.
+ORACLE["seed_nation_csv"] = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
 """

@@ -28,6 +28,25 @@ def _table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
 
 
+def _drop_stale_location(spark: SparkSession, name: str) -> None:
+    """Remove a managed-table directory the CATALOG does not know about —
+    the leftover of a session that died between write and (persistent)
+    catalog registration, or of an in-memory catalog that evaporated with
+    its session. CTAS and ALTER TABLE RENAME both refuse to reuse the
+    location (LOCATION_ALREADY_EXISTS), so an orphan dir would wedge the
+    swap forever. Only ever called when ``tableExists`` is False, so no
+    live catalog entry — hence no reader — points at the path; on a
+    shared metastore deployment the entry would have persisted and the
+    DROP TABLE branch handles it instead."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.lower()
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def materialize_view(spark: SparkSession, name: str, df: DataFrame) -> None:
     """CREATE OR REPLACE VIEW (``view.sql:41-55``). Temp view: zero
     materialization cost, Catalyst inlines it into downstream plans —
@@ -75,9 +94,15 @@ def materialize_table(
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
     tmp = f"{name}__dbt_tmp"
+    if _table_exists(spark, tmp):  # crashed mid-swap with live catalog
+        spark.sql(f"DROP TABLE {tmp}")
+    else:
+        _drop_stale_location(spark, tmp)
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         spark.sql(f"DROP TABLE {name}")
+    else:
+        _drop_stale_location(spark, name)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
 
 

@@ -41,6 +41,24 @@ def test_table_swap_replaces_contents(spark):
     assert spark.table("t_swap").count() == 2
 
 
+def test_table_swap_recovers_from_stale_location(spark):
+    import os
+    import shutil
+
+    # orphan directories with NO catalog entry (a crashed session with an
+    # in-memory catalog leaves exactly this) must not wedge the swap
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("t_stale", "t_stale__dbt_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        os.makedirs(os.path.join(wh, name), exist_ok=True)
+        with open(os.path.join(wh, name, "junk"), "w") as fh:
+            fh.write("leftover")
+    mat.materialize_table(spark, "t_stale", _df(spark, [(7,)], "a long"))
+    assert [r.a for r in spark.table("t_stale").collect()] == [7]
+    spark.sql("DROP TABLE t_stale")
+    shutil.rmtree(os.path.join(wh, "t_stale"), ignore_errors=True)
+
+
 # -- incremental strategies ------------------------------------------------
 
 def test_incremental_first_run_is_ctas(spark):

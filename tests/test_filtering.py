@@ -143,3 +143,76 @@ def test_chunk_plan_offsets_and_clamping(spark):
     # whitespace-split convention -> one 1-token chunk, not zero rows
     d3 = [r for r in rows if r["doc_id"] == 3]
     assert len(d3) == 1 and d3[0]["chunk_tokens"] == 1
+
+
+def test_redact_report_streaming_parity(spark, tmp_path):
+    """Curation projections must run unchanged under Structured Streaming:
+    redact_report over a file stream (foreach-batch-free, pure append)
+    yields exactly the batch result."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import redact_report
+
+    pats = {"email": PII_PATTERNS["email"], "term": r"\bspark\b"}
+    rows = [
+        (1, "contact a@b.io about spark"),
+        (2, "spark spark everywhere"),
+        (3, "nothing to see"),
+    ]
+    batch_df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expected = sorted(map(tuple, redact_report(batch_df, "text", "doc_id", pats).collect()))
+
+    src = tmp_path / "rr_src"
+    src.mkdir()
+    batch_df.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src / "*"))
+    q = (
+        redact_report(stream, "text", "doc_id", pats)
+        .writeStream.format("memory")
+        .queryName("rr_out")
+        .option("checkpointLocation", str(tmp_path / "rr_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("rr_out").collect()))
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_epoch_order_is_permutation_property(spark):
+    """Property: for any id set and shard count, epoch_order emits each id
+    exactly once and positions are dense per shard."""
+    import random
+
+    rng = random.Random(7)
+    ids = rng.sample(range(10_000), 300)
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = epoch_order(df, "doc_id", seed="prop", n_shards=7).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 7
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for pos in by_shard.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+
+
+def test_chunk_plan_full_coverage_property(spark):
+    """Property: chunks tile every token index; consecutive chunks overlap
+    by exactly size - stride (except the clamped tail)."""
+    from healthcare_dbt_datamart_spark.llmops.packing import chunk_plan
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in (1, 7, 8, 9, 23, 64)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = chunk_plan(df, "text", "doc_id", size=8, stride=5).collect()
+    for n, _ in docs:
+        ch = sorted(
+            [(r["tok_start"], r["tok_end"]) for r in rows if r["doc_id"] == n]
+        )
+        covered = set()
+        for s, t in ch:
+            covered.update(range(s, t))
+        assert covered == set(range(n)), f"doc len {n} not tiled"
+        starts = [s for s, _ in ch]
+        assert starts == list(range(0, n, 5))

@@ -185,6 +185,80 @@ def repetition_stats(
     )
 
 
+def curation_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    group_col: str,
+    min_tokens: int = 10,
+    min_uniq_ratio: float = 0.5,
+    max_rep_ratio: float = 0.1,
+) -> DataFrame:
+    """Per-group filter-funnel report — the C4/Gopher-style accounting a
+    curation pipeline publishes before training: how many documents each
+    quality gate rejects (too short, low lexical diversity, repetitious
+    3-grams, language-ID mismatch) and how many survive every gate.
+
+    Echoes the flagship tri-state violation design (gap_pipeline): ALL
+    signals come from ONE tokenized projection of ONE scan — adding a
+    rule adds a conditional-sum column, never a second pass. The rolled-
+    up report is a partial-agg groupBy on the group key; rule counts are
+    independent (a doc failing two gates counts in both) and ``n_pass``
+    is the all-gates survivor count.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(lang_col).alias("_lang"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    mk3 = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1),
+            F.element_at(F.col("_w"), i + 2)
+        ),
+    )
+    hits = {
+        lang: F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws)))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):  # earlier lang wins ties
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    sig = w.select(
+        F.col(group_col),
+        F.size("_w").alias("_n"),
+        (F.size(F.array_distinct("_w")) / F.size("_w").cast("double")).alias("_uniq"),
+        F.when(
+            F.size("_w") >= 3,
+            F.lit(1.0)
+            - F.size(F.array_distinct(mk3)).cast("double")
+            / (F.size("_w") - 2).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_rep"),
+        pred.alias("_pred"),
+        F.col("_lang"),
+    )
+    short_ = (F.col("_n") < min_tokens).cast("int")
+    lowdiv = (F.col("_uniq") < min_uniq_ratio).cast("int")
+    repet = (F.col("_rep") > max_rep_ratio).cast("int")
+    langmis = (F.col("_pred") != F.col("_lang")).cast("int")
+    return sig.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(short_).alias("n_too_short"),
+        F.sum(lowdiv).alias("n_low_diversity"),
+        F.sum(repet).alias("n_repetitive"),
+        F.sum(langmis).alias("n_lang_mismatch"),
+        F.sum(
+            F.when(short_ + lowdiv + repet + langmis == 0, 1).otherwise(0)
+        ).alias("n_pass"),
+    )
+
+
 def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalization profile: whitespace-collapsed clean text length,
     alphanumeric character ratio, and leading/trailing-junk detection —

@@ -2289,8 +2289,22 @@ def q_seed_nation_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("seed_nation_q")
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter-funnel report (llmops/textstats.py::
+    curation_funnel): documents rejected by each quality gate (too-short,
+    low-diversity, repetitious 3-grams, language-ID mismatch) and the
+    all-gates survivor count — every signal from ONE tokenized projection
+    of ONE scan, the gap-violations single-pass pattern applied to
+    corpus curation."""
+    from ..llmops.textstats import curation_funnel
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return curation_funnel(docs, "text", "doc_id", "lang", "source")
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
+    "curation_funnel": q_curation_funnel,
     "doc_chunks": q_doc_chunks,
     "append_run": q_append_run,
     "seed_nation_csv": q_seed_nation_csv,
@@ -2308,7 +2322,6 @@ QUERIES = {
     #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
     #  scalar surface via scalar_surface + date_functions — leads round 4.)
     "datediff_age_orders": q_datediff_age_orders,
-    "events_hourly": q_events_hourly,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_buckets": q_minhash_buckets,
     "near_dup_jaccard": q_near_dup_jaccard,
@@ -2352,6 +2365,9 @@ QUERIES = {
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (events_hourly: tumbling-window shape keeps in-window coverage via
+    #  events_sessionize; sliding variant r2-green)
+    "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
     "date_spine_orders": q_date_spine_orders,
     "listagg_nations": q_listagg_nations,
@@ -3969,4 +3985,46 @@ FROM orders WHERE o_orderkey % 40 = 0
 # proves the CSV round-trip + inference reconstructed identical values.
 ORACLE["seed_nation_csv"] = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+# curation_funnel: one tokenized CTE feeds every gate; language argmax
+# uses the same tie-break CASE as langid_stopwords; integer sums cast
+# BIGINT (DuckDB SUM over INTEGER is HUGEINT otherwise).
+ORACLE["curation_funnel"] = r"""
+WITH w AS (
+  SELECT source, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+sig AS (
+  SELECT source, lang, len(w) AS n,
+         len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+         CASE WHEN len(w) >= 3 THEN
+           1.0 - len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))::DOUBLE
+                 / (len(w) - 2)
+         ELSE 0.0 END AS rep,
+         len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is'))) AS en_hits,
+         len(list_filter(w, x -> x IN ('el','la','de','los','y','en','que'))) AS es_hits,
+         len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un'))) AS fr_hits,
+         len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','ein'))) AS de_hits
+  FROM w
+),
+pred AS (
+  SELECT *,
+         CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+              WHEN de_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'de'
+              WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+              WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+              ELSE 'fr' END AS p
+  FROM sig
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT AS n_too_short,
+       sum(CASE WHEN uniq < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low_diversity,
+       sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive,
+       sum(CASE WHEN p != lang THEN 1 ELSE 0 END)::BIGINT AS n_lang_mismatch,
+       sum(CASE WHEN n >= 10 AND uniq >= 0.5 AND rep <= 0.1 AND p = lang
+                THEN 1 ELSE 0 END)::BIGINT AS n_pass
+FROM pred GROUP BY source
 """

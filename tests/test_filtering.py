@@ -216,3 +216,23 @@ def test_chunk_plan_full_coverage_property(spark):
         assert covered == set(range(n)), f"doc len {n} not tiled"
         starts = [s for s, _ in ch]
         assert starts == list(range(0, n, 5))
+
+
+def test_curation_funnel_each_gate_fires(spark):
+    from healthcare_dbt_datamart_spark.llmops.textstats import curation_funnel
+
+    docs = [
+        (1, "tiny doc", "en", "a"),                                   # too short
+        (2, " ".join(["dup"] * 30), "en", "a"),                       # low diversity + repetitive
+        (3, " ".join(f"w{i} the of to a in is and" for i in range(4)), "fr", "a"),  # en-looking, declared fr
+        (4, "the quick brown u1 of u2 u3 to u4 u5 a u6 u7 in u8 u9 is u10", "en", "a"),  # passes all
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    row = curation_funnel(df, "text", "doc_id", "lang", "source").collect()[0]
+    assert row["n_docs"] == 4
+    assert row["n_too_short"] == 1
+    assert row["n_low_diversity"] >= 1
+    assert row["n_repetitive"] >= 1
+    # docs 1 and 2 carry no stopwords -> predicted 'und' also mismatches
+    assert row["n_lang_mismatch"] == 3
+    assert row["n_pass"] == 1

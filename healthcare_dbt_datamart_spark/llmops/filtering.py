@@ -220,17 +220,22 @@ def epoch_order(
     """
     from pyspark.sql.window import Window
 
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("n_shards must be in [1, 65536]")
     key = F.md5(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     )
-    # shard from the key's own first two hex digits (no second md5) —
+    # shard from the key's own first four hex digits (65536 buckets — a
+    # 1000-reader trainer still gets unaliased shards; no second md5) —
     # engine-independent instr arithmetic, same trick as hash_bucket256
-    d1 = F.call_function("instr", F.lit(_HEX), F.substring(key, 1, 1))
-    d2 = F.call_function("instr", F.lit(_HEX), F.substring(key, 2, 1))
+    bucket = F.lit(0)
+    for i in range(1, 5):
+        d = F.call_function("instr", F.lit(_HEX), F.substring(key, i, 1))
+        bucket = bucket * 16 + (d - 1)
     keyed = df.select(
         F.col(id_col),
         key.alias("shuffle_key"),
-        (((d1 - 1) * 16 + (d2 - 1)) % n_shards).alias("shard"),
+        (bucket % n_shards).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy(
         F.col("shuffle_key").asc(), F.col(id_col).asc()

@@ -3910,8 +3910,10 @@ WITH keyed AS (
 ),
 sharded AS (
   SELECT doc_id, shuffle_key,
-         CAST(((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
-               + (strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1))
+         CAST(((((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(shuffle_key, 3, 1)) - 1)) * 16
+                 + (strpos('0123456789abcdef', substr(shuffle_key, 4, 1)) - 1))
               % 8 AS INTEGER) AS shard
   FROM keyed
 )

@@ -116,25 +116,28 @@ def ngram_contamination(
     Returns ``(id, n_grams, n_contaminated, contamination_ratio)`` with
     ratio 0.0 for gram-less docs.
 
-    Shape: one inner join of eval grams against the train side's
+    Shape: ONE left join of eval grams against the train side's
     DEDUPLICATED gram set (dedup collapses the heavy tail of repeated
-    boilerplate grams before the join), then a per-doc count — two
-    shuffles total, both on the fixed-width gram hash.
+    boilerplate grams, and makes the join fan-out-free so hit-marking and
+    gram-counting share a single per-doc aggregation) — one join + one
+    groupBy, all keys fixed-width gram hashes.
     """
     ev = _distinct_grams(eval_, text_col, id_col, n)
-    tr = _distinct_grams(train, text_col, id_col, n).select("gram_hash").distinct()
-    hits = (
-        ev.join(tr, "gram_hash", "left_semi")
+    tr = (
+        _distinct_grams(train, text_col, id_col, n)
+        .select("gram_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    counted = (
+        ev.join(tr, "gram_hash", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
     )
-    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    out = totals.join(hits, id_col, "left").select(
-        F.col(id_col),
-        "n_grams",
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-    )
-    return out.select(
+    return counted.select(
         F.col(id_col),
         "n_grams",
         "n_contaminated",

@@ -33,13 +33,17 @@ def main() -> None:
     # warmup: pay one-time session costs BEFORE timing so per-query
     # numbers measure the plan, not JVM/codegen/Python-worker startup —
     # and stay comparable when the query dict is reordered between
-    # rounds. Four representative shapes: the first query (scan +
+    # rounds. Five representative shapes: the first query (scan +
     # groupBy codegen), a tokenize/regex/higher-order-function query
     # (the text family's interpreter+JIT warm), a mapInPandas query
-    # (Arrow + Python worker pool startup), and an embedding-array query
-    # (aggregate/zip_with HOF compile for the similarity family).
+    # (Arrow + Python worker pool startup), an embedding-array query
+    # (aggregate/zip_with HOF compile for the similarity family), and an
+    # exploded-gram join query (the decontamination/PMI join family).
     first = next(iter(qs))
-    warm = [first, "text_quality", "multimodal_features", "cosine_topk"]
+    warm = [
+        first, "text_quality", "multimodal_features", "cosine_topk",
+        "ngram_contamination",
+    ]
     for wname in dict.fromkeys(warm):
         if wname in qs:
             qs[wname](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -12,8 +12,9 @@ Scale shapes (100 TB discipline):
 - ``ngram_contamination`` is the Dolma/RedPajama decontamination join:
   per-doc DISTINCT grams (array ops, no explode-then-distinct shuffle per
   doc), md5-compressed gram keys so the join shuffles fixed-width hashes
-  instead of raw n-gram strings, and a semi-join against the train side's
-  deduplicated gram set.
+  instead of raw n-gram strings, and ONE fan-out-free left join against
+  the train side's deduplicated gram set feeding a single per-doc
+  aggregation.
 - ``importance_weights`` shares the TF-IDF shuffle shape: two partial-agg
   groupBys on the term plus one join; scalar corpus totals fold in as
   1-row broadcast aggregates (no plan-splitting ``count()`` actions).
@@ -113,8 +114,8 @@ def ngram_contamination(
 
     The canonical pre-training hygiene check (13-grams in GPT-3/Dolma; n
     is a parameter — driver data uses shorter docs, so tests run n=3..5).
-    Returns ``(id, n_grams, n_contaminated, contamination_ratio)`` with
-    ratio 0.0 for gram-less docs.
+    Returns ``(id, n_grams, n_contaminated, contamination_ratio)``;
+    docs shorter than ``n`` tokens have no grams and emit no row.
 
     Shape: ONE left join of eval grams against the train side's
     DEDUPLICATED gram set (dedup collapses the heavy tail of repeated

@@ -2313,9 +2313,34 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(docs, "text", "doc_id", "lang", "source")
 
 
+def q_unit_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 unit-test harness through the REAL operator (operators/
+    testing.py::unit_test — tests/helpers.sql default__get_unit_test_sql):
+    a per-region nation-count model as 'actual' vs a fixture whose AFRICA
+    row is off by one; the harness emits exactly the two divergent rows
+    tagged actual/expected via multiset exceptAll both ways."""
+    from ..operators.testing import unit_test
+
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    actual = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    expected = actual.select(
+        "r_name",
+        F.when(F.col("r_name") == "AFRICA", F.col("n_nations") + 1)
+        .otherwise(F.col("n_nations"))
+        .alias("n_nations"),
+    )
+    return unit_test(actual, expected)
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "curation_funnel": q_curation_funnel,
+    "unit_test_diff": q_unit_test_diff,
     "doc_chunks": q_doc_chunks,
     "append_run": q_append_run,
     "seed_nation_csv": q_seed_nation_csv,
@@ -2344,7 +2369,6 @@ QUERIES = {
     "cosine_topk_label": q_cosine_topk_label,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
-    "date_functions": q_date_functions,
     "freshness_events": q_freshness_events,
     "agg_any_bool": q_agg_any_bool,
     "nullsafe_join": q_nullsafe_join,
@@ -2376,6 +2400,9 @@ QUERIES = {
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (date_functions: scalar/date surface keeps in-window coverage via
+    #  scalar_surface + datediff_age_orders)
+    "date_functions": q_date_functions,
     # (events_hourly: tumbling-window shape keeps in-window coverage via
     #  events_sessionize; sliding variant r2-green)
     "events_hourly": q_events_hourly,
@@ -4040,4 +4067,22 @@ SELECT source, count(*) AS n_docs,
        sum(CASE WHEN n >= 10 AND uniq >= 0.5 AND rep <= 0.1 AND p = lang
                 THEN 1 ELSE 0 END)::BIGINT AS n_pass
 FROM pred GROUP BY source
+"""
+
+# unit_test_diff: multiset EXCEPT ALL both ways, rows tagged by side.
+ORACLE["unit_test_diff"] = """
+WITH actual AS (
+  SELECT r_name, count(*)::BIGINT AS n_nations
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+),
+expected AS (
+  SELECT r_name,
+         CASE WHEN r_name = 'AFRICA' THEN n_nations + 1 ELSE n_nations END
+           AS n_nations
+  FROM actual
+)
+SELECT 'actual' AS which, * FROM (SELECT * FROM actual EXCEPT ALL SELECT * FROM expected)
+UNION ALL
+SELECT 'expected' AS which, * FROM (SELECT * FROM expected EXCEPT ALL SELECT * FROM actual)
 """

@@ -1,0 +1,69 @@
+"""Audit the driver-correctness WINDOW rotation policy.
+
+The driver's gate checks only the FIRST 50 ``queries()`` keys each round
+(CORRECTNESS_r0N.json has 50 rows). This audit reads every recorded
+round file and the current dict order and reports, per query, the age of
+its newest hash-green driver evidence — flagging:
+
+- queries with NO driver evidence that are NOT in the current window
+  (they would stay unverified another full round), and
+- queries whose evidence would be >2 rounds old after the coming round
+  (the rotation should have cycled them forward by now).
+
+Usage: python tools/audit_window.py   (run from the repo root)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+WINDOW = 50
+
+
+def main() -> int:
+    import __spark_entry__ as e
+
+    keys = list(e.queries())
+    window = set(keys[:WINDOW])
+
+    last_green: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path)
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") is True:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    this_round = (max(rounds) if rounds else 0) + 1
+
+    problems = []
+    for i, k in enumerate(keys):
+        age = this_round - last_green[k] if k in last_green else None
+        in_w = i < WINDOW
+        if age is None and not in_w:
+            problems.append(f"NEVER-CHECKED OUT-OF-WINDOW: {k} (pos {i + 1})")
+        elif age is not None and age >= 2 and not in_w:
+            problems.append(
+                f"STALE OUT-OF-WINDOW: {k} (pos {i + 1}, last green r{last_green[k]})"
+            )
+
+    n_new_in_window = sum(1 for k in keys[:WINDOW] if k not in last_green)
+    print(
+        f"{len(keys)} queries; window {WINDOW}; "
+        f"{n_new_in_window} never-driver-checked queries lead the window; "
+        f"judging round r{this_round}"
+    )
+    for p in problems:
+        print(p)
+    print(f"FLAGGED: {len(problems)}")
+    return 1 if any(p.startswith("NEVER") for p in problems) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

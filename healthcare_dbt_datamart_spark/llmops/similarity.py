@@ -710,3 +710,44 @@ def embedding_outliers(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 30,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval — the production PQ serving pattern: stage 1
+    shortlists ``shortlist`` candidates by compressed ADC distance
+    (32x-smaller codes, map-only), stage 2 re-ranks ONLY the shortlist by
+    exact cosine against the raw vectors and returns the top ``k``.
+
+    The shortlist rides into the re-rank scan as a broadcast hash table
+    (``shortlist`` rows of model-state size), so stage 2 reads raw
+    vectors for a constant-size candidate set no matter the corpus size —
+    the recall/cost dial is ``shortlist``, not data volume. Returns
+    ``(id, adc_dist, cosine)`` ordered by exact cosine.
+    """
+    cand = pq_topk(
+        emb, query_id, shortlist, m, n_codes, id_col, vec_col, codebooks
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    return (
+        emb.join(broadcast(cand), id_col)
+        .crossJoin(broadcast(q))
+        .select(
+            id_col,
+            "adc_dist",
+            F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -878,6 +878,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16)
 
 
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (llmops/similarity.py::pq_rerank): ADC over PQ
+    codes shortlists 30 candidates, exact cosine re-ranks the shortlist
+    to the final 10 — compressed-index recall with exact-ordering
+    precision; stage 2 touches raw vectors only for the broadcast-size
+    shortlist."""
+    from ..llmops.similarity import pq_rerank
+
+    return pq_rerank(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=30,
+        m=8, n_codes=16,
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization error report per embedding
     (llmops/similarity.py::quantize_int8_report): the vector-compression
@@ -2374,7 +2388,6 @@ QUERIES = {
     "nullsafe_join": q_nullsafe_join,
     "merge_upsert": q_merge_upsert,
     "microbatch_events": q_microbatch_events,
-    "scd2_customers": q_scd2_customers,
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
     "lang_agreement": q_lang_agreement,
@@ -2399,7 +2412,11 @@ QUERIES = {
     "datamart_dag": q_datamart_dag,
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
+    "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (scd2_customers: SN-family keeps in-window coverage via
+    #  scd2_hard_delete; check strategy r2-green)
+    "scd2_customers": q_scd2_customers,
     # (date_functions: scalar/date surface keeps in-window coverage via
     #  scalar_surface + datediff_age_orders)
     "date_functions": q_date_functions,
@@ -4085,4 +4102,28 @@ expected AS (
 SELECT 'actual' AS which, * FROM (SELECT * FROM actual EXCEPT ALL SELECT * FROM expected)
 UNION ALL
 SELECT 'expected' AS which, * FROM (SELECT * FROM expected EXCEPT ALL SELECT * FROM actual)
+"""
+
+# pq_rerank: stage 1 = the pq_topk oracle widened to a 30-candidate
+# shortlist (string-derived so the two stay in lockstep), stage 2 =
+# exact cosine over the shortlist, top 10.
+ORACLE["pq_rerank"] = f"""
+WITH shortlist AS (
+  SELECT * FROM ({ORACLE["pq_topk"].replace("LIMIT 10", "LIMIT 30")})
+),
+q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+pair AS (
+  SELECT e.vec_id, s.adc_dist,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e JOIN shortlist s USING (vec_id), q
+),
+sims AS (
+  SELECT vec_id, adc_dist,
+         sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pair GROUP BY vec_id, adc_dist
+)
+SELECT vec_id, adc_dist, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """

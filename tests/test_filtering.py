@@ -236,3 +236,23 @@ def test_curation_funnel_each_gate_fires(spark):
     # docs 1 and 2 carry no stopwords -> predicted 'und' also mismatches
     assert row["n_lang_mismatch"] == 3
     assert row["n_pass"] == 1
+
+
+def test_pq_rerank_exact_cosine_fixes_adc_order(spark):
+    """Stage-2 exact cosine reorders the ADC shortlist: two vectors the
+    compressed codes cannot tell apart (identical reconstruction) rank
+    by their TRUE cosine in the final result."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import pq_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),  # query
+        (1, [0.9, 0.1, 0.0, 0.0, 0.9, 0.1, 0.0, 0.0]),  # near query
+        (2, [0.9, 0.2, 0.0, 0.0, 0.9, 0.2, 0.0, 0.0]),  # a bit farther
+        (3, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),  # orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_rerank(emb, query_id=0, k=3, shortlist=3, m=2, n_codes=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine
+    # stage-1 evidence rides along: every row carries its ADC distance
+    assert all(r.adc_dist is not None for r in out)

@@ -2351,9 +2351,23 @@ def q_unit_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unit_test(actual, expected)
 
 
+def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel built THROUGH the registry runtime (models/
+    curation.py): raw documents feed a staged typed projection, ref()
+    resolves demand-driven, and the returned mart is the lazy composed
+    plan — same oracle as curation_funnel, proving the dbt-runtime path
+    carries the llmops operators unchanged (the datamart_dag pattern on
+    corpus work)."""
+    from .curation import build_curation
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return build_curation(spark, docs).build("curation_report")
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "curation_funnel": q_curation_funnel,
+    "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
     "doc_chunks": q_doc_chunks,
     "append_run": q_append_run,
@@ -2385,7 +2399,6 @@ QUERIES = {
     "scalar_surface": q_scalar_surface,
     "freshness_events": q_freshness_events,
     "agg_any_bool": q_agg_any_bool,
-    "nullsafe_join": q_nullsafe_join,
     "merge_upsert": q_merge_upsert,
     "microbatch_events": q_microbatch_events,
     "bpe_token_count": q_bpe_token_count,
@@ -2414,6 +2427,9 @@ QUERIES = {
     "pq_topk": q_pq_topk,  # new operator (round 3)
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (nullsafe_join: the <=> operator keeps in-window coverage via the
+    #  SCD2 check-strategy comparisons in scd2_hard_delete)
+    "nullsafe_join": q_nullsafe_join,
     # (scd2_customers: SN-family keeps in-window coverage via
     #  scd2_hard_delete; check strategy r2-green)
     "scd2_customers": q_scd2_customers,
@@ -4127,3 +4143,5 @@ sims AS (
 SELECT vec_id, adc_dist, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+ORACLE["curation_dag"] = ORACLE["curation_funnel"]

@@ -256,3 +256,30 @@ def test_pq_rerank_exact_cosine_fixes_adc_order(spark):
     assert out[0].cosine > out[1].cosine > out[2].cosine
     # stage-1 evidence rides along: every row carries its ADC distance
     assert all(r.adc_dist is not None for r in out)
+
+
+def test_curation_dag_through_registry(spark):
+    """The llmops funnel runs through the dbt-style registry: ref()
+    resolution, staging projection, and the mart rollup compose into one
+    lazy plan whose result equals calling the operator directly."""
+    from healthcare_dbt_datamart_spark.llmops.textstats import curation_funnel
+    from healthcare_dbt_datamart_spark.models.curation import build_curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox of the north", "en", "web"),
+            (2, "x", "en", "web"),
+            (3, " ".join(["dup"] * 20), "en", "book"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    via_registry = sorted(
+        map(tuple, build_curation(spark, docs).build("curation_report").collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            curation_funnel(docs, "text", "doc_id", "lang", "source").collect(),
+        )
+    )
+    assert via_registry == direct

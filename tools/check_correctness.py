@@ -6,10 +6,20 @@ schema, and an order-insensitive value hash (columns sorted by name, rows
 sorted, values stringified). Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --pandas [sf_dir] [query ...]
+
+``--pandas`` fetches BOTH engines through the pandas/Arrow layer
+(``toPandas`` / DuckDB ``.df()``) instead of row fetchall — the fetch
+path the DRIVER's harness uses, where DuckDB HUGEINT/DECIMAL columns
+stringify differently (round-1's three hash mismatches). Running the
+window queries in this mode catches fetch-layer divergence the default
+mode hides; ``tools/audit_oracle_types.py`` guards the known type class
+statically.
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import sys
 
@@ -24,12 +34,30 @@ TABLES = [
 
 
 def norm_cell(v) -> str:
+    if type(v).__module__ == "numpy":  # pandas-mode scalars
+        try:
+            v = v.item()
+        except (AttributeError, ValueError):
+            v = v.tolist()
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
+        if v != v:  # pandas surfaces SQL NULL as NaN in numeric columns
+            return "<NULL>"
         return repr(v)
     if isinstance(v, bool):
         return str(bool(v))
+    if isinstance(v, datetime.datetime):
+        # pandas-mode: DuckDB DATE surfaces as midnight Timestamp while
+        # Spark gives datetime.date — same value, different stringify.
+        # The driver's comparator is date-normalizing (its r1/r2 rows on
+        # DATE-column queries were green); mirror that here. A NULL in a
+        # datetime64 column arrives as NaT (a datetime subclass).
+        if v != v:  # NaT
+            return "<NULL>"
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
+        return str(v)
     return str(v)
 
 
@@ -43,8 +71,11 @@ def frame_fingerprint(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    pandas_mode = "--pandas" in args
+    args = [a for a in args if a != "--pandas"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from healthcare_dbt_datamart_spark.session import get_spark
@@ -62,14 +93,23 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        s_rows = [tuple(r) for r in sdf.collect()]
-        s_cols = sdf.columns
+        if pandas_mode:
+            spdf = sdf.toPandas()
+            s_cols = list(spdf.columns)
+            s_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+        else:
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(s_rows)} rows (no oracle)")
             continue
         d = con.execute(oracles[name])
         d_cols = [c[0] for c in d.description]
-        d_rows = d.fetchall()
+        if pandas_mode:
+            ddf = d.df()
+            d_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+        else:
+            d_rows = d.fetchall()
         sc, sn, sh = frame_fingerprint(s_cols, s_rows)
         dc, dn, dh = frame_fingerprint(d_cols, d_rows)
         ok = (sc == dc) and (sn == dn) and (sh == dh)

@@ -283,3 +283,54 @@ def test_curation_dag_through_registry(spark):
         )
     )
     assert via_registry == direct
+
+
+# -- hypothesis property tests --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcde", min_size=1, max_size=4)
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=15, unique=True))
+def test_redact_length_accounting_property(spark, texts):
+    """raw_len - redacted_len == sum over patterns of (matched chars
+    removed) - (mask chars inserted); with a single pattern this is
+    exactly hits*(len(match)-len(mask)) for fixed-width matches. Use the
+    fixed-width word 'ab' as the pattern: the identity must hold for any
+    corpus."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import redact_report
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = redact_report(df, "text", "doc_id", {"w": r"\bab\b"}, mask="_").collect()
+    for r in out:
+        assert r["raw_len"] - r["redacted_len"] == r["w_hits"] * (2 - 1)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_texts, min_size=1, max_size=10, unique=True),
+    st.lists(_texts, min_size=1, max_size=10, unique=True),
+)
+def test_ngram_contamination_bounds_property(spark, train_texts, ev_texts):
+    """0 <= n_contaminated <= n_grams for every eval doc; eval docs that
+    ARE train docs verbatim (and long enough) are 100% contaminated."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], ["doc_id", "text"]
+    )
+    ev_rows = [(100 + i, t) for i, t in enumerate(ev_texts)]
+    # plant one verbatim copy of a train doc in eval
+    ev_rows.append((999, train_texts[0]))
+    ev = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_contamination(train, ev, "text", "doc_id", n=2).collect()}
+    for r in out.values():
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+    if 999 in out:  # copy had >= 2 tokens -> every gram is contaminated
+        assert out[999]["n_contaminated"] == out[999]["n_grams"]
+        assert out[999]["contamination_ratio"] == 1.0

@@ -200,7 +200,10 @@ def importance_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("llr"), 6).alias("dsir_weight"),
+            # + 0.0 normalizes IEEE negative zero: round() of a tiny
+            # negative mean yields -0.0, which engines stringify
+            # differently (found at sf0.1)
+            (F.round(F.avg("llr"), 6) + F.lit(0.0)).alias("dsir_weight"),
         )
     )
 

@@ -75,6 +75,27 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(F.col("n_uniq_tokens") / n.cast("double"), 6).alias("uniq_ratio"),
         F.round(F.col("_en_hits") / n.cast("double"), 6).alias("stopword_ratio"),
     )
+    # composite: in-range length + diversity + some stopwords. Computed
+    # in EXACT DECIMAL arithmetic over the already-6dp-rounded ratios and
+    # only then cast to double: a double-rounded score can land exactly
+    # on a half-boundary (e.g. 0.6739135) where engines' rounding
+    # pipelines disagree in the 6th decimal — found at sf0.1, invisible
+    # at sf0.01. Decimal arithmetic has no boundary to disagree on.
+    uq = F.col("uniq_ratio").cast("decimal(9,6)")
+    sw = F.least(
+        (F.col("stopword_ratio").cast("decimal(9,6)") * F.lit(3)).cast(
+            "decimal(12,6)"
+        ),
+        F.lit(1).cast("decimal(12,6)"),
+    )
+    base = F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0)).cast(
+        "decimal(2,1)"
+    )
+    score = (
+        base.cast("decimal(12,7)")
+        + (uq * F.lit(0.3).cast("decimal(2,1)")).cast("decimal(12,7)")
+        + (sw * F.lit(0.3).cast("decimal(2,1)")).cast("decimal(12,7)")
+    )
     return ratios.select(
         F.col(id_col),
         "n_chars",
@@ -83,13 +104,7 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "avg_token_len",
         "uniq_ratio",
         "stopword_ratio",
-        # composite: in-range length + diversity + some stopwords
-        F.round(
-            F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
-            + F.col("uniq_ratio") * 0.3
-            + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3,
-            6,
-        ).alias("quality_score"),
+        score.cast("double").alias("quality_score"),
     )
 
 

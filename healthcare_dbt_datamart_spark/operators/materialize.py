@@ -101,9 +101,88 @@ def materialize_table(
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         spark.sql(f"DROP TABLE {name}")
+        # an EXTERNAL occupant (e.g. a clone_table target) keeps its
+        # files through DROP — clear the warehouse slot so the rename
+        # can land; hardlinked bytes stay alive through the source's
+        # own links, so this never destroys shared data
+        _drop_stale_location(spark, name)
     else:
         _drop_stale_location(spark, name)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+
+
+def _table_location(spark: SparkSession, name: str) -> str:
+    """Filesystem path of a table's data directory (DESCRIBE FORMATTED
+    'Location' row), scheme-stripped for local-FS use."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if (r.col_name or "").strip() == "Location":
+            loc = r.data_type.strip()
+            return loc[5:] if loc.startswith("file:") else loc
+    raise ValueError(f"no Location in DESCRIBE FORMATTED {name}")
+
+
+def clone_table(
+    spark: SparkSession, source: str, target: str, *, replace: bool = False
+) -> int:
+    """S9 zero-copy clone (``dbt-snowflake/macros/materializations/
+    clone.sql:5-11`` — ``create or replace table ... clone ...``).
+
+    Snowflake CLONE is a metadata-only copy-on-write snapshot: O(metadata)
+    cost, snapshot-isolated from later source rebuilds, independent
+    lifecycle. Spark's parquet catalog has no COW layer, but the same
+    observable contract holds on a POSIX filesystem via hardlinks: every
+    data file is linked (not copied) into the target's directory, so the
+    clone shares bytes with the source until either side's lifecycle
+    unlinks its references. Parquet files are immutable once written (the
+    engine only ever swaps whole files), so shared bytes never mutate —
+    the COW granularity is the file, and any rewrite naturally unshares.
+    Cross-device/object-store paths fall back to a copy (correct, not
+    zero-cost); on a real cluster this operator maps to the native
+    equivalent (Delta ``SHALLOW CLONE`` / Iceberg snapshot-ref) — this is
+    the local-mode analog with identical semantics.
+
+    Partition layout is mirrored directory-for-directory and re-discovered
+    with MSCK REPAIR, so partition pruning works on the clone. Returns the
+    number of data files linked.
+    """
+    import os
+    import shutil
+
+    if _table_exists(spark, target):
+        if not replace:
+            raise ValueError(f"clone target {target!r} exists (replace=False)")
+        spark.sql(f"DROP TABLE {target}")
+    _drop_stale_location(spark, target)
+
+    src_loc = _table_location(spark, source)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[5:] if wh.startswith("file:") else wh
+    dst_loc = os.path.join(wh, target.lower())
+
+    n_files = 0
+    for dirpath, _dirnames, filenames in os.walk(src_loc):
+        rel = os.path.relpath(dirpath, src_loc)
+        out_dir = dst_loc if rel == "." else os.path.join(dst_loc, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in filenames:
+            src_f = os.path.join(dirpath, fn)
+            dst_f = os.path.join(out_dir, fn)
+            try:
+                os.link(src_f, dst_f)  # zero-copy: new name, same inode
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(src_f, dst_f)
+            n_files += 1
+
+    part_cols = [c.name for c in spark.catalog.listColumns(source) if c.isPartition]
+    ddl = spark.table(source)._jdf.schema().toDDL()
+    stmt = f"CREATE TABLE {target} ({ddl}) USING parquet"
+    if part_cols:
+        stmt += f" PARTITIONED BY ({', '.join(part_cols)})"
+    stmt += f" LOCATION '{dst_loc}'"
+    spark.sql(stmt)
+    if part_cols:
+        spark.sql(f"MSCK REPAIR TABLE {target}")
+    return n_files
 
 
 def materialize_seed(

@@ -719,6 +719,74 @@ def test_compact_table_reduces_files(spark):
     assert spark.table("t_compact").count() == 10000
 
 
+def test_clone_table_zero_copy_snapshot(spark):
+    """S9 clone: content parity, zero-copy (shared inodes), snapshot
+    isolation from a later source rebuild, independent lifecycle."""
+    import os
+
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS grp", "id * 3 AS v")
+    mat.materialize_table(spark, "t_clone_src", df)
+    n = mat.clone_table(spark, "t_clone_src", "t_clone_snap")
+    assert n >= 1
+
+    src = spark.table("t_clone_src").orderBy("k").collect()
+    snap = spark.table("t_clone_snap").orderBy("k").collect()
+    assert snap == src
+
+    # zero-copy: every parquet data file in the clone shares an inode
+    # with a source file (hardlink), no bytes duplicated
+    src_loc = mat._table_location(spark, "t_clone_src")
+    dst_loc = mat._table_location(spark, "t_clone_snap")
+    src_inodes = {
+        os.stat(os.path.join(src_loc, f)).st_ino for f in os.listdir(src_loc)
+    }
+    data_files = [f for f in os.listdir(dst_loc) if f.endswith(".parquet")]
+    assert data_files
+    for f in data_files:
+        st_ = os.stat(os.path.join(dst_loc, f))
+        assert st_.st_ino in src_inodes
+        assert st_.st_nlink >= 2
+
+    # snapshot isolation: rebuild the source — the clone must not move
+    df2 = spark.range(10).selectExpr("id AS k", "id % 2 AS grp", "id AS v")
+    mat.materialize_table(spark, "t_clone_src", df2)
+    assert spark.table("t_clone_src").count() == 10
+    assert spark.table("t_clone_snap").orderBy("k").collect() == snap
+
+    # replace semantics mirror create-or-replace clone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mat.clone_table(spark, "t_clone_src", "t_clone_snap")
+    mat.clone_table(spark, "t_clone_src", "t_clone_snap", replace=True)
+    assert spark.table("t_clone_snap").count() == 10
+
+    # independent lifecycle: dropping the clone leaves the source intact
+    spark.sql("DROP TABLE t_clone_snap")
+    assert spark.table("t_clone_src").count() == 10
+
+
+def test_clone_table_partitioned_and_rematerialize(spark):
+    """Partitioned clone keeps the directory layout (pruning works), and
+    the table swap can land ON TOP of a clone target (external DROP
+    leaves files; the swap must clear the slot)."""
+    df = spark.range(200).selectExpr("id AS k", "CAST(id % 4 AS INT) AS p")
+    mat.materialize_table(spark, "t_clone_psrc", df, partition_by=["p"])
+    mat.clone_table(spark, "t_clone_psrc", "t_clone_psnap")
+    got = spark.table("t_clone_psnap")
+    assert got.count() == 200
+    assert got.filter("p = 2").count() == 50
+    plan = got.filter("p = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "t_clone_psnap" in plan
+
+    # re-materialize over the clone name: swap must succeed and fully
+    # replace the external occupant
+    df3 = spark.range(5).selectExpr("id AS k", "CAST(0 AS INT) AS p")
+    mat.materialize_table(spark, "t_clone_psnap", df3)
+    assert spark.table("t_clone_psnap").count() == 5
+    assert spark.table("t_clone_psrc").count() == 200
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -658,6 +658,64 @@ def kmeans_cells(
         cached.unpersist()
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, the method behind large web-corpus semantic
+    pruning): assign every vector to its k-means cell, then drop any
+    item whose cosine to a LOWER-id item in the SAME cell reaches
+    ``threshold``. The keep-rule is the paper's one-shot form — an item
+    is dropped if any higher-priority near-twin exists, even when that
+    twin is itself dropped (no transitive chasing), which keeps the
+    operator a single self-join, not a fixpoint.
+
+    Scale shape: clustering bounds the quadratic — pairs are generated
+    per-cell via ONE equi-join shuffle on ``cell``, never all-pairs
+    (the paper's reason for clustering first). The cell count is the
+    knob: choose k ≈ n / target_cell_size so per-cell work stays
+    constant as the corpus grows; at 100 TB the assignment is written
+    PARTITIONED BY (cell) once and this join co-locates for free. Norms
+    are computed once per vector BEFORE the pair join (map-side), so
+    pair work is one dot product; cosine is 6dp-rounded before the
+    threshold test so the drop decision is reproducible across engines.
+
+    Returns the DROPPED rows: (id, cell, kept_id, sim) where ``kept_id``
+    is the lowest-id qualifying twin and ``sim`` its cosine.
+    """
+    assigned = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .select(F.col(id_col), F.col(vec_col), "cell")
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+    )
+    keep = assigned.select(
+        "cell",
+        F.col(id_col).alias("_kid"),
+        F.col(vec_col).alias("_kvec"),
+        F.col("_nrm").alias("_knrm"),
+    )
+    cand = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), F.col("_nrm")
+    )
+    sim = F.round(
+        _dot(F.col("_kvec"), F.col(vec_col)) / (F.col("_knrm") * F.col("_nrm")), 6
+    )
+    dup = (
+        keep.join(cand, "cell")
+        .filter(F.col("_kid") < F.col(id_col))
+        .select("cell", "_kid", F.col(id_col), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    return dup.groupBy(id_col, "cell").agg(
+        F.min("_kid").alias("kept_id"),
+        F.min_by("sim", "_kid").alias("sim"),
+    )
+
+
 def embedding_outliers(
     emb: DataFrame,
     group_col: str = "label",

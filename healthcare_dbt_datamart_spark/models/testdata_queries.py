@@ -855,6 +855,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (llmops/similarity.py::
+    semantic_dedup — arXiv:2303.09540): k-means cells bound the pairwise
+    cosine to within-cell self-joins; items with a lower-id twin at
+    cosine >= 0.4 are dropped. Reuses the session's train-once quantizer
+    (shared with q_ivf_topk / q_kmeans_cells); the oracle unrolls the
+    same 2 Lloyd rounds then mirrors the within-cell pair join."""
+    from ..llmops.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        _trained_centroids(spark, sf_dir, k=8, n_iter=2),
+        threshold=0.4,
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode + reconstruction-error report
     (llmops/similarity.py::pq_encode_report): 64 dims → 8 uint8 codes
@@ -2399,6 +2415,7 @@ def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "clone_snapshot": q_clone_snapshot,
+    "semantic_dedup": q_semantic_dedup,
     "curation_funnel": q_curation_funnel,
     "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
@@ -2430,7 +2447,6 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "freshness_events": q_freshness_events,
-    "agg_any_bool": q_agg_any_bool,
     "merge_upsert": q_merge_upsert,
     "microbatch_events": q_microbatch_events,
     "bpe_token_count": q_bpe_token_count,
@@ -2460,10 +2476,15 @@ QUERIES = {
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (dedup_exact_docs: bumped out by clone_snapshot (never-checked beats
-    #  re-verification); dedup.py's staged-projection path keeps FOUR
+    #  re-verification); dedup.py's staged-projection path keeps
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
     #  simhash_docs, dedup_keep_best)
     "dedup_exact_docs": q_dedup_exact_docs,
+    # (agg_any_bool: bumped out by semantic_dedup; any_value/bool_or sit
+    #  in functions/scalar.py, whose changes since r1 were additive —
+    #  in-window siblings scalar_surface, listagg_ordered, except_fn
+    #  exercise the same module)
+    "agg_any_bool": q_agg_any_bool,
     # (nullsafe_join: the <=> operator keeps in-window coverage via the
     #  SCD2 check-strategy comparisons in scd2_hard_delete)
     "nullsafe_join": q_nullsafe_join,
@@ -3686,6 +3707,29 @@ SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vectors,
        round(avg(cell_sim), 6) AS mean_sim,
        round(min(cell_sim), 6) AS min_sim
 FROM asgf GROUP BY cell
+"""
+
+# semantic_dedup: same 2-round Lloyd unroll as ivf_topk, then the
+# within-cell pair join — drop rule on the 6dp-rounded cosine exactly as
+# the Spark side rounds before thresholding.
+ORACLE["semantic_dedup"] = f"""
+WITH {_lloyd_ctes(2, 8)},
+dup AS (
+  SELECT s.vid AS vec_id, s.cell, s.kid AS kept_id, s.sim FROM (
+    SELECT p.kid, p.vid, p.cell,
+           round(sum(p.x*p.y)/(sqrt(sum(p.x*p.x))*sqrt(sum(p.y*p.y))),6) AS sim
+    FROM (
+      SELECT aa.vec_id AS kid, ab.vec_id AS vid, aa.cell AS cell,
+             unnest(list_transform(ea.embedding, v->CAST(v AS DOUBLE))) AS x,
+             unnest(list_transform(eb.embedding, v->CAST(v AS DOUBLE))) AS y
+      FROM asgf aa JOIN asgf ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+      JOIN embeddings ea ON ea.vec_id = aa.vec_id
+      JOIN embeddings eb ON eb.vec_id = ab.vec_id
+    ) p GROUP BY p.kid, p.vid, p.cell) s
+  WHERE s.sim >= 0.4)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+       min(kept_id) AS kept_id, arg_min(sim, kept_id) AS sim
+FROM dup GROUP BY vec_id, cell
 """
 
 # near_dup_clusters: the iterative min-label fixpoint expressed as a

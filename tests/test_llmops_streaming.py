@@ -788,6 +788,38 @@ def test_kmeans_lloyd_separates_blobs(spark):
     assert trained_sim >= seed_sim - 1e-9
 
 
+def test_semantic_dedup_drops_within_cell_twins(spark):
+    """SemDeDup semantics on the blob fixture: near-twins inside one blob
+    drop against their lowest-id keeper; items only similar to vectors in
+    OTHER cells survive (the cluster bound is a real precision/recall
+    trade, not an optimization detail); the keeper itself is never
+    dropped by its own twin; one-shot rule — a dropped item can still be
+    the keeper recorded for a later twin."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}[blob]
+        jitter = [(i * 7 % 5) * 0.1, (i * 3 % 5) * 0.1, (i * 11 % 5) * 0.1]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = kmeans_lloyd(emb, k=3, n_iter=4)
+
+    dropped = {r.vec_id: r for r in semantic_dedup(emb, trained, 0.99).collect()}
+    # within a blob everything is a >=0.99-cosine twin of the blob's
+    # lowest id: exactly the three blob minima survive
+    assert set(dropped) == set(range(30)) - {0, 1, 2}
+    for vid, r in dropped.items():
+        assert r.kept_id == vid % 3  # lowest-id twin in the same blob
+        assert r.sim >= 0.99
+    # impossible threshold: nothing drops
+    assert semantic_dedup(emb, trained, 1.1).count() == 0
+
+
 def test_ivf_topk_trained_recall_beats_seed_quantizer(spark):
     """ANN recall vs the brute-force top-k: probing Lloyd-TRAINED cells
     must beat probing the raw low-id seed cells when the seeds are badly

@@ -820,6 +820,69 @@ def test_semantic_dedup_drops_within_cell_twins(spark):
     assert semantic_dedup(emb, trained, 1.1).count() == 0
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=4, max_size=4
+        ).filter(lambda v: any(v)),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.2, 0.5, 0.9]),
+)
+def test_semantic_dedup_matches_bruteforce_property(spark, vecs, tau):
+    """For arbitrary (non-zero) vectors, semantic_dedup must equal a
+    plain-Python brute force of the same rule: assign to nearest trained
+    centroid (6dp cosine, ties to lowest cid), then drop any id with a
+    lower-id same-cell twin at 6dp cosine >= tau, recording the lowest
+    such twin and its cosine."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        ivf_assign,
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = min(3, len(rows))
+    trained = kmeans_lloyd(emb, k=k, n_iter=2)
+    # cells from the engine's own assignment (the property under test is
+    # the DEDUP rule, not Lloyd — covered by its own tests/oracle)
+    cell = {r.vec_id: r.cell for r in ivf_assign(emb, trained).collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    expect = {}
+    for i, vi in rows:
+        twins = [
+            (j, cos(vj, vi))
+            for j, vj in rows
+            if j < i and cell[j] == cell[i] and cos(vj, vi) >= tau
+        ]
+        if twins:
+            kept = min(t[0] for t in twins)
+            expect[i] = (cell[i], kept, dict(twins)[kept])
+
+    got = {
+        r.vec_id: (r.cell, r.kept_id, r.sim)
+        for r in semantic_dedup(emb, trained, tau).collect()
+    }
+    assert set(got) == set(expect)
+    for vid, (c, kept, s) in expect.items():
+        gc, gk, gs = got[vid]
+        assert (gc, gk) == (c, kept)
+        assert abs(gs - s) < 1e-9
+
+
 def test_ivf_topk_trained_recall_beats_seed_quantizer(spark):
     """ANN recall vs the brute-force top-k: probing Lloyd-TRAINED cells
     must beat probing the raw low-id seed cells when the seeds are badly

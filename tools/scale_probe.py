@@ -1,0 +1,210 @@
+"""Measured evidence for SCALE.md's physical-design claims.
+
+Each probe builds the 'right' and the 'wrong' physical layout for the
+same logical query at sf0.1, checks the PLAN exhibits the claimed
+property (pruning / no Exchange / broadcast), and times both. The point
+is not the local-mode speedup (fixed overheads dominate at 600k rows) —
+it is that the plan-level property the 100 TB argument rests on is
+REAL and asserted, with the local delta as a sanity direction check.
+
+    python tools/scale_probe.py [sf_dir]
+
+Prints one JSON line per probe: {probe, property_holds, right_sec,
+wrong_sec, detail}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from healthcare_dbt_datamart_spark.session import get_spark  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _time(df) -> float:
+    t = time.time()
+    df.collect()
+    return round(time.time() - t, 3)
+
+
+def _fresh(spark, *names):
+    """Clear probe tables AND their orphan warehouse dirs (a previous
+    probe session's in-memory catalog evaporated with the process, so
+    saveAsTable would hit LOCATION_ALREADY_EXISTS on the leftover dir —
+    the same failure mode materialize._drop_stale_location guards)."""
+    from healthcare_dbt_datamart_spark.operators.materialize import (
+        _drop_stale_location,
+    )
+
+    for n in names:
+        if spark.catalog.tableExists(n):
+            spark.sql(f"DROP TABLE {n}")
+        _drop_stale_location(spark, n)
+
+
+def probe_partition_pruning(spark, sf_dir):
+    """Hive-partitioned write -> a day filter prunes directories at plan
+    time (PartitionFilters), vs the same filter on the unpartitioned
+    table scanning every file."""
+    _fresh(spark, "sp_events_part", "sp_events_flat")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    ev.write.mode("overwrite").partitionBy("day").saveAsTable("sp_events_part")
+    ev.write.mode("overwrite").saveAsTable("sp_events_flat")
+    one_day = F.col("day") == F.lit("2024-01-10")
+    q_part = (
+        spark.table("sp_events_part").filter(one_day).agg(F.count(F.lit(1)))
+    )
+    q_flat = (
+        spark.table("sp_events_flat").filter(one_day).agg(F.count(F.lit(1)))
+    )
+    plan = _plan(q_part)
+    holds = "PartitionFilters: [" in plan and "isnotnull(day" in plan
+    return {
+        "probe": "partition_pruning",
+        "property_holds": bool(holds),
+        "right_sec": _time(q_part),
+        "wrong_sec": _time(q_flat),
+        "detail": "PartitionFilters present on the partitioned scan",
+    }
+
+
+def probe_bucketed_join(spark, sf_dir):
+    """Tables bucketed on the join key join with ZERO Exchange (shuffle
+    paid once at write); the unbucketed join shuffles both sides."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    _fresh(spark, "sp_li_b", "sp_od_b", "sp_li_f", "sp_od_f")
+    for name, df, key in (
+        ("sp_li_b", li, "l_orderkey"),
+        ("sp_od_b", od, "o_orderkey"),
+    ):
+        df.write.mode("overwrite").bucketBy(16, key).sortBy(key).saveAsTable(name)
+    li.write.mode("overwrite").saveAsTable("sp_li_f")
+    od.write.mode("overwrite").saveAsTable("sp_od_f")
+
+    def joined(a, b):
+        return (
+            spark.table(a)
+            .join(
+                spark.table(b),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+
+    # disable auto-broadcast so both plans face the same join strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qb, qf = joined("sp_li_b", "sp_od_b"), joined("sp_li_f", "sp_od_f")
+        n_ex_b = _plan(qb).count("Exchange hashpartitioning")
+        n_ex_f = _plan(qf).count("Exchange hashpartitioning")
+        # bucketed: only the post-join groupBy may shuffle; the JOIN itself
+        # must not re-shuffle its inputs (2 fewer Exchanges than flat)
+        holds = n_ex_b <= n_ex_f - 2
+        return {
+            "probe": "bucketed_join",
+            "property_holds": bool(holds),
+            "right_sec": _time(qb),
+            "wrong_sec": _time(qf),
+            "detail": f"exchanges bucketed={n_ex_b} flat={n_ex_f}",
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def probe_broadcast_join(spark, sf_dir):
+    """A bounded dim rides as BroadcastHashJoin (no shuffle of the fact);
+    forcing shuffle join on the same query shuffles 600k fact rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    q = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    holds = "BroadcastHashJoin" in _plan(q)
+    right = _time(q)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q2 = (
+            li.join(su.hint("shuffle_hash"), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_nationkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        wrong = _time(q2)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    return {
+        "probe": "broadcast_join",
+        "property_holds": bool(holds),
+        "right_sec": right,
+        "wrong_sec": wrong,
+        "detail": "BroadcastHashJoin in plan; fact side never shuffles",
+    }
+
+
+def probe_pushdown(spark, sf_dir):
+    """Filter + projection reach the parquet reader: PushedFilters non-
+    empty and ReadSchema carries only the 2 referenced columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") > F.lit("1995-01-01")).select(
+        "l_shipdate", "l_quantity"
+    )
+    plan = _plan(q.groupBy().agg(F.sum("l_quantity")))
+    holds = (
+        "GreaterThan(l_shipdate" in plan  # filter reached PushedFilters
+        and "FileScan parquet [l_quantity" in plan  # scan reads 2 cols
+        and "l_comment" not in plan  # untouched cols pruned
+    )
+    return {
+        "probe": "scan_pushdown",
+        "property_holds": bool(holds),
+        "right_sec": _time(q.groupBy().agg(F.sum("l_quantity"))),
+        "wrong_sec": None,
+        "detail": "PushedFilters + 2-column ReadSchema on the scan",
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+    for probe in (
+        probe_pushdown,
+        probe_partition_pruning,
+        probe_bucketed_join,
+        probe_broadcast_join,
+    ):
+        r = probe(spark, sf_dir)
+        ok = ok and r["property_holds"]
+        print(json.dumps(r))
+    print(json.dumps({"all_properties_hold": ok}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2412,10 +2412,26 @@ def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_curation(spark, docs).build("curation_report")
 
 
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus RELEASE pipeline through the registry runtime
+    (models/corpus_release.py — the LLM-data capstone on the dbt-runtime
+    path): exact-dup keep-best → quality gate → 5-gram eval-set
+    decontamination against the content-hash test split → per-(source,
+    split) release manifest. Every stage a view, so Catalyst compiles
+    the funnel into one plan; the manifest reports integer totals plus
+    min/max quality (value selection — cross-engine hash-stable, unlike
+    a float mean)."""
+    from .corpus_release import build_corpus_release
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return build_corpus_release(spark, docs).build("release_manifest")
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "clone_snapshot": q_clone_snapshot,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_release": q_corpus_release,
     "curation_funnel": q_curation_funnel,
     "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
@@ -2443,7 +2459,6 @@ QUERIES = {
     "langid_stopwords": q_langid_stopwords,
     "doc_fingerprint": q_doc_fingerprint,
     "cosine_topk": q_cosine_topk,
-    "cosine_topk_label": q_cosine_topk_label,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "freshness_events": q_freshness_events,
@@ -2480,6 +2495,11 @@ QUERIES = {
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
     #  simhash_docs, dedup_keep_best)
     "dedup_exact_docs": q_dedup_exact_docs,
+    # (cosine_topk_label: bumped out by corpus_release; the similarity
+    #  family keeps SEVEN in-window siblings — cosine_topk, ivf_topk,
+    #  kmeans_cells, pq_encode/topk/rerank, semantic_dedup — and the
+    #  label restriction is a thin parameterization of cosine_topk)
+    "cosine_topk_label": q_cosine_topk_label,
     # (agg_any_bool: bumped out by semantic_dedup; any_value/bool_or sit
     #  in functions/scalar.py, whose changes since r1 were additive —
     #  in-window siblings scalar_surface, listagg_ordered, except_fn
@@ -4147,6 +4167,54 @@ FROM orders WHERE o_orderkey % 40 = 0
 # proves the CSV round-trip + inference reconstructed identical values.
 ORACLE["seed_nation_csv"] = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+# corpus_release: the full release funnel as CTEs — dedup keep-best
+# (same rank as dedup_keep_best), quality/token gate, content-hash
+# splits (first md5 hex digit: c,d=val e,f=test), 5-gram
+# decontamination of train/val against the test split's distinct gram
+# set, then the per-(source, split) manifest. Integer totals; min/max
+# quality are value selections, so no float-arithmetic divergence.
+ORACLE["corpus_release"] = f"""
+WITH q AS ({_LLM_ORACLE["text_quality"]}),
+s AS (SELECT d.doc_id, d.text, d.source, md5(d.text) AS fingerprint,
+             q.n_tokens, q.quality_score
+      FROM documents d JOIN q USING (doc_id)),
+dedup AS (SELECT * FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY fingerprint
+    ORDER BY quality_score DESC, doc_id ASC) AS rn FROM s) WHERE rn = 1),
+qual AS (SELECT * FROM dedup
+         WHERE quality_score >= 0.5 AND n_tokens >= 5),
+sp AS (SELECT *, CASE WHEN substr(md5(text),1,1) IN ('e','f') THEN 'test'
+                      WHEN substr(md5(text),1,1) IN ('c','d') THEN 'val'
+                      ELSE 'train' END AS split
+       FROM qual),
+g AS (SELECT doc_id, split,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(generate_series(1, len(w)-4),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+             ELSE [] END AS gl
+      FROM (SELECT doc_id, split,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM sp)),
+evg AS (SELECT DISTINCT md5(unnest(gl)) AS gh FROM g WHERE split = 'test'),
+cg AS (SELECT doc_id, md5(unnest(gl)) AS gh FROM g WHERE split <> 'test'),
+tot AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+hit AS (SELECT cg.doc_id, count(*) AS h
+        FROM cg JOIN evg USING (gh) GROUP BY cg.doc_id),
+dropped AS (
+  SELECT t.doc_id FROM tot t LEFT JOIN hit h USING (doc_id)
+  WHERE round(COALESCE(h.h,0)::DOUBLE / t.n, 6) >= 0.5),
+rel AS (
+  SELECT * FROM sp WHERE split <> 'test'
+                     AND doc_id NOT IN (SELECT doc_id FROM dropped)
+  UNION ALL
+  SELECT * FROM sp WHERE split = 'test')
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(quality_score) AS min_quality,
+       max(quality_score) AS max_quality
+FROM rel GROUP BY source, split
 """
 
 # clone_snapshot: the oracle recomputes the ORIGINAL build from parquet;

@@ -294,6 +294,61 @@ _words = st.text(alphabet="abcde", min_size=1, max_size=4)
 _texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
 
 
+def test_corpus_release_dag_stages(spark):
+    """The release funnel drops exactly what each stage says it drops:
+    an exact duplicate resolves to its best copy, a low-quality doc
+    fails the gate, a train doc plagiarizing a test doc decontaminates
+    away, and the manifest accounts for every surviving doc."""
+    from healthcare_dbt_datamart_spark.llmops.splits import split_col
+    from healthcare_dbt_datamart_spark.models.corpus_release import (
+        build_corpus_release,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the green forest to find a quiet stream"
+    )
+    rows = [
+        (1, base, "web"),
+        (2, base, "web"),  # exact dup of 1: one of the pair survives
+        (3, "x y", "web"),  # fails the 5-token floor
+        (4, " ".join(f"w{i}" for i in range(40)), "book"),  # no stopwords,
+        # uniq_ratio 1.0 -> score 0.4+0.3 < gate? 0.7 >= 0.5: survives
+    ]
+    # a guaranteed test-split doc + a train-split plagiarist of it:
+    # search suffixes so the split label is what the fixture needs
+    def find(split, tmpl):
+        for i in range(1000):
+            t = tmpl + f" tail{i}"
+            if (
+                spark.range(1)
+                .select(split_col(F.lit(t)).alias("s"))
+                .collect()[0][0]
+                == split
+            ):
+                return t
+        raise AssertionError("no suffix found")
+
+    ev_text = find("test", " ".join(f"e{i}" for i in range(30)))
+    # plagiarist: same 30 tokens (shares all 5-grams of the prefix),
+    # different tail that lands it in train
+    pl_text = find("train", " ".join(f"e{i}" for i in range(30)))
+    clean_train = find("train", " ".join(f"c{i}" for i in range(30)))
+    rows += [(5, ev_text, "web"), (6, pl_text, "web"), (7, clean_train, "web")]
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    r = build_corpus_release(spark, docs)
+    rel = r.build("corpus_release")
+    kept = {row.doc_id for row in rel.collect()}
+    assert 3 not in kept  # quality gate
+    assert len({1, 2} & kept) == 1  # dup pair resolved to one copy
+    assert 5 in kept  # the eval doc itself always ships
+    assert 6 not in kept  # plagiarist decontaminated
+    assert 7 in kept  # clean train doc survives
+    man = r.build("release_manifest")
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == len(kept)
+
+
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_texts, min_size=1, max_size=15, unique=True))
 def test_redact_length_accounting_property(spark, texts):

@@ -1,0 +1,129 @@
+"""dbt-style CLI over the model registries — the reference's operational
+surface (``dbt ls / run / compile / docs generate / source freshness``,
+reference ``dbt_project.yml`` + ``dbt_internal_packages/dbt-adapters``
+task macros) re-expressed over the engine's registry runtime.
+
+    python -m healthcare_dbt_datamart_spark ls    --project datamart
+    python -m healthcare_dbt_datamart_spark run   --project corpus_release \
+        --select +release_manifest [--full-refresh] [--counts]
+    python -m healthcare_dbt_datamart_spark compile --project datamart \
+        --model int_gap_col_status
+    python -m healthcare_dbt_datamart_spark docs  --project curation
+    python -m healthcare_dbt_datamart_spark source-freshness --project datamart
+
+Projects bind the registered DAGs to the driver testdata
+(``--sf-dir``, default ``$SPARK_GRAFT_SF_DIR`` or sf0.01):
+
+- ``datamart``        the reference HEDIS gap datamart (models/datamart.py)
+- ``curation``        the corpus QA funnel (models/curation.py)
+- ``corpus_release``  the training-corpus release pipeline
+                      (models/corpus_release.py)
+
+``run`` prints one line per built model; views build lazily (DDL-only,
+like dbt's view materialization — no scan unless ``--counts``), tables/
+incremental/snapshots materialize through their strategies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _project(name: str, spark, sf_dir: str):
+    from .models import testdata_queries as tq
+
+    if name == "datamart":
+        from .models.datamart import build_datamart
+
+        members, claims, codes = tq._gap_inputs(spark, sf_dir)
+        return build_datamart(spark, members, claims, codes, tq.GAP_PARAMS)
+    if name == "curation":
+        from .models.curation import build_curation
+
+        return build_curation(spark, tq.load_spread(spark, sf_dir, "documents"))
+    if name == "corpus_release":
+        from .models.corpus_release import build_corpus_release
+
+        return build_corpus_release(
+            spark, tq.load_spread(spark, sf_dir, "documents")
+        )
+    raise SystemExit(f"unknown project: {name!r}")
+
+
+def main(argv: list[str] | None = None, log=print) -> int:
+    p = argparse.ArgumentParser(prog="healthcare_dbt_datamart_spark")
+    p.add_argument(
+        "command",
+        choices=["ls", "run", "compile", "docs", "source-freshness"],
+    )
+    p.add_argument(
+        "--project",
+        default="datamart",
+        choices=["datamart", "curation", "corpus_release"],
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p.add_argument("--select", default=None, help="dbt graph selector: [+]name[+]")
+    p.add_argument("--model", default=None, help="model for `compile`")
+    p.add_argument("--full-refresh", action="store_true")
+    p.add_argument(
+        "--counts",
+        action="store_true",
+        help="also count rows of each built model (forces a scan of views)",
+    )
+    a = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    r = _project(a.project, spark, a.sf_dir)
+    man = r.manifest()
+
+    if a.command == "ls":
+        for name, node in man["nodes"].items():
+            deps = ",".join(sorted(node.get("depends_on", []))) or "-"
+            log(f"{node.get('materialized', 'view'):>12}  {name}  <- {deps}")
+        return 0
+
+    if a.command == "docs":
+        log(json.dumps(man, indent=2, sort_keys=True, default=str))
+        return 0
+
+    if a.command == "compile":
+        if not a.model:
+            raise SystemExit("compile requires --model")
+        df = r.compile(a.model)
+        log(
+            spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
+
+    if a.command == "source-freshness":
+        results = r.check_freshness()
+        if not results:
+            log("no sources declare a freshness contract")
+        for src, res in results.items():
+            log(f"{src}: {res}")
+        return 0
+
+    # run
+    built = r.run(full_refresh=a.full_refresh, select=a.select)
+    for name, df in built.items():
+        mat = man["nodes"].get(name, {}).get("materialized", "view")
+        if a.counts:
+            log(f"OK  {mat:>12}  {name}  rows={df.count()}")
+        else:
+            log(f"OK  {mat:>12}  {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -719,6 +719,69 @@ def test_compact_table_reduces_files(spark):
     assert spark.table("t_compact").count() == 10000
 
 
+def test_cli_surface(spark):
+    """The dbt-style CLI (ls / run --select / compile / docs /
+    source-freshness) drives every project through the registry: run
+    respects graph selection, docs emits the manifest JSON, compile
+    explains without materializing."""
+    import json as _json
+
+    from healthcare_dbt_datamart_spark.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    out: list[str] = []
+    log = out.append
+
+    assert main(["ls", "--project", "corpus_release", "--sf-dir", sf], log) == 0
+    assert any("release_manifest" in line for line in out)
+
+    out.clear()
+    assert (
+        main(
+            [
+                "run",
+                "--project",
+                "corpus_release",
+                "--sf-dir",
+                sf,
+                "--select",
+                "+corpus_quality",
+            ],
+            log,
+        )
+        == 0
+    )
+    names = {line.split()[-1] for line in out}
+    assert names == {"stg_corpus", "corpus_dedup", "corpus_quality"}
+
+    out.clear()
+    assert main(["docs", "--project", "curation", "--sf-dir", sf], log) == 0
+    man = _json.loads("".join(out))
+    assert man["nodes"]["curation_report"]["depends_on"] == ["stg_documents"]
+
+    out.clear()
+    assert (
+        main(
+            [
+                "compile",
+                "--project",
+                "datamart",
+                "--sf-dir",
+                sf,
+                "--model",
+                "int_gap_col_status",
+            ],
+            log,
+        )
+        == 0
+    )
+    assert "Physical Plan" in "".join(out)
+
+    out.clear()
+    assert main(["source-freshness", "--project", "datamart", "--sf-dir", sf], log) == 0
+    assert "no sources declare a freshness contract" in out[0]
+
+
 def test_clone_table_zero_copy_snapshot(spark):
     """S9 clone: content parity, zero-copy (shared inodes), snapshot
     isolation from a later source rebuild, independent lifecycle."""

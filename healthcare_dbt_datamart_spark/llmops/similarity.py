@@ -704,8 +704,28 @@ def semantic_dedup(
     sim = F.round(
         _dot(F.col("_kvec"), F.col(vec_col)) / (F.col("_knrm") * F.col("_nrm")), 6
     )
+    # Salt-replicate the pair join (operators/skew.py pattern): the pair
+    # stage's INPUT is tiny (one vector per row) but its compute is
+    # quadratic-per-cell, so with few cells AQE's byte-based coalescing
+    # folds the whole pair set into ONE task (measured at 250k pairs).
+    # Salting the candidate side deterministically and replicating the
+    # keeper side S ways turns k join keys into k·S, and the user-pinned
+    # repartition on (cell, salt) is exempt from AQE coalescing — the
+    # dot products spread across the cluster. Each (keeper, candidate)
+    # combination still meets exactly once: at the candidate's own salt.
+    # Measured 1.9x at sf0.1; at production k (thousands of cells) the
+    # salt is harmless and the join parallelizes on cells alone.
+    n_salt = 16
+    n_spread = emb.sparkSession.sparkContext.defaultParallelism
+    keep_s = keep.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    cand_s = cand.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
+    )
     dup = (
-        keep.join(cand, "cell")
+        keep_s.repartition(n_spread, "cell", "_salt")
+        .join(cand_s.repartition(n_spread, "cell", "_salt"), ["cell", "_salt"])
         .filter(F.col("_kid") < F.col(id_col))
         .select("cell", "_kid", F.col(id_col), sim.alias("sim"))
         .filter(F.col("sim") >= threshold)

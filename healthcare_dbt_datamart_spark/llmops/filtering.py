@@ -70,18 +70,21 @@ def redact_report(
 
 
 def _distinct_grams(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, carry: tuple = ()
 ) -> DataFrame:
-    """(id, gram_hash) pairs — per-doc DISTINCT word n-grams, built with
-    array expressions inside the row (tokenize once, transform over an
-    index sequence, array_distinct) and only THEN exploded, so the shuffle
-    sees each (doc, gram) once. Grams travel as md5 hashes: fixed 32-byte
-    keys instead of unbounded strings — at 100 TB the decontamination
-    shuffle is dominated by key width, and a hash collision (2^-64-ish on
-    the join range) only ever FLAGS a clean doc, never misses a dirty one.
+    """(id, [carry...,] gram_hash) pairs — per-doc DISTINCT word n-grams,
+    built with array expressions inside the row (tokenize once, transform
+    over an index sequence, array_distinct) and only THEN exploded, so the
+    shuffle sees each (doc, gram) once. Grams travel as md5 hashes: fixed
+    32-byte keys instead of unbounded strings — at 100 TB the
+    decontamination shuffle is dominated by key width, and a hash
+    collision (2^-64-ish on the join range) only ever FLAGS a clean doc,
+    never misses a dirty one. ``carry`` threads extra columns through
+    unchanged (the streaming guard carries the event-time column).
     """
+    keep = [F.col(id_col), *[F.col(c) for c in carry]]
     w = df.select(
-        F.col(id_col),
+        *keep,
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
     mk = F.transform(
@@ -91,15 +94,15 @@ def _distinct_grams(
         ),
     )
     grams = w.select(
-        F.col(id_col),
+        *keep,
         F.when(F.size("_w") >= n, mk)
         .otherwise(F.array().cast("array<string>"))
         .alias("_g"),
     )
     return grams.select(
-        F.col(id_col),
+        *keep,
         F.explode(F.array_distinct("_g")).alias("_gram"),
-    ).select(F.col(id_col), F.md5(F.col("_gram")).alias("gram_hash"))
+    ).select(*keep, F.md5(F.col("_gram")).alias("gram_hash"))
 
 
 def ngram_contamination(

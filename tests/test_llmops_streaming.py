@@ -659,6 +659,91 @@ def test_near_dup_components_deep_chain_converges(spark):
     assert got == {i: 0 for i in range(26)}
 
 
+def test_streaming_contamination_guard(spark, tmp_path):
+    """Stream-static decontamination at ingest: a doc plagiarizing the
+    static eval set scores ~1.0 contamination, a clean doc 0.0; a
+    second microbatch behaves identically (the static side re-plans per
+    batch, no cross-batch state beyond the windowed count)."""
+    from healthcare_dbt_datamart_spark.streaming import (
+        streaming_contamination_guard,
+    )
+
+    ev_docs = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    dirty = " ".join(f"e{i}" for i in range(20)) + " extra"
+    clean = " ".join(f"c{i}" for i in range(20))
+    src = tmp_path / "guard_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), dirty),
+         (2, datetime(2024, 1, 1, 10, 1), clean)],
+        schema,
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src / "*"))
+    q = (
+        streaming_contamination_guard(
+            stream, ev_docs, "text", "doc_id", "ts", n=5
+        )
+        .writeStream.format("memory")
+        .queryName("guard_out")
+        .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(3, datetime(2024, 1, 1, 10, 2), dirty + " more")], schema
+        ).write.mode("overwrite").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        # append mode holds windows open until the watermark passes: a
+        # far-future nudge doc closes the 10:00 window (and itself stays
+        # open, unemitted)
+        spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 12, 0), clean)], schema
+        ).write.mode("overwrite").parquet(str(src / "b3"))
+        q.processAllAvailable()
+        rows = {
+            r.doc_id: r
+            for r in spark.sql("SELECT * FROM guard_out").collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        # dirty doc: 17 grams, 16 from the eval prefix -> ratio ~0.94
+        assert rows[1].contamination_ratio > 0.9
+        assert rows[2].contamination_ratio == 0.0
+        assert rows[3].contamination_ratio > 0.85
+    finally:
+        q.stop()
+
+    # batch parity: same pipeline on a batch frame == ngram_contamination
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        ngram_contamination,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), dirty),
+         (2, datetime(2024, 1, 1, 10, 1), clean)],
+        schema,
+    )
+    via_guard = {
+        (r.doc_id, r.n_grams, r.n_contaminated, r.contamination_ratio)
+        for r in streaming_contamination_guard(
+            batch, ev_docs, "text", "doc_id", "ts", n=5
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in ngram_contamination(
+            ev_docs, batch, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert via_guard == direct
+
+
 def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
     """At-least-once source: in-batch duplicates and cross-batch
     re-deliveries within the watermark delay emit exactly once."""

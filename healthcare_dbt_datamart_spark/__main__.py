@@ -10,6 +10,9 @@ task macros) re-expressed over the engine's registry runtime.
         --model int_gap_col_status
     python -m healthcare_dbt_datamart_spark docs  --project curation
     python -m healthcare_dbt_datamart_spark source-freshness --project datamart
+    python -m healthcare_dbt_datamart_spark test  --project datamart
+    python -m healthcare_dbt_datamart_spark clone --project datamart \
+        --clone-prefix ci_
 
 Projects bind the registered DAGs to the driver testdata
 (``--sf-dir``, default ``$SPARK_GRAFT_SF_DIR`` or sf0.01):
@@ -57,7 +60,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p = argparse.ArgumentParser(prog="healthcare_dbt_datamart_spark")
     p.add_argument(
         "command",
-        choices=["ls", "run", "compile", "docs", "source-freshness"],
+        choices=["ls", "run", "test", "compile", "docs", "source-freshness", "clone"],
     )
     p.add_argument(
         "--project",
@@ -71,6 +74,11 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p.add_argument("--select", default=None, help="dbt graph selector: [+]name[+]")
     p.add_argument("--model", default=None, help="model for `compile`")
     p.add_argument("--full-refresh", action="store_true")
+    p.add_argument(
+        "--clone-prefix",
+        default="ci_",
+        help="target-name prefix for `clone`",
+    )
     p.add_argument(
         "--counts",
         action="store_true",
@@ -104,6 +112,37 @@ def main(argv: list[str] | None = None, log=print) -> int:
                 df._jdf.queryExecution(), "formatted"
             )
         )
+        return 0
+
+    if a.command == "test":
+        results = r.run_tests(select=a.select)
+        if not results:
+            log("no models declare schema tests")
+            return 0
+        worst = 0
+        for model, tests in results.items():
+            for t in tests:
+                log(f"{t.status.upper():>5}  {model}.{t.name}  failures={t.failures}")
+                worst = max(worst, {"pass": 0, "warn": 1, "fail": 2}[t.status])
+        return 2 if worst == 2 else 0
+
+    if a.command == "clone":
+        # dbt clone (defer workflow): snapshot every EXISTING table-backed
+        # relation of the project into <prefix><name> — zero-copy
+        from .operators.materialize import clone_table
+
+        prefix = a.clone_prefix
+        n = 0
+        for name, node in man["nodes"].items():
+            if node.get("materialized") == "view":
+                continue
+            if not spark.catalog.tableExists(name):
+                log(f"SKIP  {name} (not built)")
+                continue
+            files = clone_table(spark, name, f"{prefix}{name}", replace=True)
+            log(f"OK    {name} -> {prefix}{name} ({files} files linked)")
+            n += 1
+        log(f"cloned {n} relations")
         return 0
 
     if a.command == "source-freshness":

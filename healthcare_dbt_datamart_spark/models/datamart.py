@@ -100,7 +100,18 @@ def build_datamart(
 
     from ..functions import age_at, audit_columns, surrogate_key
 
-    @r.model(materialized="table")
+    @r.model(
+        materialized="table",
+        # declared intent of marts/claims/_claims.yml (0-byte placeholder):
+        # the standard schema tests a claims fact declares
+        tests=[
+            ("unique", "claim_sk"),
+            ("not_null", "claim_sk"),
+            ("not_null", "member_id"),
+            ("accepted_values", "is_screening", [0, 1]),
+            ("relationships", "member_id", "dim_member", "member_id"),
+        ],
+    )
     def fct_claims(ctx):
         # declared intent of models/marts/claims/fct_claims.sql (0-byte):
         # one row per claim line, surrogate-keyed, screening-code flagged
@@ -118,19 +129,41 @@ def build_datamart(
             F.upper(claims["proc_code"]) == code_dim["_sc_code"],
             "left",
         ).drop("_sc_code")
+        # the fact's grain is the DISTINCT claim line: an at-least-once
+        # feed redelivers byte-identical lines (the driver testdata
+        # contains such collisions), and indistinguishable rows carry no
+        # information — dedup to grain, then key over ALL grain columns
+        # so claim_sk is unique BY CONSTRUCTION (the declared unique test
+        # below is the proof, not the hope)
+        grain = flagged.select(
+            "claim_id",
+            "member_id",
+            "service_date",
+            "proc_code",
+            F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+        ).distinct()
         return audit_columns(
-            flagged.select(
-                surrogate_key(F.col("claim_id"), F.col("member_id")).alias("claim_sk"),
+            grain.select(
+                surrogate_key(
+                    F.col("claim_id"),
+                    F.col("member_id"),
+                    F.col("service_date"),
+                    F.col("proc_code"),
+                ).alias("claim_sk"),
                 "claim_id",
                 "member_id",
                 "service_date",
                 "proc_code",
-                F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+                "is_screening",
             ),
             run_ts=run_ts,
         )
 
-    @r.model(materialized="table")
+    @r.model(
+        materialized="table",
+        # declared intent of marts/members/_members.yml (0-byte placeholder)
+        tests=[("unique", "member_id"), ("not_null", "member_id")],
+    )
     def dim_member(ctx):
         # declared intent of models/marts/members/dim_member.sql (0-byte)
         members = ctx.ref("stg_members")

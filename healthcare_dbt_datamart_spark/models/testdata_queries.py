@@ -404,13 +404,25 @@ def q_fct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     surrogate-keyed claim lines + screening-code flag via broadcast
     code-set left join (models/datamart.py::fct_claims)."""
     _, flagged = _screening_flagged_claims(spark, sf_dir)
-    return flagged.select(
-        surrogate_key(F.col("claim_id"), F.col("member_id")).alias("claim_sk"),
+    grain = flagged.select(
         "claim_id",
         "member_id",
         "service_date",
         "proc_code",
         F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+    ).distinct()
+    return grain.select(
+        surrogate_key(
+            F.col("claim_id"),
+            F.col("member_id"),
+            F.col("service_date"),
+            F.col("proc_code"),
+        ).alias("claim_sk"),
+        "claim_id",
+        "member_id",
+        "service_date",
+        "proc_code",
+        "is_screening",
     )
 
 
@@ -438,9 +450,16 @@ def q_member_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-joined so claim-less members keep zero rows
     (models/datamart.py::member_cost_summary)."""
     members, flagged = _screening_flagged_claims(spark, sf_dir)
-    per = flagged.groupBy("member_id").agg(
+    grain = flagged.select(
+        "claim_id",
+        "member_id",
+        "service_date",
+        "proc_code",
+        F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+    ).distinct()
+    per = grain.groupBy("member_id").agg(
         F.count(F.lit(1)).alias("n_claims"),
-        F.sum(F.coalesce("is_screening", F.lit(0))).alias("n_screening_claims"),
+        F.sum("is_screening").alias("n_screening_claims"),
         F.min("service_date").alias("first_service_date"),
         F.max("service_date").alias("last_service_date"),
     )
@@ -3108,12 +3127,18 @@ flagged AS (
 """
 
 ORACLE["fct_claims"] = f"""
-WITH {_STAR_CTES}
+WITH {_STAR_CTES},
+grain AS (
+  SELECT DISTINCT claim_id, member_id, service_date, proc_code, is_screening
+  FROM flagged
+)
 SELECT md5(concat_ws('|', coalesce(CAST(claim_id AS VARCHAR), ''),
-                          coalesce(CAST(member_id AS VARCHAR), ''))) AS claim_sk,
+                          coalesce(CAST(member_id AS VARCHAR), ''),
+                          coalesce(CAST(service_date AS VARCHAR), ''),
+                          coalesce(proc_code, ''))) AS claim_sk,
        claim_id, member_id, service_date, proc_code,
        CAST(is_screening AS INTEGER) AS is_screening
-FROM flagged
+FROM grain
 """
 
 _PE = GAP_PARAMS.period_end
@@ -3135,12 +3160,16 @@ FROM members
 
 ORACLE["member_cost_summary"] = f"""
 WITH {_STAR_CTES},
+grain AS (
+  SELECT DISTINCT claim_id, member_id, service_date, proc_code, is_screening
+  FROM flagged
+),
 per AS (
   SELECT member_id, COUNT(*) AS n_claims,
          CAST(SUM(is_screening) AS BIGINT) AS n_screening_claims,
          MIN(service_date) AS first_service_date,
          MAX(service_date) AS last_service_date
-  FROM flagged GROUP BY member_id
+  FROM grain GROUP BY member_id
 )
 SELECT m.member_id,
        CAST(COALESCE(p.n_claims, 0) AS BIGINT) AS n_claims,

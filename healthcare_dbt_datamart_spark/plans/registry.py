@@ -122,6 +122,61 @@ class ModelRegistry:
             )
         return out
 
+    def run_tests(self, select: str | None = None) -> dict[str, list]:
+        """``dbt test``: run every schema test declared on the selected
+        models (the reference's schema-yml surface — its ``_members.yml``
+        / ``_claims.yml`` files are declared placeholders; the test
+        bodies live in ``dbt-adapters/macros/generic_test_sql/``).
+
+        Tests are declared in model config as dbt-shaped tuples::
+
+            @r.model(materialized="table", tests=[
+                ("unique", "member_id"),
+                ("not_null", "member_id"),
+                ("accepted_values", "gap_flag", [0, 1]),
+                ("relationships", "member_id", "dim_member", "member_id"),
+            ])
+
+        An optional trailing dict per tuple passes harness config through
+        (``where`` / ``warn_if`` / ``error_if`` / ``fail_calc`` /
+        ``limit``, ``tests/helpers.sql:7-16``). Relationships resolve the
+        parent through the registry — ref() lineage, not a raw table
+        read. Returns ``{model: [TestResult, ...]}`` for models that
+        declare tests; like dbt, tests run against the BUILT relation.
+        """
+        from ..operators import testing as T
+
+        names = self.select_nodes(select) if select else set(self._models)
+        out: dict[str, list] = {}
+        for name, mdef in self._models.items():
+            if name not in names:
+                continue
+            specs = mdef.config.get("tests") or []
+            if not specs:
+                continue
+            df = self.build(name)
+            results = []
+            for spec in specs:
+                opts = dict(spec[-1]) if isinstance(spec[-1], dict) else {}
+                args = spec[1:-1] if isinstance(spec[-1], dict) else spec[1:]
+                kind = spec[0]
+                if kind == "unique":
+                    v = T.unique_test(df, args[0])
+                elif kind == "not_null":
+                    v = T.not_null_test(df, args[0])
+                elif kind == "accepted_values":
+                    v = T.accepted_values_test(df, args[0], list(args[1]))
+                elif kind == "relationships":
+                    v = T.relationships_test(
+                        df, args[0], self.build(args[1]), args[2]
+                    )
+                else:
+                    raise ValueError(f"unknown test kind: {kind!r}")
+                tname = f"{kind}_{name}_{args[0]}"
+                results.append(T.run_test(v, name=tname, **opts))
+            out[name] = results
+        return out
+
     def manifest(self) -> dict:
         """The engine's manifest.json analog: every node with its
         materialization, config, and discovered upstream edges (dbt's

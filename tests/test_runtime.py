@@ -782,6 +782,56 @@ def test_cli_surface(spark):
     assert "no sources declare a freshness contract" in out[0]
 
 
+def test_registry_schema_tests_and_cli_clone(spark):
+    """dbt-test parity on the registry: declared tuple tests run against
+    built relations (pass/fail statuses + threshold config), and the
+    clone CLI zero-copy-snapshots every built table-backed relation."""
+    from healthcare_dbt_datamart_spark.__main__ import main
+    from healthcare_dbt_datamart_spark.plans import ModelRegistry
+
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None)], ["k", "v"]
+    )
+    r = ModelRegistry(spark)
+    r.add_source("raw", src)
+
+    @r.model(
+        materialized="table",
+        tests=[
+            ("unique", "k"),
+            ("not_null", "v"),
+            ("not_null", "k", {"warn_if": "> 100"}),
+            ("accepted_values", "v", ["a", "b"]),
+        ],
+    )
+    def t_reg_tested(ctx):
+        return ctx.source("raw")
+
+    results = {t.name: t for t in r.run_tests()["t_reg_tested"]}
+    assert results["unique_t_reg_tested_k"].status == "fail"
+    assert results["unique_t_reg_tested_k"].failures == 1  # one dup key
+    assert results["not_null_t_reg_tested_v"].status == "fail"
+    assert results["not_null_t_reg_tested_k"].status == "pass"
+    assert results["accepted_values_t_reg_tested_v"].status == "pass"  # nulls pass
+
+    # CLI test command: datamart's declared tests all pass on sf0.001
+    out: list[str] = []
+    sf = "/root/testdata/sf0.001"
+    rc = main(["test", "--project", "datamart", "--sf-dir", sf], out.append)
+    assert rc == 0 and all(line.startswith(" PASS") for line in out)
+
+    # CLI clone: run the marts first, then snapshot them zero-copy
+    out.clear()
+    assert main(["run", "--project", "datamart", "--sf-dir", sf], out.append) == 0
+    out.clear()
+    assert main(
+        ["clone", "--project", "datamart", "--sf-dir", sf, "--clone-prefix", "ci_"],
+        out.append,
+    ) == 0
+    assert any("fct_claims -> ci_fct_claims" in line for line in out)
+    assert spark.table("ci_fct_claims").count() == spark.table("fct_claims").count()
+
+
 def test_clone_table_zero_copy_snapshot(spark):
     """S9 clone: content parity, zero-copy (shared inodes), snapshot
     isolation from a later source rebuild, independent lifecycle."""

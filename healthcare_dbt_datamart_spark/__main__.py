@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p.add_argument("--model", default=None, help="model for `compile`")
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument(
+        "--artifact",
+        default=None,
+        help="write a run_results.json analog after `run`",
+    )
+    p.add_argument(
         "--clone-prefix",
         default="ci_",
         help="target-name prefix for `clone`",
@@ -155,12 +160,16 @@ def main(argv: list[str] | None = None, log=print) -> int:
 
     # run
     built = r.run(full_refresh=a.full_refresh, select=a.select)
+    timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():
         mat = man["nodes"].get(name, {}).get("materialized", "view")
-        if a.counts:
-            log(f"OK  {mat:>12}  {name}  rows={df.count()}")
-        else:
-            log(f"OK  {mat:>12}  {name}")
+        secs = timing.get(name, {}).get("execute_seconds", 0.0)
+        suffix = f"  rows={df.count()}" if a.counts else ""
+        log(f"OK  {mat:>12}  {name}  {secs:.2f}s{suffix}")
+    if a.artifact:
+        with open(a.artifact, "w") as f:
+            json.dump({"results": r.run_results}, f, indent=2)
+        log(f"wrote run artifact: {a.artifact}")
     return 0
 
 

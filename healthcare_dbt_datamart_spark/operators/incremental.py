@@ -324,3 +324,75 @@ def incremental_run(
         return
 
     raise ValueError(f"unknown incremental strategy: {strategy}")
+
+
+def microbatch_batches(batch_start, batch_end, period: str = "day"):
+    """Period-aligned [start, end) batch bounds covering the range —
+    dbt-core's microbatch batch scheduler (batches are computed from
+    event_time/batch_size config and run independently). Bounds are
+    datetimes; ``period`` in {hour, day, month}. The batch COUNT is
+    bounded driver-side model state (a backfill window's periods), never
+    data-derived."""
+    import datetime as _dt
+
+    def floor(ts):
+        if period == "hour":
+            return ts.replace(minute=0, second=0, microsecond=0)
+        if period == "day":
+            return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        if period == "month":
+            return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        raise ValueError(f"unsupported period: {period!r}")
+
+    def nxt(ts):
+        if period == "hour":
+            return ts + _dt.timedelta(hours=1)
+        if period == "day":
+            return ts + _dt.timedelta(days=1)
+        return (ts.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+
+    out, cur = [], floor(batch_start)
+    while cur < batch_end:
+        out.append((cur, nxt(cur)))
+        cur = nxt(cur)
+    return out
+
+
+def microbatch_backfill(
+    spark: SparkSession,
+    name: str,
+    model_fn,
+    event_time: str,
+    batch_start,
+    batch_end,
+    period: str = "day",
+    full_refresh: bool = False,
+) -> list[tuple]:
+    """dbt microbatch BACKFILL (``dbt run --event-time-start/--event-time-end``
+    over a microbatch model): slice the range into period-aligned batches
+    and run the model once per batch, landing each through the microbatch
+    delete+insert — so a re-run of any sub-range is idempotent and a
+    failed backfill resumes at batch granularity.
+
+    ``model_fn(spark, b_start, b_end)`` returns the batch's rows — the
+    model sees its batch bounds exactly as dbt injects
+    ``__dbt_internal_microbatch_event_time_start/end`` filters; returning
+    a pre-filtered frame lets predicate pushdown prune the scan per
+    batch. Batches run SEQUENTIALLY in event-time order (dbt's default:
+    deterministic retries, monotone progress), each batch itself fully
+    distributed. Returns ``[(start, end)]`` for the run artifact.
+    """
+    batches = microbatch_batches(batch_start, batch_end, period)
+    if full_refresh and spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE {name}")
+    for b_start, b_end in batches:
+        incremental_run(
+            spark,
+            name,
+            model_fn(spark, b_start, b_end),
+            strategy="microbatch",
+            event_time=event_time,
+            batch_start=b_start,
+            batch_end=b_end,
+        )
+    return batches

@@ -16,6 +16,7 @@ execute an action.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -365,14 +366,41 @@ class ModelRegistry:
         """
         self.full_refresh = full_refresh
         self._built.clear()
-        if select is None:
-            return {name: self.build(name) for name in self._models}
-        selected = self.select_nodes(select)
+        selected = self.select_nodes(select) if select else None
         self._selected = selected
+        results: list[dict] = []
+        out: dict[str, DataFrame] = {}
         try:
-            return {name: self.build(name) for name in self._models if name in selected}
+            for name in self._models:
+                if selected is not None and name not in selected:
+                    continue
+                t0 = time.monotonic()
+                try:
+                    out[name] = self.build(name)
+                    status = "success"
+                except Exception:
+                    # record the failure in the artifact, then surface it
+                    # (dbt marks downstream models skipped; demand-driven
+                    # builds stop at the first error instead)
+                    results.append({
+                        "model": name,
+                        "materialized": self._models[name].materialized,
+                        "status": "error",
+                        "execute_seconds": round(time.monotonic() - t0, 3),
+                    })
+                    raise
+                results.append({
+                    "model": name,
+                    "materialized": self._models[name].materialized,
+                    "status": status,
+                    "execute_seconds": round(time.monotonic() - t0, 3),
+                })
         finally:
             self._selected = None
+            # run_results.json analog (dbt's per-run artifact: one row per
+            # node with status + timing); memoized builds register ~0s
+            self.run_results = results
+        return out
 
     def compile(self, name: str) -> DataFrame:
         """Compile-without-running (the reference's ``analyses/`` concept —

@@ -751,7 +751,7 @@ def test_cli_surface(spark):
         )
         == 0
     )
-    names = {line.split()[-1] for line in out}
+    names = {line.split()[2] for line in out}
     assert names == {"stg_corpus", "corpus_dedup", "corpus_quality"}
 
     out.clear()
@@ -780,6 +780,62 @@ def test_cli_surface(spark):
     out.clear()
     assert main(["source-freshness", "--project", "datamart", "--sf-dir", sf], log) == 0
     assert "no sources declare a freshness contract" in out[0]
+
+
+def test_microbatch_backfill_and_run_results(spark, tmp_path):
+    """Backfill slices the range into period batches, runs the model per
+    batch through the microbatch delete+insert (idempotent re-runs), and
+    registry.run records a run_results artifact with per-model status."""
+    from datetime import datetime
+
+    from healthcare_dbt_datamart_spark.operators.incremental import (
+        microbatch_backfill,
+        microbatch_batches,
+    )
+    from healthcare_dbt_datamart_spark.plans import ModelRegistry
+
+    bs = microbatch_batches(
+        datetime(2024, 1, 10, 7), datetime(2024, 1, 13), period="day"
+    )
+    assert [b[0].day for b in bs] == [10, 11, 12]  # floor-aligned start
+
+    base = spark.createDataFrame(
+        [(i, datetime(2024, 1, 10 + i % 3, 12), float(i)) for i in range(30)],
+        "event_id long, ts timestamp, value double",
+    )
+
+    def model(s, b_start, b_end):
+        return base.filter(
+            (F.col("ts") >= F.lit(b_start)) & (F.col("ts") < F.lit(b_end))
+        )
+
+    if spark.catalog.tableExists("t_backfill"):
+        spark.sql("DROP TABLE t_backfill")
+    ran = microbatch_backfill(
+        spark, "t_backfill", model, "ts",
+        datetime(2024, 1, 10), datetime(2024, 1, 13),
+    )
+    assert len(ran) == 3
+    assert spark.table("t_backfill").count() == 30
+    # idempotent: re-backfilling a sub-range replaces, never duplicates
+    microbatch_backfill(
+        spark, "t_backfill", model, "ts",
+        datetime(2024, 1, 11), datetime(2024, 1, 12),
+    )
+    assert spark.table("t_backfill").count() == 30
+
+    # run_results artifact
+    r = ModelRegistry(spark)
+    r.add_source("raw", base)
+
+    @r.model()
+    def t_rr_view(ctx):
+        return ctx.source("raw")
+
+    r.run()
+    assert [x["model"] for x in r.run_results] == ["t_rr_view"]
+    assert r.run_results[0]["status"] == "success"
+    assert r.run_results[0]["execute_seconds"] >= 0
 
 
 def test_registry_schema_tests_and_cli_clone(spark):

@@ -2431,6 +2431,21 @@ def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_curation(spark, docs).build("curation_report")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge training + vocab audit (llmops/bpe.py,
+    Sennrich arXiv:1508.07909): 3 merge rounds learned over the
+    word-frequency table (vocabulary-sized, never corpus-sized), then
+    the segmented subword vocabulary report. Genuinely iterative —
+    each round's argmax pair is driver model state — but integer-exact
+    and tie-broken lexicographically, so the oracle unrolls the same 3
+    rounds as CTEs (the kmeans_cells pattern) for a full hash gate."""
+    from ..llmops.bpe import bpe_segment_report, bpe_train
+
+    docs = load_spread(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=3)
+    return bpe_segment_report(docs, "text", merges)
+
+
 def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-corpus RELEASE pipeline through the registry runtime
     (models/corpus_release.py — the LLM-data capstone on the dbt-runtime
@@ -2451,6 +2466,7 @@ QUERIES = {
     "clone_snapshot": q_clone_snapshot,
     "semantic_dedup": q_semantic_dedup,
     "corpus_release": q_corpus_release,
+    "bpe_merges": q_bpe_merges,
     "curation_funnel": q_curation_funnel,
     "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
@@ -2476,7 +2492,6 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "text_quality": q_text_quality,
     "langid_stopwords": q_langid_stopwords,
-    "doc_fingerprint": q_doc_fingerprint,
     "cosine_topk": q_cosine_topk,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
@@ -2514,6 +2529,10 @@ QUERIES = {
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
     #  simhash_docs, dedup_keep_best)
     "dedup_exact_docs": q_dedup_exact_docs,
+    # (doc_fingerprint: bumped out by bpe_merges; the rolling-hash
+    #  fingerprint fn is untouched since r1 and textstats keeps in-window
+    #  siblings text_quality + langid_stopwords + bpe_token_count)
+    "doc_fingerprint": q_doc_fingerprint,
     # (cosine_topk_label: bumped out by corpus_release; the similarity
     #  family keeps SEVEN in-window siblings — cosine_topk, ivf_topk,
     #  kmeans_cells, pq_encode/topk/rerank, semantic_dedup — and the
@@ -4196,6 +4215,56 @@ FROM orders WHERE o_orderkey % 40 = 0
 # proves the CSV round-trip + inference reconstructed identical values.
 ORACLE["seed_nation_csv"] = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+def _bpe_ctes(n_rounds: int) -> str:
+    """CTE chain ``w0 .. w{n}`` mirroring llmops/bpe.py round for round:
+    word-frequency dict, sentinel-spaced chars, per-round argmax pair
+    (freq DESC, left ASC, right ASC) and the double/replace/collapse
+    merge rewrite — plain string replaces, identical in both engines."""
+    parts = [
+        r"""wf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+           ' ') || ' ' AS syms, freq
+  FROM wf
+)"""
+    ]
+    for k in range(n_rounds):
+        parts.append(f"""p{k} AS (
+  SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r, t.freq
+  FROM (SELECT string_split(trim(syms), ' ') AS toks, freq FROM w{k}) t,
+       UNNEST(generate_series(1, len(t.toks) - 1)) AS u(i)
+),
+b{k} AS (
+  SELECT l, r FROM (
+    SELECT l, r, sum(freq) AS f FROM p{k} GROUP BY l, r
+    ORDER BY f DESC, l ASC, r ASC LIMIT 1)
+),
+w{k + 1} AS (
+  SELECT replace(replace(replace(w{k}.syms, ' ', '  '),
+                 ' ' || b{k}.l || '  ' || b{k}.r || ' ',
+                 ' ' || b{k}.l || b{k}.r || ' '),
+                 '  ', ' ') AS syms, w{k}.freq
+  FROM w{k}, b{k}
+)""")
+    return ",\n".join(parts)
+
+
+# bpe_merges: 3 BPE rounds unrolled — same word dict, argmax tie-break,
+# and three-replace merge as the Spark side; final subword vocab report.
+ORACLE["bpe_merges"] = f"""
+WITH {_bpe_ctes(3)}
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(sum(freq) AS BIGINT) AS total_freq
+FROM (SELECT unnest(string_split(trim(syms), ' ')) AS token, freq FROM w3)
+GROUP BY token
 """
 
 # corpus_release: the full release funnel as CTEs — dedup keep-best

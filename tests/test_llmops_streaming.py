@@ -659,6 +659,72 @@ def test_near_dup_components_deep_chain_converges(spark):
     assert got == {i: 0 for i in range(26)}
 
 
+def test_bpe_train_matches_reference(spark):
+    """bpe_train must reproduce the classic BPE algorithm exactly:
+    word-frequency dict, argmax pair per round (freq desc, pair asc),
+    left-to-right non-overlapping merge — checked against a pure-Python
+    reference on a corpus engineered with back-to-back merge sites
+    (the shared-sentinel-space trap) and multi-char merged symbols."""
+    from collections import Counter, defaultdict
+
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        bpe_segment_report,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "newer newer new newest",
+        "aaaa aa aaa",  # back-to-back identical-pair merges
+        "low newer",
+    ]
+
+    def ref_apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_bpe(texts, n_merges):
+        wf = Counter(w for t in texts for w in t.lower().split())
+        words = {w: list(w) for w in wf}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            if not pc:
+                break
+            (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, f))
+            words = {w: ref_apply(syms, a, b) for w, syms in words.items()}
+        nocc, tfreq = defaultdict(int), defaultdict(int)
+        for w, syms in words.items():
+            for sym in syms:
+                nocc[sym] += 1
+                tfreq[sym] += wf[w]
+        return merges, {t: (nocc[t], tfreq[t]) for t in tfreq}
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_train(df, "text", n_merges=6)
+    want_merges, want_vocab = ref_bpe(texts, 6)
+    assert got == want_merges
+
+    rep = {
+        r.token: (r.n_occurrences, r.total_freq)
+        for r in bpe_segment_report(df, "text", got).collect()
+    }
+    assert rep == want_vocab
+
+
 def test_streaming_contamination_guard(spark, tmp_path):
     """Stream-static decontamination at ingest: a doc plagiarizing the
     static eval set scores ~1.0 contamination, a clean doc 0.0; a

@@ -75,6 +75,16 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p.add_argument("--model", default=None, help="model for `compile`")
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument(
+        "--event-time-start",
+        default=None,
+        help="microbatch backfill range start (ISO datetime/date)",
+    )
+    p.add_argument(
+        "--event-time-end",
+        default=None,
+        help="microbatch backfill range end (ISO datetime/date)",
+    )
+    p.add_argument(
         "--artifact",
         default=None,
         help="write a run_results.json analog after `run`",
@@ -159,7 +169,15 @@ def main(argv: list[str] | None = None, log=print) -> int:
         return 0
 
     # run
-    built = r.run(full_refresh=a.full_refresh, select=a.select)
+    import datetime as _dt
+
+    parse_ts = lambda v: _dt.datetime.fromisoformat(v) if v else None  # noqa: E731
+    built = r.run(
+        full_refresh=a.full_refresh,
+        select=a.select,
+        event_time_start=parse_ts(a.event_time_start),
+        event_time_end=parse_ts(a.event_time_end),
+    )
     timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():
         mat = man["nodes"].get(name, {}).get("materialized", "view")

@@ -38,6 +38,10 @@ class ModelContext:
         self._r = registry
         self.name = name
         self.spark = registry.spark
+        # microbatch backfill bounds (dbt's __dbt_internal event-time
+        # vars): set per batch by the registry's backfill driver
+        self.batch_start = None
+        self.batch_end = None
 
     def ref(self, name: str) -> DataFrame:
         return self._r.build(name)
@@ -67,6 +71,8 @@ class ModelRegistry:
         self._building: list[str] = []
         self.full_refresh = False
         self._selected: set[str] | None = None
+        self.batch_range: tuple | None = None  # microbatch backfill bounds
+        self.run_results: list[dict] = []
 
     # -- declaration ------------------------------------------------------
 
@@ -238,6 +244,22 @@ class ModelRegistry:
             # AFTER its pre-hook's side effects. Keep pre-hooks
             # idempotent (they may also re-run on retry).
             self._run_hooks(mdef.config.get("pre_hook"), name)
+            if (
+                mdef.materialized == "incremental"
+                and mdef.config.get("incremental_strategy") == "microbatch"
+                and self.batch_range is not None
+            ):
+                # dbt microbatch backfill (--event-time-start/end): the
+                # body runs once PER period batch with its bounds on the
+                # context, and the returned frame is additionally
+                # clamped to the batch window (dbt auto-injects the
+                # event_time filter on microbatch inputs, so a body that
+                # ignores its bounds is still correct — using them just
+                # buys per-batch scan pruning)
+                out = self._microbatch_backfill(name, mdef)
+                self._run_hooks(mdef.config.get("post_hook"), name)
+                self._built[name] = out
+                return out
             df = mdef.fn(ModelContext(self, name))
         finally:
             self._building.pop()
@@ -286,6 +308,37 @@ class ModelRegistry:
         self._run_hooks(mdef.config.get("post_hook"), name)
         self._built[name] = out
         return out
+
+    def _microbatch_backfill(self, name: str, mdef) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..operators.incremental import incremental_run, microbatch_batches
+
+        ev = mdef.config["event_time"]
+        period = mdef.config.get("batch_size", "day")
+        start, end = self.batch_range
+        if self.full_refresh and self.spark.catalog.tableExists(name):
+            self.spark.sql(f"DROP TABLE {name}")
+        for b_start, b_end in microbatch_batches(start, end, period):
+            ctx = ModelContext(self, name)
+            ctx.batch_start, ctx.batch_end = b_start, b_end
+            bdf = mdef.fn(ctx).filter(
+                F.coalesce(
+                    (F.col(ev) >= F.lit(b_start)) & (F.col(ev) < F.lit(b_end)),
+                    F.lit(False),
+                )
+            )
+            incremental_run(
+                self.spark,
+                name,
+                bdf,
+                strategy="microbatch",
+                on_schema_change=mdef.config.get("on_schema_change", "ignore"),
+                event_time=ev,
+                batch_start=b_start,
+                batch_end=b_end,
+            )
+        return self.spark.table(name)
 
     def _is_materialized_table(self, name: str) -> bool:
         """True only for a real managed/external table — NOT for temp
@@ -349,7 +402,11 @@ class ModelRegistry:
         return compare(build(name), expect)
 
     def run(
-        self, full_refresh: bool = False, select: str | None = None
+        self,
+        full_refresh: bool = False,
+        select: str | None = None,
+        event_time_start=None,
+        event_time_end=None,
     ) -> dict[str, DataFrame]:
         """Build every registered model (DAG order via demand resolution),
         or — with ``select`` — a dbt-style graph selection:
@@ -366,6 +423,11 @@ class ModelRegistry:
         """
         self.full_refresh = full_refresh
         self._built.clear()
+        self.batch_range = (
+            (event_time_start, event_time_end)
+            if event_time_start is not None and event_time_end is not None
+            else None
+        )
         selected = self.select_nodes(select) if select else None
         self._selected = selected
         results: list[dict] = []

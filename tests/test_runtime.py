@@ -837,6 +837,40 @@ def test_microbatch_backfill_and_run_results(spark, tmp_path):
     assert r.run_results[0]["status"] == "success"
     assert r.run_results[0]["execute_seconds"] >= 0
 
+    # registry-level backfill: a microbatch model run with
+    # event_time_start/end executes once per period batch, sees its
+    # bounds on the context, and the result is clamped per batch
+    r2 = ModelRegistry(spark)
+    r2.add_source("raw2", base)
+    seen: list[tuple] = []
+
+    @r2.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+    )
+    def t_mb_backfill(ctx):
+        seen.append((ctx.batch_start, ctx.batch_end))
+        # body ignores its bounds on purpose: the registry's clamp must
+        # still deliver per-batch correctness
+        return ctx.source("raw2")
+
+    if spark.catalog.tableExists("t_mb_backfill"):
+        spark.sql("DROP TABLE t_mb_backfill")
+    r2.run(
+        event_time_start=datetime(2024, 1, 10),
+        event_time_end=datetime(2024, 1, 13),
+    )
+    assert len(seen) == 3 and seen[0][0].day == 10 and seen[2][1].day == 13
+    assert spark.table("t_mb_backfill").count() == 30
+    # re-backfill one day: idempotent
+    r2.run(
+        event_time_start=datetime(2024, 1, 11),
+        event_time_end=datetime(2024, 1, 12),
+    )
+    assert spark.table("t_mb_backfill").count() == 30
+
 
 def test_registry_schema_tests_and_cli_clone(spark):
     """dbt-test parity on the registry: declared tuple tests run against

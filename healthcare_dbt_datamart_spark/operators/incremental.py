@@ -327,13 +327,21 @@ def incremental_run(
 
 
 def microbatch_batches(batch_start, batch_end, period: str = "day"):
-    """Period-aligned [start, end) batch bounds covering the range —
-    dbt-core's microbatch batch scheduler (batches are computed from
-    event_time/batch_size config and run independently). Bounds are
-    datetimes; ``period`` in {hour, day, month}. The batch COUNT is
-    bounded driver-side model state (a backfill window's periods), never
-    data-derived."""
+    """Period-aligned batch bounds covering the range, CLAMPED to
+    [batch_start, batch_end) — dbt-core's microbatch batch scheduler
+    (batches come from event_time/batch_size config and run
+    independently, but the requested range is an exact limit: a backfill
+    must never delete+insert target rows OUTSIDE it, or rows the source
+    has since purged in the uncovered window would be destroyed). Bounds
+    are datetimes; ``period`` in {hour, day, month}; an empty range
+    raises. The batch COUNT is bounded driver-side model state (a
+    backfill window's periods), never data-derived."""
     import datetime as _dt
+
+    if not batch_start < batch_end:
+        raise ValueError(
+            f"empty backfill range: {batch_start!r} >= {batch_end!r}"
+        )
 
     def floor(ts):
         if period == "hour":
@@ -353,7 +361,7 @@ def microbatch_batches(batch_start, batch_end, period: str = "day"):
 
     out, cur = [], floor(batch_start)
     while cur < batch_end:
-        out.append((cur, nxt(cur)))
+        out.append((max(cur, batch_start), min(nxt(cur), batch_end)))
         cur = nxt(cur)
     return out
 
@@ -378,7 +386,8 @@ def microbatch_backfill(
     model sees its batch bounds exactly as dbt injects
     ``__dbt_internal_microbatch_event_time_start/end`` filters; returning
     a pre-filtered frame lets predicate pushdown prune the scan per
-    batch. Batches run SEQUENTIALLY in event-time order (dbt's default:
+    batch, and the driver clamps the frame to the window regardless, so
+    an unfiltered body is still correct. Batches run SEQUENTIALLY in event-time order (dbt's default:
     deterministic retries, monotone progress), each batch itself fully
     distributed. Returns ``[(start, end)]`` for the run artifact.
     """
@@ -386,10 +395,19 @@ def microbatch_backfill(
     if full_refresh and spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE {name}")
     for b_start, b_end in batches:
+        # clamp HERE, not only in incremental_run's microbatch branch:
+        # the first batch of a fresh target goes through the plain-CTAS
+        # first-run path, which applies no window filter — an unclamped
+        # model_fn (dbt bodies may ignore their bounds) would land rows
+        # outside the requested range in that one batch
+        ev = F.col(event_time)
+        in_window = F.coalesce(
+            (ev >= F.lit(b_start)) & (ev < F.lit(b_end)), F.lit(False)
+        )
         incremental_run(
             spark,
             name,
-            model_fn(spark, b_start, b_end),
+            model_fn(spark, b_start, b_end).filter(in_window),
             strategy="microbatch",
             event_time=event_time,
             batch_start=b_start,

@@ -29,15 +29,15 @@ def _table_exists(spark: SparkSession, name: str) -> bool:
 
 
 def _drop_stale_location(spark: SparkSession, name: str) -> None:
-    """Remove a managed-table directory the CATALOG does not know about —
+    """Remove a warehouse-slot directory the CATALOG does not know about:
     the leftover of a session that died between write and (persistent)
-    catalog registration, or of an in-memory catalog that evaporated with
-    its session. CTAS and ALTER TABLE RENAME both refuse to reuse the
-    location (LOCATION_ALREADY_EXISTS), so an orphan dir would wedge the
-    swap forever. Only ever called when ``tableExists`` is False, so no
-    live catalog entry — hence no reader — points at the path; on a
-    shared metastore deployment the entry would have persisted and the
-    DROP TABLE branch handles it instead."""
+    catalog registration, of an in-memory catalog that evaporated with
+    its session, or of a just-DROPped EXTERNAL table (DROP keeps external
+    files). CTAS and ALTER TABLE RENAME both refuse to reuse the location
+    (LOCATION_ALREADY_EXISTS), so a leftover dir would wedge the swap
+    forever. Callers invoke this only when no live catalog entry points
+    at the path (tableExists is False, or the entry was dropped in the
+    same statement) — hence no reader can resolve it."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name.lower()
@@ -101,13 +101,13 @@ def materialize_table(
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         spark.sql(f"DROP TABLE {name}")
-        # an EXTERNAL occupant (e.g. a clone_table target) keeps its
-        # files through DROP — clear the warehouse slot so the rename
-        # can land; hardlinked bytes stay alive through the source's
-        # own links, so this never destroys shared data
-        _drop_stale_location(spark, name)
-    else:
-        _drop_stale_location(spark, name)
+    # clear the warehouse slot either way: a managed DROP already removed
+    # its directory (no-op here), but an EXTERNAL occupant (e.g. a
+    # clone_table target) keeps its files through DROP and would wedge
+    # the rename; hardlinked bytes stay alive through the source's own
+    # links, so this never destroys shared data. Orphans of a dead
+    # session are cleared by the same call.
+    _drop_stale_location(spark, name)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
 
 
@@ -148,6 +148,12 @@ def clone_table(
     import os
     import shutil
 
+    if "." in source or "." in target:
+        raise ValueError(
+            "clone_table takes unqualified table names (current-database"
+            " scope): the warehouse-slot layout this clone manages is"
+            " per-database"
+        )
     if _table_exists(spark, target):
         if not replace:
             raise ValueError(f"clone target {target!r} exists (replace=False)")
@@ -171,18 +177,46 @@ def clone_table(
                 os.link(src_f, dst_f)  # zero-copy: new name, same inode
             except OSError:  # cross-device / FS without hardlinks
                 shutil.copy2(src_f, dst_f)
-            n_files += 1
+            if not fn.startswith(("_", ".")):  # data files, not markers
+                n_files += 1
 
     part_cols = [c.name for c in spark.catalog.listColumns(source) if c.isPartition]
     ddl = spark.table(source)._jdf.schema().toDDL()
     stmt = f"CREATE TABLE {target} ({ddl}) USING parquet"
     if part_cols:
         stmt += f" PARTITIONED BY ({', '.join(part_cols)})"
+    bucket = _bucket_spec(spark, source)
+    if bucket:
+        n, cols, sort_cols = bucket
+        stmt += f" CLUSTERED BY ({', '.join(cols)})"
+        if sort_cols:
+            stmt += f" SORTED BY ({', '.join(sort_cols)})"
+        stmt += f" INTO {n} BUCKETS"
     stmt += f" LOCATION '{dst_loc}'"
     spark.sql(stmt)
     if part_cols:
         spark.sql(f"MSCK REPAIR TABLE {target}")
     return n_files
+
+
+def _bucket_spec(spark: SparkSession, name: str):
+    """(num_buckets, bucket_cols, sort_cols) from DESCRIBE FORMATTED, or
+    None for an unbucketed table — a clone must carry the bucket layout
+    or it silently loses the shuffle-free-join property the source paid
+    a write-time shuffle for."""
+    n, cols, sort_cols = None, [], []
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        key = (r.col_name or "").strip()
+        val = (r.data_type or "").strip()
+        if key == "Num Buckets":
+            n = int(val)
+        elif key == "Bucket Columns":
+            cols = [c.strip(" `") for c in val.strip("[]").split(",") if c.strip()]
+        elif key == "Sort Columns":
+            sort_cols = [
+                c.strip(" `") for c in val.strip("[]").split(",") if c.strip()
+            ]
+    return (n, cols, sort_cols) if n and cols else None
 
 
 def materialize_seed(

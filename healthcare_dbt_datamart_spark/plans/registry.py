@@ -161,7 +161,7 @@ class ModelRegistry:
             specs = mdef.config.get("tests") or []
             if not specs:
                 continue
-            df = self.build(name)
+            df = self._tested_relation(name)
             results = []
             for spec in specs:
                 opts = dict(spec[-1]) if isinstance(spec[-1], dict) else {}
@@ -175,7 +175,7 @@ class ModelRegistry:
                     v = T.accepted_values_test(df, args[0], list(args[1]))
                 elif kind == "relationships":
                     v = T.relationships_test(
-                        df, args[0], self.build(args[1]), args[2]
+                        df, args[0], self._tested_relation(args[1]), args[2]
                     )
                 else:
                     raise ValueError(f"unknown test kind: {kind!r}")
@@ -183,6 +183,16 @@ class ModelRegistry:
                 results.append(T.run_test(v, name=tname, **opts))
             out[name] = results
         return out
+
+    def _tested_relation(self, name: str) -> DataFrame:
+        """dbt test semantics: tests read the EXISTING built relation —
+        a table-backed model that is already materialized is read, not
+        rebuilt (a test command must not rewrite production tables).
+        Only a never-built model (or a view, which is a lazy plan, not
+        state) is built on demand."""
+        if self._is_materialized_table(name):
+            return self.spark.table(name)
+        return self.build(name)
 
     def manifest(self) -> dict:
         """The engine's manifest.json analog: every node with its
@@ -310,34 +320,28 @@ class ModelRegistry:
         return out
 
     def _microbatch_backfill(self, name: str, mdef) -> DataFrame:
-        from pyspark.sql import functions as F
+        """Delegates to operators/incremental.py::microbatch_backfill —
+        ONE backfill driver; the adapter sets the batch bounds on the
+        model context (per-batch clamping lives in incremental_run's
+        microbatch branch, which filters the source to the window)."""
+        from ..operators.incremental import microbatch_backfill
 
-        from ..operators.incremental import incremental_run, microbatch_batches
-
-        ev = mdef.config["event_time"]
-        period = mdef.config.get("batch_size", "day")
-        start, end = self.batch_range
-        if self.full_refresh and self.spark.catalog.tableExists(name):
-            self.spark.sql(f"DROP TABLE {name}")
-        for b_start, b_end in microbatch_batches(start, end, period):
+        def model_fn(spark, b_start, b_end):
             ctx = ModelContext(self, name)
             ctx.batch_start, ctx.batch_end = b_start, b_end
-            bdf = mdef.fn(ctx).filter(
-                F.coalesce(
-                    (F.col(ev) >= F.lit(b_start)) & (F.col(ev) < F.lit(b_end)),
-                    F.lit(False),
-                )
-            )
-            incremental_run(
-                self.spark,
-                name,
-                bdf,
-                strategy="microbatch",
-                on_schema_change=mdef.config.get("on_schema_change", "ignore"),
-                event_time=ev,
-                batch_start=b_start,
-                batch_end=b_end,
-            )
+            return mdef.fn(ctx)
+
+        start, end = self.batch_range
+        microbatch_backfill(
+            self.spark,
+            name,
+            model_fn,
+            mdef.config["event_time"],
+            start,
+            end,
+            period=mdef.config.get("batch_size", "day"),
+            full_refresh=self.full_refresh,
+        )
         return self.spark.table(name)
 
     def _is_materialized_table(self, name: str) -> bool:
@@ -423,9 +427,15 @@ class ModelRegistry:
         """
         self.full_refresh = full_refresh
         self._built.clear()
+        if (event_time_start is None) != (event_time_end is None):
+            raise ValueError(
+                "microbatch backfill needs BOTH event_time_start and"
+                " event_time_end (a lone bound would silently run an"
+                " unbounded build)"
+            )
         self.batch_range = (
             (event_time_start, event_time_end)
-            if event_time_start is not None and event_time_end is not None
+            if event_time_start is not None
             else None
         )
         selected = self.select_nodes(select) if select else None
@@ -459,6 +469,8 @@ class ModelRegistry:
                 })
         finally:
             self._selected = None
+            self.batch_range = None  # a later build()/run_tests() must
+            # not silently re-enter the backfill's table writes
             # run_results.json analog (dbt's per-run artifact: one row per
             # node with status + timing); memoized builds register ~0s
             self.run_results = results

@@ -797,7 +797,15 @@ def test_microbatch_backfill_and_run_results(spark, tmp_path):
     bs = microbatch_batches(
         datetime(2024, 1, 10, 7), datetime(2024, 1, 13), period="day"
     )
-    assert [b[0].day for b in bs] == [10, 11, 12]  # floor-aligned start
+    assert [b[0].day for b in bs] == [10, 11, 12]
+    # batches align to periods but CLAMP to the requested range: the
+    # first batch starts at 07:00, not the period floor
+    assert bs[0][0] == datetime(2024, 1, 10, 7)
+    assert bs[-1][1] == datetime(2024, 1, 13)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        microbatch_batches(datetime(2024, 1, 1), datetime(2024, 1, 1))
 
     base = spark.createDataFrame(
         [(i, datetime(2024, 1, 10 + i % 3, 12), float(i)) for i in range(30)],
@@ -988,6 +996,20 @@ def test_clone_table_partitioned_and_rematerialize(spark):
     mat.materialize_table(spark, "t_clone_psnap", df3)
     assert spark.table("t_clone_psnap").count() == 5
     assert spark.table("t_clone_psrc").count() == 200
+
+    # bucketed clone keeps the bucket spec (the shuffle-free-join layout)
+    df4 = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    mat.materialize_table(spark, "t_clone_bsrc", df4, bucket_by=(4, ["k"]))
+    mat.clone_table(spark, "t_clone_bsrc", "t_clone_bsnap", replace=True)
+    assert mat._bucket_spec(spark, "t_clone_bsnap") == (4, ["k"], ["k"])
+    assert spark.table("t_clone_bsnap").count() == 100
+
+    # database-qualified names are rejected (warehouse-slot layout is
+    # per-database)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mat.clone_table(spark, "default.t_clone_bsrc", "t_x")
 
 
 from hypothesis import HealthCheck, given, settings

@@ -106,14 +106,19 @@ def _distinct_grams(
 
 
 def ngram_contamination(
-    train: DataFrame,
-    eval_: DataFrame,
+    gram_source: DataFrame,
+    scored: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 5,
 ) -> DataFrame:
-    """Eval-set decontamination report: for every eval document, how many
-    of its distinct word n-grams also occur anywhere in the train split.
+    """N-gram overlap report: for every SCORED document, how many of its
+    distinct word n-grams occur anywhere in ``gram_source``. Both
+    decontamination directions are this one function with the arguments
+    swapped: eval-set hygiene scores eval docs against the train grams
+    (``gram_source=train, scored=eval``); a release pipeline scores
+    train candidates against the eval grams (``gram_source=eval,
+    scored=candidates`` — how corpus_release.py calls it).
 
     The canonical pre-training hygiene check (13-grams in GPT-3/Dolma; n
     is a parameter — driver data uses shorter docs, so tests run n=3..5).
@@ -126,9 +131,9 @@ def ngram_contamination(
     gram-counting share a single per-doc aggregation) — one join + one
     groupBy, all keys fixed-width gram hashes.
     """
-    ev = _distinct_grams(eval_, text_col, id_col, n)
+    ev = _distinct_grams(scored, text_col, id_col, n)
     tr = (
-        _distinct_grams(train, text_col, id_col, n)
+        _distinct_grams(gram_source, text_col, id_col, n)
         .select("gram_hash")
         .distinct()
         .withColumn("_hit", F.lit(1))

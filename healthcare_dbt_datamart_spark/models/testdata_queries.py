@@ -2431,6 +2431,24 @@ def q_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_curation(spark, docs).build("curation_report")
 
 
+def q_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (llmops/dedup.py::
+    exact_substr_coverage — the ExactSubstr criterion of arXiv:2107.06499,
+    suffix arrays re-expressed as hashed 30-char windows + per-doc
+    gaps-and-islands interval merging): per document, the characters
+    sitting inside a >= 30-char substring that occurs verbatim in
+    another document. Catches the boilerplate/template duplication
+    doc-level dedup misses. Only covered docs are returned (zeros for
+    the long tail carry no information and the oracle mirrors the
+    filter)."""
+    from ..llmops.dedup import exact_substr_coverage
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return exact_substr_coverage(docs, "text", "doc_id", 30).filter(
+        F.col("covered_chars") > 0
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-merge training + vocab audit (llmops/bpe.py,
     Sennrich arXiv:1508.07909): 3 merge rounds learned over the
@@ -2467,6 +2485,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_release": q_corpus_release,
     "bpe_merges": q_bpe_merges,
+    "substr_coverage": q_substr_coverage,
     "curation_funnel": q_curation_funnel,
     "curation_dag": q_curation_dag,
     "unit_test_diff": q_unit_test_diff,
@@ -2489,7 +2508,6 @@ QUERIES = {
     "datediff_age_orders": q_datediff_age_orders,
     "minhash_buckets": q_minhash_buckets,
     "near_dup_jaccard": q_near_dup_jaccard,
-    "simhash_docs": q_simhash_docs,
     "text_quality": q_text_quality,
     "langid_stopwords": q_langid_stopwords,
     "cosine_topk": q_cosine_topk,
@@ -2529,6 +2547,10 @@ QUERIES = {
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
     #  simhash_docs, dedup_keep_best)
     "dedup_exact_docs": q_dedup_exact_docs,
+    # (simhash_docs: bumped out by substr_coverage; simhash16 is a
+    #  self-contained fn untouched since r1, and the dedup family keeps
+    #  minhash_buckets + near_dup_jaccard + dedup_keep_best in window)
+    "simhash_docs": q_simhash_docs,
     # (doc_fingerprint: bumped out by bpe_merges; the rolling-hash
     #  fingerprint fn is untouched since r1 and textstats keeps in-window
     #  siblings text_quality + langid_stopwords + bpe_token_count)
@@ -4216,6 +4238,39 @@ FROM orders WHERE o_orderkey % 40 = 0
 ORACLE["seed_nation_csv"] = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+# substr_coverage: hashed 30-char windows -> cross-doc dup hashes ->
+# per-doc gaps-and-islands merge (two-stage window: flag then running
+# sum — neither engine allows nested window calls), mirrored exactly.
+ORACLE["substr_coverage"] = """
+WITH base AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos, md5(substr(t, u.i, 30)) AS h
+  FROM base, UNNEST(generate_series(1, n - 29)) AS u(i)
+  WHERE n >= 30
+),
+dh AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+sp AS (SELECT w.doc_id, w.pos AS s, w.pos + 30 AS e FROM w JOIN dh USING (h)),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM sp),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM flag),
+m AS (SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY doc_id, g)
+SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_chars,
+       CAST(sum(m.me - m.ms) AS BIGINT) AS covered_chars,
+       round(sum(m.me - m.ms)::DOUBLE / b.n, 6) AS coverage_ratio,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM m JOIN base b USING (doc_id)
+GROUP BY b.doc_id, b.n
+"""
+
 
 def _bpe_ctes(n_rounds: int) -> str:
     """CTE chain ``w0 .. w{n}`` mirroring llmops/bpe.py round for round:

@@ -659,6 +659,36 @@ def test_near_dup_components_deep_chain_converges(spark):
     assert got == {i: 0 for i in range(26)}
 
 
+def test_exact_substr_coverage(spark):
+    """ExactSubstr criterion: a 40-char substring shared verbatim across
+    two docs covers exactly its own chars in each (context windows that
+    cross the span boundary differ and must not count); a unique doc and
+    a short doc report zeros; two disjoint shared spans merge into two
+    islands."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import exact_substr_coverage
+
+    shared = "abcdefghij" * 4  # 40 chars
+    shared2 = "0123456789" * 4
+    # distinct delimiters around every planted span: a shared BOUNDARY
+    # char would legitimately extend the duplicated substring by one
+    # (the criterion is exact, so the fixture must be too)
+    rows = [
+        (1, "PREFIXONE-" + shared + "-SUFFIXONE"),
+        (2, "OTHERHEAD_" + shared + "_TAILBIT_" + shared2),
+        (3, "completely unique text with no duplicated spans at all here"),
+        (4, "tiny"),
+        (5, shared2 + "#standalone context around the second span"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substr_coverage(df, "text", "doc_id", 30).collect()}
+    assert out[1].covered_chars == 40 and out[1].n_spans == 1
+    assert out[2].covered_chars == 80 and out[2].n_spans == 2
+    assert out[3].covered_chars == 0 and out[3].n_spans == 0
+    assert out[4].covered_chars == 0 and out[4].n_chars == 4
+    assert out[5].covered_chars == 40
+    assert out[1].coverage_ratio == round(40 / out[1].n_chars, 6)
+
+
 def test_bpe_train_matches_reference(spark):
     """bpe_train must reproduce the classic BPE algorithm exactly:
     word-frequency dict, argmax pair per round (freq desc, pair asc),

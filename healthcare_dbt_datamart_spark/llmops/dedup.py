@@ -375,15 +375,31 @@ def exact_substr_coverage(
     base = df.select(
         F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("n_chars")
     )
-    win = F.transform(
-        F.sequence(F.lit(1), F.length("_t") - (min_len - 1)),
-        lambda i: F.struct(
-            (i - 1).alias("pos"), F.md5(F.substring("_t", i, min_len)).alias("h")
-        ),
+    # explode POSITIONS, hash after: materializing a per-row array of
+    # md5 strings costs 2x (measured) over hashing on the exploded rows,
+    # where substring+md5 run inside the same codegen stage. The doc
+    # scan is spread first when it arrives under-partitioned (one small
+    # parquet file = one task would hash the whole corpus serially); on
+    # a real cluster the scan already has parallel splits and the
+    # repartition is a no-op branch.
+    src = base.filter(F.length("_t") >= min_len)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    windows = (
+        src.select(
+            F.col(id_col),
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (min_len - 1))
+            ).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_i") - 1).alias("pos"),
+            F.md5(F.expr(f"substring(_t, _i, {int(min_len)})")).alias("h"),
+        )
     )
-    windows = base.filter(F.length("_t") >= min_len).select(
-        F.col(id_col), F.explode(win).alias("w")
-    ).select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
     dup_hashes = (
         windows.groupBy("h")

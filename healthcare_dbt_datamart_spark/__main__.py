@@ -85,6 +85,11 @@ def main(argv: list[str] | None = None, log=print) -> int:
         help="microbatch backfill range end (ISO datetime/date)",
     )
     p.add_argument(
+        "--state",
+        default=None,
+        help="saved manifest JSON (from `docs`) for state:modified selection",
+    )
+    p.add_argument(
         "--artifact",
         default=None,
         help="write a run_results.json analog after `run`",
@@ -172,11 +177,16 @@ def main(argv: list[str] | None = None, log=print) -> int:
     import datetime as _dt
 
     parse_ts = lambda v: _dt.datetime.fromisoformat(v) if v else None  # noqa: E731
+    state = None
+    if a.state:
+        with open(a.state) as f:
+            state = json.load(f)
     built = r.run(
         full_refresh=a.full_refresh,
         select=a.select,
         event_time_start=parse_ts(a.event_time_start),
         event_time_end=parse_ts(a.event_time_end),
+        state=state,
     )
     timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():

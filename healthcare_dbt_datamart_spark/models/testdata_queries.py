@@ -1542,9 +1542,21 @@ def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("err_value"))
         .withColumn("err_ts", F.col("ts"))
     )
+    # output timestamps as TIMESTAMP_NTZ: PySpark converts zoned
+    # TimestampType to Python datetimes through the OS timezone at fetch
+    # time (not the UTC session tz), so a non-UTC harness host would see
+    # shifted wall clocks; NTZ fetches the UTC wall clock verbatim, like
+    # DuckDB's naive TIMESTAMP (found by a TZ=America/New_York sweep —
+    # the only query in the inventory emitting raw zoned timestamps)
     return asof_join(
         purchases, errors, "user_id", "ts", "ts", ["err_ts", "err_value"]
-    ).select("event_id", "user_id", "ts", "err_ts", "err_value")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("err_ts").cast("timestamp_ntz").alias("err_ts"),
+        "err_value",
+    )
 
 
 def q_events_follow_error(spark: SparkSession, sf_dir: str) -> DataFrame:

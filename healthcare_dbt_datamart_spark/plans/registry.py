@@ -196,10 +196,12 @@ class ModelRegistry:
 
     def manifest(self) -> dict:
         """The engine's manifest.json analog: every node with its
-        materialization, config, and discovered upstream edges (dbt's
-        manifest is the lineage artifact downstream tooling consumes;
-        here dependencies are OBSERVED by running model bodies against a
-        recording context rather than parsed from Jinja)."""
+        materialization, config, discovered upstream edges, and a
+        process-stable code CHECKSUM (dbt's manifest is the lineage +
+        state artifact downstream tooling consumes; here dependencies
+        are OBSERVED by running model bodies against a recording context
+        rather than parsed from Jinja, and the checksum fingerprints the
+        body's compiled bytecode the way dbt checksums compiled SQL)."""
         edges = self.deps()
         return {
             "sources": sorted(self._sources),
@@ -211,9 +213,48 @@ class ModelRegistry:
                         and not (isinstance(v, list) and any(callable(x) for x in v))
                     },
                     "depends_on": sorted(edges.get(name, ())),
+                    "checksum": self._node_checksum(mdef),
                 }
                 for name, mdef in self._models.items()
             },
+        }
+
+    def _node_checksum(self, mdef) -> str:
+        """md5 over the model's materialization, declarative config, and
+        a RECURSIVE bytecode fingerprint of its body — ``repr`` of a code
+        object embeds a memory address, so nested code objects (lambdas,
+        comprehensions) are replaced by their own fingerprints; the
+        result is stable across processes for unchanged source."""
+        import hashlib
+
+        def fp(code) -> str:
+            consts = tuple(
+                fp(c) if hasattr(c, "co_code") else repr(c)
+                for c in code.co_consts
+            )
+            return hashlib.md5(
+                repr((code.co_code, consts, code.co_names)).encode()
+            ).hexdigest()
+
+        cfg = {
+            k: v for k, v in sorted(mdef.config.items()) if not callable(v)
+            and not (isinstance(v, list) and any(callable(x) for x in v))
+        }
+        return hashlib.md5(
+            repr((mdef.materialized, cfg, fp(mdef.fn.__code__))).encode()
+        ).hexdigest()
+
+    def modified_nodes(self, state: dict) -> set[str]:
+        """dbt ``state:modified``: models whose checksum differs from the
+        saved manifest, plus models the old state has never seen —
+        the slim-CI selector (pair with ``clone`` for the defer
+        workflow: clone production relations, rebuild only what
+        changed)."""
+        old = state.get("nodes", {})
+        return {
+            name
+            for name, mdef in self._models.items()
+            if old.get(name, {}).get("checksum") != self._node_checksum(mdef)
         }
 
     # -- execution --------------------------------------------------------
@@ -411,6 +452,7 @@ class ModelRegistry:
         select: str | None = None,
         event_time_start=None,
         event_time_end=None,
+        state: dict | None = None,
     ) -> dict[str, DataFrame]:
         """Build every registered model (DAG order via demand resolution),
         or — with ``select`` — a dbt-style graph selection:
@@ -419,6 +461,9 @@ class ModelRegistry:
         - ``"+name"`` the model and its upstream closure
         - ``"name+"`` the model and its downstream closure
         - ``"+name+"`` both
+        - ``"state:modified"`` / ``"state:modified+"`` models whose code
+          checksum differs from the ``state`` manifest (dbt slim CI),
+          optionally with their downstream closure
 
         Unselected upstreams that already exist as tables are READ, not
         rebuilt (dbt ``--select`` semantics); unselected view-materialized
@@ -438,7 +483,16 @@ class ModelRegistry:
             if event_time_start is not None
             else None
         )
-        selected = self.select_nodes(select) if select else None
+        if select in ("state:modified", "state:modified+"):
+            if state is None:
+                raise ValueError("state:modified requires state=<saved manifest>")
+            selected = self.modified_nodes(state)
+            if select.endswith("+") and selected:
+                selected = set().union(
+                    *[self.select_nodes(f"{n}+") for n in selected]
+                )
+        else:
+            selected = self.select_nodes(select) if select else None
         self._selected = selected
         results: list[dict] = []
         out: dict[str, DataFrame] = {}

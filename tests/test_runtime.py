@@ -880,6 +880,55 @@ def test_microbatch_backfill_and_run_results(spark, tmp_path):
     assert spark.table("t_mb_backfill").count() == 30
 
 
+def test_state_modified_selection(spark):
+    """Slim CI: the manifest checksum fingerprints each model's compiled
+    body + declarative config, stable across registry instances for
+    unchanged code; state:modified selects exactly the changed models
+    (and state:modified+ their downstream closure)."""
+    src = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+
+    def build_registry(bump: bool):
+        r = ModelRegistry(spark)
+        r.add_source("raw", src)
+
+        if bump:
+            @r.model()
+            def t_sm_a(ctx):
+                return ctx.source("raw").withColumn("extra", F.lit(1))
+        else:
+            @r.model()
+            def t_sm_a(ctx):
+                return ctx.source("raw")
+
+        @r.model()
+        def t_sm_b(ctx):
+            return ctx.ref("t_sm_a").selectExpr("k")
+
+        @r.model()
+        def t_sm_c(ctx):
+            return ctx.source("raw").selectExpr("v")
+
+        return r
+
+    old_state = build_registry(False).manifest()
+    # identical code in a FRESH registry: nothing modified
+    assert build_registry(False).modified_nodes(old_state) == set()
+    # one body changed: exactly that model; + adds its downstream
+    r2 = build_registry(True)
+    assert r2.modified_nodes(old_state) == {"t_sm_a"}
+    built = r2.run(select="state:modified+", state=old_state)
+    assert set(built) == {"t_sm_a", "t_sm_b"}
+    # a model the old state never saw counts as modified
+    assert "checksum" in old_state["nodes"]["t_sm_c"]
+    del old_state["nodes"]["t_sm_c"]
+    assert build_registry(False).modified_nodes(old_state) == {"t_sm_c"}
+    # state:modified without state raises instead of running everything
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        build_registry(False).run(select="state:modified")
+
+
 def test_registry_schema_tests_and_cli_clone(spark):
     """dbt-test parity on the registry: declared tuple tests run against
     built relations (pass/fail statuses + threshold config), and the

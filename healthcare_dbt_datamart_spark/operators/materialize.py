@@ -224,12 +224,18 @@ def materialize_seed(
     name: str,
     csv_path: str,
     column_types: dict[str, str] | None = None,
+    delimiter: str = ",",
+    quote: str = '"',
 ) -> None:
     """CSV seed load (``seeds/helpers.sql:7-27``): header + type inference
-    with per-column overrides (``adapter.convert_type``, line 14).
+    with per-column overrides (``adapter.convert_type``, line 14) and the
+    dbt seed-config reader knobs (``delimiter`` / ``quote``,
+    ``seeds/helpers.sql`` agate loader options).
     ``spark.read.csv`` is already bulk — the reference's 10k-row batched
     INSERTs (``:76-78,107-130``) are an artifact of SQL-over-wire."""
-    df = spark.read.csv(csv_path, header=True, inferSchema=True)
+    df = spark.read.csv(
+        csv_path, header=True, inferSchema=True, sep=delimiter, quote=quote
+    )
     for col, dtype in (column_types or {}).items():
         df = df.withColumn(col, df[col].cast(dtype))
     materialize_table(spark, name, df)

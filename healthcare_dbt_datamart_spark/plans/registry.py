@@ -73,6 +73,7 @@ class ModelRegistry:
         self._selected: set[str] | None = None
         self.batch_range: tuple | None = None  # microbatch backfill bounds
         self.run_results: list[dict] = []
+        self._exposures: dict[str, dict] = {}
 
     # -- declaration ------------------------------------------------------
 
@@ -106,6 +107,31 @@ class ModelRegistry:
                 "error_after_seconds": error_after_seconds,
                 "filter_expr": freshness_filter,
             }
+
+    def add_exposure(
+        self,
+        name: str,
+        depends_on: list[str],
+        kind: str = "dashboard",
+        owner: str | None = None,
+        url: str | None = None,
+    ) -> None:
+        """dbt exposure (downstream consumer declared in yml — the
+        reference's yml files are placeholders for this class of
+        metadata): a named dashboard/report/ML feed whose upstream
+        models appear in the manifest, so impact analysis ("what does
+        this model feed?") reads straight off the lineage artifact.
+        Unknown upstreams raise at declaration — a dangling exposure is
+        a lineage lie."""
+        missing = [d for d in depends_on if d not in self._models]
+        if missing:
+            raise ValueError(f"exposure {name!r} depends on unknown models: {missing}")
+        self._exposures[name] = {
+            "kind": kind,
+            "depends_on": sorted(depends_on),
+            "owner": owner,
+            "url": url,
+        }
 
     def get_source(self, name: str) -> DataFrame:
         return self._sources[name]
@@ -205,6 +231,7 @@ class ModelRegistry:
         edges = self.deps()
         return {
             "sources": sorted(self._sources),
+            "exposures": dict(sorted(self._exposures.items())),
             "nodes": {
                 name: {
                     "materialized": mdef.materialized,

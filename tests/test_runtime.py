@@ -880,6 +880,33 @@ def test_microbatch_backfill_and_run_results(spark, tmp_path):
     assert spark.table("t_mb_backfill").count() == 30
 
 
+def test_exposures_and_seed_options(spark, tmp_path):
+    """Exposures land in the manifest with validated upstreams; seed
+    loading honors delimiter/quote reader config."""
+    r = ModelRegistry(spark)
+    r.add_source("raw", spark.range(3).selectExpr("id AS k"))
+
+    @r.model()
+    def t_exp_m(ctx):
+        return ctx.source("raw")
+
+    r.add_exposure(
+        "weekly_dash", ["t_exp_m"], kind="dashboard", owner="analytics"
+    )
+    man = r.manifest()
+    assert man["exposures"]["weekly_dash"]["depends_on"] == ["t_exp_m"]
+    with pytest.raises(ValueError):
+        r.add_exposure("bad", ["nope"])
+
+    csv = tmp_path / "seed.csv"
+    csv.write_text("a|b\n1|'x|y'\n2|z\n")
+    mat.materialize_seed(
+        spark, "t_seed_opts", str(csv), delimiter="|", quote="'"
+    )
+    rows = {r_.a: r_.b for r_ in spark.table("t_seed_opts").collect()}
+    assert rows == {1: "x|y", 2: "z"}
+
+
 def test_state_modified_selection(spark):
     """Slim CI: the manifest checksum fingerprints each model's compiled
     body + declarative config, stable across registry instances for

@@ -401,10 +401,14 @@ def exact_substr_coverage(
         )
     )
 
+    # ">= 2 distinct docs" as min != max: count_distinct plans a distinct
+    # expansion (exchange on (h, doc) THEN on h — two shuffles of the
+    # window set), while min/max partial-aggregate map-side and shuffle
+    # once; the predicates are equivalent for this threshold
     dup_hashes = (
         windows.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min(F.col(id_col)).alias("_lo"), F.max(F.col(id_col)).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     spans = windows.join(dup_hashes, "h").select(

@@ -77,8 +77,15 @@ def build_corpus_release(
             .drop("_rn", "fingerprint")
         )
 
-    @r.model()
+    @r.model(materialized="table")
     def corpus_quality(ctx):
+        # TABLE, not view: three downstream consumers read this relation
+        # (the eval split, the candidate split, and the gram join inside
+        # decontamination), and a view would inline the dedup window +
+        # quality scan into each — Catalyst reuses plans, not results.
+        # Materializing once is the dbt mid-funnel pattern (marts tables,
+        # dbt_project.yml:31-33) and exactly what you'd do at 100 TB
+        # (write the curated corpus once, fan out from the files).
         return ctx.ref("corpus_dedup").filter(
             (F.col("quality_score") >= QUALITY_FLOOR)
             & (F.col("n_tokens") >= TOKEN_FLOOR)

@@ -401,18 +401,25 @@ def exact_substr_coverage(
         )
     )
 
-    # ">= 2 distinct docs" as min != max: count_distinct plans a distinct
-    # expansion (exchange on (h, doc) THEN on h — two shuffles of the
-    # window set), while min/max partial-aggregate map-side and shuffle
-    # once; the predicates are equivalent for this threshold
-    dup_hashes = (
-        windows.groupBy("h")
-        .agg(F.min(F.col(id_col)).alias("_lo"), F.max(F.col(id_col)).alias("_hi"))
+    # ">= 2 distinct docs" as min != max over a WINDOW partitioned by h,
+    # not a groupBy + join back: the groupBy form would re-run the
+    # explode+substring+md5 scan for the join's probe side (the whole
+    # corpus hashed TWICE — measured ~2x of this operator's cost), and
+    # its partial aggregation buys nothing because window hashes are
+    # almost all unique. The window form shuffles the (id, pos, h) rows
+    # once on h, annotates each row with its group's min/max doc in
+    # place, and filters — one hashing pass, one exchange, no join.
+    # min != max is equivalent to ">= 2 distinct docs" at this threshold.
+    w_h = Window.partitionBy("h")
+    spans = (
+        windows.withColumn("_lo", F.min(F.col(id_col)).over(w_h))
+        .withColumn("_hi", F.max(F.col(id_col)).over(w_h))
         .filter(F.col("_lo") != F.col("_hi"))
-        .select("h")
-    )
-    spans = windows.join(dup_hashes, "h").select(
-        F.col(id_col), F.col("pos").alias("s"), (F.col("pos") + min_len).alias("e")
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + min_len).alias("e"),
+        )
     )
     w_ord = Window.partitionBy(id_col).orderBy("s")
     prev_max = F.max("e").over(

@@ -216,6 +216,220 @@ def importance_weights(
     )
 
 
+def _hex_prefix_int(h: Column, n_digits: int) -> Column:
+    """Integer value of the first ``n_digits`` hex chars of ``h`` —
+    engine-independent instr arithmetic (no conv()/from_hex, which
+    DuckDB/Spark spell differently), same trick as ``epoch_order``'s
+    shard bucket. n_digits=5 → 0..1048575 (20 bits)."""
+    v = F.lit(0)
+    for i in range(1, n_digits + 1):
+        d = F.call_function("instr", F.lit(_HEX), F.substring(h, i, 1))
+        v = v * 16 + (d - 1)
+    return v
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    public arXiv:1911.00359): score every document by a per-LANGUAGE
+    language-model proxy (mean negative unigram log-likelihood against
+    that language's own corpus frequencies — the KenLM stand-in this
+    container can host), rank within the language, and split each
+    language's corpus into head / middle / tail thirds. CCNet keeps
+    head+middle and drops or downweights tail; the bucket column is the
+    knob.
+
+    Determinism across engines: the score is ``round(avg(ln(...)), 6)``
+    (the idiom ``unigram_logprob`` already hash-proves), the rank orders
+    by (rounded score, id) so ties are impossible, and the third
+    boundaries are pure integer arithmetic (3·rank vs n, never a float
+    percentile).
+
+    Scale shape: two partial-agg groupBys on (lang, term) + one join —
+    the TF-IDF shuffle — then ONE window pass partitioned by language
+    (never a global sort; per-language orders are what CCNet shards by
+    anyway). Language totals fold in via a broadcast of the bounded
+    language list.
+
+    Returns ``(id, lang, n_tokens, ppl_score, ppl_rank, bucket)``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tc"))
+    lang_tot = freq.groupBy("lang").agg(
+        F.sum("tc").cast("double").alias("lt")
+    )
+    scored = (
+        toks.join(freq, ["lang", "term"])
+        .join(broadcast(lang_tot), "lang")
+        .groupBy(F.col(id_col), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # negative mean log-prob: higher = more surprising to the
+            # language's own model (the perplexity proxy); -0.0 guard as
+            # in importance_weights
+            (
+                F.round(-F.avg(F.log(F.col("tc").cast("double") / F.col("lt"))), 6)
+                + F.lit(0.0)
+            ).alias("ppl_score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl_score").asc(), F.col(id_col).asc()
+    )
+    ranked = scored.select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "ppl_score",
+        F.row_number().over(w).alias("ppl_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+    return ranked.select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "ppl_score",
+        "ppl_rank",
+        F.when(F.col("ppl_rank") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("ppl_rank") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    n_hex: int = 5,
+    k_probes: int = 2,
+) -> DataFrame:
+    """Bloom-filter decontamination prefilter — the map-side runtime
+    filter that makes the exact gram join affordable at 100 TB: build an
+    m-bit Bloom filter (m = 16^``n_hex``) over the EVAL set's distinct
+    n-gram hashes, broadcast the bitset (m/8 bytes — 128 KB at the
+    default — regardless of corpus size), and test every candidate gram
+    against it BEFORE the shuffle join. Bloom filters have no false
+    negatives, so the exact confirm join runs only over the surviving
+    grams and still counts true hits exactly; the false-positive columns
+    report what the prefilter let through (the cost knob m/k trades
+    against).
+
+    Probe positions are engine-independent: position_j = the first
+    ``n_hex`` hex digits of md5(gram_hash || ':' || j) (instr
+    arithmetic, no conv()). The bitset itself is assembled DISTRIBUTED —
+    groupBy(word) + bit_or of shifted bits, so at most m/64 rows (16 K
+    longs) ever reach the driver: bounded MODEL state like the k-means
+    centroids, not data. It rides back in as a broadcast 1-row array
+    (data, not literals — codegen stays constant-size, the
+    ``ivf_assign`` pattern).
+
+    Returns per candidate doc: ``(id, n_grams, bloom_hits, exact_hits,
+    fp_grams, fp_rate)`` — ``fp_rate`` is the realized false-positive
+    fraction among grams the bloom passed.
+    """
+    n_words = (16 ** n_hex) // 64
+
+    def positions(g: DataFrame) -> DataFrame:
+        out = g
+        for j in range(k_probes):
+            out = out.withColumn(
+                f"_p{j}",
+                _hex_prefix_int(
+                    F.md5(F.concat_ws(":", F.col("gram_hash"), F.lit(str(j)))),
+                    n_hex,
+                ),
+            )
+        return out
+
+    ev = positions(
+        _distinct_grams(eval_set, text_col, id_col, n)
+        .select("gram_hash")
+        .distinct()
+    )
+    # distributed bitset build: one partial-agg groupBy on the word
+    # index; <= m/64 rows collected (model state, size fixed by m)
+    ev_bits = ev.select(
+        F.explode(F.array(*[F.col(f"_p{j}") for j in range(k_probes)])).alias("_p")
+    )
+    words_rows = (
+        ev_bits.groupBy((F.col("_p") / 64).cast("int").alias("_w"))
+        .agg(
+            F.bit_or(
+                F.shiftleft(F.lit(1).cast("long"), (F.col("_p") % 64).cast("int"))
+            ).alias("_m")
+        )
+        .collect()
+    )
+    word_map = {int(r["_w"]): int(r["_m"]) for r in words_rows}
+    words = [word_map.get(i, 0) for i in range(n_words)]
+    spark = candidates.sparkSession
+    bits_df = spark.createDataFrame([(words,)], "_bloom array<bigint>")
+
+    cand = positions(
+        _distinct_grams(candidates, text_col, id_col, n)
+    ).crossJoin(broadcast(bits_df))
+    hit = F.lit(True)
+    for j in range(k_probes):
+        p = F.col(f"_p{j}")
+        word = F.element_at("_bloom", (p / 64).cast("int") + 1)
+        bit = F.shiftright(word, (p % 64).cast("int")).bitwiseAND(F.lit(1).cast("long"))
+        hit = hit & (bit == 1)
+    probed = cand.select(F.col(id_col), "gram_hash", hit.alias("_bloom_hit"))
+
+    # exact confirm join ONLY over bloom survivors — the point of the
+    # prefilter: the shuffle join sees the passed fraction, not the corpus
+    ev_exact = ev.select("gram_hash").withColumn("_hit", F.lit(1))
+    confirmed = (
+        probed.filter(F.col("_bloom_hit"))
+        .join(ev_exact, "gram_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("bloom_hits"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("exact_hits"),
+        )
+    )
+    totals = probed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(confirmed, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (F.coalesce("bloom_hits", F.lit(0)) - F.coalesce("exact_hits", F.lit(0))).alias(
+                "fp_grams"
+            ),
+            F.when(
+                F.coalesce("bloom_hits", F.lit(0)) > 0,
+                F.round(
+                    (
+                        F.coalesce("bloom_hits", F.lit(0))
+                        - F.coalesce("exact_hits", F.lit(0))
+                    ).cast("double")
+                    / F.col("bloom_hits").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_rate"),
+        )
+    )
+
+
 def epoch_order(
     df: DataFrame,
     id_col: str,

@@ -28,9 +28,23 @@ def get_spark(
     splitting, which is how this engine survives skewed keys at 100 TB.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Per-PROCESS warehouse: two local sessions sharing one CWD (a pytest
+    # run next to a bench run) would otherwise race on the same
+    # spark-warehouse table slots — one process's table swap deletes
+    # parquet files the other has already planned a scan over
+    # (FAILED_READ_FILE mid-query). A process-unique default keeps every
+    # session's managed tables private; callers that genuinely share a
+    # catalog across processes pass an explicit dir via SPARK_WAREHOUSE /
+    # extra_conf. Harmless for the driver contract: the driver builds its
+    # own session, and queries resolve the warehouse via
+    # spark.sql.warehouse.dir at run time, wherever it points.
+    warehouse = os.environ.get(
+        "SPARK_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -341,7 +341,9 @@ def bloom_prefilter(
     fp_grams, fp_rate)`` — ``fp_rate`` is the realized false-positive
     fraction among grams the bloom passed.
     """
-    n_words = (16 ** n_hex) // 64
+    if not 1 <= n_hex <= 6:
+        raise ValueError("n_hex must be in [1, 6] (16 bits .. 16M bits)")
+    n_words = max(1, (16 ** n_hex + 63) // 64)
 
     def positions(g: DataFrame) -> DataFrame:
         out = g
@@ -355,23 +357,24 @@ def bloom_prefilter(
             )
         return out
 
+    # bitset build needs no distinct: bit_or absorbs duplicate grams, so
+    # the build is ONE job — scan, hash, explode positions, partial-agg
+    # groupBy(word), collect (<= m/64 rows: bounded model state)
     ev = positions(
-        _distinct_grams(eval_set, text_col, id_col, n)
-        .select("gram_hash")
-        .distinct()
+        _distinct_grams(eval_set, text_col, id_col, n).select("gram_hash")
     )
-    # distributed bitset build: one partial-agg groupBy on the word
-    # index; <= m/64 rows collected (model state, size fixed by m)
     ev_bits = ev.select(
         F.explode(F.array(*[F.col(f"_p{j}") for j in range(k_probes)])).alias("_p")
     )
     words_rows = (
-        ev_bits.groupBy((F.col("_p") / 64).cast("int").alias("_w"))
-        .agg(
-            F.bit_or(
-                F.shiftleft(F.lit(1).cast("long"), (F.col("_p") % 64).cast("int"))
-            ).alias("_m")
+        ev_bits.select(
+            (F.col("_p") / 64).cast("int").alias("_w"),
+            (F.col("_p") % 64).cast("int").alias("_b"),
         )
+        # shiftleft via expr: the pyspark wrapper only takes literal bit
+        # counts, the SQL function takes a column
+        .groupBy("_w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _b)")).alias("_m"))
         .collect()
     )
     word_map = {int(r["_w"]): int(r["_m"]) for r in words_rows}
@@ -384,42 +387,53 @@ def bloom_prefilter(
     ).crossJoin(broadcast(bits_df))
     hit = F.lit(True)
     for j in range(k_probes):
-        p = F.col(f"_p{j}")
-        word = F.element_at("_bloom", (p / 64).cast("int") + 1)
-        bit = F.shiftright(word, (p % 64).cast("int")).bitwiseAND(F.lit(1).cast("long"))
-        hit = hit & (bit == 1)
+        # bit test via expr — the pyspark shiftright wrapper only takes
+        # literal bit counts, the SQL function takes a column
+        hit = hit & F.expr(
+            f"(shiftright(element_at(_bloom, CAST(_p{j} / 64 AS INT) + 1),"
+            f" CAST(_p{j} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+    # probed has two consumers (per-doc counts, survivor confirm join);
+    # they run as parallel branches of ONE job — re-scanning the
+    # candidate grams is the standard Spark trade here, and at 100 TB a
+    # pipeline would instead WRITE the skinny (id, hash, bit) gram table
+    # once and fan out from the files (corpus_quality's reasoning)
     probed = cand.select(F.col(id_col), "gram_hash", hit.alias("_bloom_hit"))
 
+    counts = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("_bloom_hit").cast("int")).alias("bloom_hits"),
+    )
     # exact confirm join ONLY over bloom survivors — the point of the
     # prefilter: the shuffle join sees the passed fraction, not the corpus
-    ev_exact = ev.select("gram_hash").withColumn("_hit", F.lit(1))
+    ev_exact = (
+        _distinct_grams(eval_set, text_col, id_col, n)
+        .select("gram_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     confirmed = (
         probed.filter(F.col("_bloom_hit"))
         .join(ev_exact, "gram_hash", "left")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("bloom_hits"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).alias("exact_hits"),
-        )
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("exact_hits"))
     )
-    totals = probed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        totals.join(confirmed, id_col, "left")
+        counts.join(confirmed, id_col, "left")
         .select(
             F.col(id_col),
             "n_grams",
-            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            "bloom_hits",
             F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
-            (F.coalesce("bloom_hits", F.lit(0)) - F.coalesce("exact_hits", F.lit(0))).alias(
+            (F.col("bloom_hits") - F.coalesce("exact_hits", F.lit(0))).alias(
                 "fp_grams"
             ),
             F.when(
-                F.coalesce("bloom_hits", F.lit(0)) > 0,
+                F.col("bloom_hits") > 0,
                 F.round(
-                    (
-                        F.coalesce("bloom_hits", F.lit(0))
-                        - F.coalesce("exact_hits", F.lit(0))
-                    ).cast("double")
+                    (F.col("bloom_hits") - F.coalesce("exact_hits", F.lit(0))).cast(
+                        "double"
+                    )
                     / F.col("bloom_hits").cast("double"),
                     6,
                 ),
@@ -474,4 +488,75 @@ def epoch_order(
         "shard",
         F.row_number().over(w).alias("position"),
         "shuffle_key",
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    public arXiv:2305.10429): give each domain a mixture weight
+    proportional to exp(excess loss) — domains the reference model finds
+    HARDER than average get upweighted (one exponentiated-gradient step
+    of the paper's update, with the engine's unigram corpus model
+    standing in for the proxy LM this container can't host).
+
+    Per-doc loss = negative mean unigram log-likelihood (the
+    ``unigram_logprob`` idiom, 6dp); domain loss = 6dp mean of doc
+    losses; excess = domain loss - corpus mean doc loss (a 1-row
+    broadcast aggregate — no plan-splitting count()); weights
+    exp-normalize across the bounded domain set.
+
+    Scale shape: the token join is the TF-IDF shuffle; everything after
+    the per-doc aggregation operates on |domains| rows. Returns
+    ``(domain, n_docs, domain_loss, excess, weight)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_loss = (
+        toks.join(freq, "term")
+        .crossJoin(broadcast(total))
+        .groupBy(F.col(id_col), "domain")
+        .agg(
+            (
+                F.round(-F.avg(F.log(F.col("tc").cast("double") / F.col("total"))), 6)
+                + F.lit(0.0)
+            ).alias("_loss")
+        )
+    )
+    corpus = doc_loss.agg(F.round(F.avg("_loss"), 6).alias("_ref"))
+    dom = (
+        doc_loss.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_loss"), 6).alias("domain_loss"),
+        )
+        .crossJoin(broadcast(corpus))
+        .select(
+            "domain",
+            "n_docs",
+            "domain_loss",
+            F.round(F.col("domain_loss") - F.col("_ref"), 6).alias("excess"),
+        )
+        .withColumn("_ew", F.round(F.exp("excess"), 9))
+    )
+    denom = dom.agg(F.sum("_ew").alias("_z"))
+    return (
+        dom.crossJoin(broadcast(denom))
+        .select(
+            "domain",
+            "n_docs",
+            "domain_loss",
+            "excess",
+            F.round(F.col("_ew") / F.col("_z"), 6).alias("weight"),
+        )
     )

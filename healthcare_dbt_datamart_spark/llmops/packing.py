@@ -118,3 +118,51 @@ def pack_summary(
             6,
         ).alias("last_window_fill"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_width: int = 32,
+    budget: int = 512,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency step
+    between curation and the trainer: group documents of similar token
+    length into the same batches so per-batch padding waste (every
+    sequence pads to its batch's max) stays small, then fill batches
+    greedily to a token ``budget`` in deterministic id order.
+
+    ``bucket = n_tokens / bucket_width`` (integer division — portable,
+    no float log2); within a bucket a running token sum assigns
+    ``batch_id = (cumsum - 1) / budget``. All integer arithmetic over
+    one window pass PARTITIONED BY BUCKET — buckets fill independently
+    and in parallel, never a global sort; at 100 TB this is a write
+    partitioned by (bucket, batch_id) that readers consume batch-wise.
+
+    Returns ``(id, n_tokens, bucket, batch_id, batch_pos, padded_to)``
+    where ``padded_to`` is the bucket's exclusive upper token bound (the
+    worst-case pad target inside the bucket).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("n_tokens") / bucket_width).cast("int"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    batched = toks.withColumn(
+        "batch_id", F.floor((cum - 1) / budget).cast("int")
+    )
+    wb = Window.partitionBy("bucket", "batch_id").orderBy(F.col(id_col).asc())
+    return batched.select(
+        F.col(id_col),
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        F.row_number().over(wb).alias("batch_pos"),
+        ((F.col("bucket") + 1) * bucket_width).alias("padded_to"),
+    )

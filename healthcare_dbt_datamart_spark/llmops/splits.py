@@ -96,3 +96,37 @@ def split_contamination(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic exact-k-per-stratum sample — the derandomized
+    reservoir: within every stratum, rank rows by the md5 of
+    ``seed:id`` (a uniform permutation, reproducible anywhere) and keep
+    the first ``k``. Guarantees exact per-stratum counts where
+    ``mixture_sample``'s hash-threshold guarantees a RATE — the two
+    cover the "sample n docs per source for eval/audit" and "downweight
+    a domain" halves of corpus assembly.
+
+    One window pass partitioned by the stratum (never a global sort),
+    same scale shape as ``epoch_order``. Changing the seed redraws the
+    sample; the id tiebreak makes ranks unique even on the (2^-64-ish)
+    chance of colliding hashes.
+
+    Returns ``(strata, id, sample_rank)`` for the kept rows only.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("strata").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(strata_col).alias("strata"), F.col(id_col), key.alias("_k"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("strata", id_col, "sample_rank")
+    )

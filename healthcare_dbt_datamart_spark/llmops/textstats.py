@@ -294,3 +294,58 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .alias("alnum_ratio"),
         (F.length(c) != F.length(cleaned)).cast("int").alias("had_extra_ws"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Model-based quality filtering as corpus-scale INFERENCE — the
+    fastText-classifier pass of web-corpus pipelines (CCNet / GPT-3 /
+    RedPajama all gate on a linear text classifier): a logistic model
+    over the ``quality_stats`` feature vector, scored as a pure
+    projection. The coefficients here are fixed interpretable stand-ins;
+    a real deployment loads trained ones from a model artifact and
+    broadcasts them into the plan exactly the same way (driver-held
+    model state, the ``ivf_assign`` pattern) — inference cost and plan
+    shape are identical.
+
+    Determinism: the linear part accumulates in EXACT DECIMAL over the
+    already-6dp-rounded features (the ``quality_stats`` composite's
+    boundary discipline), the logistic squash is one double exp() on
+    that exact value, rounded to 6dp; the keep label reads the SIGN of
+    the exact logit (score >= 0.5 <=> z >= 0), which no rounding
+    pipeline can flip.
+
+    Zero shuffle — scales as the scan, which is the entire point of
+    running the classifier before any join-heavy curation stage.
+    """
+    feats = quality_stats(df, text_col, id_col)
+    uq = F.col("uniq_ratio").cast("decimal(9,6)")
+    sw = F.least(
+        (F.col("stopword_ratio").cast("decimal(9,6)") * F.lit(3)).cast("decimal(12,6)"),
+        F.lit(1).cast("decimal(12,6)"),
+    )
+    n = F.col("n_tokens")
+    len_ok = (
+        F.when((n >= 10) & (n <= 10000), F.lit(1)).otherwise(F.lit(0))
+    ).cast("decimal(2,1)")
+    # z = -2 + 2*uniq + 1.5*min(3*stopword, 1) + 1*len_ok, exact decimal
+    z = (
+        F.lit(-2).cast("decimal(12,7)")
+        + (uq * F.lit(2).cast("decimal(2,1)")).cast("decimal(12,7)")
+        + (sw * F.lit(1.5).cast("decimal(2,1)")).cast("decimal(12,7)")
+        + (len_ok * F.lit(1).cast("decimal(2,1)")).cast("decimal(12,7)")
+    )
+    return feats.select(
+        F.col(id_col),
+        "n_tokens",
+        "uniq_ratio",
+        "stopword_ratio",
+        z.cast("double").alias("logit"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-z.cast("double"))), 6
+        ).alias("score"),
+        (z >= 0).cast("int").alias("keep"),
+    )

@@ -2491,8 +2491,90 @@ def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_corpus_release(spark, docs).build("release_manifest")
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (llmops/filtering.py::
+    perplexity_buckets — arXiv:1911.00359): per-language unigram-LM
+    scores rank every document within its language; head/middle/tail
+    thirds via pure integer boundaries. The corpus-quality triage CCNet
+    runs before keeping head+middle."""
+    from ..llmops.filtering import perplexity_buckets
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", "lang")
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter (llmops/filtering.py::
+    bloom_prefilter): 1M-bit bloom over the content-hash TEST split's
+    distinct 3-gram hashes, broadcast as a 16K-long bitset; TRAIN-split
+    grams test against it map-side and only survivors reach the exact
+    confirm join — the runtime-filter pattern that keeps the
+    decontamination shuffle proportional to the hit rate, not the
+    corpus. Reports per-doc bloom vs exact hits and the realized
+    false-positive rate."""
+    from ..llmops.filtering import bloom_prefilter
+    from ..llmops.splits import split_col
+
+    docs = load_spread(spark, sf_dir, "documents")
+    tagged = docs.withColumn("_split", split_col("text"))
+    train = tagged.filter(F.col("_split") == "train")
+    ev = tagged.filter(F.col("_split") == "test")
+    return bloom_prefilter(train, ev, "text", "doc_id", n=3, n_hex=5, k_probes=2)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k stratified sample (llmops/splits.py::
+    stratified_sample): 5 docs per source by md5(seed:id) rank — the
+    derandomized reservoir for per-domain eval/audit draws; exact counts
+    where mixture_sample guarantees a rate."""
+    from ..llmops.splits import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", k=5, seed="r3s")
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (llmops/packing.py::
+    length_buckets): 32-token-wide length buckets, batches greedily
+    filled to a 512-token budget in id order — the padding-efficiency
+    step between curation and the trainer, all integer arithmetic over
+    one window pass partitioned by bucket."""
+    from ..llmops.packing import length_buckets
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return length_buckets(docs, "text", "doc_id", bucket_width=32, budget=512)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier inference (llmops/
+    textstats.py::quality_classifier): logistic model over the
+    quality_stats features as a pure projection — exact-decimal logit,
+    6dp sigmoid, keep-label from the logit's sign. The model-based
+    filtering gate of CCNet/GPT-3/RedPajama pipelines."""
+    from ..llmops.textstats import quality_classifier
+
+    return quality_classifier(load_spread(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain mixture reweighting (llmops/filtering.py::
+    domain_mixture_weights — arXiv:2305.10429): per-domain excess
+    unigram loss vs the corpus mean, exp-normalized into mixture
+    weights over the bounded domain set."""
+    from ..llmops.filtering import domain_mixture_weights
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return domain_mixture_weights(docs, "text", "doc_id", "source")
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
+    "ccnet_buckets": q_ccnet_buckets,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stratified_sample": q_stratified_sample,
+    "length_batches": q_length_batches,
+    "quality_classifier": q_quality_classifier,
+    "doremi_weights": q_doremi_weights,
     "clone_snapshot": q_clone_snapshot,
     "semantic_dedup": q_semantic_dedup,
     "corpus_release": q_corpus_release,
@@ -2517,12 +2599,9 @@ QUERIES = {
     #  gap_status, U4's fixed fn path via except_fn; listagg_nations'
     #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
     #  scalar surface via scalar_surface + date_functions — leads round 4.)
-    "datediff_age_orders": q_datediff_age_orders,
     "minhash_buckets": q_minhash_buckets,
     "near_dup_jaccard": q_near_dup_jaccard,
-    "text_quality": q_text_quality,
     "langid_stopwords": q_langid_stopwords,
-    "cosine_topk": q_cosine_topk,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "freshness_events": q_freshness_events,
@@ -2530,10 +2609,7 @@ QUERIES = {
     "microbatch_events": q_microbatch_events,
     "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
-    "lang_agreement": q_lang_agreement,
     "hash_split": q_hash_split,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
     # -- (2) new in round 3 (runtime-layer strategies + fixed fn paths) ----
     "delete_insert_orders": q_delete_insert_orders,
     "insert_overwrite_events": q_insert_overwrite_events,
@@ -2554,6 +2630,23 @@ QUERIES = {
     "pq_topk": q_pq_topk,  # new operator (round 3)
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3b) rotated out of the window this round; lead round 4 -----------
+    # (datediff_age_orders / lang_agreement / split_contamination /
+    #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
+    #  six never-checked operators added late in round 3 (ccnet_buckets,
+    #  bloom_prefilter, stratified_sample, length_batches,
+    #  quality_classifier, doremi_weights). Each keeps an in-window
+    #  sibling on its code path: datediff's scalar surface via
+    #  scalar_surface, langid via langid_stopwords, the split family via
+    #  hash_split + bloom_prefilter + stratified_sample, keep-best via
+    #  corpus_release's dedup stage, quality_stats via
+    #  quality_classifier + curation_funnel, brute-force cosine via the
+    #  similarity family's seven in-window siblings.)
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
+    "cosine_topk": q_cosine_topk,
     # (dedup_exact_docs: bumped out by clone_snapshot (never-checked beats
     #  re-verification); dedup.py's staged-projection path keeps
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
@@ -4474,3 +4567,204 @@ FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 ORACLE["curation_dag"] = ORACLE["curation_funnel"]
+
+# ccnet_buckets: per-language unigram LM score (round(-avg(ln),6), the
+# unigram_logprob idiom), rank ties broken by doc_id, integer third
+# boundaries (3*rank vs n) — no float percentile anywhere.
+ORACLE["ccnet_buckets"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+freq AS (SELECT lang, term, COUNT(*) AS tc FROM toks GROUP BY 1, 2),
+lt AS (SELECT lang, SUM(tc)::DOUBLE AS lt FROM freq GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+         round(-AVG(ln(f.tc / lt.lt)), 6) + 0.0 AS ppl_score
+  FROM toks t
+  JOIN freq f ON f.lang = t.lang AND f.term = t.term
+  JOIN lt ON lt.lang = t.lang
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY ppl_score, doc_id) AS INTEGER) AS ppl_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS _n
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, ppl_score, ppl_rank,
+       CASE WHEN ppl_rank * 3 <= _n THEN 'head'
+            WHEN ppl_rank * 3 <= _n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+# bloom_prefilter: probe positions are the first 5 hex digits of
+# md5(gram_hash || ':' || j) (strpos arithmetic — the epoch_order idiom);
+# the bitset is positionwise, so membership == "position in the union of
+# all eval probe positions", which this SQL tests directly with IN.
+_BLOOM_POS = (
+    "((((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1)"
+)
+ORACLE["bloom_prefilter"] = f"""
+WITH grams AS ({_NC_GRAMS}),
+ev AS (
+  SELECT DISTINCT md5(unnest(g)) AS gram_hash FROM grams
+  WHERE d IN ('e', 'f')
+),
+evpos AS (
+  SELECT DISTINCT {_BLOOM_POS.format(h="md5(gram_hash || ':' || j)")} AS pos
+  FROM ev, (SELECT unnest(['0', '1']) AS j)
+),
+cand AS (
+  SELECT DISTINCT doc_id, md5(unnest(g)) AS gram_hash FROM grams
+  WHERE d NOT IN ('c', 'd', 'e', 'f')
+),
+cpos AS (
+  SELECT doc_id, gram_hash,
+         {_BLOOM_POS.format(h="md5(gram_hash || ':0')")} AS p0,
+         {_BLOOM_POS.format(h="md5(gram_hash || ':1')")} AS p1
+  FROM cand
+),
+passed AS (
+  SELECT doc_id, gram_hash FROM cpos
+  WHERE p0 IN (SELECT pos FROM evpos) AND p1 IN (SELECT pos FROM evpos)
+),
+confirmed AS (
+  SELECT p.doc_id, COUNT(*) AS bloom_hits,
+         COUNT(ev.gram_hash) AS exact_hits
+  FROM passed p LEFT JOIN ev ON ev.gram_hash = p.gram_hash
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY 1)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(c.bloom_hits, 0) AS bloom_hits,
+       COALESCE(c.exact_hits, 0) AS exact_hits,
+       COALESCE(c.bloom_hits, 0) - COALESCE(c.exact_hits, 0) AS fp_grams,
+       CASE WHEN COALESCE(c.bloom_hits, 0) > 0
+            THEN round((c.bloom_hits - c.exact_hits)::DOUBLE / c.bloom_hits, 6)
+            ELSE 0.0 END AS fp_rate
+FROM totals t LEFT JOIN confirmed c ON c.doc_id = t.doc_id
+"""
+
+ORACLE["stratified_sample"] = """
+WITH keyed AS (
+  SELECT source AS strata, doc_id,
+         md5('r3s:' || CAST(doc_id AS VARCHAR)) AS _k
+  FROM documents
+),
+ranked AS (
+  SELECT strata, doc_id,
+         CAST(row_number() OVER (PARTITION BY strata
+                ORDER BY _k, doc_id) AS INTEGER) AS sample_rank
+  FROM keyed
+)
+SELECT strata, doc_id, sample_rank FROM ranked WHERE sample_rank <= 5
+"""
+
+ORACLE["length_batches"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_tokens / 32.0) AS INTEGER) AS bucket
+  FROM toks
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+),
+d AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(floor((cum - 1) / 512.0) AS INTEGER) AS batch_id
+  FROM c
+)
+SELECT doc_id, n_tokens, bucket, batch_id,
+       CAST(row_number() OVER (PARTITION BY bucket, batch_id
+              ORDER BY doc_id) AS INTEGER) AS batch_pos,
+       (bucket + 1) * 32 AS padded_to
+FROM d
+"""
+
+# quality_classifier: exact-decimal logit over the 6dp quality_stats
+# features (the composite-score boundary discipline), double sigmoid
+# rounded 6dp, keep label from the exact logit's sign.
+ORACLE["quality_classifier"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS n_tokens,
+         round(len(list_distinct(w))::DOUBLE / len(w), 6) AS uniq_ratio,
+         round(len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is')))::DOUBLE
+               / len(w), 6) AS stopword_ratio
+  FROM base
+),
+logit AS (
+  SELECT doc_id, n_tokens, uniq_ratio, stopword_ratio,
+         CAST(CAST(-2 AS DECIMAL(12,7))
+           + CAST(CAST(uniq_ratio AS DECIMAL(9,6)) * CAST(2 AS DECIMAL(2,1))
+                  AS DECIMAL(12,7))
+           + CAST(least(CAST(CAST(stopword_ratio AS DECIMAL(9,6)) * 3
+                             AS DECIMAL(12,6)),
+                        CAST(1 AS DECIMAL(12,6))) * CAST(1.5 AS DECIMAL(2,1))
+                  AS DECIMAL(12,7))
+           + CAST(CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+                       AS DECIMAL(2,1)) * CAST(1 AS DECIMAL(2,1))
+                  AS DECIMAL(12,7))
+         AS DECIMAL(12,7)) AS z
+  FROM stats
+)
+SELECT doc_id, n_tokens, uniq_ratio, stopword_ratio,
+       CAST(z AS DOUBLE) AS logit,
+       round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6) AS score,
+       CAST(z >= 0 AS INTEGER) AS keep
+FROM logit
+"""
+
+# doremi_weights: per-doc negative mean unigram log-likelihood (6dp, the
+# unigram_logprob idiom), 6dp domain means, excess vs the corpus doc
+# mean, exp-normalized (exp rounded 9dp before the ratio).
+ORACLE["doremi_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, source AS domain,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+total AS (SELECT COUNT(*)::DOUBLE AS n FROM toks),
+freq AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+doc_loss AS (
+  SELECT doc_id, domain,
+         round(-AVG(ln(freq.tc / total.n)), 6) + 0.0 AS _loss
+  FROM toks JOIN freq USING (term), total
+  GROUP BY 1, 2
+),
+corpus AS (SELECT round(AVG(_loss), 6) AS _ref FROM doc_loss),
+dom AS (
+  SELECT domain, COUNT(*) AS n_docs, round(AVG(_loss), 6) AS domain_loss
+  FROM doc_loss GROUP BY domain
+),
+ex AS (
+  SELECT domain, n_docs, domain_loss,
+         round(domain_loss - corpus._ref, 6) AS excess
+  FROM dom, corpus
+),
+ew AS (SELECT *, round(exp(excess), 9) AS _ew FROM ex),
+z AS (SELECT SUM(_ew) AS _z FROM ew)
+SELECT domain, n_docs, domain_loss, excess,
+       round(_ew / z._z, 6) AS weight
+FROM ew, z
+"""

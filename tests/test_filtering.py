@@ -389,3 +389,173 @@ def test_ngram_contamination_bounds_property(spark, train_texts, ev_texts):
     if 999 in out:  # copy had >= 2 tokens -> every gram is contaminated
         assert out[999]["n_contaminated"] == out[999]["n_grams"]
         assert out[999]["contamination_ratio"] == 1.0
+
+
+def test_perplexity_buckets_thirds_and_tail(spark):
+    from healthcare_dbt_datamart_spark.llmops.filtering import perplexity_buckets
+
+    common = "the cat sat on the mat"
+    rows = [(i, common, "en") for i in range(1, 6)]
+    # doc 6 is all rare tokens -> most surprising to the en unigram model
+    rows.append((6, "zyx qwv plk jhg", "en"))
+    # a second language ranks independently
+    rows += [(7, "el gato", "es"), (8, "el perro", "es"), (9, "xx yy", "es")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    }
+    assert len(out) == 9
+    # the OOV doc is the en tail
+    assert out[6]["bucket"] == "tail"
+    assert out[6]["ppl_rank"] == 6
+    # thirds: 6 en docs -> 2 head, 2 middle, 2 tail
+    en_buckets = [out[i]["bucket"] for i in range(1, 7)]
+    assert en_buckets.count("head") == 2
+    assert en_buckets.count("middle") == 2
+    assert en_buckets.count("tail") == 2
+    # es ranks are within-language: ranks 1..3
+    assert sorted(out[i]["ppl_rank"] for i in (7, 8, 9)) == [1, 2, 3]
+    # identical docs tie on score; id breaks the tie deterministically
+    assert out[1]["ppl_rank"] < out[2]["ppl_rank"]
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        bloom_prefilter,
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma unseen tokens here"),  # shares grams
+            (2, "totally different content no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in bloom_prefilter(cand, ev, "text", "doc_id", n=3).collect()
+    }
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(ev, cand, "text", "doc_id", n=3).collect()
+    }
+    # bloom has no false negatives: exact hits through the prefilter match
+    # the direct decontamination join for every doc
+    for d in (1, 2):
+        assert out[d]["exact_hits"] == exact[d]["n_contaminated"]
+        assert out[d]["bloom_hits"] >= out[d]["exact_hits"]
+        assert out[d]["fp_grams"] == out[d]["bloom_hits"] - out[d]["exact_hits"]
+    assert out[1]["exact_hits"] == 1  # only "alpha beta gamma" overlaps
+    assert out[2]["exact_hits"] == 0
+
+
+def test_bloom_prefilter_saturated_filter_passes_everything(spark):
+    # 16 bits (n_hex=1) with enough eval grams saturates the bitset: every
+    # candidate gram bloom-passes, and exact_hits still stays correct —
+    # the no-false-negative property is independent of m
+    from healthcare_dbt_datamart_spark.llmops.filtering import bloom_prefilter
+
+    ev = spark.createDataFrame(
+        [(100, " ".join(f"tok{i}" for i in range(40)))], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(1, "tok0 tok1 tok2 foo bar baz qux")], ["doc_id", "text"]
+    )
+    row = bloom_prefilter(cand, ev, "text", "doc_id", n=3, n_hex=1).collect()[0]
+    assert row["bloom_hits"] == row["n_grams"] == 5
+    assert row["exact_hits"] == 1  # only "tok0 tok1 tok2" truly overlaps
+
+
+def test_stratified_sample_exact_k_and_seed(spark):
+    from healthcare_dbt_datamart_spark.llmops.splits import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    s1 = stratified_sample(df, "src", "doc_id", k=5, seed="s1").collect()
+    from collections import Counter
+
+    per = Counter(r["strata"] for r in s1)
+    assert per == {"a": 5, "b": 5}
+    assert sorted({r["sample_rank"] for r in s1}) == [1, 2, 3, 4, 5]
+    # deterministic: rerun identical
+    s1b = stratified_sample(df, "src", "doc_id", k=5, seed="s1").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s1b))
+    # different seed redraws
+    s2 = stratified_sample(df, "src", "doc_id", k=5, seed="s2").collect()
+    assert {r["doc_id"] for r in s1} != {r["doc_id"] for r in s2}
+    # k larger than the stratum returns the whole stratum
+    s3 = stratified_sample(df, "src", "doc_id", k=100, seed="s1").collect()
+    assert len(s3) == 40
+
+
+def test_length_buckets_budget_and_padding(spark):
+    from healthcare_dbt_datamart_spark.llmops.packing import length_buckets
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [5, 7, 6, 40, 45, 44, 100], start=1
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = length_buckets(df, "text", "doc_id", bucket_width=32, budget=64)
+    rows_out = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # short docs share bucket 0, the 40s bucket 1, the 100 bucket 3
+    assert rows_out[1]["bucket"] == rows_out[2]["bucket"] == rows_out[3]["bucket"] == 0
+    assert rows_out[4]["bucket"] == rows_out[5]["bucket"] == rows_out[6]["bucket"] == 1
+    assert rows_out[7]["bucket"] == 3
+    # padding bound: every doc pads to its bucket's upper edge
+    for r in rows_out.values():
+        assert r["n_tokens"] <= r["padded_to"]
+        assert r["padded_to"] - r["n_tokens"] < 32
+    # batch budget: per (bucket, batch) token sums stay <= budget when no
+    # single doc exceeds it (bucket 1: 40 alone, then 45+44 > 64 -> 45
+    # opens batch 1... greedy running sum: 40 | 40+45=85 -> batch 1 |
+    # 85+44=129 -> batch 2)
+    b1 = [r for r in rows_out.values() if r["bucket"] == 1]
+    assert {r["batch_id"] for r in b1} == {0, 1, 2}
+    # positions are 1-based within (bucket, batch)
+    assert all(r["batch_pos"] == 1 for r in b1)
+
+
+def test_quality_classifier_sign_and_monotonicity(spark):
+    from healthcare_dbt_datamart_spark.llmops.textstats import quality_classifier
+
+    df = spark.createDataFrame(
+        [
+            # diverse, stopword-bearing, in-range length -> keep
+            (1, "the quick brown fox jumps over a lazy dog and then rests in shade"),
+            # degenerate repetition, no stopwords, too short -> drop
+            (2, "spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           quality_classifier(df, "text", "doc_id").collect()}
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+    assert out[1]["score"] > 0.5 > out[2]["score"]
+    # label is the logit's sign, score the squashed logit
+    for r in out.values():
+        assert (r["logit"] >= 0) == bool(r["keep"])
+        assert 0.0 < r["score"] < 1.0
+
+
+def test_domain_mixture_weights_upweights_hard_domain(spark):
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        domain_mixture_weights,
+    )
+
+    common = "the cat sat on the mat again and again"
+    rows = [(i, common, "easy") for i in range(1, 5)]
+    # the rare-token domain is "harder" for the corpus unigram model
+    rows += [(10, "zyxw qvut plkm", "hard"), (11, "jhgf dsaq mnbv", "hard")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {r["domain"]: r.asDict() for r in
+           domain_mixture_weights(df, "text", "doc_id", "src").collect()}
+    assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
+    assert out["hard"]["weight"] > out["easy"]["weight"]
+    # weights normalize over domains
+    assert abs(out["hard"]["weight"] + out["easy"]["weight"] - 1.0) < 1e-5
+    assert out["easy"]["n_docs"] == 4 and out["hard"]["n_docs"] == 2

@@ -2567,6 +2567,115 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture_weights(docs, "text", "doc_id", "source")
 
 
+def q_waiting_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders in one quarter having ANY late-shipped
+    line (correlated EXISTS with a non-equi predicate — ship date past
+    orderdate + 30 days), counted per priority. The EXISTS decorrelates
+    to a LEFT SEMI join on the order key with the inequality as a join
+    post-condition — no subquery re-scan per row, one shuffle; at scale
+    the quarter filter pushes to the orders scan and shrinks the probe
+    side before the join. (Synthetic lineitem has no commit/receipt
+    dates, so 'late' is shipdate vs orderdate.)"""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = q.join(
+        li,
+        (q["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > q["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the top supplier(s) by one quarter's revenue —
+    per-supplier exact-decimal revenue aggregate, scalar-subquery MAX
+    folded in as a 1-row broadcast cross join (no second scan, no
+    plan-splitting collect), equality kept on the DECIMAL so ties
+    surface exactly as Q15's spec demands."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("_rev")
+        )
+    )
+    best = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(broadcast(best))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(supplier, rev["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the ONLY late shipper on a
+    multi-supplier order — the classic semi-join + anti-join pair of
+    correlated self-joins, decorrelated onto ONE deduplicated
+    (order, supplier, was_late) relation: collapse lineitem to per-pair
+    flags first (one partial-agg groupBy — the fan-out killer), then
+    EXISTS(other supplier) as a left-semi and NOT EXISTS(other LATE
+    supplier) as a left-anti on the order key. Top 10 by blamed-order
+    count, name-tiebroken."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    supplier = load(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("was_late")
+        )
+    )
+    blamed = pairs.filter(F.col("was_late") == 1)
+    others = pairs.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_suppkey").alias("_sk"),
+        "was_late",
+    )
+    multi = blamed.join(
+        others,
+        (blamed["l_orderkey"] == others["_ok"]) & (blamed["l_suppkey"] != others["_sk"]),
+        "left_semi",
+    )
+    sole = multi.join(
+        others.filter(F.col("was_late") == 1),
+        (multi["l_orderkey"] == others["_ok"]) & (multi["l_suppkey"] != others["_sk"]),
+        "left_anti",
+    )
+    return (
+        sole.join(supplier, sole["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "ccnet_buckets": q_ccnet_buckets,
@@ -2575,6 +2684,9 @@ QUERIES = {
     "length_batches": q_length_batches,
     "quality_classifier": q_quality_classifier,
     "doremi_weights": q_doremi_weights,
+    "waiting_orders_priority": q_waiting_orders_priority,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "sole_late_supplier": q_sole_late_supplier,
     "clone_snapshot": q_clone_snapshot,
     "semantic_dedup": q_semantic_dedup,
     "corpus_release": q_corpus_release,
@@ -2600,14 +2712,11 @@ QUERIES = {
     #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
     #  scalar surface via scalar_surface + date_functions — leads round 4.)
     "minhash_buckets": q_minhash_buckets,
-    "near_dup_jaccard": q_near_dup_jaccard,
     "langid_stopwords": q_langid_stopwords,
     "events_sessionize": q_events_sessionize,
     "scalar_surface": q_scalar_surface,
     "freshness_events": q_freshness_events,
     "merge_upsert": q_merge_upsert,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
     "rollup_revenue": q_rollup_revenue,
     "hash_split": q_hash_split,
     # -- (2) new in round 3 (runtime-layer strategies + fixed fn paths) ----
@@ -2647,6 +2756,14 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "text_quality": q_text_quality,
     "cosine_topk": q_cosine_topk,
+    # (near_dup_jaccard / microbatch_events / bpe_token_count: bumped out
+    #  by the three Q4/Q15/Q21 relational shapes; the jaccard-verify path
+    #  keeps near_dup_clusters in window, the incremental family keeps
+    #  delete_insert/insert_overwrite/schema_drift/dynamic_table_batch/
+    #  merge_upsert, textstats keeps langid_stopwords + bpe_merges.)
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
     # (dedup_exact_docs: bumped out by clone_snapshot (never-checked beats
     #  re-verification); dedup.py's staged-projection path keeps
     #  in-window siblings — minhash_buckets, near_dup_jaccard,
@@ -4767,4 +4884,60 @@ z AS (SELECT SUM(_ew) AS _z FROM ew)
 SELECT domain, n_docs, domain_loss, excess,
        round(_ew / z._z, 6) AS weight
 FROM ew, z
+"""
+
+ORACLE["waiting_orders_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+ORACLE["top_supplier_revenue"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r._rev AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r._rev = (SELECT MAX(_rev) FROM rev)
+"""
+
+ORACLE["sole_late_supplier"] = """
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+sole AS (
+  SELECT b.l_orderkey, b.l_suppkey
+  FROM pairs b
+  WHERE b.was_late = 1
+    AND EXISTS (SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = b.l_orderkey
+                  AND p.l_suppkey != b.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.l_orderkey = b.l_orderkey
+                      AND p.l_suppkey != b.l_suppkey
+                      AND p.was_late = 1)
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 10
 """

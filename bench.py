@@ -43,6 +43,9 @@ def main() -> None:
     warm = [
         first, "text_quality", "multimodal_features", "cosine_topk",
         "ngram_contamination",
+        # the bloom bitset build + bit-test probe compile codegen no other
+        # query shape covers (instr-hex arithmetic, element_at bit tests)
+        "bloom_prefilter",
     ]
     for wname in dict.fromkeys(warm):
         if wname in qs:

@@ -559,3 +559,90 @@ def test_domain_mixture_weights_upweights_hard_domain(spark):
     # weights normalize over domains
     assert abs(out["hard"]["weight"] + out["easy"]["weight"] - 1.0) < 1e-5
     assert out["easy"]["n_docs"] == 4 and out["hard"]["n_docs"] == 2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_texts, min_size=1, max_size=8, unique=True),
+    st.lists(_texts, min_size=1, max_size=8, unique=True),
+)
+def test_bloom_prefilter_no_false_negative_property(spark, ev_texts, cand_texts):
+    """For ANY corpus pair and any bitset size, bloom passes >= exact
+    hits per doc (no false negatives), exact_hits equals the direct
+    decontamination join's count, and fp accounting is consistent."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        bloom_prefilter,
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ev_texts)], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(cand_texts)], ["doc_id", "text"]
+    )
+    # tiny bitset (n_hex=2 -> 256 bits): high FP pressure stresses the
+    # no-false-negative side
+    out = {r["doc_id"]: r for r in
+           bloom_prefilter(cand, ev, "text", "doc_id", n=2, n_hex=2).collect()}
+    exact = {r["doc_id"]: r for r in
+             ngram_contamination(ev, cand, "text", "doc_id", n=2).collect()}
+    assert set(out) == set(exact)
+    for d, r in out.items():
+        assert r["exact_hits"] == exact[d]["n_contaminated"]
+        assert r["exact_hits"] <= r["bloom_hits"] <= r["n_grams"]
+        assert r["fp_grams"] == r["bloom_hits"] - r["exact_hits"]
+        assert 0.0 <= r["fp_rate"] <= 1.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=7),
+)
+def test_stratified_sample_counts_property(spark, ids, k):
+    """Per stratum: exactly min(k, stratum size) rows, ranks dense 1..m,
+    and the kept set is a function of (seed, id) only."""
+    from collections import Counter
+
+    from healthcare_dbt_datamart_spark.llmops.splits import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in ids]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = stratified_sample(df, "src", "doc_id", k=k, seed="p").collect()
+    sizes = Counter(s for _, s in rows)
+    per = Counter(r["strata"] for r in out)
+    for s, n in sizes.items():
+        assert per[s] == min(k, n)
+    by_strata: dict[str, list[int]] = {}
+    for r in out:
+        by_strata.setdefault(r["strata"], []).append(r["sample_rank"])
+    for ranks in by_strata.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=200),
+                min_size=1, max_size=40))
+def test_length_buckets_invariants_property(spark, token_counts):
+    """Bucket bound contains the doc; batches never exceed the budget
+    unless a single doc alone does; batch ids are dense per bucket."""
+    from healthcare_dbt_datamart_spark.llmops.packing import length_buckets
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = length_buckets(df, "text", "doc_id", bucket_width=16, budget=48).collect()
+    assert len(out) == len(rows)
+    sums: dict[tuple, int] = {}
+    for r in out:
+        assert r["bucket"] * 16 <= r["n_tokens"] < r["padded_to"] == (r["bucket"] + 1) * 16
+        sums[(r["bucket"], r["batch_id"])] = sums.get((r["bucket"], r["batch_id"]), 0) + r["n_tokens"]
+    for (bucket, batch), tot in sums.items():
+        members = [r for r in out if r["bucket"] == bucket and r["batch_id"] == batch]
+        if all(m["n_tokens"] <= 48 for m in members):
+            # a greedy batch may hold > budget only when a straddling doc
+            # closed it; the batch before any single-doc overflow obeys:
+            # every batch's token sum minus its LAST member stays < budget
+            last = max(members, key=lambda m: m["batch_pos"])
+            assert tot - last["n_tokens"] < 48

@@ -17,10 +17,20 @@ from .dedup import (  # noqa: F401
     simhash16,
 )
 from .filtering import (  # noqa: F401
+    bloom_prefilter,
+    domain_mixture_weights,
     epoch_order,
     importance_weights,
     ngram_contamination,
+    perplexity_buckets,
     redact_report,
 )
+from .packing import length_buckets  # noqa: F401
 from .similarity import cosine_topk, embedding_outliers, sign_lsh_bits  # noqa: F401
-from .textstats import langid_scores, quality_stats, rolling_fingerprint  # noqa: F401
+from .splits import stratified_sample  # noqa: F401
+from .textstats import (  # noqa: F401
+    langid_scores,
+    quality_classifier,
+    quality_stats,
+    rolling_fingerprint,
+)

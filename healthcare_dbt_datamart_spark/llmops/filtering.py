@@ -328,9 +328,12 @@ def bloom_prefilter(
     report what the prefilter let through (the cost knob m/k trades
     against).
 
-    Probe positions are engine-independent: position_j = the first
-    ``n_hex`` hex digits of md5(gram_hash || ':' || j) (instr
-    arithmetic, no conv()). The bitset itself is assembled DISTRIBUTED —
+    Probe positions are engine-independent AND free: position_j = hex
+    digits [j·n_hex, (j+1)·n_hex) of the gram's EXISTING md5 key, read
+    with instr arithmetic (no conv(), no second hash — disjoint slices
+    of a uniform digest act as independent hashes, the exact argument
+    ``minhash_expr`` already rests on; requires k_probes·n_hex <= 32).
+    The bitset itself is assembled DISTRIBUTED —
     groupBy(word) + bit_or of shifted bits, so at most m/64 rows (16 K
     longs) ever reach the driver: bounded MODEL state like the k-means
     centroids, not data. It rides back in as a broadcast 1-row array
@@ -343,6 +346,8 @@ def bloom_prefilter(
     """
     if not 1 <= n_hex <= 6:
         raise ValueError("n_hex must be in [1, 6] (16 bits .. 16M bits)")
+    if k_probes * n_hex > 32:
+        raise ValueError("k_probes * n_hex must fit the 32 hex digits of md5")
     n_words = max(1, (16 ** n_hex + 63) // 64)
 
     def positions(g: DataFrame) -> DataFrame:
@@ -351,8 +356,7 @@ def bloom_prefilter(
             out = out.withColumn(
                 f"_p{j}",
                 _hex_prefix_int(
-                    F.md5(F.concat_ws(":", F.col("gram_hash"), F.lit(str(j)))),
-                    n_hex,
+                    F.substring(F.col("gram_hash"), 1 + j * n_hex, n_hex), n_hex
                 ),
             )
         return out

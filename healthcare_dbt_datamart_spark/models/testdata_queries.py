@@ -4718,16 +4718,17 @@ SELECT doc_id, lang, n_tokens, ppl_score, ppl_rank,
 FROM ranked
 """
 
-# bloom_prefilter: probe positions are the first 5 hex digits of
-# md5(gram_hash || ':' || j) (strpos arithmetic — the epoch_order idiom);
-# the bitset is positionwise, so membership == "position in the union of
-# all eval probe positions", which this SQL tests directly with IN.
+# bloom_prefilter: probe position_j = hex digits [5j, 5j+5) of the
+# gram's own md5 key (strpos arithmetic — the epoch_order idiom; no
+# second hash, disjoint digest slices are independent); the bitset is
+# positionwise, so membership == "position in the union of all eval
+# probe positions", which this SQL tests directly with IN.
 _BLOOM_POS = (
-    "((((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)) * 16"
-    " + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1)) * 16"
-    " + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)) * 16"
-    " + (strpos('0123456789abcdef', substr({h}, 5, 1)) - 1)"
+    "((((strpos('0123456789abcdef', substr(gram_hash, {o}+1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(gram_hash, {o}+2, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(gram_hash, {o}+3, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(gram_hash, {o}+4, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(gram_hash, {o}+5, 1)) - 1)"
 )
 ORACLE["bloom_prefilter"] = f"""
 WITH grams AS ({_NC_GRAMS}),
@@ -4736,8 +4737,9 @@ ev AS (
   WHERE d IN ('e', 'f')
 ),
 evpos AS (
-  SELECT DISTINCT {_BLOOM_POS.format(h="md5(gram_hash || ':' || j)")} AS pos
-  FROM ev, (SELECT unnest(['0', '1']) AS j)
+  SELECT {_BLOOM_POS.format(o=0)} AS pos FROM ev
+  UNION
+  SELECT {_BLOOM_POS.format(o=5)} AS pos FROM ev
 ),
 cand AS (
   SELECT DISTINCT doc_id, md5(unnest(g)) AS gram_hash FROM grams
@@ -4745,8 +4747,8 @@ cand AS (
 ),
 cpos AS (
   SELECT doc_id, gram_hash,
-         {_BLOOM_POS.format(h="md5(gram_hash || ':0')")} AS p0,
-         {_BLOOM_POS.format(h="md5(gram_hash || ':1')")} AS p1
+         {_BLOOM_POS.format(o=0)} AS p0,
+         {_BLOOM_POS.format(o=5)} AS p1
   FROM cand
 ),
 passed AS (

@@ -361,9 +361,11 @@ def exact_substr_coverage(
     windows, whose union reconstructs the full span, so merged coverage
     equals the suffix-array answer for spans >= min_len.
 
-    Cost shape: ~n_chars windows of 32-byte hashes — the shuffle is
-    ~32x the corpus bytes, ONE groupBy + one join + one per-doc window
-    pass. At 100 TB run it per-shard or on a document sample; the
+    Cost shape: ~n_chars windows of 32-byte hashes, hashed ONCE — the
+    shuffle is ~32x the corpus bytes, one exchange on the hash (the
+    ">= 2 docs" test is a window min/max over the hash partition, not a
+    groupBy + join-back that would re-run the explode+md5 scan) + one
+    per-doc window pass. At 100 TB run it per-shard or on a sample; the
     criterion stays exact within the scanned scope. Integer counts and
     a 6dp ratio — exact DuckDB oracle.
 

@@ -409,7 +409,12 @@ def bloom_prefilter(
         F.sum(F.col("_bloom_hit").cast("int")).alias("bloom_hits"),
     )
     # exact confirm join ONLY over bloom survivors — the point of the
-    # prefilter: the shuffle join sees the passed fraction, not the corpus
+    # prefilter: the shuffle join sees the passed fraction, not the
+    # corpus. The eval grams ARE re-derived here (scan #2 of the eval
+    # side): measured locally, one extra scan of the SMALL side inside
+    # the final job beats a persist/checkpoint's extra job + memory
+    # pin. A deployment whose eval side is large writes the distinct
+    # gram table once and reads it for both the bitset and this join.
     ev_exact = (
         _distinct_grams(eval_set, text_col, id_col, n)
         .select("gram_hash")

@@ -130,14 +130,24 @@ def length_buckets(
     """Length-bucketed batch assembly — the padding-efficiency step
     between curation and the trainer: group documents of similar token
     length into the same batches so per-batch padding waste (every
-    sequence pads to its batch's max) stays small, then fill batches
-    greedily to a token ``budget`` in deterministic id order.
+    sequence pads to its batch's max) stays small, then partition each
+    bucket's concatenated token stream into ``budget``-sized batches in
+    deterministic id order.
 
     ``bucket = n_tokens / bucket_width`` (integer division — portable,
     no float log2); within a bucket a running token sum assigns
-    ``batch_id = (cumsum - 1) / budget``. All integer arithmetic over
-    one window pass PARTITIONED BY BUCKET — buckets fill independently
-    and in parallel, never a global sort; at 100 TB this is a write
+    ``batch_id = (cumsum - 1) / budget`` — each doc joins the batch
+    where its last token lands. This is OFFSET partitioning (the
+    ``pack_offsets`` window rule), not a strict cap: a doc straddling a
+    boundary carries its whole length into the batch it closes, so a
+    batch's token sum is < ``budget`` before its final doc and always
+    < ``budget + padded_to`` in total. A strict never-exceed cap is a
+    sequential fold (each decision depends on the previous batch's
+    remainder) that no window expresses; trainers take the bounded
+    overflow — batch capacity is provisioned as budget + bucket upper
+    edge — in exchange for an embarrassingly parallel plan. All integer
+    arithmetic over one window pass PARTITIONED BY BUCKET — buckets fill
+    independently, never a global sort; at 100 TB this is a write
     partitioned by (bucket, batch_id) that readers consume batch-wise.
 
     Returns ``(id, n_tokens, bucket, batch_id, batch_pos, padded_to)``

@@ -14,6 +14,28 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse() -> str:
+    """One mkdtemp-unique warehouse per process, removed at exit.
+
+    mkdtemp (not a PID-derived path) because PIDs recycle: a new process
+    handed a dead one's PID would inherit its leftover table dirs and
+    saveAsTable would write NEXT TO stale parquet — the exact mixed-file
+    race the per-process dir exists to kill. Best-effort rmtree at exit
+    keeps /tmp from accumulating a dir per run.
+    """
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark-graft-warehouse-")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
+
 
 def get_spark(
     app_name: str = "healthcare-dbt-datamart-spark",
@@ -38,9 +60,7 @@ def get_spark(
     # extra_conf. Harmless for the driver contract: the driver builds its
     # own session, and queries resolve the warehouse via
     # spark.sql.warehouse.dir at run time, wherever it points.
-    warehouse = os.environ.get(
-        "SPARK_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
-    )
+    warehouse = os.environ.get("SPARK_WAREHOUSE") or _process_warehouse()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))

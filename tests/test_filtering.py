@@ -640,9 +640,8 @@ def test_length_buckets_invariants_property(spark, token_counts):
         sums[(r["bucket"], r["batch_id"])] = sums.get((r["bucket"], r["batch_id"]), 0) + r["n_tokens"]
     for (bucket, batch), tot in sums.items():
         members = [r for r in out if r["bucket"] == bucket and r["batch_id"] == batch]
-        if all(m["n_tokens"] <= 48 for m in members):
-            # a greedy batch may hold > budget only when a straddling doc
-            # closed it; the batch before any single-doc overflow obeys:
-            # every batch's token sum minus its LAST member stays < budget
-            last = max(members, key=lambda m: m["batch_pos"])
-            assert tot - last["n_tokens"] < 48
+        # offset partitioning's documented bounds: a batch holds < budget
+        # before its closing doc, and < budget + bucket-upper-edge total
+        last = max(members, key=lambda m: m["batch_pos"])
+        assert tot - last["n_tokens"] < 48
+        assert tot < 48 + (bucket + 1) * 16

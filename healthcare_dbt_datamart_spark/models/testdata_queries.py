@@ -2676,6 +2676,143 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each of the 25 largest parts, the supplier
+    with the minimum average unit price — a correlated scalar-MIN
+    subquery decorrelated into an aggregate + re-join: per-(part,
+    supplier) unit-price aggregate once, per-part MIN over it, equi-join
+    back on (part, price) to recover the winning supplier's attributes
+    (ties resolved to the lowest suppkey, Q2's deterministic-order
+    discipline). No partsupp table in the synthetic set — lineitem is
+    the supply relation. Three partial-agg shuffles + one broadcast-able
+    re-join; never a per-row subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast(DEC))
+                    / F.sum(F.col("l_quantity").cast(DEC))
+                ).cast("double"),
+                4,
+            ).alias("unit_price")
+        )
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("_bp")).agg(
+        F.min("unit_price").alias("_minp")
+    )
+    big_parts = (
+        part.orderBy(F.col("p_size").desc(), F.col("p_partkey").asc()).limit(25)
+    )
+    won = (
+        unit.join(
+            best,
+            (unit["l_partkey"] == best["_bp"])
+            & (unit["unit_price"] == best["_minp"]),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"), "unit_price")
+        .agg(F.min("l_suppkey").alias("suppkey"))
+    )
+    return (
+        won.join(big_parts, won["partkey"] == big_parts["p_partkey"])
+        .join(supplier, won["suppkey"] == supplier["s_suppkey"])
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "unit_price"
+        )
+    )
+
+
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: part brands whose shipped value exceeds 2% of
+    the corpus-wide shipped value — a grouped aggregate HAVING-compared
+    against a SCALAR subquery over the same relation, folded in as a
+    1-row broadcast cross join (one scan feeds both aggregates under
+    exchange reuse; no second pass, no collect)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    val = F.sum(
+        F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    )
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand",
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+    )
+    per_brand = joined.groupBy("p_brand").agg(val.alias("_bval"))
+    total = joined.agg(val.alias("_tval"))
+    return (
+        per_brand.crossJoin(broadcast(total))
+        .filter(
+            F.col("_bval").cast("double") > 0.02 * F.col("_tval").cast("double")
+        )
+        .select(
+            "p_brand",
+            F.col("_bval").cast("double").alias("brand_value"),
+            F.round(
+                F.col("_bval").cast("double") / F.col("_tval").cast("double"), 6
+            ).alias("value_share"),
+        )
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, size band),
+    EXCLUDING denylisted suppliers via NOT IN → broadcast anti-join
+    (negative-balance suppliers stand in for Q16's complaint filter).
+    count_distinct plans its two-phase expand; the anti-join runs BEFORE
+    the distinct expansion so excluded rows never shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_sk")
+    )
+    joined = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(bad, li["l_suppkey"] == bad["_bad_sk"], "left_anti")
+        .select(
+            "p_brand",
+            (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_band"),
+            "l_suppkey",
+        )
+    )
+    return joined.groupBy("p_brand", "size_band").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt")
+    )
+
+
+def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers concentrating MORE THAN AN EIGHTH of
+    some part's total shipped quantity (the synthetic data spreads
+    orders too uniformly for Q20's literal one-half to ever fire) — the
+    correlated aggregate-vs-scaled-aggregate comparison
+    (availqty > 0.5·sum in Q20), decorrelated onto
+    one per-(part, supplier) aggregate compared against its part total
+    via a window (integer quantities — exact), then a semi-join back to
+    supplier rows. Returns each dominant supplier with how many parts
+    they dominate."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_qty")
+    )
+    tot = F.sum("_qty").over(Window.partitionBy("l_partkey"))
+    dom = ps.withColumn("_ptot", tot).filter(
+        F.col("_qty") * 8 > F.col("_ptot")
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("parts_dominated"))
+        .join(supplier, F.col("l_suppkey") == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "parts_dominated")
+    )
+
+
 QUERIES = {
     # -- (0) brand-new operators this round (never driver-checked) ---------
     "ccnet_buckets": q_ccnet_buckets,
@@ -2738,6 +2875,15 @@ QUERIES = {
     "pq_encode": q_pq_encode,  # new operator (round 3)
     "pq_topk": q_pq_topk,  # new operator (round 3)
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
+    # -- (3a) born below the window (added after it filled); lead round 4 --
+    # (Q2/Q11/Q16/Q20 decorrelation shapes: never driver-checked, but the
+    #  window's 50 slots already hold this round's 39 never-checked
+    #  operators + re-verifications; local-replica evidence at
+    #  sf0.001/0.01/0.1 recorded in BASELINE.md until they rotate in.)
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -4942,4 +5088,71 @@ FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
 GROUP BY 1, 2
 ORDER BY numwait DESC, s.s_name ASC
 LIMIT 10
+"""
+
+ORACLE["cheapest_part_supplier"] = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    / SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS unit_price
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, MIN(unit_price) AS _minp FROM unit GROUP BY 1),
+big_parts AS (
+  SELECT * FROM part ORDER BY p_size DESC, p_partkey ASC LIMIT 25
+),
+won AS (
+  SELECT u.l_partkey AS partkey, u.unit_price, MIN(u.l_suppkey) AS suppkey
+  FROM unit u JOIN best b
+    ON b.l_partkey = u.l_partkey AND u.unit_price = b._minp
+  GROUP BY 1, 2
+)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, w.unit_price
+FROM won w
+JOIN big_parts p ON p.p_partkey = w.partkey
+JOIN supplier s ON s.s_suppkey = w.suppkey
+"""
+
+ORACLE["part_value_concentration"] = """
+WITH joined AS (
+  SELECT p.p_brand,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(l.l_quantity AS DECIMAL(18,2)) AS v
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (SELECT p_brand, SUM(v) AS _bval FROM joined GROUP BY 1),
+total AS (SELECT SUM(v) AS _tval FROM joined)
+SELECT p_brand,
+       CAST(_bval AS DOUBLE) AS brand_value,
+       round(CAST(_bval AS DOUBLE) / CAST(_tval AS DOUBLE), 6) AS value_share
+FROM per_brand, total
+WHERE CAST(_bval AS DOUBLE) > 0.02 * CAST(_tval AS DOUBLE)
+"""
+
+ORACLE["supplier_part_variety"] = """
+SELECT p.p_brand,
+       CAST(floor(p.p_size / 10) * 10 AS INTEGER) AS size_band,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+ORACLE["dominant_part_supplier"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS _qty
+  FROM lineitem GROUP BY 1, 2
+),
+dom AS (
+  SELECT l_partkey, l_suppkey, _qty,
+         SUM(_qty) OVER (PARTITION BY l_partkey) AS _ptot
+  FROM ps
+)
+SELECT s.s_suppkey, s.s_name, c.parts_dominated
+FROM (
+  SELECT l_suppkey, COUNT(*) AS parts_dominated
+  FROM dom WHERE _qty * 8 > _ptot GROUP BY 1
+) c JOIN supplier s ON s.s_suppkey = c.l_suppkey
 """

@@ -62,3 +62,29 @@ def stream_interval_join(
         )
     )
     return l_wm.join(r_wm, cond).drop(r_wm[key])
+
+
+def streaming_ann_ingest(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index maintenance at ingest — the streaming face of the batch IVF
+    assignment (llmops/similarity.py::ivf_assign): every arriving vector
+    is tagged with its nearest trained-quantizer cell as a map-only
+    stream transformation, so the downstream sink can write
+    ``partitionBy(cell)`` and the serving side's probes stay partition
+    prunes with NO reindexing step. This is how a production ANN index
+    absorbs a continuous embedding feed: the quantizer is trained once
+    at index build (``kmeans_lloyd``), frozen, and applied to every
+    batch; retraining is a new index version, not a stream operation.
+
+    Stateless (pure projection per micro-batch) — no watermark needed;
+    the centroid table rides in as the same broadcast array-of-structs
+    row the batch plan uses, so generated code is constant in k and the
+    SAME function serves both engines (asserted batch-parity in tests).
+    """
+    from ..llmops.similarity import ivf_assign
+
+    return ivf_assign(stream, centroids, id_col=id_col, vec_col=vec_col)

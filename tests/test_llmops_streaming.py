@@ -1192,3 +1192,55 @@ def test_audio_chunk_plan_windows(spark, docs):
     assert rows[1] == (1, 1500, 3500)          # overlap = 500
     assert rows[-1][2] == dur                   # final chunk clips
     assert all(b[1] - a[1] == 1500 for a, b in zip(rows, rows[1:]))
+
+
+def test_streaming_ann_ingest_matches_batch_assignment(spark, tmp_path):
+    """The streaming cell-assignment must be the batch ivf_assign,
+    batch-for-batch: same trained centroids, same cells, same sims."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        ivf_assign,
+        kmeans_lloyd,
+    )
+    from healthcare_dbt_datamart_spark.streaming.dedup_join import (
+        streaming_ann_ingest,
+    )
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(6)
+    ] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i, 0.0]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_lloyd(emb, k=2, n_iter=2)
+    expected = sorted(
+        (r["vec_id"], r["cell"], r["cell_sim"])
+        for r in ivf_assign(emb, cents).collect()
+    )
+
+    src = tmp_path / "ann_src"
+    src.mkdir()
+    emb.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src / "*"))
+    q = (
+        streaming_ann_ingest(stream, cents)
+        .drop("embedding")
+        .writeStream.format("memory")
+        .queryName("ann_out")
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["vec_id"], r["cell"], r["cell_sim"])
+            for r in spark.table("ann_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+    # every vector lands in its own blob's cell: the two blobs separate
+    cells = {r[0]: r[1] for r in got}
+    assert len({cells[i] for i in range(6)}) == 1
+    assert len({cells[10 + i] for i in range(6)}) == 1
+    assert cells[0] != cells[10]

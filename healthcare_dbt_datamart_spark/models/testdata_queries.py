@@ -1434,6 +1434,51 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(verified.select("id_a", "id_b"))
 
 
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's terminal resolution: ONE keeper per connected
+    near-dup CLUSTER (not per pair — pairwise keep-best over-drops when
+    A~B and B~C but A!~C), chosen by quality score then lowest id.
+    Composes the full pipeline: MinHash LSH candidates → Jaccard verify
+    → iterative connected components → quality_stats ranking, one
+    window partitioned by component. Returns per-cluster (component,
+    keeper, size, dropped, keeper_quality)."""
+    from pyspark.sql.window import Window
+
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+        near_dup_components,
+    )
+    from ..llmops.textstats import quality_stats
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+    labels = near_dup_components(verified.select("id_a", "id_b"))
+    q = quality_stats(docs, "text", "doc_id").select("doc_id", "quality_score")
+    scored = labels.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.select(
+        "component",
+        "doc_id",
+        "quality_score",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("size"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("keeper"),
+        "size",
+        (F.col("size") - 1).alias("dropped"),
+        F.col("quality_score").alias("keeper_quality"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (llmops/splits.py):
     per-split document count and mean length — the 75/12.5/12.5 hex-digit
@@ -2884,6 +2929,7 @@ QUERIES = {
     "part_value_concentration": q_part_value_concentration,
     "supplier_part_variety": q_supplier_part_variety,
     "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -5155,4 +5201,36 @@ FROM (
   SELECT l_suppkey, COUNT(*) AS parts_dominated
   FROM dom WHERE _qty * 8 > _ptot GROUP BY 1
 ) c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+"""
+
+# cluster_keep_best: the CC fixpoint oracle (recursive closure) joined to
+# the quality CTE, keeper = max quality then lowest id per component.
+ORACLE["cluster_keep_best"] = f"""
+WITH RECURSIVE
+v AS ({_LLM_ORACLE["near_dup_jaccard"]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM v
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM v
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+labels AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+),
+q AS ({_LLM_ORACLE["text_quality"]}),
+ranked AS (
+  SELECT l.component, l.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY l.component
+             ORDER BY q.quality_score DESC, l.doc_id ASC) AS _rn,
+         COUNT(*) OVER (PARTITION BY l.component) AS size
+  FROM labels l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT component, doc_id AS keeper, size, size - 1 AS dropped,
+       quality_score AS keeper_quality
+FROM ranked WHERE _rn = 1
 """

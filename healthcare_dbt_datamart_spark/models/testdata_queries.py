@@ -1479,6 +1479,63 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the event-analytics staple: users grouped by
+    their first-seen WEEK, counted in each later week they return.
+    Two passes over one shuffle key (user): first-touch MIN via window,
+    then distinct (cohort, offset, user) before the count so a user's
+    many events in a week count once. Weeks are integer epoch-day
+    arithmetic (unix_micros / 86400e6 / 7) — timezone-free on both
+    engines, same discipline as events_sessionize."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias("_day")
+    w = Window.partitionBy("user_id")
+    staged = ev.select("user_id", day).withColumn("_cohort", F.min("_day").over(w))
+    return (
+        staged.select(
+            F.col("_cohort").alias("cohort_day"),
+            (F.col("_day") - F.col("_cohort")).alias("days_since"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus assembly: each source contributes docs
+    in deterministic md5(text) order until an 800-token budget fills —
+    how a release caps a domain's contribution without biasing toward
+    any content property (the hash order is a uniform draw). One window
+    pass per source: running token sum, keep while the PREVIOUS cumsum
+    leaves room (a doc straddling the budget ships whole — same offset
+    rule as length_buckets). Integer arithmetic throughout."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+        F.md5("text").alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("_h").asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < 800).select(
+        "source", "doc_id", "n_tokens", "cum_tokens", "pick_rank"
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (llmops/splits.py):
     per-split document count and mean length — the 75/12.5/12.5 hex-digit
@@ -2930,6 +2987,8 @@ QUERIES = {
     "supplier_part_variety": q_supplier_part_variety,
     "dominant_part_supplier": q_dominant_part_supplier,
     "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -5233,4 +5292,41 @@ ranked AS (
 SELECT component, doc_id AS keeper, size, size - 1 AS dropped,
        quality_score AS keeper_quality
 FROM ranked WHERE _rn = 1
+"""
+
+ORACLE["user_retention_cohorts"] = """
+WITH days AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS _day
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, _day,
+         MIN(_day) OVER (PARTITION BY user_id) AS _cohort
+  FROM days
+)
+SELECT _cohort AS cohort_day, _day - _cohort AS days_since,
+       COUNT(*) AS n_users
+FROM (SELECT DISTINCT _cohort, _day, user_id FROM cohorted)
+GROUP BY 1, 2
+"""
+
+ORACLE["token_budget_cap"] = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+           AS n_tokens,
+         md5(text) AS _h
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY _h, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id)
+              AS INTEGER) AS pick_rank
+  FROM toks
+)
+SELECT source, doc_id, n_tokens, cum_tokens, pick_rank
+FROM cum WHERE cum_tokens - n_tokens < 800
 """

@@ -74,6 +74,11 @@ def main() -> int:
     args = sys.argv[1:]
     pandas_mode = "--pandas" in args
     args = [a for a in args if a != "--pandas"]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -89,6 +94,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,6 +108,7 @@ def main() -> int:
             s_cols = sdf.columns
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(s_rows)} rows (no oracle)")
+            results[name] = {"rows": len(s_rows), "oracle": False}
             continue
         d = con.execute(oracles[name])
         d_cols = [c[0] for c in d.description]
@@ -114,6 +121,10 @@ def main() -> int:
         dc, dn, dh = frame_fingerprint(d_cols, d_rows)
         ok = (sc == dc) and (sn == dn) and (sh == dh)
         status = "OK " if ok else "FAIL"
+        results[name] = {
+            "ok": ok, "spark_rows": sn, "oracle_rows": dn,
+            "schema_match": sc == dc, "hash_match": sh == dh,
+        }
         print(f"{name:28s} {status} spark={sn} duck={dn} "
               f"schema={'=' if sc == dc else f'{sc} vs {dc}'} hash={'=' if sh == dh else 'MISMATCH'}")
         if not ok:
@@ -125,6 +136,17 @@ def main() -> int:
                 print("  spark-only:", list(s_set - d_set)[:3])
                 print("  duck-only :", list(d_set - s_set)[:3])
     print("\nFAILURES:", failures or "none")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "mode": "pandas" if pandas_mode else "rows",
+                 "n_queries": len(results),
+                 "n_ok": sum(1 for r in results.values() if r.get("ok")),
+                 "failures": failures, "queries": results},
+                f, indent=1, sort_keys=True,
+            )
     return 1 if failures else 0
 
 

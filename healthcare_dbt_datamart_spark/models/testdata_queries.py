@@ -2803,18 +2803,20 @@ def q_cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_price")
         )
     )
-    best = unit.groupBy(F.col("l_partkey").alias("_bp")).agg(
-        F.min("unit_price").alias("_minp")
-    )
+    # the scalar-MIN correlation as a rank window over the one unit-price
+    # aggregate (not a groupBy + equality self-join, which would re-run
+    # the lineitem aggregation for the probe side): rank() keeps every
+    # price-tied supplier at rank 1, and the min-suppkey groupBy applies
+    # Q2's deterministic tie rule — identical semantics, one scan
+    from pyspark.sql.window import Window
+
     big_parts = (
         part.orderBy(F.col("p_size").desc(), F.col("p_partkey").asc()).limit(25)
     )
+    w_best = Window.partitionBy("l_partkey").orderBy(F.col("unit_price").asc())
     won = (
-        unit.join(
-            best,
-            (unit["l_partkey"] == best["_bp"])
-            & (unit["unit_price"] == best["_minp"]),
-        )
+        unit.withColumn("_rk", F.rank().over(w_best))
+        .filter(F.col("_rk") == 1)
         .groupBy(F.col("l_partkey").alias("partkey"), "unit_price")
         .agg(F.min("l_suppkey").alias("suppkey"))
     )

@@ -1434,6 +1434,77 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(verified.select("id_a", "id_b"))
 
 
+def _claim_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped claim-line grain (fct_claims' at-least-once rule)."""
+    _, flagged = _screening_flagged_claims(spark, sf_dir)
+    return flagged.select(
+        "claim_id",
+        "member_id",
+        "service_date",
+        "proc_code",
+        F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+    ).distinct()
+
+
+def q_claim_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claim-HEADER rollups (models/datamart.py::int_claim_rollups —
+    reference intermediate/claims/int_claim_rollups.sql declared intent):
+    line facts rolled to header grain (claim_id DIV 10), one partial-agg
+    groupBy over the deduped line grain."""
+    return (
+        _claim_grain(spark, sf_dir)
+        .select(
+            F.floor(F.col("claim_id") / 10).cast("long").alias("claim_hdr_id"),
+            "member_id",
+            "service_date",
+            "proc_code",
+            "is_screening",
+        )
+        .groupBy("claim_hdr_id", "member_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("proc_code").alias("n_codes"),
+            F.min("service_date").alias("first_service_date"),
+            F.max("service_date").alias("last_service_date"),
+            F.sum("is_screening").alias("n_screening_lines"),
+        )
+    )
+
+
+def q_claim_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header classification (datamart.py::int_claim_status —
+    int_claim_status.sql declared intent): screening / multi-line /
+    routine off the rollups, pure projection."""
+    ru = q_claim_rollups(spark, sf_dir)
+    return ru.select(
+        "claim_hdr_id",
+        "member_id",
+        F.when(F.col("n_screening_lines") > 0, F.lit("screening"))
+        .when(F.col("n_lines") > 1, F.lit("multi-line"))
+        .otherwise(F.lit("routine"))
+        .alias("claim_status"),
+        (F.col("n_codes") > 1).cast("int").alias("is_multi_code"),
+    )
+
+
+def q_member_enrollment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-enrollment spans (datamart.py::int_member_enrollment —
+    int_member_enrollment.sql declared intent): first/last activity +
+    distinct active months per member."""
+    return (
+        _claim_grain(spark, sf_dir)
+        .groupBy("member_id")
+        .agg(
+            F.min("service_date").alias("observed_from"),
+            F.max("service_date").alias("observed_to"),
+            F.count_distinct(F.floor(F.col("claim_id") / 10)).alias("n_claims"),
+            F.count_distinct(
+                F.date_trunc("month", F.col("service_date"))
+            ).alias("active_months"),
+        )
+    )
+
+
 def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup family's terminal resolution: ONE keeper per connected
     near-dup CLUSTER (not per pair — pairwise keep-best over-drops when
@@ -2991,6 +3062,9 @@ QUERIES = {
     "cluster_keep_best": q_cluster_keep_best,
     "user_retention_cohorts": q_user_retention_cohorts,
     "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -5331,4 +5405,52 @@ cum AS (
 )
 SELECT source, doc_id, n_tokens, cum_tokens, pick_rank
 FROM cum WHERE cum_tokens - n_tokens < 800
+"""
+
+_CLAIM_GRAIN_CTE = f"""
+{_STAR_CTES},
+grain AS (
+  SELECT DISTINCT claim_id, member_id, service_date, proc_code, is_screening
+  FROM flagged
+)
+"""
+
+ORACLE["claim_rollups"] = f"""
+WITH {_CLAIM_GRAIN_CTE}
+SELECT CAST(floor(claim_id / 10) AS BIGINT) AS claim_hdr_id, member_id,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT proc_code) AS n_codes,
+       MIN(service_date) AS first_service_date,
+       MAX(service_date) AS last_service_date,
+       CAST(SUM(is_screening) AS BIGINT) AS n_screening_lines
+FROM grain
+GROUP BY 1, 2
+"""
+
+ORACLE["claim_status"] = f"""
+WITH {_CLAIM_GRAIN_CTE},
+ru AS (
+  SELECT CAST(floor(claim_id / 10) AS BIGINT) AS claim_hdr_id, member_id,
+         COUNT(*) AS n_lines,
+         COUNT(DISTINCT proc_code) AS n_codes,
+         CAST(SUM(is_screening) AS BIGINT) AS n_screening_lines
+  FROM grain GROUP BY 1, 2
+)
+SELECT claim_hdr_id, member_id,
+       CASE WHEN n_screening_lines > 0 THEN 'screening'
+            WHEN n_lines > 1 THEN 'multi-line'
+            ELSE 'routine' END AS claim_status,
+       CAST(n_codes > 1 AS INTEGER) AS is_multi_code
+FROM ru
+"""
+
+ORACLE["member_enrollment"] = f"""
+WITH {_CLAIM_GRAIN_CTE}
+SELECT member_id,
+       MIN(service_date) AS observed_from,
+       MAX(service_date) AS observed_to,
+       COUNT(DISTINCT CAST(floor(claim_id / 10) AS BIGINT)) AS n_claims,
+       COUNT(DISTINCT date_trunc('month', service_date)) AS active_months
+FROM grain
+GROUP BY 1
 """

@@ -61,9 +61,20 @@ def get_spark(
     # own session, and queries resolve the warehouse via
     # spark.sql.warehouse.dir at run time, wherever it points.
     warehouse = os.environ.get("SPARK_WAREHOUSE") or _process_warehouse()
+    # In local mode the executors share the driver JVM, and Spark's
+    # default driver heap is 1g — tight enough that materializing a
+    # multi-copy build OOMs (tools/scale_curve.py at 30x) and GCLocker
+    # retries show up under allocation pressure. 4g measured as the
+    # sweet spot HERE: same speed as 1g on the heavy queries, headroom
+    # for builds — while 16g measured 2x SLOWER on this virtualized
+    # host (large-heap page-touch cost under memory overcommit), so
+    # bigger is genuinely not better. Only effective at JVM launch;
+    # harmless on getOrCreate reuse.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

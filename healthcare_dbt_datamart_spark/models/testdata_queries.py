@@ -111,6 +111,25 @@ BCS_PARAMS = GapParams(
     lookback_years={"MAMMOGRAPHY": 2},
 )
 
+# A THIRD measure (CCS-like: two evidence types with different lookbacks
+# and ranks) — proves the multi-measure engine scales by config ROWS
+# alone: gap_status_tri is gap_status_multi with one more list entry and
+# one more generated-oracle UNION block, zero engine code.
+CCS_CODES: list[tuple[str, str]] = [
+    ("BRAND#18", "HPV"),
+    ("BRAND#7", "PAP"),
+]
+CCS_PARAMS = GapParams(
+    period_start="2000-01-01",
+    period_end="2000-12-31",
+    min_age=2,
+    max_age=5,
+    measure_id="CCS",
+    rule_version="CCS_V1",
+    evidence_rank={"HPV": 1, "PAP": 2},
+    lookback_years={"HPV": 5, "PAP": 3},
+)
+
 DEC = "decimal(18,2)"  # exact money arithmetic → bit-identical doubles
 
 
@@ -1651,6 +1670,24 @@ def q_gap_status_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_status_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE measures (COL + BCS + CCS) in the same single claims pass —
+    the config-scaling proof for gap_status_multi: the third measure is
+    one more (params, codes) list entry and one more generated-oracle
+    UNION block; the plan still has ONE claims scan and ONE ranking
+    window keyed (member, measure)."""
+    from .gap_pipeline import gap_status_multi
+
+    members, claims, codes_col = _gap_inputs(spark, sf_dir)
+    codes_bcs = spark.createDataFrame(BCS_CODES, "code string, evidence_type string")
+    codes_ccs = spark.createDataFrame(CCS_CODES, "code string, evidence_type string")
+    return gap_status_multi(
+        members,
+        claims,
+        [(GAP_PARAMS, codes_col), (BCS_PARAMS, codes_bcs), (CCS_PARAMS, codes_ccs)],
+    )
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-quality analytics composite: stopword language-ID vs the
     declared ``lang`` column, agreement rate per ``source`` — the
@@ -3065,6 +3102,7 @@ QUERIES = {
     "claim_rollups": q_claim_rollups,
     "claim_status": q_claim_status,
     "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -5453,4 +5491,19 @@ SELECT member_id,
        COUNT(DISTINCT date_trunc('month', service_date)) AS active_months
 FROM grain
 GROUP BY 1
+"""
+
+ORACLE["gap_status_tri"] = f"""
+WITH {_GAP_STATUS_CTES}
+SELECT * FROM status
+UNION ALL
+SELECT * FROM (
+  WITH {_gap_status_ctes(BCS_PARAMS, BCS_CODES)}
+  SELECT * FROM status
+) bcs
+UNION ALL
+SELECT * FROM (
+  WITH {_gap_status_ctes(CCS_PARAMS, CCS_CODES)}
+  SELECT * FROM status
+) ccs
 """

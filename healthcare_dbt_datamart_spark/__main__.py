@@ -60,7 +60,10 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p = argparse.ArgumentParser(prog="healthcare_dbt_datamart_spark")
     p.add_argument(
         "command",
-        choices=["ls", "run", "test", "compile", "docs", "source-freshness", "clone"],
+        choices=[
+            "ls", "run", "retry", "test", "compile", "docs",
+            "source-freshness", "clone",
+        ],
     )
     p.add_argument(
         "--project",
@@ -92,7 +95,8 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p.add_argument(
         "--artifact",
         default=None,
-        help="write a run_results.json analog after `run`",
+        help="write a run_results.json analog after `run`/`retry`;"
+        " `retry` also READS it to find the failure point",
     )
     p.add_argument(
         "--clone-prefix",
@@ -173,7 +177,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
             log(f"{src}: {res}")
         return 0
 
-    # run
+    # run / retry
     import datetime as _dt
 
     parse_ts = lambda v: _dt.datetime.fromisoformat(v) if v else None  # noqa: E731
@@ -181,13 +185,26 @@ def main(argv: list[str] | None = None, log=print) -> int:
     if a.state:
         with open(a.state) as f:
             state = json.load(f)
-    built = r.run(
-        full_refresh=a.full_refresh,
-        select=a.select,
-        event_time_start=parse_ts(a.event_time_start),
-        event_time_end=parse_ts(a.event_time_end),
-        state=state,
-    )
+    if a.command == "retry":
+        # dbt retry: resume from the previous invocation's artifact —
+        # the CLI is per-process, so the failure point comes from the
+        # run_results.json the failed `run --artifact` wrote
+        if not a.artifact:
+            log("retry needs --artifact <run_results.json from the failed run>")
+            return 2
+        with open(a.artifact) as f:
+            r.run_results = json.load(f)["results"]
+        built = r.retry(full_refresh=a.full_refresh)
+        if not built:
+            log("nothing to retry: the previous run completed")
+    else:
+        built = r.run(
+            full_refresh=a.full_refresh,
+            select=a.select,
+            event_time_start=parse_ts(a.event_time_start),
+            event_time_end=parse_ts(a.event_time_end),
+            state=state,
+        )
     timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():
         mat = man["nodes"].get(name, {}).get("materialized", "view")

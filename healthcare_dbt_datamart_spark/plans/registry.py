@@ -518,6 +518,12 @@ class ModelRegistry:
                 selected = set().union(
                     *[self.select_nodes(f"{n}+") for n in selected]
                 )
+        elif isinstance(select, (set, frozenset, list, tuple)):
+            # explicit node set (retry()'s path; also a programmatic API)
+            unknown = set(select) - set(self._models)
+            if unknown:
+                raise KeyError(f"unknown models in selection: {sorted(unknown)}")
+            selected = set(select)
         else:
             selected = self.select_nodes(select) if select else None
         self._selected = selected
@@ -556,6 +562,33 @@ class ModelRegistry:
             # node with status + timing); memoized builds register ~0s
             self.run_results = results
         return out
+
+    def retry(self, **run_kwargs) -> dict[str, DataFrame]:
+        """``dbt retry`` analog: resume the previous ``run()`` from its
+        failure point. Reruns (1) every model whose last run_results row
+        is an error, (2) every registered model with NO row — the nodes
+        fail-fast never reached (dbt's skipped class), and (3) the
+        downstream closure of the errored nodes, since their outputs
+        changed. Models that succeeded are NOT rebuilt: table-backed
+        ones are read from the warehouse (the ``select`` reuse rule) and
+        view models inline lazily as always. Pass the same run kwargs
+        (full_refresh etc.) as the failed run — dbt retry reuses the
+        prior invocation's flags."""
+        if not self.run_results:
+            raise RuntimeError(
+                "retry() needs a previous run()'s run_results artifact"
+            )
+        done = {r["model"] for r in self.run_results if r["status"] == "success"}
+        failed = {r["model"] for r in self.run_results if r["status"] == "error"}
+        if not failed:
+            # the previous run completed — nothing to resume (dbt retry
+            # on a successful run is a no-op; "not in the artifact" only
+            # means skipped when the run actually failed)
+            return {}
+        todo = {n for n in self._models if n not in done}
+        for n in failed:
+            todo |= self.select_nodes(f"{n}+")
+        return self.run(select=todo, **run_kwargs)
 
     def compile(self, name: str) -> DataFrame:
         """Compile-without-running (the reference's ``analyses/`` concept —

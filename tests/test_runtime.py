@@ -1362,3 +1362,87 @@ def test_registry_manifest_and_source_freshness(spark):
     assert warn["feed"]["status"] == "warn"
     err = r.check_freshness(now="2024-02-01 00:00:00")    # ~30 days stale
     assert err["feed"]["status"] == "error"
+
+
+def test_registry_retry_resumes_from_failure(spark):
+    """dbt retry analog: after a mid-DAG failure, retry() reruns the
+    errored node, the nodes never reached, and the errored node's
+    downstream closure — but NOT the tables that already succeeded."""
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1, 10), (2, 20)], "id long, v long"))
+    calls = {"a": 0, "b": 0, "c": 0}
+    fail = {"on": True}
+
+    @r.model(materialized="table")
+    def t_a(ctx):
+        calls["a"] += 1
+        return ctx.source("raw")
+
+    @r.model(materialized="table")
+    def t_b(ctx):
+        calls["b"] += 1
+        if fail["on"]:
+            raise RuntimeError("transient upstream outage")
+        return ctx.ref("t_a").withColumn("v2", F.col("v") * 2)
+
+    @r.model(materialized="table")
+    def t_c(ctx):
+        calls["c"] += 1
+        return ctx.ref("t_b").filter(F.col("v2") > 20)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="transient"):
+        r.run()
+    statuses = {row["model"]: row["status"] for row in r.run_results}
+    assert statuses == {"t_a": "success", "t_b": "error"}  # c never ran
+
+    # fingerprint t_a's materialized files: retry must READ, not rebuild
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    a_files = sorted(
+        (f, os.path.getmtime(os.path.join(wh, "t_a", f)))
+        for f in os.listdir(os.path.join(wh, "t_a"))
+        if f.endswith(".parquet")
+    )
+
+    fail["on"] = False
+    out = r.retry()
+    # b (errored) and c (never reached / downstream) reran; a did NOT
+    # (dep discovery compiles bodies — lazy, no materialization — so the
+    # proof is the unchanged table files, not body-invocation counts)
+    assert sorted(out) == ["t_b", "t_c"]
+    assert sorted(
+        (f, os.path.getmtime(os.path.join(wh, "t_a", f)))
+        for f in os.listdir(os.path.join(wh, "t_a"))
+        if f.endswith(".parquet")
+    ) == a_files
+    assert spark.table("t_c").collect()[0]["v2"] == 40
+    statuses = {row["model"]: row["status"] for row in r.run_results}
+    assert statuses == {"t_b": "success", "t_c": "success"}
+
+
+def test_registry_retry_requires_prior_run(spark):
+    r = ModelRegistry(spark)
+
+    @r.model()
+    def lone(ctx):
+        return _df(spark, [(1,)], "id long")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="previous run"):
+        r.retry()
+
+
+def test_registry_retry_after_success_is_noop(spark):
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1,)], "id long"))
+
+    @r.model(materialized="table")
+    def t_ok(ctx):
+        return ctx.source("raw")
+
+    r.run()
+    assert r.retry() == {}

@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
     p.add_argument(
         "command",
         choices=[
-            "ls", "run", "retry", "test", "compile", "docs",
+            "ls", "run", "retry", "build", "test", "compile", "docs",
             "source-freshness", "clone",
         ],
     )
@@ -177,7 +177,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
             log(f"{src}: {res}")
         return 0
 
-    # run / retry
+    # run / retry / build
     import datetime as _dt
 
     parse_ts = lambda v: _dt.datetime.fromisoformat(v) if v else None  # noqa: E731
@@ -211,6 +211,17 @@ def main(argv: list[str] | None = None, log=print) -> int:
         secs = timing.get(name, {}).get("execute_seconds", 0.0)
         suffix = f"  rows={df.count()}" if a.counts else ""
         log(f"OK  {mat:>12}  {name}  {secs:.2f}s{suffix}")
+    if a.command == "build":
+        # dbt build: models AND their declared schema tests in one
+        # invocation; a failing test fails the build (exit 2), like
+        # dbt's build stopping downstream work on broken contracts
+        worst = 0
+        for model, tests in r.run_tests(select=a.select).items():
+            for t in tests:
+                log(f"{t.status.upper():>5}  {model}.{t.name}  failures={t.failures}")
+                worst = max(worst, {"pass": 0, "warn": 1, "fail": 2}[t.status])
+        if worst == 2:
+            return 2
     if a.artifact:
         with open(a.artifact, "w") as f:
             json.dump({"results": r.run_results}, f, indent=2)

@@ -563,6 +563,95 @@ class ModelRegistry:
             self.run_results = results
         return out
 
+    def run_threaded(
+        self, threads: int = 4, full_refresh: bool = False
+    ) -> dict[str, DataFrame]:
+        """dbt ``--threads`` analog: build the DAG with up to ``threads``
+        models in flight. A node is released only when every discovered
+        upstream is ALREADY BUILT, so a worker's ``build()`` finds its
+        refs memoized and never races another worker into the same
+        node — the scheduler provides the safety the demand-driven
+        single-thread path gets from recursion. Spark handles the
+        concurrent actions (one scheduler, many jobs), which is where
+        the win comes from on real DAGs: independent branches overlap
+        their cluster time instead of serializing driver-side.
+
+        Tests/hook ordering per NODE are unchanged; ACROSS independent
+        nodes, hook and build order is concurrent (dbt's documented
+        --threads semantics). Failure fails the whole run (fail-fast):
+        in-flight nodes finish, unstarted nodes never start, and
+        run_results records success/error rows for everything that ran.
+        """
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        self.full_refresh = full_refresh
+        self._built.clear()
+        deps = self.deps()
+        pending = dict(deps)
+        results: list[dict] = []
+        out: dict[str, DataFrame] = {}
+        failed: Exception | None = None
+
+        def build_one(name: str):
+            t0 = time.monotonic()
+            try:
+                df = self.build(name)
+            except Exception:
+                results.append({
+                    "model": name,
+                    "materialized": self._models[name].materialized,
+                    "status": "error",
+                    "execute_seconds": round(time.monotonic() - t0, 3),
+                })
+                raise
+            return name, df, round(time.monotonic() - t0, 3)
+
+        with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+            futures = set()
+            while (pending or futures) and failed is None:
+                ready = [
+                    n for n, ups in pending.items()
+                    if all(u in out for u in ups)
+                ]
+                for n in ready:
+                    del pending[n]
+                    futures.add(pool.submit(build_one, n))
+                if not futures:
+                    raise RuntimeError(
+                        f"dependency cycle or unbuildable nodes: {sorted(pending)}"
+                    )
+                done, futures = wait(futures, return_when=FIRST_COMPLETED)
+                for f in done:
+                    try:
+                        name, df, secs = f.result()
+                    except Exception as exc:  # noqa: BLE001 - recorded + re-raised
+                        failed = exc
+                        continue
+                    out[name] = df
+                    results.append({
+                        "model": name,
+                        "materialized": self._models[name].materialized,
+                        "status": "success",
+                        "execute_seconds": secs,
+                    })
+            # drain in-flight work before surfacing the failure
+            for f in futures:
+                try:
+                    name, df, secs = f.result()
+                    out[name] = df
+                    results.append({
+                        "model": name,
+                        "materialized": self._models[name].materialized,
+                        "status": "success",
+                        "execute_seconds": secs,
+                    })
+                except Exception:  # noqa: BLE001
+                    pass
+        self.run_results = results
+        if failed is not None:
+            raise failed
+        return out
+
     def retry(self, **run_kwargs) -> dict[str, DataFrame]:
         """``dbt retry`` analog: resume the previous ``run()`` from its
         failure point. Reruns (1) every model whose last run_results row

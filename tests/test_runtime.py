@@ -1446,3 +1446,86 @@ def test_registry_retry_after_success_is_noop(spark):
 
     r.run()
     assert r.retry() == {}
+
+
+def test_registry_threaded_run_matches_serial(spark):
+    """run_threaded builds the same DAG state as run(): every
+    materialization lands, contents match, diamond deps respected."""
+    import threading
+
+    def make(reg):
+        reg.add_source("raw", _df(spark, [(i, i * 10) for i in range(1, 5)],
+                                  "id long, v long"))
+        order: list[str] = []
+        lock = threading.Lock()
+
+        def note(name):
+            with lock:
+                order.append(name)
+
+        @reg.model(materialized="table")
+        def th_base(ctx):
+            note("base")
+            return ctx.source("raw")
+
+        @reg.model(materialized="table")
+        def th_left(ctx):
+            note("left")
+            return ctx.ref("th_base").withColumn("l", F.col("v") + 1)
+
+        @reg.model(materialized="table")
+        def th_right(ctx):
+            note("right")
+            return ctx.ref("th_base").withColumn("r", F.col("v") + 2)
+
+        @reg.model(materialized="table")
+        def th_join(ctx):
+            note("join")
+            return ctx.ref("th_left").join(
+                ctx.ref("th_right").select("id", "r"), "id"
+            )
+
+        return order
+
+    r1 = ModelRegistry(spark)
+    make(r1)
+    r1.run()
+    serial = sorted(map(tuple, spark.table("th_join").collect()))
+
+    spark.sql("DROP TABLE IF EXISTS th_join")
+    r2 = ModelRegistry(spark)
+    order = make(r2)
+    out = r2.run_threaded(threads=3)
+    assert sorted(out) == ["th_base", "th_join", "th_left", "th_right"]
+    assert sorted(map(tuple, spark.table("th_join").collect())) == serial
+    # scheduler honored the DAG: base strictly first, join strictly last
+    # (dep discovery also notes names; only the LAST 4 are the build pass)
+    build_order = order[-4:]
+    assert build_order[0] == "base" and build_order[-1] == "join"
+    statuses = {row["model"] for row in r2.run_results}
+    assert statuses == {"th_base", "th_left", "th_right", "th_join"}
+
+
+def test_registry_threaded_run_failure_is_recorded(spark):
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1,)], "id long"))
+
+    @r.model(materialized="table")
+    def th_ok(ctx):
+        return ctx.source("raw")
+
+    @r.model(materialized="table")
+    def th_bad(ctx):
+        # LAZY failure: body compiles fine (dep discovery runs bodies,
+        # so an eagerly-raising body would break discovery, not the
+        # build) — the error fires when the table materializes
+        return ctx.ref("th_ok").select(
+            "id", F.assert_true(F.col("id") < 0).alias("boom")
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        r.run_threaded(threads=2)
+    statuses = {row["model"]: row["status"] for row in r.run_results}
+    assert statuses["th_bad"] == "error" and statuses["th_ok"] == "success"

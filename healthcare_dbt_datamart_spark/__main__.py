@@ -185,6 +185,16 @@ def main(argv: list[str] | None = None, log=print) -> int:
     if a.state:
         with open(a.state) as f:
             state = json.load(f)
+    def write_artifact(select: str | None) -> None:
+        # dbt ALWAYS writes run_results.json, success or failure — the
+        # failed run's artifact is precisely what `retry` resumes from.
+        # The invoked selection rides along so retry doesn't rebuild
+        # models the original run deliberately excluded.
+        if a.artifact:
+            with open(a.artifact, "w") as f:
+                json.dump({"results": r.run_results, "select": select}, f, indent=2)
+            log(f"wrote run artifact: {a.artifact}")
+
     if a.command == "retry":
         # dbt retry: resume from the previous invocation's artifact —
         # the CLI is per-process, so the failure point comes from the
@@ -193,28 +203,43 @@ def main(argv: list[str] | None = None, log=print) -> int:
             log("retry needs --artifact <run_results.json from the failed run>")
             return 2
         with open(a.artifact) as f:
-            r.run_results = json.load(f)["results"]
-        built = r.retry(full_refresh=a.full_refresh)
+            art = json.load(f)
+        r.run_results = art["results"]
+        prior_select = art.get("select")
+        try:
+            built = r.retry(select=prior_select, full_refresh=a.full_refresh)
+        except Exception:
+            write_artifact(prior_select)
+            raise
         if not built:
             log("nothing to retry: the previous run completed")
+        else:
+            write_artifact(prior_select)
     else:
-        built = r.run(
-            full_refresh=a.full_refresh,
-            select=a.select,
-            event_time_start=parse_ts(a.event_time_start),
-            event_time_end=parse_ts(a.event_time_end),
-            state=state,
-        )
+        try:
+            built = r.run(
+                full_refresh=a.full_refresh,
+                select=a.select,
+                event_time_start=parse_ts(a.event_time_start),
+                event_time_end=parse_ts(a.event_time_end),
+                state=state,
+            )
+        except Exception:
+            write_artifact(a.select)
+            raise
     timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():
         mat = man["nodes"].get(name, {}).get("materialized", "view")
         secs = timing.get(name, {}).get("execute_seconds", 0.0)
         suffix = f"  rows={df.count()}" if a.counts else ""
         log(f"OK  {mat:>12}  {name}  {secs:.2f}s{suffix}")
+    if a.command != "retry":
+        write_artifact(a.select)
     if a.command == "build":
         # dbt build: models AND their declared schema tests in one
         # invocation; a failing test fails the build (exit 2), like
-        # dbt's build stopping downstream work on broken contracts
+        # dbt's build stopping downstream work on broken contracts —
+        # the artifact is already written above either way
         worst = 0
         for model, tests in r.run_tests(select=a.select).items():
             for t in tests:
@@ -222,10 +247,6 @@ def main(argv: list[str] | None = None, log=print) -> int:
                 worst = max(worst, {"pass": 0, "warn": 1, "fail": 2}[t.status])
         if worst == 2:
             return 2
-    if a.artifact:
-        with open(a.artifact, "w") as f:
-            json.dump({"results": r.run_results}, f, indent=2)
-        log(f"wrote run artifact: {a.artifact}")
     return 0
 
 

@@ -138,10 +138,12 @@ def length_buckets(
     no float log2); within a bucket a running token sum assigns
     ``batch_id = (cumsum - 1) / budget`` — each doc joins the batch
     where its last token lands. This is OFFSET partitioning (the
-    ``pack_offsets`` window rule), not a strict cap: a doc straddling a
-    boundary carries its whole length into the batch it closes, so a
-    batch's token sum is < ``budget`` before its final doc and always
-    < ``budget + padded_to`` in total. A strict never-exceed cap is a
+    ``pack_offsets`` window rule), not a strict cap: a batch's members'
+    last-token offsets share one ``budget``-wide window, so the sum
+    ABOVE its first member is < ``budget`` (their offsets span less
+    than one window) and the total is < ``budget + padded_to`` (the
+    first member straddles in at most its own whole length, bounded by
+    the bucket's upper edge). A strict never-exceed cap is a
     sequential fold (each decision depends on the previous batch's
     remainder) that no window expresses; trainers take the bounded
     overflow — batch capacity is provisioned as budget + bucket upper

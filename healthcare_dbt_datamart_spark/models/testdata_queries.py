@@ -1532,8 +1532,6 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     → iterative connected components → quality_stats ranking, one
     window partitioned by component. Returns per-cluster (component,
     keeper, size, dropped, keeper_quality)."""
-    from pyspark.sql.window import Window
-
     from ..llmops.dedup import (
         candidate_pairs,
         jaccard_pairs,
@@ -2916,8 +2914,6 @@ def q_cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lineitem aggregation for the probe side): rank() keeps every
     # price-tied supplier at rank 1, and the min-suppkey groupBy applies
     # Q2's deterministic tie rule — identical semantics, one scan
-    from pyspark.sql.window import Window
-
     big_parts = (
         part.orderBy(F.col("p_size").desc(), F.col("p_partkey").asc()).limit(25)
     )
@@ -3008,8 +3004,6 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     they dominate."""
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
-    from pyspark.sql.window import Window
-
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("_qty")
     )

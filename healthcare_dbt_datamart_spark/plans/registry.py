@@ -340,7 +340,11 @@ class ModelRegistry:
                 return out
             df = mdef.fn(ModelContext(self, name))
         finally:
-            self._building.pop()
+            # remove BY VALUE, not pop(): run_threaded's workers share
+            # this stack, and a positional pop would remove another
+            # in-flight thread's entry, silently corrupting the cycle
+            # guard (`name in self._building`)
+            self._building.remove(name)
 
         from ..operators import materialize as mat
         from ..operators.incremental import incremental_run
@@ -652,7 +656,9 @@ class ModelRegistry:
             raise failed
         return out
 
-    def retry(self, **run_kwargs) -> dict[str, DataFrame]:
+    def retry(
+        self, select: str | None = None, **run_kwargs
+    ) -> dict[str, DataFrame]:
         """``dbt retry`` analog: resume the previous ``run()`` from its
         failure point. Reruns (1) every model whose last run_results row
         is an error, (2) every registered model with NO row — the nodes
@@ -660,9 +666,14 @@ class ModelRegistry:
         downstream closure of the errored nodes, since their outputs
         changed. Models that succeeded are NOT rebuilt: table-backed
         ones are read from the warehouse (the ``select`` reuse rule) and
-        view models inline lazily as always. Pass the same run kwargs
-        (full_refresh etc.) as the failed run — dbt retry reuses the
-        prior invocation's flags."""
+        view models inline lazily as always.
+
+        Pass the FAILED run's flags back in — dbt retry reuses the prior
+        invocation's args, and the artifact alone cannot recover them:
+        in particular, pass its ``select``, or the "no row" rule
+        rebuilds models the original run deliberately excluded (they
+        also have no row). The CLI round-trips the selection through the
+        artifact automatically."""
         if not self.run_results:
             raise RuntimeError(
                 "retry() needs a previous run()'s run_results artifact"
@@ -675,8 +686,24 @@ class ModelRegistry:
             # means skipped when the run actually failed)
             return {}
         todo = {n for n in self._models if n not in done}
-        for n in failed:
-            todo |= self.select_nodes(f"{n}+")
+        # ONE discovery pass serves every failed node's downstream
+        # closure (select_nodes per node would re-run deps() — i.e.
+        # every model body — once per failure)
+        children: dict[str, set[str]] = {n: set() for n in self._models}
+        for child, ups in self.deps().items():
+            for up in ups:
+                children.setdefault(up, set()).add(child)
+        frontier = set(failed)
+        downstream = set(failed)
+        while frontier:
+            nxt = set().union(*(children.get(n, set()) for n in frontier))
+            frontier = nxt - downstream
+            downstream |= nxt
+        todo |= downstream
+        if select is not None:
+            todo &= self.select_nodes(select)
+        if not todo:
+            return {}
         return self.run(select=todo, **run_kwargs)
 
     def compile(self, name: str) -> DataFrame:

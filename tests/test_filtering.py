@@ -640,8 +640,11 @@ def test_length_buckets_invariants_property(spark, token_counts):
         sums[(r["bucket"], r["batch_id"])] = sums.get((r["bucket"], r["batch_id"]), 0) + r["n_tokens"]
     for (bucket, batch), tot in sums.items():
         members = [r for r in out if r["bucket"] == bucket and r["batch_id"] == batch]
-        # offset partitioning's documented bounds: a batch holds < budget
-        # before its closing doc, and < budget + bucket-upper-edge total
-        last = max(members, key=lambda m: m["batch_pos"])
-        assert tot - last["n_tokens"] < 48
+        # offset partitioning's documented bounds: members' last-token
+        # offsets share one budget window, so the sum ABOVE the first
+        # member is < budget (NOT minus the last — e.g. tokens
+        # [18,31,31,16] at budget 48 batch {31,31,16} where
+        # tot - last = 62), and the total is < budget + bucket upper edge
+        first = min(members, key=lambda m: m["batch_pos"])
+        assert tot - first["n_tokens"] < 48
         assert tot < 48 + (bucket + 1) * 16

@@ -1529,3 +1529,37 @@ def test_registry_threaded_run_failure_is_recorded(spark):
         r.run_threaded(threads=2)
     statuses = {row["model"]: row["status"] for row in r.run_results}
     assert statuses["th_bad"] == "error" and statuses["th_ok"] == "success"
+
+
+def test_registry_retry_respects_prior_selection(spark):
+    """A retry of a SELECTIVE run must not rebuild models the original
+    run deliberately excluded (they also have no run_results row)."""
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1,)], "id long"))
+    fail = {"on": True}
+
+    @r.model(materialized="table")
+    def sel_a(ctx):
+        return ctx.source("raw")
+
+    @r.model(materialized="table")
+    def sel_b(ctx):
+        # lazy failure (dep discovery compiles bodies): fires only when
+        # the table materializes, and only while fail["on"]
+        df = ctx.ref("sel_a")
+        if fail["on"]:
+            return df.select("id", F.assert_true(F.col("id") < 0).alias("x"))
+        return df
+
+    @r.model(materialized="table")
+    def sel_out_of_scope(ctx):
+        return ctx.source("raw")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        r.run(select="+sel_b")
+    fail["on"] = False
+    out = r.retry(select="+sel_b")
+    assert "sel_b" in out and "sel_out_of_scope" not in out
+    assert not spark.catalog.tableExists("sel_out_of_scope")

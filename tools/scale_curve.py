@@ -38,12 +38,23 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# id-ish columns to offset per copy so keys stay unique across copies
-# (joins keep working and per-key group sizes stay comparable)
+# id-ish columns to offset per copy so keys stay unique across copies —
+# joins keep working AND per-key group sizes stay comparable: part and
+# supplier replicate with offset keys alongside lineitem's foreign keys,
+# so the corpus gains 10x parts/suppliers rather than every part gaining
+# 10x-deeper lineitem groups (which would hide a super-linear per-key
+# term, the exact class this probe exists to expose). nation/region stay
+# un-replicated (bounded dims), so nationkey FKs are NOT offset.
 OFFSETS = {
     "customer": {"c_custkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "part": {"p_partkey": 10_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 10_000_000},
-    "lineitem": {"l_orderkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
     "events": {"event_id": 10_000_000, "user_id": 10_000_000},
     "documents": {"doc_id": 10_000_000},
     "embeddings": {"vec_id": 10_000_000},

@@ -104,6 +104,14 @@ def main(argv: list[str] | None = None, log=print) -> int:
         help="target-name prefix for `clone`",
     )
     p.add_argument(
+        "--threads",
+        type=int,
+        default=1,
+        help="dbt --threads analog for `run`: build up to N models"
+        " concurrently (whole-DAG runs only — selection/backfill run"
+        " serially)",
+    )
+    p.add_argument(
         "--counts",
         action="store_true",
         help="also count rows of each built model (forces a scan of views)",
@@ -215,7 +223,15 @@ def main(argv: list[str] | None = None, log=print) -> int:
             log("nothing to retry: the previous run completed")
         else:
             write_artifact(prior_select)
+    elif a.threads > 1 and not (a.select or a.event_time_start or a.state):
+        try:
+            built = r.run_threaded(threads=a.threads, full_refresh=a.full_refresh)
+        except Exception:
+            write_artifact(None)
+            raise
     else:
+        if a.threads > 1:
+            log("--threads applies to whole-DAG runs; running serially")
         try:
             built = r.run(
                 full_refresh=a.full_refresh,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -86,9 +87,23 @@ def main() -> int:
     only = set(args[1:])
 
     import __spark_entry__ as e
-    from healthcare_dbt_datamart_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # the DRIVER's harness builds a plain SparkSession (default 200
+        # shuffle partitions, no engine confs) — this mode replicates
+        # that exactly, catching any query that silently depends on
+        # get_spark's tuning (UTC/AQE/partition counts)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from healthcare_dbt_datamart_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -1524,6 +1524,158 @@ def q_member_enrollment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped-revenue orders for one market
+    segment — three-way join with OPPOSITE date filters on the two fact
+    sides (orders before the cutoff, lineitems shipped after), both
+    pushed to their scans; exact-decimal revenue,
+    TakeOrderedAndProject top-k (never a full sort)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cutoff)
+    l = li.filter(F.col("l_shipdate") > cutoff)
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(seg, o["o_custkey"] == seg["c_custkey"], "left_semi")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: the forecast-revenue-change scan — a pure
+    filter+aggregate with EVERY predicate pushed to the parquet scan
+    (year range, discount band, quantity cap); exact-decimal product,
+    one partial-agg reduction, zero joins."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(DEC).between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year and
+    direction — a 5-way join (lineitem→orders→customer plus
+    lineitem→supplier) with the DIRECTED nation-pair predicate applied
+    as an OR across the two broadcast nation dims, grouped by
+    (supp_nation, cust_nation, year)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast(n1), supplier["s_nationkey"] == F.col("_snk"))
+        .join(broadcast(n2), customer["c_nationkey"] == F.col("_cnk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(rev.cast("double").alias("volume"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by RETURNED revenue in one
+    quarter — returnflag filter pushed to the lineitem scan, quarter
+    filter to orders, one (customer, nation) rollup, top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(customer, o["o_custkey"] == customer["c_custkey"])
+        .join(
+            broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("c_custkey", "n_name")
+        .agg(rev.cast("double").alias("returned_revenue"))
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose single ORDER aggregates past a
+    quantity threshold — a grouped HAVING on the fact feeding a
+    semi-join back to the order/customer headers (the classic 'find the
+    whales' two-level aggregation), top-20 by order total."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 270)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup family's terminal resolution: ONE keeper per connected
     near-dup CLUSTER (not per pair — pairwise keep-best over-drops when
@@ -3097,6 +3249,11 @@ QUERIES = {
     "claim_status": q_claim_status,
     "member_enrollment": q_member_enrollment,
     "gap_status_tri": q_gap_status_tri,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
     # -- (3b) rotated out of the window this round; lead round 4 -----------
     # (datediff_age_orders / lang_agreement / split_contamination /
     #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
@@ -5500,4 +5657,84 @@ SELECT * FROM (
   WITH {_gap_status_ctes(CCS_PARAMS, CCS_CODES)}
   SELECT * FROM status
 ) ccs
+"""
+
+_Q_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+)
+
+ORACLE["shipping_priority"] = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       CAST({_Q_REV} AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+  AND o.o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE["nation_trade_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST({_Q_REV} AS DOUBLE) AS volume,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["returned_item_customers"] = f"""
+SELECT c.c_custkey, n.n_name,
+       CAST({_Q_REV} AS DOUBLE) AS returned_revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY 1, 2
+ORDER BY returned_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE["large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 270
+)
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
 """

@@ -3234,10 +3234,15 @@ QUERIES = {
     "pq_topk": q_pq_topk,  # new operator (round 3)
     "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
     # -- (3a) born below the window (added after it filled); lead round 4 --
-    # (Q2/Q11/Q16/Q20 decorrelation shapes: never driver-checked, but the
-    #  window's 50 slots already hold this round's 39 never-checked
-    #  operators + re-verifications; local-replica evidence at
-    #  sf0.001/0.01/0.1 recorded in BASELINE.md until they rotate in.)
+    # (Everything from here to the (3b) marker was born AFTER the window
+    #  filled — Q2/Q3/Q6/Q7/Q10/Q11/Q16/Q18/Q20 shapes, the declared
+    #  claim/member intermediates, the tri-measure config proof, the
+    #  dedup-cluster resolution, cohort retention, token-budget cap.
+    #  Never driver-checked, but the window's 50 slots already hold this
+    #  round's 39 never-checked operators + re-verifications; every one
+    #  has committed local-replica evidence at sf0.001/0.01/0.1 — see
+    #  LOCAL_CORRECTNESS_sf001.json / _sf01.json — until they rotate
+    #  into the round-4 window, which they should LEAD.)
     "cheapest_part_supplier": q_cheapest_part_supplier,
     "part_value_concentration": q_part_value_concentration,
     "supplier_part_variety": q_supplier_part_variety,

@@ -1676,6 +1676,36 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cross-split contamination — the paraphrase-leakage check
+    n-gram decontamination cannot see: embedding near-dup pairs (banded
+    sign-LSH + exact cosine, llmops/similarity.py::near_dup_pairs_lsh)
+    whose members landed in DIFFERENT content-hash splits. The
+    embedding-space sibling of ``split_contamination`` (vec_id is the
+    doc_id in the synthetic star). Same scale shape as the near-dup
+    pipeline: the split labels ride in on two broadcast-able joins over
+    pair ids."""
+    from ..llmops.similarity import near_dup_pairs_lsh
+    from ..llmops.splits import assign_splits
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_lsh(emb, threshold=0.35)
+    splits = assign_splits(docs, "text", "doc_id")
+    return (
+        pairs.join(
+            splits.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}),
+            "id_a",
+        )
+        .join(
+            splits.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "cosine", "split_a", "split_b")
+    )
+
+
 def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup family's terminal resolution: ONE keeper per connected
     near-dup CLUSTER (not per pair — pairwise keep-best over-drops when
@@ -3254,6 +3284,7 @@ QUERIES = {
     "claim_status": q_claim_status,
     "member_enrollment": q_member_enrollment,
     "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
     "shipping_priority": q_shipping_priority,
     "forecast_revenue": q_forecast_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -5742,4 +5773,13 @@ JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 20
+"""
+
+ORACLE["semantic_contamination"] = f"""
+WITH sp AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+SELECT v.id_a, v.id_b, v.cosine, sa.split AS split_a, sb.split AS split_b
+FROM ({_LLM_ORACLE["embedding_near_dup"]}) v
+JOIN sp sa ON sa.doc_id = v.id_a
+JOIN sp sb ON sb.doc_id = v.id_b
+WHERE sa.split != sb.split
 """

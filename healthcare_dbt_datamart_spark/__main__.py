@@ -120,7 +120,15 @@ def main(argv: list[str] | None = None, log=print) -> int:
 
     from .session import get_spark
 
-    spark = get_spark("cli")
+    # STABLE warehouse for the CLI (unlike the per-process temp default,
+    # which exists for test/bench isolation): incremental + snapshot state
+    # must persist across invocations, and `retry` — a new process — reads
+    # succeeded table-backed models back from here. SPARK_WAREHOUSE still
+    # overrides for callers that manage their own catalog location.
+    warehouse = os.environ.get("SPARK_WAREHOUSE") or os.path.abspath(
+        "spark-warehouse"
+    )
+    spark = get_spark("cli", extra_conf={"spark.sql.warehouse.dir": warehouse})
     spark.sparkContext.setLogLevel("ERROR")
     r = _project(a.project, spark, a.sf_dir)
     man = r.manifest()
@@ -193,36 +201,76 @@ def main(argv: list[str] | None = None, log=print) -> int:
     if a.state:
         with open(a.state) as f:
             state = json.load(f)
-    def write_artifact(select: str | None) -> None:
+    def write_artifact(
+        select: str | None,
+        event_time_start: str | None = None,
+        event_time_end: str | None = None,
+        state_path: str | None = None,
+    ) -> None:
         # dbt ALWAYS writes run_results.json, success or failure — the
         # failed run's artifact is precisely what `retry` resumes from.
-        # The invoked selection rides along so retry doesn't rebuild
-        # models the original run deliberately excluded.
+        # The invoked flags ride along (dbt retry reuses ALL prior-
+        # invocation args): the selection so retry doesn't rebuild models
+        # the original run deliberately excluded, the microbatch bounds so
+        # a failed backfill resumes bounded instead of unbounded, and the
+        # state manifest path for state:modified selections.
         if a.artifact:
             with open(a.artifact, "w") as f:
-                json.dump({"results": r.run_results, "select": select}, f, indent=2)
+                json.dump(
+                    {
+                        "results": r.run_results,
+                        "select": select,
+                        "event_time_start": event_time_start,
+                        "event_time_end": event_time_end,
+                        "state": state_path,
+                    },
+                    f,
+                    indent=2,
+                )
             log(f"wrote run artifact: {a.artifact}")
 
     if a.command == "retry":
         # dbt retry: resume from the previous invocation's artifact —
-        # the CLI is per-process, so the failure point comes from the
-        # run_results.json the failed `run --artifact` wrote
+        # the CLI is per-process, so the failure point AND the failed
+        # run's flags come from the run_results.json it wrote
         if not a.artifact:
             log("retry needs --artifact <run_results.json from the failed run>")
+            return 2
+        if a.select or a.event_time_start or a.event_time_end or a.state:
+            # dbt retry takes no selection/backfill flags: it REUSES the
+            # failed invocation's, which ride in the artifact — accepting
+            # fresh ones here would silently retry a different run
+            log(
+                "retry reuses the failed run's --select/--event-time-*/"
+                "--state from the artifact; don't pass them again"
+            )
             return 2
         with open(a.artifact) as f:
             art = json.load(f)
         r.run_results = art["results"]
         prior_select = art.get("select")
+        prior_ets = art.get("event_time_start")
+        prior_ete = art.get("event_time_end")
+        prior_state_path = art.get("state")
+        prior_state = None
+        if prior_state_path:
+            with open(prior_state_path) as f:
+                prior_state = json.load(f)
         try:
-            built = r.retry(select=prior_select, full_refresh=a.full_refresh)
+            built = r.retry(
+                select=prior_select,
+                full_refresh=a.full_refresh,
+                event_time_start=parse_ts(prior_ets),
+                event_time_end=parse_ts(prior_ete),
+                state=prior_state,
+            )
         except Exception:
-            write_artifact(prior_select)
+            write_artifact(prior_select, prior_ets, prior_ete, prior_state_path)
             raise
         if not built:
             log("nothing to retry: the previous run completed")
         else:
-            write_artifact(prior_select)
+            write_artifact(prior_select, prior_ets, prior_ete, prior_state_path)
     elif a.threads > 1 and not (a.select or a.event_time_start or a.state):
         try:
             built = r.run_threaded(threads=a.threads, full_refresh=a.full_refresh)
@@ -241,7 +289,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
                 state=state,
             )
         except Exception:
-            write_artifact(a.select)
+            write_artifact(a.select, a.event_time_start, a.event_time_end, a.state)
             raise
     timing = {res["model"]: res for res in r.run_results}
     for name, df in built.items():
@@ -250,7 +298,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
         suffix = f"  rows={df.count()}" if a.counts else ""
         log(f"OK  {mat:>12}  {name}  {secs:.2f}s{suffix}")
     if a.command != "retry":
-        write_artifact(a.select)
+        write_artifact(a.select, a.event_time_start, a.event_time_end, a.state)
     if a.command == "build":
         # dbt build: models AND their declared schema tests in one
         # invocation; a failing test fails the build (exit 2), like

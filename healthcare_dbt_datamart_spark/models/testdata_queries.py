@@ -1754,21 +1754,22 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     their first-seen WEEK, counted in each later week they return.
     Two passes over one shuffle key (user): first-touch MIN via window,
     then distinct (cohort, offset, user) before the count so a user's
-    many events in a week count once. Weeks are integer epoch-day
-    arithmetic (unix_micros / 86400e6 / 7) — timezone-free on both
-    engines, same discipline as events_sessionize."""
+    many events in a week count once. Weeks are integer epoch-week
+    arithmetic (floor(unix_micros / 604800e6), i.e. epoch-day // 7) —
+    timezone-free on both engines, same discipline as
+    events_sessionize."""
     ev = load(spark, sf_dir, "events")
-    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias("_day")
+    wk = F.floor(F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)).alias("_wk")
     w = Window.partitionBy("user_id")
-    staged = ev.select("user_id", day).withColumn("_cohort", F.min("_day").over(w))
+    staged = ev.select("user_id", wk).withColumn("_cohort", F.min("_wk").over(w))
     return (
         staged.select(
-            F.col("_cohort").alias("cohort_day"),
-            (F.col("_day") - F.col("_cohort")).alias("days_since"),
+            F.col("_cohort").alias("cohort_week"),
+            (F.col("_wk") - F.col("_cohort")).alias("weeks_since"),
             "user_id",
         )
         .distinct()
-        .groupBy("cohort_day", "days_since")
+        .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
@@ -5596,19 +5597,19 @@ FROM ranked WHERE _rn = 1
 """
 
 ORACLE["user_retention_cohorts"] = """
-WITH days AS (
+WITH weeks AS (
   SELECT user_id,
-         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS _day
+         CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS _wk
   FROM events
 ),
 cohorted AS (
-  SELECT user_id, _day,
-         MIN(_day) OVER (PARTITION BY user_id) AS _cohort
-  FROM days
+  SELECT user_id, _wk,
+         MIN(_wk) OVER (PARTITION BY user_id) AS _cohort
+  FROM weeks
 )
-SELECT _cohort AS cohort_day, _day - _cohort AS days_since,
+SELECT _cohort AS cohort_week, _wk - _cohort AS weeks_since,
        COUNT(*) AS n_users
-FROM (SELECT DISTINCT _cohort, _day, user_id FROM cohorted)
+FROM (SELECT DISTINCT _cohort, _wk, user_id FROM cohorted)
 GROUP BY 1, 2
 """
 

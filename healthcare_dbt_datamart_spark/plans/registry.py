@@ -16,6 +16,7 @@ execute an action.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -68,7 +69,14 @@ class ModelRegistry:
         self._sources: dict[str, DataFrame] = {}
         self._freshness: dict[str, dict] = {}
         self._built: dict[str, DataFrame] = {}
-        self._building: list[str] = []
+        # cycle guard is PER-THREAD: run_threaded workers each carry their
+        # own in-flight stack, so only genuine same-thread recursion trips
+        # "model cycle" — a ref deps() did not observe (the documented
+        # runtime-branching case) building concurrently in another worker
+        # must WAIT on the node lock below, not error
+        self._tlocal = threading.local()
+        self._node_locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
         self.full_refresh = False
         self._selected: set[str] | None = None
         self.batch_range: tuple | None = None  # microbatch backfill bounds
@@ -286,8 +294,31 @@ class ModelRegistry:
 
     # -- execution --------------------------------------------------------
 
+    @property
+    def _building(self) -> list[str]:
+        """This THREAD's in-flight model stack (cycle guard). Thread-local
+        so run_threaded workers never see each other's frames: a shared
+        stack made a cross-thread in-flight node look like same-thread
+        recursion and raised a spurious 'model cycle'."""
+        stack = getattr(self._tlocal, "stack", None)
+        if stack is None:
+            stack = self._tlocal.stack = []
+        return stack
+
+    def _node_lock(self, name: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._node_locks.setdefault(name, threading.Lock())
+
     def build(self, name: str) -> DataFrame:
-        """Build one model (and transitively its upstreams), memoized."""
+        """Build one model (and transitively its upstreams), memoized.
+
+        Thread safety: a per-NODE lock serializes concurrent builds of the
+        same model (second arrival waits, then reads the memo), while the
+        per-THREAD ``_building`` stack catches genuine recursion. The
+        scheduler in ``run_threaded`` already releases nodes only when
+        their observed upstreams are memoized, so the lock only matters
+        for refs ``deps()`` could not observe (runtime-branching bodies).
+        """
         if name in self._built:
             return self._built[name]
         if name in self._sources:
@@ -295,6 +326,12 @@ class ModelRegistry:
         if name in self._building:
             cycle = " -> ".join(self._building + [name])
             raise ValueError(f"model cycle: {cycle}")
+        with self._node_lock(name):
+            return self._build_locked(name)
+
+    def _build_locked(self, name: str) -> DataFrame:
+        if name in self._built:  # built by another thread while we waited
+            return self._built[name]
         if (
             self._selected is not None
             and name not in self._selected
@@ -669,11 +706,21 @@ class ModelRegistry:
         view models inline lazily as always.
 
         Pass the FAILED run's flags back in — dbt retry reuses the prior
-        invocation's args, and the artifact alone cannot recover them:
-        in particular, pass its ``select``, or the "no row" rule
-        rebuilds models the original run deliberately excluded (they
-        also have no row). The CLI round-trips the selection through the
-        artifact automatically."""
+        invocation's args: its ``select`` (or the "no row" rule rebuilds
+        models the original run deliberately excluded — they also have
+        no row), its microbatch ``event_time_start``/``event_time_end``
+        (or a failed backfill resumes as an unbounded run), and its
+        ``state`` manifest for ``state:modified`` selections. The CLI
+        round-trips ALL of these through the artifact automatically.
+
+        Cross-PROCESS retry additionally needs a stable warehouse
+        (``SPARK_WAREHOUSE`` or the CLI's ./spark-warehouse default):
+        succeeded table-backed models are READ from the warehouse, and a
+        per-process temp warehouse would have discarded them.
+
+        After the retry, ``run_results`` holds the MERGED artifact: the
+        prior run's success rows for models not re-run plus this run's
+        rows — so a retry-of-a-retry still sees every completed model."""
         if not self.run_results:
             raise RuntimeError(
                 "retry() needs a previous run()'s run_results artifact"
@@ -700,11 +747,36 @@ class ModelRegistry:
             frontier = nxt - downstream
             downstream |= nxt
         todo |= downstream
-        if select is not None:
+        if select in ("state:modified", "state:modified+"):
+            state = run_kwargs.get("state")
+            if state is None:
+                raise ValueError(
+                    "retrying a state:modified run needs the same state"
+                    " manifest the original run used"
+                )
+            sel = self.modified_nodes(state)
+            if select.endswith("+") and sel:
+                sel = set().union(*[self.select_nodes(f"{n}+") for n in sel])
+            todo &= sel
+        elif select is not None:
             todo &= self.select_nodes(select)
         if not todo:
             return {}
-        return self.run(select=todo, **run_kwargs)
+        prior = list(self.run_results)
+        try:
+            return self.run(select=todo, **run_kwargs)
+        finally:
+            # merge, don't overwrite: run() set run_results to just the
+            # retried subset; models that succeeded in the PRIOR run and
+            # were not re-run keep their success rows, so an artifact
+            # written after a failed retry doesn't misclassify them as
+            # never-reached on the next retry
+            have = {r["model"] for r in self.run_results}
+            kept = [
+                r for r in prior
+                if r["status"] == "success" and r["model"] not in have
+            ]
+            self.run_results = kept + self.run_results
 
     def compile(self, name: str) -> DataFrame:
         """Compile-without-running (the reference's ``analyses/`` concept —

@@ -57,9 +57,12 @@ def get_spark(
     # (FAILED_READ_FILE mid-query). A process-unique default keeps every
     # session's managed tables private; callers that genuinely share a
     # catalog across processes pass an explicit dir via SPARK_WAREHOUSE /
-    # extra_conf. Harmless for the driver contract: the driver builds its
-    # own session, and queries resolve the warehouse via
-    # spark.sql.warehouse.dir at run time, wherever it points.
+    # extra_conf — the CLI (__main__.py) does exactly that with a stable
+    # ./spark-warehouse so incremental/snapshot state and `retry`'s
+    # read-back of succeeded tables survive across invocations. Harmless
+    # for the driver contract: the driver builds its own session, and
+    # queries resolve the warehouse via spark.sql.warehouse.dir at run
+    # time, wherever it points.
     warehouse = os.environ.get("SPARK_WAREHOUSE") or _process_warehouse()
     # In local mode the executors share the driver JVM, and Spark's
     # default driver heap is 1g — tight enough that materializing a

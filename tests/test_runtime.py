@@ -1419,8 +1419,12 @@ def test_registry_retry_resumes_from_failure(spark):
         if f.endswith(".parquet")
     ) == a_files
     assert spark.table("t_c").collect()[0]["v2"] == 40
+    # run_results is the MERGED artifact: prior success rows survive for
+    # models the retry didn't touch (dbt retry writes a complete
+    # run_results.json), so a retry-of-a-retry won't misclassify t_a as
+    # never-reached
     statuses = {row["model"]: row["status"] for row in r.run_results}
-    assert statuses == {"t_b": "success", "t_c": "success"}
+    assert statuses == {"t_a": "success", "t_b": "success", "t_c": "success"}
 
 
 def test_registry_retry_requires_prior_run(spark):
@@ -1563,3 +1567,121 @@ def test_registry_retry_respects_prior_selection(spark):
     out = r.retry(select="+sel_b")
     assert "sel_b" in out and "sel_out_of_scope" not in out
     assert not spark.catalog.tableExists("sel_out_of_scope")
+
+
+def test_registry_concurrent_same_node_waits_not_cycle(spark):
+    """The cycle guard is per-THREAD and same-node builds serialize on a
+    node lock: thread B demanding a model that thread A has in flight
+    WAITS for A's build and then reads the memo — the shared-stack
+    implementation used to misread A's in-flight frame as B's own
+    recursion and raise a spurious 'model cycle'."""
+    import threading
+
+    r = ModelRegistry(spark)
+    r.add_source("raw", _df(spark, [(1, 10)], "id long, v long"))
+    started = threading.Event()
+    release = threading.Event()
+    calls = {"base": 0}
+
+    @r.model(materialized="table")
+    def cg_base(ctx):
+        calls["base"] += 1
+        started.set()
+        release.wait(timeout=30)
+        return ctx.source("raw")
+
+    @r.model(materialized="table")
+    def cg_dep(ctx):
+        return ctx.ref("cg_base").withColumn("v2", F.col("v") * 2)
+
+    errs: list[Exception] = []
+
+    def build(name):
+        try:
+            r.build(name)
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errs.append(e)
+
+    ta = threading.Thread(target=build, args=("cg_base",))
+    tb = threading.Thread(target=build, args=("cg_dep",))
+    try:
+        ta.start()
+        assert started.wait(timeout=30)
+        tb.start()  # demands cg_base while A holds it in flight
+        import time as _time
+
+        _time.sleep(0.3)  # let B reach the node-lock wait
+    finally:
+        release.set()
+    ta.join(60)
+    tb.join(60)
+    assert not errs, errs
+    assert calls["base"] == 1  # B read the memo; no double build
+    assert spark.table("cg_dep").collect()[0]["v2"] == 20
+    # genuine same-thread recursion still trips the guard
+    r2 = ModelRegistry(spark)
+
+    @r2.model()
+    def cyc_a(ctx):
+        return ctx.ref("cyc_b")
+
+    @r2.model()
+    def cyc_b(ctx):
+        return ctx.ref("cyc_a")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="model cycle"):
+        r2.build("cyc_a")
+
+
+def test_cli_artifact_roundtrips_invocation_flags(spark, tmp_path):
+    """The run artifact persists the invocation's --select,
+    --event-time-* and --state so `retry` resumes with the SAME flags
+    (dbt retry reuses prior args); retry rejects fresh selection/backfill
+    flags instead of silently diverging from the failed run."""
+    import json as _json
+
+    from healthcare_dbt_datamart_spark.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    art = str(tmp_path / "run_results.json")
+    out: list[str] = []
+    assert (
+        main(
+            [
+                "run", "--project", "corpus_release", "--sf-dir", sf,
+                "--select", "+corpus_quality", "--artifact", art,
+            ],
+            out.append,
+        )
+        == 0
+    )
+    saved = _json.loads(open(art).read())
+    assert saved["select"] == "+corpus_quality"
+    assert set(saved) >= {"results", "select", "event_time_start",
+                          "event_time_end", "state"}
+    assert saved["event_time_start"] is None  # no backfill this run
+    # retry with fresh selection/backfill flags is an ERROR, not a
+    # silent divergence from the failed run's invocation
+    out.clear()
+    rc = main(
+        [
+            "retry", "--project", "corpus_release", "--sf-dir", sf,
+            "--artifact", art, "--event-time-start", "2024-01-01",
+        ],
+        out.append,
+    )
+    assert rc == 2
+    assert any("reuses the failed run's" in line for line in out)
+    # a clean retry of a completed run is a no-op
+    out.clear()
+    assert (
+        main(
+            ["retry", "--project", "corpus_release", "--sf-dir", sf,
+             "--artifact", art],
+            out.append,
+        )
+        == 0
+    )
+    assert any("nothing to retry" in line for line in out)

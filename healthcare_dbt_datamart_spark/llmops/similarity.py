@@ -658,6 +658,16 @@ def kmeans_cells(
         cached.unpersist()
 
 
+def _semantic_salt(n_cells: int, parallelism: int) -> int:
+    """Keeper-side replication factor for ``semantic_dedup``'s pair join:
+    ceil(parallelism / n_cells), floored at 1 — enough salt values that
+    cells × salts covers every core, and exactly 1 once the cell count
+    alone saturates the cluster (replication only costs shuffle bytes
+    then). Pure arithmetic so the policy is unit-testable without a
+    session."""
+    return max(1, -(-parallelism // max(1, n_cells)))
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -713,10 +723,14 @@ def semantic_dedup(
     # repartition on (cell, salt) is exempt from AQE coalescing — the
     # dot products spread across the cluster. Each (keeper, candidate)
     # combination still meets exactly once: at the candidate's own salt.
-    # Measured 1.9x at sf0.1; at production k (thousands of cells) the
-    # salt is harmless and the join parallelizes on cells alone.
-    n_salt = 16
+    # The salt is ADAPTIVE: just enough replication to give every core a
+    # key (measured 1.9x at sf0.1 with 8 cells / 32 cores → salt 4). At
+    # production k (thousands of cells ≥ parallelism) it degrades to 1 —
+    # the join already parallelizes on cells alone, and a fixed factor
+    # would multiply keeper-side shuffle bytes (full embedding vectors)
+    # for nothing.
     n_spread = emb.sparkSession.sparkContext.defaultParallelism
+    n_salt = _semantic_salt(len(centroids), n_spread)
     keep_s = keep.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )

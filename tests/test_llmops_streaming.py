@@ -1001,6 +1001,21 @@ def test_semantic_dedup_drops_within_cell_twins(spark):
     assert semantic_dedup(emb, trained, 1.1).count() == 0
 
 
+def test_semantic_salt_is_adaptive():
+    """The pair-join salt replicates keepers only while the cell count
+    leaves cores idle: ceil(parallelism / n_cells), and exactly 1 once
+    cells >= parallelism — production cell counts (thousands) must not
+    pay a fixed keeper-side shuffle multiplier."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import _semantic_salt
+
+    assert _semantic_salt(8, 32) == 4
+    assert _semantic_salt(1, 32) == 32
+    assert _semantic_salt(32, 32) == 1
+    assert _semantic_salt(1000, 32) == 1  # cells saturate the cluster
+    assert _semantic_salt(5, 32) == 7  # ceil, not floor
+    assert _semantic_salt(0, 32) == 32  # degenerate input stays sane
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -409,6 +409,107 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_trained(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd-TRAINED product-quantization codebooks — the quantizer a
+    production PQ index actually ships: per-subspace k-means on the
+    subvector distribution, seeded from ``pq_codebooks``'s deterministic
+    low-id rule so the whole fit is reproducible. Training against the
+    data (instead of serving the raw seed subvectors as "centroids")
+    is what converts the 32x code compression into usable recall — ADC
+    distances are only as good as the codebook's fit.
+
+    Scale shape — all m subspaces train in the SAME jobs: the working
+    set is one row per (subspace, vector) with only its d/m-dim
+    subvector, so each Lloyd round is ONE map-only assignment pass (the
+    m·k codebooks ride in as a single broadcast data row, exactly
+    ``_pq_cdf``) plus ONE skinny groupBy(s, cell, pos) mean shuffle with
+    full partial aggregation — never m separate fits, never the full
+    vectors. The m·k·(d/m) = k·d mean rows per round are bounded MODEL
+    STATE (driver collect, same carve-out as ``_lloyd_fit``). The
+    subvector frame is persisted across rounds and released on return.
+
+    Determinism across engines (the oracle unrolls these rounds in
+    SQL): assignment argmin is over the raw double d2 — identical
+    left-to-right fold on identical inputs on both engines (the proven
+    ``pq_encode`` convention) — with ties to the lowest code id; the
+    per-dimension means round to 9dp on both engines (the
+    ``embedding_outliers`` discipline) so the next round's codebooks are
+    identical literals. Empty cells keep their previous centroid.
+    """
+    from pyspark import StorageLevel
+
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k, id_col, vec_col)
+    sub = len(books[0][0][1])
+    subs = (
+        emb.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col(vec_col),
+        )
+        .select(
+            "s",
+            F.col(id_col),
+            F.transform(
+                F.slice(F.col(vec_col), F.col("s") * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(n_iter):
+            cands = F.transform(
+                F.element_at("cb", F.col("s") + 1),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sv"), c["cvec"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+            assigned = subs.crossJoin(broadcast(_pq_cdf(spark, books))).select(
+                "s", "sv", F.array_min(cands)["cid"].alias("cell")
+            )
+            means = (
+                assigned.select("s", "cell", F.posexplode("sv"))
+                .groupBy("s", "cell", "pos")
+                .agg(F.round(F.avg("col"), 9).alias("m"))
+                .collect()
+            )
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                acc.setdefault((int(r["s"]), int(r["cell"])), {})[
+                    int(r["pos"])
+                ] = float(r["m"])
+            books = [
+                [
+                    (
+                        cid,
+                        [v for _, v in sorted(acc[(s, cid)].items())]
+                        if (s, cid) in acc
+                        else cv,
+                    )
+                    for cid, cv in book
+                ]
+                for s, book in enumerate(books)
+            ]
+    finally:
+        subs.unpersist()
+    return books
+
+
 def _pq_best_cols(
     vec_col: str, codebooks: list[list[tuple[int, list[float]]]]
 ) -> list[Column]:

@@ -909,40 +909,68 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_pq_books(
+    spark: SparkSession, sf_dir: str, m: int = 8, k: int = 16, n_iter: int = 2
+) -> list:
+    """Session train-once cache for the PQ codebooks (same contract as
+    ``_trained_centroids``): a PQ quantizer is trained ONCE at
+    index-build time and shared by encode, ADC search, re-rank and
+    IVFADC; the fit is deterministic, so reuse cannot change any oracle
+    result."""
+    key = ("pq", sf_dir, m, k, n_iter)
+    if key not in _QUANTIZER_CACHE:
+        from ..llmops.similarity import pq_codebooks_trained
+
+        _QUANTIZER_CACHE[key] = pq_codebooks_trained(
+            load(spark, sf_dir, "embeddings"), m=m, k=k, n_iter=n_iter
+        )
+    return _QUANTIZER_CACHE[key]
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode + reconstruction-error report
     (llmops/similarity.py::pq_encode_report): 64 dims → 8 uint8 codes
     (32x memory compression, the keep-the-index-in-RAM path for ANN at
-    100 TB). Deterministic seed codebooks (16 lowest-id vectors per
-    subspace); map-only, zero shuffle; the oracle re-derives the same
-    codebooks and argmin in SQL."""
+    100 TB). Codebooks are Lloyd-TRAINED per subspace
+    (similarity.py::pq_codebooks_trained, 2 rounds from the
+    deterministic low-id seeds) via the session train-once cache;
+    the encode itself is map-only, zero shuffle; the oracle unrolls the
+    same 2 training rounds and the argmin in SQL."""
     from ..llmops.similarity import pq_encode_report
 
-    return pq_encode_report(load(spark, sf_dir, "embeddings"), m=8, k=16)
+    return pq_encode_report(
+        load(spark, sf_dir, "embeddings"), m=8, k=16,
+        codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
+    )
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 over PQ codes (llmops/similarity.py::pq_topk): exact
     query vs compressed database vectors via per-subspace distance-table
     lookups — the search half of the PQ index, map-only +
-    TakeOrderedAndProject. Oracle re-derives codes and table lookups in
-    SQL."""
+    TakeOrderedAndProject — against the Lloyd-TRAINED codebooks from the
+    session train-once cache. Oracle unrolls the training rounds, then
+    re-derives codes and table lookups in SQL."""
     from ..llmops.similarity import pq_topk
 
-    return pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16)
+    return pq_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16,
+        codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
+    )
 
 
 def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval (llmops/similarity.py::pq_rerank): ADC over PQ
-    codes shortlists 30 candidates, exact cosine re-ranks the shortlist
-    to the final 10 — compressed-index recall with exact-ordering
-    precision; stage 2 touches raw vectors only for the broadcast-size
-    shortlist."""
+    """Two-stage retrieval (llmops/similarity.py::pq_rerank): ADC over
+    Lloyd-trained PQ codes shortlists 30 candidates, exact cosine
+    re-ranks the shortlist to the final 10 — compressed-index recall
+    with exact-ordering precision; stage 2 touches raw vectors only for
+    the broadcast-size shortlist."""
     from ..llmops.similarity import pq_rerank
 
     return pq_rerank(
         load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=30,
         m=8, n_codes=16,
+        codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
     )
 
 
@@ -4755,29 +4783,72 @@ SELECT c_custkey, c_acctbal,
 FROM gone
 """
 
-# pq_encode: PQ seed codebooks + per-subspace argmin re-derived in SQL.
-# Subspace s (0..7) of vector v is v[s*8+1 : s*8+8] (DuckDB list slices
-# are 1-based inclusive); codebook entry cid is seed vector cid's
-# subvector; d2 sums 8 sequential double adds — identical fold order to
-# the Spark aggregate, so round(…, 6) hashes match.
-ORACLE["pq_encode"] = """
-WITH seeds AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         embedding
-  FROM embeddings WHERE vec_id < 16
-),
-subs AS (SELECT unnest(range(8)) AS s),
-cb AS (
-  SELECT s.s, c.cid, c.embedding[s.s*8+1 : s.s*8+8] AS cvec
-  FROM seeds c, subs s
-),
+# PQ Lloyd training unrolled in SQL (mirrors similarity.py::
+# pq_codebooks_trained exactly): psv = every (subspace, vector)
+# subvector in double (DuckDB list slices are 1-based inclusive;
+# subspace s of v is v[s*8+1 : s*8+8]); pcent0 = the low-id seed rule;
+# each round assigns by argmin RAW-double d2 (identical sequential fold
+# on identical inputs — the proven pq_encode convention; ties -> lowest
+# cid) and re-centers on the 9dp-ROUNDED per-dimension mean (the
+# embedding_outliers discipline — makes next round's codebooks identical
+# literals on both engines). Empty cells keep the previous centroid.
+# The final trained books land in CTE ``pcb`` (s, cid, cvec).
+def _pq_lloyd_ctes(n_iter: int, m: int = 8, k: int = 16, sub: int = 8) -> str:
+    parts = [
+        f"""psv AS (
+  SELECT s.s, e.vec_id,
+         list_transform(e.embedding[s.s*{sub}+1 : s.s*{sub}+{sub}],
+                        v -> CAST(v AS DOUBLE)) AS sv
+  FROM embeddings e, (SELECT unnest(range({m})) AS s) s
+)""",
+        f"""pcent0 AS (
+  SELECT s,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+              AS INTEGER) AS cid,
+         sv AS cvec
+  FROM psv WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(n_iter):
+        parts.append(f"""pd{i} AS (
+  SELECT v.s, v.vec_id, c.cid,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (v.sv[i] - c.cvec[i]) * (v.sv[i] - c.cvec[i]))) AS d2
+  FROM psv v JOIN pcent{i} c ON c.s = v.s
+)""")
+        parts.append(f"""pasg{i} AS (
+  SELECT s, vec_id, cid AS cell FROM (
+    SELECT s, vec_id, cid,
+           row_number() OVER (PARTITION BY s, vec_id ORDER BY d2, cid) AS rn
+    FROM pd{i}) WHERE rn = 1
+)""")
+        parts.append(f"""pcent{i + 1} AS (
+  SELECT c.s, c.cid, COALESCE(u.cvec, c.cvec) AS cvec
+  FROM pcent{i} c LEFT JOIN (
+    SELECT s, cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+      SELECT a.s AS s, a.cell, g.pos, round(avg(g.x), 9) AS m
+      FROM (SELECT v.s, v.vec_id,
+                   unnest(range(1, {sub + 1})) AS pos, unnest(v.sv) AS x
+            FROM psv v) g
+      JOIN pasg{i} a ON a.s = g.s AND a.vec_id = g.vec_id
+      GROUP BY a.s, a.cell, g.pos) m3
+    GROUP BY s, cell) u ON u.s = c.s AND u.cid = c.cid
+)""")
+    parts.append(f"pcb AS (SELECT s, cid, cvec FROM pcent{n_iter})")
+    return ",\n".join(parts)
+
+
+# pq_encode: the 2-round per-subspace Lloyd fit unrolled, then the
+# per-subspace argmin against the TRAINED books; d2 sums 8 sequential
+# double adds — identical fold order to the Spark aggregate, so
+# round(…, 6) hashes match.
+ORACLE["pq_encode"] = f"""
+WITH {_pq_lloyd_ctes(2)},
 dists AS (
-  SELECT e.vec_id, c.s, c.cid,
+  SELECT v.vec_id, v.s, c.cid,
          list_sum(list_transform(range(1, 9),
-           i -> (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-              * (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-         )) AS d2
-  FROM embeddings e, cb c
+           i -> (v.sv[i] - c.cvec[i]) * (v.sv[i] - c.cvec[i]))) AS d2
+  FROM psv v JOIN pcb c ON c.s = v.s
 ),
 best AS (
   SELECT vec_id, s, cid, d2,
@@ -4791,30 +4862,19 @@ FROM best WHERE rn = 1
 GROUP BY vec_id
 """
 
-# pq_topk: ADC lookup — codes from the pq_encode argmin, distance from
-# the QUERY's subvector to each vector's chosen centroid, summed over
-# subspaces. Same fold orders as the Spark side; round(…, 6) before the
-# (dist, vec_id) ordering on both engines.
-ORACLE["pq_topk"] = """
-WITH seeds AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         embedding
-  FROM embeddings WHERE vec_id < 16
-),
-subs AS (SELECT unnest(range(8)) AS s),
-cb AS (
-  SELECT s.s, c.cid, c.embedding[s.s*8+1 : s.s*8+8] AS cvec
-  FROM seeds c, subs s
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+# pq_topk: ADC lookup against the trained books — codes from the
+# pq_encode argmin, distance from the QUERY's subvector to each vector's
+# chosen centroid, summed over subspaces. Same fold orders as the Spark
+# side; round(…, 6) before the (dist, vec_id) ordering on both engines.
+ORACLE["pq_topk"] = f"""
+WITH {_pq_lloyd_ctes(2)},
+q AS (SELECT s, sv FROM psv WHERE vec_id = 0),
 dists AS (
-  SELECT e.vec_id, c.s, c.cid,
+  SELECT v.vec_id, v.s, c.cid,
          list_sum(list_transform(range(1, 9),
-           i -> (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-              * (CAST(e.embedding[c.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-         )) AS d2
-  FROM embeddings e, cb c
-  WHERE e.vec_id != 0
+           i -> (v.sv[i] - c.cvec[i]) * (v.sv[i] - c.cvec[i]))) AS d2
+  FROM psv v JOIN pcb c ON c.s = v.s
+  WHERE v.vec_id != 0
 ),
 best AS (
   SELECT vec_id, s, cid,
@@ -4824,11 +4884,10 @@ best AS (
 adc AS (
   SELECT b.vec_id,
          list_sum(list_transform(range(1, 9),
-           i -> (CAST(q.qv[b.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-              * (CAST(q.qv[b.s*8+i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-         )) AS dq
+           i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS dq
   FROM best b
-  JOIN cb c ON c.s = b.s AND c.cid = b.cid, q
+  JOIN pcb c ON c.s = b.s AND c.cid = b.cid
+  JOIN q ON q.s = b.s
   WHERE b.rn = 1
 )
 SELECT vec_id, round(sqrt(SUM(dq)), 6) AS adc_dist

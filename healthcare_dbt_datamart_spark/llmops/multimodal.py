@@ -228,12 +228,115 @@ def resize_images(
     return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+def wav_duration_ms(content: bytes) -> int | None:
+    """REAL audio container metadata via the stdlib ``wave`` parser:
+    duration in ms from the WAV header's frame count / sample rate —
+    no decode of the sample data, exactly what ffprobe does for WAV.
+    None when the payload is not a parseable WAV (callers fall back to
+    the byte-length stub per row, keeping mixed feeds flowing)."""
+    try:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(content))) as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                return None
+            return int(w.getnframes() * 1000 // rate)
+    except Exception:
+        return None
+
+
+def ffprobe_available() -> bool:
+    """Probe for an ffprobe binary on the worker's PATH — the optional
+    real video-container parser (same contract as ``pil_available``:
+    not in this container; a deployment that has it gets real frame
+    counts for free via ``metadata='auto'``)."""
+    import shutil
+
+    return shutil.which("ffprobe") is not None
+
+
+def ffprobe_n_frames(content: bytes) -> int | None:
+    """Real video frame count via ffprobe reading the container from
+    stdin (``-count_packets`` on the first video stream — header-level,
+    no frame decode). None when ffprobe is missing or the payload is
+    not a parseable container."""
+    if not ffprobe_available():
+        return None
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-count_packets", "-show_entries", "stream=nb_read_packets",
+                "-of", "csv=p=0", "-i", "pipe:0",
+            ],
+            input=bytes(content),
+            capture_output=True,
+            timeout=30,
+        )
+        return int(out.stdout.decode().strip())
+    except Exception:
+        return None
+
+
+_METADATA_MODES = ("stub", "auto")
+
+
+def _probed_durations(
+    media: DataFrame, probe, fallback, out_col: str
+) -> DataFrame:
+    """Shared metadata-probe stage for the plan operators: one
+    ``mapInPandas`` pass emitting (media_id, <out_col>) where each row's
+    value comes from the REAL container parser when it succeeds and from
+    the deterministic byte-length ``fallback`` otherwise (per ROW, not
+    per worker — a mixed feed of parseable and opaque payloads keeps
+    flowing). Arrow-batched, projection-pruned to (media_id, content)
+    at the scan, no shuffle."""
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField(out_col, LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = []
+            for c in pdf["content"]:
+                real = probe(c)
+                vals.append(int(real) if real is not None else fallback(c))
+            yield pd.DataFrame({"media_id": pdf["media_id"], out_col: vals})
+
+    return media.select("media_id", "content").mapInPandas(batches, schema)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n: int = 10, metadata: str = "stub"
+) -> DataFrame:
     """Video frame-sampling *plan*: explodes a frame index per media row
     (the decode of each frame is the stubbed step). Demonstrates the
-    fan-out shape: one row per sampled frame, repartitionable downstream."""
-    n_frames = (F.length(F.col("content")) / 1000).cast("long") + 1  # fake fps proxy
-    return media.select(
+    fan-out shape: one row per sampled frame, repartitionable downstream.
+
+    ``metadata='auto'`` reads the REAL frame count from the container
+    header via ffprobe when the binary is on the worker PATH (the
+    ``pil_available`` import-probe pattern), per-row falling back to the
+    byte-length proxy — so 'auto' on a probe-less host is value-identical
+    to 'stub', and the fan-out arithmetic below the probe is the same
+    zero-Python explode either way."""
+    if metadata not in _METADATA_MODES:
+        raise ValueError(f"metadata must be one of {_METADATA_MODES}")
+    if metadata == "auto":
+        base = _probed_durations(
+            media,
+            ffprobe_n_frames,
+            lambda c: len(c) // 1000 + 1,
+            "_nf",
+        )
+        n_frames = F.col("_nf")
+    else:
+        base = media
+        n_frames = (F.length(F.col("content")) / 1000).cast("long") + 1
+    return base.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
     )
@@ -244,27 +347,46 @@ def audio_chunk_plan(
     chunk_ms: int = 30_000,
     overlap_ms: int = 5_000,
     bytes_per_ms: int = 16,
+    metadata: str = "stub",
 ) -> DataFrame:
     """Audio segmentation *plan*: one row per overlapping chunk window
-    over each media row's (stubbed) duration — the ASR/feature-extraction
-    fan-out shape. Duration derives from byte length at a fixed fake
-    bitrate (a real build reads the container header in the decode UDF);
-    chunk boundaries are pure arithmetic, so the fan-out is an explode of
-    a generated sequence — no Python until the per-chunk decode, which is
-    the stubbed step. Output: (media_id, chunk_idx, start_ms, end_ms).
+    over each media row's duration — the ASR/feature-extraction fan-out
+    shape. Chunk boundaries are pure arithmetic, so the fan-out is an
+    explode of a generated sequence — no Python below the metadata
+    probe until the per-chunk decode, which is the stubbed step.
+
+    ``metadata='stub'`` derives duration from byte length at a fixed
+    fake bitrate; ``metadata='auto'`` reads the REAL duration from the
+    WAV header via the stdlib ``wave`` parser (frame count / sample
+    rate — header-only, no sample decode), per-row falling back to the
+    byte-length arithmetic for unparseable payloads, so a mixed feed
+    keeps flowing and 'auto' on opaque bytes is value-identical to
+    'stub'. Output: (media_id, chunk_idx, start_ms, end_ms).
     """
     if overlap_ms >= chunk_ms:
         raise ValueError("overlap must be smaller than the chunk")
-    duration = (F.length(F.col("content")) / bytes_per_ms).cast("long") + 1
+    if metadata not in _METADATA_MODES:
+        raise ValueError(f"metadata must be one of {_METADATA_MODES}")
+    if metadata == "auto":
+        base = _probed_durations(
+            media,
+            wav_duration_ms,
+            lambda c: len(c) // bytes_per_ms + 1,
+            "_dur",
+        )
+        duration = F.col("_dur")
+    else:
+        base = media
+        duration = (F.length(F.col("content")) / bytes_per_ms).cast("long") + 1
     step = chunk_ms - overlap_ms
     starts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(step))
-    return media.select(
+    return base.select(
         "media_id",
         F.posexplode(starts).alias("chunk_idx", "start_ms"),
-        duration.alias("_dur"),
+        duration.alias("_dur2"),
     ).select(
         "media_id",
         "chunk_idx",
         "start_ms",
-        F.least(F.col("start_ms") + chunk_ms, F.col("_dur")).alias("end_ms"),
+        F.least(F.col("start_ms") + chunk_ms, F.col("_dur2")).alias("end_ms"),
     )

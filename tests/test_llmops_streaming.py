@@ -1259,6 +1259,94 @@ def test_audio_chunk_plan_windows(spark, docs):
     assert all(b[1] - a[1] == 1500 for a, b in zip(rows, rows[1:]))
 
 
+def _wav_bytes(n_seconds: float, rate: int = 8000) -> bytes:
+    """A real (silent) mono 16-bit WAV built with the stdlib writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * int(n_seconds * rate))
+    return buf.getvalue()
+
+
+def test_audio_chunk_plan_auto_reads_real_wav_header(spark):
+    """metadata='auto': a REAL WAV payload's duration comes from the
+    container header (frames/rate via the stdlib wave parser), while an
+    opaque payload in the SAME feed falls back per-row to the byte-length
+    stub — so 'auto' degrades to exactly the 'stub' values, and mixed
+    feeds keep flowing."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import (
+        audio_chunk_plan,
+        wav_duration_ms,
+    )
+
+    wav = _wav_bytes(3.2)                 # header says 3200 ms
+    assert wav_duration_ms(wav) == 3200
+    opaque = b"not-an-audio-container" * 40   # 880 bytes
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "{}"), (2, "audio", bytearray(opaque), "{}")],
+        "media_id long, media_type string, content binary, meta string",
+    )
+    out = {
+        r.media_id: r
+        for r in audio_chunk_plan(
+            media, chunk_ms=2000, overlap_ms=500, bytes_per_ms=1, metadata="auto"
+        ).collect()
+        if r.chunk_idx == 0
+    }
+    n_chunks = {
+        r.media_id
+        for r in audio_chunk_plan(
+            media, chunk_ms=2000, overlap_ms=500, bytes_per_ms=1, metadata="auto"
+        ).collect()
+    }
+    assert n_chunks == {1, 2}
+    # real header duration: first window is a full 2000ms chunk of 3200
+    assert (out[1].start_ms, out[1].end_ms) == (0, 2000)
+    # opaque payload: identical to the stub arithmetic (len//1 + 1 = 881)
+    assert (out[2].start_ms, out[2].end_ms) == (0, 881)
+    stub = {
+        (r.media_id, r.chunk_idx, r.start_ms, r.end_ms)
+        for r in audio_chunk_plan(
+            media.filter("media_id = 2"),
+            chunk_ms=2000, overlap_ms=500, bytes_per_ms=1, metadata="stub",
+        ).collect()
+    }
+    auto = {
+        (r.media_id, r.chunk_idx, r.start_ms, r.end_ms)
+        for r in audio_chunk_plan(
+            media.filter("media_id = 2"),
+            chunk_ms=2000, overlap_ms=500, bytes_per_ms=1, metadata="auto",
+        ).collect()
+    }
+    assert auto == stub
+
+
+def test_frame_sample_plan_auto_falls_back_without_ffprobe(spark, docs):
+    """metadata='auto' on a host without ffprobe (this container) is
+    value-identical to the stub plan — the probe degrades per the
+    pil_available pattern instead of erroring."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import (
+        frame_sample_plan,
+        text_as_media,
+    )
+
+    media = text_as_media(docs, "text", "doc_id")
+    stub = {
+        (r.media_id, r.frame_idx)
+        for r in frame_sample_plan(media, every_n=7).collect()
+    }
+    auto = {
+        (r.media_id, r.frame_idx)
+        for r in frame_sample_plan(media, every_n=7, metadata="auto").collect()
+    }
+    assert auto == stub and len(stub) > 0
+
+
 def test_streaming_ann_ingest_matches_batch_assignment(spark, tmp_path):
     """The streaming cell-assignment must be the batch ivf_assign,
     batch-for-batch: same trained centroids, same cells, same sims."""

@@ -138,16 +138,17 @@ def build_datamart(
         # the fact's grain is the DISTINCT claim line: an at-least-once
         # feed redelivers byte-identical lines (the driver testdata
         # contains such collisions), and indistinguishable rows carry no
-        # information — dedup to grain, then key over ALL grain columns
-        # so claim_sk is unique BY CONSTRUCTION (the declared unique test
-        # below is the proof, not the hope)
-        grain = flagged.select(
-            "claim_id",
-            "member_id",
-            "service_date",
-            "proc_code",
-            F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
-        ).distinct()
+        # information — dedup to grain (groupBy the 4 grain columns +
+        # max(flag): the flag is functionally dependent on proc_code, so
+        # this equals the 5-wide DISTINCT with one fewer column through
+        # the shuffle), then key over ALL grain columns so claim_sk is
+        # unique BY CONSTRUCTION (the declared unique test below is the
+        # proof, not the hope)
+        grain = flagged.groupBy(
+            "claim_id", "member_id", "service_date", "proc_code"
+        ).agg(
+            F.max(F.coalesce("is_screening", F.lit(0))).alias("is_screening")
+        )
         return audit_columns(
             grain.select(
                 surrogate_key(

@@ -186,6 +186,43 @@ def probe_pushdown(spark, sf_dir):
     }
 
 
+def probe_shared_exchange(spark, sf_dir):
+    """One explicit hash partitioning serves BOTH aggregations when the
+    repartition key is a subset of every downstream grouping key —
+    member_cost_summary's shape: repartition(member_id) → grain-dedup
+    DISTINCT (member_id ∈ grain) → member rollup. The 'wrong' layout
+    (no repartition) pays one exchange per aggregation. Asserted on the
+    Exchange count, which is the property the 100 TB claim rests on:
+    the claims fact crosses the network once, not twice."""
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _screening_flagged_claims,
+    )
+
+    def rollup(flagged):
+        grain = flagged.select(
+            "claim_id", "member_id", "service_date", "proc_code"
+        ).distinct()
+        return grain.groupBy("member_id").agg(
+            F.count(F.lit(1)).alias("n_claims"),
+            F.min("service_date").alias("first_service_date"),
+        )
+
+    _, flagged = _screening_flagged_claims(spark, sf_dir)
+    flagged.write.format("noop").mode("overwrite").save()  # warm the lineage
+    right = rollup(flagged.repartition("member_id"))
+    wrong = rollup(flagged)
+    n_right = _plan(right).count("Exchange hashpartitioning")
+    n_wrong = _plan(wrong).count("Exchange hashpartitioning")
+    holds = n_right == 1 and n_wrong == 2
+    return {
+        "probe": "shared_exchange_subset_key",
+        "property_holds": bool(holds),
+        "right_sec": _time(right),
+        "wrong_sec": _time(wrong),
+        "detail": f"hash exchanges: repartitioned={n_right} naive={n_wrong}",
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -198,6 +235,7 @@ def main() -> int:
         probe_partition_pruning,
         probe_bucketed_join,
         probe_broadcast_join,
+        probe_shared_exchange,
     ):
         r = probe(spark, sf_dir)
         ok = ok and r["property_holds"]

@@ -6,7 +6,10 @@ a query-id sample at the given sf and reports mean recall@10 and the
 fraction of the corpus each method actually scans:
 
 - ivf(nprobe=p): trained coarse quantizer, scan ~p/n_centroids of rows
-- pq_adc(shortlist=s): compressed-domain shortlist, re-rank s raw rows
+- pq_adc(shortlist=s): compressed-domain shortlist (seeded vs Lloyd-
+  TRAINED codebooks reported separately), re-rank s raw rows
+- ivfadc: trained coarse probe + trained-ADC within probed cells +
+  exact re-rank — the composed production index
 - lsh buckets are pair-oriented (dedup), not top-k — not probed here
 
     python tools/ann_recall.py [sf_dir] [n_queries]
@@ -28,7 +31,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from healthcare_dbt_datamart_spark.llmops.similarity import (  # noqa: E402
     cosine_topk,
     ivf_topk,
+    ivfadc_topk,
     kmeans_lloyd,
+    pq_codebooks_trained,
     pq_rerank,
     pq_topk,
 )
@@ -78,12 +83,27 @@ def main() -> int:
             ),
             round(nprobe / 8, 3),
         )
-    report("pq_adc(no rerank)", lambda q: pq_topk(emb, q, k), 0.0)
+    books = pq_codebooks_trained(emb, m=8, k=16, n_iter=2)
+    report("pq_adc(seeded books)", lambda q: pq_topk(emb, q, k), 0.0)
+    report(
+        "pq_adc(trained books)",
+        lambda q: pq_topk(emb, q, k, codebooks=books),
+        0.0,
+    )
     for s in (20, 50):
         report(
-            f"pq_adc+rerank(shortlist={s})",
-            lambda q, s_=s: pq_rerank(emb, q, k, shortlist=s_),
+            f"pq_adc+rerank(shortlist={s}, trained)",
+            lambda q, s_=s: pq_rerank(emb, q, k, shortlist=s_, codebooks=books),
             round(s / n, 4),
+        )
+    for nprobe in (2, 4):
+        report(
+            f"ivfadc(nprobe={nprobe}/8, shortlist=50, trained)",
+            lambda q, p=nprobe: ivfadc_topk(
+                emb, q, k, shortlist=50, n_centroids=8, nprobe=p,
+                centroids=trained, codebooks=books,
+            ),
+            round(nprobe / 8, 3),
         )
     return 0
 

@@ -448,3 +448,109 @@ def exact_substr_coverage(
         ).alias("coverage_ratio"),
         F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
     )
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the surgery half of Lee et al.
+    arXiv:2107.06499's ExactSubstr dedup; ``exact_substr_coverage`` is
+    the report half): every maximal span of length >= ``min_len`` that
+    also occurs verbatim in a LOWER-id document is cut from this
+    document's text, so exactly one copy of each shared span survives
+    in the corpus — the canonical-keeper rule is the hash's minimum doc
+    id, deterministic on both engines. Intra-document self-repetition
+    is deliberately out of scope (that's ``repetition_report``'s job);
+    a doc never cuts spans it is the canonical holder of.
+
+    Plan shape: the SAME one-pass window/hash/min-over-hash pipeline as
+    the coverage report (~32x corpus-bytes shuffle on the hash — the
+    intrinsic ExactSubstr cost, per-shard at 100 TB), then per-doc
+    gaps-and-islands merge, then ONE join of the merged removal islands
+    (grouped to a sorted array, bounded by spans-per-doc) back to the
+    doc scan, and the kept text is rebuilt by a single JVM-side
+    ``aggregate`` over the islands array — substring concatenation in
+    codegen, no Python, no explode of the text.
+
+    Returns ``(id, n_chars, removed_chars, n_cuts, text_deduped)``;
+    docs with nothing to cut pass through byte-identical.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("n_chars")
+    )
+    src = base.filter(F.length("_t") >= min_len)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    windows = src.select(
+        F.col(id_col),
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (min_len - 1))).alias("_i"),
+    ).select(
+        F.col(id_col),
+        (F.col("_i") - 1).alias("pos"),
+        F.md5(F.expr(f"substring(_t, _i, {int(min_len)})")).alias("h"),
+    )
+
+    # a position is removable iff SOME lower-id doc holds the same
+    # window: min-over-hash window annotation (one exchange, no
+    # join-back re-hash — the coverage operator's measured-2x argument)
+    w_h = Window.partitionBy("h")
+    spans = (
+        windows.withColumn("_lo", F.min(F.col(id_col)).over(w_h))
+        .filter(F.col(id_col) > F.col("_lo"))
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + min_len).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islanded = spans.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_new").over(w_ord))
+    merged = islanded.groupBy(id_col, "_isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    cuts = merged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ms"), F.col("me")))
+        ).alias("_cuts")
+    )
+
+    txt = F.col("_t")
+    joined = base.join(cuts, id_col, "left").withColumn(
+        "_cuts", F.coalesce("_cuts", F.array())
+    )
+    # fold over the removal islands: carry (chars kept so far, cursor);
+    # each island appends the text between the cursor and its start;
+    # finish appends the tail after the last island. Cursor arithmetic
+    # is 0-based; Column.substr is 1-based.
+    rebuilt = F.aggregate(
+        F.col("_cuts"),
+        F.struct(F.lit("").alias("acc"), F.lit(0).alias("cur")),
+        lambda a, c: F.struct(
+            F.concat(a["acc"], txt.substr(a["cur"] + 1, c["ms"] - a["cur"])).alias(
+                "acc"
+            ),
+            c["me"].alias("cur"),
+        ),
+        lambda a: F.concat(
+            a["acc"], txt.substr(a["cur"] + 1, F.col("n_chars") - a["cur"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        "n_chars",
+        F.aggregate(
+            F.col("_cuts"), F.lit(0), lambda a, c: a + (c["me"] - c["ms"])
+        ).cast("bigint").alias("removed_chars"),
+        F.size("_cuts").cast("bigint").alias("n_cuts"),
+        rebuilt.alias("text_deduped"),
+    )

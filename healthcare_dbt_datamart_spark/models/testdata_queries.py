@@ -2918,6 +2918,24 @@ def q_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (llmops/dedup.py::exact_substr_dedup —
+    the surgery half of arXiv:2107.06499, where substr_coverage is the
+    report half): every maximal >= 30-char span also present in a
+    lower-id document is cut, keeping exactly one corpus copy of each
+    shared span; kept text is rebuilt by a JVM-side fold over the
+    removal islands. Only docs that actually lost characters are
+    returned (the pass-through tail carries no information; the oracle
+    mirrors the filter), with the rebuilt text hash-compared
+    byte-for-byte."""
+    from ..llmops.dedup import exact_substr_dedup
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return exact_substr_dedup(docs, "text", "doc_id", 30).filter(
+        F.col("removed_chars") > 0
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-merge training + vocab audit (llmops/bpe.py,
     Sennrich arXiv:1508.07909): 3 merge rounds learned over the
@@ -3303,8 +3321,8 @@ QUERIES = {
     "pq_topk": q_pq_topk,  # Lloyd-trained books (was seeded)
     "pq_rerank": q_pq_rerank,  # Lloyd-trained books (was seeded)
     "semantic_dedup": q_semantic_dedup,  # adaptive pair-join salt
-    "fct_claims": q_fct_claims,  # grain-dedup shape revisit
-    "member_cost_summary": q_member_cost_summary,  # downstream of ^
+    "exact_substr_dedup": q_exact_substr_dedup,  # new operator this round
+    "member_cost_summary": q_member_cost_summary,  # grain-dedup revisit
     # -- (3) newest driver green is ROUND 1 (oldest evidence first) -------
     "datediff_age_orders": q_datediff_age_orders,
     "lang_agreement": q_lang_agreement,
@@ -3375,6 +3393,12 @@ QUERIES = {
     "except_fn": q_except_fn,
     "test_harness_orders": q_test_harness_orders,
     "scd2_hard_delete": q_scd2_hard_delete,
+    # fct_claims yielded its window slot to exact_substr_dedup: its r3
+    # green is age-1 (no flag), the round-4 grain-dedup change is
+    # hash-identical and locally verified at sf0.001/0.01/0.1 + vanilla,
+    # and member_cost_summary exercises the same grain-dedup path
+    # in-window this round
+    "fct_claims": q_fct_claims,
     "near_dup_clusters": q_near_dup_clusters,
     "kmeans_cells": q_kmeans_cells,
     "ivf_topk": q_ivf_topk,
@@ -5093,6 +5117,58 @@ SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_chars,
        CAST(count(*) AS BIGINT) AS n_spans
 FROM m JOIN base b USING (doc_id)
 GROUP BY b.doc_id, b.n
+"""
+
+# exact_substr_dedup: same hashed-window pipeline, removal rule = doc_id
+# above the hash's MIN doc (one canonical corpus copy survives), islands
+# merged per doc, kept text rebuilt from the COMPLEMENT segments
+# (lag(me) → segment [prev_end, ms)) + the tail after the last island,
+# string_agg'ed in position order — byte-identical to the Spark fold.
+ORACLE["exact_substr_dedup"] = """
+WITH base AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos, md5(substr(t, u.i, 30)) AS h
+  FROM base, UNNEST(generate_series(1, n - 29)) AS u(i)
+  WHERE n >= 30
+),
+lo AS (SELECT doc_id, pos, MIN(doc_id) OVER (PARTITION BY h) AS lo FROM w),
+sp AS (SELECT doc_id, pos AS s, pos + 30 AS e FROM lo WHERE doc_id > lo),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM sp),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS g
+  FROM flag),
+m AS (SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         COALESCE(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) AS ks,
+         ms AS ke
+  FROM m
+  UNION ALL
+  SELECT m2.doc_id, max(m2.me) AS ks, any_value(b.n) AS ke
+  FROM m m2 JOIN base b USING (doc_id) GROUP BY m2.doc_id
+),
+rebuilt AS (
+  SELECT s.doc_id,
+         string_agg(substr(b.t, s.ks + 1, s.ke - s.ks), '' ORDER BY s.ks) AS txt
+  FROM segs s JOIN base b USING (doc_id)
+  GROUP BY s.doc_id
+),
+cut AS (
+  SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS removed_chars,
+         CAST(count(*) AS BIGINT) AS n_cuts
+  FROM m GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_chars,
+       c.removed_chars, c.n_cuts, r.txt AS text_deduped
+FROM cut c JOIN base b USING (doc_id) JOIN rebuilt r USING (doc_id)
+WHERE c.removed_chars > 0
 """
 
 

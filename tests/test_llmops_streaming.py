@@ -689,6 +689,34 @@ def test_exact_substr_coverage(spark):
     assert out[1].coverage_ratio == round(40 / out[1].n_chars, 6)
 
 
+def test_exact_substr_dedup_cuts_only_non_canonical(spark):
+    """ExactSubstr removal: the LOWEST-id holder of a shared span keeps
+    its text byte-identical; every higher-id holder loses exactly the
+    maximal shared span (boundary chars shared by accident extend it —
+    the criterion is exact); unique docs pass through untouched; the
+    rebuilt text stitches the kept segments in order."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import exact_substr_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    rows = [
+        (1, "AAAA-" + shared + "-BBBB"),
+        (2, "CCCC_" + shared + "_DDDD"),
+        (3, "completely unique text with no duplicated spans at all here"),
+        (4, "EEEE=" + shared + "=FFFF" + "$padding$" + shared + "@tail@"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substr_dedup(df, "text", "doc_id", 30).collect()}
+    # canonical holder (lowest id): untouched
+    assert out[1].removed_chars == 0 and out[1].text_deduped == rows[0][1]
+    # higher-id holder: exactly the 44 shared chars cut, context kept
+    assert out[2].removed_chars == 44 and out[2].n_cuts == 1
+    assert out[2].text_deduped == "CCCC__DDDD"
+    assert out[3].removed_chars == 0 and out[3].text_deduped == rows[2][1]
+    # two occurrences in one doc -> two cuts, both stitched out
+    assert out[4].n_cuts == 2 and out[4].removed_chars == 88
+    assert out[4].text_deduped == "EEEE==FFFF$padding$@tail@"
+
+
 def test_bpe_train_matches_reference(spark):
     """bpe_train must reproduce the classic BPE algorithm exactly:
     word-frequency dict, argmax pair per round (freq desc, pair asc),

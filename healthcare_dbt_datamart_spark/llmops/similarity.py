@@ -1077,3 +1077,127 @@ def ivfadc_topk(
         return out.localCheckpoint(eager=True)
     finally:
         cached.unpersist()
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    table: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFADC serving index: one row per vector with its
+    coarse cell and per-subspace PQ codes, written PARTITIONED BY (cell)
+    — the index-build half of the deployment split ``ivfadc_topk``'s
+    docstring promises. The raw vector column stays OUT of the index
+    (m uint8-range ints per row ≈ the 32x compression on disk too);
+    re-rank reads the source table for the shortlist only.
+
+    At 100 TB this is the once-per-build job: one map-only pass
+    (assignment + encode against broadcast quantizers, zero shuffle
+    before the partitioned write), and every query after is partition
+    pruning + a codes-only scan of ~nprobe/n_centroids of the rows."""
+    spark = emb.sparkSession
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    staged = assigned.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
+        F.col(id_col), F.col("cell"), *_pq_best_cols(vec_col, codebooks)
+    )
+    codes = F.array(
+        *[F.col(f"_b{s}.cid") for s in range(len(codebooks))]
+    ).alias("codes")
+    (
+        staged.select(F.col(id_col), codes, F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def ivfadc_topk_indexed(
+    emb: DataFrame,
+    table: str,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 30,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVFADC query against the MATERIALIZED index table: probe
+    selection on driver-side model state, a codes-only scan of the
+    probed cells (the cell filter is PARTITION PRUNING on the
+    ``build_ivfpq_index`` layout — asserted in the parity test), ADC by
+    per-subspace distance-table lookups on the stored codes, exact
+    cosine re-rank of the shortlist against the source vectors.
+    Row-for-row identical to the in-plan ``ivfadc_topk`` (same rounding
+    and tie rules); the difference is WHERE the codes come from — the
+    32x-smaller index table instead of an in-flight encode."""
+    spark = emb.sparkSession
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .collect()[0][0]
+    ]
+    qn = _py_norm(qvec)
+
+    def cos(cv: list[float]) -> float:
+        return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
+        )
+    ][:nprobe]
+
+    sub = len(codebooks[0][0][1])
+    dt = [
+        [
+            sum(
+                (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
+                for i in range(sub)
+            )
+            for _cid, cv in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
+
+    scan = spark.table(table).filter(
+        F.col("cell").isin(probes) & (F.col(id_col) != query_id)
+    )
+    lookups = [
+        F.element_at(
+            F.element_at("dt", s + 1), F.element_at("codes", s + 1) + 1
+        )
+        for s in range(len(codebooks))
+    ]
+    total = lookups[0]
+    for term in lookups[1:]:
+        total = total + term
+    short = (
+        scan.crossJoin(broadcast(ddf))
+        .select(id_col, "cell", F.round(F.sqrt(total), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        emb.join(broadcast(short), id_col)
+        .select(
+            id_col,
+            "cell",
+            "adc_dist",
+            F.round(
+                _dot(F.col(vec_col), _lit_vec(qvec))
+                / (_norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1206,6 +1206,54 @@ def test_pq_trained_codebooks_beat_seed_adc_recall(spark):
     assert recall(trained) >= 0.9
 
 
+def test_ivfpq_index_probe_matches_inplan_and_prunes(spark):
+    """The materialized IVFADC serving split: build_ivfpq_index writes
+    the codes table PARTITIONED BY (cell); ivfadc_topk_indexed must be
+    row-for-row identical to the in-plan ivfadc_topk (same quantizers,
+    same rounding/tie rules) AND its probed scan must show partition
+    pruning — the plan property the 100 TB serving story rests on."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        ivfadc_topk,
+        ivfadc_topk_indexed,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1.0, 16)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=4, n_iter=2)
+    books = pq_codebooks_trained(emb, m=2, k=4, n_iter=2)
+
+    name = "ivfpq_codes_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        build_ivfpq_index(emb, name, cents, books)
+        # the index stores codes, never raw vectors
+        assert set(spark.table(name).columns) == {"vec_id", "codes", "cell"}
+        inplan = ivfadc_topk(
+            emb, query_id=3, k=5, shortlist=15, n_centroids=4, nprobe=2,
+            m=2, n_codes=4, centroids=cents, codebooks=books,
+        ).collect()
+        indexed_df = ivfadc_topk_indexed(
+            emb, name, query_id=3, k=5, shortlist=15, nprobe=2,
+            centroids=cents, codebooks=books,
+        )
+        indexed = indexed_df.collect()
+        assert [tuple(r) for r in indexed] == [tuple(r) for r in inplan]
+        plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_streaming_best_evidence_upgrades_winner(spark, tmp_path):
     """Dynamic-table analog on the flagship shape: per-member best
     evidence maintained incrementally; a later batch with more durable

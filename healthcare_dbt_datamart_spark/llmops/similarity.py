@@ -1086,6 +1086,7 @@ def build_ivfpq_index(
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Materialize the IVFADC serving index: one row per vector with its
     coarse cell and per-subspace PQ codes, written PARTITIONED BY (cell)
@@ -1094,14 +1095,27 @@ def build_ivfpq_index(
     (m uint8-range ints per row ≈ the 32x compression on disk too);
     re-rank reads the source table for the shortlist only.
 
+    ``residual=True`` is the paper's variant (Jégou et al. §III): PQ
+    encodes r = x − q1(x), so the codebooks spend their budget on the
+    WITHIN-cell structure the coarse quantizer already removed — pass
+    ``codebooks`` trained on ``ivf_residuals`` output. The probe side
+    then needs per-CELL distance tables (``ivfadc_topk_indexed``
+    residual mode); everything else — layout, pruning, codes-only scan —
+    is identical.
+
     At 100 TB this is the once-per-build job: one map-only pass
     (assignment + encode against broadcast quantizers, zero shuffle
     before the partitioned write), and every query after is partition
     pruning + a codes-only scan of ~nprobe/n_centroids of the rows."""
     spark = emb.sparkSession
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    staged = assigned.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
-        F.col(id_col), F.col("cell"), *_pq_best_cols(vec_col, codebooks)
+    if residual:
+        enc = ivf_residuals(emb, centroids, id_col, vec_col)
+        enc_col = "residual"
+    else:
+        enc = ivf_assign(emb, centroids, id_col, vec_col)
+        enc_col = vec_col
+    staged = enc.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
+        F.col(id_col), F.col("cell"), *_pq_best_cols(enc_col, codebooks)
     )
     codes = F.array(
         *[F.col(f"_b{s}.cid") for s in range(len(codebooks))]
@@ -1126,6 +1140,7 @@ def ivfadc_topk_indexed(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC query against the MATERIALIZED index table: probe
     selection on driver-side model state, a codes-only scan of the
@@ -1133,9 +1148,17 @@ def ivfadc_topk_indexed(
     ``build_ivfpq_index`` layout — asserted in the parity test), ADC by
     per-subspace distance-table lookups on the stored codes, exact
     cosine re-rank of the shortlist against the source vectors.
-    Row-for-row identical to the in-plan ``ivfadc_topk`` (same rounding
-    and tie rules); the difference is WHERE the codes come from — the
-    32x-smaller index table instead of an in-flight encode."""
+    Raw mode is row-for-row identical to the in-plan ``ivfadc_topk``
+    (same rounding and tie rules); the difference is WHERE the codes
+    come from — the 32x-smaller index table instead of an in-flight
+    encode.
+
+    ``residual=True`` matches a ``residual=True`` build: the distance
+    tables become PER-CELL — dt_c[s][j] = ‖(q − c_cell)_s − cvec_{s,j}‖²
+    — nprobe·m·n_codes doubles of driver model state (non-probed cells
+    carry empty slots in the broadcast array; their partitions are
+    pruned before any lookup), which is exactly how the paper's IVFADC
+    serves: one table set per probed cell, computed once per query."""
     spark = emb.sparkSession
     qvec = [
         float(x)
@@ -1156,24 +1179,40 @@ def ivfadc_topk_indexed(
     ][:nprobe]
 
     sub = len(codebooks[0][0][1])
-    dt = [
-        [
-            sum(
-                (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
-                for i in range(sub)
-            )
-            for _cid, cv in book
+
+    def _tables(qv: list[float]) -> list[list[float]]:
+        return [
+            [
+                sum(
+                    (qv[s * sub + i] - cv[i]) * (qv[s * sub + i] - cv[i])
+                    for i in range(sub)
+                )
+                for _cid, cv in book
+            ]
+            for s, book in enumerate(codebooks)
         ]
-        for s, book in enumerate(codebooks)
-    ]
-    ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
 
     scan = spark.table(table).filter(
         F.col("cell").isin(probes) & (F.col(id_col) != query_id)
     )
+    if residual:
+        # per-cell tables against the query's residual to that cell;
+        # dense array indexed by cell id, empty for non-probed cells
+        cmap = {cid: [float(x) for x in cv] for cid, cv in centroids}
+        n_cells = max(cmap) + 1
+        dts: list[list[list[float]]] = [[] for _ in range(n_cells)]
+        for cid in probes:
+            dts[cid] = _tables([q - c for q, c in zip(qvec, cmap[cid])])
+        ddf = spark.createDataFrame(
+            [(dts,)], "dtc array<array<array<double>>>"
+        )
+        dt_for_row = F.element_at("dtc", F.col("cell") + 1)
+    else:
+        ddf = spark.createDataFrame([(_tables(qvec),)], "dt array<array<double>>")
+        dt_for_row = F.col("dt")
     lookups = [
         F.element_at(
-            F.element_at("dt", s + 1), F.element_at("codes", s + 1) + 1
+            F.element_at(dt_for_row, s + 1), F.element_at("codes", s + 1) + 1
         )
         for s in range(len(codebooks))
     ]
@@ -1200,4 +1239,35 @@ def ivfadc_topk_indexed(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, residual) where residual = v − its coarse centroid —
+    the encoding input of RESIDUAL IVFADC (Jégou et al. §III: quantize
+    r = x − q1(x), not x). One map-only pass: the assignment and the
+    subtraction share the same broadcast centroid array; residuals come
+    out as double arrays ready for ``pq_codebooks_trained`` (rename the
+    column and the same per-subspace Lloyd trains residual books)."""
+    spark = emb.sparkSession
+    cents = sorted(centroids)
+    cdata = [[float(x) for x in cv] for _cid, cv in cents]
+    assert [cid for cid, _ in cents] == list(range(len(cents))), (
+        "residual path expects dense 0..k-1 centroid ids"
+    )
+    cdf = spark.createDataFrame([(cdata,)], "cvecs array<array<double>>")
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return assigned.crossJoin(broadcast(cdf)).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at("cvecs", F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("residual"),
     )

@@ -1254,6 +1254,84 @@ def test_ivfpq_index_probe_matches_inplan_and_prunes(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_residual_encoding_beats_raw_when_cells_outnumber_codes(spark):
+    """Residual IVFADC (Jégou et al. §III — PQ encodes r = x − q1(x)):
+    with 6 coarse cells but only 4 PQ codes per subspace, raw-vector
+    books CANNOT cover the blob positions (recon error ~ blob
+    separation) while residual books only need to cover the zero-
+    centered within-cell jitter — reconstruction error must drop by at
+    least 2x. Also pins the residual serving plumbing: a residual-built
+    index probed with per-cell distance tables returns EXACTLY the
+    in-cell exact top-k when the shortlist covers the probed cell
+    (the ADC stage then only orders candidates into the re-rank, which
+    is exact), and the probed scan partition-prunes."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivf_assign,
+        ivf_residuals,
+        ivfadc_topk_indexed,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+        pq_encode_report,
+    )
+
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    rng = np.random.RandomState(3)
+    dirs = np.zeros((6, 16))
+    for b in range(6):
+        dirs[b, b * 2] = 10.0
+    rows = [
+        (i, [float(x) for x in dirs[i % 6] + rng.normal(0, 0.3, 16)])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=6, n_iter=3)
+    raw_books = pq_codebooks_trained(emb, m=2, k=4, n_iter=3)
+    res = ivf_residuals(emb, cents).withColumnRenamed("residual", "embedding")
+    res_books = pq_codebooks_trained(res, m=2, k=4, n_iter=3)
+
+    raw_err = (
+        pq_encode_report(emb, m=2, k=4, codebooks=raw_books)
+        .agg(SF.avg("recon_err"))
+        .first()[0]
+    )
+    res_err = (
+        pq_encode_report(res, m=2, k=4, codebooks=res_books)
+        .agg(SF.avg("recon_err"))
+        .first()[0]
+    )
+    assert res_err * 2 < raw_err
+
+    name = "ivfpq_residual_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        build_ivfpq_index(emb, name, cents, res_books, residual=True)
+        out_df = ivfadc_topk_indexed(
+            emb, name, query_id=7, k=5, shortlist=90, nprobe=1,
+            centroids=cents, codebooks=res_books, residual=True,
+        )
+        got = [(r.vec_id, r.cosine) for r in out_df.collect()]
+        # shortlist covers the whole probed cell -> exact re-rank makes
+        # the result the exact top-k restricted to the query's cell
+        cellmap = {
+            r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()
+        }
+        qcell = cellmap[7]
+        exact_in_cell = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(emb, query_id=7, k=90).collect()
+            if cellmap[r.vec_id] == qcell
+        ][:5]
+        assert got == exact_in_cell
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_streaming_best_evidence_upgrades_winner(spark, tmp_path):
     """Dynamic-table analog on the flagship shape: per-member best
     evidence maintained incrementally; a later batch with more durable

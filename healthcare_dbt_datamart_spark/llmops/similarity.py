@@ -1079,6 +1079,37 @@ def ivfadc_topk(
         cached.unpersist()
 
 
+def ivfpq_index_rows(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """The IVFADC index row shape ``(id, codes, cell)`` as ONE stateless
+    map-only projection — assignment and PQ encode against broadcast
+    frozen quantizers in the same stage. Shared verbatim by the batch
+    build (``build_ivfpq_index``) and the streaming ingest
+    (``streaming/dedup_join.py::streaming_ivfpq_ingest``): the identical
+    function serving both engines is what makes a streamed append land
+    byte-compatible in the batch-built table."""
+    spark = df.sparkSession
+    if residual:
+        enc = ivf_residuals(df, centroids, id_col, vec_col)
+        enc_col = "residual"
+    else:
+        enc = ivf_assign(df, centroids, id_col, vec_col)
+        enc_col = vec_col
+    staged = enc.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
+        F.col(id_col), F.col("cell"), *_pq_best_cols(enc_col, codebooks)
+    )
+    codes = F.array(
+        *[F.col(f"_b{s}.cid") for s in range(len(codebooks))]
+    ).alias("codes")
+    return staged.select(F.col(id_col), codes, F.col("cell"))
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     table: str,
@@ -1107,21 +1138,8 @@ def build_ivfpq_index(
     (assignment + encode against broadcast quantizers, zero shuffle
     before the partitioned write), and every query after is partition
     pruning + a codes-only scan of ~nprobe/n_centroids of the rows."""
-    spark = emb.sparkSession
-    if residual:
-        enc = ivf_residuals(emb, centroids, id_col, vec_col)
-        enc_col = "residual"
-    else:
-        enc = ivf_assign(emb, centroids, id_col, vec_col)
-        enc_col = vec_col
-    staged = enc.crossJoin(broadcast(_pq_cdf(spark, codebooks))).select(
-        F.col(id_col), F.col("cell"), *_pq_best_cols(enc_col, codebooks)
-    )
-    codes = F.array(
-        *[F.col(f"_b{s}.cid") for s in range(len(codebooks))]
-    ).alias("codes")
     (
-        staged.select(F.col(id_col), codes, F.col("cell"))
+        ivfpq_index_rows(emb, centroids, codebooks, id_col, vec_col, residual)
         .write.mode("overwrite")
         .partitionBy("cell")
         .format("parquet")

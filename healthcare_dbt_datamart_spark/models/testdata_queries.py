@@ -1520,9 +1520,16 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _claim_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduped claim-line grain (fct_claims' at-least-once rule)."""
+    """The deduped claim-line grain (fct_claims' at-least-once rule).
+
+    Pre-partitioned by member_id — the member_cost_summary one-shuffle
+    pattern: member_id is a SUBSET of the dedup grain AND of every
+    consumer's grouping key (claim_rollups groups by (header, member),
+    member_enrollment by member), so the single explicit hash exchange
+    satisfies the distribution of the dedup and the downstream rollup —
+    the claims fact crosses the network once per query, not twice."""
     _, flagged = _screening_flagged_claims(spark, sf_dir)
-    return flagged.select(
+    return flagged.repartition("member_id").select(
         "claim_id",
         "member_id",
         "service_date",

@@ -88,3 +88,29 @@ def streaming_ann_ingest(
     from ..llmops.similarity import ivf_assign
 
     return ivf_assign(stream, centroids, id_col=id_col, vec_col=vec_col)
+
+
+def streaming_ivfpq_ingest(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """Streaming index WRITES for the materialized IVFADC layout
+    (llmops/similarity.py::build_ivfpq_index): every arriving vector is
+    assigned its coarse cell AND PQ-encoded in the same stateless
+    map-only projection, emitting the index row shape
+    ``(id, codes, cell)`` — the sink appends ``partitionBy(cell)`` into
+    the SAME codes table the batch build wrote, so a continuous
+    embedding feed grows the serving index with no reindex step and
+    probes stay partition prunes. ``residual=True`` encodes
+    r = x − q1(x) exactly like the batch build. Both quantizers are
+    frozen broadcast data (trained at index build); retraining is a new
+    index version, not a stream operation."""
+    from ..llmops.similarity import ivfpq_index_rows
+
+    return ivfpq_index_rows(
+        stream, centroids, codebooks, id_col, vec_col, residual
+    )

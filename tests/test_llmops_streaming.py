@@ -1551,3 +1551,54 @@ def test_streaming_ann_ingest_matches_batch_assignment(spark, tmp_path):
     assert len({cells[i] for i in range(6)}) == 1
     assert len({cells[10 + i] for i in range(6)}) == 1
     assert cells[0] != cells[10]
+
+
+def test_streaming_ivfpq_ingest_appends_batch_compatible_rows(spark, tmp_path):
+    """Streamed index writes: streaming_ivfpq_ingest must emit the SAME
+    (id, codes, cell) rows the batch build derives (it IS the shared
+    ivfpq_index_rows projection), so appending a micro-batch into the
+    batch-built table grows the index without a reindex step."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        ivfpq_index_rows,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+    from healthcare_dbt_datamart_spark.streaming.dedup_join import (
+        streaming_ivfpq_ingest,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1.0, 8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_lloyd(emb, k=3, n_iter=2)
+    books = pq_codebooks_trained(emb, m=2, k=3, n_iter=2)
+    expected = sorted(
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in ivfpq_index_rows(emb, cents, books).collect()
+    )
+
+    src = tmp_path / "ivfpq_src"
+    src.mkdir()
+    emb.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(emb.schema).parquet(str(src / "*"))
+    q = (
+        streaming_ivfpq_ingest(stream, cents, books)
+        .writeStream.format("memory")
+        .queryName("ivfpq_out")
+        .option("checkpointLocation", str(tmp_path / "ivfpq_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in spark.table("ivfpq_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected

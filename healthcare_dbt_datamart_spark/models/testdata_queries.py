@@ -3295,6 +3295,16 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===
+    #
+    # ROUND-5 ROTATION PLAN (execute at the start of round 5): the 44
+    # round-2-green queries in section (5) below will be age-3 by the
+    # round-5 gate — the full rotation cycle (ceil(139/50) = 3 rounds) —
+    # so THEY lead the round-5 window (44 slots), followed by any query
+    # whose code changes in round 5 and any new operators (≤ 6 slots;
+    # if more are needed, displace round-4-green entries from section
+    # (3) first — they will be age-1, not flagged). Sections (0)-(3)
+    # here become round-4-green and take sections (4)/(5)'s below-window
+    # places; `tools/audit_window.py` guards the arithmetic.
     # Rotation executed per the round-3 plan: every query with NO driver
     # evidence leads (the 17 born below the round-3 window + ivfadc_topk,
     # new this round), then the queries whose CODE changed this round

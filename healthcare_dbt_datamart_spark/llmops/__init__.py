@@ -11,6 +11,7 @@ deployment would call image/audio libraries.
 
 from .dedup import (  # noqa: F401
     exact_dedup_fingerprints,
+    exact_substr_dedup,
     jaccard_pairs,
     lsh_band_buckets,
     minhash_signatures,
@@ -26,7 +27,15 @@ from .filtering import (  # noqa: F401
     redact_report,
 )
 from .packing import length_buckets  # noqa: F401
-from .similarity import cosine_topk, embedding_outliers, sign_lsh_bits  # noqa: F401
+from .similarity import (  # noqa: F401
+    build_ivfpq_index,
+    cosine_topk,
+    embedding_outliers,
+    ivfadc_topk,
+    ivfadc_topk_indexed,
+    pq_codebooks_trained,
+    sign_lsh_bits,
+)
 from .splits import stratified_sample  # noqa: F401
 from .textstats import (  # noqa: F401
     langid_scores,

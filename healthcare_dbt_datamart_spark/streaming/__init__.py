@@ -1,6 +1,11 @@
 """Structured Streaming surface (SURVEY §2.11)."""
 
-from .dedup_join import stream_interval_join, streaming_dedup  # noqa: F401
+from .dedup_join import (  # noqa: F401
+    stream_interval_join,
+    streaming_ann_ingest,
+    streaming_dedup,
+    streaming_ivfpq_ingest,
+)
 from .dynamic_table import (  # noqa: F401
     alter_dynamic_table_lag,
     dynamic_table,

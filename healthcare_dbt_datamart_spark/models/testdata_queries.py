@@ -3331,13 +3331,16 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "returned_item_customers": q_returned_item_customers,
     "large_volume_customers": q_large_volume_customers,
-    # -- (1) new operator this round --------------------------------------
-    "ivfadc_topk": q_ivfadc_topk,
-    # -- (2) code changed this round (r3 green rows are for OLD code) -----
+    # -- (1)+(2) new operator & changed-code queries this round -----------
+    # (order inside the family: pq_encode pays the session's one PQ
+    #  Lloyd fit, semantic_dedup the coarse fit — so per-query bench
+    #  numbers attribute each index-build cost to its family's first
+    #  query instead of stacking both fits on ivfadc_topk)
     "pq_encode": q_pq_encode,  # Lloyd-trained books (was seeded)
     "pq_topk": q_pq_topk,  # Lloyd-trained books (was seeded)
     "pq_rerank": q_pq_rerank,  # Lloyd-trained books (was seeded)
     "semantic_dedup": q_semantic_dedup,  # adaptive pair-join salt
+    "ivfadc_topk": q_ivfadc_topk,  # new operator this round
     "exact_substr_dedup": q_exact_substr_dedup,  # new operator this round
     "member_cost_summary": q_member_cost_summary,  # grain-dedup revisit
     # -- (3) newest driver green is ROUND 1 (oldest evidence first) -------

@@ -64,6 +64,9 @@ DEFAULT_QUERIES = [
     "substr_coverage", "near_dup_jaccard", "gap_status", "tfidf_top_terms",
     "ccnet_buckets", "bloom_prefilter", "cosine_topk", "pricing_summary",
     "event_funnel", "cluster_keep_best",
+    # round-4 additions: span-level removal (text rebuild fold), the
+    # one-shuffle claim-grain rollup, the composed trained-quantizer index
+    "exact_substr_dedup", "claim_rollups", "ivfadc_topk",
 ]
 
 

@@ -13,6 +13,9 @@ from .dynamic_table import (  # noqa: F401
     refresh_dynamic_table,
 )
 from .gap import streaming_best_evidence  # noqa: F401
-from .guard import streaming_contamination_guard  # noqa: F401
+from .guard import (  # noqa: F401
+    streaming_contamination_guard,
+    streaming_near_dup_guard,
+)
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

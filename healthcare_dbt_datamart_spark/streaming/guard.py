@@ -74,3 +74,125 @@ def streaming_contamination_guard(
             6,
         ).alias("contamination_ratio"),
     )
+
+
+def streaming_near_dup_guard(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    event_time: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.7,
+    window: str = "10 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time NEAR-dup guard — the stream-static face of the batch
+    MinHash+LSH family (llmops/dedup.py), beside the exact-key
+    ``streaming_dedup`` and the gram-level contamination guard: every
+    arriving document is banded against the FIXED corpus's LSH bucket
+    table, bucket collisions are verified with exact Jaccard over the
+    joined token sets, and a windowed per-doc report says whether the
+    stream doc is a near-duplicate of anything already in the corpus —
+    BEFORE it lands.
+
+    Spark shape: ONE staged projection chain on the stream (tokenize →
+    shared digest array → minhash slices → band explode, carrying the
+    event time and the token set), stream-STATIC equi-join on
+    (band_idx, band_key) — candidates ≈ colliding buckets, never
+    all-pairs — then exact Jaccard as a pure array expression on the
+    join row and a single watermark-bounded windowed aggregation. The
+    only state is that final agg; join rows carry none. The corpus side
+    is a plain DataFrame (re-planned per micro-batch); at scale it is
+    the materialized band-bucket + token tables, rebuilt on corpus
+    versions like the IVFPQ index.
+
+    Emits ``(window, id, n_bucket_hits, best_jaccard, is_near_dup)`` in
+    append mode once the watermark closes. ``n_bucket_hits`` counts
+    band collisions (a pair sharing b bands counts b times — the
+    candidate-volume cost signal the LSH tuning reads); dedup-exactness
+    comes from ``best_jaccard``/``is_near_dup``, which are
+    multiplicity-insensitive. Batch parity: on a batch frame the same
+    pipeline (minus watermark) reproduces the batch
+    minhash → band → verify composition — asserted in tests."""
+    from ..llmops.dedup import lsh_band_buckets, minhash_signatures, tokens_df
+
+    # static side: corpus band buckets + corpus token sets
+    buckets = lsh_band_buckets(
+        minhash_signatures(corpus_docs, text_col, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
+    ).withColumnRenamed(id_col, "_corpus_id")
+    corpus_toks = tokens_df(corpus_docs, text_col, id_col, out="_toks_b")
+    corpus_toks = corpus_toks.withColumnRenamed(id_col, "_corpus_id")
+
+    streaming = doc_stream.isStreaming
+    src = (
+        doc_stream.withWatermark(event_time, delay) if streaming else doc_stream
+    )
+    # staged single chain on the stream (the tokens_df/minhash_signatures
+    # stages with the event time + token set carried through)
+    keep = [F.col(id_col), F.col(event_time)]
+    w = src.select(
+        *keep, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    )
+    t = w.select(*keep, F.array_distinct("_w").alias("_t"))
+    d = t.select(
+        *keep, "_t", F.transform("_t", lambda x: F.md5(x)).alias("_h")
+    )
+    sigs = d.select(
+        *keep,
+        "_t",
+        *[
+            F.array_min(
+                F.transform("_h", lambda h: F.substring(h, 1 + 4 * s, 4))
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    stream_bands = sigs.select(
+        *keep, "_t", F.explode(bands).alias("band")
+    ).select(
+        *keep,
+        "_t",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+    cand = stream_bands.join(buckets, ["band_idx", "band_key"]).filter(
+        F.col(id_col) != F.col("_corpus_id")
+    )
+    verified = cand.join(corpus_toks, "_corpus_id").withColumn(
+        "_jaccard",
+        F.round(
+            F.size(F.array_intersect("_t", "_toks_b"))
+            / F.size(F.array_union("_t", "_toks_b")),
+            6,
+        ),
+    )
+    return (
+        verified.groupBy(F.window(F.col(event_time), window), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bucket_hits"),
+            F.max("_jaccard").alias("best_jaccard"),
+            F.max((F.col("_jaccard") >= threshold).cast("int")).alias(
+                "is_near_dup"
+            ),
+        )
+    )

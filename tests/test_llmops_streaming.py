@@ -868,6 +868,97 @@ def test_streaming_contamination_guard(spark, tmp_path):
     assert via_guard == direct
 
 
+def test_streaming_near_dup_guard_flags_corpus_twins(spark, tmp_path):
+    """Ingest-time near-dup guard: a stream doc that is a near-twin of a
+    corpus doc collides in LSH buckets and verifies above the Jaccard
+    threshold; an unrelated doc emits NO row (no bucket collision at
+    all — the guard's cost model); batch parity reproduces the batch
+    minhash → band → jaccard composition."""
+    from healthcare_dbt_datamart_spark.streaming.guard import (
+        streaming_near_dup_guard,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(100, base), (101, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    twin = base + " extra"                      # ~0.97 Jaccard vs doc 100
+    fresh = " ".join(f"q{i}" for i in range(30))
+    src = tmp_path / "ndg_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), twin),
+         (2, datetime(2024, 1, 1, 10, 1), fresh)],
+        schema,
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_near_dup_guard(
+            stream, corpus, "text", "doc_id", "ts", threshold=0.7
+        )
+        .writeStream.format("memory")
+        .queryName("ndg_out")
+        .option("checkpointLocation", str(tmp_path / "ndg_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future nudge closes the 10:00 window under append mode
+        spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 12, 0), fresh)], schema
+        ).write.mode("overwrite").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.table("ndg_out").collect()}
+    finally:
+        q.stop()
+    assert 1 in rows and rows[1].is_near_dup == 1
+    assert rows[1].best_jaccard > 0.9 and rows[1].n_bucket_hits >= 1
+    # the unrelated doc shares no band bucket: no candidate row at all
+    assert 2 not in rows
+
+    # batch parity: the guard on a batch frame == the batch composition
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), twin)], schema
+    )
+    via_guard = {
+        (r.doc_id, r.best_jaccard)
+        for r in streaming_near_dup_guard(
+            batch, corpus, "text", "doc_id", "ts", threshold=0.0
+        ).collect()
+    }
+    # batch composition: union stream+corpus docs, band, verify pairs
+    both = corpus.unionByName(batch.select("doc_id", "text"))
+    buckets = lsh_band_buckets(
+        minhash_signatures(both, "text", "doc_id", 8), "doc_id", 8, 2
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    direct = {
+        (1, r.jaccard)
+        for r in jaccard_pairs(
+            pairs, both, "text", "doc_id", threshold=0.0
+        ).collect()
+        if 1 in (r.id_a, r.id_b)
+    }
+    assert via_guard == direct
+
+
 def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
     """At-least-once source: in-batch duplicates and cross-batch
     re-deliveries within the watermark delay emit exactly once."""

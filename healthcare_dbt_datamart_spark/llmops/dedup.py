@@ -54,9 +54,15 @@ def tokens_col(text: Column | str, n_shingle: int = 1) -> Column:
 
 
 def tokens_df(
-    df: DataFrame, text_col: str, id_col: str, n_shingle: int = 1, out: str = "toks"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shingle: int = 1,
+    out: str = "toks",
+    carry: tuple = (),
 ) -> DataFrame:
-    """(id, token-set) as STAGED projections: split → shingle → distinct.
+    """(id, [carry...,] token-set) as STAGED projections: split → shingle
+    → distinct.
 
     Each step is a named column in its own ``select``, so downstream
     expressions that read the token set many times (minhash slices, simhash
@@ -64,14 +70,19 @@ def tokens_df(
     refuses to inline expensive expressions with multiple consumers
     (SPARK-36718). This is the difference between O(hashes) and O(1)
     tokenize passes per document; at sf0.1 it is ~8× on the minhash stage.
+    ``carry`` threads extra columns (e.g. a stream's event time) through
+    unchanged.
     """
+    keep = [F.col(c) for c in carry]
     w = df.select(
         F.col(id_col),
+        *keep,
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
     if n_shingle > 1:
         w = w.select(
             F.col(id_col),
+            *keep,
             F.transform(
                 F.sequence(
                     F.lit(0), F.greatest(F.size("_w") - n_shingle, F.lit(0))
@@ -79,7 +90,7 @@ def tokens_df(
                 lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n_shingle), " "),
             ).alias("_w"),
         )
-    return w.select(F.col(id_col), F.array_distinct("_w").alias(out))
+    return w.select(F.col(id_col), *keep, F.array_distinct("_w").alias(out))
 
 
 def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -101,20 +112,36 @@ def minhash_expr(toks: Column, seed: int, width: int = 4) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, n_shingle: int = 1
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    n_shingle: int = 1,
+    carry: tuple = (),
+    keep_tokens: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature, one column per hash — staged narrow
     projections over the scan (zero shuffle, one tokenize pass and one md5
-    per token regardless of ``num_hashes``; see module docstring)."""
+    per token regardless of ``num_hashes``; see module docstring).
+    ``carry`` threads extra columns through; ``keep_tokens`` additionally
+    emits the distinct-token array under that name (the streaming guard
+    needs it for the Jaccard verify without a second tokenize pass)."""
     if num_hashes > 8:
         raise ValueError("num_hashes > 8 would need >1 digest per token")
-    toks = tokens_df(df, text_col, id_col, n_shingle, out="_t")
+    toks = tokens_df(df, text_col, id_col, n_shingle, out="_t", carry=carry)
+    keep = [F.col(c) for c in carry]
+    tok_keep = [F.col("_t").alias(keep_tokens)] if keep_tokens else []
     digests = toks.select(
-        F.col(id_col), F.transform("_t", lambda t: F.md5(t)).alias("_h")
+        F.col(id_col),
+        *keep,
+        *tok_keep,
+        F.transform("_t", lambda t: F.md5(t)).alias("_h"),
     )
     # each hash value is a disjoint 4-hex window of the shared digest array
     return digests.select(
         F.col(id_col),
+        *keep,
+        *([F.col(keep_tokens)] if keep_tokens else []),
         *[
             F.array_min(
                 F.transform("_h", lambda h: F.substring(h, 1 + 4 * s, 4))
@@ -125,11 +152,18 @@ def minhash_signatures(
 
 
 def lsh_band_buckets(
-    sigs: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    carry: tuple = (),
 ) -> DataFrame:
     """Band the signature: band key = md5 of the concatenated minhashes in
-    the band. Output: (band_idx, band_key, id) — docs sharing a
-    (band_idx, band_key) are near-dup candidates.
+    the band. Output: (band_idx, band_key, id[, carry...]) — docs sharing
+    a (band_idx, band_key) are near-dup candidates. This function is the
+    ONLY place the band-key formula lives: the batch candidate pipeline
+    and the streaming near-dup guard both call it, so their keys can
+    never drift apart.
 
     Emitted as array-of-structs + ``explode`` so the (expensive) signature
     projection upstream is evaluated ONCE per row — a UNION ALL of per-band
@@ -149,10 +183,14 @@ def lsh_band_buckets(
             for b in range(num_hashes // band_size)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    keep = [F.col(c) for c in carry]
+    return sigs.select(
+        F.col(id_col), *keep, F.explode(bands).alias("band")
+    ).select(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
         F.col(id_col),
+        *keep,
     )
 
 

@@ -247,14 +247,22 @@ def wav_duration_ms(content: bytes) -> int | None:
         return None
 
 
+_FFPROBE_ON_PATH: bool | None = None
+
+
 def ffprobe_available() -> bool:
     """Probe for an ffprobe binary on the worker's PATH — the optional
     real video-container parser (same contract as ``pil_available``:
     not in this container; a deployment that has it gets real frame
-    counts for free via ``metadata='auto'``)."""
-    import shutil
+    counts for free via ``metadata='auto'``). Memoized per worker
+    PROCESS: ``ffprobe_n_frames`` runs per ROW inside mapInPandas, and
+    a filesystem PATH scan per row would dominate the probe itself."""
+    global _FFPROBE_ON_PATH
+    if _FFPROBE_ON_PATH is None:
+        import shutil
 
-    return shutil.which("ffprobe") is not None
+        _FFPROBE_ON_PATH = shutil.which("ffprobe") is not None
+    return _FFPROBE_ON_PATH
 
 
 def ffprobe_n_frames(content: bytes) -> int | None:
@@ -303,9 +311,21 @@ def _probed_durations(
         for pdf in it:
             vals = []
             for c in pdf["content"]:
+                if c is None:
+                    # NULL payload: emit NULL so the downstream
+                    # sequence/explode drops the row exactly like the
+                    # stub arithmetic does (length(NULL) -> NULL) —
+                    # one bad row must not fail the task
+                    vals.append(None)
+                    continue
                 real = probe(c)
                 vals.append(int(real) if real is not None else fallback(c))
-            yield pd.DataFrame({"media_id": pdf["media_id"], out_col: vals})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    out_col: pd.array(vals, dtype="Int64"),
+                }
+            )
 
     return media.select("media_id", "content").mapInPandas(batches, schema)
 
@@ -379,7 +399,11 @@ def audio_chunk_plan(
         base = media
         duration = (F.length(F.col("content")) / bytes_per_ms).cast("long") + 1
     step = chunk_ms - overlap_ms
-    starts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)), F.lit(step))
+    # NULL duration (NULL payload) must yield NO chunks: greatest()
+    # skips NULLs, so guard the bound explicitly — a NULL sequence bound
+    # makes posexplode drop the row in both modes
+    bound = F.when(duration.isNotNull(), F.greatest(duration - 1, F.lit(0)))
+    starts = F.sequence(F.lit(0), bound, F.lit(step))
     return base.select(
         "media_id",
         F.posexplode(starts).alias("chunk_idx", "start_ms"),

@@ -1156,8 +1156,9 @@ def ivfadc_topk_indexed(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: list[tuple[int, list[float]]] | None = None,
-    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    *,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
     residual: bool = False,
 ) -> DataFrame:
     """IVFADC query against the MATERIALIZED index table: probe
@@ -1176,7 +1177,13 @@ def ivfadc_topk_indexed(
     — nprobe·m·n_codes doubles of driver model state (non-probed cells
     carry empty slots in the broadcast array; their partitions are
     pruned before any lookup), which is exactly how the paper's IVFADC
-    serves: one table set per probed cell, computed once per query."""
+    serves: one table set per probed cell, computed once per query.
+
+    Both quantizers are REQUIRED (keyword-only): the stored codes were
+    produced by the build-time quantizers, so probing with anything else
+    — including a fresh on-the-spot fit, which ``ivfadc_topk``'s
+    in-plan variant legitimately offers — would silently compute
+    distances against the wrong codebooks."""
     spark = emb.sparkSession
     qvec = [
         float(x)

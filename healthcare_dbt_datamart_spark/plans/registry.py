@@ -77,6 +77,11 @@ class ModelRegistry:
         self._tlocal = threading.local()
         self._node_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        # wait-for graph for cross-thread cycle detection (see build()):
+        # node -> thread ident currently building it; thread ident ->
+        # node it is blocked waiting for. Both guarded by _locks_guard.
+        self._lock_owner: dict[str, int] = {}
+        self._waiting_for: dict[int, str] = {}
         self.full_refresh = False
         self._selected: set[str] | None = None
         self.batch_range: tuple | None = None  # microbatch backfill bounds
@@ -314,10 +319,20 @@ class ModelRegistry:
 
         Thread safety: a per-NODE lock serializes concurrent builds of the
         same model (second arrival waits, then reads the memo), while the
-        per-THREAD ``_building`` stack catches genuine recursion. The
-        scheduler in ``run_threaded`` already releases nodes only when
-        their observed upstreams are memoized, so the lock only matters
-        for refs ``deps()`` could not observe (runtime-branching bodies).
+        per-THREAD ``_building`` stack catches genuine same-thread
+        recursion. The scheduler in ``run_threaded`` already releases
+        nodes only when their observed upstreams are memoized, so the
+        lock only matters for refs ``deps()`` could not observe
+        (runtime-branching bodies).
+
+        A circular ref SPLIT ACROSS THREADS (X refs Y while another
+        thread building Y refs X — invisible to both thread-local
+        stacks) would deadlock both node locks silently, so blocked
+        waiters maintain a wait-for graph (``_lock_owner`` +
+        ``_waiting_for``) and re-walk it on a timeout loop: once a
+        deadlock exists the graph is static, the next walk finds the
+        cycle, and the waiter raises the same 'model cycle' diagnostic
+        the single-thread guard gives instead of hanging forever.
         """
         if name in self._built:
             return self._built[name]
@@ -326,8 +341,50 @@ class ModelRegistry:
         if name in self._building:
             cycle = " -> ".join(self._building + [name])
             raise ValueError(f"model cycle: {cycle}")
-        with self._node_lock(name):
+        lock = self._node_lock(name)
+        ident = threading.get_ident()
+        if not lock.acquire(blocking=False):
+            with self._locks_guard:
+                self._waiting_for[ident] = name
+            try:
+                while not lock.acquire(timeout=5.0):
+                    self._check_wait_cycle(name, ident)
+            finally:
+                with self._locks_guard:
+                    self._waiting_for.pop(ident, None)
+        try:
+            with self._locks_guard:
+                self._lock_owner[name] = ident
             return self._build_locked(name)
+        finally:
+            with self._locks_guard:
+                self._lock_owner.pop(name, None)
+            lock.release()
+
+    def _check_wait_cycle(self, name: str, ident: int) -> None:
+        """Walk the wait-for graph from the node this thread wants:
+        node -> its building thread -> the node THAT thread waits for ->
+        … If the walk returns to this thread, every participant is
+        blocked on a lock the next one holds — a genuine cross-thread
+        model cycle; raise with the chain. Any gap in the chain (owner
+        finished, waiter got its lock) means progress is possible and
+        the caller just keeps waiting."""
+        with self._locks_guard:
+            chain = [name]
+            cur = name
+            for _ in range(len(self._node_locks) + 1):
+                owner = self._lock_owner.get(cur)
+                if owner is None:
+                    return
+                if owner == ident:
+                    raise ValueError(
+                        "model cycle across threads: " + " -> ".join(chain)
+                    )
+                nxt = self._waiting_for.get(owner)
+                if nxt is None:
+                    return
+                chain.append(nxt)
+                cur = nxt
 
     def _build_locked(self, name: str) -> DataFrame:
         if name in self._built:  # built by another thread while we waited
@@ -377,10 +434,9 @@ class ModelRegistry:
                 return out
             df = mdef.fn(ModelContext(self, name))
         finally:
-            # remove BY VALUE, not pop(): run_threaded's workers share
-            # this stack, and a positional pop would remove another
-            # in-flight thread's entry, silently corrupting the cycle
-            # guard (`name in self._building`)
+            # the stack is THREAD-LOCAL (see _building), so only this
+            # thread's frames are here; remove by value stays robust to
+            # re-entrant bodies pushing after us on the same thread
             self._building.remove(name)
 
         from ..operators import materialize as mat

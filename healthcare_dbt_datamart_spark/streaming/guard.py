@@ -132,47 +132,16 @@ def streaming_near_dup_guard(
     src = (
         doc_stream.withWatermark(event_time, delay) if streaming else doc_stream
     )
-    # staged single chain on the stream (the tokens_df/minhash_signatures
-    # stages with the event time + token set carried through)
-    keep = [F.col(id_col), F.col(event_time)]
-    w = src.select(
-        *keep, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    # the SAME batch pipeline functions band the stream side — the
+    # event time and the token set ride through as carry columns, so
+    # the band-key formula exists in exactly one place and the stream
+    # side can never drift from the corpus bucket table
+    sigs = minhash_signatures(
+        src, text_col, id_col, num_hashes,
+        carry=(event_time,), keep_tokens="_t",
     )
-    t = w.select(*keep, F.array_distinct("_w").alias("_t"))
-    d = t.select(
-        *keep, "_t", F.transform("_t", lambda x: F.md5(x)).alias("_h")
-    )
-    sigs = d.select(
-        *keep,
-        "_t",
-        *[
-            F.array_min(
-                F.transform("_h", lambda h: F.substring(h, 1 + 4 * s, 4))
-            ).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ],
-    )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(num_hashes // band_size)
-        ]
-    )
-    stream_bands = sigs.select(
-        *keep, "_t", F.explode(bands).alias("band")
-    ).select(
-        *keep,
-        "_t",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
+    stream_bands = lsh_band_buckets(
+        sigs, id_col, num_hashes, band_size, carry=(event_time, "_t")
     )
 
     cand = stream_bands.join(buckets, ["band_idx", "band_key"]).filter(

@@ -1533,7 +1533,10 @@ def test_audio_chunk_plan_auto_reads_real_wav_header(spark):
     assert wav_duration_ms(wav) == 3200
     opaque = b"not-an-audio-container" * 40   # 880 bytes
     media = spark.createDataFrame(
-        [(1, "audio", bytearray(wav), "{}"), (2, "audio", bytearray(opaque), "{}")],
+        [(1, "audio", bytearray(wav), "{}"), (2, "audio", bytearray(opaque), "{}"),
+         # NULL payload must DROP (like stub's length(NULL)), not fail
+         # the task — one bad row can't kill the feed
+         (3, "audio", None, "{}")],
         "media_id long, media_type string, content binary, meta string",
     )
     out = {
@@ -1549,7 +1552,7 @@ def test_audio_chunk_plan_auto_reads_real_wav_header(spark):
             media, chunk_ms=2000, overlap_ms=500, bytes_per_ms=1, metadata="auto"
         ).collect()
     }
-    assert n_chunks == {1, 2}
+    assert n_chunks == {1, 2}  # NULL-payload doc 3 drops, no bogus chunk
     # real header duration: first window is a full 2000ms chunk of 3200
     assert (out[1].start_ms, out[1].end_ms) == (0, 2000)
     # opaque payload: identical to the stub arithmetic (len//1 + 1 = 881)

@@ -1685,3 +1685,43 @@ def test_cli_artifact_roundtrips_invocation_flags(spark, tmp_path):
         == 0
     )
     assert any("nothing to retry" in line for line in out)
+
+
+def test_cross_thread_model_cycle_raises_instead_of_deadlocking(spark):
+    """A circular ref SPLIT ACROSS THREADS (X's body refs Y while another
+    thread inside Y's body refs X — invisible to both thread-local
+    recursion stacks) must surface as a 'model cycle' error via the
+    wait-for graph, not hang both node locks forever."""
+    import threading
+
+    from healthcare_dbt_datamart_spark.plans.registry import ModelRegistry
+
+    r = ModelRegistry(spark)
+    barrier = threading.Barrier(2, timeout=30)
+
+    @r.model(materialized="view")
+    def cyc_x(ctx):
+        barrier.wait()          # both bodies in-flight before either refs
+        return ctx.ref("cyc_y")
+
+    @r.model(materialized="view")
+    def cyc_y(ctx):
+        barrier.wait()
+        return ctx.ref("cyc_x")
+
+    errs: list[Exception] = []
+
+    def worker(name: str) -> None:
+        try:
+            r.build(name)
+        except Exception as e:  # noqa: BLE001 - collecting for assertion
+            errs.append(e)
+
+    t1 = threading.Thread(target=worker, args=("cyc_x",), daemon=True)
+    t2 = threading.Thread(target=worker, args=("cyc_y",), daemon=True)
+    t1.start()
+    t2.start()
+    t1.join(timeout=60)
+    t2.join(timeout=60)
+    assert not t1.is_alive() and not t2.is_alive(), "threads deadlocked"
+    assert any("model cycle" in str(e) for e in errs)

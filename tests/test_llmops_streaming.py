@@ -1696,3 +1696,40 @@ def test_streaming_ivfpq_ingest_appends_batch_compatible_rows(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([4, 8]),
+)
+def test_exact_substr_dedup_invariants_property(spark, texts, min_len):
+    """For arbitrary small-alphabet docs (maximally collision-prone) and
+    any min_len: (1) rebuilt length = n_chars − removed_chars for every
+    doc, (2) zero-removal docs pass through byte-identical, (3) the
+    lowest doc id never loses a character (it is every shared span's
+    canonical holder), (4) removed_chars is consistent with n_cuts
+    (each maximal cut is at least min_len chars)."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import exact_substr_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in exact_substr_dedup(df, "text", "doc_id", min_len).collect()
+    }
+    assert set(out) == set(range(len(texts)))
+    for i, t in rows:
+        r = out[i]
+        assert r.n_chars == len(t)
+        assert len(r.text_deduped) == r.n_chars - r.removed_chars
+        if r.removed_chars == 0:
+            assert r.text_deduped == t
+        else:
+            assert r.n_cuts >= 1
+            assert r.removed_chars >= r.n_cuts * min_len
+    assert out[0].removed_chars == 0  # lowest id is always canonical

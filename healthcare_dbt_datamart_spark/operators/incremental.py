@@ -66,9 +66,18 @@ def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
     catalog, and ``recover_swap`` restores the pre-swap state on the next
     run (a DROP-then-RENAME swap has a window where a crash silently
     loses the whole table)."""
+    from .materialize import _drop_stale_location
+
     tmp, backup = f"{name}__dbt_tmp", f"{name}__dbt_backup"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    # also clear CATALOG-UNKNOWN leftovers of a dead session (in-memory
+    # catalog evaporated after the tmp/backup write): the DROPs above are
+    # no-ops for those, and saveAsTable would then wedge every subsequent
+    # run with LOCATION_ALREADY_EXISTS — materialize_table's guard,
+    # applied to this swap too
+    _drop_stale_location(spark, tmp)
+    _drop_stale_location(spark, backup)
     new_contents.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     spark.sql(f"ALTER TABLE {name} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
@@ -143,24 +152,33 @@ def _apply_schema_change(
         ]
         return source.select(*proj)
     if on_schema_change == "append_new_columns":
-        widened = target
-        for c in new_cols:
-            widened = widened.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
-        _swap_in(spark, name, widened)
+        if new_cols:
+            # metadata-only widen: ALTER TABLE ADD COLUMNS registers the
+            # new columns in the catalog and existing parquet files read
+            # them as NULL — O(metadata), vs rewriting the entire (100 TB)
+            # target through a swap just to backfill NULLs
+            cols_ddl = ", ".join(
+                f"`{c}` {source.schema[c].dataType.simpleString()}"
+                for c in new_cols
+            )
+            spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
+            spark.catalog.refreshTable(name)
         keep = [c for c in t_cols if c in s_cols] + new_cols
         removed = [c for c in t_cols if c not in s_cols]
         proj = [F.col(c) for c in keep] + [
             F.lit(None).cast(target.schema[c].dataType).alias(c) for c in removed
         ]
         return source.select(*proj)
-    if on_schema_change == "sync_all_columns":
+    # sync_all_columns: add new, drop removed — but only REWRITE the
+    # target when the column SET actually changed; with identical sets
+    # the swap would read+rewrite the whole target for nothing, every run
+    if set(t_cols) != set(s_cols):
         synced = target.select(
             *[F.col(c) for c in t_cols if c in s_cols],
             *[F.lit(None).cast(source.schema[c].dataType).alias(c) for c in new_cols],
         )
         _swap_in(spark, name, synced)
-        return source.select(*[F.col(c) for c in s_cols if c in s_cols])
-    raise ValueError(f"unknown on_schema_change: {on_schema_change}")
+    return source.select(*s_cols)
 
 
 def incremental_run(
@@ -243,7 +261,11 @@ def incremental_run(
                 for c in target.columns
                 if c not in merge_exclude_columns and c not in keys
             ]
-        if update_cols:
+        # None = no column subset requested (full source-wins update);
+        # [] = every non-key column excluded — matched rows keep ALL
+        # target values. A truthiness test would silently route [] to
+        # the full-update path, the exact opposite of excluding all.
+        if update_cols is not None:
             # matched rows: listed columns from source, the rest from the
             # target row; unmatched source rows insert whole. Predicates
             # (if any) restrict which target rows are matchable.
@@ -392,8 +414,12 @@ def microbatch_backfill(
     distributed. Returns ``[(start, end)]`` for the run artifact.
     """
     batches = microbatch_batches(batch_start, batch_end, period)
-    if full_refresh and spark.catalog.tableExists(name):
-        spark.sql(f"DROP TABLE {name}")
+    if full_refresh:
+        # drop the backup too: a crash-leftover {name}__dbt_backup would
+        # otherwise be resurrected by the first batch's recover_swap,
+        # silently carrying pre-crash rows through the requested refresh
+        for t in (name, f"{name}__dbt_backup"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     for b_start, b_end in batches:
         # clamp HERE, not only in incremental_run's microbatch branch:
         # the first batch of a fresh target goes through the plain-CTAS

@@ -38,9 +38,18 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     forever. Callers invoke this only when no live catalog entry points
     at the path (tableExists is False, or the entry was dropped in the
     same statement) — hence no reader can resolve it."""
+    # resolve the slot the way the catalog would: a non-default database
+    # nests under <warehouse>/<db>.db/ — computing <warehouse>/<name>
+    # regardless would delete an UNRELATED default-db table's directory
+    # whenever the session's current database differs
+    if "." in name:
+        db, table = name.lower().split(".", 1)
+    else:
+        db, table = spark.catalog.currentDatabase().lower(), name.lower()
+    rel = table if db == "default" else f"{db}.db/{table}"
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), name.lower()
+        spark.conf.get("spark.sql.warehouse.dir"), rel
     )
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
@@ -93,22 +102,34 @@ def materialize_table(
         # them. Direct overwrite instead; on Delta this is atomic anyway.
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
-    tmp = f"{name}__dbt_tmp"
-    if _table_exists(spark, tmp):  # crashed mid-swap with live catalog
-        spark.sql(f"DROP TABLE {tmp}")
-    else:
-        _drop_stale_location(spark, tmp)
+    tmp, backup = f"{name}__dbt_tmp", f"{name}__dbt_backup"
+    for t in (tmp, backup):
+        if _table_exists(spark, t):  # crashed mid-swap with live catalog
+            spark.sql(f"DROP TABLE {t}")
+        else:
+            _drop_stale_location(spark, t)
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
-        spark.sql(f"DROP TABLE {name}")
-    # clear the warehouse slot either way: a managed DROP already removed
-    # its directory (no-op here), but an EXTERNAL occupant (e.g. a
-    # clone_table target) keeps its files through DROP and would wedge
-    # the rename; hardlinked bytes stay alive through the source's own
-    # links, so this never destroys shared data. Orphans of a dead
-    # session are cleared by the same call.
-    _drop_stale_location(spark, name)
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        # backup-rename-drop, NOT drop-then-rename: the old target is
+        # never dropped before the new table holds its name, so a crash
+        # at any point leaves either the target or {name}__dbt_backup in
+        # the catalog and incremental.recover_swap restores it — a
+        # DROP/RENAME window would silently lose the whole table (the
+        # exact hazard _swap_in's docstring forbids; this path rebuilds
+        # incremental targets via compact_table too)
+        spark.sql(f"ALTER TABLE {name} RENAME TO {backup}")
+        _drop_stale_location(spark, name)  # EXTERNAL occupant's files
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        spark.sql(f"DROP TABLE {backup}")
+    else:
+        # clear the warehouse slot: an EXTERNAL occupant (e.g. a
+        # clone_table target) keeps its files through DROP and would
+        # wedge the rename; hardlinked bytes stay alive through the
+        # source's own links, so this never destroys shared data.
+        # Orphans of a dead session are cleared by the same call.
+        _drop_stale_location(spark, name)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    spark.catalog.refreshTable(name)
 
 
 def _table_location(spark: SparkSession, name: str) -> str:

@@ -76,6 +76,18 @@ def snapshot_run(
     NULL or the literal are treated as current on subsequent passes.
     """
     keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    if strategy == "check" and isinstance(check_cols, str) and check_cols != "all":
+        # a bare column name would otherwise be exploded char-by-char by
+        # list(check_cols) below ('status' -> ['s','t','a','t','u','s'])
+        check_cols = [check_cols]
+    # duplicate source keys would fan the target out through the
+    # to_close join (two update rows sharing one close_scd_id duplicate
+    # the closed row AND append two open versions) — corruption that
+    # persists across every later run. Same cheap limit-1 guard as
+    # incremental MERGE.
+    from .incremental import _assert_unique_source_keys
+
+    _assert_unique_source_keys(source, keys, "snapshot")
     ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
     open_to = (
         F.lit(dbt_valid_to_current).cast("timestamp")

@@ -1725,3 +1725,120 @@ def test_cross_thread_model_cycle_raises_instead_of_deadlocking(spark):
     t2.join(timeout=60)
     assert not t1.is_alive() and not t2.is_alive(), "threads deadlocked"
     assert any("model cycle" in str(e) for e in errs)
+
+
+def test_merge_exclude_all_columns_keeps_target_values(spark):
+    """merge_exclude_columns covering every non-key column yields an
+    EMPTY update set — matched rows must keep ALL target values (and new
+    keys still insert). A truthiness check on the computed list would
+    silently route [] to the full source-wins path, the exact opposite
+    of excluding everything."""
+    t0 = _df(spark, [(1, "a", 10)], "k long, name string, v long")
+    incremental_run(spark, "t_mexall", t0, strategy="merge", unique_key="k")
+    src = _df(spark, [(1, "X", 99), (2, "b", 20)], "k long, name string, v long")
+    incremental_run(
+        spark, "t_mexall", src, strategy="merge", unique_key="k",
+        merge_exclude_columns=["name", "v"],
+    )
+    rows = {r.k: (r.name, r.v) for r in spark.table("t_mexall").collect()}
+    assert rows[1] == ("a", 10)      # matched row fully protected
+    assert rows[2] == ("b", 20)      # unmatched key inserts whole
+
+
+def test_sync_all_columns_skips_rewrite_when_schema_unchanged(spark):
+    """sync_all_columns with an IDENTICAL column set must not rewrite the
+    target (at 100 TB that is a full read+write+swap per run for
+    nothing): the target's data files are byte-identical after the run,
+    and a real column change still rewrites."""
+    import glob
+    import os
+
+    t0 = _df(spark, [(1, "a")], "k long, name string")
+    incremental_run(spark, "t_syncnoop", t0, strategy="append")
+    loc = mat._table_location(spark, "t_syncnoop")
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")
+    }
+    incremental_run(
+        spark, "t_syncnoop",
+        _df(spark, [(2, "b")], "k long, name string"),
+        strategy="append", on_schema_change="sync_all_columns",
+    )
+    loc2 = mat._table_location(spark, "t_syncnoop")
+    assert loc2 == loc  # same table dir: no swap happened
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")}
+    assert set(before) <= set(after)  # original files still there,
+    for p, m in before.items():       # untouched (append adds new ones)
+        assert after[p] == m
+    # a REAL schema change (dropped column) still rewrites via the swap
+    incremental_run(
+        spark, "t_syncnoop", _df(spark, [(3,)], "k long"),
+        strategy="append", on_schema_change="sync_all_columns",
+    )
+    assert spark.table("t_syncnoop").columns == ["k"]
+    assert spark.table("t_syncnoop").count() == 3
+
+
+def test_append_new_columns_is_metadata_only(spark):
+    """append_new_columns widens via ALTER TABLE ADD COLUMNS (old files
+    read the new column as NULL) instead of rewriting the target: the
+    pre-drift data files survive untouched."""
+    import glob
+    import os
+
+    t0 = _df(spark, [(1, "a")], "k long, name string")
+    incremental_run(spark, "t_addcol", t0, strategy="append")
+    loc = mat._table_location(spark, "t_addcol")
+    before = {p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")}
+    incremental_run(
+        spark, "t_addcol",
+        _df(spark, [(2, "b", 5.0)], "k long, name string, score double"),
+        strategy="append", on_schema_change="append_new_columns",
+    )
+    out = {r.k: (r.name, r.score) for r in spark.table("t_addcol").collect()}
+    assert out[1] == ("a", None)     # old file reads the new col as NULL
+    assert out[2] == ("b", 5.0)
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{loc}/*.parquet")}
+    for p, m in before.items():      # no rewrite of pre-drift files
+        assert after[p] == m
+
+
+def test_snapshot_duplicate_source_keys_raise(spark):
+    """A duplicate-keyed snapshot batch would fan the target out through
+    the close join (duplicate closed rows + multiple open versions per
+    key — corruption that persists); the same limit-1 guard as merge
+    raises instead."""
+    from healthcare_dbt_datamart_spark.operators.snapshot import snapshot_run
+
+    t0 = _df(spark, [(1, "a", "2024-01-01")], "k long, v string, u string")
+    snapshot_run(spark, "snap_dupk", t0, unique_key="k",
+                 strategy="timestamp", updated_at="u")
+    dup = _df(
+        spark,
+        [(1, "b", "2024-01-02"), (1, "c", "2024-01-03")],
+        "k long, v string, u string",
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        snapshot_run(spark, "snap_dupk", dup, unique_key="k",
+                     strategy="timestamp", updated_at="u")
+
+
+def test_snapshot_check_cols_single_string_is_wrapped(spark):
+    """check_cols='status' (a bare column name, not the 'all' sentinel)
+    must mean [that column] — not be exploded char-by-char into
+    ['s','t','a','t','u','s']."""
+    from healthcare_dbt_datamart_spark.operators.snapshot import snapshot_run
+
+    t0 = _df(spark, [(1, "open", "x")], "k long, status string, note string")
+    snapshot_run(spark, "snap_onecol", t0, unique_key="k",
+                 strategy="check", check_cols="status", run_ts="2024-01-01 00:00:00")
+    # note changes but status doesn't: NO new version
+    s1 = _df(spark, [(1, "open", "y")], "k long, status string, note string")
+    snapshot_run(spark, "snap_onecol", s1, unique_key="k",
+                 strategy="check", check_cols="status", run_ts="2024-01-02 00:00:00")
+    assert spark.table("snap_onecol").count() == 1
+    # status changes: new version opens
+    s2 = _df(spark, [(1, "closed", "y")], "k long, status string, note string")
+    snapshot_run(spark, "snap_onecol", s2, unique_key="k",
+                 strategy="check", check_cols="status", run_ts="2024-01-03 00:00:00")
+    assert spark.table("snap_onecol").count() == 2

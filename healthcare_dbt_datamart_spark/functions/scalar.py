@@ -83,20 +83,28 @@ _TRUNC_PART = {
 
 
 def dateadd(part: str, n: Column | int, d: Column | str) -> Column:
-    """dbt ``dateadd`` macro (``dbt-adapters/macros/utils/dateadd.sql:6-14``)."""
-    n_col = F.lit(n) if isinstance(n, int) else n
+    """dbt ``dateadd`` macro (``dbt-adapters/macros/utils/dateadd.sql:6-14``).
+
+    Snowflake's dateadd preserves the input type — DATE in, DATE out;
+    TIMESTAMP in, TIMESTAMP out with the time-of-day intact. Spark's
+    ``add_months``/``date_add`` always return DATE (silently truncating
+    timestamps), so year..day use interval arithmetic instead:
+    ``col + make_interval(...)`` resolves to DATE for DATE inputs and
+    TIMESTAMP for TIMESTAMP inputs, with the same month-end clamping
+    as Snowflake (Jan 31 + 1 month = Feb 29/28)."""
+    n_col = (F.lit(n) if isinstance(n, int) else n).cast("int")
     d = _col(d)
     part = part.lower()
     if part == "year":
-        return F.add_months(d, n_col * 12)
+        return d + F.make_interval(years=n_col)
     if part == "quarter":
-        return F.add_months(d, n_col * 3)
+        return d + F.make_interval(months=n_col * 3)
     if part == "month":
-        return F.add_months(d, n_col)
+        return d + F.make_interval(months=n_col)
     if part == "week":
-        return F.date_add(d, n_col * 7)
+        return d + F.make_interval(weeks=n_col)
     if part == "day":
-        return F.date_add(d, n_col)
+        return d + F.make_interval(days=n_col)
     if part in ("hour", "minute", "second"):
         # micros arithmetic, not unix_timestamp: whole-second conversion
         # would destroy sub-second precision (dateadd('second', 0, ts)
@@ -131,10 +139,24 @@ def datediff(part: str, a: Column | str, b: Column | str) -> Column:
     if part == "day":
         return F.datediff(b, a)
     if part in ("hour", "minute", "second"):
-        secs = {"hour": 3600, "minute": 60, "second": 1}[part]
-        trunc_a = F.floor(F.unix_timestamp(F.date_trunc(part, a)) / secs)
-        trunc_b = F.floor(F.unix_timestamp(F.date_trunc(part, b)) / secs)
-        return trunc_b - trunc_a
+        # wall-clock field arithmetic, NOT unix_timestamp: Snowflake's
+        # boundary count is timezone-naive, and epoch-second differences
+        # skew by the offset change across a DST transition (the repeated
+        # fall-back hour would make datediff('hour', 00:00, 03:00) = 4)
+        def _tod_units(c: Column) -> Column:
+            tod = {
+                "hour": F.hour(c),
+                "minute": F.hour(c) * 60 + F.minute(c),
+                "second": (F.hour(c) * 60 + F.minute(c)) * 60 + F.second(c),
+            }
+            return tod[part]
+
+        per_day = {"hour": 24, "minute": 1440, "second": 86400}[part]
+        ca, cb = a.cast("timestamp"), b.cast("timestamp")
+        return (
+            F.datediff(cb.cast("date"), ca.cast("date")) * per_day
+            + (_tod_units(cb) - _tod_units(ca))
+        ).cast("long")
     raise ValueError(f"unsupported datepart: {part}")
 
 
@@ -198,13 +220,24 @@ def date_spine(
 
 def split_part(s: Column | str, delimiter: str, part_number: int) -> Column:
     """dbt ``split_part`` incl. the negative-index emulation
-    (``dbt-adapters/macros/utils/split_part.sql:7-28``)."""
+    (``dbt-adapters/macros/utils/split_part.sql:7-28``), with Snowflake's
+    edge semantics: part 0 is treated as 1, and ANY out-of-range part
+    (positive or negative) yields '' rather than an error or a
+    wrapped-around element."""
     s = _col(s)
-    if part_number >= 0:
+    if part_number == 0:
+        part_number = 1  # Snowflake: "If part_number is 0, it is treated as 1"
+    if part_number > 0:
+        # Spark's native split_part already returns '' past the end
         return F.split_part(s, F.lit(delimiter), F.lit(part_number))
     # F.split takes a regex; \Q...\E quotes the literal delimiter
     arr = F.split(s, "\\Q" + delimiter + "\\E", -1)
-    return F.element_at(arr, F.size(arr) + part_number + 1)
+    # F.get is 0-based and returns NULL (instead of erroring / wrapping)
+    # when the computed index falls before the first element
+    got = F.get(arr, F.size(arr) + part_number)
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(got, F.lit(""))
+    )
 
 
 def position(substring: str, s: Column | str) -> Column:

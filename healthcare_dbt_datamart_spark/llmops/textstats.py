@@ -6,8 +6,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
-
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is"),
@@ -15,6 +13,18 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "de", "et", "les", "des", "un"),
     "de": ("der", "die", "das", "und", "ist", "von", "ein"),
 }
+
+
+def _lang_argmax(hits: dict[str, Column]) -> Column:
+    """Deterministic argmax over per-language hit counts: the greatest
+    count wins, ties break toward the earlier language code, zero hits
+    everywhere predicts 'und'. Shared by ``langid_scores`` and
+    ``curation_funnel`` so the tie-break rule can never diverge."""
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(hits, reverse=True):  # earlier lang wins ties
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
 
 
 def token_stats(text: Column | str) -> dict[str, Column]:
@@ -81,14 +91,8 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # on a half-boundary (e.g. 0.6739135) where engines' rounding
     # pipelines disagree in the 6th decimal — found at sf0.1, invisible
     # at sf0.01. Decimal arithmetic has no boundary to disagree on.
-    uq = F.col("uniq_ratio").cast("decimal(9,6)")
-    sw = F.least(
-        (F.col("stopword_ratio").cast("decimal(9,6)") * F.lit(3)).cast(
-            "decimal(12,6)"
-        ),
-        F.lit(1).cast("decimal(12,6)"),
-    )
-    base = F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0)).cast(
+    uq, sw = _uq_feature(), _sw_feature()
+    base = F.when(_len_in_band(n), F.lit(0.4)).otherwise(F.lit(0.0)).cast(
         "decimal(2,1)"
     )
     score = (
@@ -106,6 +110,30 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "stopword_ratio",
         score.cast("double").alias("quality_score"),
     )
+
+
+def _uq_feature() -> Column:
+    """uniq_ratio as exact decimal — shared by ``quality_stats`` and
+    ``quality_classifier``; the cross-engine boundary discipline (see
+    the composite comment in ``quality_stats``) holds only while both
+    consumers use the byte-identical expression."""
+    return F.col("uniq_ratio").cast("decimal(9,6)")
+
+
+def _sw_feature() -> Column:
+    """min(3 * stopword_ratio, 1) as exact decimal — shared, see
+    ``_uq_feature``."""
+    return F.least(
+        (F.col("stopword_ratio").cast("decimal(9,6)") * F.lit(3)).cast(
+            "decimal(12,6)"
+        ),
+        F.lit(1).cast("decimal(12,6)"),
+    )
+
+
+def _len_in_band(n: Column) -> Column:
+    """The 10..10000-token length band — shared, see ``_uq_feature``."""
+    return (n >= 10) & (n <= 10000)
 
 
 def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
@@ -131,11 +159,7 @@ def langid_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for lang, ws in STOPWORDS.items()
         ],
     )
-    hits = {lang: F.col(f"{lang}_hits") for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    pred = F.lit("und")
-    for lang in sorted(STOPWORDS, reverse=True):  # earlier lang wins ties
-        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    pred = _lang_argmax({lang: F.col(f"{lang}_hits") for lang in STOPWORDS})
     return hit_df.select(
         F.col(id_col),
         *[F.col(f"{lang}_hits") for lang in STOPWORDS],
@@ -235,14 +259,12 @@ def curation_funnel(
             F.element_at(F.col("_w"), i + 2)
         ),
     )
-    hits = {
-        lang: F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws)))
-        for lang, ws in STOPWORDS.items()
-    }
-    best = F.greatest(*hits.values())
-    pred = F.lit("und")
-    for lang in sorted(STOPWORDS, reverse=True):  # earlier lang wins ties
-        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    pred = _lang_argmax(
+        {
+            lang: F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws)))
+            for lang, ws in STOPWORDS.items()
+        }
+    )
     sig = w.select(
         F.col(group_col),
         F.size("_w").alias("_n"),
@@ -322,14 +344,10 @@ def quality_classifier(
     running the classifier before any join-heavy curation stage.
     """
     feats = quality_stats(df, text_col, id_col)
-    uq = F.col("uniq_ratio").cast("decimal(9,6)")
-    sw = F.least(
-        (F.col("stopword_ratio").cast("decimal(9,6)") * F.lit(3)).cast("decimal(12,6)"),
-        F.lit(1).cast("decimal(12,6)"),
-    )
+    uq, sw = _uq_feature(), _sw_feature()
     n = F.col("n_tokens")
     len_ok = (
-        F.when((n >= 10) & (n <= 10000), F.lit(1)).otherwise(F.lit(0))
+        F.when(_len_in_band(n), F.lit(1)).otherwise(F.lit(0))
     ).cast("decimal(2,1)")
     # z = -2 + 2*uniq + 1.5*min(3*stopword, 1) + 1*len_ok, exact decimal
     z = (

@@ -69,10 +69,10 @@ class GapParams:
     lookback_years: dict[str, int] = field(default_factory=lambda: dict(DEFAULT_LOOKBACK_YEARS))
 
 
-def _rank_expr(params: GapParams) -> F.Column:
+def _rank_expr(params: GapParams, col: str = "closure_reason") -> F.Column:
     expr = F.lit(DEFAULT_RANK_FALLBACK)
     for reason, rank in reversed(list(params.evidence_rank.items())):
-        expr = F.when(F.col("closure_reason") == reason, F.lit(rank)).otherwise(expr)
+        expr = F.when(F.col(col) == reason, F.lit(rank)).otherwise(expr)
     return expr
 
 
@@ -257,9 +257,7 @@ def gap_status_multi(
     for params, codes in measures:
         p_start = F.lit(params.period_start).cast("date")
         p_end = F.lit(params.period_end).cast("date")
-        rank = F.lit(DEFAULT_RANK_FALLBACK)
-        for reason, rk in reversed(list(params.evidence_rank.items())):
-            rank = F.when(F.col("evidence_type") == reason, F.lit(rk)).otherwise(rank)
+        rank = _rank_expr(params, col="evidence_type")
         # qualifying window per evidence type, resolved to literal dates at
         # config-build time (int_gap_col_status.sql:106-144): FIT_FOBT the
         # measurement year, otherwise the N-year lookback from period_end;

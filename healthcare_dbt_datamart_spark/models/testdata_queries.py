@@ -4346,7 +4346,7 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
-ORACLE["unigram_logprob"] = """
+ORACLE["unigram_logprob"] = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
   FROM documents

@@ -73,7 +73,6 @@ class TestResult:
 def run_test(
     violations: DataFrame,
     name: str = "test",
-    where: str | None = None,
     limit: int | None = None,
     warn_if: str = "!= 0",
     error_if: str = "!= 0",
@@ -82,13 +81,19 @@ def run_test(
 ) -> TestResult:
     """The test harness (``tests/helpers.sql:7-16``):
     ``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
-    {fail_calc} {error_if} as should_error`` with optional where/limit
-    wrappers and persisted failures (``test.sql:10-45``). ``fail_calc``
+    {fail_calc} {error_if} as should_error`` with optional limit
+    wrapper and persisted failures (``test.sql:10-45``). ``fail_calc``
     is dbt's knob verbatim: any aggregate SQL expression over the
     violations relation (default ``count(*)``; e.g. ``sum(n_records)``
-    to weight a histogram test by row counts)."""
-    if where:
-        violations = violations.filter(where)
+    to weight a histogram test by row counts).
+
+    Note the dbt ``where`` config is NOT a harness knob: the reference
+    (``where_subquery.sql:1-16``) wraps the tested MODEL in ``select *
+    from relation where ...`` before the test SQL runs — filtering the
+    violations relation instead would be semantically different for any
+    aggregate test (e.g. duplicates spanning in- and out-of-scope rows).
+    Apply ``where`` to the model input when BUILDING the violations
+    relation (as ``plans/registry.py::run_schema_tests`` does)."""
     if limit is not None:
         violations = violations.limit(limit)
     if store_failures_as:
@@ -184,9 +189,27 @@ def enforce_contract(df: DataFrame, contract: StructType) -> DataFrame:
 
     Nullability is advisory in Spark (parquet round-trips lose it), so
     only names and types are enforced — same as dbt's contract checks.
+    That includes NESTED nullability: ``array<string>`` from a literal
+    (containsNull=False) must satisfy a contract declaring the default
+    containsNull=True, so container types are compared with all
+    nullability flags normalized away.
     """
-    have = {f.name: f.dataType for f in df.schema.fields}
-    want = {f.name: f.dataType for f in contract.fields}
+
+    def _denull(dt):
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_denull(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(_denull(dt.keyType), _denull(dt.valueType), True)
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, _denull(f.dataType), True) for f in dt.fields]
+            )
+        return dt
+
+    have = {f.name: _denull(f.dataType) for f in df.schema.fields}
+    want = {f.name: _denull(f.dataType) for f in contract.fields}
     missing = [c for c in want if c not in have]
     extra = [c for c in have if c not in want]
     mistyped = [

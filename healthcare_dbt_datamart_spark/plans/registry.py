@@ -206,15 +206,20 @@ class ModelRegistry:
                 opts = dict(spec[-1]) if isinstance(spec[-1], dict) else {}
                 args = spec[1:-1] if isinstance(spec[-1], dict) else spec[1:]
                 kind = spec[0]
+                # dbt `where` config: wraps the tested MODEL before the
+                # test SQL runs (where_subquery.sql:1-16) — NOT a filter
+                # on the violations output
+                where = opts.pop("where", None)
+                tdf = df.filter(where) if where else df
                 if kind == "unique":
-                    v = T.unique_test(df, args[0])
+                    v = T.unique_test(tdf, args[0])
                 elif kind == "not_null":
-                    v = T.not_null_test(df, args[0])
+                    v = T.not_null_test(tdf, args[0])
                 elif kind == "accepted_values":
-                    v = T.accepted_values_test(df, args[0], list(args[1]))
+                    v = T.accepted_values_test(tdf, args[0], list(args[1]))
                 elif kind == "relationships":
                     v = T.relationships_test(
-                        df, args[0], self._tested_relation(args[1]), args[2]
+                        tdf, args[0], self._tested_relation(args[1]), args[2]
                     )
                 else:
                     raise ValueError(f"unknown test kind: {kind!r}")

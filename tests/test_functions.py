@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from healthcare_dbt_datamart_spark.functions import (
     age_at,
     date_spine,
+    dateadd,
     datediff,
     datediff_year,
     generate_series,
@@ -67,6 +68,90 @@ def test_split_part_negative_index(spark):
     )
     r = df.collect()[0]
     assert (r.p2, r.pm1) == ("b", "c")
+
+
+def test_split_part_out_of_range_matches_snowflake(spark):
+    """Snowflake edges (dbt-adapters/macros/utils/split_part.sql): any
+    out-of-range part — positive or negative — yields '', part 0 is
+    treated as 1, NULL input stays NULL (no error, no wrap-around)."""
+    df = spark.range(1).select(
+        split_part(F.lit("a|b"), "|", 5).alias("pos_oob"),
+        split_part(F.lit("a|b"), "|", -3).alias("neg_edge"),
+        split_part(F.lit("a|b"), "|", -4).alias("neg_far"),
+        split_part(F.lit("a|b"), "|", 0).alias("zero"),
+        split_part(F.lit(None).cast("string"), "|", -2).alias("null_in"),
+    )
+    r = df.collect()[0]
+    assert (r.pos_oob, r.neg_edge, r.neg_far, r.zero, r.null_in) == (
+        "", "", "", "a", None
+    )
+
+
+def test_dateadd_preserves_input_type(spark):
+    """Snowflake dateadd is type-preserving: DATE in -> DATE out,
+    TIMESTAMP in -> TIMESTAMP out with time-of-day intact (day/week
+    previously truncated timestamps to dates via F.date_add); month-end
+    clamping (Jan 31 + 1 month = Feb 29) matches add_months."""
+    from datetime import datetime
+
+    df = spark.range(1).select(
+        F.lit("2020-01-31").cast("date").alias("d"),
+        F.lit("2020-01-31 10:30:00.123456").cast("timestamp").alias("ts"),
+    )
+    out = df.select(
+        dateadd("day", 1, F.col("d")).alias("d_day"),
+        dateadd("month", 1, F.col("d")).alias("d_mon"),
+        dateadd("day", 1, F.col("ts")).alias("ts_day"),
+        dateadd("week", 2, F.col("ts")).alias("ts_wk"),
+        dateadd("month", 1, F.col("ts")).alias("ts_mon"),
+        dateadd("year", 1, F.col("ts")).alias("ts_yr"),
+    )
+    types = dict(out.dtypes)
+    assert types["d_day"] == "date" and types["d_mon"] == "date"
+    assert all(types[c] == "timestamp" for c in ("ts_day", "ts_wk", "ts_mon", "ts_yr"))
+    r = out.collect()[0]
+    assert r.d_day == date(2020, 2, 1)
+    assert r.d_mon == date(2020, 2, 29)  # month-end clamp, leap year
+    assert r.ts_day == datetime(2020, 2, 1, 10, 30, 0, 123456)
+    assert r.ts_wk == datetime(2020, 2, 14, 10, 30, 0, 123456)
+    assert r.ts_mon == datetime(2020, 2, 29, 10, 30, 0, 123456)
+    assert r.ts_yr == datetime(2021, 1, 31, 10, 30, 0, 123456)
+
+
+def test_datediff_subday_is_wallclock_not_epoch(spark):
+    """Snowflake's sub-day datediff counts TZ-naive wall-clock boundaries.
+    With session TZ America/New_York the 2025-11-02 fall-back transition
+    repeats an epoch hour: an epoch-seconds implementation returns 4 for
+    hour-diff midnight->3am; the wall-clock count is 3."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.range(1).select(
+            F.lit("2025-11-02 00:00:00").cast("timestamp").alias("a"),
+            F.lit("2025-11-02 03:00:00").cast("timestamp").alias("b"),
+        )
+        r = df.select(
+            datediff("hour", F.col("a"), F.col("b")).alias("h"),
+            datediff("minute", F.col("a"), F.col("b")).alias("m"),
+            datediff("second", F.col("a"), F.col("b")).alias("s"),
+        ).collect()[0]
+        assert (r.h, r.m, r.s) == (3, 180, 10800)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_datediff_subday_counts_boundaries(spark):
+    """Boundary semantics: 01:59 -> 02:01 crosses one hour boundary."""
+    df = spark.range(1).select(
+        F.lit("2020-01-01 01:59:30").cast("timestamp").alias("a"),
+        F.lit("2020-01-01 02:00:10").cast("timestamp").alias("b"),
+    )
+    r = df.select(
+        datediff("hour", F.col("a"), F.col("b")).alias("h"),
+        datediff("minute", F.col("a"), F.col("b")).alias("m"),
+        datediff("second", F.col("a"), F.col("b")).alias("s"),
+    ).collect()[0]
+    assert (r.h, r.m, r.s) == (1, 1, 40)
 
 
 def test_listagg_ordered_limited(spark):

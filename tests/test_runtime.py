@@ -486,6 +486,31 @@ def test_enforce_contract_diff_and_reorder(spark):
         enforce_contract(_df(spark, [("1", "a")], "id string, name string"), contract)
 
 
+def test_enforce_contract_ignores_nested_nullability(spark):
+    """A literal-built array<string> carries containsNull=False; the
+    contract's default ArrayType has containsNull=True. Both print as
+    array<string> — 'only names and types' means this must PASS, so
+    nested nullability flags are normalized before comparison."""
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from healthcare_dbt_datamart_spark.operators.testing import enforce_contract
+
+    contract = StructType(
+        [StructField("id", LongType()), StructField("tags", ArrayType(StringType()))]
+    )
+    df = spark.range(1).select(
+        F.col("id"), F.array(F.lit("a"), F.lit("b")).alias("tags")
+    )
+    assert df.schema["tags"].dataType.containsNull is False  # the trap exists
+    assert enforce_contract(df, contract).columns == ["id", "tags"]
+    # a genuinely different element type still fails
+    bad = spark.range(1).select(
+        F.col("id"), F.array(F.lit(1), F.lit(2)).alias("tags")
+    )
+    with pytest.raises(ValueError, match="mistyped"):
+        enforce_contract(bad, contract)
+
+
 def test_pandas_grouped_agg_udaf_matches_builtin(spark):
     """§2.12 UDAF extension point: an Arrow-batched grouped-agg pandas UDF
     (geometric mean) agrees with the pure-Catalyst exp(avg(ln)) identity —
@@ -980,6 +1005,21 @@ def test_registry_schema_tests_and_cli_clone(spark):
     )
     def t_reg_tested(ctx):
         return ctx.source("raw")
+
+    # dbt `where` config wraps the tested MODEL (where_subquery.sql), not
+    # the violations output: the k=1 duplicate spans active+inactive rows,
+    # so scoped to active rows the unique test passes
+    @r.model(
+        materialized="view",
+        tests=[("unique", "k", {"where": "v = 'a'"})],
+    )
+    def t_reg_where(ctx):
+        return ctx.source("raw").withColumn(
+            "v", F.coalesce(F.col("v"), F.lit("z"))
+        )
+
+    where_res = r.run_tests(select="t_reg_where")["t_reg_where"][0]
+    assert where_res.status == "pass" and where_res.failures == 0
 
     results = {t.name: t for t in r.run_tests()["t_reg_tested"]}
     assert results["unique_t_reg_tested_k"].status == "fail"

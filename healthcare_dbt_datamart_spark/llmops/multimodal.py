@@ -135,17 +135,32 @@ def extract_features(media: DataFrame, decode_stub: str = "deterministic") -> Da
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg — not in this container"
                 )
-            dims = [_decode_dims(c, use_pil) for c in pdf["content"]]
+            # NULL payloads (MEDIA_SCHEMA allows them; PERMISSIVE corrupt
+            # loads and NULL-text text_as_media produce them) yield NULL
+            # features — one bad row must not fail the task, same contract
+            # as _probed_durations
+            dims = [
+                None if c is None else _decode_dims(c, use_pil)
+                for c in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "n_bytes": pd.array(
+                        [None if c is None else len(c) for c in pdf["content"]],
+                        dtype="Int64",
+                    ),
                     "content_md5": [
-                        hashlib.md5(c).hexdigest() for c in pdf["content"]
+                        None if c is None else hashlib.md5(c).hexdigest()
+                        for c in pdf["content"]
                     ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": pd.array(
+                        [None if d is None else d[0] for d in dims], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [None if d is None else d[1] for d in dims], dtype="Int64"
+                    ),
                 }
             )
 
@@ -203,6 +218,13 @@ def resize_images(
                 )
             out_w, out_h, out_c = [], [], []
             for c in pdf["content"]:
+                if c is None:
+                    # NULL payload -> NULL resize, same contract as
+                    # extract_features / _probed_durations
+                    out_w.append(None)
+                    out_h.append(None)
+                    out_c.append(None)
+                    continue
                 real = _pil_resize(c, max_side) if use_pil else None
                 if real is not None:
                     out_w.append(real[0])
@@ -219,8 +241,8 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": out_w,
-                    "height": out_h,
+                    "width": pd.array(out_w, dtype="Int64"),
+                    "height": pd.array(out_h, dtype="Int64"),
                     "content": out_c,
                 }
             )
@@ -356,9 +378,14 @@ def frame_sample_plan(
     else:
         base = media
         n_frames = (F.length(F.col("content")) / 1000).cast("long") + 1
+    # valid frame indices are 0..n_frames-1 and F.sequence is
+    # bound-inclusive: sampling up to n_frames would emit an
+    # out-of-range index whenever n_frames % every_n == 0 (the same
+    # fencepost audio_chunk_plan handles via duration - 1)
+    last_idx = F.greatest(n_frames - 1, F.lit(0))
     return base.select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0), last_idx, F.lit(every_n))).alias("frame_idx"),
     )
 
 

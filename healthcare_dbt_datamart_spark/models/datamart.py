@@ -250,12 +250,15 @@ def build_datamart(
     def member_cost_summary(ctx):
         # declared intent of models/marts/analytics/member_cost_summary.sql
         # (0-byte): per-member rollup over the claims fact — one partial-agg
-        # groupBy on the member key
+        # groupBy on the member key. Columns are named at the fact's grain
+        # (claim LINES): int_member_enrollment.n_claims counts distinct
+        # claim HEADERS, and the same name at two grains would make the
+        # two marts silently contradict each other
         claims = ctx.ref("fct_claims")
         return ctx.ref("dim_member").select("member_id", "is_age_eligible").join(
             claims.groupBy("member_id").agg(
-                F.count(F.lit(1)).alias("n_claims"),
-                F.sum("is_screening").alias("n_screening_claims"),
+                F.count(F.lit(1)).alias("n_claim_lines"),
+                F.sum("is_screening").alias("n_screening_lines"),
                 F.min("service_date").alias("first_service_date"),
                 F.max("service_date").alias("last_service_date"),
             ),
@@ -264,8 +267,8 @@ def build_datamart(
         ).select(
             "member_id",
             "is_age_eligible",
-            F.coalesce("n_claims", F.lit(0)).alias("n_claims"),
-            F.coalesce("n_screening_claims", F.lit(0)).alias("n_screening_claims"),
+            F.coalesce("n_claim_lines", F.lit(0)).alias("n_claim_lines"),
+            F.coalesce("n_screening_lines", F.lit(0)).alias("n_screening_lines"),
             "first_service_date",
             "last_service_date",
         )

@@ -494,15 +494,15 @@ def q_member_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     per = grain.groupBy("member_id").agg(
-        F.count(F.lit(1)).alias("n_claims"),
-        F.sum("is_screening").alias("n_screening_claims"),
+        F.count(F.lit(1)).alias("n_claim_lines"),
+        F.sum("is_screening").alias("n_screening_lines"),
         F.min("service_date").alias("first_service_date"),
         F.max("service_date").alias("last_service_date"),
     )
     return members.select("member_id").join(per, "member_id", "left").select(
         "member_id",
-        F.coalesce("n_claims", F.lit(0)).alias("n_claims"),
-        F.coalesce("n_screening_claims", F.lit(0)).alias("n_screening_claims"),
+        F.coalesce("n_claim_lines", F.lit(0)).alias("n_claim_lines"),
+        F.coalesce("n_screening_lines", F.lit(0)).alias("n_screening_lines"),
         "first_service_date",
         "last_service_date",
     )
@@ -4043,15 +4043,15 @@ grain AS (
   FROM flagged
 ),
 per AS (
-  SELECT member_id, COUNT(*) AS n_claims,
-         CAST(SUM(is_screening) AS BIGINT) AS n_screening_claims,
+  SELECT member_id, COUNT(*) AS n_claim_lines,
+         CAST(SUM(is_screening) AS BIGINT) AS n_screening_lines,
          MIN(service_date) AS first_service_date,
          MAX(service_date) AS last_service_date
   FROM grain GROUP BY member_id
 )
 SELECT m.member_id,
-       CAST(COALESCE(p.n_claims, 0) AS BIGINT) AS n_claims,
-       CAST(COALESCE(p.n_screening_claims, 0) AS BIGINT) AS n_screening_claims,
+       CAST(COALESCE(p.n_claim_lines, 0) AS BIGINT) AS n_claim_lines,
+       CAST(COALESCE(p.n_screening_lines, 0) AS BIGINT) AS n_screening_lines,
        p.first_service_date, p.last_service_date
 FROM members m LEFT JOIN per p ON m.member_id = p.member_id
 """

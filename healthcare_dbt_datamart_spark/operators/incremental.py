@@ -192,6 +192,7 @@ def incremental_run(
     event_time: str | None = None,
     batch_start=None,
     batch_end=None,
+    batch_windows: list[tuple] | None = None,
     incremental_predicates: list[str] | None = None,
     merge_update_columns: list[str] | None = None,
     merge_exclude_columns: list[str] | None = None,
@@ -331,15 +332,30 @@ def incremental_run(
 
     if strategy == "microbatch":
         # I5: delete target rows in [batch_start, batch_end), insert batch
-        # (dbt-snowflake/.../merge.sql:73-101).
-        if event_time is None or batch_start is None or batch_end is None:
-            raise ValueError("microbatch needs event_time, batch_start, batch_end")
+        # (dbt-snowflake/.../merge.sql:73-101). ``batch_windows`` replaces
+        # several periods in ONE pass: the delete predicate ORs the
+        # windows, so a multi-period arrival (streaming catch-up after
+        # downtime) pays one target rewrite instead of one per period.
+        if batch_windows is None:
+            if event_time is None or batch_start is None or batch_end is None:
+                raise ValueError(
+                    "microbatch needs event_time and either "
+                    "batch_start+batch_end or batch_windows"
+                )
+            batch_windows = [(batch_start, batch_end)]
+        elif event_time is None or not batch_windows:
+            raise ValueError("microbatch needs event_time and >=1 window")
         ev = F.col(event_time)
-        lo, hi = F.lit(batch_start), F.lit(batch_end)
-        # DELETE WHERE ev in [lo, hi): a NULL event_time is NOT in the
+        # DELETE WHERE ev in any [lo, hi): a NULL event_time is NOT in a
         # window (3VL), so those rows must survive — coalesce the window
         # predicate to FALSE before negating or ~NULL drops them
-        in_window = F.coalesce((ev >= lo) & (ev < hi), F.lit(False))
+        in_window = F.coalesce(
+            reduce(
+                lambda a, b: a | b,
+                [(ev >= F.lit(lo)) & (ev < F.lit(hi)) for lo, hi in batch_windows],
+            ),
+            F.lit(False),
+        )
         kept = target.filter(~in_window)
         windowed = source.filter(in_window)
         _swap_in(spark, name, kept.unionByName(windowed))

@@ -41,7 +41,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV source with declared schema (no inference scan) and corrupt-
     line capture — the S1 seed loader's big-data sibling.
@@ -58,8 +62,37 @@ def read_csv(
     (The native csv reader's header option skips per-file first lines,
     but its internal corrupt column cannot be filtered standalone without
     caching the whole load — this line-scan keeps quarantine queryable.)
+
+    The line scan assumes ONE RECORD PER LINE: an RFC-4180 quoted field
+    containing a newline (Excel/pandas exporters emit these) splits into
+    two lines that both land in ``_corrupt_record``. Feeds with embedded
+    newlines must pass ``multiline=True``, which routes through the
+    native csv reader with ``multiLine`` (same PERMISSIVE corrupt-column
+    contract; the whole-file parse makes per-file splits coarser, so
+    prefer the default line scan when the feed guarantees no embedded
+    newlines).
     """
     from functools import reduce as _reduce
+
+    if multiline:
+        df = (
+            spark.read.schema(_with_corrupt(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("header", str(bool(header)).lower())
+            .option("multiLine", "true")
+            .csv(path)
+        )
+        # the native reader refuses scans whose referenced columns are
+        # ONLY the internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+        # — e.g. corrupt_records(df).count() after pruning). Anchor the
+        # corrupt column to a never-taken, non-constant-foldable expression
+        # over the first data column so such queries keep one real column
+        # in the scan — quarantine stays standalone-queryable, matching
+        # the line-scan path's contract.
+        anchor = F.col(schema.fields[0].name)
+        never = F.when(F.length(anchor.cast("string")) < 0, F.lit("x"))
+        return df.withColumn(CORRUPT_COL, F.coalesce(F.col(CORRUPT_COL), never))
 
     lines = spark.read.text(path)
     if header:

@@ -23,6 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+# query.id (checkpoint-persistent, unlike runId) -> the checkpoint dir the
+# dynamic table was STARTED with, so alter_dynamic_table_lag can keep the
+# docstring's offset-resume promise without the caller re-passing it
+_CHECKPOINTS: dict[str, str | None] = {}
+
 
 def dynamic_table(
     source_stream: DataFrame,
@@ -44,7 +49,9 @@ def dynamic_table(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    q = writer.start()
+    _CHECKPOINTS[str(q.id)] = checkpoint_dir
+    return q
 
 
 def refresh_dynamic_table(
@@ -86,7 +93,24 @@ def alter_dynamic_table_lag(
     reference alters lag in place; Spark triggers are immutable on a
     running query, so the alter is stop-and-restart with the new trigger
     against the same sink name and checkpoint, which resumes from the
-    recorded stream offsets)."""
+    recorded stream offsets).
+
+    Leaving ``checkpoint_dir`` unset reuses the checkpoint the stopped
+    query was STARTED with (recorded at start time) — otherwise an alter
+    call that forgot to repeat the original checkpoint would silently
+    restart the stream from scratch, reprocessing the whole source.
+    Passing a DIFFERENT checkpoint than the recorded one raises, since
+    that is never an offset-resume; pass the same one (or alter a
+    checkpoint-less query) to proceed."""
+    recorded = _CHECKPOINTS.get(str(query.id))
+    if checkpoint_dir is None:
+        checkpoint_dir = recorded
+    elif recorded is not None and checkpoint_dir != recorded:
+        raise ValueError(
+            f"alter_dynamic_table_lag: query {query.id} was started with "
+            f"checkpoint {recorded!r} but {checkpoint_dir!r} was passed — "
+            "a different checkpoint cannot resume the recorded offsets"
+        )
     query.stop()
     query.awaitTermination()
     return dynamic_table(
@@ -300,18 +324,23 @@ def microbatch_stream(
             .distinct()
             .collect()
         ]
-        ev = F.col(event_time)
-        for start in sorted(starts):
-            end = _period_end(start, period)
-            incremental_run(
-                batch_df.sparkSession,
-                name,
-                batch_df.filter((ev >= F.lit(start)) & (ev < F.lit(end))),
-                strategy="microbatch",
-                event_time=event_time,
-                batch_start=start,
-                batch_end=end,
-            )
+        # ONE delete+insert over the union of the batch's period windows:
+        # a catch-up batch spanning k periods must not rewrite the target
+        # k times (each microbatch call swaps the full table) — the OR-ed
+        # window predicate replaces exactly the touched periods in one
+        # pass, and periods BETWEEN touched ones (no arriving rows) are
+        # untouched, which a single min..max span would wrongly wipe
+        windows = [
+            (start, _period_end(start, period)) for start in sorted(starts)
+        ]
+        incremental_run(
+            batch_df.sparkSession,
+            name,
+            batch_df,
+            strategy="microbatch",
+            event_time=event_time,
+            batch_windows=windows,
+        )
 
     writer = stream.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

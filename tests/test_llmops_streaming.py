@@ -195,6 +195,47 @@ def test_multimodal_feature_extraction(spark, docs):
     assert frame_sample_plan(media).count() >= 5
 
 
+def test_multimodal_null_payload_yields_null_features(spark):
+    """A NULL content payload (allowed by MEDIA_SCHEMA; a PERMISSIVE
+    corrupt load produces them) must yield NULL features / NULL resize,
+    not a TypeError that fails the whole task — the _probed_durations
+    'one bad row must not fail the task' contract."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-bytes"), None), (2, "image", None, None)],
+        "media_id long, media_type string, content binary, meta string",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 13 and feats[1].content_md5 is not None
+    assert feats[2].n_bytes is None
+    assert feats[2].content_md5 is None
+    assert feats[2].width is None and feats[2].height is None
+
+    sizes = {r.media_id: r for r in resize_images(media, max_side=32).collect()}
+    assert sizes[1].width is not None and sizes[1].content is not None
+    assert sizes[2].width is None and sizes[2].height is None
+    assert sizes[2].content is None
+
+
+def test_frame_sample_plan_never_emits_out_of_range_index(spark):
+    """F.sequence is bound-inclusive: sampling 0..n_frames would emit
+    frame_idx == n_frames (invalid — indices are 0..n_frames-1) whenever
+    n_frames % every_n == 0. 9000 bytes -> n_frames = 10 in stub mode;
+    every_n=5 must top out at index 5, not 10."""
+    from healthcare_dbt_datamart_spark.llmops.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x" * 9000), None)],
+        "media_id long, media_type string, content binary, meta string",
+    )
+    idxs = sorted(r.frame_idx for r in frame_sample_plan(media, every_n=5).collect())
+    assert idxs == [0, 5]  # n_frames=10 -> valid indices 0..9
+
+
 @pytest.fixture(scope="module")
 def events(spark):
     rows = [
@@ -285,6 +326,51 @@ def test_dynamic_table_refresh_and_alter_lag(spark, events, tmp_path):
                     break
                 time.sleep(1)
             assert spark.sql("select * from dyn_alter").count() >= 2
+        finally:
+            q2.stop()
+    finally:
+        if q1.isActive:
+            q1.stop()
+
+
+def test_alter_lag_reuses_recorded_checkpoint(spark, events, tmp_path):
+    """alter_dynamic_table_lag without checkpoint_dir must reuse the one
+    the query was STARTED with (otherwise the restart silently reprocesses
+    the whole source from offset zero), and a DIFFERENT checkpoint raises
+    rather than pretending to resume."""
+    from healthcare_dbt_datamart_spark.streaming import (
+        alter_dynamic_table_lag,
+        dynamic_table,
+    )
+    from healthcare_dbt_datamart_spark.streaming.dynamic_table import _CHECKPOINTS
+
+    src_dir = str(tmp_path / "dyn_src_ckpt")
+    ckpt = str(tmp_path / "dyn_ckpt")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    def xform(df):
+        return tumbling_window_agg(df.withWatermark("ts", "1 hour"), "1 hour")
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q1 = dynamic_table(
+        stream, xform, name="dyn_ckpt_t", target_lag="10 seconds",
+        checkpoint_dir=ckpt,
+    )
+    try:
+        with pytest.raises(ValueError, match="different checkpoint"):
+            alter_dynamic_table_lag(
+                q1, stream, xform, name="dyn_ckpt_t",
+                target_lag="1 seconds", checkpoint_dir=str(tmp_path / "other"),
+            )
+        assert q1.isActive  # the guard fired BEFORE stopping the query
+        q2 = alter_dynamic_table_lag(
+            q1, stream, xform, name="dyn_ckpt_t", target_lag="1 seconds"
+        )
+        try:
+            # the restart reused the recorded checkpoint — offset resume
+            assert _CHECKPOINTS[str(q2.id)] == ckpt
+            # same checkpoint => Spark keeps the same persistent query id
+            assert str(q2.id) == str(q1.id)
         finally:
             q2.stop()
     finally:

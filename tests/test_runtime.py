@@ -123,6 +123,36 @@ def test_microbatch_windowed_delete_insert(spark):
     assert rows == {"2024-01-01": 10, "2024-01-02": 2}
 
 
+def test_microbatch_batch_windows_replace_only_touched_periods(spark):
+    """batch_windows replaces several non-contiguous periods in ONE call:
+    the 01 and 03 windows are rewritten, the untouched 02 period between
+    them survives (a single min..max span would wrongly wipe it)."""
+    base = (
+        _df(
+            spark,
+            [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+            "d string, v long",
+        ).withColumn("d", F.col("d").cast("date"))
+    )
+    incremental_run(
+        spark, "inc_mbw", base, strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-01-04",
+    )
+    arriving = (
+        _df(spark, [("2024-01-01", 10), ("2024-01-03", 30)], "d string, v long")
+        .withColumn("d", F.col("d").cast("date"))
+    )
+    incremental_run(
+        spark, "inc_mbw", arriving, strategy="microbatch", event_time="d",
+        batch_windows=[
+            ("2024-01-01", "2024-01-02"),
+            ("2024-01-03", "2024-01-04"),
+        ],
+    )
+    rows = {str(r.d): r.v for r in spark.table("inc_mbw").collect()}
+    assert rows == {"2024-01-01": 10, "2024-01-02": 2, "2024-01-03": 30}
+
+
 def test_on_schema_change_ignore_and_append(spark):
     incremental_run(spark, "inc_sc", _df(spark, [(1, "a")], "id long, v string"),
                     strategy="append")
@@ -435,6 +465,22 @@ def test_sources_permissive_corrupt_capture(spark, tmp_path):
     cdf = src.read_csv(spark, str(csvf), schema)
     assert src.corrupt_records(cdf).count() == 1
     assert src.good_records(cdf).count() == 1
+
+    # RFC-4180 quoted field with an embedded newline: the line scan
+    # quarantines both fragments; multiline=True parses it as one record
+    mlf = tmp_path / "feed_ml.csv"
+    mlf.write_text('id,name\n1,"line one\nline two"\n2,plain\n')
+    split = src.read_csv(spark, str(mlf), schema)
+    # the record splits into two fragments: one quarantines, and the
+    # other "parses" with a truncated name — the documented limitation
+    assert src.corrupt_records(split).count() >= 1
+    assert "line one\nline two" not in {
+        r.name for r in src.good_records(split).collect()
+    }
+    ml = src.read_csv(spark, str(mlf), schema, multiline=True)
+    assert src.corrupt_records(ml).count() == 0
+    got = {r.id: r.name for r in src.good_records(ml).collect()}
+    assert got == {1: "line one\nline two", 2: "plain"}
 
 
 def test_job_group_tags_and_clears(spark):
@@ -1297,8 +1343,8 @@ def test_full_datamart_dag_with_marts_and_snapshot(spark):
     dim = spark.table("dim_member")
     assert dim.count() == 3
     mcs = {r.member_id: r for r in spark.table("member_cost_summary").collect()}
-    assert mcs[1].n_claims == 1 and mcs[1].n_screening_claims == 1
-    assert mcs[3].n_claims == 0
+    assert mcs[1].n_claim_lines == 1 and mcs[1].n_screening_lines == 1
+    assert mcs[3].n_claim_lines == 0
 
     # snapshot: first run all-current; a changed member closes out + re-inserts
     snap = spark.table("snap_dim_member")

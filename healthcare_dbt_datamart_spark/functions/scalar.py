@@ -153,8 +153,12 @@ def datediff(part: str, a: Column | str, b: Column | str) -> Column:
 
         per_day = {"hour": 24, "minute": 1440, "second": 86400}[part]
         ca, cb = a.cast("timestamp"), b.cast("timestamp")
+        # datediff returns INT: day-count * 86400 overflows 32-bit at
+        # ~68-year spans (birth-date arithmetic routinely exceeds that) —
+        # ANSI mode throws, non-ANSI silently wraps. Widen BEFORE the
+        # multiply, not after
         return (
-            F.datediff(cb.cast("date"), ca.cast("date")) * per_day
+            F.datediff(cb.cast("date"), ca.cast("date")).cast("long") * per_day
             + (_tod_units(cb) - _tod_units(ca))
         ).cast("long")
     raise ValueError(f"unsupported datepart: {part}")

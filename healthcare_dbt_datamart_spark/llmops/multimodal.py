@@ -381,8 +381,11 @@ def frame_sample_plan(
     # valid frame indices are 0..n_frames-1 and F.sequence is
     # bound-inclusive: sampling up to n_frames would emit an
     # out-of-range index whenever n_frames % every_n == 0 (the same
-    # fencepost audio_chunk_plan handles via duration - 1)
-    last_idx = F.greatest(n_frames - 1, F.lit(0))
+    # fencepost audio_chunk_plan handles via duration - 1). greatest()
+    # SKIPS NULLs, so clamp only non-NULL counts: a NULL n_frames (NULL
+    # payload / unprobeable container) must stay NULL so explode drops
+    # the row instead of emitting a phantom frame 0
+    last_idx = F.when(n_frames.isNotNull(), F.greatest(n_frames - 1, F.lit(0)))
     return base.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), last_idx, F.lit(every_n))).alias("frame_idx"),

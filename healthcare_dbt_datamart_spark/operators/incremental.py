@@ -169,15 +169,24 @@ def _apply_schema_change(
             F.lit(None).cast(target.schema[c].dataType).alias(c) for c in removed
         ]
         return source.select(*proj)
-    # sync_all_columns: add new, drop removed — but only REWRITE the
-    # target when the column SET actually changed; with identical sets
-    # the swap would read+rewrite the whole target for nothing, every run
-    if set(t_cols) != set(s_cols):
+    # sync_all_columns: add new, drop removed. Only a genuine DROP forces
+    # the full-target rewrite (parquet tables have no metadata DROP
+    # COLUMN); add-only drift — the common case, a source gaining a
+    # column — is the same O(metadata) ALTER TABLE ADD COLUMNS as
+    # append_new_columns, and identical sets touch nothing
+    removed = [c for c in t_cols if c not in s_cols]
+    if removed:
         synced = target.select(
             *[F.col(c) for c in t_cols if c in s_cols],
             *[F.lit(None).cast(source.schema[c].dataType).alias(c) for c in new_cols],
         )
         _swap_in(spark, name, synced)
+    elif new_cols:
+        cols_ddl = ", ".join(
+            f"`{c}` {source.schema[c].dataType.simpleString()}" for c in new_cols
+        )
+        spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
+        spark.catalog.refreshTable(name)
     return source.select(*s_cols)
 
 
@@ -200,13 +209,50 @@ def incremental_run(
     """Run one incremental build (``incremental.sql:38-69`` dispatch).
 
     First run (or full refresh) is a plain CTAS regardless of strategy —
-    same as the reference. ``merge_update_columns`` /
-    ``merge_exclude_columns`` mirror the MERGE matched-update column
-    subset (``merge.sql:19-29``): matched rows take the listed columns
-    (resp. all-but-excluded) from the source and KEEP the target's values
-    for the rest; mutually exclusive, like the reference.
+    same as the reference — except microbatch, whose CTAS takes only the
+    IN-WINDOW rows: later batches can only ever replace rows inside their
+    windows, so a first run that landed out-of-window rows (NULL
+    ``event_time`` above all) would leave them permanently stuck, present
+    or absent depending on which batch happened to arrive first.
+    ``merge_update_columns`` / ``merge_exclude_columns`` mirror the MERGE
+    matched-update column subset (``merge.sql:19-29``): matched rows take
+    the listed columns (resp. all-but-excluded) from the source and KEEP
+    the target's values for the rest; mutually exclusive, like the
+    reference.
     """
     from .materialize import materialize_table
+
+    in_window = None
+    if strategy == "microbatch":
+        # validate + normalize the window spec up front so BOTH the
+        # first-run CTAS and the incremental delete+insert share one
+        # window predicate (dbt-snowflake/.../merge.sql:73-101).
+        # ``batch_windows`` replaces several periods in ONE pass: the
+        # delete predicate ORs the windows, so a multi-period arrival
+        # (streaming catch-up after downtime) pays one target rewrite
+        # instead of one per period.
+        if batch_windows is None:
+            if event_time is None or batch_start is None or batch_end is None:
+                raise ValueError(
+                    "microbatch needs event_time and either "
+                    "batch_start+batch_end or batch_windows"
+                )
+            batch_windows = [(batch_start, batch_end)]
+        elif event_time is None or not batch_windows:
+            raise ValueError("microbatch needs event_time and >=1 window")
+        ev = F.col(event_time)
+        # ev in any [lo, hi): a NULL event_time is NOT in a window (3VL),
+        # so those rows must survive deletes AND never insert — coalesce
+        # the window predicate to FALSE before negating or ~NULL drops
+        # them from the kept set
+        in_window = F.coalesce(
+            reduce(
+                lambda a, b: a | b,
+                [(ev >= F.lit(lo)) & (ev < F.lit(hi)) for lo, hi in batch_windows],
+            ),
+            F.lit(False),
+        )
+        source = source.filter(in_window)
 
     if not is_incremental(spark, name, full_refresh):
         materialize_table(spark, name, source)
@@ -331,34 +377,12 @@ def incremental_run(
         return
 
     if strategy == "microbatch":
-        # I5: delete target rows in [batch_start, batch_end), insert batch
-        # (dbt-snowflake/.../merge.sql:73-101). ``batch_windows`` replaces
-        # several periods in ONE pass: the delete predicate ORs the
-        # windows, so a multi-period arrival (streaming catch-up after
-        # downtime) pays one target rewrite instead of one per period.
-        if batch_windows is None:
-            if event_time is None or batch_start is None or batch_end is None:
-                raise ValueError(
-                    "microbatch needs event_time and either "
-                    "batch_start+batch_end or batch_windows"
-                )
-            batch_windows = [(batch_start, batch_end)]
-        elif event_time is None or not batch_windows:
-            raise ValueError("microbatch needs event_time and >=1 window")
-        ev = F.col(event_time)
-        # DELETE WHERE ev in any [lo, hi): a NULL event_time is NOT in a
-        # window (3VL), so those rows must survive — coalesce the window
-        # predicate to FALSE before negating or ~NULL drops them
-        in_window = F.coalesce(
-            reduce(
-                lambda a, b: a | b,
-                [(ev >= F.lit(lo)) & (ev < F.lit(hi)) for lo, hi in batch_windows],
-            ),
-            F.lit(False),
-        )
+        # I5: DELETE target rows in the window(s), insert the (already
+        # window-filtered) batch — one delete+insert swap; the window
+        # predicate was validated and applied to ``source`` up front so
+        # the first-run CTAS shares it
         kept = target.filter(~in_window)
-        windowed = source.filter(in_window)
-        _swap_in(spark, name, kept.unionByName(windowed))
+        _swap_in(spark, name, kept.unionByName(source))
         return
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

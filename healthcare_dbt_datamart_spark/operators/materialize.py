@@ -28,6 +28,24 @@ def _table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
 
 
+def _slot_path(spark: SparkSession, name: str) -> str:
+    """The warehouse-slot directory the catalog would assign ``name``,
+    resolved the way the catalog does: a non-default database nests under
+    ``<warehouse>/<db>.db/`` — computing ``<warehouse>/<name>`` regardless
+    would point at an UNRELATED default-db table's directory whenever the
+    session's current database differs. Scheme-stripped for local-FS use."""
+    if "." in name:
+        db, table = name.lower().split(".", 1)
+    else:
+        db, table = spark.catalog.currentDatabase().lower(), name.lower()
+    rel = table if db == "default" else f"{db}.db/{table}"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[5:] if wh.startswith("file:") else wh
+    import os
+
+    return os.path.join(wh, rel)
+
+
 def _drop_stale_location(spark: SparkSession, name: str) -> None:
     """Remove a warehouse-slot directory the CATALOG does not know about:
     the leftover of a session that died between write and (persistent)
@@ -38,19 +56,8 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     forever. Callers invoke this only when no live catalog entry points
     at the path (tableExists is False, or the entry was dropped in the
     same statement) — hence no reader can resolve it."""
-    # resolve the slot the way the catalog would: a non-default database
-    # nests under <warehouse>/<db>.db/ — computing <warehouse>/<name>
-    # regardless would delete an UNRELATED default-db table's directory
-    # whenever the session's current database differs
-    if "." in name:
-        db, table = name.lower().split(".", 1)
-    else:
-        db, table = spark.catalog.currentDatabase().lower(), name.lower()
-    rel = table if db == "default" else f"{db}.db/{table}"
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), rel
-    )
+    path = jvm.org.apache.hadoop.fs.Path(_slot_path(spark, name))
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
@@ -102,12 +109,29 @@ def materialize_table(
         # them. Direct overwrite instead; on Delta this is atomic anyway.
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
+    import os.path
+
     tmp, backup = f"{name}__dbt_tmp", f"{name}__dbt_backup"
+    if not _table_exists(spark, name) and _table_exists(spark, backup):
+        # a crash landed between `name RENAME TO backup` and
+        # `tmp RENAME TO name`: the backup is the ONLY surviving copy of
+        # the table — promote it (the recover_swap rule), never drop it;
+        # the rebuild below then swaps against the restored target
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {name}")
+        spark.catalog.refreshTable(name)
+    # a promoted EXTERNAL backup keeps reading the backup SLOT directory
+    # (catalog renames don't move external files) — never clear a slot a
+    # live table still reads
+    protected = (
+        {os.path.normpath(_table_location(spark, name))}
+        if _table_exists(spark, name)
+        else set()
+    )
     for t in (tmp, backup):
         if _table_exists(spark, t):  # crashed mid-swap with live catalog
             spark.sql(f"DROP TABLE {t}")
-        else:
-            _drop_stale_location(spark, t)
+        if os.path.normpath(_slot_path(spark, t)) not in protected:
+            _drop_stale_location(spark, t)  # stale dir / ex-EXTERNAL files
     writer.saveAsTable(tmp)
     if _table_exists(spark, name):
         # backup-rename-drop, NOT drop-then-rename: the old target is
@@ -118,9 +142,26 @@ def materialize_table(
         # exact hazard _swap_in's docstring forbids; this path rebuilds
         # incremental targets via compact_table too)
         spark.sql(f"ALTER TABLE {name} RENAME TO {backup}")
+        # a MANAGED rename moved its directory out of the name slot; an
+        # EXTERNAL old target (e.g. a clone target parked at the slot)
+        # renames catalog-only and the backup still READS the slot dir —
+        # blindly clearing the slot would gut the crash-recovery copy.
+        # Relocate it first: hardlink-copy into the (just-cleared) backup
+        # slot — O(files) metadata, bytes shared, every window crash-safe:
+        # before SET LOCATION the backup still reads the intact slot dir,
+        # after it reads the linked copy
+        import os.path
+
+        slot = os.path.normpath(_slot_path(spark, name))
+        if os.path.normpath(_table_location(spark, backup)) == slot:
+            _link_tree(slot, _slot_path(spark, backup))
+            spark.sql(
+                f"ALTER TABLE {backup} SET LOCATION '{_slot_path(spark, backup)}'"
+            )
         _drop_stale_location(spark, name)  # EXTERNAL occupant's files
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
         spark.sql(f"DROP TABLE {backup}")
+        _drop_stale_location(spark, backup)  # ex-EXTERNAL backup's files
     else:
         # clear the warehouse slot: an EXTERNAL occupant (e.g. a
         # clone_table target) keeps its files through DROP and would
@@ -130,6 +171,32 @@ def materialize_table(
         _drop_stale_location(spark, name)
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     spark.catalog.refreshTable(name)
+
+
+def _link_tree(src_loc: str, dst_loc: str) -> int:
+    """Mirror a data directory into ``dst_loc`` by hardlink (zero-copy:
+    new name, same inode; parquet files are immutable so shared bytes
+    never mutate), falling back to a real copy across devices / on
+    filesystems without hardlinks. Returns the number of data files
+    (markers like _SUCCESS excluded)."""
+    import os
+    import shutil
+
+    n_files = 0
+    for dirpath, _dirnames, filenames in os.walk(src_loc):
+        rel = os.path.relpath(dirpath, src_loc)
+        out_dir = dst_loc if rel == "." else os.path.join(dst_loc, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in filenames:
+            src_f = os.path.join(dirpath, fn)
+            dst_f = os.path.join(out_dir, fn)
+            try:
+                os.link(src_f, dst_f)
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(src_f, dst_f)
+            if not fn.startswith(("_", ".")):  # data files, not markers
+                n_files += 1
+    return n_files
 
 
 def _table_location(spark: SparkSession, name: str) -> str:
@@ -167,7 +234,6 @@ def clone_table(
     number of data files linked.
     """
     import os
-    import shutil
 
     if "." in source or "." in target:
         raise ValueError(
@@ -186,20 +252,7 @@ def clone_table(
     wh = wh[5:] if wh.startswith("file:") else wh
     dst_loc = os.path.join(wh, target.lower())
 
-    n_files = 0
-    for dirpath, _dirnames, filenames in os.walk(src_loc):
-        rel = os.path.relpath(dirpath, src_loc)
-        out_dir = dst_loc if rel == "." else os.path.join(dst_loc, rel)
-        os.makedirs(out_dir, exist_ok=True)
-        for fn in filenames:
-            src_f = os.path.join(dirpath, fn)
-            dst_f = os.path.join(out_dir, fn)
-            try:
-                os.link(src_f, dst_f)  # zero-copy: new name, same inode
-            except OSError:  # cross-device / FS without hardlinks
-                shutil.copy2(src_f, dst_f)
-            if not fn.startswith(("_", ".")):  # data files, not markers
-                n_files += 1
+    n_files = _link_tree(src_loc, dst_loc)
 
     part_cols = [c.name for c in spark.catalog.listColumns(source) if c.isPartition]
     ddl = spark.table(source)._jdf.schema().toDDL()

@@ -140,6 +140,19 @@ def test_datediff_subday_is_wallclock_not_epoch(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_datediff_subday_survives_68_year_span(spark):
+    """The day-count must widen to long BEFORE multiplying by 86400:
+    int32 overflows at ~68-year second-spans (ANSI mode throws
+    ARITHMETIC_OVERFLOW, non-ANSI wraps negative) — birth-date to
+    service-date arithmetic in a healthcare mart routinely exceeds it."""
+    df = spark.range(1).select(
+        F.lit("1950-01-01 00:00:00").cast("timestamp").alias("a"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("b"),
+    )
+    r = df.select(datediff("second", F.col("a"), F.col("b")).alias("s")).collect()[0]
+    assert r.s == 25567 * 86400
+
+
 def test_datediff_subday_counts_boundaries(spark):
     """Boundary semantics: 01:59 -> 02:01 crosses one hour boundary."""
     df = spark.range(1).select(

@@ -235,6 +235,16 @@ def test_frame_sample_plan_never_emits_out_of_range_index(spark):
     idxs = sorted(r.frame_idx for r in frame_sample_plan(media, every_n=5).collect())
     assert idxs == [0, 5]  # n_frames=10 -> valid indices 0..9
 
+    # NULL payload -> NULL n_frames: the row must DROP (explode of a NULL
+    # sequence), not emit a phantom frame 0 — greatest() skips NULLs, so
+    # an unconditional greatest(n-1, 0) clamp would turn NULL into 0
+    with_null = spark.createDataFrame(
+        [(1, "video", bytearray(b"x" * 9000), None), (2, "video", None, None)],
+        "media_id long, media_type string, content binary, meta string",
+    )
+    rows = frame_sample_plan(with_null, every_n=5).collect()
+    assert {r.media_id for r in rows} == {1}
+
 
 @pytest.fixture(scope="module")
 def events(spark):

@@ -59,6 +59,89 @@ def test_table_swap_recovers_from_stale_location(spark):
     shutil.rmtree(os.path.join(wh, "t_stale"), ignore_errors=True)
 
 
+def test_table_swap_promotes_orphan_backup_before_rebuild(spark):
+    """A crash between `name RENAME TO backup` and `tmp RENAME TO name`
+    leaves the backup as the ONLY copy. The next run must promote it —
+    not drop it — so a rebuild that then FAILS still leaves the old
+    contents readable instead of permanently destroying the table."""
+    import pytest
+
+    mat.materialize_table(spark, "t_orph", _df(spark, [(1,), (2,)], "a long"))
+    # simulate the crash state
+    spark.sql("ALTER TABLE t_orph RENAME TO t_orph__dbt_backup")
+    assert not spark.catalog.tableExists("t_orph")
+
+    failing = spark.range(1).select(
+        F.expr("assert_true(id < 0)").alias("boom"), F.col("id").alias("a")
+    )
+    with pytest.raises(Exception):
+        mat.materialize_table(spark, "t_orph", failing)
+    # the old copy survived the failed rebuild, promoted back to its name
+    assert sorted(r.a for r in spark.table("t_orph").collect()) == [1, 2]
+    assert not spark.catalog.tableExists("t_orph__dbt_backup")
+    # and a later good rebuild proceeds normally
+    mat.materialize_table(spark, "t_orph", _df(spark, [(9,)], "a long"))
+    assert [r.a for r in spark.table("t_orph").collect()] == [9]
+    spark.sql("DROP TABLE t_orph")
+
+
+def test_table_swap_over_external_occupant_keeps_recovery_copy(spark):
+    """Rebuilding over an EXTERNAL table parked at the warehouse name
+    slot (a clone_table target): the catalog rename to backup does not
+    move external files, so the swap must RELOCATE the backup's data
+    before clearing the slot — a crash mid-swap then recovers real rows,
+    and a FAILED rebuild never guts the old copy."""
+    import pytest
+
+    mat.materialize_table(spark, "t_ext_src", _df(spark, [(1,), (2,)], "a long"))
+    spark.sql("DROP TABLE IF EXISTS t_ext")
+    mat.clone_table(spark, "t_ext_src", "t_ext", replace=False)
+    assert sorted(r.a for r in spark.table("t_ext").collect()) == [1, 2]
+
+    # failed rebuild: the external occupant's rows must survive
+    failing = spark.range(1).select(
+        F.expr("assert_true(id < 0)").alias("boom"), F.col("id").alias("a")
+    )
+    with pytest.raises(Exception):
+        mat.materialize_table(spark, "t_ext", failing)
+    assert sorted(r.a for r in spark.table("t_ext").collect()) == [1, 2]
+
+    # successful rebuild replaces contents; the clone SOURCE is untouched
+    mat.materialize_table(spark, "t_ext", _df(spark, [(7,)], "a long"))
+    assert [r.a for r in spark.table("t_ext").collect()] == [7]
+    assert sorted(r.a for r in spark.table("t_ext_src").collect()) == [1, 2]
+    spark.sql("DROP TABLE t_ext")
+    spark.sql("DROP TABLE t_ext_src")
+
+
+def test_external_backup_relocation_survives_midswap_crash(spark):
+    """Crash state: a rebuild over an external occupant got through
+    `name RENAME TO backup`, the backup-data relocation, and the slot
+    clear, then died before `tmp RENAME TO name`. recover_swap must
+    restore REAL rows — an unconditional slot clear without relocation
+    would leave the backup pointing at a deleted directory."""
+    import shutil
+
+    from healthcare_dbt_datamart_spark.operators.incremental import recover_swap
+
+    mat.materialize_table(spark, "t_ex3_src", _df(spark, [(1,), (2,)], "a long"))
+    spark.sql("DROP TABLE IF EXISTS t_ex3")
+    mat.clone_table(spark, "t_ex3_src", "t_ex3", replace=False)
+
+    spark.sql("ALTER TABLE t_ex3 RENAME TO t_ex3__dbt_backup")
+    slot = mat._slot_path(spark, "t_ex3")
+    bslot = mat._slot_path(spark, "t_ex3__dbt_backup")
+    shutil.rmtree(bslot, ignore_errors=True)
+    mat._link_tree(slot, bslot)
+    spark.sql(f"ALTER TABLE t_ex3__dbt_backup SET LOCATION '{bslot}'")
+    shutil.rmtree(slot)  # the swap's slot clear, relocated data survives
+
+    assert recover_swap(spark, "t_ex3")
+    assert sorted(r.a for r in spark.table("t_ex3").collect()) == [1, 2]
+    spark.sql("DROP TABLE t_ex3")
+    spark.sql("DROP TABLE t_ex3_src")
+
+
 # -- incremental strategies ------------------------------------------------
 
 def test_incremental_first_run_is_ctas(spark):
@@ -108,7 +191,7 @@ def test_microbatch_windowed_delete_insert(spark):
         _df(spark, [("2024-01-01", 1), ("2024-01-02", 2)], "d string, v long")
         .withColumn("d", F.col("d").cast("date")),
         strategy="microbatch", event_time="d",
-        batch_start="2024-01-01", batch_end="2024-01-02",
+        batch_start="2024-01-01", batch_end="2024-01-03",
     )
     # re-run the 01-01 window with corrected data
     incremental_run(
@@ -151,6 +234,53 @@ def test_microbatch_batch_windows_replace_only_touched_periods(spark):
     )
     rows = {str(r.d): r.v for r in spark.table("inc_mbw").collect()}
     assert rows == {"2024-01-01": 10, "2024-01-02": 2, "2024-01-03": 30}
+
+
+def test_microbatch_first_run_excludes_out_of_window_rows(spark):
+    """First-run CTAS must take only IN-WINDOW rows: later batches can
+    only replace rows inside their windows, so a NULL-event_time (or
+    out-of-range) row landed by the first batch would be permanently
+    stuck — present or absent depending on arrival order."""
+    first = (
+        _df(
+            spark,
+            [("2024-01-01", 1), ("2024-02-15", 2), (None, 3)],
+            "d string, v long",
+        ).withColumn("d", F.col("d").cast("date"))
+    )
+    incremental_run(
+        spark, "inc_mb_first", first, strategy="microbatch", event_time="d",
+        batch_start="2024-01-01", batch_end="2024-02-01",
+    )
+    rows = {r.v for r in spark.table("inc_mb_first").collect()}
+    assert rows == {1}  # out-of-window and NULL-event_time rows excluded
+
+
+def test_sync_all_columns_add_only_is_metadata_only(spark):
+    """Add-only drift under sync_all_columns must widen via ALTER TABLE
+    ADD COLUMNS (existing files read the new column as NULL) — not
+    rewrite the whole target; only a genuine column DROP pays the swap."""
+    incremental_run(spark, "inc_sync_add", _df(spark, [(1, "a")], "id long, v string"),
+                    strategy="append")
+    files_before = set(spark.table("inc_sync_add").inputFiles())
+    incremental_run(
+        spark, "inc_sync_add",
+        _df(spark, [(2, "b", 9.5)], "id long, v string, w double"),
+        strategy="append", on_schema_change="sync_all_columns",
+    )
+    rows = {r.id: (r.v, r.w) for r in spark.table("inc_sync_add").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # the original data files are still in place — no rewrite happened
+    assert files_before <= set(spark.table("inc_sync_add").inputFiles())
+
+    # removing a column still rewrites (parquet has no metadata DROP)
+    incremental_run(
+        spark, "inc_sync_add", _df(spark, [(3, 1.5)], "id long, w double"),
+        strategy="append", on_schema_change="sync_all_columns",
+    )
+    t = spark.table("inc_sync_add")
+    assert set(t.columns) == {"id", "w"}
+    assert {r.id for r in t.collect()} == {1, 2, 3}
 
 
 def test_on_schema_change_ignore_and_append(spark):
@@ -700,14 +830,13 @@ def test_merge_predicate_null_rows_are_protected(spark):
 
 def test_microbatch_keeps_null_event_time_rows(spark):
     """DELETE WHERE ev in [lo, hi): NULL event_time is not in the window
-    (3VL) — those rows must survive every microbatch run."""
+    (3VL) — those rows must survive every microbatch run. (The NULL row
+    enters the TARGET via a plain build: microbatch itself never lands
+    out-of-window rows, including on its first run.)"""
     t0 = _df(
         spark, [("2024-01-01", 1), (None, 2)], "d string, v long"
     ).withColumn("d", F.col("d").cast("date"))
-    incremental_run(
-        spark, "inc_mbnull", t0, strategy="microbatch", event_time="d",
-        batch_start="2024-01-01", batch_end="2024-01-02",
-    )
+    incremental_run(spark, "inc_mbnull", t0, strategy="append")
     redo = _df(spark, [("2024-01-01", 10)], "d string, v long").withColumn(
         "d", F.col("d").cast("date")
     )

@@ -271,7 +271,12 @@ def main(argv: list[str] | None = None, log=print) -> int:
             log("nothing to retry: the previous run completed")
         else:
             write_artifact(prior_select, prior_ets, prior_ete, prior_state_path)
-    elif a.threads > 1 and not (a.select or a.event_time_start or a.state):
+    elif a.threads > 1 and not (
+        a.select or a.event_time_start or a.event_time_end or a.state
+    ):
+        # a lone --event-time-end must route to the serial path (which
+        # raises on a half-open backfill) — dropping it here would
+        # silently run an unbounded build
         try:
             built = r.run_threaded(threads=a.threads, full_refresh=a.full_refresh)
         except Exception:

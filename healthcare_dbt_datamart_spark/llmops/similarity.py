@@ -156,6 +156,52 @@ def _py_norm(vals: list[float]) -> float:
     return s ** 0.5
 
 
+def _probe_cells(
+    centroids: list[tuple[int, list[float]]],
+    qvec: list[float],
+    qn: float,
+    nprobe: int,
+) -> list[int]:
+    """The probe rule — top-``nprobe`` cells by cosine to the query,
+    rounded to 6 decimals, ties to the LOWEST cell id. k·d driver-side
+    arithmetic on model state. This is the ONLY place the rule lives:
+    ``ivf_topk``, ``ivfadc_topk`` and ``ivfadc_topk_indexed`` are
+    hash-gated on this exact rounding/tie discipline, so a second copy
+    that drifted would silently break their documented parity."""
+
+    def cos(cv: list[float]) -> float:
+        return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
+
+    return [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
+        )
+    ][:nprobe]
+
+
+def _adc_tables(
+    codebooks: list[list[tuple[int, list[float]]]], qv: list[float]
+) -> list[list[float]]:
+    """Per-subspace query→codebook squared-L2 distance tables —
+    m·n_codes doubles of driver-computed model state, the ADC lookup
+    side of Jégou et al.'s product quantization. Shared by the in-plan
+    and index-table IVFADC variants (same parity argument as
+    ``_probe_cells``); residual mode passes the query's residual to the
+    probed cell as ``qv``."""
+    sub = len(codebooks[0][0][1])
+    return [
+        [
+            sum(
+                (qv[s * sub + i] - cv[i]) * (qv[s * sub + i] - cv[i])
+                for i in range(sub)
+            )
+            for _cid, cv in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -187,7 +233,6 @@ def ivf_topk(
     try:
         if centroids is None:
             centroids = _lloyd_fit(cached, n_centroids, n_iter, id_col, vec_col)
-        # probe selection is k·d driver-side arithmetic on model state
         qvec = [
             float(x)
             for x in cached.filter(F.col(id_col) == query_id)
@@ -195,16 +240,7 @@ def ivf_topk(
             .collect()[0][0]
         ]
         qn = _py_norm(qvec)
-
-        def cos(cv: list[float]) -> float:
-            return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
-
-        probes = [
-            cid
-            for cid, _ in sorted(
-                centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
-            )
-        ][:nprobe]
+        probes = _probe_cells(centroids, qvec, qn, nprobe)
 
         assigned = ivf_assign(cached, centroids, id_col, vec_col)
         cand = assigned.filter(
@@ -1004,15 +1040,7 @@ def ivfadc_topk(
 
         # probe selection: k·d driver-side arithmetic on model state,
         # same rounding/tie rule as ivf_topk
-        def cos(cv: list[float]) -> float:
-            return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
-
-        probes = [
-            cid
-            for cid, _ in sorted(
-                centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
-            )
-        ][:nprobe]
+        probes = _probe_cells(centroids, qvec, qn, nprobe)
 
         cand = ivf_assign(cached, centroids, id_col, vec_col).filter(
             F.col("cell").isin(probes) & (F.col(id_col) != query_id)
@@ -1020,17 +1048,7 @@ def ivfadc_topk(
 
         # ADC stage: per-subspace query->codebook distance tables
         # (m·n_codes doubles of driver-computed model state)
-        sub = len(codebooks[0][0][1])
-        dt = [
-            [
-                sum(
-                    (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
-                    for i in range(sub)
-                )
-                for _cid, cv in book
-            ]
-            for s, book in enumerate(codebooks)
-        ]
+        dt = _adc_tables(codebooks, qvec)
         ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
         staged = (
             cand.crossJoin(broadcast(_pq_cdf(spark, codebooks)))
@@ -1192,30 +1210,7 @@ def ivfadc_topk_indexed(
         .collect()[0][0]
     ]
     qn = _py_norm(qvec)
-
-    def cos(cv: list[float]) -> float:
-        return sum(a * b for a, b in zip(qvec, cv)) / (qn * _py_norm(cv))
-
-    probes = [
-        cid
-        for cid, _ in sorted(
-            centroids, key=lambda c: (-round(cos(c[1]), 6), c[0])
-        )
-    ][:nprobe]
-
-    sub = len(codebooks[0][0][1])
-
-    def _tables(qv: list[float]) -> list[list[float]]:
-        return [
-            [
-                sum(
-                    (qv[s * sub + i] - cv[i]) * (qv[s * sub + i] - cv[i])
-                    for i in range(sub)
-                )
-                for _cid, cv in book
-            ]
-            for s, book in enumerate(codebooks)
-        ]
+    probes = _probe_cells(centroids, qvec, qn, nprobe)
 
     scan = spark.table(table).filter(
         F.col("cell").isin(probes) & (F.col(id_col) != query_id)
@@ -1227,13 +1222,17 @@ def ivfadc_topk_indexed(
         n_cells = max(cmap) + 1
         dts: list[list[list[float]]] = [[] for _ in range(n_cells)]
         for cid in probes:
-            dts[cid] = _tables([q - c for q, c in zip(qvec, cmap[cid])])
+            dts[cid] = _adc_tables(
+                codebooks, [q - c for q, c in zip(qvec, cmap[cid])]
+            )
         ddf = spark.createDataFrame(
             [(dts,)], "dtc array<array<array<double>>>"
         )
         dt_for_row = F.element_at("dtc", F.col("cell") + 1)
     else:
-        ddf = spark.createDataFrame([(_tables(qvec),)], "dt array<array<double>>")
+        ddf = spark.createDataFrame(
+            [(_adc_tables(codebooks, qvec),)], "dt array<array<double>>"
+        )
         dt_for_row = F.col("dt")
     lookups = [
         F.element_at(

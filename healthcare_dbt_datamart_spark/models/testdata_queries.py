@@ -3187,19 +3187,29 @@ def q_cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (not a groupBy + equality self-join, which would re-run
     # the lineitem aggregation for the probe side): rank() keeps every
     # price-tied supplier at rank 1, and the min-suppkey groupBy applies
-    # Q2's deterministic tie rule — identical semantics, one scan
+    # Q2's deterministic tie rule — identical semantics, one scan.
+    # The 25-part restriction BROADCAST-SEMI-JOINS in BEFORE the window:
+    # per-partkey ranks are unchanged by dropping other partkeys, and the
+    # window (a sort-shuffle) then runs over 25 parts' rows instead of
+    # the full per-(part, supplier) aggregate — the difference between a
+    # trivial exchange and a corpus-wide one at 100 TB
     big_parts = (
         part.orderBy(F.col("p_size").desc(), F.col("p_partkey").asc()).limit(25)
     )
     w_best = Window.partitionBy("l_partkey").orderBy(F.col("unit_price").asc())
     won = (
-        unit.withColumn("_rk", F.rank().over(w_best))
+        unit.join(
+            F.broadcast(big_parts.select("p_partkey")),
+            unit["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .withColumn("_rk", F.rank().over(w_best))
         .filter(F.col("_rk") == 1)
         .groupBy(F.col("l_partkey").alias("partkey"), "unit_price")
         .agg(F.min("l_suppkey").alias("suppkey"))
     )
     return (
-        won.join(big_parts, won["partkey"] == big_parts["p_partkey"])
+        won.join(F.broadcast(big_parts), won["partkey"] == big_parts["p_partkey"])
         .join(supplier, won["suppkey"] == supplier["s_suppkey"])
         .select(
             "p_partkey", "p_brand", "s_suppkey", "s_name", "unit_price"
@@ -4295,7 +4305,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
-ORACLE["tfidf_top_terms"] = """
+ORACLE["tfidf_top_terms"] = r"""
 WITH toks AS (
   SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
   FROM documents

@@ -65,25 +65,17 @@ def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
     crash at any point leaves either the target or its backup in the
     catalog, and ``recover_swap`` restores the pre-swap state on the next
     run (a DROP-then-RENAME swap has a window where a crash silently
-    loses the whole table)."""
-    from .materialize import _drop_stale_location
+    loses the whole table).
 
-    tmp, backup = f"{name}__dbt_tmp", f"{name}__dbt_backup"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    spark.sql(f"DROP TABLE IF EXISTS {backup}")
-    # also clear CATALOG-UNKNOWN leftovers of a dead session (in-memory
-    # catalog evaporated after the tmp/backup write): the DROPs above are
-    # no-ops for those, and saveAsTable would then wedge every subsequent
-    # run with LOCATION_ALREADY_EXISTS — materialize_table's guard,
-    # applied to this swap too
-    _drop_stale_location(spark, tmp)
-    _drop_stale_location(spark, backup)
-    new_contents.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"ALTER TABLE {name} RENAME TO {backup}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-    spark.sql(f"DROP TABLE {backup}")
-    # readers that resolved `name` before the swap hold a stale file index
-    spark.catalog.refreshTable(name)
+    Delegates to ``materialize_table`` so there is exactly ONE swap
+    implementation: the orphan-backup promotion, the protected-slot
+    guard, and the EXTERNAL-occupant backup relocation (clone targets
+    whose catalog rename does not move files) all apply to incremental
+    rewrites too — a second hand-rolled swap here silently missed them
+    once already."""
+    from .materialize import materialize_table
+
+    materialize_table(spark, name, new_contents)
 
 
 def _key_cols(unique_key: str | list[str]) -> list[str]:
@@ -151,18 +143,20 @@ def _apply_schema_change(
             F.lit(None).cast(target.schema[c].dataType).alias(c) for c in missing
         ]
         return source.select(*proj)
+    def _add_columns(cols: list[str]) -> None:
+        # metadata-only widen: ALTER TABLE ADD COLUMNS registers the
+        # new columns in the catalog and existing parquet files read
+        # them as NULL — O(metadata), vs rewriting the entire (100 TB)
+        # target through a swap just to backfill NULLs
+        cols_ddl = ", ".join(
+            f"`{c}` {source.schema[c].dataType.simpleString()}" for c in cols
+        )
+        spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
+        spark.catalog.refreshTable(name)
+
     if on_schema_change == "append_new_columns":
         if new_cols:
-            # metadata-only widen: ALTER TABLE ADD COLUMNS registers the
-            # new columns in the catalog and existing parquet files read
-            # them as NULL — O(metadata), vs rewriting the entire (100 TB)
-            # target through a swap just to backfill NULLs
-            cols_ddl = ", ".join(
-                f"`{c}` {source.schema[c].dataType.simpleString()}"
-                for c in new_cols
-            )
-            spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
-            spark.catalog.refreshTable(name)
+            _add_columns(new_cols)
         keep = [c for c in t_cols if c in s_cols] + new_cols
         removed = [c for c in t_cols if c not in s_cols]
         proj = [F.col(c) for c in keep] + [
@@ -182,11 +176,7 @@ def _apply_schema_change(
         )
         _swap_in(spark, name, synced)
     elif new_cols:
-        cols_ddl = ", ".join(
-            f"`{c}` {source.schema[c].dataType.simpleString()}" for c in new_cols
-        )
-        spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
-        spark.catalog.refreshTable(name)
+        _add_columns(new_cols)
     return source.select(*s_cols)
 
 

@@ -316,6 +316,10 @@ def microbatch_stream(
             max_seen = batch_hi
         if batch_hi is None:
             return  # every row was in a beyond-watermark period
+        # NULL event_time rows truncate to a None "period": they belong
+        # to no window (incremental_run's 3VL predicate drops them from
+        # the insert too) and None is unorderable against datetimes —
+        # keep them out of the period list or sorted() crashes the query
         starts = [
             r[0]
             for r in batch_df.select(
@@ -323,7 +327,10 @@ def microbatch_stream(
             )
             .distinct()
             .collect()
+            if r[0] is not None
         ]
+        if not starts:
+            return  # only NULL-event_time rows arrived: nothing replaceable
         # ONE delete+insert over the union of the batch's period windows:
         # a catch-up batch spanning k periods must not rewrite the target
         # k times (each microbatch call swaps the full table) — the OR-ed

@@ -478,6 +478,40 @@ def test_microbatch_stream_delete_insert(spark, events, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_microbatch_stream_survives_null_event_time_rows(spark, tmp_path):
+    """A batch carrying NULL event_time rows must not kill the query:
+    NULL truncates to a None period, which is unorderable against
+    datetimes (sorted() would raise) and belongs to no window — the
+    non-NULL rows land, the NULL rows drop, the stream stays alive."""
+    from healthcare_dbt_datamart_spark.streaming import microbatch_stream
+
+    src_dir = tmp_path / "mbn_src"
+    src_dir.mkdir()
+    name = "mbn_target"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    batch = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "click", 1.0),
+         (None, 2, "view", 2.0)],
+        "ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir / "*"))
+    q = microbatch_stream(
+        stream, name, event_time="ts", watermark_delay="6 hours",
+        checkpoint_dir=str(tmp_path / "mbn_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert q.isActive  # the NULL period did not crash the batch fn
+        assert q.exception() is None
+        rows = spark.table(name).collect()
+        assert [r.user_id for r in rows] == [1]  # NULL-ts row never lands
+    finally:
+        q.stop()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_microbatch_stream_drops_beyond_watermark_straggler(spark, tmp_path):
     """A straggler older than max-seen-event-time minus the watermark must
     be DROPPED by the explicit batch guard — withWatermark alone does not

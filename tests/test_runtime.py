@@ -114,6 +114,30 @@ def test_table_swap_over_external_occupant_keeps_recovery_copy(spark):
     spark.sql("DROP TABLE t_ext_src")
 
 
+def test_incremental_rewrite_over_clone_target_works(spark):
+    """Incremental strategies route rewrites through the SAME hardened
+    swap as materialize_table: a clone_table target (EXTERNAL, parked at
+    the warehouse name slot) must accept a merge — the rename-based swap
+    has to relocate/clear the occupant's files or `tmp RENAME TO name`
+    wedges on the occupied slot."""
+    mat.materialize_table(
+        spark, "t_inc_ext_src", _df(spark, [(1, "a"), (2, "b")], "id long, v string")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_inc_ext")
+    mat.clone_table(spark, "t_inc_ext_src", "t_inc_ext", replace=False)
+
+    incremental_run(
+        spark, "t_inc_ext", _df(spark, [(2, "b2"), (3, "c")], "id long, v string"),
+        strategy="merge", unique_key="id",
+    )
+    rows = {r.id: r.v for r in spark.table("t_inc_ext").collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    # the clone source is untouched by the rewrite
+    assert {r.id for r in spark.table("t_inc_ext_src").collect()} == {1, 2}
+    spark.sql("DROP TABLE t_inc_ext")
+    spark.sql("DROP TABLE t_inc_ext_src")
+
+
 def test_external_backup_relocation_survives_midswap_crash(spark):
     """Crash state: a rebuild over an external occupant got through
     `name RENAME TO backup`, the backup-data relocation, and the slot
@@ -138,6 +162,15 @@ def test_external_backup_relocation_survives_midswap_crash(spark):
 
     assert recover_swap(spark, "t_ex3")
     assert sorted(r.a for r in spark.table("t_ex3").collect()) == [1, 2]
+
+    # the recovered table READS the backup-slot directory: the next
+    # incremental rewrite must not clear that slot out from under it
+    # (the protected-location guard) — and must leave a correct table
+    incremental_run(
+        spark, "t_ex3", _df(spark, [(2,), (3,)], "a long"),
+        strategy="delete+insert", unique_key="a",
+    )
+    assert sorted(r.a for r in spark.table("t_ex3").collect()) == [1, 2, 3]
     spark.sql("DROP TABLE t_ex3")
     spark.sql("DROP TABLE t_ex3_src")
 
@@ -1900,6 +1933,21 @@ def test_cli_artifact_roundtrips_invocation_flags(spark, tmp_path):
         == 0
     )
     assert any("nothing to retry" in line for line in out)
+
+    # a LONE --event-time-end under --threads must route to the serial
+    # path (which raises on the half-open backfill), never silently run
+    # an unbounded threaded build with the bound dropped
+    import pytest as _pytest
+
+    out.clear()
+    with _pytest.raises(ValueError, match="BOTH"):
+        main(
+            [
+                "run", "--project", "corpus_release", "--sf-dir", sf,
+                "--threads", "4", "--event-time-end", "2024-02-01",
+            ],
+            out.append,
+        )
 
 
 def test_cross_thread_model_cycle_raises_instead_of_deadlocking(spark):

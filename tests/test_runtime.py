@@ -175,6 +175,66 @@ def test_external_backup_relocation_survives_midswap_crash(spark):
     spark.sql("DROP TABLE t_ex3_src")
 
 
+def test_swap_crash_windows_never_lose_the_table(spark):
+    """Exhaustive crash sweep: kill the swap at EVERY catalog statement
+    it issues — for a managed old target and for an EXTERNAL occupant (a
+    clone target) — and assert after each simulated crash that
+    recover_swap sees a readable table equal to the OLD or the NEW
+    contents (never lost, never gutted), and that the next clean rebuild
+    heals to the new contents."""
+    import shutil
+
+    from healthcare_dbt_datamart_spark.operators.incremental import recover_swap
+
+    name = "t_cw"
+    real_sql = spark.sql
+
+    def reset(kind: str) -> None:
+        for t in (name, f"{name}__dbt_backup", f"{name}__dbt_tmp", "t_cw_src"):
+            real_sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(mat._slot_path(spark, t), ignore_errors=True)
+        if kind == "managed":
+            mat.materialize_table(spark, name, _df(spark, [(1,), (2,)], "a long"))
+        else:  # external occupant at the warehouse slot
+            mat.materialize_table(
+                spark, "t_cw_src", _df(spark, [(1,), (2,)], "a long")
+            )
+            mat.clone_table(spark, "t_cw_src", name, replace=False)
+
+    for kind in ("managed", "external"):
+        k = 0
+        while k < 12:  # statement count is ~5; bounded for safety
+            reset(kind)
+            seen = {"i": 0, "fired": False}
+
+            def failing(q, *a, **kw):
+                if seen["i"] == k:
+                    seen["fired"] = True
+                    raise RuntimeError("injected crash")
+                seen["i"] += 1
+                return real_sql(q, *a, **kw)
+
+            spark.sql = failing
+            try:
+                mat.materialize_table(spark, name, _df(spark, [(7,)], "a long"))
+            except RuntimeError:
+                pass
+            finally:
+                spark.sql = real_sql
+            if not seen["fired"]:
+                break  # the swap completed before statement k: sweep done
+            recover_swap(spark, name)
+            got = sorted(r.a for r in spark.table(name).collect())
+            assert got in ([1, 2], [7]), f"{kind} crash at stmt {k}: {got}"
+            # the next clean rebuild heals to the new contents
+            mat.materialize_table(spark, name, _df(spark, [(7,)], "a long"))
+            assert [r.a for r in spark.table(name).collect()] == [7]
+            k += 1
+        assert 0 < k < 12  # the loop exercised >=1 window and terminated
+    for t in (name, "t_cw_src"):
+        real_sql(f"DROP TABLE IF EXISTS {t}")
+
+
 # -- incremental strategies ------------------------------------------------
 
 def test_incremental_first_run_is_ctas(spark):

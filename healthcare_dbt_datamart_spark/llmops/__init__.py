@@ -36,6 +36,7 @@ from .similarity import (  # noqa: F401
     pq_codebooks_trained,
     sign_lsh_bits,
 )
+from .retrieval import bm25_topk  # noqa: F401
 from .splits import stratified_sample  # noqa: F401
 from .textstats import (  # noqa: F401
     langid_scores,

@@ -1,0 +1,90 @@
+"""Lexical retrieval over the documents table: BM25 keyword ranking.
+
+The lexical half of a retrieval stack (the vector half lives in
+``similarity.py``): Okapi BM25 (Robertson & Walker, SIGIR 1994; the
+Lucene-default ranking function) scored entirely with built-in Catalyst
+expressions — tokenize, posting-filter, aggregate, join — no Python
+anywhere.
+
+Scale shape: the query-term ``isin`` filter lands on the EXPLODED token
+stream BEFORE any shuffle, so the only rows that ever move are the
+postings of the |q| query terms (for a 3-term query over 100 TB of text
+that is a few-GB shuffle, not a corpus-wide one); document length is a
+``size(split(...))`` projection that never explodes at all; the corpus
+constants (N, avgdl) are a 1-row broadcast and the per-term df a
+|q|-row broadcast, so the scoring join is map-side end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of query ``terms``.
+
+    idf uses the +1-inside-the-log form (``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``, Lucene's non-negative variant) so stopword-frequent
+    terms degrade to ~0 instead of going negative. Deterministic output:
+    score rounded to 6dp, ties broken by ascending id; matched terms
+    come back as a sorted comma-joined STRING (hash-stable across
+    fetch layers, unlike an array column). Returns
+    (id, matched_terms, score).
+    """
+    qterms = sorted(set(t.lower() for t in terms))
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    # doc length: a pure projection (no explode, no shuffle)
+    dl = toks.select(id_col, F.size("_w").alias("_dl"))
+    # corpus constants: ONE row, broadcast into the scoring join
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    # postings of the query terms ONLY — the isin filter runs on the
+    # exploded stream before the groupBy, so non-matching tokens never
+    # shuffle
+    tf = (
+        toks.select(id_col, F.explode("_w").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    # per-term document frequency: |q| rows, broadcast
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(broadcast(df_t), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("term"))).alias(
+                "matched_terms"
+            ),
+            F.round(F.sum(idf * tf_norm), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

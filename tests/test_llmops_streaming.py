@@ -1863,3 +1863,56 @@ def test_exact_substr_dedup_invariants_property(spark, texts, min_len):
             assert r.n_cuts >= 1
             assert r.removed_chars >= r.n_cuts * min_len
     assert out[0].removed_chars == 0  # lowest id is always canonical
+
+
+def test_bm25_topk_matches_reference_arithmetic(spark):
+    """BM25 scores against an independent pure-Python computation of the
+    same formula (Lucene non-negative idf, k1=1.2 b=0.75), plus the
+    ranking sanities: a rare term outscores a common one at equal tf,
+    and matched_terms is the sorted comma-joined posting set."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.retrieval import bm25_topk
+
+    corpus = {
+        0: "apple banana apple",
+        1: "banana cherry",
+        2: "cherry cherry cherry durian",
+        3: "apple",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"]
+    )
+    terms, k1, b = ["apple", "durian"], 1.2, 0.75
+    out = {r.doc_id: r for r in bm25_topk(df, terms, k=10).collect()}
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    n, avgdl = len(toks), sum(len(w) for w in toks.values()) / len(toks)
+    expected = {}
+    for i, w in toks.items():
+        score = 0.0
+        matched = []
+        for t in sorted(terms):
+            tf = w.count(t)
+            if not tf:
+                continue
+            matched.append(t)
+            dfreq = sum(1 for ww in toks.values() if t in ww)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            score += idf * (
+                (tf * (k1 + 1))
+                / (tf + k1 * ((1.0 - b) + b * len(w) / avgdl))
+            )
+        if matched:
+            expected[i] = (",".join(matched), round(score, 6))
+    assert set(out) == set(expected)
+    for i, (mt, sc) in expected.items():
+        assert out[i].matched_terms == mt
+        assert out[i].score == pytest.approx(sc, abs=1e-6)
+    # durian: df=1 of 4 docs; its single posting (doc 2) must outrank
+    # the tf=1 common-term docs (apple has df=2)
+    assert out[2].score > out[3].score
+    # the scoring plan stays JVM-side and broadcasts the corpus stats
+    plan = bm25_topk(df, terms, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan

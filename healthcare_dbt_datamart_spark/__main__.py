@@ -176,11 +176,15 @@ def main(argv: list[str] | None = None, log=print) -> int:
         for name, node in man["nodes"].items():
             if node.get("materialized") == "view":
                 continue
-            if not spark.catalog.tableExists(name):
-                log(f"SKIP  {name} (not built)")
+            # custom-schema models materialize under their layer database
+            # (manifest "relation"); the clone lands in the current db
+            # under the prefix, like dbt clone's target-schema remap
+            rel = node.get("relation", name)
+            if not spark.catalog.tableExists(rel):
+                log(f"SKIP  {rel} (not built)")
                 continue
-            files = clone_table(spark, name, f"{prefix}{name}", replace=True)
-            log(f"OK    {name} -> {prefix}{name} ({files} files linked)")
+            files = clone_table(spark, rel, f"{prefix}{name}", replace=True)
+            log(f"OK    {rel} -> {prefix}{name} ({files} files linked)")
             n += 1
         log(f"cloned {n} relations")
         return 0

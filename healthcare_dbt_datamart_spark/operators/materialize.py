@@ -235,9 +235,13 @@ def clone_table(
     """
     import os
 
-    if "." in source or "." in target:
+    if "." in target:
+        # the SOURCE may be database-qualified (its location is read from
+        # the catalog, wherever it lives — e.g. a custom-schema model
+        # relation); the TARGET lands in the current database, whose
+        # warehouse-slot layout this clone manages
         raise ValueError(
-            "clone_table takes unqualified table names (current-database"
+            "clone_table target must be unqualified (current-database"
             " scope): the warehouse-slot layout this clone manages is"
             " per-database"
         )
@@ -341,6 +345,49 @@ def materialize_scalar_function(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
         f"RETURNS {return_type} RETURN {body_sql}"
     )
+
+
+def persist_docs(
+    spark: SparkSession,
+    name: str,
+    description: str | None = None,
+    column_descriptions: dict[str, str] | None = None,
+) -> dict:
+    """dbt ``persist_docs`` (``dbt-adapters/macros/adapters/
+    persist_docs.sql`` — ``alter_relation_comment`` /
+    ``alter_column_comment``): write the model description and per-column
+    descriptions into the CATALOG as real comments, so warehouse-side
+    tools (DESCRIBE, information-schema readers, catalog UIs) see the
+    docs without the dbt project. Spark's session catalog supports both
+    statements natively (``COMMENT ON TABLE`` and ``ALTER TABLE ...
+    ALTER COLUMN ... COMMENT``), including on plain v1 parquet tables.
+
+    Mirrors dbt's forgiving column behavior: a documented column that is
+    not in the relation is SKIPPED (dbt logs and moves on — docs must
+    never fail a build). Returns what was applied:
+    ``{"relation": bool, "columns": [applied...], "skipped": [...]}``.
+    Idempotent — safe to re-run after every (re)build, which is exactly
+    when the registry calls it (comments do not survive the CTAS swap,
+    so they are re-applied per build like dbt does)."""
+    applied: dict = {"relation": False, "columns": [], "skipped": []}
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    if description is not None:
+        spark.sql(f"COMMENT ON TABLE {name} IS '{q(description)}'")
+        applied["relation"] = True
+    if column_descriptions:
+        have = {c.name.lower() for c in spark.catalog.listColumns(name)}
+        for col, doc in column_descriptions.items():
+            if col.lower() not in have:
+                applied["skipped"].append(col)
+                continue
+            spark.sql(
+                f"ALTER TABLE {name} ALTER COLUMN `{col}` COMMENT '{q(doc)}'"
+            )
+            applied["columns"].append(col)
+    return applied
 
 
 def compact_table(

@@ -52,14 +52,17 @@ class ModelContext:
 
     @property
     def this(self) -> DataFrame | None:
-        if self.spark.catalog.tableExists(self.name):
-            return self.spark.table(self.name)
+        rel = self._r._relation(self.name)
+        if self.spark.catalog.tableExists(rel):
+            return self.spark.table(rel)
         return None
 
     def is_incremental(self) -> bool:
         from ..operators.incremental import is_incremental
 
-        return is_incremental(self.spark, self.name, self._r.full_refresh)
+        return is_incremental(
+            self.spark, self._r._relation(self.name), self._r.full_refresh
+        )
 
 
 class ModelRegistry:
@@ -83,6 +86,12 @@ class ModelRegistry:
         self._lock_owner: dict[str, int] = {}
         self._waiting_for: dict[int, str] = {}
         self.full_refresh = False
+        # dbt generate_schema_name (dbt-adapters get_custom_schema.sql,
+        # default macro): None -> the default rule
+        # ``<target_schema>_<custom_schema>``; assign a callable
+        # ``(target_schema, custom_schema) -> str`` to override, exactly
+        # like overriding the macro in a dbt project
+        self.generate_schema_name: "Callable[[str, str], str] | None" = None
         self._selected: set[str] | None = None
         self.batch_range: tuple | None = None  # microbatch backfill bounds
         self.run_results: list[dict] = []
@@ -234,9 +243,33 @@ class ModelRegistry:
         rebuilt (a test command must not rewrite production tables).
         Only a never-built model (or a view, which is a lazy plan, not
         state) is built on demand."""
-        if self._is_materialized_table(name):
-            return self.spark.table(name)
+        rel = self._relation(name)
+        if self._is_materialized_table(rel):
+            return self.spark.table(rel)
         return self.build(name)
+
+    def _relation(self, name: str) -> str:
+        """The catalog relation a model materializes into — dbt's
+        ``generate_schema_name`` resolution (``dbt-adapters/macros/
+        get_custom_name/get_custom_schema.sql``: default macro returns
+        ``<target_schema>_<custom_schema>`` when the model declares a
+        custom ``schema``, the per-layer namespacing the reference's
+        ``dbt_project.yml:24-33`` uses for STAGE/INTERMEDIATE/MARTS).
+        Applies to CATALOG-backed materializations (table/incremental/
+        snapshot/materialized_view); view models are session temp views,
+        which Spark cannot database-qualify — they keep the short name
+        so Catalyst keeps inlining them (the documented trade), with the
+        layer tag still visible in the manifest."""
+        mdef = self._models.get(name)
+        custom = mdef.config.get("schema") if mdef else None
+        if not custom or (mdef and mdef.materialized == "view"):
+            return name
+        base = self.spark.catalog.currentDatabase()
+        if self.generate_schema_name is not None:
+            schema = self.generate_schema_name(base, custom)
+        else:
+            schema = f"{base}_{custom}"
+        return f"{schema}.{name}"
 
     def manifest(self) -> dict:
         """The engine's manifest.json analog: every node with its
@@ -253,6 +286,7 @@ class ModelRegistry:
             "nodes": {
                 name: {
                     "materialized": mdef.materialized,
+                    "relation": self._relation(name),
                     "config": {
                         k: v for k, v in mdef.config.items() if not callable(v)
                         and not (isinstance(v, list) and any(callable(x) for x in v))
@@ -397,14 +431,14 @@ class ModelRegistry:
         if (
             self._selected is not None
             and name not in self._selected
-            and self._is_materialized_table(name)
+            and self._is_materialized_table(self._relation(name))
         ):
             # unselected, already-materialized upstream: read, don't rebuild.
             # Must be a REAL table — tableExists() is also true for the
             # temp view a prior run's view-materialization registered, and
             # reading that would resolve to the previous run's lazy plan
             # over stale sources; view models rebuild lazily instead
-            out = self.spark.table(name)
+            out = self.spark.table(self._relation(name))
             self._built[name] = out
             return out
         mdef = self._models[name]
@@ -433,7 +467,13 @@ class ModelRegistry:
                 # event_time filter on microbatch inputs, so a body that
                 # ignores its bounds is still correct — using them just
                 # buys per-batch scan pruning)
+                rel = self._relation(name)
+                if "." in rel:
+                    self.spark.sql(
+                        f"CREATE DATABASE IF NOT EXISTS {rel.split('.', 1)[0]}"
+                    )
                 out = self._microbatch_backfill(name, mdef)
+                self._persist_docs(name, mdef, rel)
                 self._run_hooks(mdef.config.get("post_hook"), name)
                 self._built[name] = out
                 return out
@@ -448,18 +488,25 @@ class ModelRegistry:
         from ..operators.incremental import incremental_run
         from ..operators.snapshot import snapshot_run
         m = mdef.materialized
+        rel = self._relation(name)
+        if "." in rel:
+            # dbt create_schema: the custom layer database must exist
+            # before the CTAS that writes into it
+            self.spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS {rel.split('.', 1)[0]}"
+            )
         if m == "view":
             mat.materialize_view(self.spark, name, df)
             out = df  # stay lazy: downstream plans inline this subtree
         elif m in ("table", "materialized_view"):
             mat.materialize_table(
-                self.spark, name, df, cluster_by=mdef.config.get("cluster_by")
+                self.spark, rel, df, cluster_by=mdef.config.get("cluster_by")
             )
-            out = self.spark.table(name)
+            out = self.spark.table(rel)
         elif m == "incremental":
             incremental_run(
                 self.spark,
-                name,
+                rel,
                 df,
                 strategy=mdef.config.get("incremental_strategy", "merge"),
                 unique_key=mdef.config.get("unique_key"),
@@ -469,11 +516,11 @@ class ModelRegistry:
                 batch_start=mdef.config.get("batch_start"),
                 batch_end=mdef.config.get("batch_end"),
             )
-            out = self.spark.table(name)
+            out = self.spark.table(rel)
         elif m == "snapshot":
             snapshot_run(
                 self.spark,
-                name,
+                rel,
                 df,
                 unique_key=mdef.config["unique_key"],
                 strategy=mdef.config.get("strategy", "timestamp"),
@@ -482,12 +529,39 @@ class ModelRegistry:
                 hard_deletes=mdef.config.get("hard_deletes", "ignore"),
                 run_ts=mdef.config.get("run_ts"),
             )
-            out = self.spark.table(name)
+            out = self.spark.table(rel)
         else:
             raise ValueError(f"unknown materialization: {m}")
+        self._persist_docs(name, mdef, rel)
         self._run_hooks(mdef.config.get("post_hook"), name)
         self._built[name] = out
         return out
+
+    def _persist_docs(self, name: str, mdef, rel: str) -> None:
+        """Apply dbt ``persist_docs`` after every successful CATALOG
+        materialization (comments do not survive the CTAS swap, so dbt
+        re-issues them per build — same here). View models skip: a temp
+        view has no catalog entry to comment; their docs live in the
+        manifest."""
+        pd_cfg = mdef.config.get("persist_docs")
+        if not pd_cfg or mdef.materialized == "view":
+            return
+        from ..operators.materialize import persist_docs
+
+        persist_docs(
+            self.spark,
+            rel,
+            description=(
+                mdef.config.get("description")
+                if pd_cfg.get("relation", True)
+                else None
+            ),
+            column_descriptions=(
+                mdef.config.get("column_descriptions")
+                if pd_cfg.get("columns", True)
+                else None
+            ),
+        )
 
     def _microbatch_backfill(self, name: str, mdef) -> DataFrame:
         """Delegates to operators/incremental.py::microbatch_backfill —
@@ -502,9 +576,10 @@ class ModelRegistry:
             return mdef.fn(ctx)
 
         start, end = self.batch_range
+        rel = self._relation(name)
         microbatch_backfill(
             self.spark,
-            name,
+            rel,
             model_fn,
             mdef.config["event_time"],
             start,
@@ -512,7 +587,7 @@ class ModelRegistry:
             period=mdef.config.get("batch_size", "day"),
             full_refresh=self.full_refresh,
         )
-        return self.spark.table(name)
+        return self.spark.table(rel)
 
     def _is_materialized_table(self, name: str) -> bool:
         """True only for a real managed/external table — NOT for temp

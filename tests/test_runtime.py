@@ -1388,12 +1388,15 @@ def test_clone_table_partitioned_and_rematerialize(spark):
     assert mat._bucket_spec(spark, "t_clone_bsnap") == (4, ["k"], ["k"])
     assert spark.table("t_clone_bsnap").count() == 100
 
-    # database-qualified names are rejected (warehouse-slot layout is
-    # per-database)
+    # a database-qualified TARGET is rejected (warehouse-slot layout is
+    # per-database); a qualified SOURCE is fine — its location is read
+    # from the catalog (custom-schema model relations clone this way)
     import pytest as _p
 
     with _p.raises(ValueError):
-        mat.clone_table(spark, "default.t_clone_bsrc", "t_x")
+        mat.clone_table(spark, "t_clone_bsrc", "default.t_x")
+    mat.clone_table(spark, "default.t_clone_bsrc", "t_clone_bq", replace=True)
+    assert spark.table("t_clone_bq").count() == 100
 
 
 from hypothesis import HealthCheck, given, settings
@@ -2165,3 +2168,107 @@ def test_snapshot_check_cols_single_string_is_wrapped(spark):
     snapshot_run(spark, "snap_onecol", s2, unique_key="k",
                  strategy="check", check_cols="status", run_ts="2024-01-03 00:00:00")
     assert spark.table("snap_onecol").count() == 2
+
+
+def test_custom_schema_materializes_into_layer_database(spark):
+    """Per-layer schemas (dbt generate_schema_name, reference
+    dbt_project.yml:24-33 +schema STAGE/MARTS): a model declaring
+    schema= materializes its TABLE into <target>_<custom> while refs,
+    incremental state (ctx.this), rebuild swaps, and the manifest all
+    resolve the qualified relation; view models keep the short name
+    (temp views cannot be database-qualified — the documented trade)."""
+    r = ModelRegistry(spark)
+    r.add_source("raw_m", _df(spark, [(1, "x"), (2, "y")], "id long, v string"))
+
+    @r.model()
+    def stage_m(ctx):
+        return ctx.source("raw_m")
+
+    @r.model(materialized="table", schema="marts")
+    def mart_m(ctx):
+        return ctx.ref("stage_m").filter(F.col("id") > 0)
+
+    r.run()
+    db = spark.catalog.currentDatabase()
+    assert spark.catalog.tableExists(f"{db}_marts.mart_m")
+    assert not spark.catalog.tableExists("mart_m")
+    assert r.manifest()["nodes"]["mart_m"]["relation"] == f"{db}_marts.mart_m"
+    # rebuild exercises the swap inside the layer database
+    r.run()
+    assert spark.table(f"{db}_marts.mart_m").count() == 2
+
+    # incremental models track their state at the QUALIFIED relation
+    r2 = ModelRegistry(spark)
+    r2.add_source("raw_m", _df(spark, [(1, "x"), (2, "y")], "id long, v string"))
+    seen = []
+
+    @r2.model(
+        materialized="incremental", incremental_strategy="append", schema="marts"
+    )
+    def inc_m(ctx):
+        seen.append(ctx.is_incremental())
+        return ctx.source("raw_m")
+
+    r2.run()
+    r2._built.clear()
+    r2.run()
+    assert seen == [False, True]
+    assert spark.table(f"{db}_marts.inc_m").count() == 4
+    spark.sql(f"DROP TABLE IF EXISTS {db}_marts.inc_m")
+    spark.sql(f"DROP TABLE IF EXISTS {db}_marts.mart_m")
+
+    # generate_schema_name override, dbt-style
+    r3 = ModelRegistry(spark)
+    r3.generate_schema_name = lambda target, custom: custom
+
+    @r3.model(materialized="table", schema="marts_ovr")
+    def ovr_m(ctx):
+        return _df(ctx.spark, [(1,)], "id long")
+
+    r3.run()
+    assert spark.catalog.tableExists("marts_ovr.ovr_m")
+    spark.sql("DROP TABLE marts_ovr.ovr_m")
+
+
+def test_persist_docs_writes_catalog_comments(spark):
+    """persist_docs (dbt-adapters persist_docs.sql): relation + column
+    descriptions become REAL catalog comments, re-applied after every
+    rebuild (the CTAS swap drops them), with dbt's forgiving skip for
+    documented columns the relation lacks."""
+    r = ModelRegistry(spark)
+
+    @r.model(
+        materialized="table",
+        persist_docs={"relation": True, "columns": True},
+        description="claims rolled to member grain",
+        column_descriptions={
+            "id": "surrogate key",
+            "ghost_col": "documented but not in the relation",
+        },
+    )
+    def doc_m(ctx):
+        return _df(ctx.spark, [(1, "a")], "id long, v string")
+
+    r.run()
+    assert spark.catalog.getTable("doc_m").description == (
+        "claims rolled to member grain"
+    )
+    cols = {c.name: c.description for c in spark.catalog.listColumns("doc_m")}
+    assert cols["id"] == "surrogate key"
+    assert cols["v"] is None
+    # rebuild: the swap produces a fresh table; docs must be re-applied
+    r._built.clear()
+    r.run()
+    assert spark.catalog.getTable("doc_m").description == (
+        "claims rolled to member grain"
+    )
+
+    # persist_docs absent -> descriptions stay manifest-only
+    r2 = ModelRegistry(spark)
+
+    @r2.model(materialized="table", description="not persisted")
+    def plain_m(ctx):
+        return _df(ctx.spark, [(1,)], "id long")
+
+    r2.run()
+    assert not spark.catalog.getTable("plain_m").description

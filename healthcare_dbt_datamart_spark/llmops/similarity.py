@@ -1281,9 +1281,14 @@ def ivf_residuals(
     spark = emb.sparkSession
     cents = sorted(centroids)
     cdata = [[float(x) for x in cv] for _cid, cv in cents]
-    assert [cid for cid, _ in cents] == list(range(len(cents))), (
-        "residual path expects dense 0..k-1 centroid ids"
-    )
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        # a real error, not an assert: under python -O an assert
+        # vanishes and element_at(cvecs, cell + 1) would silently
+        # subtract the WRONG centroid for every vector past the gap
+        raise ValueError(
+            "residual path expects dense 0..k-1 centroid ids, got "
+            f"{[cid for cid, _ in cents]}"
+        )
     cdf = spark.createDataFrame([(cdata,)], "cvecs array<array<double>>")
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     return assigned.crossJoin(broadcast(cdf)).select(

@@ -150,8 +150,6 @@ def materialize_table(
         # slot — O(files) metadata, bytes shared, every window crash-safe:
         # before SET LOCATION the backup still reads the intact slot dir,
         # after it reads the linked copy
-        import os.path
-
         slot = os.path.normpath(_slot_path(spark, name))
         if os.path.normpath(_table_location(spark, backup)) == slot:
             _link_tree(slot, _slot_path(spark, backup))

@@ -9,10 +9,14 @@ anywhere.
 Scale shape: the query-term ``isin`` filter lands on the EXPLODED token
 stream BEFORE any shuffle, so the only rows that ever move are the
 postings of the |q| query terms (for a 3-term query over 100 TB of text
-that is a few-GB shuffle, not a corpus-wide one); document length is a
-``size(split(...))`` projection that never explodes at all; the corpus
-constants (N, avgdl) are a 1-row broadcast and the per-term df a
-|q|-row broadcast, so the scoring join is map-side end to end.
+that is a few-GB shuffle, not a corpus-wide one). Document length rides
+through the explode as a grouping key — one int per MATCHED posting —
+so there is NO doc_id join anywhere (the naive tf⋈dl shape either
+broadcasts an N-doc build side, which breaks at corpus scale, or pays
+a second corpus-wide shuffle). The corpus constants (N, avgdl) are a
+1-row broadcast and the per-term df a |q|-row broadcast, so the scoring
+join is map-side end to end and the final top-k is
+TakeOrderedAndProject.
 """
 
 from __future__ import annotations
@@ -45,20 +49,27 @@ def bm25_topk(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
-    # doc length: a pure projection (no explode, no shuffle)
-    dl = toks.select(id_col, F.size("_w").alias("_dl"))
-    # corpus constants: ONE row, broadcast into the scoring join
-    stats = dl.agg(
+    # corpus constants: ONE row, broadcast into the scoring join;
+    # doc length is a size() projection — no explode, no shuffle
+    stats = toks.select(F.size("_w").alias("_dl")).agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
     # postings of the query terms ONLY — the isin filter runs on the
     # exploded stream before the groupBy, so non-matching tokens never
-    # shuffle
+    # shuffle. The doc length RIDES THROUGH the explode as a grouping
+    # key (it is functionally dependent on the id): one extra int per
+    # MATCHED posting buys the complete absence of a doc_id join — the
+    # naive tf-join-dl shape either broadcasts an N-doc build side
+    # (breaks at corpus scale) or pays a second corpus-wide shuffle
     tf = (
-        toks.select(id_col, F.explode("_w").alias("term"))
+        toks.select(
+            F.col(id_col),
+            F.size("_w").alias("_dl"),
+            F.explode("_w").alias("term"),
+        )
         .filter(F.col("term").isin(qterms))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     # per-term document frequency: |q| rows, broadcast
@@ -75,8 +86,7 @@ def bm25_topk(
         * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
     )
     return (
-        tf.join(dl, id_col)
-        .join(broadcast(df_t), "term")
+        tf.join(broadcast(df_t), "term")
         .crossJoin(broadcast(stats))
         .groupBy(id_col)
         .agg(

@@ -1916,3 +1916,57 @@ def test_bm25_topk_matches_reference_arithmetic(spark):
     plan = bm25_topk(df, terms, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sets(st.sampled_from(["a", "b", "c", "ab", "ca"]), min_size=1, max_size=3),
+)
+def test_bm25_topk_property_vs_python_reference(spark, texts, qset):
+    """For arbitrary tiny-alphabet corpora (collision-prone tokens,
+    empty docs, repeated terms) and any query set: bm25_topk equals an
+    independent Python implementation of the same formula, doc for doc,
+    including the matched_terms string and the order discipline
+    (score desc, id asc)."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.retrieval import bm25_topk
+
+    k1, b = 1.2, 0.75
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, sorted(qset), k=100).collect()
+
+    toks = {i: t.strip().lower().split() for i, t in rows}
+    # Spark's split('\s+') of '' yields [''] (size 1), mirroring the
+    # oracle; python split() yields [] — align dl to the engine rule
+    dls = {i: (len(w) if w else 1) for i, w in toks.items()}
+    n = len(toks)
+    avgdl = sum(dls.values()) / n
+    expected = []
+    for i, w in toks.items():
+        score, matched = 0.0, []
+        for t in sorted(set(q.lower() for q in qset)):
+            tf = w.count(t)
+            if not tf:
+                continue
+            matched.append(t)
+            dfreq = sum(1 for ww in toks.values() if t in ww)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            score += idf * (
+                (tf * (k1 + 1))
+                / (tf + k1 * ((1.0 - b) + b * dls[i] / avgdl))
+            )
+        if matched:
+            expected.append((i, ",".join(matched), round(score, 6)))
+    expected.sort(key=lambda r: (-r[2], r[0]))
+    assert [(r.doc_id, r.matched_terms) for r in got] == [
+        (i, mt) for i, mt, _ in expected
+    ]
+    for r, (_, _, sc) in zip(got, expected):
+        assert r.score == pytest.approx(sc, abs=1e-6)

@@ -33,7 +33,9 @@ from .similarity import (  # noqa: F401
     embedding_outliers,
     ivfadc_topk,
     ivfadc_topk_indexed,
+    load_ann_model,
     pq_codebooks_trained,
+    save_ann_model,
     sign_lsh_bits,
 )
 from .retrieval import bm25_topk  # noqa: F401

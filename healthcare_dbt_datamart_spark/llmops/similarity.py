@@ -1266,6 +1266,62 @@ def ivfadc_topk_indexed(
     )
 
 
+def save_ann_model(
+    spark,
+    table: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> None:
+    """Persist the trained quantizers next to the codes table — the
+    missing half of the index deployment split: ``build_ivfpq_index``
+    makes the CODES durable, but the coarse centroids and PQ codebooks
+    they were encoded against are session-state Python lists; a fresh
+    session reading the index table could not probe or decode it.
+    One tiny catalog table holds both model parts:
+    (kind, group, cid, cvec) — kind 'coarse' rows carry group=-1, kind
+    'pq' rows carry their subspace index. k·d + m·k·(d/m) = O(k·d)
+    floats total: pure model state, trivially small at any corpus
+    scale. Overwrites atomically via the same swap as any table."""
+    from ..operators.materialize import materialize_table
+
+    rows = []
+    for cid, cv in centroids or []:
+        rows.append(("coarse", -1, int(cid), [float(x) for x in cv]))
+    for s, book in enumerate(codebooks or []):
+        for cid, cv in book:
+            rows.append(("pq", s, int(cid), [float(x) for x in cv]))
+    df = spark.createDataFrame(
+        rows, "kind string, grp int, cid int, cvec array<double>"
+    )
+    materialize_table(spark, table, df)
+
+
+def load_ann_model(
+    spark, table: str
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]
+]:
+    """Load quantizers saved by ``save_ann_model``: returns
+    (centroids, codebooks) in the exact list shapes every probe/encode
+    function takes, bit-identical to what was saved (doubles round-trip
+    parquet exactly). A bounded-model-state collect (same class as the
+    fit collects)."""
+    rows = spark.table(table).orderBy("kind", "grp", "cid").collect()
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cvec])
+        for r in rows
+        if r.kind == "coarse"
+    ]
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        if r.kind == "pq":
+            books.setdefault(int(r.grp), []).append(
+                (int(r.cid), [float(x) for x in r.cvec])
+            )
+    codebooks = [books[s] for s in sorted(books)]
+    return centroids, codebooks
+
+
 def ivf_residuals(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],

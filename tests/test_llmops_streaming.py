@@ -1970,3 +1970,44 @@ def test_bm25_topk_property_vs_python_reference(spark, texts, qset):
     ]
     for r, (_, _, sc) in zip(got, expected):
         assert r.score == pytest.approx(sc, abs=1e-6)
+
+
+def test_ann_model_save_load_roundtrip_serves_index(spark):
+    """The quantizers persist next to the codes table and round-trip
+    bit-identically, so a FRESH session (simulated: everything re-read
+    from the catalog, nothing from the fit's Python state) can probe
+    and decode the materialized IVFADC index with identical results."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        ivfadc_topk_indexed,
+        kmeans_lloyd,
+        load_ann_model,
+        pq_codebooks_trained,
+        save_ann_model,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_lloyd(emb, k=4, n_iter=2)
+    books = pq_codebooks_trained(emb, m=4, k=8, n_iter=2)
+    build_ivfpq_index(emb, "ann_codes_rt", cents, books)
+    save_ann_model(spark, "ann_model_rt", cents, books)
+
+    lcents, lbooks = load_ann_model(spark, "ann_model_rt")
+    assert lcents == cents  # doubles round-trip parquet exactly
+    assert lbooks == books
+
+    want = ivfadc_topk_indexed(
+        emb, "ann_codes_rt", query_id=0, k=5, shortlist=12, nprobe=2,
+        centroids=cents, codebooks=books,
+    ).collect()
+    got = ivfadc_topk_indexed(
+        emb, "ann_codes_rt", query_id=0, k=5, shortlist=12, nprobe=2,
+        centroids=lcents, codebooks=lbooks,
+    ).collect()
+    assert got == want
+    spark.sql("DROP TABLE ann_codes_rt")
+    spark.sql("DROP TABLE ann_model_rt")

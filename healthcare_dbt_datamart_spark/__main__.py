@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
         "command",
         choices=[
             "ls", "run", "retry", "build", "test", "compile", "docs",
-            "source-freshness", "clone",
+            "source-freshness", "clone", "show",
         ],
     )
     p.add_argument(
@@ -75,7 +75,13 @@ def main(argv: list[str] | None = None, log=print) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     p.add_argument("--select", default=None, help="dbt graph selector: [+]name[+]")
-    p.add_argument("--model", default=None, help="model for `compile`")
+    p.add_argument("--model", default=None, help="model for `compile`/`show`")
+    p.add_argument(
+        "--limit",
+        type=int,
+        default=5,
+        help="row preview size for `show` (dbt show --limit)",
+    )
     p.add_argument("--full-refresh", action="store_true")
     p.add_argument(
         "--event-time-start",
@@ -154,16 +160,32 @@ def main(argv: list[str] | None = None, log=print) -> int:
         )
         return 0
 
+    if a.command == "show":
+        # dbt show: compile the model (nothing materializes) and preview
+        # --limit rows — the quick what-would-this-produce loop
+        if not a.model:
+            raise SystemExit("show requires --model")
+        df = r.compile(a.model)
+        log(df._jdf.showString(a.limit, 20, False))
+        return 0
+
     if a.command == "test":
         results = r.run_tests(select=a.select)
-        if not results:
-            log("no models declare schema tests")
+        unit = r.run_unit_tests(select=a.select)
+        if not results and not unit:
+            log("no models declare schema or unit tests")
             return 0
         worst = 0
         for model, tests in results.items():
             for t in tests:
                 log(f"{t.status.upper():>5}  {model}.{t.name}  failures={t.failures}")
                 worst = max(worst, {"pass": 0, "warn": 1, "fail": 2}[t.status])
+        for tname, res in unit.items():
+            log(
+                f"{res['status'].upper():>5}  unit:{res['model']}.{tname}"
+                f"  diff_rows={res['diff_rows']}"
+            )
+            worst = max(worst, {"pass": 0, "fail": 2}[res["status"]])
         return 2 if worst == 2 else 0
 
     if a.command == "clone":
@@ -318,6 +340,12 @@ def main(argv: list[str] | None = None, log=print) -> int:
             for t in tests:
                 log(f"{t.status.upper():>5}  {model}.{t.name}  failures={t.failures}")
                 worst = max(worst, {"pass": 0, "warn": 1, "fail": 2}[t.status])
+        for tname, res in r.run_unit_tests(select=a.select).items():
+            log(
+                f"{res['status'].upper():>5}  unit:{res['model']}.{tname}"
+                f"  diff_rows={res['diff_rows']}"
+            )
+            worst = max(worst, {"pass": 0, "fail": 2}[res["status"]])
         if worst == 2:
             return 2
     return 0

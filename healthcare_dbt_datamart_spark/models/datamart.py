@@ -80,6 +80,36 @@ def build_datamart(
             F.upper(F.col("proc_code")).alias("proc_code"),
         )
 
+    # dbt unit test (1.8 yml analog): stg_claim_lines must upper-case
+    # proc codes and type its columns — fixtures are lazy builders, the
+    # test runs with the real model body against them (CLI `test`/`build`)
+    r.add_unit_test(
+        "stg_claim_lines_normalizes_codes",
+        "stg_claim_lines",
+        given={
+            "raw_claim_lines": lambda s: s.createDataFrame(
+                [
+                    (1, 10, "2024-01-02", "g0121"),
+                    (2, 11, "2024-02-03", "82270"),
+                ],
+                "claim_id int, member_id int, service_date string,"
+                " proc_code string",
+            )
+        },
+        expect=lambda s: s.createDataFrame(
+            [
+                (1, 10, "2024-01-02", "G0121"),
+                (2, 11, "2024-02-03", "82270"),
+            ],
+            "claim_id int, member_id int, service_date string, proc_code string",
+        ).select(
+            F.col("claim_id").cast("long"),
+            F.col("member_id").cast("long"),
+            F.col("service_date").cast("date"),
+            "proc_code",
+        ),
+    )
+
     @r.model()
     def int_gap_col_status(ctx):
         return gap_status(

@@ -96,6 +96,7 @@ class ModelRegistry:
         self.batch_range: tuple | None = None  # microbatch backfill bounds
         self.run_results: list[dict] = []
         self._exposures: dict[str, dict] = {}
+        self._unit_tests: dict[str, dict] = {}
 
     # -- declaration ------------------------------------------------------
 
@@ -283,6 +284,9 @@ class ModelRegistry:
         return {
             "sources": sorted(self._sources),
             "exposures": dict(sorted(self._exposures.items())),
+            "unit_tests": {
+                tname: t["model"] for tname, t in sorted(self._unit_tests.items())
+            },
             "nodes": {
                 name: {
                     "materialized": mdef.materialized,
@@ -612,6 +616,53 @@ class ModelRegistry:
                 h(ModelContext(self, model_name))
             else:
                 self.spark.sql(h)
+
+    def add_unit_test(
+        self,
+        test_name: str,
+        model: str,
+        given: dict,
+        expect,
+    ) -> None:
+        """DECLARE a dbt unit test (dbt 1.8 yml unit tests: model name,
+        ``given`` fixture relations, ``expect`` rows) so the project's
+        ``test``/``build`` commands run it alongside schema tests.
+        Fixture values may be DataFrames or lazy ``callable(spark) ->
+        DataFrame`` builders (the yml-fixture analog — built only when
+        the test runs)."""
+        self._unit_tests[test_name] = {
+            "model": model,
+            "given": given,
+            "expect": expect,
+        }
+
+    def run_unit_tests(self, select: str | None = None) -> dict[str, dict]:
+        """Run declared unit tests (optionally only those on model
+        ``select`` / named ``select``). Returns per-test
+        ``{model, status, diff_rows, diff}`` where ``diff`` is the
+        tagged actual/expected mismatch frame (empty = pass)."""
+        out: dict[str, dict] = {}
+        for tname, t in self._unit_tests.items():
+            if select and select not in (tname, t["model"]):
+                continue
+            given = {
+                k: (v(self.spark) if callable(v) else v)
+                for k, v in t["given"].items()
+            }
+            expect = (
+                t["expect"](self.spark)
+                if callable(t["expect"])
+                else t["expect"]
+            )
+            diff = self.unit_test(t["model"], given, expect)
+            n = diff.count()
+            out[tname] = {
+                "model": t["model"],
+                "status": "pass" if n == 0 else "fail",
+                "diff_rows": n,
+                "diff": diff,
+            }
+        return out
 
     def unit_test(
         self,

@@ -2272,3 +2272,48 @@ def test_persist_docs_writes_catalog_comments(spark):
 
     r2.run()
     assert not spark.catalog.getTable("plain_m").description
+
+
+def test_cli_show_and_declared_unit_tests(spark, capsys):
+    """dbt show + declared unit tests: `show --model` previews compiled
+    rows without materializing; `test` runs the project's declared unit
+    tests next to schema tests and fails the exit code on a diff."""
+    import healthcare_dbt_datamart_spark.__main__ as cli
+
+    lines = []
+    rc = cli.main(
+        ["show", "--project", "datamart", "--model", "stg_claim_lines",
+         "--limit", "3"],
+        log=lines.append,
+    )
+    assert rc == 0
+    assert any("proc_code" in ln for ln in lines)
+
+    lines = []
+    rc = cli.main(
+        ["test", "--project", "datamart"], log=lines.append
+    )
+    out = "\n".join(lines)
+    assert "unit:stg_claim_lines.stg_claim_lines_normalizes_codes" in out
+    assert " PASS  unit:" in out or "PASS  unit:" in out
+
+    # a failing unit test must fail the command
+    from healthcare_dbt_datamart_spark.plans.registry import ModelRegistry
+
+    r = ModelRegistry(spark)
+    r.add_source("src_u", _df(spark, [(1, "x")], "id long, v string"))
+
+    @r.model()
+    def mdl_u(ctx):
+        return ctx.source("src_u")
+
+    r.add_unit_test(
+        "mdl_u_wrong_fixture",
+        "mdl_u",
+        given={"src_u": lambda s: _df(s, [(1, "x")], "id long, v string")},
+        expect=lambda s: _df(s, [(1, "WRONG")], "id long, v string"),
+    )
+    res = r.run_unit_tests()
+    assert res["mdl_u_wrong_fixture"]["status"] == "fail"
+    assert res["mdl_u_wrong_fixture"]["diff_rows"] == 2  # actual + expected
+    assert r.manifest()["unit_tests"] == {"mdl_u_wrong_fixture": "mdl_u"}

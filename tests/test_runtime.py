@@ -2317,3 +2317,45 @@ def test_cli_show_and_declared_unit_tests(spark, capsys):
     assert res["mdl_u_wrong_fixture"]["status"] == "fail"
     assert res["mdl_u_wrong_fixture"]["diff_rows"] == 2  # actual + expected
     assert r.manifest()["unit_tests"] == {"mdl_u_wrong_fixture": "mdl_u"}
+
+
+def test_microbatch_backfill_lands_in_custom_schema(spark):
+    """A microbatch model with a custom schema backfills into its layer
+    database: the registry routes the early-return backfill branch
+    through the same _relation resolution as every other sink."""
+    from datetime import datetime
+
+    from healthcare_dbt_datamart_spark.plans import ModelRegistry
+
+    base = spark.createDataFrame(
+        [(i, datetime(2024, 1, 10 + i % 3, 12), float(i)) for i in range(12)],
+        "event_id long, ts timestamp, value double",
+    )
+    r = ModelRegistry(spark)
+    r.add_source("mb_src", base)
+
+    @r.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        schema="marts",
+    )
+    def mb_sched(ctx):
+        src = ctx.source("mb_src")
+        if ctx.batch_start is not None:
+            src = src.filter(
+                (F.col("ts") >= F.lit(ctx.batch_start))
+                & (F.col("ts") < F.lit(ctx.batch_end))
+            )
+        return src
+
+    db = spark.catalog.currentDatabase()
+    r.run(
+        event_time_start=datetime(2024, 1, 10),
+        event_time_end=datetime(2024, 1, 13),
+    )
+    assert spark.catalog.tableExists(f"{db}_marts.mb_sched")
+    assert not spark.catalog.tableExists("mb_sched")
+    assert spark.table(f"{db}_marts.mb_sched").count() == 12
+    spark.sql(f"DROP TABLE {db}_marts.mb_sched")

@@ -39,6 +39,7 @@ from .similarity import (  # noqa: F401
     sign_lsh_bits,
 )
 from .retrieval import bm25_topk  # noqa: F401
+from .sketches import cms_heavy_hitters, cms_sketch, hll_cardinality  # noqa: F401
 from .splits import stratified_sample  # noqa: F401
 from .textstats import (  # noqa: F401
     langid_scores,

@@ -1,0 +1,198 @@
+"""Distributed sketches: count-min heavy hitters and HyperLogLog
+cardinality — the bounded-state answers to "what are the hot terms?"
+and "how many distinct?" at corpus scale, where exact answers would
+carry vocabulary-sized state through every executor.
+
+Both sketches hash with md5 (same literal function on Spark and DuckDB)
+and do ALL index arithmetic in exact 60-bit integers (15 hex chars →
+bigint via ``conv``; bucket/remainder via shifts and masks, never float
+division), so every intermediate — and for count-min every OUTPUT — is
+integer-exact and cross-engine hash-checkable. The only floats anywhere
+are HyperLogLog's final estimate formula (1 output row, 6dp-rounded).
+
+Scale shapes:
+- Count-min build: one pass over the exploded token stream × d seed
+  rows, partial-aggregated map-side into at most d·w counters per
+  executor before a d·w-row shuffle — the sketch IS the bounded state,
+  merged associatively exactly like production CMS merges per-shard
+  sketches. Probing broadcasts the d·w sketch (a few KB).
+- HyperLogLog: one map pass to (bucket, rank), a 2^b-row max-register
+  shuffle, one driver-sized fold. 2^b registers of state regardless of
+  corpus size; registers merge by MAX, so per-shard sketches union for
+  free (the property that makes HLL the standard distributed
+  distinct-count).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _h60(value: Column) -> Column:
+    """Exact 60-bit integer hash: first 15 hex chars of md5 → bigint.
+    15 chars keep the value strictly below 2^60 < 2^63, so the conv →
+    bigint round-trip is exact on both engines."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The repo-standard tokenizer (split \\s+ of lower(trim(text))) —
+    the same rule every documents oracle uses."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+
+
+def cms_sketch(
+    tokens: DataFrame, w: int = 1024, d: int = 4, term_col: str = "term"
+) -> DataFrame:
+    """Build the count-min sketch: d hash rows × w buckets of occurrence
+    counts (Cormode & Muthukrishnan, J. Algorithms 2005). One exploded
+    pass: each token occurrence lands in d (seed, bucket) cells; the
+    groupBy partial-aggregates to ≤ d·w counters map-side, so the only
+    shuffle is the d·w-row sketch itself. Counters are plain SUMs —
+    associative — so per-shard sketches merge exactly like the
+    production streaming variant."""
+    if w <= 0 or w & (w - 1) != 0:
+        raise ValueError(
+            f"w must be a power of two (bucket = hash & (w-1)); got {w}"
+        )
+    seeded = tokens.select(
+        term_col,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
+    )
+    bucket = _h60(
+        F.concat_ws("#", F.col(term_col), F.col("seed"))
+    ).bitwiseAND(w - 1)
+    return (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 1024,
+    d: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` heavy-hitter terms by count-min ESTIMATE, with the
+    exact count and overestimate alongside (CMS never underestimates;
+    est ≥ exact always — asserted in the property test). Selection
+    ranks on the estimate, exactly how a sketch-only deployment would
+    rank, with ties to the lexically smaller term; the exact column is
+    the audit the local fixture affords.
+
+    Integer-exact end to end: counts are longs, buckets are masked
+    60-bit hashes — the oracle reproduces every cell. The candidate
+    probe joins the term list against the BROADCAST d·w sketch (one
+    row of grouped cells per seed via a pivot-free min over the d
+    probes)."""
+    toks = _tokens(docs, text_col, id_col)
+    sketch = cms_sketch(toks, w=w, d=d)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "term",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
+    ).select(
+        "term",
+        "exact_cnt",
+        "seed",
+        _h60(F.concat_ws("#", F.col("term"), F.col("seed")))
+        .bitwiseAND(w - 1)
+        .alias("bucket"),
+    )
+    return (
+        probes.join(broadcast(sketch), ["seed", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "term",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+# HLL bias-correction constant for m >= 128 (Flajolet et al., AofA 2007)
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_cardinality(
+    df: DataFrame, value_col: str, b: int = 10
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet, Fusy, Gandouet,
+    Meunier 2007) with exact integer register arithmetic: 60-bit md5
+    hash → top ``b`` bits bucket (shift), remaining 60-b bits rank =
+    leading zeros + 1 (via ``length(bin())`` — integer, no float log),
+    registers = MAX rank per bucket (empty buckets count as 0 through
+    a generated bucket spine), harmonic-mean estimate with the
+    small-range linear-counting correction. Returns ONE row:
+    (m, n_exact, hll_estimate, rel_error) — n_exact is the local-
+    fixture audit; a sketch-only deployment drops that column and the
+    vocabulary-sized COUNT DISTINCT it carries.
+
+    Powers of two are exact doubles, so the only inexactness anywhere
+    is the final two divisions and ln — 6dp-rounded on both engines."""
+    m = 1 << b
+    rem_bits = 60 - b
+    alpha = _hll_alpha(m)
+    h = _h60(F.col(value_col).cast("string"))
+    hashed = df.select(
+        F.shiftright(h, rem_bits).alias("bucket"),
+        h.bitwiseAND((1 << rem_bits) - 1).alias("rem"),
+    )
+    ranks = hashed.select(
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits) - F.length(F.bin(F.col("rem"))) + 1)
+        .alias("rank"),
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    regs = (
+        spine.join(
+            ranks.groupBy("bucket").agg(F.max("rank").alias("mj")),
+            "bucket",
+            "left",
+        )
+        .select(F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    est = regs.agg(
+        (
+            F.lit(float(alpha) * m * m)
+            / F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+        ).alias("e_raw"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    exact = df.agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.crossJoin(broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            "n_exact",
+            F.round(corrected, 6).alias("hll_estimate"),
+            F.round(
+                F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )

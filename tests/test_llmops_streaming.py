@@ -2058,3 +2058,70 @@ def test_hll_estimate_accuracy_and_small_range_correction(spark):
     rs = hll_cardinality(small, "v", b=10).collect()[0]
     assert rs.n_exact == 40
     assert abs(rs.hll_estimate - 40) <= 2  # linear counting regime
+
+
+def test_streaming_cms_ingest_matches_batch_sketch(spark, tmp_path):
+    """Streamed CMS maintenance: micro-batches sum-merge into the
+    persistent sketch table and the final cells equal the batch-built
+    sketch over the whole corpus (associative merge), the ledger row
+    makes replayed batch ids no-ops, and the table never exceeds d*w
+    cells + 1 meta row."""
+    from healthcare_dbt_datamart_spark.llmops.sketches import cms_sketch
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        cms_merge_batch,
+        streaming_cms_ingest,
+    )
+
+    rows = [(i, f"t{i % 11}") for i in range(300)]
+    toks = spark.createDataFrame(rows, "doc_id long, term string")
+    expected = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in cms_sketch(toks, w=64, d=3).collect()
+    )
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    # three files -> availableNow slices them into micro-batches
+    for part in range(3):
+        toks.filter(F.col("doc_id") % 3 == part).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{part}"))
+    spark.sql("DROP TABLE IF EXISTS cms_stream_t")
+    stream = spark.readStream.schema(toks.schema).parquet(str(src / "*"))
+    q = streaming_cms_ingest(
+        stream, "cms_stream_t", w=64, d=3,
+        checkpoint_dir=str(tmp_path / "cms_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    final = spark.table("cms_stream_t")
+    got = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in final.filter(F.col("seed") >= 0).collect()
+    )
+    assert got == expected
+    assert final.count() <= 3 * 64 + 1
+
+    # replaying an applied batch id is a no-op (the crash-replay path)
+    mark = final.filter(F.col("seed") == -1).collect()[0].cnt
+    applied = cms_merge_batch(
+        spark, "cms_stream_t", cms_sketch(toks, w=64, d=3), mark
+    )
+    assert applied is False
+    again = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in spark.table("cms_stream_t").filter(F.col("seed") >= 0).collect()
+    )
+    assert again == expected
+    # a NEW batch id merges: every cell count doubles
+    assert cms_merge_batch(
+        spark, "cms_stream_t", cms_sketch(toks, w=64, d=3), mark + 1
+    )
+    doubled = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in spark.table("cms_stream_t").filter(F.col("seed") >= 0).collect()
+    )
+    assert doubled == [(s, b, 2 * c) for s, b, c in expected]
+    spark.sql("DROP TABLE cms_stream_t")

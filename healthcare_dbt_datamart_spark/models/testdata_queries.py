@@ -3390,6 +3390,124 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within one REGION's customer
+    market and one part type, the yearly revenue share supplied by one
+    nation. The deepest join in the suite — lineitem joined to orders,
+    customer, supplier, part, and the nation dim in BOTH roles (customer
+    side feeds the region filter, supplier side feeds the share
+    numerator), region and the filtered part dim broadcast. The share is
+    a CASE-gated decimal sum over the SAME partial-agg pass as the
+    denominator — one shuffle, no second scan (reference shape:
+    jdvisual/healthcare-dbt-datamart ad-hoc mart rollups)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("_rrk")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(broadcast(n_cust), customer["c_nationkey"] == F.col("_cnk"))
+        .join(broadcast(asia), F.col("_crk") == F.col("_rrk"))
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast(n_supp), supplier["s_nationkey"] == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.round(
+                F.sum(target).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: for every (supplier nation,
+    order year), profit on parts of one name family — revenue minus an
+    acquisition-cost term (quantity x p_retailprice stands in for
+    ps_supplycost; the synthetic schema has no partsupp). The name
+    filter lands on the broadcast part dim BEFORE the fact join, so the
+    fact scan is pruned by the join, and profit is one exact-decimal
+    expression inside a single partial-agg pass. Quantities are integral
+    and retail prices 2dp in the testdata, so the decimal arithmetic is
+    exact and the double cast bit-identical to the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    profit = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    ) - F.col("l_quantity").cast(DEC) * F.col("p_retailprice").cast(DEC)
+    return (
+        li.join(broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped dual conditional count: line counts per
+    ship-delay service class, split by order priority. The synthetic
+    schema has no l_shipmode, so the grouping key is a derived
+    order-to-ship delay bucket (the same CASE-bucket-then-dual-count
+    shape); the two priority counters are CASE-gated sums in one
+    partial-agg pass over the single orders join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay < 0, "BACKDATED")
+        .when(delay <= 180, "FAST")
+        .when(delay <= 720, "NORMAL")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 # Queries born AFTER this round's rotation locked the 50-slot window
 # (every slot already held a never-driver-checked or cycle-stale query).
 # CONTRACT, enforced by tools/audit_window.py: these are exempt from the
@@ -3397,7 +3515,13 @@ def q_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round's window (the rotation plan reserves <= 6 new-operator
 # slots). Locally they carry the same evidence as everything else:
 # oracle-green at sf0.001/0.01/0.1 and across all fetch/session modes.
-SCHEDULED_NEXT_WINDOW = ["cms_heavy_hitters", "hll_cardinality"]
+SCHEDULED_NEXT_WINDOW = [
+    "cms_heavy_hitters",
+    "hll_cardinality",
+    "nation_market_share",
+    "product_type_profit",
+    "ship_delay_classes",
+]
 
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===
@@ -3498,6 +3622,9 @@ QUERIES = {
     #    FLAGS them if they do not lead the window next round) ---------
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
+    "nation_market_share": q_nation_market_share,
+    "product_type_profit": q_product_type_profit,
+    "ship_delay_classes": q_ship_delay_classes,
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -6237,4 +6364,63 @@ FROM ({_LLM_ORACLE["embedding_near_dup"]}) v
 JOIN sp sa ON sa.doc_id = v.id_a
 JOIN sp sb ON sb.doc_id = v.id_b
 WHERE sa.split != sb.split
+"""
+
+ORACLE["nation_market_share"] = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS total_revenue,
+       round(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+ORACLE["product_type_profit"] = """
+SELECT ns.n_name AS supp_nation,
+       year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY 1, 2
+"""
+
+ORACLE["ship_delay_classes"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 0 THEN 'BACKDATED'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 180 THEN 'FAST'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 720 THEN 'NORMAL'
+            ELSE 'SLOW' END AS delay_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
 """

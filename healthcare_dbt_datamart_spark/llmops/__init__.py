@@ -39,7 +39,13 @@ from .similarity import (  # noqa: F401
     sign_lsh_bits,
 )
 from .retrieval import bm25_topk  # noqa: F401
-from .sketches import cms_heavy_hitters, cms_sketch, hll_cardinality  # noqa: F401
+from .sketches import (  # noqa: F401
+    cms_heavy_hitters,
+    cms_sketch,
+    hll_cardinality,
+    hll_estimate_fold,
+    hll_registers,
+)
 from .splits import stratified_sample  # noqa: F401
 from .textstats import (  # noqa: F401
     langid_scores,

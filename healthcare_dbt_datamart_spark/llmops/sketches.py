@@ -132,6 +132,55 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_registers(df: DataFrame, value_col: str, b: int = 10) -> DataFrame:
+    """SPARSE HyperLogLog registers: one (bucket, mj) row per OBSERVED
+    bucket, mj = max(leading-zero rank). The canonical mergeable form —
+    registers combine across shards or micro-batches by plain MAX
+    (idempotent + commutative), which is what `streaming/sketches.py`
+    exploits. Absent buckets mean register 0; `hll_estimate_fold` fills
+    them through a generated spine at estimate time, so the sketch
+    state stays ≤ 2^b rows without materializing empties."""
+    rem_bits = 60 - b
+    h = _h60(F.col(value_col).cast("string"))
+    hashed = df.select(
+        F.shiftright(h, rem_bits).alias("bucket"),
+        h.bitwiseAND((1 << rem_bits) - 1).alias("rem"),
+    )
+    ranks = hashed.select(
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits) - F.length(F.bin(F.col("rem"))) + 1)
+        .alias("rank"),
+    )
+    return ranks.groupBy("bucket").agg(F.max("rank").alias("mj"))
+
+
+def hll_estimate_fold(regs: DataFrame, m: int):
+    """Fold sparse (bucket, mj) registers into the HLL estimate: spine
+    join fills the empty buckets as 0, then the harmonic-mean formula
+    with the small-range linear-counting correction. Returns the 1-row
+    aggregate DataFrame and the corrected-estimate Column — shared by
+    the batch query and the streaming register-table reader so the two
+    paths cannot drift."""
+    alpha = _hll_alpha(m)
+    spine = regs.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    dense = spine.join(regs, "bucket", "left").select(
+        F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    est = dense.agg(
+        (
+            F.lit(float(alpha) * m * m)
+            / F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+        ).alias("e_raw"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    return est, corrected
+
+
 def hll_cardinality(
     df: DataFrame, value_col: str, b: int = 10
 ) -> DataFrame:
@@ -149,42 +198,10 @@ def hll_cardinality(
     Powers of two are exact doubles, so the only inexactness anywhere
     is the final two divisions and ln — 6dp-rounded on both engines."""
     m = 1 << b
-    rem_bits = 60 - b
-    alpha = _hll_alpha(m)
-    h = _h60(F.col(value_col).cast("string"))
-    hashed = df.select(
-        F.shiftright(h, rem_bits).alias("bucket"),
-        h.bitwiseAND((1 << rem_bits) - 1).alias("rem"),
-    )
-    ranks = hashed.select(
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
-        .otherwise(F.lit(rem_bits) - F.length(F.bin(F.col("rem"))) + 1)
-        .alias("rank"),
-    )
-    spine = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
-    regs = (
-        spine.join(
-            ranks.groupBy("bucket").agg(F.max("rank").alias("mj")),
-            "bucket",
-            "left",
-        )
-        .select(F.coalesce("mj", F.lit(0)).alias("mj"))
-    )
-    est = regs.agg(
-        (
-            F.lit(float(alpha) * m * m)
-            / F.sum(F.pow(F.lit(2.0), -F.col("mj")))
-        ).alias("e_raw"),
-        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v_zero"),
-    )
     exact = df.agg(
         F.count_distinct(F.col(value_col)).alias("n_exact")
     )
-    corrected = F.when(
-        (F.col("e_raw") <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(F.col("e_raw"))
+    est, corrected = hll_estimate_fold(hll_registers(df, value_col, b=b), m)
     return (
         est.crossJoin(broadcast(exact))
         .select(

@@ -17,6 +17,12 @@ from .guard import (  # noqa: F401
     streaming_contamination_guard,
     streaming_near_dup_guard,
 )
-from .sketches import cms_merge_batch, streaming_cms_ingest  # noqa: F401
+from .sketches import (  # noqa: F401
+    cms_merge_batch,
+    hll_merge_batch,
+    hll_table_estimate,
+    streaming_cms_ingest,
+    streaming_hll_ingest,
+)
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

@@ -70,6 +70,86 @@ def cms_merge_batch(
     return True
 
 
+def hll_merge_batch(
+    spark: SparkSession, target_table: str, batch_regs: DataFrame
+) -> None:
+    """Merge one micro-batch's sparse HLL registers into
+    ``target_table`` by (bucket) MAX, atomically via the table swap.
+    Unlike the CMS sum-merge, MAX is IDEMPOTENT — re-applying a batch
+    after a foreachBatch crash-replay yields the identical table — so
+    the HLL sink needs no batch-id ledger; at-least-once delivery IS
+    exactly-once here. The merged state never exceeds 2^b rows."""
+    from ..operators.materialize import materialize_table
+
+    if spark.catalog.tableExists(target_table):
+        merged = (
+            spark.table(target_table)
+            .unionByName(batch_regs)
+            .groupBy("bucket")
+            .agg(F.max("mj").alias("mj"))
+        )
+    else:
+        merged = batch_regs
+    materialize_table(
+        spark,
+        target_table,
+        merged.select(
+            F.col("bucket").cast("bigint"), F.col("mj").cast("int")
+        ),
+    )
+
+
+def streaming_hll_ingest(
+    stream: DataFrame,
+    target_table: str,
+    value_col: str,
+    b: int = 10,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously fold a stream of values into a persistent
+    HyperLogLog register table: per micro-batch, build the batch's own
+    sparse registers (same hashing as the batch ``hll_registers``, so
+    streamed and batch-built registers are row-identical — asserted in
+    the parity test) and max-merge via ``hll_merge_batch``. Read the
+    live distinct-count off the table any time with
+    ``hll_table_estimate`` — the streaming face of approximate
+    COUNT(DISTINCT) over an unbounded feed, with 2^b rows of state."""
+    from ..llmops.sketches import hll_registers
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hll_merge_batch(
+            spark, target_table, hll_registers(batch_df, value_col, b=b)
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_table_estimate(
+    spark: SparkSession, table: str, b: int = 10
+) -> DataFrame:
+    """The live estimate off a streamed register table: one row
+    (m, hll_estimate), computed by the SAME `hll_estimate_fold` the
+    batch query uses (identical formula + rounding, so a streamed table
+    over a corpus estimates exactly what the batch sketch would)."""
+    from ..llmops.sketches import hll_estimate_fold
+
+    m = 1 << b
+    est, corrected = hll_estimate_fold(spark.table(table), m)
+    return est.select(
+        F.lit(m).alias("m"), F.round(corrected, 6).alias("hll_estimate")
+    )
+
+
 def streaming_cms_ingest(
     token_stream: DataFrame,
     target_table: str,

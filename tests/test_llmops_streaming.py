@@ -2125,3 +2125,62 @@ def test_streaming_cms_ingest_matches_batch_sketch(spark, tmp_path):
     )
     assert doubled == [(s, b, 2 * c) for s, b, c in expected]
     spark.sql("DROP TABLE cms_stream_t")
+
+
+def test_streaming_hll_ingest_matches_batch_registers(spark, tmp_path):
+    """Streamed HLL maintenance: micro-batch registers max-merge into
+    the persistent table and equal the batch-built registers over the
+    whole corpus; re-applying a batch is a no-op WITHOUT any ledger
+    (max is idempotent — the property the docstring claims); the live
+    table estimate equals the batch hll_cardinality estimate."""
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        hll_cardinality,
+        hll_registers,
+    )
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        hll_merge_batch,
+        hll_table_estimate,
+        streaming_hll_ingest,
+    )
+
+    rows = [(i, f"user_{i % 137}") for i in range(600)]
+    vals = spark.createDataFrame(rows, "seq long, v string")
+    expected = sorted(
+        (r.bucket, r.mj) for r in hll_registers(vals, "v", b=8).collect()
+    )
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for part in range(3):
+        vals.filter(F.col("seq") % 3 == part).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{part}"))
+    spark.sql("DROP TABLE IF EXISTS hll_stream_t")
+    stream = spark.readStream.schema(vals.schema).parquet(str(src / "*"))
+    q = streaming_hll_ingest(
+        stream, "hll_stream_t", "v", b=8,
+        checkpoint_dir=str(tmp_path / "hll_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r.bucket, r.mj) for r in spark.table("hll_stream_t").collect()
+    )
+    assert got == expected
+    assert spark.table("hll_stream_t").count() <= 256
+
+    # replaying ANY batch (here: the whole corpus) leaves the table
+    # bit-identical — idempotence, the no-ledger justification
+    hll_merge_batch(spark, "hll_stream_t", hll_registers(vals, "v", b=8))
+    again = sorted(
+        (r.bucket, r.mj) for r in spark.table("hll_stream_t").collect()
+    )
+    assert again == expected
+
+    est = hll_table_estimate(spark, "hll_stream_t", b=8).collect()[0]
+    batch = hll_cardinality(vals, "v", b=8).collect()[0]
+    assert est.m == 256
+    assert est.hll_estimate == batch.hll_estimate
+    spark.sql("DROP TABLE hll_stream_t")

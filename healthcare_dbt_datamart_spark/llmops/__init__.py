@@ -39,6 +39,7 @@ from .similarity import (  # noqa: F401
     sign_lsh_bits,
 )
 from .retrieval import bm25_topk  # noqa: F401
+from .graph import pagerank_fixedpoint, undirected_edges  # noqa: F401
 from .sketches import (  # noqa: F401
     cms_heavy_hitters,
     cms_sketch,

@@ -3508,6 +3508,39 @@ def q_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the verified near-dup graph
+    (llmops/graph.py::pagerank_fixedpoint) — the keep-the-canonical-hub
+    authority signal over the SAME edges near_dup_clusters partitions
+    into components. Genuinely iterative on the Spark side (one rank
+    join + one contribution groupBy per round); all-integer arithmetic
+    makes the result bit-exact under any partitioning, so the oracle
+    replays the three rounds as unrolled CTEs and the driver gets a
+    full hash gate (the kmeans_cells/bpe_merges pattern)."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from ..llmops.graph import pagerank_fixedpoint, undirected_edges
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(
+        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
+    )
+    ranks = pagerank_fixedpoint(
+        undirected_edges(verified.select("id_a", "id_b")), n_iter=3
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(1e12), 6).alias("pagerank"),
+    )
+
+
 # Queries born AFTER this round's rotation locked the 50-slot window
 # (every slot already held a never-driver-checked or cycle-stale query).
 # CONTRACT, enforced by tools/audit_window.py: these are exempt from the
@@ -3521,6 +3554,7 @@ SCHEDULED_NEXT_WINDOW = [
     "nation_market_share",
     "product_type_profit",
     "ship_delay_classes",
+    "pagerank_docs",
 ]
 
 QUERIES = {
@@ -3625,6 +3659,7 @@ QUERIES = {
     "nation_market_share": q_nation_market_share,
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
+    "pagerank_docs": q_pagerank_docs,
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -6423,4 +6458,36 @@ SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS 
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
+"""
+
+# pagerank_docs: three integer power-iteration rounds unrolled as CTEs
+# (the kmeans_cells pattern). Every arithmetic step is BIGINT floor
+# division / multiplication — associative, so Spark's partitioned sums
+# and DuckDB's serial sums agree bit-for-bit; the only float is the
+# display column, derived from the exact fixed-point value identically
+# on both engines.
+_PR_ROUND = """
+SELECT e.dst AS id,
+       CAST((15000000000000 + 85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+FROM edges e
+JOIN {prev} p ON p.id = e.src
+JOIN deg d ON d.src = e.src
+GROUP BY e.dst
+"""
+ORACLE["pagerank_docs"] = f"""
+WITH
+v AS ({_LLM_ORACLE["near_dup_jaccard"]}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM v
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM v
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+r1 AS ({_PR_ROUND.format(prev="r0")}),
+r2 AS ({_PR_ROUND.format(prev="r1")}),
+r3 AS ({_PR_ROUND.format(prev="r2")})
+SELECT id AS doc_id, r AS rank_fp,
+       round(r / 1000000000000.0, 6) AS pagerank
+FROM r3
 """

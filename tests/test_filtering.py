@@ -648,3 +648,31 @@ def test_length_buckets_invariants_property(spark, token_counts):
         first = min(members, key=lambda m: m["batch_pos"])
         assert tot - first["n_tokens"] < 48
         assert tot < 48 + (bucket + 1) * 16
+
+
+def test_pagerank_fixedpoint_properties(spark):
+    """Integer PageRank: the hub of a star graph outranks the leaves,
+    symmetric nodes tie exactly (bit-equal fixed-point values, not
+    approximately), and the result is invariant under repartitioning —
+    the associativity property float PageRank cannot offer."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.graph import (
+        pagerank_fixedpoint,
+        undirected_edges,
+    )
+
+    # star: 0 at the center of 1..6, plus an isolated pair (7, 8)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(7, 8)], "id_a long, id_b long"
+    )
+    edges = undirected_edges(pairs)
+    got = {r.id: r.rank_fp for r in pagerank_fixedpoint(edges).collect()}
+    assert len(got) == 9
+    hub, leaves = got[0], [got[i] for i in range(1, 7)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # exact symmetry, no float jitter
+    assert got[7] == got[8] == 10**12  # isolated pair: rank 1.0 exactly
+    # partitioning invariance: bit-identical under a different layout
+    reparted = pagerank_fixedpoint(edges.repartition(13))
+    assert {r.id: r.rank_fp for r in reparted.collect()} == got

@@ -43,6 +43,7 @@ from .graph import pagerank_fixedpoint, undirected_edges  # noqa: F401
 from .sketches import (  # noqa: F401
     cms_heavy_hitters,
     cms_sketch,
+    hll_by_group,
     hll_cardinality,
     hll_estimate_fold,
     hll_registers,

@@ -213,3 +213,76 @@ def hll_cardinality(
             ).alias("rel_error"),
         )
     )
+
+
+def hll_by_group(
+    df: DataFrame, group_col: str, value_col: str, b: int = 10
+) -> DataFrame:
+    """GROUP-WISE HyperLogLog: approximate COUNT(DISTINCT value) per
+    group — the per-key form of `hll_cardinality`, state ≤ 2^b register
+    rows per group instead of a per-group distinct set.
+
+    Tighter arithmetic than the global query: the harmonic sum
+    Σ 2^-mj is folded as a SCALED BIGINT Σ 2^(R-mj) (R = max possible
+    rank = 60-b+1; empty buckets contribute 2^R each, reconstructed
+    from m - observed without materializing a per-group spine). Every
+    term and the sum stay < 2^62 — integer-EXACT, associative — so the
+    only floats in the whole query are one division and one ln per
+    group, and the estimate is bit-stable under any partitioning.
+    n_exact is the local-fixture audit column, same as the global
+    query; a sketch-only deployment drops it."""
+    m = 1 << b
+    rem_bits = 60 - b
+    r_max = rem_bits + 1
+    num = _hll_alpha(m) * m * m * float(1 << r_max)
+    h = _h60(F.col(value_col).cast("string"))
+    ranks = df.select(
+        F.col(group_col),
+        F.shiftright(h, rem_bits).alias("bucket"),
+        h.bitwiseAND((1 << rem_bits) - 1).alias("rem"),
+    ).select(
+        group_col,
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits) - F.length(F.bin(F.col("rem"))) + 1)
+        .alias("rank"),
+    )
+    folded = (
+        ranks.groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("mj"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - mj)")
+            ).alias("s_obs"),
+        )
+    )
+    s_total = (
+        F.col("s_obs")
+        + (F.lit(m) - F.col("n_obs")) * F.lit(1 << r_max).cast("bigint")
+    ).cast("double")
+    scored = folded.select(
+        group_col,
+        (F.lit(num) / s_total).alias("e_raw"),
+        (F.lit(m) - F.col("n_obs")).alias("v_zero"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    return (
+        scored.join(exact, group_col)
+        .select(
+            F.col(group_col),
+            F.lit(m).alias("m"),
+            "n_exact",
+            F.round(corrected, 6).alias("hll_estimate"),
+            F.round(
+                F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )

@@ -3556,6 +3556,11 @@ SCHEDULED_NEXT_WINDOW = [
     "ship_delay_classes",
     "pagerank_docs",
 ]
+# At the 6-slot capacity above, further round-4 operators carry
+# pytest-level oracle evidence instead of a driver slot this cycle:
+# llmops/sketches.py::hll_by_group replays its integer register fold
+# against DuckDB inside its test (hash-grade parity, no window cost)
+# and is the first promotion candidate when a round-6 slot frees up.
 
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -2184,3 +2184,77 @@ def test_streaming_hll_ingest_matches_batch_registers(spark, tmp_path):
     assert est.m == 256
     assert est.hll_estimate == batch.hll_estimate
     spark.sql("DROP TABLE hll_stream_t")
+
+
+def test_hll_by_group_matches_duckdb_replay_and_accuracy(spark):
+    """Group-wise HLL: the integer register fold replays EXACTLY in
+    DuckDB (same md5 hashing, same scaled-BIGINT harmonic sum — the
+    oracle-parity evidence a driver window slot would give), estimates
+    land within the b=10 error envelope, and the scaled sum is
+    bit-stable under repartitioning."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.sketches import hll_by_group
+
+    rows = [(f"g{i % 3}", f"u{(i * 7919) % (50 * (1 + i % 3))}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        r.grp: (r.m, r.n_exact, r.hll_estimate, r.rel_error)
+        for r in hll_by_group(df, "grp", "v", b=10).collect()
+    }
+    assert set(got) == {"g0", "g1", "g2"}
+    for m, n_exact, est, rel in got.values():
+        assert m == 1024
+        # b=10 standard error is ~3.25%; linear counting is tighter
+        assert rel <= 0.1, (n_exact, est)
+
+    # exact DuckDB replay of the integer fold (the oracle SQL shape)
+    num = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(f"""
+        WITH parts AS (
+          SELECT grp, h60 >> 50 AS bucket, h60 & ((1::BIGINT << 50) - 1) AS rem
+          FROM (SELECT grp, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h60 FROM t)
+        ),
+        regs AS (
+          SELECT grp, bucket,
+                 max(CASE WHEN rem = 0 THEN 51
+                     ELSE 50 - length(bin(rem)) + 1 END) AS mj
+          FROM parts GROUP BY 1, 2
+        ),
+        folded AS (
+          SELECT grp, COUNT(*) AS n_obs,
+                 SUM(1::BIGINT << (51 - mj)) AS s_obs
+          FROM regs GROUP BY 1
+        ),
+        scored AS (
+          SELECT grp,
+                 {num!r} / CAST(s_obs + (1024 - n_obs) * (1::BIGINT << 51)
+                                AS DOUBLE) AS e_raw,
+                 1024 - n_obs AS v_zero
+          FROM folded
+        ),
+        exact AS (SELECT grp, COUNT(DISTINCT v) AS n_exact FROM t GROUP BY 1)
+        SELECT s.grp, 1024 AS m, n_exact,
+               round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                          THEN 1024.0 * ln(1024.0 / v_zero)
+                          ELSE e_raw END, 6) AS hll_estimate,
+               round(abs(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                              THEN 1024.0 * ln(1024.0 / v_zero)
+                              ELSE e_raw END - n_exact) / n_exact, 6)
+                 AS rel_error
+        FROM scored s JOIN exact e USING (grp)
+        """).fetchall()
+    }
+    assert got == oracle
+
+    reparted = {
+        r.grp: (r.m, r.n_exact, r.hll_estimate, r.rel_error)
+        for r in hll_by_group(
+            df.repartition(13), "grp", "v", b=10
+        ).collect()
+    }
+    assert reparted == got

@@ -48,7 +48,7 @@ from .sketches import (  # noqa: F401
     hll_estimate_fold,
     hll_registers,
 )
-from .splits import stratified_sample  # noqa: F401
+from .splits import stratified_sample, weighted_sample  # noqa: F401
 from .textstats import (  # noqa: F401
     langid_scores,
     quality_classifier,

@@ -130,3 +130,61 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= k)
         .select("strata", id_col, "sample_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+    seed: str = "w1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exponential race): each row draws u ~ U(0,1]
+    from the md5 of ``seed:id`` and races with key ``-ln(u)/w``; the k
+    smallest keys win. Selection probability scales with weight — the
+    "subsample by quality score" / "prefer under-represented domains"
+    step of corpus assembly — and the whole draw is a pure projection
+    of (seed, id, weight): rerunning ANYWHERE reproduces the exact
+    sample, no RNG state, no collect.
+
+    Rows with NULL or non-positive weight never sample (w→0 ⇒ key→∞).
+
+    Scale shape: global (``strata_col=None``) selection is
+    orderBy+limit — TakeOrderedAndProject, per-partition partial top-k
+    then a k-row merge at the driver-side reduce, never a full sort;
+    per-stratum selection is one window pass partitioned by the
+    stratum, the `stratified_sample` shape (that function is the
+    equal-weights special case of this one).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    wkey = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_wkey", wkey)
+    if strata_col is None:
+        return base.orderBy(
+            F.col("_wkey").asc(), F.col(id_col).asc()
+        ).limit(k)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_wkey").asc(), F.col(id_col).asc()
+    )
+    return base.withColumn(
+        "sample_rank", F.row_number().over(w)
+    ).filter(F.col("sample_rank") <= k)

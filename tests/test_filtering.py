@@ -676,3 +676,34 @@ def test_pagerank_fixedpoint_properties(spark):
     # partitioning invariance: bit-identical under a different layout
     reparted = pagerank_fixedpoint(edges.repartition(13))
     assert {r.id: r.rank_fp for r in reparted.collect()} == got
+
+
+def test_weighted_sample_deterministic_and_weight_proportional(spark):
+    """Exponential-race weighted sampling: exact k, deterministic for a
+    fixed seed, plan is TakeOrdered (not a global sort) for the global
+    path, non-positive weights never sample, and across 400 independent
+    strata the w=9 item wins ~90% of the k=1 races."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.splits import weighted_sample
+
+    rows = [(f"d{i}", float(1 + i % 5)) for i in range(100)]
+    rows += [("zero", 0.0), ("neg", -3.0)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    got = weighted_sample(df, "w", "id", k=10)
+    ids = [r.id for r in got.select("id").collect()]
+    assert len(ids) == 10 and "zero" not in ids and "neg" not in ids
+    assert ids == [r.id for r in weighted_sample(df, "w", "id", k=10).select("id").collect()]
+    assert ids != [r.id for r in weighted_sample(df, "w", "id", k=10, seed="other").select("id").collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    race = spark.createDataFrame(
+        [(g, f"{g}:{item}", 9.0 if item == "a" else 1.0)
+         for g in range(400) for item in ("a", "b")],
+        "g int, id string, w double",
+    )
+    picked = weighted_sample(race, "w", "id", k=1, strata_col="g")
+    n_a = picked.filter(F.col("id").endswith(":a")).count()
+    assert picked.count() == 400
+    assert 330 <= n_a <= 390, n_a  # E[n_a] = 360, sd ~ 6

@@ -21,8 +21,10 @@ from .sketches import (  # noqa: F401
     cms_merge_batch,
     hll_merge_batch,
     hll_table_estimate,
+    reservoir_merge_batch,
     streaming_cms_ingest,
     streaming_hll_ingest,
+    streaming_weighted_reservoir,
 )
 from .stateful import stateful_user_totals  # noqa: F401
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg  # noqa: F401

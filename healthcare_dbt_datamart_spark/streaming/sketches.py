@@ -188,3 +188,78 @@ def streaming_cms_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def reservoir_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_sample: DataFrame,
+    k: int,
+    id_col: str = "id",
+) -> None:
+    """Merge one micro-batch's weighted-sample candidates (rows carrying
+    the ``_wkey`` race key from ``weighted_sample``) into the k-slot
+    persistent reservoir: union, dedupe by id on the smaller key, keep
+    the k smallest. min-k-of-union == min-k-of-everything-seen, and the
+    merge is IDEMPOTENT (a replayed batch's rows dedupe away), so like
+    the HLL sink — and unlike the CMS sum — no batch-id ledger is
+    needed. State is ≤ k rows regardless of stream volume."""
+    from ..operators.materialize import materialize_table
+    from pyspark.sql.window import Window
+
+    pool = batch_sample
+    if spark.catalog.tableExists(target_table):
+        pool = spark.table(target_table).unionByName(batch_sample)
+    dedup = Window.partitionBy(id_col).orderBy(F.col("_wkey").asc())
+    merged = (
+        pool.withColumn("_rn", F.row_number().over(dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    materialize_table(spark, target_table, merged)
+
+
+def streaming_weighted_reservoir(
+    stream: DataFrame,
+    target_table: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "w1",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain a k-row weighted sample over an unbounded
+    feed — the streaming face of ``llmops/splits.py::weighted_sample``.
+    Per micro-batch: run the SAME exponential race over the batch (the
+    race key is a pure function of (seed, id, weight), so candidates
+    from any batch are comparable) and min-k-merge into the reservoir
+    table. Because min-k over a union equals min-k over the whole
+    history, the reservoir at any instant IS the weighted sample of
+    everything ingested so far — asserted against the batch operator in
+    the parity test. The classic distributed reservoir trick
+    (Efraimidis-Spirakis keys make weighted reservoirs mergeable),
+    here with zero RNG state."""
+    from ..llmops.splits import weighted_sample
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        reservoir_merge_batch(
+            spark,
+            target_table,
+            weighted_sample(batch_df, weight_col, id_col, k, seed=seed),
+            k,
+            id_col=id_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2258,3 +2258,55 @@ def test_hll_by_group_matches_duckdb_replay_and_accuracy(spark):
         ).collect()
     }
     assert reparted == got
+
+
+def test_streaming_weighted_reservoir_matches_batch_sample(spark, tmp_path):
+    """Streamed weighted reservoir: min-k merging per-batch race
+    winners equals the batch weighted_sample over the whole corpus
+    (min-k of union == min-k of history), replaying a batch is a no-op
+    without any ledger, and state never exceeds k rows."""
+    from healthcare_dbt_datamart_spark.llmops.splits import weighted_sample
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        reservoir_merge_batch,
+        streaming_weighted_reservoir,
+    )
+
+    rows = [(i, f"d{i}", float(1 + (i * 13) % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "seq long, id string, w double")
+    expected = sorted(
+        (r.id, r._wkey)
+        for r in weighted_sample(df, "w", "id", k=10).collect()
+    )
+
+    src = tmp_path / "res_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("seq") % 3 == part).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{part}"))
+    spark.sql("DROP TABLE IF EXISTS res_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_weighted_reservoir(
+        stream, "res_stream_t", "w", "id", k=10,
+        checkpoint_dir=str(tmp_path / "res_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r.id, r._wkey) for r in spark.table("res_stream_t").collect()
+    )
+    assert got == expected
+    assert spark.table("res_stream_t").count() <= 10
+
+    # replay: re-merging the full corpus's candidates changes nothing
+    reservoir_merge_batch(
+        spark, "res_stream_t", weighted_sample(df, "w", "id", k=10), 10,
+        id_col="id",
+    )
+    again = sorted(
+        (r.id, r._wkey) for r in spark.table("res_stream_t").collect()
+    )
+    assert again == expected
+    spark.sql("DROP TABLE res_stream_t")

@@ -47,6 +47,8 @@ from .sketches import (  # noqa: F401
     hll_cardinality,
     hll_estimate_fold,
     hll_registers,
+    logbucket_quantiles,
+    logbucket_sketch,
 )
 from .splits import stratified_sample, weighted_sample  # noqa: F401
 from .textstats import (  # noqa: F401

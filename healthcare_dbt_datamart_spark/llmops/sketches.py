@@ -286,3 +286,72 @@ def hll_by_group(
             ).alias("rel_error"),
         )
     )
+
+
+def logbucket_sketch(df: DataFrame, value_col: str, s: int = 4) -> DataFrame:
+    """Relative-error quantile sketch cells — the DDSketch idea
+    (Masson, Rim, Lee, VLDB 2019) rebuilt on EXACT bit arithmetic so
+    the cells are engine-reproducible: bucket a positive integer x by
+    (b, m) where b = bit_length(x) and m = the (s+1)-bit normalized
+    mantissa prefix ``(x << s) >> (b-1)`` ∈ [2^s, 2^(s+1)). Bucket
+    bounds are then exact dyadic rationals with relative width ≤ 2^-s
+    (≈6.3% at s=4). Cells are (b, m, cnt) COUNTS — plain sums, so
+    per-shard and per-micro-batch sketches merge associatively exactly
+    like the count-min cells — and the whole table is bounded at
+    ≤ 63·2^s rows no matter how many values flow through.
+
+    Domain: values ≥ 1 (scale your column first — e.g. price cents);
+    rows below 1 are excluded. Keep values < 2^(62-s) so the shifted
+    mantissa arithmetic stays in BIGINT."""
+    x = F.col(value_col).cast("bigint")
+    cells = df.select(x.alias("_x")).filter(F.col("_x") >= 1).select(
+        F.length(F.bin("_x")).alias("b"),
+        F.expr(
+            f"shiftright(shiftleft(_x, {s}), cast(length(bin(_x)) as int) - 1)"
+        ).alias("m"),
+    )
+    return cells.groupBy("b", "m").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def logbucket_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    s: int = 4,
+) -> DataFrame:
+    """Quantile estimates off the log-bucket sketch: walk the cumulative
+    counts in (b, m) order and return the UPPER bound of the bucket
+    holding rank ceil(q·n) — guaranteed est ∈ [v, v·(1+2^-s)] around
+    the true rank value v. The cumulative window runs over the
+    model-sized sketch (≤ 63·2^s rows), never the data; n arrives as a
+    1-row broadcast aggregate; the only floats are the final dyadic
+    division (exact powers of two) and q·n.
+
+    Output: (q, est, n) per requested quantile."""
+    from pyspark.sql.window import Window
+
+    sk = logbucket_sketch(df, value_col, s=s)
+    w = Window.orderBy("b", "m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(w))
+    tot = sk.agg(F.sum("cnt").alias("n"))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    hits = (
+        cum.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    )
+    first = Window.partitionBy("q").orderBy(F.col("b").asc(), F.col("m").asc())
+    return (
+        hits.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q",
+            (
+                F.expr("cast(shiftleft(m + 1, cast(b as int) - 1) as double)")
+                / F.lit(float(1 << s))
+            ).alias("est"),
+            "n",
+        )
+    )

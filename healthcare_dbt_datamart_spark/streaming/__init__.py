@@ -21,7 +21,9 @@ from .sketches import (  # noqa: F401
     cms_merge_batch,
     hll_merge_batch,
     hll_table_estimate,
+    logbucket_merge_batch,
     reservoir_merge_batch,
+    streaming_logbucket_ingest,
     streaming_cms_ingest,
     streaming_hll_ingest,
     streaming_weighted_reservoir,

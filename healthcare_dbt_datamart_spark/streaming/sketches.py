@@ -263,3 +263,82 @@ def streaming_weighted_reservoir(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def logbucket_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_sketch: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Merge one micro-batch's log-bucket quantile cells into
+    ``target_table`` by (b, m) SUM — counts, so like the CMS sink (and
+    unlike HLL/reservoir) a replay would double-count: the applied
+    batch id rides the same atomic swap as the merged cells (ledger row
+    at b=-1) and stale batch ids are skipped. Returns whether the batch
+    was applied. State stays ≤ 63·2^s cells + 1 meta row."""
+    from ..operators.materialize import materialize_table
+
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("b") == -1).select("cnt").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False
+        merged = (
+            cur.filter(F.col("b") != -1)
+            .unionByName(batch_sketch)
+            .groupBy("b", "m")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_sketch
+    meta = spark.createDataFrame(
+        [(-1, -1, int(batch_id))], "b int, m bigint, cnt bigint"
+    )
+    materialize_table(
+        spark,
+        target_table,
+        merged.select(
+            F.col("b").cast("int"),
+            F.col("m").cast("bigint"),
+            F.col("cnt").cast("bigint"),
+        ).unionByName(meta),
+    )
+    return True
+
+
+def streaming_logbucket_ingest(
+    stream: DataFrame,
+    target_table: str,
+    value_col: str,
+    s: int = 4,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuously fold a numeric stream into the persistent
+    log-bucket quantile sketch — live percentiles over an unbounded
+    feed with ≤ 63·2^s cells of state. Same hashing-free exact bit
+    buckets as the batch ``logbucket_sketch``, so streamed and
+    batch-built cells are identical (parity-asserted); read estimates
+    any time by running ``logbucket_quantiles``'s walk over the table's
+    data rows."""
+    from ..llmops.sketches import logbucket_sketch
+
+    spark = stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        logbucket_merge_batch(
+            spark,
+            target_table,
+            logbucket_sketch(batch_df, value_col, s=s),
+            batch_id,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

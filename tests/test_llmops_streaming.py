@@ -2310,3 +2310,93 @@ def test_streaming_weighted_reservoir_matches_batch_sample(spark, tmp_path):
     )
     assert again == expected
     spark.sql("DROP TABLE res_stream_t")
+
+
+def test_logbucket_quantiles_accuracy_and_duckdb_replay(spark):
+    """Log-bucket quantile sketch: estimates bracket the true rank
+    value within the 2^-s relative envelope, the cells replay EXACTLY
+    in DuckDB (pure bit arithmetic, no hashing, no floats until the
+    final dyadic division), and sub-1 values are excluded."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    vals = [int(1 + (i * i * 7919) % 100000) for i in range(5000)] + [0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.q: (r.est, r.n) for r in logbucket_quantiles(df, "x").collect()}
+    pos = sorted(v for v in vals if v >= 1)
+    assert all(n == len(pos) for _, n in got.values())
+    import math
+
+    for q, (est, n) in got.items():
+        true = pos[math.ceil(q * n) - 1]
+        assert true <= est <= true * (1 + 2 ** -4) + 1, (q, est, true)
+
+    cells = sorted(
+        (r.b, r.m, r.cnt) for r in logbucket_sketch(df, "x").collect()
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute("""
+        SELECT length(bin(x)) AS b,
+               (x << 4) >> (length(bin(x)) - 1) AS m,
+               COUNT(*) AS cnt
+        FROM t WHERE x >= 1 GROUP BY 1, 2
+        """).fetchall()
+    )
+    assert cells == oracle
+
+
+def test_streaming_logbucket_ingest_matches_batch_and_replay(spark, tmp_path):
+    """Streamed quantile-sketch maintenance: micro-batch cells
+    sum-merge into the persistent table equal to the batch-built
+    sketch; the b=-1 ledger row makes replayed batch ids no-ops."""
+    from healthcare_dbt_datamart_spark.llmops.sketches import logbucket_sketch
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        logbucket_merge_batch,
+        streaming_logbucket_ingest,
+    )
+
+    rows = [(i, int(1 + (i * 31) % 5000)) for i in range(900)]
+    df = spark.createDataFrame(rows, "seq long, x long")
+    expected = sorted(
+        (r.b, r.m, r.cnt) for r in logbucket_sketch(df, "x").collect()
+    )
+
+    src = tmp_path / "lb_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("seq") % 3 == part).write.mode("overwrite").parquet(
+            str(src / f"b{part}")
+        )
+    spark.sql("DROP TABLE IF EXISTS lb_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_logbucket_ingest(
+        stream, "lb_stream_t", "x",
+        checkpoint_dir=str(tmp_path / "lb_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    data_rows = lambda: sorted(  # noqa: E731
+        (r.b, r.m, r.cnt)
+        for r in spark.table("lb_stream_t").filter(F.col("b") >= 0).collect()
+    )
+    assert data_rows() == expected
+
+    mark = spark.table("lb_stream_t").filter(F.col("b") == -1).collect()[0].cnt
+    assert logbucket_merge_batch(
+        spark, "lb_stream_t", logbucket_sketch(df, "x"), mark
+    ) is False
+    assert data_rows() == expected
+    assert logbucket_merge_batch(
+        spark, "lb_stream_t", logbucket_sketch(df, "x"), mark + 1
+    ) is True
+    assert data_rows() == [(b, m, 2 * c) for b, m, c in expected]
+    spark.sql("DROP TABLE lb_stream_t")

@@ -20,10 +20,12 @@ PageRank round without the dependency. State per round is one
 (node, rank) row per vertex. localCheckpoint truncates the iteration
 lineage exactly like ``near_dup_components``.
 
-Overflow bound: a destination's contribution sum is ≤ degree·scale, and
-the damping step multiplies by 85 — keep ``85 * max_degree * scale``
-below 2^63 (with the default 1e12 scale that allows hub degrees to
-~10^5; drop scale to 1e9 for web-scale hubs).
+Overflow bound: total rank mass is conserved at ≤ n·scale (the floor
+divisions only shed mass), and in the worst case one hub's incoming
+contribution sum approaches it, so keep ``85 * n_nodes * scale`` below
+2^63 — the default 1e12 scale is safe to ~10^5 graph nodes (near-dup
+components are far smaller); drop scale to 1e9 for ~10^8-node web
+graphs.
 """
 
 from __future__ import annotations

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from .dedup import (
     candidate_pairs,
@@ -188,3 +189,89 @@ def weighted_sample(
     return base.withColumn(
         "sample_rank", F.row_number().over(w)
     ).filter(F.col("sample_rank") <= k)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    tau: float = 0.3,
+    rate_scale: int = 256,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the multilingual
+    balancing rule of mT5 (arXiv:2010.11934 §3.1) / XLM-R: sample group
+    g with probability p_g ∝ share_g^tau, where share_g = n_g / N.
+    tau = 1 reproduces natural proportions; tau → 0 approaches uniform;
+    mT5 ships tau = 0.3. Complements ``domain_mixture_weights``
+    (DoReMi — loss-driven) with the count-driven rule, and
+    ``mixture_sample`` (fixed per-row rate) with the rule that CHOOSES
+    the rates.
+
+    ``keep_rate`` realizes the target mixture by downsample-only
+    selection (no replication): r_g = (p_g / n_g) / max_h(p_h / n_h) —
+    the most-upweighted group keeps everything, every other group
+    subsamples in exact proportion, so the kept corpus follows p_g.
+    ``rate_num`` = floor(keep_rate · rate_scale) feeds
+    ``mixture_sample``'s deterministic 0..rate_scale-1 content-hash
+    bucket filter directly.
+
+    Scale shape: ONE corpus shuffle (the groupBy(group) count, full
+    partial aggregation); the total, the normalizer and the max-ratio
+    are unpartitioned-window folds OVER THE BOUNDED COUNTS TABLE — a
+    single partition of |domains| rows, deliberately chosen over
+    agg + crossJoin branches because each 1-row aggregate branch would
+    re-execute the corpus count's lineage (the plan-splitting count()
+    anti-pattern this module documents elsewhere); here the corpus is
+    scanned once no matter how many derived scalars stack.
+
+    Returns ``(group, n_docs, weight, keep_rate, rate_num)`` with
+    weight/keep_rate rounded to 6dp; raw doubles feed the arithmetic so
+    the rounding discipline matches the doremi_weights convention.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    all_rows = Window.partitionBy()  # |domains| rows: bounded model state
+    p_raw = F.pow(
+        F.col("n_docs") / F.sum("n_docs").over(all_rows), F.lit(float(tau))
+    )
+    wtd = (
+        counts.withColumn("_p", p_raw)
+        .withColumn("_w", F.col("_p") / F.sum("_p").over(all_rows))
+        .withColumn(
+            "_mx", F.max(F.col("_w") / F.col("n_docs")).over(all_rows)
+        )
+    )
+    ratio = (F.col("_w") / F.col("n_docs")) / F.col("_mx")
+    return wtd.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round("_w", 6).alias("weight"),
+        F.round(ratio, 6).alias("keep_rate"),
+        F.floor(F.lit(float(rate_scale)) * ratio).cast("int").alias(
+            "rate_num"
+        ),
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    tau: float = 0.3,
+    rate_scale: int = 256,
+) -> DataFrame:
+    """Apply the temperature mixture end-to-end: join each row's group
+    rate back (broadcast — the domain set is bounded) and keep rows via
+    the deterministic content-hash bucket (``mixture_sample``'s rule
+    inlined, with the rate varying per group). Re-running anywhere
+    keeps exactly the same rows; kept counts per group converge to the
+    temperature-scaled proportions as rate_scale → ∞ (floor
+    quantization binds at small corpora)."""
+    rates = temperature_weights(df, group_col, tau, rate_scale).select(
+        group_col, "rate_num"
+    )
+    return df.join(broadcast(rates), group_col).filter(
+        hash_bucket256(text_col) < F.col("rate_num")
+    )

@@ -707,3 +707,84 @@ def test_weighted_sample_deterministic_and_weight_proportional(spark):
     n_a = picked.filter(F.col("id").endswith(":a")).count()
     assert picked.count() == 400
     assert 330 <= n_a <= 390, n_a  # E[n_a] = 360, sd ~ 6
+
+
+def test_temperature_weights_duckdb_replay_and_properties(spark):
+    """mT5 temperature mixture: the whole weight table replays EXACTLY
+    in DuckDB (oracle-parity evidence pending a driver window slot —
+    the hll_by_group convention), tau=1 reproduces natural proportions
+    with keep_rate 1 everywhere, tau<1 upweights the small domains
+    (keep_rate 1 for the largest boost = smallest group), and the
+    rebalance filter keeps a deterministic subset matching the
+    hash-bucket rule row for row."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        hash_bucket256,
+        temperature_rebalance,
+        temperature_weights,
+    )
+
+    # skewed domains: 160 / 40 / 8 docs
+    rows = [
+        (f"d{i}", f"doc {i} body {'x' * (i % 11)}",
+         "big" if i < 160 else ("mid" if i < 200 else "small"))
+        for i in range(208)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    got = {
+        r.source: (r.n_docs, r.weight, r.keep_rate, r.rate_num)
+        for r in temperature_weights(df, "source", tau=0.3).collect()
+    }
+    assert set(got) == {"big", "mid", "small"}
+    # smallest group is the most-upweighted: keeps everything
+    assert got["small"][2] == 1.0 and got["small"][3] == 256
+    # keep_rate strictly shrinks as the group grows (tau < 1)
+    assert got["small"][2] > got["mid"][2] > got["big"][2]
+    # weights normalize
+    assert abs(sum(w for _, w, _, _ in got.values()) - 1.0) < 2e-6
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute("""
+        WITH counts AS (
+          SELECT source AS grp, COUNT(*)::BIGINT AS n_docs FROM t GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_docs) AS _n FROM counts),
+        scored AS (
+          SELECT grp, n_docs, pow(n_docs / _n, 0.3) AS _p FROM counts, tot
+        ),
+        z AS (SELECT SUM(_p) AS _z FROM scored),
+        wtd AS (SELECT grp, n_docs, _p / _z AS _w FROM scored, z),
+        mx AS (SELECT MAX(_w / n_docs) AS _mx FROM wtd)
+        SELECT grp, n_docs, round(_w, 6) AS weight,
+               round((_w / n_docs) / _mx, 6) AS keep_rate,
+               CAST(floor(256.0 * (_w / n_docs) / _mx) AS INTEGER) AS rate_num
+        FROM wtd, mx
+        """).fetchall()
+    }
+    assert got == oracle
+
+    # tau = 1: natural proportions, nobody downsamples
+    nat = {
+        r.source: (r.weight, r.keep_rate, r.rate_num)
+        for r in temperature_weights(df, "source", tau=1.0).collect()
+    }
+    for src, (w, kr, rn) in nat.items():
+        assert kr == 1.0 and rn == 256
+        assert abs(w - got[src][0] / 208) < 2e-6
+
+    # rebalance = broadcast-join + hash filter, reproducible row set
+    kept = temperature_rebalance(df, "source", "text", tau=0.3)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    rates = {s: rn for s, (_, _, _, rn) in got.items()}
+    expect = {
+        r.doc_id
+        for r in df.withColumn("_b", hash_bucket256("text")).collect()
+        if r._b < rates[r.source]
+    }
+    assert kept_ids == expect
+    assert kept_ids == {r.doc_id for r in kept.collect()}  # deterministic

@@ -1165,6 +1165,85 @@ def build_ivfpq_index(
     )
 
 
+def ivfpq_index_upsert(
+    delta: DataFrame,
+    table: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> None:
+    """Incremental maintenance of the materialized IVFADC index: encode
+    a delta batch against the FROZEN build-time quantizers and merge it
+    into the codes table — new ids append, re-supplied ids REPLACE
+    their old row (the re-embed case: a corrected or re-encoded vector
+    may land in a DIFFERENT coarse cell than its old row). Completes
+    the index lifecycle next to ``build_ivfpq_index`` (full build) and
+    ``streaming/dedup_join.py::streaming_ivfpq_ingest`` (append-only
+    feed): this is the batch upsert a nightly re-embed job runs.
+    Quantizers stay frozen, exactly like the streaming path —
+    retraining is a new index VERSION, not a maintenance operation.
+
+    Scale shape — the rewrite touches ONLY the partitions the delta
+    lands in or vacates, never the index:
+
+    1. locating old rows needs an id → cell lookup; the index table has
+       no primary-key sidecar, so this is a codes-table scan of TWO
+       skinny columns with the delta-id filter applied map-side (the
+       id set is the delta batch — broadcast-size by definition of a
+       maintenance batch). No shuffle; at 100 TB this reads the
+       (id, cell) column chunks only.
+    2. touched = delta's new cells ∪ vacated cells — a bounded
+       (≤ n_centroids) collect of model-state class.
+    3. survivors (touched-partition rows whose id is NOT re-supplied,
+       via broadcast anti-join) UNION the freshly-encoded delta rows
+       overwrite exactly the touched partitions: dynamic
+       partition-overwrite ``insertInto``, so untouched partitions'
+       files are never rewritten (asserted byte-for-byte in the test).
+
+    The merged rows are eagerly localCheckpoint-ed before the write
+    because they derive from the table being overwritten (Spark refuses
+    the direct self-read cycle); the checkpoint materializes only the
+    touched partitions' rows. A deployment with a transactional table
+    format would express step 3 as MERGE — the files it rewrites are
+    the same ones."""
+    spark = delta.sparkSession
+    enc = ivfpq_index_rows(
+        delta, centroids, codebooks, id_col, vec_col, residual
+    ).localCheckpoint(eager=True)  # delta-batch-size; read 3x below
+    ids = enc.select(id_col)
+    old_cells = (
+        spark.table(table)
+        .join(broadcast(ids), id_col, "left_semi")
+        .select("cell")
+    )
+    touched = [
+        int(r.cell)
+        for r in enc.select("cell").union(old_cells).distinct().collect()
+    ]
+    survivors = (
+        spark.table(table)
+        .filter(F.col("cell").isin(touched))
+        .join(broadcast(ids), id_col, "left_anti")
+    )
+    merged = (
+        survivors.unionByName(enc)
+        .repartition("cell")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto is positional: pin to the table's column order
+        # (partition column last, matching the build's writer layout)
+        merged.select(id_col, "codes", "cell").write.mode(
+            "overwrite"
+        ).insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def ivfadc_topk_indexed(
     emb: DataFrame,
     table: str,

@@ -2400,3 +2400,130 @@ def test_streaming_logbucket_ingest_matches_batch_and_replay(spark, tmp_path):
     ) is True
     assert data_rows() == [(b, m, 2 * c) for b, m, c in expected]
     spark.sql("DROP TABLE lb_stream_t")
+
+
+def test_ivfpq_index_upsert_merges_and_rewrites_only_touched_partitions(spark):
+    """Index lifecycle's batch upsert: new ids append, a re-supplied id
+    REPLACES its old row even when the new vector moves it to a
+    different coarse cell; the merged table is row-identical to a
+    from-scratch build over the merged vector set, the indexed search
+    result matches that rebuild's exactly, the operation is idempotent,
+    and — the scale claim — parquet files of UNTOUCHED cell partitions
+    are byte-for-byte untouched (same paths, sizes, mtimes)."""
+    import os
+
+    import numpy as np
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        ivfadc_topk_indexed,
+        ivfpq_index_rows,
+        ivfpq_index_upsert,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1.0, 16)]) for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=6, n_iter=2)
+    books = pq_codebooks_trained(emb, m=2, k=4, n_iter=2)
+
+    base_rows = [(i, v) for i, v in rows if i not in (7, 17)]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<float>"
+    )
+    name, name2 = "ivfpq_upsert_test", "ivfpq_upsert_rebuild"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    try:
+        build_ivfpq_index(base, name, cents, books)
+        tbl = spark.table(name)
+        old_cell_of_3 = tbl.filter("vec_id = 3").collect()[0].cell
+
+        # delta: the late-arriving ids (…7) plus id 3 RE-EMBEDDED with a
+        # vector from a DIFFERENT cell, so the replacement moves cells
+        donor_id = next(
+            r.vec_id
+            for r in tbl.filter(f"cell != {old_cell_of_3}")
+            .orderBy("vec_id")
+            .limit(1)
+            .collect()
+        )
+        v_new = dict(rows)[donor_id]
+        delta_rows = [(i, v) for i, v in rows if i in (7, 17)] + [(3, v_new)]
+        delta = spark.createDataFrame(
+            delta_rows, "vec_id long, embedding array<float>"
+        )
+        enc_delta = {
+            r.vec_id: r.cell
+            for r in ivfpq_index_rows(delta, cents, books).collect()
+        }
+        assert enc_delta[3] != old_cell_of_3, "fixture must exercise a cell move"
+        touched = set(enc_delta.values()) | {old_cell_of_3}
+
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r.col_name.strip() == "Location"
+        ).replace("file:", "")
+
+        def snapshot(cells):
+            out = {}
+            for c in cells:
+                d = os.path.join(loc, f"cell={c}")
+                for f in sorted(os.listdir(d)):
+                    p = os.path.join(d, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+            return out
+
+        all_cells = {r.cell for r in tbl.select("cell").distinct().collect()}
+        untouched = all_cells - touched
+        assert untouched, "fixture must leave at least one untouched cell"
+        before = snapshot(untouched)
+
+        ivfpq_index_upsert(delta, name, cents, books)
+
+        # untouched partitions: files byte-identical
+        assert snapshot(untouched) == before
+
+        # merged table == from-scratch encode of the merged vector set
+        final = {i: v for i, v in base_rows}
+        final.update(dict(delta_rows))
+        merged = spark.createDataFrame(
+            sorted(final.items()), "vec_id long, embedding array<float>"
+        )
+        expect = {
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in ivfpq_index_rows(merged, cents, books).collect()
+        }
+        got = {
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in spark.table(name).collect()
+        }
+        assert got == expect
+
+        # search parity vs a full rebuild over the merged set
+        build_ivfpq_index(merged, name2, cents, books)
+        kwargs = dict(
+            query_id=3, k=5, shortlist=15, nprobe=2,
+            centroids=cents, codebooks=books,
+        )
+        assert [
+            tuple(r) for r in ivfadc_topk_indexed(merged, name, **kwargs).collect()
+        ] == [
+            tuple(r) for r in ivfadc_topk_indexed(merged, name2, **kwargs).collect()
+        ]
+
+        # idempotent: re-running the same upsert changes nothing
+        ivfpq_index_upsert(delta, name, cents, books)
+        again = {
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in spark.table(name).collect()
+        }
+        assert again == expect
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")

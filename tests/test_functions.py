@@ -335,3 +335,160 @@ def test_approx_sketches_vs_exact(spark):
     ).collect()[0]
     assert abs(row.ad - row.ed) / row.ed < 0.05
     assert abs(row.ap - row.ep) / max(row.ep, 1) < 0.05
+
+
+def test_zorder_key_duckdb_replay_and_locality(spark):
+    """Morton key: exact DuckDB replay of the bucket+spread bit math
+    (engine-reproducible layout keys), plus the locality property the
+    layout rests on — sorting by z groups rows into rectangles, so
+    consecutive z-ranges have bounded extent in BOTH dimensions."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.functions.layout import zorder_key
+
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 500) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    got = {
+        r.rid: r.z
+        for r in df.select(
+            "rid",
+            zorder_key(
+                F.col("a"), F.col("b"),
+                F.lit(0), F.lit(999), F.lit(0), F.lit(499),
+            ).alias("z"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    spread = """
+      (x | (x << 8)) & 16711935
+    """  # step 1; remaining steps chained below for both operands
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute("""
+        WITH b AS (
+          SELECT rid,
+                 CAST(floor((a - 0) * 65536.0 / 1000.0) AS BIGINT) AS ab,
+                 CAST(floor((b - 0) * 65536.0 / 500.0) AS BIGINT) AS bb
+          FROM t
+        ),
+        s AS (
+          SELECT rid,
+                 ((ab & 65535) | ((ab & 65535) << 8)) & 16711935 AS a1,
+                 ((bb & 65535) | ((bb & 65535) << 8)) & 16711935 AS b1
+          FROM b
+        ),
+        s2 AS (
+          SELECT rid,
+                 (a1 | (a1 << 4)) & 252645135 AS a2,
+                 (b1 | (b1 << 4)) & 252645135 AS b2 FROM s
+        ),
+        s3 AS (
+          SELECT rid,
+                 (a2 | (a2 << 2)) & 858993459 AS a3,
+                 (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+        ),
+        s4 AS (
+          SELECT rid,
+                 (a3 | (a3 << 1)) & 1431655765 AS a4,
+                 (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3
+        )
+        SELECT rid, a4 | (b4 << 1) AS z FROM s4
+        """).fetchall()
+    }
+    assert got == oracle
+
+    # locality: split the z-sorted rows into 8 runs; every run's
+    # bounding rectangle must be far smaller than the full domain
+    ordered = sorted(rows, key=lambda r: got[r[0]])
+    runs = [ordered[i * 50:(i + 1) * 50] for i in range(8)]
+    for run in runs:
+        aspan = max(r[1] for r in run) - min(r[1] for r in run)
+        bspan = max(r[2] for r in run) - min(r[2] for r in run)
+        # a random/linear-in-one-dim layout gives the full span (1000 /
+        # 500) on the other dim; z-runs stay well under half
+        assert aspan <= 600 and bspan <= 300, (aspan, bspan)
+
+
+def test_zorder_cluster_prunes_files_on_both_dimensions(spark, tmp_path):
+    """The write-side claim: z-ordered files carry tight footer min/max
+    on BOTH columns, so a predicate on the NON-leading dimension (or a
+    2-D box) overlaps far fewer files than a 1-D clustered layout.
+    Measured from real parquet footers via pyarrow."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from healthcare_dbt_datamart_spark.functions.layout import zorder_cluster
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp")).alias("o_day"),
+    )
+    lin = orders.repartitionByRange(16, "o_custkey").sortWithinPartitions("o_custkey")
+    zed = zorder_cluster(orders, "o_custkey", "o_day", n_partitions=16)
+    lin.write.mode("overwrite").parquet(str(tmp_path / "lin"))
+    zed.write.mode("overwrite").parquet(str(tmp_path / "zed"))
+
+    def ranges(d):
+        out = []
+        for f in glob.glob(os.path.join(d, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for name in ("o_custkey", "o_day"):
+                    st = md.row_group(rg).column(cols[name]).statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            out.append((mins, maxs))
+        return out
+
+    def overlap_frac(rngs, pred):
+        hit = sum(
+            1
+            for mins, maxs in rngs
+            if all(maxs[c] >= lo and mins[c] <= hi for c, (lo, hi) in pred.items())
+        )
+        return hit / len(rngs)
+
+    lo_r, zo_r = ranges(str(tmp_path / "lin")), ranges(str(tmp_path / "zed"))
+    assert len(lo_r) >= 8 and len(zo_r) >= 8
+
+    cust_lo = min(mn["o_custkey"] for mn, _ in lo_r)
+    cust_hi = max(mx["o_custkey"] for _, mx in lo_r)
+    day_lo = min(mn["o_day"] for mn, _ in lo_r)
+    day_hi = max(mx["o_day"] for _, mx in lo_r)
+    dspan, cspan = day_hi - day_lo, cust_hi - cust_lo
+    day_pred = {"o_day": (day_lo + dspan // 3, day_lo + dspan // 3 + dspan // 16)}
+    box_pred = {
+        "o_custkey": (
+            cust_lo + cspan // 3,
+            cust_lo + cspan // 3 + cspan // 16,
+        ),
+        "o_day": day_pred["o_day"],
+    }
+
+    # 1-D layout: every file spans (almost) all days -> no date pruning
+    assert overlap_frac(lo_r, day_pred) >= 0.9
+    # z-order: a narrow date band skips a material share of files, and
+    # the 2-D box skips most of them — strictly better on both shapes
+    assert overlap_frac(zo_r, day_pred) <= 0.6
+    assert overlap_frac(zo_r, day_pred) < overlap_frac(lo_r, day_pred)
+    # the 2-D box: the 1-D layout prunes it through its leading column
+    # alone, so z roughly ties at this file granularity (±1 file of
+    # noise) — the assertion is that z prunes the box WELL without
+    # owning either column as a sort prefix
+    assert overlap_frac(zo_r, box_pred) <= 0.4
+    # the aggregate claim for a mixed workload (one predicate on each
+    # dimension): the 1-D layout wins its own column but scans
+    # everything for the other; z pays a bit on each and wins the sum
+    cust_pred = {"o_custkey": box_pred["o_custkey"]}
+    assert overlap_frac(zo_r, cust_pred) + overlap_frac(zo_r, day_pred) < (
+        overlap_frac(lo_r, cust_pred) + overlap_frac(lo_r, day_pred)
+    ) * 0.75

@@ -3558,9 +3558,13 @@ SCHEDULED_NEXT_WINDOW = [
 ]
 # At the 6-slot capacity above, further round-4 operators carry
 # pytest-level oracle evidence instead of a driver slot this cycle:
-# llmops/sketches.py::hll_by_group replays its integer register fold
-# against DuckDB inside its test (hash-grade parity, no window cost)
-# and is the first promotion candidate when a round-6 slot frees up.
+# llmops/sketches.py::hll_by_group, splits.py::temperature_weights and
+# functions/layout.py::zorder_key each replay their exact arithmetic
+# against DuckDB inside their tests (hash-grade parity, no window
+# cost); hll_by_group and temperature_weights are the first promotion
+# candidates when round-6 slots free up (zorder is a LAYOUT op — its
+# observable is parquet footers, not a result hash, so the footer test
+# IS its strongest gate).
 
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -288,7 +288,12 @@ def hll_by_group(
     )
 
 
-def logbucket_sketch(df: DataFrame, value_col: str, s: int = 4) -> DataFrame:
+def logbucket_sketch(
+    df: DataFrame,
+    value_col: str,
+    s: int = 4,
+    group_col: str | None = None,
+) -> DataFrame:
     """Relative-error quantile sketch cells — the DDSketch idea
     (Masson, Rim, Lee, VLDB 2019) rebuilt on EXACT bit arithmetic so
     the cells are engine-reproducible: bucket a positive integer x by
@@ -302,15 +307,28 @@ def logbucket_sketch(df: DataFrame, value_col: str, s: int = 4) -> DataFrame:
 
     Domain: values ≥ 1 (scale your column first — e.g. price cents);
     rows below 1 are excluded. Keep values < 2^(62-s) so the shifted
-    mantissa arithmetic stays in BIGINT."""
+    mantissa arithmetic stays in BIGINT.
+
+    ``group_col`` keys the sketch per group — (group, b, m, cnt), the
+    per-language/per-source length-profile shape. Still ONE groupBy
+    with full partial aggregation; the table is bounded at
+    |groups| · 63·2^s rows."""
     x = F.col(value_col).cast("bigint")
-    cells = df.select(x.alias("_x")).filter(F.col("_x") >= 1).select(
-        F.length(F.bin("_x")).alias("b"),
-        F.expr(
-            f"shiftright(shiftleft(_x, {s}), cast(length(bin(_x)) as int) - 1)"
-        ).alias("m"),
+    gcols = [F.col(group_col)] if group_col else []
+    cells = (
+        df.select(*gcols, x.alias("_x"))
+        .filter(F.col("_x") >= 1)
+        .select(
+            *gcols,
+            F.length(F.bin("_x")).alias("b"),
+            F.expr(
+                f"shiftright(shiftleft(_x, {s}),"
+                " cast(length(bin(_x)) as int) - 1)"
+            ).alias("m"),
+        )
     )
-    return cells.groupBy("b", "m").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = ([group_col] if group_col else []) + ["b", "m"]
+    return cells.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def logbucket_quantiles(
@@ -318,35 +336,46 @@ def logbucket_quantiles(
     value_col: str,
     qs: tuple = (0.5, 0.9, 0.99),
     s: int = 4,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Quantile estimates off the log-bucket sketch: walk the cumulative
     counts in (b, m) order and return the UPPER bound of the bucket
     holding rank ceil(q·n) — guaranteed est ∈ [v, v·(1+2^-s)] around
     the true rank value v. The cumulative window runs over the
-    model-sized sketch (≤ 63·2^s rows), never the data; n arrives as a
-    1-row broadcast aggregate; the only floats are the final dyadic
-    division (exact powers of two) and q·n.
+    model-sized sketch (≤ 63·2^s rows), never the data; n folds in as a
+    window total over the same sketch (no plan-splitting aggregate
+    branch); the only floats are the final dyadic division (exact
+    powers of two) and q·n.
 
-    Output: (q, est, n) per requested quantile."""
+    ``group_col`` computes independent quantiles per group — the
+    "p50/p99 document length per language" profile — with every window
+    partitioned by the group, so no single-partition stage exists at
+    any group count.
+
+    Output: (q, est, n) per requested quantile, plus the group column
+    when given."""
     from pyspark.sql.window import Window
 
-    sk = logbucket_sketch(df, value_col, s=s)
-    w = Window.orderBy("b", "m").rowsBetween(
+    sk = logbucket_sketch(df, value_col, s=s, group_col=group_col)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy("b", "m").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = sk.withColumn("cum", F.sum("cnt").over(w))
-    tot = sk.agg(F.sum("cnt").alias("n"))
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
-    hits = (
-        cum.crossJoin(broadcast(tot))
-        .crossJoin(broadcast(qdf))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    cum = sk.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*part))
     )
-    first = Window.partitionBy("q").orderBy(F.col("b").asc(), F.col("m").asc())
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    hits = cum.crossJoin(broadcast(qdf)).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    first = Window.partitionBy(*(part + ["q"])).orderBy(
+        F.col("b").asc(), F.col("m").asc()
+    )
     return (
         hits.withColumn("_rn", F.row_number().over(first))
         .filter(F.col("_rn") == 1)
         .select(
+            *part,
             "q",
             (
                 F.expr("cast(shiftleft(m + 1, cast(b as int) - 1) as double)")

@@ -2527,3 +2527,52 @@ def test_ivfpq_index_upsert_merges_and_rewrites_only_touched_partitions(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name2}")
+
+
+def test_logbucket_quantiles_grouped_matches_per_group_and_replay(spark):
+    """Group-keyed log-bucket quantiles: each group's (q, est, n) equals
+    running the ungrouped sketch on that group alone (window partitioning
+    is exact, no cross-group bleed), and the grouped CELLS replay exactly
+    in DuckDB. All windows partition by the group — no single-partition
+    stage at any group count."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        logbucket_quantiles,
+        logbucket_sketch,
+    )
+
+    rows = [
+        (f"g{i % 3}", int(1 + (i * i * 104729) % (1000 * (1 + i % 3))))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    got = {
+        (r.grp, r.q): (r.est, r.n)
+        for r in logbucket_quantiles(df, "x", group_col="grp").collect()
+    }
+    assert {g for g, _ in got} == {"g0", "g1", "g2"}
+    for g in ("g0", "g1", "g2"):
+        solo = {
+            r.q: (r.est, r.n)
+            for r in logbucket_quantiles(
+                df.filter(F.col("grp") == g), "x"
+            ).collect()
+        }
+        assert {q: got[(g, q)] for _, q in got if _ == g} == solo
+
+    cells = sorted(
+        (r.grp, r.b, r.m, r.cnt)
+        for r in logbucket_sketch(df, "x", group_col="grp").collect()
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute("""
+        SELECT grp, length(bin(x)) AS b,
+               (x << 4) >> (length(bin(x)) - 1) AS m, COUNT(*) AS cnt
+        FROM t WHERE x >= 1 GROUP BY 1, 2, 3
+        """).fetchall()
+    )
+    assert cells == oracle

@@ -285,6 +285,128 @@ def probe_bm25_posting_filter(spark, sf_dir):
     }
 
 
+def probe_dynamic_partition_pruning(spark, sf_dir):
+    """A day-partitioned fact joined to a dim filtered on a NON-key
+    attribute: Dynamic Partition Pruning injects the dim's surviving
+    keys into the fact scan at runtime (SubqueryAdaptiveBroadcast
+    dynamicpruning in the scan's partition filters), so only the hot
+    days' directories are read — the static pruner can't see through
+    the join. At 100 TB this is the difference between scanning two
+    days and scanning ten years when the date predicate lives in a
+    calendar/dim table, which is where real marts keep it."""
+    from pyspark.sql.types import LongType
+
+    _fresh(spark, "sp_dpp_fact", "sp_dpp_dim")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn("ts", (F.col("ts") / 1e9).cast("timestamp"))
+    ev = ev.withColumn("day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").saveAsTable("sp_dpp_fact")
+    (
+        ev.select("day")
+        .distinct()
+        .withColumn(
+            "tag",
+            F.when(F.dayofmonth("day") <= 2, "hot").otherwise("cold"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable("sp_dpp_dim")
+    )
+
+    def q(dpp: bool):
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+            str(dpp).lower(),
+        )
+        return (
+            spark.table("sp_dpp_fact")
+            .join(spark.table("sp_dpp_dim"), "day")
+            .filter(F.col("tag") == "hot")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        right = q(True)
+        holds = "dynamicpruning" in _plan(right).lower()
+        t_right = _time(right)
+        wrong = q(False)
+        t_wrong = _time(wrong)
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+    return {
+        "probe": "dynamic_partition_pruning",
+        "property_holds": bool(holds),
+        "right_sec": t_right,
+        "wrong_sec": t_wrong,
+        "detail": "fact scan carries a dynamicpruning subquery on day;"
+        " disabled plan reads every partition directory",
+    }
+
+
+def probe_runtime_bloom_filter_join(spark, sf_dir):
+    """A selective dim filter on an UNPARTITIONED join: Spark's runtime
+    bloom-filter injection builds a bloom of the surviving build-side
+    keys and filters the probe side BEFORE its shuffle
+    (bloom_filter_agg + might_contain in the plan) — the engine-level
+    sibling of llmops/filtering.py::bloom_prefilter. Local file sizes
+    sit under the 10 GB application-side default, so the probe lowers
+    the size thresholds to let the optimizer fire the way a 100 TB scan
+    does naturally; the asserted property is the injected-filter PLAN
+    STRUCTURE."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_totalprice > 500000"
+    ).select("o_orderkey")
+
+    def q():
+        return li.join(
+            od, li["l_orderkey"] == od["o_orderkey"]
+        ).agg(F.sum("l_quantity").alias("q"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1MB",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    try:
+        right = q()
+        plan = _plan(right).lower()
+        holds = "bloom_filter_agg" in plan and "might_contain" in plan
+        t_right = _time(right)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        wrong = q()
+        t_wrong = _time(wrong)
+    finally:
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        ):
+            spark.conf.unset(k)
+    return {
+        "probe": "runtime_bloom_filter_join",
+        "property_holds": bool(holds),
+        "right_sec": t_right,
+        "wrong_sec": t_wrong,
+        "detail": "probe side filtered by might_contain(bloom of the"
+        " selective build side) before its shuffle; disabled plan"
+        " shuffles every probe row",
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -299,6 +421,8 @@ def main() -> int:
         probe_broadcast_join,
         probe_shared_exchange,
         probe_bm25_posting_filter,
+        probe_dynamic_partition_pruning,
+        probe_runtime_bloom_filter_join,
     ):
         r = probe(spark, sf_dir)
         ok = ok and r["property_holds"]

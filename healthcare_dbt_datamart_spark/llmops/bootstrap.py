@@ -1,0 +1,152 @@
+"""Deterministic Poisson bootstrap — uncertainty for per-group metrics.
+
+An eval pipeline that reports "source A's mean quality is 0.61 vs
+B's 0.58" needs to know whether that gap is noise. The Poisson
+bootstrap (Chamandy et al., "Estimating Uncertainty for Massive Data
+Streams", Google 2012) is THE distributed-friendly resampling scheme:
+instead of drawing n rows with replacement (which needs global
+coordination), each row independently joins each replicate with weight
+w ~ Poisson(1) — E[w] = 1, so every replicate is a with-replacement
+resample in expectation, and the whole procedure is a map-side explode.
+
+Everything here is DERANDOMIZED the way the sampling family is
+(splits.py): the Poisson draw inverts the exact CDF against a uniform
+from ``md5(seed:rep:id)`` — no RNG state, any engine with md5
+reproduces every weight, every replicate, every interval (replayed
+bit-for-bit against DuckDB in tests).
+
+Integer discipline: the metric column must be integral (scale first —
+cents, chars, tokens; the logbucket_sketch convention). Weighted sums
+are then exact BIGINT arithmetic — merge-order-independent under ANY
+partitioning — and the single float division per (group, replicate)
+happens on exact operands, so engines agree on every replicate mean.
+
+Scale shape: the explode is a map-side ×n_boot fan-out of (group, w, v)
+triples — skinny rows, no raw text/vectors ride along; ONE shuffle
+aggregates (group, rep) partial sums with full map-side combine; the
+percentile walk runs over the bounded |groups|·n_boot replicate table,
+windows partitioned by group. Nothing global, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact Poisson(1) CDF thresholds: P(X <= k) = e^-1 * sum_{i<=k} 1/i!.
+# Literals are the shortest round-trip doubles, shared verbatim with the
+# DuckDB replay; draws above the last threshold cap at 7 (P ~ 1e-5).
+_POISSON1_CDF = tuple(
+    math.exp(-1.0) * sum(1.0 / math.factorial(i) for i in range(k + 1))
+    for k in range(7)
+)
+
+
+def _u60(seed: str, rep: Column, ident: Column) -> Column:
+    """Uniform in [0, 1): the first 15 hex digits of md5(seed:rep:id)
+    as a 60-bit integer over 2^60 — the weighted_sample draw, keyed by
+    replicate so each replicate is an independent resample."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), rep.cast("string"), ident.cast("string")
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Invert the exact Poisson(1) CDF at uniform ``u`` — the bootstrap
+    replicate weight. Pure CASE chain on exact double literals."""
+    w: Column = F.lit(7)
+    for k in reversed(range(7)):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_boot: int = 40,
+    alpha: float = 0.05,
+    seed: str = "b1",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for each group's mean of
+    an INTEGRAL metric column: n_boot Poisson(1) replicates, each
+    replicate's weighted mean computed in exact BIGINT sums, interval =
+    the ceil(alpha/2·n)-th / ceil((1-alpha/2)·n)-th replicate means.
+
+    Returns ``(group, n_rows, mean, ci_lo, ci_hi)`` — mean is the plain
+    group mean of the original rows; all three statistics rounded 6dp.
+    Empty replicates (all weights 0 — vanishingly rare beyond tiny
+    groups) are excluded from the percentile walk, mirroring the
+    standard practice of dropping degenerate resamples."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("bigint")
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+    ).alias("rep")
+    triples = df.select(
+        F.col(group_col).alias("grp"), v.alias("_v"), F.col(id_col), reps
+    ).select(
+        "grp",
+        "rep",
+        "_v",
+        poisson1_weight(_u60(seed, F.col("rep"), F.col(id_col))).alias("_w"),
+    )
+    rep_means = (
+        triples.groupBy("grp", "rep")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .select(
+            "grp",
+            "rep",
+            (F.col("_ws").cast("double") / F.col("_wn")).alias("_m"),
+        )
+    )
+    by_mean = Window.partitionBy("grp").orderBy(
+        F.col("_m").asc(), F.col("rep").asc()
+    )
+    per_grp = Window.partitionBy("grp")
+    ranked = rep_means.withColumn(
+        "_rn", F.row_number().over(by_mean)
+    ).withColumn("_nb", F.count(F.lit(1)).over(per_grp))
+    lo_rank = F.ceil(F.lit(alpha / 2.0) * F.col("_nb")).cast("int")
+    hi_rank = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_nb")).cast("int")
+    bounds = (
+        ranked.filter(
+            (F.col("_rn") == F.greatest(lo_rank, F.lit(1)))
+            | (F.col("_rn") == hi_rank)
+        )
+        .groupBy("grp")
+        .agg(
+            F.round(F.min("_m"), 6).alias("ci_lo"),
+            F.round(F.max("_m"), 6).alias("ci_hi"),
+        )
+    )
+    base = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(v).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean"),
+    )
+    return (
+        base.join(bounds, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -788,3 +788,89 @@ def test_temperature_weights_duckdb_replay_and_properties(spark):
     }
     assert kept_ids == expect
     assert kept_ids == {r.doc_id for r in kept.collect()}  # deterministic
+
+
+def test_bootstrap_ci_duckdb_replay_and_statistics(spark):
+    """Poisson-bootstrap CI: the interval brackets the true mean on a
+    well-behaved fixture, quadrupling the rows roughly halves the
+    width (1/sqrt(n)), the whole output is invariant under
+    repartitioning (integer-exact replicate sums), and every number
+    replays EXACTLY in DuckDB."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.bootstrap import (
+        _POISSON1_CDF,
+        bootstrap_ci,
+    )
+
+    # metric: deterministic pseudo-noise around per-group levels
+    rows = [("big", i, 1000 + (i * 7919) % 201) for i in range(800)] + [
+        ("small", 10_000 + i, 1000 + (i * 104729) % 201) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "src string, rid long, x long")
+    out = {
+        r.src: (r.n_rows, r.mean, r.ci_lo, r.ci_hi)
+        for r in bootstrap_ci(
+            df, "x", "src", "rid", n_boot=40, seed="t1"
+        ).collect()
+    }
+    for src, (n, mean, lo, hi) in out.items():
+        assert lo <= mean <= hi, (src, lo, mean, hi)
+        assert lo < hi
+    big_w = out["big"][3] - out["big"][2]
+    small_w = out["small"][3] - out["small"][2]
+    # 16x fewer rows -> ~4x wider; assert a conservative 2x
+    assert small_w > 2 * big_w
+
+    reparted = {
+        r.src: (r.n_rows, r.mean, r.ci_lo, r.ci_hi)
+        for r in bootstrap_ci(
+            df.repartition(17), "x", "src", "rid", n_boot=40, seed="t1"
+        ).collect()
+    }
+    assert reparted == out
+
+    case = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(f"""
+        WITH reps AS (SELECT unnest(range(40)) AS rep),
+        draws AS (
+          SELECT src, rep, x,
+                 ('0x' || substr(md5('t1:' || CAST(rep AS VARCHAR) || ':'
+                    || CAST(rid AS VARCHAR)), 1, 15))::BIGINT
+                   / CAST(1152921504606846976 AS DOUBLE) AS u
+          FROM t, reps
+        ),
+        wtd AS (SELECT src, rep, x, CASE {case} ELSE 7 END AS w FROM draws),
+        rm AS (
+          SELECT src, rep,
+                 CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+          FROM wtd GROUP BY 1, 2 HAVING SUM(w) > 0
+        ),
+        ranked AS (
+          SELECT src, rep, m,
+                 row_number() OVER (PARTITION BY src ORDER BY m, rep) AS rn,
+                 COUNT(*) OVER (PARTITION BY src) AS nb
+          FROM rm
+        ),
+        bounds AS (
+          SELECT src, round(MIN(m), 6) AS ci_lo, round(MAX(m), 6) AS ci_hi
+          FROM ranked
+          WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+             OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+          GROUP BY 1
+        ),
+        base AS (
+          SELECT src, COUNT(*) AS n_rows,
+                 round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean
+          FROM t GROUP BY 1
+        )
+        SELECT src, n_rows, mean, ci_lo, ci_hi FROM base JOIN bounds USING (src)
+        """).fetchall()
+    }
+    assert out == oracle

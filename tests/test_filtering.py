@@ -874,3 +874,70 @@ def test_bootstrap_ci_duckdb_replay_and_statistics(spark):
         """).fetchall()
     }
     assert out == oracle
+
+
+def test_sketch_drift_report_psi_ks_and_duckdb_replay(spark):
+    """Sketch-side drift: identical snapshots score exactly 0 on both
+    statistics; a doubled-scale snapshot trips the PSI 0.25 action
+    threshold and a large KS; the report replays in DuckDB from the
+    same cells (6dp convention)."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.drift import (
+        sketch_drift_report,
+    )
+
+    base = [(int(1 + (i * i * 7919) % 5000),) for i in range(4000)]
+    a = spark.createDataFrame(base, "x long")
+    same = sketch_drift_report(a, a, "x").collect()[0]
+    assert same.psi == 0.0 and same.ks == 0.0
+    assert same.n_a == same.n_b == 4000
+
+    b = spark.createDataFrame([(v * 2,) for (v,) in base], "x long")
+    drift = sketch_drift_report(a, b, "x").collect()[0]
+    assert drift.psi > 0.25, drift.psi
+    assert drift.ks > 0.3, drift.ks
+
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    got = (drift.n_a, drift.n_b, drift.n_bins, drift.psi, drift.ks)
+    oracle = con.execute("""
+    WITH ka AS (
+      SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,
+             COUNT(*) AS cnt_a
+      FROM ta WHERE x >= 1 GROUP BY 1, 2
+    ),
+    kb AS (
+      SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,
+             COUNT(*) AS cnt_b
+      FROM tb WHERE x >= 1 GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT COALESCE(ka.b, kb.b) AS b, COALESCE(ka.m, kb.m) AS m,
+             COALESCE(cnt_a, 0) AS ca, COALESCE(cnt_b, 0) AS cb
+      FROM ka FULL OUTER JOIN kb ON ka.b = kb.b AND ka.m = kb.m
+    ),
+    t AS (
+      SELECT *,
+        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+        COUNT(*) OVER () AS nbins,
+        SUM(ca) OVER (ORDER BY b, m ROWS UNBOUNDED PRECEDING) AS cuma,
+        SUM(cb) OVER (ORDER BY b, m ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        na, nb, nbins,
+        ((ca + 1)::DOUBLE / (na + nbins)
+          - (cb + 1)::DOUBLE / (nb + nbins))
+        * ln(((ca + 1)::DOUBLE / (na + nbins))
+           / ((cb + 1)::DOUBLE / (nb + nbins))) AS psi_term,
+        abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) AS gap
+      FROM t
+    )
+    SELECT MAX(na), MAX(nb), MAX(nbins),
+           round(SUM(psi_term), 6), round(MAX(gap), 6)
+    FROM terms
+    """).fetchall()[0]
+    assert got == tuple(oracle)

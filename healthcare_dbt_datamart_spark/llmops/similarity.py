@@ -365,6 +365,82 @@ def near_dup_pairs_lsh(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_LSH_DIMS,
+    band_size: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, the top-``k`` most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the hard ones live near the
+    decision boundary). The standard mining pass of retrieval/embedding
+    training pipelines (e.g. DPR, Karpukhin et al. 2020 — there mined
+    per-query via BM25/ANN; here corpus-wide in one plan).
+
+    Composition, not new machinery: candidates come from the SAME
+    banded sign-LSH bucketing the near-dup path uses (similar vectors
+    collide in some band), pairs symmetrize so each side serves as the
+    other's anchor, the label inequality filters map-side after a
+    bounded join, and one window per anchor ranks by exact cosine.
+    Scale shape is therefore exactly ``near_dup_pairs_lsh``'s — banding
+    bounds the quadratic, ``max_bucket`` caps degenerate cells — plus
+    one row_number window partitioned by anchor. An exhaustive k-NN
+    join would be n² at 100 TB; LSH-candidate mining trades a recall
+    epsilon (asserted against brute force in tests) for linearity.
+
+    Returns ``(anchor_id, negative_id, cosine, neg_rank)`` with
+    neg_rank 1..k by descending cosine (ties → ascending negative id).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = near_dup_pairs_lsh(
+        emb,
+        threshold=-1.0,  # keep every candidate; ranking picks the top
+        id_col=id_col,
+        vec_col=vec_col,
+        dims=dims,
+        band_size=band_size,
+        max_bucket=max_bucket,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "cosine",
+        )
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    la = labels.withColumnsRenamed(
+        {id_col: "anchor_id", label_col: "_lab_a"}
+    )
+    lb = labels.withColumnsRenamed(
+        {id_col: "negative_id", label_col: "_lab_b"}
+    )
+    crossed = (
+        sym.join(la, "anchor_id")
+        .join(lb, "negative_id")
+        .filter(~F.col("_lab_a").eqNullSafe(F.col("_lab_b")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        crossed.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "negative_id", "cosine", "neg_rank")
+    )
+
+
 def quantize_int8_report(
     emb: DataFrame,
     id_col: str = "vec_id",

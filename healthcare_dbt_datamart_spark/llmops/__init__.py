@@ -26,13 +26,17 @@ from .filtering import (  # noqa: F401
     perplexity_buckets,
     redact_report,
 )
+from .bootstrap import bootstrap_ci, poisson1_weight  # noqa: F401
+from .drift import sketch_drift_report  # noqa: F401
 from .packing import length_buckets  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivfpq_index,
     cosine_topk,
     embedding_outliers,
+    hard_negatives,
     ivfadc_topk,
     ivfadc_topk_indexed,
+    ivfpq_index_upsert,
     load_ann_model,
     pq_codebooks_trained,
     save_ann_model,
@@ -50,7 +54,12 @@ from .sketches import (  # noqa: F401
     logbucket_quantiles,
     logbucket_sketch,
 )
-from .splits import stratified_sample, weighted_sample  # noqa: F401
+from .splits import (  # noqa: F401
+    stratified_sample,
+    temperature_rebalance,
+    temperature_weights,
+    weighted_sample,
+)
 from .textstats import (  # noqa: F401
     langid_scores,
     quality_classifier,

@@ -46,14 +46,26 @@ def sketch_drift_report(
     CDF walk. Totals fold as windows over the joined sketch — no
     plan-splitting aggregate branches (the temperature_weights
     discipline)."""
+    return sketch_drift_from_cells(
+        logbucket_sketch(df_a, value_col, s=s),
+        logbucket_sketch(df_b, value_col, s=s),
+    )
+
+
+def sketch_drift_from_cells(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """The drift report from two ALREADY-BUILT cell tables (b, m, cnt)
+    — the incremental path: the streaming sinks
+    (``streaming/sketches.py::streaming_logbucket_ingest``) maintain
+    exactly this shape per feed, so a continuously-updated drift
+    monitor joins two kilobyte tables and never touches raw data at
+    all. ``sketch_drift_report`` is the batch convenience over this."""
     from pyspark.sql.window import Window
 
-    ka = logbucket_sketch(df_a, value_col, s=s).withColumnsRenamed(
-        {"cnt": "cnt_a"}
-    )
-    kb = logbucket_sketch(df_b, value_col, s=s).withColumnsRenamed(
-        {"cnt": "cnt_b"}
-    )
+    ka = sketch_a.withColumnsRenamed({"cnt": "cnt_a"})
+    kb = sketch_b.withColumnsRenamed({"cnt": "cnt_b"})
     cells = (
         ka.join(kb, ["b", "m"], "full_outer")
         .select(

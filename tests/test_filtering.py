@@ -941,3 +941,47 @@ def test_sketch_drift_report_psi_ks_and_duckdb_replay(spark):
     FROM terms
     """).fetchall()[0]
     assert got == tuple(oracle)
+
+
+def test_sketch_drift_from_streamed_cells_matches_batch(spark, tmp_path):
+    """The incremental monitor: drift computed from cell tables
+    maintained by the streaming log-bucket sink equals the batch report
+    over the same data — the raw corpus never re-scans."""
+    from healthcare_dbt_datamart_spark.llmops.drift import (
+        sketch_drift_from_cells,
+        sketch_drift_report,
+    )
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        logbucket_sketch,
+    )
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        logbucket_merge_batch,
+    )
+
+    va = [(int(1 + (i * 31) % 900),) for i in range(1200)]
+    vb = [(int(1 + (i * 67) % 1400),) for i in range(900)]
+    a, b = (spark.createDataFrame(v, "x long") for v in (va, vb))
+    for t in ("drift_cells_a", "drift_cells_b"):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+    try:
+        # feed each corpus in two micro-batches through the merge sink
+        for name, df in (("drift_cells_a", a), ("drift_cells_b", b)):
+            half = df.count() // 2
+            first = df.limit(half)
+            logbucket_merge_batch(
+                spark, name, logbucket_sketch(first, "x"), 0
+            )
+            logbucket_merge_batch(
+                spark, name, logbucket_sketch(df.exceptAll(first), "x"), 1
+            )
+        streamed = sketch_drift_from_cells(
+            spark.table("drift_cells_a").filter("b != -1"),
+            spark.table("drift_cells_b").filter("b != -1"),
+        ).collect()[0]
+        batch = sketch_drift_report(a, b, "x").collect()[0]
+        assert tuple(streamed) == tuple(batch)
+        assert streamed.psi > 0
+    finally:
+        for t in ("drift_cells_a", "drift_cells_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

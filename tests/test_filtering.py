@@ -985,3 +985,88 @@ def test_sketch_drift_from_streamed_cells_matches_batch(spark, tmp_path):
     finally:
         for t in ("drift_cells_a", "drift_cells_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bootstrap_diff_ci_detects_gap_and_replays(spark):
+    """A/B difference bootstrap: a real 40-point gap comes back
+    significant with the interval bracketing it; identical
+    distributions come back insignificant straddling 0; the full row
+    replays exactly in DuckDB (paired replicates, integer-exact
+    sums)."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.bootstrap import (
+        _POISSON1_CDF,
+        bootstrap_diff_ci,
+    )
+
+    rows = (
+        [("a", i, 1040 + (i * 7919) % 101) for i in range(400)]
+        + [("b", 10_000 + i, 1000 + (i * 104729) % 101) for i in range(400)]
+        + [("c", 20_000 + i, 1040 + (i * 104729) % 101) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "src string, rid long, x long")
+
+    gap = bootstrap_diff_ci(df, "x", "src", "rid", "a", "b", seed="d1")
+    r = gap.collect()[0]
+    assert r.significant is True
+    assert r.ci_lo <= r.diff <= r.ci_hi
+    assert r.ci_lo > 20  # 40-point true gap, noise sd ~29
+
+    null = bootstrap_diff_ci(df, "x", "src", "rid", "a", "c", seed="d1")
+    r0 = null.collect()[0]
+    assert r0.significant is False
+    assert r0.ci_lo < 0 < r0.ci_hi
+
+    case = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute(f"""
+    WITH two AS (SELECT * FROM t WHERE src IN ('a', 'b')),
+    reps AS (SELECT unnest(range(40)) AS rep),
+    draws AS (
+      SELECT src, rep, x,
+             ('0x' || substr(md5('d1:' || CAST(rep AS VARCHAR) || ':'
+                || CAST(rid AS VARCHAR)), 1, 15))::BIGINT
+               / CAST(1152921504606846976 AS DOUBLE) AS u
+      FROM two, reps
+    ),
+    wtd AS (SELECT src, rep, x, CASE {case} ELSE 7 END AS w FROM draws),
+    rm AS (
+      SELECT src, rep, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+      FROM wtd GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    diffs AS (
+      SELECT rep,
+             MAX(CASE WHEN src = 'a' THEN m END)
+               - MAX(CASE WHEN src = 'b' THEN m END) AS d
+      FROM rm GROUP BY rep
+      HAVING MAX(CASE WHEN src = 'a' THEN m END) IS NOT NULL
+         AND MAX(CASE WHEN src = 'b' THEN m END) IS NOT NULL
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d, rep) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM diffs
+    ),
+    bounds AS (
+      SELECT round(MIN(d), 6) AS ci_lo, round(MAX(d), 6) AS ci_hi
+      FROM ranked
+      WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+         OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+    ),
+    base AS (
+      SELECT
+        round(AVG(CASE WHEN src = 'a' THEN x END), 6) AS mean_a,
+        round(AVG(CASE WHEN src = 'b' THEN x END), 6) AS mean_b,
+        round(AVG(CASE WHEN src = 'a' THEN x END)
+              - AVG(CASE WHEN src = 'b' THEN x END), 6) AS diff
+      FROM two
+    )
+    SELECT mean_a, mean_b, diff, ci_lo, ci_hi,
+           (ci_lo > 0 OR ci_hi < 0) AS significant
+    FROM base, bounds
+    """).fetchall()[0]
+    assert tuple(r) == tuple(oracle)

@@ -31,6 +31,7 @@ from .drift import sketch_drift_report  # noqa: F401
 from .packing import length_buckets  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivfpq_index,
+    contrastive_triplets,
     cosine_topk,
     embedding_outliers,
     hard_negatives,

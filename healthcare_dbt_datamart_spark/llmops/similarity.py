@@ -399,6 +399,37 @@ def hard_negatives(
     """
     from pyspark.sql.window import Window
 
+    crossed = _lsh_labeled_pairs(
+        emb, label_col, id_col, vec_col, dims, band_size, max_bucket
+    ).filter(~F.col("_lab_a").eqNullSafe(F.col("_lab_b")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("other_id").asc()
+    )
+    return (
+        crossed.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            "cosine",
+            "neg_rank",
+        )
+    )
+
+
+def _lsh_labeled_pairs(
+    emb: DataFrame,
+    label_col: str,
+    id_col: str,
+    vec_col: str,
+    dims: tuple[int, ...],
+    band_size: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Symmetrized, label-tagged LSH candidate pairs — the shared base
+    of ``hard_negatives`` (cross-label) and ``contrastive_triplets``
+    (both sides): every banded candidate pair once per direction as
+    (anchor_id, other_id, cosine, _lab_a, _lab_b)."""
     pairs = near_dup_pairs_lsh(
         emb,
         threshold=-1.0,  # keep every candidate; ranking picks the top
@@ -410,12 +441,12 @@ def hard_negatives(
     )
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("negative_id"),
+        F.col("id_b").alias("other_id"),
         "cosine",
     ).unionByName(
         pairs.select(
             F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("negative_id"),
+            F.col("id_a").alias("other_id"),
             "cosine",
         )
     )
@@ -424,20 +455,76 @@ def hard_negatives(
         {id_col: "anchor_id", label_col: "_lab_a"}
     )
     lb = labels.withColumnsRenamed(
-        {id_col: "negative_id", label_col: "_lab_b"}
+        {id_col: "other_id", label_col: "_lab_b"}
     )
-    crossed = (
-        sym.join(la, "anchor_id")
-        .join(lb, "negative_id")
-        .filter(~F.col("_lab_a").eqNullSafe(F.col("_lab_b")))
+    return sym.join(la, "anchor_id").join(lb, "other_id")
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    k_pos: int = 1,
+    k_neg: int = 2,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_LSH_DIMS,
+    band_size: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(anchor, positive, negative) triplet assembly for contrastive /
+    triplet-loss training: per anchor, the top-``k_pos`` most-similar
+    SAME-label neighbors crossed with the top-``k_neg`` most-similar
+    DIFFERENT-label neighbors (the hard negatives), each row carrying
+    ``margin = pos_cosine − neg_cosine`` — the quantity a triplet loss
+    trains against, so a curriculum can sort by it (smallest margin =
+    hardest triplet) without recomputing anything.
+
+    One LSH banding shuffle feeds BOTH sides (the candidate table is
+    built once and split by the label predicate); two per-anchor
+    windows rank, and the final join fans out k_pos·k_neg bounded rows
+    per anchor. Anchors lacking either a candidate positive or negative
+    emit nothing — an anchor with no same-label LSH neighbor has no
+    (useful) triplet at this recall level.
+
+    Returns ``(anchor_id, positive_id, negative_id, pos_cosine,
+    neg_cosine, margin)``, margins rounded 6dp."""
+    from pyspark.sql.window import Window
+
+    base = _lsh_labeled_pairs(
+        emb, label_col, id_col, vec_col, dims, band_size, max_bucket
     )
     w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cosine").desc(), F.col("negative_id").asc()
+        F.col("cosine").desc(), F.col("other_id").asc()
     )
-    return (
-        crossed.withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= k)
-        .select("anchor_id", "negative_id", "cosine", "neg_rank")
+    pos = (
+        base.filter(F.col("_lab_a").eqNullSafe(F.col("_lab_b")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_pos)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        base.filter(~F.col("_lab_a").eqNullSafe(F.col("_lab_b")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_neg)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_cosine",
+        "neg_cosine",
+        F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias(
+            "margin"
+        ),
     )
 
 

@@ -2648,3 +2648,47 @@ def test_hard_negatives_properties_and_recall_vs_bruteforce(spark):
         total += 3
     recall = hits / total
     assert recall >= 0.5, recall  # banded-LSH candidate recall
+
+
+def test_contrastive_triplets_structure_and_margins(spark):
+    """Triplet assembly: positives share the anchor's label, negatives
+    don't, margins equal pos−neg cosine, per-anchor fan-out is bounded
+    by k_pos·k_neg, hard_negatives' rows reappear as the triplets'
+    negative side (shared candidate base), and the output is
+    deterministic."""
+    import numpy as np
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        contrastive_triplets,
+        hard_negatives,
+    )
+
+    rng = np.random.RandomState(29)
+    base = rng.normal(0, 1, 16)
+    centers = {0: base, 1: base + rng.normal(0, 0.35, 16)}
+    rows = [
+        (i, [float(x) for x in centers[i % 2] + rng.normal(0, 0.45, 16)], i % 2)
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kw = dict(dims=tuple(range(16)), band_size=4)
+    out = contrastive_triplets(emb, k_pos=2, k_neg=2, **kw).collect()
+    assert out
+    labs = {i: lab for i, _, lab in rows}
+    per_anchor: dict = {}
+    for r in out:
+        assert labs[r.anchor_id] == labs[r.positive_id]
+        assert labs[r.anchor_id] != labs[r.negative_id]
+        assert r.margin == round(r.pos_cosine - r.neg_cosine, 6)
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert max(per_anchor.values()) <= 4  # k_pos * k_neg
+
+    negs = hard_negatives(emb, k=2, **kw).collect()
+    neg_pairs = {(r.anchor_id, r.negative_id) for r in negs}
+    tri_negs = {(r.anchor_id, r.negative_id) for r in out}
+    assert tri_negs <= neg_pairs  # anchors w/o positives drop out only
+
+    again = contrastive_triplets(emb, k_pos=2, k_neg=2, **kw).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -26,8 +26,15 @@ from .filtering import (  # noqa: F401
     perplexity_buckets,
     redact_report,
 )
-from .bootstrap import bootstrap_ci, poisson1_weight  # noqa: F401
-from .drift import sketch_drift_report  # noqa: F401
+from .bootstrap import (  # noqa: F401
+    bootstrap_ci,
+    bootstrap_diff_ci,
+    poisson1_weight,
+)
+from .drift import (  # noqa: F401
+    sketch_drift_from_cells,
+    sketch_drift_report,
+)
 from .packing import length_buckets  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivfpq_index,

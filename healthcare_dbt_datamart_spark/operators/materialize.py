@@ -77,6 +77,7 @@ def materialize_table(
     cluster_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     partition_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> None:
     """CTAS + swap (``table.sql:30-59``).
 
@@ -96,7 +97,21 @@ def materialize_table(
     low-cardinality keys only (date, region): downstream filters on the
     key prune whole directories at planning time (``PartitionFilters`` in
     the scan), the first lever against a 100 TB full scan.
+
+    ``zorder_by=(a, b)`` is the TWO-dimension cluster_by (Delta
+    ``OPTIMIZE ZORDER BY`` analog, ``functions/layout.py``): files carry
+    tight footer min/max on BOTH integer columns, so either one prunes.
+    Mutually exclusive with ``cluster_by`` — z-order IS the sort.
     """
+    if zorder_by:
+        if cluster_by:
+            raise ValueError(
+                "zorder_by replaces cluster_by (it IS the sort order);"
+                " pass one or the other"
+            )
+        from ..functions.layout import zorder_cluster
+
+        df = zorder_cluster(df, *zorder_by)
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     writer = df.write.mode("overwrite").format("parquet")

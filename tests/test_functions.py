@@ -492,3 +492,39 @@ def test_zorder_cluster_prunes_files_on_both_dimensions(spark, tmp_path):
     assert overlap_frac(zo_r, cust_pred) + overlap_frac(zo_r, day_pred) < (
         overlap_frac(lo_r, cust_pred) + overlap_frac(lo_r, day_pred)
     ) * 0.75
+
+
+def test_materialize_table_zorder_by_knob(spark):
+    """The sink-level z-order knob: a zorder_by table round-trips its
+    rows exactly, and passing both sort knobs is rejected loudly."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.operators.materialize import (
+        materialize_table,
+    )
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp")
+        ).alias("o_day"),
+    )
+    name = "zorder_sink_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        materialize_table(
+            spark, name, orders, zorder_by=("o_custkey", "o_day")
+        )
+        got = sorted(map(tuple, spark.table(name).collect()))
+        want = sorted(map(tuple, orders.collect()))
+        assert got == want
+        with pytest.raises(ValueError, match="zorder_by replaces"):
+            materialize_table(
+                spark, name, orders,
+                cluster_by=["o_custkey"], zorder_by=("o_custkey", "o_day"),
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -66,6 +66,7 @@ from .splits import (  # noqa: F401
     stratified_sample,
     temperature_rebalance,
     temperature_weights,
+    temperature_weights_from_counts,
     weighted_sample,
 )
 from .textstats import (  # noqa: F401

@@ -227,11 +227,27 @@ def temperature_weights(
     weight/keep_rate rounded to 6dp; raw doubles feed the arithmetic so
     the rounding discipline matches the doremi_weights convention.
     """
-    from pyspark.sql.window import Window
-
     counts = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    return temperature_weights_from_counts(
+        counts, tau, rate_scale
+    ).withColumnRenamed("grp", group_col)
+
+
+def temperature_weights_from_counts(
+    counts: DataFrame,
+    tau: float = 0.3,
+    rate_scale: int = 256,
+) -> DataFrame:
+    """The same mixture rule from an ALREADY-AGGREGATED ``(grp,
+    n_docs)`` table — the incremental path: a streaming ingest that
+    maintains per-source counts (plain SUM-merge per micro-batch, the
+    count-min discipline) re-derives fresh sampling rates from a
+    bounded table without ever re-scanning the corpus.
+    ``temperature_weights`` is the batch convenience over this."""
+    from pyspark.sql.window import Window
+
     all_rows = Window.partitionBy()  # |domains| rows: bounded model state
     p_raw = F.pow(
         F.col("n_docs") / F.sum("n_docs").over(all_rows), F.lit(float(tau))
@@ -245,7 +261,7 @@ def temperature_weights(
     )
     ratio = (F.col("_w") / F.col("n_docs")) / F.col("_mx")
     return wtd.select(
-        F.col("grp").alias(group_col),
+        "grp",
         "n_docs",
         F.round("_w", 6).alias("weight"),
         F.round(ratio, 6).alias("keep_rate"),

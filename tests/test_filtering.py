@@ -1070,3 +1070,32 @@ def test_bootstrap_diff_ci_detects_gap_and_replays(spark):
     FROM base, bounds
     """).fetchall()[0]
     assert tuple(r) == tuple(oracle)
+
+
+def test_temperature_weights_from_counts_matches_batch(spark):
+    """The incremental mixture path: rates derived from a maintained
+    (grp, n_docs) counts table equal the batch computation over the raw
+    corpus — a streamed count SUM-merge keeps mixture rates fresh with
+    no corpus re-scan."""
+    from pyspark.sql import functions as F2
+
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        temperature_weights,
+        temperature_weights_from_counts,
+    )
+
+    rows = [
+        (f"d{i}", "big" if i < 160 else ("mid" if i < 200 else "small"))
+        for i in range(208)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    batch = sorted(
+        map(tuple, temperature_weights(df, "source", tau=0.3).collect())
+    )
+    counts = df.groupBy(F2.col("source").alias("grp")).agg(
+        F2.count(F2.lit(1)).alias("n_docs")
+    )
+    inc = sorted(
+        map(tuple, temperature_weights_from_counts(counts, tau=0.3).collect())
+    )
+    assert batch == inc

@@ -407,6 +407,87 @@ def probe_runtime_bloom_filter_join(spark, sf_dir):
     }
 
 
+def probe_aqe_skew_join(spark, sf_dir):
+    """A hot key holding half the fact rows: AQE's skew-join split
+    rewrites the SortMergeJoin to read the oversized partition as
+    multiple map-range slices (``skew=true`` on the join, one task per
+    slice) instead of one straggler task owning the hot key.
+
+    Two local-mode adaptations, both documented because each is an
+    operational lesson at any scale: (1) thresholds drop to ~100 KB
+    because the whole local shuffle is a few MB (prod defaults are
+    256 MB — they fire naturally at 100 TB); (2) the skewed fact is
+    STAGED AS A MULTI-FILE TABLE first — AQE splits a skewed reduce
+    partition along MAP-output boundaries, so a fact whose source is
+    one parquet row group has a single real mapper and is UNSPLITTABLE
+    (the optimizer silently declines: 'number of skewed partitions: 0').
+    At 100 TB inputs are always thousands of files, but a badly
+    compacted single-row-group table disables skew handling the same
+    way it does here."""
+    _fresh(spark, "sp_skew_fact")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    fact = li.withColumn(
+        "k",
+        F.when(F.pmod("l_orderkey", 2) == 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    # multi-file staging: every mapper contributes to the hot partition,
+    # so the split has map boundaries to cut along
+    fact.repartition(12).write.mode("overwrite").saveAsTable("sp_skew_fact")
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+
+    def q(skew: bool):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew).lower()
+        )
+        return (
+            spark.table("sp_skew_fact")
+            .join(dim, "k")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "100KB",
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB"
+    )
+    try:
+        right = q(True)
+        t_right = _time(right)
+        # the skew flag lands on the FINAL adaptive plan, read post-run
+        holds = "skew=true" in _plan(right)
+        wrong = q(False)
+        t_wrong = _time(wrong)
+    finally:
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.enabled",
+        ):
+            spark.conf.unset(k)
+    return {
+        "probe": "aqe_skew_join",
+        "property_holds": bool(holds),
+        "right_sec": t_right,
+        "wrong_sec": t_wrong,
+        "detail": "SortMergeJoin carries skew=true: the hot partition"
+        " reads as map-range slices across tasks; requires multi-file"
+        " (multi-mapper) input — a single-row-group table is"
+        " unsplittable and silently disables the optimization",
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -423,6 +504,7 @@ def main() -> int:
         probe_bm25_posting_filter,
         probe_dynamic_partition_pruning,
         probe_runtime_bloom_filter_join,
+        probe_aqe_skew_join,
     ):
         r = probe(spark, sf_dir)
         ok = ok and r["property_holds"]

@@ -503,8 +503,17 @@ class ModelRegistry:
             mat.materialize_view(self.spark, name, df)
             out = df  # stay lazy: downstream plans inline this subtree
         elif m in ("table", "materialized_view"):
+            # dbt's layout configs pass straight to the sink: partition_by
+            # (hive dirs -> plan-time pruning), cluster_by (1-D sort),
+            # zorder_by (2-D Morton sort), bucket_by (co-located joins)
             mat.materialize_table(
-                self.spark, rel, df, cluster_by=mdef.config.get("cluster_by")
+                self.spark,
+                rel,
+                df,
+                cluster_by=mdef.config.get("cluster_by"),
+                partition_by=mdef.config.get("partition_by"),
+                bucket_by=mdef.config.get("bucket_by"),
+                zorder_by=mdef.config.get("zorder_by"),
             )
             out = self.spark.table(rel)
         elif m == "incremental":

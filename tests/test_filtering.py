@@ -1099,3 +1099,70 @@ def test_temperature_weights_from_counts_matches_batch(spark):
         map(tuple, temperature_weights_from_counts(counts, tau=0.3).collect())
     )
     assert batch == inc
+
+
+def test_index_release_pipeline_end_to_end(spark):
+    """The ANN-index release DAG on the registry runtime: quantizers
+    persist as a relation and round-trip exactly, the codes table lands
+    PARTITIONED BY cell through the registry's dbt-style partition_by
+    config (probe scan shows PartitionFilters), serving against the
+    released table matches the in-plan IVFADC row-for-row, the manifest
+    accounts for every vector at the declared code width, and the
+    released index accepts an incremental upsert."""
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        ivfadc_topk,
+        ivfadc_topk_indexed,
+        ivfpq_index_upsert,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+    from healthcare_dbt_datamart_spark.models.index_release import (
+        build_index_release,
+        quantizers_from_relation,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for t in ("index_quantizers", "index_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        r = build_index_release(spark, emb)
+        r.run()
+
+        # quantizer relation round-trips the deterministic fit exactly
+        cents, books = quantizers_from_relation(
+            spark.table("index_quantizers")
+        )
+        assert cents == kmeans_lloyd(emb, k=8, n_iter=2)
+        assert books == pq_codebooks_trained(emb, m=8, k=16, n_iter=2)
+
+        # partitioned layout: a cell probe is a partition prune
+        probe = spark.table("index_codes").filter(F.col("cell") == 1)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+        # serving parity against the released table
+        kwargs = dict(
+            query_id=3, k=5, shortlist=20, nprobe=2,
+            centroids=cents, codebooks=books,
+        )
+        indexed = ivfadc_topk_indexed(emb, "index_codes", **kwargs).collect()
+        inplan = ivfadc_topk(
+            emb, n_centroids=8, m=8, n_codes=16, **kwargs
+        ).collect()
+        assert [tuple(x) for x in indexed] == [tuple(x) for x in inplan]
+
+        # manifest accounts for every vector at the declared width
+        man = r.build("index_manifest").collect()
+        assert sum(x.n_vectors for x in man) == emb.count()
+        assert all(
+            x.min_code_width == 8 and x.max_code_width == 8 for x in man
+        )
+
+        # the release accepts incremental maintenance
+        delta = emb.filter(F.col("vec_id") < 5)
+        ivfpq_index_upsert(delta, "index_codes", cents, books)
+        assert spark.table("index_codes").count() == emb.count()
+    finally:
+        for t in ("index_quantizers", "index_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -36,6 +36,11 @@ from .drift import (  # noqa: F401
     sketch_drift_report,
 )
 from .packing import length_buckets  # noqa: F401
+from .preferences import (  # noqa: F401
+    annotator_agreement,
+    bradley_terry,
+    majority_vote,
+)
 from .similarity import (  # noqa: F401
     build_ivfpq_index,
     contrastive_triplets,

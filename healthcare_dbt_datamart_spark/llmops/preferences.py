@@ -1,0 +1,198 @@
+"""Preference & annotation aggregation — the RLHF-side data prep.
+
+Reward-model and evaluation datasets arrive as human judgments: A-vs-B
+preference pairs and per-item label votes. Before they train anything,
+a pipeline aggregates them — consensus labels, annotator reliability,
+and a global item ranking from pairwise wins. All three are here,
+engine-reproducible like the rest of the llmops family:
+
+- ``majority_vote``: consensus label per item + agreement ratio
+  (deterministic tie-break), one partial-agg groupBy + one per-item
+  window.
+- ``annotator_agreement``: each annotator's rate of matching the
+  consensus — the standard quick reliability screen before weighting
+  or dropping raters.
+- ``bradley_terry``: latent quality ratings from pairwise outcomes
+  (Bradley & Terry 1952) via Hunter's MM iteration (Hunter, Annals of
+  Statistics 2004) — the model behind Chatbot-Arena-style rankings.
+  FIXED-POINT INTEGER arithmetic throughout (the ``pagerank_fixedpoint``
+  discipline): ratings are BIGINT in ``scale`` units, every MM round is
+  integer floor-division and associative integer sums, so the result is
+  bit-exact under any partitioning and replays cell-for-cell in a
+  DuckDB oracle's unrolled CTEs — a float MM loop cannot be hash-gated
+  across engines.
+
+Scale shape (``bradley_terry``): outcomes collapse ONCE to per-ordered-
+pair win counts (one shuffle, partial-agg); each MM round is one join
+of ratings onto the bounded pair table + one partial-agg groupBy —
+state per round is one (item, rating) row per item, lineage cut by
+localCheckpoint exactly like the PageRank/Lloyd loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def majority_vote(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Consensus per item: ``(item, majority_label, n_votes,
+    n_majority, agreement)`` — agreement = n_majority / n_votes rounded
+    6dp; ties break to the lexicographically smallest label so the
+    result is deterministic on any engine."""
+    from pyspark.sql.window import Window
+
+    counts = votes.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("item").orderBy(
+        F.col("n").desc(), F.col("lab").asc()
+    )
+    tot = Window.partitionBy("item")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_votes", F.sum("n").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("item").alias(item_col),
+            F.col("lab").alias("majority_label"),
+            "n_votes",
+            F.col("n").alias("n_majority"),
+            F.round(F.col("n") / F.col("n_votes"), 6).alias("agreement"),
+        )
+    )
+
+
+def annotator_agreement(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-annotator consensus-agreement rate: ``(annotator, n_items,
+    n_agree, agree_rate)`` — the reliability screen run before
+    weighting or excluding raters. One broadcast-size join against the
+    majority table when items are bounded; at corpus scale it is a plain
+    equi-join on the item key (both sides partial-agg shaped)."""
+    maj = majority_vote(votes, item_col, label_col).select(
+        item_col, "majority_label"
+    )
+    return (
+        votes.join(maj, item_col)
+        .groupBy(F.col(annotator_col).alias("annotator"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col(label_col) == F.col("majority_label")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            F.col("annotator").alias(annotator_col),
+            "n_items",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_items"), 6).alias(
+                "agree_rate"
+            ),
+        )
+    )
+
+
+def bradley_terry(
+    outcomes: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**6,
+    smoothing2: int = 1,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+) -> DataFrame:
+    """Bradley-Terry ratings from pairwise outcomes ``(winner, loser)``
+    via ``n_iter`` MM rounds, all-integer:
+
+        D_i  = Σ_j  (n_ij · scale²) div (P_i + P_j)
+        P'_i = (W_i · scale²) div D_i
+
+    where P is the rating in ``scale`` fixed-point units (start 1.0 =
+    ``scale``), W_i the item's total (smoothed) wins and n_ij the
+    (smoothed) comparisons between i and j. ``smoothing2`` is TWICE the
+    Laplace smoothing added per observed ordered pair (default 1 =
+    +0.5 win each way — doubling keeps the arithmetic integer; BT
+    ratings are invariant to scaling all counts, so doubling changes
+    nothing else). Smoothing keeps 0-win items at small positive
+    ratings instead of collapsing to 0 and guards the division.
+
+    Overflow bounds (BIGINT): ``n_ij · scale²`` and ``W_i · scale²``
+    must stay below 2^63 — at the default scale=1e6 that allows ~9e6
+    (smoothed-doubled) comparisons per pair and ~9e6 wins per item;
+    drop scale to 1e4 for arena-size vote volumes.
+
+    Returns ``(item, wins2, comparisons2, rating_fp)`` — counts in the
+    doubled+smoothed units, rating in fixed-point ``scale`` units
+    (divide by scale for the real number). Deterministic and bit-exact
+    under any partitioning: integer sums are associative."""
+    # per-ordered-pair win counts, doubled + smoothed
+    wins = outcomes.groupBy(
+        F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
+    ).agg((F.lit(2) * F.count(F.lit(1)) + F.lit(smoothing2)).alias("w2"))
+    # mirror rows so every observed pair exists in both directions with
+    # at least the smoothing mass
+    observed = wins.select("i", "j").unionAll(
+        wins.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).distinct()
+    both = observed.join(wins, ["i", "j"], "left").select(
+        "i", "j", F.coalesce("w2", F.lit(smoothing2)).alias("w2")
+    )
+    # n_ij rides each direction: n2(i,j) = w2(i,j) + w2(j,i)
+    rev = both.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("w2").alias("w2_rev"),
+    )
+    pairs = (
+        both.join(rev, ["i", "j"])
+        .select("i", "j", "w2", (F.col("w2") + F.col("w2_rev")).alias("n2"))
+        .persist()  # loop-invariant: every MM round re-reads this
+    )
+    pairs.count()
+    w_tot = pairs.groupBy("i").agg(F.sum("w2").alias("wins2"))
+    n_tot = pairs.groupBy("i").agg(F.sum("n2").alias("comparisons2"))
+
+    s2 = scale * scale
+    ratings = w_tot.select(
+        F.col("i").alias("id"), F.lit(int(scale)).cast("long").alias("p")
+    )
+    for _ in range(n_iter):
+        ri = ratings.withColumnsRenamed({"id": "i", "p": "p_i"})
+        rj = ratings.withColumnsRenamed({"id": "j", "p": "p_j"})
+        denom = (
+            pairs.join(ri, "i")
+            .join(rj, "j")
+            .select(
+                "i",
+                F.expr(f"(n2 * cast({s2} as bigint)) div (p_i + p_j)").alias(
+                    "d"
+                ),
+            )
+            .groupBy("i")
+            .agg(F.sum("d").alias("D"))
+        )
+        ratings = (
+            denom.join(w_tot, "i")
+            .select(
+                F.col("i").alias("id"),
+                F.expr(f"(wins2 * cast({s2} as bigint)) div D").alias("p"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per MM round
+        )
+    pairs.unpersist()
+    return (
+        ratings.join(w_tot.withColumnsRenamed({"i": "id"}), "id")
+        .join(n_tot.withColumnsRenamed({"i": "id"}), "id")
+        .select(
+            F.col("id").alias("item"),
+            "wins2",
+            "comparisons2",
+            F.col("p").alias("rating_fp"),
+        )
+    )

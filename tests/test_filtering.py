@@ -1166,3 +1166,148 @@ def test_index_release_pipeline_end_to_end(spark):
     finally:
         for t in ("index_quantizers", "index_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_majority_vote_and_annotator_agreement(spark):
+    """Consensus labeling: majority with deterministic lexicographic
+    tie-break, agreement ratios, per-annotator reliability, and an
+    exact DuckDB replay of the consensus table."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        annotator_agreement,
+        majority_vote,
+    )
+
+    rows = [
+        # item 1: clear consensus 'good' (3-1); annotator a4 dissents
+        (1, "a1", "good"), (1, "a2", "good"), (1, "a3", "good"), (1, "a4", "bad"),
+        # item 2: 2-2 tie -> lexicographically smallest wins ('bad')
+        (2, "a1", "good"), (2, "a2", "bad"), (2, "a3", "bad"), (2, "a4", "good"),
+        # item 3: unanimous
+        (3, "a1", "bad"), (3, "a2", "bad"),
+    ]
+    votes = spark.createDataFrame(
+        rows, "item_id long, annotator_id string, label string"
+    )
+    maj = {
+        r.item_id: (r.majority_label, r.n_votes, r.n_majority, r.agreement)
+        for r in majority_vote(votes).collect()
+    }
+    assert maj[1] == ("good", 4, 3, 0.75)
+    assert maj[2] == ("bad", 4, 2, 0.5)
+    assert maj[3] == ("bad", 2, 2, 1.0)
+
+    rel = {
+        r.annotator_id: (r.n_items, r.n_agree, r.agree_rate)
+        for r in annotator_agreement(votes).collect()
+    }
+    assert rel["a1"] == (3, 2, round(2 / 3, 6))
+    assert rel["a2"] == (3, 3, 1.0)
+    assert rel["a4"] == (2, 0, 0.0)  # dissents on item 1, picked "good" on the tie
+
+    con = duckdb.connect()
+    con.register("t", votes.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute("""
+        WITH c AS (
+          SELECT item_id, label AS lab, COUNT(*) AS n FROM t GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY item_id
+                      ORDER BY n DESC, lab ASC) AS rn,
+                 SUM(n) OVER (PARTITION BY item_id) AS n_votes
+          FROM c
+        )
+        SELECT item_id, lab, n_votes, n, round(n / CAST(n_votes AS DOUBLE), 6)
+        FROM r WHERE rn = 1
+        """).fetchall()
+    }
+    assert maj == oracle
+
+
+def test_bradley_terry_fixed_point_ranking_and_replay(spark):
+    """Fixed-point Bradley-Terry: a dominance hierarchy comes back in
+    rating order, the result is bit-exact under repartitioning
+    (integer arithmetic), and two MM rounds replay cell-for-cell in
+    DuckDB's unrolled CTEs."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+    )
+
+    # A beats B 8-2, B beats C 7-3, A beats C 9-1: true order A > B > C
+    rows = (
+        [("A", "B")] * 8 + [("B", "A")] * 2
+        + [("B", "C")] * 7 + [("C", "B")] * 3
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    out = spark.createDataFrame(rows, "winner_id string, loser_id string")
+    got = {
+        r.item: (r.wins2, r.comparisons2, r.rating_fp)
+        for r in bradley_terry(out, n_iter=2).collect()
+    }
+    assert got["A"][2] > got["B"][2] > got["C"][2]
+    # doubled+smoothed wins: A = 2*(8+9)+2 = 36
+    assert got["A"][0] == 36
+
+    reparted = {
+        r.item: (r.wins2, r.comparisons2, r.rating_fp)
+        for r in bradley_terry(out.repartition(13), n_iter=2).collect()
+    }
+    assert reparted == got
+
+    con = duckdb.connect()
+    con.register("t", out.toPandas())
+    # unrolled MM: the same integer update, two rounds, scale 1e6
+    s2 = 10**12
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"""
+        WITH w AS (
+          SELECT winner_id AS i, loser_id AS j, 2 * COUNT(*) + 1 AS w2
+          FROM t GROUP BY 1, 2
+        ),
+        obs AS (
+          SELECT i, j FROM w UNION SELECT j, i FROM w
+        ),
+        bth AS (
+          SELECT obs.i, obs.j, COALESCE(w.w2, 1) AS w2
+          FROM obs LEFT JOIN w ON w.i = obs.i AND w.j = obs.j
+        ),
+        pairs AS (
+          SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+          FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+        ),
+        wt AS (SELECT i, SUM(w2) AS wins2 FROM pairs GROUP BY 1),
+        nt AS (SELECT i, SUM(n2) AS comparisons2 FROM pairs GROUP BY 1),
+        r0 AS (SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt),
+        d1 AS (
+          SELECT pairs.i, SUM((n2 * CAST({s2} AS BIGINT))
+                   // (ri.p + rj.p)) AS D
+          FROM pairs JOIN r0 ri ON ri.id = pairs.i
+                     JOIN r0 rj ON rj.id = pairs.j
+          GROUP BY 1
+        ),
+        r1 AS (
+          SELECT d1.i AS id, (wins2 * CAST({s2} AS BIGINT)) // D AS p
+          FROM d1 JOIN wt ON wt.i = d1.i
+        ),
+        d2 AS (
+          SELECT pairs.i, SUM((n2 * CAST({s2} AS BIGINT))
+                   // (ri.p + rj.p)) AS D
+          FROM pairs JOIN r1 ri ON ri.id = pairs.i
+                     JOIN r1 rj ON rj.id = pairs.j
+          GROUP BY 1
+        ),
+        r2 AS (
+          SELECT d2.i AS id, (wins2 * CAST({s2} AS BIGINT)) // D AS p
+          FROM d2 JOIN wt ON wt.i = d2.i
+        )
+        SELECT r2.id, wins2, comparisons2, p
+        FROM r2 JOIN wt ON wt.i = r2.id JOIN nt ON nt.i = r2.id
+        """).fetchall()
+    }
+    assert got == oracle

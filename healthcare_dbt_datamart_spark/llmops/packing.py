@@ -178,3 +178,54 @@ def length_buckets(
         F.row_number().over(wb).alias("batch_pos"),
         ((F.col("bucket") + 1) * bucket_width).alias("padded_to"),
     )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards with near-equal
+    TOKEN totals — the training-shard writer's balancing step (readers
+    consume shards in parallel; a token-imbalanced shard is a straggler
+    epoch after epoch, the storage-layout twin of the join-skew
+    problem). ``epoch_order`` hashes docs to shards — equal COUNTS,
+    unbalanced tokens when lengths skew; this is the size-aware variant:
+    rank docs by token count descending (ties → ascending id) and deal
+    them in SNAKE order (0..n-1, n-1..0, repeat) — the deterministic,
+    stateless approximation of Graham's LPT greedy: each 2n-rank cycle
+    gives every shard one doc from the cycle's heavy half and one from
+    its light half, so rank-adjacent size differences cancel and
+    max/min shard totals converge to 1 as docs/shard grows. (True LPT
+    assigns to the currently-lightest shard — running state that
+    doesn't distribute; snake is the standard dealing form. Equal
+    per-shard COUNTS are inherent to any dealer, so a corpus whose few
+    largest docs outweigh everything else needs doc SPLITTING —
+    ``chunk_plan`` — before balancing.)
+
+    Scale note: the global rank is ONE window over a skinny
+    (id, n_tokens) projection. A total ordering is intrinsic to the
+    deal; at extreme scale you'd snake inside coarse length buckets
+    (``length_buckets``'s grouping) and accept slightly worse balance —
+    the window here stays exact because the ranked relation is two
+    integers per doc, not the corpus.
+
+    Returns ``(id, n_tokens, shard)``."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+    n = int(n_shards)
+    cycle = F.pmod(F.row_number().over(w) - 1, F.lit(2 * n))
+    return toks.withColumn(
+        "shard",
+        F.when(cycle < n, cycle)
+        .otherwise(F.lit(2 * n - 1) - cycle)
+        .cast("int"),
+    ).select(id_col, "n_tokens", "shard")

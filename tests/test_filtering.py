@@ -1311,3 +1311,50 @@ def test_bradley_terry_fixed_point_ranking_and_replay(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_token_balanced_shards_lpt_balance_and_replay(spark):
+    """LPT shard dealing: every doc lands in exactly one shard, shard
+    token totals stay within a tight band even with a skewed length
+    distribution (vs the hash dealer's wide spread), and the assignment
+    replays exactly in DuckDB."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.packing import (
+        token_balanced_shards,
+    )
+
+    # Zipf-ish heavy tail: the realistic corpus length profile
+    rows = [
+        (i, " ".join(["w"] * max(10, int(400 / (1 + i) ** 0.5))))
+        for i in range(205)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_balanced_shards(df, "text", "doc_id", n_shards=8).collect()
+    assert len(out) == 205 and len({r.doc_id for r in out}) == 205
+    totals: dict = {}
+    for r in out:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+    assert set(totals) == set(range(8))
+    assert max(totals.values()) <= 1.25 * min(totals.values()), totals
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN cyc < 8 THEN cyc ELSE 15 - cyc END
+                    AS INTEGER) AS shard
+        FROM (SELECT doc_id, n_tokens,
+                     (row_number() OVER (ORDER BY n_tokens DESC,
+                        doc_id ASC) - 1) % 16 AS cyc
+              FROM toks)
+        """).fetchall()
+    }
+    assert {r.doc_id: (r.n_tokens, r.shard) for r in out} == oracle

@@ -3557,14 +3557,26 @@ SCHEDULED_NEXT_WINDOW = [
     "pagerank_docs",
 ]
 # At the 6-slot capacity above, further round-4 operators carry
-# pytest-level oracle evidence instead of a driver slot this cycle:
-# llmops/sketches.py::hll_by_group, splits.py::temperature_weights and
-# functions/layout.py::zorder_key each replay their exact arithmetic
-# against DuckDB inside their tests (hash-grade parity, no window
-# cost); hll_by_group and temperature_weights are the first promotion
-# candidates when round-6 slots free up (zorder is a LAYOUT op — its
-# observable is parquet footers, not a result hash, so the footer test
-# IS its strongest gate).
+# pytest-level oracle evidence instead of a driver slot this cycle —
+# each replays its exact arithmetic against DuckDB inside its test
+# (hash-grade parity, no window cost). Round 5's window is fully
+# spoken for (the 44 round-2-stale queries at their cadence deadline +
+# these 6 scheduled), so the promotion queue targets ROUND 6, in
+# priority order with the natural testdata inputs already chosen:
+#   1. bradley_terry      — supplier ratings from cheaper-supplier-wins
+#                           outcomes on multi-supplier parts (partsupp);
+#                           fixed-point integer MM → exact unrolled oracle
+#   2. sketch_drift_report — PSI/KS between two order-year slices of
+#                           o_totalprice cents (same-table snapshots)
+#   3. bootstrap_ci       — per-source mean n_chars interval on documents
+#                           (md5-derandomized draws, integer-exact sums)
+#   4. temperature_rebalance — per-source keep-rates + kept counts on
+#                           documents (pow replay, the doremi discipline)
+#   5. logbucket_quantiles(group_col) — per-lang length profile
+#   6. majority_vote      — consensus event_type per user-bucket on events
+# hll_by_group remains the alternate. zorder stays pytest-level by
+# nature: its observable is parquet footers, not a result hash — the
+# footer test IS its strongest gate.
 
 QUERIES = {
     # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===

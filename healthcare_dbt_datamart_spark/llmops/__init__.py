@@ -40,6 +40,7 @@ from .preferences import (  # noqa: F401
     annotator_agreement,
     bradley_terry,
     majority_vote,
+    pass_at_k,
 )
 from .similarity import (  # noqa: F401
     build_ivfpq_index,

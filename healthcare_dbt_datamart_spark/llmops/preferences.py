@@ -196,3 +196,49 @@ def bradley_terry(
             F.col("p").alias("rating_fp"),
         )
     )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    ks: tuple = (1, 10),
+    task_col: str = "task_id",
+    passed_col: str = "passed",
+) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, "Evaluating
+    Large Language Models Trained on Code", arXiv:2107.03374 §2.1) per
+    task from per-sample outcomes: with n samples and c passing,
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{j=0..k−1} (n−c−j)/(n−j)
+
+    computed in the numerically-stable product form as ONE sequential
+    array fold per row (``F.aggregate`` over ``sequence(0, k−1)`` —
+    deterministic evaluation order, so the double product replays
+    exactly in any engine with an ordered list fold). Tasks with
+    n − c < k score exactly 1.0, n < k yields NULL (the estimator is
+    undefined — surfacing it beats silently clamping).
+
+    One partial-agg groupBy to (n, c); the fold runs over a k-length
+    literal sequence per task row. Returns ``(task, n_samples,
+    n_passed, pass_at_<k>...)`` rounded 6dp."""
+    agg = samples.groupBy(F.col(task_col).alias("task")).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col(passed_col).cast("long")).alias("n_passed"),
+    )
+    cols = [F.col("task").alias(task_col), "n_samples", "n_passed"]
+    for k in ks:
+        k = int(k)
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, j: acc
+            * (F.col("n_samples") - F.col("n_passed") - j).cast("double")
+            / (F.col("n_samples") - j).cast("double"),
+        )
+        est = (
+            F.when(F.col("n_samples") < k, F.lit(None).cast("double"))
+            .when(F.col("n_samples") - F.col("n_passed") < k, F.lit(1.0))
+            .otherwise(F.round(F.lit(1.0) - prod, 6))
+        )
+        cols.append(est.alias(f"pass_at_{k}"))
+    return agg.select(*cols)

@@ -1358,3 +1358,64 @@ def test_token_balanced_shards_lpt_balance_and_replay(spark):
         """).fetchall()
     }
     assert {r.doc_id: (r.n_tokens, r.shard) for r in out} == oracle
+
+
+def test_pass_at_k_estimator_matches_reference_and_replays(spark):
+    """pass@k: matches the Codex paper's reference numpy implementation
+    on every (n, c, k) cell, handles the n−c<k → 1.0 and n<k → NULL
+    edges, and the ordered-fold product replays exactly in DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import pass_at_k
+
+    # reference from the paper (verbatim math, independent code)
+    def ref(n, c, k):
+        if n - c < k:
+            return 1.0
+        return 1.0 - np.prod(1.0 - k / np.arange(n - c + 1, n + 1))
+
+    rows = []
+    cases = {"t1": (10, 3), "t2": (10, 0), "t3": (5, 5), "t4": (12, 2),
+             "t5": (3, 1)}
+    for t, (n, c) in cases.items():
+        rows += [(t, i, i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "task_id string, sid int, passed boolean")
+    got = {
+        r.task_id: (r.n_samples, r.n_passed, r.pass_at_1, r.pass_at_10)
+        for r in pass_at_k(df, ks=(1, 10)).collect()
+    }
+    for t, (n, c) in cases.items():
+        n_s, n_p, p1, p10 = got[t]
+        assert (n_s, n_p) == (n, c)
+        assert p1 == round(ref(n, c, 1), 6), (t, p1)
+        if n < 10:
+            assert p10 is None  # undefined, surfaced not clamped
+        else:
+            assert p10 == round(ref(n, c, 10), 6), (t, p10)
+    assert got["t3"][2] == 1.0  # all passing
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute("""
+        WITH agg AS (
+          SELECT task_id, COUNT(*) AS n, SUM(CAST(passed AS BIGINT)) AS c
+          FROM t GROUP BY 1
+        )
+        SELECT task_id, n, c,
+          CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0
+               ELSE round(1.0 - list_reduce(
+                 list_transform(range(0, 1),
+                   j -> CAST(n - c - j AS DOUBLE) / (n - j)),
+                 (a, b) -> a * b), 6) END AS p1,
+          CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0
+               ELSE round(1.0 - list_reduce(
+                 list_transform(range(0, 10),
+                   j -> CAST(n - c - j AS DOUBLE) / (n - j)),
+                 (a, b) -> a * b), 6) END AS p10
+        FROM agg
+        """).fetchall()
+    }
+    assert got == oracle

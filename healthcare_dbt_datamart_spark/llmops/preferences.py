@@ -132,10 +132,38 @@ def bradley_terry(
     doubled+smoothed units, rating in fixed-point ``scale`` units
     (divide by scale for the real number). Deterministic and bit-exact
     under any partitioning: integer sums are associative."""
-    # per-ordered-pair win counts, doubled + smoothed
-    wins = outcomes.groupBy(
+    # per-ordered-pair DOUBLED win counts — the sum-mergeable raw shape
+    # a streaming ingest maintains (streaming/sketches.py::
+    # pref_counts_merge_batch); smoothing applies once, downstream
+    raw = outcomes.groupBy(
         F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
-    ).agg((F.lit(2) * F.count(F.lit(1)) + F.lit(smoothing2)).alias("w2"))
+    ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    return bradley_terry_from_pairs(
+        raw, n_iter=n_iter, scale=scale, smoothing2=smoothing2
+    )
+
+
+def bradley_terry_from_pairs(
+    pair_wins2: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**6,
+    smoothing2: int = 1,
+) -> DataFrame:
+    """The MM iteration from an ALREADY-AGGREGATED ``(i, j, w2)`` table
+    of directed DOUBLED win counts (2 · wins, unsmoothed) — the
+    incremental path: per-batch counts SUM-merge (the count-min
+    discipline, ledger-gated in ``pref_counts_merge_batch``), and the
+    leaderboard re-derives from the bounded pair table without ever
+    re-scanning outcomes. ``bradley_terry`` is the batch convenience
+    over this. Smoothing is applied HERE, once, so merged and
+    single-shot inputs rate identically."""
+    wins = (
+        pair_wins2.groupBy("i", "j")
+        .agg(F.sum("w2").alias("_w2raw"))
+        .select(
+            "i", "j", (F.col("_w2raw") + F.lit(smoothing2)).alias("w2")
+        )
+    )
     # mirror rows so every observed pair exists in both directions with
     # at least the smoothing mass
     observed = wins.select("i", "j").unionAll(

@@ -342,3 +342,53 @@ def streaming_logbucket_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pref_counts_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_outcomes: DataFrame,
+    batch_id: int,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+) -> bool:
+    """Merge one micro-batch of pairwise preference outcomes into the
+    maintained ``(i, j, w2)`` DOUBLED-win-count table — the live
+    arena-leaderboard ingest: counts SUM-merge (so, like the CMS sink
+    and unlike HLL/reservoir, a replayed batch would double-count —
+    the applied batch id rides the same atomic swap as the merged
+    counts, ledger row at i = '__batch_ledger__'), and
+    ``llmops/preferences.py::bradley_terry_from_pairs`` re-derives
+    ratings from this bounded table on any schedule without re-reading
+    a single outcome. Ids are stored as strings so the sentinel row is
+    type-safe for any id type. State is one row per observed ordered
+    pair."""
+    from ..operators.materialize import materialize_table
+
+    _LEDGER = "__batch_ledger__"
+    batch = batch_outcomes.groupBy(
+        F.col(winner_col).cast("string").alias("i"),
+        F.col(loser_col).cast("string").alias("j"),
+    ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("i") == _LEDGER).select("w2").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        merged = (
+            cur.filter(F.col("i") != _LEDGER)
+            .unionByName(batch)
+            .groupBy("i", "j")
+            .agg(F.sum("w2").alias("w2"))
+        )
+    else:
+        merged = batch
+    meta = spark.createDataFrame(
+        [(_LEDGER, _LEDGER, int(batch_id))], "i string, j string, w2 bigint"
+    )
+    materialize_table(
+        spark,
+        target_table,
+        merged.select("i", "j", F.col("w2").cast("bigint")).unionByName(meta),
+    )
+    return True

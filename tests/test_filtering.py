@@ -1419,3 +1419,46 @@ def test_pass_at_k_estimator_matches_reference_and_replays(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_pref_counts_streaming_merge_feeds_bradley_terry(spark):
+    """The live-leaderboard path: outcomes ingested in micro-batches
+    (sum-merge with an exactly-once ledger — a replayed batch is
+    skipped), then ratings re-derived from the maintained counts table
+    equal the single-shot bradley_terry over all outcomes bit-for-bit."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+        bradley_terry_from_pairs,
+    )
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        pref_counts_merge_batch,
+    )
+
+    rows = (
+        [("A", "B")] * 8 + [("B", "A")] * 2
+        + [("B", "C")] * 7 + [("C", "B")] * 3
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    half = len(rows) // 2
+    name = "pref_counts_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        b0 = spark.createDataFrame(rows[:half], "winner_id string, loser_id string")
+        b1 = spark.createDataFrame(rows[half:], "winner_id string, loser_id string")
+        assert pref_counts_merge_batch(spark, name, b0, 0) is True
+        assert pref_counts_merge_batch(spark, name, b0, 0) is False  # replay
+        assert pref_counts_merge_batch(spark, name, b1, 1) is True
+
+        counts = spark.table(name).filter("i != '__batch_ledger__'")
+        streamed = {
+            r.item: (r.wins2, r.comparisons2, r.rating_fp)
+            for r in bradley_terry_from_pairs(counts, n_iter=2).collect()
+        }
+        full = spark.createDataFrame(rows, "winner_id string, loser_id string")
+        batch = {
+            r.item: (r.wins2, r.comparisons2, r.rating_fp)
+            for r in bradley_terry(full, n_iter=2).collect()
+        }
+        assert streamed == batch
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -39,6 +39,8 @@ from .packing import length_buckets  # noqa: F401
 from .preferences import (  # noqa: F401
     annotator_agreement,
     bradley_terry,
+    bradley_terry_from_pairs,
+    fleiss_kappa,
     majority_vote,
     pass_at_k,
 )

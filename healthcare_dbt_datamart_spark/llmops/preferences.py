@@ -270,3 +270,76 @@ def pass_at_k(
         )
         cols.append(est.alias(f"pass_at_{k}"))
     return agg.select(*cols)
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement across
+    the whole annotation job, the number a data card reports next to
+    the per-rater screen. Requires the classic design (every item rated
+    by the same number of raters n ≥ 2) and RAISES on ragged panels
+    rather than silently mis-weighting them.
+
+    Exact-integer formulation: with N items, n raters, S_k total votes
+    for category k and Q = Σ_i Σ_k n_ik²,
+
+        P̄  = (Q − N·n) / (N·n·(n−1))
+        P_e = Σ_k S_k² / (N·n)²
+        κ   = (P̄ − P_e) / (1 − P_e)
+
+    Every aggregate (Q, S_k, N) is an associative BIGINT sum — the
+    result is deterministic under any partitioning and replays exactly
+    in DuckDB; the only floats are the three final divisions on exact
+    integer operands. Keep N·n below ~3·10⁹ so S_k² fits BIGINT.
+
+    Two partial-agg groupBys (item-category cells, then category
+    totals); the scalar folds run over the bounded cell table. Returns
+    one row: ``(n_items, n_raters, p_bar, p_e, kappa)`` rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    cells = votes.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("n_ik"))
+    per_item = cells.groupBy("item").agg(
+        F.sum("n_ik").alias("n"), F.sum(F.col("n_ik") * F.col("n_ik")).alias("q_i")
+    )
+    panel = per_item.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.count_distinct("n").alias("_n_distinct"),
+        F.max("n").alias("n"),
+        F.sum("q_i").alias("Q"),
+    ).collect()[0]
+    if panel._n_distinct != 1 or panel.n < 2:
+        raise ValueError(
+            "fleiss_kappa needs every item rated by the same n >= 2 raters;"
+            f" got {panel._n_distinct} distinct panel sizes (max {panel.n})"
+        )
+    n_items, n_raters, q_tot = int(panel.N), int(panel.n), int(panel.Q)
+    all_rows = Window.partitionBy()  # bounded: one row per category
+    s_k = cells.groupBy("lab").agg(F.sum("n_ik").alias("S"))
+    nn = n_items * n_raters
+    p_bar = (q_tot - nn) / (nn * (n_raters - 1))
+    out = (
+        s_k.withColumn(
+            "_pe", F.sum(F.col("S") * F.col("S")).over(all_rows)
+        )
+        .limit(1)
+        .select(
+            F.lit(n_items).alias("n_items"),
+            F.lit(n_raters).alias("n_raters"),
+            F.round(F.lit(float(p_bar)), 6).alias("p_bar"),
+            F.round(F.col("_pe").cast("double") / F.lit(float(nn) ** 2), 6).alias(
+                "p_e"
+            ),
+            F.round(
+                (F.lit(float(p_bar)) - F.col("_pe").cast("double") / F.lit(float(nn) ** 2))
+                / (F.lit(1.0) - F.col("_pe").cast("double") / F.lit(float(nn) ** 2)),
+                6,
+            ).alias("kappa"),
+        )
+    )
+    return out

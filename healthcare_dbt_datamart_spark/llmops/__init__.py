@@ -43,6 +43,7 @@ from .preferences import (  # noqa: F401
     fleiss_kappa,
     majority_vote,
     pass_at_k,
+    weighted_consensus,
 )
 from .similarity import (  # noqa: F401
     build_ivfpq_index,

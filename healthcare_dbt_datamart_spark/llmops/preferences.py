@@ -343,3 +343,69 @@ def fleiss_kappa(
         )
     )
     return out
+
+
+def weighted_consensus(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    weight_floor: float = 0.05,
+) -> DataFrame:
+    """Reliability-weighted consensus — one reweighting round of the
+    Dawid-Skene idea (Dawid & Skene 1979) in its simple practical form:
+    first pass takes the unweighted majority, scores each annotator's
+    agreement with it (``annotator_agreement``), then re-votes with
+    each annotator's ballot weighted by that agreement rate — so a
+    rater who disagrees with everyone stops dragging ties. ``weight_floor``
+    keeps every ballot minimally counted (a 0-agreement rater would
+    otherwise vanish and could never redeem itself in a later round).
+
+    Weights are 6dp-rounded DECIMALS summed as exact decimal arithmetic
+    (sum order irrelevant — engine-reproducible without float-merge
+    caveats); ties break to the lexicographically smallest label.
+
+    Scale shape: the reliability table is one extra aggregate over the
+    votes; the weighted re-vote is the same groupBy + per-item window
+    as ``majority_vote`` with the weight broadcast in on the annotator
+    key (raters are bounded; a crowd platform's rater set is model
+    state next to the item corpus).
+
+    Returns ``(item, weighted_label, majority_label, n_votes, flipped)``
+    — ``flipped`` marks items where weighting changed the verdict (the
+    rows a review queue looks at)."""
+    from pyspark.sql.window import Window
+
+    rel = annotator_agreement(votes, item_col, annotator_col, label_col)
+    weights = rel.select(
+        annotator_col,
+        F.greatest(
+            F.col("agree_rate").cast("decimal(10,6)"),
+            F.lit(weight_floor).cast("decimal(10,6)"),
+        ).alias("_wt"),
+    )
+    maj = majority_vote(votes, item_col, label_col).select(
+        item_col, "majority_label", "n_votes"
+    )
+    scored = (
+        votes.join(F.broadcast(weights), annotator_col)
+        .groupBy(
+            F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+        )
+        .agg(F.sum("_wt").alias("_mass"))
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("_mass").desc(), F.col("lab").asc()
+    )
+    winner = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("item").alias(item_col), F.col("lab").alias("weighted_label"))
+    )
+    return winner.join(maj, item_col).select(
+        item_col,
+        "weighted_label",
+        "majority_label",
+        "n_votes",
+        (F.col("weighted_label") != F.col("majority_label")).alias("flipped"),
+    )

@@ -1509,3 +1509,82 @@ def test_fleiss_kappa_reference_values_and_ragged_panel_raises(spark):
     )
     with pytest.raises(ValueError, match="same n"):
         fleiss_kappa(ragged)
+
+
+def test_weighted_consensus_flips_noisy_tie_and_replays(spark):
+    """Dawid-Skene-style reweighting: a tie that unweighted majority
+    breaks lexicographically flips to the reliable raters' label once
+    ballots carry agreement weights; clear-consensus items never flip;
+    the whole table replays exactly in DuckDB (decimal mass sums)."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        weighted_consensus,
+    )
+
+    rows = [
+        # items 1-4: r1/r2 always agree ('x'), r3/r4 disagree with them
+        # half the time — r1/r2 earn higher agreement rates
+        (1, "r1", "x"), (1, "r2", "x"), (1, "r3", "x"), (1, "r4", "x"),
+        (2, "r1", "x"), (2, "r2", "x"), (2, "r3", "y"), (2, "r4", "y"),
+        (3, "r1", "x"), (3, "r2", "x"), (3, "r3", "x"), (3, "r4", "x"),
+        (4, "r1", "x"), (4, "r2", "x"), (4, "r3", "y"), (4, "r4", "y"),
+        # item 5: the decisive case — 2-2 tie, unweighted majority
+        # breaks to 'a' lexicographically, but r1/r2 vote 'b'
+        (5, "r1", "b"), (5, "r2", "b"), (5, "r3", "a"), (5, "r4", "a"),
+    ]
+    votes = spark.createDataFrame(
+        rows, "item_id long, annotator_id string, label string"
+    )
+    out = {
+        r.item_id: (r.weighted_label, r.majority_label, r.flipped)
+        for r in weighted_consensus(votes).collect()
+    }
+    assert out[5] == ("b", "a", True)  # reliability breaks the tie
+    for i in (1, 2, 3, 4):
+        assert out[i][2] is False
+    assert out[1] == ("x", "x", False)
+
+    con = duckdb.connect()
+    con.register("t", votes.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute("""
+        WITH c AS (
+          SELECT item_id, label AS lab, COUNT(*) AS n FROM t GROUP BY 1, 2
+        ),
+        mj AS (
+          SELECT item_id, lab AS majority_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY item_id
+                        ORDER BY n DESC, lab ASC) AS rn FROM c)
+          WHERE rn = 1
+        ),
+        rel AS (
+          SELECT annotator_id,
+                 round(SUM(CASE WHEN t.label = mj.majority_label
+                           THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS agree_rate
+          FROM t JOIN mj USING (item_id) GROUP BY 1
+        ),
+        wts AS (
+          SELECT annotator_id,
+                 GREATEST(CAST(agree_rate AS DECIMAL(10,6)),
+                          CAST(0.05 AS DECIMAL(10,6))) AS wt
+          FROM rel
+        ),
+        mass AS (
+          SELECT item_id, label AS lab, SUM(wt) AS m
+          FROM t JOIN wts USING (annotator_id) GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT item_id, lab AS weighted_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY item_id
+                        ORDER BY m DESC, lab ASC) AS rn FROM mass)
+          WHERE rn = 1
+        )
+        SELECT win.item_id, weighted_label, majority_label,
+               weighted_label != majority_label AS flipped
+        FROM win JOIN mj USING (item_id)
+        """).fetchall()
+    }
+    assert out == oracle

@@ -425,3 +425,29 @@ def compact_table(
         df = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
     materialize_table(spark, name, df)
     return spark.table(name).rdd.getNumPartitions()
+
+
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    columns: list[str] | None = None,
+    all_columns: bool = False,
+) -> None:
+    """Refresh optimizer statistics — the maintenance step that makes
+    cost-based decisions (join reorder, build-side choice) real:
+    CBO silently no-ops on absent or stale stats (measured in
+    tools/scale_probe.py::probe_cbo_join_reorder), so a release
+    pipeline runs this next to ``compact_table`` after large rewrites.
+    Table-level stats only by default (rowCount + sizeInBytes — one
+    metadata pass); ``all_columns=True`` or an explicit column list
+    adds min/max/ndv histogram inputs (a full scan of those columns,
+    priced accordingly)."""
+    if all_columns:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    elif columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

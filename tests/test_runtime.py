@@ -2359,3 +2359,37 @@ def test_microbatch_backfill_lands_in_custom_schema(spark):
     assert not spark.catalog.tableExists("mb_sched")
     assert spark.table(f"{db}_marts.mb_sched").count() == 12
     spark.sql(f"DROP TABLE {db}_marts.mb_sched")
+
+
+def test_analyze_table_records_stats(spark):
+    """analyze_table writes catalog statistics the CBO can read:
+    rowCount lands at table level; column mode records min/max/ndv."""
+    from healthcare_dbt_datamart_spark.operators.materialize import (
+        analyze_table,
+        materialize_table,
+    )
+
+    name = "analyze_stats_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        df = spark.range(100).selectExpr("id", "id % 7 AS grp")
+        materialize_table(spark, name, df)
+        analyze_table(spark, name)
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert "100 rows" in detail.get("Statistics", ""), detail.get(
+            "Statistics"
+        )
+        analyze_table(spark, name, columns=["grp"])
+        colstats = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {name} grp"
+            ).collect()
+        }
+        assert colstats.get("distinct_count") == "7", colstats
+        assert colstats.get("min") == "0" and colstats.get("max") == "6"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -134,10 +134,14 @@ def bradley_terry(
     under any partitioning: integer sums are associative."""
     # per-ordered-pair DOUBLED win counts — the sum-mergeable raw shape
     # a streaming ingest maintains (streaming/sketches.py::
-    # pref_counts_merge_batch); smoothing applies once, downstream
-    raw = outcomes.groupBy(
-        F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
-    ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    # pref_counts_merge_batch); smoothing applies once, downstream.
+    # Self-comparisons are degenerate (an item cannot inform its own
+    # rating) and are dropped, the arena convention.
+    raw = (
+        outcomes.filter(F.col(winner_col) != F.col(loser_col))
+        .groupBy(F.col(winner_col).alias("i"), F.col(loser_col).alias("j"))
+        .agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    )
     return bradley_terry_from_pairs(
         raw, n_iter=n_iter, scale=scale, smoothing2=smoothing2
     )

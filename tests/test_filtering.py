@@ -1588,3 +1588,130 @@ def test_weighted_consensus_flips_noisy_tie_and_replays(spark):
         """).fetchall()
     }
     assert out == oracle
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500),
+        min_size=2, max_size=8,
+    )
+)
+def test_temperature_weights_properties_hold_for_any_counts(spark, sizes):
+    """Property sweep: for ANY group-size vector, weights sum to 1,
+    every keep_rate sits in (0, 1] with the smallest group at exactly
+    1, and keep_rate is non-increasing in group size (tau < 1
+    upweights small domains)."""
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        temperature_weights,
+    )
+
+    rows = [
+        (f"doc{g}_{i}", f"g{g}")
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {
+        r.source: (r.n_docs, r.weight, r.keep_rate)
+        for r in temperature_weights(df, "source", tau=0.3).collect()
+    }
+    assert abs(sum(w for _, w, _ in out.values()) - 1.0) < 5e-6
+    assert all(0 < kr <= 1.0 for _, _, kr in out.values())
+    by_size = sorted(out.values())
+    assert by_size[0][2] == 1.0  # smallest group keeps everything
+    for (n1, _, k1), (n2, _, k2) in zip(by_size, by_size[1:]):
+        assert k2 <= k1 + 1e-9 or n1 == n2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=499),
+        ),
+        min_size=3, max_size=30, unique=True,
+    )
+)
+def test_zorder_key_monotone_per_dimension(spark, pts):
+    """Property sweep: with the other coordinate fixed, the Morton key
+    is monotone in each dimension's bucket — the ordering property the
+    range-partitioned layout's per-dimension pruning rests on."""
+    from pyspark.sql import functions as F2
+
+    from healthcare_dbt_datamart_spark.functions.layout import zorder_key
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    z = {
+        r.rid: r.z
+        for r in df.select(
+            "rid",
+            zorder_key(
+                F2.col("a"), F2.col("b"),
+                F2.lit(0), F2.lit(999), F2.lit(0), F2.lit(499),
+            ).alias("z"),
+        ).collect()
+    }
+
+    def bucket(v, hi):
+        return (v - 0) * 65536 // (hi - 0 + 1)
+
+    for i, (a1, b1) in enumerate(pts):
+        for j, (a2, b2) in enumerate(pts):
+            if b1 == b2 and bucket(a1, 999) < bucket(a2, 999):
+                assert z[rows[i][0]] < z[rows[j][0]]
+            if a1 == a2 and bucket(b1, 499) < bucket(b2, 499):
+                assert z[rows[i][0]] < z[rows[j][0]]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=4, max_size=40,
+    )
+)
+def test_bradley_terry_properties_for_any_outcomes(spark, raw_pairs):
+    """Property sweep over arbitrary outcome lists: self-comparisons
+    are dropped, ratings are positive for every participating item,
+    doubling every outcome preserves the RANKING (BT is
+    count-ratio-driven; only the smoothing fraction shifts), and the
+    result is repartition-invariant."""
+    from hypothesis import assume
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+    )
+
+    pairs = [(f"i{a}", f"i{b}") for a, b in raw_pairs if a != b]
+    assume(len(pairs) >= 2)
+    df = spark.createDataFrame(pairs, "winner_id string, loser_id string")
+    got = {
+        r.item: r.rating_fp for r in bradley_terry(df, n_iter=2).collect()
+    }
+    assert got and all(p > 0 for p in got.values())
+
+    doubled = spark.createDataFrame(
+        pairs * 2, "winner_id string, loser_id string"
+    )
+    got2 = {
+        r.item: r.rating_fp
+        for r in bradley_terry(doubled, n_iter=2).collect()
+    }
+    # ranking preserved for every CLEARLY-separated pair (near-ties
+    # may legitimately reorder as doubling halves the smoothing share)
+    for a in got:
+        for b in got:
+            if got[a] > got[b] * 1.05:
+                assert got2[a] > got2[b], (a, b, got, got2)
+
+    rep = {
+        r.item: r.rating_fp
+        for r in bradley_terry(df.repartition(7), n_iter=2).collect()
+    }
+    assert rep == got

@@ -105,6 +105,21 @@ def main() -> int:
             ),
             round(nprobe / 8, 3),
         )
+    # dimension truncation (the Matryoshka/MRL storage dial): cosine
+    # over the first d dims only — scanned_frac here is the BYTE
+    # fraction read per vector; recall shows what the truncation buys
+    # back. Synthetic embeddings have no MRL training, so this is the
+    # pessimistic bound — real MRL models concentrate signal up front.
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select("embedding").first()[0])
+    for d in (dim // 4, dim // 2):
+        demb = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        report(
+            f"truncated_cosine(d={d}/{dim})",
+            lambda q, e=demb: cosine_topk(e, q, k),
+            round(d / dim, 3),
+        )
     return 0
 
 

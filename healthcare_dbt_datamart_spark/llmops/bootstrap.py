@@ -91,30 +91,7 @@ def bootstrap_ci(
     from pyspark.sql.window import Window
 
     v = F.col(value_col).cast("bigint")
-    reps = F.explode(
-        F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
-    ).alias("rep")
-    triples = df.select(
-        F.col(group_col).alias("grp"), v.alias("_v"), F.col(id_col), reps
-    ).select(
-        "grp",
-        "rep",
-        "_v",
-        poisson1_weight(_u60(seed, F.col("rep"), F.col(id_col))).alias("_w"),
-    )
-    rep_means = (
-        triples.groupBy("grp", "rep")
-        .agg(
-            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
-            F.sum("_w").alias("_wn"),
-        )
-        .filter(F.col("_wn") > 0)
-        .select(
-            "grp",
-            "rep",
-            (F.col("_ws").cast("double") / F.col("_wn")).alias("_m"),
-        )
-    )
+    rep_means = _replicate_means(df, value_col, group_col, id_col, n_boot, seed)
     by_mean = Window.partitionBy("grp").orderBy(
         F.col("_m").asc(), F.col("rep").asc()
     )
@@ -153,6 +130,45 @@ def bootstrap_ci(
     )
 
 
+def _replicate_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_boot: int,
+    seed: str,
+) -> DataFrame:
+    """(grp, rep, _m): each replicate's Poisson-weighted mean per group
+    — the shared resampling core of ``bootstrap_ci`` and
+    ``bootstrap_diff_ci`` (one weighting rule, one place to fix it).
+    Exact BIGINT weighted sums; empty replicates dropped."""
+    v = F.col(value_col).cast("bigint")
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+    ).alias("rep")
+    triples = df.select(
+        F.col(group_col).alias("grp"), v.alias("_v"), F.col(id_col), reps
+    ).select(
+        "grp",
+        "rep",
+        "_v",
+        poisson1_weight(_u60(seed, F.col("rep"), F.col(id_col))).alias("_w"),
+    )
+    return (
+        triples.groupBy("grp", "rep")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .select(
+            "grp",
+            "rep",
+            (F.col("_ws").cast("double") / F.col("_wn")).alias("_m"),
+        )
+    )
+
+
 def bootstrap_diff_ci(
     df: DataFrame,
     value_col: str,
@@ -182,40 +198,24 @@ def bootstrap_diff_ci(
     2·n_boot-row table pivots and walks driver-free."""
     from pyspark.sql.window import Window
 
-    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    # retag groups to fixed 'a'/'b' labels BEFORE any pivot: group
+    # VALUES become column names downstream, and a raw value holding a
+    # dot or backtick (model ids like 'model.v1' — the natural A/B
+    # keys) would break F.col resolution on the pivoted frame
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).withColumn(
+        "_tag",
+        F.when(F.col(group_col) == group_a, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
     v = F.col(value_col).cast("bigint")
-    reps = F.explode(
-        F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
-    ).alias("rep")
-    triples = two.select(
-        F.col(group_col).alias("grp"), v.alias("_v"), F.col(id_col), reps
-    ).select(
-        "grp",
-        "rep",
-        "_v",
-        poisson1_weight(_u60(seed, F.col("rep"), F.col(id_col))).alias("_w"),
-    )
-    rep_means = (
-        triples.groupBy("grp", "rep")
-        .agg(
-            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
-            F.sum("_w").alias("_wn"),
-        )
-        .filter(F.col("_wn") > 0)
-        .select(
-            "grp",
-            "rep",
-            (F.col("_ws").cast("double") / F.col("_wn")).alias("_m"),
-        )
-    )
+    rep_means = _replicate_means(two, value_col, "_tag", id_col, n_boot, seed)
     diffs = (
         rep_means.groupBy("rep")
-        .pivot("grp", [group_a, group_b])
+        .pivot("grp", ["a", "b"])
         .agg(F.first("_m"))
-        .filter(
-            F.col(group_a).isNotNull() & F.col(group_b).isNotNull()
-        )
-        .select("rep", (F.col(group_a) - F.col(group_b)).alias("_d"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select("rep", (F.col("a") - F.col("b")).alias("_d"))
     )
     by_diff = Window.orderBy(F.col("_d").asc(), F.col("rep").asc())
     all_rows = Window.partitionBy()
@@ -232,15 +232,15 @@ def bootstrap_diff_ci(
         F.round(F.max("_d"), 6).alias("ci_hi"),
     )
     base = (
-        two.groupBy(F.col(group_col).alias("grp"))
+        two.groupBy(F.col("_tag").alias("grp"))
         .agg((F.sum(v).cast("double") / F.count(F.lit(1))).alias("_m"))
         .groupBy()
-        .pivot("grp", [group_a, group_b])
+        .pivot("grp", ["a", "b"])
         .agg(F.first("_m"))
         .select(
-            F.round(F.col(group_a), 6).alias("mean_a"),
-            F.round(F.col(group_b), 6).alias("mean_b"),
-            F.round(F.col(group_a) - F.col(group_b), 6).alias("diff"),
+            F.round(F.col("a"), 6).alias("mean_a"),
+            F.round(F.col("b"), 6).alias("mean_b"),
+            F.round(F.col("a") - F.col("b"), 6).alias("diff"),
         )
     )
     return base.crossJoin(broadcast(bounds)).select(

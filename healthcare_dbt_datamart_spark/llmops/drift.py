@@ -99,12 +99,20 @@ def sketch_drift_from_cells(
             "_psi_term",
             (F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")),
         )
-        # raw (unsmoothed) CDFs for KS — exact at bucket boundaries
+        # raw (unsmoothed) CDFs for KS — exact at bucket boundaries. An
+        # EMPTY side means maximal drift BY DEFINITION (an upstream
+        # ingest failure is exactly what the monitor must catch), not
+        # an unknowable one: the NULL a 0-division would produce reads
+        # as "no drift" to any `ks > threshold` alarm
         .withColumn(
             "_cdf_gap",
-            F.abs(
-                F.sum("ca").over(walk).cast("double") / F.col("_na")
-                - F.sum("cb").over(walk).cast("double") / F.col("_nb")
+            F.when(
+                (F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(1.0)
+            ).otherwise(
+                F.abs(
+                    F.sum("ca").over(walk).cast("double") / F.col("_na")
+                    - F.sum("cb").over(walk).cast("double") / F.col("_nb")
+                )
             ),
         )
     )

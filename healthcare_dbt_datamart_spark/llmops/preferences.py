@@ -160,9 +160,13 @@ def bradley_terry_from_pairs(
     leaderboard re-derives from the bounded pair table without ever
     re-scanning outcomes. ``bradley_terry`` is the batch convenience
     over this. Smoothing is applied HERE, once, so merged and
-    single-shot inputs rate identically."""
+    single-shot inputs rate identically. Degenerate i = j rows are
+    dropped defensively (a self-pair cannot inform a rating, and the
+    streamed counts table carries its batch ledger as a sentinel
+    self-row)."""
     wins = (
-        pair_wins2.groupBy("i", "j")
+        pair_wins2.filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
         .agg(F.sum("w2").alias("_w2raw"))
         .select(
             "i", "j", (F.col("_w2raw") + F.lit(smoothing2)).alias("w2")
@@ -380,16 +384,33 @@ def weighted_consensus(
     rows a review queue looks at)."""
     from pyspark.sql.window import Window
 
-    rel = annotator_agreement(votes, item_col, annotator_col, label_col)
-    weights = rel.select(
-        annotator_col,
-        F.greatest(
-            F.col("agree_rate").cast("decimal(10,6)"),
-            F.lit(weight_floor).cast("decimal(10,6)"),
-        ).alias("_wt"),
-    )
+    # ONE consensus pass feeds both the reliability table and the
+    # final comparison — calling annotator_agreement here would run
+    # the identical majority aggregation over the full votes relation
+    # a second time (a redundant corpus shuffle at scale)
     maj = majority_vote(votes, item_col, label_col).select(
         item_col, "majority_label", "n_votes"
+    )
+    rel = (
+        votes.join(maj.select(item_col, "majority_label"), item_col)
+        .groupBy(F.col(annotator_col).alias("annotator"))
+        .agg(
+            (
+                F.sum(
+                    (F.col(label_col) == F.col("majority_label")).cast(
+                        "long"
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("_rate")
+        )
+    )
+    weights = rel.select(
+        F.col("annotator").alias(annotator_col),
+        F.greatest(
+            F.round("_rate", 6).cast("decimal(10,6)"),
+            F.lit(weight_floor).cast("decimal(10,6)"),
+        ).alias("_wt"),
     )
     scored = (
         votes.join(F.broadcast(weights), annotator_col)

@@ -260,14 +260,20 @@ def temperature_weights_from_counts(
         )
     )
     ratio = (F.col("_w") / F.col("n_docs")) / F.col("_mx")
+    # floor alone would hand a rate_num of 0 to any group with
+    # keep_rate < 1/rate_scale (imbalance beyond ~rate_scale^(1/(1-tau))
+    # — routine in multilingual corpora), silently DELETING the group
+    # from the rebalanced corpus; clamp to 1 so extreme heads are
+    # down-sampled to the floor rate, never dropped
     return wtd.select(
         "grp",
         "n_docs",
         F.round("_w", 6).alias("weight"),
         F.round(ratio, 6).alias("keep_rate"),
-        F.floor(F.lit(float(rate_scale)) * ratio).cast("int").alias(
-            "rate_num"
-        ),
+        F.greatest(
+            F.floor(F.lit(float(rate_scale)) * ratio).cast("int"),
+            F.lit(1),
+        ).alias("rate_num"),
     )
 
 

@@ -366,10 +366,16 @@ def pref_counts_merge_batch(
     from ..operators.materialize import materialize_table
 
     _LEDGER = "__batch_ledger__"
-    batch = batch_outcomes.groupBy(
-        F.col(winner_col).cast("string").alias("i"),
-        F.col(loser_col).cast("string").alias("j"),
-    ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    # drop self-comparisons at ingest, mirroring bradley_terry's batch
+    # path — streamed and single-shot counts must rate identically
+    batch = (
+        batch_outcomes.filter(F.col(winner_col) != F.col(loser_col))
+        .groupBy(
+            F.col(winner_col).cast("string").alias("i"),
+            F.col(loser_col).cast("string").alias("j"),
+        )
+        .agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    )
     if spark.catalog.tableExists(target_table):
         cur = spark.table(target_table)
         mark = cur.filter(F.col("i") == _LEDGER).select("w2").collect()

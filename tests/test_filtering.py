@@ -762,7 +762,8 @@ def test_temperature_weights_duckdb_replay_and_properties(spark):
         mx AS (SELECT MAX(_w / n_docs) AS _mx FROM wtd)
         SELECT grp, n_docs, round(_w, 6) AS weight,
                round((_w / n_docs) / _mx, 6) AS keep_rate,
-               CAST(floor(256.0 * (_w / n_docs) / _mx) AS INTEGER) AS rate_num
+               GREATEST(CAST(floor(256.0 * (_w / n_docs) / _mx)
+                             AS INTEGER), 1) AS rate_num
         FROM wtd, mx
         """).fetchall()
     }
@@ -1715,3 +1716,55 @@ def test_bradley_terry_properties_for_any_outcomes(spark, raw_pairs):
         for r in bradley_terry(df.repartition(7), n_iter=2).collect()
     }
     assert rep == got
+
+
+def test_temperature_rate_floor_never_deletes_a_group(spark):
+    """Extreme imbalance: the head group's keep_rate falls below
+    1/256, but the clamped rate_num keeps at least bucket 0 — the
+    group is down-sampled to the floor rate, never silently dropped."""
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        temperature_weights,
+    )
+
+    rows = [(f"h{i}", "head") for i in range(60000)] + [
+        (f"t{i}", "tail") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {
+        r.source: (r.keep_rate, r.rate_num)
+        for r in temperature_weights(df, "source", tau=0.3).collect()
+    }
+    assert out["head"][0] < 1 / 256  # genuinely below the quantum
+    assert out["head"][1] == 1  # clamped, not deleted
+    assert out["tail"][1] == 256
+
+
+def test_sketch_drift_empty_snapshot_alarms_maximally(spark):
+    """An empty candidate snapshot (broken ingest) must read as MAXIMAL
+    drift, not NULL-that-compares-false: ks = 1.0 and a large psi."""
+    from healthcare_dbt_datamart_spark.llmops.drift import (
+        sketch_drift_report,
+    )
+
+    a = spark.createDataFrame([(int(1 + i % 50),) for i in range(500)], "x long")
+    b = a.filter("x < 0")  # empty
+    r = sketch_drift_report(a, b, "x").collect()[0]
+    assert r.n_b == 0 and r.ks == 1.0  # KS carries the empty-side alarm
+    assert r.psi > 0  # smoothing damps PSI when one side is empty
+
+
+def test_bootstrap_diff_ci_handles_dotted_group_names(spark):
+    """Group VALUES become pivot column names; ids with dots (model
+    versions — the natural A/B keys) must not break column resolution."""
+    from healthcare_dbt_datamart_spark.llmops.bootstrap import (
+        bootstrap_diff_ci,
+    )
+
+    rows = [("model.v1", i, 1050 + (i * 7) % 21) for i in range(200)] + [
+        ("model.v2", 10_000 + i, 1000 + (i * 7) % 21) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "src string, rid long, x long")
+    r = bootstrap_diff_ci(
+        df, "x", "src", "rid", "model.v1", "model.v2"
+    ).collect()[0]
+    assert r.significant is True and r.ci_lo > 0

@@ -110,8 +110,6 @@ def main() -> int:
     # fraction read per vector; recall shows what the truncation buys
     # back. Synthetic embeddings have no MRL training, so this is the
     # pessimistic bound — real MRL models concentrate signal up front.
-    from pyspark.sql import functions as F
-
     dim = len(emb.select("embedding").first()[0])
     for d in (dim // 4, dim // 2):
         demb = emb.withColumn("embedding", F.slice("embedding", 1, d))

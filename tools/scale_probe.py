@@ -526,22 +526,26 @@ def probe_cbo_join_reorder(spark, sf_dir):
         return spark.sql(sql)
 
     def join_nesting(df) -> tuple[int, int]:
+        # find(), not index(): a Spark version that prints the join
+        # condition differently must degrade to property_holds=False,
+        # not crash the whole probe suite mid-run
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         return (
-            opt.index("Join Inner, (l_orderkey"),
-            opt.index("Join Inner, (o_custkey"),
+            opt.find("Join Inner, (l_orderkey"),
+            opt.find("Join Inner, (o_custkey"),
         )
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         right = q(True)
         li_pos, cu_pos = join_nesting(right)
-        # reordered: the selective dim join is NESTED (prints below)
-        holds = li_pos < cu_pos
+        # reordered: the selective dim join is NESTED (prints below);
+        # -1 (pattern absent) fails the property gracefully
+        holds = 0 <= li_pos < cu_pos
         t_right = _time(right)
         wrong = q(False)
         wli, wcu = join_nesting(wrong)
-        holds = holds and (wcu < wli)  # text order without CBO
+        holds = holds and 0 <= wcu < wli  # text order without CBO
         t_wrong = _time(wrong)
     finally:
         for k in (

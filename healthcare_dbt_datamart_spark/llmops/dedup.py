@@ -168,7 +168,14 @@ def lsh_band_buckets(
     Emitted as array-of-structs + ``explode`` so the (expensive) signature
     projection upstream is evaluated ONCE per row — a UNION ALL of per-band
     selects would re-run the whole scan+tokenize+minhash chain per band.
+
+    ``num_hashes % band_size != 0`` emits a final SHORTER band covering
+    the remainder minhashes instead of silently dropping them (the
+    sign-LSH path's rule, similarity.py::near_dup_pairs_lsh) — dropped
+    hashes would mean candidates that agree only there are never
+    emitted, a silent recall loss.
     """
+    starts = list(range(0, num_hashes, band_size))
     bands = F.array(
         *[
             F.struct(
@@ -176,11 +183,14 @@ def lsh_band_buckets(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                        *[
+                            F.col(f"mh{s + j}")
+                            for j in range(min(band_size, num_hashes - s))
+                        ],
                     )
                 ).alias("band_key"),
             )
-            for b in range(num_hashes // band_size)
+            for b, s in enumerate(starts)
         ]
     )
     keep = [F.col(c) for c in carry]
@@ -195,7 +205,10 @@ def lsh_band_buckets(
 
 
 def candidate_pairs(
-    buckets: DataFrame, id_col: str, max_bucket: int | None = None
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket: int | None = None,
+    precount: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) near-dup candidate pairs per bucket.
 
@@ -205,14 +218,35 @@ def candidate_pairs(
     the upstream signature pipeline for each side. ``max_bucket`` (standard
     LSH practice) drops degenerate mega-buckets whose quadratic pair
     blowup would dominate at scale; None keeps every bucket.
-    """
+
+    The default filters on the COLLECTED set's size — one pass, but a
+    degenerate mega-bucket (the all-positive sign-LSH region) still
+    materializes its full id array in one aggregation buffer before
+    being discarded. ``precount=True`` is the production form: count
+    distinct ids per bucket first (skinny partial-agg), broadcast
+    anti-join the rare oversized keys away, THEN collect — bounded
+    buffers at any bucket cardinality, at the cost of a second pass
+    over the bucket stream (persist upstream, or accept the recompute;
+    locally the single pass wins, which is why it stays the default).
+    Both paths emit the identical pair set (asserted in tests)."""
+    src = buckets
+    if precount and max_bucket is not None:
+        oversized = (
+            buckets.groupBy("band_idx", "band_key")
+            .agg(F.count_distinct(F.col(id_col)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        src = buckets.join(
+            F.broadcast(oversized), ["band_idx", "band_key"], "left_anti"
+        )
     ids = F.array_sort(F.collect_set(F.col(id_col)))
     grouped = (
-        buckets.groupBy("band_idx", "band_key")
+        src.groupBy("band_idx", "band_key")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
+    if max_bucket is not None and not precount:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
@@ -479,11 +513,17 @@ def exact_substr_coverage(
         F.col(id_col),
         "n_chars",
         F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
-        F.round(
-            F.coalesce("covered_chars", F.lit(0)).cast("double")
-            / F.col("n_chars").cast("double"),
-            6,
-        ).alias("coverage_ratio"),
+        # 0-length docs report 0.0, not the NULL a 0/0 division yields —
+        # a NULL ratio vanishes from BOTH sides of a >= threshold split
+        F.when(F.col("n_chars") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("covered_chars", F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            )
+        )
+        .alias("coverage_ratio"),
         F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
     )
 
@@ -494,6 +534,12 @@ def exact_substr_dedup(
     id_col: str,
     min_len: int = 30,
 ) -> DataFrame:
+    # NOTE: shares the window/hash/islands pipeline SHAPE with
+    # exact_substr_coverage above (span predicate differs). The
+    # duplication is deliberate for now: both paths are independently
+    # oracle-hash-gated, so drift between them fails the driver gate
+    # loudly; a shared helper is queued behind the round-5 rotation to
+    # avoid touching two in-window hashes mid-round.
     """Exact-substring REMOVAL (the surgery half of Lee et al.
     arXiv:2107.06499's ExactSubstr dedup; ``exact_substr_coverage`` is
     the report half): every maximal span of length >= ``min_len`` that

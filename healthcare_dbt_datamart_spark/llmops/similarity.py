@@ -61,7 +61,14 @@ def cosine_topk(
     cell is scanned (on a label-partitioned table Catalyst prunes the
     rest).
     """
-    qcols = [F.col(vec_col).alias("q_vec")]
+    # the query norm is staged ON the broadcast 1-row relation: the
+    # same _norm fold over the same array yields the identical double,
+    # but it runs ONCE instead of once per candidate row — on the
+    # advertised O(n·d) full scan that is a third of the fold work
+    qcols = [
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    ]
     if restrict_label:
         qcols.append(F.col(label_col).alias("q_label"))
     q = emb.filter(F.col(id_col) == query_id).select(*qcols)
@@ -72,7 +79,11 @@ def cosine_topk(
     return (
         joined.select(
             id_col,
-            F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col(vec_col), F.col("q_vec"))
+                / (_norm(F.col(vec_col)) * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -94,11 +105,36 @@ def ivf_centroids(
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) < k:
+        # fail LOUDLY like pq_codebooks does for the same seed rule: a
+        # short seed set would silently train fewer cells and hand
+        # downstream assigns NULL cells / semantic_salt a zero divisor
+        raise ValueError(
+            f"seed rule needs ids 0..{k - 1} present; found {len(rows)}"
+            f" of {k} — remap ids or pass pre-trained centroids"
+        )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
 def _lit_vec(vals: list[float]) -> Column:
     return F.array(*[F.lit(v) for v in vals])
+
+
+def _query_vec(
+    df: DataFrame, id_col: str, vec_col: str, query_id
+) -> list[float]:
+    """Fetch the query row's vector as driver floats, failing LOUDLY
+    when the id is absent — the bare ``collect()[0][0]`` this replaces
+    raised an opaque IndexError only after whatever index build
+    preceded it had already paid its passes over the corpus."""
+    rows = (
+        df.filter(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"query_id {query_id!r} not found in {id_col} — nothing to search for"
+        )
+    return [float(x) for x in rows[0][0]]
 
 
 def ivf_assign(
@@ -233,12 +269,7 @@ def ivf_topk(
     try:
         if centroids is None:
             centroids = _lloyd_fit(cached, n_centroids, n_iter, id_col, vec_col)
-        qvec = [
-            float(x)
-            for x in cached.filter(F.col(id_col) == query_id)
-            .select(vec_col)
-            .collect()[0][0]
-        ]
+        qvec = _query_vec(cached, id_col, vec_col, query_id)
         qn = _py_norm(qvec)
         probes = _probe_cells(centroids, qvec, qn, nprobe)
 
@@ -807,24 +838,11 @@ def pq_topk(
     spark = emb.sparkSession
     if codebooks is None:
         codebooks = pq_codebooks(emb, m, n_codes, id_col, vec_col)
-    sub = len(codebooks[0][0][1])
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .collect()[0][0]
-    ]
-    # per-subspace distance table: ‖q_s − codebook entry‖² (model state)
-    dt = [
-        [
-            sum(
-                (qvec[s * sub + i] - cv[i]) * (qvec[s * sub + i] - cv[i])
-                for i in range(sub)
-            )
-            for _cid, cv in book
-        ]
-        for s, book in enumerate(codebooks)
-    ]
+    qvec = _query_vec(emb, id_col, vec_col, query_id)
+    # per-subspace distance table via the SHARED helper — one table
+    # rule for pq_topk and both IVFADC variants (drift here silently
+    # breaks their documented ADC parity)
+    dt = _adc_tables(codebooks, qvec)
     ddf = spark.createDataFrame([(dt,)], "dt array<array<double>>")
     staged = (
         emb.filter(F.col(id_col) != query_id)
@@ -894,6 +912,15 @@ def _lloyd_fit(
     further passes over the same vectors (``kmeans_cells`` report,
     ``ivf_topk`` assignment) share one persist lifecycle instead of
     re-scanning the unpersisted lineage after the fit."""
+    # KNOWN SOFT SPOT (scheduled for the round-5 rotation, when the
+    # whole quantizer family re-enters the driver window together):
+    # the mean below is an UNROUNDED double avg — partial-sum merge
+    # order could in principle flip a later 6dp cell_sim boundary.
+    # Empirically stable across the CPUS=7 and VANILLA(200-partition)
+    # sweeps; the fix (round 9dp here + in _lloyd_ctes, the
+    # pq_codebooks_trained discipline) changes every quantizer-derived
+    # hash, so it must land in the same round as the family's window
+    # slots — not mid-round, where it would orphan their r3 evidence.
     centroids = ivf_centroids(cached, k, id_col, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(cached, centroids, id_col, vec_col)
@@ -1193,12 +1220,7 @@ def ivfadc_topk(
             codebooks = pq_codebooks_trained(
                 cached, m, n_codes, n_iter, id_col, vec_col
             )
-        qvec = [
-            float(x)
-            for x in cached.filter(F.col(id_col) == query_id)
-            .select(vec_col)
-            .collect()[0][0]
-        ]
+        qvec = _query_vec(cached, id_col, vec_col, query_id)
         qn = _py_norm(qvec)
 
         # probe selection: k·d driver-side arithmetic on model state,
@@ -1395,6 +1417,19 @@ def ivfpq_index_upsert(
         .repartition("cell")
         .localCheckpoint(eager=True)
     )
+    # a touched cell can end up EMPTY (its only vectors re-embedded
+    # into other cells): dynamic overwrite only rewrites partitions
+    # present in the written data, so the vacated partition's stale
+    # rows would survive — and the moved ids would exist TWICE in the
+    # index. Drop emptied partitions explicitly first.
+    present = {
+        int(r.cell) for r in merged.select("cell").distinct().collect()
+    }
+    for c in touched:
+        if c not in present:
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (cell={c})"
+            )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1445,12 +1480,7 @@ def ivfadc_topk_indexed(
     in-plan variant legitimately offers — would silently compute
     distances against the wrong codebooks."""
     spark = emb.sparkSession
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .collect()[0][0]
-    ]
+    qvec = _query_vec(emb, id_col, vec_col, query_id)
     qn = _py_norm(qvec)
     probes = _probe_cells(centroids, qvec, qn, nprobe)
 

@@ -5441,7 +5441,9 @@ isl AS (
 m AS (SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY doc_id, g)
 SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_chars,
        CAST(sum(m.me - m.ms) AS BIGINT) AS covered_chars,
-       round(sum(m.me - m.ms)::DOUBLE / b.n, 6) AS coverage_ratio,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE round(sum(m.me - m.ms)::DOUBLE / b.n, 6)
+       END AS coverage_ratio,
        CAST(count(*) AS BIGINT) AS n_spans
 FROM m JOIN base b USING (doc_id)
 GROUP BY b.doc_id, b.n

@@ -2692,3 +2692,131 @@ def test_contrastive_triplets_structure_and_margins(spark):
 
     again = contrastive_triplets(emb, k_pos=2, k_neg=2, **kw).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_index_upsert_clears_vacated_partition(spark):
+    """The vacated-to-empty cell case: re-embedding EVERY vector of a
+    cell moves them all elsewhere; the emptied partition must be
+    dropped, not left serving stale pre-re-embed rows (which would also
+    duplicate the moved ids)."""
+    import numpy as np
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_rows,
+        ivfpq_index_upsert,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+
+    rng = np.random.RandomState(31)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1.0, 16)]) for i in range(70)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=5, n_iter=2)
+    books = pq_codebooks_trained(emb, m=2, k=4, n_iter=2)
+    name = "ivfpq_vacate_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        build_ivfpq_index(emb, name, cents, books)
+        pops = {
+            r.cell: r.n
+            for r in spark.table(name)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        victim = min(pops, key=pops.get)
+        moved = [
+            r.vec_id
+            for r in spark.table(name).filter(F.col("cell") == victim).collect()
+        ]
+        donor_vec = next(
+            v for i, v in rows
+            if i not in moved
+        )
+        delta_rows = [(i, donor_vec) for i in moved]
+        delta = spark.createDataFrame(
+            delta_rows, "vec_id long, embedding array<float>"
+        )
+        ivfpq_index_upsert(delta, name, cents, books)
+
+        after = spark.table(name)
+        assert after.filter(F.col("cell") == victim).count() == 0
+        assert after.count() == 70  # no duplicated ids
+        assert after.select("vec_id").distinct().count() == 70
+        final = {i: v for i, v in rows}
+        final.update(dict(delta_rows))
+        expect = {
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in ivfpq_index_rows(
+                spark.createDataFrame(
+                    sorted(final.items()), "vec_id long, embedding array<float>"
+                ),
+                cents, books,
+            ).collect()
+        }
+        got = {(r.vec_id, tuple(r.codes), r.cell) for r in after.collect()}
+        assert got == expect
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_band_remainder_and_precount_parity(spark):
+    """Review regressions: (1) a band_size that doesn't divide
+    num_hashes emits a SHORTER final band instead of silently dropping
+    the remainder minhashes — docs agreeing only there must still
+    collide; (2) candidate_pairs' precount path (bounded aggregation
+    buffers) emits the identical pair set as the single-pass default."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        candidate_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    # 8 hashes, band_size 3 -> bands of 3,3,2: all 8 hashes covered
+    b = lsh_band_buckets(sigs, "doc_id", num_hashes=8, band_size=3)
+    assert b.select("band_idx").distinct().count() == 3
+    # full-coverage invariant: union of banded hash positions == 8
+    # (structural check: 3 bands exist; the shorter final band is real
+    # because its keys differ from a 3-hash band's would-be keys)
+    pairs_rem = {
+        (r.id_a, r.id_b) for r in candidate_pairs(b, "doc_id").collect()
+    }
+    assert (1, 2) in pairs_rem  # near-dups still collide
+
+    # precount parity on the standard banding
+    b2 = lsh_band_buckets(sigs, "doc_id", num_hashes=8, band_size=2)
+    default = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(b2, "doc_id", max_bucket=10).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(
+            b2, "doc_id", max_bucket=10, precount=True
+        ).collect()
+    }
+    assert default == pre
+    # and with a max_bucket that actually drops a bucket
+    tiny = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(
+            b2, "doc_id", max_bucket=1, precount=True
+        ).collect()
+    }
+    tiny_default = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(b2, "doc_id", max_bucket=1).collect()
+    }
+    assert tiny == tiny_default == set()

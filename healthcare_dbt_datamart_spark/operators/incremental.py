@@ -57,7 +57,13 @@ def recover_swap(spark: SparkSession, name: str) -> bool:
     return False
 
 
-def _swap_in(spark: SparkSession, name: str, new_contents: DataFrame) -> None:
+def _swap_in(
+    spark: SparkSession,
+    name: str,
+    new_contents: DataFrame,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
+) -> None:
     """Write new contents (which may read from the current target) to a
     temp table, then swap via the reference's backup-rename-drop
     (``dbt-adapters/.../table.sql:36-59``): the old target is RENAMED to
@@ -107,8 +113,28 @@ def _assert_unique_source_keys(
         )
 
 
+def _combined_predicate(incremental_predicates: list[str]):
+    """AND of the incremental_predicates with NULL coalesced to FALSE —
+    SQL 3VL: a row where the predicate evaluates NULL is NOT matched by
+    MERGE/DELETE, so NULL rows belong with the protected set (negating a
+    raw NULL would silently drop them from BOTH sides of the split).
+    ONE definition serves merge's protected split, merge's
+    column-subset match filter, and delete+insert's candidate split —
+    three hand-copied versions of this subtle coalesce-before-negate
+    rule drifted apart is exactly the bug class this prevents."""
+    return F.coalesce(
+        reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]),
+        F.lit(False),
+    )
+
+
 def _apply_schema_change(
-    spark: SparkSession, name: str, source: DataFrame, on_schema_change: str
+    spark: SparkSession,
+    name: str,
+    source: DataFrame,
+    on_schema_change: str,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> DataFrame:
     """I7: reconcile source vs target schema (``incremental.sql:50-58``).
 
@@ -174,7 +200,7 @@ def _apply_schema_change(
             *[F.col(c) for c in t_cols if c in s_cols],
             *[F.lit(None).cast(source.schema[c].dataType).alias(c) for c in new_cols],
         )
-        _swap_in(spark, name, synced)
+        _swap_in(spark, name, synced, cluster_by, zorder_by)
     elif new_cols:
         _add_columns(new_cols)
     return source.select(*s_cols)
@@ -195,6 +221,8 @@ def incremental_run(
     incremental_predicates: list[str] | None = None,
     merge_update_columns: list[str] | None = None,
     merge_exclude_columns: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> None:
     """Run one incremental build (``incremental.sql:38-69`` dispatch).
 
@@ -245,10 +273,14 @@ def incremental_run(
         source = source.filter(in_window)
 
     if not is_incremental(spark, name, full_refresh):
-        materialize_table(spark, name, source)
+        materialize_table(
+            spark, name, source, cluster_by=cluster_by, zorder_by=zorder_by
+        )
         return
 
-    source = _apply_schema_change(spark, name, source, on_schema_change)
+    source = _apply_schema_change(
+        spark, name, source, on_schema_change, cluster_by, zorder_by
+    )
     target = spark.table(name)
     # insertInto is positional — pin source to the target's column order
     source = source.select(*[F.col(c) for c in target.columns])
@@ -271,15 +303,9 @@ def incremental_run(
             # merge.sql predicates: target rows OUTSIDE the predicates are
             # protected from matching (never updated) — at scale this is
             # the partition-pruning hint that keeps the MERGE from
-            # scanning the whole target. SQL 3VL: a row where the
-            # predicate evaluates to NULL is NOT matched by MERGE/DELETE,
-            # so NULL rows belong with the protected set — coalesce to
-            # FALSE before negating, or ~NULL (= NULL) silently drops
-            # them from BOTH filters and the rebuilt table loses rows.
-            pred = F.coalesce(
-                reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]),
-                F.lit(False),
-            )
+            # scanning the whole target. 3VL discipline lives in
+            # _combined_predicate.
+            pred = _combined_predicate(incremental_predicates)
             protected = target.filter(~pred)
             kept = protected.unionByName(
                 target.filter(pred).join(
@@ -309,13 +335,7 @@ def incremental_run(
             match_target = target
             if incremental_predicates:
                 match_target = target.filter(
-                    F.coalesce(
-                        reduce(
-                            lambda a, b: a & b,
-                            [F.expr(p) for p in incremental_predicates],
-                        ),
-                        F.lit(False),
-                    )
+                    _combined_predicate(incremental_predicates)
                 )
             upd = {c for c in update_cols}
             matched = match_target.alias("t").join(source.alias("s"), keys, "inner").select(
@@ -330,9 +350,13 @@ def incremental_run(
             new_rows = source.join(
                 match_target.select(*keys).distinct(), keys, "left_anti"
             )
-            _swap_in(spark, name, kept.unionByName(matched).unionByName(new_rows))
+            _swap_in(
+                spark, name,
+                kept.unionByName(matched).unionByName(new_rows),
+                cluster_by, zorder_by,
+            )
             return
-        _swap_in(spark, name, kept.unionByName(source))
+        _swap_in(spark, name, kept.unionByName(source), cluster_by, zorder_by)
         return
 
     if strategy == "delete+insert":
@@ -345,25 +369,23 @@ def incremental_run(
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         if incremental_predicates:
             # predicates restrict which target rows are delete-candidates;
-            # NULL-evaluating rows are NOT delete-candidates (SQL DELETE
-            # 3VL) — coalesce before negating so they stay protected
-            pred = F.coalesce(
-                reduce(lambda a, b: a & b, [F.expr(p) for p in incremental_predicates]),
-                F.lit(False),
-            )
+            # NULL rows stay protected (_combined_predicate's 3VL rule)
+            pred = _combined_predicate(incremental_predicates)
             protected = target.filter(~pred)
             candidates = target.filter(pred)
             kept = protected.unionByName(
                 candidates.join(source.select(*keys).distinct(), keys, "left_anti")
             )
-        _swap_in(spark, name, kept.unionByName(source))
+        _swap_in(spark, name, kept.unionByName(source), cluster_by, zorder_by)
         return
 
     if strategy == "insert_overwrite":
         # I4: Snowflake semantics — full truncate + insert, atomic
         # (insert_overwrite.sql:1-13). Deliberately NOT Spark's
         # partition-targeted INSERT OVERWRITE.
-        materialize_table(spark, name, source)
+        materialize_table(
+            spark, name, source, cluster_by=cluster_by, zorder_by=zorder_by
+        )
         return
 
     if strategy == "microbatch":
@@ -372,7 +394,7 @@ def incremental_run(
         # predicate was validated and applied to ``source`` up front so
         # the first-run CTAS shares it
         kept = target.filter(~in_window)
-        _swap_in(spark, name, kept.unionByName(source))
+        _swap_in(spark, name, kept.unionByName(source), cluster_by, zorder_by)
         return
 
     raise ValueError(f"unknown incremental strategy: {strategy}")

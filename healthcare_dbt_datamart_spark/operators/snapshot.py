@@ -63,6 +63,8 @@ def snapshot_run(
     hard_deletes: str = "ignore",
     run_ts: str | None = None,
     dbt_valid_to_current: str | None = None,
+    cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> None:
     """Execute one snapshot pass against table ``name``.
 
@@ -119,7 +121,9 @@ def snapshot_run(
         )
         from .materialize import materialize_table
 
-        materialize_table(spark, name, first)
+        materialize_table(
+            spark, name, first, cluster_by=cluster_by, zorder_by=zorder_by
+        )
         return
 
     target = spark.table(name)
@@ -139,11 +143,24 @@ def snapshot_run(
             F.col("dbt_valid_to") == F.lit(dbt_valid_to_current).cast("timestamp")
         )
     current = target.filter(is_open)
+    # the open row's deleted flag rides along: delete detection must
+    # skip keys ALREADY tombstoned (helpers.sql excludes
+    # dbt_is_deleted='True' rows — without it a still-absent key gets a
+    # fresh tombstone every run, unbounded), and a REAPPEARING deleted
+    # key must count as changed (strategies.sql's
+    # `or snapshotted.dbt_is_deleted = 'True'`) even when its values
+    # match the tombstone's
+    snap_deleted = (
+        F.col("dbt_is_deleted")
+        if "dbt_is_deleted" in target.columns
+        else F.lit("False")
+    )
     snap = current.select(
         *[F.col(k).alias(f"key_{k}") for k in keys],
         *[F.col(c).alias(f"snap_{c}") for c in data_cols if c not in keys],
         F.col("dbt_valid_from").alias("snap_dbt_valid_from"),
         F.col("dbt_scd_id").alias("snap_dbt_scd_id"),
+        F.coalesce(snap_deleted, F.lit("False")).alias("snap_dbt_is_deleted"),
     )
     src = source.select(
         *[F.col(k) for k in keys],
@@ -162,6 +179,17 @@ def snapshot_run(
     else:
         changed = _row_changed_check(cols_to_check)
         new_valid_from = ts
+    was_tombstoned = F.col("snap_dbt_is_deleted") == "True"
+    if hard_deletes == "new_record":
+        # revival: a key whose open row is a tombstone counts as changed
+        changed = changed | was_tombstoned
+        if strategy == "timestamp":
+            # the revived row's updated_at may predate the tombstone's
+            # valid_from (a restore keeps original times) — version from
+            # the snapshot time instead so valid_from stays monotone
+            new_valid_from = F.when(
+                was_tombstoned, ts
+            ).otherwise(new_valid_from)
 
     def src_row():
         cols = [joined[k].alias(k) for k in keys] + [
@@ -198,11 +226,14 @@ def snapshot_run(
 
     changeset = insertions.unionByName(updates)
 
-    # deletes (SN6): snapshot rows whose key vanished from source
+    # deletes (SN6): snapshot rows whose key vanished from source —
+    # EXCLUDING rows already tombstoned (else every later run without
+    # the key re-closes and re-tombstones it: unbounded row growth)
+    not_yet_deleted = F.col("snap_dbt_is_deleted") != "True"
     if hard_deletes in ("invalidate", "new_record"):
-        deletes = joined.filter(snap_present & ~src_present).select(
-            F.col("snap_dbt_scd_id").alias("close_scd_id")
-        )
+        deletes = joined.filter(
+            snap_present & ~src_present & not_yet_deleted
+        ).select(F.col("snap_dbt_scd_id").alias("close_scd_id"))
     else:
         deletes = None
 
@@ -214,7 +245,7 @@ def snapshot_run(
     )
     if deletes is not None:
         to_close = to_close.unionByName(
-            joined.filter(snap_present & ~src_present).select(
+            joined.filter(snap_present & ~src_present & not_yet_deleted).select(
                 F.col("snap_dbt_scd_id").alias("dbt_scd_id"), ts.alias("_close_at")
             )
         )
@@ -239,7 +270,7 @@ def snapshot_run(
     # 3. hard_deletes='new_record': tombstone row per deleted key
     #    (helpers.sql:164-205)
     if hard_deletes == "new_record":
-        tomb_src = joined.filter(snap_present & ~src_present)
+        tomb_src = joined.filter(snap_present & ~src_present & not_yet_deleted)
         tombstones = tomb_src.select(
             *[F.col(f"key_{k}").alias(k) for k in keys],
             *[F.col(f"snap_{c}").alias(c) for c in data_cols if c not in keys],
@@ -258,4 +289,4 @@ def snapshot_run(
 
     from .incremental import _swap_in
 
-    _swap_in(spark, name, result)
+    _swap_in(spark, name, result, cluster_by, zorder_by)

@@ -24,6 +24,19 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _declarative_config(mdef: "_ModelDef") -> dict:
+    """The declarative (non-callable) slice of a model's config — ONE
+    definition shared by manifest() and _node_checksum(): these two MUST
+    see the same config view, or state:modified compares checksums
+    computed over different inputs than the manifest stores."""
+    return {
+        k: v
+        for k, v in mdef.config.items()
+        if not callable(v)
+        and not (isinstance(v, list) and any(callable(x) for x in v))
+    }
+
+
 @dataclass
 class _ModelDef:
     fn: Callable[["ModelContext"], DataFrame]
@@ -97,6 +110,25 @@ class ModelRegistry:
         self.run_results: list[dict] = []
         self._exposures: dict[str, dict] = {}
         self._unit_tests: dict[str, dict] = {}
+
+    def _reject_rewrite_layouts(
+        self, name: str, mdef: "_ModelDef", kind: str
+    ) -> None:
+        """Incremental/snapshot targets rewrite through the swap, which
+        supports the SORT layouts (cluster_by / zorder_by) but not
+        bucket_by (Spark cannot insertInto bucketed tables — the append
+        strategy would break) or partition_by (hive partition metadata
+        does not survive the rename swap). Declaring one of those on a
+        rewriting materialization must fail LOUDLY — before this check
+        they were silently ignored, writing plain parquet while the
+        model claimed a layout."""
+        for k in ("bucket_by", "partition_by"):
+            if mdef.config.get(k):
+                raise ValueError(
+                    f"{kind} model '{name}' declares {k}, which the"
+                    f" {kind} rewrite path cannot honor (use cluster_by"
+                    " / zorder_by, or a table materialization)"
+                )
 
     # -- declaration ------------------------------------------------------
 
@@ -291,10 +323,7 @@ class ModelRegistry:
                 name: {
                     "materialized": mdef.materialized,
                     "relation": self._relation(name),
-                    "config": {
-                        k: v for k, v in mdef.config.items() if not callable(v)
-                        and not (isinstance(v, list) and any(callable(x) for x in v))
-                    },
+                    "config": _declarative_config(mdef),
                     "depends_on": sorted(edges.get(name, ())),
                     "checksum": self._node_checksum(mdef),
                 }
@@ -319,10 +348,7 @@ class ModelRegistry:
                 repr((code.co_code, consts, code.co_names)).encode()
             ).hexdigest()
 
-        cfg = {
-            k: v for k, v in sorted(mdef.config.items()) if not callable(v)
-            and not (isinstance(v, list) and any(callable(x) for x in v))
-        }
+        cfg = dict(sorted(_declarative_config(mdef).items()))
         return hashlib.md5(
             repr((mdef.materialized, cfg, fp(mdef.fn.__code__))).encode()
         ).hexdigest()
@@ -517,6 +543,7 @@ class ModelRegistry:
             )
             out = self.spark.table(rel)
         elif m == "incremental":
+            self._reject_rewrite_layouts(name, mdef, "incremental")
             incremental_run(
                 self.spark,
                 rel,
@@ -528,9 +555,12 @@ class ModelRegistry:
                 event_time=mdef.config.get("event_time"),
                 batch_start=mdef.config.get("batch_start"),
                 batch_end=mdef.config.get("batch_end"),
+                cluster_by=mdef.config.get("cluster_by"),
+                zorder_by=mdef.config.get("zorder_by"),
             )
             out = self.spark.table(rel)
         elif m == "snapshot":
+            self._reject_rewrite_layouts(name, mdef, "snapshot")
             snapshot_run(
                 self.spark,
                 rel,
@@ -541,6 +571,8 @@ class ModelRegistry:
                 check_cols=mdef.config.get("check_cols", "all"),
                 hard_deletes=mdef.config.get("hard_deletes", "ignore"),
                 run_ts=mdef.config.get("run_ts"),
+                cluster_by=mdef.config.get("cluster_by"),
+                zorder_by=mdef.config.get("zorder_by"),
             )
             out = self.spark.table(rel)
         else:
@@ -590,11 +622,19 @@ class ModelRegistry:
 
         start, end = self.batch_range
         rel = self._relation(name)
+        event_time = mdef.config.get("event_time")
+        if not event_time:
+            # match the non-backfill path's explicit error instead of an
+            # opaque KeyError from bare config indexing
+            raise ValueError(
+                f"microbatch model '{name}' needs event_time config to"
+                " backfill (the column the batch window filters on)"
+            )
         microbatch_backfill(
             self.spark,
             rel,
             model_fn,
-            mdef.config["event_time"],
+            event_time,
             start,
             end,
             period=mdef.config.get("batch_size", "day"),
@@ -752,9 +792,23 @@ class ModelRegistry:
                 raise ValueError("state:modified requires state=<saved manifest>")
             selected = self.modified_nodes(state)
             if select.endswith("+") and selected:
-                selected = set().union(
-                    *[self.select_nodes(f"{n}+") for n in selected]
-                )
+                # ONE discovery pass + children-map BFS for every
+                # modified node's closure (retry()'s pattern) —
+                # select_nodes per node would re-execute deps(), i.e.
+                # every model body, once per modified node
+                children: dict[str, set[str]] = {}
+                for child, ups in self.deps().items():
+                    for up in ups:
+                        children.setdefault(up, set()).add(child)
+                frontier = set(selected)
+                closure = set(selected)
+                while frontier:
+                    nxt = set().union(
+                        *(children.get(n, set()) for n in frontier)
+                    )
+                    frontier = nxt - closure
+                    closure |= nxt
+                selected = closure & set(self._models)
         elif isinstance(select, (set, frozenset, list, tuple)):
             # explicit node set (retry()'s path; also a programmatic API)
             unknown = set(select) - set(self._models)
@@ -795,6 +849,9 @@ class ModelRegistry:
             self._selected = None
             self.batch_range = None  # a later build()/run_tests() must
             # not silently re-enter the backfill's table writes
+            self.full_refresh = False  # per-INVOCATION flag: leaking it
+            # into a later direct build() would CTAS over an incremental
+            # target's accumulated history
             # run_results.json analog (dbt's per-run artifact: one row per
             # node with status + timing); memoized builds register ~0s
             self.run_results = results
@@ -824,7 +881,16 @@ class ModelRegistry:
         self.full_refresh = full_refresh
         self._built.clear()
         deps = self.deps()
-        pending = dict(deps)
+        # ref()-of-a-source is legal (build() resolves it) and deps()
+        # records the source name as an edge — but a source is never a
+        # buildable node, so the readiness check below could never
+        # satisfy it and the model would deadlock into the
+        # 'unbuildable nodes' error on a perfectly acyclic DAG. Sources
+        # are always ready: drop them from the upstream sets.
+        pending = {
+            n: {u for u in ups if u not in self._sources}
+            for n, ups in deps.items()
+        }
         results: list[dict] = []
         out: dict[str, DataFrame] = {}
         failed: Exception | None = None

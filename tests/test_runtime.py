@@ -2393,3 +2393,119 @@ def test_analyze_table_records_stats(spark):
         assert colstats.get("min") == "0" and colstats.get("max") == "6"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_snapshot_new_record_idempotent_absence_and_revival(spark):
+    """dbt new_record parity regressions: (1) a key that STAYS absent
+    gets exactly one tombstone — later runs must not re-close and
+    re-tombstone it (unbounded growth); (2) a deleted key that
+    REAPPEARS with identical values revives: tombstone closes, a live
+    row opens (strategies.sql's `or dbt_is_deleted = 'True'` term)."""
+    kw = dict(unique_key="id", strategy="check", check_cols=["v"],
+              hard_deletes="new_record")
+    snapshot_run(spark, "snap_rd", _df(spark, [(1, "A"), (2, "B")],
+                 "id long, v string"), run_ts="2024-01-01 00:00:00",
+                 unique_key="id", strategy="check", check_cols=["v"])
+    snapshot_run(spark, "snap_rd", _df(spark, [(1, "A")],
+                 "id long, v string"), run_ts="2024-02-01 00:00:00", **kw)
+    n_after_delete = spark.table("snap_rd").count()
+
+    # run 3: key 2 STILL absent — table must not grow
+    snapshot_run(spark, "snap_rd", _df(spark, [(1, "A")],
+                 "id long, v string"), run_ts="2024-03-01 00:00:00", **kw)
+    t = spark.table("snap_rd")
+    assert t.count() == n_after_delete
+    tombs = t.filter((F.col("id") == 2) & (F.col("dbt_is_deleted") == "True"))
+    assert tombs.count() == 1
+    assert tombs.filter(F.col("dbt_valid_to").isNull()).count() == 1
+
+    # run 4: key 2 REAPPEARS with the same value — revival
+    snapshot_run(spark, "snap_rd", _df(spark, [(1, "A"), (2, "B")],
+                 "id long, v string"), run_ts="2024-04-01 00:00:00", **kw)
+    t4 = spark.table("snap_rd")
+    open_rows = t4.filter((F.col("id") == 2) & F.col("dbt_valid_to").isNull())
+    assert open_rows.count() == 1
+    live = open_rows.collect()[0]
+    assert live.dbt_is_deleted == "False" and live.v == "B"
+    # the tombstone is now CLOSED
+    assert t4.filter(
+        (F.col("id") == 2)
+        & (F.col("dbt_is_deleted") == "True")
+        & F.col("dbt_valid_to").isNotNull()
+    ).count() == 1
+
+
+def test_run_threaded_handles_ref_of_source(spark):
+    """Regression: a model that ref()s a SOURCE (legal — build()
+    resolves it) must not deadlock run_threaded's readiness check into
+    the 'unbuildable nodes' error."""
+    r = ModelRegistry(spark)
+    r.add_source("raw_src", _df(spark, [(1, "x"), (2, "y")], "id long, v string"))
+
+    @r.model()
+    def via_ref(ctx):
+        return ctx.ref("raw_src").withColumn("v", F.upper("v"))
+
+    @r.model(materialized="table")
+    def downstream(ctx):
+        return ctx.ref("via_ref")
+
+    out = r.run_threaded(threads=2)
+    assert sorted(x.v for x in out["downstream"].collect()) == ["X", "Y"]
+
+
+def test_full_refresh_does_not_leak_into_later_builds(spark):
+    """Regression: run(full_refresh=True) must reset afterwards — a
+    later direct build() of an incremental model has to APPEND, not
+    silently CTAS over the accumulated table."""
+    r = ModelRegistry(spark)
+    calls = {"n": 0}
+
+    @r.model(materialized="incremental", incremental_strategy="append")
+    def acc(ctx):
+        calls["n"] += 1
+        return _df(spark, [(calls["n"],)], "batch long")
+
+    r.run(full_refresh=True)
+    assert spark.table("acc").count() == 1
+    r._built.clear()  # new invocation: drop the memo, keep the registry
+    r.build("acc")
+    assert spark.table("acc").count() == 2  # appended, not rebuilt
+    spark.sql("DROP TABLE IF EXISTS acc")
+
+
+def test_incremental_layout_configs_honored_or_loud(spark):
+    """Regression: cluster_by on an incremental model flows through the
+    merge swap (was silently ignored); bucket_by/partition_by on
+    rewriting materializations raise instead of silently writing plain
+    parquet."""
+    import pytest as _pytest
+
+    r = ModelRegistry(spark)
+    src = {"df": _df(spark, [(i, i % 7) for i in range(500)], "id long, g long")}
+
+    @r.model(
+        materialized="incremental", incremental_strategy="merge",
+        unique_key="id", cluster_by=["id"],
+    )
+    def clus(ctx):
+        return src["df"]
+
+    r.run()
+    src["df"] = _df(spark, [(i, 9) for i in range(450, 520)], "id long, g long")
+    r._built.clear()
+    r.build("clus")  # merge pays the swap WITH the declared cluster_by
+    assert spark.table("clus").count() == 520
+
+    r2 = ModelRegistry(spark)
+
+    @r2.model(
+        materialized="incremental", incremental_strategy="append",
+        bucket_by=(8, ["id"]),
+    )
+    def bq(ctx):
+        return _df(spark, [(1,)], "id long")
+
+    with _pytest.raises(ValueError, match="bucket_by"):
+        r2.run()
+    spark.sql("DROP TABLE IF EXISTS clus")

@@ -63,8 +63,13 @@ def redact_report(
     for name, pat in patterns.items():
         cols.append(F.regexp_count(c, F.lit(pat)).alias(f"{name}_hits"))
     redacted = c
+    # the mask is a LITERAL, but regexp_replace treats the replacement
+    # as a Java template where \ and $ are group references — a mask
+    # like '$' would throw 'Illegal group reference' and '$1' would
+    # silently substitute capture groups
+    safe_mask = mask.replace("\\", "\\\\").replace("$", "\\$")
     for pat in patterns.values():
-        redacted = F.regexp_replace(redacted, pat, mask)
+        redacted = F.regexp_replace(redacted, pat, safe_mask)
     cols.append(F.length(redacted).alias("redacted_len"))
     return df.select(*cols)
 
@@ -181,7 +186,10 @@ def importance_weights(
     """
     toks = df.select(
         F.col(id_col),
-        target_pred.cast("int").alias("_is_target"),
+        # NULL predicate rows (e.g. a NULL domain column) are NOT
+        # target — left as NULL they poison c_target/t_target sums and
+        # silently drop tokens from the averaged weight
+        F.coalesce(target_pred.cast("int"), F.lit(0)).alias("_is_target"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     )
     freq = toks.groupBy("term").agg(
@@ -479,11 +487,8 @@ def epoch_order(
     )
     # shard from the key's own first four hex digits (65536 buckets — a
     # 1000-reader trainer still gets unaliased shards; no second md5) —
-    # engine-independent instr arithmetic, same trick as hash_bucket256
-    bucket = F.lit(0)
-    for i in range(1, 5):
-        d = F.call_function("instr", F.lit(_HEX), F.substring(key, i, 1))
-        bucket = bucket * 16 + (d - 1)
+    # the shared _hex_prefix_int arithmetic (one decoding formula)
+    bucket = _hex_prefix_int(key, 4)
     keyed = df.select(
         F.col(id_col),
         key.alias("shuffle_key"),

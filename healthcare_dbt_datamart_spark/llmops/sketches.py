@@ -49,6 +49,14 @@ def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _cms_bucket(term: Column, seed: Column, w: int) -> Column:
+    """The (term, seed) -> bucket formula — ONE definition for the
+    sketch build and the heavy-hitter probe: they must stay
+    byte-identical or probes read the wrong cells and the 'est >= exact'
+    invariant silently breaks."""
+    return _h60(F.concat_ws("#", term, seed)).bitwiseAND(w - 1)
+
+
 def cms_sketch(
     tokens: DataFrame, w: int = 1024, d: int = 4, term_col: str = "term"
 ) -> DataFrame:
@@ -67,9 +75,7 @@ def cms_sketch(
         term_col,
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
     )
-    bucket = _h60(
-        F.concat_ws("#", F.col(term_col), F.col("seed"))
-    ).bitwiseAND(w - 1)
+    bucket = _cms_bucket(F.col(term_col), F.col("seed"), w)
     return (
         seeded.select("seed", bucket.alias("bucket"))
         .groupBy("seed", "bucket")
@@ -108,9 +114,7 @@ def cms_heavy_hitters(
         "term",
         "exact_cnt",
         "seed",
-        _h60(F.concat_ws("#", F.col("term"), F.col("seed")))
-        .bitwiseAND(w - 1)
-        .alias("bucket"),
+        _cms_bucket(F.col("term"), F.col("seed"), w).alias("bucket"),
     )
     return (
         probes.join(broadcast(sketch), ["seed", "bucket"])
@@ -236,7 +240,11 @@ def hll_by_group(
     r_max = rem_bits + 1
     num = _hll_alpha(m) * m * m * float(1 << r_max)
     h = _h60(F.col(value_col).cast("string"))
-    ranks = df.select(
+    # NULL values carry no identity: md5(NULL)=NULL would create a
+    # phantom NULL-bucket register that inflates n_obs while adding
+    # nothing to s_obs (and an all-NULL group would estimate NULL) —
+    # drop them, matching COUNT(DISTINCT)'s NULL semantics
+    ranks = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col),
         F.shiftright(h, rem_bits).alias("bucket"),
         h.bitwiseAND((1 << rem_bits) - 1).alias("rem"),
@@ -315,9 +323,26 @@ def logbucket_sketch(
     |groups| · 63·2^s rows."""
     x = F.col(value_col).cast("bigint")
     gcols = [F.col(group_col)] if group_col else []
+    bound = 1 << (62 - s)
     cells = (
         df.select(*gcols, x.alias("_x"))
         .filter(F.col("_x") >= 1)
+        # loud on overflow (the docstring's domain bound, enforced): a
+        # value >= 2^(62-s) wraps shiftleft negative and silently
+        # corrupts every quantile that reads the sketch
+        .withColumn(
+            "_x",
+            F.when(F.col("_x") < F.lit(bound), F.col("_x")).otherwise(
+                F.assert_true(
+                    F.col("_x") < F.lit(bound),
+                    F.concat(
+                        F.lit(f"logbucket_sketch value exceeds 2^{62 - s}"
+                              " (rescale the column): "),
+                        F.col("_x").cast("string"),
+                    ),
+                ).cast("bigint"),
+            ),
+        )
         .select(
             *gcols,
             F.length(F.bin("_x")).alias("b"),

@@ -27,25 +27,6 @@ def _lang_argmax(hits: dict[str, Column]) -> Column:
     return pred
 
 
-def token_stats(text: Column | str) -> dict[str, Column]:
-    """Whitespace token count, distinct count, char count, avg token len."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    n = F.size(toks)
-    return {
-        "n_chars": F.length(c),
-        "n_tokens": n,
-        "n_uniq_tokens": F.size(F.array_distinct(toks)),
-        "avg_token_len": F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-            )
-            / n.cast("double"),
-            6,
-        ),
-    }
-
-
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc quality signals: length/uniqueness/stopword ratios and a
     composite score — the pre-training filter shape (length + lexical
@@ -134,12 +115,6 @@ def _sw_feature() -> Column:
 def _len_in_band(n: Column) -> Column:
     """The 10..10000-token length band — shared, see ``_uq_feature``."""
     return (n >= 10) & (n <= 10000)
-
-
-def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def langid_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -283,7 +258,10 @@ def curation_funnel(
     short_ = (F.col("_n") < min_tokens).cast("int")
     lowdiv = (F.col("_uniq") < min_uniq_ratio).cast("int")
     repet = (F.col("_rep") > max_rep_ratio).cast("int")
-    langmis = (F.col("_pred") != F.col("_lang")).cast("int")
+    # null-safe: a NULL declared lang is a MISMATCH (can't confirm it),
+    # never a NULL that both skips n_lang_mismatch AND poisons the
+    # n_pass sum — that would vanish the doc from the accounting
+    langmis = (~F.col("_pred").eqNullSafe(F.col("_lang"))).cast("int")
     return sig.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(short_).alias("n_too_short"),

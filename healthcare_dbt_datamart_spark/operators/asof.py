@@ -67,8 +67,13 @@ def asof_join(
             " on the right side before joining"
         )
     l_tag = left.withColumn("__side", F.lit(1)).withColumn("__ats", F.col(left_ts))
+    # a NULL right timestamp can never satisfy 'greatest right_ts <=
+    # left_ts' (NULL <= ts is never true — the DuckDB ASOF rule), but
+    # the window's default nulls-FIRST ordering would sort such a row
+    # before everything and carry it into every left row: drop them
     r_tag = (
-        right.select(key, F.col(right_ts).alias("__ats"), *right_cols)
+        right.filter(F.col(right_ts).isNotNull())
+        .select(key, F.col(right_ts).alias("__ats"), *right_cols)
         .withColumn("__side", F.lit(0))
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -114,6 +119,10 @@ def interval_join(
     explodes x2 and the join is a plain equi-shuffle on (key, bucket)
     followed by the exact range filter. No inequality-join nested loop.
     """
+    if int(window_sec) < 1:
+        # 0 would divide the bucket arithmetic into NULLs and silently
+        # return an EMPTY join; negative inverts the buckets
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
     w_us = int(window_sec) * 1_000_000
     lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(w_us))
     rb = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(w_us))

@@ -233,3 +233,26 @@ def test_interval_join_matches_bruteforce(spark, lrows, rrows, win):
         if lk == rk and ls < rs <= ls + win
     )
     assert got == want
+
+
+def test_asof_null_right_ts_never_matches_and_window_guard(spark):
+    """Review regressions: a right row with NULL timestamp must never
+    carry into left rows (nulls-first ordering would have sorted it
+    before everything); interval_join(window_sec=0) raises instead of
+    silently returning an empty join."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "k long, lt string"
+    ).withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, "2024-01-01 10:00:00", 1)],
+        "k long, rt string, v int",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["v"]).collect()
+    assert len(out) == 1 and out[0].v is None  # no prior right row
+
+    with pytest.raises(ValueError, match="window_sec"):
+        interval_join(left, right.filter("rt is not null"),
+                      "k", "lt", "rt", window_sec=0)

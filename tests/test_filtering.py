@@ -1768,3 +1768,17 @@ def test_bootstrap_diff_ci_handles_dotted_group_names(spark):
         df, "x", "src", "rid", "model.v1", "model.v2"
     ).collect()[0]
     assert r.significant is True and r.ci_lo > 0
+
+
+def test_redact_mask_metacharacters_are_literal(spark):
+    """Review regression: a mask containing Java-replacement
+    metacharacters ($, \\) must substitute literally, not throw
+    'Illegal group reference' or splice capture groups."""
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 now")], "doc_id long, text string"
+    )
+    pats = {"phone": r"\b\d{3}-\d{3}-\d{4}\b"}
+    for mask in ("$", "$1", "\\x", "<$>"):
+        r = redact_report(df, "text", "doc_id", pats, mask=mask).collect()[0]
+        assert r.phone_hits == 1
+        assert r.redacted_len == len("call  now") + len(mask)

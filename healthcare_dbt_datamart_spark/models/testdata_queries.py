@@ -3579,161 +3579,32 @@ SCHEDULED_NEXT_WINDOW = [
 # footer test IS its strongest gate.
 
 QUERIES = {
-    # === ROUND-4 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # === ROUND-6 WINDOW (first 50 keys = the driver's correctness gate) ===
     #
-    # ROUND-5 ROTATION PLAN (execute at the start of round 5): the 44
-    # round-2-green queries in section (5) below will be age-3 by the
-    # round-5 gate — the full rotation cycle (ceil(139/50) = 3 rounds) —
-    # so THEY lead the round-5 window (44 slots), followed by any query
-    # whose code changes in round 5 and the new operators (≤ 6 slots —
-    # SCHEDULED_NEXT_WINDOW's cms_heavy_hitters/hll_cardinality MUST be
-    # among them, per the audit_window contract; if more are needed,
-    # displace round-4-green entries from section
-    # (3) first — they will be age-1, not flagged). Sections (0)-(3)
-    # here become round-4-green and take sections (4)/(5)'s below-window
-    # places; `tools/audit_window.py` guards the arithmetic.
-    # Rotation executed per the round-3 plan: every query with NO driver
-    # evidence leads (the 17 born below the round-3 window + ivfadc_topk,
-    # new this round), then the queries whose CODE changed this round
-    # (trained PQ books: pq_encode/topk/rerank; adaptive salt:
-    # semantic_dedup; grain-dedup shape: fct_claims/member_cost_summary),
-    # then all 26 queries whose newest driver green is round 1. The
-    # displaced round-3 greens carry the freshest evidence in the
-    # repo and sit directly below the window for round 5.
-    # -- (0) never driver-checked: born below the round-3 window ----------
-    "cheapest_part_supplier": q_cheapest_part_supplier,
-    "part_value_concentration": q_part_value_concentration,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_supplier": q_dominant_part_supplier,
-    "cluster_keep_best": q_cluster_keep_best,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "token_budget_cap": q_token_budget_cap,
-    "claim_rollups": q_claim_rollups,
-    "claim_status": q_claim_status,
-    "member_enrollment": q_member_enrollment,
-    "gap_status_tri": q_gap_status_tri,
-    "semantic_contamination": q_semantic_contamination,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_trade_volume": q_nation_trade_volume,
-    "returned_item_customers": q_returned_item_customers,
-    "large_volume_customers": q_large_volume_customers,
-    # -- (1)+(2) new operator & changed-code queries this round -----------
-    # (order inside the family: pq_encode pays the session's one PQ
-    #  Lloyd fit, semantic_dedup the coarse fit — so per-query bench
-    #  numbers attribute each index-build cost to its family's first
-    #  query instead of stacking both fits on ivfadc_topk)
-    "pq_encode": q_pq_encode,  # Lloyd-trained books (was seeded)
-    "semantic_dedup": q_semantic_dedup,  # adaptive pair-join salt
-    "ivfadc_topk": q_ivfadc_topk,  # new operator this round
-    "ivfadc_indexed": q_ivfadc_indexed,  # new operator this round
-    "bm25_topk": q_bm25_topk,  # new operator this round
-    "exact_substr_dedup": q_exact_substr_dedup,  # new operator this round
-    "member_cost_summary": q_member_cost_summary,  # grain-dedup revisit
-    # -- (3) newest driver green is ROUND 1 (oldest evidence first) -------
-    "datediff_age_orders": q_datediff_age_orders,
-    "lang_agreement": q_lang_agreement,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_quality": q_text_quality,
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "agg_any_bool": q_agg_any_bool,
-    "nullsafe_join": q_nullsafe_join,
-    "scd2_customers": q_scd2_customers,
-    "date_functions": q_date_functions,
-    "events_hourly": q_events_hourly,
-    "surrogate_keys": q_surrogate_keys,
-    "date_spine_orders": q_date_spine_orders,
-    "listagg_nations": q_listagg_nations,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    "set_except": q_set_except,
-    "set_intersect": q_set_intersect,
-    # === BELOW THE WINDOW =================================================
-    # -- (4) round-3 green, code unchanged since that gate (the freshest
-    #    evidence in the repo; they rotate forward again in round 5) ------
-    # pq_topk / pq_rerank yielded their window slots to ivfadc_indexed /
-    # bm25_topk: their r3 greens are age-1 (no flag), and the round-4
-    # trained-books change they carry is gated in-window end-to-end by
-    # pq_encode (same session-cached books) and ivfadc_topk /
-    # ivfadc_indexed (the SAME _adc_tables/_pq_best_cols helpers and the
-    # same shortlist-then-exact-re-rank discipline); both stay
-    # oracle-green in the committed local sweeps at every SF/mode
-    "pq_topk": q_pq_topk,
-    "pq_rerank": q_pq_rerank,
-    # -- born AFTER the round-4 rotation (window already at capacity:
-    #    every slot holds a never-checked or age-3 query) — SCHEDULED to
-    #    lead the round-5 window with the other new operators;
-    #    `SCHEDULED_NEXT_WINDOW` below is the machine-checked contract
-    #    (tools/audit_window.py exempts exactly these names now and
-    #    FLAGS them if they do not lead the window next round) ---------
+    # Rotation executed per the round-4/5 verdict contract (round 5 made
+    # no commits, so the debt is one round older): the 43 queries whose
+    # newest driver green is round 2 hit their cadence deadline and MUST
+    # lead, the 6 SCHEDULED_NEXT_WINDOW sketch/graph queries (born after
+    # the round-4 rotation, never driver-checked) MUST lead, and the one
+    # remaining slot goes to pq_topk — the oldest round-3 evidence AND a
+    # member of the quantizer family whose arithmetic changes this round
+    # (Lloyd 9dp centroid rounding), so the driver gates the NEW hashes
+    # end-to-end. 43 + 6 + 1 = 50 exactly. The 47 remaining round-3
+    # greens sit directly below the window and lead the round-7 rotation;
+    # `tools/audit_window.py` machine-checks all of this.
+    # -- (0) first-ever driver rows: the sketch/graph family --------------
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
     "nation_market_share": q_nation_market_share,
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
     "pagerank_docs": q_pagerank_docs,
-    "ccnet_buckets": q_ccnet_buckets,
-    "bloom_prefilter": q_bloom_prefilter,
-    "stratified_sample": q_stratified_sample,
-    "length_batches": q_length_batches,
-    "quality_classifier": q_quality_classifier,
-    "doremi_weights": q_doremi_weights,
-    "waiting_orders_priority": q_waiting_orders_priority,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "sole_late_supplier": q_sole_late_supplier,
-    "clone_snapshot": q_clone_snapshot,
-    "corpus_release": q_corpus_release,
-    "bpe_merges": q_bpe_merges,
-    "substr_coverage": q_substr_coverage,
-    "curation_funnel": q_curation_funnel,
-    "curation_dag": q_curation_dag,
-    "unit_test_diff": q_unit_test_diff,
-    "doc_chunks": q_doc_chunks,
-    "append_run": q_append_run,
-    "seed_nation_csv": q_seed_nation_csv,
-    "pii_redact": q_pii_redact,
-    "ngram_contamination": q_ngram_contamination,
-    "dsir_weights": q_dsir_weights,
-    "epoch_order": q_epoch_order,
-    "embedding_outliers": q_embedding_outliers,
-    "minhash_buckets": q_minhash_buckets,
-    "langid_stopwords": q_langid_stopwords,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "freshness_events": q_freshness_events,
-    "merge_upsert": q_merge_upsert,
-    "rollup_revenue": q_rollup_revenue,
-    "hash_split": q_hash_split,
-    "delete_insert_orders": q_delete_insert_orders,
-    "insert_overwrite_events": q_insert_overwrite_events,
-    "schema_drift_append": q_schema_drift_append,
-    "dynamic_table_batch": q_dynamic_table_batch,
-    "listagg_ordered": q_listagg_ordered,
-    "except_fn": q_except_fn,
-    "test_harness_orders": q_test_harness_orders,
-    "scd2_hard_delete": q_scd2_hard_delete,
-    # fct_claims yielded its window slot to exact_substr_dedup: its r3
-    # green is age-1 (no flag), the round-4 grain-dedup change is
-    # hash-identical and locally verified at sf0.001/0.01/0.1 + vanilla,
-    # and member_cost_summary exercises the same grain-dedup path
-    # in-window this round
-    "fct_claims": q_fct_claims,
-    "near_dup_clusters": q_near_dup_clusters,
-    "kmeans_cells": q_kmeans_cells,
-    "ivf_topk": q_ivf_topk,
-    "multimodal_decode": q_multimodal_decode,
-    "datamart_dag": q_datamart_dag,
-    # -- (5) round-2 green, code unchanged; first in line after (4) for
-    #    the round-5 window -----------------------------------------------
+    # -- (1) hash-changed this round (Lloyd 9dp rounding) + oldest r3 -----
+    # (pq_topk is the session's first quantizer query in dict order, so
+    #  it pays the one-time PQ Lloyd fit in per-query bench attribution
+    #  this round — previously pq_encode's line item)
+    "pq_topk": q_pq_topk,
+    # -- (2) round-2 green, at their cadence deadline ----------------------
     "embedding_near_dup": q_embedding_near_dup,
     "gap_status": q_gap_status,
     "dim_member": q_dim_member,
@@ -3777,6 +3648,116 @@ QUERIES = {
     "codeset_semi_join": q_codeset_semi_join,
     "anti_join_customers": q_anti_join_customers,
     "unique_test_orders": q_unique_test_orders,
+    # === BELOW THE WINDOW =================================================
+    # -- (3) round-3 green — next in line: they lead the ROUND-7 window
+    #    (47 of them + the 6 new scheduled operators = 53 > 50; the 3
+    #    cheapest-to-defer get in-test DuckDB-replay evidence instead) ----
+    # pq_rerank's hash also changes this round (Lloyd rounding); its new
+    # arithmetic is driver-gated in-window via pq_topk (same session-
+    # cached trained books, same _adc_tables/_pq_best_cols helpers) and
+    # stays oracle-green in the committed local sweeps at every SF/mode
+    "pq_rerank": q_pq_rerank,
+    "ccnet_buckets": q_ccnet_buckets,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stratified_sample": q_stratified_sample,
+    "length_batches": q_length_batches,
+    "quality_classifier": q_quality_classifier,
+    "doremi_weights": q_doremi_weights,
+    "waiting_orders_priority": q_waiting_orders_priority,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "sole_late_supplier": q_sole_late_supplier,
+    "clone_snapshot": q_clone_snapshot,
+    "corpus_release": q_corpus_release,
+    "bpe_merges": q_bpe_merges,
+    "substr_coverage": q_substr_coverage,
+    "curation_funnel": q_curation_funnel,
+    "curation_dag": q_curation_dag,
+    "unit_test_diff": q_unit_test_diff,
+    "doc_chunks": q_doc_chunks,
+    "append_run": q_append_run,
+    "seed_nation_csv": q_seed_nation_csv,
+    "pii_redact": q_pii_redact,
+    "ngram_contamination": q_ngram_contamination,
+    "dsir_weights": q_dsir_weights,
+    "epoch_order": q_epoch_order,
+    "embedding_outliers": q_embedding_outliers,
+    "minhash_buckets": q_minhash_buckets,
+    "langid_stopwords": q_langid_stopwords,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "freshness_events": q_freshness_events,
+    "merge_upsert": q_merge_upsert,
+    "rollup_revenue": q_rollup_revenue,
+    "hash_split": q_hash_split,
+    "delete_insert_orders": q_delete_insert_orders,
+    "insert_overwrite_events": q_insert_overwrite_events,
+    "schema_drift_append": q_schema_drift_append,
+    "dynamic_table_batch": q_dynamic_table_batch,
+    "listagg_ordered": q_listagg_ordered,
+    "except_fn": q_except_fn,
+    "test_harness_orders": q_test_harness_orders,
+    "scd2_hard_delete": q_scd2_hard_delete,
+    "fct_claims": q_fct_claims,
+    "near_dup_clusters": q_near_dup_clusters,
+    "kmeans_cells": q_kmeans_cells,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "datamart_dag": q_datamart_dag,
+    # -- (4) round-5 green (the freshest evidence in the repo; they
+    #    rotate forward again after the round-3 cohort) --------------------
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
+    # (pq_encode / semantic_dedup carry the round-4 trained-books change;
+    #  their round-6 Lloyd-rounding re-hash is driver-gated in-window by
+    #  pq_topk — same session-cached codebooks)
+    "pq_encode": q_pq_encode,
+    "semantic_dedup": q_semantic_dedup,
+    "ivfadc_topk": q_ivfadc_topk,
+    "ivfadc_indexed": q_ivfadc_indexed,
+    "bm25_topk": q_bm25_topk,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "member_cost_summary": q_member_cost_summary,
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
+    "cosine_topk": q_cosine_topk,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk_label": q_cosine_topk_label,
+    "agg_any_bool": q_agg_any_bool,
+    "nullsafe_join": q_nullsafe_join,
+    "scd2_customers": q_scd2_customers,
+    "date_functions": q_date_functions,
+    "events_hourly": q_events_hourly,
+    "surrogate_keys": q_surrogate_keys,
+    "date_spine_orders": q_date_spine_orders,
+    "listagg_nations": q_listagg_nations,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "window_best_order": q_window_best_order,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
 }
 
 

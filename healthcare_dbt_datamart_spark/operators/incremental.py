@@ -78,10 +78,20 @@ def _swap_in(
     guard, and the EXTERNAL-occupant backup relocation (clone targets
     whose catalog rename does not move files) all apply to incremental
     rewrites too — a second hand-rolled swap here silently missed them
-    once already."""
+    once already.
+
+    ``cluster_by`` / ``zorder_by`` are forwarded so the declared sort
+    layout survives EVERY rewrite, exactly as Snowflake re-applies
+    ``cluster by`` on each incremental rebuild
+    (``dbt-snowflake/macros/relations/table/create.sql:115-120``) —
+    without this, the first incremental run silently flattens the
+    table's file-footer min/max stats and downstream scans lose
+    row-group pruning."""
     from .materialize import materialize_table
 
-    materialize_table(spark, name, new_contents)
+    materialize_table(
+        spark, name, new_contents, cluster_by=cluster_by, zorder_by=zorder_by
+    )
 
 
 def _key_cols(unique_key: str | list[str]) -> list[str]:

@@ -2476,10 +2476,25 @@ def test_full_refresh_does_not_leak_into_later_builds(spark):
 
 def test_incremental_layout_configs_honored_or_loud(spark):
     """Regression: cluster_by on an incremental model flows through the
-    merge swap (was silently ignored); bucket_by/partition_by on
-    rewriting materializations raise instead of silently writing plain
-    parquet."""
+    merge swap (was silently ignored — _swap_in called materialize_table
+    without forwarding it, so the first incremental run flattened the
+    declared sort layout); bucket_by/partition_by on rewriting
+    materializations raise instead of silently writing plain parquet.
+
+    The assert is the LAYOUT, not the row count: real parquet footers of
+    the post-merge table must carry disjoint per-file min/max on the
+    cluster key. The update batch spans the full id range (every 7th
+    id), so an unforwarded swap leaves one file overlapping every other
+    file's range and the disjointness check fails loudly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
     import pytest as _pytest
+
+    from healthcare_dbt_datamart_spark.operators.materialize import (
+        _table_location,
+    )
 
     r = ModelRegistry(spark)
     src = {"df": _df(spark, [(i, i % 7) for i in range(500)], "id long, g long")}
@@ -2491,11 +2506,39 @@ def test_incremental_layout_configs_honored_or_loud(spark):
     def clus(ctx):
         return src["df"]
 
-    r.run()
-    src["df"] = _df(spark, [(i, 9) for i in range(450, 520)], "id long, g long")
-    r._built.clear()
-    r.build("clus")  # merge pays the swap WITH the declared cluster_by
-    assert spark.table("clus").count() == 520
+    # AQE would coalesce the toy table's range partitions into ONE file,
+    # voiding the multi-file layout claim (at scale there are thousands);
+    # pin it off for the two swaps under test, restore after
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        r.run()
+        src["df"] = _df(
+            spark, [(i, 9) for i in range(3, 520, 7)], "id long, g long"
+        )
+        r._built.clear()
+        r.build("clus")  # merge pays the swap WITH the declared cluster_by
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert spark.table("clus").count() == 503  # 500 + ids 502/509/516
+
+    ranges = []
+    for f in glob.glob(os.path.join(_table_location(spark, "clus"), "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "id"
+        )
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 2, "need a multi-file table to assert the layout"
+    ranges.sort()
+    for (_, prev_max), (next_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max < next_min, (
+            f"cluster_by layout lost on incremental rewrite: {sorted(ranges)}"
+        )
 
     r2 = ModelRegistry(spark)
 

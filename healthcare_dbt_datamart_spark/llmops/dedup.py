@@ -408,6 +408,83 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return digests.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
+def _exact_substr_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+    keeper_rule: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared ExactSubstr pipeline (Lee et al. arXiv:2107.06499)
+    behind ``exact_substr_coverage`` and ``exact_substr_dedup``: hash
+    every ``min_len``-char window ONCE, one exchange on the hash with a
+    window-function min/max annotation (no groupBy + join-back, which
+    would re-run the explode+md5 scan — measured ~2x), then per-doc
+    gaps-and-islands merging back to maximal spans.
+
+    ``keeper_rule`` picks the span predicate — the ONLY line the two
+    operators differ on:
+
+    - ``"any_other_doc"`` (coverage): a window duplicated across >= 2
+      DISTINCT docs marks both holders (min != max over the hash).
+    - ``"lower_id_holder"`` (dedup surgery): a window is removable iff
+      some LOWER-id doc holds it (id > min) — the canonical-keeper rule,
+      deterministic on both engines; the minimum-id doc never cuts.
+
+    Returns ``(base, merged)``: ``base`` = (id, _t, n_chars) over the
+    full input; ``merged`` = (id, _isl, ms, me) maximal duplicated
+    spans, 0-based [ms, me)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("n_chars")
+    )
+    # explode POSITIONS, hash after: materializing a per-row array of
+    # md5 strings costs 2x (measured) over hashing on the exploded rows,
+    # where substring+md5 run inside the same codegen stage. The doc
+    # scan is spread first when it arrives under-partitioned (one small
+    # parquet file = one task would hash the whole corpus serially); on
+    # a real cluster the scan already has parallel splits and the
+    # repartition is a no-op branch.
+    src = base.filter(F.length("_t") >= min_len)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    windows = src.select(
+        F.col(id_col),
+        "_t",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (min_len - 1))).alias("_i"),
+    ).select(
+        F.col(id_col),
+        (F.col("_i") - 1).alias("pos"),
+        F.md5(F.expr(f"substring(_t, _i, {int(min_len)})")).alias("h"),
+    )
+
+    w_h = Window.partitionBy("h")
+    annotated = windows.withColumn("_lo", F.min(F.col(id_col)).over(w_h))
+    if keeper_rule == "any_other_doc":
+        annotated = annotated.withColumn("_hi", F.max(F.col(id_col)).over(w_h))
+        dup = annotated.filter(F.col("_lo") != F.col("_hi"))
+    elif keeper_rule == "lower_id_holder":
+        dup = annotated.filter(F.col(id_col) > F.col("_lo"))
+    else:
+        raise ValueError(f"unknown keeper_rule: {keeper_rule!r}")
+    spans = dup.select(
+        F.col(id_col),
+        F.col("pos").alias("s"),
+        (F.col("pos") + min_len).alias("e"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islanded = spans.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_new").over(w_ord))
+    merged = islanded.groupBy(id_col, "_isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return base, merged
+
+
 def exact_substr_coverage(
     df: DataFrame,
     text_col: str,
@@ -444,66 +521,8 @@ def exact_substr_coverage(
     Returns ``(id, n_chars, covered_chars, coverage_ratio, n_spans)``;
     docs with no duplicated span report zeros.
     """
-    from pyspark.sql.window import Window
-
-    base = df.select(
-        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("n_chars")
-    )
-    # explode POSITIONS, hash after: materializing a per-row array of
-    # md5 strings costs 2x (measured) over hashing on the exploded rows,
-    # where substring+md5 run inside the same codegen stage. The doc
-    # scan is spread first when it arrives under-partitioned (one small
-    # parquet file = one task would hash the whole corpus serially); on
-    # a real cluster the scan already has parallel splits and the
-    # repartition is a no-op branch.
-    src = base.filter(F.length("_t") >= min_len)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    windows = (
-        src.select(
-            F.col(id_col),
-            "_t",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - (min_len - 1))
-            ).alias("_i"),
-        )
-        .select(
-            F.col(id_col),
-            (F.col("_i") - 1).alias("pos"),
-            F.md5(F.expr(f"substring(_t, _i, {int(min_len)})")).alias("h"),
-        )
-    )
-
-    # ">= 2 distinct docs" as min != max over a WINDOW partitioned by h,
-    # not a groupBy + join back: the groupBy form would re-run the
-    # explode+substring+md5 scan for the join's probe side (the whole
-    # corpus hashed TWICE — measured ~2x of this operator's cost), and
-    # its partial aggregation buys nothing because window hashes are
-    # almost all unique. The window form shuffles the (id, pos, h) rows
-    # once on h, annotates each row with its group's min/max doc in
-    # place, and filters — one hashing pass, one exchange, no join.
-    # min != max is equivalent to ">= 2 distinct docs" at this threshold.
-    w_h = Window.partitionBy("h")
-    spans = (
-        windows.withColumn("_lo", F.min(F.col(id_col)).over(w_h))
-        .withColumn("_hi", F.max(F.col(id_col)).over(w_h))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select(
-            F.col(id_col),
-            F.col("pos").alias("s"),
-            (F.col("pos") + min_len).alias("e"),
-        )
-    )
-    w_ord = Window.partitionBy(id_col).orderBy("s")
-    prev_max = F.max("e").over(
-        w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islanded = spans.withColumn(
-        "_new", F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
-    ).withColumn("_isl", F.sum("_new").over(w_ord))
-    merged = islanded.groupBy(id_col, "_isl").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
+    base, merged = _exact_substr_spans(
+        df, text_col, id_col, min_len, keeper_rule="any_other_doc"
     )
     per_doc = merged.groupBy(id_col).agg(
         F.sum(F.col("me") - F.col("ms")).alias("covered_chars"),
@@ -534,12 +553,6 @@ def exact_substr_dedup(
     id_col: str,
     min_len: int = 30,
 ) -> DataFrame:
-    # NOTE: shares the window/hash/islands pipeline SHAPE with
-    # exact_substr_coverage above (span predicate differs). The
-    # duplication is deliberate for now: both paths are independently
-    # oracle-hash-gated, so drift between them fails the driver gate
-    # loudly; a shared helper is queued behind the round-5 rotation to
-    # avoid touching two in-window hashes mid-round.
     """Exact-substring REMOVAL (the surgery half of Lee et al.
     arXiv:2107.06499's ExactSubstr dedup; ``exact_substr_coverage`` is
     the report half): every maximal span of length >= ``min_len`` that
@@ -562,45 +575,8 @@ def exact_substr_dedup(
     Returns ``(id, n_chars, removed_chars, n_cuts, text_deduped)``;
     docs with nothing to cut pass through byte-identical.
     """
-    from pyspark.sql.window import Window
-
-    base = df.select(
-        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("n_chars")
-    )
-    src = base.filter(F.length("_t") >= min_len)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    windows = src.select(
-        F.col(id_col),
-        "_t",
-        F.explode(F.sequence(F.lit(1), F.length("_t") - (min_len - 1))).alias("_i"),
-    ).select(
-        F.col(id_col),
-        (F.col("_i") - 1).alias("pos"),
-        F.md5(F.expr(f"substring(_t, _i, {int(min_len)})")).alias("h"),
-    )
-
-    # a position is removable iff SOME lower-id doc holds the same
-    # window: min-over-hash window annotation (one exchange, no
-    # join-back re-hash — the coverage operator's measured-2x argument)
-    w_h = Window.partitionBy("h")
-    spans = (
-        windows.withColumn("_lo", F.min(F.col(id_col)).over(w_h))
-        .filter(F.col(id_col) > F.col("_lo"))
-        .select(
-            F.col(id_col),
-            F.col("pos").alias("s"),
-            (F.col("pos") + min_len).alias("e"),
-        )
-    )
-    w_ord = Window.partitionBy(id_col).orderBy("s")
-    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    islanded = spans.withColumn(
-        "_new", F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0)
-    ).withColumn("_isl", F.sum("_new").over(w_ord))
-    merged = islanded.groupBy(id_col, "_isl").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
+    base, merged = _exact_substr_spans(
+        df, text_col, id_col, min_len, keeper_rule="lower_id_holder"
     )
     cuts = merged.groupBy(id_col).agg(
         F.sort_array(

@@ -912,26 +912,22 @@ def _lloyd_fit(
     further passes over the same vectors (``kmeans_cells`` report,
     ``ivf_topk`` assignment) share one persist lifecycle instead of
     re-scanning the unpersisted lineage after the fit."""
-    # KNOWN SOFT SPOT (scheduled for the round-5 rotation, when the
-    # whole quantizer family re-enters the driver window together):
-    # the mean below is an UNROUNDED double avg — partial-sum merge
-    # order could in principle flip a later 6dp cell_sim boundary.
-    # Empirically stable across the CPUS=7 and VANILLA(200-partition)
-    # sweeps; the fix (round 9dp here + in _lloyd_ctes, the
-    # pq_codebooks_trained discipline) changes every quantizer-derived
-    # hash, so it must land in the same round as the family's window
-    # slots — not mid-round, where it would orphan their r3 evidence.
     centroids = ivf_centroids(cached, k, id_col, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(cached, centroids, id_col, vec_col)
         # ONE shuffle per round: groupBy(cell, pos) with full partial
         # aggregation; the k·d mean rows are bounded model state, so the
         # per-cell centroid lists assemble on the driver (a second
-        # groupBy(cell) stage would only re-shuffle those k·d rows)
+        # groupBy(cell) stage would only re-shuffle those k·d rows).
+        # The mean is rounded to 9dp (the pq_codebooks_trained
+        # discipline, mirrored by _lloyd_ctes' oracle unroll): an
+        # unrounded double avg depends on partial-sum merge order, so a
+        # different shuffle-partition count could flip a later
+        # 6dp cell_sim boundary.
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("col").cast("double")), 9).alias("m"))
             .collect()
         )
         acc: dict[int, dict[int, float]] = {}

@@ -3586,12 +3586,12 @@ QUERIES = {
     # newest driver green is round 2 hit their cadence deadline and MUST
     # lead, the 6 SCHEDULED_NEXT_WINDOW sketch/graph queries (born after
     # the round-4 rotation, never driver-checked) MUST lead, and the one
-    # remaining slot goes to pq_topk — the oldest round-3 evidence AND a
-    # member of the quantizer family whose arithmetic changes this round
-    # (Lloyd 9dp centroid rounding), so the driver gates the NEW hashes
-    # end-to-end. 43 + 6 + 1 = 50 exactly. The 47 remaining round-3
-    # greens sit directly below the window and lead the round-7 rotation;
-    # `tools/audit_window.py` machine-checks all of this.
+    # remaining slot goes to pq_topk — the oldest round-3 evidence; its
+    # PQ codebooks were already 9dp-rounded, so its hash is UNCHANGED by
+    # this round's coarse-quantizer Lloyd rounding and the driver gates
+    # the trained-books path end-to-end. 43 + 6 + 1 = 50 exactly. The 47
+    # remaining round-3 greens sit directly below the window and lead
+    # the round-7 rotation; `tools/audit_window.py` machine-checks this.
     # -- (0) first-ever driver rows: the sketch/graph family --------------
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
@@ -3599,7 +3599,7 @@ QUERIES = {
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
     "pagerank_docs": q_pagerank_docs,
-    # -- (1) hash-changed this round (Lloyd 9dp rounding) + oldest r3 -----
+    # -- (1) oldest round-3 evidence ---------------------------------------
     # (pq_topk is the session's first quantizer query in dict order, so
     #  it pays the one-time PQ Lloyd fit in per-query bench attribution
     #  this round — previously pq_encode's line item)
@@ -3652,10 +3652,10 @@ QUERIES = {
     # -- (3) round-3 green — next in line: they lead the ROUND-7 window
     #    (47 of them + the 6 new scheduled operators = 53 > 50; the 3
     #    cheapest-to-defer get in-test DuckDB-replay evidence instead) ----
-    # pq_rerank's hash also changes this round (Lloyd rounding); its new
-    # arithmetic is driver-gated in-window via pq_topk (same session-
-    # cached trained books, same _adc_tables/_pq_best_cols helpers) and
-    # stays oracle-green in the committed local sweeps at every SF/mode
+    # pq_rerank shares pq_topk's session-cached trained books and the
+    # same _adc_tables/_pq_best_cols helpers, driver-gated in-window via
+    # pq_topk; it stays oracle-green in the committed local sweeps at
+    # every SF/mode
     "pq_rerank": q_pq_rerank,
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
@@ -3722,9 +3722,10 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "returned_item_customers": q_returned_item_customers,
     "large_volume_customers": q_large_volume_customers,
-    # (pq_encode / semantic_dedup carry the round-4 trained-books change;
-    #  their round-6 Lloyd-rounding re-hash is driver-gated in-window by
-    #  pq_topk — same session-cached codebooks)
+    # (semantic_dedup / ivfadc_topk / ivfadc_indexed carry this round's
+    #  coarse-quantizer 9dp re-hash — out-of-window by the rotation
+    #  arithmetic, gated by the committed local sweeps at every SF/mode;
+    #  pq_encode's books were already 9dp, hash unchanged)
     "pq_encode": q_pq_encode,
     "semantic_dedup": q_semantic_dedup,
     "ivfadc_topk": q_ivfadc_topk,
@@ -4838,8 +4839,10 @@ def _lloyd_ctes(n_iter: int, k: int) -> str:
     seeds = the k lowest-id vectors; each round assigns every vector to
     the argmax 6dp-ROUNDED cosine (ties -> lowest cid, the array_max
     struct ordering) and re-centers each non-empty cell on the
-    per-dimension mean (empty cells keep the previous centroid).
-    All arithmetic in DOUBLE, like the Spark fold."""
+    per-dimension mean rounded to 9dp (the pq_codebooks_trained
+    discipline — merge-order-independent on both engines; empty cells
+    keep the previous centroid). All arithmetic in DOUBLE, like the
+    Spark fold."""
 
     def _assign(i: int, cent: str, out: str) -> str:
         return f"""{out} AS (
@@ -4871,7 +4874,7 @@ def _lloyd_ctes(n_iter: int, k: int) -> str:
   SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
   FROM cent{i} c LEFT JOIN (
     SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
-      SELECT g.cell, g.pos, avg(g.x) AS m FROM (
+      SELECT g.cell, g.pos, round(avg(g.x), 9) AS m FROM (
         SELECT a.cell,
                unnest(generate_series(1, len(e.embedding))) AS pos,
                unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x

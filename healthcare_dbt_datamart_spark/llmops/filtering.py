@@ -521,21 +521,29 @@ def domain_mixture_weights(
 
     Per-doc loss = negative mean unigram log-likelihood (the
     ``unigram_logprob`` idiom, 6dp); domain loss = 6dp mean of doc
-    losses; excess = domain loss - corpus mean doc loss (a 1-row
-    broadcast aggregate — no plan-splitting count()); weights
+    losses; excess = domain loss - corpus mean doc loss; weights
     exp-normalize across the bounded domain set.
 
-    Scale shape: the token join is the TF-IDF shuffle; everything after
-    the per-doc aggregation operates on |domains| rows. Returns
-    ``(domain, n_docs, domain_loss, excess, weight)``.
+    Scale shape: the token join is the TF-IDF shuffle, and it runs ONCE.
+    The corpus token count comes from the vocab table (``sum(tc)`` over
+    the term frequencies — the same integer as counting the exploded
+    rows, without a third corpus-scale scan), and the corpus-mean /
+    softmax-denominator scalars fold as unpartitioned WINDOWS over the
+    bounded per-domain aggregate — NOT as separate agg+crossJoin
+    branches, each of which would re-execute the corpus-scale doc-loss
+    lineage (the ``temperature_weights`` discipline, splits.py). After
+    the per-domain aggregation everything operates on |domains| rows.
+    Returns ``(domain, n_docs, domain_loss, excess, weight)``.
     """
+    from pyspark.sql.window import Window
+
     toks = df.select(
         F.col(id_col),
         F.col(domain_col).alias("domain"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     )
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = freq.agg(F.sum("tc").cast("double").alias("total"))
     doc_loss = (
         toks.join(freq, "term")
         .crossJoin(broadcast(total))
@@ -547,30 +555,28 @@ def domain_mixture_weights(
             ).alias("_loss")
         )
     )
-    corpus = doc_loss.agg(F.round(F.avg("_loss"), 6).alias("_ref"))
-    dom = (
-        doc_loss.groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("_loss"), 6).alias("domain_loss"),
-        )
-        .crossJoin(broadcast(corpus))
-        .select(
-            "domain",
-            "n_docs",
-            "domain_loss",
-            F.round(F.col("domain_loss") - F.col("_ref"), 6).alias("excess"),
-        )
-        .withColumn("_ew", F.round(F.exp("excess"), 9))
+    # ONE corpus-scale aggregation: per-domain (n_docs, sum of 6dp doc
+    # losses); every scalar after this folds over the |domains|-row table
+    dom = doc_loss.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_loss").alias("_sl"),
     )
-    denom = dom.agg(F.sum("_ew").alias("_z"))
+    w_all = Window.partitionBy()  # bounded |domains| rows — safe fold
     return (
-        dom.crossJoin(broadcast(denom))
+        dom.withColumn("domain_loss", F.round(F.col("_sl") / F.col("n_docs"), 6))
+        .withColumn(
+            "_ref",
+            F.round(
+                F.sum("_sl").over(w_all) / F.sum("n_docs").over(w_all), 6
+            ),
+        )
+        .withColumn("excess", F.round(F.col("domain_loss") - F.col("_ref"), 6))
+        .withColumn("_ew", F.round(F.exp("excess"), 9))
         .select(
             "domain",
             "n_docs",
             "domain_loss",
             "excess",
-            F.round(F.col("_ew") / F.col("_z"), 6).alias("weight"),
+            F.round(F.col("_ew") / F.sum("_ew").over(w_all), 6).alias("weight"),
         )
     )

@@ -552,8 +552,15 @@ def test_domain_mixture_weights_upweights_hard_domain(spark):
     # the rare-token domain is "harder" for the corpus unigram model
     rows += [(10, "zyxw qvut plkm", "hard"), (11, "jhgf dsaq mnbv", "hard")]
     df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
-    out = {r["domain"]: r.asDict() for r in
-           domain_mixture_weights(df, "text", "doc_id", "src").collect()}
+    got = domain_mixture_weights(df, "text", "doc_id", "src")
+    # plan-shape pin: the corpus-mean and softmax-denominator scalars
+    # fold as unpartitioned windows over the |domains|-row aggregate —
+    # as agg+crossJoin branches each re-executed the corpus-scale
+    # token-explode lineage (12 Generate subtrees; the one-pass shape
+    # plans 3: freq build, the 1-row total over freq, the join probe)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") <= 3, plan.count("Generate")
+    out = {r["domain"]: r.asDict() for r in got.collect()}
     assert out["hard"]["excess"] > 0 > out["easy"]["excess"]
     assert out["hard"]["weight"] > out["easy"]["weight"]
     # weights normalize over domains

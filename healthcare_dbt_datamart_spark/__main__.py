@@ -166,7 +166,29 @@ def main(argv: list[str] | None = None, log=print) -> int:
         if not a.model:
             raise SystemExit("show requires --model")
         df = r.compile(a.model)
-        log(df._jdf.showString(a.limit, 20, False))
+        # public rendering path (no _jdf — works under Spark Connect):
+        # fetch limit+1 rows so the truncation notice stays honest
+        rows = df.limit(a.limit + 1).collect()
+        shown, more = rows[: a.limit], len(rows) > a.limit
+        cols = df.columns
+
+        def _cell(v) -> str:
+            s = "NULL" if v is None else str(v)
+            return s if len(s) <= 20 else s[:17] + "..."
+
+        table = [[_cell(v) for v in r] for r in shown]
+        widths = [
+            max(len(c), *(len(t[i]) for t in table)) if table else len(c)
+            for i, c in enumerate(cols)
+        ]
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        fmt = "|" + "|".join(f" {{:<{w}}} " for w in widths) + "|"
+        out = [sep, fmt.format(*cols), sep]
+        out += [fmt.format(*t) for t in table]
+        out.append(sep)
+        if more:
+            out.append(f"only showing top {a.limit} rows")
+        log("\n".join(out))
         return 0
 
     if a.command == "test":

@@ -290,7 +290,19 @@ def temperature_rebalance(
     inlined, with the rate varying per group). Re-running anywhere
     keeps exactly the same rows; kept counts per group converge to the
     temperature-scaled proportions as rate_scale → ∞ (floor
-    quantization binds at small corpora)."""
+    quantization binds at small corpora).
+
+    ``rate_scale`` must equal the content-hash bucket granularity (256,
+    ``hash_bucket256``): a rate_num scaled to any other denominator
+    compared against a 0..255 bucket silently distorts every group's
+    keep rate, so anything else raises. (``temperature_weights`` itself
+    accepts other scales — its rate_num is a REPORT there, not a filter
+    operand.)"""
+    if rate_scale != 256:
+        raise ValueError(
+            "temperature_rebalance keeps rows via hash_bucket256 (0..255);"
+            f" rate_scale must be 256, got {rate_scale}"
+        )
     rates = temperature_weights(df, group_col, tau, rate_scale).select(
         group_col, "rate_num"
     )

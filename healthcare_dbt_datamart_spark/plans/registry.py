@@ -687,12 +687,25 @@ class ModelRegistry:
 
     def run_unit_tests(self, select: str | None = None) -> dict[str, dict]:
         """Run declared unit tests (optionally only those on model
-        ``select`` / named ``select``). Returns per-test
-        ``{model, status, diff_rows, diff}`` where ``diff`` is the
-        tagged actual/expected mismatch frame (empty = pass)."""
+        ``select`` / named ``select``). Graph selectors (``model+`` /
+        ``+model``) resolve through ``select_nodes`` exactly as schema
+        tests do — dbt runs BOTH test kinds for a selector, so a
+        ``model+`` that ran schema tests but silently skipped unit tests
+        was a selector-surface hole. A bare ``select`` that is not a
+        model name still matches a test by its own name. Returns
+        per-test ``{model, status, diff_rows, diff}`` where ``diff`` is
+        the tagged actual/expected mismatch frame (empty = pass)."""
+        models: set[str] | None = None
+        if select:
+            try:
+                models = self.select_nodes(select)
+            except KeyError:
+                models = None  # not a model selector; match by test name
         out: dict[str, dict] = {}
         for tname, t in self._unit_tests.items():
-            if select and select not in (tname, t["model"]):
+            if select and not (
+                (models is not None and t["model"] in models) or select == tname
+            ):
                 continue
             given = {
                 k: (v(self.spark) if callable(v) else v)

@@ -22,6 +22,7 @@ from .sketches import (  # noqa: F401
     hll_merge_batch,
     hll_table_estimate,
     logbucket_merge_batch,
+    pref_counts_merge_batch,
     reservoir_merge_batch,
     streaming_logbucket_ingest,
     streaming_cms_ingest,

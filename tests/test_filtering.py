@@ -796,6 +796,10 @@ def test_temperature_weights_duckdb_replay_and_properties(spark):
     }
     assert kept_ids == expect
     assert kept_ids == {r.doc_id for r in kept.collect()}  # deterministic
+    # the filter compares rate_num against a 0..255 bucket: any other
+    # rate_scale silently distorts every keep rate, so it must raise
+    with pytest.raises(ValueError, match="rate_scale"):
+        temperature_rebalance(df, "source", "text", tau=0.3, rate_scale=512)
 
 
 def test_bootstrap_ci_duckdb_replay_and_statistics(spark):

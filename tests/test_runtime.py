@@ -2318,6 +2318,28 @@ def test_cli_show_and_declared_unit_tests(spark, capsys):
     assert res["mdl_u_wrong_fixture"]["diff_rows"] == 2  # actual + expected
     assert r.manifest()["unit_tests"] == {"mdl_u_wrong_fixture": "mdl_u"}
 
+    # graph selectors reach unit tests exactly as they reach schema
+    # tests: a downstream model declares the unit test, and selecting
+    # upstream+ must run it (was: exact-name match only, so model+
+    # silently skipped unit tests while schema tests ran)
+    @r.model()
+    def mdl_down(ctx):
+        return ctx.ref("mdl_u")
+
+    r.add_unit_test(
+        "mdl_down_passes",
+        "mdl_down",
+        given={"mdl_u": lambda s: _df(s, [(1, "x")], "id long, v string")},
+        expect=lambda s: _df(s, [(1, "x")], "id long, v string"),
+    )
+    assert set(r.run_unit_tests(select="mdl_u+")) == {
+        "mdl_u_wrong_fixture",
+        "mdl_down_passes",
+    }
+    assert set(r.run_unit_tests(select="mdl_down")) == {"mdl_down_passes"}
+    # bare test-name selection still works (not a model name)
+    assert set(r.run_unit_tests(select="mdl_down_passes")) == {"mdl_down_passes"}
+
 
 def test_microbatch_backfill_lands_in_custom_schema(spark):
     """A microbatch model with a custom schema backfills into its layer

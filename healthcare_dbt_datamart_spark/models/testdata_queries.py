@@ -3541,42 +3541,161 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry supplier ratings (llmops/preferences.py::
+    bradley_terry — Hunter's MM iteration, fixed-point BIGINT) from
+    cheaper-supplier-wins outcomes: per (part, supplier) take the
+    minimum observed line price; for every part supplied by >= 2
+    suppliers the cheaper one beats the pricier (price ties produce no
+    outcome — deterministic on raw stored values, no float arithmetic).
+    The audit runs on one deterministic part bucket (partkey % 20 = 7 —
+    a 5% comparison segment): outcome volume is an operator INPUT knob,
+    and the full-corpus fan-in belongs to a bigger window than a gate
+    query (the pair table itself stays bounded at items² either way).
+    Two MM rounds; all-integer ratings replay as unrolled DuckDB CTEs
+    (the pagerank_docs discipline)."""
+    from ..llmops.preferences import bradley_terry
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 7
+    )
+    pp = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.min("l_extendedprice").alias("minp"))
+    a, b = pp.alias("a"), pp.alias("b")
+    outcomes = a.join(
+        b,
+        (F.col("a.part") == F.col("b.part")) & (F.col("a.minp") < F.col("b.minp")),
+    ).select(
+        F.col("a.supp").alias("winner_id"), F.col("b.supp").alias("loser_id")
+    )
+    return bradley_terry(outcomes, n_iter=2).select(
+        F.col("item").alias("suppkey"), "wins2", "comparisons2", "rating_fp"
+    )
+
+
+def q_sketch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side distribution drift (llmops/drift.py::
+    sketch_drift_report — PSI + KS over log-bucket sketch cells, the
+    DDSketch idea on exact bit arithmetic): did the 1995 order-price
+    distribution shift against 1994? Each year collapses to <= 63·2^4
+    integer cells in one shuffle; the statistics join two model-sized
+    tables — a daily 100 TB drift monitor stores kilobytes per day.
+    Metric is o_totalprice in cents (the integral-metric discipline)."""
+    from ..llmops.drift import sketch_drift_report
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    return sketch_drift_report(
+        o.filter(F.year("o_orderdate") == 1994).select(cents),
+        o.filter(F.year("o_orderdate") == 1995).select(cents),
+        "cents",
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (llmops/bootstrap.py::
+    bootstrap_ci — Chamandy et al. 2012) for each source's mean
+    document length: 40 replicates, weights from md5(seed:rep:id)
+    inverse-CDF draws (no RNG state), replicate sums in exact BIGINT —
+    every interval endpoint replays bit-for-bit in DuckDB."""
+    from ..llmops.bootstrap import bootstrap_ci
+
+    docs = load(spark, sf_dir, "documents")
+    return bootstrap_ci(
+        docs, "n_chars", "source", "doc_id", n_boot=40, seed="b1"
+    )
+
+
+def q_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5 temperature mixture applied end-to-end (llmops/splits.py::
+    temperature_weights + temperature_rebalance, arXiv:2010.11934
+    §3.1): per-source tau=0.3 keep-rates from ONE corpus count shuffle
+    (scalars fold as windows over the bounded counts table), then the
+    deterministic content-hash-bucket downsample — kept counts per
+    source verify the realized mixture against the declared rates."""
+    from ..llmops.splits import temperature_rebalance, temperature_weights
+
+    docs = load(spark, sf_dir, "documents")
+    weights = temperature_weights(docs, "source", tau=0.3)
+    kept = (
+        temperature_rebalance(docs, "source", "text", tau=0.3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return weights.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "keep_rate",
+        "rate_num",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
+def q_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile off the log-bucket quantile
+    sketch (llmops/sketches.py::logbucket_quantiles — the DDSketch
+    p50/p90/p99 with <= 2^-4 relative error): grouped cells are ONE
+    partial-agg shuffle bounded at |langs|·63·2^4 rows, every window
+    partitions by lang (no single-partition stage at any group count),
+    and the bucket walk replays exactly in DuckDB bit arithmetic."""
+    from ..llmops.sketches import logbucket_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    return logbucket_quantiles(
+        docs, "n_chars", qs=(0.5, 0.9, 0.99), s=4, group_col="lang"
+    )
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus label per item (llmops/preferences.py::majority_vote —
+    the RLHF annotation-aggregation primitive): treat each user-id
+    bucket (mod 97) as an item and its events' types as votes; the
+    majority event_type per bucket with a deterministic lexicographic
+    tie-break, agreement ratio 6dp. One partial-agg groupBy + one
+    per-item window."""
+    from ..llmops.preferences import majority_vote
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(97)).cast("bigint").alias("bucket"),
+        "event_type",
+    )
+    return majority_vote(votes, "bucket", "event_type")
+
+
 # Queries born AFTER this round's rotation locked the 50-slot window
-# (every slot already held a never-driver-checked or cycle-stale query).
-# CONTRACT, enforced by tools/audit_window.py: these are exempt from the
-# never-checked-out-of-window flag THIS round only, and MUST lead the
-# next round's window (the rotation plan reserves <= 6 new-operator
-# slots). Locally they carry the same evidence as everything else:
-# oracle-green at sf0.001/0.01/0.1 and across all fetch/session modes.
+# (every slot already held a cadence-deadline or never-driver-checked
+# query). CONTRACT, enforced by tools/audit_window.py: these are exempt
+# from the never-checked-out-of-window flag THIS round only, and MUST
+# lead the next round's window (the rotation plan reserves <= 6
+# new-operator slots). Locally they carry the same evidence as
+# everything else: oracle-green at sf0.001/0.01/0.1 and across all
+# fetch/session modes. The round-5 scheduled cohort (cms_heavy_hitters,
+# hll_cardinality, nation_market_share, product_type_profit,
+# ship_delay_classes, pagerank_docs) entered the round-6 window and got
+# its first driver rows; this is the round-6 promotion cohort.
 SCHEDULED_NEXT_WINDOW = [
-    "cms_heavy_hitters",
-    "hll_cardinality",
-    "nation_market_share",
-    "product_type_profit",
-    "ship_delay_classes",
-    "pagerank_docs",
+    "bradley_terry",
+    "sketch_drift_report",
+    "bootstrap_ci",
+    "temperature_rebalance",
+    "logbucket_quantiles",
+    "majority_vote",
 ]
-# At the 6-slot capacity above, further round-4 operators carry
-# pytest-level oracle evidence instead of a driver slot this cycle —
-# each replays its exact arithmetic against DuckDB inside its test
-# (hash-grade parity, no window cost). Round 5's window is fully
-# spoken for (the 44 round-2-stale queries at their cadence deadline +
-# these 6 scheduled), so the promotion queue targets ROUND 6, in
-# priority order with the natural testdata inputs already chosen:
-#   1. bradley_terry      — supplier ratings from cheaper-supplier-wins
-#                           outcomes on multi-supplier parts (partsupp);
-#                           fixed-point integer MM → exact unrolled oracle
-#   2. sketch_drift_report — PSI/KS between two order-year slices of
-#                           o_totalprice cents (same-table snapshots)
-#   3. bootstrap_ci       — per-source mean n_chars interval on documents
-#                           (md5-derandomized draws, integer-exact sums)
-#   4. temperature_rebalance — per-source keep-rates + kept counts on
-#                           documents (pow replay, the doremi discipline)
-#   5. logbucket_quantiles(group_col) — per-lang length profile
-#   6. majority_vote      — consensus event_type per user-bucket on events
-# hll_by_group remains the alternate. zorder stays pytest-level by
-# nature: its observable is parquet footers, not a result hash — the
-# footer test IS its strongest gate.
+# hll_by_group remains the alternate (its in-test DuckDB replay is the
+# evidence until a slot frees). zorder stays pytest-level by nature:
+# its observable is parquet footers, not a result hash — the footer
+# test IS its strongest gate. ROUND-7 window arithmetic: the 47
+# round-3-green queries below the current window hit their cycle-4
+# deadline next round; 47 + these 6 = 53 > 50, so the 3
+# cheapest-to-defer round-3 entries take in-test DuckDB-replay evidence
+# instead and rotate in at round 8.
 
 QUERIES = {
     # === ROUND-6 WINDOW (first 50 keys = the driver's correctness gate) ===
@@ -3759,6 +3878,16 @@ QUERIES = {
     "window_best_order": q_window_best_order,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
+    # -- (5) born AFTER the round-6 rotation (window already at capacity:
+    #    43 cadence-deadline + 6 first-ever + pq_topk) — SCHEDULED to
+    #    lead the round-7 window; `SCHEDULED_NEXT_WINDOW` above is the
+    #    machine-checked contract --------------------------------------
+    "bradley_terry": q_bradley_terry,
+    "sketch_drift_report": q_sketch_drift_report,
+    "bootstrap_ci": q_bootstrap_ci,
+    "temperature_rebalance": q_temperature_rebalance,
+    "logbucket_quantiles": q_logbucket_quantiles,
+    "majority_vote": q_majority_vote,
 }
 
 
@@ -6497,4 +6626,243 @@ r3 AS ({_PR_ROUND.format(prev="r2")})
 SELECT id AS doc_id, r AS rank_fp,
        round(r / 1000000000000.0, 6) AS pagerank
 FROM r3
+"""
+
+# -- round-6 promotion cohort (SCHEDULED_NEXT_WINDOW) ----------------------
+
+# Bradley-Terry: the SAME integer MM update the Spark loop runs
+# (preferences.py::bradley_terry_from_pairs), two rounds unrolled —
+# scale 1e6, s2 = 1e12, smoothing2 = 1 (2·wins + 1 per observed ordered
+# pair, 1 for the unobserved mirror). Casts keep every aggregate BIGINT
+# (the HUGEINT fetch-layer class audit_oracle_types guards).
+ORACLE["bradley_terry"] = """
+WITH pp AS (
+  SELECT l_partkey AS part, l_suppkey AS supp, MIN(l_extendedprice) AS minp
+  FROM lineitem WHERE l_partkey % 20 = 7 GROUP BY 1, 2
+),
+outc AS (
+  SELECT a.supp AS winner_id, b.supp AS loser_id
+  FROM pp a JOIN pp b ON a.part = b.part AND a.minp < b.minp
+),
+w AS (
+  SELECT winner_id AS i, loser_id AS j,
+         CAST(2 * COUNT(*) + 1 AS BIGINT) AS w2
+  FROM outc GROUP BY 1, 2
+),
+obs AS (SELECT i, j FROM w UNION SELECT j, i FROM w),
+bth AS (
+  SELECT obs.i, obs.j, COALESCE(w.w2, 1) AS w2
+  FROM obs LEFT JOIN w ON w.i = obs.i AND w.j = obs.j
+),
+pairs AS (
+  SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+  FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+),
+wt AS (SELECT i, CAST(SUM(w2) AS BIGINT) AS wins2 FROM pairs GROUP BY 1),
+nt AS (SELECT i, CAST(SUM(n2) AS BIGINT) AS comparisons2 FROM pairs GROUP BY 1),
+r0 AS (SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt),
+d1 AS (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST(1000000000000 AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN r0 ri ON ri.id = pairs.i
+             JOIN r0 rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+r1 AS (
+  SELECT d1.i AS id,
+         CAST((wins2 * CAST(1000000000000 AS BIGINT)) // D AS BIGINT) AS p
+  FROM d1 JOIN wt ON wt.i = d1.i
+),
+d2 AS (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST(1000000000000 AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN r1 ri ON ri.id = pairs.i
+             JOIN r1 rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+r2 AS (
+  SELECT d2.i AS id,
+         CAST((wins2 * CAST(1000000000000 AS BIGINT)) // D AS BIGINT) AS p
+  FROM d2 JOIN wt ON wt.i = d2.i
+)
+SELECT r2.id AS suppkey, wins2, comparisons2, p AS rating_fp
+FROM r2 JOIN wt ON wt.i = r2.id JOIN nt ON nt.i = r2.id
+"""
+
+# PSI/KS over log-bucket cells: length(bin(x)) / shifted-mantissa bit
+# arithmetic is the exact sketch bucketing (s = 4); Laplace +1 on both
+# PSI sides, raw CDFs for KS, 6dp convention.
+ORACLE["sketch_drift_report"] = """
+WITH sa AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders WHERE year(o_orderdate) = 1994
+),
+sb AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders WHERE year(o_orderdate) = 1995
+),
+ka AS (
+  SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,
+         COUNT(*) AS cnt_a
+  FROM sa WHERE x >= 1 GROUP BY 1, 2
+),
+kb AS (
+  SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,
+         COUNT(*) AS cnt_b
+  FROM sb WHERE x >= 1 GROUP BY 1, 2
+),
+cells AS (
+  SELECT COALESCE(ka.b, kb.b) AS b, COALESCE(ka.m, kb.m) AS m,
+         COALESCE(cnt_a, 0) AS ca, COALESCE(cnt_b, 0) AS cb
+  FROM ka FULL OUTER JOIN kb ON ka.b = kb.b AND ka.m = kb.m
+),
+t AS (
+  SELECT *,
+    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+    COUNT(*) OVER () AS nbins,
+    SUM(ca) OVER (ORDER BY b, m ROWS UNBOUNDED PRECEDING) AS cuma,
+    SUM(cb) OVER (ORDER BY b, m ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM cells
+),
+terms AS (
+  SELECT na, nb, nbins,
+    ((ca + 1)::DOUBLE / (na + nbins)
+      - (cb + 1)::DOUBLE / (nb + nbins))
+    * ln(((ca + 1)::DOUBLE / (na + nbins))
+       / ((cb + 1)::DOUBLE / (nb + nbins))) AS psi_term,
+    CASE WHEN na = 0 OR nb = 0 THEN 1.0
+         ELSE abs(cuma::DOUBLE / na - cumb::DOUBLE / nb) END AS gap
+  FROM t
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(nbins) AS BIGINT) AS n_bins,
+       round(SUM(psi_term), 6) AS psi, round(MAX(gap), 6) AS ks
+FROM terms
+"""
+
+# Poisson-bootstrap CI: the md5(seed:rep:id) 60-bit uniform and the
+# exact Poisson(1) CDF case chain are shared VERBATIM with the Spark
+# side (bootstrap.py::_POISSON1_CDF literals), so every replicate
+# weight — and therefore every interval endpoint — is identical.
+from ..llmops.bootstrap import _POISSON1_CDF as _P1  # noqa: E402
+
+_P1_CASE = " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_P1))
+ORACLE["bootstrap_ci"] = f"""
+WITH reps AS (SELECT unnest(range(40)) AS rep),
+draws AS (
+  SELECT source, rep, n_chars AS x,
+         ('0x' || substr(md5('b1:' || CAST(rep AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM documents, reps
+),
+wtd AS (SELECT source, rep, x, CASE {_P1_CASE} ELSE 7 END AS w FROM draws),
+rm AS (
+  SELECT source, rep, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+  FROM wtd GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT source, rep, m,
+         row_number() OVER (PARTITION BY source ORDER BY m, rep) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS nb
+  FROM rm
+),
+bounds AS (
+  SELECT source, round(MIN(m), 6) AS ci_lo, round(MAX(m), 6) AS ci_hi
+  FROM ranked
+  WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+     OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+  GROUP BY 1
+),
+base AS (
+  SELECT source, COUNT(*) AS n_rows,
+         round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean
+  FROM documents GROUP BY 1
+)
+SELECT source, n_rows, mean, ci_lo, ci_hi FROM base JOIN bounds USING (source)
+"""
+
+# Temperature mixture: pow replay of the tau=0.3 rule + the md5
+# content-hash bucket filter (mixture_sample's oracle idiom); kept
+# sums cast to BIGINT (HUGEINT fetch class).
+ORACLE["temperature_rebalance"] = """
+WITH counts AS (
+  SELECT source AS grp, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS _n FROM counts),
+scored AS (
+  SELECT grp, n_docs, pow(n_docs / _n, 0.3) AS _p FROM counts, tot
+),
+z AS (SELECT SUM(_p) AS _z FROM scored),
+wtd AS (SELECT grp, n_docs, _p / _z AS _w FROM scored, z),
+mx AS (SELECT MAX(_w / n_docs) AS _mx FROM wtd),
+rates AS (
+  SELECT grp, n_docs, round(_w, 6) AS weight,
+         round((_w / n_docs) / _mx, 6) AS keep_rate,
+         GREATEST(CAST(floor(256.0 * (_w / n_docs) / _mx) AS INTEGER), 1)
+           AS rate_num
+  FROM wtd, mx
+),
+b AS (
+  SELECT source, n_chars,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT b.source, COUNT(*) AS n_kept, SUM(b.n_chars) AS kc
+  FROM b JOIN rates r ON r.grp = b.source
+  WHERE b.bucket < r.rate_num GROUP BY 1
+)
+SELECT r.grp AS source, r.n_docs, r.weight, r.keep_rate, r.rate_num,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kc, 0) AS BIGINT) AS kept_chars
+FROM rates r LEFT JOIN kept k ON k.source = r.grp
+"""
+
+# Grouped log-bucket quantiles: the exact cell bit arithmetic (s = 4),
+# a per-group cumulative walk, est = the bucket UPPER bound
+# (m+1) << (b-1) / 2^4 — all windows partitioned by lang.
+ORACLE["logbucket_quantiles"] = """
+WITH sk AS (
+  SELECT lang, length(bin(n_chars)) AS b,
+         (n_chars << 4) >> (length(bin(n_chars)) - 1) AS m,
+         COUNT(*) AS cnt
+  FROM documents WHERE n_chars >= 1 GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT lang, b, m,
+    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY b, m
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+hits AS (
+  SELECT lang, q, b, m, n,
+         row_number() OVER (PARTITION BY lang, q ORDER BY b, m) AS rn
+  FROM cum, qs WHERE c >= ceil(q * n)
+)
+SELECT lang, q,
+       CAST((m + 1) << (b - 1) AS DOUBLE) / 16.0 AS est, n
+FROM hits WHERE rn = 1
+"""
+
+# Majority vote: count per (bucket, label), rank by count desc then
+# label asc (the deterministic tie-break), totals as a window.
+ORACLE["majority_vote"] = """
+WITH v AS (SELECT user_id % 97 AS bucket, event_type AS lab FROM events),
+c AS (SELECT bucket, lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+r AS (
+  SELECT bucket, lab, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, lab ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_votes
+  FROM c
+)
+SELECT bucket, lab AS majority_label, n_votes, n AS n_majority,
+       round(n / CAST(n_votes AS DOUBLE), 6) AS agreement
+FROM r WHERE rn = 1
 """

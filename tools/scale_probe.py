@@ -566,6 +566,56 @@ def probe_cbo_join_reorder(spark, sf_dir):
     }
 
 
+def probe_exact_substr_multifile(spark, sf_dir):
+    """ExactSubstr coverage is the engine's heaviest documented operator
+    (~32x corpus-bytes shuffle on the window hash — llmops/dedup.py::
+    _exact_substr_spans). Two scale properties, each cheap to break
+    silently:
+
+    (1) the corpus is hashed ONCE: the '>= 2 docs' test is a window
+        min/max over the hash partition, not a groupBy + join-back that
+        re-runs the explode+substring+md5 scan (measured ~2x) — the
+        executed plan must contain exactly one Generate (explode);
+    (2) the answer is partition-independent: a multi-file
+        (multi-mapper) staging of the same corpus — the layout every
+        100 TB input actually has — returns exactly the single-file
+        result (the repartition branch and the window-on-hash shuffle
+        commute with the file split).
+    """
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        exact_substr_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _fresh(spark, "sp_docs_multi")
+    docs.repartition(16).write.mode("overwrite").saveAsTable("sp_docs_multi")
+
+    single = exact_substr_coverage(docs, "text", "doc_id")
+    multi = exact_substr_coverage(
+        spark.table("sp_docs_multi"), "text", "doc_id"
+    )
+    t_single = _time(single)
+    t_multi = _time(multi)
+    # the AdaptiveSparkPlan string appends an "== Initial Plan ==" echo
+    # of every node — count Generates in the FINAL plan section only
+    final_plan = _plan(multi).split("== Initial Plan ==")[0]
+    hashed_once = final_plan.count("Generate") == 1
+    same = sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, multi.collect())
+    )
+    return {
+        "probe": "exact_substr_multifile",
+        "property_holds": bool(hashed_once and same),
+        "right_sec": t_multi,
+        "wrong_sec": t_single,
+        "detail": "one Generate in the executed plan (corpus hashed once,"
+        " min/max-over-window not groupBy+join-back) and the multi-file"
+        " staging reproduces the single-file coverage row-for-row",
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -584,6 +634,7 @@ def main() -> int:
         probe_runtime_bloom_filter_join,
         probe_aqe_skew_join,
         probe_cbo_join_reorder,
+        probe_exact_substr_multifile,
     ):
         r = probe(spark, sf_dir)
         ok = ok and r["property_holds"]

@@ -2820,3 +2820,164 @@ def test_lsh_band_remainder_and_precount_parity(spark):
         for r in candidate_pairs(b2, "doc_id", max_bucket=1).collect()
     }
     assert tiny == tiny_default == set()
+
+
+def test_streaming_pipeline_guard_ingest_release_end_to_end(spark, tmp_path):
+    """The full streaming corpus loop in ONE flow — guard → ingest →
+    release: an arriving document batch passes the LSH near-dup GUARD
+    against the live corpus; only admitted docs' embeddings stream
+    through the frozen-quantizer IVFPQ INGEST, appending
+    partitionBy(cell) into the batch-built serving index; the RELEASE
+    manifest materializes through the registry runtime; and the grown
+    index serves ivfadc_topk_indexed answers row-for-row identical to a
+    full batch ivfadc_topk over corpus + admitted vectors — while the
+    rejected near-dup's vector provably never enters the index."""
+    import numpy as np
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        build_ivfpq_index,
+        ivfadc_topk,
+        ivfadc_topk_indexed,
+        kmeans_lloyd,
+        pq_codebooks_trained,
+    )
+    from healthcare_dbt_datamart_spark.plans import ModelRegistry
+    from healthcare_dbt_datamart_spark.streaming.dedup_join import (
+        streaming_ivfpq_ingest,
+    )
+    from healthcare_dbt_datamart_spark.streaming.guard import (
+        streaming_near_dup_guard,
+    )
+
+    # --- live corpus: docs + their embeddings + the batch-built index
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    corpus_docs = spark.createDataFrame(
+        [(100, base), (101, other)], ["doc_id", "text"]
+    )
+    rng = np.random.RandomState(41)
+    # vec ids 0..k-1 satisfy the deterministic low-id Lloyd seed rule;
+    # arrival vectors land at 200 + doc_id so the id spaces never collide
+    corp_vecs = [
+        (i, [float(x) for x in rng.normal(0, 1.0, 8)]) for i in (0, 1)
+    ]
+    corpus_emb = spark.createDataFrame(
+        corp_vecs, "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_lloyd(corpus_emb, k=2, n_iter=2)
+    books = pq_codebooks_trained(corpus_emb, m=2, k=2, n_iter=2)
+    spark.sql("DROP TABLE IF EXISTS e2e_index")
+    build_ivfpq_index(corpus_emb, "e2e_index", cents, books)
+    assert spark.table("e2e_index").count() == 2
+
+    # --- arrivals: doc 1 is a near-twin of corpus doc 100 (must be
+    #     rejected), doc 2 is fresh (must be admitted)
+    schema = "doc_id long, ts timestamp, text string"
+    arrivals = [
+        (1, datetime(2024, 1, 1, 10, 0), base + " extra"),
+        (2, datetime(2024, 1, 1, 10, 1), " ".join(f"q{i}" for i in range(30))),
+    ]
+    arr_vecs = [
+        (200 + i, [float(x) for x in rng.normal(0, 1.0, 8)]) for i in (1, 2)
+    ]
+    src = tmp_path / "e2e_docs"
+    src.mkdir()
+    spark.createDataFrame(arrivals, schema).write.parquet(str(src / "b1"))
+
+    # --- stage 1: GUARD — stream the arrivals against the corpus
+    q = (
+        streaming_near_dup_guard(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            corpus_docs, "text", "doc_id", "ts", threshold=0.7,
+        )
+        .writeStream.format("memory")
+        .queryName("e2e_guard")
+        .option("checkpointLocation", str(tmp_path / "e2e_guard_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future nudge closes the 10:00 window under append mode
+        spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 12, 0), "nudge")], schema
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        rejected = {
+            r.doc_id
+            for r in spark.table("e2e_guard").collect()
+            if r.is_near_dup == 1
+        }
+    finally:
+        q.stop()
+    assert rejected == {1}
+
+    # --- stage 2: INGEST — only admitted embeddings feed the index
+    emb_schema = "vec_id long, embedding array<double>"
+    esrc = tmp_path / "e2e_emb"
+    esrc.mkdir()
+    spark.createDataFrame(arr_vecs, emb_schema).write.parquet(
+        str(esrc / "b1")
+    )
+    admitted_stream = (
+        spark.readStream.schema(emb_schema)
+        .parquet(str(esrc / "*"))
+        .filter(~F.col("vec_id").isin(*sorted(200 + d for d in rejected)))
+    )
+    q2 = (
+        streaming_ivfpq_ingest(admitted_stream, cents, books)
+        .writeStream.foreachBatch(
+            lambda b, _eid: b.write.mode("append")
+            .partitionBy("cell")
+            .saveAsTable("e2e_index")
+        )
+        .option("checkpointLocation", str(tmp_path / "e2e_ingest_ckpt"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    spark.catalog.refreshTable("e2e_index")
+    idx_ids = {r.vec_id for r in spark.table("e2e_index").collect()}
+    assert idx_ids == {0, 1, 202}  # grown by the admitted doc only
+
+    # --- stage 3: RELEASE — the manifest materializes via the registry
+    r = ModelRegistry(spark)
+
+    @r.model(materialized="table")
+    def e2e_index_release(ctx):
+        return (
+            spark.table("e2e_index")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_codes"))
+        )
+
+    r.run()
+    manifest = {
+        row.cell: row.n_codes
+        for row in spark.table("e2e_index_release").collect()
+    }
+    assert sum(manifest.values()) == 3
+
+    # --- serve: the grown index answers exactly like a batch rebuild
+    served_emb = corpus_emb.unionByName(
+        spark.createDataFrame([v for v in arr_vecs if v[0] == 202], emb_schema)
+    )
+    via_index = [
+        tuple(r)
+        for r in ivfadc_topk_indexed(
+            served_emb, "e2e_index", query_id=0, k=3, shortlist=3,
+            nprobe=2, centroids=cents, codebooks=books,
+        ).collect()
+    ]
+    via_batch = [
+        tuple(r)
+        for r in ivfadc_topk(
+            served_emb, query_id=0, k=3, shortlist=3, n_centroids=2,
+            nprobe=2, m=2, n_codes=2, centroids=cents, codebooks=books,
+        ).collect()
+    ]
+    assert via_index == via_batch and len(via_index) == 2
+    for t in ("e2e_index", "e2e_index_release"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

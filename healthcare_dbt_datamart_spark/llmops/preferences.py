@@ -172,22 +172,25 @@ def bradley_terry_from_pairs(
             "i", "j", (F.col("_w2raw") + F.lit(smoothing2)).alias("w2")
         )
     )
-    # mirror rows so every observed pair exists in both directions with
-    # at least the smoothing mass
-    observed = wins.select("i", "j").unionAll(
-        wins.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    ).distinct()
-    both = observed.join(wins, ["i", "j"], "left").select(
-        "i", "j", F.coalesce("w2", F.lit(smoothing2)).alias("w2")
-    )
-    # n_ij rides each direction: n2(i,j) = w2(i,j) + w2(j,i)
-    rev = both.select(
+    # mirror + smoothing + n_ij in ONE full-outer self-join: a row per
+    # ordered direction of every observed pair, the unobserved mirror
+    # getting exactly the smoothing mass, and n2(i,j) = w2(i,j) + w2(j,i)
+    # riding each direction. (The spelled-out union-distinct +
+    # left-join + reverse-join chain computes the same table in three
+    # extra shuffles of the pair set.)
+    rev = wins.select(
         F.col("j").alias("i"), F.col("i").alias("j"),
         F.col("w2").alias("w2_rev"),
     )
+    s = F.lit(smoothing2)
     pairs = (
-        both.join(rev, ["i", "j"])
-        .select("i", "j", "w2", (F.col("w2") + F.col("w2_rev")).alias("n2"))
+        wins.join(rev, ["i", "j"], "full_outer")
+        .select(
+            "i",
+            "j",
+            F.coalesce("w2", s).alias("w2"),
+            (F.coalesce("w2", s) + F.coalesce("w2_rev", s)).alias("n2"),
+        )
         .persist()  # loop-invariant: every MM round re-reads this
     )
     pairs.count()
@@ -201,9 +204,13 @@ def bradley_terry_from_pairs(
     for _ in range(n_iter):
         ri = ratings.withColumnsRenamed({"id": "i", "p": "p_i"})
         rj = ratings.withColumnsRenamed({"id": "j", "p": "p_j"})
+        # ratings are bounded MODEL STATE (one row per item): broadcast
+        # them into the pair-table joins so each MM round is map-only
+        # over the persisted pairs — no per-round shuffle of the pair
+        # table (an SMJ here re-sorts ~items² rows every round)
         denom = (
-            pairs.join(ri, "i")
-            .join(rj, "j")
+            pairs.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
             .select(
                 "i",
                 F.expr(f"(n2 * cast({s2} as bigint)) div (p_i + p_j)").alias(

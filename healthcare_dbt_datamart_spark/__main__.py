@@ -172,8 +172,29 @@ def main(argv: list[str] | None = None, log=print) -> int:
         shown, more = rows[: a.limit], len(rows) > a.limit
         cols = df.columns
 
+        def _fmt(v) -> str:
+            # mirror Spark's showString cell forms for non-atomic types
+            # (str() would print Python reprs — bytearray(...), Row(...))
+            from pyspark.sql import Row
+
+            if v is None:
+                return "NULL"
+            if isinstance(v, (bytes, bytearray)):
+                return "[" + " ".join(f"{b:02X}" for b in v) + "]"
+            if isinstance(v, Row):
+                return "{" + ", ".join(_fmt(x) for x in v) + "}"
+            if isinstance(v, (list, tuple)):
+                return "[" + ", ".join(_fmt(x) for x in v) + "]"
+            if isinstance(v, dict):
+                return (
+                    "{"
+                    + ", ".join(f"{_fmt(k)} -> {_fmt(x)}" for k, x in v.items())
+                    + "}"
+                )
+            return str(v)
+
         def _cell(v) -> str:
-            s = "NULL" if v is None else str(v)
+            s = _fmt(v)
             return s if len(s) <= 20 else s[:17] + "..."
 
         table = [[_cell(v) for v in r] for r in shown]
@@ -182,7 +203,8 @@ def main(argv: list[str] | None = None, log=print) -> int:
             for i, c in enumerate(cols)
         ]
         sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-        fmt = "|" + "|".join(f" {{:<{w}}} " for w in widths) + "|"
+        # Spark right-aligns truncated cells
+        fmt = "|" + "|".join(f" {{:>{w}}} " for w in widths) + "|"
         out = [sep, fmt.format(*cols), sep]
         out += [fmt.format(*t) for t in table]
         out.append(sep)
@@ -195,6 +217,13 @@ def main(argv: list[str] | None = None, log=print) -> int:
         results = r.run_tests(select=a.select)
         unit = r.run_unit_tests(select=a.select)
         if not results and not unit:
+            if a.select:
+                # dbt errors on a selector that matches nothing — a typo'd
+                # node name must not read as "all tests passed"
+                raise SystemExit(
+                    f"--select {a.select!r} matched no model, graph"
+                    " selector, or unit-test name"
+                )
             log("no models declare schema or unit tests")
             return 0
         worst = 0

@@ -3614,12 +3614,19 @@ def q_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalars fold as windows over the bounded counts table), then the
     deterministic content-hash-bucket downsample — kept counts per
     source verify the realized mixture against the declared rates."""
-    from ..llmops.splits import temperature_rebalance, temperature_weights
+    from pyspark.sql.functions import broadcast
+
+    from ..llmops.splits import hash_bucket256, temperature_weights
 
     docs = load(spark, sf_dir, "documents")
     weights = temperature_weights(docs, "source", tau=0.3)
+    # keep filter inlined against the ALREADY-computed rates (the exact
+    # rule temperature_rebalance applies) so the corpus count shuffle is
+    # paid once — calling temperature_rebalance here would re-derive the
+    # same weights table from a second corpus scan
     kept = (
-        temperature_rebalance(docs, "source", "text", tau=0.3)
+        docs.join(broadcast(weights.select("source", "rate_num")), "source")
+        .filter(hash_bucket256("text") < F.col("rate_num"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -234,7 +234,17 @@ class ModelRegistry:
         """
         from ..operators import testing as T
 
-        names = self.select_nodes(select) if select else set(self._models)
+        # a selector that names no model is not a schema-test error: the
+        # CLI `test` command passes the SAME select to run_unit_tests,
+        # where a bare unit-test name is valid — schema tests simply
+        # match nothing then (the CLI errors if BOTH halves are empty)
+        if select:
+            try:
+                names = self.select_nodes(select)
+            except KeyError:
+                names = set()
+        else:
+            names = set(self._models)
         out: dict[str, list] = {}
         for name, mdef in self._models.items():
             if name not in names:

@@ -2297,6 +2297,26 @@ def test_cli_show_and_declared_unit_tests(spark, capsys):
     assert "unit:stg_claim_lines.stg_claim_lines_normalizes_codes" in out
     assert " PASS  unit:" in out or "PASS  unit:" in out
 
+    # selecting a unit test BY NAME from the CLI must run it (run_tests
+    # used to raise KeyError on a non-model selector before
+    # run_unit_tests ever saw it), and a selector matching nothing must
+    # error instead of reading as success
+    lines = []
+    rc = cli.main(
+        ["test", "--project", "datamart",
+         "--select", "stg_claim_lines_normalizes_codes"],
+        log=lines.append,
+    )
+    assert rc == 0
+    assert any("unit:stg_claim_lines." in ln for ln in lines)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="matched no model"):
+        cli.main(
+            ["test", "--project", "datamart", "--select", "no_such_node"],
+            log=lines.append,
+        )
+
     # a failing unit test must fail the command
     from healthcare_dbt_datamart_spark.plans.registry import ModelRegistry
 
@@ -2543,7 +2563,7 @@ def test_incremental_layout_configs_honored_or_loud(spark):
         r.build("clus")  # merge pays the swap WITH the declared cluster_by
     finally:
         spark.conf.set(coalesce_key, prev)
-    assert spark.table("clus").count() == 503  # 500 + ids 502/509/516
+    assert spark.table("clus").count() == 503  # 500 + new ids 500/507/514
 
     ranges = []
     for f in glob.glob(os.path.join(_table_location(spark, "clus"), "part-*.parquet")):

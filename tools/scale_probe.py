@@ -596,7 +596,7 @@ def probe_exact_substr_multifile(spark, sf_dir):
     multi = exact_substr_coverage(
         spark.table("sp_docs_multi"), "text", "doc_id"
     )
-    t_single = _time(single)
+    _time(single)  # warm both lineages; equality is the assert below
     t_multi = _time(multi)
     # the AdaptiveSparkPlan string appends an "== Initial Plan ==" echo
     # of every node — count Generates in the FINAL plan section only
@@ -605,11 +605,14 @@ def probe_exact_substr_multifile(spark, sf_dir):
     same = sorted(map(tuple, single.collect())) == sorted(
         map(tuple, multi.collect())
     )
+    # wrong_sec is None: both variants here are CORRECT layouts (the
+    # counterfactual groupBy+join-back shape would re-hash the corpus —
+    # its 2x cost is documented at the operator, not re-measured here)
     return {
         "probe": "exact_substr_multifile",
         "property_holds": bool(hashed_once and same),
         "right_sec": t_multi,
-        "wrong_sec": t_single,
+        "wrong_sec": None,
         "detail": "one Generate in the executed plan (corpus hashed once,"
         " min/max-over-window not groupBy+join-back) and the multi-file"
         " staging reproduces the single-file coverage row-for-row",

@@ -3577,8 +3577,8 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-side distribution drift (llmops/drift.py::
     sketch_drift_report — PSI + KS over log-bucket sketch cells, the
-    DDSketch idea on exact bit arithmetic): did the 1995 order-price
-    distribution shift against 1994? Each year collapses to <= 63·2^4
+    DDSketch idea on exact bit arithmetic): did the 1996 order-price
+    distribution shift against 1995? Each year collapses to <= 63·2^4
     integer cells in one shuffle; the statistics join two model-sized
     tables — a daily 100 TB drift monitor stores kilobytes per day.
     Metric is o_totalprice in cents (the integral-metric discipline)."""
@@ -3587,8 +3587,8 @@ def q_sketch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
     return sketch_drift_report(
-        o.filter(F.year("o_orderdate") == 1994).select(cents),
         o.filter(F.year("o_orderdate") == 1995).select(cents),
+        o.filter(F.year("o_orderdate") == 1996).select(cents),
         "cents",
     )
 
@@ -6704,11 +6704,11 @@ FROM r2 JOIN wt ON wt.i = r2.id JOIN nt ON nt.i = r2.id
 ORACLE["sketch_drift_report"] = """
 WITH sa AS (
   SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
-  FROM orders WHERE year(o_orderdate) = 1994
+  FROM orders WHERE year(o_orderdate) = 1995
 ),
 sb AS (
   SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
-  FROM orders WHERE year(o_orderdate) = 1995
+  FROM orders WHERE year(o_orderdate) = 1996
 ),
 ka AS (
   SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,

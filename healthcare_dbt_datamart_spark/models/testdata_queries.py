@@ -3700,9 +3700,17 @@ SCHEDULED_NEXT_WINDOW = [
 # its observable is parquet footers, not a result hash — the footer
 # test IS its strongest gate. ROUND-7 window arithmetic: the 47
 # round-3-green queries below the current window hit their cycle-4
-# deadline next round; 47 + these 6 = 53 > 50, so the 3
-# cheapest-to-defer round-3 entries take in-test DuckDB-replay evidence
-# instead and rotate in at round 8.
+# deadline next round; 47 + these 6 = 53 > 50, so 3 round-3 entries
+# defer to round 8. Cheapest to defer — each has a ROUND-6-green
+# sibling gating its code path in-window, plus its own oracle row in
+# the committed LOCAL_CORRECTNESS artifacts:
+#   pq_rerank        (pq_topk in-window: same trained books, same
+#                     _adc_tables/_pq_best_cols helpers)
+#   multimodal_decode (multimodal_features in-window: same Arrow
+#                     mapInPandas decode plumbing)
+#   datamart_dag     (gap_status / gap_status_sql / gap_violations
+#                     in-window: the registry-built twin shares their
+#                     oracle arithmetic verbatim)
 
 QUERIES = {
     # === ROUND-6 WINDOW (first 50 keys = the driver's correctness gate) ===

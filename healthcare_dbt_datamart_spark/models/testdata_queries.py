@@ -3586,11 +3586,20 @@ def q_sketch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
-    return sketch_drift_report(
-        o.filter(F.year("o_orderdate") == 1995).select(cents),
-        o.filter(F.year("o_orderdate") == 1996).select(cents),
-        "cents",
-    )
+
+    # year slices as RANGE predicates, not year(o_orderdate) == N: a
+    # function-wrapped predicate reaches parquet as IsNotNull only,
+    # while the range form pushes GreaterThanOrEqual/LessThan into the
+    # scan — at 100 TB that is row-group (and partition) pruning on the
+    # snapshot boundary instead of a full-column scan
+    def _year(y: int):
+        lo = F.lit(f"{y}-01-01").cast("timestamp")
+        hi = F.lit(f"{y + 1}-01-01").cast("timestamp")
+        return o.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        ).select(cents)
+
+    return sketch_drift_report(_year(1995), _year(1996), "cents")
 
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6712,11 +6721,13 @@ FROM r2 JOIN wt ON wt.i = r2.id JOIN nt ON nt.i = r2.id
 ORACLE["sketch_drift_report"] = """
 WITH sa AS (
   SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
-  FROM orders WHERE year(o_orderdate) = 1995
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1996-01-01'
 ),
 sb AS (
   SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
-  FROM orders WHERE year(o_orderdate) = 1996
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
 ),
 ka AS (
   SELECT length(bin(x)) AS b, (x << 4) >> (length(bin(x)) - 1) AS m,

@@ -3720,6 +3720,25 @@ SCHEDULED_NEXT_WINDOW = [
 #   datamart_dag     (gap_status / gap_status_sql / gap_violations
 #                     in-window: the registry-built twin shares their
 #                     oracle arithmetic verbatim)
+# ROUND-7 PROMOTION QUEUE (new queries may enter ONLY via the 6
+# SCHEDULED slots, which free when this cohort enters the round-7
+# window; all candidates are implemented + pytest'd with DuckDB
+# replays, natural inputs chosen):
+#   1. hll_by_group       — distinct users per event_type via HLL
+#                           registers (events; the committed alternate)
+#   2. annotator_agreement — per-rater consensus-agreement on the
+#                           majority_vote bucket votes (events)
+#   3. bootstrap_diff_ci  — paired A/B mean-n_chars difference between
+#                           two sources (documents; md5-derandomized)
+#   4. token_balanced_shards — LPT shard dealing over doc n_chars
+#                           (documents; snake-order replay)
+#   5. pass_at_k          — unbiased pass@k per part bucket with
+#                           lineitem returnflag as the success bit
+#   6. fleiss_kappa or weighted_consensus — rater grid from
+#                           (user-bucket, event-type) votes (events)
+# Round-8 window arithmetic stays feasible: 3 deferred r3 (age 5,
+# mandatory) + ≤6 round-7 scheduled + 41 of the 50 round-5 greens
+# (age 3 — the remaining 9 rotate at round 9 within their cycle).
 
 QUERIES = {
     # === ROUND-6 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -56,6 +56,55 @@ def _project(name: str, spark, sf_dir: str):
     raise SystemExit(f"unknown project: {name!r}")
 
 
+def render_preview(df, limit: int) -> str:
+    """dbt-show preview box via PUBLIC APIs only (no ``df._jdf`` — works
+    under Spark Connect): fetch limit+1 rows so the truncation notice
+    stays honest, format cells in Spark's ``showString`` forms (hex
+    brackets for binary, braces for structs/maps — Python reprs like
+    ``bytearray(...)`` are unreadable after truncation), truncate at 20
+    chars and right-align like Spark."""
+    from pyspark.sql import Row
+
+    rows = df.limit(limit + 1).collect()
+    shown, more = rows[:limit], len(rows) > limit
+    cols = df.columns
+
+    def _fmt(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (bytes, bytearray)):
+            return "[" + " ".join(f"{b:02X}" for b in v) + "]"
+        if isinstance(v, Row):
+            return "{" + ", ".join(_fmt(x) for x in v) + "}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(_fmt(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ", ".join(f"{_fmt(k)} -> {_fmt(x)}" for k, x in v.items())
+                + "}"
+            )
+        return str(v)
+
+    def _cell(v) -> str:
+        s = _fmt(v)
+        return s if len(s) <= 20 else s[:17] + "..."
+
+    table = [[_cell(v) for v in r] for r in shown]
+    widths = [
+        max(len(c), *(len(t[i]) for t in table)) if table else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    fmt = "|" + "|".join(f" {{:>{w}}} " for w in widths) + "|"
+    out = [sep, fmt.format(*cols), sep]
+    out += [fmt.format(*t) for t in table]
+    out.append(sep)
+    if more:
+        out.append(f"only showing top {limit} rows")
+    return "\n".join(out)
+
+
 def main(argv: list[str] | None = None, log=print) -> int:
     p = argparse.ArgumentParser(prog="healthcare_dbt_datamart_spark")
     p.add_argument(
@@ -166,51 +215,7 @@ def main(argv: list[str] | None = None, log=print) -> int:
         if not a.model:
             raise SystemExit("show requires --model")
         df = r.compile(a.model)
-        # public rendering path (no _jdf — works under Spark Connect):
-        # fetch limit+1 rows so the truncation notice stays honest
-        rows = df.limit(a.limit + 1).collect()
-        shown, more = rows[: a.limit], len(rows) > a.limit
-        cols = df.columns
-
-        def _fmt(v) -> str:
-            # mirror Spark's showString cell forms for non-atomic types
-            # (str() would print Python reprs — bytearray(...), Row(...))
-            from pyspark.sql import Row
-
-            if v is None:
-                return "NULL"
-            if isinstance(v, (bytes, bytearray)):
-                return "[" + " ".join(f"{b:02X}" for b in v) + "]"
-            if isinstance(v, Row):
-                return "{" + ", ".join(_fmt(x) for x in v) + "}"
-            if isinstance(v, (list, tuple)):
-                return "[" + ", ".join(_fmt(x) for x in v) + "]"
-            if isinstance(v, dict):
-                return (
-                    "{"
-                    + ", ".join(f"{_fmt(k)} -> {_fmt(x)}" for k, x in v.items())
-                    + "}"
-                )
-            return str(v)
-
-        def _cell(v) -> str:
-            s = _fmt(v)
-            return s if len(s) <= 20 else s[:17] + "..."
-
-        table = [[_cell(v) for v in r] for r in shown]
-        widths = [
-            max(len(c), *(len(t[i]) for t in table)) if table else len(c)
-            for i, c in enumerate(cols)
-        ]
-        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-        # Spark right-aligns truncated cells
-        fmt = "|" + "|".join(f" {{:>{w}}} " for w in widths) + "|"
-        out = [sep, fmt.format(*cols), sep]
-        out += [fmt.format(*t) for t in table]
-        out.append(sep)
-        if more:
-            out.append(f"only showing top {a.limit} rows")
-        log("\n".join(out))
+        log(render_preview(df, a.limit))
         return 0
 
     if a.command == "test":

@@ -2981,3 +2981,15 @@ def test_streaming_pipeline_guard_ingest_release_end_to_end(spark, tmp_path):
     assert via_index == via_batch and len(via_index) == 2
     for t in ("e2e_index", "e2e_index_release"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exact_substr_spans_rejects_unknown_keeper_rule(spark):
+    """The shared ExactSubstr pipeline has exactly two span predicates;
+    a typo'd keeper_rule must fail loudly, not silently pick one."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        _exact_substr_spans,
+    )
+
+    df = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="keeper_rule"):
+        _exact_substr_spans(df, "text", "doc_id", 3, keeper_rule="typo")

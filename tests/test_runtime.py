@@ -2594,3 +2594,23 @@ def test_incremental_layout_configs_honored_or_loud(spark):
     with _pytest.raises(ValueError, match="bucket_by"):
         r2.run()
     spark.sql("DROP TABLE IF EXISTS clus")
+
+
+def test_cli_show_renders_nonatomic_cells_spark_style(spark):
+    """The public show renderer must print binary/struct/array/map cells
+    in Spark's showString forms (hex brackets, braces, arrows) — Python
+    reprs like bytearray(...) / Row(...) are unreadable after the
+    20-char truncation — and report the honest truncation notice."""
+    from healthcare_dbt_datamart_spark.__main__ import render_preview
+
+    df = spark.sql(
+        "SELECT X'0102' AS b, named_struct('a', 1) AS s,"
+        " array(1, 2) AS arr, map('k', 7) AS m, CAST(NULL AS INT) AS n"
+    )
+    out = render_preview(df, 2)
+    assert "[01 02]" in out and "{1}" in out and "[1, 2]" in out
+    assert "{k -> 7}" in out and "NULL" in out
+    assert "bytearray" not in out and "Row(" not in out
+    assert "only showing" not in out  # 1 row, limit 2 — nothing hidden
+    out2 = render_preview(spark.range(5).toDF("id"), 3)
+    assert "only showing top 3 rows" in out2

@@ -1239,6 +1239,40 @@ def test_majority_vote_and_annotator_agreement(spark):
     assert maj == oracle
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_majority_vote_invariants_property(spark, pairs):
+    """For ANY vote multiset: the consensus count is the item's maximum,
+    the label is the lexicographically smallest among the argmax set,
+    n_votes is the item's vote total, and agreement = n_majority /
+    n_votes at 6dp — one output row per item."""
+    from collections import Counter
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import majority_vote
+
+    votes = spark.createDataFrame(pairs, "item_id long, label string")
+    got = {r.item_id: r for r in majority_vote(votes).collect()}
+    per_item: dict = {}
+    for i, lab in pairs:
+        per_item.setdefault(i, Counter())[lab] += 1
+    assert set(got) == set(per_item)
+    for i, counts in per_item.items():
+        r = got[i]
+        top = max(counts.values())
+        assert r.n_majority == top
+        assert r.majority_label == min(
+            lab for lab, n in counts.items() if n == top
+        )
+        assert r.n_votes == sum(counts.values())
+        assert r.agreement == round(top / sum(counts.values()), 6)
+
+
 def test_bradley_terry_fixed_point_ranking_and_replay(spark):
     """Fixed-point Bradley-Terry: a dominance hierarchy comes back in
     rating order, the result is bit-exact under repartitioning

@@ -194,8 +194,12 @@ def bradley_terry_from_pairs(
         .persist()  # loop-invariant: every MM round re-reads this
     )
     pairs.count()
-    w_tot = pairs.groupBy("i").agg(F.sum("w2").alias("wins2"))
-    n_tot = pairs.groupBy("i").agg(F.sum("n2").alias("comparisons2"))
+    # one aggregation pass over the cached pairs for BOTH per-item
+    # totals (two separate groupBys shuffle the pair table twice)
+    tot = pairs.groupBy("i").agg(
+        F.sum("w2").alias("wins2"), F.sum("n2").alias("comparisons2")
+    )
+    w_tot = tot.select("i", "wins2")
 
     s2 = scale * scale
     ratings = w_tot.select(
@@ -230,8 +234,7 @@ def bradley_terry_from_pairs(
         )
     pairs.unpersist()
     return (
-        ratings.join(w_tot.withColumnsRenamed({"i": "id"}), "id")
-        .join(n_tot.withColumnsRenamed({"i": "id"}), "id")
+        ratings.join(tot.withColumnsRenamed({"i": "id"}), "id")
         .select(
             F.col("id").alias("item"),
             "wins2",

@@ -6832,7 +6832,7 @@ SELECT source, n_rows, mean, ci_lo, ci_hi FROM base JOIN bounds USING (source)
 # Temperature mixture: pow replay of the tau=0.3 rule + the md5
 # content-hash bucket filter (mixture_sample's oracle idiom); kept
 # sums cast to BIGINT (HUGEINT fetch class).
-ORACLE["temperature_rebalance"] = """
+ORACLE["temperature_rebalance"] = f"""
 WITH counts AS (
   SELECT source AS grp, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1
 ),
@@ -6852,8 +6852,7 @@ rates AS (
 ),
 b AS (
   SELECT source, n_chars,
-         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-         + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS bucket
+         {_HEX_BYTE.format(a=1, b=2)} AS bucket
   FROM documents
 ),
 kept AS (

@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
     simhash16,
 )
 from .filtering import (  # noqa: F401
+    bigram_interp_scores,
     bloom_prefilter,
     domain_mixture_weights,
     epoch_order,

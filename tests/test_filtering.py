@@ -1827,3 +1827,123 @@ def test_redact_mask_metacharacters_are_literal(spark):
         r = redact_report(df, "text", "doc_id", pats, mask=mask).collect()[0]
         assert r.phone_hits == 1
         assert r.redacted_len == len("call  now") + len(mask)
+
+
+def test_bigram_interp_scores_duckdb_replay_and_properties(spark):
+    """Reference-model JM bigram scores (the CCNet split): docs the
+    reference explains score low, rare-word docs score high, every
+    position stays finite on fully-OOV text, sub-2-token docs are
+    excluded, lam=0 degenerates to the Laplace unigram backoff, the
+    SELF-scoring saturation (P >= lam on a singleton's unique pairs) is
+    pinned as the reason the reference split exists, and the whole
+    table replays EXACTLY in DuckDB — promotion-queue hash-grade
+    evidence."""
+    import math
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        bigram_interp_scores,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    ref_rows = [(1000 + i, common) for i in range(8)]
+    ref_rows += [(2000 + i, "der hund sitzt auf der matte") for i in range(3)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    rows = [
+        (0, common),                    # fully explained by the reference
+        (100, "zyx qwv plk mjn"),       # fully OOV
+        (101, "one"),                   # single token: no bigram position
+        (102, "the cat sat quietly"),   # partial: known prefix, novel tail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in bigram_interp_scores(df, "text", "doc_id", ref_df=ref).collect()
+    }
+    assert 101 not in got
+    assert got[0][0] == 12  # 13 tokens -> 12 adjacent pairs
+    # reference-explained << partially-novel << fully-OOV
+    assert got[0][1] < got[102][1] < got[100][1]
+    assert all(math.isfinite(s) for _, s in got.values())
+
+    # lam = 0: pure Laplace unigram backoff on w2 with REFERENCE counts
+    uni: dict = {}
+    for _, text in ref_rows:
+        for t in text.split():
+            uni[t] = uni.get(t, 0) + 1
+    n_v1 = sum(uni.values()) + len(uni) + 1
+    lam0 = {
+        r.doc_id: r.lm_score
+        for r in bigram_interp_scores(
+            df, "text", "doc_id", ref_df=ref, lam=0.0
+        ).collect()
+    }
+    for doc_id, text in rows:
+        ws = text.split()
+        if len(ws) < 2:
+            continue
+        expect = round(
+            -sum(math.log((uni.get(w, 0) + 1) / n_v1) for w in ws[1:])
+            / (len(ws) - 1),
+            6,
+        )
+        assert abs(lam0[doc_id] - expect) < 1e-9, doc_id
+
+    # the documented self-scoring saturation: a singleton doc's unique
+    # pairs give P >= lam, so its self-score caps at -ln(lam) — the
+    # measured reason scoring needs the reference split
+    solo = spark.createDataFrame([rows[1]], ["doc_id", "text"])
+    self_score = bigram_interp_scores(solo, "text", "doc_id").collect()[0]
+    assert self_score.lm_score <= round(-math.log(0.75), 6)
+
+    # exact DuckDB replay of the reference-model score (lam = 0.75)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    con.register("ref", ref.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+        WITH rarr AS (
+          SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM ref
+        ),
+        ucnt AS (
+          SELECT t, COUNT(*) AS uc FROM (SELECT unnest(w) AS t FROM rarr)
+          GROUP BY t
+        ),
+        rpairs AS (
+          SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+          FROM rarr WHERE len(w) >= 2
+        ),
+        bcnt AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS bc FROM rpairs
+          GROUP BY 1, 2
+        ),
+        c1 AS (SELECT w1, SUM(bc) AS c1 FROM bcnt GROUP BY w1),
+        nv AS (SELECT (SUM(uc) + COUNT(*) + 1)::DOUBLE AS n_v1 FROM ucnt),
+        darr AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM t
+        ),
+        dp AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+          FROM darr WHERE len(w) >= 2
+        ),
+        pb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp)
+        SELECT pb.doc_id, COUNT(*) AS n_bigrams,
+               round(-avg(ln(
+                 0.75 * COALESCE(bc::DOUBLE / c1.c1, 0.0)
+                 + 0.25 * ((COALESCE(uc, 0) + 1)::DOUBLE / nv.n_v1))), 6) AS s
+        FROM pb
+        LEFT JOIN bcnt USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        LEFT JOIN ucnt ON ucnt.t = pb.w2
+        CROSS JOIN nv
+        GROUP BY pb.doc_id
+        """).fetchall()
+    }
+    assert got == oracle

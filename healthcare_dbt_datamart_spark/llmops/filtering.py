@@ -363,6 +363,16 @@ def bigram_interp_scores(
 
     Returns ``(id, n_bigrams, lm_score)``.
     """
+    # lam=1 kills the Laplace backoff: reference-unseen pairs get P=0,
+    # F.log(0) = NULL, and avg() silently DROPS those positions —
+    # finite but wrong. Fail loudly instead (the temperature_rebalance
+    # rate_scale discipline).
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(
+            f"lam must be in [0, 1): got {lam!r} — lam=1 makes "
+            "reference-unseen pairs P=0 and ln(0) NULL-drops them "
+            "from the doc mean"
+        )
 
     def _arr(frame: DataFrame, *extra):
         return frame.select(

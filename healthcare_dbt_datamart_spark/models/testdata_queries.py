@@ -3741,84 +3741,30 @@ SCHEDULED_NEXT_WINDOW = [
 # (age 3 — the remaining 9 rotate at round 9 within their cycle).
 
 QUERIES = {
-    # === ROUND-6 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===
     #
-    # Rotation executed per the round-4/5 verdict contract (round 5 made
-    # no commits, so the debt is one round older): the 43 queries whose
-    # newest driver green is round 2 hit their cadence deadline and MUST
-    # lead, the 6 SCHEDULED_NEXT_WINDOW sketch/graph queries (born after
-    # the round-4 rotation, never driver-checked) MUST lead, and the one
-    # remaining slot goes to pq_topk — the oldest round-3 evidence; its
-    # PQ codebooks were already 9dp-rounded, so its hash is UNCHANGED by
-    # this round's coarse-quantizer Lloyd rounding and the driver gates
-    # the trained-books path end-to-end. 43 + 6 + 1 = 50 exactly. The 47
-    # remaining round-3 greens sit directly below the window and lead
-    # the round-7 rotation; `tools/audit_window.py` machine-checks this.
-    # -- (0) first-ever driver rows: the sketch/graph family --------------
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "hll_cardinality": q_hll_cardinality,
-    "nation_market_share": q_nation_market_share,
-    "product_type_profit": q_product_type_profit,
-    "ship_delay_classes": q_ship_delay_classes,
-    "pagerank_docs": q_pagerank_docs,
-    # -- (1) oldest round-3 evidence ---------------------------------------
-    # (pq_topk is the session's first quantizer query in dict order, so
-    #  it pays the one-time PQ Lloyd fit in per-query bench attribution
-    #  this round — previously pq_encode's line item)
-    "pq_topk": q_pq_topk,
-    # -- (2) round-2 green, at their cadence deadline ----------------------
-    "embedding_near_dup": q_embedding_near_dup,
-    "gap_status": q_gap_status,
-    "dim_member": q_dim_member,
-    "events_asof_error": q_events_asof_error,
-    "events_follow_error": q_events_follow_error,
-    "mixture_sample": q_mixture_sample,
-    "repetition_docs": q_repetition_docs,
-    "pack_docs": q_pack_docs,
-    "revenue_by_nation": q_revenue_by_nation,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "order_count_distribution": q_order_count_distribution,
-    "priority_status_pivot": q_priority_status_pivot,
-    "price_histogram": q_price_histogram,
-    "idle_rich_customers": q_idle_rich_customers,
-    "clean_docs": q_clean_docs,
-    "cross_source_dups": q_cross_source_dups,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "brand_size_revenue": q_brand_size_revenue,
-    "stats_profile": q_stats_profile,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "event_funnel": q_event_funnel,
-    "customer_order_running": q_customer_order_running,
-    "unigram_logprob": q_unigram_logprob,
-    "events_sliding": q_events_sliding,
-    "quantiles_price": q_quantiles_price,
-    "gap_status_excl": q_gap_status_excl,
-    "multimodal_features": q_multimodal_features,
-    "stg_claim_lines": q_stg_claim_lines,
-    "union_all_tagged": q_union_all_tagged,
-    "events_json": q_events_json,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "scd2_check_customers": q_scd2_check_customers,
-    "bigram_pmi": q_bigram_pmi,
-    "vocab_ranked": q_vocab_ranked,
-    "embedding_quantize": q_embedding_quantize,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    # === BELOW THE WINDOW =================================================
-    # -- (3) round-3 green — next in line: they lead the ROUND-7 window
-    #    (47 of them + the 6 new scheduled operators = 53 > 50; the 3
-    #    cheapest-to-defer get in-test DuckDB-replay evidence instead) ----
-    # pq_rerank shares pq_topk's session-cached trained books and the
-    # same _adc_tables/_pq_best_cols helpers, driver-gated in-window via
-    # pq_topk; it stays oracle-green in the committed local sweeps at
-    # every SF/mode
-    "pq_rerank": q_pq_rerank,
+    # Rotation executed per the round-6 verdict contract: the 6
+    # SCHEDULED_NEXT_WINDOW promotions (born after the round-6 rotation,
+    # never driver-checked) MUST lead, and the 44 of the 47 round-3
+    # greens at their cycle-4 cadence deadline fill the rest. 6 + 44 =
+    # 50 exactly; the 3 cheapest-to-defer round-3 entries (each with an
+    # r6-green sibling gating its code path and a hash-grade in-test
+    # DuckDB replay, tests/test_deferral_replays.py) sit directly below
+    # and are MANDATORY in the round-8 window.
+    # `tools/audit_window.py` machine-checks this.
+    # -- (0) first driver rows: the round-6 promotion cohort
+    #    (preference/sketch/bootstrap family) ---------------------------
+    "bradley_terry": q_bradley_terry,
+    "sketch_drift_report": q_sketch_drift_report,
+    "bootstrap_ci": q_bootstrap_ci,
+    "temperature_rebalance": q_temperature_rebalance,
+    "logbucket_quantiles": q_logbucket_quantiles,
+    "majority_vote": q_majority_vote,
+    # -- (1) round-3 green, at their cycle-4 cadence deadline ----------
+    #    (kmeans_cells is the session's first coarse-quantizer query in
+    #     dict order, so it pays the one-time coarse Lloyd fit in bench
+    #     attribution this round; pq_rerank — first below the window —
+    #     pays the PQ-codebook fit)
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -3863,10 +3809,69 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "kmeans_cells": q_kmeans_cells,
     "ivf_topk": q_ivf_topk,
+    # === BELOW THE WINDOW =================================================
+    # -- (2) the round-8 deferral trio (round-3 green, age 4 — the only
+    #    STALE flags audit_window prints this round, by the 53>50
+    #    arithmetic; each carries an in-test DuckDB replay regenerated
+    #    every pytest run + an in-window sibling gating its code path) --
+    "pq_rerank": q_pq_rerank,
     "multimodal_decode": q_multimodal_decode,
     "datamart_dag": q_datamart_dag,
-    # -- (4) round-5 green (the freshest evidence in the repo; they
-    #    rotate forward again after the round-3 cohort) --------------------
+    # -- (3) round-6 green (the freshest evidence in the repo; they
+    #    rotate forward again at round 10 within their cycle) -----------
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_cardinality": q_hll_cardinality,
+    "nation_market_share": q_nation_market_share,
+    "product_type_profit": q_product_type_profit,
+    "ship_delay_classes": q_ship_delay_classes,
+    "pagerank_docs": q_pagerank_docs,
+    "pq_topk": q_pq_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "gap_status": q_gap_status,
+    "dim_member": q_dim_member,
+    "events_asof_error": q_events_asof_error,
+    "events_follow_error": q_events_follow_error,
+    "mixture_sample": q_mixture_sample,
+    "repetition_docs": q_repetition_docs,
+    "pack_docs": q_pack_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "priority_status_pivot": q_priority_status_pivot,
+    "price_histogram": q_price_histogram,
+    "idle_rich_customers": q_idle_rich_customers,
+    "clean_docs": q_clean_docs,
+    "cross_source_dups": q_cross_source_dups,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "brand_size_revenue": q_brand_size_revenue,
+    "stats_profile": q_stats_profile,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "event_funnel": q_event_funnel,
+    "customer_order_running": q_customer_order_running,
+    "unigram_logprob": q_unigram_logprob,
+    "events_sliding": q_events_sliding,
+    "quantiles_price": q_quantiles_price,
+    "gap_status_excl": q_gap_status_excl,
+    "multimodal_features": q_multimodal_features,
+    "stg_claim_lines": q_stg_claim_lines,
+    "union_all_tagged": q_union_all_tagged,
+    "events_json": q_events_json,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "scd2_check_customers": q_scd2_check_customers,
+    "bigram_pmi": q_bigram_pmi,
+    "vocab_ranked": q_vocab_ranked,
+    "embedding_quantize": q_embedding_quantize,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    # -- (4) round-5 green (41 of these rotate into the round-8 window
+    #    alongside the deferral trio and the next scheduled cohort;
+    #    the remaining 9 rotate at round 9 within their cycle) ----------
     "cheapest_part_supplier": q_cheapest_part_supplier,
     "part_value_concentration": q_part_value_concentration,
     "supplier_part_variety": q_supplier_part_variety,
@@ -3884,10 +3889,6 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "returned_item_customers": q_returned_item_customers,
     "large_volume_customers": q_large_volume_customers,
-    # (semantic_dedup / ivfadc_topk / ivfadc_indexed carry this round's
-    #  coarse-quantizer 9dp re-hash — out-of-window by the rotation
-    #  arithmetic, gated by the committed local sweeps at every SF/mode;
-    #  pq_encode's books were already 9dp, hash unchanged)
     "pq_encode": q_pq_encode,
     "semantic_dedup": q_semantic_dedup,
     "ivfadc_topk": q_ivfadc_topk,
@@ -3921,16 +3922,6 @@ QUERIES = {
     "window_best_order": q_window_best_order,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
-    # -- (5) born AFTER the round-6 rotation (window already at capacity:
-    #    43 cadence-deadline + 6 first-ever + pq_topk) — SCHEDULED to
-    #    lead the round-7 window; `SCHEDULED_NEXT_WINDOW` above is the
-    #    machine-checked contract --------------------------------------
-    "bradley_terry": q_bradley_terry,
-    "sketch_drift_report": q_sketch_drift_report,
-    "bootstrap_ci": q_bootstrap_ci,
-    "temperature_rebalance": q_temperature_rebalance,
-    "logbucket_quantiles": q_logbucket_quantiles,
-    "majority_vote": q_majority_vote,
 }
 
 

@@ -237,11 +237,15 @@ class ModelRegistry:
         # a selector that names no model is not a schema-test error: the
         # CLI `test` command passes the SAME select to run_unit_tests,
         # where a bare unit-test name is valid — schema tests simply
-        # match nothing then (the CLI errors if BOTH halves are empty)
+        # match nothing then (the CLI errors if BOTH halves are empty).
+        # Pre-check membership rather than catching KeyError: deps()
+        # raises KeyError for an unknown ref() INSIDE a model body, and
+        # swallowing that would misreport a broken DAG as
+        # "selector matched nothing".
         if select:
-            try:
+            if select.strip("+") in self._models:
                 names = self.select_nodes(select)
-            except KeyError:
+            else:
                 names = set()
         else:
             names = set(self._models)
@@ -707,9 +711,12 @@ class ModelRegistry:
         the tagged actual/expected mismatch frame (empty = pass)."""
         models: set[str] | None = None
         if select:
-            try:
+            # membership pre-check (not try/except KeyError): a broken
+            # ref() inside a model body raises KeyError from deps() and
+            # must propagate, not read as "not a model selector"
+            if select.strip("+") in self._models:
                 models = self.select_nodes(select)
-            except KeyError:
+            else:
                 models = None  # not a model selector; match by test name
         out: dict[str, dict] = {}
         for tname, t in self._unit_tests.items():

@@ -1898,6 +1898,13 @@ def test_bigram_interp_scores_duckdb_replay_and_properties(spark):
     self_score = bigram_interp_scores(solo, "text", "doc_id").collect()[0]
     assert self_score.lm_score <= round(-math.log(0.75), 6)
 
+    # lam=1 (and any lam outside [0, 1)) must fail LOUDLY: it kills the
+    # Laplace backoff, so reference-unseen pairs get P=0 and ln(0)=NULL
+    # silently drops them from the doc mean — finite but wrong
+    for bad in (1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="lam"):
+            bigram_interp_scores(df, "text", "doc_id", ref_df=ref, lam=bad)
+
     # exact DuckDB replay of the reference-model score (lam = 0.75)
     con = duckdb.connect()
     con.register("t", df.toPandas())

@@ -2361,6 +2361,36 @@ def test_cli_show_and_declared_unit_tests(spark, capsys):
     assert set(r.run_unit_tests(select="mdl_down_passes")) == {"mdl_down_passes"}
 
 
+def test_broken_ref_in_dag_propagates_through_selectors(spark):
+    """An unknown ref() inside ANY model body raises KeyError from
+    dependency discovery, and a model selector must SURFACE it — the old
+    try/except KeyError around select_nodes read a broken DAG as
+    'selector matched nothing' (run_tests silently returned {})
+    or 'not a model selector' (run_unit_tests fell back to name match).
+    A selector that simply isn't a model name still matches nothing
+    without touching discovery."""
+    from healthcare_dbt_datamart_spark.plans.registry import ModelRegistry
+
+    r = ModelRegistry(spark)
+    r.add_source("src_b", _df(spark, [(1,)], "id long"))
+
+    @r.model()
+    def mdl_ok(ctx):
+        return ctx.source("src_b")
+
+    @r.model()
+    def mdl_broken(ctx):
+        return ctx.ref("no_such_model")
+
+    with pytest.raises(KeyError, match="no_such_model"):
+        r.run_tests(select="mdl_ok+")
+    with pytest.raises(KeyError, match="no_such_model"):
+        r.run_unit_tests(select="mdl_ok+")
+    # non-model selector: no discovery, no error, nothing matched
+    assert r.run_tests(select="not_a_node") == {}
+    assert r.run_unit_tests(select="not_a_node") == {}
+
+
 def test_microbatch_backfill_lands_in_custom_schema(spark):
     """A microbatch model with a custom schema backfills into its layer
     database: the registry routes the early-return backfill branch

@@ -33,6 +33,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def truncate_lineage(
+    df: DataFrame,
+    round_idx: int,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Per-round lineage truncation for iterative fixed-point loops.
+
+    ``localCheckpoint(eager=True)`` (the default) materializes into
+    EXECUTOR memory — fast, but the blocks are not fault-tolerant: at
+    cluster scale an executor loss mid-iteration kills the job because
+    the truncated lineage cannot recompute. ``reliable=True`` switches
+    to ``checkpoint()``, which writes to the reliable checkpoint dir
+    (``sparkContext.setCheckpointDir`` — HDFS/object storage on a real
+    cluster) and survives executor loss; ``checkpoint_every=N``
+    amortizes the write cost by truncating only every N rounds (lineage
+    then grows at most N rounds deep between cuts — fine for the 3-5
+    round loops here, and the knob for 50-round jobs). Results are
+    BIT-IDENTICAL in all modes: the loops' arithmetic is integer
+    fixed-point, and truncation only changes where the intermediate
+    state lives (parity-tested in tests/test_llmops_streaming.py).
+
+    Raises up front when ``reliable=True`` without a checkpoint dir —
+    Spark's own error surfaces mid-job otherwise."""
+    if (round_idx + 1) % max(int(checkpoint_every), 1) != 0:
+        return df
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs sparkContext.setCheckpointDir(...) "
+                "(a fault-tolerant path: HDFS/object storage on a "
+                "cluster) before the loop starts"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def undirected_edges(pairs: DataFrame) -> DataFrame:
     """(id_a < id_b) candidate pairs → both directed edges. Distinct
     pairs in, no duplicate directions out, so UNION ALL suffices."""
@@ -48,6 +86,8 @@ def pagerank_fixedpoint(
     n_iter: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list (``src``, ``dst``)
     where every node has out-degree ≥ 1 (an undirected graph via
@@ -68,7 +108,7 @@ def pagerank_fixedpoint(
         F.col("src").alias("id"), F.lit(scale).cast("long").alias("r")
     )
     teleport = (100 - damping_pct) * scale
-    for _ in range(n_iter):
+    for rnd in range(n_iter):
         contribs = (
             pre.join(ranks, pre["src"] == ranks["id"])
             .select("dst", F.expr("r div deg").alias("contrib"))
@@ -79,6 +119,8 @@ def pagerank_fixedpoint(
             F.col("dst").alias("id"),
             F.expr(f"({teleport} + {damping_pct} * s) div 100").alias("r"),
         )
-        ranks = ranks.localCheckpoint(eager=True)  # cut lineage per round
+        # cut lineage per round (reliable=True -> fault-tolerant
+        # checkpoint() for cluster runs; see truncate_lineage)
+        ranks = truncate_lineage(ranks, rnd, reliable, checkpoint_every)
     pre.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .graph import truncate_lineage
+
 
 def majority_vote(
     votes: DataFrame,
@@ -107,6 +109,8 @@ def bradley_terry(
     smoothing2: int = 1,
     winner_col: str = "winner_id",
     loser_col: str = "loser_id",
+    reliable: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Bradley-Terry ratings from pairwise outcomes ``(winner, loser)``
     via ``n_iter`` MM rounds, all-integer:
@@ -143,7 +147,8 @@ def bradley_terry(
         .agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
     )
     return bradley_terry_from_pairs(
-        raw, n_iter=n_iter, scale=scale, smoothing2=smoothing2
+        raw, n_iter=n_iter, scale=scale, smoothing2=smoothing2,
+        reliable=reliable, checkpoint_every=checkpoint_every,
     )
 
 
@@ -152,6 +157,8 @@ def bradley_terry_from_pairs(
     n_iter: int = 5,
     scale: int = 10**6,
     smoothing2: int = 1,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """The MM iteration from an ALREADY-AGGREGATED ``(i, j, w2)`` table
     of directed DOUBLED win counts (2 · wins, unsmoothed) — the
@@ -205,7 +212,7 @@ def bradley_terry_from_pairs(
     ratings = w_tot.select(
         F.col("i").alias("id"), F.lit(int(scale)).cast("long").alias("p")
     )
-    for _ in range(n_iter):
+    for rnd in range(n_iter):
         ri = ratings.withColumnsRenamed({"id": "i", "p": "p_i"})
         rj = ratings.withColumnsRenamed({"id": "j", "p": "p_j"})
         # ratings are bounded MODEL STATE (one row per item): broadcast
@@ -230,7 +237,11 @@ def bradley_terry_from_pairs(
                 F.col("i").alias("id"),
                 F.expr(f"(wins2 * cast({s2} as bigint)) div D").alias("p"),
             )
-            .localCheckpoint(eager=True)  # cut lineage per MM round
+        )
+        # cut lineage per MM round (reliable=True -> fault-tolerant
+        # checkpoint() for cluster runs; see graph.truncate_lineage)
+        ratings = truncate_lineage(
+            ratings, rnd, reliable, checkpoint_every
         )
     pairs.unpersist()
     return (

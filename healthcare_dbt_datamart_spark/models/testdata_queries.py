@@ -3685,6 +3685,120 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote(votes, "bucket", "event_type")
 
 
+# -- round-7 promotion cohort (SCHEDULED_NEXT_WINDOW) ----------------------
+
+
+def q_bigram_interp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-model JM bigram LM scoring (llmops/filtering.py::
+    bigram_interp_scores — the CCNet split, Wenzek et al.
+    arXiv:1911.00359): the model fits on ONE source's documents (src0,
+    the clean-reference stand-in) and scores every OTHER source's docs —
+    the measured design rule that a self-trained bigram LM saturates at
+    P ≈ lam on unique phrasing, so the reference/scored split is what
+    makes the score a quality signal. Two bounded fit passes over the
+    reference + one pair-explode scoring pass; every count is integer
+    and the only floats are the shared per-position expression and the
+    6dp-rounded mean."""
+    from ..llmops.filtering import bigram_interp_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_interp_scores(
+        docs.filter(F.col("source") != "src0"),
+        "text",
+        "doc_id",
+        ref_df=docs.filter(F.col("source") == "src0"),
+        lam=0.75,
+    )
+
+
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise HyperLogLog (llmops/sketches.py::hll_by_group):
+    approximate distinct users per event_type from b=10 registers — the
+    per-key form of hll_cardinality, sketch state <= 1024 register rows
+    per group instead of a per-group distinct set. The harmonic sum
+    folds as a SCALED BIGINT (every term exact, associative — bit-stable
+    under any partitioning); the only floats are one division and one ln
+    per group. n_exact audits the estimate at fixture scale."""
+    from ..llmops.sketches import hll_by_group
+
+    ev = load(spark, sf_dir, "events")
+    return hll_by_group(ev, "event_type", "user_id", b=10)
+
+
+def q_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired A/B percentile-bootstrap interval (llmops/bootstrap.py::
+    bootstrap_diff_ci) for mean document length, src0 vs src1: replicate
+    r resamples BOTH groups with the same md5(seed:rep:id) Poisson
+    draws and contributes one difference — the correct bootstrap of a
+    difference. Integer-exact weighted sums; the interval endpoints and
+    the `significant` verdict replay bit-for-bit in DuckDB."""
+    from ..llmops.bootstrap import bootstrap_diff_ci
+
+    docs = load(spark, sf_dir, "documents")
+    return bootstrap_diff_ci(
+        docs, "n_chars", "source", "doc_id",
+        group_a="src0", group_b="src1", n_boot=40, seed="d1",
+    )
+
+
+def q_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (llmops/packing.py::
+    token_balanced_shards): rank docs by token count desc (ties ->
+    ascending doc_id) and deal into 8 shards in SNAKE order — the
+    deterministic, stateless LPT approximation that keeps per-shard
+    token totals near-equal so no training reader becomes the straggler.
+    ONE window over a skinny (id, n_tokens) projection — two integers
+    per doc, not the corpus."""
+    from ..llmops.packing import token_balanced_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return token_balanced_shards(docs, "text", "doc_id", n_shards=8)
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (llmops/preferences.py::pass_at_k —
+    Chen et al. arXiv:2107.03374 §2.1) per part bucket with lineitem's
+    returnflag='R' as the per-sample success bit: one partial-agg
+    groupBy to (n, c), then the numerically-stable product form as a
+    SEQUENTIAL array fold per row (deterministic evaluation order — the
+    double product replays exactly in DuckDB's ordered list_reduce).
+    ~1.2k samples per task at sf0.01; tasks with n < k surface NULL."""
+    from ..llmops.preferences import pass_at_k
+
+    li = load(spark, sf_dir, "lineitem")
+    samples = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(50)).cast("bigint").alias("task"),
+        (F.col("l_returnflag") == F.lit("R")).alias("passed"),
+    )
+    return pass_at_k(samples, ks=(1, 10), task_col="task", passed_col="passed")
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (llmops/preferences.py::fleiss_kappa — Fleiss 1971)
+    over a classic annotation design built deterministically from
+    events: items = user-id buckets (mod 40), each item's raters = its
+    first 10 events by event_id (unique, so the panel is exactly 10
+    everywhere — the operator RAISES on ragged panels), labels = the
+    event types. Every aggregate (Q, S_k, N) is an associative BIGINT
+    sum; the only floats are the three final divisions on exact integer
+    operands, so kappa replays bit-for-bit in DuckDB."""
+    from ..llmops.preferences import fleiss_kappa
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(40)).cast("bigint").alias("item"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    first10 = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("item", "label")
+    )
+    return fleiss_kappa(first10, item_col="item", label_col="label")
+
+
 # Queries born AFTER this round's rotation locked the 50-slot window
 # (every slot already held a cadence-deadline or never-driver-checked
 # query). CONTRACT, enforced by tools/audit_window.py: these are exempt
@@ -3692,53 +3806,35 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lead the next round's window (the rotation plan reserves <= 6
 # new-operator slots). Locally they carry the same evidence as
 # everything else: oracle-green at sf0.001/0.01/0.1 and across all
-# fetch/session modes. The round-5 scheduled cohort (cms_heavy_hitters,
-# hll_cardinality, nation_market_share, product_type_profit,
-# ship_delay_classes, pagerank_docs) entered the round-6 window and got
-# its first driver rows; this is the round-6 promotion cohort.
+# fetch/session modes. The round-6 scheduled cohort (bradley_terry,
+# sketch_drift_report, bootstrap_ci, temperature_rebalance,
+# logbucket_quantiles, majority_vote) entered the round-7 window and
+# got its first driver rows; this is the round-7 promotion cohort —
+# the queue exactly as written last round, with fleiss_kappa chosen
+# over weighted_consensus for slot 6 (classic-design evidence is the
+# stronger gate: the operator RAISES on ragged panels) and
+# bigram_interp_scores taking annotator_agreement's slot per the
+# round-6 verdict (the reference-model scorer was the round's
+# strongest new operator and had no queries() slot).
 SCHEDULED_NEXT_WINDOW = [
-    "bradley_terry",
-    "sketch_drift_report",
-    "bootstrap_ci",
-    "temperature_rebalance",
-    "logbucket_quantiles",
-    "majority_vote",
+    "bigram_interp_scores",
+    "hll_by_group",
+    "bootstrap_diff_ci",
+    "token_balanced_shards",
+    "pass_at_k",
+    "fleiss_kappa",
 ]
-# hll_by_group remains the alternate (its in-test DuckDB replay is the
-# evidence until a slot frees). zorder stays pytest-level by nature:
-# its observable is parquet footers, not a result hash — the footer
-# test IS its strongest gate. ROUND-7 window arithmetic: the 47
-# round-3-green queries below the current window hit their cycle-4
-# deadline next round; 47 + these 6 = 53 > 50, so 3 round-3 entries
-# defer to round 8. Cheapest to defer — each has a ROUND-6-green
-# sibling gating its code path in-window, plus its own oracle row in
-# the committed LOCAL_CORRECTNESS artifacts:
-#   pq_rerank        (pq_topk in-window: same trained books, same
-#                     _adc_tables/_pq_best_cols helpers)
-#   multimodal_decode (multimodal_features in-window: same Arrow
-#                     mapInPandas decode plumbing)
-#   datamart_dag     (gap_status / gap_status_sql / gap_violations
-#                     in-window: the registry-built twin shares their
-#                     oracle arithmetic verbatim)
-# ROUND-7 PROMOTION QUEUE (new queries may enter ONLY via the 6
-# SCHEDULED slots, which free when this cohort enters the round-7
-# window; all candidates are implemented + pytest'd with DuckDB
-# replays, natural inputs chosen):
-#   1. hll_by_group       — distinct users per event_type via HLL
-#                           registers (events; the committed alternate)
-#   2. annotator_agreement — per-rater consensus-agreement on the
-#                           majority_vote bucket votes (events)
-#   3. bootstrap_diff_ci  — paired A/B mean-n_chars difference between
-#                           two sources (documents; md5-derandomized)
-#   4. token_balanced_shards — LPT shard dealing over doc n_chars
-#                           (documents; snake-order replay)
-#   5. pass_at_k          — unbiased pass@k per part bucket with
-#                           lineitem returnflag as the success bit
-#   6. fleiss_kappa or weighted_consensus — rater grid from
-#                           (user-bucket, event-type) votes (events)
-# Round-8 window arithmetic stays feasible: 3 deferred r3 (age 5,
-# mandatory) + ≤6 round-7 scheduled + 41 of the 50 round-5 greens
-# (age 3 — the remaining 9 rotate at round 9 within their cycle).
+# zorder stays pytest-level by nature: its observable is parquet
+# footers, not a result hash — the footer test IS its strongest gate.
+# ROUND-8 window arithmetic: the 3 deferred round-3 entries (pq_rerank,
+# multimodal_decode, datamart_dag — age 5, MANDATORY; each carries an
+# in-test DuckDB replay, tests/test_deferral_replays.py) + these 6
+# scheduled + 41 of the 50 round-5 greens (age 3) fill the 50 slots;
+# the remaining 9 round-5 greens rotate at round 9 within their cycle.
+# ROUND-8 PROMOTION QUEUE (next alternates, implemented + pytest'd
+# with DuckDB replays): annotator_agreement (per-rater
+# consensus-agreement on the majority_vote bucket votes),
+# weighted_consensus (rater-reliability-weighted labels, events).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===
@@ -3922,6 +4018,16 @@ QUERIES = {
     "window_best_order": q_window_best_order,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
+    # -- (5) born AFTER the round-7 rotation (window already at capacity:
+    #    6 round-6 promotions + 44 cadence-deadline round-3 greens) —
+    #    SCHEDULED to lead the round-8 window; `SCHEDULED_NEXT_WINDOW`
+    #    above is the machine-checked contract --------------------------
+    "bigram_interp_scores": q_bigram_interp_scores,
+    "hll_by_group": q_hll_by_group,
+    "bootstrap_diff_ci": q_bootstrap_diff_ci,
+    "token_balanced_shards": q_token_balanced_shards,
+    "pass_at_k": q_pass_at_k,
+    "fleiss_kappa": q_fleiss_kappa,
 }
 
 
@@ -6900,4 +7006,232 @@ r AS (
 SELECT bucket, lab AS majority_label, n_votes, n AS n_majority,
        round(n / CAST(n_votes AS DOUBLE), 6) AS agreement
 FROM r WHERE rn = 1
+"""
+
+# -- round-7 promotion cohort oracles ---------------------------------------
+
+# Reference-model JM bigram LM (lam = 0.75): fit on src0's docs, score
+# the rest. Counts are integer; the per-position expression shares the
+# exact literals with filtering.py::bigram_interp_scores, and `+ 0.0`
+# normalizes a potential -0.0 exactly as the Spark side does.
+ORACLE["bigram_interp_scores"] = r"""
+WITH rarr AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE source = 'src0'
+),
+ucnt AS (
+  SELECT t, COUNT(*) AS uc FROM (SELECT unnest(w) AS t FROM rarr)
+  GROUP BY t
+),
+rpairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+  FROM rarr WHERE len(w) >= 2
+),
+bcnt AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS bc FROM rpairs GROUP BY 1, 2
+),
+c1 AS (SELECT w1, SUM(bc) AS c1 FROM bcnt GROUP BY w1),
+nv AS (SELECT (SUM(uc) + COUNT(*) + 1)::DOUBLE AS n_v1 FROM ucnt),
+darr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE source != 'src0'
+),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+  FROM darr WHERE len(w) >= 2
+),
+pb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp)
+SELECT pb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(
+         0.75 * COALESCE(bc::DOUBLE / c1.c1, 0.0)
+         + 0.25 * ((COALESCE(uc, 0) + 1)::DOUBLE / nv.n_v1))), 6) + 0.0
+         AS lm_score
+FROM pb
+LEFT JOIN bcnt USING (w1, w2)
+LEFT JOIN c1 USING (w1)
+LEFT JOIN ucnt ON ucnt.t = pb.w2
+CROSS JOIN nv
+GROUP BY pb.doc_id
+"""
+
+# Group-wise HLL (b = 10): exact integer registers (shift/mask/
+# bin-length) and the SCALED-BIGINT harmonic fold — the only floats are
+# the final division, ln, and rel_error, all on exact operands.
+from ..llmops.sketches import _hll_alpha as _HLL_ALPHA_FN  # noqa: E402
+
+_HLL_G_NUM = _HLL_ALPHA_FN(1024) * 1024 * 1024 * float(1 << 51)
+ORACLE["hll_by_group"] = f"""
+WITH parts AS (
+  SELECT event_type, h60 >> 50 AS bucket,
+         h60 & ((1::BIGINT << 50) - 1) AS rem
+  FROM (SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h60
+        FROM events WHERE user_id IS NOT NULL)
+),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN rem = 0 THEN 51
+             ELSE 50 - length(bin(rem)) + 1 END) AS mj
+  FROM parts GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type, COUNT(*) AS n_obs,
+         CAST(SUM(1::BIGINT << (51 - mj)) AS BIGINT) AS s_obs
+  FROM regs GROUP BY 1
+),
+scored AS (
+  SELECT event_type,
+         {_HLL_G_NUM!r} / CAST(s_obs + (1024 - n_obs) * (1::BIGINT << 51)
+                               AS DOUBLE) AS e_raw,
+         1024 - n_obs AS v_zero
+  FROM folded
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT s.event_type, 1024 AS m, n_exact,
+       round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                  THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END, 6)
+         AS hll_estimate,
+       round(abs(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                      THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END
+                 - n_exact) / n_exact, 6) AS rel_error
+FROM scored s JOIN exact e USING (event_type)
+"""
+
+# Paired A/B bootstrap (seed 'd1'): replicate r draws the SAME
+# md5(seed:rep:id) Poisson weights for both groups; the replicate diff
+# exists only when both group means exist (the Spark pivot filter).
+ORACLE["bootstrap_diff_ci"] = f"""
+WITH reps AS (SELECT unnest(range(40)) AS rep),
+two AS (
+  SELECT doc_id, n_chars AS x,
+         CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS tag
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+draws AS (
+  SELECT tag, rep, x,
+         ('0x' || substr(md5('d1:' || CAST(rep AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM two, reps
+),
+wtd AS (SELECT tag, rep, x, CASE {_P1_CASE} ELSE 7 END AS w FROM draws),
+rm AS (
+  SELECT tag, rep, CAST(SUM(w * x) AS DOUBLE) / SUM(w) AS m
+  FROM wtd GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+diffs AS (
+  SELECT a.rep, a.m - b.m AS d
+  FROM (SELECT rep, m FROM rm WHERE tag = 'a') a
+  JOIN (SELECT rep, m FROM rm WHERE tag = 'b') b USING (rep)
+),
+ranked AS (
+  SELECT rep, d,
+         row_number() OVER (ORDER BY d, rep) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM diffs
+),
+bounds AS (
+  SELECT round(MIN(d), 6) AS ci_lo, round(MAX(d), 6) AS ci_hi
+  FROM ranked
+  WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+     OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+),
+base AS (
+  SELECT round(a, 6) AS mean_a, round(b, 6) AS mean_b,
+         round(a - b, 6) AS diff
+  FROM (SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS a
+        FROM two WHERE tag = 'a'),
+       (SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS b
+        FROM two WHERE tag = 'b')
+)
+SELECT mean_a, mean_b, diff, ci_lo, ci_hi,
+       (ci_lo > 0 OR ci_hi < 0) AS significant
+FROM base, bounds
+"""
+
+# Snake-deal shard assignment: global rank (n_tokens desc, doc_id asc),
+# cycle = (rank-1) mod 16, fold the back half.
+ORACLE["token_balanced_shards"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         (row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1) % 16
+           AS cyc
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN cyc < 8 THEN cyc ELSE 15 - cyc END AS INTEGER) AS shard
+FROM r
+"""
+
+# pass@k product form: DuckDB's list_reduce folds left-to-right exactly
+# like Spark's F.aggregate (init 1.0 * t0 == t0 bit-exactly), so the
+# double product is identical term-for-term.
+ORACLE["pass_at_k"] = """
+WITH s AS (
+  SELECT l_partkey % 50 AS task,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT task, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS c
+  FROM s GROUP BY 1
+)
+SELECT task, n AS n_samples, c AS n_passed,
+  CASE WHEN n < 1 THEN NULL
+       WHEN n - c < 1 THEN 1.0
+       ELSE round(1.0 - (n - c)::DOUBLE / (n)::DOUBLE, 6) END AS pass_at_1,
+  CASE WHEN n < 10 THEN NULL
+       WHEN n - c < 10 THEN 1.0
+       ELSE round(1.0 - list_reduce(
+              list_transform(range(0, 10),
+                             j -> (n - c - j)::DOUBLE / (n - j)::DOUBLE),
+              (a, b) -> a * b), 6) END AS pass_at_10
+FROM agg
+"""
+
+# Fleiss' kappa over the classic design (items = user mod-40 buckets,
+# panel = each item's first 10 events by event_id — unique, so the
+# panel is exact): all aggregates BIGINT, three final divisions on
+# exact integer operands.
+ORACLE["fleiss_kappa"] = """
+WITH v AS (
+  SELECT user_id % 40 AS item, event_type AS lab,
+         row_number() OVER (PARTITION BY user_id % 40
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+f AS (SELECT item, lab FROM v WHERE rn <= 10),
+cells AS (SELECT item, lab, COUNT(*) AS n_ik FROM f GROUP BY 1, 2),
+per_item AS (
+  SELECT item, CAST(SUM(n_ik * n_ik) AS BIGINT) AS q_i FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(q_i) AS BIGINT) AS Q
+  FROM per_item
+),
+sk AS (
+  SELECT CAST(SUM(S * S) AS BIGINT) AS s2
+  FROM (SELECT CAST(SUM(n_ik) AS BIGINT) AS S FROM cells GROUP BY lab)
+)
+SELECT CAST(N AS INTEGER) AS n_items, 10 AS n_raters,
+  round((Q - N * 10)::DOUBLE / (N * 10 * 9), 6) AS p_bar,
+  round(s2::DOUBLE / ((N * 10)::DOUBLE * (N * 10)::DOUBLE), 6) AS p_e,
+  round(((Q - N * 10)::DOUBLE / (N * 10 * 9)
+         - s2::DOUBLE / ((N * 10)::DOUBLE * (N * 10)::DOUBLE))
+        / (1 - s2::DOUBLE / ((N * 10)::DOUBLE * (N * 10)::DOUBLE)), 6)
+    AS kappa
+FROM tot, sk
 """

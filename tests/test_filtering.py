@@ -685,6 +685,79 @@ def test_pagerank_fixedpoint_properties(spark):
     assert {r.id: r.rank_fp for r in reparted.collect()} == got
 
 
+def test_reliable_checkpoint_parity_and_guard(spark, tmp_path):
+    """The iterative loops' truncation knob: reliable=True
+    (fault-tolerant checkpoint()) and checkpoint_every=2 produce
+    BIT-IDENTICAL results to the localCheckpoint default for PageRank
+    and Bradley-Terry (the arithmetic is integer fixed-point —
+    truncation only moves where state lives), and reliable=True without
+    a checkpoint dir raises up front instead of failing mid-job."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.graph import (
+        pagerank_fixedpoint,
+        undirected_edges,
+    )
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry_from_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(7, 8), (1, 2)],
+        "id_a long, id_b long",
+    )
+    edges = undirected_edges(pairs)
+    wins = spark.createDataFrame(
+        [(1, 2, 6), (2, 1, 2), (2, 3, 4), (3, 1, 2)], "i long, j long, w2 long"
+    )
+
+    base_pr = {r.id: r.rank_fp for r in pagerank_fixedpoint(edges).collect()}
+    base_bt = {
+        r.item: (r.wins2, r.comparisons2, r.rating_fp)
+        for r in bradley_terry_from_pairs(wins).collect()
+    }
+
+    sc = spark.sparkContext
+    had_dir = sc.getCheckpointDir()
+    assert had_dir is None  # the test session never set one
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        pagerank_fixedpoint(edges, reliable=True).collect()
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        bradley_terry_from_pairs(wins, reliable=True).collect()
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel_pr = {
+            r.id: r.rank_fp
+            for r in pagerank_fixedpoint(edges, reliable=True).collect()
+        }
+        rel_bt = {
+            r.item: (r.wins2, r.comparisons2, r.rating_fp)
+            for r in bradley_terry_from_pairs(wins, reliable=True).collect()
+        }
+        # amortized reliable cuts (every 2nd round) — lineage grows two
+        # rounds deep between cuts, values unchanged
+        amort_pr = {
+            r.id: r.rank_fp
+            for r in pagerank_fixedpoint(
+                edges, reliable=True, checkpoint_every=2
+            ).collect()
+        }
+        amort_bt = {
+            r.item: (r.wins2, r.comparisons2, r.rating_fp)
+            for r in bradley_terry_from_pairs(
+                wins, reliable=True, checkpoint_every=2
+            ).collect()
+        }
+    finally:
+        # tests share the session fixture: restore the no-dir state is
+        # impossible (Spark has no unset), so leave the tmp dir set —
+        # it only affects explicit checkpoint() calls
+        pass
+    assert rel_pr == base_pr and amort_pr == base_pr
+    assert rel_bt == base_bt and amort_bt == base_bt
+
+
 def test_weighted_sample_deterministic_and_weight_proportional(spark):
     """Exponential-race weighted sampling: exact k, deterministic for a
     fixed seed, plan is TakeOrdered (not a global sort) for the global

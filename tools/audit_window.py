@@ -15,6 +15,14 @@ its newest hash-green driver evidence — flagging:
   age >= ceil(N/50) while out-of-window. (The previous fixed age>=2
   threshold was unsatisfiable once the inventory crossed 100.)
 
+SETTLED TIER (capacity relief as the inventory grows): a query that has
+been hash-green in >= 3 DISTINCT driver rounds has proven stability
+across three separate driver environments — its evidence decays slower,
+so its stale allowance doubles to 2·cycle. New and once-checked queries
+keep the strict cadence; the tier exists so genuinely NEW operators
+never wait a full cycle behind long-settled ones for a window slot.
+The tier never relaxes the never-checked flag.
+
 Usage: python tools/audit_window.py   (run from the repo root)
 """
 
@@ -37,6 +45,7 @@ def main() -> int:
     window = set(keys[:WINDOW])
 
     last_green: dict[str, int] = {}
+    n_green_rounds: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path)
@@ -45,6 +54,7 @@ def main() -> int:
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnd)
+                n_green_rounds[name] = n_green_rounds.get(name, 0) + 1
     this_round = (max(rounds) if rounds else 0) + 1
 
     cycle = -(-len(keys) // WINDOW)  # ceil: best achievable re-check cadence
@@ -75,15 +85,22 @@ def main() -> int:
             if k in scheduled and len(scheduled) <= 6:
                 continue  # born post-rotation; must lead the next window
             problems.append(f"NEVER-CHECKED OUT-OF-WINDOW: {k} (pos {i + 1})")
-        elif age is not None and age >= cycle and not in_w:
-            problems.append(
-                f"STALE OUT-OF-WINDOW: {k} (pos {i + 1}, last green r{last_green[k]})"
-            )
+        elif age is not None and not in_w:
+            settled = n_green_rounds.get(k, 0) >= 3
+            allowance = 2 * cycle if settled else cycle
+            if age >= allowance:
+                tier = "settled" if settled else "strict"
+                problems.append(
+                    f"STALE OUT-OF-WINDOW: {k} (pos {i + 1}, "
+                    f"last green r{last_green[k]}, {tier} tier)"
+                )
 
     n_new_in_window = sum(1 for k in keys[:WINDOW] if k not in last_green)
+    n_settled = sum(1 for k in keys if n_green_rounds.get(k, 0) >= 3)
     print(
         f"{len(keys)} queries; window {WINDOW}; rotation cycle {cycle} rounds; "
         f"{n_new_in_window} never-driver-checked queries lead the window; "
+        f"{n_settled} settled (>=3 green rounds, 2x allowance); "
         f"judging round r{this_round}; evidence-age histogram "
         f"{dict(sorted(ages.items()))} (+{len(keys) - sum(ages.values())} never)"
     )

@@ -434,6 +434,130 @@ def bigram_interp_scores(
     )
 
 
+def trigram_interp_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_df: DataFrame | None = None,
+    lam3: float = 0.5,
+    lam2: float = 0.75,
+) -> DataFrame:
+    """Recursively-interpolated TRIGRAM Jelinek-Mercer scores — the rung
+    above ``bigram_interp_scores`` on the CCNet quality ladder (same
+    reference-model split: fit on a clean corpus, score the crawl):
+
+        P3(w3 | w1 w2) = lam3 · c(w1 w2 w3) / c(w1 w2 ·)
+                       + (1 − lam3) · P2(w3 | w2)
+        P2(w3 | w2)    = lam2 · c(w2 w3) / c(w2 ·)
+                       + (1 − lam2) · (c(w3) + 1) / (N + V + 1)
+
+    the standard recursive JM backoff chain: each level hands its
+    leftover mass down one order, and the Laplace-floored unigram keeps
+    every position finite (including full-OOV tokens). ``lam3 = 0``
+    degenerates EXACTLY to ``bigram_interp_scores(lam=lam2)`` restricted
+    to trigram positions — the property test's pin. Doc score =
+    ``round(-avg(ln P3), 6)`` over the doc's trigram positions (docs
+    with < 3 tokens have no position and are excluded — score
+    undefined, the n >= 3 rule).
+
+    Both backoff levels must keep positive mass (``0 <= lam < 1`` each,
+    the bigram scorer's loud-failure rule): lam3 = 1 zeroes every
+    reference-unseen trigram and ln(0) = NULL silently drops the
+    position; lam2 = 1 does the same one level down.
+
+    Scale shape (the ``bigram_interp_scores`` discipline, one order
+    deeper): one explode pass over the reference per n-gram order
+    (intrinsic to fitting), all denominators — c(w1 w2 ·), c(w2 ·), N,
+    V — DERIVE from the bounded count tables, scoring LEFT-joins
+    shuffle on gram keys, and counts are integer so the only float is
+    the shared per-position expression and the 6dp mean.
+
+    Returns ``(id, n_trigrams, lm_score)``.
+    """
+    for name, lam in (("lam3", lam3), ("lam2", lam2)):
+        if not 0.0 <= lam < 1.0:
+            raise ValueError(
+                f"{name} must be in [0, 1): got {lam!r} — at 1 the "
+                "backoff below it gets zero mass, unseen grams score "
+                "P=0 and ln(0) NULL-drops them from the doc mean"
+            )
+
+    def _arr(frame: DataFrame, *extra):
+        return frame.select(
+            *extra,
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+        )
+
+    def _grams(arr: DataFrame, n: int, *keep):
+        return arr.filter(F.size("w") >= n).select(
+            *keep,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.struct(
+                        *[
+                            F.element_at("w", i + j).alias(f"w{j + 1}")
+                            for j in range(n)
+                        ]
+                    ),
+                )
+            ).alias("g"),
+        ).select(*keep, *[f"g.w{j + 1}" for j in range(n)])
+
+    ref_arr = _arr(ref_df if ref_df is not None else df)
+    ucnt = (
+        ref_arr.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    bcnt = _grams(ref_arr, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    tcnt = _grams(ref_arr, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    # denominators derive from the COUNT tables, never a further corpus
+    # pass (the domain_mixture_weights discipline)
+    c12 = tcnt.groupBy("w1", "w2").agg(F.sum("tc").alias("c12"))
+    c2 = bcnt.groupBy("w1").agg(F.sum("bc").alias("c2"))
+    denom = ucnt.agg(
+        (F.sum("uc") + F.count(F.lit(1)) + F.lit(1))
+        .cast("double")
+        .alias("n_v1")
+    )
+
+    scored = _grams(_arr(df, F.col(id_col)), 3, F.col(id_col))
+    l3, l2 = F.lit(float(lam3)), F.lit(float(lam2))
+    p_tri = F.coalesce(F.col("tc").cast("double") / F.col("c12"), F.lit(0.0))
+    p_big = F.coalesce(F.col("bc").cast("double") / F.col("c2"), F.lit(0.0))
+    p_uni = (F.coalesce(F.col("uc"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / F.col("n_v1")
+    p2 = l2 * p_big + (F.lit(1.0) - l2) * p_uni
+    p3 = l3 * p_tri + (F.lit(1.0) - l3) * p2
+    return (
+        scored.crossJoin(broadcast(denom))
+        .join(tcnt, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(
+            # select-alias, not withColumnsRenamed: the {w1->w2, w2->w3}
+            # map would collide if renames apply sequentially
+            bcnt.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), "bc"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c2.withColumnsRenamed({"w1": "w2"}), ["w2"], "left")
+        .join(ucnt.withColumnsRenamed({"t": "w3"}), ["w3"], "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.round(-F.avg(F.log(p3)), 6) + F.lit(0.0)).alias("lm_score"),
+        )
+    )
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     eval_set: DataFrame,

@@ -3834,7 +3834,9 @@ SCHEDULED_NEXT_WINDOW = [
 # ROUND-8 PROMOTION QUEUE (next alternates, implemented + pytest'd
 # with DuckDB replays): annotator_agreement (per-rater
 # consensus-agreement on the majority_vote bucket votes),
-# weighted_consensus (rater-reliability-weighted labels, events).
+# weighted_consensus (rater-reliability-weighted labels, events),
+# trigram_interp_scores (the recursive-JM rung above the bigram
+# scorer — same src0-reference split, n >= 3 positions).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===

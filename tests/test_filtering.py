@@ -2027,3 +2027,134 @@ def test_bigram_interp_scores_duckdb_replay_and_properties(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_trigram_interp_scores_duckdb_replay_and_properties(spark):
+    """Recursive-JM trigram scores (the rung above the bigram scorer):
+    sub-3-token docs are excluded, reference-explained < partially-novel
+    < fully-OOV ordering holds, lam3=0 degenerates EXACTLY to the bigram
+    scorer over the doc's first-token-stripped text (the recursion pin),
+    out-of-range interpolation weights raise loudly, and the whole table
+    replays EXACTLY in DuckDB — promotion-queue hash-grade evidence."""
+    import math
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        bigram_interp_scores,
+        trigram_interp_scores,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    ref_rows = [(1000 + i, common) for i in range(8)]
+    ref_rows += [(2000 + i, "der hund sitzt auf der matte") for i in range(3)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    rows = [
+        (0, common),                    # fully explained by the reference
+        (100, "zyx qwv plk mjn"),       # fully OOV
+        (101, "one two"),               # 2 tokens: no trigram position
+        (102, "the cat sat quietly today"),  # known prefix, novel tail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        r.doc_id: (r.n_trigrams, r.lm_score)
+        for r in trigram_interp_scores(
+            df, "text", "doc_id", ref_df=ref
+        ).collect()
+    }
+    assert 101 not in got
+    assert got[0][0] == 11  # 13 tokens -> 11 trigram positions
+    assert got[0][1] < got[102][1] < got[100][1]
+    assert all(math.isfinite(s) for _, s in got.values())
+
+    # lam3 = 0 recursion pin: P3 reduces to P2(w3 | w2) over positions
+    # 2..n-1 — exactly the bigram scorer run on the doc with its FIRST
+    # token stripped (same reference counts)
+    stripped = spark.createDataFrame(
+        [(i, " ".join(text.split()[1:])) for i, text in rows],
+        ["doc_id", "text"],
+    )
+    tri0 = {
+        r.doc_id: r.lm_score
+        for r in trigram_interp_scores(
+            df, "text", "doc_id", ref_df=ref, lam3=0.0, lam2=0.75
+        ).collect()
+    }
+    big = {
+        r.doc_id: r.lm_score
+        for r in bigram_interp_scores(
+            stripped, "text", "doc_id", ref_df=ref, lam=0.75
+        ).collect()
+    }
+    assert set(tri0) == {0, 100, 102}
+    for doc_id, s in tri0.items():
+        assert abs(s - big[doc_id]) < 1e-9, doc_id
+
+    # both interpolation weights enforce the loud-failure rule
+    for kw in ({"lam3": 1.0}, {"lam3": -0.1}, {"lam2": 1.0}, {"lam2": 1.5}):
+        with pytest.raises(ValueError, match="lam"):
+            trigram_interp_scores(df, "text", "doc_id", ref_df=ref, **kw)
+
+    # exact DuckDB replay of the recursive formula (lam3=0.5, lam2=0.75)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    con.register("ref", ref.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+        WITH rarr AS (
+          SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM ref
+        ),
+        ucnt AS (
+          SELECT t, COUNT(*) AS uc FROM (SELECT unnest(w) AS t FROM rarr)
+          GROUP BY t
+        ),
+        rp AS (
+          SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+          FROM rarr WHERE len(w) >= 2
+        ),
+        bcnt AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS bc FROM rp GROUP BY 1, 2
+        ),
+        rt AS (
+          SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                   i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+          FROM rarr WHERE len(w) >= 3
+        ),
+        tcnt AS (
+          SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, COUNT(*) AS tc
+          FROM rt GROUP BY 1, 2, 3
+        ),
+        c12 AS (SELECT w1, w2, SUM(tc) AS c12 FROM tcnt GROUP BY 1, 2),
+        c2 AS (SELECT w1, SUM(bc) AS c2 FROM bcnt GROUP BY 1),
+        nv AS (SELECT (SUM(uc) + COUNT(*) + 1)::DOUBLE AS n_v1 FROM ucnt),
+        darr AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM t
+        ),
+        dt AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 2),
+                   i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS g
+          FROM darr WHERE len(w) >= 3
+        ),
+        tg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM dt)
+        SELECT tg.doc_id, COUNT(*) AS n,
+               round(-avg(ln(
+                 0.5 * COALESCE(tc::DOUBLE / c12.c12, 0.0)
+                 + 0.5 * (0.75 * COALESCE(bc::DOUBLE / c2.c2, 0.0)
+                          + 0.25 * ((COALESCE(uc, 0) + 1)::DOUBLE
+                                    / nv.n_v1)))), 6) AS s
+        FROM tg
+        LEFT JOIN tcnt USING (w1, w2, w3)
+        LEFT JOIN c12 USING (w1, w2)
+        LEFT JOIN bcnt ON bcnt.w1 = tg.w2 AND bcnt.w2 = tg.w3
+        LEFT JOIN c2 ON c2.w1 = tg.w2
+        LEFT JOIN ucnt ON ucnt.t = tg.w3
+        CROSS JOIN nv
+        GROUP BY tg.doc_id
+        """).fetchall()
+    }
+    assert got == oracle

@@ -558,6 +558,75 @@ def trigram_interp_scores(
     )
 
 
+def lm_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    ref_df: DataFrame,
+    lam: float = 0.75,
+) -> DataFrame:
+    """CCNet bucketing with the REFERENCE-MODEL scorer — the composition
+    the paper actually runs (arXiv:1911.00359 §4.3): score every doc
+    with the JM bigram LM fitted on the clean reference
+    (``bigram_interp_scores``), rank within the doc's declared language,
+    split each language into head / middle / tail thirds.
+    ``perplexity_buckets`` is the self-scored unigram proxy of this;
+    here the model is trained on ``ref_df`` and the score is a true
+    quality signal (the measured saturation note on the bigram scorer).
+
+    Ranking and third boundaries reuse ``perplexity_buckets``' exact
+    determinism rules: order by (rounded score, id) — ties impossible —
+    and integer 3·rank vs n arithmetic, never a float percentile. Docs
+    with < 2 tokens have NO bigram position and therefore no score;
+    they cannot be certified and are returned with a NULL score,
+    rank 0 and bucket 'tail' (the null-safe discipline: unscoreable
+    never silently passes a quality gate).
+
+    Scale shape: the bigram scorer's gram-key joins + ONE window pass
+    partitioned by language. Returns
+    ``(id, lang, n_bigrams, lm_score, lm_rank, bucket)``.
+    """
+    from pyspark.sql.window import Window
+
+    scores = bigram_interp_scores(df, text_col, id_col, ref_df=ref_df, lam=lam)
+    base = df.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        scores, [id_col], "left"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").asc(), F.col(id_col).asc()
+    )
+    scored = base.filter(F.col("lm_score").isNotNull())
+    n_scored = Window.partitionBy("lang")
+    ranked = scored.select(
+        F.col(id_col),
+        "lang",
+        "n_bigrams",
+        "lm_score",
+        F.row_number().over(w).alias("lm_rank"),
+        F.count(F.lit(1)).over(n_scored).alias("_n"),
+    ).select(
+        F.col(id_col),
+        "lang",
+        "n_bigrams",
+        "lm_score",
+        "lm_rank",
+        F.when(F.col("lm_rank") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("lm_rank") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    unscoreable = base.filter(F.col("lm_score").isNull()).select(
+        F.col(id_col),
+        "lang",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("lm_score"),
+        F.lit(0).alias("lm_rank"),
+        F.lit("tail").alias("bucket"),
+    )
+    return ranked.unionByName(unscoreable)
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     eval_set: DataFrame,

@@ -199,6 +199,70 @@ def repetition_stats(
     )
 
 
+def _funnel_gates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    group_col: str,
+    min_tokens: int,
+    min_uniq_ratio: float,
+    max_rep_ratio: float,
+) -> DataFrame:
+    """Per-DOC gate bits behind ``curation_funnel`` — one tokenized
+    projection of one scan yields every signal; returns
+    (id, group, _short, _lowdiv, _rep_gate, _langmis) so funnels can
+    aggregate directly or join further gates (the LM stage) first."""
+    w = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(lang_col).alias("_lang"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    mk3 = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1),
+            F.element_at(F.col("_w"), i + 2)
+        ),
+    )
+    pred = _lang_argmax(
+        {
+            lang: F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws)))
+            for lang, ws in STOPWORDS.items()
+        }
+    )
+    sig = w.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size("_w").alias("_n"),
+        (F.size(F.array_distinct("_w")) / F.size("_w").cast("double")).alias("_uniq"),
+        F.when(
+            F.size("_w") >= 3,
+            F.lit(1.0)
+            - F.size(F.array_distinct(mk3)).cast("double")
+            / (F.size("_w") - 2).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_rep"),
+        pred.alias("_pred"),
+        F.col("_lang"),
+    )
+    # null-safe: a NULL declared lang is a MISMATCH (can't confirm it),
+    # never a NULL that both skips n_lang_mismatch AND poisons the
+    # n_pass sum — that would vanish the doc from the accounting
+    return sig.select(
+        F.col(id_col),
+        F.col(group_col),
+        (F.col("_n") < min_tokens).cast("int").alias("_short"),
+        (F.col("_uniq") < min_uniq_ratio).cast("int").alias("_lowdiv"),
+        (F.col("_rep") > max_rep_ratio).cast("int").alias("_rep_gate"),
+        (~F.col("_pred").eqNullSafe(F.col("_lang"))).cast("int").alias(
+            "_langmis"
+        ),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     text_col: str,
@@ -221,56 +285,80 @@ def curation_funnel(
     independent (a doc failing two gates counts in both) and ``n_pass``
     is the all-gates survivor count.
     """
-    w = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        F.col(lang_col).alias("_lang"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    gates = _funnel_gates(
+        df, text_col, id_col, lang_col, group_col,
+        min_tokens, min_uniq_ratio, max_rep_ratio,
     )
-    mk3 = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1),
-            F.element_at(F.col("_w"), i + 2)
-        ),
-    )
-    pred = _lang_argmax(
-        {
-            lang: F.size(F.filter(F.col("_w"), lambda t: t.isin(*ws)))
-            for lang, ws in STOPWORDS.items()
-        }
-    )
-    sig = w.select(
-        F.col(group_col),
-        F.size("_w").alias("_n"),
-        (F.size(F.array_distinct("_w")) / F.size("_w").cast("double")).alias("_uniq"),
-        F.when(
-            F.size("_w") >= 3,
-            F.lit(1.0)
-            - F.size(F.array_distinct(mk3)).cast("double")
-            / (F.size("_w") - 2).cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("_rep"),
-        pred.alias("_pred"),
-        F.col("_lang"),
-    )
-    short_ = (F.col("_n") < min_tokens).cast("int")
-    lowdiv = (F.col("_uniq") < min_uniq_ratio).cast("int")
-    repet = (F.col("_rep") > max_rep_ratio).cast("int")
-    # null-safe: a NULL declared lang is a MISMATCH (can't confirm it),
-    # never a NULL that both skips n_lang_mismatch AND poisons the
-    # n_pass sum — that would vanish the doc from the accounting
-    langmis = (~F.col("_pred").eqNullSafe(F.col("_lang"))).cast("int")
-    return sig.groupBy(group_col).agg(
+    return gates.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(short_).alias("n_too_short"),
-        F.sum(lowdiv).alias("n_low_diversity"),
-        F.sum(repet).alias("n_repetitive"),
-        F.sum(langmis).alias("n_lang_mismatch"),
+        F.sum("_short").alias("n_too_short"),
+        F.sum("_lowdiv").alias("n_low_diversity"),
+        F.sum("_rep_gate").alias("n_repetitive"),
+        F.sum("_langmis").alias("n_lang_mismatch"),
         F.sum(
-            F.when(short_ + lowdiv + repet + langmis == 0, 1).otherwise(0)
+            F.when(
+                F.col("_short") + F.col("_lowdiv") + F.col("_rep_gate")
+                + F.col("_langmis") == 0,
+                1,
+            ).otherwise(0)
         ).alias("n_pass"),
+    )
+
+
+def lm_gated_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    group_col: str,
+    ref_df: DataFrame,
+    lam: float = 0.75,
+    min_tokens: int = 10,
+    min_uniq_ratio: float = 0.5,
+    max_rep_ratio: float = 0.1,
+) -> DataFrame:
+    """``curation_funnel`` with the CCNet reference-model stage wired in
+    (arXiv:1911.00359 §4.3): every doc additionally passes through
+    ``filtering.lm_buckets`` — the JM bigram LM fitted on ``ref_df``,
+    ranked into per-language thirds — and the per-language TAIL third is
+    a fifth rejection gate (CCNet keeps head+middle). Unscoreable docs
+    (< 2 tokens) land in the tail by the null-safe rule: a doc the
+    model cannot certify never silently passes.
+
+    The heuristic gates still come from the funnel's ONE tokenized
+    pass; the LM stage joins its verdict on the doc id (the gram-key
+    shuffles are intrinsic to LM scoring — CCNet runs it as its own
+    stage for the same reason). Report adds ``n_lm_tail`` and folds the
+    gate into ``n_pass``.
+    """
+    from .filtering import lm_buckets
+
+    gates = _funnel_gates(
+        df, text_col, id_col, lang_col, group_col,
+        min_tokens, min_uniq_ratio, max_rep_ratio,
+    )
+    tails = lm_buckets(df, text_col, id_col, lang_col, ref_df, lam=lam).select(
+        F.col(id_col),
+        (F.col("bucket") == "tail").cast("int").alias("_lm_tail"),
+    )
+    return (
+        gates.join(tails, [id_col])
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_short").alias("n_too_short"),
+            F.sum("_lowdiv").alias("n_low_diversity"),
+            F.sum("_rep_gate").alias("n_repetitive"),
+            F.sum("_langmis").alias("n_lang_mismatch"),
+            F.sum("_lm_tail").alias("n_lm_tail"),
+            F.sum(
+                F.when(
+                    F.col("_short") + F.col("_lowdiv") + F.col("_rep_gate")
+                    + F.col("_langmis") + F.col("_lm_tail") == 0,
+                    1,
+                ).otherwise(0)
+            ).alias("n_pass"),
+        )
     )
 
 

@@ -2158,3 +2158,70 @@ def test_trigram_interp_scores_duckdb_replay_and_properties(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_lm_buckets_and_lm_gated_funnel_integration(spark):
+    """The CCNet reference-model stage wired into the funnel:
+    lm_buckets ranks per-language thirds by the src-reference bigram LM
+    (scoreless < 2-token docs land in the tail with NULL score — the
+    null-safe rule), the heuristic gate counts of lm_gated_funnel match
+    curation_funnel exactly on the same input (the refactor is a
+    no-op), n_lm_tail matches lm_buckets' own tail count per group,
+    and n_pass shrinks to the docs surviving all five gates."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import lm_buckets
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        curation_funnel,
+        lm_gated_funnel,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    ref = spark.createDataFrame(
+        [(1000 + i, common) for i in range(6)], ["doc_id", "text"]
+    )
+    pass_text = "the quick brown u1 of u2 u3 to u4 u5 a u6 u7 in u8 u9 is u10"
+    docs = [
+        (1, common, "en", "a"),                 # explained -> head
+        (2, pass_text, "en", "a"),              # passes heuristics, novel
+        (3, "zyx qwv plk mjn oof rab gth yhn ujm ikl", "en", "a"),  # OOV
+        (4, "one", "en", "a"),                  # 1 token: unscoreable
+        (5, pass_text + " extra", "en", "b"),   # second group
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+
+    buckets = {
+        r.doc_id: (r.bucket, r.lm_score, r.lm_rank)
+        for r in lm_buckets(df, "text", "doc_id", "lang", ref).collect()
+    }
+    assert len(buckets) == 5
+    assert buckets[4] == ("tail", None, 0)      # unscoreable -> tail
+    assert buckets[1][0] == "head"              # reference-explained
+    scored = sorted(
+        (v[1], k) for k, v in buckets.items() if v[1] is not None
+    )
+    # ranks are 1..4 over the scored docs, ascending surprisal
+    assert [buckets[k][2] for _, k in scored] == [1, 2, 3, 4]
+
+    base = {
+        r.source: r.asDict()
+        for r in curation_funnel(df, "text", "doc_id", "lang", "source").collect()
+    }
+    gated = {
+        r.source: r.asDict()
+        for r in lm_gated_funnel(
+            df, "text", "doc_id", "lang", "source", ref_df=ref
+        ).collect()
+    }
+    assert set(gated) == set(base) == {"a", "b"}
+    for g in base:
+        for col in ("n_docs", "n_too_short", "n_low_diversity",
+                    "n_repetitive", "n_lang_mismatch"):
+            assert gated[g][col] == base[g][col], (g, col)
+    tail_by_group = {"a": 0, "b": 0}
+    group_of = {1: "a", 2: "a", 3: "a", 4: "a", 5: "b"}
+    for doc_id, (bucket, _, _) in buckets.items():
+        if bucket == "tail":
+            tail_by_group[group_of[doc_id]] += 1
+    assert {g: gated[g]["n_lm_tail"] for g in gated} == tail_by_group
+    # the LM gate can only shrink the survivor set
+    for g in base:
+        assert gated[g]["n_pass"] <= base[g]["n_pass"]

@@ -357,9 +357,13 @@ def bigram_interp_scores(
     pass over the scored corpus; c(w1 ·), N and V DERIVE from the
     bounded count tables (no further corpus scans — the
     domain_mixture_weights discipline); scoring LEFT-joins shuffle on
-    gram keys (the TF-IDF family). Docs with < 2 tokens have no bigram
-    position and are excluded — score undefined, the ``bigram_pmi``
-    n >= 2 rule.
+    gram keys (the TF-IDF family). The SCORED corpus — the 100 TB side
+    — is exploded exactly once; the unigram fit subtree plans twice
+    (vocabulary join + 1-row Laplace denominator need different
+    exchanges, so AQE reuse collapses only one) — both REFERENCE-sized,
+    small by the CCNet design; the final-plan Generate count is pinned
+    in tests. Docs with < 2 tokens have no bigram position and are
+    excluded — score undefined, the ``bigram_pmi`` n >= 2 rule.
 
     Returns ``(id, n_bigrams, lm_score)``.
     """

@@ -2225,3 +2225,41 @@ def test_lm_buckets_and_lm_gated_funnel_integration(spark):
     # the LM gate can only shrink the survivor set
     for g in base:
         assert gated[g]["n_pass"] <= base[g]["n_pass"]
+
+
+def test_lm_scorer_plan_shape_pins(spark):
+    """Plan-shape pins for the LM-scorer family (the
+    domain_mixture_weights lesson: denominators must DERIVE from count
+    tables, never re-explode the corpus). The SCORED corpus — the
+    100 TB side — is exploded exactly once; the reference-side fit
+    subtrees (reference-sized by the CCNet design: the clean corpus is
+    small) plan as 3 for the bigram / 5 for the trigram, one of which
+    AQE collapses into a ReusedExchange — measured final-plan totals 4
+    and 6. A regression that re-derives a denominator from TEXT (the
+    doremi bug class) adds corpus-side Generates and fails here."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        bigram_interp_scores,
+        trigram_interp_scores,
+    )
+
+    rows = [(i, "the cat sat on the mat and slept") for i in range(4)]
+    ref = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(100, "the cat sat quietly near the mat")], ["doc_id", "text"]
+    )
+
+    big = bigram_interp_scores(df, "text", "doc_id", ref_df=ref)
+    big.collect()  # final adaptive plan (reuse resolves at runtime)
+    plan = (
+        big._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Generate") <= 4, plan.count("Generate")
+
+    tri = trigram_interp_scores(df, "text", "doc_id", ref_df=ref)
+    tri.collect()
+    plan = (
+        tri._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Generate") <= 6, plan.count("Generate")

@@ -562,6 +562,117 @@ def trigram_interp_scores(
     )
 
 
+def kn_bigram_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_df: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scores (Kneser & Ney 1995; Chen &
+    Goodman 1999 — the smoothing KenLM actually ships, one rung above
+    the JM interpolation in ``bigram_interp_scores``):
+
+        P(w2 | w1) = max(c(w1 w2) − d, 0) / c(w1 ·)
+                   + d · N1+(w1 ·) / c(w1 ·) · Pcont(w2)
+        Pcont(w2)  = (N1+(· w2) + 1) / (T + C + 1)
+
+    with c from the reference bigram counts, N1+(w1 ·) the number of
+    DISTINCT continuations of w1, N1+(· w2) the number of DISTINCT
+    contexts preceding w2, T the total bigram-type count and C the
+    continuation-vocabulary size. The +1/(T+C+1) Laplace floor on the
+    continuation distribution keeps every position finite (full-OOV w2
+    included — the JM scorer's discipline); an unseen CONTEXT w1 backs
+    off to Pcont(w2) entirely. Doc score = ``round(-avg(ln P), 6)``
+    over adjacent pairs; < 2-token docs are excluded (no position).
+
+    Why KN over JM: the continuation count is the signal — a word that
+    follows MANY distinct contexts ("report") is a likelier novel
+    continuation than one glued to a single collocation ("francisco"
+    after "san"), even when the raw counts say otherwise; the property
+    test pins exactly that asymmetry.
+
+    Determinism and scale shape: EVERY model quantity — c(w1 ·),
+    N1+(w1 ·), N1+(· w2), T, C — derives from the single reference
+    bigram count table (one ref pair-explode; the unigram pass JM needs
+    for its Laplace floor isn't needed at all), the scored corpus is
+    exploded exactly once, scoring LEFT-joins shuffle on gram keys, and
+    counts are integer with one shared float expression per position.
+
+    Returns ``(id, n_bigrams, lm_score)``.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1): got {discount!r} — d=0 "
+            "degenerates to unsmoothed ML (unseen pairs P=0, ln(0) "
+            "NULL-drops positions), d=1 erases every observed count"
+        )
+
+    def _arr(frame: DataFrame, *extra):
+        return frame.select(
+            *extra,
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+        )
+
+    def _pairs(arr: DataFrame, *keep):
+        return arr.filter(F.size("w") >= 2).select(
+            *keep,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        ).select(*keep, "p.w1", "p.w2")
+
+    ref_arr = _arr(ref_df if ref_df is not None else df)
+    bcnt = _pairs(ref_arr).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    # every denominator/count below derives from bcnt — never a further
+    # corpus pass (the domain_mixture_weights discipline)
+    ctx = bcnt.groupBy("w1").agg(
+        F.sum("bc").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bcnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_back"))
+    totals = bcnt.agg(
+        F.count(F.lit(1)).alias("t_types"),
+        F.count_distinct("w2").alias("c_vocab"),
+    )
+
+    scored_pairs = _pairs(_arr(df, F.col(id_col)), F.col(id_col))
+    d = F.lit(float(discount))
+    p_cont = (
+        F.coalesce(F.col("n1p_back"), F.lit(0)) + F.lit(1)
+    ).cast("double") / (
+        F.col("t_types") + F.col("c_vocab") + F.lit(1)
+    ).cast("double")
+    seen_ctx = F.col("c1").isNotNull()
+    p_kn = (
+        F.greatest(
+            F.coalesce(F.col("bc"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + d * F.col("n1p_fwd").cast("double") / F.col("c1").cast("double")
+        * p_cont
+    )
+    p = F.when(seen_ctx, p_kn).otherwise(p_cont)
+    return (
+        scored_pairs.crossJoin(broadcast(totals))
+        .join(bcnt, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(-F.avg(F.log(p)), 6) + F.lit(0.0)).alias("lm_score"),
+        )
+    )
+
+
 def lm_buckets(
     df: DataFrame,
     text_col: str,

@@ -3836,7 +3836,9 @@ SCHEDULED_NEXT_WINDOW = [
 # consensus-agreement on the majority_vote bucket votes),
 # weighted_consensus (rater-reliability-weighted labels, events),
 # trigram_interp_scores (the recursive-JM rung above the bigram
-# scorer — same src0-reference split, n >= 3 positions).
+# scorer — same src0-reference split, n >= 3 positions),
+# kn_bigram_scores (interpolated Kneser-Ney — the KenLM smoothing,
+# same split, continuation counts from the bigram table alone).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===

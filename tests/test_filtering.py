@@ -2263,3 +2263,107 @@ def test_lm_scorer_plan_shape_pins(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Generate") <= 6, plan.count("Generate")
+
+
+def test_kn_bigram_scores_continuation_property_and_replay(spark):
+    """Interpolated Kneser-Ney: the CONTINUATION count decides novel
+    continuations — 'report' (seen after 3 distinct contexts) beats
+    'francisco' (glued to 'san', 5 raw counts) behind an unseen
+    context, the classic KN asymmetry JM cannot express; explained text
+    scores below novel text; everything stays finite on full OOV;
+    sub-2-token docs are excluded; the discount guard raises outside
+    (0, 1); and the whole table replays EXACTLY in DuckDB."""
+    import math
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.filtering import (
+        kn_bigram_scores,
+    )
+
+    ref_rows = [(1000 + i, "san francisco") for i in range(5)]
+    ref_rows += [
+        (2000, "the report is here"),
+        (2001, "a report was filed"),
+        (2002, "my report said so"),
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    rows = [
+        (0, "san francisco"),        # explained collocation
+        (1, "zzz report"),           # unseen ctx -> Pcont favors report
+        (2, "zzz francisco"),        # unseen ctx -> low continuation
+        (3, "qqq zzz xxx"),          # fully OOV
+        (4, "one"),                  # no bigram position
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in kn_bigram_scores(df, "text", "doc_id", ref_df=ref).collect()
+    }
+    assert 4 not in got
+    assert got[0][0] == 1 and got[1][0] == 1
+    # the KN property: same raw-frequency advantage for francisco, but
+    # report's 3 distinct contexts win behind an unseen context
+    assert got[1][1] < got[2][1]
+    assert got[0][1] < got[1][1]        # explained < novel
+    assert all(math.isfinite(s) for _, s in got.values())
+
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="discount"):
+            kn_bigram_scores(df, "text", "doc_id", ref_df=ref, discount=bad)
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    con.register("ref", ref.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+        WITH rarr AS (
+          SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM ref
+        ),
+        rp AS (
+          SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+          FROM rarr WHERE len(w) >= 2
+        ),
+        bcnt AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS bc FROM rp GROUP BY 1, 2
+        ),
+        ctx AS (
+          SELECT w1, SUM(bc) AS c1, COUNT(*) AS nf FROM bcnt GROUP BY 1
+        ),
+        cont AS (SELECT w2, COUNT(*) AS nb FROM bcnt GROUP BY 1),
+        tot AS (
+          SELECT COUNT(*) AS tt, COUNT(DISTINCT w2) AS cv FROM bcnt
+        ),
+        darr AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM t
+        ),
+        dp AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+          FROM darr WHERE len(w) >= 2
+        ),
+        pb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp)
+        SELECT pb.doc_id, COUNT(*) AS n,
+               round(-avg(ln(
+                 CASE WHEN c1 IS NOT NULL THEN
+                   greatest(COALESCE(bc, 0)::DOUBLE - 0.75, 0.0)
+                     / c1::DOUBLE
+                   + 0.75 * nf::DOUBLE / c1::DOUBLE
+                     * ((COALESCE(nb, 0) + 1)::DOUBLE
+                        / (tt + cv + 1)::DOUBLE)
+                 ELSE (COALESCE(nb, 0) + 1)::DOUBLE
+                      / (tt + cv + 1)::DOUBLE END)), 6) + 0.0 AS s
+        FROM pb
+        LEFT JOIN bcnt USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont ON cont.w2 = pb.w2
+        CROSS JOIN tot
+        GROUP BY pb.doc_id
+        """).fetchall()
+    }
+    assert got == oracle

@@ -374,6 +374,217 @@ def fleiss_kappa(
     return out
 
 
+def dawid_skene(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    n_iter: int = 2,
+    scale: int = 10**6,
+    smoothing: int = 1,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """TRUE Dawid-Skene EM (Dawid & Skene 1979, "Maximum Likelihood
+    Estimation of Observer Error-Rates Using the EM Algorithm") — full
+    per-rater CONFUSION MATRICES, not the one-shot agreement reweighting
+    of ``weighted_consensus``: a spammer who answers 'a' regardless of
+    truth is learned to be UNINFORMATIVE (flat confusion row), so their
+    ballot stops moving posteriors at all, where agreement-weighting
+    merely discounts it.
+
+    E/M loop in the engine's determinism conventions:
+
+    - Posteriors are INTEGER-QUANTIZED (BIGINT, ``scale`` units =
+      probability 1). Every M-step statistic — class priors P_k,
+      confusion counts C[r][k][l] = Σ_i p_ik over r's l-votes — is an
+      associative BIGINT sum; the Laplace-smoothed prior and confusion
+      RATES quantize back to integers with one exact integer division
+      each. Bit-stable under any partitioning.
+    - The E-step likelihood product folds SEQUENTIALLY per (item,
+      class): votes collect into a ``sort_array``-canonicalized list
+      and ``F.aggregate`` multiplies left-to-right from the prior (the
+      ``pass_at_k`` ordered-fold idiom — double products replay exactly
+      in DuckDB's list_reduce). The per-item normalizer is the SAME
+      ordered fold over the (≤ |labels|) class scores — never an
+      unordered float window sum — then ``floor(x·scale + 0.5)``
+      requantizes (explicit half-up on both engines).
+
+    Panel-size bound: the product of n per-vote probabilities
+    underflows doubles past ~200 votes/item at typical confusion rates
+    — annotation panels are 3-30 raters; a >10³-vote regime needs the
+    log-space variant (documented non-goal, the float-sum caveat).
+
+    Scale shape, per round: one shuffle join votes⋈posteriors (item
+    key) + one bounded groupBy for confusion; the E-step joins
+    BROADCAST rate tables (raters × labels² — model state) onto the
+    ×|labels| vote fan-out and folds per (item, class). Labels are
+    bounded MODEL STATE (one distinct-collect, the BPE-argmax class);
+    per-round lineage cuts through ``truncate_lineage`` (reliable
+    checkpoint knob as PageRank/Bradley-Terry).
+
+    Returns ``(item, ds_label, posterior, n_votes, majority_label,
+    flipped)`` — ``flipped`` marks items EM moved off the raw majority
+    (the review-queue rows).
+    """
+    from pyspark.sql.window import Window
+
+    labels = sorted(
+        r[0] for r in votes.select(label_col).distinct().collect()
+        if r[0] is not None
+    )
+    n_labels = len(labels)
+    if n_labels < 2:
+        raise ValueError(
+            f"dawid_skene needs >= 2 observed label values; got {labels!r}"
+        )
+    s_num = int(smoothing) * int(scale)
+    scale = int(scale)
+
+    v = votes.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("rater"),
+        F.col(label_col).alias("obs"),
+    )
+    n_per_item = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+
+    # E0: integer-quantized majority proportions (absent (item, class)
+    # rows ARE the zeros — no spine; the E-step rebuilds full support)
+    post = (
+        v.groupBy("item", F.col("obs").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(n_per_item, "item")
+        .select(
+            "item",
+            "k",
+            F.expr(f"(c * cast({scale} as bigint)) div n_votes").alias("p"),
+        )
+    )
+
+    all_rows = Window.partitionBy()
+    lbl_arr = F.array(*[F.lit(x) for x in labels])
+    for rnd in range(int(n_iter)):
+        post = post.persist()  # consumed by priors AND confusion
+        post.count()
+        # ---- M-step: priors (BIGINT sums; ≤ |labels| rows) ----------
+        prior = (
+            post.groupBy("k")
+            .agg(F.sum("p").alias("P"))
+            .withColumn("_tot", F.sum("P").over(all_rows))
+            .select(
+                "k",
+                F.expr(
+                    f"((P + {s_num}) * cast({scale} as bigint))"
+                    f" div (_tot + {s_num * n_labels})"
+                ).alias("prior"),
+            )
+        )
+        # ---- M-step: confusion rates (votes ⋈ posteriors fan-out ×L,
+        # then bounded (rater, k, obs) sums) --------------------------
+        conf = (
+            v.join(post, "item")
+            .groupBy("rater", "k", "obs")
+            .agg(F.sum("p").alias("C"))
+        )
+        row_tot = conf.groupBy("rater", "k").agg(F.sum("C").alias("Crow"))
+        pi = conf.join(row_tot, ["rater", "k"]).select(
+            "rater",
+            "k",
+            "obs",
+            F.expr(
+                f"((C + {s_num}) * cast({scale} as bigint))"
+                f" div (Crow + {s_num * n_labels})"
+            ).alias("pi"),
+        )
+        # ---- E-step: per (item, class) ordered likelihood fold ------
+        vk = v.select("item", "rater", "obs", F.explode(lbl_arr).alias("k"))
+        scored = (
+            vk.join(F.broadcast(pi), ["rater", "k", "obs"], "left")
+            .join(F.broadcast(row_tot), ["rater", "k"], "left")
+            .select(
+                "item",
+                "k",
+                "rater",
+                "obs",
+                # unseen (rater, k, obs) cells get the exact Laplace
+                # floor the smoothed division would give them
+                F.coalesce(
+                    F.col("pi"),
+                    F.expr(
+                        f"(cast({s_num} as bigint)"
+                        f" * cast({scale} as bigint))"
+                        f" div (coalesce(Crow, cast(0 as bigint))"
+                        f" + {s_num * n_labels})"
+                    ),
+                ).alias("pi_eff"),
+            )
+        )
+        folded = (
+            scored.groupBy("item", "k")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("rater", "obs", "pi_eff"))
+                ).alias("arr")
+            )
+            .join(F.broadcast(prior), "k")
+            .select(
+                "item",
+                "k",
+                F.aggregate(
+                    "arr",
+                    F.col("prior").cast("double") / F.lit(float(scale)),
+                    lambda acc, x: acc
+                    * (x["pi_eff"].cast("double") / F.lit(float(scale))),
+                ).alias("score"),
+            )
+        )
+        normed = (
+            folded.groupBy("item")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("k", "score"))).alias(
+                    "ks"
+                )
+            )
+            .select(
+                "item",
+                F.aggregate(
+                    "ks", F.lit(0.0), lambda a, x: a + x["score"]
+                ).alias("_tot"),
+                F.explode("ks").alias("e"),
+            )
+        )
+        new_post = normed.select(
+            "item",
+            F.col("e.k").alias("k"),
+            F.expr(
+                f"cast(floor(e.score / _tot * {scale} + 0.5d) as bigint)"
+            ).alias("p"),
+        )
+        new_post = truncate_lineage(new_post, rnd, reliable, checkpoint_every)
+        post.unpersist()
+        post = new_post
+
+    w = Window.partitionBy("item").orderBy(
+        F.col("p").desc(), F.col("k").asc()
+    )
+    maj = majority_vote(votes, item_col, label_col).select(
+        F.col(item_col).alias("item"), "majority_label", "n_votes"
+    )
+    return (
+        post.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(maj, "item")
+        .select(
+            F.col("item").alias(item_col),
+            F.col("k").alias("ds_label"),
+            F.round(F.col("p") / F.lit(float(scale)), 6).alias("posterior"),
+            "n_votes",
+            "majority_label",
+            (F.col("k") != F.col("majority_label")).alias("flipped"),
+        )
+    )
+
+
 def weighted_consensus(
     votes: DataFrame,
     item_col: str = "item_id",

@@ -3838,7 +3838,9 @@ SCHEDULED_NEXT_WINDOW = [
 # trigram_interp_scores (the recursive-JM rung above the bigram
 # scorer — same src0-reference split, n >= 3 positions),
 # kn_bigram_scores (interpolated Kneser-Ney — the KenLM smoothing,
-# same split, continuation counts from the bigram table alone).
+# same split, continuation counts from the bigram table alone),
+# dawid_skene (true EM with per-rater confusion matrices over the
+# events rater grid — integer-quantized posteriors, ordered folds).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===

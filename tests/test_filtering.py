@@ -2367,3 +2367,156 @@ def test_kn_bigram_scores_continuation_property_and_replay(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_dawid_skene_recovers_ties_from_spammer_and_replays(spark):
+    """True Dawid-Skene EM: a constant-'a' spammer is learned to be
+    UNINFORMATIVE (near-flat confusion row), so on items where the raw
+    majority ties and tie-breaks to 'a', the reliable rater's 'b'
+    testimony wins — the flip agreement-weighting alone cannot make
+    with a tied first-pass majority. Clear-majority items never flip,
+    the n_iter=1 table replays EXACTLY in DuckDB (integer-quantized
+    posteriors + ordered list_reduce folds), and n_iter=2 keeps the
+    recovered labels (EM is stable on the fixture)."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import dawid_skene
+
+    rows = []
+    for i in (1, 2, 3):          # true 'a': everyone sees it
+        rows += [(i, "g1", "a"), (i, "g2", "a"), (i, "s", "a")]
+    for i in (4, 5, 6):          # true 'b': majority already right
+        rows += [(i, "g1", "b"), (i, "g2", "b"), (i, "s", "a")]
+    for i in (7, 8):             # true 'b': tie -> lexicographic 'a'
+        rows += [(i, "g1", "b"), (i, "s", "a")]
+    votes = spark.createDataFrame(
+        rows, ["item_id", "annotator_id", "label"]
+    )
+
+    got1 = {
+        r.item_id: (r.ds_label, r.posterior, r.n_votes,
+                    r.majority_label, r.flipped)
+        for r in dawid_skene(votes, n_iter=1).collect()
+    }
+    assert len(got1) == 8
+    for i in (1, 2, 3):
+        assert got1[i][0] == "a" and not got1[i][4]
+    for i in (4, 5, 6):
+        assert got1[i][0] == "b" and not got1[i][4]
+    for i in (7, 8):  # the recovery: majority said 'a', EM says 'b'
+        assert got1[i][3] == "a" and got1[i][0] == "b" and got1[i][4]
+
+    got2 = {
+        r.item_id: r.ds_label for r in dawid_skene(votes, n_iter=2).collect()
+    }
+    assert got2 == {i: ("a" if i <= 3 else "b") for i in range(1, 9)}
+
+    with pytest.raises(ValueError, match="2 observed label"):
+        dawid_skene(votes.filter(F.col("label") == "a"), n_iter=1)
+
+    # exact DuckDB replay of ONE EM round (scale 1e6, smoothing 1)
+    con = duckdb.connect()
+    con.register("v", votes.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute("""
+        WITH n_i AS (
+          SELECT item_id AS item, COUNT(*)::BIGINT AS n_votes
+          FROM v GROUP BY 1
+        ),
+        post0 AS (
+          SELECT item_id AS item, label AS k,
+                 (COUNT(*)::BIGINT * 1000000) // MAX(n_votes) AS p
+          FROM v JOIN n_i ON n_i.item = v.item_id
+          GROUP BY 1, 2
+        ),
+        prior AS (
+          SELECT k, ((P + 1000000) * 1000000)
+                     // (SUM(P) OVER () + 2000000) AS prior
+          FROM (SELECT k, SUM(p)::BIGINT AS P FROM post0 GROUP BY 1)
+        ),
+        conf AS (
+          SELECT annotator_id AS rater, post0.k AS k, label AS obs,
+                 SUM(p)::BIGINT AS C
+          FROM v JOIN post0 ON post0.item = v.item_id
+          GROUP BY 1, 2, 3
+        ),
+        row_tot AS (
+          SELECT rater, k, SUM(C)::BIGINT AS Crow FROM conf GROUP BY 1, 2
+        ),
+        pi AS (
+          SELECT conf.rater, conf.k, conf.obs,
+                 ((C + 1000000) * 1000000) // (Crow + 2000000) AS pi
+          FROM conf JOIN row_tot USING (rater, k)
+        ),
+        vk AS (
+          SELECT item_id AS item, annotator_id AS rater, label AS obs, k
+          FROM v CROSS JOIN (SELECT unnest(['a', 'b']) AS k)
+        ),
+        scored AS (
+          SELECT vk.item, vk.k, vk.rater, vk.obs,
+                 COALESCE(pi.pi,
+                   (1000000::BIGINT * 1000000)
+                     // (COALESCE(row_tot.Crow, 0) + 2000000)) AS pi_eff
+          FROM vk
+          LEFT JOIN pi ON pi.rater = vk.rater AND pi.k = vk.k
+                       AND pi.obs = vk.obs
+          LEFT JOIN row_tot ON row_tot.rater = vk.rater
+                            AND row_tot.k = vk.k
+        ),
+        folded AS (
+          SELECT s.item, s.k,
+                 list_reduce(
+                   list_prepend(
+                     CAST(MAX(prior.prior) AS DOUBLE) / 1000000.0,
+                     list_transform(
+                       list(ROW(s.rater, s.obs, s.pi_eff)
+                            ORDER BY s.rater, s.obs, s.pi_eff),
+                       x -> CAST(x[3] AS DOUBLE) / 1000000.0)),
+                   (a, b) -> a * b) AS score
+          FROM scored s JOIN prior ON prior.k = s.k
+          GROUP BY 1, 2
+        ),
+        normed AS (
+          SELECT item,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list_transform(list(ROW(k, score) ORDER BY k, score),
+                                    x -> CAST(x[2] AS DOUBLE))),
+                   (a, b) -> a + b) AS tot,
+                 list(ROW(k, score) ORDER BY k, score) AS ks
+          FROM folded GROUP BY 1
+        ),
+        post1 AS (
+          SELECT item, e.k AS k,
+                 CAST(floor(e.s / tot * 1000000 + 0.5) AS BIGINT) AS p
+          FROM (SELECT item, tot,
+                       unnest(list_transform(ks,
+                         x -> {'k': x[1], 's': CAST(x[2] AS DOUBLE)})) AS e
+                FROM normed)
+        ),
+        winner AS (
+          SELECT item, k, p,
+                 row_number() OVER (PARTITION BY item
+                                    ORDER BY p DESC, k ASC) AS rn
+          FROM post1
+        ),
+        maj AS (
+          SELECT item, lab AS majority_label, n_votes
+          FROM (
+            SELECT item_id AS item, label AS lab, COUNT(*) AS n,
+                   row_number() OVER (PARTITION BY item_id
+                                      ORDER BY COUNT(*) DESC, label ASC)
+                     AS rn,
+                   SUM(COUNT(*)) OVER (PARTITION BY item_id)::BIGINT
+                     AS n_votes
+            FROM v GROUP BY 1, 2
+          ) WHERE rn = 1
+        )
+        SELECT w.item, w.k AS ds_label,
+               round(w.p / 1000000.0, 6) AS posterior, m.n_votes,
+               m.majority_label, (w.k != m.majority_label) AS flipped
+        FROM winner w JOIN maj m USING (item) WHERE w.rn = 1
+        """).fetchall()
+    }
+    assert got1 == oracle

@@ -384,6 +384,152 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list,
+    label_col: str,
+    n_iter: int = 10,
+    lr: float = 0.5,
+    scale: int = 10**6,
+    l2: float = 0.0,
+) -> dict:
+    """DETERMINISTIC distributed logistic-regression training — the
+    missing half of ``quality_classifier`` (whose docstring defers to
+    "trained coefficients from a model artifact"; this trains that
+    artifact on-engine, the fastText-recipe wiki-vs-crawl classifier of
+    CCNet / GPT-3 / RedPajama pipelines).
+
+    Full-batch gradient descent with the engine's integer-sum
+    discipline: each round broadcasts the weight vector as plan
+    literals, computes every row's error-scaled feature contributions
+    in one projection, QUANTIZES each contribution to BIGINT
+    ``scale``-units (``floor(g·scale + 0.5)``), and integer-sums them —
+    associative, so the trained weights are BIT-IDENTICAL under any
+    partitioning/engine (a float gradient sum is merge-order-sensitive
+    and cannot be replay-gated). The d+1 gradient sums collected per
+    round are bounded MODEL STATE (the BPE per-round argmax class);
+    weight updates happen in driver Python floats on those exact
+    integers and are rounded to 9dp so the next round's literals are
+    short and stable.
+
+    One aggregation job per round over a skinny (label, features)
+    projection — the corpus is scanned once per round with map-side
+    partial sums and a (d+1)-value reduce; no shuffle of rows at all.
+    Optional ``l2`` ridge term applies to non-intercept weights.
+
+    Returns ``{"weights": [w0, w1, ...], "n_rows": n, "n_iter": k,
+    "final_loss": L}`` — ``weights[0]`` is the intercept; feed to
+    ``logreg_score`` (or ``quality_classifier``-style inference) as
+    broadcast literals. Loss is the quantized-mean log-loss, for
+    monitoring only.
+    """
+    import math
+
+    if not feature_cols:
+        raise ValueError("logreg_train needs at least one feature column")
+    if not 0.0 < lr:
+        raise ValueError(f"lr must be positive: got {lr!r}")
+    scale = int(scale)
+
+    proj = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(f"_x{j}") for j in range(len(feature_cols))
+          for c in [feature_cols[j]]],
+    )
+    d = len(feature_cols)
+    n_rows = proj.count()
+    if n_rows == 0:
+        raise ValueError("logreg_train got an empty relation")
+
+    w = [0.0] * (d + 1)  # intercept first
+    loss = None
+    for _ in range(int(n_iter)):
+        z = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * F.col(f"_x{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("_y")
+        gq = [
+            F.expr(f"cast(floor(_g{j} * {scale} + 0.5d) as bigint)")
+            for j in range(d + 1)
+        ]
+        # per-row log-loss, quantized the same way so the monitor is as
+        # deterministic as the weights
+        ll = -(
+            F.col("_y") * F.log(F.greatest(p, F.lit(1e-12)))
+            + (F.lit(1.0) - F.col("_y"))
+            * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+        )
+        row = (
+            proj.withColumn("_g0", err)
+            .withColumns(
+                {f"_g{j + 1}": err * F.col(f"_x{j}") for j in range(d)}
+            )
+            .withColumn("_ll", ll)
+            .select(
+                *[gq[j].alias(f"G{j}") for j in range(d + 1)],
+                F.expr(f"cast(floor(_ll * {scale} + 0.5d) as bigint)").alias(
+                    "LL"
+                ),
+            )
+            .agg(
+                *[F.sum(f"G{j}").alias(f"G{j}") for j in range(d + 1)],
+                F.sum("LL").alias("LL"),
+            )
+            .collect()[0]  # d+2 BIGINTs: bounded model state per round
+        )
+        grads = [row[f"G{j}"] / (n_rows * scale) for j in range(d + 1)]
+        loss = row["LL"] / (n_rows * scale)
+        w = [
+            round(
+                w[j]
+                - lr * (grads[j] + (l2 * w[j] if j > 0 else 0.0)),
+                9,
+            )
+            for j in range(d + 1)
+        ]
+    return {
+        "weights": w,
+        "n_rows": int(n_rows),
+        "n_iter": int(n_iter),
+        "final_loss": None if loss is None else round(float(loss), 6),
+    }
+
+
+def logreg_score(
+    df: DataFrame,
+    feature_cols: list,
+    weights: list,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score rows with a trained logistic model (``logreg_train``
+    weights, intercept first) — the broadcast-literal inference pattern
+    ``quality_classifier`` documents: zero shuffle, scales as the scan.
+    Returns ``(id, logit, score, keep)`` with the 6dp-rounded sigmoid
+    and the keep bit from the exact logit sign against ``threshold``'s
+    logit (rounding can never flip it)."""
+    import math
+
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must be intercept + one per feature: "
+            f"{len(weights)} vs {len(feature_cols)} features"
+        )
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): got {threshold!r}")
+    z = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c).cast("double")
+    t_logit = math.log(threshold / (1.0 - threshold))
+    return df.select(
+        F.col(id_col),
+        z.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= F.lit(t_logit)).cast("int").alias("keep"),
+    )
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str,

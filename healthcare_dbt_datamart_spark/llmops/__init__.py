@@ -23,9 +23,12 @@ from .filtering import (  # noqa: F401
     domain_mixture_weights,
     epoch_order,
     importance_weights,
+    kn_bigram_scores,
+    lm_buckets,
     ngram_contamination,
     perplexity_buckets,
     redact_report,
+    trigram_interp_scores,
 )
 from .bootstrap import (  # noqa: F401
     bootstrap_ci,
@@ -41,6 +44,7 @@ from .preferences import (  # noqa: F401
     annotator_agreement,
     bradley_terry,
     bradley_terry_from_pairs,
+    dawid_skene,
     fleiss_kappa,
     majority_vote,
     pass_at_k,
@@ -61,7 +65,11 @@ from .similarity import (  # noqa: F401
     sign_lsh_bits,
 )
 from .retrieval import bm25_topk  # noqa: F401
-from .graph import pagerank_fixedpoint, undirected_edges  # noqa: F401
+from .graph import (  # noqa: F401
+    pagerank_fixedpoint,
+    truncate_lineage,
+    undirected_edges,
+)
 from .sketches import (  # noqa: F401
     cms_heavy_hitters,
     cms_sketch,
@@ -81,6 +89,9 @@ from .splits import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     langid_scores,
+    lm_gated_funnel,
+    logreg_score,
+    logreg_train,
     quality_classifier,
     quality_stats,
     rolling_fingerprint,

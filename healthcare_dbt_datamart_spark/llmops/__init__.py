@@ -39,6 +39,12 @@ from .drift import (  # noqa: F401
     sketch_drift_from_cells,
     sketch_drift_report,
 )
+from .bpe import (  # noqa: F401
+    bpe_segment_report,
+    bpe_train,
+    unigram_lm_train,
+    unigram_segment_report,
+)
 from .packing import length_buckets  # noqa: F401
 from .preferences import (  # noqa: F401
     annotator_agreement,

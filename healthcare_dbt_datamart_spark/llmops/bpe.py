@@ -131,3 +131,230 @@ def bpe_segment_report(
             F.sum("freq").alias("total_freq"),
         )
     )
+
+
+def _viterbi_pieces(word: str, logp: dict, max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs ``logp`` —
+    classic Viterbi over character positions. Deterministic: candidates
+    scan j descending (longest piece first) with strict improvement, so
+    equal-cost splits resolve to the longest-piece path; single
+    characters are guaranteed in-vocab by the trainer, so every word
+    segments. Pure function of (word, vocab) — partitioning-invariant
+    by construction."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq): the plain word-frequency dict (one corpus shuffle)."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 64,
+    n_iter: int = 2,
+    max_piece_len: int = 6,
+    seed_size: int = 512,
+    scale: int = 10**6,
+) -> list[tuple[str, int, int]]:
+    """SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959) — the other standard subword inducer next to
+    ``bpe_train`` (T5/mT5-family tokenizers), as hard-EM:
+
+    1. SEED: every substring of every word type up to ``max_piece_len``,
+       corpus-weighted; keep the ``seed_size`` heaviest plus ALL single
+       characters (so every word always segments).
+    2. E-step: Viterbi-segment each word type under the current piece
+       probabilities; count pieces along the best paths, weighted by
+       word frequency — exact BIGINT sums.
+    3. M-step + PRUNE: requantize probabilities by integer division
+       (``count·scale div total``) and keep the ``vocab_size`` heaviest
+       pieces (ties piece-ascending), again protecting single chars.
+
+    Scale shape (the ``bpe_train`` discipline): everything trains on the
+    WORD-FREQUENCY dict — one corpus shuffle collapses 100 TB of text to
+    a vocabulary-sized relation. Seeding is one substring-explode over
+    that dict (≤ len·max_piece_len candidates per word type); each
+    E-step is Arrow-batched ``mapInPandas`` over the dict with the
+    BOUNDED vocab in closure (the multimodal pattern — per-word Viterbi
+    is a pure Python function of (word, vocab), partitioning-invariant)
+    followed by one piece-count shuffle; the per-round vocab collect is
+    bounded MODEL STATE (the Lloyd-codebook class). Determinism: integer
+    counts, integer-quantized probabilities, longest-piece-first Viterbi
+    tie-break — the returned artifact is bit-identical on any layout.
+
+    Returns the trained vocab as ``[(piece, count, prob_fp), ...]``
+    sorted (count desc, piece asc) — ``prob_fp`` in ``scale`` units;
+    feed to ``unigram_segment_report`` / ``_viterbi_pieces``.
+    """
+    import math
+
+    import pandas as pd
+
+    scale = int(scale)
+    wf = _word_freqs(df, text_col).localCheckpoint(eager=True)
+
+    # ---- seed: weighted substring counts over the word dict ----------
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(
+                    i,
+                    F.least(
+                        i + F.lit(int(max_piece_len) - 1), F.length("w")
+                    ),
+                ),
+                lambda j: F.substring(F.col("w"), i, j - i + F.lit(1)),
+            ),
+        )
+    )
+    seed_counts = (
+        wf.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in seed_counts.filter(F.length("piece") == 1).collect()
+    }
+    multi = {
+        r["piece"]: int(r["cnt"])
+        for r in seed_counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(int(seed_size))
+        .collect()
+    }
+    vocab = dict(chars)
+    vocab.update(multi)
+
+    def _probs(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {
+            p: math.log(max((c * scale) // total, 1) / scale)
+            for p, c in counts.items()
+        }
+
+    spark = df.sparkSession
+    for _ in range(int(n_iter)):
+        logp = _probs(vocab)
+        mlen = max(len(p) for p in logp)
+
+        def _segment(batches, _logp=logp, _mlen=mlen):
+            for pdf in batches:
+                rows = []
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    for piece in _viterbi_pieces(str(w), _logp, _mlen):
+                        rows.append((piece, int(f)))
+                yield pd.DataFrame(rows, columns=["piece", "cnt"])
+
+        counts_df = (
+            wf.mapInPandas(_segment, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        counts = {
+            r["piece"]: int(r["cnt"]) for r in counts_df.collect()
+        }  # bounded: <= |vocab| rows
+        # prune: heaviest vocab_size pieces, single chars protected
+        multi_sorted = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        keep_multi = multi_sorted[: max(int(vocab_size) - len(chars), 0)]
+        # chars carry their E-STEP counts (0 when no best path uses
+        # them — the floor-1 prob quantization keeps them segmentable);
+        # seed counts never leak past round 1
+        vocab = {p: counts.get(p, 0) for p in chars}
+        vocab.update(dict(keep_multi))
+
+    total = sum(vocab.values())
+    return sorted(
+        (
+            (p, c, max((c * scale) // total, 1))
+            for p, c in vocab.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def unigram_segment_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces: list,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document token accounting under a trained unigram-LM vocab
+    (``unigram_lm_train`` artifact): Viterbi-segment each DISTINCT word
+    once (Arrow ``mapInPandas`` over the word dict — never the corpus),
+    then join the per-word piece counts back onto the documents' word
+    explode. Returns ``(id, n_words, n_chars_tok, n_pieces,
+    pieces_per_word)`` — the compression audit a tokenizer change ships
+    with (6dp ratio)."""
+    import math
+
+    import pandas as pd
+
+    logp = {
+        p: math.log(max(int(fp), 1) / int(scale)) for p, _, fp in pieces
+    }
+    mlen = max(len(p) for p in logp)
+
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    dict_words = doc_words.select("w").distinct()
+
+    def _seg_len(batches, _logp=logp, _mlen=mlen):
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                out.append((w, len(_viterbi_pieces(str(w), _logp, _mlen))))
+            yield pd.DataFrame(out, columns=["w", "n_pieces_w"])
+
+    seg = dict_words.mapInPandas(_seg_len, "w string, n_pieces_w int")
+    return (
+        doc_words.join(seg, "w")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars_tok"),
+            F.sum("n_pieces_w").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces_w") / F.count(F.lit(1)), 6
+            ).alias("pieces_per_word"),
+        )
+    )

@@ -50,6 +50,13 @@ def main() -> None:
     for wname in dict.fromkeys(warm):
         if wname in qs:
             qs[wname](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # the dict LEADER is the only query whose timed run would be its
+    # second-ever execution — every other query inherits deep warm-in
+    # from dozens of preceding queries. Measured (round 7,
+    # bradley_terry leading): 15.3 s cold, 6.2 s second, 4.9 s third =
+    # steady state. One extra warm pass makes the leader's timed number
+    # third-execution, comparable to the rest of the inventory.
+    qs[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -49,8 +49,10 @@ from .packing import length_buckets  # noqa: F401
 from .preferences import (  # noqa: F401
     annotator_agreement,
     bradley_terry,
+    best_of_n,
     bradley_terry_from_pairs,
     dawid_skene,
+    dpo_pairs,
     fleiss_kappa,
     majority_vote,
     pass_at_k,

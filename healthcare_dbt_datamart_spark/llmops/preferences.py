@@ -255,6 +255,103 @@ def bradley_terry_from_pairs(
     )
 
 
+def best_of_n(
+    samples: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Best-of-n selection (rejection sampling over a reward model —
+    the RLHF data-construction staple): per prompt, keep the
+    highest-reward response. Deterministic: ties break on ascending
+    response id, NULL rewards sort last (an unscored response can never
+    win). One rank-then-filter window per prompt partition — no global
+    sort, no shuffle beyond the prompt key. Returns ``(prompt, response,
+    reward, n_samples)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.col(reward_col).desc_nulls_last(), F.col(response_col).asc()
+    )
+    tot = Window.partitionBy(prompt_col)
+    return (
+        samples.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_samples", F.count(F.lit(1)).over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(prompt_col, response_col, reward_col, "n_samples")
+    )
+
+
+def dpo_pairs(
+    samples: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response_id",
+    reward_col: str = "reward",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """DPO preference-pair construction (Rafailov et al. 2023,
+    arXiv:2305.18290 train-data shape): per prompt, pair the
+    highest-reward response (chosen) against the lowest (rejected),
+    keeping only prompts whose reward gap EXCEEDS ``min_margin`` — a
+    zero-gap pair carries no preference signal and a small-gap pair is
+    mostly reward-model noise (the margin is the data-quality knob).
+    NULL-reward responses are excluded up front (unscored text can be
+    neither chosen nor rejected). Deterministic tie-breaks on ascending
+    response id at both ends.
+
+    ONE window pass per direction over the prompt partition (no
+    self-join of the samples relation). Returns ``(prompt, chosen,
+    rejected, reward_chosen, reward_rejected, reward_gap)`` with the
+    gap rounded 6dp."""
+    from pyspark.sql.window import Window
+
+    scored = samples.filter(F.col(reward_col).isNotNull())
+    up = Window.partitionBy(prompt_col).orderBy(
+        F.col(reward_col).desc(), F.col(response_col).asc()
+    )
+    down = Window.partitionBy(prompt_col).orderBy(
+        F.col(reward_col).asc(), F.col(response_col).asc()
+    )
+    ranked = scored.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(response_col).alias("resp"),
+        F.col(reward_col).alias("r"),
+        F.row_number().over(up).alias("_best"),
+        F.row_number().over(down).alias("_worst"),
+    )
+    best = ranked.filter(F.col("_best") == 1).select(
+        "prompt",
+        F.col("resp").alias("chosen"),
+        F.col("r").alias("reward_chosen"),
+    )
+    worst = ranked.filter(F.col("_worst") == 1).select(
+        "prompt",
+        F.col("resp").alias("rejected"),
+        F.col("r").alias("reward_rejected"),
+    )
+    return (
+        best.join(worst, "prompt")
+        .filter(
+            F.col("chosen") != F.col("rejected")
+        )  # single-response prompts pair with themselves: no signal
+        .withColumn(
+            "reward_gap",
+            F.round(
+                F.col("reward_chosen") - F.col("reward_rejected"), 6
+            ),
+        )
+        .filter(F.col("reward_gap") > F.lit(float(min_margin)))
+        .select(
+            F.col("prompt").alias(prompt_col),
+            "chosen",
+            "rejected",
+            "reward_chosen",
+            "reward_rejected",
+            "reward_gap",
+        )
+    )
+
+
 def pass_at_k(
     samples: DataFrame,
     ks: tuple = (1, 10),

@@ -2669,3 +2669,73 @@ def test_unigram_lm_train_and_segment(spark):
     assert ppw == round(direct / 9, 6)
     # the stem-heavy doc compresses far below character-level
     assert n_pieces < sum(len(w) for w in text.split())
+
+
+def test_best_of_n_and_dpo_pairs(spark):
+    """RLHF data construction: best-of-n picks the max-reward response
+    with deterministic ties (NULL rewards can never win), dpo_pairs
+    pairs max vs min per prompt, drops zero/low-margin and
+    single-response prompts, excludes unscored responses, and both
+    replay exactly in DuckDB."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        best_of_n,
+        dpo_pairs,
+    )
+
+    rows = [
+        ("p1", "r1", 0.9), ("p1", "r2", 0.1), ("p1", "r3", 0.5),
+        ("p2", "r1", 0.7), ("p2", "r2", 0.7),          # tie -> r1
+        ("p3", "r9", 0.4),                              # single response
+        ("p4", "r1", None), ("p4", "r2", 0.2),          # NULL reward
+        ("p5", "r1", 0.30), ("p5", "r2", 0.25),         # gap 0.05
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, response_id string, reward double"
+    )
+
+    bon = {
+        r.prompt_id: (r.response_id, r.reward, r.n_samples)
+        for r in best_of_n(df).collect()
+    }
+    assert bon["p1"] == ("r1", 0.9, 3)
+    assert bon["p2"] == ("r1", 0.7, 2)       # deterministic tie
+    assert bon["p3"] == ("r9", 0.4, 1)
+    assert bon["p4"] == ("r2", 0.2, 2)       # NULL never wins
+
+    pairs = {
+        r.prompt_id: (r.chosen, r.rejected, r.reward_gap)
+        for r in dpo_pairs(df, min_margin=0.1).collect()
+    }
+    assert pairs == {"p1": ("r1", "r2", 0.8)}  # p2 gap 0 (tie), p3
+    # single, p4 one scored response, p5 gap 0.05 < margin: all dropped
+    loose = {
+        r.prompt_id for r in dpo_pairs(df, min_margin=0.0).collect()
+    }
+    assert loose == {"p1", "p5"}
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute("""
+        WITH s AS (SELECT * FROM t WHERE reward IS NOT NULL),
+        up AS (
+          SELECT prompt_id, response_id, reward,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY reward DESC, response_id ASC) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY reward ASC, response_id ASC) AS rw
+          FROM s
+        )
+        SELECT b.prompt_id, b.response_id AS chosen,
+               w.response_id AS rejected,
+               round(b.reward - w.reward, 6) AS gap
+        FROM (SELECT * FROM up WHERE rb = 1) b
+        JOIN (SELECT * FROM up WHERE rw = 1) w USING (prompt_id)
+        WHERE b.response_id != w.response_id
+          AND round(b.reward - w.reward, 6) > 0.1
+        """).fetchall()
+    }
+    assert pairs == oracle

@@ -3840,7 +3840,12 @@ SCHEDULED_NEXT_WINDOW = [
 # kn_bigram_scores (interpolated Kneser-Ney — the KenLM smoothing,
 # same split, continuation counts from the bigram table alone),
 # dawid_skene (true EM with per-rater confusion matrices over the
-# events rater grid — integer-quantized posteriors, ordered folds).
+# events rater grid — integer-quantized posteriors, ordered folds),
+# best_of_n / dpo_pairs (RLHF data constructors: max-reward response
+# per prompt; max-vs-min preference pairs with a margin knob),
+# unigram_lm_train/unigram_segment_report (SentencePiece inducer on
+# the word dict), logreg_train/logreg_score (on-engine quality-
+# classifier training, integer-quantized gradients).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -138,9 +138,12 @@ def _viterbi_pieces(word: str, logp: dict, max_len: int) -> list[str]:
     classic Viterbi over character positions. Deterministic: candidates
     scan j descending (longest piece first) with strict improvement, so
     equal-cost splits resolve to the longest-piece path; single
-    characters are guaranteed in-vocab by the trainer, so every word
-    segments. Pure function of (word, vocab) — partitioning-invariant
-    by construction."""
+    characters are guaranteed in-vocab by the trainer, so every
+    TRAINING word segments. A word containing out-of-vocab characters
+    (scoring a corpus the vocab never saw) is UNSEGMENTABLE — returns
+    ``[]`` so callers must handle OOV explicitly instead of receiving a
+    pseudo-piece the tokenizer could never produce. Pure function of
+    (word, vocab) — partitioning-invariant by construction."""
     n = len(word)
     best = [0.0] + [float("-inf")] * n
     back = [0] * (n + 1)
@@ -154,6 +157,8 @@ def _viterbi_pieces(word: str, logp: dict, max_len: int) -> list[str]:
             if cand > best[i]:
                 best[i] = cand
                 back[i] = j
+    if best[n] == float("-inf"):
+        return []  # OOV character somewhere: no segmentation exists
     out: list[str] = []
     i = n
     while i > 0:
@@ -222,6 +227,8 @@ def unigram_lm_train(
 
     scale = int(scale)
     wf = _word_freqs(df, text_col).localCheckpoint(eager=True)
+    # (vocab_size is validated against the observed character count
+    # below, once chars are known)
 
     # ---- seed: weighted substring counts over the word dict ----------
     subs = F.flatten(
@@ -254,11 +261,25 @@ def unigram_lm_train(
         .limit(int(seed_size))
         .collect()
     }
+    if int(vocab_size) <= len(chars):
+        # a zero multi-piece budget can leave EVERY retained count 0
+        # when all best paths run through multi-pieces (then pruned) —
+        # the probability quantization would divide by zero. Fail loud.
+        raise ValueError(
+            f"vocab_size={vocab_size} must exceed the observed "
+            f"character count ({len(chars)}) — single chars are always "
+            "retained, so smaller budgets leave no room for pieces"
+        )
     vocab = dict(chars)
     vocab.update(multi)
 
     def _probs(counts: dict) -> dict:
         total = sum(counts.values())
+        if total <= 0:
+            raise ValueError(
+                "unigram_lm_train: every retained piece has count 0 "
+                "(degenerate corpus) — cannot quantize probabilities"
+            )
         return {
             p: math.log(max((c * scale) // total, 1) / scale)
             for p, c in counts.items()
@@ -298,6 +319,11 @@ def unigram_lm_train(
         vocab.update(dict(keep_multi))
 
     total = sum(vocab.values())
+    if total <= 0:
+        raise ValueError(
+            "unigram_lm_train: every retained piece has count 0 "
+            "(degenerate corpus) — cannot quantize probabilities"
+        )
     return sorted(
         (
             (p, c, max((c * scale) // total, 1))

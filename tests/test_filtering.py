@@ -2671,6 +2671,67 @@ def test_unigram_lm_train_and_segment(spark):
     assert n_pieces < sum(len(w) for w in text.split())
 
 
+def test_unigram_lm_oov_and_degenerate_guards(spark):
+    """Hardening pins: (1) Viterbi returns [] for a word containing an
+    out-of-vocab character (no pseudo-pieces), and the segment report
+    counts such a word as 0 pieces; (2) a vocab budget that leaves no
+    room above the single-character floor fails loudly instead of
+    dividing by zero in the probability quantization."""
+    import math
+
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        _viterbi_pieces,
+        unigram_lm_train,
+        unigram_segment_report,
+    )
+
+    text = "nation nations national the a of"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], ["doc_id", "text"]
+    )
+    pieces = unigram_lm_train(
+        docs, "text", vocab_size=20, n_iter=2, max_piece_len=6,
+        seed_size=100,
+    )
+    logp = {p: math.log(max(fp, 1) / 10**6) for p, _, fp in pieces}
+    mlen = max(len(p) for p in logp)
+    assert "q" not in logp and "z" not in logp
+
+    # (1) OOV character anywhere -> unsegmentable, not a pseudo-piece
+    assert _viterbi_pieces("naqtion", logp, mlen) == []
+    assert _viterbi_pieces("zz", logp, mlen) == []
+    assert _viterbi_pieces("nation", logp, mlen) != []
+
+    # the report counts the OOV word as 0 pieces (explicit, auditable)
+    scored = spark.createDataFrame(
+        [(1, "nation zz"), (2, "nation")], ["doc_id", "text"]
+    )
+    rep = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in unigram_segment_report(
+            scored, "text", "doc_id", pieces
+        ).collect()
+    }
+    assert rep[1][0] == 2  # both words counted in the denominator
+    assert rep[1][1] == rep[2][1]  # ...but zz contributes zero pieces
+
+    # (2) vocab budget at/below the observed character count fails loud
+    n_chars = len({c for w in text.split() for c in w})
+    with pytest.raises(ValueError, match="must exceed"):
+        unigram_lm_train(
+            docs, "text", vocab_size=n_chars, n_iter=1,
+            max_piece_len=6, seed_size=100,
+        )
+    # one above the floor is legal (single chars + one multi-piece slot)
+    ok = unigram_lm_train(
+        docs, "text", vocab_size=n_chars + 1, n_iter=1,
+        max_piece_len=6, seed_size=100,
+    )
+    assert sum(1 for p, _, _ in ok if len(p) > 1) <= 1
+
+
 def test_best_of_n_and_dpo_pairs(spark):
     """RLHF data construction: best-of-n picks the max-reward response
     with deterministic ties (NULL rewards can never win), dpo_pairs

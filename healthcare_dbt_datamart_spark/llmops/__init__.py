@@ -39,6 +39,11 @@ from .drift import (  # noqa: F401
     sketch_drift_from_cells,
     sketch_drift_report,
 )
+from .evaluation import (  # noqa: F401
+    calibration_report,
+    calibration_summary,
+    roc_auc,
+)
 from .bpe import (  # noqa: F401
     bpe_segment_report,
     bpe_train,

@@ -1,0 +1,336 @@
+"""Classifier evaluation at corpus scale: ROC-AUC, calibration, Brier.
+
+The evaluation half of the on-engine quality-classifier loop
+(``textstats.logreg_train`` trains the CCNet/GPT-3-recipe linear
+filter, ``logreg_score`` runs inference; these operators grade the
+scores) — the numbers a data card reports before a filter threshold is
+frozen: ranking power (AUC), probability honesty (ECE / MCE), and the
+proper score that combines both (Brier).
+
+Exactness discipline (the repo's integral-metrics convention): scores
+are quantized ONCE to BIGINT ``scale``-units per row (``floor(s·scale
++ 0.5)``), and every aggregate over them is an associative integer
+sum — so the rank-sum, every calibration-bin numerator, and the Brier
+numerator are bit-identical under any partitioning and replay exactly
+in DuckDB. The only floats are the final divisions on exact integer
+operands (6dp-rounded), which both engines perform identically.
+
+Scale shapes:
+- ``roc_auc``: one pass to a (quantized-score → count, positives) cell
+  table — bounded by the score's quantized support (≤ ``scale``+1
+  cells for probability scores), NOT by corpus size — then the
+  Mann-Whitney rank-sum as a single ordered window over that bounded
+  table. No corpus-sized sort anywhere: the classic "sort all scores"
+  AUC becomes a vocabulary-sized problem after cell aggregation, the
+  same collapse ``bpe_train`` uses for words.
+- ``calibration_report`` / ``calibration_summary``: one pass to an
+  (n_bins+1)-row cell table carrying integer count / positive / score
+  / score² sums; ECE, MCE and Brier all derive from those bounded
+  integers (Brier via Σs² − 2Σ_{y=1}s + n_pos — no second corpus
+  pass).
+
+Reference framing: the reference datamart grades its pipelines with
+schema tests and fail-as-data queries (dbt-adapters
+macros/materializations/tests/helpers.sql); a training-data pipeline
+grades its FILTERS the same way — these are the test-harness analogue
+for model-based curation stages.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _quantized_cells(
+    df: DataFrame, score_col: str, label_col: str, scale: int
+) -> DataFrame:
+    """(s_fp, cnt, pos, bad) cells: one corpus pass, bounded output.
+
+    ``bad`` counts rows whose label is NULL / not in {0, 1} or whose
+    score is NULL — surfaced to callers so validation needs no second
+    corpus scan."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
+    return (
+        df.select(
+            F.when(ok, F.expr(
+                f"cast(floor({score_col} * {int(scale)} + 0.5d) as bigint)"
+            )).otherwise(F.lit(None)).alias("s_fp"),
+            F.when(ok, y).otherwise(F.lit(0)).alias("y"),
+            (~ok).cast("bigint").alias("bad"),
+        )
+        .groupBy("s_fp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("pos"),
+            F.sum("bad").alias("bad"),
+        )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against binary ``label_col`` via
+    the Mann-Whitney rank-sum, with average ranks for ties:
+
+        AUC = (Σ_pos rank − n_pos·(n_pos+1)/2) / (n_pos·n_neg)
+
+    computed ENTIRELY in BIGINTs on the quantized-score cell table:
+    with cells ordered by score, a tied group of size c starting after
+    ``cb`` smaller scores has twice-average-rank ``2·cb + c + 1``, so
+
+        2U = Σ_cells pos·(2·cb + c + 1) − n_pos·(n_pos+1)
+        AUC = 2U / (2·n_pos·n_neg)
+
+    — every term integer-exact, the final division a single float op
+    on exact operands (identical in DuckDB). AUC is reported for the
+    QUANTIZED classifier: rows whose scores collide at ``scale``
+    resolution are ties by construction (at the default 10⁻⁶ this is
+    at or below any real classifier's meaningful precision; raise
+    ``scale`` when it isn't). Overflow bound: n_pos·n below ~4.6·10¹⁸.
+
+    Two jobs, both collapsing to the bounded cell table: one
+    validation fold (n / n_pos / bad-row totals — bounded model state,
+    the ``fleiss_kappa`` pattern) and the rank-sum plan returned. The
+    ordered window runs on the BOUNDED cell table, never corpus rows.
+
+    Raises on NULL/non-binary labels, NULL scores, or a single-class
+    relation (AUC undefined). Returns one row:
+    ``(n_rows, n_pos, n_neg, n_score_cells, auc)`` (auc 6dp).
+    """
+    cells = _quantized_cells(df, score_col, label_col, int(scale))
+    tot = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("np"),
+        F.sum("bad").alias("nb"),
+    ).collect()[0]
+    n = int(tot.n or 0)
+    n_pos = int(tot.np or 0)
+    if int(tot.nb or 0) > 0:
+        raise ValueError(
+            f"roc_auc: {tot.nb} rows have NULL scores or labels outside"
+            " {0, 1} — clean the eval relation first (silent exclusion"
+            " would misreport the operating population)"
+        )
+    n_neg = n - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"roc_auc is undefined on a single-class relation: "
+            f"n_pos={n_pos}, n_neg={n_neg}"
+        )
+    w = (
+        Window.orderBy("s_fp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded cell table: single-partition sort of <= |cells| rows
+    rank2 = F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col(
+        "cnt"
+    ) + F.lit(1)
+    return (
+        cells.select((F.col("pos") * rank2).alias("pr2"))
+        .agg(F.sum("pr2").alias("sum_pr2"), F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.lit(n).alias("n_rows"),
+            F.lit(n_pos).alias("n_pos"),
+            F.lit(n_neg).alias("n_neg"),
+            F.col("n_cells").cast("bigint").alias("n_score_cells"),
+            F.round(
+                (
+                    F.col("sum_pr2") - F.lit(n_pos) * F.lit(n_pos + 1)
+                ).cast("double")
+                / F.lit(2.0 * n_pos * n_neg),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+def _bin_cells(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+    scale: int,
+) -> DataFrame:
+    """(bin, n, pos, s_sum, s2_sum, sy_sum, bad) — one corpus pass to
+    at most ``n_bins + 1`` rows (``sy_sum`` = Σ_{y=1} quantized-score,
+    the Brier cross term). Scores outside [0, 1] land in bin −1 (kept
+    visible, never silently clamped); score == 1.0 belongs to the top
+    bin."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
+    in_range = (s >= 0.0) & (s <= 1.0)
+    bin_ = (
+        F.when(~ok, F.lit(None))
+        .when(~in_range, F.lit(-1))
+        .otherwise(
+            F.least(
+                F.floor(s * F.lit(int(n_bins))).cast("int"),
+                F.lit(int(n_bins) - 1),
+            )
+        )
+    )
+    sq = F.expr(f"cast(floor({score_col} * {int(scale)} + 0.5d) as bigint)")
+    s2q = F.expr(
+        f"cast(floor({score_col} * {score_col} * {int(scale)} + 0.5d)"
+        " as bigint)"
+    )
+    return (
+        df.select(
+            bin_.alias("bin"),
+            F.when(ok, y).otherwise(F.lit(0)).alias("y"),
+            F.when(ok & in_range, sq).otherwise(F.lit(0)).alias("sq"),
+            F.when(ok & in_range, s2q).otherwise(F.lit(0)).alias("s2q"),
+            (~ok).cast("bigint").alias("bad"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+            F.sum("sq").alias("s_sum"),
+            F.sum("s2q").alias("s2_sum"),
+            F.sum(F.col("sq") * F.col("y")).alias("sy_sum"),
+            F.sum("bad").alias("bad"),
+        )
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Reliability-diagram table: equal-width probability bins with the
+    observed positive rate next to the mean claimed confidence —
+    the per-bin detail behind ``calibration_summary``'s ECE.
+
+    Returns ``(bin, n_rows, n_pos, conf, acc, gap)`` ordered by bin;
+    ``conf`` / ``acc`` / ``gap`` are float divisions of exact integer
+    sums (6dp). Out-of-[0,1] scores surface as a ``bin = −1`` row
+    (conf/acc NULL there) rather than being clamped — the summary
+    RAISES on them; the report keeps them visible for triage. One
+    corpus pass; output bounded by ``n_bins + 1`` rows."""
+    if int(n_bins) < 2:
+        raise ValueError(f"n_bins must be >= 2: got {n_bins!r}")
+    cells = _bin_cells(df, score_col, label_col, int(n_bins), int(scale))
+    in_range = F.col("bin") >= 0
+    return cells.select(
+        F.col("bin"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("pos").cast("bigint").alias("n_pos"),
+        F.when(
+            in_range,
+            F.round(
+                F.col("s_sum").cast("double")
+                / (F.col("n") * F.lit(int(scale))).cast("double"),
+                6,
+            ),
+        ).alias("conf"),
+        F.when(
+            in_range,
+            F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6),
+        ).alias("acc"),
+        F.when(
+            in_range,
+            F.round(
+                F.abs(
+                    F.col("s_sum").cast("double")
+                    / (F.col("n") * F.lit(int(scale))).cast("double")
+                    - F.col("pos").cast("double") / F.col("n").cast("double")
+                ),
+                6,
+            ),
+        ).alias("gap"),
+    ).orderBy("bin")
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """One-row calibration scorecard: ECE, MCE and the Brier score,
+    all derived EXACTLY from the bounded bin-cell integers:
+
+        ECE   = Σ_b |s_sum_b − scale·pos_b| / (scale·N)
+        MCE   = max_b |s_sum_b − scale·pos_b| / (scale·n_b)
+        Brier = (Σs² − 2·Σ_{y=1}s + scale·n_pos) / (scale·N)
+
+    (the weighted-gap sum telescopes: n_b/N · |conf_b − acc_b| has the
+    bin count cancel, leaving pure integer numerators; Brier expands
+    (s−y)² so the one bin pass already holds every term). Exact
+    rational arithmetic via ``fractions`` on the collected cell
+    integers — at most ``n_bins + 1`` rows of model state — then one
+    6dp rounding per metric.
+
+    Raises on NULL/non-binary labels, NULL scores, scores outside
+    [0, 1], or an empty relation. Returns
+    ``(n_rows, n_pos, n_bins_used, ece, mce, brier)``.
+    """
+    if int(n_bins) < 2:
+        raise ValueError(f"n_bins must be >= 2: got {n_bins!r}")
+    scale = int(scale)
+    rows = _bin_cells(
+        df, score_col, label_col, int(n_bins), scale
+    ).collect()  # bounded: <= n_bins + 1 cells
+    n_bad = sum(int(r.bad) for r in rows)
+    if n_bad > 0:
+        raise ValueError(
+            f"calibration_summary: {n_bad} rows have NULL scores or"
+            " labels outside {0, 1} — clean the eval relation first"
+        )
+    if any(r.bin == -1 for r in rows):
+        oob = next(r for r in rows if r.bin == -1)
+        raise ValueError(
+            f"calibration_summary: {oob.n} scores outside [0, 1] —"
+            " calibration bins are probability bins; map scores through"
+            " a sigmoid (logreg_score already does) before grading"
+        )
+    n = sum(int(r.n) for r in rows)
+    if n == 0:
+        raise ValueError("calibration_summary got an empty relation")
+    n_pos = sum(int(r.pos) for r in rows)
+    ece = Fraction(
+        sum(abs(int(r.s_sum) - scale * int(r.pos)) for r in rows),
+        scale * n,
+    )
+    mce = max(
+        (
+            Fraction(abs(int(r.s_sum) - scale * int(r.pos)), scale * int(r.n))
+            for r in rows
+        ),
+        default=Fraction(0),
+    )
+    brier = Fraction(
+        sum(int(r.s2_sum) for r in rows)
+        - 2 * sum(int(r.sy_sum) for r in rows)
+        + scale * n_pos,
+        scale * n,
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                n_pos,
+                sum(1 for r in rows),
+                round(float(ece), 6),
+                round(float(mce), 6),
+                round(float(brier), 6),
+            )
+        ],
+        "n_rows bigint, n_pos bigint, n_bins_used int, ece double,"
+        " mce double, brier double",
+    )

@@ -1,0 +1,229 @@
+"""Classifier-evaluation operators: exact rank-sum ROC-AUC, the
+reliability-diagram report, and the ECE/MCE/Brier scorecard — each
+checked against an independent brute-force computation, an exact DuckDB
+replay of the integer arithmetic (the `hll_by_group` evidence
+convention), and partitioning invariance."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+
+
+def _eval_rows():
+    """Deterministic eval set with heavy score ties, both classes in
+    several bins, and scores hitting both closed endpoints."""
+    rows = []
+    for i in range(240):
+        score = ((i * 37) % 97) / 96.0  # includes exact 0.0 and 1.0
+        # label correlates with score but disagrees often enough that
+        # no bin is pure and the AUC sits strictly inside (0.5, 1)
+        label = 1 if ((i * 13) % 29) / 29.0 < score else 0
+        rows.append((i, round(score, 6), label))
+    # tie blocks: many rows sharing one score with mixed labels
+    rows += [(1000 + j, 0.5, j % 2) for j in range(40)]
+    return rows
+
+
+def test_roc_auc_matches_bruteforce_duckdb_and_layout(spark):
+    """AUC equals the O(n²) pair count (ties at half credit) to the
+    quantization, is bit-stable under repartitioning, and the whole
+    BIGINT rank-sum replays exactly in DuckDB."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import roc_auc
+
+    rows = _eval_rows()
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+
+    got = roc_auc(df, "score", "label").collect()[0]
+    n_pos = sum(1 for _, _, y in rows if y == 1)
+    n_neg = len(rows) - n_pos
+    assert (got.n_rows, got.n_pos, got.n_neg) == (len(rows), n_pos, n_neg)
+
+    # brute force on the quantized scores (the documented semantics)
+    import math
+
+    q = [(math.floor(s * 10**6 + 0.5), y) for _, s, y in rows]
+    wins = Fraction(0)
+    for sp, yp in q:
+        if yp != 1:
+            continue
+        for sn, yn in q:
+            if yn != 0:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                wins += Fraction(1, 2)
+    expect = wins / (n_pos * n_neg)
+    assert abs(got.auc - float(expect)) < 5e-7
+    assert 0.5 < got.auc < 1.0
+
+    # layout invariance: identical row after an adversarial repartition
+    got13 = roc_auc(df.repartition(13), "score", "label").collect()[0]
+    assert got13 == got
+
+    # exact DuckDB replay of the rank-sum arithmetic
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute("""
+        WITH cells AS (
+          SELECT CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS s_fp,
+                 COUNT(*) AS cnt, SUM(label) AS pos
+          FROM t GROUP BY 1
+        ),
+        ranked AS (
+          SELECT pos,
+                 2 * COALESCE(SUM(cnt) OVER (ORDER BY s_fp
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) + cnt + 1 AS rank2
+          FROM cells
+        )
+        SELECT ROUND(
+          (SUM(pos * rank2) - {np} * ({np} + 1)) / (2.0 * {np} * {nn}),
+          6) AS auc
+        FROM ranked
+    """.format(np=n_pos, nn=n_neg)).fetchone()
+    assert oracle[0] == got.auc
+
+
+def test_roc_auc_guards(spark):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import roc_auc
+
+    one_class = spark.createDataFrame(
+        [(1, 0.2, 1), (2, 0.9, 1)], "id int, score double, label int"
+    )
+    with pytest.raises(ValueError, match="single-class"):
+        roc_auc(one_class, "score", "label").collect()
+
+    bad_label = spark.createDataFrame(
+        [(1, 0.2, 0), (2, 0.9, 2)], "id int, score double, label int"
+    )
+    with pytest.raises(ValueError, match="labels outside"):
+        roc_auc(bad_label, "score", "label").collect()
+
+    null_score = spark.createDataFrame(
+        [(1, None, 0), (2, 0.9, 1)], "id int, score double, label int"
+    )
+    with pytest.raises(ValueError, match="NULL scores"):
+        roc_auc(null_score, "score", "label").collect()
+
+
+def test_calibration_report_summary_and_duckdb_replay(spark):
+    """Per-bin conf/acc/gap match hand arithmetic; ECE/MCE/Brier match
+    an exact Fraction recomputation AND a DuckDB SQL replay; score=1.0
+    lands in the top bin; the endpoints round-trip."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_report,
+        calibration_summary,
+    )
+
+    rows = _eval_rows()
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    n_bins, scale = 10, 10**6
+
+    rep = {r.bin: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(rep) <= set(range(n_bins))
+    assert 9 in rep  # score == 1.0 went to the TOP bin, not bin 10
+
+    # independent per-bin recomputation on quantized scores
+    import collections
+    import math
+
+    cells = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for _, s, y in rows:
+        b = min(int(s * n_bins), n_bins - 1)
+        sq = math.floor(s * scale + 0.5)
+        s2q = math.floor(s * s * scale + 0.5)
+        c = cells[b]
+        c[0] += 1
+        c[1] += y
+        c[2] += sq
+        c[3] += s2q
+        c[4] += sq * y
+    for b, (n, pos, s_sum, s2_sum, _) in cells.items():
+        assert rep[b].n_rows == n and rep[b].n_pos == pos
+        assert rep[b].conf == round(s_sum / (n * scale), 6)
+        assert rep[b].acc == round(pos / n, 6)
+        assert rep[b].gap == round(abs(s_sum / (n * scale) - pos / n), 6)
+
+    got = calibration_summary(df, "score", "label").collect()[0]
+    n = len(rows)
+    n_pos = sum(y for _, _, y in rows)
+    ece = Fraction(
+        sum(abs(c[2] - scale * c[1]) for c in cells.values()), scale * n
+    )
+    mce = max(
+        Fraction(abs(c[2] - scale * c[1]), scale * c[0])
+        for c in cells.values()
+    )
+    brier = Fraction(
+        sum(c[3] for c in cells.values())
+        - 2 * sum(c[4] for c in cells.values())
+        + scale * n_pos,
+        scale * n,
+    )
+    assert (got.n_rows, got.n_pos) == (n, n_pos)
+    assert got.ece == round(float(ece), 6)
+    assert got.mce == round(float(mce), 6)
+    assert got.brier == round(float(brier), 6)
+    # a correlated-but-imperfect classifier: sane ranges
+    assert 0 < got.ece < 0.5 and got.ece <= got.mce <= 1
+    assert 0 < got.brier < 0.25  # beats the always-0.5 baseline
+
+    # DuckDB replay of the summary's integer derivations
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = con.execute(f"""
+        WITH q AS (
+          SELECT LEAST(CAST(floor(score * {n_bins}) AS INT), {n_bins} - 1)
+                   AS bin,
+                 CAST(floor(score * {scale} + 0.5) AS BIGINT) AS sq,
+                 CAST(floor(score * score * {scale} + 0.5) AS BIGINT)
+                   AS s2q,
+                 label AS y
+          FROM t
+        ),
+        cells AS (
+          SELECT bin, COUNT(*) AS n, SUM(y) AS pos, SUM(sq) AS s_sum,
+                 SUM(s2q) AS s2_sum, SUM(sq * y) AS sy_sum
+          FROM q GROUP BY 1
+        )
+        SELECT
+          ROUND(SUM(ABS(s_sum - {scale} * pos)) / ({scale} * SUM(n)), 6),
+          ROUND(MAX(ABS(s_sum - {scale} * pos) / ({scale}.0 * n)), 6),
+          ROUND((SUM(s2_sum) - 2 * SUM(sy_sum) + {scale} * SUM(pos))
+                / ({scale} * SUM(n)), 6)
+        FROM cells
+    """).fetchone()
+    assert o == (got.ece, got.mce, got.brier)
+
+
+def test_calibration_guards(spark):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_report,
+        calibration_summary,
+    )
+
+    oob = spark.createDataFrame(
+        [(1, 1.5, 1), (2, 0.25, 0), (3, -0.1, 0)],
+        "id int, score double, label int",
+    )
+    rep = {r.bin: r for r in calibration_report(oob, "score", "label").collect()}
+    assert rep[-1].n_rows == 2  # both out-of-range rows, visible
+    assert rep[-1].conf is None and rep[-1].gap is None
+    with pytest.raises(ValueError, match="outside \\[0, 1\\]"):
+        calibration_summary(oob, "score", "label")
+
+    bad = spark.createDataFrame(
+        [(1, 0.5, None)], "id int, score double, label int"
+    )
+    with pytest.raises(ValueError, match="labels outside"):
+        calibration_summary(bad, "score", "label")
+
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_summary(oob, "score", "label", n_bins=1)

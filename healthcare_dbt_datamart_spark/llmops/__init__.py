@@ -59,6 +59,7 @@ from .preferences import (  # noqa: F401
     dawid_skene,
     dpo_pairs,
     fleiss_kappa,
+    krippendorff_alpha,
     majority_vote,
     pass_at_k,
     weighted_consensus,

@@ -471,6 +471,105 @@ def fleiss_kappa(
     return out
 
 
+def krippendorff_alpha(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004) — the
+    agreement coefficient that, unlike ``fleiss_kappa``, accepts RAGGED
+    panels (different rater counts per item) and missing ratings, so
+    it is the number real annotation jobs can actually report. Units
+    with fewer than 2 ratings are unpairable and excluded (counted in
+    the output, never silently vanished).
+
+    Coincidence-matrix formulation with n pairable values, per-unit
+    category counts n_uc, unit sizes m_u and marginals S_k:
+
+        A_o = Σ_u Σ_c n_uc·(n_uc − 1)/(m_u − 1) / n
+        A_e = Σ_k S_k·(S_k − 1) / (n·(n − 1))
+        α   = (A_o − A_e) / (1 − A_e)
+
+    Exactness: the only non-integer factor is 1/(m_u − 1), so units
+    aggregate BY PANEL SIZE — one groupBy to (item, label) cells, one
+    to per-item (m, q = Σ n_uc²) rows, one to the per-m totals — and
+    the α fold runs in exact ``fractions`` arithmetic over that
+    bounded table (distinct panel sizes, a handful of rows) plus the
+    bounded category-marginal table. Bit-identical on any layout; one
+    float per output column at the end (6dp).
+
+    Raises when no unit is pairable or when every pairable value is
+    one category (A_e = 1: α undefined — chance agreement is total).
+    Returns one row: ``(n_units, n_unpairable, n_values, n_categories,
+    a_o, a_e, alpha)``.
+    """
+    from fractions import Fraction
+
+    cells = votes.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("n_uc"))
+    per_item = cells.groupBy("item").agg(
+        F.sum("n_uc").alias("m"),
+        F.sum(F.col("n_uc") * (F.col("n_uc") - F.lit(1))).alias("q"),
+    )
+    by_m = (
+        per_item.filter(F.col("m") >= 2)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("units"), F.sum("q").alias("Q"))
+        .collect()
+    )  # bounded: one row per distinct panel size
+    n_unpairable = per_item.filter(F.col("m") < 2).count()
+    if not by_m:
+        raise ValueError(
+            "krippendorff_alpha: no unit has >= 2 ratings — nothing is"
+            " pairable"
+        )
+    n_units = sum(int(r.units) for r in by_m)
+    n_values = sum(int(r.m) * int(r.units) for r in by_m)
+    a_o = (
+        sum(
+            (Fraction(int(r.Q), int(r.m) - 1) for r in by_m),
+            Fraction(0),
+        )
+        / n_values
+    )
+    # marginals over PAIRABLE units only (bounded category table)
+    marg = (
+        cells.join(
+            per_item.filter(F.col("m") >= 2).select("item"), "item"
+        )
+        .groupBy("lab")
+        .agg(F.sum("n_uc").alias("S"))
+        .collect()
+    )
+    a_e = Fraction(
+        sum(int(r.S) * (int(r.S) - 1) for r in marg),
+        n_values * (n_values - 1),
+    )
+    if a_e == 1:
+        raise ValueError(
+            "krippendorff_alpha is undefined when every pairable value"
+            " is a single category (expected agreement = 1)"
+        )
+    alpha = (a_o - a_e) / (1 - a_e)
+    spark = votes.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_units,
+                int(n_unpairable),
+                n_values,
+                len(marg),
+                round(float(a_o), 6),
+                round(float(a_e), 6),
+                round(float(alpha), 6),
+            )
+        ],
+        "n_units bigint, n_unpairable bigint, n_values bigint,"
+        " n_categories int, a_o double, a_e double, alpha double",
+    )
+
+
 def dawid_skene(
     votes: DataFrame,
     item_col: str = "item_id",

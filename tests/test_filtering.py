@@ -1630,6 +1630,130 @@ def test_fleiss_kappa_reference_values_and_ragged_panel_raises(spark):
         fleiss_kappa(ragged)
 
 
+def test_krippendorff_alpha_bruteforce_ragged_and_duckdb(spark):
+    """Krippendorff's alpha (nominal): exact-Fraction parity with an
+    independent coincidence-matrix brute force on a ragged panel with
+    unpairable units, layout invariance, perfect-agreement = 1, loud
+    failures on single-category and nothing-pairable inputs, and a
+    DuckDB replay of the bounded aggregates feeding the α fold."""
+    from fractions import Fraction
+
+    import duckdb
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        krippendorff_alpha,
+    )
+
+    # ragged deterministic panel: unit sizes 2..5, three categories,
+    # plus two unpairable single-rating units
+    rows = []
+    for u in range(30):
+        m = 2 + (u * 7) % 4
+        for r in range(m):
+            lab = "abc"[((u * 13 + r * 5) % 7) % 3]
+            rows.append((u, f"r{r}", lab))
+    rows += [(100, "r0", "a"), (101, "r1", "b")]
+    votes = spark.createDataFrame(
+        rows, "item_id long, annotator_id string, label string"
+    )
+
+    got = krippendorff_alpha(votes).collect()[0]
+
+    # brute force: literal coincidence-matrix arithmetic in Fractions
+    import collections
+
+    units = collections.defaultdict(list)
+    for u, _, lab in rows:
+        units[u].append(lab)
+    pairable = {u: v for u, v in units.items() if len(v) >= 2}
+    n = sum(len(v) for v in pairable.values())
+    o_cc = Fraction(0)
+    marg = collections.Counter()
+    for vals in pairable.values():
+        m = len(vals)
+        cnt = collections.Counter(vals)
+        marg.update(cnt)
+        for c, k in cnt.items():
+            o_cc += Fraction(k * (k - 1), m - 1)
+    a_o = o_cc / n
+    a_e = Fraction(
+        sum(s * (s - 1) for s in marg.values()), n * (n - 1)
+    )
+    alpha = (a_o - a_e) / (1 - a_e)
+    assert got.n_units == len(pairable)
+    assert got.n_unpairable == 2
+    assert got.n_values == n
+    assert got.n_categories == 3
+    assert got.a_o == round(float(a_o), 6)
+    assert got.a_e == round(float(a_e), 6)
+    assert got.alpha == round(float(alpha), 6)
+    # near-random labels: alpha should sit close to 0, below kappa=1
+    assert -0.3 < got.alpha < 0.3
+
+    # layout invariance
+    got17 = krippendorff_alpha(votes.repartition(17)).collect()[0]
+    assert got17 == got
+
+    # DuckDB replay of the two bounded aggregates, then the same fold
+    con = duckdb.connect()
+    con.register("t", votes.toPandas())
+    by_m = con.execute("""
+        WITH cells AS (
+          SELECT item_id, label, COUNT(*) AS n_uc FROM t GROUP BY 1, 2
+        ),
+        per_item AS (
+          SELECT item_id, SUM(n_uc) AS m,
+                 SUM(n_uc * (n_uc - 1)) AS q
+          FROM cells GROUP BY 1
+        )
+        SELECT m, COUNT(*) AS units, SUM(q) AS Q
+        FROM per_item WHERE m >= 2 GROUP BY 1
+    """).fetchall()
+    s_k = con.execute("""
+        WITH cells AS (
+          SELECT item_id, label, COUNT(*) AS n_uc FROM t GROUP BY 1, 2
+        ),
+        ok AS (
+          SELECT item_id FROM cells GROUP BY 1 HAVING SUM(n_uc) >= 2
+        )
+        SELECT label, SUM(n_uc) AS S FROM cells
+        WHERE item_id IN (SELECT item_id FROM ok) GROUP BY 1
+    """).fetchall()
+    n_d = sum(int(m) * int(u) for m, u, _ in by_m)
+    a_o_d = sum(
+        (Fraction(int(q), int(m) - 1) for m, _, q in by_m), Fraction(0)
+    ) / n_d
+    a_e_d = Fraction(
+        sum(int(s) * (int(s) - 1) for _, s in s_k), n_d * (n_d - 1)
+    )
+    assert round(float((a_o_d - a_e_d) / (1 - a_e_d)), 6) == got.alpha
+
+    # perfect agreement on a ragged panel is still exactly 1
+    perfect = spark.createDataFrame(
+        [(i, f"r{r}", "x" if i % 2 else "y")
+         for i in range(6) for r in range(2 + i % 3)],
+        "item_id long, annotator_id string, label string",
+    )
+    assert krippendorff_alpha(perfect).collect()[0].alpha == 1.0
+
+    # single category everywhere: A_e = 1, undefined -> loud
+    mono = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "x"), (2, "b", "x")],
+        "item_id long, annotator_id string, label string",
+    )
+    with pytest.raises(ValueError, match="single category"):
+        krippendorff_alpha(mono)
+
+    # nothing pairable: loud
+    solo = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")],
+        "item_id long, annotator_id string, label string",
+    )
+    with pytest.raises(ValueError, match="pairable"):
+        krippendorff_alpha(solo)
+
+
 def test_weighted_consensus_flips_noisy_tie_and_replays(spark):
     """Dawid-Skene-style reweighting: a tie that unweighted majority
     breaks lexicographically flips to the reliable raters' label once

@@ -80,6 +80,7 @@ from .similarity import (  # noqa: F401
 )
 from .retrieval import bm25_topk  # noqa: F401
 from .graph import (  # noqa: F401
+    hits_fixedpoint,
     pagerank_fixedpoint,
     truncate_lineage,
     undirected_edges,

@@ -81,6 +81,93 @@ def undirected_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
+def hits_fixedpoint(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Integer HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") over a directed edge list (``src``,
+    ``dst``) — hubs point AT good pages, authorities ARE the good
+    pages. PageRank's companion question in corpus curation: PageRank
+    scores global endorsement flow; HITS separates "link-list/index
+    docs" (hubs — often boilerplate to demote) from "canonical content
+    docs" (authorities — the keep-best candidates).
+
+    Power iteration, all-integer: each round
+        auth_raw(v) = Σ_{u→v} hub(u)          (one join + partial agg)
+        auth(v)     = auth_raw(v)·scale div max(auth_raw)
+    then the mirrored update for hubs over ``auth``. Normalization is
+    L∞ (divide by the round's max) rather than the classic L2: the
+    normalizer is a uniform positive scalar, so the score RATIOS —
+    hence the ranking, the thing downstream curation consumes — match
+    the textbook iteration at every round; ints make it bit-exact on
+    any layout where a float L2 norm cannot be. The per-round max is
+    ONE collected BIGINT (bounded model state, the ``logreg_train``
+    gradient class); the top hub/authority sits at exactly ``scale``.
+
+    Scale shape: two shuffle joins + two partial-agg groupBys per
+    round (inherent to HITS — it is two matrix-vector products);
+    lineage cut per half-round by ``truncate_lineage`` (``reliable=True``
+    for fault-tolerant cluster checkpoints). Overflow bound: the
+    normalized multiply is ``raw·scale ≤ max_degree·scale²``, so keep
+    ``max(in/out-degree)·scale² < 2⁶³`` — the default 1e6 scale is safe
+    to ~9·10⁶-degree nodes; drop to 1e4 for hub pages beyond that.
+
+    Nodes with no out-edges have hub 0, with no in-edges authority 0
+    (kept in the output via the node universe, never dropped). Raises
+    on an empty edge list. Returns ``(id, hub_fp, auth_fp)``.
+    """
+    e = edges.select("src", "dst").persist()
+    if e.count() == 0:
+        e.unpersist()
+        raise ValueError("hits_fixedpoint got an empty edge list")
+    # every src earns a hub row and every dst an auth row each round,
+    # so hubs ⋈full auth covers the whole node universe at the end
+    hubs = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.lit(int(scale)).cast("long").alias("h"))
+    )
+    auth = None
+    k = 0  # half-round counter for checkpoint_every
+    for _ in range(int(n_iter)):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        mxa = int(a_raw.agg(F.max("s")).collect()[0][0])
+        auth = a_raw.select(
+            F.col("dst").alias("id"),
+            F.expr(f"(s * {int(scale)}) div {mxa}").alias("a"),
+        )
+        auth = truncate_lineage(auth, k, reliable, checkpoint_every)
+        k += 1
+        h_raw = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+        )
+        mxh = int(h_raw.agg(F.max("s")).collect()[0][0])
+        hubs = h_raw.select(
+            F.col("src").alias("id"),
+            F.expr(f"(s * {int(scale)}) div {mxh}").alias("h"),
+        )
+        hubs = truncate_lineage(hubs, k, reliable, checkpoint_every)
+        k += 1
+    out = hubs.join(auth, "id", "full").select(
+        "id",
+        F.coalesce(F.col("h"), F.lit(0)).alias("hub_fp"),
+        F.coalesce(F.col("a"), F.lit(0)).alias("auth_fp"),
+    )
+    e.unpersist()
+    return out
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     n_iter: int = 3,

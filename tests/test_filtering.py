@@ -685,6 +685,73 @@ def test_pagerank_fixedpoint_properties(spark):
     assert {r.id: r.rank_fp for r in reparted.collect()} == got
 
 
+def test_hits_fixedpoint_structure_replay_and_layout(spark):
+    """Integer HITS: on a bipartite citation graph the broad hub and
+    the co-cited authorities come out on top with exact symmetry ties;
+    a pure-Python replay of the integer iteration reproduces every
+    fixed-point value bit-for-bit; the result is layout-invariant;
+    checkpoint_every=2 is value-identical; empty edges raise."""
+    import collections
+
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.graph import hits_fixedpoint
+
+    # hubs 1..3 cite authorities 10/11; 1 cites both (the broad hub);
+    # 20 cites only a fringe page 30 that nobody else endorses
+    edge_list = [
+        (1, 10), (1, 11), (2, 10), (3, 11), (20, 30), (10, 30),
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.id: (r.hub_fp, r.auth_fp)
+        for r in hits_fixedpoint(edges, n_iter=3).collect()
+    }
+    scale = 10**6
+    assert set(got) == {1, 2, 3, 10, 11, 20, 30}
+    # the broad hub dominates: exactly scale after max-normalization
+    assert got[1][0] == scale
+    assert got[1][0] > got[2][0] and got[1][0] > got[20][0]
+    # symmetric single-citation hubs tie bit-exactly
+    assert got[2][0] == got[3][0]
+    # co-cited authorities tie at the top; the fringe page trails
+    assert got[10][1] == got[11][1] == scale
+    assert got[30][1] < scale
+    # pure authorities have hub mass only via their own out-edges
+    assert got[11][0] == 0  # no out-edges -> hub 0
+    assert got[2][1] == 0   # never cited -> authority 0
+
+    # exact pure-Python replay of the integer iteration
+    nodes = {v for ed in edge_list for v in ed}
+    h = {v: scale for v in nodes}
+    a = {}
+    for _ in range(3):
+        a_raw = collections.defaultdict(int)
+        for s, d in edge_list:
+            a_raw[d] += h.get(s, 0)
+        mxa = max(a_raw.values())
+        a = {v: (r * scale) // mxa for v, r in a_raw.items()}
+        h_raw = collections.defaultdict(int)
+        for s, d in edge_list:
+            h_raw[s] += a.get(d, 0)
+        mxh = max(h_raw.values())
+        h = {v: (r * scale) // mxh for v, r in h_raw.items()}
+    expect = {v: (h.get(v, 0), a.get(v, 0)) for v in nodes}
+    assert got == expect
+
+    # layout invariance + amortized-checkpoint value parity
+    got13 = {
+        r.id: (r.hub_fp, r.auth_fp)
+        for r in hits_fixedpoint(
+            edges.repartition(13), n_iter=3, checkpoint_every=2
+        ).collect()
+    }
+    assert got13 == got
+
+    with pytest.raises(ValueError, match="empty edge list"):
+        hits_fixedpoint(edges.filter("src < 0"))
+
+
 def test_reliable_checkpoint_parity_and_guard(spark, tmp_path):
     """The iterative loops' truncation knob: reliable=True
     (fault-tolerant checkpoint()) and checkpoint_every=2 produce

@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
     lsh_band_buckets,
     minhash_signatures,
     simhash16,
+    source_overlap_kmv,
 )
 from .filtering import (  # noqa: F401
     bigram_interp_scores,

@@ -614,3 +614,108 @@ def exact_substr_dedup(
         F.size("_cuts").cast("bigint").alias("n_cuts"),
         rebuilt.alias("text_deduped"),
     )
+
+
+def source_overlap_kmv(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise SOURCE-level content-overlap matrix from k-minimum-value
+    sketches (Bar-Yossef et al. 2002, the KMV distinct-value sketch) —
+    the planning number cross-source dedup starts from: "which corpus
+    sources substantially duplicate each other?" answered WITHOUT the
+    all-pairs document join (``cross_source_dups`` is the exact
+    per-document follow-up once a pair looks hot).
+
+    Sketch: per source, the k smallest distinct 60-bit content
+    fingerprints (md5 → 15 hex → BIGINT, the ``sketches._h60``
+    construction — same literal function in DuckDB, so every signature
+    value replays exactly). Jaccard estimate for a pair via the union
+    trick: with U_k = k smallest of S_a ∪ S_b,
+
+        Ĵ(a, b) = |U_k ∩ S_a ∩ S_b| / |U_k|
+
+    — an unbiased estimator with error O(1/√k), and EXACT whenever
+    |A ∪ B| ≤ k (the signatures are then the complete sets). All set
+    arithmetic runs on sorted integer arrays (array_union /
+    array_intersect / slice) — deterministic on any layout; the only
+    division is the final 6dp estimate over two exact ints.
+
+    Scale shape: one distinct-shuffle of (source, fingerprint) over the
+    corpus, then TWO-STAGE exact k-smallest (row_number within
+    (source, fingerprint mod 64) buckets, then within source over ≤
+    64·k survivors) so no single giant source ever sorts its full
+    distinct-fingerprint set on one task; per-source signatures are
+    bounded arrays (k BIGINTs), and the pairwise stage is a broadcast
+    self-join over the SOURCE-count-sized table — sources are a
+    bounded dimension (the informational-BNLJ class), never the corpus.
+
+    Returns one row per unordered source pair:
+    ``(source_a, source_b, n_distinct_a, n_distinct_b, k_union,
+    n_common_in_k, jaccard_est)``.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: got {k!r}")
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashes = df.select(
+        F.col(source_col).alias("source"), h.alias("h")
+    ).distinct()
+    # two-stage exact k-smallest: bucket pass bounds the final
+    # per-source sort to <= 64*k rows regardless of source size
+    w1 = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(64))).orderBy(
+        "h"
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sigs = (
+        hashes.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= int(k))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= int(k))
+    )
+    per_source = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    sig_arr = (
+        sigs.groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("sig"))
+        .join(per_source, "source")
+    )
+    a = sig_arr.select(
+        F.col("source").alias("source_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    b = sig_arr.select(
+        F.col("source").alias("source_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_union("sig_a", "sig_b")), 1, int(k)
+    )
+    common_in_k = F.size(
+        F.array_intersect(union_k, F.array_intersect("sig_a", "sig_b"))
+    )
+    return (
+        broadcast(a)
+        .join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_distinct_a",
+            "n_distinct_b",
+            F.size(union_k).cast("int").alias("k_union"),
+            common_in_k.cast("int").alias("n_common_in_k"),
+            F.round(
+                common_in_k.cast("double") / F.size(union_k).cast("double"),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )

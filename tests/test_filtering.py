@@ -2991,3 +2991,117 @@ def test_best_of_n_and_dpo_pairs(spark):
         """).fetchall()
     }
     assert pairs == oracle
+
+
+def test_source_overlap_kmv_exact_estimate_and_duckdb(spark):
+    """KMV source-overlap matrix: with k >= |union| the estimate IS the
+    exact Jaccard; with small k it equals a pure-Python replay of the
+    same md5 arithmetic bit-for-bit (hash-grade, not tolerance); the
+    DuckDB window-SQL replay agrees; layout-invariant; in-source
+    duplicate copies don't perturb distinct counts."""
+    import hashlib
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.dedup import source_overlap_kmv
+
+    texts = {
+        "A": [f"doc {i} payload" for i in range(60)],
+        "B": [f"doc {i} payload" for i in range(30, 60)]
+        + [f"b-only {i}" for i in range(30)],
+        "C": [f"c-only {i}" for i in range(20)],
+    }
+    rows = [(s, t) for s, ts in texts.items() for t in ts]
+    rows += [("A", "doc 0 payload")] * 3  # exact copies: no distinct drift
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    # k >= |A u B|: estimator degrades to EXACT Jaccard
+    exact = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_kmv(df, "source", "text", k=1024).collect()
+    }
+    ab = exact[("A", "B")]
+    assert (ab.n_distinct_a, ab.n_distinct_b) == (60, 60)
+    assert ab.k_union == 90 and ab.n_common_in_k == 30
+    assert ab.jaccard_est == round(30 / 90, 6)
+    assert exact[("A", "C")].jaccard_est == 0.0
+    assert exact[("B", "C")].jaccard_est == 0.0
+
+    # small k: bit-equal to a pure-Python replay of the md5 arithmetic
+    def h60(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    k = 16
+    sets = {s: {h60(t) for t in ts} for s, ts in texts.items()}
+    sigs = {s: sorted(v)[:k] for s, v in sets.items()}
+
+    def kmv_est(sa, sb):
+        uk = sorted(set(sigs[sa]) | set(sigs[sb]))[:k]
+        common = set(sigs[sa]) & set(sigs[sb])
+        n_common = sum(1 for h in uk if h in common)
+        return len(uk), n_common, round(n_common / len(uk), 6)
+
+    small = {
+        (r.source_a, r.source_b): (r.k_union, r.n_common_in_k, r.jaccard_est)
+        for r in source_overlap_kmv(df, "source", "text", k=k).collect()
+    }
+    for pair in [("A", "B"), ("A", "C"), ("B", "C")]:
+        assert small[pair] == kmv_est(*pair), pair
+
+    # layout invariance
+    small13 = {
+        (r.source_a, r.source_b): (r.k_union, r.n_common_in_k, r.jaccard_est)
+        for r in source_overlap_kmv(
+            df.repartition(13), "source", "text", k=k
+        ).collect()
+    }
+    assert small13 == small
+
+    # DuckDB replay of the small-k pipeline (window SQL, same md5 hash)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(f"""
+        WITH hashes AS (
+          SELECT DISTINCT source,
+                 ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+          FROM t
+        ),
+        sigs AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) rn
+            FROM hashes
+          ) WHERE rn <= {k}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.source sa, b.source sb
+          FROM sigs a JOIN sigs b ON a.source < b.source
+        ),
+        u AS (
+          SELECT DISTINCT p.sa, p.sb, s.h
+          FROM pairs p JOIN sigs s ON s.source IN (p.sa, p.sb)
+        ),
+        uk AS (
+          SELECT sa, sb, h FROM (
+            SELECT sa, sb, h,
+                   row_number() OVER (PARTITION BY sa, sb ORDER BY h) rn
+            FROM u
+          ) WHERE rn <= {k}
+        ),
+        agg AS (
+          SELECT uk.sa, uk.sb, COUNT(*) AS k_union,
+                 SUM(CASE WHEN s1.h IS NOT NULL AND s2.h IS NOT NULL
+                     THEN 1 ELSE 0 END) AS n_common
+          FROM uk
+          LEFT JOIN sigs s1 ON s1.source = uk.sa AND s1.h = uk.h
+          LEFT JOIN sigs s2 ON s2.source = uk.sb AND s2.h = uk.h
+          GROUP BY 1, 2
+        )
+        SELECT sa, sb, k_union, n_common,
+               ROUND(n_common / CAST(k_union AS DOUBLE), 6)
+        FROM agg
+    """).fetchall()
+    }
+    assert {p: (int(a), int(b), c) for p, (a, b, c) in got.items()} == small

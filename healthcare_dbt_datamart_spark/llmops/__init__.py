@@ -75,6 +75,9 @@ from .similarity import (  # noqa: F401
     ivfadc_topk_indexed,
     ivfpq_index_upsert,
     load_ann_model,
+    matryoshka_truncate,
+    pca_apply,
+    pca_train,
     pq_codebooks_trained,
     save_ann_model,
     sign_lsh_bits,

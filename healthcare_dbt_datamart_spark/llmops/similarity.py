@@ -1624,3 +1624,205 @@ def ivf_residuals(
             lambda a, b: a.cast("double") - b,
         ).alias("residual"),
     )
+
+
+def pca_train(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    d_out: int = 8,
+    scale: int = 10**6,
+) -> dict:
+    """DETERMINISTIC distributed PCA fit over an embedding column — the
+    whitening/dimension-reduction step embedding pipelines run before
+    cosine dedup or ANN indexing (decorrelated, variance-equalized
+    axes make cosine thresholds meaningful across the space; truncation
+    shrinks index bytes).
+
+    Integer-sum discipline (the ``logreg_train`` class): each row emits
+    its dimension sums and upper-triangle second-moment products
+    QUANTIZED to BIGINT ``scale``-units (``floor(x_j·x_k·scale + 0.5)``)
+    through ONE explode → partial-agg groupBy — d·(d+3)/2 cells of
+    bounded model state, associative, so the fitted artifact is
+    BIT-IDENTICAL under any partitioning. The covariance assembles in
+    driver floats FROM those exact integers, and eigenvectors come from
+    one ``numpy.linalg.eigh`` on the d×d symmetric matrix (bounded,
+    driver-side); each component's sign is fixed so its largest-|entry|
+    coordinate is positive (ties to the lowest index) — a deterministic
+    orientation where raw LAPACK output is sign-ambiguous.
+
+    Scale shape: one validation aggregate (n / size-drift check) + one
+    moments pass; the explode emits d(d+3)/2 entries per row with
+    map-side combine, so the shuffle carries only cells × partitions.
+    Overflow: keep ``n · scale · max|x|² < 2⁶³`` — the default 1e6
+    scale is safe to ~9·10¹² rows of unit-normalized embeddings.
+    Covariance quantization error is ≤ 1/(2·scale) per cell — fit
+    noise, not result noise: apply-side projections use the artifact's
+    9dp-rounded literals on both engines identically.
+
+    Returns ``{"mean": [d], "components": [d_out][d] (rows =
+    eigenvectors, variance-descending), "eigvals": [d_out], "d_in",
+    "d_out", "n_rows"}`` — feed to ``pca_apply``.
+    """
+    import numpy as np
+
+    scale = int(scale)
+    chk = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("mn"),
+        F.max(F.size(vec_col)).alias("mx"),
+    ).collect()[0]
+    n = int(chk.n or 0)
+    if n == 0:
+        raise ValueError("pca_train got an empty relation")
+    if chk.mn != chk.mx:
+        raise ValueError(
+            f"pca_train needs equal-length vectors: sizes span "
+            f"[{chk.mn}, {chk.mx}]"
+        )
+    d = int(chk.mn)
+    if not 1 <= int(d_out) <= d:
+        raise ValueError(f"d_out must be in [1, {d}]: got {d_out!r}")
+
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    # per-row cells: (j, -1) dimension sums; (j, k>=j) second moments
+    sums = F.transform(
+        idx,
+        lambda j: F.struct(
+            j.cast("int").alias("j"),
+            F.lit(-1).alias("k"),
+            F.floor(
+                F.element_at(v, j + 1).cast("double") * F.lit(scale)
+                + F.lit(0.5)
+            ).cast("bigint").alias("q"),
+        ),
+    )
+    prods = F.flatten(
+        F.transform(
+            idx,
+            lambda j: F.transform(
+                F.sequence(j, F.lit(d - 1)),
+                lambda k: F.struct(
+                    j.cast("int").alias("j"),
+                    k.cast("int").alias("k"),
+                    F.floor(
+                        F.element_at(v, j + 1).cast("double")
+                        * F.element_at(v, k + 1).cast("double")
+                        * F.lit(scale)
+                        + F.lit(0.5)
+                    ).cast("bigint").alias("q"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        emb.select(F.explode(F.concat(sums, prods)).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.k").alias("k"))
+        .agg(F.sum("c.q").alias("s"))
+        .collect()
+    )  # bounded: d(d+3)/2 BIGINT cells of model state
+    m_raw = {r.j: int(r.s) for r in cells if r.k == -1}
+    s_raw = {(r.j, r.k): int(r.s) for r in cells if r.k >= 0}
+    mean = np.array([m_raw[j] / (n * scale) for j in range(d)])
+    cov = np.empty((d, d))
+    for j in range(d):
+        for k in range(j, d):
+            c = s_raw[(j, k)] / (n * scale) - mean[j] * mean[k]
+            cov[j, k] = cov[k, j] = c
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][: int(d_out)]
+    comps, evs = [], []
+    for c_idx in order:
+        vec = eigvecs[:, c_idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append([round(float(x), 9) for x in vec])
+        evs.append(round(float(max(eigvals[c_idx], 0.0)), 9))
+    return {
+        "mean": [round(float(x), 9) for x in mean],
+        "components": comps,
+        "eigvals": evs,
+        "d_in": d,
+        "d_out": int(d_out),
+        "n_rows": n,
+    }
+
+
+def pca_apply(
+    df: DataFrame,
+    vec_col: str,
+    model: dict,
+    whiten: bool = False,
+    renorm: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project an embedding column through a ``pca_train`` artifact —
+    pure broadcast-literal projection (the ``logreg_score`` inference
+    pattern): zero shuffle, scales as the scan. Each output component
+    is ``dot(x, w_c) − b_c`` with the centering constant ``b_c =
+    dot(mean, w_c)`` FOLDED INTO the literals at plan-build time;
+    ``whiten=True`` additionally folds 1/√(λ_c + eps) into ``w_c`` and
+    ``b_c``, so the plan shape is identical either way. ``renorm=True``
+    L2-normalizes the projected vector (for cosine-space consumers).
+    Output components round to 6dp — per-row left-to-right array folds,
+    deterministic on any layout. Replaces ``vec_col`` with array<double>
+    of length ``model['d_out']``."""
+    import math
+
+    d_in, d_out = int(model["d_in"]), int(model["d_out"])
+    ws, bs = [], []
+    for c in range(d_out):
+        w = [float(x) for x in model["components"][c]]
+        b = sum(m * x for m, x in zip(model["mean"], w))
+        if whiten:
+            inv = 1.0 / math.sqrt(float(model["eigvals"][c]) + float(eps))
+            w = [x * inv for x in w]
+            b *= inv
+        ws.append(w)
+        bs.append(b)
+    v = F.col(vec_col)
+    proj = F.array(
+        *[_dot(v, _lit_vec(ws[c])) - F.lit(bs[c]) for c in range(d_out)]
+    )
+    if renorm:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(proj, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        proj = F.transform(proj, lambda x: x / F.greatest(nrm, F.lit(1e-12)))
+    out = F.transform(proj, lambda x: F.round(x, 6))
+    guarded = F.when(F.size(v) == d_in, out)
+    return df.withColumn(vec_col, guarded)
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    vec_col: str,
+    d_out: int,
+    renorm: bool = True,
+) -> DataFrame:
+    """Matryoshka-style embedding truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the FIRST ``d_out`` coordinates —
+    MRL-trained encoders front-load information, so the prefix is the
+    sanctioned cheap embedding — and (default) L2-renormalize so cosine
+    consumers keep unit-norm geometry. Pure projection: zero shuffle,
+    per-row folds, 6dp-rounded output. Vectors shorter than ``d_out``
+    become NULL (visible, never silently padded)."""
+    if int(d_out) < 1:
+        raise ValueError(f"d_out must be >= 1: got {d_out!r}")
+    v = F.col(vec_col)
+    sliced = F.slice(v, 1, int(d_out))
+    if renorm:
+        nrm = _norm(sliced)
+        sliced = F.transform(
+            sliced,
+            lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-12)),
+        )
+    out = F.transform(sliced, lambda x: F.round(x.cast("double"), 6))
+    return df.withColumn(
+        vec_col, F.when(F.size(v) >= int(d_out), out)
+    )

@@ -3105,3 +3105,117 @@ def test_source_overlap_kmv_exact_estimate_and_duckdb(spark):
     """).fetchall()
     }
     assert {p: (int(a), int(b), c) for p, (a, b, c) in got.items()} == small
+
+
+def test_pca_train_apply_whiten_and_matryoshka(spark):
+    """PCA fit/apply: the planted 2-signal subspace dominates the
+    eigvals, the fitted artifact is BIT-IDENTICAL under repartitioning
+    (quantized integer moments + deterministic sign fix), a pure-Python
+    replay of the quantized moment sums reproduces the covariance
+    inputs exactly, projection decorrelates the axes, whitening
+    equalizes variance, and matryoshka truncation renormalizes the
+    prefix; size-mismatch guards stay loud/visible."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        matryoshka_truncate,
+        pca_apply,
+        pca_train,
+    )
+
+    # 2 strong latent signals embedded in 6 dims + deterministic jitter
+    rows = []
+    for i in range(200):
+        a = math.sin(i * 0.7)
+        b = math.cos(i * 1.3)
+        eps = [((i * p) % 17 - 8) / 1000.0 for p in (3, 5, 7, 11, 13, 19)]
+        vec = [
+            3.0 * a + eps[0], -3.0 * a + eps[1], 2.0 * b + eps[2],
+            2.0 * b + eps[3], 0.3 + eps[4], -0.1 + eps[5],
+        ]
+        rows.append((i, [round(x, 6) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    model = pca_train(df, "embedding", d_out=4)
+    assert model["d_in"] == 6 and model["n_rows"] == 200
+    ev = model["eigvals"]
+    assert ev == sorted(ev, reverse=True)
+    assert ev[1] > 20 * ev[2]  # two planted signals dominate the rest
+
+    # artifact determinism under layout change
+    model13 = pca_train(df.repartition(13), "embedding", d_out=4)
+    assert model13 == model
+
+    # pure-Python replay of the quantized integer moments
+    scale = 10**6
+    n, d = len(rows), 6
+    m_raw = [0] * d
+    s_raw = {}
+    for _, v in rows:
+        for j in range(d):
+            m_raw[j] += math.floor(v[j] * scale + 0.5)
+            for k in range(j, d):
+                s_raw[(j, k)] = s_raw.get((j, k), 0) + math.floor(
+                    v[j] * v[k] * scale + 0.5
+                )
+    mean = [m_raw[j] / (n * scale) for j in range(d)]
+    assert model["mean"] == [round(x, 9) for x in mean]
+    cov = np.empty((d, d))
+    for j in range(d):
+        for k in range(j, d):
+            cov[j, k] = cov[k, j] = (
+                s_raw[(j, k)] / (n * scale) - mean[j] * mean[k]
+            )
+    evs, evec = np.linalg.eigh(cov)
+    order = np.argsort(evs)[::-1][:4]
+    assert model["eigvals"] == [
+        round(float(max(evs[c], 0.0)), 9) for c in order
+    ]
+
+    # projection decorrelates; whitening equalizes variance
+    proj = pca_apply(df, "embedding", model).collect()
+    mat = np.array([r.embedding for r in proj])
+    c = np.cov(mat.T, bias=True)
+    offdiag = np.abs(c - np.diag(np.diag(c))).max()
+    assert offdiag < 0.01 * c[0, 0]  # decorrelated vs top variance
+    white = pca_apply(df, "embedding", model, whiten=True).collect()
+    wmat = np.array([r.embedding for r in white])[:, :2]  # strong axes
+    wvar = wmat.var(axis=0)
+    assert np.all(np.abs(wvar - 1.0) < 0.05)
+
+    # renorm gives unit vectors
+    rn = pca_apply(df, "embedding", model, renorm=True).collect()
+    for r in rn[:10]:
+        assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-4
+
+    # size-mismatch rows surface as NULL on apply, raise on train
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="equal-length"):
+        pca_train(ragged, "embedding", d_out=1)
+    applied = {
+        r.vec_id: r.embedding
+        for r in pca_apply(ragged, "embedding", model).collect()
+    }
+    assert applied[0] is None and applied[1] is None
+    with pytest.raises(ValueError, match="d_out"):
+        pca_train(df, "embedding", d_out=7)
+
+    # matryoshka: prefix + renorm, short vectors -> NULL
+    tr = {
+        r.vec_id: r.embedding
+        for r in matryoshka_truncate(df, "embedding", 3).collect()
+    }
+    assert all(len(v) == 3 for v in tr.values())
+    assert abs(sum(x * x for x in tr[0]) - 1.0) < 1e-4
+    raw0 = rows[0][1][:3]
+    nrm = math.sqrt(sum(x * x for x in raw0))
+    assert tr[0] == [round(x / nrm, 6) for x in raw0]
+    short = matryoshka_truncate(ragged, "embedding", 3).collect()
+    got = {r.vec_id: r.embedding for r in short}
+    assert got[0] is None and len(got[1]) == 3

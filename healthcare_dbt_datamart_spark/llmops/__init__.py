@@ -100,6 +100,8 @@ from .sketches import (  # noqa: F401
     logbucket_sketch,
 )
 from .splits import (  # noqa: F401
+    curriculum_phases,
+    curriculum_report,
     stratified_sample,
     temperature_rebalance,
     temperature_weights,

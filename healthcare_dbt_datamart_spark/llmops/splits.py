@@ -309,3 +309,106 @@ def temperature_rebalance(
     return df.join(broadcast(rates), group_col).filter(
         hash_bucket256(text_col) < F.col("rate_num")
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str,
+    thresholds: list,
+    seed: str = "cur1",
+) -> DataFrame:
+    """Curriculum scheduling (Bengio et al. 2009, "Curriculum
+    Learning"): assign each row a training PHASE from ascending
+    difficulty thresholds — phase p is the first threshold the row's
+    difficulty does not exceed (``d <= thresholds[p]``), rows above
+    every threshold land in the final phase ``len(thresholds)`` — plus
+    a deterministic md5 shuffle key so examples arrive well-mixed
+    WITHIN a phase (consecutive corpus rows are usually correlated;
+    the key decorrelates them without RNG state, the
+    ``weighted_sample`` u-draw construction).
+
+    Thresholds typically come from ``logbucket_quantiles`` on the
+    difficulty column (e.g. the LM score of ``bigram_interp_scores``
+    or ``lm_buckets``'s tercile bounds) — sketch-derived, so the whole
+    schedule needs no corpus sort anywhere.
+
+    Pure projection — zero shuffle here; the 100 TB write pattern is
+    ``.repartitionByRange("phase", "curriculum_key")`` +
+    ``sortWithinPartitions`` on the same keys, which delivers global
+    curriculum order through Spark's range-partitioned write instead
+    of any single-task sort. NULL difficulty surfaces as NULL phase
+    (visible, never silently bucketed). Raises on empty or
+    non-ascending thresholds.
+
+    Returns the input plus ``(phase int, curriculum_key bigint)``.
+    """
+    ts = [float(t) for t in thresholds]
+    if not ts or any(b <= a for a, b in zip(ts, ts[1:])):
+        raise ValueError(
+            f"thresholds must be non-empty and strictly ascending: {ts!r}"
+        )
+    d = F.col(difficulty_col).cast("double")
+    phase = F.lit(len(ts))
+    for p in range(len(ts) - 1, -1, -1):
+        phase = F.when(d <= F.lit(ts[p]), F.lit(p)).otherwise(phase)
+    phase = F.when(d.isNotNull(), phase)
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("phase", phase.cast("int")).withColumn(
+        "curriculum_key", key
+    )
+
+
+def curriculum_report(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str,
+    thresholds: list,
+    seed: str = "cur1",
+) -> DataFrame:
+    """Per-phase audit of a curriculum schedule: row counts and the
+    observed difficulty envelope next to the declared phase bounds —
+    the check that a threshold refresh (quantile drift!) still
+    partitions the corpus the way the training run assumes. One
+    partial-agg groupBy over the ``curriculum_phases`` projection;
+    output is bounded by the phase count. NULL-difficulty rows appear
+    as a NULL-phase row with their count."""
+    ts = [float(t) for t in thresholds]
+    staged = curriculum_phases(df, difficulty_col, id_col, ts, seed)
+    return (
+        staged.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col(difficulty_col).cast("double")).alias("d_min"),
+            F.max(F.col(difficulty_col).cast("double")).alias("d_max"),
+        )
+        .select(
+            "phase",
+            "n_rows",
+            "d_min",
+            "d_max",
+            F.when(
+                F.col("phase") > 0,
+                F.element_at(
+                    F.array(*[F.lit(t) for t in ts]), F.col("phase")
+                ),
+            ).alias("bound_lo"),
+            F.when(
+                F.col("phase") < len(ts),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in ts]), F.col("phase") + 1
+                ),
+            ).alias("bound_hi"),
+        )
+        .orderBy("phase")
+    )

@@ -3219,3 +3219,106 @@ def test_pca_train_apply_whiten_and_matryoshka(spark):
     short = matryoshka_truncate(ragged, "embedding", 3).collect()
     got = {r.vec_id: r.embedding for r in short}
     assert got[0] is None and len(got[1]) == 3
+
+
+def test_curriculum_phases_report_quantiles_and_duckdb(spark):
+    """Curriculum scheduling: phase assignment matches the brute
+    threshold walk (inclusive upper bounds, above-all rows in the last
+    phase), NULL difficulty yields a visible NULL phase, the shuffle
+    key replays exactly in DuckDB, the report's observed envelopes sit
+    inside the declared bounds, sketch-derived thresholds from
+    logbucket_quantiles split the corpus into rough terciles, and
+    non-ascending thresholds raise."""
+    import hashlib
+
+    import duckdb
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        logbucket_quantiles,
+    )
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        curriculum_phases,
+        curriculum_report,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(300)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "doc_id int, difficulty double")
+    ts = [25.0, 60.0]
+
+    got = {
+        r.doc_id: (r.phase, r.curriculum_key)
+        for r in curriculum_phases(df, "difficulty", "doc_id", ts).collect()
+    }
+
+    def brute_phase(d):
+        if d is None:
+            return None
+        for p, t in enumerate(ts):
+            if d <= t:
+                return p
+        return len(ts)
+
+    def brute_key(i):
+        return int(
+            hashlib.md5(f"cur1:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    for i, d in rows:
+        assert got[i] == (brute_phase(d), brute_key(i)), (i, d)
+
+    # report: observed envelope inside declared bounds, NULL row visible
+    rep = {r.phase: r for r in curriculum_report(
+        df, "difficulty", "doc_id", ts
+    ).collect()}
+    assert rep[0].bound_lo is None and rep[0].bound_hi == 25.0
+    assert rep[1].bound_lo == 25.0 and rep[1].bound_hi == 60.0
+    assert rep[2].bound_lo == 60.0 and rep[2].bound_hi is None
+    assert rep[0].d_max <= 25.0
+    assert 25.0 < rep[1].d_min and rep[1].d_max <= 60.0
+    assert rep[2].d_min > 60.0
+    assert rep[None].n_rows == 1
+    assert sum(r.n_rows for r in rep.values()) == len(rows)
+
+    # DuckDB replay of phase + key assignment
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+        SELECT doc_id,
+               CASE WHEN difficulty IS NULL THEN NULL
+                    WHEN difficulty <= 25.0 THEN 0
+                    WHEN difficulty <= 60.0 THEN 1
+                    ELSE 2 END,
+               ('0x' || substr(md5('cur1:' || doc_id), 1, 15))::BIGINT
+        FROM t
+    """).fetchall()
+    }
+    assert oracle == got
+
+    # sketch-derived thresholds: rough terciles of the difficulty dist
+    finite = df.filter("difficulty is not null")
+    qs = {
+        r.q: r.est
+        for r in logbucket_quantiles(finite, "difficulty", qs=(0.34, 0.67))
+        .collect()
+    }
+    t2 = sorted(qs.values())
+    staged = curriculum_phases(finite, "difficulty", "doc_id", t2)
+    counts = {
+        r.phase: r.cnt
+        for r in staged.groupBy("phase").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert set(counts) == {0, 1, 2}
+    # log-bucket quantiles guarantee est within (1 + 2^-4) of the true
+    # rank value, so each phase holds a rough third of the corpus
+    assert all(0.2 * 300 < c < 0.5 * 300 for c in counts.values()), counts
+
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_phases(df, "difficulty", "doc_id", [5.0, 5.0])
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_phases(df, "difficulty", "doc_id", [])

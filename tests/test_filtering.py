@@ -3322,3 +3322,57 @@ def test_curriculum_phases_report_quantiles_and_duckdb(spark):
         curriculum_phases(df, "difficulty", "doc_id", [5.0, 5.0])
     with pytest.raises(ValueError, match="ascending"):
         curriculum_phases(df, "difficulty", "doc_id", [])
+
+
+def test_pca_whitening_composes_with_cosine_topk(spark):
+    """Integration: pca_apply(whiten+renorm) output feeds cosine_topk
+    unchanged (same column contract), and whitening IMPROVES neighbor
+    quality on an anisotropic space — a planted near-duplicate pair
+    that raw cosine ranks below a dominant-axis impostor becomes the
+    top neighbor after whitening. The pipeline a 100 TB embedding
+    dedup would run: fit on a sample, project everything, dedup in the
+    whitened space."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        pca_apply,
+        pca_train,
+    )
+
+    # dim 0 carries huge common-mode variance (dominates raw cosine);
+    # dims 1-2 carry the discriminative signal
+    rows = []
+    for i in range(120):
+        common = 100.0 * math.sin(i * 0.9)
+        s1 = math.cos(i * 1.7)
+        s2 = math.sin(i * 2.3)
+        jit = ((i * 7) % 13 - 6) / 2000.0
+        rows.append((i, [common + jit, s1, s2, 0.05 * s1 + jit]))
+    # query 500 and its true near-dup 501: identical signal coords,
+    # opposite (but small-in-SD-units) common-mode; impostor 502
+    # shares the common-mode with opposite signal
+    rows += [
+        (500, [20.0, 0.9, -0.4, 0.04]),
+        (501, [-20.0, 0.9, -0.4, 0.05]),
+        (502, [20.0, -0.9, 0.4, -0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def rank_of(emb_df, target):
+        ranked = cosine_topk(emb_df, query_id=500, k=200).collect()
+        return next(
+            pos for pos, r in enumerate(ranked) if r.vec_id == target
+        )
+
+    # raw cosine is fooled by the dominant common-mode axis: the
+    # impostor (shared dim 0, opposite signal) outranks the true pair,
+    # which is buried deep in the ranking
+    assert rank_of(df, 502) < rank_of(df, 501)
+    assert rank_of(df, 501) > 50
+
+    model = pca_train(df, "embedding", d_out=3)
+    white = pca_apply(df, "embedding", model, whiten=True, renorm=True)
+    # whitening surfaces the true near-dup and banishes the impostor
+    assert rank_of(white, 501) <= 5
+    assert rank_of(white, 502) > 100

@@ -44,6 +44,7 @@ from .evaluation import (  # noqa: F401
     calibration_report,
     calibration_summary,
     roc_auc,
+    roc_auc_by_group,
 )
 from .bpe import (  # noqa: F401
     bpe_segment_report,

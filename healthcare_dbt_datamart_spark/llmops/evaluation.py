@@ -45,9 +45,15 @@ from pyspark.sql.window import Window
 
 
 def _quantized_cells(
-    df: DataFrame, score_col: str, label_col: str, scale: int
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(s_fp, cnt, pos, bad) cells: one corpus pass, bounded output.
+    """(s_fp, cnt, pos, bad) cells: one corpus pass, bounded output
+    (per group when ``group_col`` is given — bad rows land in an
+    ``s_fp`` NULL cell so the rank path can exclude them cleanly).
 
     ``bad`` counts rows whose label is NULL / not in {0, 1} or whose
     score is NULL — surfaced to callers so validation needs no second
@@ -55,15 +61,19 @@ def _quantized_cells(
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
+    keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        F.col("s_fp")
+    ]
     return (
         df.select(
+            *([F.col(group_col)] if group_col else []),
             F.when(ok, F.expr(
                 f"cast(floor({score_col} * {int(scale)} + 0.5d) as bigint)"
             )).otherwise(F.lit(None)).alias("s_fp"),
             F.when(ok, y).otherwise(F.lit(0)).alias("y"),
             (~ok).cast("bigint").alias("bad"),
         )
-        .groupBy("s_fp")
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("y").alias("pos"),
@@ -149,6 +159,88 @@ def roc_auc(
                 6,
             ).alias("auc"),
         )
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group ROC-AUC — the "does the quality filter rank well in
+    EVERY language/domain?" slice of ``roc_auc``, fully in-plan (no
+    driver model state): the same BIGINT rank-sum runs under a window
+    PARTITIONED BY the group, so no single-partition stage exists at
+    any group count and the group key shuffles exactly once.
+
+    Report semantics (the ``calibration_report`` convention) instead
+    of the scalar's eager guards: a group where AUC is undefined —
+    single-class, or carrying NULL/non-binary rows — keeps its row
+    with ``auc`` NULL and the ``n_pos`` / ``n_neg`` / ``n_bad``
+    counts visible, so a dirty slice can never silently vanish from a
+    data card. Dirty rows are EXCLUDED from the clean rows' ranks
+    (they cell under a NULL score key the rank window filters out).
+
+    Returns one row per group:
+    ``(group, n_rows, n_pos, n_neg, n_bad, n_score_cells, auc)``.
+    """
+    from pyspark.sql.window import Window
+
+    cells = _quantized_cells(
+        df, score_col, label_col, int(scale), group_col=group_col
+    )
+    clean = cells.filter(F.col("s_fp").isNotNull())
+    w = Window.partitionBy("grp").orderBy("s_fp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rank2 = (
+        F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        + F.col("cnt")
+        + F.lit(1)
+    )
+    ranked = clean.select(
+        "grp",
+        "cnt",
+        "pos",
+        (F.col("pos") * rank2).alias("pr2"),
+    )
+    bad = cells.groupBy("grp").agg(F.sum("bad").alias("n_bad"))
+    clean_agg = ranked.groupBy("grp").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("np"),
+        F.sum("pr2").alias("pr2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    # LEFT from the bad side: a group holding ONLY dirty rows still
+    # surfaces (n_rows 0, auc NULL) instead of vanishing
+    agg = bad.join(clean_agg, "grp", "left").select(
+        "grp",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("np", F.lit(0)).alias("np"),
+        F.coalesce("pr2", F.lit(0)).alias("pr2"),
+        F.coalesce("n_cells", F.lit(0)).alias("n_cells"),
+        "n_bad",
+    )
+    npos, n = F.col("np"), F.col("n")
+    nneg = n - npos
+    ok = (F.col("n_bad") == 0) & (npos > 0) & (nneg > 0)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        n.cast("bigint").alias("n_rows"),
+        npos.cast("bigint").alias("n_pos"),
+        nneg.cast("bigint").alias("n_neg"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("n_cells").cast("bigint").alias("n_score_cells"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("pr2") - npos * (npos + F.lit(1))).cast("double")
+                / (F.lit(2.0) * npos * nneg).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
     )
 
 

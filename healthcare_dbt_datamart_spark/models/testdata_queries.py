@@ -3846,6 +3846,16 @@ SCHEDULED_NEXT_WINDOW = [
 # unigram_lm_train/unigram_segment_report (SentencePiece inducer on
 # the word dict), logreg_train/logreg_score (on-engine quality-
 # classifier training, integer-quantized gradients).
+# ROUND-9 CANDIDATES (implemented + pytest'd with DuckDB/pure-Python
+# replays, late round 7): roc_auc (exact BIGINT rank-sum over
+# quantized-score cells), calibration_summary (integer ECE/MCE/Brier —
+# grade logreg_score output on a labeled lineitem slice),
+# krippendorff_alpha (ragged-panel agreement, events rater grid),
+# hits_fixedpoint (integer hubs/authorities on the near-dup graph),
+# source_overlap_kmv (KMV source-pair Jaccard on documents),
+# curriculum_phases/report (logbucket-threshold phases over doc
+# difficulty), pca_train/pca_apply + matryoshka_truncate (whitened
+# embeddings feeding cosine_topk — see the integration pytest).
 
 QUERIES = {
     # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -227,3 +227,90 @@ def test_calibration_guards(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         calibration_summary(oob, "score", "label", n_bins=1)
+
+
+def test_roc_auc_by_group_parity_degenerates_and_duckdb(spark):
+    """Per-group AUC: each clean group matches the scalar roc_auc on
+    the same slice bit-for-bit; single-class and dirty groups keep
+    visible rows with NULL auc (a bad-only group included); dirty rows
+    never perturb the clean ranks of other groups; the grouped
+    rank-sum replays exactly in DuckDB; layout-invariant."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    base = _eval_rows()
+    rows = [("en", i, s, y) for i, s, y in base]
+    rows += [("fr", i, round(1.0 - s * 0.7, 6), 1 - y) for i, s, y in base[:150]]
+    rows += [("solo", 1, 0.4, 1), ("solo", 2, 0.9, 1)]      # single-class
+    rows += [("dirty", 1, 0.5, 2), ("dirty", 2, None, 0)]   # all bad
+    rows += [("mix", i, s, y) for i, s, y in base[:80]]
+    rows += [("mix", 9001, 0.5, 5)]                          # one bad row
+    df = spark.createDataFrame(
+        rows, "lang string, id int, score double, label int"
+    )
+
+    got = {r.lang: r for r in roc_auc_by_group(
+        df, "score", "label", "lang"
+    ).collect()}
+    assert set(got) == {"en", "fr", "solo", "dirty", "mix"}
+
+    # clean groups: bit-parity with the scalar operator per slice
+    for g in ("en", "fr"):
+        scalar = roc_auc(
+            df.filter(F.col("lang") == g), "score", "label"
+        ).collect()[0]
+        r = got[g]
+        assert (r.n_rows, r.n_pos, r.n_neg, r.n_score_cells, r.auc) == (
+            scalar.n_rows, scalar.n_pos, scalar.n_neg,
+            scalar.n_score_cells, scalar.auc,
+        )
+    assert got["en"].auc > 0.5
+
+    # degenerate groups stay visible with NULL auc
+    assert got["solo"].auc is None and got["solo"].n_neg == 0
+    assert got["dirty"].auc is None
+    assert (got["dirty"].n_rows, got["dirty"].n_bad) == (0, 2)
+    # one dirty row poisons only its own group's auc, counts visible
+    assert got["mix"].auc is None and got["mix"].n_bad == 1
+    assert got["mix"].n_rows == 80  # clean rows still counted
+
+    # layout invariance
+    got13 = {r.lang: r for r in roc_auc_by_group(
+        df.repartition(13), "score", "label", "lang"
+    ).collect()}
+    for g, r in got.items():
+        assert got13[g] == r, g
+
+    # DuckDB replay of the grouped rank-sum on the clean groups
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute("""
+        WITH cells AS (
+          SELECT lang, CAST(floor(score * 1000000 + 0.5) AS BIGINT) s_fp,
+                 COUNT(*) cnt, SUM(label) pos
+          FROM t
+          WHERE score IS NOT NULL AND label IN (0, 1)
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT lang, cnt, pos,
+                 2 * COALESCE(SUM(cnt) OVER (PARTITION BY lang
+                       ORDER BY s_fp ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + cnt + 1 AS rank2
+          FROM cells
+        )
+        SELECT lang,
+               ROUND((SUM(pos * rank2) - SUM(pos) * (SUM(pos) + 1))
+                 / (2.0 * SUM(pos) * (SUM(cnt) - SUM(pos))), 6) AS auc
+        FROM ranked GROUP BY 1
+    """).fetchall()
+    }
+    for g in ("en", "fr"):
+        assert oracle[g] == got[g].auc

@@ -377,6 +377,24 @@ def calibration_summary(
     rows = _bin_cells(
         df, score_col, label_col, int(n_bins), scale
     ).collect()  # bounded: <= n_bins + 1 cells
+    vals = scorecard_from_cells(rows, scale)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [vals],
+        "n_rows bigint, n_pos bigint, n_bins_used int, ece double,"
+        " mce double, brier double",
+    )
+
+
+def scorecard_from_cells(rows: list, scale: int) -> tuple:
+    """Derive the (n_rows, n_pos, n_bins_used, ece, mce, brier)
+    scorecard from collected bin-cell rows — the shared fold behind
+    ``calibration_summary`` and the STREAMED cell table
+    (``streaming.evaluation.calibration_from_cells``): cells are
+    associative integer sums, so a sum-merged table over any number of
+    micro-batches feeds the identical arithmetic. Same guards as the
+    batch path (dirty labels, out-of-range scores, empty input)."""
+    scale = int(scale)
     n_bad = sum(int(r.bad) for r in rows)
     if n_bad > 0:
         raise ValueError(
@@ -411,18 +429,11 @@ def calibration_summary(
         + scale * n_pos,
         scale * n,
     )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                n,
-                n_pos,
-                sum(1 for r in rows),
-                round(float(ece), 6),
-                round(float(mce), 6),
-                round(float(brier), 6),
-            )
-        ],
-        "n_rows bigint, n_pos bigint, n_bins_used int, ece double,"
-        " mce double, brier double",
+    return (
+        n,
+        n_pos,
+        sum(1 for r in rows),
+        round(float(ece), 6),
+        round(float(mce), 6),
+        round(float(brier), 6),
     )

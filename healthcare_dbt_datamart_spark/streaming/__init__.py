@@ -12,6 +12,11 @@ from .dynamic_table import (  # noqa: F401
     microbatch_stream,
     refresh_dynamic_table,
 )
+from .evaluation import (  # noqa: F401
+    calib_cells_merge_batch,
+    calibration_from_cells,
+    streaming_calibration_ingest,
+)
 from .gap import streaming_best_evidence  # noqa: F401
 from .guard import (  # noqa: F401
     streaming_contamination_guard,

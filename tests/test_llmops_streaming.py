@@ -2993,3 +2993,65 @@ def test_exact_substr_spans_rejects_unknown_keeper_rule(spark):
     df = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="keeper_rule"):
         _exact_substr_spans(df, "text", "doc_id", 3, keeper_rule="typo")
+
+
+def test_streaming_calibration_ingest_matches_batch_and_replay(spark, tmp_path):
+    """Streamed calibration maintenance: micro-batch cells sum-merge
+    into the persistent table, the live scorecard from the merged
+    cells equals calibration_summary over everything ingested
+    (batch-parity, every field), and the bin=-2 ledger makes replayed
+    batch ids no-ops."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _bin_cells,
+        calibration_summary,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        calib_cells_merge_batch,
+        calibration_from_cells,
+        streaming_calibration_ingest,
+    )
+
+    rows = [
+        (i, ((i * 37) % 97) / 96.0, 1 if ((i * 13) % 29) / 29.0 < ((i * 37) % 97) / 96.0 else 0)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "seq long, score double, label int")
+    expected = calibration_summary(df, "score", "label").collect()[0]
+
+    src = tmp_path / "cal_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("seq") % 3 == part).write.mode("overwrite").parquet(
+            str(src / f"b{part}")
+        )
+    spark.sql("DROP TABLE IF EXISTS cal_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_calibration_ingest(
+        stream, "cal_stream_t", "score", "label",
+        checkpoint_dir=str(tmp_path / "cal_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = calibration_from_cells(spark, "cal_stream_t").collect()[0]
+    assert got == expected  # every field: counts AND ece/mce/brier
+
+    # replayed batch id is a no-op; a fresh id double-counts (sum-merge)
+    mark = (
+        spark.table("cal_stream_t").filter(F.col("bin") == -2).collect()[0].n
+    )
+    cells = _bin_cells(df, "score", "label", 10, 10**6)
+    assert calib_cells_merge_batch(spark, "cal_stream_t", cells, mark) is False
+    assert calibration_from_cells(spark, "cal_stream_t").collect()[0] == expected
+    assert calib_cells_merge_batch(
+        spark, "cal_stream_t", cells, mark + 1
+    ) is True
+    doubled = calibration_from_cells(spark, "cal_stream_t").collect()[0]
+    assert doubled.n_rows == 2 * expected.n_rows
+    # doubling every cell leaves the (scale-invariant) metrics fixed
+    assert (doubled.ece, doubled.mce, doubled.brier) == (
+        expected.ece, expected.mce, expected.brier,
+    )
+    spark.sql("DROP TABLE cal_stream_t")

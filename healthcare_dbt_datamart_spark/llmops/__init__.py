@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     exact_dedup_fingerprints,
     exact_substr_dedup,
     jaccard_pairs,
+    line_dedup,
     lsh_band_buckets,
     minhash_signatures,
     simhash16,

@@ -719,3 +719,90 @@ def source_overlap_kmv(
             ).alias("jaccard_est"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_copies: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-wide LINE-level deduplication — the CCNet preprocessing
+    step (Wenzek et al. 2019, arXiv:1911.00359 §3.1: paragraph-hash
+    dedup run BEFORE language ID, where it removes both boilerplate —
+    nav menus, cookie banners — and near-identical page variants that
+    document-level dedup misses). A line whose normalized hash occurs
+    ``min_copies``+ times across the corpus is boilerplate; with
+    ``keep_first=True`` (the CCNet behavior) its deterministically
+    first occurrence — smallest ``(id, line position)`` — survives and
+    every other copy is dropped; ``keep_first=False`` drops all copies.
+
+    Normalization for matching (hash input only; surviving lines keep
+    their original bytes): lowercase + trim + whitespace-collapse.
+    Blank lines never count as duplicates and are always preserved —
+    they carry paragraph structure, not content.
+
+    Scale shape: one posexplode pass over the corpus, one partial-agg
+    groupBy on the line hash (count and min-(id,pos) winner in the SAME
+    aggregate — no second shuffle for the keeper), one hash-keyed join
+    back, one groupBy(id) rebuild with order restored via
+    array_sort(struct(pos, line)) — the ``exact_substr_dedup`` rebuild
+    discipline. Every step partial-aggregates; nothing is ever
+    collected.
+
+    Returns ``(id, text_deduped, n_lines, n_lines_dropped,
+    chars_removed)`` — rebuild keeps original line text and order,
+    joining survivors with single newlines.
+    """
+    if int(min_copies) < 2:
+        raise ValueError(f"min_copies must be >= 2: got {min_copies!r}")
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    keyed = lines.withColumn("_k", F.when(norm != "", F.md5(norm)))
+    stats = (
+        keyed.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_copies"),
+            F.min(F.struct("_id", "pos")).alias("_first"),
+        )
+    )
+    joined = keyed.join(stats, "_k", "left")
+    is_dup = F.col("_copies") >= int(min_copies)
+    if keep_first:
+        is_winner = (F.col("_first._id") == F.col("_id")) & (
+            F.col("_first.pos") == F.col("pos")
+        )
+        drop = is_dup & ~is_winner
+    else:
+        drop = is_dup
+    drop = F.coalesce(drop, F.lit(False))  # blank lines never drop
+    return (
+        joined.withColumn("_drop", drop)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("bigint")).alias("n_lines_dropped"),
+            F.sum(
+                F.when(F.col("_drop"), F.length("line")).otherwise(F.lit(0))
+            ).cast("bigint").alias("chars_removed"),
+        )
+    )

@@ -3376,3 +3376,97 @@ def test_pca_whitening_composes_with_cosine_topk(spark):
     # whitening surfaces the true near-dup and banishes the impostor
     assert rank_of(white, 501) <= 5
     assert rank_of(white, 502) > 100
+
+
+def test_line_dedup_ccnet_semantics_replay_and_layout(spark):
+    """CCNet line dedup: case/whitespace-insensitive boilerplate lines
+    are dropped corpus-wide with the deterministic first occurrence
+    kept (keep_first), or all copies dropped (keep_first=False); blank
+    lines always survive; min_copies thresholds; rebuild preserves
+    original bytes and order; a pure-Python replay reproduces every
+    output row exactly; layout-invariant."""
+    import re
+
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.dedup import line_dedup
+
+    texts = {
+        1: "MENU HOME\nunique alpha\n\nshared body line\nfooter (c) site",
+        2: "menu home\nunique beta\nfooter (c) site",
+        3: "Menu   Home\nunique gamma\nfooter (c) site",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+
+    def replay(min_copies, keep_first):
+        norm = lambda l: re.sub(r"\s+", " ", l.strip().lower())  # noqa: E731
+        counts, first = {}, {}
+        for i in sorted(texts):
+            for p, l in enumerate(texts[i].split("\n")):
+                k = norm(l)
+                if k == "":
+                    continue
+                counts[k] = counts.get(k, 0) + 1
+                first.setdefault(k, (i, p))
+        out = {}
+        for i in sorted(texts):
+            kept, dropped, chars = [], 0, 0
+            for p, l in enumerate(texts[i].split("\n")):
+                k = norm(l)
+                dup = k != "" and counts[k] >= min_copies
+                drop = dup and (not keep_first or first[k] != (i, p))
+                if drop:
+                    dropped += 1
+                    chars += len(l)
+                else:
+                    kept.append(l)
+            out[i] = (
+                "\n".join(kept), len(texts[i].split("\n")), dropped, chars
+            )
+        return out
+
+    for mc, kf in [(2, True), (2, False), (3, True), (4, True)]:
+        got = {
+            r.doc_id: (
+                r.text_deduped, r.n_lines, r.n_lines_dropped, r.chars_removed
+            )
+            for r in line_dedup(
+                df, "text", "doc_id", min_copies=mc, keep_first=kf
+            ).collect()
+        }
+        assert got == replay(mc, kf), (mc, kf)
+
+    # semantic spot checks on the default config
+    got = {
+        r.doc_id: r for r in line_dedup(df, "text", "doc_id").collect()
+    }
+    assert got[1].text_deduped == texts[1]       # first doc keeps all
+    assert got[2].text_deduped == "unique beta"  # boilerplate stripped
+    assert got[3].text_deduped == "unique gamma"
+    assert got[1].n_lines == 5 and got[1].n_lines_dropped == 0
+    assert "\n\n" in got[1].text_deduped         # blank line preserved
+    # min_copies above the copy count: nothing drops
+    none = line_dedup(df, "text", "doc_id", min_copies=4).collect()
+    assert all(r.n_lines_dropped == 0 for r in none)
+    # keep_first=False: even the first occurrence goes
+    allgone = {
+        r.doc_id: r.text_deduped
+        for r in line_dedup(
+            df, "text", "doc_id", keep_first=False
+        ).collect()
+    }
+    assert allgone[1] == "unique alpha\n\nshared body line"
+
+    # layout invariance
+    got13 = {
+        r.doc_id: (r.text_deduped, r.n_lines_dropped)
+        for r in line_dedup(df.repartition(13), "text", "doc_id").collect()
+    }
+    assert got13 == {
+        i: (r.text_deduped, r.n_lines_dropped) for i, r in got.items()
+    }
+
+    with pytest.raises(ValueError, match="min_copies"):
+        line_dedup(df, "text", "doc_id", min_copies=1)

@@ -42,6 +42,7 @@ from .drift import (  # noqa: F401
     sketch_drift_report,
 )
 from .evaluation import (  # noqa: F401
+    bleu_corpus,
     calibration_report,
     calibration_summary,
     roc_auc,

@@ -437,3 +437,161 @@ def scorecard_from_cells(rows: list, scale: int) -> tuple:
         round(float(mce), 6),
         round(float(brier), 6),
     )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 4,
+    smooth_add1: bool = False,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) of a candidate column
+    against a single reference column — the generation-eval metric a
+    distillation / translation data pipeline grades model outputs with
+    at corpus scale. Exact integer clipped counting end to end:
+
+        p_n  = Σ_pairs Σ_grams min(count_cand, count_ref) /
+               Σ_pairs (|cand| − n + 1)⁺
+        BLEU = BP · exp(Σ_n ln(p_n) / N),   BP = min(1, e^(1 − r/c))
+
+    Every numerator and denominator is an associative BIGINT sum, so
+    the score is bit-identical on any layout; the only floats are the
+    final ln/exp over those exact integers. ``smooth_add1=True``
+    applies Lin & Och (2004) add-one smoothing to n ≥ 2 (short-corpus
+    use); unsmoothed, any zero match count makes BLEU exactly 0 (the
+    standard definition — reported, never hidden, since p_n columns
+    stay visible).
+
+    Tokenization: lowercase + whitespace split, applied identically to
+    both sides (BLEU parity requires one tokenizer — swap upstream if
+    you need another). Pairs with NULL on either side are EXCLUDED
+    from every sum and COUNTED in ``n_null_pairs`` (report semantics).
+
+    Scale shape: two posexplode passes (candidate and reference grams,
+    all n orders tagged in one explode each) partial-agg to per-(pair,
+    n, gram) counts, one full-outer join on that key to clip, then one
+    bounded aggregate per n — the ``ngram_contamination`` shuffle
+    class: rows ∝ distinct grams per pair, never pairwise across the
+    corpus. Returns one row: ``(n_pairs, n_null_pairs, cand_len,
+    ref_len, p1..p{max_n}, brevity_penalty, bleu)`` (6dp).
+    """
+    import math
+
+    if not 1 <= int(max_n) <= 6:
+        raise ValueError(f"max_n must be in [1, 6]: got {max_n!r}")
+    max_n = int(max_n)
+
+    def toks(c):
+        return F.split(F.lower(F.trim(F.col(c))), r"\s+")
+
+    ok = F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    base = df.select(
+        F.col(id_col).alias("_id"), ok.alias("_ok"),
+        toks(cand_col).alias("_c"), toks(ref_col).alias("_r"),
+    )
+    head = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("_ok")).cast("bigint")).alias("nulls"),
+        F.sum(F.when(F.col("_ok"), F.size("_c")).otherwise(0)).alias("clen"),
+        F.sum(F.when(F.col("_ok"), F.size("_r")).otherwise(0)).alias("rlen"),
+    ).collect()[0]
+    n_pairs = int(head.total) - int(head.nulls)
+    if n_pairs == 0:
+        raise ValueError("bleu_corpus: no non-NULL candidate/ref pairs")
+    c_len, r_len = int(head.clen), int(head.rlen)
+
+    def grams(col):
+        # sequence(1, k) DESCENDS when k < 1, so clamp the upper bound
+        # to 1 and trim the bogus entry with a 0-length slice instead
+        def one_order(n):
+            k = F.size(col) - F.lit(n - 1)
+
+            # single-arg lambda: a 2-arg callable would receive the
+            # ARRAY INDEX as its second argument from F.transform
+            def mk(i, _n=int(n)):
+                return F.struct(
+                    F.lit(_n).alias("n"),
+                    F.array_join(F.slice(col, i, _n), " ").alias("g"),
+                )
+
+            return F.slice(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: mk(i),
+                ),
+                1,
+                F.greatest(k, F.lit(0)),
+            )
+
+        return F.flatten(
+            F.array(*[one_order(n) for n in range(1, max_n + 1)])
+        )
+
+    clean = base.filter("_ok")
+
+    def side_counts(col, name):
+        return (
+            clean.select("_id", F.explode(grams(F.col(col))).alias("e"))
+            .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cc = side_counts("_c", "nc")
+    rc = side_counts("_r", "nr")
+    per_n = (
+        cc.join(rc, ["_id", "n", "g"], "full")
+        .select(
+            "n",
+            F.least(
+                F.coalesce("nc", F.lit(0)), F.coalesce("nr", F.lit(0))
+            ).alias("clip"),
+        )
+        .groupBy("n")
+        .agg(F.sum("clip").alias("match"))
+        .collect()
+    )  # bounded: max_n rows of model state
+    match = {int(r.n): int(r.match) for r in per_n}
+    # candidate n-gram totals: Σ_pairs (|cand| − n + 1)⁺, one aggregate
+    tot_rows = clean.select(
+        *[
+            F.greatest(F.size("_c") - F.lit(n - 1), F.lit(0)).alias(f"t{n}")
+            for n in range(1, max_n + 1)
+        ]
+    ).agg(
+        *[F.sum(f"t{n}").alias(f"t{n}") for n in range(1, max_n + 1)]
+    ).collect()[0]
+    totals = {n: int(tot_rows[f"t{n}"]) for n in range(1, max_n + 1)}
+
+    ps, log_sum, zero = {}, 0.0, False
+    for n in range(1, max_n + 1):
+        num, den = match.get(n, 0), totals[n]
+        if smooth_add1 and n >= 2:
+            num, den = num + 1, den + 1
+        ps[n] = (num / den) if den > 0 else 0.0
+        if num == 0 or den == 0:
+            zero = True
+        else:
+            log_sum += math.log(num / den)
+    bp = 1.0 if c_len >= r_len else math.exp(1.0 - r_len / max(c_len, 1))
+    bleu = 0.0 if zero else bp * math.exp(log_sum / max_n)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_pairs,
+                int(head.nulls),
+                c_len,
+                r_len,
+                *[round(ps[n], 6) for n in range(1, max_n + 1)],
+                round(bp, 6),
+                round(bleu, 6),
+            )
+        ],
+        "n_pairs bigint, n_null_pairs bigint, cand_len bigint,"
+        " ref_len bigint, "
+        + ", ".join(f"p{n} double" for n in range(1, max_n + 1))
+        + ", brevity_penalty double, bleu double",
+    )

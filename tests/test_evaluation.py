@@ -314,3 +314,109 @@ def test_roc_auc_by_group_parity_degenerates_and_duckdb(spark):
     }
     for g in ("en", "fr"):
         assert oracle[g] == got[g].auc
+
+
+def test_bleu_corpus_known_values_replay_and_guards(spark):
+    """Corpus BLEU: perfect match scores exactly 1, the textbook
+    clipping case caps repeated-token credit, disjoint outputs score 0
+    with the zero p_n visible, brevity penalty and add-1 smoothing
+    follow the published formulas (pure-Python replay of the exact
+    integer counts across configs), NULL pairs are counted out, and
+    the score is layout-invariant."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import bleu_corpus
+
+    pairs = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the the the the", "the cat sat"),
+        (3, "a small black dog runs fast today", "a small black cat runs slowly today"),
+        (4, "w x y z", "p q r s"),
+        (5, None, "dropped pair"),
+    ]
+    df = spark.createDataFrame(
+        pairs, "pid int, cand string, ref string"
+    )
+
+    def replay(rows, max_n, smooth):
+        tok = lambda s: s.strip().lower().split()  # noqa: E731
+        clean = [
+            (tok(c), tok(r)) for _, c, r in rows
+            if c is not None and r is not None
+        ]
+        c_len = sum(len(c) for c, _ in clean)
+        r_len = sum(len(r) for _, r in clean)
+        ps, zero, log_sum = {}, False, 0.0
+        for n in range(1, max_n + 1):
+            m = t = 0
+            for c, r in clean:
+                cc = Counter(tuple(c[i:i + n]) for i in range(len(c) - n + 1))
+                rr = Counter(tuple(r[i:i + n]) for i in range(len(r) - n + 1))
+                m += sum(min(k, rr[g]) for g, k in cc.items())
+                t += max(len(c) - n + 1, 0)
+            if smooth and n >= 2:
+                m, t = m + 1, t + 1
+            ps[n] = m / t if t > 0 else 0.0
+            if m == 0 or t == 0:
+                zero = True
+            else:
+                log_sum += math.log(m / t)
+        bp = 1.0 if c_len >= r_len else math.exp(1.0 - r_len / max(c_len, 1))
+        bleu = 0.0 if zero else bp * math.exp(log_sum / max_n)
+        return (
+            c_len, r_len,
+            *[round(ps[n], 6) for n in range(1, max_n + 1)],
+            round(bp, 6), round(bleu, 6),
+        )
+
+    for max_n, smooth in [(4, False), (4, True), (2, False)]:
+        got = bleu_corpus(
+            df, "cand", "ref", "pid", max_n=max_n, smooth_add1=smooth
+        ).collect()[0]
+        assert got.n_pairs == 4 and got.n_null_pairs == 1
+        assert tuple(got)[2:] == replay(pairs, max_n, smooth), (max_n, smooth)
+
+    # perfect-match corpus: BLEU exactly 1, every precision 1
+    perfect = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon")],
+        "pid int, cand string, ref string",
+    )
+    p = bleu_corpus(perfect, "cand", "ref", "pid").collect()[0]
+    assert (p.p1, p.p2, p.p3, p.p4, p.brevity_penalty, p.bleu) == (
+        1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+    )
+
+    # the classic clipping example: "the the the the" vs "the cat sat"
+    clip = bleu_corpus(
+        spark.createDataFrame(
+            [(1, "the the the the", "the cat sat")],
+            "pid int, cand string, ref string",
+        ),
+        "cand", "ref", "pid", max_n=1,
+    ).collect()[0]
+    assert clip.p1 == 0.25  # 1 clipped match / 4 candidate unigrams
+
+    # disjoint corpus: bleu 0 with the zero precision visible
+    zero = bleu_corpus(
+        spark.createDataFrame(
+            [(1, "w x y z", "p q r s")], "pid int, cand string, ref string"
+        ),
+        "cand", "ref", "pid",
+    ).collect()[0]
+    assert zero.bleu == 0.0 and zero.p1 == 0.0
+
+    # layout invariance
+    g13 = bleu_corpus(
+        df.repartition(13), "cand", "ref", "pid"
+    ).collect()[0]
+    assert g13 == bleu_corpus(df, "cand", "ref", "pid").collect()[0]
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        bleu_corpus(
+            df.filter("cand is null"), "cand", "ref", "pid"
+        ).collect()
+    with pytest.raises(ValueError, match="max_n"):
+        bleu_corpus(df, "cand", "ref", "pid", max_n=0)

@@ -47,6 +47,7 @@ from .evaluation import (  # noqa: F401
     calibration_summary,
     roc_auc,
     roc_auc_by_group,
+    rouge_l,
 )
 from .bpe import (  # noqa: F401
     bpe_segment_report,

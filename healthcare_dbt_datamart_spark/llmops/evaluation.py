@@ -595,3 +595,84 @@ def bleu_corpus(
         + ", ".join(f"p{n} double" for n in range(1, max_n + 1))
         + ", brevity_penalty double, bleu double",
     )
+
+
+def rouge_l(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-pair ROUGE-L (Lin 2004): token-level longest-common-
+    subsequence precision / recall / F1 of a candidate column against
+    a reference — BLEU's recall-oriented sibling for summarization /
+    distillation output grading. LCS needs dynamic programming, so
+    this is the sanctioned Arrow path (the ``multimodal`` pattern): a
+    ``mapInPandas`` batch loop over a pure function of the two token
+    lists — partitioning-invariant by construction, no model state.
+
+    Tokenization matches ``bleu_corpus`` (lowercase + whitespace
+    split). ``lcs_len`` and both lengths are exact ints; the three
+    ratios are single float divisions rounded 6dp. A pair with NULL on
+    either side keeps its row with NULL metrics (report semantics).
+    Cost is O(|cand|·|ref|) per pair — the inherent LCS bound; batches
+    stream through Arrow, per-executor memory stays one batch.
+
+    Returns ``(id, cand_len, ref_len, lcs_len, precision, recall,
+    f1)``.
+    """
+    import pandas as pd
+
+    def _lcs(a: list, b: list) -> int:
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(
+                    prev[j], cur[j - 1]
+                )
+            prev = cur
+        return prev[-1]
+
+    proj = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(cand_col).cast("string").alias("_c"),
+        F.col(ref_col).cast("string").alias("_r"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for pid, c, r in zip(pdf["_id"], pdf["_c"], pdf["_r"]):
+                if c is None or r is None or (
+                    isinstance(c, float) or isinstance(r, float)
+                ):
+                    out.append((pid, None, None, None, None, None, None))
+                    continue
+                ct, rt = str(c).strip().lower().split(), str(
+                    r
+                ).strip().lower().split()
+                l = _lcs(ct, rt)
+                p = round(l / len(ct), 6) if ct else None
+                rec = round(l / len(rt), 6) if rt else None
+                f1 = (
+                    round(2 * l / (len(ct) + len(rt)), 6)
+                    if (ct or rt)
+                    else None
+                )
+                out.append((pid, len(ct), len(rt), l, p, rec, f1))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "_id", "cand_len", "ref_len", "lcs_len",
+                    "precision", "recall", "f1",
+                ],
+            )
+
+    return proj.mapInPandas(
+        batches,
+        f"_id long, cand_len int, ref_len int, lcs_len int,"
+        " precision double, recall double, f1 double",
+    ).withColumnRenamed("_id", id_col)

@@ -420,3 +420,59 @@ def test_bleu_corpus_known_values_replay_and_guards(spark):
         ).collect()
     with pytest.raises(ValueError, match="max_n"):
         bleu_corpus(df, "cand", "ref", "pid", max_n=0)
+
+
+def test_rouge_l_known_values_replay_and_layout(spark):
+    """ROUGE-L: LCS arithmetic matches a pure-Python DP replay on
+    every row, the textbook knowns hold (identity = 1, subsequence
+    precision/recall asymmetry, disjoint = 0), NULL pairs keep visible
+    NULL-metric rows, and the output is layout-invariant."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import rouge_l
+
+    pairs = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the cat the mat", "the cat sat on the mat"),
+        (3, "police killed the gunman", "the gunman was killed by police"),
+        (4, "a b c", "x y z"),
+        (5, None, "ref only"),
+        (6, "cand only", None),
+    ]
+    df = spark.createDataFrame(pairs, "pid int, cand string, ref string")
+    got = {r.pid: r for r in rouge_l(df, "cand", "ref", "pid").collect()}
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+            prev = cur
+        return prev[-1]
+
+    for pid, c, r in pairs:
+        row = got[pid]
+        if c is None or r is None:
+            assert row.lcs_len is None and row.f1 is None
+            continue
+        ct, rt = c.lower().split(), r.lower().split()
+        l = lcs(ct, rt)
+        assert row.lcs_len == l
+        assert row.precision == round(l / len(ct), 6)
+        assert row.recall == round(l / len(rt), 6)
+        assert row.f1 == round(2 * l / (len(ct) + len(rt)), 6)
+
+    assert got[1].f1 == 1.0
+    # "the cat the mat" vs 6-token ref: LCS = 4 -> P 1.0, R 2/3
+    assert (got[2].lcs_len, got[2].precision) == (4, 1.0)
+    assert got[2].recall == round(4 / 6, 6)
+    # word order matters: only subsequences count
+    assert got[3].lcs_len == 2  # "the gunman" / "killed police" paths
+    assert got[4].f1 == 0.0
+
+    got13 = {
+        r.pid: r
+        for r in rouge_l(
+            df.repartition(13), "cand", "ref", "pid"
+        ).collect()
+    }
+    assert got13 == got

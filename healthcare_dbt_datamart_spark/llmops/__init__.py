@@ -45,9 +45,11 @@ from .evaluation import (  # noqa: F401
     bleu_corpus,
     calibration_report,
     calibration_summary,
+    distinct_n,
     roc_auc,
     roc_auc_by_group,
     rouge_l,
+    spearman_rho,
 )
 from .bpe import (  # noqa: F401
     bpe_segment_report,

@@ -676,3 +676,162 @@ def rouge_l(
         f"_id long, cand_len int, ref_len int, lcs_len int,"
         " precision double, recall double, f1 double",
     ).withColumnRenamed("_id", id_col)
+
+
+def distinct_n(
+    df: DataFrame,
+    text_col: str,
+    ns: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n generation-diversity report (Li et al. 2016,
+    arXiv:1510.03055): corpus-level ratio of DISTINCT n-grams to total
+    n-grams — the standard mode-collapse smoke alarm for synthetic /
+    distilled data (a generator that loops emits many tokens but few
+    distinct trigrams). Tokenization matches ``bleu_corpus``.
+
+    One explode pass with every requested order tagged, one partial-agg
+    groupBy on (n, gram), one bounded groupBy(n) fold — counts are
+    associative BIGINTs, the ratio a single 6dp division; rows with
+    NULL text are excluded from every order (their count is visible in
+    any upstream profile, not silently folded here — this is a ratio
+    over EMITTED text). Returns ``(n, total_ngrams, distinct_ngrams,
+    distinct_ratio)`` ordered by n.
+    """
+    orders = sorted({int(n) for n in ns})
+    if not orders or orders[0] < 1 or orders[-1] > 8:
+        raise ValueError(f"ns must be ints in [1, 8]: got {ns!r}")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def one_order(n):
+        k = F.size(toks) - F.lit(n - 1)
+        return F.slice(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.struct(
+                    F.lit(int(n)).alias("n"),
+                    F.array_join(F.slice(toks, i, int(n)), " ").alias("g"),
+                ),
+            ),
+            1,
+            F.greatest(k, F.lit(0)),
+        )
+
+    grams = F.flatten(F.array(*[one_order(n) for n in orders]))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(grams).alias("e"))
+        .groupBy(F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("n")
+        .agg(
+            F.sum("c").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            "n",
+            F.col("total_ngrams").cast("bigint"),
+            F.col("distinct_ngrams").cast("bigint"),
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("n")
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two score columns — the
+    reward-model validation number ("does the model's score RANK like
+    the human preference score?"), tie-aware via average ranks:
+
+        ρ = Pearson(rank(x), rank(y))
+
+    with both rank assignments computed the ``roc_auc`` way: quantize
+    to BIGINT cells, order the BOUNDED cell table, give a tied cell of
+    size c after ``cb`` smaller values twice-average-rank ``2·cb + c +
+    1`` — then join each row back to its cell's rank (one shuffle per
+    axis on the cell key) and fold the five Pearson sums as EXACT
+    DECIMAL(38,0) aggregates (rank products reach 4n³, past BIGINT at
+    ~10⁶ rows; decimal sums stay exact to 10³⁸). The doubling cancels
+    in the correlation. The only float is the final formula over five
+    exact integers — identical in DuckDB.
+
+    Raises on NULL values (scalar semantics, the ``roc_auc`` guard),
+    fewer than 2 rows, or a zero-variance axis (ρ undefined).
+    Returns one row: ``(n_rows, n_x_cells, n_y_cells, rho)`` (6dp).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    scale = int(scale)
+    qx = F.expr(f"cast(floor({x_col} * {scale} + 0.5d) as bigint)")
+    qy = F.expr(f"cast(floor({y_col} * {scale} + 0.5d) as bigint)")
+    base = df.select(qx.alias("xq"), qy.alias("yq"))
+    chk = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("xq").isNull() | F.col("yq").isNull()).cast("bigint")
+        ).alias("nb"),
+    ).collect()[0]
+    n = int(chk.n or 0)
+    if int(chk.nb or 0) > 0:
+        raise ValueError(
+            f"spearman_rho: {chk.nb} rows have NULL x or y — clean the"
+            " eval relation first"
+        )
+    if n < 2:
+        raise ValueError(f"spearman_rho needs >= 2 rows: got {n}")
+
+    def cell_ranks(col, out):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                col,
+                (
+                    F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                    + F.col("c")
+                    + F.lit(1)
+                ).alias(out),
+            )
+        )
+
+    rx = cell_ranks("xq", "r_x")
+    ry = cell_ranks("yq", "r_y")
+    d38 = "decimal(38,0)"
+    sums = (
+        base.join(rx, "xq")
+        .join(ry, "yq")
+        .agg(
+            F.sum(F.col("r_x").cast(d38)).alias("sx"),
+            F.sum(F.col("r_y").cast(d38)).alias("sy"),
+            F.sum((F.col("r_x") * F.col("r_y")).cast(d38)).alias("sxy"),
+            F.sum((F.col("r_x") * F.col("r_x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("r_y") * F.col("r_y")).cast(d38)).alias("syy"),
+            F.count_distinct("xq").alias("ncx"),
+            F.count_distinct("yq").alias("ncy"),
+        )
+        .collect()[0]
+    )  # bounded model state: five exact decimals + two counts
+    sx, sy = int(sums.sx), int(sums.sy)
+    sxy, sxx, syy = int(sums.sxy), int(sums.sxx), int(sums.syy)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    if var_x == 0 or var_y == 0:
+        raise ValueError(
+            "spearman_rho is undefined on a constant axis "
+            f"(n_x_cells={sums.ncx}, n_y_cells={sums.ncy})"
+        )
+    rho = (n * sxy - sx * sy) / math.sqrt(var_x) / math.sqrt(var_y)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, int(sums.ncx), int(sums.ncy), round(rho, 6))],
+        "n_rows bigint, n_x_cells bigint, n_y_cells bigint, rho double",
+    )

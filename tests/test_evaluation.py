@@ -476,3 +476,145 @@ def test_rouge_l_known_values_replay_and_layout(spark):
         ).collect()
     }
     assert got13 == got
+
+
+def test_distinct_n_and_spearman_rho(spark):
+    """distinct_n: exact ratios vs a Counter replay, mode-collapse
+    ordering (looping generator scores far lower distinct-3 than varied
+    text), NULL exclusion, guards. spearman_rho: ±1 on monotone /
+    reversed data, exact parity with an integer brute force on tied
+    noisy data, DuckDB replay, layout invariance, loud guards."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        distinct_n,
+        spearman_rho,
+    )
+
+    # ---- distinct_n --------------------------------------------------
+    varied = [f"alpha{i} beta{i % 7} gamma{i % 3} delta{i}" for i in range(40)]
+    looped = ["the same line again and again"] * 40
+    for texts, lo, hi in [(varied, 0.4, 1.01), (looped, 0.0, 0.05)]:
+        df = spark.createDataFrame(
+            [(t,) for t in texts] + [(None,)], "text string"
+        )
+        got = {r.n: r for r in distinct_n(df, "text").collect()}
+        assert set(got) == {1, 2, 3}
+        # Counter replay
+        for n in (1, 2, 3):
+            grams = Counter()
+            for t in texts:
+                tk = t.lower().split()
+                for i in range(len(tk) - n + 1):
+                    grams[tuple(tk[i:i + n])] += 1
+            assert got[n].total_ngrams == sum(grams.values())
+            assert got[n].distinct_ngrams == len(grams)
+            assert got[n].distinct_ratio == round(
+                len(grams) / sum(grams.values()), 6
+            )
+        assert lo <= got[3].distinct_ratio <= hi, texts[0]
+    with pytest.raises(ValueError, match="ns must"):
+        distinct_n(df, "text", ns=(0,))
+
+    # ---- spearman_rho ------------------------------------------------
+    mono = spark.createDataFrame(
+        [(i / 100.0, math.tanh(i / 30.0)) for i in range(60)],
+        "x double, y double",
+    )
+    assert spearman_rho(mono, "x", "y").collect()[0].rho == 1.0
+    rev = spark.createDataFrame(
+        [(i / 100.0, -i / 50.0) for i in range(60)], "x double, y double"
+    )
+    assert spearman_rho(rev, "x", "y").collect()[0].rho == -1.0
+
+    # tied noisy data: exact parity with the integer brute force
+    rows = [
+        (((i * 17) % 23) / 23.0, ((i * 17) % 23 + (i * 5) % 11 - 5) / 25.0)
+        for i in range(90)
+    ]
+    df2 = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_rho(df2, "x", "y").collect()[0]
+
+    def rank2_map(vals):
+        cells = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cells):
+            out[v] = 2 * cum + cells[v] + 1
+            cum += cells[v]
+        return out
+
+    xs = [math.floor(x * 10**6 + 0.5) for x, _ in rows]
+    ys = [math.floor(y * 10**6 + 0.5) for _, y in rows]
+    mx, my = rank2_map(xs), rank2_map(ys)
+    rx = [mx[v] for v in xs]
+    ry = [my[v] for v in ys]
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx, syy = sum(a * a for a in rx), sum(b * b for b in ry)
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        n * sxx - sx * sx
+    ) / math.sqrt(n * syy - sy * sy)
+    assert got.rho == round(expect, 6)
+    assert got.n_x_cells == len(mx) and got.n_y_cells == len(my)
+    assert 0.5 < got.rho < 1.0  # correlated but tied/noisy
+
+    # layout invariance + DuckDB replay
+    assert spearman_rho(
+        df2.repartition(13), "x", "y"
+    ).collect()[0] == got
+    con = duckdb.connect()
+    con.register("t", df2.toPandas())
+    o = con.execute("""
+        WITH q AS (
+          SELECT CAST(floor(x * 1000000 + 0.5) AS BIGINT) xq,
+                 CAST(floor(y * 1000000 + 0.5) AS BIGINT) yq
+          FROM t
+        ),
+        rx AS (
+          SELECT xq, 2 * COALESCE(SUM(c) OVER (ORDER BY xq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS r_x
+          FROM (SELECT xq, COUNT(*) c FROM q GROUP BY 1)
+        ),
+        ry AS (
+          SELECT yq, 2 * COALESCE(SUM(c) OVER (ORDER BY yq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS r_y
+          FROM (SELECT yq, COUNT(*) c FROM q GROUP BY 1)
+        ),
+        j AS (SELECT r_x, r_y FROM q JOIN rx USING (xq) JOIN ry USING (yq))
+        SELECT COUNT(*) n, SUM(r_x) sx, SUM(r_y) sy, SUM(r_x * r_y) sxy,
+               SUM(r_x * r_x) sxx, SUM(r_y * r_y) syy
+        FROM j
+    """).fetchone()
+    dn, dsx, dsy, dsxy, dsxx, dsyy = (int(v) for v in o)
+    drho = (dn * dsxy - dsx * dsy) / math.sqrt(
+        dn * dsxx - dsx * dsx
+    ) / math.sqrt(dn * dsyy - dsy * dsy)
+    assert round(drho, 6) == got.rho
+
+    # guards
+    with pytest.raises(ValueError, match="NULL"):
+        spearman_rho(
+            spark.createDataFrame(
+                [(0.1, None), (0.2, 0.3)], "x double, y double"
+            ),
+            "x", "y",
+        )
+    with pytest.raises(ValueError, match="constant axis"):
+        spearman_rho(
+            spark.createDataFrame(
+                [(0.5, 0.1), (0.5, 0.9)], "x double, y double"
+            ),
+            "x", "y",
+        )
+    with pytest.raises(ValueError, match=">= 2"):
+        spearman_rho(
+            spark.createDataFrame([(0.1, 0.2)], "x double, y double"),
+            "x", "y",
+        )

@@ -618,3 +618,97 @@ def test_distinct_n_and_spearman_rho(spark):
             spark.createDataFrame([(0.1, 0.2)], "x double, y double"),
             "x", "y",
         )
+
+
+def test_new_ops_on_driver_testdata(spark):
+    """End-to-end smoke of the round-9 candidate operators over the
+    REAL driver testdata tables (the inputs their future queries()
+    slots would use): source-overlap and line-dedup over documents,
+    curriculum phases off sketch quantiles of n_chars, per-language
+    AUC of an n_chars-derived score, Spearman between two derived
+    scores, distinct-n over the text column, and PCA + whitened
+    cosine_topk over the embeddings table. Structural assertions —
+    exact arithmetic is pinned by the unit tests; this pins that the
+    operators run clean on the actual schemas at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        line_dedup,
+        source_overlap_kmv,
+    )
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        distinct_n,
+        roc_auc_by_group,
+        spearman_rho,
+    )
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        pca_apply,
+        pca_train,
+    )
+    from healthcare_dbt_datamart_spark.llmops.sketches import (
+        logbucket_quantiles,
+    )
+    from healthcare_dbt_datamart_spark.llmops.splits import curriculum_phases
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+
+    # source overlap: one row per unordered source pair, sane ranges
+    ov = source_overlap_kmv(docs, "source", "text", k=64).collect()
+    assert len(ov) == n_sources * (n_sources - 1) // 2
+    assert all(0.0 <= r.jaccard_est <= 1.0 for r in ov)
+
+    # line dedup: every doc returns, nothing negative
+    ld = line_dedup(docs, "text", "doc_id").collect()
+    assert len(ld) == n_docs
+    assert all(r.n_lines_dropped >= 0 and r.n_lines >= 1 for r in ld)
+
+    # curriculum off sketch quantiles of n_chars
+    qs = {
+        r.q: r.est
+        for r in logbucket_quantiles(docs, "n_chars", qs=(0.34, 0.67))
+        .collect()
+    }
+    ts = sorted(set(qs.values()))
+    staged = curriculum_phases(docs, "n_chars", "doc_id", ts)
+    phases = {r.phase for r in staged.select("phase").distinct().collect()}
+    assert phases <= set(range(len(ts) + 1)) and len(phases) >= 2
+
+    # per-language AUC of a deterministic n_chars score vs length label
+    scored = docs.select(
+        "lang",
+        (F.pmod(F.col("n_chars"), F.lit(97)) / 96.0).alias("score"),
+        (F.col("n_chars") % 2).cast("int").alias("label"),
+    )
+    aucs = roc_auc_by_group(scored, "score", "label", "lang").collect()
+    assert len(aucs) == 5
+    assert all(r.n_bad == 0 for r in aucs)
+    assert all(r.auc is None or 0.0 <= r.auc <= 1.0 for r in aucs)
+
+    # spearman between two deterministic derived scores
+    sp = spearman_rho(
+        docs.select(
+            (F.col("n_chars") / 10000.0).alias("x"),
+            (F.pmod(F.col("doc_id") * 37, F.lit(101)) / 101.0).alias("y"),
+        ),
+        "x", "y",
+    ).collect()[0]
+    assert sp.n_rows == n_docs and -1.0 <= sp.rho <= 1.0
+
+    # distinct-n over the real text column
+    dn = {r.n: r for r in distinct_n(docs, "text").collect()}
+    assert set(dn) == {1, 2, 3}
+    assert all(0 < dn[n].distinct_ratio <= 1.0 for n in dn)
+    assert dn[3].distinct_ratio >= dn[1].distinct_ratio  # longer = rarer
+
+    # PCA + whitened top-k over the embeddings table (float[] input)
+    d = len(emb.first().embedding)
+    model = pca_train(emb, "embedding", d_out=min(4, d))
+    assert model["n_rows"] == emb.count() and model["d_in"] == d
+    white = pca_apply(emb, "embedding", model, whiten=True, renorm=True)
+    qid = emb.first().vec_id
+    top = cosine_topk(white, query_id=qid, k=5).collect()
+    assert len(top) == 5 and all(r.vec_id != qid for r in top)

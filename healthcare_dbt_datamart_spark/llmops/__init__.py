@@ -115,6 +115,7 @@ from .splits import (  # noqa: F401
     weighted_sample,
 )
 from .textstats import (  # noqa: F401
+    compression_ratio,
     langid_scores,
     lm_gated_funnel,
     logreg_score,

@@ -579,3 +579,63 @@ def quality_classifier(
         ).alias("score"),
         (z >= 0).cast("int").alias("keep"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap redundancy
+    signal web-corpus filters use beside the heuristic rules
+    (Gopher/Dolma-class pipelines drop documents whose bytes compress
+    too well: keyword-stuffed, template, or looping text compresses
+    far below prose). Pure function of the document bytes, so it runs
+    on the sanctioned Arrow ``mapInPandas`` path (the ``rouge_l``
+    class): batches stream through, no state, partitioning-invariant.
+
+    ``ratio = compressed_bytes / raw_bytes`` of the UTF-8 encoding at
+    the given zlib ``level`` — natural prose lands roughly 0.3–0.6,
+    hard loops approach 0. The ratio is a HEURISTIC gate, not a
+    hash-gated metric: zlib's exact output length is stable for a
+    given zlib build but not contractually pinned across builds, so
+    thresholds belong in config, not oracles (the byte counts are
+    exact ints for whatever build runs). NULL text keeps a visible
+    NULL-metric row. Returns ``(id, n_bytes, n_compressed, ratio)``
+    (6dp; empty text → ratio NULL)."""
+    import pandas as pd
+
+    if not 1 <= int(level) <= 9:
+        raise ValueError(f"level must be in [1, 9]: got {level!r}")
+    lvl = int(level)
+    proj = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(text_col).cast("string").alias("_t"),
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            out = []
+            for pid, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None or isinstance(t, float):
+                    out.append((pid, None, None, None))
+                    continue
+                raw = str(t).encode("utf-8")
+                if not raw:
+                    out.append((pid, 0, None, None))
+                    continue
+                comp = len(zlib.compress(raw, lvl))
+                out.append(
+                    (pid, len(raw), comp, round(comp / len(raw), 6))
+                )
+            yield pd.DataFrame(
+                out, columns=["_id", "n_bytes", "n_compressed", "ratio"]
+            )
+
+    return proj.mapInPandas(
+        batches,
+        "_id long, n_bytes long, n_compressed long, ratio double",
+    ).withColumnRenamed("_id", id_col)

@@ -3470,3 +3470,55 @@ def test_line_dedup_ccnet_semantics_replay_and_layout(spark):
 
     with pytest.raises(ValueError, match="min_copies"):
         line_dedup(df, "text", "doc_id", min_copies=1)
+
+
+def test_compression_ratio_orders_redundancy_and_layout(spark):
+    """zlib compression ratio: looping text compresses far below
+    prose, random-ish text compresses worst, values match a direct
+    zlib replay exactly (same build), NULL/empty rows stay visible,
+    and the output is layout-invariant."""
+    import zlib
+
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        compression_ratio,
+    )
+
+    loop = "spam ham " * 200
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "plumbers argue about copper fittings in a dim basement "
+    ) * 12
+    rand = " ".join(
+        f"w{(i * 7919) % 100000}x{(i * 104729) % 99991}" for i in range(250)
+    )
+    rows = [(1, loop), (2, prose), (3, rand), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    got = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    # exact replay against the local zlib build
+    for pid, t in rows:
+        if t:
+            raw = t.encode()
+            comp = len(zlib.compress(raw, 6))
+            assert got[pid].n_bytes == len(raw)
+            assert got[pid].n_compressed == comp
+            assert got[pid].ratio == round(comp / len(raw), 6)
+    assert got[1].ratio < got[2].ratio < got[3].ratio  # loop < prose < rand
+    assert got[1].ratio < 0.05
+    assert got[4].n_bytes is None and got[4].ratio is None
+    assert got[5].n_bytes == 0 and got[5].ratio is None
+
+    got13 = {
+        r.doc_id: r
+        for r in compression_ratio(
+            df.repartition(13), "text", "doc_id"
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in got13.items()} == {
+        k: tuple(v) for k, v in got.items()
+    }
+
+    with pytest.raises(ValueError, match="level"):
+        compression_ratio(df, "text", "doc_id", level=0)

@@ -1,0 +1,209 @@
+"""Measured 10x scaling ratios for the round-7 second-wave operators
+(the evaluation family + the new dedup/graph/embedding ops), which have
+no queries() slots yet and therefore no tools/scale_curve.py coverage.
+
+Same protocol as scale_curve.py (whose replica builder this reuses):
+run each operator on the driver's sf0.1 parquet and on a derived 10x
+replica, report wall-clock ratios. Linear-ish (~10x) = cost is
+scan/shuffle-proportional; >>10x would expose a super-linear term
+(pair blowups, driver collects, single-partition sorts); well below
+10x = fixed local-mode overhead still dominates.
+
+    python tools/scale_wave2.py [--copies N] [op ...]
+
+Prints one JSON line per op: {op, base_sec, scaled_sec, ratio}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tools.scale_curve import build_replica  # noqa: E402
+
+
+def _docs(spark, d):
+    return spark.read.parquet(f"{d}/documents.parquet")
+
+
+def _lineitem(spark, d):
+    return spark.read.parquet(f"{d}/lineitem.parquet")
+
+
+def _scored_lineitem(spark, d):
+    return _lineitem(spark, d).select(
+        (F.pmod(F.col("l_partkey"), F.lit(97)) / 96.0).alias("score"),
+        (F.col("l_orderkey") % 2).cast("int").alias("label"),
+    )
+
+
+def op_roc_auc(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import roc_auc
+
+    return roc_auc(_scored_lineitem(spark, d), "score", "label").count()
+
+
+def op_calibration(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_summary,
+    )
+
+    return calibration_summary(
+        _scored_lineitem(spark, d), "score", "label"
+    ).count()
+
+
+def op_spearman(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import spearman_rho
+
+    li = _lineitem(spark, d).select(
+        (F.pmod(F.col("l_partkey"), F.lit(997)) / 996.0).alias("x"),
+        (F.pmod(F.col("l_suppkey") * 13, F.lit(991)) / 990.0).alias("y"),
+    )
+    return spearman_rho(li, "x", "y").count()
+
+
+def op_bleu(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import bleu_corpus
+
+    pairs = _docs(spark, d).select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.concat_ws(" ", F.col("text"), F.lit("tail token")).alias("ref"),
+    )
+    return bleu_corpus(pairs, "cand", "ref", "doc_id").count()
+
+
+def op_rouge_l(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import rouge_l
+
+    pairs = _docs(spark, d).select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.reverse(F.col("text")).alias("ref"),
+    )
+    return rouge_l(pairs, "cand", "ref", "doc_id").count()
+
+
+def op_distinct_n(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import distinct_n
+
+    return distinct_n(_docs(spark, d), "text").count()
+
+
+def op_line_dedup(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.dedup import line_dedup
+
+    return line_dedup(_docs(spark, d), "text", "doc_id").count()
+
+
+def op_source_overlap(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.dedup import source_overlap_kmv
+
+    return source_overlap_kmv(_docs(spark, d), "source", "text").count()
+
+
+def op_krippendorff(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        krippendorff_alpha,
+    )
+
+    votes = spark.read.parquet(f"{d}/events.parquet").select(
+        F.pmod(F.col("user_id"), F.lit(5000)).alias("item_id"),
+        F.col("event_type").alias("label"),
+    )
+    return krippendorff_alpha(votes, "item_id", "label").count()
+
+
+def op_hits(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.graph import hits_fixedpoint
+
+    edges = _lineitem(spark, d).select(
+        F.pmod(F.col("l_partkey"), F.lit(20000)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(20000)).alias("dst"),
+    ).filter("src != dst")
+    return hits_fixedpoint(edges, n_iter=2).count()
+
+
+def op_pca(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.similarity import pca_train
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    return len(pca_train(emb, "embedding", d_out=4)["components"])
+
+
+def op_curriculum(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.splits import curriculum_report
+
+    return curriculum_report(
+        _docs(spark, d), "n_chars", "doc_id", [500.0, 2000.0]
+    ).count()
+
+
+OPS = {
+    "roc_auc": op_roc_auc,
+    "calibration_summary": op_calibration,
+    "spearman_rho": op_spearman,
+    "bleu_corpus": op_bleu,
+    "rouge_l": op_rouge_l,
+    "distinct_n": op_distinct_n,
+    "line_dedup": op_line_dedup,
+    "source_overlap_kmv": op_source_overlap,
+    "krippendorff_alpha": op_krippendorff,
+    "hits_fixedpoint": op_hits,
+    "pca_train": op_pca,
+    "curriculum_report": op_curriculum,
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    copies = 10
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    names = args or list(OPS)
+
+    from healthcare_dbt_datamart_spark.session import get_spark
+
+    spark = get_spark("scale-wave2")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    out_dir = tempfile.mkdtemp(prefix="spark-graft-wave2-")
+    try:
+        t0 = time.perf_counter()
+        build_replica(spark, base, out_dir, copies)
+        print(
+            f"# replica x{copies} built in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        for name in names:
+            fn = OPS[name]
+            fn(spark, base)  # warm codegen/session
+            t0 = time.perf_counter()
+            fn(spark, base)
+            base_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, out_dir)
+            scaled_sec = time.perf_counter() - t0
+            print(json.dumps({
+                "op": name,
+                "base_sec": round(base_sec, 3),
+                "scaled_sec": round(scaled_sec, 3),
+                "ratio": round(scaled_sec / max(base_sec, 1e-9), 2),
+            }))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

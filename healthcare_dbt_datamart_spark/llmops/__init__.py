@@ -43,6 +43,7 @@ from .drift import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     bleu_corpus,
+    calibration_by_group,
     calibration_report,
     calibration_summary,
     distinct_n,

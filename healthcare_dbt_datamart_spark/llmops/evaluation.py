@@ -250,12 +250,14 @@ def _bin_cells(
     label_col: str,
     n_bins: int,
     scale: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(bin, n, pos, s_sum, s2_sum, sy_sum, bad) — one corpus pass to
     at most ``n_bins + 1`` rows (``sy_sum`` = Σ_{y=1} quantized-score,
-    the Brier cross term). Scores outside [0, 1] land in bin −1 (kept
-    visible, never silently clamped); score == 1.0 belongs to the top
-    bin."""
+    the Brier cross term); per group (keyed ``grp``) when ``group_col``
+    is given. Scores outside [0, 1] land in bin −1 (kept visible,
+    never silently clamped); dirty rows land in a bin NULL cell;
+    score == 1.0 belongs to the top bin."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
@@ -275,15 +277,19 @@ def _bin_cells(
         f"cast(floor({score_col} * {score_col} * {int(scale)} + 0.5d)"
         " as bigint)"
     )
+    keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        F.col("bin")
+    ]
     return (
         df.select(
+            *([F.col(group_col)] if group_col else []),
             bin_.alias("bin"),
             F.when(ok, y).otherwise(F.lit(0)).alias("y"),
             F.when(ok & in_range, sq).otherwise(F.lit(0)).alias("sq"),
             F.when(ok & in_range, s2q).otherwise(F.lit(0)).alias("s2q"),
             (~ok).cast("bigint").alias("bad"),
         )
-        .groupBy("bin")
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").alias("pos"),
@@ -834,4 +840,96 @@ def spearman_rho(
     return spark.createDataFrame(
         [(n, int(sums.ncx), int(sums.ncy), round(rho, 6))],
         "n_rows bigint, n_x_cells bigint, n_y_cells bigint, rho double",
+    )
+
+
+def calibration_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group ECE / MCE / Brier — ``calibration_summary`` sliced by
+    language/domain (the ``roc_auc_by_group`` companion: a filter can
+    be calibrated on average while badly over-confident on one
+    language), fully in-plan: the same integer bin cells aggregate
+    under the group key, and every metric derives from per-group
+    BIGINT sums — one shuffle on (group, bin), one on the group, no
+    driver model state, no single-partition stage.
+
+    Report semantics: a group with dirty labels, out-of-range scores,
+    or no clean rows keeps its row with NULL metrics and visible
+    ``n_bad`` / ``n_oob`` counts. Returns one row per group:
+    ``(group, n_rows, n_pos, n_bad, n_oob, n_bins_used, ece, mce,
+    brier)`` (6dp).
+    """
+    if int(n_bins) < 2:
+        raise ValueError(f"n_bins must be >= 2: got {n_bins!r}")
+    scale = int(scale)
+    cells = _bin_cells(
+        df, score_col, label_col, int(n_bins), scale, group_col=group_col
+    )
+    gap_num = F.abs(F.col("s_sum") - F.lit(scale) * F.col("pos"))
+    clean = cells.filter(F.col("bin") >= 0).select(
+        "grp",
+        "n",
+        "pos",
+        "s2_sum",
+        "sy_sum",
+        gap_num.alias("gap_num"),
+        (gap_num.cast("double") / (F.col("n") * F.lit(scale)).cast("double"))
+        .alias("mce_term"),
+    )
+    clean_agg = clean.groupBy("grp").agg(
+        F.sum("n").alias("N"),
+        F.sum("pos").alias("npos"),
+        F.sum("gap_num").alias("gap_sum"),
+        F.max("mce_term").alias("mce"),
+        F.sum("s2_sum").alias("s2"),
+        F.sum("sy_sum").alias("sy"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    side = cells.groupBy("grp").agg(
+        F.sum("bad").alias("n_bad"),
+        F.sum(F.when(F.col("bin") == -1, F.col("n")).otherwise(0)).alias(
+            "n_oob"
+        ),
+    )
+    agg = side.join(clean_agg, "grp", "left")
+    n_d = F.col("N").cast("double")
+    ok = (
+        (F.col("n_bad") == 0)
+        & (F.col("n_oob") == 0)
+        & F.col("N").isNotNull()
+        & (F.coalesce(F.col("N"), F.lit(0)) > 0)
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.coalesce(F.col("N"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.col("npos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.col("n_oob").cast("bigint").alias("n_oob"),
+        F.coalesce(F.col("n_bins_used"), F.lit(0)).cast("int").alias(
+            "n_bins_used"
+        ),
+        F.when(
+            ok,
+            F.round(
+                F.col("gap_sum").cast("double") / (n_d * F.lit(scale)), 6
+            ),
+        ).alias("ece"),
+        F.when(ok, F.round(F.col("mce"), 6)).alias("mce"),
+        F.when(
+            ok,
+            F.round(
+                (
+                    F.col("s2") - F.lit(2) * F.col("sy")
+                    + F.lit(scale) * F.col("npos")
+                ).cast("double")
+                / (n_d * F.lit(scale)),
+                6,
+            ),
+        ).alias("brier"),
     )

@@ -712,3 +712,52 @@ def test_new_ops_on_driver_testdata(spark):
     qid = emb.first().vec_id
     top = cosine_topk(white, query_id=qid, k=5).collect()
     assert len(top) == 5 and all(r.vec_id != qid for r in top)
+
+
+def test_calibration_by_group_parity_and_degenerates(spark):
+    """Per-group calibration: clean groups match calibration_summary
+    on the same slice field-for-field; groups with dirty labels,
+    out-of-range scores, or only dirty rows keep visible rows with
+    NULL metrics and their n_bad/n_oob counts; layout-invariant."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_by_group,
+        calibration_summary,
+    )
+
+    base = _eval_rows()
+    rows = [("en", i, s, y) for i, s, y in base]
+    rows += [("fr", i, round(1.0 - s * 0.8, 6), 1 - y) for i, s, y in base[:150]]
+    rows += [("oob", 1, 1.5, 1), ("oob", 2, 0.5, 0)]   # out-of-range score
+    rows += [("dirty", 1, 0.5, 7)]                      # bad label only
+    df = spark.createDataFrame(
+        rows, "lang string, id int, score double, label int"
+    )
+
+    got = {r.lang: r for r in calibration_by_group(
+        df, "score", "label", "lang"
+    ).collect()}
+    assert set(got) == {"en", "fr", "oob", "dirty"}
+
+    for g in ("en", "fr"):
+        scalar = calibration_summary(
+            df.filter(F.col("lang") == g), "score", "label"
+        ).collect()[0]
+        r = got[g]
+        assert (
+            r.n_rows, r.n_pos, r.n_bins_used, r.ece, r.mce, r.brier
+        ) == tuple(scalar), g
+        assert (r.n_bad, r.n_oob) == (0, 0)
+
+    # out-of-range group: metrics NULL, the oob row visible and counted
+    assert got["oob"].ece is None and got["oob"].n_oob == 1
+    assert got["oob"].n_rows == 1  # the clean row still counted
+    # bad-only group: survives the join with zeroed counts
+    assert got["dirty"].ece is None
+    assert (got["dirty"].n_rows, got["dirty"].n_bad) == (0, 1)
+
+    got13 = {r.lang: r for r in calibration_by_group(
+        df.repartition(13), "score", "label", "lang"
+    ).collect()}
+    assert got13 == got

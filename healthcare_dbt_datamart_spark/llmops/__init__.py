@@ -47,6 +47,7 @@ from .evaluation import (  # noqa: F401
     calibration_report,
     calibration_summary,
     distinct_n,
+    ndcg_at_k,
     roc_auc,
     roc_auc_by_group,
     rouge_l,

@@ -933,3 +933,101 @@ def calibration_by_group(
             ),
         ).alias("brier"),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query NDCG@k (Järvelin & Kekäläinen 2002) — the ranking
+    metric that grades the retrieval stack (``bm25_topk``, the
+    IVF/PQ ANN family) against judged relevance, with the standard
+    exponential gain:
+
+        DCG@k  = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)
+        NDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the rel-sorted ideal)
+
+    Both rankings are deterministic: system order is (score desc,
+    id asc), ideal order is (rel desc, id asc) — ties can never make
+    the metric layout-dependent. All arithmetic is per-row doubles on
+    exact integer gains (rel grades validated integer 0–16, so
+    2^rel − 1 is exact), folded per query; both windows PARTITION BY
+    the query, so no single-partition stage exists at any query count
+    and the query key shuffles once per ranking.
+
+    Report semantics: a query with no relevant document (IDCG = 0)
+    keeps its row with ``ndcg`` NULL and counts visible; rows with
+    NULL score/rel RAISE (a judged pool with holes is an upstream
+    bug, not a slice to skip). Returns one row per query:
+    ``(query, n_docs, n_relevant, dcg, idcg, ndcg)`` (6dp).
+    """
+    from pyspark.sql.window import Window
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: got {k!r}")
+    chk = df.agg(
+        F.sum(
+            (
+                F.col(score_col).isNull()
+                | F.col(rel_col).isNull()
+                | (F.col(rel_col).cast("int") < 0)
+                | (F.col(rel_col).cast("int") > 16)
+                | (F.col(rel_col).cast("double")
+                   != F.col(rel_col).cast("int").cast("double"))
+            ).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(chk.nb or 0) > 0:
+        raise ValueError(
+            f"ndcg_at_k: {chk.nb} rows have NULL scores or non-integer/"
+            "out-of-[0,16] relevance grades — fix the judged pool"
+        )
+    gain = (
+        F.pow(F.lit(2.0), F.col(rel_col).cast("int").cast("double"))
+        - F.lit(1.0)
+    )
+    w_sys = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).cast("int").desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("q"),
+        gain.alias("g"),
+        F.row_number().over(w_sys).alias("r_sys"),
+        F.row_number().over(w_ideal).alias("r_ideal"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
+    out = ranked.groupBy(F.col("q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("g") > 0).cast("bigint")).alias("n_relevant"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("r_sys") <= int(k),
+                    F.col("g") / disc(F.col("r_sys")),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("dcg"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("r_ideal") <= int(k),
+                    F.col("g") / disc(F.col("r_ideal")),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("idcg"),
+    )
+    return out.withColumn(
+        "ndcg",
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ),
+    )

@@ -761,3 +761,121 @@ def test_calibration_by_group_parity_and_degenerates(spark):
         df.repartition(13), "score", "label", "lang"
     ).collect()}
     assert got13 == got
+
+
+def test_ndcg_at_k_known_values_replay_and_guards(spark):
+    """NDCG@k: perfect ranking scores exactly 1, an inverted ranking
+    matches the hand formula, the k cutoff drops late gains, zero-
+    relevance queries keep visible NULL rows, ties break on id
+    deterministically, a pure-Python replay agrees on every query, a
+    DuckDB window replay agrees, and dirty grades raise."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import ndcg_at_k
+
+    rows = [
+        # qA: system order == ideal order
+        ("qA", 1, 0.9, 3), ("qA", 2, 0.8, 2), ("qA", 3, 0.7, 1), ("qA", 4, 0.6, 0),
+        # qB: inverted
+        ("qB", 1, 0.9, 0), ("qB", 2, 0.8, 1), ("qB", 3, 0.7, 2), ("qB", 4, 0.6, 3),
+        # qC: nothing relevant
+        ("qC", 1, 0.9, 0), ("qC", 2, 0.8, 0),
+        # qD: tie scores -> id ascending decides; rel rides along
+        ("qD", 2, 0.5, 0), ("qD", 1, 0.5, 3),
+        # qE: deep list to exercise the k cutoff
+        *[("qE", i, 1.0 - i / 100.0, 1) for i in range(1, 16)],
+    ]
+    df = spark.createDataFrame(
+        rows, "query string, doc_id int, score double, rel int"
+    )
+    k = 10
+    got = {r.query: r for r in ndcg_at_k(
+        df, "query", "doc_id", "score", "rel", k=k
+    ).collect()}
+
+    def replay():
+        byq = defaultdict(list)
+        for q, d, s, rel in rows:
+            byq[q].append((d, s, rel))
+        out = {}
+        for q, docs in byq.items():
+            sys_o = sorted(docs, key=lambda t: (-t[1], t[0]))
+            ideal = sorted(docs, key=lambda t: (-t[2], t[0]))
+            dcg = sum(
+                (2 ** r - 1) / math.log2(i + 2)
+                for i, (_, _, r) in enumerate(sys_o[:k])
+            )
+            idcg = sum(
+                (2 ** r - 1) / math.log2(i + 2)
+                for i, (_, _, r) in enumerate(ideal[:k])
+            )
+            nd = (
+                round(round(dcg, 6) / round(idcg, 6), 6) if idcg > 0 else None
+            )
+            out[q] = (round(dcg, 6), round(idcg, 6), nd)
+        return out
+
+    expect = replay()
+    for q, (dcg, idcg, nd) in expect.items():
+        assert (got[q].dcg, got[q].idcg, got[q].ndcg) == (dcg, idcg, nd), q
+
+    assert got["qA"].ndcg == 1.0
+    assert got["qB"].ndcg is not None and got["qB"].ndcg < 0.8
+    assert got["qC"].ndcg is None and got["qC"].n_relevant == 0
+    # qD tie: id 1 (rel 3) ranks first -> perfect despite equal scores
+    assert got["qD"].ndcg == 1.0
+    # qE: 15 unit gains, only 10 count in both dcg and idcg -> 1.0
+    assert got["qE"].n_docs == 15 and got["qE"].ndcg == 1.0
+
+    # layout invariance
+    got13 = {r.query: r for r in ndcg_at_k(
+        df.repartition(13), "query", "doc_id", "score", "rel", k=k
+    ).collect()}
+    assert got13 == got
+
+    # DuckDB window replay
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(f"""
+        WITH ranked AS (
+          SELECT query, POW(2, rel) - 1 AS g,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY score DESC, doc_id ASC) r_sys,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY rel DESC, doc_id ASC) r_ideal
+          FROM t
+        )
+        SELECT query,
+               ROUND(SUM(CASE WHEN r_sys <= {k}
+                 THEN g / log2(r_sys + 1.0) ELSE 0 END), 6) dcg,
+               ROUND(SUM(CASE WHEN r_ideal <= {k}
+                 THEN g / log2(r_ideal + 1.0) ELSE 0 END), 6) idcg
+        FROM ranked GROUP BY 1
+    """).fetchall()
+    }
+    for q in got:
+        assert o[q] == (got[q].dcg, got[q].idcg), q
+
+    # guards
+    with pytest.raises(ValueError, match="judged pool"):
+        ndcg_at_k(
+            spark.createDataFrame(
+                [("q", 1, 0.5, None)],
+                "query string, doc_id int, score double, rel int",
+            ),
+            "query", "doc_id", "score", "rel",
+        )
+    bad = spark.createDataFrame(
+        [("q", 1, 0.5, 2.5)],
+        "query string, doc_id int, score double, rel double",
+    )
+    with pytest.raises(ValueError, match="judged pool"):
+        ndcg_at_k(bad, "query", "doc_id", "score", "rel")
+    with pytest.raises(ValueError, match="k must"):
+        ndcg_at_k(df, "query", "doc_id", "score", "rel", k=0)

@@ -879,3 +879,65 @@ def test_ndcg_at_k_known_values_replay_and_guards(spark):
         ndcg_at_k(bad, "query", "doc_id", "score", "rel")
     with pytest.raises(ValueError, match="k must"):
         ndcg_at_k(df, "query", "doc_id", "score", "rel", k=0)
+
+
+def test_source_data_card_replay_and_testdata(spark):
+    """Per-source data card: dup/token/language columns replay exactly
+    in pure Python on a synthetic corpus (incl. a NULL-text doc folded
+    as the empty document), quality columns are deterministic under
+    repartitioning, and the card runs clean over the real sf0.001
+    documents table with one row per source."""
+    from collections import Counter, defaultdict
+
+    from healthcare_dbt_datamart_spark.models.data_card import (
+        source_data_card,
+    )
+
+    rows = [
+        (1, "srcA", "en", "the quick brown fox"),
+        (2, "srcA", "en", "the quick brown fox"),      # exact dup
+        (3, "srcA", "fr", "le renard brun rapide et vif"),
+        (4, "srcB", "de", None),                        # NULL text
+        (5, "srcB", "de", "der schnelle braune fuchs"),
+        (6, "srcB", "en", "short one"),
+        (7, "srcB", "en", "short one"),                 # dup in B
+        (8, "srcB", "en", "short one"),                 # triplicate
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, source string, lang string, text string"
+    )
+    got = {r.source: r for r in source_data_card(df).collect()}
+
+    by_src = defaultdict(list)
+    for _, s, l, t in rows:
+        by_src[s].append((l, t or ""))
+    for s, docs in by_src.items():
+        r = got[s]
+        assert r.n_docs == len(docs)
+        fp = Counter(t for _, t in docs)
+        assert r.n_exact_dup_docs == sum(c - 1 for c in fp.values())
+        assert r.dup_rate == round(
+            sum(c - 1 for c in fp.values()) / len(docs), 6
+        )
+        toks = sum(len(t.split()) for _, t in docs)
+        assert r.total_tokens == toks
+        assert r.mean_tokens == round(toks / len(docs), 6)
+        langs = Counter(l for l, _ in docs)
+        top = min(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.majority_lang == top and r.n_langs == len(langs)
+        assert 0.0 <= r.mean_quality <= 1.0
+        assert 0.0 <= r.keep_rate <= 1.0
+
+    # layout invariance (incl. the quantized quality mean)
+    got13 = {
+        r.source: r for r in source_data_card(df.repartition(13)).collect()
+    }
+    assert got13 == got
+
+    # the real driver table: one row per source, sane ranges
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = source_data_card(docs).collect()
+    assert len(card) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in card) == docs.count()
+    assert all(0.0 <= r.dup_rate <= 1.0 for r in card)
+    assert all(r.majority_lang is not None for r in card)

@@ -48,6 +48,7 @@ from .evaluation import (  # noqa: F401
     calibration_summary,
     distinct_n,
     ndcg_at_k,
+    retrieval_metrics,
     roc_auc,
     roc_auc_by_group,
     rouge_l,

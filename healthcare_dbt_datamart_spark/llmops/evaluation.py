@@ -1031,3 +1031,86 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
         ),
     )
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query binary retrieval metrics beside ``ndcg_at_k``: MRR,
+    precision@k and recall@k over a judged pool (``rel_col`` coerced
+    to the binary relevant/not — grade > 0 counts as relevant, the
+    NDCG input convention). System order is the same deterministic
+    (score desc, id asc) ranking, one window partitioned by the query;
+    every numerator is an integer count, the three ratios are single
+    6dp divisions.
+
+        MRR        = 1 / rank of the first relevant document
+        P@k        = relevant in top-k / k
+        R@k        = relevant in top-k / total relevant
+
+    Report semantics: a query with no relevant document keeps its row
+    with NULL mrr/recall (precision is a true 0 there — the system
+    retrieved k irrelevant docs); NULL scores/grades RAISE (the
+    ``ndcg_at_k`` guard). Returns one row per query:
+    ``(query, n_docs, n_relevant, first_rel_rank, mrr,
+    precision_at_k, recall_at_k)``.
+    """
+    from pyspark.sql.window import Window
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: got {k!r}")
+    chk = df.agg(
+        F.sum(
+            (F.col(score_col).isNull() | F.col(rel_col).isNull())
+            .cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(chk.nb or 0) > 0:
+        raise ValueError(
+            f"retrieval_metrics: {chk.nb} rows have NULL scores or"
+            " relevance grades — fix the judged pool"
+        )
+    rel = (F.col(rel_col).cast("double") > 0).cast("int")
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("q"),
+        rel.alias("rel"),
+        F.row_number().over(w).alias("r"),
+    )
+    out = ranked.groupBy(F.col("q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.min(F.when(F.col("rel") == 1, F.col("r"))).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            ((F.col("r") <= int(k)) & (F.col("rel") == 1)).cast("bigint")
+        ).alias("_hits"),
+    )
+    return out.select(
+        query_col,
+        "n_docs",
+        "n_relevant",
+        "first_rel_rank",
+        F.round(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6
+        ).alias("mrr"),
+        F.round(F.col("_hits").cast("double") / F.lit(float(k)), 6).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(
+                F.col("_hits").cast("double")
+                / F.col("n_relevant").cast("double"),
+                6,
+            ),
+        ).alias("recall_at_k"),
+    )

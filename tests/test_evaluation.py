@@ -941,3 +941,99 @@ def test_source_data_card_replay_and_testdata(spark):
     assert sum(r.n_docs for r in card) == docs.count()
     assert all(0.0 <= r.dup_rate <= 1.0 for r in card)
     assert all(r.majority_lang is not None for r in card)
+
+
+def test_retrieval_metrics_known_values_and_replay(spark):
+    """MRR / P@k / R@k: hand-checked knowns (first-hit rank, cutoff
+    arithmetic, graded rel coerced to binary), a pure-Python replay on
+    every query, NULL-safe zero-relevance rows, DuckDB replay, layout
+    invariance, and the dirty-pool guard."""
+    from collections import defaultdict
+
+    import duckdb
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        retrieval_metrics,
+    )
+
+    rows = [
+        ("qA", 1, 0.9, 0), ("qA", 2, 0.8, 3), ("qA", 3, 0.7, 0),
+        ("qA", 4, 0.6, 1),
+        ("qB", 1, 0.9, 0), ("qB", 2, 0.8, 0),
+        *[("qC", i, 1.0 - i / 100.0, 1 if i % 3 == 0 else 0)
+          for i in range(1, 13)],
+    ]
+    df = spark.createDataFrame(
+        rows, "query string, doc_id int, score double, rel int"
+    )
+    k = 3
+    got = {r.query: r for r in retrieval_metrics(
+        df, "query", "doc_id", "score", "rel", k=k
+    ).collect()}
+
+    byq = defaultdict(list)
+    for q, d, s, r in rows:
+        byq[q].append((d, s, 1 if r > 0 else 0))
+    for q, docs in byq.items():
+        order = [r for _, _, r in sorted(docs, key=lambda t: (-t[1], t[0]))]
+        n_rel = sum(order)
+        first = order.index(1) + 1 if n_rel else None
+        hits = sum(order[:k])
+        g = got[q]
+        assert g.n_docs == len(order) and g.n_relevant == n_rel
+        assert g.first_rel_rank == first
+        assert g.mrr == (round(1 / first, 6) if first else None)
+        assert g.precision_at_k == round(hits / k, 6)
+        assert g.recall_at_k == (round(hits / n_rel, 6) if n_rel else None)
+
+    # knowns: qA's first relevant is rank 2 -> MRR 0.5; graded rel 3
+    # counts as binary relevant
+    assert got["qA"].mrr == 0.5
+    assert got["qA"].precision_at_k == round(1 / 3, 6)
+    assert got["qA"].recall_at_k == 0.5
+    # zero-relevance query: precision true 0, mrr/recall NULL
+    assert got["qB"].precision_at_k == 0.0
+    assert got["qB"].mrr is None and got["qB"].recall_at_k is None
+
+    got13 = {r.query: r for r in retrieval_metrics(
+        df.repartition(13), "query", "doc_id", "score", "rel", k=k
+    ).collect()}
+    assert got13 == got
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"""
+        WITH ranked AS (
+          SELECT query, CASE WHEN rel > 0 THEN 1 ELSE 0 END rel,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY score DESC, doc_id ASC) r
+          FROM t
+        )
+        SELECT query,
+               ROUND(1.0 / MIN(CASE WHEN rel = 1 THEN r END), 6),
+               ROUND(SUM(CASE WHEN r <= {k} AND rel = 1 THEN 1
+                     ELSE 0 END) / {k}.0, 6),
+               CASE WHEN SUM(rel) > 0 THEN
+                 ROUND(SUM(CASE WHEN r <= {k} AND rel = 1 THEN 1
+                       ELSE 0 END) / CAST(SUM(rel) AS DOUBLE), 6) END
+        FROM ranked GROUP BY 1
+    """).fetchall()
+    }
+    for q in got:
+        assert o[q] == (
+            got[q].mrr, got[q].precision_at_k, got[q].recall_at_k
+        ), q
+
+    with pytest.raises(ValueError, match="judged pool"):
+        retrieval_metrics(
+            spark.createDataFrame(
+                [("q", 1, None, 1)],
+                "query string, doc_id int, score double, rel int",
+            ),
+            "query", "doc_id", "score", "rel",
+        )
+    with pytest.raises(ValueError, match="k must"):
+        retrieval_metrics(df, "query", "doc_id", "score", "rel", k=0)

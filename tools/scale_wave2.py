@@ -148,8 +148,61 @@ def op_curriculum(spark, d):
     ).count()
 
 
+def _judged_pool(spark, d):
+    li = _lineitem(spark, d)
+    return li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(50000)).alias("query"),
+        F.col("l_partkey").alias("doc_id"),
+        (F.pmod(F.col("l_suppkey"), F.lit(97)) / 96.0).alias("score"),
+        F.pmod(F.col("l_partkey"), F.lit(4)).cast("int").alias("rel"),
+    )
+
+
+def op_ndcg(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import ndcg_at_k
+
+    return ndcg_at_k(
+        _judged_pool(spark, d), "query", "doc_id", "score", "rel"
+    ).count()
+
+
+def op_retrieval_metrics(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        retrieval_metrics,
+    )
+
+    return retrieval_metrics(
+        _judged_pool(spark, d), "query", "doc_id", "score", "rel"
+    ).count()
+
+
+def op_calibration_by_group(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_by_group,
+    )
+
+    li = _lineitem(spark, d).select(
+        F.col("l_returnflag").alias("grp"),
+        (F.pmod(F.col("l_partkey"), F.lit(97)) / 96.0).alias("score"),
+        (F.col("l_orderkey") % 2).cast("int").alias("label"),
+    )
+    return calibration_by_group(li, "score", "label", "grp").count()
+
+
+def op_data_card(spark, d):
+    from healthcare_dbt_datamart_spark.models.data_card import (
+        source_data_card,
+    )
+
+    return source_data_card(_docs(spark, d)).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
+    "ndcg_at_k": op_ndcg,
+    "retrieval_metrics": op_retrieval_metrics,
+    "calibration_by_group": op_calibration_by_group,
+    "source_data_card": op_data_card,
     "calibration_summary": op_calibration,
     "spearman_rho": op_spearman,
     "bleu_corpus": op_bleu,

@@ -85,6 +85,7 @@ from .similarity import (  # noqa: F401
     ivfpq_index_upsert,
     load_ann_model,
     matryoshka_truncate,
+    mmr_rerank,
     pca_apply,
     pca_train,
     pq_codebooks_trained,

@@ -1826,3 +1826,84 @@ def matryoshka_truncate(
     return df.withColumn(
         vec_col, F.when(F.size(v) >= int(d_out), out)
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity-aware post-processor retrieval stacks run on an
+    ANN candidate pool so the final k isn't k near-duplicates of the
+    best hit. Greedy selection:
+
+        next = argmax_c  λ·sim(q, c) − (1 − λ)·max_{s ∈ selected} sim(c, s)
+
+    Two-stage shape: the DISTRIBUTED stage is the plain ``cosine_topk``
+    scan (or any ANN operator) cutting the corpus to a ``pool``-sized
+    candidate set; the greedy stage then runs on the DRIVER over that
+    bounded pool (pool·d floats of model state, the Lloyd-codebook
+    class) — MMR's selected-set dependency makes each pick depend on
+    all previous picks, so it is inherently sequential and belongs on
+    bounded data, never the corpus. Deterministic: candidate pool order
+    comes from ``cosine_topk``'s (cosine desc, id asc), pairwise sims
+    are driver floats of the collected 6dp-rounded vectors, and ties
+    break on the smaller id.
+
+    Returns k rows: ``(id, mmr_rank, relevance, redundancy,
+    mmr_score)`` — ``redundancy`` is the max similarity to the
+    already-selected set at pick time (0 for the first pick).
+    """
+    import math
+
+    if not 0.0 < float(lam) <= 1.0:
+        raise ValueError(f"lam must be in (0, 1]: got {lam!r}")
+    if not 1 <= int(k) <= int(pool):
+        raise ValueError(f"need 1 <= k <= pool: got k={k!r}, pool={pool!r}")
+    top = cosine_topk(emb, query_id, k=int(pool), id_col=id_col,
+                      vec_col=vec_col)
+    cand = (
+        top.join(emb.select(id_col, vec_col), id_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .collect()
+    )  # bounded: pool rows of (id, cosine, vector) model state
+    if not cand:
+        raise ValueError(f"mmr_rerank: query {query_id!r} not found or "
+                         "corpus has no other vectors")
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    items = [(r[id_col], float(r.cosine), list(r[vec_col])) for r in cand]
+    selected, out = [], []
+    remaining = list(items)
+    lam = float(lam)
+    for rank in range(1, int(k) + 1):
+        best = None
+        for cid, rel, vec in remaining:
+            red = max((cos(vec, sv) for _, _, sv in selected), default=0.0)
+            score = lam * rel - (1.0 - lam) * red
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, red, score, vec)
+        _, cid, rel, red, score, vec = best
+        selected.append((cid, rel, vec))
+        remaining = [t for t in remaining if t[0] != cid]
+        out.append((cid, rank, round(rel, 6), round(red, 6),
+                    round(score, 6)))
+        if not remaining:
+            break
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out,
+        f"{id_col} long, mmr_rank int, relevance double,"
+        " redundancy double, mmr_score double",
+    )

@@ -1037,3 +1037,80 @@ def test_retrieval_metrics_known_values_and_replay(spark):
         )
     with pytest.raises(ValueError, match="k must"):
         retrieval_metrics(df, "query", "doc_id", "score", "rel", k=0)
+
+
+def test_mmr_rerank_diversifies_and_replays(spark):
+    """MMR: lambda=1 degenerates exactly to cosine top-k order; at
+    lambda=0.5 a near-duplicate cluster stops monopolizing the top
+    ranks and the off-cluster item enters early; redundancy columns
+    match an independent numpy replay; deterministic under
+    repartitioning; guards raise."""
+    import numpy as np
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    # query 0; ids 1-5 near-identical to the query (a dup cluster);
+    # id 10 moderately relevant but orthogonal to the cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]), (2, [0.998, 0.02, 0.0]),
+        (3, [0.997, 0.03, 0.0]), (4, [0.996, 0.04, 0.0]),
+        (5, [0.995, 0.05, 0.0]),
+        (10, [0.6, 0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    # lambda = 1: pure relevance == cosine_topk order
+    plain = [r.vec_id for r in cosine_topk(df, 0, k=4).collect()]
+    mmr1 = [r.vec_id for r in mmr_rerank(df, 0, k=4, pool=6, lam=1.0).collect()]
+    assert mmr1 == plain == [1, 2, 3, 4]
+
+    # lambda = 0.5: the orthogonal item breaks into rank 2
+    got = mmr_rerank(df, 0, k=4, pool=6, lam=0.5).collect()
+    order = [r.vec_id for r in got]
+    assert order[0] == 1          # most relevant first, redundancy 0
+    assert got[0].redundancy == 0.0
+    assert 10 in order[:2]        # diversity pulls the off-cluster item up
+    assert got[order.index(10)].redundancy < 0.7
+
+    # numpy replay of the greedy (same pool, same formula)
+    vecs = {i: np.array(v) for i, v in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    pool = sorted(
+        ((round(cos(vecs[i], q), 6), i) for i in vecs if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    sel, expect = [], []
+    remaining = [(i, rel) for rel, i in pool]
+    for rank in range(1, 5):
+        best = None
+        for i, rel in remaining:
+            red = max((cos(vecs[i], vecs[s]) for s in sel), default=0.0)
+            score = 0.5 * rel - 0.5 * red
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, rel, red, score)
+        _, i, rel, red, score = best
+        sel.append(i)
+        remaining = [t for t in remaining if t[0] != i]
+        expect.append((i, rank, round(rel, 6), round(red, 6), round(score, 6)))
+    assert [tuple(r) for r in got] == expect
+
+    # determinism under layout change
+    got13 = mmr_rerank(df.repartition(13), 0, k=4, pool=6, lam=0.5).collect()
+    assert [tuple(r) for r in got13] == [tuple(r) for r in got]
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, 0, lam=0.0)
+    with pytest.raises(ValueError, match="k <= pool"):
+        mmr_rerank(df, 0, k=10, pool=5)
+    with pytest.raises(ValueError, match="not found"):
+        mmr_rerank(df, 999, k=2, pool=3)

@@ -741,7 +741,9 @@ def line_dedup(
     Normalization for matching (hash input only; surviving lines keep
     their original bytes): lowercase + trim + whitespace-collapse.
     Blank lines never count as duplicates and are always preserved —
-    they carry paragraph structure, not content.
+    they carry paragraph structure, not content. A NULL text coalesces
+    to the empty string (one blank line), so the document keeps its
+    accounting row instead of vanishing from the output.
 
     Scale shape: one posexplode pass over the corpus, one partial-agg
     groupBy on the line hash (count and min-(id,pos) winner in the SAME
@@ -759,7 +761,9 @@ def line_dedup(
         raise ValueError(f"min_copies must be >= 2: got {min_copies!r}")
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
     keyed = lines.withColumn("_k", F.when(norm != "", F.md5(norm)))

@@ -214,8 +214,14 @@ def roc_auc_by_group(
         F.count(F.lit(1)).alias("n_cells"),
     )
     # LEFT from the bad side: a group holding ONLY dirty rows still
-    # surfaces (n_rows 0, auc NULL) instead of vanishing
-    agg = bad.join(clean_agg, "grp", "left").select(
+    # surfaces (n_rows 0, auc NULL) instead of vanishing. NULL-safe
+    # join key: a NULL group is a legitimate slice and a plain equi-join
+    # would drop its clean aggregates (n_rows 0 despite clean rows).
+    agg = bad.alias("b").join(
+        clean_agg.alias("c"),
+        F.col("b.grp").eqNullSafe(F.col("c.grp")),
+        "left",
+    ).drop(F.col("c.grp")).select(
         "grp",
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("np", F.lit(0)).alias("np"),
@@ -818,9 +824,18 @@ def spearman_rho(
         .agg(
             F.sum(F.col("r_x").cast(d38)).alias("sx"),
             F.sum(F.col("r_y").cast(d38)).alias("sy"),
-            F.sum((F.col("r_x") * F.col("r_y")).cast(d38)).alias("sxy"),
-            F.sum((F.col("r_x") * F.col("r_x")).cast(d38)).alias("sxx"),
-            F.sum((F.col("r_y") * F.col("r_y")).cast(d38)).alias("syy"),
+            # cast each operand BEFORE multiplying: doubled ranks reach
+            # 2n, so a BIGINT product overflows at n ~ 1.5e9 rows —
+            # decimal(38,0) operands keep the product exact
+            F.sum(F.col("r_x").cast(d38) * F.col("r_y").cast(d38)).alias(
+                "sxy"
+            ),
+            F.sum(F.col("r_x").cast(d38) * F.col("r_x").cast(d38)).alias(
+                "sxx"
+            ),
+            F.sum(F.col("r_y").cast(d38) * F.col("r_y").cast(d38)).alias(
+                "syy"
+            ),
             F.count_distinct("xq").alias("ncx"),
             F.count_distinct("yq").alias("ncy"),
         )
@@ -897,7 +912,13 @@ def calibration_by_group(
             "n_oob"
         ),
     )
-    agg = side.join(clean_agg, "grp", "left")
+    # NULL-safe join key: a NULL group slice keeps its clean aggregates
+    # (same fix as roc_auc_by_group — NULL never equi-matches).
+    agg = side.alias("b").join(
+        clean_agg.alias("c"),
+        F.col("b.grp").eqNullSafe(F.col("c.grp")),
+        "left",
+    ).drop(F.col("c.grp"))
     n_d = F.col("N").cast("double")
     ok = (
         (F.col("n_bad") == 0)

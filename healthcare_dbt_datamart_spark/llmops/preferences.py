@@ -505,7 +505,11 @@ def krippendorff_alpha(
     """
     from fractions import Fraction
 
-    cells = votes.groupBy(
+    # NULL labels are MISSING ratings, not a category: keeping them
+    # would let two missing ratings on one unit count as agreement.
+    # Dropping them shrinks that unit's m (possibly to unpairable),
+    # which is exactly Krippendorff's treatment of missing data.
+    cells = votes.filter(F.col(label_col).isNotNull()).groupBy(
         F.col(item_col).alias("item"), F.col(label_col).alias("lab")
     ).agg(F.count(F.lit(1)).alias("n_uc"))
     per_item = cells.groupBy("item").agg(

@@ -47,7 +47,10 @@ def calib_cells_merge_batch(
         mark = cur.filter(F.col("bin") == _META_BIN).select("n").collect()
         if mark and batch_id <= mark[0][0]:
             return False  # replay of an already-applied batch
-        base = cur.filter(F.col("bin") != _META_BIN)
+        # NULL-safe: the dirty-row counter cell from _bin_cells carries
+        # bin = NULL, and `bin != -2` evaluates to NULL on it — a plain
+        # filter would silently drop merged dirty counts every batch.
+        base = cur.filter(~F.col("bin").eqNullSafe(F.lit(_META_BIN)))
         merged = (
             base.unionByName(batch_cells)
             .groupBy("bin")
@@ -119,7 +122,9 @@ def calibration_from_cells(
 
     rows = (
         spark.table(target_table)
-        .filter(F.col("bin") != _META_BIN)
+        # NULL-safe: keep the NULL-bin dirty cell so the fold raises on
+        # dirty input exactly like the batch path (parity guarantee)
+        .filter(~F.col("bin").eqNullSafe(F.lit(_META_BIN)))
         .collect()
     )
     vals = scorecard_from_cells(rows, int(scale))

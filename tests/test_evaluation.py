@@ -316,6 +316,50 @@ def test_roc_auc_by_group_parity_degenerates_and_duckdb(spark):
         assert oracle[g] == got[g].auc
 
 
+def test_by_group_null_group_slice_keeps_clean_aggregates(spark):
+    """A NULL group key is a legitimate slice: the bad-side left join
+    must be NULL-safe or the slice's clean aggregates vanish (n_rows 0,
+    NULL metrics despite clean rows) — r7 ADVICE finding on both
+    roc_auc_by_group and calibration_by_group."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_by_group,
+        calibration_summary,
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    base = _eval_rows()
+    rows = [("en", i, s, y) for i, s, y in base]
+    rows += [(None, i, s, y) for i, s, y in base[:120]]
+    df = spark.createDataFrame(
+        rows, "lang string, id int, score double, label int"
+    )
+    null_slice = df.filter(F.col("lang").isNull())
+
+    got = {r.lang: r for r in roc_auc_by_group(
+        df, "score", "label", "lang"
+    ).collect()}
+    assert set(got) == {"en", None}
+    scalar = roc_auc(null_slice, "score", "label").collect()[0]
+    r = got[None]
+    assert (r.n_rows, r.n_pos, r.n_neg, r.n_bad, r.auc) == (
+        scalar.n_rows, scalar.n_pos, scalar.n_neg, 0, scalar.auc,
+    )
+    assert r.n_rows == 120 and r.auc is not None
+
+    cal = {r.lang: r for r in calibration_by_group(
+        df, "score", "label", "lang"
+    ).collect()}
+    expected = calibration_summary(null_slice, "score", "label").collect()[0]
+    c = cal[None]
+    assert (c.n_rows, c.n_pos, c.ece, c.mce, c.brier) == (
+        expected.n_rows, expected.n_pos, expected.ece,
+        expected.mce, expected.brier,
+    )
+
+
 def test_bleu_corpus_known_values_replay_and_guards(spark):
     """Corpus BLEU: perfect match scores exactly 1, the textbook
     clipping case caps repeated-token credit, disjoint outputs score 0

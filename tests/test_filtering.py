@@ -1820,6 +1820,27 @@ def test_krippendorff_alpha_bruteforce_ragged_and_duckdb(spark):
     with pytest.raises(ValueError, match="pairable"):
         krippendorff_alpha(solo)
 
+    # NULL labels are MISSING ratings, not a category (r7 ADVICE):
+    # adding NULL votes must not change alpha, and a unit reduced to
+    # one real rating becomes unpairable instead of "agreeing with
+    # itself" through two NULLs.
+    clean = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "x"), (2, "b", "y"),
+         (3, "a", "y"), (3, "b", "y")],
+        "item_id long, annotator_id string, label string",
+    )
+    base_row = krippendorff_alpha(clean).collect()[0]
+    with_nulls = clean.unionByName(spark.createDataFrame(
+        [(1, "c", None), (4, "a", None), (4, "b", None), (5, "a", "x"),
+         (5, "b", None)],
+        "item_id long, annotator_id string, label string",
+    ))
+    got_nulls = krippendorff_alpha(with_nulls).collect()[0]
+    assert got_nulls.alpha == base_row.alpha
+    assert got_nulls.n_values == base_row.n_values
+    # unit 5 kept one real rating -> unpairable and counted as such
+    assert got_nulls.n_unpairable == base_row.n_unpairable + 1
+
 
 def test_weighted_consensus_flips_noisy_tie_and_replays(spark):
     """Dawid-Skene-style reweighting: a tie that unweighted majority
@@ -3475,6 +3496,23 @@ def test_line_dedup_ccnet_semantics_replay_and_layout(spark):
 
     with pytest.raises(ValueError, match="min_copies"):
         line_dedup(df, "text", "doc_id", min_copies=1)
+
+    # NULL text coalesces to one blank line: the doc keeps a visible
+    # accounting row (r7 ADVICE — split(NULL) emitted no rows and the
+    # doc vanished), and other docs' counts are untouched
+    with_null = df.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    got_null = {
+        r.doc_id: r for r in line_dedup(with_null, "text", "doc_id").collect()
+    }
+    assert 99 in got_null
+    assert got_null[99].text_deduped == ""
+    assert (got_null[99].n_lines, got_null[99].n_lines_dropped) == (1, 0)
+    for i, r in got.items():
+        assert (got_null[i].text_deduped, got_null[i].n_lines_dropped) == (
+            r.text_deduped, r.n_lines_dropped,
+        )
 
 
 def test_compression_ratio_orders_redundancy_and_layout(spark):

@@ -3055,3 +3055,52 @@ def test_streaming_calibration_ingest_matches_batch_and_replay(spark, tmp_path):
         expected.ece, expected.mce, expected.brier,
     )
     spark.sql("DROP TABLE cal_stream_t")
+
+
+def test_streaming_calibration_dirty_batch_raises_like_batch(spark):
+    """The dirty-row counter cell from _bin_cells carries bin = NULL;
+    the merge and the read-back filter must be NULL-safe so merged
+    dirty counts survive (`bin != -2` on a NULL bin silently dropped
+    the cell) and the live scorecard raises on dirty input exactly
+    like the batch path — r7 ADVICE repro: a label=2 row made the
+    batch path raise while the streamed path returned a scorecard
+    over a silently reduced population."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _bin_cells,
+        calibration_summary,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        calib_cells_merge_batch,
+        calibration_from_cells,
+    )
+
+    clean = spark.createDataFrame(
+        [(0, 0.2, 0), (1, 0.9, 1)], "seq long, score double, label int"
+    )
+    dirty = spark.createDataFrame(
+        [(2, 0.5, 1), (3, 0.4, 2), (4, None, 0)],
+        "seq long, score double, label int",
+    )
+    with pytest.raises(ValueError, match="NULL scores or"):
+        calibration_summary(clean.unionByName(dirty), "score", "label")
+
+    spark.sql("DROP TABLE IF EXISTS cal_dirty_t")
+    for bid, batch in enumerate([clean, dirty]):
+        assert calib_cells_merge_batch(
+            spark,
+            "cal_dirty_t",
+            _bin_cells(batch, "score", "label", 10, 10**6),
+            bid,
+        ) is True
+    # the NULL-bin dirty cell survived BOTH the merge filter and the
+    # merge groupBy: 2 dirty rows are on the table...
+    dirty_cells = (
+        spark.table("cal_dirty_t").filter(F.col("bin").isNull()).collect()
+    )
+    assert len(dirty_cells) == 1 and dirty_cells[0].bad == 2
+    # ...and the live scorecard raises, batch-parity preserved
+    with pytest.raises(ValueError, match="NULL scores or"):
+        calibration_from_cells(spark, "cal_dirty_t")
+    spark.sql("DROP TABLE cal_dirty_t")

@@ -3858,30 +3858,97 @@ SCHEDULED_NEXT_WINDOW = [
 # embeddings feeding cosine_topk — see the integration pytest).
 
 QUERIES = {
-    # === ROUND-7 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===
     #
-    # Rotation executed per the round-6 verdict contract: the 6
-    # SCHEDULED_NEXT_WINDOW promotions (born after the round-6 rotation,
-    # never driver-checked) MUST lead, and the 44 of the 47 round-3
-    # greens at their cycle-4 cadence deadline fill the rest. 6 + 44 =
-    # 50 exactly; the 3 cheapest-to-defer round-3 entries (each with an
-    # r6-green sibling gating its code path and a hash-grade in-test
-    # DuckDB replay, tests/test_deferral_replays.py) sit directly below
-    # and are MANDATORY in the round-8 window.
-    # `tools/audit_window.py` machine-checks this.
-    # -- (0) first driver rows: the round-6 promotion cohort
-    #    (preference/sketch/bootstrap family) ---------------------------
+    # Rotation executed per the round-7 verdict contract (machine-checked
+    # by tools/audit_window.py): the 6 SCHEDULED_NEXT_WINDOW promotions
+    # (born after the round-7 rotation, never driver-checked) MUST lead;
+    # the 3 round-3 deferrals are MANDATORY at evidence age 5 (strict
+    # tier); 41 of the 50 round-5 greens (age 3) fill the rest.
+    # 6 + 3 + 41 = 50 exactly. The 9 round-5 greens left below are ALL
+    # settled-tier (>= 3 distinct driver-green rounds -> 2x-cycle
+    # allowance 8 > age), so audit_window flags NOTHING this round.
+    # -- (0) first driver rows: the round-7 promotion cohort ------------
+    "bigram_interp_scores": q_bigram_interp_scores,
+    "hll_by_group": q_hll_by_group,
+    "bootstrap_diff_ci": q_bootstrap_diff_ci,
+    "token_balanced_shards": q_token_balanced_shards,
+    "pass_at_k": q_pass_at_k,
+    "fleiss_kappa": q_fleiss_kappa,
+    # -- (1) the mandatory deferral trio (round-3 green, age 5; each
+    #    carried an in-test DuckDB replay while it waited —
+    #    tests/test_deferral_replays.py) --------------------------------
+    #    (pq_rerank is the session's first PQ query in dict order, so it
+    #     pays the one-time PQ-codebook Lloyd fit in bench attribution;
+    #     semantic_contamination below is the first coarse-quantizer
+    #     query and pays the coarse fit)
+    "pq_rerank": q_pq_rerank,
+    "multimodal_decode": q_multimodal_decode,
+    "datamart_dag": q_datamart_dag,
+    # -- (2) round-5 green, at their cycle-4 cadence deadline: the 21
+    #    strict-tier entries first, then 20 settled-tier ----------------
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
+    "ivfadc_topk": q_ivfadc_topk,
+    "ivfadc_indexed": q_ivfadc_indexed,
+    "bm25_topk": q_bm25_topk,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "pq_encode": q_pq_encode,
+    "semantic_dedup": q_semantic_dedup,
+    "member_cost_summary": q_member_cost_summary,
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
+    "cosine_topk": q_cosine_topk,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk_label": q_cosine_topk_label,
+    "scd2_customers": q_scd2_customers,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "window_best_order": q_window_best_order,
+    # === BELOW THE WINDOW =================================================
+    # -- (3) the 9 settled-tier round-5 greens deferred within their
+    #    doubled allowance (last green r5, >= 3 green rounds -> safe
+    #    until round 13; they rotate forward at round 9) ----------------
+    "agg_any_bool": q_agg_any_bool,
+    "nullsafe_join": q_nullsafe_join,
+    "date_functions": q_date_functions,
+    "events_hourly": q_events_hourly,
+    "surrogate_keys": q_surrogate_keys,
+    "date_spine_orders": q_date_spine_orders,
+    "listagg_nations": q_listagg_nations,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    # -- (4) round-7 green (the freshest evidence in the repo; they
+    #    rotate forward again at round 11 within their cycle) -----------
     "bradley_terry": q_bradley_terry,
     "sketch_drift_report": q_sketch_drift_report,
     "bootstrap_ci": q_bootstrap_ci,
     "temperature_rebalance": q_temperature_rebalance,
     "logbucket_quantiles": q_logbucket_quantiles,
     "majority_vote": q_majority_vote,
-    # -- (1) round-3 green, at their cycle-4 cadence deadline ----------
-    #    (kmeans_cells is the session's first coarse-quantizer query in
-    #     dict order, so it pays the one-time coarse Lloyd fit in bench
-    #     attribution this round; pq_rerank — first below the window —
-    #     pays the PQ-codebook fit)
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -3926,16 +3993,8 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "kmeans_cells": q_kmeans_cells,
     "ivf_topk": q_ivf_topk,
-    # === BELOW THE WINDOW =================================================
-    # -- (2) the round-8 deferral trio (round-3 green, age 4 — the only
-    #    STALE flags audit_window prints this round, by the 53>50
-    #    arithmetic; each carries an in-test DuckDB replay regenerated
-    #    every pytest run + an in-window sibling gating its code path) --
-    "pq_rerank": q_pq_rerank,
-    "multimodal_decode": q_multimodal_decode,
-    "datamart_dag": q_datamart_dag,
-    # -- (3) round-6 green (the freshest evidence in the repo; they
-    #    rotate forward again at round 10 within their cycle) -----------
+    # -- (5) round-6 green (cadence deadline round 10; the round-9/10
+    #    windows split them alongside the settled-tier slack) -----------
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
     "nation_market_share": q_nation_market_share,
@@ -3986,69 +4045,10 @@ QUERIES = {
     "codeset_semi_join": q_codeset_semi_join,
     "anti_join_customers": q_anti_join_customers,
     "unique_test_orders": q_unique_test_orders,
-    # -- (4) round-5 green (41 of these rotate into the round-8 window
-    #    alongside the deferral trio and the next scheduled cohort;
-    #    the remaining 9 rotate at round 9 within their cycle) ----------
-    "cheapest_part_supplier": q_cheapest_part_supplier,
-    "part_value_concentration": q_part_value_concentration,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_supplier": q_dominant_part_supplier,
-    "cluster_keep_best": q_cluster_keep_best,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "token_budget_cap": q_token_budget_cap,
-    "claim_rollups": q_claim_rollups,
-    "claim_status": q_claim_status,
-    "member_enrollment": q_member_enrollment,
-    "gap_status_tri": q_gap_status_tri,
-    "semantic_contamination": q_semantic_contamination,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_trade_volume": q_nation_trade_volume,
-    "returned_item_customers": q_returned_item_customers,
-    "large_volume_customers": q_large_volume_customers,
-    "pq_encode": q_pq_encode,
-    "semantic_dedup": q_semantic_dedup,
-    "ivfadc_topk": q_ivfadc_topk,
-    "ivfadc_indexed": q_ivfadc_indexed,
-    "bm25_topk": q_bm25_topk,
-    "exact_substr_dedup": q_exact_substr_dedup,
-    "member_cost_summary": q_member_cost_summary,
-    "datediff_age_orders": q_datediff_age_orders,
-    "lang_agreement": q_lang_agreement,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_quality": q_text_quality,
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "agg_any_bool": q_agg_any_bool,
-    "nullsafe_join": q_nullsafe_join,
-    "scd2_customers": q_scd2_customers,
-    "date_functions": q_date_functions,
-    "events_hourly": q_events_hourly,
-    "surrogate_keys": q_surrogate_keys,
-    "date_spine_orders": q_date_spine_orders,
-    "listagg_nations": q_listagg_nations,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    "set_except": q_set_except,
-    "set_intersect": q_set_intersect,
-    # -- (5) born AFTER the round-7 rotation (window already at capacity:
-    #    6 round-6 promotions + 44 cadence-deadline round-3 greens) —
-    #    SCHEDULED to lead the round-8 window; `SCHEDULED_NEXT_WINDOW`
-    #    above is the machine-checked contract --------------------------
-    "bigram_interp_scores": q_bigram_interp_scores,
-    "hll_by_group": q_hll_by_group,
-    "bootstrap_diff_ci": q_bootstrap_diff_ci,
-    "token_balanced_shards": q_token_balanced_shards,
-    "pass_at_k": q_pass_at_k,
-    "fleiss_kappa": q_fleiss_kappa,
+    # -- (6) born AFTER the round-8 rotation (window already at capacity:
+    #    6 round-7 promotions + 3 mandatory deferrals + 41 cadence
+    #    round-5 greens) — SCHEDULED to lead the round-9 window;
+    #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
 }
 
 

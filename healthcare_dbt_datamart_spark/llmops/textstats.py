@@ -409,8 +409,10 @@ def logreg_train(
     and cannot be replay-gated). The d+1 gradient sums collected per
     round are bounded MODEL STATE (the BPE per-round argmax class);
     weight updates happen in driver Python floats on those exact
-    integers and are rounded to 9dp so the next round's literals are
-    short and stable.
+    integers and are quantized half-up to 1e-9 units
+    (``floor(w·1e9 + 0.5) / 1e9`` — pure IEEE ops, so the whole
+    training loop unrolls into exact SQL) so the next round's
+    literals are short and stable.
 
     One aggregation job per round over a skinny (label, features)
     projection — the corpus is scanned once per round with map-side
@@ -480,12 +482,17 @@ def logreg_train(
         )
         grads = [row[f"G{j}"] / (n_rows * scale) for j in range(d + 1)]
         loss = row["LL"] / (n_rows * scale)
+        # weight quantization uses the engine's floor(x*s + 0.5) half-up
+        # discipline (NOT Python round()): pure IEEE double ops, so the
+        # update replays bit-for-bit in DuckDB/SQL — Python's round()
+        # does correctly-rounded decimal rounding no SQL engine mirrors
         w = [
-            round(
-                w[j]
-                - lr * (grads[j] + (l2 * w[j] if j > 0 else 0.0)),
-                9,
+            math.floor(
+                (w[j] - lr * (grads[j] + (l2 * w[j] if j > 0 else 0.0)))
+                * 1e9
+                + 0.5
             )
+            / 1e9
             for j in range(d + 1)
         ]
     return {

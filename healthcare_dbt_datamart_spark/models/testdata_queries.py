@@ -3799,63 +3799,218 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(first10, item_col="item", label_col="label")
 
 
+# -- round-8 promotion cohort (SCHEDULED_NEXT_WINDOW) ----------------------
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC (llmops/evaluation.py::roc_auc) over a
+    deterministic scored-events relation: score = a mod-1000 hash of
+    (user_id, event-type length) — heavily TIED by construction, so the
+    average-rank path is what the gate exercises — and label = the
+    click bit. The whole rank-sum is BIGINT over the bounded quantized
+    cell table; the only float is the final division on exact operands
+    (identical in DuckDB)."""
+    from ..llmops.evaluation import roc_auc
+
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        (
+            F.pmod(
+                F.col("user_id") * F.lit(31)
+                + F.length("event_type") * F.lit(97),
+                F.lit(1000),
+            )
+            / F.lit(999.0)
+        ).alias("score"),
+        (F.col("event_type") == F.lit("click")).cast("int").alias("label"),
+    )
+    return roc_auc(scored, "score", "label")
+
+
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table (llmops/evaluation.py::
+    calibration_report): equal-width probability bins over a
+    deterministic lineitem scoring (mod-1000 hash of order/line keys in
+    [0, 1], label = the returns bit). Every bin statistic is an
+    associative BIGINT sum from one corpus pass (n, pos, quantized
+    score sums); conf/acc/gap are float divisions of exact integers,
+    6dp — bit-stable on any layout and cell-replayable in DuckDB."""
+    from ..llmops.evaluation import calibration_report
+
+    li = load(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (
+            F.pmod(
+                F.col("l_orderkey") * F.lit(31)
+                + F.col("l_linenumber") * F.lit(17),
+                F.lit(1000),
+            )
+            / F.lit(999.0)
+        ).alias("score"),
+        (F.col("l_returnflag") == F.lit("R")).cast("int").alias("label"),
+    )
+    return calibration_report(scored, "score", "label", n_bins=10)
+
+
+def q_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scores (llmops/filtering.py::
+    kn_bigram_scores — the KenLM smoothing, one rung above the JM
+    interpolation of `bigram_interp_scores`): fit on src0 (the clean
+    reference, the CCNet split), score every other source's docs.
+    Every model quantity — c(w1 ·), both N1+ continuation counts, T, C
+    — derives from the single reference bigram count table; counts are
+    integer and the only floats are the shared per-position expression
+    and the 6dp-rounded mean."""
+    from ..llmops.filtering import kn_bigram_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return kn_bigram_scores(
+        docs.filter(F.col("source") != "src0"),
+        "text",
+        "doc_id",
+        ref_df=docs.filter(F.col("source") == "src0"),
+        discount=0.75,
+    )
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha on a RAGGED panel (llmops/preferences.py::
+    krippendorff_alpha — the coefficient real annotation jobs report,
+    where Fleiss' kappa demands the classic fixed design): items =
+    user-id buckets (mod 35), each item's panel = its first
+    10 + (item mod 3) events by event_id — sizes {10, 11, 12} BY
+    CONSTRUCTION, so the per-m exact-Fraction fold replays as integer
+    arithmetic over the LCM(1..11) = 27720 common denominator in
+    DuckDB. All aggregates BIGINT; one correctly-rounded division per
+    output column."""
+    from ..llmops.preferences import krippendorff_alpha
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(35)).cast("bigint").alias("item"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(10) + F.pmod(F.col("item"), F.lit(3)))
+        .select("item", "label")
+    )
+    return krippendorff_alpha(panel, item_col="item", label_col="label")
+
+
+def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Dawid-Skene EM (llmops/preferences.py::dawid_skene — Dawid &
+    Skene 1979) over a deterministic events rater grid: items = user-id
+    buckets (mod 25), panel = each item's first 12 events by event_id,
+    rater = 'r' || event_id mod 5, labels = event types. Two EM rounds
+    with integer-quantized posteriors, BIGINT M-step sums, and
+    SEQUENTIAL ordered likelihood folds — the full loop unrolls into
+    DuckDB CTEs (list_reduce over ORDER BY-canonicalized lists) and
+    replays bit-for-bit; panels of 12 sit far under the documented
+    ~200-vote underflow bound."""
+    from ..llmops.preferences import dawid_skene
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "label")
+    )
+    return dawid_skene(
+        panel,
+        item_col="item",
+        annotator_col="rater",
+        label_col="label",
+        n_iter=2,
+    )
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-ENGINE classifier training + inference (llmops/textstats.py::
+    logreg_train / logreg_score — the fastText-recipe quality filter of
+    CCNet/GPT-3/RedPajama, trained rather than stubbed): 6 rounds of
+    full-batch gradient descent on (n_chars/1000, doc_id-hash) features
+    against the lang='en' bit, then one zero-shuffle scoring pass.
+    Gradient contributions quantize to BIGINT per row (associative —
+    weights bit-identical on any layout) and the driver-side weight
+    update uses the floor(w·1e9 + 0.5)/1e9 half-up discipline, so the
+    ENTIRE training loop unrolls into 6 chained DuckDB CTEs and the
+    scored output replays hash-exactly."""
+    from ..llmops.textstats import logreg_score, logreg_train
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.pmod(F.col("doc_id"), F.lit(97)) / F.lit(96.0)).alias("x2"),
+        (F.col("lang") == F.lit("en")).cast("int").alias("y"),
+    )
+    model = logreg_train(feats, ["x1", "x2"], "y", n_iter=6, lr=0.5)
+    return logreg_score(feats, ["x1", "x2"], model["weights"], "doc_id")
+
+
 # Queries born AFTER this round's rotation locked the 50-slot window
-# (every slot already held a cadence-deadline or never-driver-checked
-# query). CONTRACT, enforced by tools/audit_window.py: these are exempt
-# from the never-checked-out-of-window flag THIS round only, and MUST
-# lead the next round's window (the rotation plan reserves <= 6
-# new-operator slots). Locally they carry the same evidence as
-# everything else: oracle-green at sf0.001/0.01/0.1 and across all
-# fetch/session modes. The round-6 scheduled cohort (bradley_terry,
-# sketch_drift_report, bootstrap_ci, temperature_rebalance,
-# logbucket_quantiles, majority_vote) entered the round-7 window and
-# got its first driver rows; this is the round-7 promotion cohort —
-# the queue exactly as written last round, with fleiss_kappa chosen
-# over weighted_consensus for slot 6 (classic-design evidence is the
-# stronger gate: the operator RAISES on ragged panels) and
-# bigram_interp_scores taking annotator_agreement's slot per the
-# round-6 verdict (the reference-model scorer was the round's
-# strongest new operator and had no queries() slot).
+# (every slot already held a cadence-deadline, mandatory-deferral, or
+# never-driver-checked query). CONTRACT, enforced by
+# tools/audit_window.py: these are exempt from the
+# never-checked-out-of-window flag THIS round only, and MUST lead the
+# next round's window (the rotation plan reserves <= 6 new-operator
+# slots). Locally they carry the same evidence as everything else:
+# oracle-green at sf0.001/0.01/0.1 and across all fetch/session modes.
+# The round-7 scheduled cohort (bigram_interp_scores, hll_by_group,
+# bootstrap_diff_ci, token_balanced_shards, pass_at_k, fleiss_kappa)
+# entered the round-8 window and gets its first driver rows; this is
+# the round-8 promotion cohort — the round-7 verdict's recommended
+# picks, with krippendorff_alpha substituted for the unigram segment
+# report (its Viterbi DP is genuinely not SQL-expressible, and the
+# repo's record is that EVERY queries() entry is hash-grade against a
+# DuckDB oracle; the segment report keeps its pytest + brute-force
+# Viterbi-optimality gate at queue level) — alpha also puts a driver
+# row directly on this round's NULL-label ADVICE fix.
 SCHEDULED_NEXT_WINDOW = [
-    "bigram_interp_scores",
-    "hll_by_group",
-    "bootstrap_diff_ci",
-    "token_balanced_shards",
-    "pass_at_k",
-    "fleiss_kappa",
+    "roc_auc",
+    "calibration_report",
+    "dawid_skene",
+    "kn_bigram_scores",
+    "krippendorff_alpha",
+    "logreg_quality",
 ]
 # zorder stays pytest-level by nature: its observable is parquet
 # footers, not a result hash — the footer test IS its strongest gate.
-# ROUND-8 window arithmetic: the 3 deferred round-3 entries (pq_rerank,
-# multimodal_decode, datamart_dag — age 5, MANDATORY; each carries an
-# in-test DuckDB replay, tests/test_deferral_replays.py) + these 6
-# scheduled + 41 of the 50 round-5 greens (age 3) fill the 50 slots;
-# the remaining 9 round-5 greens rotate at round 9 within their cycle.
-# ROUND-8 PROMOTION QUEUE (next alternates, implemented + pytest'd
-# with DuckDB replays): annotator_agreement (per-rater
-# consensus-agreement on the majority_vote bucket votes),
-# weighted_consensus (rater-reliability-weighted labels, events),
-# trigram_interp_scores (the recursive-JM rung above the bigram
-# scorer — same src0-reference split, n >= 3 positions),
-# kn_bigram_scores (interpolated Kneser-Ney — the KenLM smoothing,
-# same split, continuation counts from the bigram table alone),
-# dawid_skene (true EM with per-rater confusion matrices over the
-# events rater grid — integer-quantized posteriors, ordered folds),
-# best_of_n / dpo_pairs (RLHF data constructors: max-reward response
-# per prompt; max-vs-min preference pairs with a margin knob),
-# unigram_lm_train/unigram_segment_report (SentencePiece inducer on
-# the word dict), logreg_train/logreg_score (on-engine quality-
-# classifier training, integer-quantized gradients).
-# ROUND-9 CANDIDATES (implemented + pytest'd with DuckDB/pure-Python
-# replays, late round 7): roc_auc (exact BIGINT rank-sum over
-# quantized-score cells), calibration_summary (integer ECE/MCE/Brier —
-# grade logreg_score output on a labeled lineitem slice),
-# krippendorff_alpha (ragged-panel agreement, events rater grid),
-# hits_fixedpoint (integer hubs/authorities on the near-dup graph),
+# ROUND-9 window arithmetic (inventory 165, cycle ceil(165/50) = 4):
+# these 6 scheduled lead + the 9 settled-tier round-5 leftovers
+# (agg_any_bool .. set_intersect, rotating within their doubled
+# allowance) + 35 of the 50 round-6 greens (age 3 then) fill the 50
+# slots; the remaining 15 round-6 greens take the round-10 window
+# alongside the round-7 greens' cadence start.
+# ROUND-9 PROMOTION QUEUE (next alternates, implemented + pytest'd
+# with DuckDB/pure-Python replays): annotator_agreement,
+# weighted_consensus, trigram_interp_scores (the recursive-JM rung),
+# best_of_n / dpo_pairs (RLHF data constructors),
+# unigram_lm_train/unigram_segment_report (SentencePiece inducer —
+# Viterbi DP, NOT SQL-expressible: stays pytest-gated with the
+# brute-force optimality test unless a rows-only driver row is ever
+# judged acceptable), calibration_summary / roc_auc_by_group /
+# calibration_by_group (grade logreg_quality output by lang),
+# hits_fixedpoint (integer hubs/authorities, pagerank-style unroll),
 # source_overlap_kmv (KMV source-pair Jaccard on documents),
-# curriculum_phases/report (logbucket-threshold phases over doc
-# difficulty), pca_train/pca_apply + matryoshka_truncate (whitened
-# embeddings feeding cosine_topk — see the integration pytest).
+# curriculum_phases/report, pca_train/pca_apply +
+# matryoshka_truncate (whitened embeddings feeding cosine_topk),
+# ndcg_at_k / retrieval_metrics / spearman_rho / bleu_corpus /
+# rouge_l / distinct_n (the round-7 evaluation wave), line_dedup,
+# mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
+# unrolled selection rounds), source_data_card.
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===
@@ -4049,6 +4204,12 @@ QUERIES = {
     #    6 round-7 promotions + 3 mandatory deferrals + 41 cadence
     #    round-5 greens) — SCHEDULED to lead the round-9 window;
     #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
+    "roc_auc": q_roc_auc,
+    "calibration_report": q_calibration_report,
+    "dawid_skene": q_dawid_skene,
+    "kn_bigram_scores": q_kn_bigram_scores,
+    "krippendorff_alpha": q_krippendorff_alpha,
+    "logreg_quality": q_logreg_quality,
 }
 
 
@@ -7256,3 +7417,322 @@ SELECT CAST(N AS INTEGER) AS n_items, 10 AS n_raters,
     AS kappa
 FROM tot, sk
 """
+
+# -- round-8 promotion cohort oracles ---------------------------------------
+
+# Exact Mann-Whitney AUC: identical quantized cells, the same BIGINT
+# tie-rank window over the bounded cell table, one float division on
+# exact operands. Denominator written (2.0 * np) * nn left-assoc like
+# the Spark literal 2.0 * n_pos * n_neg.
+ORACLE["roc_auc"] = """
+WITH s AS (
+  SELECT ((user_id * 31 + length(event_type) * 97) % 1000) / 999.0 AS score,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cells AS (
+  SELECT CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS s_fp,
+         COUNT(*) AS cnt, SUM(y) AS pos
+  FROM s GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, pos,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY s_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS rank2
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(pos * rank2) AS BIGINT) AS pr2,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM ranked
+)
+SELECT n AS n_rows, np AS n_pos, n - np AS n_neg,
+       n_cells AS n_score_cells,
+       round((pr2 - np * (np + 1))::DOUBLE
+             / (2.0 * np * (n - np)), 6) AS auc
+FROM agg
+"""
+
+# Reliability-diagram bins: LEAST(floor(score*10), 9) puts score = 1.0
+# in the top bin exactly like the Spark _bin_cells clamp; every
+# statistic is a BIGINT sum, conf/acc/gap are divisions of exact ints.
+ORACLE["calibration_report"] = """
+WITH s AS (
+  SELECT ((l_orderkey * 31 + l_linenumber * 17) % 1000) / 999.0 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT LEAST(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+         COUNT(*) AS n, SUM(y) AS pos,
+         SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS s_sum
+  FROM s GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n_rows, CAST(pos AS BIGINT) AS n_pos,
+       round(s_sum::DOUBLE / (n * 1000000)::DOUBLE, 6) AS conf,
+       round(pos::DOUBLE / n::DOUBLE, 6) AS acc,
+       round(abs(s_sum::DOUBLE / (n * 1000000)::DOUBLE
+                 - pos::DOUBLE / n::DOUBLE), 6) AS gap
+FROM cells
+"""
+
+# Interpolated Kneser-Ney (d = 0.75): every model quantity derives from
+# the single reference bigram count table; the per-position expression
+# shares literals and association order with filtering.py::
+# kn_bigram_scores; `+ 0.0` normalizes -0.0 exactly as Spark does.
+ORACLE["kn_bigram_scores"] = r"""
+WITH rarr AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE source = 'src0'
+),
+rpairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+  FROM rarr WHERE len(w) >= 2
+),
+bcnt AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS bc FROM rpairs GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, SUM(bc) AS c1, COUNT(*) AS n1p_fwd FROM bcnt GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS n1p_back FROM bcnt GROUP BY w2),
+tot AS (
+  SELECT COUNT(*) AS t_types, COUNT(DISTINCT w2) AS c_vocab FROM bcnt
+),
+darr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE source != 'src0'
+),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+  FROM darr WHERE len(w) >= 2
+),
+pb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp)
+SELECT pb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(
+         CASE WHEN c1 IS NOT NULL THEN
+           greatest(COALESCE(bc, 0)::DOUBLE - 0.75, 0.0) / c1::DOUBLE
+           + 0.75 * n1p_fwd::DOUBLE / c1::DOUBLE
+             * ((COALESCE(n1p_back, 0) + 1)::DOUBLE
+                / (t_types + c_vocab + 1)::DOUBLE)
+         ELSE (COALESCE(n1p_back, 0) + 1)::DOUBLE
+              / (t_types + c_vocab + 1)::DOUBLE END
+       )), 6) + 0.0 AS lm_score
+FROM pb
+LEFT JOIN bcnt USING (w1, w2)
+LEFT JOIN ctx USING (w1)
+LEFT JOIN cont USING (w2)
+CROSS JOIN tot
+GROUP BY pb.doc_id
+"""
+
+# Krippendorff's alpha on the {10,11,12}-ragged panel: the per-m
+# Fraction fold replays as integer arithmetic over the LCM(1..11) =
+# 27720 common denominator (panel sizes are <= 12 BY CONSTRUCTION, so
+# 27720 // (m-1) is exact); alpha's single division runs on exact
+# < 2^53 integers — bit-identical to float(Fraction).
+ORACLE["krippendorff_alpha"] = """
+WITH v AS (
+  SELECT user_id % 35 AS item, event_type AS lab,
+         row_number() OVER (PARTITION BY user_id % 35
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+f AS (SELECT item, lab FROM v WHERE rn <= 10 + (item % 3)),
+cells AS (SELECT item, lab, COUNT(*) AS n_uc FROM f GROUP BY 1, 2),
+per_item AS (
+  SELECT item, CAST(SUM(n_uc) AS BIGINT) AS m,
+         CAST(SUM(n_uc * (n_uc - 1)) AS BIGINT) AS q
+  FROM cells GROUP BY 1
+),
+pair AS (SELECT * FROM per_item WHERE m >= 2),
+unp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_unpairable
+  FROM per_item WHERE m < 2
+),
+tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(m) AS BIGINT) AS n_values,
+         CAST(SUM(q * (27720 // (m - 1))) AS BIGINT) AS i1
+  FROM pair
+),
+marg AS (
+  SELECT CAST(SUM(S * (S - 1)) AS BIGINT) AS i2,
+         CAST(COUNT(*) AS INTEGER) AS n_categories
+  FROM (SELECT CAST(SUM(n_uc) AS BIGINT) AS S
+        FROM cells JOIN pair USING (item) GROUP BY lab)
+)
+SELECT n_units, n_unpairable, n_values, n_categories,
+       round(i1 / (27720 * n_values), 6) AS a_o,
+       round(i2 / (n_values * (n_values - 1)), 6) AS a_e,
+       round((i1 * (n_values * (n_values - 1)) - i2 * (27720 * n_values))
+             / ((27720 * n_values)
+                * (n_values * (n_values - 1) - i2)), 6) AS alpha
+FROM tots, marg, unp
+"""
+
+
+def _ds_round_sql(r: int) -> str:
+    """One unrolled Dawid-Skene EM round (post{r} -> post{r+1}): the
+    M-step integer divisions, the broadcast-rate E-step with the exact
+    Laplace floor for unseen cells, and both SEQUENTIAL ordered folds
+    (likelihood product, normalizer sum) as list_reduce over ORDER
+    BY-canonicalized lists — term-for-term the Spark F.aggregate fold
+    (list_prepend supplies the init element)."""
+    n = r + 1
+    return f"""
+prior{n} AS (
+  SELECT k, ((P + 1000000) * CAST(1000000 AS BIGINT))
+              // (tot + 1000000 * L) AS prior
+  FROM (SELECT k, SUM(p) AS P, SUM(SUM(p)) OVER () AS tot
+        FROM post{r} GROUP BY k)
+  CROSS JOIN nl
+),
+conf{n} AS (
+  SELECT v.rater, p.k, v.obs, SUM(p.p) AS C
+  FROM v JOIN post{r} p USING (item) GROUP BY 1, 2, 3
+),
+rowtot{n} AS (SELECT rater, k, SUM(C) AS Crow FROM conf{n} GROUP BY 1, 2),
+pi{n} AS (
+  SELECT c.rater, c.k, c.obs,
+         ((C + 1000000) * CAST(1000000 AS BIGINT))
+           // (Crow + 1000000 * L) AS pi
+  FROM conf{n} c JOIN rowtot{n} USING (rater, k) CROSS JOIN nl
+),
+scored{n} AS (
+  SELECT vk.item, vk.k, vk.rater, vk.obs,
+         COALESCE(pi,
+           (CAST(1000000 AS BIGINT) * CAST(1000000 AS BIGINT))
+             // (COALESCE(Crow, CAST(0 AS BIGINT)) + 1000000 * L)
+         ) AS pi_eff
+  FROM (SELECT item, rater, obs, k FROM v CROSS JOIN labels) vk
+  LEFT JOIN pi{n} USING (rater, k, obs)
+  LEFT JOIN rowtot{n} USING (rater, k)
+  CROSS JOIN nl
+),
+folded{n} AS (
+  SELECT s.item, s.k,
+         list_reduce(
+           list_prepend(pr.prior::DOUBLE / 1000000.0,
+             list_transform(
+               list(s.pi_eff ORDER BY s.rater, s.obs, s.pi_eff),
+               x -> x::DOUBLE / 1000000.0)),
+           (a, b) -> a * b) AS score
+  FROM scored{n} s JOIN prior{n} pr USING (k)
+  GROUP BY s.item, s.k, pr.prior
+),
+tots{n} AS (
+  SELECT item,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(score ORDER BY k)),
+           (a, b) -> a + b) AS tot
+  FROM folded{n} GROUP BY item
+),
+post{n} AS (
+  SELECT f.item, f.k,
+         CAST(floor(f.score / t.tot * 1000000 + 0.5) AS BIGINT) AS p
+  FROM folded{n} f JOIN tots{n} t USING (item)
+)"""
+
+
+# True Dawid-Skene EM, 2 rounds fully unrolled: integer-quantized
+# posteriors, BIGINT M-step sums, ordered likelihood folds — each CTE
+# block is term-for-term the Spark round in preferences.py::dawid_skene.
+ORACLE["dawid_skene"] = (
+    """
+WITH raw AS (
+  SELECT user_id % 25 AS item,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         event_type AS obs,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS (SELECT item, rater, obs FROM raw WHERE rn <= 12),
+labels AS (SELECT DISTINCT obs AS k FROM v WHERE obs IS NOT NULL),
+nl AS (SELECT COUNT(*) AS L FROM labels),
+npi AS (SELECT item, COUNT(*) AS n_votes FROM v GROUP BY 1),
+post0 AS (
+  SELECT v.item, v.obs AS k,
+         (COUNT(*) * CAST(1000000 AS BIGINT)) // ANY_VALUE(n.n_votes) AS p
+  FROM v JOIN npi n USING (item) GROUP BY v.item, v.obs
+),"""
+    + _ds_round_sql(0)
+    + ","
+    + _ds_round_sql(1)
+    + """,
+ds AS (
+  SELECT item, k, p,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY p DESC, k ASC) AS rn
+  FROM post2
+),
+mc AS (SELECT item, obs AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+mr AS (
+  SELECT item, lab, n,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n DESC, lab ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY item) AS BIGINT) AS n_votes
+  FROM mc
+)
+SELECT d.item, d.k AS ds_label,
+       round(d.p / 1000000.0, 6) AS posterior,
+       m.n_votes, m.lab AS majority_label,
+       (d.k != m.lab) AS flipped
+FROM ds d JOIN mr m USING (item)
+WHERE d.rn = 1 AND m.rn = 1
+"""
+)
+
+
+def _logreg_round_sql(r: int) -> str:
+    """One unrolled full-batch gradient-descent round (w{r} -> w{r+1}):
+    per-row error under the current weights, half-up BIGINT gradient
+    quantization, and the floor(w*1e9 + 0.5)/1e9 weight update —
+    expression-for-expression textstats.py::logreg_train's round."""
+    n = r + 1
+    upd = ", ".join(
+        f"floor((w{j} - 0.5 * (G{j} / (n * 1000000)))"
+        f" * 1000000000.0 + 0.5) / 1000000000.0 AS w{j}"
+        for j in range(3)
+    )
+    return f"""
+g{r} AS (
+  SELECT SUM(CAST(floor(err * 1000000 + 0.5) AS BIGINT)) AS G0,
+         SUM(CAST(floor(err * x1 * 1000000 + 0.5) AS BIGINT)) AS G1,
+         SUM(CAST(floor(err * x2 * 1000000 + 0.5) AS BIGINT)) AS G2
+  FROM (SELECT 1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y AS err,
+               x1, x2
+        FROM feats CROSS JOIN w{r})
+),
+w{n} AS (SELECT {upd} FROM w{r}, g{r}, nr)"""
+
+
+# On-engine logreg training + scoring: 6 gradient-descent rounds fully
+# unrolled (half-up BIGINT gradient cells, floor-quantized weight
+# updates — textstats.py::logreg_train's exact arithmetic), then the
+# zero-shuffle logreg_score projection under the trained weights.
+ORACLE["logreg_quality"] = (
+    """
+WITH feats AS (
+  SELECT doc_id, n_chars / 1000.0 AS x1, (doc_id % 97) / 96.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+nr AS (SELECT COUNT(*) AS n FROM feats),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+              CAST(0.0 AS DOUBLE) AS w2),"""
+    + ",".join(_logreg_round_sql(r) for r in range(6))
+    + """
+SELECT doc_id,
+       (w0 + w1 * x1 + w2 * x2) AS logit,
+       round(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))), 6) AS score,
+       CAST((w0 + w1 * x1 + w2 * x2) >= 0.0 AS INTEGER) AS keep
+FROM feats CROSS JOIN w6
+"""
+)

@@ -2792,7 +2792,11 @@ def test_logreg_train_deterministic_and_matches_reference(spark):
             err = p - y
             for j, g in enumerate((err, err * x1, err * x2)):
                 sums[j] += math.floor(g * scale + 0.5)
-        w = [round(w[j] - 2.0 * (sums[j] / (n * scale)), 9) for j in range(3)]
+        w = [
+            math.floor((w[j] - 2.0 * (sums[j] / (n * scale))) * 1e9 + 0.5)
+            / 1e9
+            for j in range(3)
+        ]
     assert w == model["weights"]
 
     import pytest as _pytest

@@ -78,8 +78,10 @@ from .similarity import (  # noqa: F401
     build_ivfpq_index,
     contrastive_triplets,
     cosine_topk,
+    cosine_topk_batch,
     embedding_outliers,
     hard_negatives,
+    ivf_topk_batch,
     ivfadc_topk,
     ivfadc_topk_indexed,
     ivfpq_index_upsert,

@@ -297,6 +297,164 @@ def ivf_topk(
         cached.unpersist()
 
 
+def _query_probe_frame(
+    emb: DataFrame,
+    query_ids: list,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]] | None,
+    nprobe: int,
+):
+    """Collect the query vectors (bounded QUERY state: |Q|·d floats, the
+    MMR-pool class — loud on missing ids) and, when ``centroids`` is
+    given, expand each into its ``_probe_cells`` probe list. Returns a
+    broadcast-sized DataFrame with one row per (query, probe cell) —
+    or per query when centroids is None (the brute path): ``(qid, cell,
+    q_vec, q_nrm)``."""
+    qids = sorted({int(q) for q in query_ids})
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    rows = (
+        emb.filter(F.col(id_col).isin(qids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    found = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+    missing = [q for q in qids if q not in found]
+    if missing:
+        raise ValueError(
+            f"query ids not found in {id_col}: {missing} — nothing to"
+            " search for"
+        )
+    data = []
+    for q in qids:
+        qv, qn = found[q], _py_norm(found[q])
+        cells = (
+            _probe_cells(centroids, qv, qn, nprobe)
+            if centroids is not None
+            else [-1]
+        )
+        for c in cells:
+            data.append((q, int(c), qv, qn))
+    return emb.sparkSession.createDataFrame(
+        data,
+        "qid bigint, cell int, q_vec array<double>, q_nrm double",
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-query brute-force cosine top-k — ``cosine_topk`` for a
+    QUERY BATCH: the query vectors ride in as one broadcast relation
+    (|Q| rows of model-sized state), every candidate row scores all
+    queries in a single O(n·|Q|·d) scan, and the per-query top-k
+    resolves in one window PARTITIONED BY the query (no
+    single-partition stage at any query count). This is the exact
+    recall oracle the ANN release gate (``models/index_release.py``)
+    grades against. Returns ``(query_id, vec_id, cosine, rank)``,
+    rank 1..k by (cosine desc, id asc) per query."""
+    from pyspark.sql.window import Window
+
+    q = _query_probe_frame(emb, query_ids, id_col, vec_col, None, 0)
+    cand = emb.select(id_col, vec_col).join(broadcast(q)).filter(
+        F.col(id_col) != F.col("qid")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("q_vec"))
+                / (_norm(F.col(vec_col)) * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Batched IVF serving — ``ivf_topk`` for a QUERY BATCH: one index
+    build (train + assign, or a pre-built ``assigned`` index table),
+    then ONE probe scan for ALL queries. Each query's ``_probe_cells``
+    probe list (the single probe rule every IVF variant is hash-gated
+    on) joins as a broadcast (query, cell) relation, so candidates are
+    touched once per probing query via the cell key; per-query exact
+    cosine top-k resolves in one window PARTITIONED BY the query. On a
+    cell-PARTITIONED index table the cell join becomes partition
+    pruning of the union of probe cells — the serving plan of a real
+    ANN deployment (reference analog: the materialize-then-probe split
+    of dbt's mart tables, dbt_project.yml:31-33).
+
+    Returns ``(query_id, vec_id, cell, cosine, rank)`` — rank 1..k per
+    query by (cosine desc, id asc); queries never match themselves."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    own_cache = assigned is None
+    cached = emb.persist(StorageLevel.MEMORY_AND_DISK) if own_cache else emb
+    try:
+        if centroids is None:
+            centroids = _lloyd_fit(
+                cached, n_centroids, n_iter, id_col, vec_col
+            )
+        q = _query_probe_frame(
+            cached, query_ids, id_col, vec_col, centroids, nprobe
+        )
+        idx = (
+            assigned
+            if assigned is not None
+            else ivf_assign(cached, centroids, id_col, vec_col)
+        )
+        cand = idx.join(broadcast(q), "cell").filter(
+            F.col(id_col) != F.col("qid")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col(id_col).asc()
+        )
+        out = (
+            cand.select(
+                F.col("qid").alias("query_id"),
+                F.col(id_col),
+                "cell",
+                F.round(
+                    _dot(F.col(vec_col), F.col("q_vec"))
+                    / (_norm(F.col(vec_col)) * F.col("q_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+        )
+        if own_cache:
+            # |Q|·k rows; materialize before the cache is released
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if own_cache:
+            cached.unpersist()
+
+
 # 16 axis-aligned hyperplane dims spread across a 64-dim embedding
 DEFAULT_LSH_DIMS: tuple[int, ...] = tuple(range(0, 64, 4))
 

@@ -4010,7 +4010,10 @@ SCHEDULED_NEXT_WINDOW = [
 # ndcg_at_k / retrieval_metrics / spearman_rho / bleu_corpus /
 # rouge_l / distinct_n (the round-7 evaluation wave), line_dedup,
 # mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
-# unrolled selection rounds), source_data_card.
+# unrolled selection rounds), source_data_card, index_scorecard
+# (models/index_release.py — the ANN release gate: batched IVF
+# serving graded against the brute oracle; exact-integer release
+# arithmetic, so the whole DAG is oracle-able).
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

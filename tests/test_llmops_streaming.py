@@ -3104,3 +3104,134 @@ def test_streaming_calibration_dirty_batch_raises_like_batch(spark):
     with pytest.raises(ValueError, match="NULL scores or"):
         calibration_from_cells(spark, "cal_dirty_t")
     spark.sql("DROP TABLE cal_dirty_t")
+
+
+def test_batched_ann_serving_matches_single_query_operators(spark):
+    """cosine_topk_batch / ivf_topk_batch are the multi-query faces of
+    the single-query serving operators: per query, the batched result
+    is row-for-row the single-query list (same scores, same
+    deterministic tie order), missing query ids raise loudly, and the
+    batch is layout-invariant."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+        ivf_topk,
+        ivf_topk_batch,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [1, 7, 19, 42]
+
+    bb = cosine_topk_batch(emb, qids, k=10).collect()
+    assert {r.query_id for r in bb} == set(qids)
+    for q in qids:
+        single = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(emb, query_id=q, k=10).collect()
+        ]
+        batch = [
+            (r.vec_id, r.cosine)
+            for r in sorted(
+                (r for r in bb if r.query_id == q), key=lambda r: r.rank
+            )
+        ]
+        assert batch == single, q
+
+    ib = ivf_topk_batch(
+        emb, qids, k=10, n_centroids=8, nprobe=2, n_iter=2
+    ).collect()
+    for q in qids:
+        single = [
+            (r.vec_id, r.cell, r.cosine)
+            for r in ivf_topk(
+                emb, query_id=q, k=10, n_centroids=8, nprobe=2, n_iter=2
+            ).collect()
+        ]
+        batch = [
+            (r.vec_id, r.cell, r.cosine)
+            for r in sorted(
+                (r for r in ib if r.query_id == q), key=lambda r: r.rank
+            )
+        ]
+        assert batch == single, q
+
+    # layout invariance
+    ib13 = ivf_topk_batch(
+        emb.repartition(13), qids, k=10, n_centroids=8, nprobe=2, n_iter=2
+    ).collect()
+    assert sorted(map(tuple, ib13)) == sorted(map(tuple, ib))
+
+    with pytest.raises(ValueError, match="not found"):
+        cosine_topk_batch(emb, [1, 10**9], k=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        cosine_topk_batch(emb, [], k=5)
+
+
+def test_index_release_gates_ann_serving_on_recall(spark):
+    """The index-release DAG (models/index_release.py): the materialized
+    cell-partitioned index serves the query panel, the brute pass is
+    the judged oracle, padded misses (sentinel −2.0) never enter the
+    system top-k, the scorecard's exact-integer release arithmetic
+    matches a direct set-intersection recomputation, and the verdict is
+    layout-invariant."""
+    from healthcare_dbt_datamart_spark.models.index_release import (
+        K_EVAL,
+        RECALL_FLOOR,
+        build_index_release,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [1, 7, 19, 42]
+    r = build_index_release(spark, emb, qids)
+
+    ann = r.build("ann_results").collect()
+    brute = r.build("brute_topk").collect()
+    ann_by_q = {}
+    for row in ann:
+        ann_by_q.setdefault(row.query_id, set()).add(row.vec_id)
+    brute_by_q = {}
+    for row in brute:
+        brute_by_q.setdefault(row.query_id, set()).add(row.vec_id)
+    assert all(len(v) == K_EVAL for v in brute_by_q.values())
+    assert all(len(v) == K_EVAL for v in ann_by_q.values())
+
+    pool = r.build("judged_pool").collect()
+    # padding accounting: one sentinel row per brute member the index
+    # missed; rel marks exactly the brute members
+    n_miss = sum(
+        len(brute_by_q[q] - ann_by_q[q]) for q in brute_by_q
+    )
+    sentinels = [row for row in pool if row.score == -2.0]
+    assert len(sentinels) == n_miss
+    assert all(row.rel == 1 for row in sentinels)
+    for row in pool:
+        assert row.rel == (
+            1 if row.vec_id in brute_by_q[row.query_id] else 0
+        )
+
+    sc = r.build("index_scorecard").collect()
+    assert len(sc) == 1
+    row = sc[0]
+    assert (row.n_queries, row.k) == (len(qids), K_EVAL)
+    # exact recomputation: per-query recall = |ann ∩ brute| / K, its
+    # 6dp quantization is exact (m/10 -> m*100000), so the mean is an
+    # exact integer ratio
+    recall_fp = sum(
+        len(ann_by_q[q] & brute_by_q[q]) * (10**6 // K_EVAL)
+        for q in qids
+    )
+    assert row.mean_recall == round(recall_fp / (len(qids) * 10**6), 6)
+    assert row.released == (
+        recall_fp >= int(RECALL_FLOOR * 10**6) * len(qids)
+    )
+    assert 0.0 <= row.min_recall <= row.mean_recall
+    assert row.mean_ndcg is not None and 0.0 <= row.mean_ndcg <= 1.0
+    assert row.mean_mrr is not None and 0.0 < row.mean_mrr <= 1.0
+
+    # layout invariance of the release verdict
+    r13 = build_index_release(spark, emb.repartition(13), qids)
+    assert r13.build("index_scorecard").collect() == sc

@@ -584,6 +584,7 @@ def dawid_skene(
     smoothing: int = 1,
     reliable: bool = False,
     checkpoint_every: int = 1,
+    log_space: bool = False,
 ) -> DataFrame:
     """TRUE Dawid-Skene EM (Dawid & Skene 1979, "Maximum Likelihood
     Estimation of Observer Error-Rates Using the EM Algorithm") — full
@@ -612,8 +613,15 @@ def dawid_skene(
 
     Panel-size bound: the product of n per-vote probabilities
     underflows doubles past ~200 votes/item at typical confusion rates
-    — annotation panels are 3-30 raters; a >10³-vote regime needs the
-    log-space variant (documented non-goal, the float-sum caveat).
+    — annotation panels are 3-30 raters. The quantized-product path
+    RAISES past 200 votes/item and points at ``log_space=True``: the
+    log-space E-step folds the SAME ordered sequence as Σ ln terms and
+    softmax-normalizes against the per-item max (exp(L_k − L_max)), so
+    panels of any size stay finite. The trade: exp/ln round-trips make
+    it float-path arithmetic — posteriors can differ from the product
+    path by a quantization unit, so it is NOT oracle-hash-gated (the
+    property test pins label agreement on small panels and correct
+    recovery at 500 votes instead).
 
     Scale shape, per round: one shuffle join votes⋈posteriors (item
     key) + one bounded groupBy for confusion; the E-step joins
@@ -647,6 +655,16 @@ def dawid_skene(
         F.col(label_col).alias("obs"),
     )
     n_per_item = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    if not log_space:
+        max_votes = int(
+            n_per_item.agg(F.max("n_votes")).collect()[0][0] or 0
+        )  # one bounded scalar — the labels distinct-collect class
+        if max_votes > 200:
+            raise ValueError(
+                f"dawid_skene: an item has {max_votes} votes — the"
+                " quantized likelihood product underflows doubles past"
+                " ~200 votes/item; pass log_space=True for large panels"
+            )
 
     # E0: integer-quantized majority proportions (absent (item, class)
     # rows ARE the zeros — no spine; the E-step rebuilds full support)
@@ -719,15 +737,65 @@ def dawid_skene(
                 ).alias("pi_eff"),
             )
         )
-        folded = (
-            scored.groupBy("item", "k")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("rater", "obs", "pi_eff"))
-                ).alias("arr")
+        grouped = scored.groupBy("item", "k").agg(
+            F.sort_array(
+                F.collect_list(F.struct("rater", "obs", "pi_eff"))
+            ).alias("arr")
+        ).join(F.broadcast(prior), "k")
+        if log_space:
+            # SAME canonical order, folded as Σ ln terms; per-item
+            # softmax against the ordered max keeps any panel finite
+            folded = grouped.select(
+                "item",
+                "k",
+                F.aggregate(
+                    "arr",
+                    F.log(
+                        F.col("prior").cast("double") / F.lit(float(scale))
+                    ),
+                    lambda acc, x: acc
+                    + F.log(
+                        x["pi_eff"].cast("double") / F.lit(float(scale))
+                    ),
+                ).alias("lscore"),
             )
-            .join(F.broadcast(prior), "k")
-            .select(
+            normed = (
+                folded.groupBy("item")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("k", "lscore"))
+                    ).alias("ks")
+                )
+                .select(
+                    "item",
+                    F.aggregate(
+                        "ks",
+                        F.lit(float("-inf")),
+                        lambda a, x: F.greatest(a, x["lscore"]),
+                    ).alias("_m"),
+                    "ks",
+                )
+                .select(
+                    "item",
+                    F.aggregate(
+                        "ks",
+                        F.lit(0.0),
+                        lambda a, x: a + F.exp(x["lscore"] - F.col("_m")),
+                    ).alias("_tot"),
+                    "_m",
+                    F.explode("ks").alias("e"),
+                )
+            )
+            new_post = normed.select(
+                "item",
+                F.col("e.k").alias("k"),
+                F.expr(
+                    f"cast(floor(exp(e.lscore - _m) / _tot * {scale}"
+                    " + 0.5d) as bigint)"
+                ).alias("p"),
+            )
+        else:
+            folded = grouped.select(
                 "item",
                 "k",
                 F.aggregate(
@@ -737,29 +805,28 @@ def dawid_skene(
                     * (x["pi_eff"].cast("double") / F.lit(float(scale))),
                 ).alias("score"),
             )
-        )
-        normed = (
-            folded.groupBy("item")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("k", "score"))).alias(
-                    "ks"
+            normed = (
+                folded.groupBy("item")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("k", "score"))
+                    ).alias("ks")
+                )
+                .select(
+                    "item",
+                    F.aggregate(
+                        "ks", F.lit(0.0), lambda a, x: a + x["score"]
+                    ).alias("_tot"),
+                    F.explode("ks").alias("e"),
                 )
             )
-            .select(
+            new_post = normed.select(
                 "item",
-                F.aggregate(
-                    "ks", F.lit(0.0), lambda a, x: a + x["score"]
-                ).alias("_tot"),
-                F.explode("ks").alias("e"),
+                F.col("e.k").alias("k"),
+                F.expr(
+                    f"cast(floor(e.score / _tot * {scale} + 0.5d) as bigint)"
+                ).alias("p"),
             )
-        )
-        new_post = normed.select(
-            "item",
-            F.col("e.k").alias("k"),
-            F.expr(
-                f"cast(floor(e.score / _tot * {scale} + 0.5d) as bigint)"
-            ).alias("p"),
-        )
         new_post = truncate_lineage(new_post, rnd, reliable, checkpoint_every)
         post.unpersist()
         post = new_post

@@ -3569,3 +3569,64 @@ def test_compression_ratio_orders_redundancy_and_layout(spark):
 
     with pytest.raises(ValueError, match="level"):
         compression_ratio(df, "text", "doc_id", level=0)
+
+
+def test_dawid_skene_log_space_matches_small_panels_and_survives_500(spark):
+    """The log-space Dawid-Skene E-step (stretch flag for big panels):
+    on small panels it recovers the SAME labels as the quantized
+    product path with posteriors within a quantization unit; on a
+    500-vote panel — where the product path RAISES at the documented
+    ~200-vote underflow bound — it returns finite posteriors that
+    recover the planted truth with near-certain confidence."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import dawid_skene
+
+    rows = []
+    for i in (1, 2, 3):
+        rows += [(i, "g1", "a"), (i, "g2", "a"), (i, "s", "a")]
+    for i in (4, 5, 6):
+        rows += [(i, "g1", "b"), (i, "g2", "b"), (i, "s", "a")]
+    for i in (7, 8):
+        rows += [(i, "g1", "b"), (i, "s", "a")]
+    votes = spark.createDataFrame(rows, ["item_id", "annotator_id", "label"])
+
+    base = {
+        r.item_id: (r.ds_label, r.posterior, r.flipped)
+        for r in dawid_skene(votes, n_iter=2).collect()
+    }
+    logd = {
+        r.item_id: (r.ds_label, r.posterior, r.flipped)
+        for r in dawid_skene(votes, n_iter=2, log_space=True).collect()
+    }
+    assert set(base) == set(logd)
+    for i, (lbl, post, fl) in base.items():
+        assert logd[i][0] == lbl, i            # identical labels
+        assert abs(logd[i][1] - post) <= 2e-6  # within a quantized unit
+        assert logd[i][2] == fl
+
+    # 500-vote synthetic panel: 350 raters vote the planted truth 'b',
+    # 150 vote 'a'; one small control item keeps 2 label classes honest
+    big = [(100, f"r{j}", "b" if j < 350 else "a") for j in range(500)]
+    big += [(101, "r0", "a"), (101, "r1", "a")]
+    bdf = spark.createDataFrame(big, ["item_id", "annotator_id", "label"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="log_space=True"):
+        dawid_skene(bdf, n_iter=1)
+
+    out = {
+        r.item_id: r
+        for r in dawid_skene(bdf, n_iter=2, log_space=True).collect()
+    }
+    assert out[100].ds_label == "b" and out[100].posterior >= 0.999999
+    assert out[100].n_votes == 500 and not out[100].flipped
+    assert out[101].ds_label == "a"
+
+    # layout invariance of the log-space path
+    out13 = {
+        r.item_id: tuple(r)
+        for r in dawid_skene(
+            bdf.repartition(13), n_iter=2, log_space=True
+        ).collect()
+    }
+    assert out13 == {i: tuple(r) for i, r in out.items()}

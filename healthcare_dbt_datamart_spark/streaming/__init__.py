@@ -14,7 +14,10 @@ from .dynamic_table import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     calib_cells_merge_batch,
+    auc_cells_merge_batch,
+    auc_from_cells,
     calibration_from_cells,
+    streaming_auc_ingest,
     streaming_calibration_ingest,
 )
 from .gap import streaming_best_evidence  # noqa: F401

@@ -109,6 +109,141 @@ def streaming_calibration_ingest(
     return writer.start()
 
 
+_AUC_SCHEMA = "kind string, s_fp bigint, cnt bigint, pos bigint, bad bigint"
+_AUC_COLS = ["cnt", "pos", "bad"]
+
+
+def auc_cells_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_cells: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Merge one micro-batch's quantized-score cells (``llmops.
+    evaluation._quantized_cells`` output) into ``target_table`` by
+    (s_fp) SUM — the ``calib_cells_merge_batch`` ledger discipline with
+    a ``kind`` discriminator column instead of a sentinel key value:
+    AUC score cells span the whole BIGINT range (scores can be
+    negative), so no s_fp value is safe to reserve, and the dirty-row
+    cell already owns s_fp = NULL. Meta row: ``(kind='meta', cnt =
+    last applied batch id)``; cells ride as ``kind='cell'`` and the
+    merge groupBy keys (kind, s_fp) — NULL s_fp is a real group, never
+    filtered (the round-7 streamed-calibration lesson, applied from
+    birth)."""
+    from ..operators.materialize import materialize_table
+
+    cells = batch_cells.select(
+        F.lit("cell").alias("kind"),
+        F.col("s_fp").cast("bigint"),
+        F.col("cnt").cast("bigint"),
+        F.col("pos").cast("bigint"),
+        F.col("bad").cast("bigint"),
+    )
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("kind") == "meta").select("cnt").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        merged = (
+            cur.filter(F.col("kind") == "cell")
+            .unionByName(cells)
+            .groupBy("kind", "s_fp")
+            .agg(*[F.sum(c).alias(c) for c in _AUC_COLS])
+        )
+    else:
+        merged = cells
+    meta = spark.createDataFrame(
+        [("meta", None, int(batch_id), 0, 0)], _AUC_SCHEMA
+    )
+    materialize_table(spark, target_table, merged.unionByName(meta))
+    return True
+
+
+def streaming_auc_ingest(
+    stream: DataFrame,
+    target_table: str,
+    score_col: str,
+    label_col: str,
+    scale: int = 10**4,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain a ROC-AUC cell table over a scored stream — the
+    ``streaming_calibration_ingest`` twin for the ranking metric: each
+    micro-batch partial-aggregates its own (s_fp, cnt, pos, bad) cells
+    and sum-merges them. Read the live AUC any time with
+    ``auc_from_cells`` — identical numbers to running ``roc_auc`` over
+    everything ingested so far (rank-sums derive from the cells, and
+    cells are associative BIGINT sums, so merge order cannot matter).
+
+    State bound: one row per DISTINCT quantized score, ≤ scale + 1 rows
+    for in-[0,1] scores — the default ``scale = 10⁴`` is the streaming
+    monitor's resolution knob (the batch operator's 10⁶ would mean up
+    to a million register rows; a tie-granularity of 10⁻⁴ changes AUC
+    only below any live-dashboard decision threshold)."""
+    from ..llmops.evaluation import _quantized_cells
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = _quantized_cells(batch_df, score_col, label_col, int(scale))
+        auc_cells_merge_batch(
+            batch_df.sparkSession, target_table, cells, batch_id
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def auc_from_cells(
+    spark: SparkSession,
+    target_table: str,
+) -> DataFrame:
+    """One-row exact AUC from a streamed cell table — the ``roc_auc``
+    arithmetic (tie-aware BIGINT rank-sum, one float division on exact
+    operands) folded in driver Python over the collected cells (bounded
+    by the ingest ``scale``). Same guards as the batch operator: dirty
+    rows and single-class relations raise."""
+    rows = (
+        spark.table(target_table)
+        .filter(F.col("kind") == "cell")
+        .collect()
+    )
+    n_bad = sum(int(r.bad) for r in rows)
+    if n_bad > 0:
+        raise ValueError(
+            f"roc_auc: {n_bad} rows have NULL scores or labels outside"
+            " {0, 1} — clean the eval relation first (silent exclusion"
+            " would misreport the operating population)"
+        )
+    clean = sorted(
+        ((int(r.s_fp), int(r.cnt), int(r.pos)) for r in rows),
+        key=lambda t: t[0],
+    )
+    n = sum(c for _, c, _ in clean)
+    n_pos = sum(p for _, _, p in clean)
+    n_neg = n - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"roc_auc is undefined on a single-class relation: "
+            f"n_pos={n_pos}, n_neg={n_neg}"
+        )
+    pr2, below = 0, 0
+    for _, cnt, pos in clean:
+        pr2 += pos * (2 * below + cnt + 1)
+        below += cnt
+    auc = round((pr2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6)
+    return spark.createDataFrame(
+        [(n, n_pos, n_neg, len(clean), auc)],
+        "n_rows bigint, n_pos bigint, n_neg bigint,"
+        " n_score_cells bigint, auc double",
+    )
+
+
 def calibration_from_cells(
     spark: SparkSession,
     target_table: str,

@@ -3235,3 +3235,89 @@ def test_index_release_gates_ann_serving_on_recall(spark):
     # layout invariance of the release verdict
     r13 = build_index_release(spark, emb.repartition(13), qids)
     assert r13.build("index_scorecard").collect() == sc
+
+
+def test_streaming_auc_ingest_matches_batch_and_guards(spark, tmp_path):
+    """Streamed AUC maintenance (the calibration twin for the ranking
+    metric): merged quantized-score cells reproduce batch roc_auc at
+    the same scale field-for-field, the kind='meta' ledger makes
+    replayed batch ids no-ops, doubling every cell leaves AUC fixed
+    (rank-sum invariance under uniform duplication), and a dirty batch
+    makes the read-back raise exactly like the batch operator — the
+    NULL-s_fp dirty cell is a real merge group, never filtered."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _quantized_cells,
+        roc_auc,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        auc_cells_merge_batch,
+        auc_from_cells,
+        streaming_auc_ingest,
+    )
+
+    rows = [
+        (i, ((i * 37) % 97) / 96.0,
+         1 if ((i * 13) % 29) / 29.0 < ((i * 37) % 97) / 96.0 else 0)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "seq long, score double, label int")
+    expected = roc_auc(df, "score", "label", scale=10**4).collect()[0]
+
+    src = tmp_path / "auc_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("seq") % 3 == part).write.mode("overwrite").parquet(
+            str(src / f"b{part}")
+        )
+    spark.sql("DROP TABLE IF EXISTS auc_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_auc_ingest(
+        stream, "auc_stream_t", "score", "label",
+        checkpoint_dir=str(tmp_path / "auc_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = auc_from_cells(spark, "auc_stream_t").collect()[0]
+    assert got == expected  # every field incl. the exact AUC
+
+    # ledger: replayed id is a no-op; a fresh id double-counts, and
+    # uniform duplication leaves the rank-sum AUC fixed
+    mark = (
+        spark.table("auc_stream_t")
+        .filter(F.col("kind") == "meta").collect()[0].cnt
+    )
+    cells = _quantized_cells(df, "score", "label", 10**4)
+    assert auc_cells_merge_batch(spark, "auc_stream_t", cells, mark) is False
+    assert auc_from_cells(spark, "auc_stream_t").collect()[0] == expected
+    assert auc_cells_merge_batch(
+        spark, "auc_stream_t", cells, mark + 1
+    ) is True
+    doubled = auc_from_cells(spark, "auc_stream_t").collect()[0]
+    assert doubled.n_rows == 2 * expected.n_rows
+    assert doubled.auc == expected.auc
+    assert doubled.n_score_cells == expected.n_score_cells
+
+    # dirty batch: the NULL-s_fp cell survives the merge and the
+    # read-back raises like batch roc_auc
+    dirty = spark.createDataFrame(
+        [(9001, 0.5, 2), (9002, None, 0)],
+        "seq long, score double, label int",
+    )
+    assert auc_cells_merge_batch(
+        spark, "auc_stream_t",
+        _quantized_cells(dirty, "score", "label", 10**4), mark + 2,
+    ) is True
+    null_cells = (
+        spark.table("auc_stream_t")
+        .filter(F.col("kind") == "cell")
+        .filter(F.col("s_fp").isNull()).collect()
+    )
+    assert len(null_cells) == 1 and null_cells[0].bad == 2
+    with pytest.raises(ValueError, match="NULL scores or"):
+        auc_from_cells(spark, "auc_stream_t")
+    spark.sql("DROP TABLE auc_stream_t")

@@ -1,41 +1,40 @@
-"""The ANN index-release pipeline assembled on the engine runtime.
+"""The ANN-index release pipeline assembled on the engine runtime — the
+embedding capstone beside ``corpus_release``'s text one.
 
-The retrieval capstone, closing the loop ``corpus_release`` closes for
-the data funnel: an index build is only releasable when its serving
+A serving index is a RELEASE ARTIFACT exactly like a curated corpus:
+trained model state + encoded payload + a manifest, rebuilt on a
+schedule, consumed by systems that never see the raw vectors. The same
+registry that runs the datamart runs this:
+
+  stg_vectors       stage view: typed projection of the embedding feed
+  index_quantizers  TABLE — the trained model state AS A RELATION
+                    (``save_ann_model``'s (kind, grp, cid, cvec) shape):
+                    coarse centroids + per-subspace PQ codebooks, Lloyd-
+                    trained once per release; a fresh session reads this
+                    table and can probe/decode the codes without any
+                    Python state (llmops/similarity.py::load_ann_model)
+  index_codes       TABLE PARTITIONED BY (cell) — the serving codes in
+                    ``build_ivfpq_index``'s layout, declared through the
+                    registry's dbt-style ``partition_by`` config, so
+                    probes are partition prunes and ``ivfpq_index_upsert``
+                    maintains it incrementally between releases
+  index_manifest    per-cell release stats: population and code width —
+                    the index data card (cell-balance check before the
+                    release is accepted)
+
+Scale: training collects only k·d + m·k·(d/m) model floats (the
+_lloyd_fit carve-out); the encode is one map-only pass against the
+broadcast quantizers; the manifest is one partial-agg groupBy over the
+codes table. The DAG's lineage/retry/test machinery is the registry's —
+nothing here is new execution machinery.
+
+``build_index_scorecard`` below is the QUALITY gate beside this
+ARTIFACT pipeline: an index build is only releasable when its serving
 quality is GRADED against the exact oracle — the test-harness
 fail-as-data pattern (reference analog: ``dbt-adapters/macros/
 materializations/tests/helpers.sql:7-16`` — a gate is a query whose
-rows ARE the verdict). Registry models:
-
-  stg_vectors       stage view: typed projection of the embedding table
-  ann_index         TABLE, partitioned by cell: the trained IVF
-                    assignment — the materialize-then-probe split of a
-                    real deployment (probing becomes partition pruning)
-  ann_results       batched IVF top-k for the release's query panel,
-                    served FROM the index table (one broadcast probe
-                    join, one per-query window)
-  brute_topk        the exact cosine oracle for the same panel — brute
-                    by design: at 100 TB you grade a SAMPLED panel, and
-                    the oracle pass is one map-only scan per release
-  judged_pool       system list ∪ oracle-only misses: every brute
-                    top-k member the index failed to retrieve re-enters
-                    at sentinel score −2.0 (below any cosine), the TREC
-                    convention — unretrieved judged docs rank at the
-                    bottom and can never enter the system's top-k; rel
-                    = brute-membership (binary)
-  index_scorecard   terminal release gate, ONE row: per-query
-                    recall@k / MRR / NDCG@k fold into exact-integer
-                    release arithmetic — metric means sum the 6dp
-                    per-query values as half-up-quantized BIGINTs
-                    (associative — layout-stable where a float mean is
-                    not), and ``released`` compares Σ recall_fp against
-                    floor(RECALL_FLOOR·10⁶)·n in pure integers.
-
-Every stage except the index is a VIEW (Catalyst inlines the funnel);
-the index is the one materialization, exactly like ``corpus_quality``
-mid-funnel. Recall@k here is ANN recall in the literature's sense:
-|IVF top-k ∩ brute top-k| / k, since the judged pool's n_relevant per
-query is the brute list's k members.
+rows ARE the verdict), the way ``corpus_release`` gates the data
+funnel on dedup/quality/decontamination.
 """
 
 from __future__ import annotations
@@ -45,20 +44,139 @@ from pyspark.sql import functions as F
 
 from ..plans import ModelRegistry
 
-K_EVAL = 10
 N_CELLS = 8
+PQ_M = 8
+PQ_CODES = 16
+LLOYD_ROUNDS = 2
+
+
+def quantizers_from_relation(
+    df: DataFrame,
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]
+]:
+    """Rebuild the (centroids, codebooks) python lists from the
+    ``index_quantizers`` relation — ``load_ann_model``'s logic given a
+    DataFrame instead of a table name (registry models hand refs, not
+    catalog names). Bounded model-state collect."""
+    rows = df.orderBy("kind", "grp", "cid").collect()
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cvec])
+        for r in rows
+        if r.kind == "coarse"
+    ]
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        if r.kind == "pq":
+            books.setdefault(int(r.grp), []).append(
+                (int(r.cid), [float(x) for x in r.cvec])
+            )
+    return centroids, [books[s] for s in sorted(books)]
+
+
+def build_index_release(
+    spark: SparkSession, raw_embeddings: DataFrame
+) -> ModelRegistry:
+    r = ModelRegistry(spark)
+    r.add_source("raw_embeddings", raw_embeddings)
+
+    @r.model()
+    def stg_vectors(ctx):
+        return ctx.source("raw_embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding"),
+        )
+
+    @r.model(materialized="table")
+    def index_quantizers(ctx):
+        # TABLE: training is the expensive, once-per-release step; every
+        # downstream consumer (encode, probe, NEXT session's upsert)
+        # reads the persisted state instead of re-fitting
+        from ..llmops.similarity import kmeans_lloyd, pq_codebooks_trained
+
+        vecs = ctx.ref("stg_vectors")
+        cents = kmeans_lloyd(vecs, k=N_CELLS, n_iter=LLOYD_ROUNDS)
+        books = pq_codebooks_trained(
+            vecs, m=PQ_M, k=PQ_CODES, n_iter=LLOYD_ROUNDS
+        )
+        rows = [
+            ("coarse", -1, int(cid), [float(x) for x in cv])
+            for cid, cv in cents
+        ] + [
+            ("pq", s, int(cid), [float(x) for x in cv])
+            for s, book in enumerate(books)
+            for cid, cv in book
+        ]
+        return ctx.spark.createDataFrame(
+            rows, "kind string, grp int, cid int, cvec array<double>"
+        )
+
+    @r.model(materialized="table", partition_by=["cell"])
+    def index_codes(ctx):
+        from ..llmops.similarity import ivfpq_index_rows
+
+        cents, books = quantizers_from_relation(ctx.ref("index_quantizers"))
+        return ivfpq_index_rows(ctx.ref("stg_vectors"), cents, books)
+
+    @r.model()
+    def index_manifest(ctx):
+        return (
+            ctx.ref("index_codes")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.min(F.size("codes")).alias("min_code_width"),
+                F.max(F.size("codes")).alias("max_code_width"),
+            )
+        )
+
+    return r
+
+
+# -- the serving-quality release gate ---------------------------------------
+
+K_EVAL = 10
 NPROBE = 2
 N_ITER = 2
 RECALL_FLOOR = 0.6  # release bar: mean ANN recall@k >= 0.6
 _SENTINEL = -2.0  # below any cosine: padded misses never rank
 
 
-def build_index_release(
+def build_index_scorecard(
     spark: SparkSession,
     embeddings: DataFrame,
     query_ids: list,
     centroids: list | None = None,
 ) -> ModelRegistry:
+    """The QUALITY gate beside the artifact pipeline above — registry
+    models:
+
+      stg_vectors       stage view: typed projection
+      ann_index         TABLE, partitioned by cell: the trained IVF
+                        assignment (probing = partition pruning)
+      ann_results       batched IVF top-k for the release's query
+                        panel, served FROM the index table
+      brute_topk        the exact cosine oracle for the same panel —
+                        brute BY DESIGN: at 100 TB you grade a SAMPLED
+                        panel, one map-only scan per release
+      judged_pool       system list ∪ oracle-only misses: every brute
+                        top-k member the index failed to retrieve
+                        re-enters at sentinel −2.0 (below any cosine),
+                        the TREC unretrieved-judged convention; rel =
+                        brute-membership
+      index_scorecard   terminal ONE-row gate: per-query recall@k /
+                        MRR / NDCG@k fold into exact-integer release
+                        arithmetic — metric means sum the 6dp
+                        per-query values as half-up-quantized BIGINTs
+                        (associative, layout-stable where a float mean
+                        is not) and ``released`` compares Σ recall_fp
+                        against floor(RECALL_FLOOR·10⁶)·n in pure
+                        integers.
+
+    Recall@k here is ANN recall in the literature's sense:
+    |IVF top-k ∩ brute top-k| / k, since the judged pool's n_relevant
+    per query is the brute list's k members.
+    """
     from ..llmops.similarity import (
         _lloyd_fit,
         cosine_topk_batch,

@@ -3180,13 +3180,13 @@ def test_index_release_gates_ann_serving_on_recall(spark):
     from healthcare_dbt_datamart_spark.models.index_release import (
         K_EVAL,
         RECALL_FLOOR,
-        build_index_release,
+        build_index_scorecard,
     )
     from healthcare_dbt_datamart_spark.models.testdata_queries import load
 
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     qids = [1, 7, 19, 42]
-    r = build_index_release(spark, emb, qids)
+    r = build_index_scorecard(spark, emb, qids)
 
     ann = r.build("ann_results").collect()
     brute = r.build("brute_topk").collect()
@@ -3233,7 +3233,7 @@ def test_index_release_gates_ann_serving_on_recall(spark):
     assert row.mean_mrr is not None and 0.0 < row.mean_mrr <= 1.0
 
     # layout invariance of the release verdict
-    r13 = build_index_release(spark, emb.repartition(13), qids)
+    r13 = build_index_scorecard(spark, emb.repartition(13), qids)
     assert r13.build("index_scorecard").collect() == sc
 
 

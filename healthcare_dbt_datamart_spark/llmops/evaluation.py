@@ -147,13 +147,18 @@ def roc_auc(
         cells.select((F.col("pos") * rank2).alias("pr2"))
         .agg(F.sum("pr2").alias("sum_pr2"), F.count(F.lit(1)).alias("n_cells"))
         .select(
-            F.lit(n).alias("n_rows"),
-            F.lit(n_pos).alias("n_pos"),
-            F.lit(n_neg).alias("n_neg"),
+            F.lit(n).cast("bigint").alias("n_rows"),
+            F.lit(n_pos).cast("bigint").alias("n_pos"),
+            F.lit(n_neg).cast("bigint").alias("n_neg"),
             F.col("n_cells").cast("bigint").alias("n_score_cells"),
             F.round(
+                # the n_pos·(n_pos+1) product is computed in exact
+                # driver Python and shipped as ONE long literal: two
+                # int literals multiplied in-plan are 32-bit and
+                # overflow under ANSI past n_pos ~ 46k (caught by the
+                # 10x scale probe)
                 (
-                    F.col("sum_pr2") - F.lit(n_pos) * F.lit(n_pos + 1)
+                    F.col("sum_pr2") - F.lit(int(n_pos) * int(n_pos + 1))
                 ).cast("double")
                 / F.lit(2.0 * n_pos * n_neg),
                 6,

@@ -1158,3 +1158,21 @@ def test_mmr_rerank_diversifies_and_replays(spark):
         mmr_rerank(df, 0, k=10, pool=5)
     with pytest.raises(ValueError, match="not found"):
         mmr_rerank(df, 999, k=2, pool=3)
+
+
+def test_roc_auc_large_population_no_int_overflow(spark):
+    """n_pos·(n_pos+1) must ship as ONE exact long literal: two int
+    literals multiplied in-plan are 32-bit and overflow under ANSI past
+    n_pos ~ 46k — caught by the 10x scale probe on the replica corpus
+    (regression: 100k positives here overflowed before the fix)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import roc_auc
+
+    df = spark.range(200_000).select(
+        (F.pmod(F.col("id") * 37, F.lit(1000)) / F.lit(999.0)).alias("score"),
+        F.pmod(F.col("id"), F.lit(2)).cast("int").alias("label"),
+    )
+    row = roc_auc(df, "score", "label").collect()[0]
+    assert row.n_pos == 100_000 and row.n_neg == 100_000
+    assert row.auc is not None and 0.0 <= row.auc <= 1.0

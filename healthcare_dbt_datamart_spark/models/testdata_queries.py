@@ -3989,11 +3989,13 @@ SCHEDULED_NEXT_WINDOW = [
 # zorder stays pytest-level by nature: its observable is parquet
 # footers, not a result hash — the footer test IS its strongest gate.
 # ROUND-9 window arithmetic (inventory 165, cycle ceil(165/50) = 4):
-# these 6 scheduled lead + the 9 settled-tier round-5 leftovers
-# (agg_any_bool .. set_intersect, rotating within their doubled
-# allowance) + 35 of the 50 round-6 greens (age 3 then) fill the 50
-# slots; the remaining 15 round-6 greens take the round-10 window
-# alongside the round-7 greens' cadence start.
+# these 6 scheduled lead + ALL 39 unsettled round-6 greens (age 4 =
+# cycle at round-9 judging — they MUST re-enter; the other 11 r6
+# greens are settled-tier, allowance 8) + 5 of the 9 settled-tier
+# round-5 leftovers = 50 exactly; the remaining 4 r5 leftovers and 11
+# settled r6 greens stay safe under the doubled allowance, and the
+# round-10 window takes the unsettled round-7 greens at their own
+# cadence deadline.
 # ROUND-9 PROMOTION QUEUE (next alternates, implemented + pytest'd
 # with DuckDB/pure-Python replays): annotator_agreement,
 # weighted_consensus, trigram_interp_scores (the recursive-JM rung),

@@ -142,6 +142,9 @@ RECALL_FLOOR = 0.6  # release bar: mean ANN recall@k >= 0.6
 _SENTINEL = -2.0  # below any cosine: padded misses never rank
 
 
+PROBE_SWEEP = (1, 2, 4, 8)  # the recall-vs-cost tuning curve's x axis
+
+
 def build_index_scorecard(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -308,6 +311,97 @@ def build_index_scorecard(
             (
                 F.col("recall_fp") >= F.lit(floor_fp) * F.col("n_queries")
             ).alias("released"),
+        )
+
+    @r.model()
+    def probe_frontier(ctx):
+        """The recall-vs-cost TUNING CURVE: one row per nprobe in
+        ``PROBE_SWEEP`` — exact mean ANN recall@k against the brute
+        oracle next to the measured scan cost (candidate rows actually
+        touched = Σ over queries of probed-cell populations, minus the
+        query's self-row when probed). This is the table an index
+        operator reads to pick nprobe: recall is non-decreasing in
+        nprobe and probing every cell IS the brute scan, so the last
+        row pins ``recall = 1.0`` exactly (the test's property).
+        Exact-integer arithmetic throughout: recall_fp sums
+        |IVF∩brute|·(10⁶/k) per query (exact — multiples of 10⁶/k),
+        candidates are BIGINT counts."""
+        from ..llmops.similarity import _query_probe_frame, ivf_topk_batch
+
+        idx = ctx.ref("ann_index")
+        brute = ctx.ref("brute_topk").select(
+            "query_id", "vec_id", F.lit(1).alias("rel")
+        )
+        cell_sizes = idx.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cell_n")
+        )
+        fp = 10**6
+        frames = []
+        for nprobe in PROBE_SWEEP:
+            res = ivf_topk_batch(
+                idx,
+                query_ids,
+                k=K_EVAL,
+                nprobe=nprobe,
+                centroids=_state["centroids"],
+                assigned=idx,
+            )
+            hits = (
+                res.join(brute, ["query_id", "vec_id"], "left")
+                .groupBy("query_id")
+                .agg(
+                    (
+                        F.sum(F.coalesce("rel", F.lit(0)))
+                        * F.lit(fp // K_EVAL)
+                    ).alias("r_fp")
+                )
+            )
+            probes = _query_probe_frame(
+                idx, query_ids, "vec_id", "embedding",
+                _state["centroids"], nprobe,
+            ).select("qid", "cell")
+            # cost: candidate rows touched per query = probed-cell
+            # populations minus the self-row when its own cell is probed
+            self_cells = idx.filter(
+                F.col("vec_id").isin([int(q) for q in query_ids])
+            ).select(F.col("vec_id").alias("qid"), F.col("cell"))
+            cost = (
+                probes.join(cell_sizes, "cell")
+                .join(
+                    self_cells.withColumn("is_self", F.lit(1)),
+                    ["qid", "cell"],
+                    "left",
+                )
+                .groupBy("qid")
+                .agg(
+                    F.sum(
+                        F.col("cell_n")
+                        - F.coalesce("is_self", F.lit(0))
+                    ).alias("scanned")
+                )
+            )
+            frames.append(
+                hits.join(
+                    cost, hits["query_id"] == cost["qid"]
+                ).select(
+                    F.lit(int(nprobe)).alias("nprobe"),
+                    F.col("r_fp"),
+                    F.col("scanned"),
+                )
+            )
+        allf = frames[0]
+        for f in frames[1:]:
+            allf = allf.unionByName(f)
+        return (
+            allf.groupBy("nprobe")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("r_fp") / (F.count(F.lit(1)) * F.lit(fp)), 6
+                ).alias("mean_recall"),
+                F.sum("scanned").cast("bigint").alias("candidates_scanned"),
+            )
+            .orderBy("nprobe")
         )
 
     return r

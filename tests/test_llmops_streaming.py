@@ -3236,6 +3236,22 @@ def test_index_release_gates_ann_serving_on_recall(spark):
     r13 = build_index_scorecard(spark, emb.repartition(13), qids)
     assert r13.build("index_scorecard").collect() == sc
 
+    # the recall-vs-cost tuning curve: recall non-decreasing in nprobe,
+    # cost strictly increasing, and probing EVERY cell IS the brute
+    # scan — the last row pins recall = 1.0 and scanned = (N-1)·|Q|
+    frontier = r.build("probe_frontier").collect()
+    assert [f.nprobe for f in frontier] == [1, 2, 4, 8]
+    recalls = [f.mean_recall for f in frontier]
+    assert recalls == sorted(recalls)
+    scanned = [f.candidates_scanned for f in frontier]
+    assert scanned == sorted(scanned) and scanned[0] < scanned[-1]
+    assert frontier[-1].mean_recall == 1.0
+    n_vecs = emb.count()
+    assert frontier[-1].candidates_scanned == (n_vecs - 1) * len(qids)
+    # the default-nprobe row agrees with the scorecard's mean recall
+    by_np = {f.nprobe: f for f in frontier}
+    assert by_np[2].mean_recall == row.mean_recall
+
 
 def test_streaming_auc_ingest_matches_batch_and_guards(spark, tmp_path):
     """Streamed AUC maintenance (the calibration twin for the ranking

@@ -72,6 +72,7 @@ from .preferences import (  # noqa: F401
     krippendorff_alpha,
     majority_vote,
     pass_at_k,
+    rasch_fit,
     weighted_consensus,
 )
 from .similarity import (  # noqa: F401

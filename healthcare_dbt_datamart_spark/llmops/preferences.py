@@ -933,3 +933,149 @@ def weighted_consensus(
         "n_votes",
         (F.col("weighted_label") != F.col("majority_label")).alias("flipped"),
     )
+
+
+def rasch_fit(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    correct_col: str = "correct",
+    n_iter: int = 4,
+    lr: float = 1.0,
+    scale: int = 10**6,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Rasch-model (1PL IRT) fit — per-ITEM difficulty next to
+    per-RATER ability from a binary outcome grid (Rasch 1960; the
+    psychometric rung above ``dawid_skene``: DS learns WHO to trust,
+    Rasch learns WHICH ITEMS are hard, the number an eval-set curator
+    reads before balancing a benchmark):
+
+        P(correct | rater r, item i) = sigmoid(theta_r − b_i)
+
+    fit by joint full-batch gradient ascent in the engine's
+    determinism conventions — BOTH parameter vectors live in
+    DATAFRAMES, never on the driver (items are corpus-sized at 100 TB;
+    the ``logreg_train`` driver-side weight list only works because d
+    is tiny):
+
+    - Parameters are INTEGER-QUANTIZED (BIGINT ``scale`` units). Each
+      round joins votes ⋈ theta (rater key) ⋈ b (item key), computes
+      the per-vote error ``p − y`` in doubles from exact quantized
+      operands, half-up-quantizes it ONCE (``floor(err·scale + 0.5)``)
+      and integer-sums per item and per rater — associative, so the
+      fit is bit-stable under any partitioning and the whole loop
+      unrolls into DuckDB CTEs (one quantization per vote: the rater
+      gradient uses −Σq, never a second rounding of the negated
+      error, which would break replay by half-up asymmetry).
+    - Updates: ``b' = floor((b + lr·G_i/(n_i·scale))·scale + 0.5)``,
+      ``theta' = floor((theta − lr·G_r/(n_r·scale))·scale + 0.5)``
+      (G = Σq; the item gradient ASCENDS difficulty where raters fail).
+    - Identifiability: the model is invariant to a common shift
+      (theta+c, b+c), so each round re-anchors b to integer-mean zero
+      (``(Σ b_fp) div n_items`` subtracted from both vectors) — the
+      standard sum-to-zero constraint, in exact integer arithmetic.
+
+    Scale shape, per round: one votes ⋈ params join per key (the
+    params side is partial-agg shaped; broadcast when raters are
+    bounded), two partial-agg groupBys; per-round lineage cuts via
+    ``truncate_lineage``. Returns one tagged table:
+    ``(kind ['item'|'rater'], key, n_votes, estimate)`` — estimate 6dp,
+    difficulty for items, ability for raters.
+    """
+    if int(n_iter) < 1:
+        raise ValueError(f"n_iter must be >= 1: got {n_iter!r}")
+    if not 0.0 < lr:
+        raise ValueError(f"lr must be positive: got {lr!r}")
+    scale = int(scale)
+
+    v = votes.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(annotator_col).cast("string").alias("rater"),
+        F.col(correct_col).cast("int").alias("y"),
+    )
+    nb = v.agg(
+        F.sum(
+            (F.col("y").isNull() | ~F.col("y").isin(0, 1)).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(nb.nb or 0) > 0:
+        raise ValueError(
+            f"rasch_fit: {nb.nb} votes have NULL or non-binary"
+            f" {correct_col!r} — clean the outcome grid first"
+        )
+
+    n_i = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    n_r = v.groupBy("rater").agg(F.count(F.lit(1)).alias("n_votes"))
+    n_items = n_i.count()  # scalar for the integer re-anchor divisor
+    b = n_i.select("item", F.lit(0).cast("bigint").alias("b_fp"))
+    th = n_r.select("rater", F.lit(0).cast("bigint").alias("t_fp"))
+
+    lr_c = float(lr)
+    for rnd in range(int(n_iter)):
+        scored = (
+            v.join(b, "item")
+            .join(th, "rater")
+            .select(
+                "item",
+                "rater",
+                F.expr(
+                    f"cast(floor((1.0d / (1.0d + exp(-(t_fp / {scale}.0d"
+                    f" - b_fp / {scale}.0d))) - y) * {scale} + 0.5d)"
+                    " as bigint)"
+                ).alias("q"),
+            )
+        )
+        g_i = scored.groupBy("item").agg(F.sum("q").alias("G"))
+        g_r = scored.groupBy("rater").agg(F.sum("q").alias("G"))
+        new_b = (
+            b.join(g_i, "item")
+            .join(n_i, "item")
+            .select(
+                "item",
+                F.expr(
+                    f"cast(floor((b_fp / {scale}.0d + {lr_c!r}d *"
+                    f" (G / (n_votes * cast({scale} as bigint))))"
+                    f" * {scale} + 0.5d) as bigint)"
+                ).alias("b_fp"),
+            )
+        )
+        new_th = (
+            th.join(g_r, "rater")
+            .join(n_r, "rater")
+            .select(
+                "rater",
+                F.expr(
+                    f"cast(floor((t_fp / {scale}.0d - {lr_c!r}d *"
+                    f" (G / (n_votes * cast({scale} as bigint))))"
+                    f" * {scale} + 0.5d) as bigint)"
+                ).alias("t_fp"),
+            )
+        )
+        # sum-to-zero re-anchor in exact integers (location invariance)
+        c_fp = int(
+            new_b.agg(F.sum("b_fp")).collect()[0][0] or 0
+        ) // n_items  # one bounded scalar per round (model state)
+        new_b = new_b.select(
+            "item", (F.col("b_fp") - F.lit(c_fp)).alias("b_fp")
+        )
+        new_th = new_th.select(
+            "rater", (F.col("t_fp") - F.lit(c_fp)).alias("t_fp")
+        )
+        b = truncate_lineage(new_b, rnd, reliable, checkpoint_every)
+        th = truncate_lineage(new_th, rnd, reliable, checkpoint_every)
+
+    items = b.join(n_i, "item").select(
+        F.lit("item").alias("kind"),
+        F.col("item").alias("key"),
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        F.round(F.col("b_fp") / F.lit(float(scale)), 6).alias("estimate"),
+    )
+    raters = th.join(n_r, "rater").select(
+        F.lit("rater").alias("kind"),
+        F.col("rater").alias("key"),
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        F.round(F.col("t_fp") / F.lit(float(scale)), 6).alias("estimate"),
+    )
+    return items.unionByName(raters)

@@ -3630,3 +3630,93 @@ def test_dawid_skene_log_space_matches_small_panels_and_survives_500(spark):
         ).collect()
     }
     assert out13 == {i: tuple(r) for i, r in out.items()}
+
+
+def test_rasch_fit_recovers_planted_ordering_and_replays(spark):
+    """Rasch 1PL fit: on a planted grid (rater ability 0..4, item
+    difficulty 0..9, outcome = threshold + deterministic noise) the
+    fitted abilities and difficulties recover the planted ORDERING at
+    the extremes and monotonically on average; item estimates anchor
+    to integer-mean zero each round (location invariance); a
+    pure-Python replay of the exact quantized loop reproduces every
+    estimate bit-for-bit; layout-invariant; loud guards."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import rasch_fit
+
+    rows = []
+    for r in range(5):
+        for i in range(10):
+            noise = ((i * 7 + r * 3) % 3) - 1  # -1/0/+1, deterministic
+            y = 1 if (2 * r - i + noise) > 0 else 0
+            rows.append((f"i{i:02d}", f"r{r}", y))
+    votes = spark.createDataFrame(rows, ["item_id", "annotator_id", "correct"])
+
+    out = rasch_fit(votes, n_iter=4, lr=1.0).collect()
+    items = {r.key: r.estimate for r in out if r.kind == "item"}
+    raters = {r.key: r.estimate for r in out if r.kind == "rater"}
+    assert len(items) == 10 and len(raters) == 5
+    assert all(r.n_votes == 5 for r in out if r.kind == "item")
+    assert all(r.n_votes == 10 for r in out if r.kind == "rater")
+
+    # planted ordering at the extremes + monotone-on-average
+    assert raters["r4"] > raters["r2"] > raters["r0"]
+    assert items["i09"] > items["i05"] > items["i00"]
+    assert sum(
+        raters[f"r{a}"] < raters[f"r{a+1}"] for a in range(4)
+    ) >= 3
+    # items re-anchor to integer-mean zero (fp units): |sum| < n_items
+    assert abs(round(sum(items.values()) * 10**6)) < 10
+
+    # layout invariance
+    out13 = {
+        (r.kind, r.key): r.estimate
+        for r in rasch_fit(votes.repartition(13), n_iter=4).collect()
+    }
+    assert out13 == {(r.kind, r.key): r.estimate for r in out}
+
+    # pure-Python replay of the exact quantized loop
+    scale = 10**6
+    b = {f"i{i:02d}": 0 for i in range(10)}
+    th = {f"r{r}": 0 for r in range(5)}
+    n_i = {k: 5 for k in b}
+    n_r = {k: 10 for k in th}
+    for _ in range(4):
+        gi = {k: 0 for k in b}
+        gr = {k: 0 for k in th}
+        for it, ra, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(th[ra] / 1e6 - b[it] / 1e6)))
+            q = math.floor((p - y) * scale + 0.5)
+            gi[it] += q
+            gr[ra] += q
+        b = {
+            k: math.floor(
+                (b[k] / 1e6 + 1.0 * (gi[k] / (n_i[k] * scale))) * scale
+                + 0.5
+            )
+            for k in b
+        }
+        th = {
+            k: math.floor(
+                (th[k] / 1e6 - 1.0 * (gr[k] / (n_r[k] * scale))) * scale
+                + 0.5
+            )
+            for k in th
+        }
+        c = sum(b.values()) // len(b)
+        b = {k: v - c for k, v in b.items()}
+        th = {k: v - c for k, v in th.items()}
+    assert items == {k: round(v / 1e6, 6) for k, v in b.items()}
+    assert raters == {k: round(v / 1e6, 6) for k, v in th.items()}
+
+    # guards
+    with pytest.raises(ValueError, match="non-binary"):
+        rasch_fit(
+            spark.createDataFrame(
+                [("a", "r", 2)], ["item_id", "annotator_id", "correct"]
+            )
+        ).collect()
+    with pytest.raises(ValueError, match="lr"):
+        rasch_fit(votes, lr=0.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        rasch_fit(votes, n_iter=0)

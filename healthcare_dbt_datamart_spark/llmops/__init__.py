@@ -35,6 +35,7 @@ from .filtering import (  # noqa: F401
 from .bootstrap import (  # noqa: F401
     bootstrap_ci,
     bootstrap_diff_ci,
+    paired_bootstrap_test,
     poisson1_weight,
 )
 from .drift import (  # noqa: F401

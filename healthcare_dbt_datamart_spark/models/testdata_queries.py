@@ -4012,7 +4012,9 @@ SCHEDULED_NEXT_WINDOW = [
 # ndcg_at_k / retrieval_metrics / spearman_rho / bleu_corpus /
 # rouge_l / distinct_n (the round-7 evaluation wave), line_dedup,
 # mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
-# unrolled selection rounds), source_data_card, rasch_fit (1PL IRT
+# unrolled selection rounds), source_data_card,
+# paired_bootstrap_test (Koehn-style paired significance — the
+# bootstrap_diff_ci sibling for same-items comparisons), rasch_fit (1PL IRT
 # item difficulty / rater ability — distributed parameter frames,
 # unrollable quantized loop), index_scorecard
 # (models/index_release.py — the ANN release gate: batched IVF

@@ -3720,3 +3720,105 @@ def test_rasch_fit_recovers_planted_ordering_and_replays(spark):
         rasch_fit(votes, lr=0.0)
     with pytest.raises(ValueError, match="n_iter"):
         rasch_fit(votes, n_iter=0)
+
+
+def test_paired_bootstrap_detects_gain_unpaired_misses_and_replays(spark):
+    """The paired test's reason to exist, pinned: a small CONSISTENT
+    per-item gain under large item variance is significant for the
+    paired bootstrap but invisible to the unpaired two-group interval
+    on the same scores; the whole procedure replays bit-for-bit in
+    pure Python from the md5 draws; loud guards; layout-invariant."""
+    import hashlib
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.bootstrap import (
+        _POISSON1_CDF,
+        bootstrap_diff_ci,
+        paired_bootstrap_test,
+    )
+
+    # item variance +-500 around 5000; system A = B + 2 everywhere
+    rows = [
+        (i, 5000 + ((i * 37) % 1000) - 500 + 2, 5000 + ((i * 37) % 1000) - 500)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "score_a", "score_b"])
+
+    got = paired_bootstrap_test(
+        df, "score_a", "score_b", "item_id", n_boot=40, seed="p1"
+    ).collect()[0]
+    assert got.n_items == 120 and got.diff == 2.0
+    assert (got.n_a_wins, got.n_b_wins, got.n_ties) == (120, 0, 0)
+    # constant per-item diff: every replicate mean is exactly 2
+    assert (got.ci_lo, got.ci_hi, got.significant) == (2.0, 2.0, True)
+
+    # the UNPAIRED test on the stacked relation cannot see the gain
+    stacked = spark.createDataFrame(
+        [(f"a{i}", "a", sa) for i, sa, _ in rows]
+        + [(f"b{i}", "b", sb) for i, _, sb in rows],
+        ["row_id", "system", "score"],
+    )
+    unpaired = bootstrap_diff_ci(
+        stacked, "score", "system", "row_id",
+        group_a="a", group_b="b", n_boot=40, seed="p1",
+    ).collect()[0]
+    assert unpaired.significant is False
+    assert unpaired.ci_lo < 0 < unpaired.ci_hi
+
+    # pure-Python replay: md5 draws -> Poisson weights -> replicate
+    # means -> ceil-rank percentile walk (noisy grid so means differ)
+    rows2 = [
+        (i,
+         4000 + ((i * 53) % 900) + (((i * 29) % 7) - 3) * 40 + 15,
+         4000 + ((i * 53) % 900))
+        for i in range(80)
+    ]
+    df2 = spark.createDataFrame(rows2, ["item_id", "score_a", "score_b"])
+    got2 = paired_bootstrap_test(
+        df2, "score_a", "score_b", "item_id", n_boot=32, seed="z9"
+    ).collect()[0]
+
+    def w_of(u):
+        for k, t in enumerate(_POISSON1_CDF):
+            if u < t:
+                return k
+        return 7
+
+    means = []
+    for rep in range(32):
+        ws = wd = 0
+        for i, sa, sb in rows2:
+            h = hashlib.md5(f"z9:{rep}:{i}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)
+            w = w_of(u)
+            ws += w
+            wd += w * (sa - sb)
+        if ws > 0:
+            means.append((rep, wd / ws))
+    means.sort(key=lambda t: (t[1], t[0]))
+    nb = len(means)
+    lo = means[max(math.ceil(0.025 * nb), 1) - 1][1]
+    hi = means[math.ceil(0.975 * nb) - 1][1]
+    assert (got2.ci_lo, got2.ci_hi) == (round(lo, 6), round(hi, 6))
+    assert got2.diff == round(
+        sum(sa - sb for _, sa, sb in rows2) / len(rows2), 6
+    )
+
+    # layout invariance
+    got13 = paired_bootstrap_test(
+        df2.repartition(13), "score_a", "score_b", "item_id",
+        n_boot=32, seed="z9",
+    ).collect()[0]
+    assert got13 == got2
+
+    import pytest as _pytest
+
+    holed = df2.unionByName(spark.createDataFrame(
+        [(999, None, 5)], "item_id long, score_a long, score_b long"
+    ))
+    with _pytest.raises(ValueError, match="NULL score"):
+        paired_bootstrap_test(holed, "score_a", "score_b", "item_id")
+    with _pytest.raises(ValueError, match=">= 2 items"):
+        paired_bootstrap_test(
+            df2.limit(1), "score_a", "score_b", "item_id"
+        )

@@ -70,6 +70,7 @@ from .preferences import (  # noqa: F401
     dawid_skene,
     dpo_pairs,
     fleiss_kappa,
+    implicit_preference_pairs,
     krippendorff_alpha,
     majority_vote,
     pass_at_k,

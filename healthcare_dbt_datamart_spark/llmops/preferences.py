@@ -1079,3 +1079,90 @@ def rasch_fit(
         F.round(F.col("t_fp") / F.lit(float(scale)), 6).alias("estimate"),
     )
     return items.unionByName(raters)
+
+
+def implicit_preference_pairs(
+    events: DataFrame,
+    user_col: str,
+    item_col: str,
+    action_col: str,
+    action_rank: dict,
+    max_items_per_user: int = 20,
+) -> DataFrame:
+    """Mine PREFERENCE PAIRS from implicit feedback logs — the usage
+    signal RLHF pipelines tap when explicit A/B votes are scarce (a
+    response the user COPIED beats one they REGENERATED away from;
+    Joachims 2002's clickthrough-preference idea, engine-shaped):
+
+    1. Per (user, item): the STRONGEST observed action's rank wins
+       (one partial-agg groupBy — repeated weak signals never outvote
+       one strong signal, the standard implicit-feedback reading).
+    2. Cap each user's items to the ``max_items_per_user`` strongest
+       (rank desc, item asc — deterministic), bounding the pair
+       fan-out: without the cap a power user with m items emits
+       O(m²) pairs and a single hot user key skews the shuffle.
+    3. Within a user, every strictly-higher-ranked item beats every
+       lower-ranked one: one self-join on the user key over the
+       capped table — ≤ cap²/2 pairs per user by construction.
+
+    ``action_rank`` maps action values to integer strengths (e.g.
+    ``{"purchase": 3, "signup": 2, "click": 1, "view": 0}``); unmapped
+    actions are DROPPED (rank NULL — they carry no preference signal
+    either way). Equal ranks emit no pair (no information).
+
+    Returns ``(winner_id, loser_id, user, margin)`` — margin = rank
+    difference (a DPO-style confidence knob); feed the (winner_id,
+    loser_id) columns straight to ``bradley_terry`` or aggregate to
+    the ``(i, j, w2)`` pair table for the streamed leaderboard.
+
+    Determinism: integer ranks, deterministic cap tie-break, no floats
+    anywhere — replays row-for-row in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    if int(max_items_per_user) < 2:
+        raise ValueError(
+            f"max_items_per_user must be >= 2: got {max_items_per_user!r}"
+        )
+    if not action_rank:
+        raise ValueError("action_rank must be a non-empty mapping")
+    rank_expr = F.lit(None).cast("int")
+    for action, rank in sorted(action_rank.items()):
+        rank_expr = F.when(
+            F.col(action_col) == F.lit(action), F.lit(int(rank))
+        ).otherwise(rank_expr)
+
+    strongest = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(item_col).alias("item"),
+            rank_expr.alias("rank"),
+        )
+        .filter(F.col("rank").isNotNull())
+        .groupBy("user", "item")
+        .agg(F.max("rank").alias("rank"))
+    )
+    w = Window.partitionBy("user").orderBy(
+        F.col("rank").desc(), F.col("item").asc()
+    )
+    capped = (
+        strongest.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_items_per_user))
+        .drop("_rn")
+    )
+    win = capped.select(
+        "user", F.col("item").alias("winner_id"), F.col("rank").alias("_rw")
+    )
+    lose = capped.select(
+        "user", F.col("item").alias("loser_id"), F.col("rank").alias("_rl")
+    )
+    return (
+        win.join(lose, "user")
+        .filter(F.col("_rw") > F.col("_rl"))
+        .select(
+            "winner_id",
+            "loser_id",
+            F.col("user").alias(user_col),
+            (F.col("_rw") - F.col("_rl")).cast("int").alias("margin"),
+        )
+    )

@@ -4014,7 +4014,9 @@ SCHEDULED_NEXT_WINDOW = [
 # mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
 # unrolled selection rounds), source_data_card,
 # paired_bootstrap_test (Koehn-style paired significance — the
-# bootstrap_diff_ci sibling for same-items comparisons), rasch_fit (1PL IRT
+# bootstrap_diff_ci sibling for same-items comparisons),
+# implicit_preference_pairs (clickthrough-preference mining feeding
+# bradley_terry/dpo), rasch_fit (1PL IRT
 # item difficulty / rater ability — distributed parameter frames,
 # unrollable quantized loop), index_scorecard
 # (models/index_release.py — the ANN release gate: batched IVF

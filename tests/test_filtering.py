@@ -3822,3 +3822,106 @@ def test_paired_bootstrap_detects_gain_unpaired_misses_and_replays(spark):
         paired_bootstrap_test(
             df2.limit(1), "score_a", "score_b", "item_id"
         )
+
+
+def test_implicit_preference_pairs_semantics_and_bt_composition(spark):
+    """Implicit-feedback preference mining: strongest action per
+    (user, item) wins, unmapped actions drop, equal ranks emit no
+    pair, the per-user cap bounds fan-out deterministically, margins
+    are rank differences, a DuckDB replay reproduces the pair table
+    row-for-row, and the pairs feed bradley_terry into the planted
+    ranking."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+        implicit_preference_pairs,
+    )
+
+    ranks = {"purchase": 3, "signup": 2, "click": 1, "view": 0}
+    rows = [
+        # u1: strongest-signal-wins — item A has view+purchase, B click
+        (1, "A", "view"), (1, "A", "purchase"), (1, "B", "click"),
+        (1, "C", "view"),
+        # u2: ties emit nothing between B and C (both click)
+        (2, "B", "click"), (2, "C", "click"), (2, "A", "purchase"),
+        # u3: unmapped action drops entirely
+        (3, "D", "error"), (3, "A", "click"), (3, "B", "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "item", "action"])
+    got = {
+        (r.winner_id, r.loser_id, r.user_id): r.margin
+        for r in implicit_preference_pairs(
+            ev, "user_id", "item", "action", ranks
+        ).collect()
+    }
+    assert got == {
+        ("A", "B", 1): 2, ("A", "C", 1): 3, ("B", "C", 1): 1,
+        ("A", "B", 2): 2, ("A", "C", 2): 2,
+        ("A", "B", 3): 1,
+    }
+
+    # DuckDB replay of the full constructor
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    oracle = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute("""
+        WITH ranked AS (
+          SELECT user_id, item, MAX(CASE action
+            WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+            WHEN 'click' THEN 1 WHEN 'view' THEN 0 END) AS rank
+          FROM ev
+          WHERE action IN ('purchase','signup','click','view')
+          GROUP BY 1, 2
+        ),
+        capped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY rank DESC, item ASC) AS rn
+            FROM ranked) WHERE rn <= 20
+        )
+        SELECT w.item, l.item, w.user_id, w.rank - l.rank
+        FROM capped w JOIN capped l USING (user_id)
+        WHERE w.rank > l.rank
+        """).fetchall()
+    }
+    assert oracle == got
+
+    # cap bounds fan-out: a 30-item power user emits pairs over at
+    # most the 5 strongest items
+    power = spark.createDataFrame(
+        [(9, f"i{j:02d}", "click" if j else "purchase") for j in range(30)],
+        ["user_id", "item", "action"],
+    )
+    pp = implicit_preference_pairs(
+        power, "user_id", "item", "action", ranks, max_items_per_user=5
+    ).collect()
+    items = {r.winner_id for r in pp} | {r.loser_id for r in pp}
+    # cap keeps: i00 (purchase) + i01..i04 (clicks, item-asc tiebreak)
+    assert items == {"i00", "i01", "i02", "i03", "i04"}
+    assert all(r.winner_id == "i00" for r in pp) and len(pp) == 4
+
+    # composition: the mined pairs rank the planted favorite on top
+    big = []
+    for u in range(40):
+        big += [(u, "best", "purchase"), (u, "mid", "click"),
+                (u, "worst", "view")]
+    pairs = implicit_preference_pairs(
+        spark.createDataFrame(big, ["user_id", "item", "action"]),
+        "user_id", "item", "action", ranks,
+    )
+    bt = {
+        r.item: r.rating_fp
+        for r in bradley_terry(pairs, n_iter=3).collect()
+    }
+    assert bt["best"] > bt["mid"] > bt["worst"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_items_per_user"):
+        implicit_preference_pairs(
+            ev, "user_id", "item", "action", ranks, max_items_per_user=1
+        )
+    with _pytest.raises(ValueError, match="non-empty"):
+        implicit_preference_pairs(ev, "user_id", "item", "action", {})

@@ -1166,3 +1166,249 @@ def implicit_preference_pairs(
             (F.col("_rw") - F.col("_rl")).cast("int").alias("margin"),
         )
     )
+
+
+def elo_update_period(
+    ratings: DataFrame,
+    period_matches: DataFrame,
+    k: int = 32,
+    scale: int = 10**6,
+) -> DataFrame:
+    """ONE Elo rating-period update — the reusable core ``elo_ratings``
+    loops over and a streaming ``foreachBatch`` twin can apply per
+    micro-batch (each batch = one rating period, the arena cadence).
+
+    ``ratings`` is the bounded model state ``(item, r_fp)`` (BIGINT,
+    ``scale`` units); ``period_matches`` is ``(w, l)`` decided matches.
+    Every expected score uses the PERIOD-START ratings (the FIDE /
+    Glicko "rating period" convention — simultaneous updates within a
+    period, sequential across periods), so the update is one join +
+    one partial-agg groupBy, deterministic under any partitioning:
+
+        e_fp   = floor(scale / (1 + 10^((R_l − R_w)/(400·scale))) + 0.5)
+        C_item = Σ (+ (scale − e_fp)  for wins,
+                    − (scale − e_fp)  for losses)      [exact zero-sum]
+        R'     = R + k · C_item
+
+    One half-up quantization per match (the ``rasch_fit`` discipline:
+    the loser term is the NEGATED winner term, never a second rounding)
+    keeps the loop bit-stable and replayable — the transcendental
+    ``10^x`` is computed in doubles from exact integer operands and
+    absorbed by the quantization, the ``logreg_train`` convention.
+    Ratings are broadcast into the match join (one row per item —
+    bounded model state, the ``bradley_terry`` shape), so the period
+    costs one scan of its matches with map-side partial sums."""
+    ri = ratings.select(F.col("item").alias("w"), F.col("r_fp").alias("r_w"))
+    rj = ratings.select(F.col("item").alias("l"), F.col("r_fp").alias("r_l"))
+    x = 400.0 * scale
+    contrib = (
+        period_matches.join(F.broadcast(ri), "w")
+        .join(F.broadcast(rj), "l")
+        .select(
+            "w",
+            "l",
+            F.expr(
+                f"cast(floor({scale}.0d / (1.0d + power(10.0d,"
+                f" cast(r_l - r_w as double) / {x!r}d)) + 0.5d) as bigint)"
+            ).alias("e_fp"),
+        )
+    )
+    per_item = (
+        contrib.select(
+            F.col("w").alias("item"),
+            (F.lit(int(scale)).cast("long") - F.col("e_fp")).alias("c"),
+        )
+        .unionByName(
+            contrib.select(
+                F.col("l").alias("item"),
+                (F.col("e_fp") - F.lit(int(scale)).cast("long")).alias("c"),
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("c").alias("C"))
+    )
+    return ratings.join(per_item, "item", "left").select(
+        "item",
+        (
+            F.col("r_fp")
+            + F.lit(int(k)).cast("long")
+            * F.coalesce(F.col("C"), F.lit(0).cast("long"))
+        ).alias("r_fp"),
+    )
+
+
+def elo_ratings(
+    matches: DataFrame,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+    period_col: str = "period",
+    k: int = 32,
+    initial: int = 1000,
+    scale: int = 10**6,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Elo ratings from decided matches grouped into RATING PERIODS —
+    the third leg of the preference-ranking family: ``bradley_terry``
+    fits a static latent quality, ``rasch_fit`` calibrates items vs
+    raters, Elo (Elo 1978) tracks quality THROUGH TIME, the number an
+    arena leaderboard publishes per snapshot.
+
+    Elo is order-dependent by construction; the distributed form is
+    the standard RATING-PERIOD batching (FIDE updates per calendar
+    month; Glickman 1999 formalizes the period as the unit of play):
+    within a period every expected score uses period-start ratings and
+    each item updates once by ``k·Σ(actual − expected)``; periods
+    apply strictly ascending. Periods are a bounded calendar
+    (days/months/arena waves — model state), collected once; matches
+    stay distributed and are scanned once per period from a persisted
+    slice-pruned frame via ``elo_update_period`` (broadcast ratings,
+    map-side partial sums, per-period lineage cuts) — no per-match
+    sequential dependency anywhere, so a 100 TB match log costs
+    |periods| partial-agg passes.
+
+    All-integer state (BIGINT ``scale`` units, start ``initial·scale``;
+    one half-up quantization per match): bit-exact under any
+    partitioning/layout, exact ZERO-SUM conservation per period
+    (Σ r_fp is invariant — each match moves +c/−c), and the whole loop
+    unrolls into SQL for replay gating. Overflow bound: per-period
+    ``k·|C|`` ≤ k·scale·matches; at defaults a period holds ~2.8e11
+    matches before BIGINT risk. Self-matches (winner = loser) are
+    degenerate and dropped, the ``bradley_terry`` convention; NULL
+    keys or periods raise loudly.
+
+    Returns ``(item, n_matches, wins, rating_fp)`` — totals over all
+    periods, rating in ``scale`` fixed-point units."""
+    if int(k) < 1:
+        raise ValueError(f"k must be a positive integer: got {k!r}")
+    if int(initial) <= 0:
+        raise ValueError(f"initial rating must be positive: got {initial!r}")
+    scale = int(scale)
+
+    m = matches.select(
+        F.col(winner_col).cast("string").alias("w"),
+        F.col(loser_col).cast("string").alias("l"),
+        F.col(period_col).cast("bigint").alias("p"),
+    )
+    bad = m.agg(
+        F.sum(
+            (
+                F.col("w").isNull() | F.col("l").isNull() | F.col("p").isNull()
+            ).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"elo_ratings: {bad.nb} matches have a NULL winner, loser or"
+            f" period — clean the match log first"
+        )
+    m = m.filter(F.col("w") != F.col("l")).persist()
+    # bounded calendar: one distinct over the persisted match log
+    periods = sorted(r[0] for r in m.select("p").distinct().collect())
+
+    sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
+        m.select(F.col("l").alias("item"), F.lit(0).alias("win"))
+    )
+    tot = sides.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.sum("win").alias("wins")
+    )
+    ratings = tot.select(
+        "item", F.lit(int(initial) * scale).cast("long").alias("r_fp")
+    )
+    for rnd, p in enumerate(periods):
+        ratings = elo_update_period(
+            ratings, m.filter(F.col("p") == p), k=k, scale=scale
+        )
+        ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
+    m.unpersist()
+    return ratings.join(tot, "item").select(
+        "item",
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("r_fp").alias("rating_fp"),
+    )
+
+
+def wilson_winrate(
+    matches: DataFrame,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-item win rate with the WILSON score interval (Wilson 1927)
+    — the leaderboard column an arena publishes next to the rating:
+    ``bradley_terry``/``elo_ratings`` give a point estimate, this gives
+    the uncertainty, and ranking by the LOWER bound (the standard
+    "sort by Wilson lower bound" rule) stops a 2-0 item outranking a
+    180-20 one.
+
+    One union-of-sides partial-agg groupBy builds exact integer
+    ``(wins, n)`` per item; the interval itself is
+
+        center ± z·sqrt(p(1−p)/n + z²/(4n²))  /  (1 + z²/n),
+        center = (p + z²/(2n)) / (1 + z²/n)
+
+    computed in doubles and rounded 6dp — DETERMINISTIC cross-engine
+    by construction: Wilson needs only +,−,×,÷,sqrt, every one of
+    which IEEE 754 requires correctly rounded (unlike exp/pow/log,
+    which the quantized loops have to absorb). So the whole report is
+    hash-gateable with no quantization discipline at all.
+
+    ``rank_lb`` ranks by (ci_lo DESC, item ASC) over the item set —
+    items are a leaderboard's model list (bounded), so the single
+    global window is model-state-sized, the ``scorecard_from_cells``
+    convention. Self-matches drop; NULL keys raise loudly.
+
+    Returns ``(item, n_matches, wins, winrate, ci_lo, ci_hi,
+    rank_lb)``."""
+    from pyspark.sql import Window
+
+    if not 0.0 < float(z):
+        raise ValueError(f"z must be positive: got {z!r}")
+    m = matches.select(
+        F.col(winner_col).cast("string").alias("w"),
+        F.col(loser_col).cast("string").alias("l"),
+    )
+    bad = m.agg(
+        F.sum(
+            (F.col("w").isNull() | F.col("l").isNull()).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"wilson_winrate: {bad.nb} matches have a NULL winner or"
+            f" loser — clean the match log first"
+        )
+    m = m.filter(F.col("w") != F.col("l"))
+    sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
+        m.select(F.col("l").alias("item"), F.lit(0).alias("win"))
+    )
+    tot = sides.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("win").alias("wins")
+    )
+    zf = float(z)
+    p = F.col("wins").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    z2 = F.lit(zf * zf)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(zf)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + z2 / (F.lit(4.0) * nn * nn)
+        )
+        / denom
+    )
+    scored = tot.select(
+        "item",
+        F.col("n").cast("bigint").alias("n_matches"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.round(p, 6).alias("winrate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+    w_rank = Window.orderBy(F.col("ci_lo").desc(), F.col("item").asc())
+    return scored.withColumn(
+        "rank_lb", F.row_number().over(w_rank).cast("bigint")
+    )

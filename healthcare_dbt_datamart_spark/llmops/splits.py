@@ -412,3 +412,130 @@ def curriculum_report(
         )
         .orderBy("phase")
     )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    grp_col: str = "grp",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", public arXiv:2304.09151) — the third mixture rule
+    next to temperature sampling and DoReMi: spend a total token
+    ``budget`` as UNIFORMLY as possible across domains, but never take
+    more than ``max_epochs`` passes over any domain (the cap that stops
+    a low-resource language being repeated into memorization).
+
+    This is exact-integer WATER-FILLING over the bounded per-domain
+    count table: sort domains by cap ``c_i = max_epochs·n_i`` ascending
+    (domain-asc tie-break); a domain is CAPPED iff even granting every
+    remaining domain its cap-floor is affordable,
+
+        c_(r) · (N − r + 1)  ≤  budget − Σ_{s<r} c_(s)
+
+    (capped domains form a prefix of the sort — the standard
+    water-filling exchange argument); the leftover after paying all
+    caps splits as ``div``/``mod`` across the m uncapped domains, the
+    first ``R mod m`` in sort order taking one extra token. Every
+    comparison and division is BIGINT, so the allocation is bit-exact,
+    layout-independent, and replays as one window-function SQL — no
+    iteration, no floats anywhere except the 6dp ``epochs_alloc``
+    report column.
+
+    All windows run on the |domains| rows of the aggregated count
+    table (bounded model state, the ``temperature_weights_from_counts``
+    convention). NULL or non-positive counts raise loudly; if budget ≥
+    Σ caps every domain is capped and the surplus is visible as
+    ``spent < budget``. Returns ``(grp, n_tokens, cap, capped, alloc,
+    epochs_alloc)``."""
+    from pyspark.sql.window import Window
+
+    if int(budget) <= 0:
+        raise ValueError(f"budget must be positive: got {budget!r}")
+    if int(max_epochs) < 1:
+        raise ValueError(
+            f"max_epochs must be a positive integer: got {max_epochs!r}"
+        )
+    c = counts.select(
+        F.col(grp_col).cast("string").alias("grp"),
+        F.col(n_col).cast("bigint").alias("n_tokens"),
+    )
+    bad = c.agg(
+        F.sum(
+            (
+                F.col("grp").isNull()
+                | F.col("n_tokens").isNull()
+                | (F.col("n_tokens") <= 0)
+            ).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"unimax_allocation: {bad.nb} domains have a NULL group or"
+            f" non-positive {n_col!r} — aggregate counts first"
+        )
+    B = F.lit(int(budget)).cast("long")
+    w_all = Window.partitionBy()  # |domains| rows: bounded model state
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("grp").asc())
+    ranked = (
+        c.withColumn(
+            "cap", F.col("n_tokens") * F.lit(int(max_epochs)).cast("long")
+        )
+        .withColumn("_r", F.row_number().over(w_ord))
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    capped = (
+        F.col("cap") * (F.col("_n") - F.col("_r") + F.lit(1))
+        <= B - F.col("_cum_before")
+    )
+    staged = (
+        ranked.withColumn("capped", capped)
+        .withColumn(
+            "_k", F.sum(F.col("capped").cast("long")).over(w_all)
+        )
+        .withColumn(
+            "_s",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap"))).over(w_all),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    m = F.col("_n") - F.col("_k")
+    r_left = B - F.col("_s")
+    # integer div/mod split across the uncapped suffix (deterministic:
+    # the first R mod m uncapped domains in sort order take +1)
+    u_rank = F.col("_r") - F.col("_k")
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.expr("(_left) div (_m)")
+        + F.when(u_rank <= F.expr("(_left) % (_m)"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        staged.withColumn("_m", m)
+        .withColumn("_left", r_left)
+        .withColumn("alloc", alloc)
+        .select(
+            "grp",
+            "n_tokens",
+            "cap",
+            "capped",
+            F.col("alloc").cast("bigint").alias("alloc"),
+            F.round(
+                F.col("alloc").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("epochs_alloc"),
+        )
+    )

@@ -3925,3 +3925,374 @@ def test_implicit_preference_pairs_semantics_and_bt_composition(spark):
         )
     with _pytest.raises(ValueError, match="non-empty"):
         implicit_preference_pairs(ev, "user_id", "item", "action", {})
+
+
+def test_elo_ratings_periods_conservation_and_replays(spark):
+    """Epoch-batched Elo: planted skill ordering recovered, exact
+    zero-sum conservation per period (sum of rating_fp is invariant),
+    a player absent from early periods holds the initial rating until
+    they play, the quantized loop replays bit-for-bit in pure Python
+    AND as unrolled DuckDB CTEs, layout-invariant, loud guards."""
+    import math
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_ratings,
+        elo_update_period,
+    )
+
+    # planted skill p4 > p3 > p2 > p1 > p0: round-robin per period,
+    # better always wins; p4 sits out periods 0-1 (late joiner)
+    rows = []
+    for per in range(3):
+        for i in range(5):
+            for j in range(i):
+                if per < 2 and (i == 4 or j == 4):
+                    continue
+                rows.append((f"p{i}", f"p{j}", per))
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id", "period"])
+
+    out = {r.item: r for r in elo_ratings(m, k=32).collect()}
+    assert len(out) == 5
+    r = {k: v.rating_fp for k, v in out.items()}
+    assert r["p3"] > r["p2"] > r["p1"] > r["p0"]
+    assert out["p4"].n_matches == 4 and out["p4"].wins == 4
+    assert out["p3"].n_matches == 3 + 3 + 4
+
+    # exact zero-sum conservation: every match moves +c/-c
+    assert sum(r.values()) == 5 * 1000 * 10**6
+
+    # late joiner: after periods 0-1 only, p4 still holds the initial
+    two = {
+        x.item: x.rating_fp
+        for x in elo_ratings(
+            m.filter("period < 2"), k=32
+        ).collect()
+    }
+    assert "p4" not in two  # never played -> not an item yet
+    ra0 = spark.createDataFrame(
+        [(f"p{i}", 1000 * 10**6) for i in range(5)], ["item", "r_fp"]
+    )
+    stepped = {
+        x.item: x.r_fp
+        for x in elo_update_period(
+            ra0, m.filter("period = 0").selectExpr(
+                "winner_id as w", "loser_id as l"
+            )
+        ).collect()
+    }
+    assert stepped["p4"] == 1000 * 10**6  # no matches -> unchanged
+
+    # layout invariance
+    out13 = {
+        x.item: tuple(x)
+        for x in elo_ratings(m.repartition(13), k=32).collect()
+    }
+    assert out13 == {k: tuple(v) for k, v in out.items()}
+
+    # pure-Python replay of the exact quantized loop
+    scale = 10**6
+    R = {f"p{i}": 1000 * scale for i in range(5)}
+    for per in range(3):
+        C = {k: 0 for k in R}
+        for w, l, p in rows:
+            if p != per:
+                continue
+            e = math.floor(
+                scale / (1.0 + 10.0 ** ((R[l] - R[w]) / (400.0 * scale)))
+                + 0.5
+            )
+            C[w] += scale - e
+            C[l] -= scale - e
+        R = {k: v + 32 * C[k] for k, v in R.items()}
+    assert r == R
+
+    # DuckDB replay: the same loop as unrolled CTEs over the match log
+    con = duckdb.connect()
+    con.register("m", m.toPandas())
+    sql = "WITH r0 AS (SELECT DISTINCT x AS item, CAST(1000000000 AS BIGINT) AS r_fp FROM (SELECT winner_id AS x FROM m UNION SELECT loser_id FROM m))"
+    for per in range(3):
+        sql += f""",
+c{per} AS (
+  SELECT item, SUM(c) AS C FROM (
+    SELECT winner_id AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN r{per} rw ON m.winner_id = rw.item
+           JOIN r{per} rl ON m.loser_id = rl.item
+    WHERE m.period = {per}
+    UNION ALL
+    SELECT loser_id,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN r{per} rw ON m.winner_id = rw.item
+           JOIN r{per} rl ON m.loser_id = rl.item
+    WHERE m.period = {per}
+  ) GROUP BY item
+),
+r{per + 1} AS (
+  SELECT r.item, r.r_fp + 32 * COALESCE(c.C, 0) AS r_fp
+  FROM r{per} r LEFT JOIN c{per} c USING (item)
+)"""
+    sql += " SELECT item, r_fp FROM r3 ORDER BY item"
+    assert {k: v for k, v in con.execute(sql).fetchall()} == r
+
+    # guards
+    with pytest.raises(ValueError, match="NULL winner"):
+        elo_ratings(
+            m.unionByName(
+                spark.createDataFrame(
+                    [(None, "p0", 0)],
+                    "winner_id string, loser_id string, period int",
+                )
+            )
+        ).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        elo_ratings(m, k=0)
+    with pytest.raises(ValueError, match="initial"):
+        elo_ratings(m, initial=0)
+    # self-matches drop (the bradley_terry convention)
+    selfy = m.unionByName(
+        spark.createDataFrame(
+            [("p0", "p0", 0)], "winner_id string, loser_id string, period int"
+        )
+    )
+    assert {
+        x.item: x.n_matches for x in elo_ratings(selfy).collect()
+    } == {k: v.n_matches for k, v in out.items()}
+
+
+def test_wilson_winrate_interval_ranking_and_replays(spark):
+    """Wilson leaderboard: exact counts, the 2-0 item ranks BELOW a
+    180-20 one by lower bound (the interval's reason to exist), bounds
+    match a closed-form Python replay to all 6dp (Wilson uses only
+    IEEE-correctly-rounded ops), DuckDB replays the whole report,
+    layout-invariant, loud guards."""
+    import math
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        wilson_winrate,
+    )
+
+    rows = (
+        [("hot", f"x{i}") for i in range(2)]          # 2-0
+        + [("champ", f"y{i % 40}") for i in range(180)]  # 180 wins
+        + [(f"y{i % 40}", "champ") for i in range(20)]   # 20 losses
+    )
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id"])
+    out = {r.item: r for r in wilson_winrate(m).collect()}
+
+    assert (out["hot"].n_matches, out["hot"].wins) == (2, 2)
+    assert (out["champ"].n_matches, out["champ"].wins) == (200, 180)
+    assert out["hot"].winrate == 1.0 and out["champ"].winrate == 0.9
+    # the point of the interval: champ's LOWER bound beats hot's
+    assert out["champ"].ci_lo > out["hot"].ci_lo
+    assert out["champ"].rank_lb < out["hot"].rank_lb
+    assert out["hot"].ci_hi == 1.0  # p=1 pins the upper bound at 1
+
+    # closed-form replay (IEEE +,-,*,/,sqrt only)
+    def wilson(wins, n, z=1.959964):
+        p = wins / n
+        z2 = z * z
+        den = 1.0 + z2 / n
+        c = (p + z2 / (2.0 * n)) / den
+        h = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / den
+        return round(c - h, 6), round(c + h, 6)
+
+    for k, (wins, n) in {"hot": (2, 2), "champ": (180, 200)}.items():
+        lo, hi = wilson(wins, n)
+        assert (out[k].ci_lo, out[k].ci_hi) == (lo, hi)
+
+    # DuckDB replay of the full report
+    con = duckdb.connect()
+    con.register("m", m.toPandas())
+    got = {
+        r[0]: r[1:]
+        for r in con.execute("""
+        WITH sides AS (
+          SELECT winner_id AS item, 1 AS win FROM m
+          WHERE winner_id != loser_id
+          UNION ALL
+          SELECT loser_id, 0 FROM m WHERE winner_id != loser_id
+        ),
+        tot AS (
+          SELECT item, COUNT(*) AS n, SUM(win) AS wins
+          FROM sides GROUP BY item
+        ),
+        sc AS (
+          SELECT item, n, wins,
+            round(wins / CAST(n AS DOUBLE), 6) AS winrate,
+            round(((wins / CAST(n AS DOUBLE)) + 1.959964*1.959964/(2.0*n))
+                  / (1.0 + 1.959964*1.959964/n)
+                  - 1.959964 * sqrt((wins / CAST(n AS DOUBLE))
+                      * (1.0 - wins / CAST(n AS DOUBLE)) / n
+                      + 1.959964*1.959964/(4.0*n*n))
+                    / (1.0 + 1.959964*1.959964/n), 6) AS ci_lo,
+            round(((wins / CAST(n AS DOUBLE)) + 1.959964*1.959964/(2.0*n))
+                  / (1.0 + 1.959964*1.959964/n)
+                  + 1.959964 * sqrt((wins / CAST(n AS DOUBLE))
+                      * (1.0 - wins / CAST(n AS DOUBLE)) / n
+                      + 1.959964*1.959964/(4.0*n*n))
+                    / (1.0 + 1.959964*1.959964/n), 6) AS ci_hi
+          FROM tot
+        )
+        SELECT item, n, wins, winrate, ci_lo, ci_hi,
+               row_number() OVER (ORDER BY ci_lo DESC, item ASC) AS rank_lb
+        FROM sc
+        """).fetchall()
+    }
+    assert got == {k: tuple(v)[1:] for k, v in out.items()}
+
+    # layout invariance
+    out13 = {
+        r.item: tuple(r) for r in wilson_winrate(m.repartition(13)).collect()
+    }
+    assert out13 == {k: tuple(v) for k, v in out.items()}
+
+    # guards
+    with pytest.raises(ValueError, match="NULL winner"):
+        wilson_winrate(
+            m.unionByName(
+                spark.createDataFrame(
+                    [("a", None)], "winner_id string, loser_id string"
+                )
+            )
+        ).collect()
+    with pytest.raises(ValueError, match="z must be"):
+        wilson_winrate(m, z=0.0)
+
+
+def test_unimax_allocation_waterfill_and_replays(spark):
+    """UniMax water-filling: caps bind ascending-prefix, leftover
+    splits div/mod with a deterministic +1 prefix, budget >= total
+    caps leaves surplus visible, the closed-form window result matches
+    a sequential pure-Python water-fill AND a DuckDB window replay,
+    layout-invariant, loud guards."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [("tail", 10), ("mid", 100), ("head", 1000)], ["grp", "n_tokens"]
+    )
+    out = {
+        r.grp: r
+        for r in unimax_allocation(counts, budget=1000, max_epochs=2).collect()
+    }
+    assert {k: v.alloc for k, v in out.items()} == {
+        "tail": 20, "mid": 200, "head": 780,
+    }
+    assert {k: v.capped for k, v in out.items()} == {
+        "tail": True, "mid": True, "head": False,
+    }
+    assert out["tail"].epochs_alloc == 2.0 and out["head"].epochs_alloc == 0.78
+    assert sum(v.alloc for v in out.values()) == 1000
+
+    # remainder split: 3 equal uncapped domains, budget 1000 -> 334/333/333
+    # with the +1 going to the first in (cap, grp) sort order
+    eq = spark.createDataFrame(
+        [("a", 10**6), ("b", 10**6), ("c", 10**6)], ["grp", "n_tokens"]
+    )
+    got = {
+        r.grp: r.alloc
+        for r in unimax_allocation(eq, budget=1000, max_epochs=1).collect()
+    }
+    assert got == {"a": 334, "b": 333, "c": 333}
+
+    # budget >= total caps: all capped, surplus visible as spent < budget
+    small = spark.createDataFrame(
+        [("x", 5), ("y", 7)], ["grp", "n_tokens"]
+    )
+    rows = unimax_allocation(small, budget=100, max_epochs=3).collect()
+    assert all(r.capped for r in rows)
+    assert sum(r.alloc for r in rows) == 36  # 3*(5+7) < 100
+
+    # sequential water-fill replay on an uneven grid
+    grid = [(f"d{i:02d}", 7 + (i * 53) % 90) for i in range(12)]
+    B, E = 700, 3
+    caps = sorted(((n * E, g) for g, n in grid))
+    remaining, m = B, len(caps)
+    expect = {}
+    for cap, g in caps:
+        if cap * m <= remaining:
+            expect[g] = cap
+            remaining -= cap
+            m -= 1
+    q, rem = (remaining // m, remaining % m) if m else (0, 0)
+    i = 0
+    for cap, g in caps:
+        if g not in expect:
+            expect[g] = q + (1 if i < rem else 0)
+            i += 1
+    gdf = spark.createDataFrame(grid, ["grp", "n_tokens"])
+    got2 = {
+        r.grp: r.alloc
+        for r in unimax_allocation(gdf, budget=B, max_epochs=E).collect()
+    }
+    assert got2 == expect
+
+    # DuckDB replay of the closed-form window SQL
+    con = duckdb.connect()
+    con.register("counts", gdf.toPandas())
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+        WITH ranked AS (
+          SELECT grp, n_tokens, n_tokens * {E} AS cap,
+            row_number() OVER w AS r,
+            COALESCE(SUM(n_tokens * {E}) OVER (w ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+            COUNT(*) OVER () AS n
+          FROM counts
+          WINDOW w AS (ORDER BY n_tokens * {E} ASC, grp ASC)
+        ),
+        staged AS (
+          SELECT *, cap * (n - r + 1) <= {B} - cum_before AS capped
+          FROM ranked
+        ),
+        tot AS (
+          SELECT *,
+            SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+            COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+          FROM staged
+        )
+        SELECT grp, CASE WHEN capped THEN cap ELSE
+          ({B} - s) // (n - k)
+          + CASE WHEN r - k <= ({B} - s) % (n - k) THEN 1 ELSE 0 END
+        END AS alloc
+        FROM tot
+        """).fetchall()
+    }
+    assert oracle == got2
+
+    # layout invariance
+    got13 = {
+        r.grp: tuple(r)
+        for r in unimax_allocation(
+            gdf.repartition(13), budget=B, max_epochs=E
+        ).collect()
+    }
+    assert got13 == {
+        r.grp: tuple(r)
+        for r in unimax_allocation(gdf, budget=B, max_epochs=E).collect()
+    }
+
+    # guards
+    with pytest.raises(ValueError, match="budget"):
+        unimax_allocation(counts, budget=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(counts, budget=10, max_epochs=0)
+    with pytest.raises(ValueError, match="non-positive"):
+        unimax_allocation(
+            counts.unionByName(
+                spark.createDataFrame([("z", 0)], ["grp", "n_tokens"])
+            ),
+            budget=10,
+        ).collect()

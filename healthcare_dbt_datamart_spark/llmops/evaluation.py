@@ -1140,3 +1140,119 @@ def retrieval_metrics(
             ),
         ).alias("recall_at_k"),
     )
+
+
+def conformal_report(
+    cal: DataFrame,
+    ev: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk's inductive conformal
+    prediction; Angelopoulos & Bates 2021, arXiv:2107.07511) — the
+    distribution-free coverage gate a filter threshold should clear
+    before it is frozen: from held-out calibration NONCONFORMITY scores
+    take the k-th smallest with
+
+        k = ceil((n + 1) · (1 − alpha))
+
+    and the set {rows : score ≤ threshold} covers a fresh exchangeable
+    row with probability ≥ 1 − alpha. The guarantee is exact for the
+    QUANTIZED score function (scores are half-up-quantized once to
+    BIGINT ``scale``-units and the SAME quantization applies to both
+    relations — conformal validity holds for any measurable score, so
+    quantizing first costs nothing and buys bit-exact replay).
+
+    Scale shape: each relation collapses in one pass to the bounded
+    quantized-score cell table (the ``roc_auc`` collapse); the order
+    statistic is a cumulative-count window over the BOUNDED cell table
+    (never a corpus-scale sort), and the empirical check on the eval
+    side is two integer sums. ``k`` is evaluated in exact rational
+    arithmetic on alpha's IEEE value (``Fraction``), so the replay is
+    deterministic; the only floats out are 6dp divisions of exact
+    integers.
+
+    Raises on NULL scores in either relation (silent exclusion would
+    shrink the calibration set and quietly weaken the guarantee) and
+    when the calibration set is too small for ``alpha`` (k > n — the
+    conformal set degenerates to "everything"). Returns one row:
+    ``(n_cal, k, threshold, n_eval, n_covered, coverage)``."""
+    import math
+
+    if not 0.0 < float(alpha) < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): got {alpha!r}")
+    scale = int(scale)
+
+    def _cells(df: DataFrame) -> DataFrame:
+        s = F.col(score_col).cast("double")
+        return (
+            df.select(
+                F.when(
+                    s.isNotNull(),
+                    F.expr(
+                        f"cast(floor({score_col} * {scale} + 0.5d)"
+                        " as bigint)"
+                    ),
+                ).alias("s_fp")
+            )
+            .groupBy("s_fp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    c = _cells(cal)
+    nulls = c.filter(F.col("s_fp").isNull()).agg(
+        F.sum("cnt").alias("nb")
+    ).collect()[0]
+    if int(nulls.nb or 0) > 0:
+        raise ValueError(
+            f"conformal_report: {nulls.nb} calibration rows have a NULL"
+            f" {score_col!r} — the guarantee needs every held-out score"
+        )
+    n_cal = int(c.agg(F.sum("cnt")).collect()[0][0] or 0)
+    k = math.ceil((n_cal + 1) * (1 - Fraction(float(alpha))))
+    if k > n_cal:
+        raise ValueError(
+            f"conformal_report: calibration set too small for"
+            f" alpha={alpha!r} — k={k} > n_cal={n_cal}; collect at least"
+            f" {k} scores or raise alpha"
+        )
+    w = Window.orderBy("s_fp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # bounded cell table: single-partition sort of <= |cells| rows
+    q_fp = int(
+        c.withColumn("cum", F.sum("cnt").over(w))
+        .filter(F.col("cum") >= F.lit(k))
+        .agg(F.min("s_fp"))
+        .collect()[0][0]
+    )  # one scalar: bounded model state
+
+    e = _cells(ev)
+    enulls = e.filter(F.col("s_fp").isNull()).agg(
+        F.sum("cnt").alias("nb")
+    ).collect()[0]
+    if int(enulls.nb or 0) > 0:
+        raise ValueError(
+            f"conformal_report: {enulls.nb} eval rows have a NULL"
+            f" {score_col!r} — coverage over a silently reduced"
+            " population misreports the guarantee"
+        )
+    return e.agg(
+        F.sum("cnt").alias("n_eval"),
+        F.sum(F.when(F.col("s_fp") <= F.lit(q_fp), F.col("cnt"))).alias(
+            "n_cov"
+        ),
+    ).select(
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.lit(round(q_fp / scale, 6)).alias("threshold"),
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.coalesce(F.col("n_cov"), F.lit(0)).cast("bigint").alias(
+            "n_covered"
+        ),
+        F.round(
+            F.coalesce(F.col("n_cov"), F.lit(0)).cast("double")
+            / F.col("n_eval").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

@@ -646,3 +646,123 @@ def compression_ratio(
         batches,
         "_id long, n_bytes long, n_compressed long, ratio double",
     ).withColumnRenamed("_id", id_col)
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+    zipf_top_k: int = 1000,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Corpus vocabulary diagnostics in one report row — the numbers a
+    corpus profile reads before trusting token statistics: total and
+    distinct token counts, hapax/dis legomena, the Chao1 richness
+    estimate ("how much vocabulary haven't we seen yet" — Chao 1984),
+    and the Zipf rank-frequency slope over the top-k types (a healthy
+    natural-language corpus sits near −1; template/boilerplate floods
+    flatten it, a classic contamination tell).
+
+        chao1 = V + f1²/(2·f2)          (f2 > 0)
+              = V + f1·(f1 − 1)/2       (bias-corrected when f2 = 0)
+        slope = (K·Σxy − Σx·Σy) / (K·Σx² − (Σx)²),
+                x = ln(rank), y = ln(freq) over the top-K types
+
+    Exactness: V/N/f1/f2 are integer aggregates of the term-frequency
+    table (one explode + partial-agg groupBy — THE vocabulary collapse,
+    shared shape with ``bpe.py``). The regression sums quantize each
+    per-type ln-term to BIGINT ``scale``-units half-up (transcendental
+    ulp absorbed, the ``logreg_train`` convention) and integer-sum;
+    the final slope combines the four exact sums in unbounded driver
+    ints (Σx·Σy overflows BIGINT at ~1e25 — Python ints are the
+    arbitrary-precision cell here, DECIMAL(38,0) in a SQL replay), so
+    the whole report is bit-stable under any partitioning. Top-k
+    selection is TakeOrdered (freq desc, term asc — deterministic
+    tie-break), never a global window over the vocabulary.
+
+    Raises when the corpus yields fewer than 2 distinct types (slope
+    undefined). Returns one row: ``(n_tokens, vocab_size, f1, f2,
+    hapax_ratio, chao1, zipf_k, zipf_slope)``."""
+    from pyspark.sql.window import Window
+
+    if int(zipf_top_k) < 2:
+        raise ValueError(f"zipf_top_k must be >= 2: got {zipf_top_k!r}")
+    scale = int(scale)
+    freq = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .persist()  # two jobs read it: the totals fold and the top-k
+    )
+    tot = freq.agg(
+        F.sum("tc").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("tc") == 1).cast("bigint")).alias("f1"),
+        F.sum((F.col("tc") == 2).cast("bigint")).alias("f2"),
+    ).collect()[0]
+    v = int(tot.v or 0)
+    if v < 2:
+        raise ValueError(
+            f"vocab_richness: corpus has {v} distinct types — the Zipf"
+            " slope needs at least 2"
+        )
+    f1, f2 = int(tot.f1), int(tot.f2)
+    chao1 = v + (f1 * f1 / (2.0 * f2) if f2 > 0 else f1 * (f1 - 1) / 2.0)
+
+    top = freq.orderBy(F.col("tc").desc(), F.col("t").asc()).limit(
+        int(zipf_top_k)
+    )
+    w = Window.orderBy(F.col("tc").desc(), F.col("t").asc())
+    q = (
+        top.withColumn("r", F.row_number().over(w))
+        .select(
+            F.expr(f"cast(floor(ln(r) * {scale} + 0.5d) as bigint)").alias(
+                "qx"
+            ),
+            F.expr(f"cast(floor(ln(tc) * {scale} + 0.5d) as bigint)").alias(
+                "qy"
+            ),
+            F.expr(
+                f"cast(floor(ln(r) * ln(tc) * {scale} + 0.5d) as bigint)"
+            ).alias("qxy"),
+            F.expr(
+                f"cast(floor(ln(r) * ln(r) * {scale} + 0.5d) as bigint)"
+            ).alias("qx2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum("qxy").alias("sxy"),
+            F.sum("qx2").alias("sx2"),
+        )
+        .collect()[0]
+    )  # five integers: bounded model state
+    freq.unpersist()
+    kk = int(q.k)
+    num = kk * int(q.sxy) * scale - int(q.sx) * int(q.sy)
+    den = kk * int(q.sx2) * scale - int(q.sx) * int(q.sx)
+    slope = round(num / den, 6) if den != 0 else None
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(tot.n),
+                v,
+                f1,
+                f2,
+                round(f1 / v, 6),
+                round(chao1, 6),
+                kk,
+                slope,
+            )
+        ],
+        "n_tokens bigint, vocab_size bigint, f1 bigint, f2 bigint,"
+        " hapax_ratio double, chao1 double, zipf_k bigint,"
+        " zipf_slope double",
+    )

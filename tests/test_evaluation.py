@@ -1176,3 +1176,109 @@ def test_roc_auc_large_population_no_int_overflow(spark):
     row = roc_auc(df, "score", "label").collect()[0]
     assert row.n_pos == 100_000 and row.n_neg == 100_000
     assert row.auc is not None and 0.0 <= row.auc <= 1.0
+
+
+def test_conformal_report_order_stat_coverage_and_replays(spark):
+    """Split conformal: k = ceil((n+1)(1-alpha)) lands on the exact
+    order statistic (tie cells included), eval coverage counts are
+    exact integers, the whole report replays in DuckDB, empirical
+    coverage on an exchangeable split meets the guarantee,
+    layout-invariant, loud guards."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        conformal_report,
+    )
+
+    # calibration scores 0.01..0.20; alpha=0.25 -> k = ceil(21*0.75) = 16
+    cal = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(1, 21)], ["rid", "s"]
+    )
+    ev = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(1, 31)], ["rid", "s"]
+    )
+    got = conformal_report(cal, ev, "s", alpha=0.25).collect()[0]
+    assert (got.n_cal, got.k) == (20, 16)
+    assert got.threshold == 0.16
+    assert (got.n_eval, got.n_covered) == (30, 16)
+    assert got.coverage == round(16 / 30, 6)
+    k_frac = math.ceil((20 + 1) * (1 - Fraction(0.25)))
+    assert got.k == k_frac
+
+    # ties: a fat cell at the order statistic still yields its value
+    calt = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)] + [(99, 0.1), (98, 0.9)],
+        ["rid", "s"],
+    )  # n=12, alpha=0.2 -> k = ceil(13*0.8) = 11 -> 11th smallest = 0.5
+    gt = conformal_report(calt, ev, "s", alpha=0.2).collect()[0]
+    assert (gt.k, gt.threshold) == (11, 0.5)
+
+    # DuckDB replay of threshold + coverage
+    con = duckdb.connect()
+    con.register("cal", cal.toPandas())
+    con.register("ev", ev.toPandas())
+    oracle = con.execute("""
+    WITH cc AS (
+      SELECT CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS s_fp,
+             COUNT(*) AS cnt
+      FROM cal GROUP BY 1
+    ),
+    th AS (
+      SELECT MIN(s_fp) AS q_fp FROM (
+        SELECT s_fp, SUM(cnt) OVER (ORDER BY s_fp) AS cum FROM cc
+      ) WHERE cum >= 16
+    ),
+    ec AS (
+      SELECT CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS s_fp FROM ev
+    )
+    SELECT (SELECT q_fp FROM th) AS q_fp,
+           COUNT(*) AS n_eval,
+           SUM(CASE WHEN s_fp <= (SELECT q_fp FROM th) THEN 1 ELSE 0 END)
+             AS n_cov
+    FROM ec
+    """).fetchone()
+    assert oracle == (160000, 30, 16)
+    assert got.threshold == round(oracle[0] / 10**6, 6)
+
+    # empirical guarantee on an exchangeable split: deterministic
+    # pseudo-random scores split half/half; coverage >= 1 - alpha - eps
+    import hashlib
+
+    vals = [
+        (i, int(hashlib.md5(f"c{i}".encode()).hexdigest()[:8], 16) / 16**8)
+        for i in range(400)
+    ]
+    half_a = spark.createDataFrame(vals[:200], ["rid", "s"])
+    half_b = spark.createDataFrame(vals[200:], ["rid", "s"])
+    gg = conformal_report(half_a, half_b, "s", alpha=0.1).collect()[0]
+    assert gg.coverage >= 0.85  # 1 - alpha with sampling slack
+
+    # layout invariance
+    g13 = conformal_report(
+        cal.repartition(13), ev.repartition(7), "s", alpha=0.25
+    ).collect()[0]
+    assert tuple(g13) == tuple(got)
+
+    # guards
+    with pytest.raises(ValueError, match="NULL"):
+        conformal_report(
+            cal.unionByName(
+                spark.createDataFrame([(0, None)], "rid long, s double")
+            ),
+            ev, "s",
+        ).collect()
+    with pytest.raises(ValueError, match="NULL"):
+        conformal_report(
+            cal,
+            ev.unionByName(
+                spark.createDataFrame([(0, None)], "rid long, s double")
+            ),
+            "s",
+        ).collect()
+    with pytest.raises(ValueError, match="too small"):
+        conformal_report(cal.limit(3), ev, "s", alpha=0.1)
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_report(cal, ev, "s", alpha=1.5)

@@ -4296,3 +4296,72 @@ def test_unimax_allocation_waterfill_and_replays(spark):
             ),
             budget=10,
         ).collect()
+
+
+def test_vocab_richness_chao1_zipf_and_replays(spark):
+    """Vocab diagnostics: exact V/N/f1/f2 on a hand-counted corpus,
+    Chao1 closed form (and the f2=0 bias-corrected branch), the Zipf
+    slope equals the exact quantized-integer least squares replayed in
+    pure Python, a planted power law recovers slope ~ -1,
+    layout-invariant, loud guard."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        vocab_richness,
+    )
+
+    # hand-countable corpus: 'a' x4, 'b' x2, 'c' x2, 'd' x1, 'e' x1
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b c d"), (3, "A e")], ["doc_id", "text"]
+    )
+    got = vocab_richness(docs, "text", zipf_top_k=5).collect()[0]
+    assert (got.n_tokens, got.vocab_size, got.f1, got.f2) == (10, 5, 2, 2)
+    assert got.hapax_ratio == 0.4
+    assert got.chao1 == 5 + 4 / 4.0  # V + f1^2/(2 f2)
+    assert got.zipf_k == 5
+
+    # pure-Python replay of the quantized regression
+    freqs = [("a", 4), ("b", 2), ("c", 2), ("d", 1), ("e", 1)]
+    scale = 10**9
+    sx = sy = sxy = sx2 = 0
+    for r, (_, tc) in enumerate(freqs, start=1):
+        sx += math.floor(math.log(r) * scale + 0.5)
+        sy += math.floor(math.log(tc) * scale + 0.5)
+        sxy += math.floor(math.log(r) * math.log(tc) * scale + 0.5)
+        sx2 += math.floor(math.log(r) * math.log(r) * scale + 0.5)
+    num = 5 * sxy * scale - sx * sy
+    den = 5 * sx2 * scale - sx * sx
+    assert got.zipf_slope == round(num / den, 6)
+
+    # f2 = 0 branch: every type once except one seen 3x
+    d2 = spark.createDataFrame(
+        [(1, "x y z"), (2, "x x")], ["doc_id", "text"]
+    )
+    g2 = vocab_richness(d2, "text", zipf_top_k=3).collect()[0]
+    assert (g2.f1, g2.f2) == (2, 0)
+    assert g2.chao1 == 3 + 2 * 1 / 2.0  # bias-corrected branch
+
+    # planted Zipf: freq(r) = round(C/r) for 40 types -> slope near -1
+    toks = []
+    for r in range(1, 41):
+        toks += [f"t{r:02d}"] * max(round(400 / r), 1)
+    zdocs = spark.createDataFrame(
+        [(i, " ".join(toks[i::7])) for i in range(7)], ["doc_id", "text"]
+    )
+    gz = vocab_richness(zdocs, "text", zipf_top_k=40).collect()[0]
+    assert -1.1 < gz.zipf_slope < -0.9
+
+    # layout invariance
+    g13 = vocab_richness(
+        docs.repartition(13), "text", zipf_top_k=5
+    ).collect()[0]
+    assert tuple(g13) == tuple(got)
+
+    # guard: degenerate vocabulary
+    with pytest.raises(ValueError, match="distinct types"):
+        vocab_richness(
+            spark.createDataFrame([(1, "same same")], ["doc_id", "text"]),
+            "text",
+        )
+    with pytest.raises(ValueError, match="zipf_top_k"):
+        vocab_richness(docs, "text", zipf_top_k=1)

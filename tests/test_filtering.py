@@ -4365,3 +4365,68 @@ def test_vocab_richness_chao1_zipf_and_replays(spark):
         )
     with pytest.raises(ValueError, match="zipf_top_k"):
         vocab_richness(docs, "text", zipf_top_k=1)
+
+
+def test_leaderboard_release_dag_gates_and_parity(spark):
+    """The leaderboard release DAG: a planted undefeated item tops BOTH
+    rating systems and the gate releases; the volume floor blocks a
+    thin log; BT-from-the-state-table matches BT-from-raw (the
+    incremental path parity); the gate row is layout-invariant."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+    )
+    from healthcare_dbt_datamart_spark.models.leaderboard_release import (
+        build_leaderboard_release,
+    )
+
+    # round-robin, 2 periods x 2 plays: alpha > beta > gamma > delta
+    order = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for per in range(2):
+        for rep in range(2):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    rows.append((order[i], order[j], per))
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id", "period"])
+
+    r = build_leaderboard_release(spark, m)
+    gate = r.build("leaderboard_gate").collect()[0]
+    assert gate.n_items == 4
+    assert gate.n_matches == len(rows)
+    assert gate.min_item_matches == 12
+    assert gate.bt_top == "alpha" and gate.elo_top == "alpha"
+    assert gate.tops_agree is True and gate.released is True
+
+    lb = {x.item: x for x in r.build("leaderboard").collect()}
+    assert lb["alpha"].rank_bt == 1 and lb["alpha"].rank_elo == 1
+    assert lb["delta"].rank_bt == 4 and lb["delta"].rank_elo == 4
+    assert lb["alpha"].winrate == 1.0
+
+    # incremental-path parity: BT over the materialized pair_counts
+    # equals BT straight off the raw log
+    bt_state = {
+        x.item: x.rating_fp for x in r.build("bt_ratings").collect()
+    }
+    bt_raw = {
+        x.item: x.rating_fp
+        for x in bradley_terry(m, n_iter=3).collect()
+    }
+    assert bt_state == bt_raw
+
+    # volume floor: drop delta's matches below MIN_MATCHES
+    thin = m.filter(
+        ~((F.col("winner_id") == "gamma") & (F.col("loser_id") == "delta"))
+    ).filter(
+        ~((F.col("winner_id") == "beta") & (F.col("loser_id") == "delta"))
+    )
+    g2 = build_leaderboard_release(spark, thin).build(
+        "leaderboard_gate"
+    ).collect()[0]
+    assert g2.min_item_matches < 10 and g2.released is False
+    assert g2.tops_agree is True  # agreement still holds; volume gates
+
+    # layout invariance of the terminal row
+    g13 = build_leaderboard_release(spark, m.repartition(13)).build(
+        "leaderboard_gate"
+    ).collect()[0]
+    assert tuple(g13) == tuple(gate)

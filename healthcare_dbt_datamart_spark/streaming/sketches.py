@@ -398,3 +398,169 @@ def pref_counts_merge_batch(
         merged.select("i", "j", F.col("w2").cast("bigint")).unionByName(meta),
     )
     return True
+
+
+_ELO_SCHEMA = (
+    "kind string, item string, r_fp bigint, n_matches bigint, wins bigint"
+)
+
+
+def elo_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_matches: DataFrame,
+    batch_id: int,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+    k: int = 32,
+    initial: int = 1000,
+    scale: int = 10**6,
+) -> bool:
+    """Apply ONE micro-batch of decided matches as ONE Elo RATING
+    PERIOD against the maintained rating state — the live-leaderboard
+    ingest beside ``pref_counts_merge_batch``: BT re-derives from
+    summed counts (order-free), Elo is order-DEPENDENT, so its
+    streaming form is exactly the batch operator's period semantics
+    with micro-batch = period (``llmops/preferences.py::
+    elo_update_period`` is the shared core — streamed state after N
+    batches is BIT-IDENTICAL to ``elo_ratings`` over the same log with
+    ``period = batch index``).
+
+    State: one ``kind='rating'`` row per item ``(item, r_fp,
+    n_matches, wins)`` + one ``kind='meta'`` ledger row (``r_fp`` =
+    last applied batch id) riding the same atomic swap — a replayed
+    batch id at or below the mark is skipped, the idempotent-sink
+    discipline. Unseen items enter at ``initial·scale`` BEFORE the
+    period applies (identical to the batch operator, whose every item
+    starts at the initial rating). NULL keys raise, the batch path's
+    guard — a streamed leaderboard must not diverge from the batch one
+    on dirty input."""
+    from ..operators.materialize import materialize_table
+
+    m = batch_matches.select(
+        F.col(winner_col).cast("string").alias("w"),
+        F.col(loser_col).cast("string").alias("l"),
+    )
+    nb = m.agg(
+        F.sum(
+            (F.col("w").isNull() | F.col("l").isNull()).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(nb.nb or 0) > 0:
+        raise ValueError(
+            f"elo_merge_batch: {nb.nb} matches have a NULL winner or"
+            " loser — clean the match log first"
+        )
+    m = m.filter(F.col("w") != F.col("l"))
+
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("kind") == "meta").select("r_fp").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        state = cur.filter(F.col("kind") == "rating").select(
+            "item", "r_fp", "n_matches", "wins"
+        )
+    else:
+        state = spark.createDataFrame([], _ELO_SCHEMA).select(
+            "item", "r_fp", "n_matches", "wins"
+        )
+
+    from ..llmops.preferences import elo_update_period
+
+    players = m.select(F.col("w").alias("item")).unionByName(
+        m.select(F.col("l").alias("item"))
+    ).distinct()
+    newbies = players.join(state.select("item"), "item", "left_anti").select(
+        "item",
+        F.lit(int(initial) * int(scale)).cast("long").alias("r_fp"),
+        F.lit(0).cast("long").alias("n_matches"),
+        F.lit(0).cast("long").alias("wins"),
+    )
+    state0 = state.unionByName(newbies)
+    updated = elo_update_period(
+        state0.select("item", "r_fp"), m, k=int(k), scale=int(scale)
+    )
+    sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
+        m.select(F.col("l").alias("item"), F.lit(0).alias("win"))
+    ).groupBy("item").agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("win").alias("dw")
+    )
+    merged = (
+        updated.join(
+            state0.select("item", "n_matches", "wins"), "item"
+        )
+        .join(sides, "item", "left")
+        .select(
+            F.lit("rating").alias("kind"),
+            "item",
+            F.col("r_fp").cast("bigint"),
+            (
+                F.col("n_matches") + F.coalesce(F.col("dn"), F.lit(0))
+            ).cast("bigint").alias("n_matches"),
+            (
+                F.col("wins") + F.coalesce(F.col("dw"), F.lit(0))
+            ).cast("bigint").alias("wins"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [("meta", None, int(batch_id), 0, 0)], _ELO_SCHEMA
+    )
+    materialize_table(spark, target_table, merged.unionByName(meta))
+    return True
+
+
+def streaming_elo_ingest(
+    stream: DataFrame,
+    target_table: str,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+    k: int = 32,
+    initial: int = 1000,
+    scale: int = 10**6,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain a live Elo leaderboard over a match stream: each
+    micro-batch applies as one rating period via ``elo_merge_batch``.
+    Read the board any time with ``elo_from_state`` — identical
+    numbers to ``elo_ratings`` over everything ingested so far with
+    ``period`` = arrival batch (pinned by the batch-parity test)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        elo_merge_batch(
+            batch_df.sparkSession,
+            target_table,
+            batch_df,
+            batch_id,
+            winner_col=winner_col,
+            loser_col=loser_col,
+            k=k,
+            initial=initial,
+            scale=scale,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def elo_from_state(spark: SparkSession, target_table: str) -> DataFrame:
+    """The leaderboard view of a streamed Elo state table — the batch
+    operator's ``(item, n_matches, wins, rating_fp)`` shape, for
+    parity asserts and downstream joins."""
+    return (
+        spark.table(target_table)
+        .filter(F.col("kind") == "rating")
+        .select(
+            "item",
+            "n_matches",
+            "wins",
+            F.col("r_fp").alias("rating_fp"),
+        )
+    )

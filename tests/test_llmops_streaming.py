@@ -3337,3 +3337,97 @@ def test_streaming_auc_ingest_matches_batch_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL scores or"):
         auc_from_cells(spark, "auc_stream_t")
     spark.sql("DROP TABLE auc_stream_t")
+
+
+def test_streaming_elo_ingest_period_parity_and_ledger(spark, tmp_path):
+    """Streamed Elo (micro-batch = rating period): driving the merge
+    core with explicit batch ids reproduces batch elo_ratings with
+    period = batch index BIT-FOR-BIT (ratings, counts — the shared
+    elo_update_period core), unseen items enter at the initial rating,
+    the kind='meta' ledger makes replayed ids no-ops, a real
+    availableNow stream lands the same totals, and a dirty batch
+    raises like the batch operator."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import elo_ratings
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        elo_merge_batch,
+        elo_from_state,
+        streaming_elo_ingest,
+    )
+
+    rows = []
+    for per in range(3):
+        for i in range(5):
+            for j in range(i):
+                if per == 0 and (i == 4 or j == 4):
+                    continue  # p4 joins in period 1
+                rows.append((f"p{i}", f"p{j}", per))
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id", "period"])
+    expected = {
+        r.item: tuple(r) for r in elo_ratings(m, k=32).collect()
+    }
+
+    spark.sql("DROP TABLE IF EXISTS elo_stream_t")
+    for per in range(3):
+        assert elo_merge_batch(
+            spark, "elo_stream_t", m.filter(F.col("period") == per),
+            batch_id=per, k=32,
+        ) is True
+    got = {
+        r.item: tuple(r)
+        for r in elo_from_state(spark, "elo_stream_t").collect()
+    }
+    assert got == expected
+
+    # ledger: replaying the last period is a no-op
+    assert elo_merge_batch(
+        spark, "elo_stream_t", m.filter(F.col("period") == 2),
+        batch_id=2, k=32,
+    ) is False
+    assert {
+        r.item: tuple(r)
+        for r in elo_from_state(spark, "elo_stream_t").collect()
+    } == expected
+
+    # dirty batch raises exactly like the batch operator
+    dirty = spark.createDataFrame(
+        [(None, "p0")], "winner_id string, loser_id string"
+    )
+    with pytest.raises(ValueError, match="NULL winner"):
+        elo_merge_batch(spark, "elo_stream_t", dirty, batch_id=3)
+
+    # real stream run (availableNow): totals land regardless of how
+    # the source groups files into batches
+    src = tmp_path / "elo_src"
+    src.mkdir()
+    flat = m.select("winner_id", "loser_id")
+    for per in range(3):
+        m.filter(F.col("period") == per).select(
+            "winner_id", "loser_id"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{per}"))
+    spark.sql("DROP TABLE IF EXISTS elo_stream_live")
+    stream = spark.readStream.schema(flat.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    q = streaming_elo_ingest(
+        stream, "elo_stream_live",
+        checkpoint_dir=str(tmp_path / "elo_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    live = {
+        r.item: (r.n_matches, r.wins)
+        for r in elo_from_state(spark, "elo_stream_live").collect()
+    }
+    assert live == {
+        k: (v[1], v[2]) for k, v in expected.items()
+    }
+    # conservation survives streaming: total rating mass is invariant
+    mass = sum(
+        r.rating_fp
+        for r in elo_from_state(spark, "elo_stream_live").collect()
+    )
+    assert mass == 5 * 1000 * 10**6

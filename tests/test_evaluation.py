@@ -1282,3 +1282,111 @@ def test_conformal_report_order_stat_coverage_and_replays(spark):
         conformal_report(cal.limit(3), ev, "s", alpha=0.1)
     with pytest.raises(ValueError, match="alpha"):
         conformal_report(cal, ev, "s", alpha=1.5)
+
+
+def test_leaderboard_wave_on_driver_testdata(spark):
+    """End-to-end smoke of the leaderboard/mixture wave over the REAL
+    driver testdata (the inputs their future queries() slots would
+    use): Elo + Wilson + the release DAG over cheaper-supplier-wins
+    matches from lineitem with period = order year, UniMax over
+    per-source character budgets from documents, split-conformal over
+    a deterministic doc score, and vocab_richness over the text
+    column. Structural assertions — exact arithmetic is pinned by the
+    unit tests; this pins the real schemas at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_ratings,
+        wilson_winrate,
+    )
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        unimax_allocation,
+    )
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        conformal_report,
+    )
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        vocab_richness,
+    )
+    from healthcare_dbt_datamart_spark.models.leaderboard_release import (
+        build_leaderboard_release,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # matches: within an order, the supplier with the cheaper unit
+    # price wins (cross-multiplied cents — no float division); period
+    # = order year
+    lx = li.select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("supp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    a, b = lx.alias("a"), lx.alias("b")
+    matches = (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("a.supp") != F.col("b.supp"))
+            & (
+                F.col("a.cents") * F.col("b.qty")
+                < F.col("b.cents") * F.col("a.qty")
+            )
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("a.supp").alias("winner_id"),
+            F.col("b.supp").alias("loser_id"),
+            F.year("o_orderdate").alias("period"),
+        )
+    )
+    n_matches = matches.count()
+    assert n_matches > 100  # the construction yields real volume
+
+    elo = elo_ratings(matches, k=16).collect()
+    n_items = len(elo)
+    assert n_items >= 2
+    assert sum(r.rating_fp for r in elo) == n_items * 1000 * 10**6
+    assert sum(r.n_matches for r in elo) == 2 * n_matches
+
+    wb = wilson_winrate(matches).collect()
+    assert len(wb) == n_items
+    assert all(0.0 <= r.ci_lo <= r.ci_hi <= 1.0 for r in wb)
+    assert sorted(r.rank_lb for r in wb) == list(range(1, n_items + 1))
+
+    gate = build_leaderboard_release(spark, matches).build(
+        "leaderboard_gate"
+    ).collect()[0]
+    assert gate.n_items == n_items and gate.n_matches == n_matches
+    assert gate.released in (True, False)
+
+    # UniMax over per-source character budgets
+    counts = docs.groupBy(F.col("source").alias("grp")).agg(
+        F.sum("n_chars").alias("n_tokens")
+    )
+    total = int(counts.agg(F.sum("n_tokens")).collect()[0][0])
+    um = unimax_allocation(counts, budget=total // 2, max_epochs=2).collect()
+    assert sum(r.alloc for r in um) == total // 2  # budget < caps: spent
+    assert all(r.alloc <= r.cap for r in um)
+
+    # split conformal over a deterministic doc score
+    scored = docs.select(
+        "doc_id", (F.pmod(F.col("n_chars") * 31, F.lit(997)) / 996.0).alias("s")
+    )
+    cal = scored.filter(F.col("doc_id") % 2 == 0)
+    ev = scored.filter(F.col("doc_id") % 2 == 1)
+    rep = conformal_report(cal, ev, "s", alpha=0.1).collect()[0]
+    assert rep.n_cal + rep.n_eval == docs.count()
+    assert rep.coverage >= 0.8  # guarantee with finite-sample slack
+
+    # vocabulary diagnostics over the real corpus
+    vr = vocab_richness(docs, "text", zipf_top_k=200).collect()[0]
+    assert vr.vocab_size >= 2 and vr.n_tokens > vr.vocab_size
+    assert vr.chao1 >= vr.vocab_size
+    assert vr.zipf_slope < 0  # frequencies decay in rank

@@ -4022,6 +4022,18 @@ SCHEDULED_NEXT_WINDOW = [
 # (models/index_release.py — the ANN release gate: batched IVF
 # serving graded against the brute oracle; exact-integer release
 # arithmetic, so the whole DAG is oracle-able).
+# ROUND-10 QUEUE ADDITIONS (the round-8 leaderboard/mixture wave,
+# implemented + replay-gated in pytest, smoked on real sf0.001 inputs,
+# 10x scale rows in SCALE.md): elo_ratings (period-batched Elo —
+# unrolled-CTE oracle like bradley_terry, natural query: cheaper-
+# supplier-wins matches with period = order year), wilson_winrate
+# (IEEE-only arithmetic, directly oracle-able), unimax_allocation
+# (one-window integer water-filling over per-source token budgets),
+# conformal_report (order-stat threshold + coverage over a doc-score
+# split), vocab_richness (Chao1 + quantized Zipf slope over
+# documents), leaderboard_gate (models/leaderboard_release.py — the
+# third release-gate DAG; exact-integer verdict, oracle-able the way
+# curation_dag is).
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

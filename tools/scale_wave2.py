@@ -197,6 +197,84 @@ def op_data_card(spark, d):
     return source_data_card(_docs(spark, d)).count()
 
 
+def _matches(spark, d):
+    orders = spark.read.parquet(f"{d}/orders.parquet")
+    lx = _lineitem(spark, d).select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("supp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    a, b = lx.alias("a"), lx.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("a.supp") != F.col("b.supp"))
+            & (
+                F.col("a.cents") * F.col("b.qty")
+                < F.col("b.cents") * F.col("a.qty")
+            )
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("a.supp").alias("winner_id"),
+            F.col("b.supp").alias("loser_id"),
+            F.year("o_orderdate").alias("period"),
+        )
+    )
+
+
+def op_elo(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.preferences import elo_ratings
+
+    return elo_ratings(_matches(spark, d), k=16).count()
+
+
+def op_wilson(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        wilson_winrate,
+    )
+
+    return wilson_winrate(_matches(spark, d)).count()
+
+
+def op_unimax(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.splits import unimax_allocation
+
+    counts = _docs(spark, d).groupBy(F.col("source").alias("grp")).agg(
+        F.sum("n_chars").alias("n_tokens")
+    )
+    return unimax_allocation(counts, budget=10**7, max_epochs=2).count()
+
+
+def op_conformal(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        conformal_report,
+    )
+
+    scored = _docs(spark, d).select(
+        "doc_id",
+        (F.pmod(F.col("n_chars") * 31, F.lit(997)) / 996.0).alias("s"),
+    )
+    return conformal_report(
+        scored.filter(F.col("doc_id") % 2 == 0),
+        scored.filter(F.col("doc_id") % 2 == 1),
+        "s",
+        alpha=0.1,
+    ).count()
+
+
+def op_vocab_richness(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.textstats import vocab_richness
+
+    return vocab_richness(_docs(spark, d), "text", zipf_top_k=500).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -214,6 +292,11 @@ OPS = {
     "hits_fixedpoint": op_hits,
     "pca_train": op_pca,
     "curriculum_report": op_curriculum,
+    "elo_ratings": op_elo,
+    "wilson_winrate": op_wilson,
+    "unimax_allocation": op_unimax,
+    "conformal_report": op_conformal,
+    "vocab_richness": op_vocab_richness,
 }
 
 

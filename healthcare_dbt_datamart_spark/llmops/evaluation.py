@@ -1256,3 +1256,215 @@ def conformal_report(
             6,
         ).alias("coverage"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over the
+    reliability-diagram bins — the diagnosis behind
+    ``calibration_report``'s symptom numbers:
+
+        brier = RELIABILITY − RESOLUTION + UNCERTAINTY + residual
+
+    REL (how far bin-mean forecasts sit from bin outcomes — lower
+    better) and RES (how much the bins separate outcomes — higher
+    better) answer "is the score miscalibrated or just uninformative",
+    which ECE alone cannot. UNC = ȳ(1−ȳ) is the no-skill floor.
+
+    Exactness: everything derives from the same one-pass integer bin
+    cells as ``calibration_report`` (n, pos, Σs quantized per bin);
+    the decomposition folds in exact ``Fraction`` arithmetic on the
+    bounded bin table, so REL/RES/UNC are exact rationals rounded 6dp.
+    The published ``residual`` is brier − (REL − RES + UNC): the
+    classical within-bin forecast variance that binned decompositions
+    drop, plus the (≤ 1/scale) per-row quantization slack of the exact
+    Brier — reported, never silently absorbed, so the identity holds
+    to the printed digits by CONSTRUCTION.
+
+    Raises on dirty rows and out-of-[0,1] scores (the
+    ``calibration_summary`` guards). Returns one row: ``(n_rows,
+    n_bins_used, brier, reliability, resolution, uncertainty,
+    residual)``."""
+    rows = _bin_cells(df, score_col, label_col, int(n_bins), int(scale)).collect()
+    n_bad = sum(int(r.bad) for r in rows)
+    if n_bad > 0:
+        raise ValueError(
+            f"brier_decomposition: {n_bad} rows have NULL scores or"
+            " labels outside {0, 1} — clean the eval relation first"
+        )
+    oor = [r for r in rows if r.bin is not None and int(r.bin) == -1]
+    if oor:
+        raise ValueError(
+            f"brier_decomposition: {sum(int(r.n) for r in oor)} rows have"
+            f" scores outside [0, 1] — a probability forecast is required"
+        )
+    cells = [r for r in rows if r.bin is not None and int(r.bin) >= 0]
+    n = sum(int(r.n) for r in cells)
+    if n == 0:
+        raise ValueError("brier_decomposition got an empty relation")
+    pos = sum(int(r.pos) for r in cells)
+    s2 = sum(int(r.s2_sum) for r in cells)
+    sy = sum(int(r.sy_sum) for r in cells)
+    scale = int(scale)
+
+    y_bar = Fraction(pos, n)
+    unc = y_bar * (1 - y_bar)
+    rel = Fraction(0)
+    res = Fraction(0)
+    for r in cells:
+        nb, pb = int(r.n), int(r.pos)
+        y_b = Fraction(pb, nb)
+        p_b = Fraction(int(r.s_sum), nb * scale)
+        rel += nb * (p_b - y_b) ** 2
+        res += nb * (y_b - y_bar) ** 2
+    rel /= n
+    res /= n
+    brier = Fraction(s2 - 2 * sy + pos * scale, n * scale)
+    residual = brier - (rel - res + unc)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                len(cells),
+                round(float(brier), 6),
+                round(float(rel), 6),
+                round(float(res), 6),
+                round(float(unc), 6),
+                round(float(residual), 6),
+            )
+        ],
+        "n_rows bigint, n_bins_used int, brier double, reliability double,"
+        " resolution double, uncertainty double, residual double",
+    )
+
+
+_LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Isotonic calibration map via pool-adjacent-violators (Ayer et
+    al. 1955; the sklearn-standard nonparametric recalibration,
+    Zadrozny & Elkan 2002) — fit the best monotone step function from
+    score to outcome rate. Parametric alternative: Platt scaling is
+    exactly ``textstats.logreg_train`` on the single score feature; no
+    separate operator needed.
+
+    Scale shape: the corpus collapses ONCE to the bounded
+    quantized-score cell table (the ``roc_auc`` collapse); PAVA is a
+    driver fold over those cells in exact ``Fraction`` arithmetic —
+    sequential BY NATURE (each pool depends on the previous) and
+    correctly placed on bounded model state, the ``mmr_rerank``
+    convention. Deterministic under any layout: cells are integer sums
+    and the fold order is the total s_fp order.
+
+    Returns the block map ``(block, s_fp_lo, s_fp_hi, n, n_pos,
+    p_cal)`` — non-decreasing ``p_cal`` by construction (the pinned
+    property); apply it with ``isotonic_apply``. Raises on dirty rows
+    (NULL score / non-binary label)."""
+    cells = _quantized_cells(df, score_col, label_col, int(scale))
+    rows = cells.collect()
+    n_bad = sum(int(r.bad) for r in rows)
+    if n_bad > 0:
+        raise ValueError(
+            f"isotonic_calibration: {n_bad} rows have NULL scores or"
+            " labels outside {0, 1} — clean the relation first"
+        )
+    clean = sorted(
+        ((int(r.s_fp), int(r.cnt), int(r.pos)) for r in rows),
+        key=lambda t: t[0],
+    )
+    if not clean:
+        raise ValueError("isotonic_calibration got an empty relation")
+    # PAVA: maintain a stack of pools (lo, hi, n, pos); merge while the
+    # newest pool's rate drops below its predecessor's
+    pools: list[list[int]] = []
+    for s_fp, cnt, pos in clean:
+        pools.append([s_fp, s_fp, cnt, pos])
+        while len(pools) >= 2 and Fraction(
+            pools[-1][3], pools[-1][2]
+        ) < Fraction(pools[-2][3], pools[-2][2]):
+            lo, _, n2, p2 = pools.pop(-2)
+            pools[-1][0] = lo
+            pools[-1][2] += n2
+            pools[-1][3] += p2
+    out = [
+        (
+            i,
+            int(lo),
+            int(hi),
+            int(n),
+            int(pos),
+            round(pos / n, 6),
+        )
+        for i, (lo, hi, n, pos) in enumerate(pools)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "block int, s_fp_lo bigint, s_fp_hi bigint, n bigint,"
+        " n_pos bigint, p_cal double",
+    )
+
+
+def isotonic_apply(
+    df: DataFrame,
+    score_col: str,
+    blocks: DataFrame,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Apply an ``isotonic_calibration`` block map: quantize the score
+    with the SAME half-up rule and attach the step function's value —
+    right-continuous steps (a score between two blocks takes the block
+    below, the standard isotonic extrapolation), clamped to the end
+    blocks outside the calibrated range.
+
+    Plan: the block map is bounded model state, so the range lookup is
+    a BROADCAST nested-loop join against the |blocks|-row frame — each
+    row scans the broadcast blocks inside codegen; the eval corpus
+    never shuffles (the ``gap_pipeline`` J1 broadcast-relation class,
+    generalized from 1 row to a model-sized frame). Raises on NULL
+    scores. Output: ``df`` + ``p_cal``."""
+    from pyspark.sql.window import Window
+
+    nb = df.agg(
+        F.sum(F.col(score_col).isNull().cast("bigint")).alias("nb")
+    ).collect()[0]
+    if int(nb.nb or 0) > 0:
+        raise ValueError(
+            f"isotonic_apply: {nb.nb} rows have a NULL {score_col!r}"
+        )
+    w = Window.orderBy("s_fp_lo")  # bounded block table
+    rng = (
+        blocks.select("s_fp_lo", "p_cal")
+        .withColumn(
+            "_lo",
+            F.when(
+                F.row_number().over(w) == 1, F.lit(_LONG_MIN)
+            ).otherwise(F.col("s_fp_lo")),
+        )
+        .withColumn(
+            "_hi",
+            F.coalesce(
+                F.lead("s_fp_lo").over(w), F.lit(_LONG_MAX)
+            ),
+        )
+        .select("_lo", "_hi", "p_cal")
+    )
+    s_fp = F.expr(
+        f"cast(floor({score_col} * {int(scale)} + 0.5d) as bigint)"
+    )
+    return df.withColumn("_s_fp", s_fp).join(
+        F.broadcast(rng),
+        (F.col("_s_fp") >= F.col("_lo")) & (F.col("_s_fp") < F.col("_hi")),
+    ).drop("_s_fp", "_lo", "_hi")

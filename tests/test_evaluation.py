@@ -1390,3 +1390,236 @@ def test_leaderboard_wave_on_driver_testdata(spark):
     assert vr.vocab_size >= 2 and vr.n_tokens > vr.vocab_size
     assert vr.chao1 >= vr.vocab_size
     assert vr.zipf_slope < 0  # frequencies decay in rank
+
+
+def test_brier_decomposition_identity_and_replays(spark):
+    """Murphy decomposition: exact identity brier = REL - RES + UNC +
+    residual to the printed digits BY CONSTRUCTION, a perfectly
+    calibrated forecast has REL ~ 0, a constant forecast has RES = 0,
+    an exact-Fraction pure-Python replay matches every field,
+    layout-invariant, loud guards."""
+    from fractions import Fraction
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        brier_decomposition,
+    )
+
+    # deterministic grid: score = bucket center, outcome rate != score
+    rows = []
+    for i in range(400):
+        s = ((i * 37) % 100) / 100.0 + 0.005
+        y = 1 if ((i * 13) % 100) / 100.0 < s * 0.8 else 0
+        rows.append((i, s, y))
+    df = spark.createDataFrame(rows, "rid long, score double, label int")
+    got = brier_decomposition(df, "score", "label").collect()[0]
+    assert got.n_rows == 400
+    assert abs(
+        got.brier
+        - (got.reliability - got.resolution + got.uncertainty + got.residual)
+    ) < 2e-6  # identity holds to rounding of the five printed fields
+
+    # pure-Python replay from the same binning/quantization rules
+    scale, n_bins = 10**6, 10
+    import math
+
+    bins = {}
+    for _, s, y in rows:
+        b = min(int(s * n_bins), n_bins - 1)
+        cell = bins.setdefault(b, [0, 0, 0, 0, 0])
+        cell[0] += 1
+        cell[1] += y
+        q = math.floor(s * scale + 0.5)
+        cell[2] += q
+        cell[3] += math.floor(s * s * scale + 0.5)
+        cell[4] += q * y
+    n = sum(c[0] for c in bins.values())
+    pos = sum(c[1] for c in bins.values())
+    y_bar = Fraction(pos, n)
+    rel = sum(
+        c[0] * (Fraction(c[2], c[0] * scale) - Fraction(c[1], c[0])) ** 2
+        for c in bins.values()
+    ) / n
+    res = sum(
+        c[0] * (Fraction(c[1], c[0]) - y_bar) ** 2 for c in bins.values()
+    ) / n
+    brier = Fraction(
+        sum(c[3] for c in bins.values())
+        - 2 * sum(c[4] for c in bins.values())
+        + pos * scale,
+        n * scale,
+    )
+    unc = y_bar * (1 - y_bar)
+    assert got.reliability == round(float(rel), 6)
+    assert got.resolution == round(float(res), 6)
+    assert got.uncertainty == round(float(unc), 6)
+    assert got.brier == round(float(brier), 6)
+    assert got.residual == round(float(brier - (rel - res + unc)), 6)
+
+    # perfectly calibrated per bin: forecast = within-bin outcome rate
+    pc = []
+    for i in range(200):
+        b = i % 10
+        s = b / 10.0 + 0.05
+        y = 1 if (i // 10) % 20 < b * 2 else 0  # rate b/10 per bin
+        pc.append((i, s, y))
+    gpc = brier_decomposition(
+        spark.createDataFrame(pc, "rid long, score double, label int"),
+        "score", "label",
+    ).collect()[0]
+    assert gpc.reliability < 0.004  # bin means sit on outcomes
+
+    # constant forecast: zero resolution, uncertainty floor
+    gc = brier_decomposition(
+        spark.createDataFrame(
+            [(i, 0.55, i % 2) for i in range(100)],
+            "rid long, score double, label int",
+        ),
+        "score", "label",
+    ).collect()[0]
+    assert gc.resolution == 0.0 and gc.uncertainty == 0.25
+
+    # layout invariance
+    g13 = brier_decomposition(
+        df.repartition(13), "score", "label"
+    ).collect()[0]
+    assert tuple(g13) == tuple(got)
+
+    # guards
+    with pytest.raises(ValueError, match="outside"):
+        brier_decomposition(
+            df.unionByName(
+                spark.createDataFrame(
+                    [(999, 1.5, 0)], "rid long, score double, label int"
+                )
+            ),
+            "score", "label",
+        )
+    with pytest.raises(ValueError, match="NULL scores"):
+        brier_decomposition(
+            df.unionByName(
+                spark.createDataFrame(
+                    [(999, None, 0)], "rid long, score double, label int"
+                )
+            ),
+            "score", "label",
+        )
+
+
+def test_isotonic_calibration_pava_apply_and_replays(spark):
+    """Isotonic calibration: a planted violation pools exactly as
+    hand-PAVA says, p_cal is non-decreasing by construction, apply is
+    right-continuous with end-clamping (seen cells, gap values,
+    outside-range values), a pure-Python PAVA replays the block map
+    bit-for-bit on a pseudo-random grid, and the composition
+    (fit + apply on the fit relation) is perfectly calibrated per
+    block; layout-invariant; loud guards."""
+    from fractions import Fraction
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+
+    # scores .1/.2/.3 with outcome rates .8/.2/.6: PAVA pools (.8,.2)
+    # -> .5, then .5 <= .6 stands: blocks [.1-.2]->0.5, [.3]->0.6
+    rows = (
+        [(i, 0.1, 1 if i < 8 else 0) for i in range(10)]
+        + [(i + 10, 0.2, 1 if i < 2 else 0) for i in range(10)]
+        + [(i + 20, 0.3, 1 if i < 6 else 0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "rid long, score double, label int")
+    blocks = isotonic_calibration(df, "score", "label")
+    got = sorted(
+        (r.s_fp_lo, r.s_fp_hi, r.n, r.n_pos, r.p_cal)
+        for r in blocks.collect()
+    )
+    assert got == [
+        (100000, 200000, 20, 10, 0.5),
+        (300000, 300000, 10, 6, 0.6),
+    ]
+
+    # apply: seen cell, gap value (0.25 -> lower block), below/above
+    ev = spark.createDataFrame(
+        [(1, 0.1), (2, 0.25), (3, 0.05), (4, 0.99), (5, 0.3)],
+        "rid long, score double",
+    )
+    cal = {
+        r.rid: r.p_cal
+        for r in isotonic_apply(ev, "score", blocks).collect()
+    }
+    assert cal == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.6, 5: 0.6}
+
+    # pseudo-random grid: pure-Python PAVA replay
+    grid = [
+        (i, ((i * 37) % 50) / 50.0, 1 if ((i * 29) % 97) < (i * 37) % 50 else 0)
+        for i in range(500)
+    ]
+    gdf = spark.createDataFrame(grid, "rid long, score double, label int")
+    gb = sorted(
+        (r.s_fp_lo, r.s_fp_hi, r.n, r.n_pos, r.p_cal)
+        for r in isotonic_calibration(gdf, "score", "label").collect()
+    )
+    import math
+
+    cells = {}
+    for _, s, y in grid:
+        q = math.floor(s * 10**6 + 0.5)
+        c = cells.setdefault(q, [0, 0])
+        c[0] += 1
+        c[1] += y
+    pools = []
+    for q in sorted(cells):
+        cnt, pos = cells[q]
+        pools.append([q, q, cnt, pos])
+        while len(pools) >= 2 and Fraction(
+            pools[-1][3], pools[-1][2]
+        ) < Fraction(pools[-2][3], pools[-2][2]):
+            lo, _, n2, p2 = pools.pop(-2)
+            pools[-1][0] = lo
+            pools[-1][2] += n2
+            pools[-1][3] += p2
+    assert gb == sorted(
+        (lo, hi, n, p, round(p / n, 6)) for lo, hi, n, p in pools
+    )
+    # monotone by construction
+    ps = [p for *_, p in gb]
+    assert ps == sorted(ps)
+
+    # composition: applying the map to the fit relation is perfectly
+    # calibrated per block (PAVA's defining property)
+    from pyspark.sql import functions as F
+
+    back = isotonic_apply(gdf, "score", isotonic_calibration(
+        gdf, "score", "label"
+    ))
+    per_block = back.groupBy("p_cal").agg(
+        F.avg(F.col("label").cast("double")).alias("rate"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    for r in per_block:
+        assert abs(r.rate - r.p_cal) < 1e-6
+
+    # layout invariance
+    gb13 = sorted(
+        (r.s_fp_lo, r.s_fp_hi, r.n, r.n_pos, r.p_cal)
+        for r in isotonic_calibration(
+            gdf.repartition(13), "score", "label"
+        ).collect()
+    )
+    assert gb13 == gb
+
+    # guards
+    with pytest.raises(ValueError, match="NULL scores"):
+        isotonic_calibration(
+            gdf.unionByName(
+                spark.createDataFrame(
+                    [(999, None, 0)], "rid long, score double, label int"
+                )
+            ),
+            "score", "label",
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        isotonic_apply(
+            spark.createDataFrame([(1, None)], "rid long, score double"),
+            "score", blocks,
+        )

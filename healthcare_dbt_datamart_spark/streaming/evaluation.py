@@ -268,3 +268,58 @@ def calibration_from_cells(
         "n_rows bigint, n_pos bigint, n_bins_used int, ece double,"
         " mce double, brier double",
     )
+
+
+def conformal_from_cells(
+    spark: SparkSession,
+    target_table: str,
+    alpha: float = 0.1,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Live split-conformal threshold from a streamed score-cell table
+    (``streaming_auc_ingest``'s (s_fp, cnt) state — labels ride along
+    unused; a label-free calibration feed can ingest with a constant
+    label): the ``llmops.evaluation.conformal_report`` order-statistic
+    arithmetic folded over the collected bounded cells, so the
+    monitor's threshold is IDENTICAL to the batch operator's at the
+    same ingest ``scale``. Dirty rows raise like the batch path (a
+    silently shrunk calibration set quietly weakens the guarantee).
+    Returns one row: ``(n_cal, k, threshold)``."""
+    import math
+    from fractions import Fraction
+
+    if not 0.0 < float(alpha) < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): got {alpha!r}")
+    rows = (
+        spark.table(target_table)
+        .filter(F.col("kind") == "cell")
+        .collect()
+    )
+    n_bad = sum(int(r.bad) for r in rows if r.s_fp is None)
+    if n_bad > 0:
+        raise ValueError(
+            f"conformal_from_cells: {n_bad} ingested rows had NULL"
+            " scores — the guarantee needs every held-out score"
+        )
+    clean = sorted(
+        ((int(r.s_fp), int(r.cnt)) for r in rows if r.s_fp is not None),
+        key=lambda t: t[0],
+    )
+    n_cal = sum(c for _, c in clean)
+    k = math.ceil((n_cal + 1) * (1 - Fraction(float(alpha))))
+    if k > n_cal:
+        raise ValueError(
+            f"conformal_from_cells: calibration set too small for"
+            f" alpha={alpha!r} — k={k} > n_cal={n_cal}"
+        )
+    cum = 0
+    q_fp = None
+    for s_fp, cnt in clean:
+        cum += cnt
+        if cum >= k:
+            q_fp = s_fp
+            break
+    return spark.createDataFrame(
+        [(n_cal, int(k), round(q_fp / int(scale), 6))],
+        "n_cal bigint, k bigint, threshold double",
+    )

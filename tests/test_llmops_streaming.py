@@ -3431,3 +3431,51 @@ def test_streaming_elo_ingest_period_parity_and_ledger(spark, tmp_path):
         for r in elo_from_state(spark, "elo_stream_live").collect()
     )
     assert mass == 5 * 1000 * 10**6
+
+
+def test_conformal_from_cells_matches_batch(spark):
+    """The live conformal threshold from streamed score cells equals
+    the batch conformal_report threshold at the same scale; dirty
+    ingests raise; too-small calibration raises."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _quantized_cells,
+        conformal_report,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        auc_cells_merge_batch,
+        conformal_from_cells,
+    )
+
+    rows = [(i, ((i * 37) % 97) / 96.0, 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "seq long, score double, label int")
+    expected = conformal_report(
+        df, df.limit(1), "score", alpha=0.2, scale=10**4
+    ).collect()[0]
+
+    spark.sql("DROP TABLE IF EXISTS conf_cells_t")
+    for part in range(3):
+        cells = _quantized_cells(
+            df.filter(F.col("seq") % 3 == part), "score", "label", 10**4
+        )
+        auc_cells_merge_batch(spark, "conf_cells_t", cells, part)
+    got = conformal_from_cells(
+        spark, "conf_cells_t", alpha=0.2, scale=10**4
+    ).collect()[0]
+    assert (got.n_cal, got.k, got.threshold) == (
+        expected.n_cal, expected.k, expected.threshold,
+    )
+
+    with pytest.raises(ValueError, match="too small"):
+        conformal_from_cells(spark, "conf_cells_t", alpha=0.001)
+
+    dirty = _quantized_cells(
+        spark.createDataFrame(
+            [(1, None, 0)], "seq long, score double, label int"
+        ),
+        "score", "label", 10**4,
+    )
+    auc_cells_merge_batch(spark, "conf_cells_t", dirty, 3)
+    with pytest.raises(ValueError, match="NULL"):
+        conformal_from_cells(spark, "conf_cells_t", alpha=0.2)

@@ -4430,3 +4430,109 @@ def test_leaderboard_release_dag_gates_and_parity(spark):
         "leaderboard_gate"
     ).collect()[0]
     assert tuple(g13) == tuple(gate)
+
+
+def test_sparse_logreg_hashed_ngrams_train_score_and_replays(spark):
+    """The fastText-shaped classifier: hashed unigram+bigram features
+    replay as md5-prefix buckets, the sparse trainer separates a
+    planted vocabulary (positive weights on good grams, negative on
+    bad), label-only rows drive the intercept, the full quantized loop
+    replays bit-for-bit in pure Python (weights AND intercept),
+    layout-invariant, loud guards."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        hashed_ngram_features,
+        sparse_logreg_score,
+        sparse_logreg_train,
+    )
+
+    # planted corpus: label = presence of 'excellent' vs 'terrible'
+    docs, labels = [], []
+    for i in range(60):
+        good = i % 2 == 0
+        word = "excellent" if good else "terrible"
+        filler = f"doc number {i % 7} about things"
+        docs.append((i, f"{filler} {word} stuff"))
+        labels.append((i, 1 if good else 0))
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    ldf = spark.createDataFrame(labels, ["doc_id", "y"])
+
+    feats = hashed_ngram_features(ddf, "text", "doc_id", n_buckets=2**16)
+    model = sparse_logreg_train(feats, ldf, n_iter=6, lr=1.0)
+    scored = {r.id: r for r in sparse_logreg_score(feats, model).collect()}
+    assert all(scored[i].keep == (1 if i % 2 == 0 else 0) for i in range(60))
+
+    # the planted grams carry the sign
+    import hashlib
+
+    def bucket(g, nb=2**16):
+        return int(hashlib.md5(g.encode()).hexdigest()[:5], 16) % nb
+
+    w = {r.feat: r.w_fp for r in model["weights"].collect()}
+    assert w[bucket("excellent")] > 0 > w[bucket("terrible")]
+
+    # pure-Python replay of the full quantized loop on a small grid
+    small_feats = [
+        (0, 1, 2), (0, 2, 1),
+        (1, 1, 1),
+        (2, 2, 3),
+        (3, 3, 1), (3, 1, 1),
+    ]
+    small_labels = [(0, 1), (1, 1), (2, 0), (3, 0), (4, 1)]  # id 4: bias-only
+    fdf = spark.createDataFrame(small_feats, ["id", "feat", "v"])
+    sdf = spark.createDataFrame(small_labels, ["id", "y"])
+    m2 = sparse_logreg_train(fdf, sdf, n_iter=4, lr=0.7, scale=10**6)
+
+    scale, n = 10**6, 5
+    W = {1: 0, 2: 0, 3: 0}
+    b = 0
+    by_id = {}
+    for i, f, v in small_feats:
+        by_id.setdefault(i, []).append((f, v))
+    for _ in range(4):
+        q = {}
+        for i, y in small_labels:
+            z = b + sum(W[f] * v for f, v in by_id.get(i, []))
+            p = 1.0 / (1.0 + math.exp(-(z / 1e6)))
+            q[i] = math.floor((p - y) * scale + 0.5)
+        G = {f: 0 for f in W}
+        for i, f, v in small_feats:
+            G[f] += q[i] * v
+        g0 = sum(q.values())
+        W = {
+            f: math.floor(
+                (W[f] / 1e6 - 0.7 * (G[f] / (n * scale))) * scale + 0.5
+            )
+            for f in W
+        }
+        b = math.floor((b / 1e6 - 0.7 * (g0 / (n * scale))) * scale + 0.5)
+    got_w = {r.feat: r.w_fp for r in m2["weights"].collect()}
+    assert got_w == W and m2["intercept_fp"] == b
+
+    # label-only id 4 (y=1) pushes the intercept up vs dropping it
+    m3 = sparse_logreg_train(
+        fdf, sdf.filter("id != 4"), n_iter=4, lr=0.7
+    )
+    assert m2["intercept_fp"] > m3["intercept_fp"]
+
+    # layout invariance
+    m13 = sparse_logreg_train(
+        fdf.repartition(13), sdf.repartition(7), n_iter=4, lr=0.7
+    )
+    assert {
+        r.feat: r.w_fp for r in m13["weights"].collect()
+    } == W and m13["intercept_fp"] == b
+
+    # guards
+    with pytest.raises(ValueError, match="NULL or outside"):
+        sparse_logreg_train(
+            fdf,
+            spark.createDataFrame([(0, 2)], ["id", "y"]),
+        )
+    with pytest.raises(ValueError, match="no label"):
+        sparse_logreg_train(fdf, sdf.filter("id >= 2"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_ngram_features(ddf, "text", "doc_id", n_buckets=2**21)
+    with pytest.raises(ValueError, match="threshold"):
+        sparse_logreg_score(fdf, m2, threshold=1.5)

@@ -1412,3 +1412,157 @@ def wilson_winrate(
     return scored.withColumn(
         "rank_lb", F.row_number().over(w_rank).cast("bigint")
     )
+
+
+def bradley_terry_ties(
+    outcomes: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**6,
+    theta: tuple = (3, 2),
+    smoothing2: int = 1,
+    a_col: str = "side_a",
+    b_col: str = "side_b",
+    tie_col: str = "is_tie",
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Bradley-Terry with TIES — the Rao-Kupper model (Rao & Kupper
+    1967) fit by Hunter's MM (Hunter, Annals of Statistics 2004, §5):
+    arena vote logs carry "tie / both equal" judgments that plain
+    ``bradley_terry`` must drop, discarding real evidence that two
+    items sit close together.
+
+        P(i beats j) = p_i / (p_i + θ·p_j)
+        P(i ties j)  = (θ² − 1)·p_i·p_j
+                       / ((p_i + θ·p_j)·(p_j + θ·p_i)),   θ > 1
+
+    MM update, all-integer in the ``bradley_terry`` fixed-point
+    discipline (θ an EXACT RATIONAL ``(t_num, t_den)`` so denominators
+    stay integer):
+
+        A_i = Σ_j (w_ij + t_ij)
+        B_i = Σ_j [ (w_ij + t_ij)·s²·t_den div (t_den·p_i + t_num·p_j)
+                  + (w_ji + t_ij)·s²·t_num div (t_den·p_j + t_num·p_i) ]
+        p'_i = (A_i · s²) div B_i
+
+    — at θ = 1 and zero ties this is exactly the BT update with the
+    pair term split per direction (two floors instead of one; same
+    fixed point). θ is a FIXED tie-threshold knob here: jointly
+    estimating it is a bounded 1-D outer search the caller can grid —
+    the MM inner loop is identical per candidate θ.
+
+    Input rows: ``(side_a, side_b, is_tie)`` — on decided rows side_a
+    is the winner. Doubled+smoothed counts (the BT convention: wins
+    smoothed both ways, ties unsmoothed); self-pairs drop. Overflow
+    bound: counts·s²·max(θ parts) below 2^63 — at defaults ~3e6
+    (doubled) outcomes per pair. Deterministic and bit-exact under any
+    partitioning; ties with θ = 1 raise (the model gives them zero
+    probability). Returns ``(item, wins2, ties2, comparisons2,
+    rating_fp)``."""
+    tn, td = int(theta[0]), int(theta[1])
+    if td < 1 or tn < td:
+        raise ValueError(
+            f"theta must be a rational >= 1 as (num, den): got {theta!r}"
+        )
+    scale = int(scale)
+    o = outcomes.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+        F.col(tie_col).cast("boolean").alias("t"),
+    ).filter(F.col("a") != F.col("b"))
+    n_ties = int(
+        o.agg(F.sum(F.col("t").cast("bigint"))).collect()[0][0] or 0
+    )
+    if n_ties > 0 and tn == td:
+        raise ValueError(
+            "bradley_terry_ties: tie rows present but theta = 1 gives"
+            " ties zero probability — set theta > 1 (e.g. (3, 2))"
+        )
+    # doubled win counts per ordered pair (winner first), smoothed both
+    # ways through the full-outer mirror; doubled tie counts symmetric
+    wins = (
+        o.filter(~F.coalesce("t", F.lit(False)))
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
+        .agg((F.lit(2) * F.count(F.lit(1))).alias("_w2raw"))
+        .select("i", "j", (F.col("_w2raw") + F.lit(int(smoothing2))).alias("w2"))
+    )
+    ties2 = (
+        o.filter(F.coalesce("t", F.lit(False)))
+        .select("a", "b")
+        .unionByName(
+            o.filter(F.coalesce("t", F.lit(False))).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        .groupBy(F.col("a").alias("i"), F.col("b").alias("j"))
+        .agg((F.lit(2) * F.count(F.lit(1))).alias("t2"))  # doubled units,
+        # per orientation — consistent with w2 so the MM weights wins
+        # and ties on the same scale
+    )
+    rev = wins.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("w2").alias("w2_rev"),
+    )
+    s = F.lit(int(smoothing2))
+    pairs = (
+        wins.join(rev, ["i", "j"], "full_outer")
+        .join(ties2, ["i", "j"], "full_outer")
+        .select(
+            "i",
+            "j",
+            F.coalesce("w2", s).alias("w2_f"),
+            F.coalesce("w2_rev", s).alias("w2_r"),
+            F.coalesce("t2", F.lit(0)).alias("t2"),
+        )
+        .persist()  # loop-invariant: every MM round re-reads this
+    )
+    pairs.count()
+    tot = pairs.groupBy("i").agg(
+        F.sum(F.col("w2_f") + F.col("t2")).alias("A"),
+        F.sum("w2_f").alias("wins2"),
+        F.sum("t2").alias("ties2"),
+        F.sum(F.col("w2_f") + F.col("w2_r") + F.col("t2")).alias(
+            "comparisons2"
+        ),
+    )
+    a_tot = tot.select("i", "A")
+
+    s2 = scale * scale
+    ratings = a_tot.select(
+        F.col("i").alias("id"), F.lit(int(scale)).cast("long").alias("p")
+    )
+    for rnd in range(int(n_iter)):
+        ri = ratings.withColumnsRenamed({"id": "i", "p": "p_i"})
+        rj = ratings.withColumnsRenamed({"id": "j", "p": "p_j"})
+        denom = (
+            pairs.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
+            .select(
+                "i",
+                (
+                    F.expr(
+                        f"((w2_f + t2) * cast({s2} as bigint) * {td})"
+                        f" div ({td} * p_i + {tn} * p_j)"
+                    )
+                    + F.expr(
+                        f"((w2_r + t2) * cast({s2} as bigint) * {tn})"
+                        f" div ({td} * p_j + {tn} * p_i)"
+                    )
+                ).alias("d"),
+            )
+            .groupBy("i")
+            .agg(F.sum("d").alias("B"))
+        )
+        ratings = denom.join(a_tot, "i").select(
+            F.col("i").alias("id"),
+            F.expr(f"(A * cast({s2} as bigint)) div B").alias("p"),
+        )
+        ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
+    pairs.unpersist()
+    return ratings.join(tot.withColumnsRenamed({"i": "id"}), "id").select(
+        F.col("id").alias("item"),
+        "wins2",
+        "ties2",
+        "comparisons2",
+        F.col("p").alias("rating_fp"),
+    )

@@ -4536,3 +4536,124 @@ def test_sparse_logreg_hashed_ngrams_train_score_and_replays(spark):
         hashed_ngram_features(ddf, "text", "doc_id", n_buckets=2**21)
     with pytest.raises(ValueError, match="threshold"):
         sparse_logreg_score(fdf, m2, threshold=1.5)
+
+
+def test_bradley_terry_ties_rao_kupper_and_replays(spark):
+    """Rao-Kupper MM: planted ordering recovered with tie votes in the
+    log, heavy ties SHRINK a pair's rating gap vs the same decided
+    record without ties (ties are closeness evidence), theta=1 with no
+    ties converges to plain BT's fixed point, the integer loop replays
+    bit-for-bit in pure Python, layout-invariant, loud guards."""
+    from fractions import Fraction
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+        bradley_terry_ties,
+    )
+
+    # planted: alpha > {beta, gamma} > delta; beta-gamma mostly ties
+    rows = []
+    rows += [("alpha", "beta", False)] * 8 + [("beta", "alpha", False)] * 2
+    rows += [("alpha", "gamma", False)] * 8 + [("gamma", "alpha", False)] * 2
+    rows += [("beta", "delta", False)] * 7 + [("delta", "beta", False)] * 2
+    rows += [("gamma", "delta", False)] * 7 + [("delta", "gamma", False)] * 2
+    rows += [("beta", "gamma", True)] * 10
+    rows += [("beta", "gamma", False)] * 2 + [("gamma", "beta", False)] * 2
+    df = spark.createDataFrame(rows, ["side_a", "side_b", "is_tie"])
+    out = {r.item: r for r in bradley_terry_ties(df, n_iter=4).collect()}
+    r = {k: v.rating_fp for k, v in out.items()}
+    assert r["alpha"] > r["beta"] and r["alpha"] > r["gamma"]
+    assert r["beta"] > r["delta"] and r["gamma"] > r["delta"]
+    assert out["beta"].ties2 == 20  # doubled
+    assert out["alpha"].ties2 == 0
+
+    # ties shrink the gap: same 6-2 decided record, with vs without 20
+    # ties appended
+    base = [("x", "y", False)] * 6 + [("y", "x", False)] * 2
+    no_ties = {
+        q.item: q.rating_fp
+        for q in bradley_terry_ties(
+            spark.createDataFrame(base, ["side_a", "side_b", "is_tie"]),
+            n_iter=4,
+        ).collect()
+    }
+    with_ties = {
+        q.item: q.rating_fp
+        for q in bradley_terry_ties(
+            spark.createDataFrame(
+                base + [("x", "y", True)] * 20,
+                ["side_a", "side_b", "is_tie"],
+            ),
+            n_iter=4,
+        ).collect()
+    }
+    assert Fraction(with_ties["x"], with_ties["y"]) < Fraction(
+        no_ties["x"], no_ties["y"]
+    )
+    assert with_ties["x"] > with_ties["y"]  # still ahead, just closer
+
+    # theta = 1, no ties: same fixed point as plain BT (per-direction
+    # floor split -> tiny integer drift, never ordering)
+    dec = [x for x in rows if not x[2]]
+    ddf = spark.createDataFrame(dec, ["side_a", "side_b", "is_tie"])
+    rk = {
+        q.item: q.rating_fp
+        for q in bradley_terry_ties(ddf, n_iter=4, theta=(1, 1)).collect()
+    }
+    bt = {
+        q.item: q.rating_fp
+        for q in bradley_terry(
+            ddf.select(
+                F.col("side_a").alias("winner_id"),
+                F.col("side_b").alias("loser_id"),
+            ),
+            n_iter=4,
+        ).collect()
+    }
+    for k in bt:
+        assert abs(rk[k] - bt[k]) <= max(3, bt[k] // 1000)
+
+    # pure-Python bit-exact replay (theta = 3/2, 2 rounds)
+    tn, td, s = 3, 2, 10**6
+    items = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    w2 = {}
+    t2 = {}
+    for a, b, t in rows:
+        if t:
+            t2[(a, b)] = t2.get((a, b), 0) + 2
+            t2[(b, a)] = t2.get((b, a), 0) + 2
+        else:
+            w2[(a, b)] = w2.get((a, b), 0) + 2
+    pair_keys = set(w2) | {(j, i) for i, j in w2} | set(t2)
+    P = {
+        (i, j): (w2.get((i, j), 0) + 1, w2.get((j, i), 0) + 1,
+                 t2.get((i, j), 0))
+        for i, j in pair_keys
+    }
+    A = {i: sum(wf + t for (a, _), (wf, _, t) in P.items() if a == i)
+         for i in items}
+    p = {i: s for i in items}
+    for _ in range(2):
+        B = {i: 0 for i in items}
+        for (i, j), (wf, wr, t) in P.items():
+            B[i] += ((wf + t) * s * s * td) // (td * p[i] + tn * p[j])
+            B[i] += ((wr + t) * s * s * tn) // (td * p[j] + tn * p[i])
+        p = {i: (A[i] * s * s) // B[i] for i in items}
+    got2 = {
+        q.item: q.rating_fp
+        for q in bradley_terry_ties(df, n_iter=2).collect()
+    }
+    assert got2 == p
+
+    # layout invariance
+    got13 = {
+        q.item: tuple(q)
+        for q in bradley_terry_ties(df.repartition(13), n_iter=4).collect()
+    }
+    assert got13 == {k: tuple(v) for k, v in out.items()}
+
+    # guards
+    with pytest.raises(ValueError, match="theta"):
+        bradley_terry_ties(df, theta=(1, 2))
+    with pytest.raises(ValueError, match="zero probability"):
+        bradley_terry_ties(df, theta=(1, 1)).collect()

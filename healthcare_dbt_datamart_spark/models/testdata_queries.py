@@ -4033,7 +4033,13 @@ SCHEDULED_NEXT_WINDOW = [
 # split), vocab_richness (Chao1 + quantized Zipf slope over
 # documents), leaderboard_gate (models/leaderboard_release.py — the
 # third release-gate DAG; exact-integer verdict, oracle-able the way
-# curation_dag is).
+# curation_dag is). Second mini-wave, same evidence bar:
+# bradley_terry_ties (Rao-Kupper MM — unrolled-CTE oracle like
+# bradley_terry, input: price ties within orders as tie votes),
+# brier_decomposition / isotonic_calibration+apply (bounded-cell
+# Fraction folds, directly SQL-replayable), sparse_logreg /
+# hashed_ngram_features (the fastText classifier shape; the training
+# loop unrolls into chained SQL rounds like logreg_quality's).
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

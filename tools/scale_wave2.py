@@ -275,6 +275,56 @@ def op_vocab_richness(spark, d):
     return vocab_richness(_docs(spark, d), "text", zipf_top_k=500).count()
 
 
+def op_brier_decomposition(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(
+        _scored_lineitem(spark, d), "score", "label"
+    ).count()
+
+
+def op_isotonic(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+
+    sc = _scored_lineitem(spark, d)
+    blocks = isotonic_calibration(sc, "score", "label")
+    return isotonic_apply(sc, "score", blocks).count()
+
+
+def op_sparse_logreg(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        hashed_ngram_features,
+        sparse_logreg_score,
+        sparse_logreg_train,
+    )
+
+    docs = _docs(spark, d)
+    feats = hashed_ngram_features(docs, "text", "doc_id", n_buckets=2**16)
+    labels = docs.select(
+        "doc_id", (F.col("n_chars") % 2).cast("int").alias("y")
+    )
+    model = sparse_logreg_train(feats, labels, n_iter=2, lr=0.5)
+    return sparse_logreg_score(feats, model).count()
+
+
+def op_bt_ties(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry_ties,
+    )
+
+    m = _matches(spark, d).select(
+        F.col("winner_id").alias("side_a"),
+        F.col("loser_id").alias("side_b"),
+        (F.col("period") % 7 == 0).alias("is_tie"),  # a deterministic slice
+    )
+    return bradley_terry_ties(m, n_iter=2).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -297,6 +347,10 @@ OPS = {
     "unimax_allocation": op_unimax,
     "conformal_report": op_conformal,
     "vocab_richness": op_vocab_richness,
+    "brier_decomposition": op_brier_decomposition,
+    "isotonic_calibration": op_isotonic,
+    "sparse_logreg": op_sparse_logreg,
+    "bradley_terry_ties": op_bt_ties,
 }
 
 

@@ -4657,3 +4657,76 @@ def test_bradley_terry_ties_rao_kupper_and_replays(spark):
         bradley_terry_ties(df, theta=(1, 2))
     with pytest.raises(ValueError, match="zero probability"):
         bradley_terry_ties(df, theta=(1, 1)).collect()
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=8, deadline=None)
+@_given(
+    counts=_st.lists(
+        _st.integers(min_value=1, max_value=10**6),
+        min_size=1, max_size=12,
+    ),
+    budget=_st.integers(min_value=1, max_value=10**7),
+    epochs=_st.integers(min_value=1, max_value=5),
+)
+def test_unimax_allocation_waterfill_invariants(spark, counts, budget, epochs):
+    """Property battery for the water-fill: spend = min(budget, Σcap),
+    no domain exceeds its cap, capped domains form an ascending-sort
+    prefix, and any two UNCAPPED domains differ by at most one token
+    (maximal uniformity — the UniMax objective)."""
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", n) for i, n in enumerate(counts)],
+        ["grp", "n_tokens"],
+    )
+    rows = unimax_allocation(df, budget=budget, max_epochs=epochs).collect()
+    total_cap = sum(n * epochs for n in counts)
+    assert sum(r.alloc for r in rows) == min(budget, total_cap)
+    assert all(0 <= r.alloc <= r.cap for r in rows)
+    by_sort = sorted(rows, key=lambda r: (r.cap, r.grp))
+    flags = [r.capped for r in by_sort]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+    un = [r.alloc for r in rows if not r.capped]
+    if un:
+        assert max(un) - min(un) <= 1  # maximal uniformity
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    matches=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=5),
+            _st.integers(min_value=0, max_value=5),
+            _st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1, max_size=40,
+    ).filter(lambda ms: any(w != l for w, l, _ in ms)),
+)
+def test_elo_ratings_conservation_and_within_period_order_invariance(
+    spark, matches
+):
+    """Property battery for period-batched Elo: total rating mass is
+    EXACTLY conserved for any match log, and shuffling the order of
+    matches WITHIN periods never changes a rating (period updates are
+    simultaneous — the model's defining property)."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import elo_ratings
+
+    rows = [
+        (f"p{w}", f"p{l}", per) for w, l, per in matches if w != l
+    ]
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id", "period"])
+    out = {r.item: r.rating_fp for r in elo_ratings(m, k=8).collect()}
+    assert sum(out.values()) == len(out) * 1000 * 10**6
+
+    shuffled = list(reversed(rows))
+    m2 = spark.createDataFrame(
+        shuffled, ["winner_id", "loser_id", "period"]
+    )
+    out2 = {r.item: r.rating_fp for r in elo_ratings(m2, k=8).collect()}
+    assert out2 == out

@@ -1566,3 +1566,70 @@ def bradley_terry_ties(
         "comparisons2",
         F.col("p").alias("rating_fp"),
     )
+
+
+def wilson_from_pairs(
+    pair_wins2: DataFrame,
+    z: float = 1.959964,
+) -> DataFrame:
+    """The Wilson board from an ALREADY-AGGREGATED ``(i, j, w2)``
+    doubled-win-count table — the incremental path beside
+    ``bradley_terry_from_pairs``: a streamed arena feed maintains the
+    pair table (``pref_counts_merge_batch``) and BOTH leaderboard
+    columns (BT rating, Wilson interval) re-derive from the same
+    bounded state without re-reading an outcome. Doubled counts halve
+    back to exact match units BEFORE the interval (the CI width
+    depends on the absolute n — doubled units would fake twice the
+    evidence). Ledger/self rows drop defensively. Output =
+    ``wilson_winrate``'s shape, and streamed-vs-batch parity is exact
+    by construction (integer sums merge associatively)."""
+    from pyspark.sql import Window
+
+    if not 0.0 < float(z):
+        raise ValueError(f"z must be positive: got {z!r}")
+    w = pair_wins2.filter(F.col("i") != F.col("j")).groupBy("i", "j").agg(
+        F.sum("w2").alias("w2")
+    )
+    rev = w.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("w2").alias("l2"),
+    )
+    tot = (
+        w.join(rev, ["i", "j"], "full_outer")
+        .groupBy(F.col("i").alias("item"))
+        .agg(
+            (
+                (
+                    F.sum(F.coalesce("w2", F.lit(0)))
+                    + F.sum(F.coalesce("l2", F.lit(0)))
+                )
+                / F.lit(2)
+            ).cast("bigint").alias("n"),
+            (F.sum(F.coalesce("w2", F.lit(0))) / F.lit(2)).cast(
+                "bigint"
+            ).alias("wins"),
+        )
+    )
+    zf = float(z)
+    p = F.col("wins").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    z2 = F.lit(zf * zf)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(zf)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + z2 / (F.lit(4.0) * nn * nn))
+        / denom
+    )
+    scored = tot.select(
+        "item",
+        F.col("n").alias("n_matches"),
+        "wins",
+        F.round(p, 6).alias("winrate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+    w_rank = Window.orderBy(F.col("ci_lo").desc(), F.col("item").asc())
+    return scored.withColumn(
+        "rank_lb", F.row_number().over(w_rank).cast("bigint")
+    )

@@ -2065,3 +2065,128 @@ def mmr_rerank(
         f"{id_col} long, mmr_rank int, relevance double,"
         " redundancy double, mmr_score double",
     )
+
+
+def procrustes_align(
+    pairs: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 10**6,
+) -> dict:
+    """Orthogonal Procrustes alignment between two embedding VERSIONS
+    (Schönemann 1966): the rotation R minimizing ‖XR − Y‖_F over
+    matched vector pairs — the migration operator an embedding upgrade
+    needs (align the old space onto the new model's so a serving index
+    re-embeds incrementally; Smith et al. 2017, arXiv:1702.03859, use
+    exactly this for cross-space word-vector alignment). The solution
+    is R = U·Vᵀ from the SVD of the cross-moment matrix M = XᵀY.
+
+    Determinism discipline (the ``pca_train`` class): each matched row
+    emits its d×d cross products QUANTIZED to BIGINT ``scale``-units
+    through one explode → partial-agg groupBy (d² cells of bounded
+    model state, associative integer sums → M is bit-identical under
+    any partitioning); the SVD runs once on the exact d×d integers
+    driver-side, and R = U·Vᵀ is invariant to LAPACK's per-column sign
+    ambiguity (signs cancel in the product) — degenerate singular
+    values would not be, so they RAISE rather than return a
+    layout-lottery rotation. R rounds to 9dp literals (the artifact
+    convention).
+
+    Overflow: keep ``n · scale · max|x·y| < 2⁶³`` — safe to ~9·10¹²
+    unit-normalized pairs at the default scale. Returns
+    ``{"rotation": [d][d] (row j = where source dim j lands),
+    "sigma": [d], "d": d, "n_rows": n}`` — feed to
+    ``procrustes_apply``."""
+    import numpy as np
+
+    scale = int(scale)
+    chk = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(x_col)).alias("xmn"),
+        F.max(F.size(x_col)).alias("xmx"),
+        F.min(F.size(y_col)).alias("ymn"),
+        F.max(F.size(y_col)).alias("ymx"),
+    ).collect()[0]
+    n = int(chk.n or 0)
+    if n == 0:
+        raise ValueError("procrustes_align got an empty relation")
+    if not (chk.xmn == chk.xmx == chk.ymn == chk.ymx):
+        raise ValueError(
+            "procrustes_align needs equal-length vector pairs: sizes"
+            f" x in [{chk.xmn}, {chk.xmx}], y in [{chk.ymn}, {chk.ymx}]"
+        )
+    d = int(chk.xmn)
+
+    xv, yv = F.col(x_col), F.col(y_col)
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    cells = F.flatten(
+        F.transform(
+            idx,
+            lambda j: F.transform(
+                idx,
+                lambda k: F.struct(
+                    j.cast("int").alias("j"),
+                    k.cast("int").alias("k"),
+                    F.floor(
+                        F.element_at(xv, j + 1).cast("double")
+                        * F.element_at(yv, k + 1).cast("double")
+                        * F.lit(scale)
+                        + F.lit(0.5)
+                    ).cast("bigint").alias("q"),
+                ),
+            ),
+        )
+    )
+    rows = (
+        pairs.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.k").alias("k"))
+        .agg(F.sum("c.q").alias("m"))
+        .collect()
+    )  # d^2 BIGINTs: bounded model state
+    m = np.zeros((d, d))
+    for r in rows:
+        m[int(r.j), int(r.k)] = int(r.m) / scale
+    u, sig, vt = np.linalg.svd(m)
+    # R = U·Vᵀ is invariant to repeated NONZERO singular values (the
+    # joint block rotation cancels in the product); a (near-)ZERO one
+    # leaves U/V null-space columns independently arbitrary — a
+    # layout-lottery rotation, so it raises instead
+    if float(sig[-1]) / max(float(sig[0]), 1e-300) < 1e-9:
+        raise ValueError(
+            "procrustes_align: (near-)degenerate cross-moment spectrum"
+            " (a ~zero singular value) — the rotation is not unique;"
+            " add more matched pairs or reduce dimensionality first"
+        )
+    rot = u @ vt
+    return {
+        "rotation": [
+            [round(float(rot[j, k]), 9) for k in range(d)] for j in range(d)
+        ],
+        "sigma": [round(float(s), 9) for s in sig],
+        "d": d,
+        "n_rows": n,
+    }
+
+
+def procrustes_apply(
+    df: DataFrame,
+    vec_col: str,
+    model: dict,
+) -> DataFrame:
+    """Rotate an embedding column into the aligned space:
+    ``y_k = Σ_j x_j · R[j][k]`` — one projection of d dot products
+    against broadcast 9dp literals, zero shuffle, scales as the scan
+    (the ``pca_apply`` inference pattern). Rows with a wrong-length
+    vector map to NULL (the pca_apply guard). Output rounds 6dp."""
+    d = int(model["d"])
+    cols = [
+        [float(model["rotation"][j][k]) for j in range(d)]
+        for k in range(d)
+    ]
+    v = F.col(vec_col)
+    rotated = F.array(
+        *[F.round(_dot(v, _lit_vec(cols[k])), 6) for k in range(d)]
+    )
+    return df.withColumn(
+        vec_col, F.when(F.size(v) == d, rotated)
+    )

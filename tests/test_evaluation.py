@@ -1623,3 +1623,98 @@ def test_isotonic_calibration_pava_apply_and_replays(spark):
             spark.createDataFrame([(1, None)], "rid long, score double"),
             "score", blocks,
         )
+
+
+def test_procrustes_align_recovers_rotation_and_replays(spark):
+    """Procrustes: a planted orthogonal rotation is recovered to 1e-6,
+    applying it aligns the source onto the target (tiny RMSE), the
+    quantized cross-moment + SVD replays bit-for-bit in pure
+    numpy, layout-invariant, loud guards incl. the degenerate-spectrum
+    raise."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        procrustes_align,
+        procrustes_apply,
+    )
+
+    # planted rotation: Givens (0,1) by 30deg and (2,3) by 60deg
+    r0 = np.eye(4)
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    c60, s60 = math.cos(math.pi / 3), math.sin(math.pi / 3)
+    r0[0, 0], r0[0, 1], r0[1, 0], r0[1, 1] = c30, -s30, s30, c30
+    r0[2, 2], r0[2, 3], r0[3, 2], r0[3, 3] = c60, -s60, s60, c60
+
+    xs = []
+    for i in range(120):
+        v = np.array(
+            [((i * k * 37 + k) % 97) / 97.0 - 0.5 for k in range(1, 5)]
+        )
+        xs.append(v / np.linalg.norm(v))
+    ys = [x @ r0 for x in xs]
+    pairs = spark.createDataFrame(
+        [
+            (i, [float(a) for a in xs[i]], [float(b) for b in ys[i]])
+            for i in range(120)
+        ],
+        "pid long, x array<double>, y array<double>",
+    )
+    model = procrustes_align(pairs, "x", "y")
+    got_r = np.array(model["rotation"])
+    assert model["d"] == 4 and model["n_rows"] == 120
+    assert np.abs(got_r - r0).max() < 1e-6
+    # orthogonality survives quantization
+    assert np.abs(got_r @ got_r.T - np.eye(4)).max() < 1e-6
+    # repeated NONZERO singular values stay well-defined: the planted
+    # rotation of unit vectors gives a near-isotropic spectrum and the
+    # operator must NOT raise there (only ~zero sigma is degenerate)
+    assert min(model["sigma"]) > 0.01
+
+    # apply: rotated x sits on y
+    rot = procrustes_apply(
+        pairs.select("pid", "x"), "x", model
+    ).collect()
+    by_id = {r.pid: np.array(r.x) for r in rot}
+    rmse = math.sqrt(
+        sum(float(np.sum((by_id[i] - ys[i]) ** 2)) for i in range(120)) / 120
+    )
+    assert rmse < 1e-5
+
+    # pure-numpy replay from the same quantized cells
+    scale = 10**6
+    m = np.zeros((4, 4))
+    for i in range(120):
+        for j in range(4):
+            for k in range(4):
+                m[j, k] += math.floor(
+                    float(xs[i][j]) * float(ys[i][k]) * scale + 0.5
+                )
+    m /= scale
+    u, sig, vt = np.linalg.svd(m)
+    want = u @ vt
+    assert model["rotation"] == [
+        [round(float(want[j, k]), 9) for k in range(4)] for j in range(4)
+    ]
+    assert model["sigma"] == [round(float(s), 9) for s in sig]
+
+    # layout invariance: identical artifact
+    m13 = procrustes_align(pairs.repartition(13), "x", "y")
+    assert m13 == model
+
+    # guards
+    with pytest.raises(ValueError, match="empty"):
+        procrustes_align(pairs.filter("pid < 0"), "x", "y")
+    with pytest.raises(ValueError, match="equal-length"):
+        procrustes_align(
+            pairs.withColumn("y", F.expr("slice(y, 1, 3)")), "x", "y"
+        )
+    with pytest.raises(ValueError, match="degenerate"):
+        one_d = spark.createDataFrame(
+            [(i, [1.0, 0.0], [0.0, 1.0]) for i in range(10)],
+            "pid long, x array<double>, y array<double>",
+        )
+        procrustes_align(one_d, "x", "y")  # rank-1 M: sigma = (1, 0)

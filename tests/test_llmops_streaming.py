@@ -3479,3 +3479,39 @@ def test_conformal_from_cells_matches_batch(spark):
     auc_cells_merge_batch(spark, "conf_cells_t", dirty, 3)
     with pytest.raises(ValueError, match="NULL"):
         conformal_from_cells(spark, "conf_cells_t", alpha=0.2)
+
+
+def test_wilson_from_streamed_pair_counts_matches_batch(spark):
+    """The Wilson board re-derived from the streamed pair-count state
+    equals wilson_winrate over the raw outcomes field-for-field — the
+    bradley_terry_from_pairs incremental-parity property for the
+    interval column."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        wilson_from_pairs,
+        wilson_winrate,
+    )
+    from healthcare_dbt_datamart_spark.streaming.sketches import (
+        pref_counts_merge_batch,
+    )
+
+    rows = [
+        (f"m{(i * 7) % 5}", f"m{(i * 3) % 5}")
+        for i in range(200)
+        if (i * 7) % 5 != (i * 3) % 5
+    ]
+    m = spark.createDataFrame(rows, ["winner_id", "loser_id"])
+    expected = {r.item: tuple(r) for r in wilson_winrate(m).collect()}
+
+    spark.sql("DROP TABLE IF EXISTS wfp_t")
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+    for bid, b in enumerate(batches):
+        pref_counts_merge_batch(
+            spark, "wfp_t",
+            spark.createDataFrame(b, ["winner_id", "loser_id"]), bid,
+        )
+    got = {
+        r.item: tuple(r)
+        for r in wilson_from_pairs(spark.table("wfp_t")).collect()
+    }
+    assert got == expected

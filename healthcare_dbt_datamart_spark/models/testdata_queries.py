@@ -4039,7 +4039,11 @@ SCHEDULED_NEXT_WINDOW = [
 # brier_decomposition / isotonic_calibration+apply (bounded-cell
 # Fraction folds, directly SQL-replayable), sparse_logreg /
 # hashed_ngram_features (the fastText classifier shape; the training
-# loop unrolls into chained SQL rounds like logreg_quality's).
+# loop unrolls into chained SQL rounds like logreg_quality's). Third
+# mini-wave: procrustes_align (embedding-version migration; d² moment
+# cells + driver SVD), wilson_from_pairs (streamed-counts board). The
+# elo/wilson promotion bodies + oracle SQL are PRE-PROVEN hash-green
+# at driver shape in tests/test_round10_replays.py.
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

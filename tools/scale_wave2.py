@@ -325,6 +325,31 @@ def op_bt_ties(spark, d):
     return bradley_terry_ties(m, n_iter=2).count()
 
 
+def op_procrustes(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        procrustes_align,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    pairs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("x"),
+        F.reverse(F.col("embedding")).alias("y"),  # a fixed permutation
+    )
+    return len(procrustes_align(pairs, "x", "y")["rotation"])
+
+
+def op_wilson_from_pairs(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        wilson_from_pairs,
+    )
+
+    pc = _matches(spark, d).groupBy(
+        F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
+    ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+    return wilson_from_pairs(pc).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -351,6 +376,8 @@ OPS = {
     "isotonic_calibration": op_isotonic,
     "sparse_logreg": op_sparse_logreg,
     "bradley_terry_ties": op_bt_ties,
+    "procrustes_align": op_procrustes,
+    "wilson_from_pairs": op_wilson_from_pairs,
 }
 
 

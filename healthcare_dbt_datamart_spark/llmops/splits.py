@@ -539,3 +539,96 @@ def unimax_allocation(
             ).alias("epochs_alloc"),
         )
     )
+
+
+def domain_concentration(
+    counts: DataFrame,
+    grp_col: str = "grp",
+    n_col: str = "n_tokens",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Corpus concentration diagnostics over the bounded domain-count
+    table — the one-row companion a mixture decision reads before
+    picking a rule (temperature / DoReMi / UniMax): how UNEQUAL is the
+    corpus right now?
+
+        gini    = (2·Σ_i i·x_(i)) / (N·T) − (N+1)/N   (x ascending)
+        top1 / top10 share                            (exact rationals)
+        entropy = −Σ (x/T)·ln(x/T), 6dp               (nats)
+
+    Gini and the shares are EXACT: integer rank-weighted sums and
+    integer divisions, rounded only at print (6dp). Entropy's ln terms
+    quantize per domain to BIGINT ``scale``-units half-up (the
+    ``vocab_richness`` regression discipline) and integer-sum, so the
+    whole row is bit-stable under any layout and replays as window
+    SQL. All windows run on the |domains| rows of the aggregated table
+    (bounded model state). NULL or non-positive counts raise. Returns
+    one row: ``(n_domains, total, gini, top1_share, top10_share,
+    entropy)``."""
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window
+
+    scale = int(scale)
+    c = counts.select(
+        F.col(grp_col).cast("string").alias("grp"),
+        F.col(n_col).cast("bigint").alias("x"),
+    )
+    bad = c.agg(
+        F.sum(
+            (
+                F.col("grp").isNull()
+                | F.col("x").isNull()
+                | (F.col("x") <= 0)
+            ).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"domain_concentration: {bad.nb} domains have a NULL group"
+            f" or non-positive {n_col!r} — aggregate counts first"
+        )
+    w_asc = Window.orderBy(F.col("x").asc(), F.col("grp").asc())
+    w_desc = Window.orderBy(F.col("x").desc(), F.col("grp").asc())
+    w_all = Window.partitionBy()  # |domains| rows: bounded model state
+    row = (
+        c.withColumn("r", F.row_number().over(w_asc))
+        .withColumn("rd", F.row_number().over(w_desc))
+        .withColumn("tot", F.sum("x").over(w_all))
+        .withColumn(
+            "hq1",
+            F.expr(
+                f"cast(floor(-(x / cast(tot as double))"
+                f" * ln(x / cast(tot as double)) * {scale} + 0.5d)"
+                " as bigint)"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("t"),
+            F.sum(F.col("r") * F.col("x")).alias("rw"),
+            F.sum(F.when(F.col("rd") == 1, F.col("x"))).alias("t1"),
+            F.coalesce(
+                F.sum(F.when(F.col("rd") <= 10, F.col("x"))), F.lit(0)
+            ).alias("t10"),
+            F.sum("hq1").alias("hq"),
+        )
+        .collect()[0]
+    )  # six integers: bounded model state
+    n, t = int(row.n), int(row.t)
+    gini = Fraction(2 * int(row.rw), n * t) - Fraction(n + 1, n)
+    spark = counts.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                t,
+                round(float(gini), 6),
+                round(float(Fraction(int(row.t1), t)), 6),
+                round(float(Fraction(int(row.t10), t)), 6),
+                round(int(row.hq) / scale, 6),
+            )
+        ],
+        "n_domains bigint, total bigint, gini double, top1_share double,"
+        " top10_share double, entropy double",
+    )

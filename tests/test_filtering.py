@@ -4730,3 +4730,90 @@ def test_elo_ratings_conservation_and_within_period_order_invariance(
     )
     out2 = {r.item: r.rating_fp for r in elo_ratings(m2, k=8).collect()}
     assert out2 == out
+
+
+def test_domain_concentration_gini_entropy_and_replays(spark):
+    """Concentration report: uniform domains give gini 0 and maximal
+    entropy ln(N), a one-domain-dominates grid gives gini near 1 and
+    top1 near 1, the whole row replays in pure Python (exact Fractions
+    + the quantized entropy fold) and in DuckDB window SQL,
+    layout-invariant, loud guards."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        domain_concentration,
+    )
+
+    # uniform: gini exactly 0, entropy exactly ln(4) at 6dp
+    uni = spark.createDataFrame(
+        [(f"d{i}", 250) for i in range(4)], ["grp", "n_tokens"]
+    )
+    gu = domain_concentration(uni).collect()[0]
+    assert (gu.n_domains, gu.total, gu.gini) == (4, 1000, 0.0)
+    assert gu.top1_share == 0.25 and gu.top10_share == 1.0
+    assert abs(gu.entropy - math.log(4)) < 2e-6
+
+    # skewed: one giant + 9 crumbs
+    sk = spark.createDataFrame(
+        [("big", 10**6)] + [(f"s{i}", 10) for i in range(9)],
+        ["grp", "n_tokens"],
+    )
+    gs = domain_concentration(sk).collect()[0]
+    assert gs.gini > 0.85 and gs.top1_share > 0.999
+
+    # pure-Python replay on an uneven grid
+    grid = [(f"d{i:02d}", 7 + (i * 53) % 90) for i in range(17)]
+    gdf = spark.createDataFrame(grid, ["grp", "n_tokens"])
+    got = domain_concentration(gdf).collect()[0]
+    xs = sorted((x, g) for g, x in grid)
+    n, t = len(xs), sum(x for x, _ in xs)
+    gini = Fraction(
+        2 * sum((i + 1) * x for i, (x, _) in enumerate(xs)), n * t
+    ) - Fraction(n + 1, n)
+    desc = sorted(grid, key=lambda p: (-p[1], p[0]))
+    hq = sum(
+        math.floor(-(x / t) * math.log(x / t) * 10**9 + 0.5)
+        for _, x in grid
+    )
+    assert got.gini == round(float(gini), 6)
+    assert got.top1_share == round(desc[0][1] / t, 6)
+    assert got.top10_share == round(sum(x for _, x in desc[:10]) / t, 6)
+    assert got.entropy == round(hq / 10**9, 6)
+
+    # DuckDB window replay
+    con = duckdb.connect()
+    con.register("counts", gdf.toPandas())
+    o = con.execute("""
+    WITH r AS (
+      SELECT grp, n_tokens AS x,
+        row_number() OVER (ORDER BY n_tokens ASC, grp ASC) AS r,
+        row_number() OVER (ORDER BY n_tokens DESC, grp ASC) AS rd,
+        SUM(n_tokens) OVER () AS tot
+      FROM counts
+    )
+    SELECT COUNT(*) AS n, SUM(x) AS t, SUM(r * x) AS rw,
+      SUM(CASE WHEN rd = 1 THEN x END) AS t1,
+      SUM(CASE WHEN rd <= 10 THEN x END) AS t10,
+      SUM(CAST(floor(-(x / CAST(tot AS DOUBLE))
+        * ln(x / CAST(tot AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)) AS hq
+    FROM r
+    """).fetchone()
+    assert (o[0], o[1]) == (n, t)
+    assert round(float(Fraction(2 * o[2], n * t) - Fraction(n + 1, n)), 6) \
+        == got.gini
+    assert round(o[5] / 10**9, 6) == got.entropy
+
+    # layout invariance
+    g13 = domain_concentration(gdf.repartition(13)).collect()[0]
+    assert tuple(g13) == tuple(got)
+
+    # guards
+    with pytest.raises(ValueError, match="non-positive"):
+        domain_concentration(
+            gdf.unionByName(
+                spark.createDataFrame([("z", 0)], ["grp", "n_tokens"])
+            )
+        )

@@ -1718,3 +1718,127 @@ def test_procrustes_align_recovers_rotation_and_replays(spark):
             "pid long, x array<double>, y array<double>",
         )
         procrustes_align(one_d, "x", "y")  # rank-1 M: sigma = (1, 0)
+
+
+def test_calibration_classifier_wave_on_driver_testdata(spark):
+    """End-to-end smoke of the calibration/classifier/alignment wave
+    over the REAL driver testdata: Brier decomposition + isotonic over
+    a deterministic doc score, the hashed-ngram sparse classifier on a
+    planted lang label, Rao-Kupper ties over price-tie supplier
+    matches, Procrustes between the embeddings and a permuted copy,
+    and concentration over per-source counts. Structural assertions —
+    exact arithmetic is pinned by the unit tests."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        brier_decomposition,
+        isotonic_apply,
+        isotonic_calibration,
+    )
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry_ties,
+    )
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        procrustes_align,
+        procrustes_apply,
+    )
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        domain_concentration,
+    )
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        hashed_ngram_features,
+        sparse_logreg_score,
+        sparse_logreg_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n_docs = docs.count()
+
+    # calibration family over a deterministic score/label pair
+    scored = docs.select(
+        "doc_id",
+        (F.pmod(F.col("n_chars") * 31, F.lit(997)) / 996.0).alias("s"),
+        (F.col("n_chars") % 2).cast("int").alias("y"),
+    )
+    bd = brier_decomposition(scored, "s", "y").collect()[0]
+    assert bd.n_rows == n_docs
+    assert abs(
+        bd.brier - (bd.reliability - bd.resolution + bd.uncertainty
+                    + bd.residual)
+    ) < 2e-6
+    blocks = isotonic_calibration(scored, "s", "y")
+    cal = isotonic_apply(scored, "s", blocks)
+    assert cal.count() == n_docs
+    ps = [r.p_cal for r in blocks.orderBy("s_fp_lo").collect()]
+    assert ps == sorted(ps)
+
+    # sparse classifier on a real text column: es-vs-rest language
+    feats = hashed_ngram_features(docs, "text", "doc_id", n_buckets=2**14)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "es").cast("int").alias("y")
+    )
+    model = sparse_logreg_train(feats, labels, n_iter=3, lr=1.0)
+    sc = sparse_logreg_score(feats, model)
+    assert sc.count() == n_docs
+    # the trained filter beats the base rate on its own training set
+    joined = sc.join(labels.withColumnsRenamed({"doc_id": "id"}), "id")
+    acc = joined.filter(F.col("keep") == F.col("y")).count() / n_docs
+    base = max(
+        labels.agg(F.avg("y")).collect()[0][0],
+        1 - labels.agg(F.avg("y")).collect()[0][0],
+    )
+    assert acc >= base - 1e-9
+
+    # Rao-Kupper over supplier matches incl. genuine price ties
+    lx = li.select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("supp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    a, b = lx.alias("a"), lx.alias("b")
+    both = a.join(b, "l_orderkey").filter(F.col("a.supp") != F.col("b.supp"))
+    m = both.filter(
+        F.col("a.cents") * F.col("b.qty") <= F.col("b.cents") * F.col("a.qty")
+    ).select(
+        F.col("a.supp").alias("side_a"),
+        F.col("b.supp").alias("side_b"),
+        (
+            F.col("a.cents") * F.col("b.qty")
+            == F.col("b.cents") * F.col("a.qty")
+        ).alias("is_tie"),
+    )
+    rk = bradley_terry_ties(m, n_iter=2).collect()
+    assert len(rk) >= 2
+    assert all(r.comparisons2 > 0 for r in rk)
+
+    # Procrustes: embeddings vs their reversed copy -> the permutation
+    pairs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.reverse(F.col("embedding")).cast("array<double>").alias("y"),
+    )
+    pm = procrustes_align(pairs, "x", "y")
+    R = np.array(pm["rotation"])
+    d = pm["d"]
+    anti = np.fliplr(np.eye(d))
+    assert np.abs(R - anti).max() < 1e-3  # recovers the reversal
+    rot = procrustes_apply(pairs.select("vec_id", "x"), "x", pm)
+    assert rot.count() == emb.count()
+
+    # concentration over per-source counts
+    cc = domain_concentration(
+        docs.groupBy(F.col("source").alias("grp")).agg(
+            F.sum("n_chars").alias("n_tokens")
+        )
+    ).collect()[0]
+    n_sources = docs.select("source").distinct().count()
+    assert cc.n_domains == n_sources and 0.0 <= cc.gini < 1.0
+    assert cc.top1_share >= 1.0 / n_sources

@@ -4043,7 +4043,9 @@ SCHEDULED_NEXT_WINDOW = [
 # mini-wave: procrustes_align (embedding-version migration; d² moment
 # cells + driver SVD), wilson_from_pairs (streamed-counts board). The
 # elo/wilson promotion bodies + oracle SQL are PRE-PROVEN hash-green
-# at driver shape in tests/test_round10_replays.py.
+# at driver shape in tests/test_round10_replays.py. Also queued:
+# domain_concentration (exact Gini/top-share/entropy — one window
+# SQL, directly oracle-able).
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

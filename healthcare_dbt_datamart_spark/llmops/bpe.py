@@ -384,3 +384,64 @@ def unigram_segment_report(
             ).alias("pieces_per_word"),
         )
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list,
+    max_merges: int = 256,
+) -> DataFrame:
+    """Per-document token counts under a TRAINED merge list — the
+    encode half that closes the ``bpe_train`` loop: real tokenizer
+    budgets for packing/shard balancing/mixture math, where the
+    whitespace count (``quality_stats.n_tokens``) is only a proxy.
+
+    Scale shape — tokenize the VOCABULARY, not the corpus: the merge
+    chain (each merge = the module's three engine-portable string
+    replaces; Catalyst folds the constants) applies map-only over the
+    DISTINCT-WORD table, yielding a bounded ``word → n_pieces`` map;
+    the corpus then pays one explode + one join against that map (AQE
+    broadcasts it when small) + one partial-agg groupBy. A 100 TB
+    corpus is never string-rewritten — only its vocabulary is, once
+    per release. Plan size grows with ``len(merges)`` (3 replaces
+    each), so lists beyond ``max_merges`` raise rather than compile a
+    pathological expression tree.
+
+    Returns ``(id, n_words, n_tokens)`` — ``n_tokens`` is the exact
+    BPE piece count, ≤ characters and monotonically non-increasing in
+    the merge list (pinned). Deterministic; replays in DuckDB with the
+    identical replace chain."""
+    if len(merges) > int(max_merges):
+        raise ValueError(
+            f"bpe_token_counts: {len(merges)} merges exceed max_merges="
+            f"{max_merges} — a longer chain belongs in a pre-materialized"
+            " word→pieces map table"
+        )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = toks.select("w").distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    syms = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for m in merges:
+        left, right = m[0], m[1]
+        syms = _apply_merge(syms, left, right)
+    pieces = vocab.select(
+        "w", F.size(F.split(F.trim(syms), " ")).alias("n_pieces")
+    )
+    return (
+        toks.join(pieces, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_tokens"),
+        )
+    )

@@ -4817,3 +4817,119 @@ def test_domain_concentration_gini_entropy_and_replays(spark):
                 spark.createDataFrame([("z", 0)], ["grp", "n_tokens"])
             )
         )
+
+
+def test_bpe_token_counts_encode_path_and_replays(spark):
+    """The encode half of the BPE loop: counts match a pure-Python
+    left-to-right merge reference word-for-word, are monotonically
+    non-increasing in the merge list (0 merges = characters), replay
+    in DuckDB via the identical three-replace chain, layout-invariant,
+    plan-size guard raises."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low"),
+            (2, "new newer newest new new"),
+            (3, "low new widest"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, "text", n_merges=4)
+    assert len(merges) == 4
+
+    def encode(word, ms):
+        syms = list(word)
+        for left, right, _ in ms:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    expect = {}
+    for did, text in [(1, "low lower lowest low"),
+                      (2, "new newer newest new new"),
+                      (3, "low new widest")]:
+        ws = text.split()
+        expect[did] = (len(ws), sum(len(encode(w, merges)) for w in ws))
+    got = {
+        r.id: (r.n_words, r.n_tokens)
+        for r in bpe_token_counts(docs, "text", "doc_id", merges).collect()
+    }
+    assert got == expect
+
+    # monotone: more merges never increase the count; 0 merges = chars
+    got0 = {
+        r.id: r.n_tokens
+        for r in bpe_token_counts(docs, "text", "doc_id", []).collect()
+    }
+    got2 = {
+        r.id: r.n_tokens
+        for r in bpe_token_counts(
+            docs, "text", "doc_id", merges[:2]
+        ).collect()
+    }
+    for did in got:
+        chars = sum(len(w) for w in dict(
+            [(1, "low lower lowest low"), (2, "new newer newest new new"),
+             (3, "low new widest")]
+        )[did].split())
+        assert got0[did] == chars
+        assert got[did][1] <= got2[did] <= got0[did]
+
+    # DuckDB replay with the identical replace chain
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    chain = "concat(' ', array_to_string([w[i] for i in range(1, len(w) + 1)], ' '), ' ')"
+    for left, right, _ in merges:
+        chain = (
+            f"replace(replace(replace({chain}, ' ', '  '),"
+            f" ' {left}  {right} ', ' {left}{right} '), '  ', ' ')"
+        )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM docs
+        ),
+        pieces AS (
+          SELECT w, len(string_split(trim({chain}), ' ')) AS n_pieces
+          FROM (SELECT DISTINCT w FROM toks WHERE w != '')
+        )
+        SELECT id, COUNT(*) AS n_words, SUM(n_pieces) AS n_tokens
+        FROM toks JOIN pieces USING (w) GROUP BY id
+        """).fetchall()
+    }
+    assert oracle == got
+
+    # layout invariance
+    got13 = {
+        r.id: (r.n_words, r.n_tokens)
+        for r in bpe_token_counts(
+            docs.repartition(13), "text", "doc_id", merges
+        ).collect()
+    }
+    assert got13 == got
+
+    # plan-size guard
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_token_counts(
+            docs, "text", "doc_id", [("a", "b", 1)] * 10, max_merges=5
+        )

@@ -4933,3 +4933,74 @@ def test_bpe_token_counts_encode_path_and_replays(spark):
         bpe_token_counts(
             docs, "text", "doc_id", [("a", "b", 1)] * 10, max_merges=5
         )
+
+
+def test_new_wave_plan_shapes(spark):
+    """Plan-shape pins for the round-8 second wave (the audit_plans
+    discipline applied to queue-level operators): Elo's period update
+    broadcasts the ratings side (never shuffles matches onto
+    ratings), isotonic_apply's range lookup is a BROADCAST
+    nested-loop against the bounded block frame (the documented
+    model-state generalization of the 1-row BNLJ class), the sparse-LR
+    margin pass carries no CartesianProduct and no Python eval in the
+    hot path, and wilson_winrate's rank window follows one partial
+    aggregate."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        isotonic_apply,
+        isotonic_calibration,
+    )
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_update_period,
+        wilson_winrate,
+    )
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        sparse_logreg_train,
+    )
+
+    m = spark.createDataFrame(
+        [(f"p{i % 7}", f"p{(i * 3) % 7}") for i in range(50) if i % 7 != (i * 3) % 7],
+        ["w", "l"],
+    )
+    ra = spark.createDataFrame(
+        [(f"p{i}", 10**9) for i in range(7)], ["item", "r_fp"]
+    )
+    plan = (
+        elo_update_period(ra, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    mw = m.withColumnsRenamed({"w": "winner_id", "l": "loser_id"})
+    plan = (
+        wilson_winrate(mw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    scored = spark.createDataFrame(
+        [(i, (i % 10) / 10.0, i % 2) for i in range(100)],
+        "rid long, s double, y int",
+    )
+    blocks = isotonic_calibration(scored, "s", "y")
+    plan = (
+        isotonic_apply(scored, "s", blocks)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # bounded broadcast blocks
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # sparse LR: capture the margin-pass plan via the returned weights
+    feats = spark.createDataFrame(
+        [(i, i % 5, 1) for i in range(50)], ["id", "feat", "v"]
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(50)], ["id", "y"]
+    )
+    model = sparse_logreg_train(feats, labels, n_iter=1)
+    plan = (
+        model["weights"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -211,3 +211,100 @@ def pagerank_fixedpoint(
         ranks = truncate_lineage(ranks, rnd, reliable, checkpoint_every)
     pre.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PERSONALIZED PageRank (Page et al. 1999 §6; the random walk
+    restarts at a SEED SET instead of everywhere) — seed-based corpus
+    expansion: given a handful of known-good documents, score every
+    node by its endorsement flow FROM the seeds (the classic
+    "find more like these through the link/near-dup graph" curation
+    move; unreachable nodes score exactly 0 instead of the global
+    teleport floor).
+
+    Same integer discipline as ``pagerank_fixedpoint``: the teleport
+    mass ``(100−d)%`` of the total ``n_nodes·scale`` concentrates on
+    the seeds (``t_seed = ((100−d)·n·scale) div (100·|S|)``, one exact
+    driver integer), contributions floor-divide by out-degree, and
+
+        rank'(v) = [v ∈ S]·t_seed + (d · Σ contrib(v)) div 100
+
+    — associative integer sums, bit-exact under any partitioning,
+    unrollable into SQL. The walk starts AT the restart distribution
+    (all mass on seeds), so few rounds already separate reachable from
+    unreachable. Per round: one join of ranks onto the persisted
+    edge×degree relation + one partial-agg groupBy + a left-join back
+    to the node frame (nodes with no inbound flow this round keep only
+    their seed mass — non-seeds go to 0, the PPR semantic that plain
+    PageRank's teleport hides). Same overflow bound as the plain
+    operator.
+
+    ``seeds`` is bounded driver model state (the operator's point: a
+    handful of known-good ids); unknown seed ids raise loudly — a
+    silently dropped seed changes the whole distribution. Returns
+    ``(id, rank_fp)``."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    seed_list = sorted({str(s) for s in seeds})
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").cast("string").alias("id"))
+    n_nodes = nodes.count()
+    known = {
+        r.id
+        for r in nodes.filter(F.col("id").isin(seed_list)).collect()
+    }
+    missing = [s for s in seed_list if s not in known]
+    if missing:
+        raise ValueError(
+            f"personalized_pagerank: {len(missing)} seed ids are not"
+            f" graph nodes (no out-edges): {missing[:5]} — seed the walk"
+            " from nodes that exist"
+        )
+    t_seed = ((100 - int(damping_pct)) * n_nodes * int(scale)) // (
+        100 * len(seed_list)
+    )
+    pre = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).join(
+        deg.select(F.col("src").cast("string").alias("src"), "deg"), "src"
+    ).persist()
+    pre.count()
+    is_seed = F.col("id").isin(seed_list)
+    ranks = nodes.select(
+        "id",
+        F.when(is_seed, F.lit(int(t_seed))).otherwise(F.lit(0))
+        .cast("long").alias("r"),
+    )
+    d = int(damping_pct)
+    for rnd in range(int(n_iter)):
+        contribs = (
+            pre.join(ranks, pre["src"] == ranks["id"])
+            .select("dst", F.expr("r div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.withColumnsRenamed({"dst": "id"}), "id", "left"
+            )
+            .select(
+                "id",
+                (
+                    F.when(is_seed, F.lit(int(t_seed)))
+                    .otherwise(F.lit(0)).cast("long")
+                    + F.expr(f"({d} * coalesce(s, 0)) div 100")
+                ).alias("r"),
+            )
+        )
+        ranks = truncate_lineage(ranks, rnd, reliable, checkpoint_every)
+    pre.unpersist()
+    return ranks.select("id", F.col("r").alias("rank_fp"))

@@ -5004,3 +5004,107 @@ def test_new_wave_plan_shapes(spark):
         model["weights"]._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_personalized_pagerank_seed_expansion_and_replays(spark):
+    """PPR: seeding one cluster of a two-cluster bridge graph ranks
+    that cluster's non-seeds above the other cluster's, nodes
+    unreachable FROM the seeds score exactly 0, the integer loop
+    replays bit-for-bit in pure Python AND DuckDB, layout-invariant,
+    loud guards (empty and unknown seeds)."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.graph import (
+        personalized_pagerank,
+        undirected_edges,
+    )
+
+    # cluster A: a0-a1-a2 triangle; cluster B: b0-b1-b2 triangle;
+    # bridge a2 -> b0 (directed: B is reachable from A, A not from B)
+    tri_a = [("a0", "a1"), ("a1", "a2"), ("a0", "a2")]
+    tri_b = [("b0", "b1"), ("b1", "b2"), ("b0", "b2")]
+    und = undirected_edges(
+        spark.createDataFrame(tri_a + tri_b, ["id_a", "id_b"])
+    )
+    edges = und.unionByName(
+        spark.createDataFrame([("a2", "b0")], ["src", "dst"])
+    )
+    got = {
+        r.id: r.rank_fp
+        for r in personalized_pagerank(edges, ["a0"], n_iter=4).collect()
+    }
+    assert got["a0"] > got["a1"] and got["a0"] > got["a2"]
+    # the seeded cluster outranks the bridge-fed one
+    assert min(got["a1"], got["a2"]) > max(got["b0"], got["b1"], got["b2"])
+    assert all(v > 0 for v in got.values())  # B is reachable via a2
+
+    # reverse: seed b0 -> cluster A is unreachable (bridge is one-way)
+    rev = {
+        r.id: r.rank_fp
+        for r in personalized_pagerank(edges, ["b0"], n_iter=4).collect()
+    }
+    assert rev["a0"] == rev["a1"] == 0  # exact zero, not teleport floor
+    assert rev["b1"] > 0 and rev["b2"] > 0
+
+    # pure-Python replay of the exact integer loop
+    scale, d = 10**12, 85
+    nodes = sorted(got)
+    deg = {}
+    adj = []
+    for r in edges.collect():
+        deg[r.src] = deg.get(r.src, 0) + 1
+        adj.append((r.src, r.dst))
+    n = len(nodes)
+    t_seed = (15 * n * scale) // 100  # one seed
+    R = {v: (t_seed if v == "a0" else 0) for v in nodes}
+    for _ in range(4):
+        s = {v: 0 for v in nodes}
+        for u, v in adj:
+            s[v] += R[u] // deg[u]
+        R = {
+            v: (t_seed if v == "a0" else 0) + (d * s[v]) // 100
+            for v in nodes
+        }
+    assert got == R
+
+    # DuckDB replay (unrolled, materialized rounds)
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    sql = f"""WITH deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    nodes AS MATERIALIZED (SELECT src AS id FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT id, CAST(CASE WHEN id = 'a0' THEN {t_seed} ELSE 0 END
+        AS BIGINT) AS r FROM nodes
+    )"""
+    for k in range(4):
+        sql += f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r{k} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT n.id,
+    CAST(CASE WHEN n.id = 'a0' THEN {t_seed} ELSE 0 END AS BIGINT)
+      + ({d} * COALESCE(c.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN c{k} c ON n.id = c.dst
+)"""
+    sql += " SELECT id, r FROM r4 ORDER BY id"
+    assert {k: v for k, v in con.execute(sql).fetchall()} == got
+
+    # layout invariance
+    got13 = {
+        r.id: r.rank_fp
+        for r in personalized_pagerank(
+            edges.repartition(13), ["a0"], n_iter=4
+        ).collect()
+    }
+    assert got13 == got
+
+    # guards
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(edges, [])
+    with pytest.raises(ValueError, match="not.* graph nodes|not graph"):
+        personalized_pagerank(edges, ["zz"]).collect()

@@ -2644,3 +2644,103 @@ def test_cli_show_renders_nonatomic_cells_spark_style(spark):
     assert "only showing" not in out  # 1 row, limit 2 — nothing hidden
     out2 = render_preview(spark.range(5).toDF("id"), 3)
     assert "only showing top 3 rows" in out2
+
+
+def test_compare_relations_and_columns_audit(spark):
+    """The audit-helper workflow: hand-countable diff buckets
+    (only-in-a / only-in-b / identical / changed), NULL == NULL is a
+    match and NULL keys pair up (never silently dropped), the
+    per-column drill-down localizes the guilty column in one pass,
+    DuckDB replays the summary, duplicate keys raise loudly."""
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from healthcare_dbt_datamart_spark.operators.audit import (
+        compare_columns,
+        compare_relations,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, "x", 10.0), (2, "y", None), (3, "z", 30.0),
+            (None, "n", 1.0), (5, "only-a", 5.0),
+        ],
+        "id int, name string, amt double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "x", 10.0),        # identical
+            (2, "y", None),        # identical incl. NULL == NULL
+            (3, "z", 31.0),        # changed (amt)
+            (None, "n", 1.0),      # identical on a NULL key
+            (6, "only-b", 6.0),
+        ],
+        "id int, name string, amt double",
+    )
+    got = compare_relations(a, b, "id").collect()[0]
+    assert (got.n_a, got.n_b) == (5, 5)
+    assert (got.only_in_a, got.only_in_b) == (1, 1)
+    assert (got.in_both, got.identical, got.changed) == (4, 3, 1)
+    assert got.identical_rate == 0.75
+
+    cols = {r.column: r for r in compare_columns(a, b, "id").collect()}
+    assert cols["name"].n_mismatch == 0 and cols["name"].match_rate == 1.0
+    assert cols["amt"].n_mismatch == 1 and cols["amt"].match_rate == 0.75
+    # guiltiest column sorts first
+    assert [r.column for r in compare_columns(a, b, "id").collect()][0] \
+        == "amt"
+
+    # DuckDB replay of the summary
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    o = con.execute("""
+    SELECT
+      SUM(CASE WHEN in_a THEN 1 ELSE 0 END),
+      SUM(CASE WHEN in_b THEN 1 ELSE 0 END),
+      SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END),
+      SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END),
+      SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END),
+      SUM(CASE WHEN in_a AND in_b
+            AND (a_name IS NOT DISTINCT FROM b_name)
+            AND (a_amt IS NOT DISTINCT FROM b_amt) THEN 1 ELSE 0 END)
+    FROM (
+      SELECT COALESCE(x.present, FALSE) AS in_a,
+             COALESCE(y.present, FALSE) AS in_b,
+             x.name AS a_name, x.amt AS a_amt,
+             y.name AS b_name, y.amt AS b_amt
+      FROM (SELECT *, TRUE AS present FROM ta) x
+      FULL OUTER JOIN (SELECT *, TRUE AS present FROM tb) y
+        ON x.id IS NOT DISTINCT FROM y.id
+    )
+    """).fetchone()
+    assert tuple(int(v) for v in o) == (
+        got.n_a, got.n_b, got.only_in_a, got.only_in_b, got.in_both,
+        got.identical,
+    )
+
+    # incremental-sink composition: merge_upsert's before/after audit
+    # reads exactly as expected (3 unchanged... a realistic smoke)
+    before = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    after = spark.range(12).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, F.col("id") * 2)
+        .otherwise(F.col("id") * 2 + 1).alias("v"),
+    )
+    s = compare_relations(before, after, "id").collect()[0]
+    assert (s.only_in_a, s.only_in_b) == (0, 2)
+    assert (s.identical, s.changed) == (3, 7)
+
+    # duplicate keys raise
+    with pytest.raises(ValueError, match="duplicate key"):
+        compare_relations(a.unionByName(a.limit(1)), b, "id")
+    with pytest.raises(ValueError, match="missing columns"):
+        compare_relations(a, b.drop("amt"), "id", ["amt"])
+    with pytest.raises(ValueError, match="no common"):
+        compare_columns(
+            a.select("id"), b.select("id"), "id"
+        )

@@ -350,6 +350,44 @@ def op_wilson_from_pairs(spark, d):
     return wilson_from_pairs(pc).count()
 
 
+def op_bpe_token_counts(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = _docs(spark, d)
+    merges = bpe_train(docs.limit(200), "text", n_merges=4)
+    return bpe_token_counts(docs, "text", "doc_id", merges).count()
+
+
+def op_ppr(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.graph import (
+        personalized_pagerank,
+    )
+
+    edges = _lineitem(spark, d).select(
+        F.pmod(F.col("l_partkey"), F.lit(20000)).cast("string").alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(20000)).cast("string").alias("dst"),
+    ).filter("src != dst")
+    seeds = [r.src for r in edges.select("src").distinct().limit(3).collect()]
+    return personalized_pagerank(edges, seeds, n_iter=2).count()
+
+
+def op_compare_relations(spark, d):
+    from healthcare_dbt_datamart_spark.operators.audit import (
+        compare_relations,
+    )
+
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    return compare_relations(o, mutated, "o_orderkey").count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -378,6 +416,9 @@ OPS = {
     "bradley_terry_ties": op_bt_ties,
     "procrustes_align": op_procrustes,
     "wilson_from_pairs": op_wilson_from_pairs,
+    "bpe_token_counts": op_bpe_token_counts,
+    "personalized_pagerank": op_ppr,
+    "compare_relations": op_compare_relations,
 }
 
 

@@ -4045,7 +4045,10 @@ SCHEDULED_NEXT_WINDOW = [
 # elo/wilson promotion bodies + oracle SQL are PRE-PROVEN hash-green
 # at driver shape in tests/test_round10_replays.py. Also queued:
 # domain_concentration (exact Gini/top-share/entropy — one window
-# SQL, directly oracle-able).
+# SQL, directly oracle-able), bpe_token_counts (trained-merge token
+# budgets; replace-chain oracle), personalized_pagerank (seed-restart
+# walk; unrolled MATERIALIZED CTEs like pagerank_docs),
+# compare_relations (audit-helper diff; single full-outer oracle).
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

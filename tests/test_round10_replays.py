@@ -191,3 +191,136 @@ FROM sc"""
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))
+
+
+def test_leaderboard_gate_driver_shape_duckdb_replay(spark):
+    """The WHOLE leaderboard-release gate DAG replayed as one DuckDB
+    statement at the future query shape: pair counts -> 3 unrolled BT
+    MM rounds -> per-period unrolled Elo -> Wilson board -> the
+    exact-integer verdict row. A perturbed MM denominator, Elo
+    quantization, interval formula, rank tie-break, or gate predicate
+    flips the hash — the curation_dag-grade evidence for the fourth
+    release DAG."""
+    from healthcare_dbt_datamart_spark.models.leaderboard_release import (
+        build_leaderboard_release,
+    )
+
+    m = _spark_matches(spark)
+    periods = sorted(
+        r[0] for r in m.select("period").distinct().collect()
+    )
+    gate = build_leaderboard_release(spark, m).build("leaderboard_gate")
+
+    s2 = 10**12  # BT scale^2 at the DAG's default scale 1e6
+    sql = "WITH " + _MATCH_CTE + """,
+pc AS MATERIALIZED (
+  SELECT w AS i, l AS j, CAST(2 * COUNT(*) + 1 AS BIGINT) AS w2
+  FROM m GROUP BY 1, 2
+),
+obs AS (SELECT i, j FROM pc UNION SELECT j, i FROM pc),
+bth AS MATERIALIZED (
+  SELECT obs.i, obs.j, COALESCE(pc.w2, 1) AS w2
+  FROM obs LEFT JOIN pc ON pc.i = obs.i AND pc.j = obs.j
+),
+pairs AS MATERIALIZED (
+  SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+  FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+),
+wt AS MATERIALIZED (
+  SELECT i, CAST(SUM(w2) AS BIGINT) AS wins2 FROM pairs GROUP BY 1
+),
+bt0 AS MATERIALIZED (
+  SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt
+)"""
+    for r in range(3):
+        sql += f""",
+btd{r} AS MATERIALIZED (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST({s2} AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN bt{r} ri ON ri.id = pairs.i
+             JOIN bt{r} rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+bt{r + 1} AS MATERIALIZED (
+  SELECT btd{r}.i AS id,
+         CAST((wins2 * CAST({s2} AS BIGINT)) // D AS BIGINT) AS p
+  FROM btd{r} JOIN wt ON wt.i = btd{r}.i
+)"""
+    sql += """,
+er0 AS MATERIALIZED (
+  SELECT item, CAST(1000000000 AS BIGINT) AS r_fp FROM tot
+)"""
+    for idx, per in enumerate(periods):
+        sql += f""",
+ec{idx} AS MATERIALIZED (
+  SELECT item, SUM(c) AS C FROM (
+    SELECT w AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+    UNION ALL
+    SELECT l,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+  ) GROUP BY item
+),
+er{idx + 1} AS MATERIALIZED (
+  SELECT r.item, r.r_fp + 32 * COALESCE(c.C, 0) AS r_fp
+  FROM er{idx} r LEFT JOIN ec{idx} c USING (item)
+)"""
+    z = 1.959964
+    sql += f""",
+wil AS MATERIALIZED (
+  SELECT item,
+    ((wins / CAST(n_matches AS DOUBLE))
+           + {z}*{z}/(2.0*n_matches)) / (1.0 + {z}*{z}/n_matches)
+          - {z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {z}*{z}/(4.0*n_matches*n_matches))
+            / (1.0 + {z}*{z}/n_matches) AS ci_lo_raw,
+    ((wins / CAST(n_matches AS DOUBLE))
+           + {z}*{z}/(2.0*n_matches)) / (1.0 + {z}*{z}/n_matches)
+          + {z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {z}*{z}/(4.0*n_matches*n_matches))
+            / (1.0 + {z}*{z}/n_matches) AS ci_hi_raw
+  FROM tot
+),
+lb AS MATERIALIZED (
+  SELECT t.item, t.n_matches, t.wins,
+    bt3.p AS bt_fp, er{len(periods)}.r_fp AS elo_fp,
+    round(wil.ci_lo_raw, 6) AS ci_lo, round(wil.ci_hi_raw, 6) AS ci_hi,
+    row_number() OVER (ORDER BY bt3.p DESC, t.item ASC) AS rank_bt,
+    row_number() OVER (ORDER BY er{len(periods)}.r_fp DESC, t.item ASC)
+      AS rank_elo,
+    row_number() OVER (ORDER BY round(wil.ci_lo_raw, 6) DESC, t.item ASC)
+      AS rank_lb
+  FROM tot t JOIN bt3 ON bt3.id = t.item
+    JOIN er{len(periods)} ON er{len(periods)}.item = t.item
+    JOIN wil ON wil.item = t.item
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(n_matches) / 2 AS BIGINT) AS n_matches,
+  CAST(MIN(n_matches) AS BIGINT) AS min_item_matches,
+  MIN(CASE WHEN rank_bt = 1 THEN item END) AS bt_top,
+  MIN(CASE WHEN rank_elo = 1 THEN item END) AS elo_top,
+  MIN(CASE WHEN rank_bt = 1 THEN item END)
+    = MIN(CASE WHEN rank_elo = 1 THEN item END) AS tops_agree,
+  MIN(CASE WHEN rank_lb = 1 THEN ci_lo END) AS top_ci_lo,
+  MAX(CASE WHEN rank_lb != 1 THEN ci_hi END) AS runner_ci_hi,
+  MIN(CASE WHEN rank_lb = 1 THEN ci_lo END)
+    > MAX(CASE WHEN rank_lb != 1 THEN ci_hi END) AS separated,
+  (COUNT(*) >= 2 AND MIN(n_matches) >= 10
+   AND MIN(CASE WHEN rank_bt = 1 THEN item END)
+     = MIN(CASE WHEN rank_elo = 1 THEN item END)) AS released
+FROM lb"""
+    _compare(gate, sql)

@@ -229,3 +229,67 @@ def token_balanced_shards(
         .otherwise(F.lit(2 * n - 1) - cycle)
         .cast("int"),
     ).select(id_col, "n_tokens", "shard")
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the RAG/embedding ingestion shape (``chunk_plan`` reports the
+    token-level packing arithmetic; this EMITS the actual chunk rows a
+    retrieval index embeds). Starts advance by ``stride = size −
+    overlap``; every chunk is ``substring(start, size)``, so adjacent
+    chunks share exactly ``overlap`` characters and the concatenation
+    of stride-prefixes reconstructs the document (the pinned coverage
+    property).
+
+    Map-only: one ``sequence → transform → explode`` per row, no
+    shuffle, scales as the scan. A NULL or empty text emits ONE
+    empty-chunk accounting row — a document never silently vanishes
+    from the chunk table (the ``line_dedup`` NULL lesson, applied from
+    birth). Exact integer arithmetic; replays in DuckDB with the same
+    expressions. Returns ``(id, chunk_idx, n_chunks, start_char,
+    chunk, n_chars)`` — ``start_char`` 0-based."""
+    size = int(size)
+    overlap = int(overlap)
+    if size < 1:
+        raise ValueError(f"size must be >= 1: got {size!r}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size): got overlap={overlap!r},"
+            f" size={size!r}"
+        )
+    stride = size - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t)
+    # number of stride starts needed to cover the text: ceil((len -
+    # overlap) / stride), floored at 1 so empty docs keep one row
+    n_chunks = F.greatest(
+        F.ceil((ln - F.lit(overlap)).cast("double") / F.lit(stride))
+        .cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("bigint").alias("start_char"),
+            F.substring(t, i * stride + 1, size).alias("chunk"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chunks.cast("int").alias("n_chunks"),
+        F.explode(chunks).alias("c"),
+    ).select(
+        "id",
+        F.col("c.chunk_idx"),
+        "n_chunks",
+        F.col("c.start_char"),
+        F.col("c.chunk"),
+        F.length("c.chunk").cast("bigint").alias("n_chars"),
+    )

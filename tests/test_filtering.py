@@ -5108,3 +5108,77 @@ r{k + 1} AS MATERIALIZED (
         personalized_pagerank(edges, [])
     with pytest.raises(ValueError, match="not.* graph nodes|not graph"):
         personalized_pagerank(edges, ["zz"]).collect()
+
+
+def test_chunk_text_overlap_coverage_and_replays(spark):
+    """Chunking: hand-checked chunks with overlap, the stride-prefix
+    concatenation reconstructs the document exactly (coverage
+    property), empty/NULL docs keep one accounting row, DuckDB replay,
+    layout invariance, guards."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.packing import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id, r.chunk_idx): (r.n_chunks, r.start_char, r.chunk)
+        for r in chunk_text(docs, "text", "doc_id", size=4, overlap=1).collect()
+    }
+    # doc 1: len 10, stride 3 -> ceil(9/3)=3 chunks at 0,3,6
+    assert got[(1, 0)] == (3, 0, "abcd")
+    assert got[(1, 1)] == (3, 3, "defg")
+    assert got[(1, 2)] == (3, 6, "ghij")
+    assert got[(2, 0)] == (1, 0, "xyz")
+    assert got[(3, 0)] == (1, 0, "")
+    assert got[(4, 0)] == (1, 0, "")  # NULL text keeps its row
+
+    # coverage property on a longer doc: stride prefixes reconstruct
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    big = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk)
+        for r in chunk_text(big, "text", "doc_id", size=50, overlap=10)
+        .collect()
+    )
+    rebuilt = "".join(
+        c if i == len(rows) - 1 else c[:40] for i, (_, c) in enumerate(rows)
+    )
+    assert rebuilt == text
+
+    # DuckDB replay
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    oracle = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute("""
+        SELECT id, i AS chunk_idx, n_chunks, CAST(i * 3 AS BIGINT),
+               substring(t, i * 3 + 1, 4)
+        FROM (
+          SELECT doc_id AS id, COALESCE(text, '') AS t,
+            GREATEST(CAST(ceil((length(COALESCE(text, '')) - 1) / 3.0)
+              AS INT), 1) AS n_chunks
+          FROM docs
+        ), LATERAL unnest(range(n_chunks)) AS u(i)
+        """).fetchall()
+    }
+    assert oracle == {
+        k: (v[0], v[1], v[2]) for k, v in got.items()
+    }
+
+    # layout invariance
+    got13 = {
+        (r.id, r.chunk_idx): (r.n_chunks, r.start_char, r.chunk)
+        for r in chunk_text(
+            docs.repartition(13), "text", "doc_id", size=4, overlap=1
+        ).collect()
+    }
+    assert got13 == got
+
+    # guards
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, "text", "doc_id", size=4, overlap=4)
+    with pytest.raises(ValueError, match="size"):
+        chunk_text(docs, "text", "doc_id", size=0)

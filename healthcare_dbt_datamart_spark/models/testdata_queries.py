@@ -4048,7 +4048,11 @@ SCHEDULED_NEXT_WINDOW = [
 # SQL, directly oracle-able), bpe_token_counts (trained-merge token
 # budgets; replace-chain oracle), personalized_pagerank (seed-restart
 # walk; unrolled MATERIALIZED CTEs like pagerank_docs),
-# compare_relations (audit-helper diff; single full-outer oracle).
+# compare_relations (audit-helper diff; single full-outer oracle),
+# chunk_text (RAG chunk emitter; map-only, directly oracle-able).
+# leaderboard_gate's WHOLE DAG replays as one DuckDB statement at
+# driver shape (tests/test_round10_replays.py) — curation_dag-grade
+# promotion evidence.
 
 QUERIES = {
     # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===

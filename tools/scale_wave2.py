@@ -388,6 +388,12 @@ def op_compare_relations(spark, d):
     return compare_relations(o, mutated, "o_orderkey").count()
 
 
+def op_chunk_text(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.packing import chunk_text
+
+    return chunk_text(_docs(spark, d), "text", "doc_id", 200, 40).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -419,6 +425,7 @@ OPS = {
     "bpe_token_counts": op_bpe_token_counts,
     "personalized_pagerank": op_ppr,
     "compare_relations": op_compare_relations,
+    "chunk_text": op_chunk_text,
 }
 
 

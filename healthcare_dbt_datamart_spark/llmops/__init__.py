@@ -44,10 +44,14 @@ from .drift import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     bleu_corpus,
+    brier_decomposition,
     calibration_by_group,
     calibration_report,
     calibration_summary,
+    conformal_report,
     distinct_n,
+    isotonic_apply,
+    isotonic_calibration,
     ndcg_at_k,
     retrieval_metrics,
     roc_auc,
@@ -57,17 +61,21 @@ from .evaluation import (  # noqa: F401
 )
 from .bpe import (  # noqa: F401
     bpe_segment_report,
+    bpe_token_counts,
     bpe_train,
     unigram_lm_train,
     unigram_segment_report,
 )
-from .packing import length_buckets  # noqa: F401
+from .packing import chunk_text, length_buckets  # noqa: F401
 from .preferences import (  # noqa: F401
     annotator_agreement,
     bradley_terry,
     best_of_n,
     bradley_terry_from_pairs,
+    bradley_terry_ties,
     dawid_skene,
+    elo_ratings,
+    elo_update_period,
     dpo_pairs,
     fleiss_kappa,
     implicit_preference_pairs,
@@ -76,6 +84,8 @@ from .preferences import (  # noqa: F401
     pass_at_k,
     rasch_fit,
     weighted_consensus,
+    wilson_from_pairs,
+    wilson_winrate,
 )
 from .similarity import (  # noqa: F401
     build_ivfpq_index,
@@ -94,6 +104,8 @@ from .similarity import (  # noqa: F401
     pca_apply,
     pca_train,
     pq_codebooks_trained,
+    procrustes_align,
+    procrustes_apply,
     save_ann_model,
     sign_lsh_bits,
 )
@@ -101,6 +113,7 @@ from .retrieval import bm25_topk  # noqa: F401
 from .graph import (  # noqa: F401
     hits_fixedpoint,
     pagerank_fixedpoint,
+    personalized_pagerank,
     truncate_lineage,
     undirected_edges,
 )
@@ -117,14 +130,17 @@ from .sketches import (  # noqa: F401
 from .splits import (  # noqa: F401
     curriculum_phases,
     curriculum_report,
+    domain_concentration,
     stratified_sample,
     temperature_rebalance,
     temperature_weights,
     temperature_weights_from_counts,
+    unimax_allocation,
     weighted_sample,
 )
 from .textstats import (  # noqa: F401
     compression_ratio,
+    hashed_ngram_features,
     langid_scores,
     lm_gated_funnel,
     logreg_score,
@@ -132,4 +148,7 @@ from .textstats import (  # noqa: F401
     quality_classifier,
     quality_stats,
     rolling_fingerprint,
+    sparse_logreg_score,
+    sparse_logreg_train,
+    vocab_richness,
 )

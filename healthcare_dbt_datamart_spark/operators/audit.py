@@ -72,7 +72,7 @@ def _joined(a: DataFrame, b: DataFrame, key_cols, compare_cols):
     matches = [
         F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")) for c in compare_cols
     ]
-    return j, both, matches
+    return j, both, matches, pa, pb
 
 
 def compare_relations(
@@ -89,7 +89,7 @@ def compare_relations(
     under-report every bucket). Returns ``(n_a, n_b, only_in_a,
     only_in_b, in_both, identical, changed, identical_rate)``."""
     key_cols, compare_cols = _prep(a, b, key_cols, compare_cols)
-    j, both, matches = _joined(a, b, key_cols, compare_cols)
+    j, both, matches, _, _ = _joined(a, b, key_cols, compare_cols)
     all_match = F.lit(True)
     for m in matches:
         all_match = all_match & m
@@ -135,7 +135,7 @@ def compare_columns(
     key_cols, compare_cols = _prep(a, b, key_cols, compare_cols)
     if not compare_cols:
         raise ValueError("compare_columns: no common non-key columns")
-    j, both, matches = _joined(a, b, key_cols, compare_cols)
+    j, both, matches, _, _ = _joined(a, b, key_cols, compare_cols)
     agg = j.agg(
         F.sum(both.cast("bigint")).alias("n_both"),
         *[
@@ -163,3 +163,60 @@ def compare_columns(
         "column string, n_both bigint, n_match bigint, n_mismatch bigint,"
         " match_rate double",
     )
+
+
+def compare_examples(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols,
+    compare_cols=None,
+    n: int = 20,
+) -> DataFrame:
+    """Example rows behind the counts — the last drill-down of the
+    audit workflow: for up to ``n`` CHANGED rows (keys on both sides,
+    any compared column differing), one output row PER DIFFERING
+    COLUMN with both sides' values as strings. Deterministic: ordered
+    by key then column before the limit, so two runs show the same
+    examples. One pass over the same joined frame as the other two
+    operators; the limit is a TakeOrdered, never a global sort spill.
+    Returns ``(<key cols...>, column, a_value, b_value)``."""
+    key_cols, compare_cols = _prep(a, b, key_cols, compare_cols)
+    if not compare_cols:
+        raise ValueError("compare_examples: no common non-key columns")
+    if int(n) < 1:
+        raise ValueError(f"n must be >= 1: got {n!r}")
+    j, both, matches, pa, pb = _joined(a, b, key_cols, compare_cols)
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~m,
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"a_{c}").cast("string").alias("a_value"),
+                        F.col(f"b_{c}").cast("string").alias("b_value"),
+                    ),
+                )
+                for c, m in zip(compare_cols, matches)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    exploded = (
+        j.filter(both)
+        .select(
+            # a key on BOTH sides: the a-side reference disambiguates
+            # the full-outer's duplicate k_ columns
+            *[pa[f"k_{k}"].alias(k) for k in key_cols],
+            F.explode(diffs).alias("d"),
+        )
+        .select(
+            *key_cols,
+            F.col("d.column").alias("column"),
+            F.col("d.a_value").alias("a_value"),
+            F.col("d.b_value").alias("b_value"),
+        )
+    )
+    return exploded.orderBy(
+        *[F.col(k).asc_nulls_first() for k in key_cols], F.col("column")
+    ).limit(int(n))

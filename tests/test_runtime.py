@@ -2744,3 +2744,34 @@ def test_compare_relations_and_columns_audit(spark):
         compare_columns(
             a.select("id"), b.select("id"), "id"
         )
+
+
+def test_compare_examples_drilldown(spark):
+    """The changed-row drill-down: one row per differing column with
+    both sides stringified, deterministic order + limit, identical
+    rows and one-sided keys never appear."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.operators.audit import (
+        compare_examples,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (9, "only", 0.0)],
+        "id int, name string, amt double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "Y", 21.0), (3, "z", None)],
+        "id int, name string, amt double",
+    )
+    rows = [tuple(r) for r in compare_examples(a, b, "id").collect()]
+    assert rows == [
+        (2, "amt", "20.0", "21.0"),
+        (2, "name", "y", "Y"),
+        (3, "amt", "30.0", None),
+    ]
+    # limit is deterministic: first row by (key, column) order
+    assert [tuple(r) for r in compare_examples(a, b, "id", n=1).collect()] \
+        == [(2, "amt", "20.0", "21.0")]
+    with pytest.raises(ValueError, match="n must be"):
+        compare_examples(a, b, "id", n=0)

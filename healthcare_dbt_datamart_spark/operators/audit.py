@@ -93,18 +93,29 @@ def compare_relations(
     all_match = F.lit(True)
     for m in matches:
         all_match = all_match & m
+    z = F.lit(0).cast("bigint")
+    # coalesce every count: two EMPTY relations must audit as all-zero
+    # rows, not NULLs (hypothesis-caught edge)
     return j.agg(
-        F.sum(F.coalesce(F.col("_in_a"), F.lit(0))).cast("bigint").alias(
-            "n_a"
-        ),
-        F.sum(F.coalesce(F.col("_in_b"), F.lit(0))).cast("bigint").alias(
-            "n_b"
-        ),
-        F.sum((F.col("_in_b").isNull()).cast("bigint")).alias("only_in_a"),
-        F.sum((F.col("_in_a").isNull()).cast("bigint")).alias("only_in_b"),
-        F.sum(both.cast("bigint")).alias("in_both"),
-        F.sum((both & all_match).cast("bigint")).alias("identical"),
-        F.sum((both & ~all_match).cast("bigint")).alias("changed"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_in_a"), F.lit(0))).cast("bigint"), z
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_in_b"), F.lit(0))).cast("bigint"), z
+        ).alias("n_b"),
+        F.coalesce(
+            F.sum((F.col("_in_b").isNull()).cast("bigint")), z
+        ).alias("only_in_a"),
+        F.coalesce(
+            F.sum((F.col("_in_a").isNull()).cast("bigint")), z
+        ).alias("only_in_b"),
+        F.coalesce(F.sum(both.cast("bigint")), z).alias("in_both"),
+        F.coalesce(
+            F.sum((both & all_match).cast("bigint")), z
+        ).alias("identical"),
+        F.coalesce(
+            F.sum((both & ~all_match).cast("bigint")), z
+        ).alias("changed"),
     ).select(
         "*",
         F.when(

@@ -2775,3 +2775,51 @@ def test_compare_examples_drilldown(spark):
         == [(2, "amt", "20.0", "21.0")]
     with pytest.raises(ValueError, match="n must be"):
         compare_examples(a, b, "id", n=0)
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    rows_a=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=8),
+            _st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0, max_size=9, unique_by=lambda t: t[0],
+    ),
+    rows_b=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=8),
+            _st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0, max_size=9, unique_by=lambda t: t[0],
+    ),
+)
+def test_compare_relations_bucket_partition_invariants(spark, rows_a, rows_b):
+    """Property battery: the audit buckets PARTITION both relations —
+    n_a = only_in_a + in_both, n_b = only_in_b + in_both, in_both =
+    identical + changed — and match a set-arithmetic reference on any
+    pair of keyed frames."""
+    from healthcare_dbt_datamart_spark.operators.audit import (
+        compare_relations,
+    )
+
+    a = spark.createDataFrame(rows_a, "id int, v int") if rows_a else \
+        spark.createDataFrame([], "id int, v int")
+    b = spark.createDataFrame(rows_b, "id int, v int") if rows_b else \
+        spark.createDataFrame([], "id int, v int")
+    g = compare_relations(a, b, "id").collect()[0]
+    da, db = dict(rows_a), dict(rows_b)
+    assert g.n_a == len(da) and g.n_b == len(db)
+    assert g.only_in_a == len(set(da) - set(db))
+    assert g.only_in_b == len(set(db) - set(da))
+    assert g.in_both == len(set(da) & set(db))
+    assert g.identical == sum(
+        1 for k in set(da) & set(db) if da[k] == db[k]
+    )
+    assert g.n_a == g.only_in_a + g.in_both
+    assert g.n_b == g.only_in_b + g.in_both
+    assert g.in_both == g.identical + g.changed

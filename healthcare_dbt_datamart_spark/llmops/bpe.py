@@ -409,10 +409,14 @@ def bpe_token_counts(
     each), so lists beyond ``max_merges`` raise rather than compile a
     pathological expression tree.
 
-    Returns ``(id, n_words, n_tokens)`` — ``n_tokens`` is the exact
-    BPE piece count, ≤ characters and monotonically non-increasing in
-    the merge list (pinned). Deterministic; replays in DuckDB with the
-    identical replace chain."""
+    Returns ``(id, n_words, n_tokens)`` with ONE ROW PER INPUT id —
+    a NULL/whitespace-only document counts ``(0, 0)`` instead of
+    vanishing (the repo's "a document never silently vanishes"
+    accounting rule: packing/shard consumers join on id and must see
+    every document). ``n_tokens`` is the exact BPE piece count, ≤
+    characters and monotonically non-increasing in the merge list
+    (pinned). Deterministic; replays in DuckDB with the identical
+    replace chain."""
     if len(merges) > int(max_merges):
         raise ValueError(
             f"bpe_token_counts: {len(merges)} merges exceed max_merges="
@@ -437,11 +441,25 @@ def bpe_token_counts(
     pieces = vocab.select(
         "w", F.size(F.split(F.trim(syms), " ")).alias("n_pieces")
     )
-    return (
+    counted = (
         toks.join(pieces, "w")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_pieces").alias("n_tokens"),
         )
+    )
+    # left-join back onto the full id set: empty documents get exact
+    # (0, 0) rows — the explode+filter above dropped them from `toks`
+    # (distinct: the pre-fix groupBy already collapsed duplicate ids)
+    return df.select(F.col(id_col).alias("id")).distinct().join(
+        counted, "id", "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias(
+            "n_words"
+        ),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
     )

@@ -56,11 +56,13 @@ def _quantized_cells(
     ``s_fp`` NULL cell so the rank path can exclude them cleanly).
 
     ``bad`` counts rows whose label is NULL / not in {0, 1} or whose
-    score is NULL — surfaced to callers so validation needs no second
-    corpus scan."""
+    score is NULL or NaN — surfaced to callers so validation needs no
+    second corpus scan. NaN must be dirty, not merely null-checked: it
+    passes ``isNotNull`` and ``floor(NaN·scale + 0.5)`` casts to 0 in
+    non-ANSI Spark, which would silently file the row under s_fp = 0."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
+    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull() & ~F.isnan(s)
     keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
         F.col("s_fp")
     ]
@@ -126,7 +128,7 @@ def roc_auc(
     n_pos = int(tot.np or 0)
     if int(tot.nb or 0) > 0:
         raise ValueError(
-            f"roc_auc: {tot.nb} rows have NULL scores or labels outside"
+            f"roc_auc: {tot.nb} rows have NULL/NaN scores or labels outside"
             " {0, 1} — clean the eval relation first (silent exclusion"
             " would misreport the operating population)"
         )
@@ -268,10 +270,13 @@ def _bin_cells(
     the Brier cross term); per group (keyed ``grp``) when ``group_col``
     is given. Scores outside [0, 1] land in bin −1 (kept visible,
     never silently clamped); dirty rows land in a bin NULL cell;
-    score == 1.0 belongs to the top bin."""
+    score == 1.0 belongs to the top bin. A NaN score is DIRTY (bin
+    NULL), not out-of-range: bin −1 means "a real number outside
+    [0, 1]", and NaN's quantized moments would cast to 0 in non-ANSI
+    Spark — silent corruption, the conformal_report NaN class."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull()
+    ok = y.isNotNull() & y.isin(0, 1) & s.isNotNull() & ~F.isnan(s)
     in_range = (s >= 0.0) & (s <= 1.0)
     bin_ = (
         F.when(~ok, F.lit(None))
@@ -415,7 +420,7 @@ def scorecard_from_cells(rows: list, scale: int) -> tuple:
     n_bad = sum(int(r.bad) for r in rows)
     if n_bad > 0:
         raise ValueError(
-            f"calibration_summary: {n_bad} rows have NULL scores or"
+            f"calibration_summary: {n_bad} rows have NULL/NaN scores or"
             " labels outside {0, 1} — clean the eval relation first"
         )
     if any(r.bin == -1 for r in rows):
@@ -1185,11 +1190,15 @@ def conformal_report(
     scale = int(scale)
 
     def _cells(df: DataFrame) -> DataFrame:
+        # NaN is a dirty score, not a quantizable one: it passes
+        # isNotNull and floor(NaN·scale + 0.5) casts to 0 in non-ANSI
+        # Spark — it would silently enter the calibration set as the
+        # minimal nonconformity score and corrupt the 1−alpha bound.
         s = F.col(score_col).cast("double")
         return (
             df.select(
                 F.when(
-                    s.isNotNull(),
+                    s.isNotNull() & ~F.isnan(s),
                     F.expr(
                         f"cast(floor({score_col} * {scale} + 0.5d)"
                         " as bigint)"
@@ -1206,8 +1215,8 @@ def conformal_report(
     ).collect()[0]
     if int(nulls.nb or 0) > 0:
         raise ValueError(
-            f"conformal_report: {nulls.nb} calibration rows have a NULL"
-            f" {score_col!r} — the guarantee needs every held-out score"
+            f"conformal_report: {nulls.nb} calibration rows have a"
+            f" NULL/NaN {score_col!r} — the guarantee needs every held-out score"
         )
     n_cal = int(c.agg(F.sum("cnt")).collect()[0][0] or 0)
     k = math.ceil((n_cal + 1) * (1 - Fraction(float(alpha))))
@@ -1233,7 +1242,7 @@ def conformal_report(
     ).collect()[0]
     if int(enulls.nb or 0) > 0:
         raise ValueError(
-            f"conformal_report: {enulls.nb} eval rows have a NULL"
+            f"conformal_report: {enulls.nb} eval rows have a NULL/NaN"
             f" {score_col!r} — coverage over a silently reduced"
             " population misreports the guarantee"
         )
@@ -1294,7 +1303,7 @@ def brier_decomposition(
     n_bad = sum(int(r.bad) for r in rows)
     if n_bad > 0:
         raise ValueError(
-            f"brier_decomposition: {n_bad} rows have NULL scores or"
+            f"brier_decomposition: {n_bad} rows have NULL/NaN scores or"
             " labels outside {0, 1} — clean the eval relation first"
         )
     oor = [r for r in rows if r.bin is not None and int(r.bin) == -1]
@@ -1377,7 +1386,7 @@ def isotonic_calibration(
     n_bad = sum(int(r.bad) for r in rows)
     if n_bad > 0:
         raise ValueError(
-            f"isotonic_calibration: {n_bad} rows have NULL scores or"
+            f"isotonic_calibration: {n_bad} rows have NULL/NaN scores or"
             " labels outside {0, 1} — clean the relation first"
         )
     clean = sorted(

@@ -255,7 +255,15 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     seed_list = sorted({str(s) for s in seeds})
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").cast("string").alias("id"))
+    # node universe = src UNION dst (the hits_fixedpoint convention):
+    # a SINK node (inbound edges, no outbound) must still receive its
+    # endorsement flow and appear in the output — building nodes from
+    # out-edge sources alone silently dropped both.
+    nodes = (
+        edges.select(F.col("src").cast("string").alias("id"))
+        .union(edges.select(F.col("dst").cast("string").alias("id")))
+        .distinct()
+    )
     n_nodes = nodes.count()
     known = {
         r.id
@@ -265,7 +273,7 @@ def personalized_pagerank(
     if missing:
         raise ValueError(
             f"personalized_pagerank: {len(missing)} seed ids are not"
-            f" graph nodes (no out-edges): {missing[:5]} — seed the walk"
+            f" graph nodes: {missing[:5]} — seed the walk"
             " from nodes that exist"
         )
     t_seed = ((100 - int(damping_pct)) * n_nodes * int(scale)) // (

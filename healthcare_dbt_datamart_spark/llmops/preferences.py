@@ -1173,6 +1173,7 @@ def elo_update_period(
     period_matches: DataFrame,
     k: int = 32,
     scale: int = 10**6,
+    check_items: bool = True,
 ) -> DataFrame:
     """ONE Elo rating-period update — the reusable core ``elo_ratings``
     loops over and a streaming ``foreachBatch`` twin can apply per
@@ -1197,7 +1198,31 @@ def elo_update_period(
     absorbed by the quantization, the ``logreg_train`` convention.
     Ratings are broadcast into the match join (one row per item —
     bounded model state, the ``bradley_terry`` shape), so the period
-    costs one scan of its matches with map-side partial sums."""
+    costs one scan of its matches with map-side partial sums.
+
+    The expected-score join is INNER on both sides, so a match naming
+    an item with no ratings row would silently vanish. With
+    ``check_items=True`` (the default — the direct ``foreachBatch``
+    contract) that raises via a left-anti guard; loop drivers that
+    pre-seed every item from the match log itself (``elo_ratings``,
+    ``elo_merge_batch``) pass ``check_items=False`` to skip the extra
+    per-period job their construction makes redundant."""
+    if check_items:
+        items = ratings.select(F.col("item").alias("_it"))
+        unknown = (
+            period_matches.select(F.col("w").alias("_it"))
+            .unionByName(period_matches.select(F.col("l").alias("_it")))
+            .join(items, "_it", "left_anti")
+        )
+        n_unknown = unknown.limit(1).count()
+        if n_unknown > 0:
+            sample = [r._it for r in unknown.limit(5).collect()]
+            raise ValueError(
+                "elo_update_period: period matches name items with no"
+                f" ratings row (e.g. {sample}) — the inner expected-score"
+                " join would silently drop those matches; pre-seed every"
+                " item (as elo_ratings does) or clean the period feed"
+            )
     ri = ratings.select(F.col("item").alias("w"), F.col("r_fp").alias("r_w"))
     rj = ratings.select(F.col("item").alias("l"), F.col("r_fp").alias("r_l"))
     x = 400.0 * scale
@@ -1316,8 +1341,12 @@ def elo_ratings(
         "item", F.lit(int(initial) * scale).cast("long").alias("r_fp")
     )
     for rnd, p in enumerate(periods):
+        # check_items=False: `ratings` seeds EVERY item in the match
+        # log by construction (tot derives from both match sides), so
+        # the per-period anti-join guard would be |periods| wasted jobs
         ratings = elo_update_period(
-            ratings, m.filter(F.col("p") == p), k=k, scale=scale
+            ratings, m.filter(F.col("p") == p), k=k, scale=scale,
+            check_items=False,
         )
         ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
     m.unpersist()
@@ -1598,16 +1627,15 @@ def wilson_from_pairs(
         w.join(rev, ["i", "j"], "full_outer")
         .groupBy(F.col("i").alias("item"))
         .agg(
-            (
-                (
-                    F.sum(F.coalesce("w2", F.lit(0)))
-                    + F.sum(F.coalesce("l2", F.lit(0)))
-                )
-                / F.lit(2)
+            # integer `div`, never float `/`: a double intermediate
+            # loses exactness past 2^53 and would break the module's
+            # all-integer BIGINT discipline on the halved counts
+            F.expr(
+                "(sum(coalesce(w2, 0)) + sum(coalesce(l2, 0))) div 2"
             ).cast("bigint").alias("n"),
-            (F.sum(F.coalesce("w2", F.lit(0))) / F.lit(2)).cast(
-                "bigint"
-            ).alias("wins"),
+            F.expr("sum(coalesce(w2, 0)) div 2").cast("bigint").alias(
+                "wins"
+            ),
         )
     )
     zf = float(z)

@@ -134,9 +134,11 @@ def build_leaderboard_release(
         )
         agg = lb.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            (F.sum("n_matches") / F.lit(2)).cast("bigint").alias(
+            # each match counts once per side; integer `div` keeps the
+            # halved count exact BIGINT past 2^53 (float `/` would not)
+            F.expr("sum(n_matches) div 2").cast("bigint").alias(
                 "n_matches"
-            ),  # each match counts once per side
+            ),
             F.min("n_matches").cast("bigint").alias("min_item_matches"),
             top_bt.alias("bt_top"),
             top_elo.alias("elo_top"),

@@ -3960,43 +3960,46 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, ["x1", "x2"], model["weights"], "doc_id")
 
 
-# Queries born AFTER this round's rotation locked the 50-slot window
-# (every slot already held a cadence-deadline, mandatory-deferral, or
-# never-driver-checked query). CONTRACT, enforced by
-# tools/audit_window.py: these are exempt from the
-# never-checked-out-of-window flag THIS round only, and MUST lead the
-# next round's window (the rotation plan reserves <= 6 new-operator
-# slots). Locally they carry the same evidence as everything else:
-# oracle-green at sf0.001/0.01/0.1 and across all fetch/session modes.
-# The round-7 scheduled cohort (bigram_interp_scores, hll_by_group,
-# bootstrap_diff_ci, token_balanced_shards, pass_at_k, fleiss_kappa)
-# entered the round-8 window and gets its first driver rows; this is
-# the round-8 promotion cohort — the round-7 verdict's recommended
-# picks, with krippendorff_alpha substituted for the unigram segment
-# report (its Viterbi DP is genuinely not SQL-expressible, and the
-# repo's record is that EVERY queries() entry is hash-grade against a
-# DuckDB oracle; the segment report keeps its pytest + brute-force
-# Viterbi-optimality gate at queue level) — alpha also puts a driver
-# row directly on this round's NULL-label ADVICE fix.
+# Queries born AFTER a rotation locked the 50-slot window are exempt
+# from the never-checked-out-of-window flag for ONE round and MUST lead
+# the NEXT round's window (tools/audit_window.py enforces this; the
+# rotation plan reserves <= 6 new-operator slots). Locally they carry
+# the same evidence as everything else: oracle-green at
+# sf0.001/0.01/0.1 and across all fetch/session modes on arrival.
+# The round-8 scheduled cohort (roc_auc, calibration_report,
+# dawid_skene, kn_bigram_scores, krippendorff_alpha, logreg_quality)
+# entered the round-9 window and gets its first driver rows; this is
+# the round-9 promotion cohort — the round-8 verdict's recommended
+# picks: the two PRE-PROVEN leaderboard bodies (driver-shape DuckDB
+# replays hash-green in tests/test_round10_replays.py before
+# promotion) plus compare_relations (the dbt-audit-helper migration
+# sign-off, promoted in its incremental-sink composition shape — it
+# audits a merge_upsert before/after pair, the workflow it exists
+# for), chunk_text (RAG chunk emitter, map-only), domain_concentration
+# (exact-rational Gini / top-share / quantized entropy), and
+# ndcg_at_k (graded-relevance ranking quality — it grades the
+# driver-green BM25 retrieval stack).
 SCHEDULED_NEXT_WINDOW = [
-    "roc_auc",
-    "calibration_report",
-    "dawid_skene",
-    "kn_bigram_scores",
-    "krippendorff_alpha",
-    "logreg_quality",
+    "elo_ratings",
+    "wilson_winrate",
+    "compare_relations",
+    "chunk_text",
+    "domain_concentration",
+    "ndcg_at_k",
 ]
 # zorder stays pytest-level by nature: its observable is parquet
 # footers, not a result hash — the footer test IS its strongest gate.
-# ROUND-9 window arithmetic (inventory 165, cycle ceil(165/50) = 4):
-# these 6 scheduled lead + ALL 39 unsettled round-6 greens (age 4 =
-# cycle at round-9 judging — they MUST re-enter; the other 11 r6
-# greens are settled-tier, allowance 8) + 5 of the 9 settled-tier
-# round-5 leftovers = 50 exactly; the remaining 4 r5 leftovers and 11
-# settled r6 greens stay safe under the doubled allowance, and the
-# round-10 window takes the unsettled round-7 greens at their own
-# cadence deadline.
-# ROUND-9 PROMOTION QUEUE (next alternates, implemented + pytest'd
+# ROUND-10 window arithmetic (inventory 171, cycle ceil(171/50) = 4):
+# the 6 scheduled above lead + the 40 unsettled round-7 greens (age 4
+# = cycle at round-10 judging — they MUST re-enter) + 4 settled-tier
+# fillers (the remaining round-5 leftovers: date_spine_orders,
+# listagg_nations, set_except, set_intersect — age 5 of allowance 8)
+# = 50 exactly. The 10 settled round-7 greens (age 3 of 8) and the 11
+# settled round-6 greens (age 4 of 8) stay safe under the doubled
+# allowance; the round-11 window takes the round-8 greens at their
+# cadence deadline alongside this round's 45 first-driver-row /
+# re-greened entries.
+# ROUND-10 PROMOTION QUEUE (next alternates, implemented + pytest'd
 # with DuckDB/pure-Python replays): annotator_agreement,
 # weighted_consensus, trigram_interp_scores (the recursive-JM rung),
 # best_of_n / dpo_pairs (RLHF data constructors),
@@ -4009,138 +4012,124 @@ SCHEDULED_NEXT_WINDOW = [
 # source_overlap_kmv (KMV source-pair Jaccard on documents),
 # curriculum_phases/report, pca_train/pca_apply +
 # matryoshka_truncate (whitened embeddings feeding cosine_topk),
-# ndcg_at_k / retrieval_metrics / spearman_rho / bleu_corpus /
+# retrieval_metrics / spearman_rho / bleu_corpus /
 # rouge_l / distinct_n (the round-7 evaluation wave), line_dedup,
 # mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
 # unrolled selection rounds), source_data_card,
 # paired_bootstrap_test (Koehn-style paired significance — the
 # bootstrap_diff_ci sibling for same-items comparisons),
 # implicit_preference_pairs (clickthrough-preference mining feeding
-# bradley_terry/dpo), rasch_fit (1PL IRT
-# item difficulty / rater ability — distributed parameter frames,
-# unrollable quantized loop), index_scorecard
-# (models/index_release.py — the ANN release gate: batched IVF
-# serving graded against the brute oracle; exact-integer release
-# arithmetic, so the whole DAG is oracle-able).
-# ROUND-10 QUEUE ADDITIONS (the round-8 leaderboard/mixture wave,
-# implemented + replay-gated in pytest, smoked on real sf0.001 inputs,
-# 10x scale rows in SCALE.md): elo_ratings (period-batched Elo —
-# unrolled-CTE oracle like bradley_terry, natural query: cheaper-
-# supplier-wins matches with period = order year), wilson_winrate
-# (IEEE-only arithmetic, directly oracle-able), unimax_allocation
-# (one-window integer water-filling over per-source token budgets),
-# conformal_report (order-stat threshold + coverage over a doc-score
-# split), vocab_richness (Chao1 + quantized Zipf slope over
-# documents), leaderboard_gate (models/leaderboard_release.py — the
-# third release-gate DAG; exact-integer verdict, oracle-able the way
-# curation_dag is). Second mini-wave, same evidence bar:
-# bradley_terry_ties (Rao-Kupper MM — unrolled-CTE oracle like
-# bradley_terry, input: price ties within orders as tie votes),
-# brier_decomposition / isotonic_calibration+apply (bounded-cell
-# Fraction folds, directly SQL-replayable), sparse_logreg /
-# hashed_ngram_features (the fastText classifier shape; the training
-# loop unrolls into chained SQL rounds like logreg_quality's). Third
-# mini-wave: procrustes_align (embedding-version migration; d² moment
-# cells + driver SVD), wilson_from_pairs (streamed-counts board). The
-# elo/wilson promotion bodies + oracle SQL are PRE-PROVEN hash-green
-# at driver shape in tests/test_round10_replays.py. Also queued:
-# domain_concentration (exact Gini/top-share/entropy — one window
-# SQL, directly oracle-able), bpe_token_counts (trained-merge token
+# bradley_terry/dpo), rasch_fit (1PL IRT item difficulty / rater
+# ability — distributed parameter frames, unrollable quantized loop),
+# index_scorecard (models/index_release.py — the ANN release gate:
+# batched IVF serving graded against the brute oracle; exact-integer
+# release arithmetic, so the whole DAG is oracle-able),
+# leaderboard_gate (models/leaderboard_release.py — the fourth
+# release-gate DAG; its WHOLE DAG already replays as one DuckDB
+# statement at driver shape in tests/test_round10_replays.py),
+# unimax_allocation (one-window integer water-filling),
+# conformal_report (order-stat threshold + coverage; NaN-guarded),
+# vocab_richness (Chao1 + quantized Zipf slope), bradley_terry_ties
+# (Rao-Kupper MM), brier_decomposition / isotonic_calibration+apply
+# (bounded-cell Fraction folds), sparse_logreg /
+# hashed_ngram_features (the fastText classifier shape),
+# procrustes_align (embedding-version migration), wilson_from_pairs
+# (streamed-counts board), bpe_token_counts (trained-merge token
 # budgets; replace-chain oracle), personalized_pagerank (seed-restart
-# walk; unrolled MATERIALIZED CTEs like pagerank_docs),
-# compare_relations (audit-helper diff; single full-outer oracle),
-# chunk_text (RAG chunk emitter; map-only, directly oracle-able).
-# leaderboard_gate's WHOLE DAG replays as one DuckDB statement at
-# driver shape (tests/test_round10_replays.py) — curation_dag-grade
-# promotion evidence.
+# walk; unrolled MATERIALIZED CTEs like pagerank_docs).
 
 QUERIES = {
-    # === ROUND-8 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===
     #
-    # Rotation executed per the round-7 verdict contract (machine-checked
+    # Rotation executed per the round-8 verdict contract (machine-checked
     # by tools/audit_window.py): the 6 SCHEDULED_NEXT_WINDOW promotions
-    # (born after the round-7 rotation, never driver-checked) MUST lead;
-    # the 3 round-3 deferrals are MANDATORY at evidence age 5 (strict
-    # tier); 41 of the 50 round-5 greens (age 3) fill the rest.
-    # 6 + 3 + 41 = 50 exactly. The 9 round-5 greens left below are ALL
-    # settled-tier (>= 3 distinct driver-green rounds -> 2x-cycle
-    # allowance 8 > age), so audit_window flags NOTHING this round.
-    # -- (0) first driver rows: the round-7 promotion cohort ------------
-    "bigram_interp_scores": q_bigram_interp_scores,
-    "hll_by_group": q_hll_by_group,
-    "bootstrap_diff_ci": q_bootstrap_diff_ci,
-    "token_balanced_shards": q_token_balanced_shards,
-    "pass_at_k": q_pass_at_k,
-    "fleiss_kappa": q_fleiss_kappa,
-    # -- (1) the mandatory deferral trio (round-3 green, age 5; each
-    #    carried an in-test DuckDB replay while it waited —
-    #    tests/test_deferral_replays.py) --------------------------------
-    #    (pq_rerank is the session's first PQ query in dict order, so it
+    # from round 8 (born after the round-8 rotation, never driver-checked)
+    # MUST lead; ALL 39 unsettled round-6 greens are at their cycle-4
+    # cadence deadline (age 4 at round-9 judging); 5 of the 9 settled-tier
+    # round-5 leftovers fill the rest. 6 + 39 + 5 = 50 exactly. The 4
+    # remaining r5 leftovers and the 11 settled r6 greens stay safe under
+    # the doubled settled allowance, so audit_window flags NOTHING.
+    # -- (0) first driver rows: the round-8 promotion cohort ------------
+    "roc_auc": q_roc_auc,
+    "calibration_report": q_calibration_report,
+    "dawid_skene": q_dawid_skene,
+    "kn_bigram_scores": q_kn_bigram_scores,
+    "krippendorff_alpha": q_krippendorff_alpha,
+    "logreg_quality": q_logreg_quality,
+    # -- (1) round-6 green, strict tier, at their cycle-4 cadence
+    #    deadline: all 39 MUST re-enter this round --------------------
+    #    (pq_topk is the session's first PQ query in dict order, so it
     #     pays the one-time PQ-codebook Lloyd fit in bench attribution;
-    #     ivfadc_topk below is the first _trained_centroids caller and
-    #     pays the coarse fit — measured r8: 2.15 -> 4.47 s, exactly the
-    #     fit kmeans_cells/ivf_topk shed by rotating below the window)
-    "pq_rerank": q_pq_rerank,
-    "multimodal_decode": q_multimodal_decode,
-    "datamart_dag": q_datamart_dag,
-    # -- (2) round-5 green, at their cycle-4 cadence deadline: the 21
-    #    strict-tier entries first, then 20 settled-tier ----------------
-    "cheapest_part_supplier": q_cheapest_part_supplier,
-    "part_value_concentration": q_part_value_concentration,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_supplier": q_dominant_part_supplier,
-    "cluster_keep_best": q_cluster_keep_best,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "token_budget_cap": q_token_budget_cap,
-    "claim_rollups": q_claim_rollups,
-    "claim_status": q_claim_status,
-    "member_enrollment": q_member_enrollment,
-    "gap_status_tri": q_gap_status_tri,
-    "semantic_contamination": q_semantic_contamination,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_trade_volume": q_nation_trade_volume,
-    "returned_item_customers": q_returned_item_customers,
-    "large_volume_customers": q_large_volume_customers,
-    "ivfadc_topk": q_ivfadc_topk,
-    "ivfadc_indexed": q_ivfadc_indexed,
-    "bm25_topk": q_bm25_topk,
-    "exact_substr_dedup": q_exact_substr_dedup,
-    "pq_encode": q_pq_encode,
-    "semantic_dedup": q_semantic_dedup,
-    "member_cost_summary": q_member_cost_summary,
-    "datediff_age_orders": q_datediff_age_orders,
-    "lang_agreement": q_lang_agreement,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_quality": q_text_quality,
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "scd2_customers": q_scd2_customers,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    # === BELOW THE WINDOW =================================================
-    # -- (3) the 9 settled-tier round-5 greens deferred within their
-    #    doubled allowance (last green r5, >= 3 green rounds -> safe
-    #    until round 13; they rotate forward at round 9) ----------------
+    #     pagerank_docs is the window's iterative-Pregel line item)
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_cardinality": q_hll_cardinality,
+    "nation_market_share": q_nation_market_share,
+    "product_type_profit": q_product_type_profit,
+    "ship_delay_classes": q_ship_delay_classes,
+    "pagerank_docs": q_pagerank_docs,
+    "pq_topk": q_pq_topk,
+    "dim_member": q_dim_member,
+    "events_asof_error": q_events_asof_error,
+    "events_follow_error": q_events_follow_error,
+    "mixture_sample": q_mixture_sample,
+    "repetition_docs": q_repetition_docs,
+    "pack_docs": q_pack_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "priority_status_pivot": q_priority_status_pivot,
+    "price_histogram": q_price_histogram,
+    "idle_rich_customers": q_idle_rich_customers,
+    "clean_docs": q_clean_docs,
+    "cross_source_dups": q_cross_source_dups,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "brand_size_revenue": q_brand_size_revenue,
+    "stats_profile": q_stats_profile,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "event_funnel": q_event_funnel,
+    "customer_order_running": q_customer_order_running,
+    "unigram_logprob": q_unigram_logprob,
+    "events_sliding": q_events_sliding,
+    "quantiles_price": q_quantiles_price,
+    "gap_status_excl": q_gap_status_excl,
+    "multimodal_features": q_multimodal_features,
+    "stg_claim_lines": q_stg_claim_lines,
+    "union_all_tagged": q_union_all_tagged,
+    "events_json": q_events_json,
+    "scd2_check_customers": q_scd2_check_customers,
+    "bigram_pmi": q_bigram_pmi,
+    "vocab_ranked": q_vocab_ranked,
+    "embedding_quantize": q_embedding_quantize,
+    # -- (2) settled-tier round-5 leftovers (5 of 9) — they rotate in
+    #    here; the other 4 ride the doubled allowance to round 10 ------
     "agg_any_bool": q_agg_any_bool,
     "nullsafe_join": q_nullsafe_join,
     "date_functions": q_date_functions,
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
+    # === BELOW THE WINDOW =================================================
+    # -- (3) the 4 settled-tier round-5 greens deferred within their
+    #    doubled allowance (last green r5, >= 3 green rounds; they are
+    #    the round-10 window's settled fillers) -------------------------
     "date_spine_orders": q_date_spine_orders,
     "listagg_nations": q_listagg_nations,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
-    # -- (4) round-7 green (the freshest evidence in the repo; they
-    #    rotate forward again at round 11 within their cycle) -----------
+    # -- (4) settled-tier round-6 greens (age 4 of allowance 8) ---------
+    "embedding_near_dup": q_embedding_near_dup,
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    # -- (5) round-7 green: the 40 unsettled hit their cycle-4 deadline
+    #    at the ROUND-10 window (age 4 at round-11 judging); the 10
+    #    settled among them ride the doubled allowance -----------------
     "bradley_terry": q_bradley_terry,
     "sketch_drift_report": q_sketch_drift_report,
     "bootstrap_ci": q_bootstrap_ci,
@@ -4191,68 +4180,62 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "kmeans_cells": q_kmeans_cells,
     "ivf_topk": q_ivf_topk,
-    # -- (5) round-6 green (cadence deadline round 10; the round-9/10
-    #    windows split them alongside the settled-tier slack) -----------
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "hll_cardinality": q_hll_cardinality,
-    "nation_market_share": q_nation_market_share,
-    "product_type_profit": q_product_type_profit,
-    "ship_delay_classes": q_ship_delay_classes,
-    "pagerank_docs": q_pagerank_docs,
-    "pq_topk": q_pq_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "gap_status": q_gap_status,
-    "dim_member": q_dim_member,
-    "events_asof_error": q_events_asof_error,
-    "events_follow_error": q_events_follow_error,
-    "mixture_sample": q_mixture_sample,
-    "repetition_docs": q_repetition_docs,
-    "pack_docs": q_pack_docs,
-    "revenue_by_nation": q_revenue_by_nation,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "order_count_distribution": q_order_count_distribution,
-    "priority_status_pivot": q_priority_status_pivot,
-    "price_histogram": q_price_histogram,
-    "idle_rich_customers": q_idle_rich_customers,
-    "clean_docs": q_clean_docs,
-    "cross_source_dups": q_cross_source_dups,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "brand_size_revenue": q_brand_size_revenue,
-    "stats_profile": q_stats_profile,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "event_funnel": q_event_funnel,
-    "customer_order_running": q_customer_order_running,
-    "unigram_logprob": q_unigram_logprob,
-    "events_sliding": q_events_sliding,
-    "quantiles_price": q_quantiles_price,
-    "gap_status_excl": q_gap_status_excl,
-    "multimodal_features": q_multimodal_features,
-    "stg_claim_lines": q_stg_claim_lines,
-    "union_all_tagged": q_union_all_tagged,
-    "events_json": q_events_json,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "scd2_check_customers": q_scd2_check_customers,
-    "bigram_pmi": q_bigram_pmi,
-    "vocab_ranked": q_vocab_ranked,
-    "embedding_quantize": q_embedding_quantize,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    # -- (6) born AFTER the round-8 rotation (window already at capacity:
-    #    6 round-7 promotions + 3 mandatory deferrals + 41 cadence
-    #    round-5 greens) — SCHEDULED to lead the round-9 window;
+    # -- (6) round-8 green (the freshest evidence in the repo; the
+    #    round-11 window takes them at their cadence deadline) ----------
+    "bigram_interp_scores": q_bigram_interp_scores,
+    "hll_by_group": q_hll_by_group,
+    "bootstrap_diff_ci": q_bootstrap_diff_ci,
+    "token_balanced_shards": q_token_balanced_shards,
+    "pass_at_k": q_pass_at_k,
+    "fleiss_kappa": q_fleiss_kappa,
+    "pq_rerank": q_pq_rerank,
+    "multimodal_decode": q_multimodal_decode,
+    "datamart_dag": q_datamart_dag,
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
+    "ivfadc_topk": q_ivfadc_topk,
+    "ivfadc_indexed": q_ivfadc_indexed,
+    "bm25_topk": q_bm25_topk,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "pq_encode": q_pq_encode,
+    "semantic_dedup": q_semantic_dedup,
+    "member_cost_summary": q_member_cost_summary,
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
+    "cosine_topk": q_cosine_topk,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk_label": q_cosine_topk_label,
+    "scd2_customers": q_scd2_customers,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "window_best_order": q_window_best_order,
+    # -- (7) born AFTER the round-9 rotation (window already at capacity:
+    #    6 round-8 promotions + 39 cadence round-6 greens + 5 settled
+    #    r5 fillers) — SCHEDULED to lead the round-10 window;
     #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
-    "roc_auc": q_roc_auc,
-    "calibration_report": q_calibration_report,
-    "dawid_skene": q_dawid_skene,
-    "kn_bigram_scores": q_kn_bigram_scores,
-    "krippendorff_alpha": q_krippendorff_alpha,
-    "logreg_quality": q_logreg_quality,
 }
 
 

@@ -478,8 +478,11 @@ def elo_merge_batch(
         F.lit(0).cast("long").alias("wins"),
     )
     state0 = state.unionByName(newbies)
+    # check_items=False: `newbies` just seeded every item this batch
+    # names, so the guard's anti-join is redundant here by construction
     updated = elo_update_period(
-        state0.select("item", "r_fp"), m, k=int(k), scale=int(scale)
+        state0.select("item", "r_fp"), m, k=int(k), scale=int(scale),
+        check_items=False,
     )
     sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
         m.select(F.col("l").alias("item"), F.lit(0).alias("win"))

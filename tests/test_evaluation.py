@@ -107,7 +107,7 @@ def test_roc_auc_guards(spark):
     null_score = spark.createDataFrame(
         [(1, None, 0), (2, 0.9, 1)], "id int, score double, label int"
     )
-    with pytest.raises(ValueError, match="NULL scores"):
+    with pytest.raises(ValueError, match="NULL/NaN scores"):
         roc_auc(null_score, "score", "label").collect()
 
 
@@ -1494,7 +1494,7 @@ def test_brier_decomposition_identity_and_replays(spark):
             ),
             "score", "label",
         )
-    with pytest.raises(ValueError, match="NULL scores"):
+    with pytest.raises(ValueError, match="NULL/NaN scores"):
         brier_decomposition(
             df.unionByName(
                 spark.createDataFrame(
@@ -1609,7 +1609,7 @@ def test_isotonic_calibration_pava_apply_and_replays(spark):
     assert gb13 == gb
 
     # guards
-    with pytest.raises(ValueError, match="NULL scores"):
+    with pytest.raises(ValueError, match="NULL/NaN scores"):
         isotonic_calibration(
             gdf.unionByName(
                 spark.createDataFrame(
@@ -1842,3 +1842,41 @@ def test_calibration_classifier_wave_on_driver_testdata(spark):
     n_sources = docs.select("source").distinct().count()
     assert cc.n_domains == n_sources and 0.0 <= cc.gini < 1.0
     assert cc.top1_share >= 1.0 / n_sources
+
+
+def test_nan_scores_are_dirty_rows_everywhere(spark):
+    """ADVICE r8 (medium): NaN passes isNotNull() and
+    floor(NaN·scale + 0.5) casts to 0 in non-ANSI Spark — pre-fix a
+    NaN score silently entered conformal_report's calibration set as
+    the MINIMAL nonconformity score, corrupting the 1−alpha coverage
+    guarantee. NaN is now a dirty row in every quantizing evaluator
+    (conformal_report's local cells, _quantized_cells behind
+    roc_auc/isotonic/streamed-AUC, _bin_cells behind calibration)."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        calibration_summary,
+        conformal_report,
+        isotonic_calibration,
+        roc_auc,
+    )
+
+    nan = float("nan")
+    clean = spark.createDataFrame(
+        [(i / 100.0, i % 2) for i in range(1, 21)], "s double, y int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(nan, 1)], "s double, y int")
+    )
+
+    # sanity: the clean relations pass
+    assert conformal_report(clean, clean, "s", alpha=0.25).count() == 1
+
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        conformal_report(dirty, clean, "s", alpha=0.25)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        conformal_report(clean, dirty, "s", alpha=0.25)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        roc_auc(dirty, "s", "y")
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        calibration_summary(dirty, "s", "y")
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        isotonic_calibration(dirty, "s", "y")

@@ -5182,3 +5182,142 @@ def test_chunk_text_overlap_coverage_and_replays(spark):
         chunk_text(docs, "text", "doc_id", size=4, overlap=4)
     with pytest.raises(ValueError, match="size"):
         chunk_text(docs, "text", "doc_id", size=0)
+
+
+# ---------------------------------------------------------------------------
+# round-9 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_sink_nodes_receive_flow(spark):
+    """ADVICE r8: the node universe is src UNION dst — a SINK node
+    (inbound edges, no out-edges) must appear in the output and
+    receive its endorsement flow instead of silently vanishing with
+    its inbound mass dropped every round."""
+    from healthcare_dbt_datamart_spark.llmops.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([("s", "x"), ("x", "y")], ["src", "dst"])
+    got = {
+        r.id: r.rank_fp
+        for r in personalized_pagerank(edges, ["s"], n_iter=3).collect()
+    }
+    assert set(got) == {"s", "x", "y"}  # y was absent pre-fix
+    assert got["y"] > 0  # seed flow reaches the sink through x
+
+    # pure-Python replay with the src UNION dst universe
+    scale, d = 10**12, 85
+    t_seed = (15 * 3 * scale) // 100  # n_nodes=3 (incl. the sink), |S|=1
+    deg = {"s": 1, "x": 1}
+    adj = [("s", "x"), ("x", "y")]
+    ranks = {v: (t_seed if v == "s" else 0) for v in ("s", "x", "y")}
+    for _ in range(3):
+        sums = {v: 0 for v in ranks}
+        for u, v in adj:
+            sums[v] += ranks[u] // deg[u]
+        ranks = {
+            v: (t_seed if v == "s" else 0) + (d * sums[v]) // 100
+            for v in ranks
+        }
+    assert got == ranks
+
+    # seeding a sink is legal now: it holds its teleport mass; nothing
+    # upstream of it is reachable, so those score exactly 0
+    rev = {
+        r.id: r.rank_fp
+        for r in personalized_pagerank(edges, ["y"], n_iter=3).collect()
+    }
+    assert rev["y"] == t_seed and rev["s"] == 0 and rev["x"] == 0
+
+
+def test_bpe_token_counts_empty_documents_keep_accounting_rows(spark):
+    """ADVICE r8: NULL/whitespace-only documents emit exact (id, 0, 0)
+    rows — the 'a document never silently vanishes' accounting rule;
+    packing/shard consumers join token budgets on id and must see
+    every document."""
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower low"),
+            (2, None),
+            (3, "   "),
+            (4, ""),
+            (5, "new low"),
+        ],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(
+        docs.filter(F.col("doc_id").isin(1, 5)), "text", n_merges=2
+    )
+    got = {
+        r.id: (r.n_words, r.n_tokens)
+        for r in bpe_token_counts(docs, "text", "doc_id", merges).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # 2/3/4 vanished pre-fix
+    assert got[2] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)
+    assert got[1][0] == 3 and got[5][0] == 2
+    assert got[1][1] > 0 and got[5][1] > 0
+
+
+def test_wilson_from_pairs_halves_counts_exactly_past_2_53(spark):
+    """ADVICE r8: doubled counts halve with integer `div`, not float
+    `/` — a double intermediate silently rounds sums past 2^53 (e.g.
+    (2^54 + 2) / 2 = 2^53 + 1, unrepresentable as a double)."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        wilson_from_pairs,
+    )
+
+    big = 2**54 + 2  # halves to 2^53 + 1, off-by-one under float /
+    pairs = spark.createDataFrame(
+        [("a", "b", big), ("b", "a", 2)],
+        "i string, j string, w2 long",
+    )
+    got = {
+        r.item: (r.n_matches, r.wins)
+        for r in wilson_from_pairs(pairs).collect()
+    }
+    assert got["a"] == (2**53 + 2, 2**53 + 1)
+    assert got["b"] == (2**53 + 2, 1)
+
+
+def test_elo_update_period_raises_on_unseeded_match_items(spark):
+    """ADVICE r8: the expected-score join is inner, so a match naming
+    an item with no ratings row silently vanished — the direct
+    foreachBatch contract now raises via a left-anti guard;
+    check_items=False restores the pre-seeded loop-driver fast path."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_update_period,
+    )
+
+    ratings = spark.createDataFrame(
+        [("a", 10**9), ("b", 10**9)], "item string, r_fp long"
+    )
+    m_ok = spark.createDataFrame([("a", "b")], "w string, l string")
+    m_bad = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost")], "w string, l string"
+    )
+
+    got = {
+        r.item: r.r_fp
+        for r in elo_update_period(ratings, m_ok, k=16).collect()
+    }
+    assert got["a"] > 10**9 > got["b"]
+    assert got["a"] + got["b"] == 2 * 10**9  # zero-sum conservation
+
+    with pytest.raises(ValueError, match="ghost"):
+        elo_update_period(ratings, m_bad, k=16)
+
+    # the documented opt-out reproduces the pre-seeded fast path: the
+    # ghost match drops (inner join) and the rest applies normally
+    legacy = {
+        r.item: r.r_fp
+        for r in elo_update_period(
+            ratings, m_bad, k=16, check_items=False
+        ).collect()
+    }
+    assert legacy == got

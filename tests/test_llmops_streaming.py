@@ -3083,7 +3083,7 @@ def test_streaming_calibration_dirty_batch_raises_like_batch(spark):
         [(2, 0.5, 1), (3, 0.4, 2), (4, None, 0)],
         "seq long, score double, label int",
     )
-    with pytest.raises(ValueError, match="NULL scores or"):
+    with pytest.raises(ValueError, match="NULL/NaN scores or"):
         calibration_summary(clean.unionByName(dirty), "score", "label")
 
     spark.sql("DROP TABLE IF EXISTS cal_dirty_t")
@@ -3101,7 +3101,7 @@ def test_streaming_calibration_dirty_batch_raises_like_batch(spark):
     )
     assert len(dirty_cells) == 1 and dirty_cells[0].bad == 2
     # ...and the live scorecard raises, batch-parity preserved
-    with pytest.raises(ValueError, match="NULL scores or"):
+    with pytest.raises(ValueError, match="NULL/NaN scores or"):
         calibration_from_cells(spark, "cal_dirty_t")
     spark.sql("DROP TABLE cal_dirty_t")
 
@@ -3334,7 +3334,7 @@ def test_streaming_auc_ingest_matches_batch_and_guards(spark, tmp_path):
         .filter(F.col("s_fp").isNull()).collect()
     )
     assert len(null_cells) == 1 and null_cells[0].bad == 2
-    with pytest.raises(ValueError, match="NULL scores or"):
+    with pytest.raises(ValueError, match="NULL/NaN scores or"):
         auc_from_cells(spark, "auc_stream_t")
     spark.sql("DROP TABLE auc_stream_t")
 

@@ -309,7 +309,7 @@ lb AS MATERIALIZED (
 )
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_items,
-  CAST(SUM(n_matches) / 2 AS BIGINT) AS n_matches,
+  CAST(SUM(n_matches) // 2 AS BIGINT) AS n_matches,
   CAST(MIN(n_matches) AS BIGINT) AS min_item_matches,
   MIN(CASE WHEN rank_bt = 1 THEN item END) AS bt_top,
   MIN(CASE WHEN rank_elo = 1 THEN item END) AS elo_top,

@@ -3960,6 +3960,162 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, ["x1", "x2"], model["weights"], "doc_id")
 
 
+def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decided supplier-vs-supplier matches from lineitem — the
+    leaderboard family's natural testdata feed: within one order,
+    supplier a beats supplier b when a's unit price is strictly
+    cheaper (cents_a·qty_b < cents_b·qty_a — exact integer
+    cross-multiplication, no division); period = order year (the
+    FIDE/arena rating-period unit). This exact construction is
+    pre-proven at driver shape in tests/test_round10_replays.py."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lx = li.select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("supp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    a, b = lx.alias("a"), lx.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(
+            (F.col("a.supp") != F.col("b.supp"))
+            & (
+                F.col("a.cents") * F.col("b.qty")
+                < F.col("b.cents") * F.col("a.qty")
+            )
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("a.supp").alias("winner_id"),
+            F.col("b.supp").alias("loser_id"),
+            F.year("o_orderdate").alias("period"),
+        )
+    )
+
+
+def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-batched Elo over cheaper-supplier-wins matches (period =
+    order year) — the arena-leaderboard rating through time beside
+    bradley_terry's static fit. All-integer BIGINT state, one
+    half-up quantization per match, exact zero-sum conservation per
+    period; the oracle unrolls one MATERIALIZED CTE round per rating
+    period (the bradley_terry discipline). Body + oracle pre-proven
+    hash-green at driver shape in tests/test_round10_replays.py."""
+    from ..llmops.preferences import elo_ratings
+
+    return elo_ratings(_supplier_matches(spark, sf_dir), k=16).select(
+        "item", "n_matches", "wins", "rating_fp"
+    )
+
+
+def q_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score leaderboard over the same supplier match log —
+    the uncertainty column beside the Elo/BT point estimates, ranked
+    by the lower bound. IEEE-only arithmetic (+,−,×,÷,sqrt are all
+    correctly rounded by the standard), so the report is hash-exact
+    cross-engine with no quantization discipline. Pre-proven at
+    driver shape in tests/test_round10_replays.py."""
+    from ..llmops.preferences import wilson_winrate
+
+    return wilson_winrate(_supplier_matches(spark, sf_dir))
+
+
+def q_compare_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-audit-helper migration sign-off in its WORKFLOW shape:
+    audit a merge_upsert before/after pair (the exact I2 relation the
+    driver-green merge_upsert query builds) — updated keys count as
+    CHANGED, untouched keys as IDENTICAL, post-1996 inserts as
+    only_in_b. One null-safe full-outer join, every audit number in
+    one fold (operators/audit.py::compare_relations; dbt-audit-helper
+    compare_relations semantics)."""
+    from ..operators.audit import compare_relations
+
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    target = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        price.cast("double").alias("total"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (price * F.lit(1.05).cast(DEC)).cast("double").alias("total"),
+    )
+    kept = target.join(source.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = kept.unionByName(source)
+    return compare_relations(target, merged, "o_orderkey")
+
+
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk emission over documents: 200-char chunks with 40-char
+    overlap (stride 160) — map-only sequence→explode, no shuffle,
+    exact integer arithmetic; adjacent chunks share exactly the
+    overlap and stride-prefixes reconstruct each document
+    (llmops/packing.py::chunk_text)."""
+    from ..llmops.packing import chunk_text
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs, "text", "doc_id", size=200, overlap=40)
+
+
+def q_domain_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration over lang/source domains (exact-rational
+    Gini + top-1/top-10 share + quantized entropy) — the one-row
+    diagnostic a mixture decision reads before picking a
+    temperature/DoReMi/UniMax rule (llmops/splits.py::
+    domain_concentration). Domain weight = total characters."""
+    from ..llmops.splits import domain_concentration
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat_ws("/", F.col("lang"), F.col("source")).alias("dom")
+        )
+        .agg(F.sum("n_chars").alias("n_toks"))
+    )
+    return domain_concentration(counts, grp_col="dom", n_col="n_toks")
+
+
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per language over a deterministic judged pool — the
+    ranking-quality grade for the retrieval stack (bm25_topk, the
+    IVF/PQ family): query = lang, system score = document length,
+    graded relevance = doc_id mod 4 (integer 0–3), both rankings
+    tie-broken on doc_id so the metric is layout-independent
+    (llmops/evaluation.py::ndcg_at_k; Järvelin & Kekäläinen 2002)."""
+    from ..llmops.evaluation import ndcg_at_k
+
+    pool = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("double").alias("score"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("rel"),
+        )
+    )
+    out = ndcg_at_k(pool, "lang", "doc_id", "score", "rel", k=10)
+    return out.select(
+        F.col("lang").alias("query"),
+        "n_docs",
+        "n_relevant",
+        "dcg",
+        "idcg",
+        "ndcg",
+    )
+
+
 # Queries born AFTER a rotation locked the 50-slot window are exempt
 # from the never-checked-out-of-window flag for ONE round and MUST lead
 # the NEXT round's window (tools/audit_window.py enforces this; the
@@ -4236,6 +4392,12 @@ QUERIES = {
     #    6 round-8 promotions + 39 cadence round-6 greens + 5 settled
     #    r5 fillers) — SCHEDULED to lead the round-10 window;
     #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
+    "elo_ratings": q_elo_ratings,
+    "wilson_winrate": q_wilson_winrate,
+    "compare_relations": q_compare_relations,
+    "chunk_text": q_chunk_text,
+    "domain_concentration": q_domain_concentration,
+    "ndcg_at_k": q_ndcg_at_k,
 }
 
 
@@ -7762,3 +7924,226 @@ SELECT doc_id,
 FROM feats CROSS JOIN w6
 """
 )
+
+
+# -- round-9 promotion cohort oracles (scheduled for the round-10 window) --
+
+# Supplier match log shared by the elo/wilson oracles — the exact CTE
+# pre-proven in tests/test_round10_replays.py (integer cents/qty
+# cross-multiplication; period = order year; win counts per item).
+_MATCH_CTE = """
+lx AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey AS supp,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+m AS MATERIALIZED (
+  SELECT CAST(a.supp AS VARCHAR) AS w, CAST(b.supp AS VARCHAR) AS l,
+         CAST(year(o_orderdate) AS BIGINT) AS p
+  FROM lx a JOIN lx b USING (l_orderkey)
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE a.supp != b.supp AND a.cents * b.qty < b.cents * a.qty
+),
+tot AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(SUM(win) AS BIGINT) AS wins
+  FROM (SELECT w AS item, 1 AS win FROM m
+        UNION ALL SELECT l, 0 FROM m)
+  GROUP BY item
+)"""
+
+
+def _elo_oracle_sql() -> str:
+    """Unrolled period-batched Elo: one MATERIALIZED CTE round per
+    order year (1995–2001, the testdata span; a year with no matches
+    is an exact no-op round on both engines, so the static unroll is
+    safe at every SF). k=16, scale 1e6, start 1000·1e6 — the
+    llmops/preferences.py::elo_ratings arithmetic verbatim."""
+    sql = "WITH " + _MATCH_CTE + """,
+r0 AS MATERIALIZED (SELECT item, CAST(1000000000 AS BIGINT) AS r_fp FROM tot)"""
+    years = range(1995, 2002)
+    for idx, per in enumerate(years):
+        sql += f""",
+c{idx} AS MATERIALIZED (
+  SELECT item, CAST(SUM(c) AS BIGINT) AS C FROM (
+    SELECT w AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN r{idx} rw ON m.w = rw.item
+           JOIN r{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+    UNION ALL
+    SELECT l,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN r{idx} rw ON m.w = rw.item
+           JOIN r{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+  ) GROUP BY item
+),
+r{idx + 1} AS MATERIALIZED (
+  SELECT r.item, CAST(r.r_fp + 16 * COALESCE(c.C, 0) AS BIGINT) AS r_fp
+  FROM r{idx} r LEFT JOIN c{idx} c USING (item)
+)"""
+    sql += f"""
+SELECT t.item, t.n_matches, t.wins, r.r_fp AS rating_fp
+FROM r{len(list(years))} r JOIN tot t USING (item)"""
+    return sql
+
+
+ORACLE["elo_ratings"] = _elo_oracle_sql()
+
+_WILSON_Z = 1.959964
+ORACLE["wilson_winrate"] = "WITH " + _MATCH_CTE + f""",
+sc AS (
+  SELECT item, n_matches, wins,
+    round(wins / CAST(n_matches AS DOUBLE), 6) AS winrate,
+    round(((wins / CAST(n_matches AS DOUBLE))
+           + {_WILSON_Z}*{_WILSON_Z}/(2.0*n_matches))
+          / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n_matches)
+          - {_WILSON_Z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {_WILSON_Z}*{_WILSON_Z}/(4.0*n_matches*n_matches))
+            / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n_matches), 6) AS ci_lo,
+    round(((wins / CAST(n_matches AS DOUBLE))
+           + {_WILSON_Z}*{_WILSON_Z}/(2.0*n_matches))
+          / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n_matches)
+          + {_WILSON_Z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {_WILSON_Z}*{_WILSON_Z}/(4.0*n_matches*n_matches))
+            / (1.0 + {_WILSON_Z}*{_WILSON_Z}/n_matches), 6) AS ci_hi
+  FROM tot
+)
+SELECT item, n_matches, wins, winrate, ci_lo, ci_hi,
+       CAST(row_number() OVER (ORDER BY ci_lo DESC, item ASC) AS BIGINT)
+         AS rank_lb
+FROM sc"""
+
+# The merge_upsert before/after pair audited with ONE full-outer fold —
+# the dbt-audit-helper compare_relations numbers (null-safe matches; no
+# NULL keys exist here so COUNT(key) is the presence test).
+ORACLE["compare_relations"] = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+),
+source AS (
+  SELECT o_orderkey, 'U' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(18,2)) AS DOUBLE) AS total
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT t.o_orderkey, t.status, t.total FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, status, total FROM source
+),
+j AS (
+  SELECT t.o_orderkey AS ka, m.o_orderkey AS kb,
+    CASE WHEN t.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+          AND t.status IS NOT DISTINCT FROM m.status
+          AND t.total IS NOT DISTINCT FROM m.total
+     THEN 1 ELSE 0 END AS ident
+  FROM target t FULL OUTER JOIN merged m ON t.o_orderkey = m.o_orderkey
+),
+agg AS (
+  SELECT CAST(COUNT(ka) AS BIGINT) AS n_a,
+         CAST(COUNT(kb) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_a,
+         CAST(SUM(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_b,
+         CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
+         CAST(SUM(ident) AS BIGINT) AS identical,
+         CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND ident = 0 THEN 1 ELSE 0 END) AS BIGINT) AS changed
+  FROM j
+)
+SELECT n_a, n_b, only_in_a, only_in_b, in_both, identical, changed,
+       CASE WHEN in_both > 0
+            THEN round(CAST(identical AS DOUBLE) / CAST(in_both AS DOUBLE), 6)
+       END AS identical_rate
+FROM agg
+"""
+
+# 200-char chunks, 40-char overlap (stride 160): n_chunks =
+# max(ceil((len − 40) / 160), 1); chunk i = substring(i·160 + 1, 200).
+ORACLE["chunk_text"] = """
+SELECT id, CAST(i AS INTEGER) AS chunk_idx, n_chunks,
+       CAST(i * 160 AS BIGINT) AS start_char,
+       substring(t, CAST(i * 160 + 1 AS INTEGER), 200) AS chunk,
+       CAST(length(substring(t, CAST(i * 160 + 1 AS INTEGER), 200)) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id AS id, COALESCE(text, '') AS t,
+         GREATEST(CAST(ceil((length(COALESCE(text, '')) - 40) / 160.0)
+           AS INTEGER), 1) AS n_chunks
+  FROM documents
+), LATERAL unnest(range(n_chunks)) AS u(i)
+"""
+
+# Exact-rational Gini via ONE integer division ((2·rw − (n+1)·t)/(n·t)
+# — the same correctly-rounded double the engine's Fraction produces),
+# shares as single divisions of exact integers, entropy as the
+# half-up-quantized BIGINT ln fold.
+ORACLE["domain_concentration"] = """
+WITH counts AS (
+  SELECT concat_ws('/', lang, source) AS dom,
+         CAST(SUM(n_chars) AS BIGINT) AS x
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT dom, x,
+    row_number() OVER (ORDER BY x ASC, dom ASC) AS rk,
+    row_number() OVER (ORDER BY x DESC, dom ASC) AS rd,
+    SUM(x) OVER () AS tot
+  FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t,
+    CAST(SUM(rk * x) AS BIGINT) AS rw,
+    CAST(SUM(CASE WHEN rd = 1 THEN x END) AS BIGINT) AS t1,
+    CAST(COALESCE(SUM(CASE WHEN rd <= 10 THEN x END), 0) AS BIGINT) AS t10,
+    CAST(SUM(CAST(floor(-(x / CAST(tot AS DOUBLE))
+      * ln(x / CAST(tot AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT))
+      AS BIGINT) AS hq
+  FROM r
+)
+SELECT n AS n_domains, t AS total,
+  round(CAST(2 * rw - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE), 6) AS gini,
+  round(CAST(t1 AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top1_share,
+  round(CAST(t10 AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top10_share,
+  round(CAST(hq AS DOUBLE) / 1000000000.0, 6) AS entropy
+FROM agg
+"""
+
+# NDCG@10 per lang: deterministic judged pool (score = n_chars, rel =
+# doc_id mod 4), both rankings tie-broken on doc_id — the
+# test-pinned window replay shape.
+ORACLE["ndcg_at_k"] = """
+WITH pool AS (
+  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CAST(doc_id % 4 AS INTEGER) AS rel
+  FROM documents WHERE doc_id % 3 = 0
+),
+ranked AS (
+  SELECT lang, pow(2, rel) - 1 AS g,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY score DESC, doc_id ASC) AS r_sys,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY rel DESC, doc_id ASC) AS r_ideal
+  FROM pool
+),
+agg AS (
+  SELECT lang AS query, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+    round(SUM(CASE WHEN r_sys <= 10
+      THEN g / log2(r_sys + 1.0) ELSE 0 END), 6) AS dcg,
+    round(SUM(CASE WHEN r_ideal <= 10
+      THEN g / log2(r_ideal + 1.0) ELSE 0 END), 6) AS idcg
+  FROM ranked GROUP BY 1
+)
+SELECT query, n_docs, n_relevant, dcg, idcg,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+FROM agg
+"""

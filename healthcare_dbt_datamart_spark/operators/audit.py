@@ -184,19 +184,23 @@ def compare_examples(
     n: int = 20,
 ) -> DataFrame:
     """Example rows behind the counts — the last drill-down of the
-    audit workflow: for up to ``n`` CHANGED rows (keys on both sides,
-    any compared column differing), one output row PER DIFFERING
-    COLUMN with both sides' values as strings. Deterministic: ordered
-    by key then column before the limit, so two runs show the same
-    examples. One pass over the same joined frame as the other two
-    operators; the limit is a TakeOrdered, never a global sort spill.
-    Returns ``(<key cols...>, column, a_value, b_value)``."""
+    audit workflow: for the first ``n`` CHANGED rows in key order
+    (keys on both sides, any compared column differing), one output
+    row PER DIFFERING COLUMN with both sides' values as strings — so
+    a multi-column diff shows ALL its columns and the limit counts
+    distinct changed keys, never exploded fragments. Deterministic:
+    the n changed keys are a TakeOrdered over key order (never a
+    global sort spill), and the exploded output re-sorts by key then
+    column. Returns ``(<key cols...>, column, a_value, b_value)``."""
     key_cols, compare_cols = _prep(a, b, key_cols, compare_cols)
     if not compare_cols:
         raise ValueError("compare_examples: no common non-key columns")
     if int(n) < 1:
         raise ValueError(f"n must be >= 1: got {n!r}")
     j, both, matches, pa, pb = _joined(a, b, key_cols, compare_cols)
+    any_diff = F.lit(False)
+    for m in matches:
+        any_diff = any_diff | ~m
     diffs = F.filter(
         F.array(
             *[
@@ -213,21 +217,28 @@ def compare_examples(
         ),
         lambda x: x.isNotNull(),
     )
-    exploded = (
-        j.filter(both)
+    # limit FIRST, on one row per changed key (each carrying its diffs
+    # array), THEN explode: limiting the exploded rows would surface
+    # fewer than n distinct changed rows whenever a diff spans columns
+    changed = (
+        j.filter(both & any_diff)
         .select(
             # a key on BOTH sides: the a-side reference disambiguates
             # the full-outer's duplicate k_ columns
             *[pa[f"k_{k}"].alias(k) for k in key_cols],
-            F.explode(diffs).alias("d"),
+            diffs.alias("_diffs"),
         )
-        .select(
-            *key_cols,
-            F.col("d.column").alias("column"),
-            F.col("d.a_value").alias("a_value"),
-            F.col("d.b_value").alias("b_value"),
-        )
+        .orderBy(*[F.col(k).asc_nulls_first() for k in key_cols])
+        .limit(int(n))
+    )
+    exploded = changed.select(
+        *key_cols, F.explode("_diffs").alias("d")
+    ).select(
+        *key_cols,
+        F.col("d.column").alias("column"),
+        F.col("d.a_value").alias("a_value"),
+        F.col("d.b_value").alias("b_value"),
     )
     return exploded.orderBy(
         *[F.col(k).asc_nulls_first() for k in key_cols], F.col("column")
-    ).limit(int(n))
+    )

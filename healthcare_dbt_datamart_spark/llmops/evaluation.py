@@ -1477,3 +1477,121 @@ def isotonic_apply(
         F.broadcast(rng),
         (F.col("_s_fp") >= F.col("_lo")) & (F.col("_s_fp") < F.col("_hi")),
     ).drop("_s_fp", "_lo", "_hi")
+
+
+def kendall_tau(
+    df: DataFrame,
+    item_col: str,
+    a_col: str,
+    b_col: str,
+    max_items: int = 20000,
+) -> DataFrame:
+    """Kendall's tau-b between two scorings of the SAME item set —
+    the leaderboard-agreement number behind a release gate's
+    "tops_agree" boolean (do Bradley-Terry and Elo rank the ARENA the
+    same way, not just the winner?), and the standard rank-correlation
+    complement to ``spearman_rho`` (tau counts pairwise inversions;
+    rho squares rank displacement):
+
+        tau_b = (C − D) / sqrt((n0 − T_a) · (n0 − T_b))
+
+    with C/D the concordant/discordant strictly-ordered pairs, n0 =
+    n(n−1)/2, and T_x the pairs tied on side x — the tie-adjusted form
+    (Kendall 1945), so heavy score ties (quantized ratings) don't
+    deflate the statistic.
+
+    Exactness: every count is an exact BIGINT fold over the item-pair
+    relation; the only floats are the final int→double conversions,
+    sqrt and one division — all correctly rounded by IEEE 754, so the
+    6dp report is hash-exact cross-engine (the ``wilson_winrate``
+    argument).
+
+    Scale contract: the input is a LEADERBOARD — bounded model state,
+    the ``bradley_terry``/``wilson_winrate`` item universe — so the
+    pairwise self-join (item < item, one side broadcast) is
+    |items|²/2 skinny rows by design, the ``mmr_rerank``
+    bounded-pool convention. ``max_items`` raises loudly beyond the
+    documented bound rather than letting a corpus-sized relation in;
+    corpus-scale rank agreement belongs to ``spearman_rho``, whose
+    rank-sum form needs no pair relation. NULL scores/items and
+    duplicate items raise. Returns one row: ``(n_items, n_pairs,
+    concordant, discordant, tie_a, tie_b, tie_both, tau_b)``."""
+    x = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(a_col).cast("double").alias("sa"),
+        F.col(b_col).cast("double").alias("sb"),
+    )
+    chk = x.agg(
+        F.sum(
+            (
+                F.col("item").isNull()
+                | F.col("sa").isNull()
+                | F.isnan("sa")
+                | F.col("sb").isNull()
+                | F.isnan("sb")
+            ).cast("bigint")
+        ).alias("nb"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("item").alias("nd"),
+    ).collect()[0]
+    if int(chk.nb or 0) > 0:
+        raise ValueError(
+            f"kendall_tau: {chk.nb} rows have NULL items or NULL/NaN"
+            " scores — a leaderboard with holes has no pairwise order"
+        )
+    n = int(chk.n or 0)
+    if n != int(chk.nd or 0):
+        raise ValueError(
+            f"kendall_tau: {n - int(chk.nd)} duplicate items — one score"
+            " pair per item"
+        )
+    if n < 2:
+        raise ValueError(f"kendall_tau needs >= 2 items: got {n}")
+    if n > int(max_items):
+        raise ValueError(
+            f"kendall_tau: {n} items exceed max_items={max_items} — the"
+            " pairwise relation is bounded model state by contract; use"
+            " spearman_rho for corpus-sized rank agreement"
+        )
+    left = x.select(
+        F.col("item").alias("i"), F.col("sa").alias("a1"),
+        F.col("sb").alias("b1"),
+    )
+    right = x.select(
+        F.col("item").alias("j"), F.col("sa").alias("a2"),
+        F.col("sb").alias("b2"),
+    )
+    pairs = left.join(F.broadcast(right), F.col("i") < F.col("j"))
+    da = F.when(F.col("a1") > F.col("a2"), 1).when(
+        F.col("a1") < F.col("a2"), -1
+    ).otherwise(0)
+    db = F.when(F.col("b1") > F.col("b2"), 1).when(
+        F.col("b1") < F.col("b2"), -1
+    ).otherwise(0)
+    agg = pairs.select(da.alias("da"), db.alias("db")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(((F.col("da") * F.col("db")) == 1).cast("bigint")).alias("c"),
+        F.sum(((F.col("da") * F.col("db")) == -1).cast("bigint")).alias("d"),
+        F.sum((F.col("da") == 0).cast("bigint")).alias("ta"),
+        F.sum((F.col("db") == 0).cast("bigint")).alias("tb"),
+        F.sum(
+            ((F.col("da") == 0) & (F.col("db") == 0)).cast("bigint")
+        ).alias("tboth"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_items"),
+        "n_pairs",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("ta").alias("tie_a"),
+        F.col("tb").alias("tie_b"),
+        F.col("tboth").alias("tie_both"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("ta")).cast("double")
+                * (F.col("n_pairs") - F.col("tb")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )

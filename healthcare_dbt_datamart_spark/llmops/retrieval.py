@@ -98,3 +98,81 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    system_col: str = "system",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — combine rankings from heterogeneous retrievers (BM25 lexical,
+    ANN vector, recency, ...) without score calibration:
+
+        rrf(d) = Σ_systems 1 / (k0 + rank_system(d))
+
+    the standard hybrid-search merge (k0 = 60, the paper's constant,
+    dominates every learned fusion it was tested against). A document
+    missing from a system's list simply contributes nothing — no
+    NULL/default-rank imputation.
+
+    Exactness discipline: each term quantizes ONCE to BIGINT
+    ``scale``-units (``scale div (k0 + rank)`` — pure integer
+    division, not even a float in sight) and the fusion is an
+    associative integer SUM — bit-identical under any partitioning,
+    replayable in DuckDB verbatim. The fused ``rrf_fp`` is that exact
+    integer; ``rrf`` is the single 6dp float division at print.
+
+    Scale shape: one partial-agg groupBy on the id — per-system lists
+    are top-k slices (bounded), so this is leaderboard-sized work; at
+    corpus scale it is one shuffle of |systems|·k skinny rows.
+
+    Raises on NULL ids/ranks or non-positive ranks, and on duplicate
+    (system, id) pairs — a doc ranked twice by one system would double
+    its vote. Returns ``(id, n_systems, best_rank, rrf_fp, rrf)``
+    ordered nowhere (callers sort); ranks within the fused board come
+    from (rrf_fp DESC, id ASC)."""
+    if int(k0) < 0:
+        raise ValueError(f"k0 must be >= 0: got {k0!r}")
+    scale = int(scale)
+    r = rankings.select(
+        F.col(system_col).cast("string").alias("sys"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).cast("bigint").alias("rnk"),
+    )
+    bad = r.agg(
+        F.sum(
+            (
+                F.col("id").isNull()
+                | F.col("rnk").isNull()
+                | (F.col("rnk") < 1)
+            ).cast("bigint")
+        ).alias("nb"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("sys"), F.col("id")).alias("nd"),
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"rrf_fuse: {bad.nb} rows have a NULL id/rank or rank < 1 —"
+            " feed 1-based per-system rankings"
+        )
+    if int(bad.n or 0) != int(bad.nd or 0):
+        raise ValueError(
+            f"rrf_fuse: {int(bad.n) - int(bad.nd)} duplicate (system, id)"
+            " pairs — a doc ranked twice by one system double-counts"
+        )
+    term = F.expr(f"{scale} div (rnk + {int(k0)})")
+    return (
+        r.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+            F.min("rnk").cast("bigint").alias("best_rank"),
+            F.sum(term).cast("bigint").alias("rrf_fp"),
+        )
+        .withColumn(
+            "rrf", F.round(F.col("rrf_fp").cast("double") / F.lit(float(scale)), 6)
+        )
+    )

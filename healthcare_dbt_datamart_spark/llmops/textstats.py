@@ -1005,3 +1005,208 @@ def sparse_logreg_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit >= F.lit(t_logit)).cast("int").alias("keep"),
     )
+
+
+# Rae et al. 2021 (Gopher), Appendix A1.1: the 8 "stop words" whose
+# presence (>= 2 distinct) the quality filter requires.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_pct: int = 10,
+    max_bullet_pct: int = 90,
+    max_ellipsis_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix
+    A1.1 — the canonical heuristic battery MassiveWeb was cleaned
+    with; Dolma/RefinedWeb reuse it near-verbatim): per document,
+    every counter the rules read plus one boolean per rule plus the
+    conjunction ``keep``. Fail-as-data (the ``curation_funnel``
+    convention): rejected documents keep their row with the guilty
+    rule visible, nothing silently vanishes — a NULL/empty text scores
+    zero words and fails closed.
+
+    All-integer exactness: every rule is a BIGINT cross-multiplication
+    (``100·n_symbols ≤ pct·n_words``), never a float ratio, so the
+    report is bit-identical under any partitioning and replays in
+    DuckDB with the same expressions. Map-only: one split per doc, no
+    shuffle, scales as the scan.
+
+    Rules (paper defaults): word count in [50, 100k]; mean word length
+    in [3, 10]; symbol-to-word ratio ('#' chars + '…'/'...' marks)
+    ≤ 10%; ≤ 90% of lines start with a bullet; ≤ 30% of lines end with
+    an ellipsis; ≥ 80% of words contain an alphabetic character; ≥ 2
+    distinct Gopher stop words present."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda w: w != ""
+    )
+    lines = F.filter(
+        F.split(t, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.length(w).cast("bigint"),
+        ).alias("n_word_chars"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+            + F.floor(
+                (
+                    F.length(t)
+                    - F.length(F.replace(t, F.lit("..."), F.lit("")))
+                )
+                / F.lit(3)
+            )
+        ).cast("bigint").alias("n_symbols"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(
+                    "•", "-", "*"
+                ),
+            )
+        ).cast("bigint").alias("n_bullet_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).endswith("...")
+                | F.rtrim(ln).endswith("…"),
+            )
+        ).cast("bigint").alias("n_ellipsis_lines"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[a-z]"))
+        ).cast("bigint").alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast("bigint").alias("n_stop_kinds"),
+    )
+    nw, nl = F.col("n_words"), F.col("n_lines")
+    rules = base.select(
+        "*",
+        (
+            (nw >= F.lit(int(min_words))) & (nw <= F.lit(int(max_words)))
+        ).alias("r_word_count"),
+        (
+            (F.col("n_word_chars") >= F.lit(int(min_mean_word_len)) * nw)
+            & (F.col("n_word_chars") <= F.lit(int(max_mean_word_len)) * nw)
+            & (nw > 0)
+        ).alias("r_mean_word_len"),
+        (
+            F.lit(100) * F.col("n_symbols") <= F.lit(int(max_symbol_pct)) * nw
+        ).alias("r_symbol_ratio"),
+        (
+            F.lit(100) * F.col("n_bullet_lines")
+            <= F.lit(int(max_bullet_pct)) * nl
+        ).alias("r_bullet_lines"),
+        (
+            F.lit(100) * F.col("n_ellipsis_lines")
+            <= F.lit(int(max_ellipsis_pct)) * nl
+        ).alias("r_ellipsis_lines"),
+        (
+            F.lit(100) * F.col("n_alpha_words")
+            >= F.lit(int(min_alpha_word_pct)) * nw
+        ).alias("r_alpha_words"),
+        (F.col("n_stop_kinds") >= F.lit(int(min_stop_kinds))).alias(
+            "r_stop_words"
+        ),
+    )
+    keep = (
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet_lines")
+        & F.col("r_ellipsis_lines")
+        & F.col("r_alpha_words")
+        & F.col("r_stop_words")
+    )
+    return rules.select("*", keep.alias("keep"))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2 — the filter
+    that built the T5 corpus) as one map-only operator: keep only
+    lines that end in terminal punctuation (. ! ? ") AND carry at
+    least ``min_line_words`` words AND don't mention "javascript";
+    drop the whole page when it contains "lorem ipsum" or a curly
+    brace, or keeps fewer than ``min_sentences`` sentences (terminal
+    punctuation marks in the KEPT text).
+
+    Fail-as-data: every document keeps its row — ``keep`` false plus
+    the kept/dropped line counts and page flags say exactly why, the
+    ``gopher_rules`` accounting. ``clean_text`` is the newline-joined
+    kept lines (empty when keep is false by page flag — the audit can
+    still read the line numbers). Exact integer counts; one split per
+    doc, no shuffle; replays in DuckDB with the same list expressions."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    is_kept = (
+        lambda ln: (
+            F.rtrim(ln).rlike('[.!?"]$')
+            & (
+                F.size(
+                    F.filter(
+                        F.split(F.trim(ln), r"\s+"), lambda w: w != ""
+                    )
+                )
+                >= F.lit(int(min_line_words))
+            )
+            & ~F.lower(ln).contains("javascript")
+        )
+    )
+    kept = F.filter(lines, is_kept)
+    ktxt = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(F.regexp_replace(ktxt, r"[^.!?]", ""))
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(lines, lambda ln: F.trim(ln) != ""))
+        .cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_brace"),
+        ktxt.alias("_clean"),
+    )
+    keep = (
+        ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+        & (F.col("n_sentences") >= F.lit(int(min_sentences)))
+        & (F.col("n_kept_lines") > 0)
+    )
+    return base.select(
+        F.col(id_col),
+        "n_lines",
+        "n_kept_lines",
+        (F.col("n_lines") - F.col("n_kept_lines")).alias("n_dropped_lines"),
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        keep.alias("keep"),
+        F.when(keep, F.col("_clean")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )

@@ -3960,6 +3960,15 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(feats, ["x1", "x2"], model["weights"], "doc_id")
 
 
+# The supplier match log is a build-once artifact like the trained
+# quantizers (_QUANTIZER_CACHE): one lineitem self-join per (session,
+# sf_dir), persisted and shared by every leaderboard query — whichever
+# runs first pays the build (elo_ratings in dict order; wilson_winrate
+# reads the cache). Reuse cannot change any oracle result: the cached
+# frame is the identical deterministic plan, only materialized.
+_MATCH_LOG_CACHE: dict = {}
+
+
 def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decided supplier-vs-supplier matches from lineitem — the
     leaderboard family's natural testdata feed: within one order,
@@ -3968,6 +3977,9 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication, no division); period = order year (the
     FIDE/arena rating-period unit). This exact construction is
     pre-proven at driver shape in tests/test_round10_replays.py."""
+    hit = _MATCH_LOG_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     lx = li.select(
@@ -3979,7 +3991,7 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     a, b = lx.alias("a"), lx.alias("b")
-    return (
+    matches = (
         a.join(b, "l_orderkey")
         .filter(
             (F.col("a.supp") != F.col("b.supp"))
@@ -3998,6 +4010,11 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("period"),
         )
     )
+    from pyspark import StorageLevel
+
+    matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
+    _MATCH_LOG_CACHE[sf_dir] = (spark, matches)
+    return matches
 
 
 def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4192,7 +4209,16 @@ SCHEDULED_NEXT_WINDOW = [
 # procrustes_align (embedding-version migration), wilson_from_pairs
 # (streamed-counts board), bpe_token_counts (trained-merge token
 # budgets; replace-chain oracle), personalized_pagerank (seed-restart
-# walk; unrolled MATERIALIZED CTEs like pagerank_docs).
+# walk; unrolled MATERIALIZED CTEs like pagerank_docs). Round-9 second
+# wave (implemented + DuckDB-replay-gated in pytest, exported):
+# gopher_rules (the Rae et al. 2021 A1.1 heuristic battery —
+# all-integer cross-multiplied rules, fail-as-data rows),
+# c4_line_filter (the Raffel et al. 2020 §2.2 cleaning recipe —
+# line + page rules, clean_text reconstruction), rrf_fuse
+# (reciprocal rank fusion over BM25/ANN boards — exact integer
+# scale-div terms, no float in the fold), kendall_tau (tau-b
+# leaderboard agreement — exact BIGINT pair counts over bounded
+# model state, the spearman_rho complement).
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

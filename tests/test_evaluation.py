@@ -1880,3 +1880,166 @@ def test_nan_scores_are_dirty_rows_everywhere(spark):
         calibration_summary(dirty, "s", "y")
     with pytest.raises(ValueError, match="NULL/NaN"):
         isotonic_calibration(dirty, "s", "y")
+
+
+def test_kendall_tau_known_values_replay_and_guards(spark):
+    """Kendall tau-b: perfect agreement = 1, perfect inversion = −1,
+    the scipy-documented tie example matches the hand formula, a
+    DuckDB pairwise replay agrees bit-for-bit, layout-invariant, loud
+    guards (NaN/NULL, duplicates, bounded-model-state cap)."""
+    import duckdb
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import kendall_tau
+
+    ident = spark.createDataFrame(
+        [(f"i{k}", float(k), float(k * 2)) for k in range(8)],
+        "item string, sa double, sb double",
+    )
+    got = kendall_tau(ident, "item", "sa", "sb").collect()[0]
+    assert (got.n_items, got.n_pairs) == (8, 28)
+    assert (got.concordant, got.discordant) == (28, 0)
+    assert got.tau_b == 1.0
+
+    inv = spark.createDataFrame(
+        [(f"i{k}", float(k), float(-k)) for k in range(8)],
+        "item string, sa double, sb double",
+    )
+    assert kendall_tau(inv, "item", "sa", "sb").collect()[0].tau_b == -1.0
+
+    # ties on both sides: hand formula
+    rows = [
+        ("a", 1.0, 2.0), ("b", 1.0, 3.0), ("c", 2.0, 2.0),
+        ("d", 3.0, 1.0), ("e", 3.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "item string, sa double, sb double")
+    gt = kendall_tau(df, "item", "sa", "sb").collect()[0]
+    c = d = ta = tb = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            da = (rows[i][1] > rows[j][1]) - (rows[i][1] < rows[j][1])
+            db = (rows[i][2] > rows[j][2]) - (rows[i][2] < rows[j][2])
+            c += da * db == 1
+            d += da * db == -1
+            ta += da == 0
+            tb += db == 0
+    n0 = 10
+    want = round((c - d) / math.sqrt((n0 - ta) * (n0 - tb)), 6)
+    assert (gt.concordant, gt.discordant, gt.tie_a, gt.tie_b) == (
+        c, d, ta, tb,
+    )
+    assert gt.tau_b == want
+
+    # DuckDB replay on a 40-item quantized board (heavy ties)
+    board = [(f"m{k:02d}", float((k * 7) % 5), float((k * 3) % 4))
+             for k in range(40)]
+    bdf = spark.createDataFrame(board, "item string, sa double, sb double")
+    gb = kendall_tau(bdf, "item", "sa", "sb").collect()[0]
+    con = duckdb.connect()
+    con.register("b", bdf.toPandas())
+    o = con.execute("""
+    WITH p AS (
+      SELECT sign(x.sa - y.sa) AS da, sign(x.sb - y.sb) AS db
+      FROM b x JOIN b y ON x.item < y.item
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN da * db = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN da * db = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        CAST(SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        CAST(SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+      FROM p
+    )
+    SELECT c, d, ta, tb,
+           round((c - d) / sqrt(CAST(n0 - ta AS DOUBLE)
+             * CAST(n0 - tb AS DOUBLE)), 6) AS tau
+    FROM agg""").fetchone()
+    assert (gb.concordant, gb.discordant, gb.tie_a, gb.tie_b) == o[:4]
+    assert gb.tau_b == o[4]
+
+    # layout invariance
+    g13 = kendall_tau(bdf.repartition(13), "item", "sa", "sb").collect()[0]
+    assert tuple(g13) == tuple(gb)
+
+    # guards
+    import pytest as _pt
+    with _pt.raises(ValueError, match="NULL/NaN|NULL items"):
+        kendall_tau(
+            bdf.unionByName(spark.createDataFrame(
+                [("z", float("nan"), 1.0)],
+                "item string, sa double, sb double",
+            )),
+            "item", "sa", "sb",
+        )
+    with _pt.raises(ValueError, match="duplicate"):
+        kendall_tau(bdf.unionByName(bdf.limit(1)), "item", "sa", "sb")
+    with _pt.raises(ValueError, match="max_items"):
+        kendall_tau(bdf, "item", "sa", "sb", max_items=10)
+    with _pt.raises(ValueError, match=">= 2"):
+        kendall_tau(bdf.limit(1), "item", "sa", "sb")
+
+
+def test_rrf_fuse_integer_exactness_replay_and_guards(spark):
+    """Reciprocal rank fusion: the fused score is the exact integer
+    sum of scale div (k0 + rank) terms (bit-stable under any layout,
+    no float in the fold), a doc missing from one system contributes
+    nothing, the DuckDB replay agrees, duplicate (system, id) votes
+    and dirty ranks raise."""
+    import duckdb
+    import pytest as _pt
+
+    from healthcare_dbt_datamart_spark.llmops.retrieval import rrf_fuse
+
+    rows = [
+        ("bm25", 1, 1), ("bm25", 2, 2), ("bm25", 3, 3),
+        ("ann", 2, 1), ("ann", 1, 2), ("ann", 9, 3),
+        ("recency", 9, 1), ("recency", 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "system string, id long, rank long")
+    got = {r.id: r for r in rrf_fuse(df, k0=60).collect()}
+    s = 10**9
+    exp = {}
+    for sys_, i, rk in rows:
+        e = exp.setdefault(i, [0, 0, 10**9])
+        e[0] += 1
+        e[1] += s // (60 + rk)
+        e[2] = min(e[2], rk)
+    for i, (ns, fp, br) in exp.items():
+        assert (got[i].n_systems, got[i].rrf_fp, got[i].best_rank) == (
+            ns, fp, br,
+        )
+        assert got[i].rrf == round(fp / s, 6)
+    # doc 1 (ranks 1,2,2) outscores doc 2 (ranks 2,1) on the fused board
+    assert got[1].rrf_fp > got[2].rrf_fp > got[3].rrf_fp
+
+    # DuckDB replay
+    con = duckdb.connect()
+    con.register("r", df.toPandas())
+    o = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute("""
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+               CAST(MIN(rank) AS BIGINT) AS best_rank,
+               CAST(SUM(1000000000 // (rank + 60)) AS BIGINT) AS rrf_fp,
+               round(CAST(SUM(1000000000 // (rank + 60)) AS DOUBLE)
+                 / 1000000000, 6) AS rrf
+        FROM r GROUP BY id""").fetchall()
+    }
+    for i in got:
+        assert o[i] == (
+            got[i].n_systems, got[i].best_rank, got[i].rrf_fp, got[i].rrf,
+        )
+
+    # layout invariance
+    g13 = {r.id: tuple(r) for r in rrf_fuse(df.repartition(13)).collect()}
+    assert g13 == {r_id: tuple(r) for r_id, r in got.items()}
+
+    # guards
+    with _pt.raises(ValueError, match="duplicate"):
+        rrf_fuse(df.unionByName(df.limit(1)))
+    with _pt.raises(ValueError, match="rank < 1|NULL id"):
+        rrf_fuse(spark.createDataFrame(
+            [("s", 1, 0)], "system string, id long, rank long"
+        ))
+    with _pt.raises(ValueError, match="k0"):
+        rrf_fuse(df, k0=-1)

@@ -5404,3 +5404,174 @@ def test_token_balanced_shards_bucketed_scale_variant(spark):
         token_balanced_shards(
             docs, "text", "doc_id", n_shards=n, bucket_width=0
         )
+
+
+def test_gopher_rules_paper_battery_and_replays(spark):
+    """Gopher quality rules (Rae et al. 2021 A1.1): a clean passage
+    keeps, each rule fails on a targeted offender (too short, long
+    gibberish words, symbol spam, bullet walls, ellipsis spam,
+    non-alphabetic noise, no stop words), NULL text fails closed with
+    its row intact, all-integer counters replay in DuckDB,
+    layout-invariant."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.textstats import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and then we have "
+        "a long walk to town with plenty of words in every sentence so "
+        "the counter lands well above fifty words of normal prose and "
+        "the mean word length stays in band for this tidy paragraph of "
+        "text that reads like a page would read on the open web today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too short to pass"),
+            (3, " ".join(["pneumonoultramicroscopics"] * 60)),
+            (4, clean + " " + "#" * 60),
+            (5, "\n".join(["- bullet point item " + str(i) + " of the wall of that have list to be" for i in range(10)])),
+            (6, "\n".join([("the story trails off and we have to wait for it now... ")] * 10)),
+            (7, " ".join(["12345"] * 80)),
+            (8, " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 20)),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs, "text", "doc_id").collect()}
+    assert got[1].keep is True
+    assert got[2].keep is False and got[2].r_word_count is False
+    assert got[3].keep is False and got[3].r_mean_word_len is False
+    assert got[4].keep is False and got[4].r_symbol_ratio is False
+    assert got[5].keep is False and got[5].r_bullet_lines is False
+    assert got[6].keep is False and got[6].r_ellipsis_lines is False
+    assert got[7].keep is False and got[7].r_alpha_words is False
+    assert got[8].keep is False and got[8].r_stop_words is False
+    assert got[9].keep is False and got[9].n_words == 0  # fails closed
+
+    # DuckDB replay of every counter on the full battery
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    o = {
+        r[0]: r[1:]
+        for r in con.execute("""
+        SELECT doc_id,
+          len(w) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+            AS BIGINT) AS n_word_chars,
+          len(lns) AS n_lines,
+          (length(t) - length(replace(t, '#', '')))
+            + (length(t) - length(replace(t, '…', '')))
+            + (length(t) - length(replace(t, '...', ''))) // 3 AS n_symbols,
+          len(list_filter(lns, x -> substr(ltrim(x), 1, 1) IN ('•','-','*')))
+            AS n_bullet_lines,
+          len(list_filter(lns, x -> rtrim(x) LIKE '%...'
+            OR rtrim(x) LIKE '%…')) AS n_ellipsis_lines,
+          len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+            AS n_alpha_words,
+          len(list_intersect(list_distinct(w),
+            ['the','be','to','of','and','that','have','with']))
+            AS n_stop_kinds
+        FROM (
+          SELECT doc_id, COALESCE(text, '') AS t,
+            list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+              '\\s+'), x -> x != '') AS w,
+            list_filter(string_split(COALESCE(text, ''), chr(10)),
+              x -> trim(x) != '') AS lns
+          FROM docs
+        )""").fetchall()
+    }
+    for d, r in got.items():
+        assert o[d] == (
+            r.n_words, r.n_word_chars, r.n_lines, r.n_symbols,
+            r.n_bullet_lines, r.n_ellipsis_lines, r.n_alpha_words,
+            r.n_stop_kinds,
+        ), d
+
+    # layout invariance
+    g13 = {
+        r.doc_id: tuple(r)
+        for r in gopher_rules(docs.repartition(13), "text", "doc_id").collect()
+    }
+    assert g13 == {d: tuple(r) for d, r in got.items()}
+
+
+def test_c4_line_filter_recipe_and_replays(spark):
+    """C4 cleaning (Raffel et al. 2020 §2.2): terminal-punctuation +
+    min-words + javascript line rules, lorem-ipsum / curly-brace /
+    min-sentences page rules, clean_text reconstruction, NULL text
+    fails closed, DuckDB replay, layout invariance."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.textstats import c4_line_filter
+
+    good = (
+        "This is a fine first sentence with enough words here.\n"
+        "short line\n"
+        "Another proper sentence arrives with plenty of words too!\n"
+        "Enable javascript to view this content please and thanks.\n"
+        "A third full sentence closes out the page very nicely?\n"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "Lorem ipsum dolor sit amet is boilerplate filler text."),
+            (3, "function f() { return 1; } is code not prose at all."),
+            (4, "One sentence only lives on this page right here."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filter(docs, "text", "doc_id").collect()}
+    g1 = got[1]
+    assert g1.keep is True
+    assert g1.n_lines == 5 and g1.n_kept_lines == 3
+    assert g1.n_dropped_lines == 2  # the short line + the javascript line
+    assert g1.clean_text.count("\n") == 2
+    assert "javascript" not in g1.clean_text
+    assert got[2].keep is False and got[2].has_lorem_ipsum is True
+    assert got[3].keep is False and got[3].has_brace is True
+    assert got[4].keep is False and got[4].n_sentences < 3
+    assert got[5].keep is False and got[5].n_kept_lines == 0
+
+    # DuckDB replay of counts + flags + clean text
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    o = {
+        r[0]: r[1:]
+        for r in con.execute("""
+        SELECT doc_id,
+          len(list_filter(lns, x -> trim(x) != '')) AS n_lines,
+          len(kept) AS n_kept_lines,
+          CAST(length(regexp_replace(COALESCE(array_to_string(kept,
+            chr(10)), ''), '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+          contains(lower(t), 'lorem ipsum') AS has_lorem,
+          contains(t, '{') AS has_brace,
+          COALESCE(array_to_string(kept, chr(10)), '') AS clean
+        FROM (
+          SELECT doc_id, t, lns,
+            list_filter(lns, x -> regexp_matches(rtrim(x), '[.!?"]$')
+              AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                      y -> y != '')) >= 5
+              AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM (
+            SELECT doc_id, COALESCE(text, '') AS t,
+              string_split(COALESCE(text, ''), chr(10)) AS lns
+            FROM docs
+          )
+        )""").fetchall()
+    }
+    for d, r in got.items():
+        want_clean = o[d][5] if (
+            not o[d][3] and not o[d][4] and o[d][2] >= 3 and o[d][1] > 0
+        ) else ""
+        assert o[d][:3] == (r.n_lines, r.n_kept_lines, r.n_sentences), d
+        assert (o[d][3], o[d][4]) == (r.has_lorem_ipsum, r.has_brace), d
+        assert want_clean == r.clean_text, d
+
+    # layout invariance
+    g13 = {
+        r.doc_id: tuple(r)
+        for r in c4_line_filter(docs.repartition(13), "text", "doc_id").collect()
+    }
+    assert g13 == {d: tuple(r) for d, r in got.items()}

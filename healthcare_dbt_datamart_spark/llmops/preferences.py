@@ -1174,6 +1174,7 @@ def elo_update_period(
     k: int = 32,
     scale: int = 10**6,
     check_items: bool = True,
+    n_col: str | None = None,
 ) -> DataFrame:
     """ONE Elo rating-period update — the reusable core ``elo_ratings``
     loops over and a streaming ``foreachBatch`` twin can apply per
@@ -1206,7 +1207,15 @@ def elo_update_period(
     contract) that raises via a left-anti guard; loop drivers that
     pre-seed every item from the match log itself (``elo_ratings``,
     ``elo_merge_batch``) pass ``check_items=False`` to skip the extra
-    per-period job their construction makes redundant."""
+    per-period job their construction makes redundant.
+
+    ``n_col`` names an optional MULTIPLICITY column: a row then stands
+    for n identical (w, l) matches of the period. Within a period
+    every (w, l) pair shares one expected score (period-start ratings),
+    so Σ_matches (scale − e_fp) = n·(scale − e_fp) EXACTLY — the
+    weighted form is bit-identical to per-match rows while the period
+    relation collapses from the match log to the bounded pair-count
+    table (the ``bradley_terry`` one-join pair-build discipline)."""
     if check_items:
         items = ratings.select(F.col("item").alias("_it"))
         unknown = (
@@ -1226,12 +1235,16 @@ def elo_update_period(
     ri = ratings.select(F.col("item").alias("w"), F.col("r_fp").alias("r_w"))
     rj = ratings.select(F.col("item").alias("l"), F.col("r_fp").alias("r_l"))
     x = 400.0 * scale
+    mult = (
+        F.col(n_col).cast("long") if n_col is not None else F.lit(1).cast("long")
+    )
     contrib = (
         period_matches.join(F.broadcast(ri), "w")
         .join(F.broadcast(rj), "l")
         .select(
             "w",
             "l",
+            mult.alias("n_m"),
             F.expr(
                 f"cast(floor({scale}.0d / (1.0d + power(10.0d,"
                 f" cast(r_l - r_w as double) / {x!r}d)) + 0.5d) as bigint)"
@@ -1241,12 +1254,18 @@ def elo_update_period(
     per_item = (
         contrib.select(
             F.col("w").alias("item"),
-            (F.lit(int(scale)).cast("long") - F.col("e_fp")).alias("c"),
+            (
+                F.col("n_m")
+                * (F.lit(int(scale)).cast("long") - F.col("e_fp"))
+            ).alias("c"),
         )
         .unionByName(
             contrib.select(
                 F.col("l").alias("item"),
-                (F.col("e_fp") - F.lit(int(scale)).cast("long")).alias("c"),
+                (
+                    F.col("n_m")
+                    * (F.col("e_fp") - F.lit(int(scale)).cast("long"))
+                ).alias("c"),
             )
         )
         .groupBy("item")
@@ -1285,12 +1304,14 @@ def elo_ratings(
     within a period every expected score uses period-start ratings and
     each item updates once by ``k·Σ(actual − expected)``; periods
     apply strictly ascending. Periods are a bounded calendar
-    (days/months/arena waves — model state), collected once; matches
-    stay distributed and are scanned once per period from a persisted
-    slice-pruned frame via ``elo_update_period`` (broadcast ratings,
-    map-side partial sums, per-period lineage cuts) — no per-match
-    sequential dependency anywhere, so a 100 TB match log costs
-    |periods| partial-agg passes.
+    (days/months/arena waves — model state), collected once. Because
+    every (w, l) pair within a period shares ONE expected score, the
+    match log collapses in a single corpus aggregation pass to the
+    bounded ``(w, l, period, n)`` pair-count table and the whole loop
+    runs on THAT (weighted ``elo_update_period``: broadcast ratings,
+    map-side partial sums, per-period lineage cuts) — bit-identical to
+    per-match rows, so a 100 TB match log is scanned exactly once and
+    each round is model-state-sized work.
 
     All-integer state (BIGINT ``scale`` units, start ``initial·scale``;
     one half-up quantization per match): bit-exact under any
@@ -1327,15 +1348,29 @@ def elo_ratings(
             f"elo_ratings: {bad.nb} matches have a NULL winner, loser or"
             f" period — clean the match log first"
         )
-    m = m.filter(F.col("w") != F.col("l")).persist()
-    # bounded calendar: one distinct over the persisted match log
-    periods = sorted(r[0] for r in m.select("p").distinct().collect())
+    m = m.filter(F.col("w") != F.col("l"))
+    # ONE corpus aggregation pass: within a period every (w, l) pair
+    # shares one expected score, so the whole loop runs bit-identically
+    # on the bounded (w, l, p, n) pair-count table — a 100 TB match log
+    # is scanned once, and every Elo round is model-state-sized work
+    # (the bradley_terry one-join pair-build discipline)
+    mp = m.groupBy("w", "l", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m")
+    ).persist()
+    # bounded calendar: one distinct over the bounded pair-count table
+    periods = sorted(r[0] for r in mp.select("p").distinct().collect())
 
-    sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
-        m.select(F.col("l").alias("item"), F.lit(0).alias("win"))
+    sides = mp.select(
+        F.col("w").alias("item"), F.col("n_m").alias("n"),
+        F.col("n_m").alias("win_n"),
+    ).unionByName(
+        mp.select(
+            F.col("l").alias("item"), F.col("n_m").alias("n"),
+            F.lit(0).cast("long").alias("win_n"),
+        )
     )
     tot = sides.groupBy("item").agg(
-        F.count(F.lit(1)).alias("n_matches"), F.sum("win").alias("wins")
+        F.sum("n").alias("n_matches"), F.sum("win_n").alias("wins")
     )
     ratings = tot.select(
         "item", F.lit(int(initial) * scale).cast("long").alias("r_fp")
@@ -1345,11 +1380,11 @@ def elo_ratings(
         # log by construction (tot derives from both match sides), so
         # the per-period anti-join guard would be |periods| wasted jobs
         ratings = elo_update_period(
-            ratings, m.filter(F.col("p") == p), k=k, scale=scale,
-            check_items=False,
+            ratings, mp.filter(F.col("p") == p), k=k, scale=scale,
+            check_items=False, n_col="n_m",
         )
         ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
-    m.unpersist()
+    mp.unpersist()
     return ratings.join(tot, "item").select(
         "item",
         F.col("n_matches").cast("bigint").alias("n_matches"),

@@ -3980,7 +3980,10 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _MATCH_LOG_CACHE.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    li = load(spark, sf_dir, "lineitem")
+    # load_spread: the self-join reads lineitem twice, and the driver
+    # testdata is single-row-group parquet (one scan task) — the
+    # fan-out documented on load_spread() halves the cold build
+    li = load_spread(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     lx = li.select(
         "l_orderkey",

@@ -216,7 +216,7 @@ def auc_from_cells(
     n_bad = sum(int(r.bad) for r in rows)
     if n_bad > 0:
         raise ValueError(
-            f"roc_auc: {n_bad} rows have NULL scores or labels outside"
+            f"roc_auc: {n_bad} rows have NULL/NaN scores or labels outside"
             " {0, 1} — clean the eval relation first (silent exclusion"
             " would misreport the operating population)"
         )

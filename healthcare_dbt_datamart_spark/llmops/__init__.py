@@ -45,6 +45,7 @@ from .drift import (  # noqa: F401
 from .evaluation import (  # noqa: F401
     bleu_corpus,
     kendall_tau,
+    mcnemar_test,
     brier_decomposition,
     calibration_by_group,
     calibration_report,
@@ -54,6 +55,7 @@ from .evaluation import (  # noqa: F401
     isotonic_apply,
     isotonic_calibration,
     ndcg_at_k,
+    rbo,
     retrieval_metrics,
     roc_auc,
     roc_auc_by_group,

@@ -1595,3 +1595,202 @@ def kendall_tau(
             6,
         ).alias("tau_b"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """McNemar's test for two classifiers judged on the SAME items
+    (McNemar 1947; Dietterich 1998 names it the right test for
+    comparing classifiers on one test set) — the discordant-pair
+    complement to ``paired_bootstrap_test``: only items the systems
+    DISAGREE on carry information, so the statistic reads just the
+    2×2 contingency diagonal
+
+        chi2 = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+
+    with b = items only A got right, c = items only B got right. The
+    null (marginal homogeneity) rejects at ``alpha`` against the
+    chi-square(1) threshold — passed in as the standard table values
+    (3.841459 at 0.05, 6.634897 at 0.01, 2.705543 at 0.1), avoiding
+    any on-engine quantile function.
+
+    Exactness: one corpus fold to four exact BIGINT cells; chi2 is two
+    correctly-rounded float ops on exact integers (the
+    ``wilson_winrate`` argument), so the row is hash-exact
+    cross-engine. Rows with NULL/non-boolean outcomes raise; b = c = 0
+    (no disagreement) keeps chi2 NULL with the counts visible rather
+    than dividing by zero. Returns one row: ``(n_items, both_right,
+    only_a, only_b, both_wrong, chi2, significant)``."""
+    thresholds = {0.1: 2.705543, 0.05: 3.841459, 0.01: 6.634897}
+    crit = thresholds.get(float(alpha))
+    if crit is None:
+        raise ValueError(
+            f"alpha must be one of {sorted(thresholds)}: got {alpha!r}"
+        )
+    ca = F.col(correct_a_col).cast("int")
+    cb = F.col(correct_b_col).cast("int")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            (
+                ca.isNull() | cb.isNull()
+                | ~ca.isin(0, 1) | ~cb.isin(0, 1)
+            ).cast("bigint")
+        ).alias("nb"),
+        F.sum(((ca == 1) & (cb == 1)).cast("bigint")).alias("rr"),
+        F.sum(((ca == 1) & (cb == 0)).cast("bigint")).alias("b"),
+        F.sum(((ca == 0) & (cb == 1)).cast("bigint")).alias("c"),
+        F.sum(((ca == 0) & (cb == 0)).cast("bigint")).alias("ww"),
+    )
+    # the numerator stays in exact BIGINTs ((|b−c|−1)² as an integer
+    # product, floored at 0) — one correctly-rounded division total
+    d_num = F.greatest(
+        F.abs(F.col("b") - F.col("c")) - F.lit(1).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        F.round(
+            (d_num * d_num).cast("double")
+            / (F.col("b") + F.col("c")).cast("double"),
+            6,
+        ),
+    )
+    out = cells.select(
+        "n_items",
+        "nb",
+        F.col("rr").alias("both_right"),
+        F.col("b").alias("only_a"),
+        F.col("c").alias("only_b"),
+        F.col("ww").alias("both_wrong"),
+        chi2.alias("chi2"),
+    )
+    row_check = out.select("nb").collect()[0]
+    if int(row_check.nb or 0) > 0:
+        raise ValueError(
+            f"mcnemar_test: {row_check.nb} items have NULL or non-binary"
+            " outcomes — a paired contingency table needs both verdicts"
+            " on every item"
+        )
+    return out.select(
+        "n_items",
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        "chi2",
+        (
+            F.col("chi2").isNotNull() & (F.col("chi2") > F.lit(float(crit)))
+        ).alias("significant"),
+    )
+
+
+def rbo(
+    df: DataFrame,
+    item_col: str,
+    rank_a_col: str,
+    rank_b_col: str,
+    p_pct: int = 90,
+    max_depth: int = 1000,
+) -> DataFrame:
+    """Rank-Biased Overlap between two top-k rankings (Webber, Moffat
+    & Zobel 2010) — the top-weighted agreement number for comparing
+    retrieval systems or leaderboard revisions, where ``kendall_tau``
+    weights every pair equally and punishes tail churn the reader
+    never sees:
+
+        RBO@d = (1 − p) Σ_{i≤d} p^(i−1) · |A_1..i ∩ B_1..i| / i
+
+    (the prefix form, truncated at the evaluated depth d = the deeper
+    of the two lists — the standard RBO_min lower bound; extrapolation
+    needs an assumption about unseen tails and is deliberately not
+    baked in). ``p`` arrives as an integer percent (p_pct=90 → p=0.9,
+    the paper's "top-10 carries ~86% of the weight" setting) so the
+    signature carries no float.
+
+    Input is one row per (item, rank_a, rank_b) with NULL rank meaning
+    "not in that list"; ranks must be 1-based and unique per side.
+    Scale contract: rankings are bounded top-k lists (model state, the
+    ``kendall_tau`` argument) — ``max_depth`` raises loudly beyond the
+    documented bound. The overlap-at-depth series is ONE pass: sort
+    the union by depth, count arrivals with a cumulative window over
+    ≤ 2·depth rows, fold the weighted sum in exact driver arithmetic
+    (Fraction powers of p, one float at print). Returns one row:
+    ``(depth, n_common, rbo)``."""
+    from fractions import Fraction
+
+    if not 0 < int(p_pct) < 100:
+        raise ValueError(f"p_pct must be in (0, 100): got {p_pct!r}")
+    x = df.select(
+        F.col(item_col).alias("item"),
+        F.col(rank_a_col).cast("bigint").alias("ra"),
+        F.col(rank_b_col).cast("bigint").alias("rb"),
+    )
+    chk = x.agg(
+        F.sum(
+            (
+                F.col("item").isNull()
+                | ((F.col("ra") < 1) & F.col("ra").isNotNull())
+                | ((F.col("rb") < 1) & F.col("rb").isNotNull())
+                | (F.col("ra").isNull() & F.col("rb").isNull())
+            ).cast("bigint")
+        ).alias("nb"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("item").alias("ndi"),
+        F.count("ra").alias("na"),
+        F.count_distinct("ra").alias("nda"),
+        F.count("rb").alias("nb_"),
+        F.count_distinct("rb").alias("ndb"),
+        F.greatest(F.max("ra"), F.max("rb")).alias("depth"),
+    ).collect()[0]
+    if int(chk.nb or 0) > 0:
+        raise ValueError(
+            f"rbo: {chk.nb} rows have a NULL item, a rank < 1, or no"
+            " rank on either side — feed 1-based top-k lists"
+        )
+    if int(chk.n) != int(chk.ndi):
+        raise ValueError(
+            f"rbo: {int(chk.n) - int(chk.ndi)} duplicate items — one row"
+            " per item with both ranks"
+        )
+    if int(chk.na) != int(chk.nda) or int(chk.nb_) != int(chk.ndb):
+        raise ValueError(
+            "rbo: ranks must be unique per side — a list cannot place"
+            " two items at one position"
+        )
+    depth = int(chk.depth or 0)
+    if depth == 0:
+        raise ValueError("rbo got two empty rankings")
+    if depth > int(max_depth):
+        raise ValueError(
+            f"rbo: evaluated depth {depth} exceeds max_depth={max_depth}"
+            " — rankings are bounded top-k model state by contract"
+        )
+    # overlap series: |A_1..i ∩ B_1..i| jumps by 1 at depth
+    # max(ra, rb) for every item present in BOTH lists
+    arrivals = (
+        x.filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .select(F.greatest("ra", "rb").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )  # <= depth rows: bounded model state
+    jumps = {int(r.d): int(r.k) for r in arrivals}
+    p_frac = Fraction(int(p_pct), 100)
+    overlap = 0
+    acc = Fraction(0)
+    pw = Fraction(1)  # p^(i-1)
+    for i in range(1, depth + 1):
+        overlap += jumps.get(i, 0)
+        acc += pw * Fraction(overlap, i)
+        pw *= p_frac
+    score = (1 - p_frac) * acc
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(depth, overlap, round(float(score), 6))],
+        "depth bigint, n_common bigint, rbo double",
+    )

@@ -4221,7 +4221,11 @@ SCHEDULED_NEXT_WINDOW = [
 # (reciprocal rank fusion over BM25/ANN boards — exact integer
 # scale-div terms, no float in the fold), kendall_tau (tau-b
 # leaderboard agreement — exact BIGINT pair counts over bounded
-# model state, the spearman_rho complement).
+# model state, the spearman_rho complement), mcnemar_test
+# (Dietterich's paired-classifier significance — four exact BIGINT
+# contingency cells, table-threshold verdict), rbo (rank-biased
+# overlap, Webber et al. 2010 prefix form — top-weighted list
+# agreement over bounded top-k lists, exact-Fraction fold).
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -2043,3 +2043,159 @@ def test_rrf_fuse_integer_exactness_replay_and_guards(spark):
         ))
     with _pt.raises(ValueError, match="k0"):
         rrf_fuse(df, k0=-1)
+
+
+def test_mcnemar_test_contingency_replay_and_guards(spark):
+    """McNemar: the Dietterich-style discordant-pair statistic matches
+    the hand formula (continuity-corrected), significance reads the
+    chi-square(1) table, no-disagreement keeps a visible NULL chi2,
+    DuckDB replay agrees, dirty verdicts and unknown alpha raise."""
+    import duckdb
+    import pytest as _pt
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import mcnemar_test
+
+    # b=12 (only A right), c=2 -> chi2 = (|12-2|-1)^2/14 = 81/14
+    rows = (
+        [(1, 1)] * 30 + [(1, 0)] * 12 + [(0, 1)] * 2 + [(0, 0)] * 6
+    )
+    df = spark.createDataFrame(rows, "ca int, cb int")
+    got = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert (got.n_items, got.both_right, got.only_a, got.only_b,
+            got.both_wrong) == (50, 30, 12, 2, 6)
+    assert got.chi2 == round(81 / 14, 6)
+    assert got.significant is True  # 5.785714 > 3.841459
+
+    # balanced disagreement: chi2 small, not significant
+    bal = spark.createDataFrame(
+        [(1, 0)] * 5 + [(0, 1)] * 5 + [(1, 1)] * 10, "ca int, cb int"
+    )
+    gb = mcnemar_test(bal, "ca", "cb").collect()[0]
+    assert gb.chi2 == round(0 / 10, 6) and gb.significant is False
+
+    # perfect agreement: chi2 NULL, counts visible, not significant
+    agree = spark.createDataFrame([(1, 1)] * 4 + [(0, 0)] * 3, "ca int, cb int")
+    ga = mcnemar_test(agree, "ca", "cb").collect()[0]
+    assert ga.chi2 is None and ga.significant is False
+    assert (ga.both_right, ga.both_wrong) == (4, 3)
+
+    # DuckDB replay
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = con.execute("""
+    WITH cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) n,
+        CAST(SUM(CASE WHEN ca=1 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT) rr,
+        CAST(SUM(CASE WHEN ca=1 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT) b,
+        CAST(SUM(CASE WHEN ca=0 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT) c,
+        CAST(SUM(CASE WHEN ca=0 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT) ww
+      FROM t
+    )
+    SELECT n, rr, b, c, ww,
+      CASE WHEN b + c > 0 THEN round(
+        CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+          AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END AS chi2
+    FROM cells""").fetchone()
+    assert o == (got.n_items, got.both_right, got.only_a, got.only_b,
+                 got.both_wrong, got.chi2)
+
+    # layout invariance
+    g13 = mcnemar_test(df.repartition(13), "ca", "cb").collect()[0]
+    assert tuple(g13) == tuple(got)
+
+    # guards
+    with _pt.raises(ValueError, match="non-binary"):
+        mcnemar_test(
+            spark.createDataFrame([(1, 2)], "ca int, cb int"), "ca", "cb"
+        )
+    with _pt.raises(ValueError, match="alpha"):
+        mcnemar_test(df, "ca", "cb", alpha=0.07)
+
+
+def test_rbo_prefix_form_replay_and_guards(spark):
+    """Rank-biased overlap: identical lists score 1 at every depth,
+    disjoint lists score 0, the paper's prefix arithmetic matches an
+    exact-Fraction hand replay (top-weighting pinned: agreement at
+    rank 1 outweighs the same agreement at rank 5), missing-side rows
+    contribute nothing, guards fire (dup items, dup ranks, depth cap,
+    bad p)."""
+    from fractions import Fraction
+
+    import pytest as _pt
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import rbo
+
+    same = spark.createDataFrame(
+        [(f"d{i}", i, i) for i in range(1, 6)],
+        "item string, ra long, rb long",
+    )
+    g = rbo(same, "item", "ra", "rb").collect()[0]
+    assert (g.depth, g.n_common) == (5, 5)
+    p = Fraction(90, 100)
+    want = (1 - p) * sum(p ** (i - 1) for i in range(1, 6))
+    assert g.rbo == round(float(want), 6)
+
+    disj = spark.createDataFrame(
+        [(f"a{i}", i, None) for i in range(1, 4)]
+        + [(f"b{i}", None, i) for i in range(1, 4)],
+        "item string, ra long, rb long",
+    )
+    assert rbo(disj, "item", "ra", "rb").collect()[0].rbo == 0.0
+
+    # top-weighting: one common item at rank 1 beats one at rank 5
+    top = spark.createDataFrame(
+        [("x", 1, 1)] + [(f"a{i}", i, None) for i in range(2, 6)]
+        + [(f"b{i}", None, i) for i in range(2, 6)],
+        "item string, ra long, rb long",
+    )
+    tail = spark.createDataFrame(
+        [("x", 5, 5)] + [(f"a{i}", i, None) for i in range(1, 5)]
+        + [(f"b{i}", None, i) for i in range(1, 5)],
+        "item string, ra long, rb long",
+    )
+    r_top = rbo(top, "item", "ra", "rb").collect()[0].rbo
+    r_tail = rbo(tail, "item", "ra", "rb").collect()[0].rbo
+    assert r_top > r_tail > 0
+
+    # exact-Fraction replay on a mixed example
+    rows = [("a", 1, 2), ("b", 2, 1), ("c", 3, None), ("d", None, 3),
+            ("e", 4, 4)]
+    mixed = spark.createDataFrame(rows, "item string, ra long, rb long")
+    gm = rbo(mixed, "item", "ra", "rb").collect()[0]
+    acc, overlap = Fraction(0), 0
+    jumps = {}
+    for _, ra, rb in rows:
+        if ra is not None and rb is not None:
+            d = max(ra, rb)
+            jumps[d] = jumps.get(d, 0) + 1
+    for i in range(1, 5):
+        overlap += jumps.get(i, 0)
+        acc += p ** (i - 1) * Fraction(overlap, i)
+    assert gm.depth == 4 and gm.n_common == 3
+    assert gm.rbo == round(float((1 - p) * acc), 6)
+
+    # layout invariance
+    g13 = rbo(mixed.repartition(13), "item", "ra", "rb").collect()[0]
+    assert tuple(g13) == tuple(gm)
+
+    # guards
+    with _pt.raises(ValueError, match="duplicate items"):
+        rbo(same.unionByName(same.limit(1)), "item", "ra", "rb")
+    with _pt.raises(ValueError, match="unique per side"):
+        rbo(
+            spark.createDataFrame(
+                [("a", 1, 1), ("b", 1, 2)], "item string, ra long, rb long"
+            ),
+            "item", "ra", "rb",
+        )
+    with _pt.raises(ValueError, match="max_depth"):
+        rbo(same, "item", "ra", "rb", max_depth=3)
+    with _pt.raises(ValueError, match="p_pct"):
+        rbo(same, "item", "ra", "rb", p_pct=100)
+    with _pt.raises(ValueError, match="no"):
+        rbo(
+            spark.createDataFrame(
+                [("a", None, None)], "item string, ra long, rb long"
+            ),
+            "item", "ra", "rb",
+        )

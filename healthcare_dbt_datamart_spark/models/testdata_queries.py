@@ -4205,7 +4205,11 @@ SCHEDULED_NEXT_WINDOW = [
 # statement at driver shape in tests/test_round10_replays.py),
 # unimax_allocation (one-window integer water-filling),
 # conformal_report (order-stat threshold + coverage; NaN-guarded),
-# vocab_richness (Chao1 + quantized Zipf slope), bradley_terry_ties
+# vocab_richness (Chao1 + quantized Zipf slope) — these three plus
+# personalized_pagerank are PRE-PROVEN hash-green at driver shape in
+# tests/test_round11_replays.py (the elo/wilson convention): with
+# leaderboard_gate that is a ready-made round-11 cohort.
+# bradley_terry_ties
 # (Rao-Kupper MM), brier_decomposition / isotonic_calibration+apply
 # (bounded-cell Fraction folds), sparse_logreg /
 # hashed_ngram_features (the fastText classifier shape),

@@ -134,6 +134,7 @@ from .splits import (  # noqa: F401
     curriculum_phases,
     curriculum_report,
     domain_concentration,
+    leakage_safe_split,
     stratified_sample,
     temperature_rebalance,
     temperature_weights,

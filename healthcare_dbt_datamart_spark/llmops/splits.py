@@ -73,6 +73,96 @@ def assign_splits(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), split_col(text_col).alias("split"))
 
 
+def _split_from_hash(h: Column) -> Column:
+    d = F.substring(h, 1, 1)
+    return (
+        F.when(d.isin(*TRAIN_DIGITS), F.lit("train"))
+        .when(d.isin(*VAL_DIGITS), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_shingle: int = 3,
+    components: DataFrame | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Split assignment where near-duplicate CLUSTER members share a
+    split — the PREVENTION twin of ``split_contamination`` (which only
+    detects the leaks after the fact): run the MinHash→LSH→Jaccard
+    near-dup pipeline, connect the verified pairs into components, and
+    key every member's split on the cluster's MINIMUM content
+    fingerprint instead of its own. By construction
+    ``split_contamination`` over the resulting assignment is EMPTY at
+    the same threshold — a near-dup of a training document can never
+    land in eval.
+
+    The key degenerates exactly: a document in no cluster keys on its
+    own ``md5(text)``, so singleton assignments are bit-identical to
+    ``assign_splits`` — adopting the leakage-safe split only MOVES
+    clustered documents. Keying on the cluster-min fingerprint (not
+    the representative's id) keeps the content-determinism contract:
+    re-ingesting the same texts anywhere reproduces the same splits.
+
+    ``components`` short-circuits the pair pipeline when the caller
+    already materialized a cluster table (``near_dup_components``
+    output: (doc_id, component)); otherwise it is computed here. Scale
+    shape: the banding shuffle the dedup path already pays + one
+    min-aggregation over cluster members + one equi-join of the
+    (cluster → key) map back onto the clustered rows — both keyed on
+    the component, sized by the dup population (AQE broadcasts when it
+    is small; at corpus scale it shuffles on the component key like
+    any dedup join).
+
+    Returns ``(id, component, split)`` — ``component`` NULL for
+    singletons, one row per input document (nothing vanishes)."""
+    if components is None:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes=8, n_shingle=n_shingle
+        )
+        pairs = candidate_pairs(
+            lsh_band_buckets(sigs, id_col, 8, 2), id_col
+        )
+        verified = jaccard_pairs(
+            pairs, df, text_col, id_col, threshold, n_shingle
+        )
+        from .dedup import near_dup_components
+
+        components = near_dup_components(
+            verified.select("id_a", "id_b"), max_iter=max_iter
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    labeled = base.join(
+        components.select(
+            F.col("doc_id").alias("id"), F.col("component")
+        ),
+        "id",
+        "left",
+    )
+    # cluster-min fingerprint: the shared split key; singletons keep
+    # their own fp (min over a one-element group), so their split is
+    # exactly assign_splits'
+    rep = (
+        labeled.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("_fp").alias("_rep_fp"))
+    )
+    keyed = labeled.join(rep, "component", "left").select(
+        "id",
+        "component",
+        _split_from_hash(F.coalesce(F.col("_rep_fp"), F.col("_fp"))).alias(
+            "split"
+        ),
+    )
+    return keyed
+
+
 def split_contamination(
     df: DataFrame,
     text_col: str,

@@ -4229,7 +4229,12 @@ SCHEDULED_NEXT_WINDOW = [
 # (Dietterich's paired-classifier significance — four exact BIGINT
 # contingency cells, table-threshold verdict), rbo (rank-biased
 # overlap, Webber et al. 2010 prefix form — top-weighted list
-# agreement over bounded top-k lists, exact-Fraction fold).
+# agreement over bounded top-k lists, exact-Fraction fold),
+# leakage_safe_split (the PREVENTION twin of split_contamination:
+# near-dup cluster members share a split keyed on the cluster-min
+# content fingerprint; detector-empty by construction — composes the
+# driver-green near_dup_clusters oracle with the hash_split case, so
+# directly oracle-able).
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -5575,3 +5575,97 @@ def test_c4_line_filter_recipe_and_replays(spark):
         for r in c4_line_filter(docs.repartition(13), "text", "doc_id").collect()
     }
     assert g13 == {d: tuple(r) for d, r in got.items()}
+
+
+def test_leakage_safe_split_prevents_contamination(spark):
+    """The prevention twin of split_contamination: cluster members
+    share a split keyed on the cluster-min content fingerprint,
+    singletons are bit-identical to assign_splits, the detector over
+    the safe assignment is empty BY CONSTRUCTION on the real sf0.001
+    documents, every document keeps a row, DuckDB replay of the key
+    rule, layout invariance."""
+    import duckdb
+
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        assign_splits,
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = leakage_safe_split(docs, "text", "doc_id")
+    rows = got.collect()
+    assert len(rows) == docs.count()  # nothing vanishes
+
+    by_comp: dict = {}
+    singles, comp_of = {}, {}
+    for r in rows:
+        if r.component is not None:
+            by_comp.setdefault(r.component, set()).add(r.split)
+            comp_of[r.id] = r.component
+        else:
+            singles[r.id] = r.split
+    assert by_comp, "sf0.001 documents must contain near-dup clusters"
+    # every cluster agrees on one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    # singletons == the plain content-hash assignment
+    plain = {
+        r.doc_id: r.split for r in assign_splits(docs, "text", "doc_id").collect()
+    }
+    assert singles == {i: plain[i] for i in singles}
+
+    # by construction: no verified near-dup pair straddles splits
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(pairs, docs, "text", "doc_id", 0.4, 3)
+    safe = {r.id: r.split for r in rows}
+    leaks = [
+        (p.id_a, p.id_b)
+        for p in verified.collect()
+        if safe[p.id_a] != safe[p.id_b]
+    ]
+    assert leaks == []
+
+    # DuckDB replay of the key rule for the clustered docs: split digit
+    # comes from the cluster-min md5(text)
+    con = duckdb.connect()
+    con.register(
+        "m", spark.createDataFrame(
+            [(i, c) for i, c in comp_of.items()], "id long, component long"
+        ).toPandas(),
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute("""
+        WITH fp AS (
+          SELECT m.id, m.component, md5(d.text) AS f
+          FROM m JOIN documents d ON d.doc_id = m.id
+        ),
+        rep AS (SELECT component, MIN(f) AS rf FROM fp GROUP BY 1)
+        SELECT fp.id,
+          CASE WHEN substr(rep.rf, 1, 1) IN ('0','1','2','3','4','5','6',
+            '7','8','9','a','b') THEN 'train'
+          WHEN substr(rep.rf, 1, 1) IN ('c','d') THEN 'val'
+          ELSE 'test' END AS split
+        FROM fp JOIN rep USING (component)""").fetchall()
+    }
+    assert oracle == {i: safe[i] for i in comp_of}
+
+    # layout invariance
+    g13 = {
+        r.id: (r.component, r.split)
+        for r in leakage_safe_split(
+            docs.repartition(13), "text", "doc_id"
+        ).collect()
+    }
+    assert g13 == {r.id: (r.component, r.split) for r in rows}

@@ -4234,7 +4234,11 @@ SCHEDULED_NEXT_WINDOW = [
 # near-dup cluster members share a split keyed on the cluster-min
 # content fingerprint; detector-empty by construction — composes the
 # driver-green near_dup_clusters oracle with the hash_split case, so
-# directly oracle-able).
+# directly oracle-able). Of the wave, rrf_fuse (BM25+ANN hybrid
+# board), kendall_tau (BT-vs-Elo leaderboard agreement — the oracle
+# composes the two proven rating replays), gopher_rules, and
+# mcnemar_test are PRE-PROVEN hash-green at driver shape in
+# tests/test_round12_replays.py.
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

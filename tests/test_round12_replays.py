@@ -1,0 +1,355 @@
+"""Driver-SHAPE DuckDB oracle replays for the round-12 queue leaders.
+
+Third file in the pre-proof convention (test_round10_replays.py proved
+the elo/wilson cohort before its promotion; test_round11_replays.py the
+unimax/conformal/vocab/ppr cohort): each test builds the future
+``queries()`` body AND its ``oracle_sql()`` twin at the exact input
+shape the promoted query will use, over the REAL sf0.001 parquet, and
+compares with the driver gate's fingerprint. Cohort here: the round-9
+second wave — rrf_fuse (BM25+ANN hybrid board), kendall_tau (BT-vs-Elo
+leaderboard agreement), gopher_rules (the quality battery over
+documents), mcnemar_test (paired classifier comparison).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _compare(spark_df, oracle_sql, tables=("documents",)):
+    import duckdb
+
+    from tools.check_correctness import frame_fingerprint
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        res = con.execute(oracle_sql)
+        d_cols = [c[0] for c in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    sc, sn, sh = frame_fingerprint(s_cols, s_rows)
+    dc, dn, dh = frame_fingerprint(d_cols, d_rows)
+    assert sn > 0, "empty Spark result voids the replay"
+    assert sc == dc, f"schema {sc} vs oracle {dc}"
+    assert sn == dn, f"rows {sn} vs oracle {dn}"
+    assert sh == dh, "value-hash mismatch vs DuckDB oracle"
+
+
+def test_rrf_fuse_driver_shape_duckdb_replay(spark):
+    """Hybrid retrieval at the future query shape: fuse the driver-green
+    BM25 board (top-15 for 'filter join spark') with the ANN cosine
+    board (top-10 vs vec_id 0, vec_id ≡ doc_id) — integer scale-div
+    terms, fused board ranked by (rrf_fp DESC, id ASC)."""
+    from healthcare_dbt_datamart_spark.llmops.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from healthcare_dbt_datamart_spark.llmops.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    b = bm25_topk(docs, ["filter", "join", "spark"], k=15)
+    a = cosine_topk(emb, query_id=0, k=10)
+    rankings = b.select(
+        F.lit("bm25").alias("system"),
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    ).unionByName(
+        a.select(
+            F.lit("ann").alias("system"),
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            )
+            .alias("rank"),
+        )
+    )
+    out = rrf_fuse(rankings).withColumn(
+        "rank_fused",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_fp").desc(), F.col("id").asc()))
+        .cast("bigint"),
+    )
+
+    from healthcare_dbt_datamart_spark.models.testdata_queries import ORACLE
+
+    sql = f"""
+WITH bm AS ({ORACLE["bm25_topk"]}),
+ann AS ({ORACLE["cosine_topk"]}),
+u AS (
+  SELECT 'bm25' AS sys, doc_id AS id,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm
+  UNION ALL
+  SELECT 'ann', vec_id,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+  FROM ann
+),
+f AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+    CAST(MIN(r) AS BIGINT) AS best_rank,
+    CAST(SUM(1000000000 // (r + 60)) AS BIGINT) AS rrf_fp,
+    round(CAST(SUM(1000000000 // (r + 60)) AS DOUBLE) / 1000000000.0, 6)
+      AS rrf
+  FROM u GROUP BY id
+)
+SELECT *, CAST(row_number() OVER (ORDER BY rrf_fp DESC, id ASC) AS BIGINT)
+  AS rank_fused
+FROM f
+"""
+    _compare(out, sql, tables=("documents", "embeddings"))
+
+
+def test_kendall_tau_driver_shape_duckdb_replay(spark):
+    """Leaderboard agreement at the future query shape: tau-b between
+    the Bradley-Terry and Elo ratings of the supplier match log — the
+    list-level number behind the release gate's tops_agree boolean.
+    The oracle composes the two PROVEN rating replays (3 unrolled BT
+    MM rounds, per-period unrolled Elo) with an exact sign-pair fold."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import kendall_tau
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry,
+        elo_ratings,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _MATCH_CTE,
+        _supplier_matches,
+    )
+
+    m = _supplier_matches(spark, SF_DIR)
+    bt = bradley_terry(m, n_iter=3).select(
+        "item", F.col("rating_fp").alias("bt")
+    )
+    elo = elo_ratings(m, k=16).select(
+        "item", F.col("rating_fp").alias("elo")
+    )
+    out = kendall_tau(bt.join(elo, "item"), "item", "bt", "elo")
+
+    s2 = 10**12
+    sql = "WITH " + _MATCH_CTE + """,
+pc AS MATERIALIZED (
+  SELECT w AS i, l AS j, CAST(2 * COUNT(*) + 1 AS BIGINT) AS w2
+  FROM m GROUP BY 1, 2
+),
+obs AS (SELECT i, j FROM pc UNION SELECT j, i FROM pc),
+bth AS MATERIALIZED (
+  SELECT obs.i, obs.j, COALESCE(pc.w2, 1) AS w2
+  FROM obs LEFT JOIN pc ON pc.i = obs.i AND pc.j = obs.j
+),
+pairs AS MATERIALIZED (
+  SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+  FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+),
+wt AS MATERIALIZED (
+  SELECT i, CAST(SUM(w2) AS BIGINT) AS wins2 FROM pairs GROUP BY 1
+),
+bt0 AS MATERIALIZED (
+  SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt
+)"""
+    for r in range(3):
+        sql += f""",
+btd{r} AS MATERIALIZED (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST({s2} AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN bt{r} ri ON ri.id = pairs.i
+             JOIN bt{r} rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+bt{r + 1} AS MATERIALIZED (
+  SELECT btd{r}.i AS id,
+         CAST((wins2 * CAST({s2} AS BIGINT)) // D AS BIGINT) AS p
+  FROM btd{r} JOIN wt ON wt.i = btd{r}.i
+)"""
+    sql += """,
+er0 AS MATERIALIZED (
+  SELECT item, CAST(1000000000 AS BIGINT) AS r_fp FROM tot
+)"""
+    years = list(range(1995, 2002))
+    for idx, per in enumerate(years):
+        sql += f""",
+ec{idx} AS MATERIALIZED (
+  SELECT item, CAST(SUM(c) AS BIGINT) AS C FROM (
+    SELECT w AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+    UNION ALL
+    SELECT l,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+  ) GROUP BY item
+),
+er{idx + 1} AS MATERIALIZED (
+  SELECT r.item, CAST(r.r_fp + 16 * COALESCE(c.C, 0) AS BIGINT) AS r_fp
+  FROM er{idx} r LEFT JOIN ec{idx} c USING (item)
+)"""
+    sql += f""",
+board AS MATERIALIZED (
+  SELECT bt3.id AS item, CAST(bt3.p AS DOUBLE) AS sa,
+         CAST(er{len(years)}.r_fp AS DOUBLE) AS sb
+  FROM bt3 JOIN er{len(years)} ON er{len(years)}.item = bt3.id
+),
+p AS (
+  SELECT sign(x.sa - y.sa) AS da, sign(x.sb - y.sb) AS db
+  FROM board x JOIN board y ON x.item < y.item
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN da * db = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN da * db = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    CAST(SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+    CAST(SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+    CAST(SUM(CASE WHEN da = 0 AND db = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tboth
+  FROM p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM board) AS n_items,
+  n0 AS n_pairs, c AS concordant, d AS discordant,
+  ta AS tie_a, tb AS tie_b, tboth AS tie_both,
+  round((c - d) / sqrt(CAST(n0 - ta AS DOUBLE)
+    * CAST(n0 - tb AS DOUBLE)), 6) AS tau_b
+FROM agg"""
+    _compare(out, sql, tables=("lineitem", "orders"))
+
+
+def test_gopher_rules_driver_shape_duckdb_replay(spark):
+    """The Gopher battery at the future query shape: every counter and
+    rule boolean over the real documents table (no bullets/symbols in
+    the synthetic corpus — those counters replay as exact zeros, the
+    word/stopword/alpha rules carry the variation)."""
+    from healthcare_dbt_datamart_spark.llmops.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = gopher_rules(docs, "text", "doc_id")
+
+    sql = """
+WITH base AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+      AS BIGINT) AS n_word_chars,
+    len(lns) AS n_lines,
+    (length(t) - length(replace(t, '#', '')))
+      + (length(t) - length(replace(t, '…', '')))
+      + (length(t) - length(replace(t, '...', ''))) // 3 AS n_symbols,
+    len(list_filter(lns, x -> substr(ltrim(x), 1, 1) IN ('•','-','*')))
+      AS n_bullet_lines,
+    len(list_filter(lns, x -> rtrim(x) LIKE '%...'
+      OR rtrim(x) LIKE '%…')) AS n_ellipsis_lines,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+    len(list_intersect(list_distinct(w),
+      ['the','be','to','of','and','that','have','with'])) AS n_stop_kinds
+  FROM (
+    SELECT doc_id, COALESCE(text, '') AS t,
+      list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+        '\\s+'), x -> x != '') AS w,
+      list_filter(string_split(COALESCE(text, ''), chr(10)),
+        x -> trim(x) != '') AS lns
+    FROM documents
+  )
+),
+rules AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words, n_word_chars,
+    CAST(n_lines AS BIGINT) AS n_lines, CAST(n_symbols AS BIGINT) AS n_symbols,
+    CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+    CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+    CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+    CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+    (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+      AND n_words > 0) AS r_mean_word_len,
+    (100 * n_symbols <= 10 * n_words) AS r_symbol_ratio,
+    (100 * n_bullet_lines <= 90 * n_lines) AS r_bullet_lines,
+    (100 * n_ellipsis_lines <= 30 * n_lines) AS r_ellipsis_lines,
+    (100 * n_alpha_words >= 80 * n_words) AS r_alpha_words,
+    (n_stop_kinds >= 2) AS r_stop_words
+  FROM base
+)
+SELECT *,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words) AS keep
+FROM rules
+"""
+    _compare(out, sql)
+
+
+def test_mcnemar_driver_shape_duckdb_replay(spark):
+    """Paired classifier comparison at the future query shape: a
+    length-threshold classifier vs a token-budget classifier judged on
+    lang='en' over documents — one exact contingency fold, replayed."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import mcnemar_test
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    judged = docs.select(
+        ((F.col("n_chars") >= 250) == (F.col("lang") == "en"))
+        .cast("int").alias("ca"),
+        (
+            (
+                F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                >= 40
+            )
+            == (F.col("lang") == "en")
+        ).cast("int").alias("cb"),
+    )
+    out = mcnemar_test(judged, "ca", "cb")
+
+    sql = """
+WITH j AS (
+  SELECT CAST((n_chars >= 250) = (lang = 'en') AS INT) AS ca,
+    CAST((len(string_split_regex(lower(trim(text)), '\\s+')) >= 40)
+      = (lang = 'en') AS INT) AS cb
+  FROM documents
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CASE WHEN ca=1 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_right,
+    CAST(SUM(CASE WHEN ca=1 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN ca=0 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN ca=0 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_wrong
+  FROM j
+)
+SELECT n_items, both_right, b AS only_a, c AS only_b, both_wrong,
+  CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END AS chi2,
+  (CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END) IS NOT NULL
+  AND (CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END) > 3.841459
+    AS significant
+FROM cells
+"""
+    _compare(out, sql)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-v"]))

@@ -1514,8 +1514,11 @@ def kendall_tau(
     documented bound rather than letting a corpus-sized relation in;
     corpus-scale rank agreement belongs to ``spearman_rho``, whose
     rank-sum form needs no pair relation. NULL scores/items and
-    duplicate items raise. Returns one row: ``(n_items, n_pairs,
-    concordant, discordant, tie_a, tie_b, tie_both, tau_b)``."""
+    duplicate items raise. A CONSTANT side (every pair tied on it)
+    carries no order information, so ``tau_b`` is NULL with the tie
+    counts visible — not a divide-by-zero (hypothesis-caught edge).
+    Returns one row: ``(n_items, n_pairs, concordant, discordant,
+    tie_a, tie_b, tie_both, tau_b)``."""
     x = df.select(
         F.col(item_col).cast("string").alias("item"),
         F.col(a_col).cast("double").alias("sa"),
@@ -1586,13 +1589,17 @@ def kendall_tau(
         F.col("ta").alias("tie_a"),
         F.col("tb").alias("tie_b"),
         F.col("tboth").alias("tie_both"),
-        F.round(
-            (F.col("c") - F.col("d")).cast("double")
-            / F.sqrt(
-                (F.col("n_pairs") - F.col("ta")).cast("double")
-                * (F.col("n_pairs") - F.col("tb")).cast("double")
+        F.when(
+            (F.col("n_pairs") > F.col("ta"))
+            & (F.col("n_pairs") > F.col("tb")),
+            F.round(
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (F.col("n_pairs") - F.col("ta")).cast("double")
+                    * (F.col("n_pairs") - F.col("tb")).cast("double")
+                ),
+                6,
             ),
-            6,
         ).alias("tau_b"),
     )
 

@@ -2199,3 +2199,65 @@ def test_rbo_prefix_form_replay_and_guards(spark):
             ),
             "item", "ra", "rb",
         )
+
+
+from hypothesis import given as _e_given, settings as _e_settings
+from hypothesis import strategies as _e_st
+
+
+@_e_settings(max_examples=6, deadline=None, derandomize=True)
+@_e_given(
+    n=_e_st.integers(min_value=2, max_value=12),
+    n_sys=_e_st.integers(min_value=1, max_value=4),
+    k0=_e_st.integers(min_value=0, max_value=90),
+)
+def test_rrf_fuse_conservation_property(spark, n, n_sys, k0):
+    """Property: the fused integer mass is CONSERVED — Σ_ids rrf_fp =
+    Σ_systems Σ_ranks scale div (k0 + r) — and every per-id value
+    equals the pure-Python fold, for any board sizes and k0."""
+    from healthcare_dbt_datamart_spark.llmops.retrieval import rrf_fuse
+
+    rows = []
+    for s in range(n_sys):
+        # each system ranks a rotated subset: id = (rank + s) mod n
+        for r in range(1, n + 1):
+            rows.append((f"sys{s}", (r + s) % n, r))
+    df = spark.createDataFrame(rows, "system string, id long, rank long")
+    got = {r.id: r.rrf_fp for r in rrf_fuse(df, k0=k0).collect()}
+    scale = 10**9
+    exp: dict = {}
+    for _, i, r in rows:
+        exp[i] = exp.get(i, 0) + scale // (k0 + r)
+    assert got == exp
+    assert sum(got.values()) == n_sys * sum(
+        scale // (k0 + r) for r in range(1, n + 1)
+    )
+
+
+@_e_settings(max_examples=6, deadline=None, derandomize=True)
+@_e_given(
+    scores=_e_st.lists(
+        _e_st.tuples(
+            _e_st.integers(min_value=0, max_value=4),
+            _e_st.integers(min_value=0, max_value=3),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_kendall_tau_pair_identity_property(spark, scores):
+    """Property: n_pairs = C + D + tie_a + tie_b − tie_both (every
+    pair is concordant, discordant, or tied on at least one side) and
+    tau_b ∈ [−1, 1], for any quantized score board."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import kendall_tau
+
+    df = spark.createDataFrame(
+        [(f"i{k}", float(a), float(b)) for k, (a, b) in enumerate(scores)],
+        "item string, sa double, sb double",
+    )
+    g = kendall_tau(df, "item", "sa", "sb").collect()[0]
+    assert g.n_pairs == (
+        g.concordant + g.discordant + g.tie_a + g.tie_b - g.tie_both
+    )
+    if g.tau_b is not None:
+        assert -1.0 <= g.tau_b <= 1.0

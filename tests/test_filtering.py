@@ -5669,3 +5669,50 @@ def test_leakage_safe_split_prevents_contamination(spark):
         ).collect()
     }
     assert g13 == {r.id: (r.component, r.split) for r in rows}
+
+
+from hypothesis import given as _g9, settings as _s9
+from hypothesis import strategies as _st9
+
+
+@_s9(max_examples=6, deadline=None, derandomize=True)
+@_g9(
+    words=_st9.lists(
+        _st9.sampled_from(
+            ["the", "be", "to", "of", "fox", "12", "##", "run", "x"]
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_gopher_rules_counter_reference_property(spark, words):
+    """Property: every Gopher counter equals a pure-Python reference
+    on arbitrary word soups (incl. the empty document)."""
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    g = gopher_rules(df, "text", "doc_id").collect()[0]
+    ws = [w for w in text.lower().strip().split() if w]
+    assert g.n_words == len(ws)
+    assert g.n_word_chars == sum(len(w) for w in ws)
+    assert g.n_alpha_words == sum(
+        1 for w in ws if any("a" <= c <= "z" for c in w)
+    )
+    assert g.n_stop_kinds == len(set(ws) & set(GOPHER_STOPWORDS))
+    assert g.n_symbols == text.count("#") + text.count("…") + (
+        len(text) - len(text.replace("...", ""))
+    ) // 3
+    assert g.keep == (
+        50 <= g.n_words <= 100_000
+        and g.n_words > 0
+        and 3 * g.n_words <= g.n_word_chars <= 10 * g.n_words
+        and 100 * g.n_symbols <= 10 * g.n_words
+        and 100 * g.n_bullet_lines <= 90 * g.n_lines
+        and 100 * g.n_ellipsis_lines <= 30 * g.n_lines
+        and 100 * g.n_alpha_words >= 80 * g.n_words
+        and g.n_stop_kinds >= 2
+    )

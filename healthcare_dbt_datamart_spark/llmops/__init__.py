@@ -45,6 +45,7 @@ from .drift import (  # noqa: F401
 from .evaluation import (  # noqa: F401
     bleu_corpus,
     kendall_tau,
+    mcnemar_report_from_counts,
     mcnemar_test,
     brier_decomposition,
     calibration_by_group,

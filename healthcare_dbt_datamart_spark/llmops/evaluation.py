@@ -1604,6 +1604,69 @@ def kendall_tau(
     )
 
 
+MCNEMAR_THRESHOLDS = {0.1: 2.705543, 0.05: 3.841459, 0.01: 6.634897}
+
+
+def _contingency_cells(
+    df: DataFrame, correct_a_col: str, correct_b_col: str
+) -> DataFrame:
+    """One-row exact-BIGINT 2×2 contingency fold ``(rr, b, c, ww,
+    bad)`` — shared by the batch ``mcnemar_test`` and the streamed
+    cell maintenance (cells are associative sums, so micro-batch
+    folds SUM-merge into the identical table)."""
+    ca = F.col(correct_a_col).cast("int")
+    cb = F.col(correct_b_col).cast("int")
+    return df.agg(
+        F.sum(
+            (
+                ca.isNull() | cb.isNull()
+                | ~ca.isin(0, 1) | ~cb.isin(0, 1)
+            ).cast("bigint")
+        ).alias("bad"),
+        F.sum(((ca == 1) & (cb == 1)).cast("bigint")).alias("rr"),
+        F.sum(((ca == 1) & (cb == 0)).cast("bigint")).alias("b"),
+        F.sum(((ca == 0) & (cb == 1)).cast("bigint")).alias("c"),
+        F.sum(((ca == 0) & (cb == 0)).cast("bigint")).alias("ww"),
+    ).select(
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("rr", "b", "c", "ww", "bad")]
+    )
+
+
+def mcnemar_report_from_counts(
+    spark, rr: int, b: int, c: int, ww: int, alpha: float = 0.05
+) -> DataFrame:
+    """The McNemar report row from exact contingency counts — the
+    arithmetic half ``mcnemar_test`` and the streamed
+    ``mcnemar_from_cells`` share, so streamed == batch BY CONSTRUCTION
+    on merged cells."""
+    crit = MCNEMAR_THRESHOLDS.get(float(alpha))
+    if crit is None:
+        raise ValueError(
+            f"alpha must be one of {sorted(MCNEMAR_THRESHOLDS)}:"
+            f" got {alpha!r}"
+        )
+    import math
+
+    rr, b, c, ww = int(rr), int(b), int(c), int(ww)
+    d = max(abs(b - c) - 1, 0)
+    # HALF-UP at 6dp (floor(x·1e6 + 0.5)) — the same rounding class as
+    # the batch operator's in-plan F.round, so streamed == batch on
+    # identical counts (Python's bankers' round() would differ at ties)
+    chi2 = (
+        math.floor((d * d) / (b + c) * 10**6 + 0.5) / 10**6
+        if b + c > 0
+        else None
+    )
+    sig = chi2 is not None and chi2 > float(crit)
+    return spark.createDataFrame(
+        [(rr + b + c + ww, rr, b, c, ww, chi2, sig)],
+        "n_items bigint, both_right bigint, only_a bigint,"
+        " only_b bigint, both_wrong bigint, chi2 double,"
+        " significant boolean",
+    )
+
+
 def mcnemar_test(
     df: DataFrame,
     correct_a_col: str,

@@ -323,3 +323,112 @@ def conformal_from_cells(
         [(n_cal, int(k), round(q_fp / int(scale), 6))],
         "n_cal bigint, k bigint, threshold double",
     )
+
+
+_MCN_SCHEMA = (
+    "kind string, rr bigint, b bigint, c bigint, ww bigint, bad bigint"
+)
+_MCN_COLS = ["rr", "b", "c", "ww", "bad"]
+
+
+def mcnemar_cells_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    batch_cells: DataFrame,
+    batch_id: int,
+) -> bool:
+    """Merge one micro-batch's 2×2 contingency fold (``llmops.
+    evaluation._contingency_cells`` output) into ``target_table`` —
+    the ``auc_cells_merge_batch`` ledger discipline at its smallest:
+    the whole state is ONE cell row of five associative BIGINTs plus
+    the ``(kind='meta', rr = last applied batch id)`` marker, so
+    replays are idempotent and a crash between write and commit
+    re-merges nothing twice."""
+    from ..operators.materialize import materialize_table
+
+    cells = batch_cells.select(
+        F.lit("cell").alias("kind"),
+        *[F.col(c).cast("bigint") for c in _MCN_COLS],
+    )
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("kind") == "meta").select("rr").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        merged = (
+            cur.filter(F.col("kind") == "cell")
+            .unionByName(cells)
+            .groupBy("kind")
+            .agg(*[F.sum(c).alias(c) for c in _MCN_COLS])
+        )
+    else:
+        merged = cells
+    meta = spark.createDataFrame(
+        [("meta", int(batch_id), 0, 0, 0, 0)], _MCN_SCHEMA
+    )
+    materialize_table(spark, target_table, merged.unionByName(meta))
+    return True
+
+
+def streaming_mcnemar_ingest(
+    stream: DataFrame,
+    target_table: str,
+    correct_a_col: str,
+    correct_b_col: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain the paired-classifier contingency table over a live
+    judged stream — the ``streaming_auc_ingest`` twin for A/B model
+    comparison: each micro-batch folds to its own five-integer cell
+    row and sum-merges. Read the live verdict any time with
+    ``mcnemar_from_cells`` — identical to running ``mcnemar_test``
+    over everything ingested so far (the cells are associative sums,
+    so merge order cannot matter)."""
+    from ..llmops.evaluation import _contingency_cells
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = _contingency_cells(batch_df, correct_a_col, correct_b_col)
+        mcnemar_cells_merge_batch(
+            batch_df.sparkSession, target_table, cells, batch_id
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mcnemar_from_cells(
+    spark: SparkSession, target_table: str, alpha: float = 0.05
+) -> DataFrame:
+    """The McNemar report off the streamed contingency table —
+    batch-parity with ``mcnemar_test`` over everything ingested.
+    Dirty ingests RAISE exactly like the batch operator (a paired
+    contingency table with holes misreports both classifiers)."""
+    from ..llmops.evaluation import mcnemar_report_from_counts
+
+    row = (
+        spark.table(target_table)
+        .filter(F.col("kind") == "cell")
+        .collect()
+    )
+    if len(row) != 1:
+        raise ValueError(
+            f"mcnemar_from_cells: expected exactly one cell row in"
+            f" {target_table!r}, found {len(row)} — ingest first"
+        )
+    r = row[0]
+    if int(r.bad) > 0:
+        raise ValueError(
+            f"mcnemar_test: {r.bad} items have NULL or non-binary"
+            " outcomes — a paired contingency table needs both verdicts"
+            " on every item"
+        )
+    return mcnemar_report_from_counts(
+        spark, r.rr, r.b, r.c, r.ww, alpha=alpha
+    )

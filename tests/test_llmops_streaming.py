@@ -3515,3 +3515,81 @@ def test_wilson_from_streamed_pair_counts_matches_batch(spark):
         for r in wilson_from_pairs(spark.table("wfp_t")).collect()
     }
     assert got == expected
+
+
+def test_streaming_mcnemar_ingest_matches_batch_and_guards(spark, tmp_path):
+    """Streamed paired-classifier maintenance: the SUM-merged
+    five-integer contingency cell reproduces batch mcnemar_test
+    field-for-field over everything ingested, the kind='meta' ledger
+    makes replayed batch ids no-ops, and a dirty ingest makes the
+    read-back raise exactly like the batch operator."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _contingency_cells,
+        mcnemar_test,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        mcnemar_cells_merge_batch,
+        mcnemar_from_cells,
+        streaming_mcnemar_ingest,
+    )
+
+    rows = [
+        (i, 1 if (i * 7) % 10 < 6 else 0, 1 if (i * 3) % 10 < 5 else 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "seq long, ca int, cb int")
+    expected = mcnemar_test(df, "ca", "cb").collect()[0]
+
+    src = tmp_path / "mcn_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("seq") % 3 == part).write.mode("overwrite").parquet(
+            str(src / f"b{part}")
+        )
+    spark.sql("DROP TABLE IF EXISTS mcn_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_mcnemar_ingest(
+        stream, "mcn_stream_t", "ca", "cb",
+        checkpoint_dir=str(tmp_path / "mcn_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = mcnemar_from_cells(spark, "mcn_stream_t").collect()[0]
+    assert tuple(got) == tuple(expected)  # field-for-field batch parity
+
+    # replayed batch id is a no-op (exactly-once ledger)
+    mark = [
+        r.rr for r in spark.table("mcn_stream_t")
+        .filter(F.col("kind") == "meta").collect()
+    ][0]
+    cells = _contingency_cells(df, "ca", "cb")
+    assert mcnemar_cells_merge_batch(
+        spark, "mcn_stream_t", cells, int(mark)
+    ) is False
+    assert tuple(
+        mcnemar_from_cells(spark, "mcn_stream_t").collect()[0]
+    ) == tuple(expected)
+
+    # a NEW batch merges: doubling every count keeps chi2's scale-free
+    # significance direction readable and the counts exact
+    assert mcnemar_cells_merge_batch(
+        spark, "mcn_stream_t", cells, int(mark) + 1
+    ) is True
+    doubled = mcnemar_from_cells(spark, "mcn_stream_t").collect()[0]
+    assert doubled.n_items == 2 * expected.n_items
+    assert doubled.only_a == 2 * expected.only_a
+
+    # dirty ingest -> read-back raises like batch
+    dirty = spark.createDataFrame([(999, 2, 1)], "seq long, ca int, cb int")
+    assert mcnemar_cells_merge_batch(
+        spark, "mcn_stream_t", _contingency_cells(dirty, "ca", "cb"),
+        int(mark) + 2,
+    ) is True
+    with pytest.raises(ValueError, match="non-binary"):
+        mcnemar_from_cells(spark, "mcn_stream_t")
+    spark.sql("DROP TABLE IF EXISTS mcn_stream_t")

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     jaccard_pairs,
     line_dedup,
     lsh_band_buckets,
+    lsh_plan,
     minhash_signatures,
     simhash16,
     source_overlap_kmv,

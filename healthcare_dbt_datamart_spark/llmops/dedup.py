@@ -810,3 +810,80 @@ def line_dedup(
             ).cast("bigint").alias("chars_removed"),
         )
     )
+
+
+def lsh_plan(
+    spark,
+    threshold_pct: int,
+    num_hashes: int,
+    n_points: int = 9,
+) -> "DataFrame":
+    """MinHash-LSH parameter planner (Leskovec/Rajaraman/Ullman, MMDS
+    ch. 3 S-curve analysis) — pick (bands, rows) BEFORE paying the
+    banding shuffle: for every factorization b·r = num_hashes, the
+    probability a pair at Jaccard s collides in ≥ 1 band is
+
+        P(s) = 1 − (1 − s^r)^b,    curve threshold ≈ (1/b)^(1/r)
+
+    One row per (b, r) with the curve threshold, the collision
+    probability AT the target, and a probe grid of P(s) below/above it
+    (how sharp the candidate filter is — recall at threshold+0.1 vs
+    false-candidate rate at threshold−0.1). Rank 1 = the factorization
+    whose curve threshold sits closest under the target (the
+    standard "catch everything at or above t" choice).
+
+    Exactness: ``threshold_pct`` is an integer percent (no float in
+    the signature); probabilities are pure driver arithmetic on that
+    exact rational, emitted at 6dp — deterministic, trivially
+    SQL-replayable, zero cluster work (bounded model math, like the
+    quantizer caches). Raises on a non-factorable ``num_hashes`` only
+    when literally prime... every integer ≥ 1 has the (1, n) and
+    (n, 1) factorizations, so the plan always exists."""
+    from fractions import Fraction
+
+    if not 0 < int(threshold_pct) < 100:
+        raise ValueError(
+            f"threshold_pct must be in (0, 100): got {threshold_pct!r}"
+        )
+    if int(num_hashes) < 1:
+        raise ValueError(f"num_hashes must be >= 1: got {num_hashes!r}")
+    t = Fraction(int(threshold_pct), 100)
+    rows_out = []
+    for b in range(1, int(num_hashes) + 1):
+        if num_hashes % b != 0:
+            continue
+        r = num_hashes // b
+        curve_t = (1.0 / b) ** (1.0 / r)
+        p_at = 1 - (1 - float(t) ** r) ** b
+        lo = max(float(t) - 0.1, 0.0)
+        hi = min(float(t) + 0.1, 1.0)
+        p_lo = 1 - (1 - lo**r) ** b
+        p_hi = 1 - (1 - hi**r) ** b
+        rows_out.append(
+            (
+                b,
+                r,
+                round(curve_t, 6),
+                round(p_at, 6),
+                round(p_lo, 6),
+                round(p_hi, 6),
+            )
+        )
+    # rank: curve threshold closest UNDER the target first (catch
+    # everything >= t), then the sharper (larger r) plan
+    under = sorted(
+        (x for x in rows_out if x[2] <= float(t)),
+        key=lambda x: (-x[2], -x[1]),
+    )
+    over = sorted(
+        (x for x in rows_out if x[2] > float(t)),
+        key=lambda x: (x[2], -x[1]),
+    )
+    ranked = [
+        (i + 1, *x) for i, x in enumerate(under + over)
+    ]
+    return spark.createDataFrame(
+        ranked,
+        "rank int, bands int, rows_per_band int, curve_threshold double,"
+        " p_at_target double, p_below double, p_above double",
+    )

@@ -5716,3 +5716,46 @@ def test_gopher_rules_counter_reference_property(spark, words):
         and 100 * g.n_alpha_words >= 80 * g.n_words
         and g.n_stop_kinds >= 2
     )
+
+
+def test_lsh_plan_s_curve_and_consistency(spark):
+    """LSH planner: every factorization of num_hashes appears once,
+    P(s) matches the closed form (incl. the repo's own 8-hash/4-band
+    default: curve threshold (1/4)^(1/2) = 0.5), rank 1 sits closest
+    under the target, the S-curve is monotone (p_below <= p_at <=
+    p_above), and guards fire."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.dedup import lsh_plan
+
+    got = {r.bands: r for r in lsh_plan(spark, 40, 8).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    for b, r in ((1, 8), (2, 4), (4, 2), (8, 1)):
+        row = got[b]
+        assert row.rows_per_band == r
+        assert row.curve_threshold == round((1 / b) ** (1 / r), 6)
+        assert row.p_at_target == round(1 - (1 - 0.4**r) ** b, 6)
+        assert row.p_below <= row.p_at_target <= row.p_above
+    # the repo's near-dup default (8 hashes, 4 bands x 2 rows) has its
+    # curve threshold at 0.5 — the documented "Jaccard >= 0.4 with
+    # verify-after" operating point
+    assert got[4].curve_threshold == 0.5
+    # rank 1 = closest curve threshold at or under the 0.4 target
+    best = min(
+        (r for r in got.values() if r.curve_threshold <= 0.4),
+        key=lambda r: -r.curve_threshold,
+    )
+    assert [r for r in got.values() if r.rank == 1][0].bands == best.bands
+
+    # pure-math replay at another shape
+    for r in lsh_plan(spark, 70, 12).collect():
+        b, rr = r.bands, r.rows_per_band
+        assert b * rr == 12
+        assert r.p_at_target == round(1 - (1 - 0.7**rr) ** b, 6)
+        assert r.curve_threshold == round(math.pow(1 / b, 1 / rr), 6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold_pct"):
+        lsh_plan(spark, 0, 8)
+    with _pt.raises(ValueError, match="num_hashes"):
+        lsh_plan(spark, 40, 0)

@@ -4238,7 +4238,11 @@ SCHEDULED_NEXT_WINDOW = [
 # board), kendall_tau (BT-vs-Elo leaderboard agreement — the oracle
 # composes the two proven rating replays), gopher_rules, and
 # mcnemar_test are PRE-PROVEN hash-green at driver shape in
-# tests/test_round12_replays.py.
+# tests/test_round12_replays.py — as are rbo (exact-vs-IVF top-10
+# agreement, composing the two proven board oracles) and
+# leakage_safe_split (full per-doc assignment, composing the
+# recursive-closure component oracle with the cluster-min-fp rule):
+# six pre-proven round-12 candidates.
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

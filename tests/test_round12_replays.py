@@ -353,3 +353,114 @@ FROM cells
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))
+
+
+def test_rbo_driver_shape_duckdb_replay(spark):
+    """RBO at the future query shape: top-weighted agreement between
+    the EXACT cosine top-10 and the IVF(nprobe=2) top-10 for the same
+    query — the list-level number behind an ANN release's recall gate.
+    The oracle composes the two PROVEN board oracles (incl. the
+    unrolled Lloyd fit) with the prefix-form overlap series."""
+    from pyspark.sql.window import Window as W
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import rbo
+    from healthcare_dbt_datamart_spark.llmops.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import ORACLE
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, query_id=0, k=10).select(
+        F.col("vec_id").alias("item"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("ra"),
+    )
+    approx = ivf_topk(
+        emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2
+    ).select(
+        F.col("vec_id").alias("item"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("rb"),
+    )
+    both = exact.join(approx, "item", "full_outer")
+    out = rbo(both, "item", "ra", "rb")
+
+    sql = f"""
+WITH ex AS ({ORACLE["cosine_topk"]}),
+ap AS ({ORACLE["ivf_topk"]}),
+ra AS (
+  SELECT vec_id AS item,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ex
+),
+rb AS (
+  SELECT vec_id AS item,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ap
+),
+j AS (
+  SELECT COALESCE(ra.item, rb.item) AS item, ra.r AS r1, rb.r AS r2
+  FROM ra FULL OUTER JOIN rb ON ra.item = rb.item
+),
+dep AS (
+  SELECT CAST(GREATEST(MAX(r1), MAX(r2)) AS BIGINT) AS d FROM j
+),
+series AS (SELECT unnest(range(1, (SELECT d FROM dep) + 1)) + 0 AS i),
+ov AS (
+  SELECT s.i, CAST(COUNT(j.item) AS BIGINT) AS o
+  FROM series s LEFT JOIN j
+    ON j.r1 IS NOT NULL AND j.r2 IS NOT NULL
+    AND GREATEST(j.r1, j.r2) <= s.i
+  GROUP BY s.i
+)
+SELECT (SELECT d FROM dep) AS depth,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+    WHERE r1 IS NOT NULL AND r2 IS NOT NULL) AS n_common,
+  round((1 - 0.9) * SUM(pow(0.9, i - 1) * o / i), 6) AS rbo
+FROM ov
+"""
+    _compare(out, sql, tables=("embeddings",))
+
+
+def test_leakage_safe_split_driver_shape_duckdb_replay(spark):
+    """Leakage-safe splits at the future query shape: the full
+    per-document (id, component, split) assignment over documents —
+    the oracle composes the PROVEN recursive-closure component oracle
+    with the cluster-min-fingerprint split rule."""
+    from healthcare_dbt_datamart_spark.llmops.splits import (
+        leakage_safe_split,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import ORACLE
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = leakage_safe_split(docs, "text", "doc_id")
+
+    sql = f"""
+WITH comp AS ({ORACLE["near_dup_clusters"]}),
+fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+rep AS (
+  SELECT comp.component, MIN(fp.f) AS rf
+  FROM comp JOIN fp ON fp.doc_id = comp.doc_id
+  GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id AS id, comp.component,
+    COALESCE(rep.rf, fp.f) AS kf
+  FROM documents d
+  JOIN fp ON fp.doc_id = d.doc_id
+  LEFT JOIN comp ON comp.doc_id = d.doc_id
+  LEFT JOIN rep ON rep.component = comp.component
+)
+SELECT id, component,
+  CASE WHEN substr(kf, 1, 1) IN ('0','1','2','3','4','5','6','7','8',
+    '9','a','b') THEN 'train'
+  WHEN substr(kf, 1, 1) IN ('c','d') THEN 'val'
+  ELSE 'test' END AS split
+FROM keyed
+"""
+    _compare(out, sql)

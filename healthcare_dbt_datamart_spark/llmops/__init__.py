@@ -143,6 +143,7 @@ from .splits import (  # noqa: F401
     temperature_weights_from_counts,
     unimax_allocation,
     weighted_sample,
+    winsorize_scores,
 )
 from .textstats import (  # noqa: F401
     c4_line_filter,

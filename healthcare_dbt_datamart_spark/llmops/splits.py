@@ -722,3 +722,91 @@ def domain_concentration(
         "n_domains bigint, total bigint, gini double, top1_share double,"
         " top10_share double, entropy double",
     )
+
+
+def winsorize_scores(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    grp_col: str | None = None,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Per-group winsorization at exact ceil-rank order statistics —
+    the robust-normalization step before score-driven mixture math
+    (temperature/DoReMi weights, quality thresholds): a handful of
+    outlier scores otherwise owns the tail arithmetic. Bounds are the
+    ceil-rank percentile convention the bootstrap family pins,
+
+        rank(p) = max(ceil(n·p/100), 1)-th smallest (ties → id order)
+
+    — REAL data values, never interpolation (nothing to disagree on
+    cross-engine), computed with integer arithmetic
+    ``(n·p + 99) div 100``. Values outside [lo, hi] clamp; the bounds
+    and a ``clipped`` flag stay visible per row (fail-as-data: the
+    audit can count exactly what moved).
+
+    Scale shape: one rank window + one count window PARTITIONED BY the
+    group (never global), one bounded per-group bounds aggregate, one
+    join back keyed on the group — the ``length_buckets`` class. With
+    ``grp_col=None`` the whole relation is one group: a single-
+    partition window, the documented ``token_balanced_shards`` trade —
+    pass a group for corpus-scale use. NULL/NaN values raise (a
+    clamped NaN would silently become a real bound). Returns
+    ``(<grp>, id, value, lo, hi, value_w, clipped)``."""
+    from pyspark.sql.window import Window
+
+    if not (0 <= int(lo_pct) < int(hi_pct) <= 100):
+        raise ValueError(
+            f"need 0 <= lo_pct < hi_pct <= 100: got {lo_pct!r}, {hi_pct!r}"
+        )
+    v = F.col(value_col).cast("double")
+    x = df.select(
+        *([F.col(grp_col).alias("grp")] if grp_col else [F.lit(0).alias("grp")]),
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+    )
+    bad = x.agg(
+        F.sum(
+            (F.col("v").isNull() | F.isnan("v")).cast("bigint")
+        ).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"winsorize_scores: {bad.nb} rows have NULL/NaN"
+            f" {value_col!r} — clamping them would fabricate bounds"
+        )
+    wr = Window.partitionBy("grp").orderBy(
+        F.col("v").asc(), F.col("id").asc()
+    )
+    wn = Window.partitionBy("grp")
+    ranked = x.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    lo_rank = F.greatest(
+        F.expr(f"(_n * {int(lo_pct)} + 99) div 100"), F.lit(1).cast("long")
+    )
+    hi_rank = F.greatest(
+        F.expr(f"(_n * {int(hi_pct)} + 99) div 100"), F.lit(1).cast("long")
+    )
+    bounds = (
+        ranked.groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("_r") == lo_rank, F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("_r") == hi_rank, F.col("v"))).alias("hi"),
+        )
+    )
+    out = ranked.join(bounds, "grp").select(
+        *([F.col("grp").alias(grp_col)] if grp_col else []),
+        "id",
+        F.col("v").alias("value"),
+        "lo",
+        "hi",
+        F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo")).alias(
+            "value_w"
+        ),
+        ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+    return out

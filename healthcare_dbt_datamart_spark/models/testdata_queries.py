@@ -4242,7 +4242,12 @@ SCHEDULED_NEXT_WINDOW = [
 # agreement, composing the two proven board oracles) and
 # leakage_safe_split (full per-doc assignment, composing the
 # recursive-closure component oracle with the cluster-min-fp rule):
-# six pre-proven round-12 candidates.
+# six pre-proven round-12 candidates. Also implemented + replay-
+# gated: winsorize_scores (per-group robust clamping at exact
+# ceil-rank order statistics — real data values, no interpolation, so
+# nothing can disagree cross-engine), lsh_plan (the bands/rows S-curve
+# planner), streaming_mcnemar_ingest/mcnemar_from_cells (the streamed
+# paired-eval twin under the exactly-once ledger).
 
 QUERIES = {
     # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===

@@ -5759,3 +5759,107 @@ def test_lsh_plan_s_curve_and_consistency(spark):
         lsh_plan(spark, 0, 8)
     with _pt.raises(ValueError, match="num_hashes"):
         lsh_plan(spark, 40, 0)
+
+
+def test_winsorize_scores_order_stat_bounds_and_replays(spark):
+    """Winsorization: bounds are exact ceil-rank order statistics
+    (real data values, no interpolation), clamping and the clipped
+    flag match a pure-Python reference per group, DuckDB replay,
+    ungrouped mode works, NaN raises, layout invariance."""
+    import math
+
+    import duckdb
+    import pytest as _pt
+
+    from healthcare_dbt_datamart_spark.llmops.splits import winsorize_scores
+
+    rows = [
+        (f"g{i % 3}", i, float(((i * 37) % 100) - (500 if i == 7 else 0)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = {
+        (r.grp, r.id): (r.lo, r.hi, r.value_w, r.clipped)
+        for r in winsorize_scores(
+            df, "v", "id", grp_col="grp", lo_pct=5, hi_pct=95
+        ).collect()
+    }
+
+    # pure-Python reference
+    byg: dict = {}
+    for g, i, v in rows:
+        byg.setdefault(g, []).append((v, i))
+    exp = {}
+    for g, vals in byg.items():
+        s = sorted(vals)
+        n = len(s)
+        lo = s[max(math.ceil(n * 5 / 100), 1) - 1][0]
+        hi = s[max(math.ceil(n * 95 / 100), 1) - 1][0]
+        for v, i in vals:
+            w = min(max(v, lo), hi)
+            exp[(g, i)] = (lo, hi, w, v < lo or v > hi)
+    assert got == exp
+    # at 5% the 20-row group's low bound IS its minimum (ceil-rank 1),
+    # so the planted outlier only clips once lo_pct reaches rank 2:
+    tight = {
+        (r.grp, r.id): r.clipped
+        for r in winsorize_scores(
+            df, "v", "id", grp_col="grp", lo_pct=10, hi_pct=95
+        ).collect()
+    }
+    assert tight[("g1", 7)] is True
+
+    # DuckDB replay
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    o = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute("""
+        WITH ranked AS (
+          SELECT grp, id, v,
+            row_number() OVER (PARTITION BY grp ORDER BY v ASC, id ASC)
+              AS r,
+            COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM t
+        ),
+        bounds AS (
+          SELECT grp,
+            MIN(CASE WHEN r = GREATEST((n * 5 + 99) // 100, 1)
+              THEN v END) AS lo,
+            MIN(CASE WHEN r = GREATEST((n * 95 + 99) // 100, 1)
+              THEN v END) AS hi
+          FROM ranked GROUP BY grp
+        )
+        SELECT t.grp, t.id, b.lo, b.hi,
+          GREATEST(LEAST(t.v, b.hi), b.lo) AS vw,
+          (t.v < b.lo OR t.v > b.hi) AS clipped
+        FROM t JOIN bounds b USING (grp)""").fetchall()
+    }
+    assert o == got
+
+    # ungrouped mode: one global bound pair
+    g1 = winsorize_scores(df, "v", "id", lo_pct=10, hi_pct=90).collect()
+    assert len({(r.lo, r.hi) for r in g1}) == 1
+
+    # layout invariance
+    g13 = {
+        (r.grp, r.id): (r.lo, r.hi, r.value_w, r.clipped)
+        for r in winsorize_scores(
+            df.repartition(13), "v", "id", grp_col="grp", lo_pct=5,
+            hi_pct=95,
+        ).collect()
+    }
+    assert g13 == got
+
+    # guards
+    with _pt.raises(ValueError, match="NULL/NaN"):
+        winsorize_scores(
+            df.unionByName(
+                spark.createDataFrame(
+                    [("g0", 999, float("nan"))], "grp string, id long, v double"
+                )
+            ),
+            "v", "id", grp_col="grp",
+        )
+    with _pt.raises(ValueError, match="lo_pct"):
+        winsorize_scores(df, "v", "id", lo_pct=50, hi_pct=50)

@@ -146,7 +146,8 @@ def rrf_fuse(
     bad = r.agg(
         F.sum(
             (
-                F.col("id").isNull()
+                F.col("sys").isNull()
+                | F.col("id").isNull()
                 | F.col("rnk").isNull()
                 | (F.col("rnk") < 1)
             ).cast("bigint")
@@ -156,8 +157,8 @@ def rrf_fuse(
     ).collect()[0]
     if int(bad.nb or 0) > 0:
         raise ValueError(
-            f"rrf_fuse: {bad.nb} rows have a NULL id/rank or rank < 1 —"
-            " feed 1-based per-system rankings"
+            f"rrf_fuse: {bad.nb} rows have a NULL system/id/rank or"
+            " rank < 1 — feed 1-based per-system rankings"
         )
     if int(bad.n or 0) != int(bad.nd or 0):
         raise ValueError(

@@ -1151,8 +1151,10 @@ def c4_line_filter(
     lines that end in terminal punctuation (. ! ? ") AND carry at
     least ``min_line_words`` words AND don't mention "javascript";
     drop the whole page when it contains "lorem ipsum" or a curly
-    brace, or keeps fewer than ``min_sentences`` sentences (terminal
-    punctuation marks in the KEPT text).
+    brace, or keeps fewer than ``min_sentences`` sentences —
+    approximated as the COUNT of sentence-punctuation characters
+    (. ! ?) in the kept text, the standard cheap proxy (an abbreviation
+    dot counts; real sentence segmentation is a model, not a filter).
 
     Fail-as-data: every document keeps its row — ``keep`` false plus
     the kept/dropped line counts and page flags say exactly why, the

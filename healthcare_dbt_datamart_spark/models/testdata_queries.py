@@ -4166,8 +4166,9 @@ SCHEDULED_NEXT_WINDOW = [
 # zorder stays pytest-level by nature: its observable is parquet
 # footers, not a result hash — the footer test IS its strongest gate.
 # ROUND-10 window arithmetic (inventory 171, cycle ceil(171/50) = 4):
-# the 6 scheduled above lead + the 40 unsettled round-7 greens (age 4
-# = cycle at round-10 judging — they MUST re-enter) + 4 settled-tier
+# the 6 scheduled above lead + the 40 unsettled round-7 greens (age
+# hits 4 = cycle at ROUND-11 judging, so they MUST ride the round-10
+# window to re-green in time) + 4 settled-tier
 # fillers (the remaining round-5 leftovers: date_spine_orders,
 # listagg_nations, set_except, set_intersect — age 5 of allowance 8)
 # = 50 exactly. The 10 settled round-7 greens (age 3 of 8) and the 11

@@ -2261,3 +2261,17 @@ def test_kendall_tau_pair_identity_property(spark, scores):
     )
     if g.tau_b is not None:
         assert -1.0 <= g.tau_b <= 1.0
+
+
+def test_rrf_fuse_null_system_raises_cleanly(spark):
+    """A NULL system id is a dirty ranking row, not a 'duplicate
+    (system, id)' artifact of count_distinct skipping NULL groups."""
+    import pytest as _pt
+
+    from healthcare_dbt_datamart_spark.llmops.retrieval import rrf_fuse
+
+    df = spark.createDataFrame(
+        [("bm25", 1, 1), (None, 2, 1)], "system string, id long, rank long"
+    )
+    with _pt.raises(ValueError, match="NULL system"):
+        rrf_fuse(df)

@@ -464,3 +464,40 @@ SELECT id, component,
 FROM keyed
 """
     _compare(out, sql)
+
+
+def test_winsorize_scores_driver_shape_duckdb_replay(spark):
+    """Winsorization at the future query shape: per-language document
+    lengths clamped at the exact 5th/95th ceil-rank order statistics —
+    window SQL replays every output column."""
+    from healthcare_dbt_datamart_spark.llmops.splits import winsorize_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("len_d")
+    )
+    out = winsorize_scores(
+        docs, "len_d", "doc_id", grp_col="lang", lo_pct=5, hi_pct=95
+    )
+
+    sql = """
+WITH t AS (
+  SELECT lang, doc_id AS id, CAST(n_chars AS DOUBLE) AS v FROM documents
+),
+ranked AS (
+  SELECT lang, id, v,
+    row_number() OVER (PARTITION BY lang ORDER BY v ASC, id ASC) AS r,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+),
+bounds AS (
+  SELECT lang,
+    MIN(CASE WHEN r = GREATEST((n * 5 + 99) // 100, 1) THEN v END) AS lo,
+    MIN(CASE WHEN r = GREATEST((n * 95 + 99) // 100, 1) THEN v END) AS hi
+  FROM ranked GROUP BY lang
+)
+SELECT t.lang, t.id, t.v AS value, b.lo, b.hi,
+  GREATEST(LEAST(t.v, b.hi), b.lo) AS value_w,
+  (t.v < b.lo OR t.v > b.hi) AS clipped
+FROM t JOIN bounds b USING (lang)
+"""
+    _compare(out, sql)

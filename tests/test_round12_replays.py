@@ -501,3 +501,95 @@ SELECT t.lang, t.id, t.v AS value, b.lo, b.hi,
 FROM t JOIN bounds b USING (lang)
 """
     _compare(out, sql)
+
+
+def test_c4_line_filter_driver_shape_duckdb_replay(spark):
+    """C4 cleaning at the future query shape: the synthetic documents
+    corpus carries no newlines, so the query builds a deterministic
+    line-shaped text from each doc (content slices + terminal
+    punctuation + a javascript line on doc_id % 7 and a brace poison
+    on doc_id % 13) — both engines replicate the construction exactly,
+    and the line/page rules all fire somewhere in the corpus."""
+    from healthcare_dbt_datamart_spark.llmops.textstats import c4_line_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nl = F.lit("\n")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            nl,
+            F.concat(
+                F.substring("text", 61, 15),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(
+                    F.lit("")
+                ),
+            ),
+            nl,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("Enable javascript to view this content please."),
+            ).otherwise(
+                F.lit(
+                    "Another proper sentence arrives with plenty of words."
+                )
+            ),
+            nl,
+            F.concat(F.substring("text", 76, 60), F.lit("?")),
+        ).alias("text"),
+    )
+    out = c4_line_filter(lined, "text", "doc_id", min_sentences=2)
+
+    sql = """
+WITH lined AS (
+  SELECT doc_id,
+    substr(text, 1, 60) || '.' || chr(10)
+    || substr(text, 61, 15)
+    || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END || chr(10)
+    || CASE WHEN doc_id % 7 = 0
+       THEN 'Enable javascript to view this content please.'
+       ELSE 'Another proper sentence arrives with plenty of words.' END
+    || chr(10)
+    || substr(text, 76, 60) || '?' AS t
+  FROM documents
+),
+split AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lns FROM lined
+),
+kept AS (
+  SELECT doc_id, t, lns,
+    list_filter(lns, x -> regexp_matches(rtrim(x), '[.!?"]$')
+      AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+              y -> y != '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS k
+  FROM split
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(lns, x -> trim(x) != '')) AS BIGINT) AS n_lines,
+    CAST(len(k) AS BIGINT) AS n_kept_lines,
+    CAST(length(regexp_replace(COALESCE(array_to_string(k, chr(10)), ''),
+      '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+    contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(t, '{') AS has_brace,
+    COALESCE(array_to_string(k, chr(10)), '') AS clean
+  FROM kept
+)
+SELECT doc_id,
+  n_lines, n_kept_lines,
+  n_lines - n_kept_lines AS n_dropped_lines,
+  n_sentences, has_lorem_ipsum, has_brace,
+  (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 2
+   AND n_kept_lines > 0) AS keep,
+  CASE WHEN (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 2
+   AND n_kept_lines > 0) THEN clean ELSE '' END AS clean_text
+FROM base
+"""
+    _compare(out, sql)
+    # the rules all fire somewhere: brace pages dropped, javascript
+    # lines removed from kept pages, the rest keep
+    rows = out.collect()
+    assert any(r.has_brace for r in rows)
+    assert any(not r.keep for r in rows)
+    assert any(r.keep for r in rows)
+    assert all("javascript" not in r.clean_text for r in rows)

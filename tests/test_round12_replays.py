@@ -593,3 +593,48 @@ FROM base
     assert any(not r.keep for r in rows)
     assert any(r.keep for r in rows)
     assert all("javascript" not in r.clean_text for r in rows)
+
+
+def test_lsh_plan_driver_shape_duckdb_replay(spark):
+    """The LSH planner at driver shape (pure bounded math — the oracle
+    generates the factorizations and the S-curve arithmetic in SQL):
+    threshold 40%, 8 hashes — the repo's own near-dup operating
+    point."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import lsh_plan
+
+    out = lsh_plan(spark, 40, 8)
+
+    sql = """
+WITH f AS (
+  SELECT CAST(b AS INTEGER) AS bands, CAST(8 // b AS INTEGER)
+    AS rows_per_band
+  FROM (SELECT unnest(range(1, 9)) AS b) WHERE 8 % b = 0
+),
+curves AS (
+  SELECT bands, rows_per_band,
+    round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS curve_threshold,
+    round(1 - pow(1 - pow(0.4, rows_per_band), bands), 6) AS p_at_target,
+    round(1 - pow(1 - pow(0.4 - 0.1, rows_per_band), bands), 6) AS p_below,
+    round(1 - pow(1 - pow(0.4 + 0.1, rows_per_band), bands), 6) AS p_above
+  FROM f
+),
+under AS (
+  SELECT *, row_number() OVER (ORDER BY curve_threshold DESC,
+    rows_per_band DESC) AS rk
+  FROM curves WHERE curve_threshold <= 0.4
+),
+over_ AS (
+  SELECT *, (SELECT COUNT(*) FROM under)
+    + row_number() OVER (ORDER BY curve_threshold ASC,
+      rows_per_band DESC) AS rk
+  FROM curves WHERE curve_threshold > 0.4
+)
+SELECT CAST(rk AS INTEGER) AS rank, bands, rows_per_band,
+  curve_threshold, p_at_target, p_below, p_above
+FROM under
+UNION ALL
+SELECT CAST(rk AS INTEGER), bands, rows_per_band,
+  curve_threshold, p_at_target, p_below, p_above
+FROM over_
+"""
+    _compare(out, sql)

@@ -4136,46 +4136,191 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- round-10 promotion cohort (SCHEDULED_NEXT_WINDOW) ----------------------
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (llmops/splits.py::unimax_allocation —
+    Chung et al. 2023 water-filling) over per-language character
+    budgets: budget = corpus_total // 3 at max_epochs 2, so the fill
+    is MIXED capped/uncapped at every SF (the cap prefix grows with
+    the language skew, not the scale). The budget scalar is collected
+    bounded driver state (one integer — the seed-collect convention);
+    the oracle computes the same integer in-SQL. Body + closed-form
+    window oracle pre-proven hash-green at driver shape in
+    tests/test_round11_replays.py."""
+    from ..llmops.splits import unimax_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("lang").alias("grp")).agg(
+        F.sum("n_chars").cast("bigint").alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens")).collect()[0][0]
+    return unimax_allocation(counts, budget=int(total) // 3, max_epochs=2)
+
+
+def q_conformal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage gate (llmops/evaluation.py::
+    conformal_report — Vovk/Angelopoulos&Bates): calibration = the
+    doc_id % 5 == 0 slice scored by n_chars/1000, eval = the rest,
+    alpha = 0.25 (exactly dyadic — ceil((n+1)(1−alpha)) is the same
+    integer in exact-rational and double arithmetic). Order-stat
+    threshold + coverage replay as cumulative-count SQL over the
+    bounded quantized-score cell table. Pre-proven at driver shape in
+    tests/test_round11_replays.py."""
+    from ..llmops.evaluation import conformal_report
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / F.lit(1000.0)).alias("s")
+    )
+    cal = docs.filter(F.col("doc_id") % 5 == 0)
+    ev = docs.filter(F.col("doc_id") % 5 != 0)
+    return conformal_report(cal, ev, "s", alpha=0.25)
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary diagnostics (llmops/textstats.py::
+    vocab_richness): V/N/f1/f2 integer folds, the Chao1 closed form,
+    and the quantized-integer Zipf rank-frequency slope over the top
+    200 types (HUGEINT-safe combination — the overflow caught by the
+    pre-proof). Pre-proven at driver shape in
+    tests/test_round11_replays.py."""
+    from ..llmops.textstats import vocab_richness
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_richness(docs, "text", zipf_top_k=200)
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-restart PageRank (llmops/graph.py::personalized_pagerank —
+    Page et al. 1999 §6) over the verified near-dup graph (the
+    pagerank_docs edge construction), seeded at the graph's smallest
+    doc id, 3 integer rounds. The seed is collected bounded driver
+    state; the oracle recomputes seed and teleport masses in-SQL (no
+    data-dependent literals) and unrolls the rounds as MATERIALIZED
+    CTEs. Pre-proven at driver shape in tests/test_round11_replays.py."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from ..llmops.graph import personalized_pagerank, undirected_edges
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(
+        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
+    )
+    # persist: the LSH pipeline feeds BOTH the seed collect and the
+    # walk's own edge scan — without the cache it would run twice
+    edges = undirected_edges(verified.select("id_a", "id_b")).persist()
+    seed = str(
+        edges.select(F.least("src", "dst").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    out = personalized_pagerank(edges, [seed], n_iter=3).select(
+        F.col("id").cast("bigint").alias("doc_id"), "rank_fp"
+    )
+    # the returned ranks are checkpointed by the walk's lineage cuts,
+    # so the edge cache can be released immediately
+    edges.unpersist()
+    return out
+
+
+def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE leaderboard-release gate DAG
+    (models/leaderboard_release.py — pair counts → 3 BT MM rounds →
+    period-batched Elo → Wilson board → the exact-integer one-row
+    verdict) over the shared supplier match log. The fourth release
+    DAG joins curation_dag/corpus_release/index gate in the window;
+    its whole-DAG single-statement DuckDB replay is pre-proven at
+    driver shape in tests/test_round10_replays.py."""
+    from .leaderboard_release import build_leaderboard_release
+
+    m = _supplier_matches(spark, sf_dir)
+    return build_leaderboard_release(spark, m).build("leaderboard_gate")
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (llmops/retrieval.py::rrf_fuse —
+    Cormack et al. 2009 RRF, k0=60): fuse the driver-green BM25 board
+    (top-15 for 'filter join spark') with the ANN cosine board
+    (top-10 vs vec_id 0) — integer scale-div terms, associative BIGINT
+    sum, fused board ranked by (rrf_fp DESC, id ASC). The oracle
+    composes the two proven board oracles. Pre-proven at driver shape
+    in tests/test_round12_replays.py."""
+    from ..llmops.retrieval import bm25_topk, rrf_fuse
+    from ..llmops.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    b = bm25_topk(docs, ["filter", "join", "spark"], k=15)
+    a = cosine_topk(emb, query_id=0, k=10)
+    rankings = b.select(
+        F.lit("bm25").alias("system"),
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    ).unionByName(
+        a.select(
+            F.lit("ann").alias("system"),
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse(rankings).withColumn(
+        "rank_fused",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_fp").desc(), F.col("id").asc()))
+        .cast("bigint"),
+    )
+
+
 # Queries born AFTER a rotation locked the 50-slot window are exempt
 # from the never-checked-out-of-window flag for ONE round and MUST lead
 # the NEXT round's window (tools/audit_window.py enforces this; the
 # rotation plan reserves <= 6 new-operator slots). Locally they carry
 # the same evidence as everything else: oracle-green at
 # sf0.001/0.01/0.1 and across all fetch/session modes on arrival.
-# The round-8 scheduled cohort (roc_auc, calibration_report,
-# dawid_skene, kn_bigram_scores, krippendorff_alpha, logreg_quality)
-# entered the round-9 window and gets its first driver rows; this is
-# the round-9 promotion cohort — the round-8 verdict's recommended
-# picks: the two PRE-PROVEN leaderboard bodies (driver-shape DuckDB
-# replays hash-green in tests/test_round10_replays.py before
-# promotion) plus compare_relations (the dbt-audit-helper migration
-# sign-off, promoted in its incremental-sink composition shape — it
-# audits a merge_upsert before/after pair, the workflow it exists
-# for), chunk_text (RAG chunk emitter, map-only), domain_concentration
-# (exact-rational Gini / top-share / quantized entropy), and
-# ndcg_at_k (graded-relevance ranking quality — it grades the
-# driver-green BM25 retrieval stack).
+# The round-9 scheduled cohort (elo_ratings, wilson_winrate,
+# compare_relations, chunk_text, domain_concentration, ndcg_at_k)
+# entered the round-10 window and gets its first driver rows; this is
+# the round-10 promotion cohort — the round-9 verdict's recommended
+# picks, every body PRE-PROVEN hash-green at driver shape before
+# promotion: unimax_allocation / conformal_report / vocab_richness /
+# personalized_pagerank in tests/test_round11_replays.py,
+# leaderboard_gate (the fourth release-gate DAG, whole-DAG
+# single-statement replay) in tests/test_round10_replays.py, and
+# rrf_fuse (the BM25+ANN hybrid board) in
+# tests/test_round12_replays.py.
 SCHEDULED_NEXT_WINDOW = [
-    "elo_ratings",
-    "wilson_winrate",
-    "compare_relations",
-    "chunk_text",
-    "domain_concentration",
-    "ndcg_at_k",
+    "unimax_allocation",
+    "conformal_report",
+    "vocab_richness",
+    "personalized_pagerank",
+    "leaderboard_gate",
+    "rrf_fuse",
 ]
 # zorder stays pytest-level by nature: its observable is parquet
 # footers, not a result hash — the footer test IS its strongest gate.
-# ROUND-10 window arithmetic (inventory 171, cycle ceil(171/50) = 4):
-# the 6 scheduled above lead + the 40 unsettled round-7 greens (age
-# hits 4 = cycle at ROUND-11 judging, so they MUST ride the round-10
-# window to re-green in time) + 4 settled-tier
-# fillers (the remaining round-5 leftovers: date_spine_orders,
-# listagg_nations, set_except, set_intersect — age 5 of allowance 8)
-# = 50 exactly. The 10 settled round-7 greens (age 3 of 8) and the 11
-# settled round-6 greens (age 4 of 8) stay safe under the doubled
-# allowance; the round-11 window takes the round-8 greens at their
-# cadence deadline alongside this round's 45 first-driver-row /
-# re-greened entries.
+# ROUND-11 window arithmetic (inventory 177, cycle ceil(177/50) = 4):
+# the 6 scheduled above lead + the 8 unsettled round-8 greens
+# (bigram_interp_scores, hll_by_group, bootstrap_diff_ci,
+# token_balanced_shards, pass_at_k, fleiss_kappa, pq_rerank,
+# multimodal_decode — age hits 4 = cycle at ROUND-12 judging, so they
+# MUST ride the round-11 window) + the 6 round-9 promotions (green r10
+# only, still strict tier, riding early keeps the strict pool small) +
+# 30 of the 42 settled round-8 greens (age 3 of 8 — rotating the
+# oldest settled evidence keeps the settled tail short of its
+# allowance) = 50. The round-12 window then takes the 44 unsettled
+# round-10-window re-greens (the r6-cohort queries at age 4 of their
+# strict/settled deadlines) + the remaining settled round-8 greens.
 # ROUND-10 PROMOTION QUEUE (next alternates, implemented + pytest'd
 # with DuckDB/pure-Python replays): annotator_agreement,
 # weighted_consensus, trigram_interp_scores (the recursive-JM rung),
@@ -4251,28 +4396,113 @@ SCHEDULED_NEXT_WINDOW = [
 # paired-eval twin under the exactly-once ledger).
 
 QUERIES = {
-    # === ROUND-9 WINDOW (first 50 keys = the driver's correctness gate) ===
+    # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==
     #
-    # Rotation executed per the round-8 verdict contract (machine-checked
+    # Rotation executed per the round-9 verdict contract (machine-checked
     # by tools/audit_window.py): the 6 SCHEDULED_NEXT_WINDOW promotions
-    # from round 8 (born after the round-8 rotation, never driver-checked)
-    # MUST lead; ALL 39 unsettled round-6 greens are at their cycle-4
-    # cadence deadline (age 4 at round-9 judging); 5 of the 9 settled-tier
-    # round-5 leftovers fill the rest. 6 + 39 + 5 = 50 exactly. The 4
-    # remaining r5 leftovers and the 11 settled r6 greens stay safe under
-    # the doubled settled allowance, so audit_window flags NOTHING.
-    # -- (0) first driver rows: the round-8 promotion cohort ------------
+    # from round 9 (born after the round-9 rotation, never driver-checked)
+    # MUST lead; ALL 40 unsettled round-7 greens are at their cycle-4
+    # cadence deadline (age 4 at round-10 judging); the 4 remaining
+    # settled-tier round-5 leftovers fill the rest. 6 + 40 + 4 = 50
+    # exactly. The 10 settled round-7 greens (age 3 of 8), the 11 settled
+    # round-6 greens (age 4 of 8), and the 42 settled round-8 greens stay
+    # safe under the doubled allowance, so audit_window flags NOTHING.
+    # -- (0) first driver rows: the round-9 promotion cohort ------------
+    #    (elo_ratings builds the shared supplier match log — whichever
+    #     leaderboard query runs first pays the one-time self-join;
+    #     wilson_winrate reads the cache)
+    "elo_ratings": q_elo_ratings,
+    "wilson_winrate": q_wilson_winrate,
+    "compare_relations": q_compare_relations,
+    "chunk_text": q_chunk_text,
+    "domain_concentration": q_domain_concentration,
+    "ndcg_at_k": q_ndcg_at_k,
+    # -- (1) round-7 green, strict tier, at their cycle-4 cadence
+    #    deadline: all 40 MUST re-enter this round ---------------------
+    #    (kmeans_cells is the session's first Lloyd-fit query in dict
+    #     order, so it pays the one-time coarse-quantizer fit in bench
+    #     attribution; bradley_terry / near_dup_clusters are the
+    #     iterative line items)
+    "bradley_terry": q_bradley_terry,
+    "sketch_drift_report": q_sketch_drift_report,
+    "bootstrap_ci": q_bootstrap_ci,
+    "temperature_rebalance": q_temperature_rebalance,
+    "logbucket_quantiles": q_logbucket_quantiles,
+    "majority_vote": q_majority_vote,
+    "ccnet_buckets": q_ccnet_buckets,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stratified_sample": q_stratified_sample,
+    "length_batches": q_length_batches,
+    "quality_classifier": q_quality_classifier,
+    "doremi_weights": q_doremi_weights,
+    "waiting_orders_priority": q_waiting_orders_priority,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "sole_late_supplier": q_sole_late_supplier,
+    "clone_snapshot": q_clone_snapshot,
+    "corpus_release": q_corpus_release,
+    "bpe_merges": q_bpe_merges,
+    "substr_coverage": q_substr_coverage,
+    "curation_funnel": q_curation_funnel,
+    "curation_dag": q_curation_dag,
+    "unit_test_diff": q_unit_test_diff,
+    "doc_chunks": q_doc_chunks,
+    "append_run": q_append_run,
+    "seed_nation_csv": q_seed_nation_csv,
+    "pii_redact": q_pii_redact,
+    "ngram_contamination": q_ngram_contamination,
+    "dsir_weights": q_dsir_weights,
+    "epoch_order": q_epoch_order,
+    "embedding_outliers": q_embedding_outliers,
+    "delete_insert_orders": q_delete_insert_orders,
+    "insert_overwrite_events": q_insert_overwrite_events,
+    "schema_drift_append": q_schema_drift_append,
+    "dynamic_table_batch": q_dynamic_table_batch,
+    "listagg_ordered": q_listagg_ordered,
+    "except_fn": q_except_fn,
+    "test_harness_orders": q_test_harness_orders,
+    "scd2_hard_delete": q_scd2_hard_delete,
+    "near_dup_clusters": q_near_dup_clusters,
+    "kmeans_cells": q_kmeans_cells,
+    # -- (2) the 4 settled-tier round-5 greens at the end of their
+    #    deferral (last green r5, age 5 of allowance 8): rotate in now --
+    "date_spine_orders": q_date_spine_orders,
+    "listagg_nations": q_listagg_nations,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    # === BELOW THE WINDOW =================================================
+    # -- (3) settled-tier round-7 greens riding the doubled allowance
+    #    (age 3 of 8) ---------------------------------------------------
+    "minhash_buckets": q_minhash_buckets,
+    "langid_stopwords": q_langid_stopwords,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "freshness_events": q_freshness_events,
+    "merge_upsert": q_merge_upsert,
+    "rollup_revenue": q_rollup_revenue,
+    "hash_split": q_hash_split,
+    "fct_claims": q_fct_claims,
+    "ivf_topk": q_ivf_topk,
+    # -- (4) settled-tier round-6 greens (age 4 of allowance 8) ---------
+    "embedding_near_dup": q_embedding_near_dup,
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    # -- (5) round-9 green (the round-8 promotions' first driver rows,
+    #    the re-greened round-6 cohort, and 5 settled r5 fillers; the
+    #    round-12 window takes the unsettled among them at deadline) ----
     "roc_auc": q_roc_auc,
     "calibration_report": q_calibration_report,
     "dawid_skene": q_dawid_skene,
     "kn_bigram_scores": q_kn_bigram_scores,
     "krippendorff_alpha": q_krippendorff_alpha,
     "logreg_quality": q_logreg_quality,
-    # -- (1) round-6 green, strict tier, at their cycle-4 cadence
-    #    deadline: all 39 MUST re-enter this round --------------------
-    #    (pq_topk is the session's first PQ query in dict order, so it
-    #     pays the one-time PQ-codebook Lloyd fit in bench attribution;
-    #     pagerank_docs is the window's iterative-Pregel line item)
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
     "nation_market_share": q_nation_market_share,
@@ -4312,88 +4542,14 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "vocab_ranked": q_vocab_ranked,
     "embedding_quantize": q_embedding_quantize,
-    # -- (2) settled-tier round-5 leftovers (5 of 9) — they rotate in
-    #    here; the other 4 ride the doubled allowance to round 10 ------
     "agg_any_bool": q_agg_any_bool,
     "nullsafe_join": q_nullsafe_join,
     "date_functions": q_date_functions,
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
-    # === BELOW THE WINDOW =================================================
-    # -- (3) the 4 settled-tier round-5 greens deferred within their
-    #    doubled allowance (last green r5, >= 3 green rounds; they are
-    #    the round-10 window's settled fillers) -------------------------
-    "date_spine_orders": q_date_spine_orders,
-    "listagg_nations": q_listagg_nations,
-    "set_except": q_set_except,
-    "set_intersect": q_set_intersect,
-    # -- (4) settled-tier round-6 greens (age 4 of allowance 8) ---------
-    "embedding_near_dup": q_embedding_near_dup,
-    "gap_status": q_gap_status,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    # -- (5) round-7 green: the 40 unsettled hit their cycle-4 deadline
-    #    at the ROUND-10 window (age 4 at round-11 judging); the 10
-    #    settled among them ride the doubled allowance -----------------
-    "bradley_terry": q_bradley_terry,
-    "sketch_drift_report": q_sketch_drift_report,
-    "bootstrap_ci": q_bootstrap_ci,
-    "temperature_rebalance": q_temperature_rebalance,
-    "logbucket_quantiles": q_logbucket_quantiles,
-    "majority_vote": q_majority_vote,
-    "ccnet_buckets": q_ccnet_buckets,
-    "bloom_prefilter": q_bloom_prefilter,
-    "stratified_sample": q_stratified_sample,
-    "length_batches": q_length_batches,
-    "quality_classifier": q_quality_classifier,
-    "doremi_weights": q_doremi_weights,
-    "waiting_orders_priority": q_waiting_orders_priority,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "sole_late_supplier": q_sole_late_supplier,
-    "clone_snapshot": q_clone_snapshot,
-    "corpus_release": q_corpus_release,
-    "bpe_merges": q_bpe_merges,
-    "substr_coverage": q_substr_coverage,
-    "curation_funnel": q_curation_funnel,
-    "curation_dag": q_curation_dag,
-    "unit_test_diff": q_unit_test_diff,
-    "doc_chunks": q_doc_chunks,
-    "append_run": q_append_run,
-    "seed_nation_csv": q_seed_nation_csv,
-    "pii_redact": q_pii_redact,
-    "ngram_contamination": q_ngram_contamination,
-    "dsir_weights": q_dsir_weights,
-    "epoch_order": q_epoch_order,
-    "embedding_outliers": q_embedding_outliers,
-    "minhash_buckets": q_minhash_buckets,
-    "langid_stopwords": q_langid_stopwords,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "freshness_events": q_freshness_events,
-    "merge_upsert": q_merge_upsert,
-    "rollup_revenue": q_rollup_revenue,
-    "hash_split": q_hash_split,
-    "delete_insert_orders": q_delete_insert_orders,
-    "insert_overwrite_events": q_insert_overwrite_events,
-    "schema_drift_append": q_schema_drift_append,
-    "dynamic_table_batch": q_dynamic_table_batch,
-    "listagg_ordered": q_listagg_ordered,
-    "except_fn": q_except_fn,
-    "test_harness_orders": q_test_harness_orders,
-    "scd2_hard_delete": q_scd2_hard_delete,
-    "fct_claims": q_fct_claims,
-    "near_dup_clusters": q_near_dup_clusters,
-    "kmeans_cells": q_kmeans_cells,
-    "ivf_topk": q_ivf_topk,
-    # -- (6) round-8 green (the freshest evidence in the repo; the
-    #    round-11 window takes them at their cadence deadline) ----------
+    # -- (6) round-8 green (8 unsettled among them ride the round-11
+    #    window at their strict cycle-4 deadline; the 42 settled rotate
+    #    behind them under the doubled allowance) -----------------------
     "bigram_interp_scores": q_bigram_interp_scores,
     "hll_by_group": q_hll_by_group,
     "bootstrap_diff_ci": q_bootstrap_diff_ci,
@@ -4444,16 +4600,16 @@ QUERIES = {
     "accepted_values_returnflag": q_accepted_values_returnflag,
     "relationships_test": q_relationships_test,
     "window_best_order": q_window_best_order,
-    # -- (7) born AFTER the round-9 rotation (window already at capacity:
-    #    6 round-8 promotions + 39 cadence round-6 greens + 5 settled
-    #    r5 fillers) — SCHEDULED to lead the round-10 window;
+    # -- (7) born AFTER the round-10 rotation (window already at capacity:
+    #    6 round-9 promotions + 40 cadence round-7 greens + 4 settled
+    #    r5 fillers) — SCHEDULED to lead the round-11 window;
     #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
-    "elo_ratings": q_elo_ratings,
-    "wilson_winrate": q_wilson_winrate,
-    "compare_relations": q_compare_relations,
-    "chunk_text": q_chunk_text,
-    "domain_concentration": q_domain_concentration,
-    "ndcg_at_k": q_ndcg_at_k,
+    "unimax_allocation": q_unimax_allocation,
+    "conformal_report": q_conformal_report,
+    "vocab_richness": q_vocab_richness,
+    "personalized_pagerank": q_personalized_pagerank,
+    "leaderboard_gate": q_leaderboard_gate,
+    "rrf_fuse": q_rrf_fuse,
 }
 
 
@@ -8202,4 +8358,330 @@ agg AS (
 SELECT query, n_docs, n_relevant, dcg, idcg,
        CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
 FROM agg
+"""
+
+# -- round-10 promotion cohort oracles (scheduled for the round-11 window) --
+
+# UniMax water-filling: budget = corpus_total // 3 computed IN-SQL (the
+# spark side collects the same bounded scalar), caps = 2·n_tokens; the
+# capped prefix, div/mod leftover split, and 6dp epochs report replay
+# the closed-form window SQL pre-proven in tests/test_round11_replays.py
+# (there with a literal budget — the algebra is identical).
+ORACLE["unimax_allocation"] = """
+WITH counts AS (
+  SELECT lang AS grp, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+bb AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 3 AS B FROM counts),
+ranked AS (
+  SELECT grp, n_tokens, n_tokens * 2 AS cap,
+    row_number() OVER w AS r,
+    COALESCE(SUM(n_tokens * 2) OVER (w ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+    COUNT(*) OVER () AS n
+  FROM counts
+  WINDOW w AS (ORDER BY n_tokens * 2 ASC, grp ASC)
+),
+staged AS (
+  SELECT ranked.*, bb.B, cap * (n - r + 1) <= bb.B - cum_before AS capped
+  FROM ranked, bb
+),
+tot AS (
+  SELECT *,
+    SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+    COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+  FROM staged
+)
+SELECT grp, n_tokens, CAST(cap AS BIGINT) AS cap, capped,
+  CAST(CASE WHEN capped THEN cap ELSE
+    (B - s) // (n - k)
+    + CASE WHEN r - k <= (B - s) % (n - k) THEN 1 ELSE 0 END
+  END AS BIGINT) AS alloc,
+  round(CAST(CASE WHEN capped THEN cap ELSE
+    (B - s) // (n - k)
+    + CASE WHEN r - k <= (B - s) % (n - k) THEN 1 ELSE 0 END
+  END AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs_alloc
+FROM tot
+"""
+
+# Split conformal at alpha=0.25: order-stat threshold over the bounded
+# quantized-score cell table + the eval coverage check — the exact SQL
+# pre-proven in tests/test_round11_replays.py.
+ORACLE["conformal_report"] = """
+WITH cal AS (
+  SELECT CAST(floor((n_chars / 1000.0) * 1000000 + 0.5) AS BIGINT) AS s_fp
+  FROM documents WHERE doc_id % 5 = 0
+),
+ev AS (
+  SELECT CAST(floor((n_chars / 1000.0) * 1000000 + 0.5) AS BIGINT) AS s_fp
+  FROM documents WHERE doc_id % 5 != 0
+),
+kk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(ceil((COUNT(*) + 1) * 0.75) AS BIGINT) AS k
+  FROM cal
+),
+cells AS (
+  SELECT s_fp, COUNT(*) AS cnt FROM cal GROUP BY 1
+),
+thr AS (
+  SELECT MIN(s_fp) AS q_fp FROM (
+    SELECT s_fp, SUM(cnt) OVER (ORDER BY s_fp) AS cum FROM cells
+  ), kk WHERE cum >= kk.k
+)
+SELECT kk.n_cal, kk.k,
+  round(thr.q_fp / 1000000.0, 6) AS threshold,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_eval,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev, thr
+    WHERE ev.s_fp <= thr.q_fp) AS n_covered,
+  round((SELECT COUNT(*) FROM ev, thr WHERE ev.s_fp <= thr.q_fp)
+    / CAST((SELECT COUNT(*) FROM ev) AS DOUBLE), 6) AS coverage
+FROM kk, thr
+"""
+
+# Vocabulary diagnostics: V/N/f1/f2 integer folds, Chao1 closed form,
+# quantized-integer Zipf slope over the top-200 types (HUGEINT-safe
+# combination) — pre-proven in tests/test_round11_replays.py.
+ORACLE["vocab_richness"] = """
+WITH freq AS (
+  SELECT t, COUNT(*) AS tc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+      '\\s+'), x -> x != '')) AS t
+    FROM documents
+  ) GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+    CAST(SUM(CASE WHEN tc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(SUM(CASE WHEN tc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq
+),
+topk AS (
+  SELECT tc, row_number() OVER (ORDER BY tc DESC, t ASC) AS r
+  FROM freq ORDER BY tc DESC, t ASC LIMIT 200
+),
+reg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(CAST(floor(ln(r) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+    CAST(SUM(CAST(floor(ln(tc) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(CAST(floor(ln(r) * ln(tc) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(SUM(CAST(floor(ln(r) * ln(r) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sx2
+  FROM topk
+)
+SELECT tot.n AS n_tokens, tot.v AS vocab_size, tot.f1, tot.f2,
+  round(tot.f1 / CAST(tot.v AS DOUBLE), 6) AS hapax_ratio,
+  round(tot.v + CASE WHEN tot.f2 > 0
+    THEN tot.f1 * tot.f1 / (2.0 * tot.f2)
+    ELSE tot.f1 * (tot.f1 - 1) / 2.0 END, 6) AS chao1,
+  reg.k AS zipf_k,
+  round(CAST(CAST(reg.k AS HUGEINT) * reg.sxy * 1000000000
+      - CAST(reg.sx AS HUGEINT) * reg.sy AS DOUBLE)
+    / CAST(CAST(reg.k AS HUGEINT) * reg.sx2 * 1000000000
+      - CAST(reg.sx AS HUGEINT) * reg.sx AS DOUBLE), 6)
+    AS zipf_slope
+FROM tot, reg
+"""
+
+
+def _ppr_oracle_sql() -> str:
+    """Seed-restart PageRank unrolled: the verified near-dup graph (the
+    pagerank_docs edge construction via _LLM_ORACLE), seed = MIN node
+    and teleport masses computed in-SQL, 3 MATERIALIZED integer rounds
+    — pre-proven in tests/test_round11_replays.py."""
+    sql = f"""
+WITH
+v AS MATERIALIZED ({_LLM_ORACLE["near_dup_jaccard"]}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM v
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM v
+),
+nodes AS MATERIALIZED (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+sd AS (SELECT MIN(id) AS seed FROM nodes),
+ts AS (
+  SELECT CAST((15 * COUNT(*) * 1000000000000) // 100 AS BIGINT) AS t
+  FROM nodes
+),
+r0 AS MATERIALIZED (
+  SELECT n.id, CAST(CASE WHEN n.id = sd.seed THEN ts.t ELSE 0 END
+    AS BIGINT) AS r
+  FROM nodes n, sd, ts
+)"""
+    for i in range(3):
+        sql += f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst, SUM(p.r // d.deg) AS s
+  FROM edges e JOIN r{i} p ON p.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.id, CAST(CASE WHEN n.id = sd.seed THEN ts.t ELSE 0 END
+    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n CROSS JOIN sd CROSS JOIN ts
+  LEFT JOIN c{i} c ON c.dst = n.id
+)"""
+    sql += """
+SELECT id AS doc_id, r AS rank_fp FROM r3"""
+    return sql
+
+
+ORACLE["personalized_pagerank"] = _ppr_oracle_sql()
+
+
+def _leaderboard_gate_oracle_sql() -> str:
+    """The whole leaderboard-release gate DAG as ONE statement: doubled
+    +1-smoothed pair counts -> 3 unrolled BT MM rounds -> per-period
+    unrolled Elo (k=32; 1995-2001 — a year with no matches is an exact
+    no-op round, the elo_ratings static-unroll convention) -> Wilson
+    board -> the exact-integer verdict row. Pre-proven at driver shape
+    in tests/test_round10_replays.py."""
+    s2 = 10**12  # BT scale^2 at the DAG's default scale 1e6
+    sql = "WITH " + _MATCH_CTE + """,
+pc AS MATERIALIZED (
+  SELECT w AS i, l AS j, CAST(2 * COUNT(*) + 1 AS BIGINT) AS w2
+  FROM m GROUP BY 1, 2
+),
+obs AS (SELECT i, j FROM pc UNION SELECT j, i FROM pc),
+bth AS MATERIALIZED (
+  SELECT obs.i, obs.j, COALESCE(pc.w2, 1) AS w2
+  FROM obs LEFT JOIN pc ON pc.i = obs.i AND pc.j = obs.j
+),
+pairs AS MATERIALIZED (
+  SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+  FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+),
+wt AS MATERIALIZED (
+  SELECT i, CAST(SUM(w2) AS BIGINT) AS wins2 FROM pairs GROUP BY 1
+),
+bt0 AS MATERIALIZED (
+  SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt
+)"""
+    for r in range(3):
+        sql += f""",
+btd{r} AS MATERIALIZED (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST({s2} AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN bt{r} ri ON ri.id = pairs.i
+             JOIN bt{r} rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+bt{r + 1} AS MATERIALIZED (
+  SELECT btd{r}.i AS id,
+         CAST((wins2 * CAST({s2} AS BIGINT)) // D AS BIGINT) AS p
+  FROM btd{r} JOIN wt ON wt.i = btd{r}.i
+)"""
+    sql += """,
+er0 AS MATERIALIZED (
+  SELECT item, CAST(1000000000 AS BIGINT) AS r_fp FROM tot
+)"""
+    years = list(range(1995, 2002))
+    for idx, per in enumerate(years):
+        sql += f""",
+ec{idx} AS MATERIALIZED (
+  SELECT item, SUM(c) AS C FROM (
+    SELECT w AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+    UNION ALL
+    SELECT l,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+  ) GROUP BY item
+),
+er{idx + 1} AS MATERIALIZED (
+  SELECT r.item, r.r_fp + 32 * COALESCE(c.C, 0) AS r_fp
+  FROM er{idx} r LEFT JOIN ec{idx} c USING (item)
+)"""
+    z = 1.959964
+    nf = len(years)
+    sql += f""",
+wil AS MATERIALIZED (
+  SELECT item,
+    ((wins / CAST(n_matches AS DOUBLE))
+           + {z}*{z}/(2.0*n_matches)) / (1.0 + {z}*{z}/n_matches)
+          - {z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {z}*{z}/(4.0*n_matches*n_matches))
+            / (1.0 + {z}*{z}/n_matches) AS ci_lo_raw,
+    ((wins / CAST(n_matches AS DOUBLE))
+           + {z}*{z}/(2.0*n_matches)) / (1.0 + {z}*{z}/n_matches)
+          + {z} * sqrt((wins / CAST(n_matches AS DOUBLE))
+              * (1.0 - wins / CAST(n_matches AS DOUBLE)) / n_matches
+              + {z}*{z}/(4.0*n_matches*n_matches))
+            / (1.0 + {z}*{z}/n_matches) AS ci_hi_raw
+  FROM tot
+),
+lb AS MATERIALIZED (
+  SELECT t.item, t.n_matches, t.wins,
+    bt3.p AS bt_fp, er{nf}.r_fp AS elo_fp,
+    round(wil.ci_lo_raw, 6) AS ci_lo, round(wil.ci_hi_raw, 6) AS ci_hi,
+    row_number() OVER (ORDER BY bt3.p DESC, t.item ASC) AS rank_bt,
+    row_number() OVER (ORDER BY er{nf}.r_fp DESC, t.item ASC)
+      AS rank_elo,
+    row_number() OVER (ORDER BY round(wil.ci_lo_raw, 6) DESC, t.item ASC)
+      AS rank_lb
+  FROM tot t JOIN bt3 ON bt3.id = t.item
+    JOIN er{nf} ON er{nf}.item = t.item
+    JOIN wil ON wil.item = t.item
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(n_matches) // 2 AS BIGINT) AS n_matches,
+  CAST(MIN(n_matches) AS BIGINT) AS min_item_matches,
+  MIN(CASE WHEN rank_bt = 1 THEN item END) AS bt_top,
+  MIN(CASE WHEN rank_elo = 1 THEN item END) AS elo_top,
+  MIN(CASE WHEN rank_bt = 1 THEN item END)
+    = MIN(CASE WHEN rank_elo = 1 THEN item END) AS tops_agree,
+  MIN(CASE WHEN rank_lb = 1 THEN ci_lo END) AS top_ci_lo,
+  MAX(CASE WHEN rank_lb != 1 THEN ci_hi END) AS runner_ci_hi,
+  MIN(CASE WHEN rank_lb = 1 THEN ci_lo END)
+    > MAX(CASE WHEN rank_lb != 1 THEN ci_hi END) AS separated,
+  (COUNT(*) >= 2 AND MIN(n_matches) >= 10
+   AND MIN(CASE WHEN rank_bt = 1 THEN item END)
+     = MIN(CASE WHEN rank_elo = 1 THEN item END)) AS released
+FROM lb"""
+    return sql
+
+
+ORACLE["leaderboard_gate"] = _leaderboard_gate_oracle_sql()
+
+# RRF fusion of the two proven boards (BM25 top-15 for 'filter join
+# spark'; ANN cosine top-10 vs vec 0): integer scale-div terms,
+# associative BIGINT sum, fused rank by (rrf_fp DESC, id ASC) —
+# pre-proven in tests/test_round12_replays.py.
+ORACLE["rrf_fuse"] = f"""
+WITH bm AS ({ORACLE["bm25_topk"]}),
+ann AS ({ORACLE["cosine_topk"]}),
+u AS (
+  SELECT 'bm25' AS sys, doc_id AS id,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm
+  UNION ALL
+  SELECT 'ann', vec_id,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+  FROM ann
+),
+f AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+    CAST(MIN(r) AS BIGINT) AS best_rank,
+    CAST(SUM(1000000000 // (r + 60)) AS BIGINT) AS rrf_fp,
+    round(CAST(SUM(1000000000 // (r + 60)) AS DOUBLE) / 1000000000.0, 6)
+      AS rrf
+  FROM u GROUP BY id
+)
+SELECT *, CAST(row_number() OVER (ORDER BY rrf_fp DESC, id ASC) AS BIGINT)
+  AS rank_fused
+FROM f
 """

@@ -254,15 +254,26 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     seed_list = sorted({str(s) for s in seeds})
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # persist the (possibly expensive — e.g. an LSH near-dup pipeline)
+    # edge plan ONCE: deg, the node universe, and the pre relation all
+    # branch from it, and without the cache each materialization below
+    # re-ran the whole upstream plan
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # node universe = src UNION dst (the hits_fixedpoint convention):
     # a SINK node (inbound edges, no outbound) must still receive its
     # endorsement flow and appear in the output — building nodes from
-    # out-edge sources alone silently dropped both.
+    # out-edge sources alone silently dropped both. PERSISTED: the
+    # node frame is referenced twice per round (seed mass + left-join
+    # universe), and as a bare plan each round re-ran the edge scan.
     nodes = (
-        edges.select(F.col("src").cast("string").alias("id"))
-        .union(edges.select(F.col("dst").cast("string").alias("id")))
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     known = {
@@ -279,13 +290,9 @@ def personalized_pagerank(
     t_seed = ((100 - int(damping_pct)) * n_nodes * int(scale)) // (
         100 * len(seed_list)
     )
-    pre = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    ).join(
-        deg.select(F.col("src").cast("string").alias("src"), "deg"), "src"
-    ).persist()
+    pre = e.join(deg, "src").persist()
     pre.count()
+    e.unpersist()
     is_seed = F.col("id").isin(seed_list)
     ranks = nodes.select(
         "id",
@@ -315,4 +322,5 @@ def personalized_pagerank(
         )
         ranks = truncate_lineage(ranks, rnd, reliable, checkpoint_every)
     pre.unpersist()
+    nodes.unpersist()
     return ranks.select("id", F.col("r").alias("rank_fp"))

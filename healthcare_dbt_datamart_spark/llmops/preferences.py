@@ -1251,23 +1251,34 @@ def elo_update_period(
             ).alias("e_fp"),
         )
     )
+    # ONE pass over the period relation: a union of two projections of
+    # `contrib` would evaluate the join + expected-score expression
+    # TWICE per round (no exchange reuse across different projections);
+    # the explode emits the winner (+c) and loser (−c) terms from a
+    # single evaluation — the same multiset of integer contributions,
+    # so the associative SUM is bit-identical
     per_item = (
         contrib.select(
-            F.col("w").alias("item"),
-            (
-                F.col("n_m")
-                * (F.lit(int(scale)).cast("long") - F.col("e_fp"))
-            ).alias("c"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("w").alias("item"),
+                        (
+                            F.col("n_m")
+                            * (F.lit(int(scale)).cast("long") - F.col("e_fp"))
+                        ).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("l").alias("item"),
+                        (
+                            F.col("n_m")
+                            * (F.col("e_fp") - F.lit(int(scale)).cast("long"))
+                        ).alias("c"),
+                    ),
+                )
+            ).alias("x")
         )
-        .unionByName(
-            contrib.select(
-                F.col("l").alias("item"),
-                (
-                    F.col("n_m")
-                    * (F.col("e_fp") - F.lit(int(scale)).cast("long"))
-                ).alias("c"),
-            )
-        )
+        .select(F.col("x.item").alias("item"), F.col("x.c").alias("c"))
         .groupBy("item")
         .agg(F.sum("c").alias("C"))
     )
@@ -1291,6 +1302,7 @@ def elo_ratings(
     scale: int = 10**6,
     reliable: bool = False,
     checkpoint_every: int = 1,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Elo ratings from decided matches grouped into RATING PERIODS —
     the third leg of the preference-ranking family: ``bradley_terry``
@@ -1323,6 +1335,14 @@ def elo_ratings(
     degenerate and dropped, the ``bradley_terry`` convention; NULL
     keys or periods raise loudly.
 
+    ``n_col`` names an optional MULTIPLICITY column: ``matches`` is then
+    an already-collapsed ``(w, l, period, n)`` pair-count relation (the
+    shape this function builds internally — the incremental /
+    shared-collapse path, so a release DAG can scan the raw log ONCE
+    and feed Elo, Wilson and BT from the same table). Weighted rows are
+    bit-identical to per-match rows by the shared-expected-score
+    argument below; n must be ≥ 1.
+
     Returns ``(item, n_matches, wins, rating_fp)`` — totals over all
     periods, rating in ``scale`` fixed-point units."""
     if int(k) < 1:
@@ -1331,22 +1351,25 @@ def elo_ratings(
         raise ValueError(f"initial rating must be positive: got {initial!r}")
     scale = int(scale)
 
-    m = matches.select(
+    cols = [
         F.col(winner_col).cast("string").alias("w"),
         F.col(loser_col).cast("string").alias("l"),
         F.col(period_col).cast("bigint").alias("p"),
+    ]
+    if n_col is not None:
+        cols.append(F.col(n_col).cast("long").alias("n"))
+    m = matches.select(*cols)
+    bad_pred = (
+        F.col("w").isNull() | F.col("l").isNull() | F.col("p").isNull()
     )
-    bad = m.agg(
-        F.sum(
-            (
-                F.col("w").isNull() | F.col("l").isNull() | F.col("p").isNull()
-            ).cast("bigint")
-        ).alias("nb")
-    ).collect()[0]
+    if n_col is not None:
+        bad_pred = bad_pred | F.col("n").isNull() | (F.col("n") < 1)
+    bad = m.agg(F.sum(bad_pred.cast("bigint")).alias("nb")).collect()[0]
     if int(bad.nb or 0) > 0:
         raise ValueError(
             f"elo_ratings: {bad.nb} matches have a NULL winner, loser or"
-            f" period — clean the match log first"
+            f" period (or a NULL/non-positive multiplicity) — clean the"
+            f" match log first"
         )
     m = m.filter(F.col("w") != F.col("l"))
     # ONE corpus aggregation pass: within a period every (w, l) pair
@@ -1354,8 +1377,11 @@ def elo_ratings(
     # on the bounded (w, l, p, n) pair-count table — a 100 TB match log
     # is scanned once, and every Elo round is model-state-sized work
     # (the bradley_terry one-join pair-build discipline)
+    n_agg = (
+        F.sum("n") if n_col is not None else F.count(F.lit(1))
+    )
     mp = m.groupBy("w", "l", "p").agg(
-        F.count(F.lit(1)).cast("long").alias("n_m")
+        n_agg.cast("long").alias("n_m")
     ).persist()
     # bounded calendar: one distinct over the bounded pair-count table
     periods = sorted(r[0] for r in mp.select("p").distinct().collect())
@@ -1398,6 +1424,7 @@ def wilson_winrate(
     winner_col: str = "winner_id",
     loser_col: str = "loser_id",
     z: float = 1.959964,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Per-item win rate with the WILSON score interval (Wilson 1927)
     — the leaderboard column an arena publishes next to the rating:
@@ -1423,32 +1450,45 @@ def wilson_winrate(
     global window is model-state-sized, the ``scorecard_from_cells``
     convention. Self-matches drop; NULL keys raise loudly.
 
+    ``n_col`` names an optional MULTIPLICITY column (a row = n identical
+    decided matches — the shared pair-count-table path; integer sums are
+    identical to per-match rows). n must be ≥ 1.
+
     Returns ``(item, n_matches, wins, winrate, ci_lo, ci_hi,
     rank_lb)``."""
     from pyspark.sql import Window
 
     if not 0.0 < float(z):
         raise ValueError(f"z must be positive: got {z!r}")
-    m = matches.select(
+    cols = [
         F.col(winner_col).cast("string").alias("w"),
         F.col(loser_col).cast("string").alias("l"),
-    )
-    bad = m.agg(
-        F.sum(
-            (F.col("w").isNull() | F.col("l").isNull()).cast("bigint")
-        ).alias("nb")
-    ).collect()[0]
+    ]
+    if n_col is not None:
+        cols.append(F.col(n_col).cast("long").alias("n"))
+    m = matches.select(*cols)
+    bad_pred = F.col("w").isNull() | F.col("l").isNull()
+    if n_col is not None:
+        bad_pred = bad_pred | F.col("n").isNull() | (F.col("n") < 1)
+    bad = m.agg(F.sum(bad_pred.cast("bigint")).alias("nb")).collect()[0]
     if int(bad.nb or 0) > 0:
         raise ValueError(
             f"wilson_winrate: {bad.nb} matches have a NULL winner or"
-            f" loser — clean the match log first"
+            f" loser (or a NULL/non-positive multiplicity) — clean the"
+            f" match log first"
         )
     m = m.filter(F.col("w") != F.col("l"))
-    sides = m.select(F.col("w").alias("item"), F.lit(1).alias("win")).unionByName(
-        m.select(F.col("l").alias("item"), F.lit(0).alias("win"))
+    cnt = F.col("n") if n_col is not None else F.lit(1).cast("long")
+    sides = m.select(
+        F.col("w").alias("item"), cnt.alias("cnt"), cnt.alias("win")
+    ).unionByName(
+        m.select(
+            F.col("l").alias("item"), cnt.alias("cnt"),
+            F.lit(0).cast("long").alias("win"),
+        )
     )
     tot = sides.groupBy("item").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("win").alias("wins")
+        F.sum("cnt").alias("n"), F.sum("win").alias("wins")
     )
     zf = float(z)
     p = F.col("wins").cast("double") / F.col("n").cast("double")

@@ -12,12 +12,18 @@ the datamart runs this:
 
   stg_matches      stage view: typed projection of the raw pairwise
                    match log (winner, loser, rating period)
+  pair_period_counts TABLE — the ONE corpus-scale collapse: (winner,
+                   loser, period, n) pair counts, sufficient statistics
+                   for every rating frame below (within a period all
+                   (w, l) matches share one Elo expected score), so the
+                   raw log is scanned exactly once per release
   pair_counts      TABLE — the bounded SUM-mergeable directed win-count
                    state (``bradley_terry_from_pairs``'s input shape;
                    a streaming ingest maintains exactly this relation,
                    streaming/sketches.py::pref_counts_merge_batch), so
                    the leaderboard re-derives between releases without
-                   re-scanning outcomes
+                   re-scanning outcomes; re-aggregated from
+                   ``pair_period_counts``
   bt_ratings       Bradley-Terry MM fit FROM the state table — the
                    static latent-quality ranking
   elo_snapshot     period-batched Elo over the same log — the
@@ -68,15 +74,29 @@ def build_leaderboard_release(
         )
 
     @r.model(materialized="table")
-    def pair_counts(ctx):
-        # TABLE: the one corpus-scale collapse — doubled directed win
-        # counts, the SUM-mergeable shape a streaming ingest maintains
+    def pair_period_counts(ctx):
+        # TABLE: the ONE corpus-scale collapse. Within a rating period
+        # every (w, l) pair shares one Elo expected score, so this
+        # (winner, loser, period, n) relation is sufficient statistics
+        # for EVERY downstream rating frame — the raw match log is
+        # scanned exactly once per release, and Elo/Wilson/BT all
+        # derive from the bounded pair table (items²·periods, model
+        # state at leaderboard scale).
         m = ctx.ref("stg_matches").filter(
             F.col("winner_id") != F.col("loser_id")
         )
-        return m.groupBy(
+        return m.groupBy("winner_id", "loser_id", "period").agg(
+            F.count(F.lit(1)).cast("long").alias("n_m")
+        )
+
+    @r.model(materialized="table")
+    def pair_counts(ctx):
+        # doubled directed win counts, the SUM-mergeable shape a
+        # streaming ingest maintains (bradley_terry_from_pairs input);
+        # re-aggregated from the period table, NOT the raw log
+        return ctx.ref("pair_period_counts").groupBy(
             F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
-        ).agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
+        ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
 
     @r.model()
     def bt_ratings(ctx):
@@ -90,13 +110,19 @@ def build_leaderboard_release(
     def elo_snapshot(ctx):
         from ..llmops.preferences import elo_ratings
 
-        return elo_ratings(ctx.ref("stg_matches"), k=ELO_K)
+        # weighted rows over the shared collapse — bit-identical to
+        # per-match rows (shared period expected score), one log scan
+        return elo_ratings(
+            ctx.ref("pair_period_counts"), k=ELO_K, n_col="n_m"
+        )
 
     @r.model()
     def wilson_board(ctx):
         from ..llmops.preferences import wilson_winrate
 
-        return wilson_winrate(ctx.ref("stg_matches"))
+        return wilson_winrate(
+            ctx.ref("pair_period_counts"), n_col="n_m"
+        )
 
     @r.model()
     def leaderboard(ctx):

@@ -845,11 +845,15 @@ def lsh_plan(
         raise ValueError(
             f"threshold_pct must be in (0, 100): got {threshold_pct!r}"
         )
-    if int(num_hashes) < 1:
+    # normalize BEFORE use: a float argument (e.g. 8.0) would otherwise
+    # survive the validation but make rows_per_band a float downstream
+    # and fail the createDataFrame schema instead of planning cleanly
+    num_hashes = int(num_hashes)
+    if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1: got {num_hashes!r}")
     t = Fraction(int(threshold_pct), 100)
     rows_out = []
-    for b in range(1, int(num_hashes) + 1):
+    for b in range(1, num_hashes + 1):
         if num_hashes % b != 0:
             continue
         r = num_hashes // b

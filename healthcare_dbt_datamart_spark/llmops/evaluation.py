@@ -1813,8 +1813,10 @@ def rbo(
         F.count_distinct("item").alias("ndi"),
         F.count("ra").alias("na"),
         F.count_distinct("ra").alias("nda"),
+        F.max("ra").alias("ma"),
         F.count("rb").alias("nb_"),
         F.count_distinct("rb").alias("ndb"),
+        F.max("rb").alias("mb"),
         F.greatest(F.max("ra"), F.max("rb")).alias("depth"),
     ).collect()[0]
     if int(chk.nb or 0) > 0:
@@ -1831,6 +1833,17 @@ def rbo(
         raise ValueError(
             "rbo: ranks must be unique per side — a list cannot place"
             " two items at one position"
+        )
+    # contiguity: |A_1..i| = min(i, k_a) only holds when side A's ranks
+    # are exactly 1..k_a — a gapped list (e.g. ranks {1, 5} left over
+    # from upstream filtering) would silently miscompute every
+    # |A_1..i|/i term; callers must re-rank filtered lists first
+    if int(chk.ma or 0) != int(chk.na) or int(chk.mb or 0) != int(chk.nb_):
+        raise ValueError(
+            "rbo: ranks must be contiguous 1..k per side (max rank"
+            f" {int(chk.ma or 0)} vs {int(chk.na)} ranked rows on A;"
+            f" {int(chk.mb or 0)} vs {int(chk.nb_)} on B) — re-rank"
+            " filtered lists before calling rbo"
         )
     depth = int(chk.depth or 0)
     if depth == 0:

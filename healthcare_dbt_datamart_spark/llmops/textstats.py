@@ -1045,7 +1045,15 @@ def gopher_rules(
     in [3, 10]; symbol-to-word ratio ('#' chars + '…'/'...' marks)
     ≤ 10%; ≤ 90% of lines start with a bullet; ≤ 30% of lines end with
     an ellipsis; ≥ 80% of words contain an alphabetic character; ≥ 2
-    distinct Gopher stop words present."""
+    distinct Gopher stop words present.
+
+    ENGLISH/ASCII ASSUMPTION (faithful to the paper — Gopher's battery
+    was designed for English MassiveWeb): "alphabetic" means
+    ``[a-z]`` on lowercased text and the stop-word set is the English
+    one, so non-Latin-script documents fail ``r_alpha_words`` and
+    ``r_stop_kinds`` WHOLESALE. Run it per-language after language ID
+    (the CCNet order), and for multilingual corpora swap in a Unicode
+    letter class + per-language stop lists before trusting ``keep``."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(
         F.split(F.lower(F.trim(t)), r"\s+"), lambda w: w != ""

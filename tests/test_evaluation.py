@@ -2188,6 +2188,15 @@ def test_rbo_prefix_form_replay_and_guards(spark):
             ),
             "item", "ra", "rb",
         )
+    # gapped ranks (upstream filtering leftovers) must raise, not
+    # silently miscompute |A_1..i|/i — round-9 ADVICE regression
+    with _pt.raises(ValueError, match="contiguous"):
+        rbo(
+            spark.createDataFrame(
+                [("a", 1, 1), ("b", 5, 2)], "item string, ra long, rb long"
+            ),
+            "item", "ra", "rb",
+        )
     with _pt.raises(ValueError, match="max_depth"):
         rbo(same, "item", "ra", "rb", max_depth=3)
     with _pt.raises(ValueError, match="p_pct"):

@@ -5754,6 +5754,13 @@ def test_lsh_plan_s_curve_and_consistency(spark):
         assert r.p_at_target == round(1 - (1 - 0.7**rr) ** b, 6)
         assert r.curve_threshold == round(math.pow(1 / b, 1 / rr), 6)
 
+    # a float num_hashes normalizes instead of failing the DataFrame
+    # schema with float rows_per_band — round-9 ADVICE regression
+    as_float = {
+        (r.bands, r.rows_per_band) for r in lsh_plan(spark, 40, 8.0).collect()
+    }
+    assert as_float == {(b, r.rows_per_band) for b, r in got.items()}
+
     import pytest as _pt
     with _pt.raises(ValueError, match="threshold_pct"):
         lsh_plan(spark, 0, 8)

@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     exact_dedup_fingerprints,
     exact_substr_dedup,
     jaccard_pairs,
+    levenshtein_pairs,
     line_dedup,
     lsh_band_buckets,
     lsh_plan,
@@ -45,6 +46,7 @@ from .drift import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     bleu_corpus,
+    chrf_report,
     kendall_tau,
     mcnemar_report_from_counts,
     mcnemar_test,

@@ -380,6 +380,101 @@ def jaccard_pairs(
     return out
 
 
+def levenshtein_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 80,
+    max_chars: int = 5000,
+) -> DataFrame:
+    """Verify candidate pairs with exact EDIT-DISTANCE similarity — the
+    short-text near-dup verifier (titles, questions, instructions,
+    prompts) where shingle Jaccard is too coarse: a one-character typo
+    in a 30-char title moves Jaccard by whole shingles but edit
+    similarity by exactly 1/30,
+
+        sim(a, b) = 1 − lev(a, b) / max(|a|, |b|)
+        keep iff 100·(maxlen − dist) ≥ threshold_pct·maxlen
+                 (BIGINT cross-multiplication — no float in the gate)
+
+    ``lev`` is the built-in JVM Levenshtein (whole-stage-codegen, no
+    Python in the loop); DuckDB's ``levenshtein`` computes the same
+    integer, so the report is hash-exact cross-engine. The identical-
+    empty-pair edge (maxlen = 0) is similarity 1 and always kept.
+
+    Scale discipline (the ``jaccard_pairs`` contract): this runs on
+    CANDIDATE pairs — LSH-banded buckets, never all-pairs — so the
+    quadratic-in-length kernel touches a bounded pair set. Levenshtein
+    is O(|a|·|b|) PER PAIR; ``max_chars`` fails loudly when a text
+    exceeds it (1.4e9 cell ops per 38k-char pair would stall an
+    executor silently) — truncate or route long docs through
+    ``jaccard_pairs``/``exact_substr`` instead.
+
+    Returns ``(id_a, id_b, dist, maxlen, sim)``; ``sim`` is the single
+    6dp float division of the two exact integers."""
+    if not 0 <= int(threshold_pct) <= 100:
+        raise ValueError(
+            f"threshold_pct must be in [0, 100]: got {threshold_pct!r}"
+        )
+    t = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint").alias(
+            "_len"
+        ),
+    )
+    over = t.filter(F.col("_len") > int(max_chars))
+    n_over = over.limit(1).count()
+    if n_over:
+        sample = [r[0] for r in over.select(id_col).limit(5).collect()]
+        raise ValueError(
+            f"levenshtein_pairs: texts over max_chars={max_chars} (e.g."
+            f" ids {sample}) — the O(len^2) kernel needs a bound;"
+            " truncate or verify long docs with jaccard_pairs"
+        )
+    joined = (
+        pairs.join(
+            t.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_txt").alias("_ta"),
+                F.col("_len").alias("_la"),
+            ),
+            "id_a",
+        )
+        .join(
+            t.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_txt").alias("_tb"),
+                F.col("_len").alias("_lb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("dist"),
+            F.greatest("_la", "_lb").alias("maxlen"),
+        )
+    )
+    return joined.filter(
+        (F.lit(100) * (F.col("maxlen") - F.col("dist")))
+        >= (F.lit(int(threshold_pct)) * F.col("maxlen"))
+    ).select(
+        "id_a",
+        "id_b",
+        "dist",
+        "maxlen",
+        F.when(F.col("maxlen") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.col("dist") / F.col("maxlen").cast("double"), 6
+            )
+        )
+        .alias("sim"),
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash as a '0'/'1' string.
 

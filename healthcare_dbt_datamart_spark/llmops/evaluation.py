@@ -619,6 +619,172 @@ def bleu_corpus(
     )
 
 
+def chrf_report(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 6,
+    beta: int = 2,
+) -> DataFrame:
+    """Corpus-level chrF (Popović, WMT 2015 — "chrF: character n-gram
+    F-score for automatic MT evaluation"): CHARACTER n-gram F-score of
+    a candidate column against a reference, the tokenizer-free metric
+    that grades morphology-rich and non-whitespace languages where
+    BLEU's word n-grams fall apart — the third generation-eval rung
+    beside ``bleu_corpus`` (precision n-grams) and ``rouge_l`` (LCS
+    recall).
+
+    Per order n = 1..max_n over whitespace-stripped lowercased text
+    (the chrF convention — spaces carry no content signal):
+
+        match_n = Σ_pairs Σ_grams min(count_cand, count_ref)   [clipped]
+        P_n = match_n / cand_n      R_n = match_n / ref_n
+        F_n = (1+β²)·P·R / (β²·P + R)
+            = (1+β²)·match_n / (β²·ref_n + cand_n)     [exact identity:
+              ONE float division of exact BIGINTs — no intermediate
+              P·R rounding to disagree on cross-engine]
+
+    Corpus aggregation is MICRO (counts sum over segments per order,
+    the paper's document-level form). Every count is an associative
+    BIGINT sum — bit-identical on any layout; the only floats are the
+    three final divisions per order, rounded 6dp. Zero-denominator
+    semantics stay visible: P/R are NULL where their side has no
+    grams; F is NULL only when BOTH sides are gramless at that order
+    (shorter-than-n corpora), else an exact 0 on a complete miss. The
+    headline chrF score is the arithmetic mean of the non-NULL F_n —
+    one ``avg(fscore)`` over this report's ≤ max_n rows.
+
+    NULL pairs are excluded from every sum and counted in
+    ``n_null_pairs`` (report semantics, the ``bleu_corpus`` contract).
+
+    Scale shape: two explode passes (candidate and reference char
+    grams, all orders tagged in one explode each) partial-agg to
+    per-(pair, n, gram) counts, one full-outer join on that key to
+    clip, then bounded per-order aggregates joined onto a max_n-row
+    order spine — the ``ngram_contamination`` shuffle class, rows ∝
+    distinct grams per pair, never pairwise across the corpus.
+
+    Returns ``(order, n_pairs, n_null_pairs, cand_ngrams, ref_ngrams,
+    match_ngrams, precision, recall, fscore)`` — one row per order."""
+    if not 1 <= int(max_n) <= 10:
+        raise ValueError(f"max_n must be in [1, 10]: got {max_n!r}")
+    if int(beta) < 1:
+        raise ValueError(f"beta must be a positive integer: got {beta!r}")
+    max_n, b2 = int(max_n), int(beta) ** 2
+
+    def chars(c):
+        return F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", "")
+
+    ok = F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    base = df.select(
+        F.col(id_col).alias("_id"), ok.alias("_ok"),
+        chars(cand_col).alias("_c"), chars(ref_col).alias("_r"),
+    )
+    head = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("_ok")).cast("bigint")).alias("nulls"),
+    ).collect()[0]
+    n_pairs = int(head.total) - int(head.nulls or 0)
+    if n_pairs == 0:
+        raise ValueError("chrf_report: no non-NULL candidate/ref pairs")
+
+    def grams(col):
+        # the bleu_corpus clamp: sequence(1, k) DESCENDS when k < 1,
+        # so clamp to 1 and trim the bogus entry with a 0-length slice
+        def one_order(n):
+            k = F.length(col) - F.lit(n - 1)
+
+            def mk(i, _n=int(n)):
+                return F.struct(
+                    F.lit(_n).alias("n"), col.substr(i, F.lit(_n)).alias("g")
+                )
+
+            return F.slice(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: mk(i),
+                ),
+                1,
+                F.greatest(k, F.lit(0)),
+            )
+
+        return F.flatten(
+            F.array(*[one_order(n) for n in range(1, max_n + 1)])
+        )
+
+    clean = base.filter("_ok")
+
+    def side_counts(col, name):
+        return (
+            clean.select("_id", F.explode(grams(F.col(col))).alias("e"))
+            .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    cc = side_counts("_c", "nc")
+    rc = side_counts("_r", "nr")
+    per_n = (
+        cc.join(rc, ["_id", "n", "g"], "full")
+        .groupBy("n")
+        .agg(
+            F.sum(F.coalesce("nc", F.lit(0))).alias("cand_ngrams"),
+            F.sum(F.coalesce("nr", F.lit(0))).alias("ref_ngrams"),
+            F.sum(
+                F.least(F.coalesce("nc", F.lit(0)), F.coalesce("nr", F.lit(0)))
+            ).alias("match_ngrams"),
+        )
+    )
+    spine = df.sparkSession.range(1, max_n + 1).select(
+        F.col("id").cast("int").alias("n")
+    )
+    m, c, r = F.col("match_ngrams"), F.col("cand_ngrams"), F.col("ref_ngrams")
+    return (
+        spine.join(per_n, "n", "left")
+        .select(
+            F.col("n").cast("int").alias("order"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            F.lit(int(head.nulls or 0)).cast("bigint").alias("n_null_pairs"),
+            F.coalesce(c, F.lit(0)).cast("bigint").alias("cand_ngrams"),
+            F.coalesce(r, F.lit(0)).cast("bigint").alias("ref_ngrams"),
+            F.coalesce(m, F.lit(0)).cast("bigint").alias("match_ngrams"),
+        )
+        .select(
+            "order",
+            "n_pairs",
+            "n_null_pairs",
+            "cand_ngrams",
+            "ref_ngrams",
+            "match_ngrams",
+            F.when(
+                F.col("cand_ngrams") > 0,
+                F.round(
+                    F.col("match_ngrams")
+                    / F.col("cand_ngrams").cast("double"),
+                    6,
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("ref_ngrams") > 0,
+                F.round(
+                    F.col("match_ngrams") / F.col("ref_ngrams").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+            F.when(
+                (F.lit(b2) * F.col("ref_ngrams") + F.col("cand_ngrams")) > 0,
+                F.round(
+                    (F.lit(1 + b2) * F.col("match_ngrams"))
+                    / (
+                        F.lit(b2) * F.col("ref_ngrams") + F.col("cand_ngrams")
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("fscore"),
+        )
+    )
+
+
 def rouge_l(
     df: DataFrame,
     cand_col: str,

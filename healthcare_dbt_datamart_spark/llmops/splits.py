@@ -746,13 +746,18 @@ def winsorize_scores(
     and a ``clipped`` flag stay visible per row (fail-as-data: the
     audit can count exactly what moved).
 
-    Scale shape: one rank window + one count window PARTITIONED BY the
-    group (never global), one bounded per-group bounds aggregate, one
-    join back keyed on the group — the ``length_buckets`` class. With
-    ``grp_col=None`` the whole relation is one group: a single-
-    partition window, the documented ``token_balanced_shards`` trade —
-    pass a group for corpus-scale use. NULL/NaN values raise (a
-    clamped NaN would silently become a real bound). Returns
+    Scale shape (round-10 rewrite — the ``conformal_report`` cell
+    collapse): the rank-k VALUE does not depend on the id tie-break,
+    so bounds come from the bounded (grp, value, count) CELL table —
+    one partial-agg groupBy, a cumulative-count window over CELLS
+    (distinct values, not rows), one bounded per-group bounds
+    aggregate, one join back keyed on the group. No row-level window
+    exists in ANY shape, grouped or global: with ``grp_col=None`` the
+    single-partition stage is over the distinct-VALUE cells only —
+    score distributions have bounded support in practice (quantized
+    scores, small-int ratios); a pathological all-distinct corpus
+    still wants a group. NULL/NaN values raise (a clamped NaN would
+    silently become a real bound). Returns
     ``(<grp>, id, value, lo, hi, value_w, clipped)``."""
     from pyspark.sql.window import Window
 
@@ -776,12 +781,17 @@ def winsorize_scores(
             f"winsorize_scores: {bad.nb} rows have NULL/NaN"
             f" {value_col!r} — clamping them would fabricate bounds"
         )
-    wr = Window.partitionBy("grp").orderBy(
-        F.col("v").asc(), F.col("id").asc()
+    cells = x.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
     )
-    wn = Window.partitionBy("grp")
-    ranked = x.withColumn("_r", F.row_number().over(wr)).withColumn(
-        "_n", F.count(F.lit(1)).over(wn)
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("grp")
+    cum = cells.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_n)
     )
     lo_rank = F.greatest(
         F.expr(f"(_n * {int(lo_pct)} + 99) div 100"), F.lit(1).cast("long")
@@ -789,14 +799,12 @@ def winsorize_scores(
     hi_rank = F.greatest(
         F.expr(f"(_n * {int(hi_pct)} + 99) div 100"), F.lit(1).cast("long")
     )
-    bounds = (
-        ranked.groupBy("grp")
-        .agg(
-            F.min(F.when(F.col("_r") == lo_rank, F.col("v"))).alias("lo"),
-            F.min(F.when(F.col("_r") == hi_rank, F.col("v"))).alias("hi"),
-        )
+    # k-th smallest value = first cell whose cumulative count reaches k
+    bounds = cum.groupBy("grp").agg(
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("_cum") >= hi_rank, F.col("v"))).alias("hi"),
     )
-    out = ranked.join(bounds, "grp").select(
+    out = x.join(bounds, "grp").select(
         *([F.col("grp").alias(grp_col)] if grp_col else []),
         "id",
         F.col("v").alias("value"),

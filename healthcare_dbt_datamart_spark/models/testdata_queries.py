@@ -4391,9 +4391,19 @@ SCHEDULED_NEXT_WINDOW = [
 # six pre-proven round-12 candidates. Also implemented + replay-
 # gated: winsorize_scores (per-group robust clamping at exact
 # ceil-rank order statistics — real data values, no interpolation, so
-# nothing can disagree cross-engine), lsh_plan (the bands/rows S-curve
+# nothing can disagree cross-engine; round-10 rewrite computes bounds
+# from the (grp, value, count) CELL table so no row-level window
+# exists in any shape), lsh_plan (the bands/rows S-curve
 # planner), streaming_mcnemar_ingest/mcnemar_from_cells (the streamed
-# paired-eval twin under the exactly-once ledger).
+# paired-eval twin under the exactly-once ledger). Round-10 new-
+# operator wave (implemented + PRE-PROVEN hash-green at driver shape
+# in tests/test_round13_replays.py): levenshtein_pairs (edit-distance
+# near-dup verification over the LSH candidate set — the short-text
+# verifier beside jaccard_pairs; Spark's JVM levenshtein and DuckDB's
+# compute the same integer, threshold as BIGINT cross-multiplication)
+# and chrf_report (Popović 2015 character n-gram F-score, corpus
+# micro counts, the (1+b2)m/(b2r+c) single-division identity — the
+# tokenizer-free generation-eval rung beside bleu_corpus/rouge_l).
 
 QUERIES = {
     # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==

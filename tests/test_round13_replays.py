@@ -1,0 +1,287 @@
+"""Driver-SHAPE DuckDB oracle replays + unit gates for the round-13
+queue leaders (fourth file in the pre-proof convention —
+test_round10/11/12_replays.py proved the elo/wilson, unimax/conformal/
+vocab/ppr, and rrf/kendall/gopher/mcnemar/rbo/leakage cohorts before
+their promotions): each replay builds the future ``queries()`` body AND
+its ``oracle_sql()`` twin at the exact input shape the promoted query
+will use, over the REAL sf0.001 parquet, and compares with the driver
+gate's fingerprint. Cohort here: the round-10 new-operator wave —
+``levenshtein_pairs`` (edit-distance near-dup verification over LSH
+candidates — the short-text verifier beside jaccard_pairs) and
+``chrf_report`` (Popović 2015 character n-gram F-score — the
+tokenizer-free generation-eval rung beside bleu_corpus/rouge_l).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _compare(spark_df, oracle_sql, tables=("documents",)):
+    import duckdb
+
+    from tools.check_correctness import frame_fingerprint
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        res = con.execute(oracle_sql)
+        d_cols = [c[0] for c in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    sc, sn, sh = frame_fingerprint(s_cols, s_rows)
+    dc, dn, dh = frame_fingerprint(d_cols, d_rows)
+    assert sn > 0, "empty Spark result voids the replay"
+    assert sc == dc, f"schema {sc} vs oracle {dc}"
+    assert sn == dn, f"rows {sn} vs oracle {dn}"
+    assert sh == dh, "value-hash mismatch vs DuckDB oracle"
+
+
+def test_levenshtein_pairs_unit_and_guards(spark):
+    """Hand-computed edit distances, the identical-empty edge (sim 1),
+    the integer cross-multiplied gate, and both guards (over-length
+    texts raise naming offenders; bad threshold raises)."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        levenshtein_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitting"),   # lev(kitten, sitting) = 3, maxlen 7
+            (3, "kitten"),    # exact dup of 1
+            (4, ""),
+            (5, ""),          # empty-empty: maxlen 0 -> sim 1, kept
+            (6, "wholly different text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (1, 6)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in levenshtein_pairs(
+            pairs, docs, "text", "doc_id", threshold_pct=50
+        ).collect()
+    }
+    # (1,2): dist 3, maxlen 7 -> 100*(7-3)=400 >= 50*7=350 -> kept
+    assert got[(1, 2)].dist == 3 and got[(1, 2)].maxlen == 7
+    assert got[(1, 2)].sim == round(1 - 3 / 7, 6)
+    # exact dup: dist 0, sim 1.0
+    assert got[(1, 3)].dist == 0 and got[(1, 3)].sim == 1.0
+    # empty-empty: kept with sim exactly 1
+    assert got[(4, 5)].maxlen == 0 and got[(4, 5)].sim == 1.0
+    # dissimilar pair filtered
+    assert (1, 6) not in got
+
+    # tighter threshold drops the typo pair but keeps the exact dup
+    tight = {
+        (r.id_a, r.id_b)
+        for r in levenshtein_pairs(
+            pairs, docs, "text", "doc_id", threshold_pct=90
+        ).collect()
+    }
+    assert (1, 3) in tight and (1, 2) not in tight
+
+    with pytest.raises(ValueError, match="threshold_pct"):
+        levenshtein_pairs(pairs, docs, "text", "doc_id", threshold_pct=101)
+    long_docs = spark.createDataFrame(
+        [(1, "x" * 60), (2, "y" * 10)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_chars"):
+        levenshtein_pairs(
+            pairs.limit(1), long_docs, "text", "doc_id", max_chars=50
+        )
+
+
+def test_levenshtein_pairs_driver_shape_duckdb_replay(spark):
+    """Edit-distance verification at the future query shape: the
+    near_dup_jaccard LSH candidate set (8 hashes, 4 bands x 2 rows over
+    3-shingles) verified by character edit similarity at 50% — the
+    short-text fuzzy-dedup composition. DuckDB's levenshtein computes
+    the same integer as Spark's JVM kernel, so every column replays."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        candidate_pairs,
+        levenshtein_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _BANDS,
+        _SIGS,
+        _TOKS_3,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    out = levenshtein_pairs(pairs, docs, "text", "doc_id", threshold_pct=50)
+
+    sql = f"""
+WITH toks AS ({_TOKS_3}),
+sigs AS ({_SIGS}),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+lev AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS maxlen
+  FROM cand
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
+)
+SELECT id_a, id_b, dist, maxlen,
+       CASE WHEN maxlen = 0 THEN 1.0
+            ELSE round(1.0 - dist / CAST(maxlen AS DOUBLE), 6) END AS sim
+FROM lev
+WHERE 100 * (maxlen - dist) >= 50 * maxlen
+"""
+    _compare(out, sql)
+
+
+def test_chrf_report_unit_and_guards(spark):
+    """Hand-computed chrF cells on a two-pair corpus: clipped counts,
+    the (1+b2)m/(b2r+c) single-division identity, NULL semantics for
+    gramless orders, null-pair accounting, and the empty-corpus
+    guard."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import chrf_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "abab", "abab"),   # identical: all orders perfect
+            (2, "ab", "ba"),       # 1-grams match fully, 2-grams miss
+            (3, None, "x"),        # NULL pair: excluded + counted
+        ],
+        "id long, cand string, ref string",
+    )
+    got = {r.order: r for r in chrf_report(df, "cand", "ref", "id").collect()}
+    assert got[1].n_pairs == 2 and got[1].n_null_pairs == 1
+    # order 1: cand grams a,b,a,b + a,b = 6; identical for ref; all match
+    assert (got[1].cand_ngrams, got[1].ref_ngrams) == (6, 6)
+    assert got[1].match_ngrams == 6
+    assert got[1].precision == 1.0 and got[1].recall == 1.0
+    assert got[1].fscore == 1.0
+    # order 2: pair1 has ab,ba,ab (clip 3 of 3), pair2 cand=ab ref=ba
+    # (clip 0): c=4, r=4, m=3; F = 5*3/(4*4+4) = 15/20
+    assert (got[2].cand_ngrams, got[2].ref_ngrams, got[2].match_ngrams) == (
+        4, 4, 3,
+    )
+    assert got[2].fscore == round(5 * 3 / (4 * 4 + 4), 6)
+    # order 4: only pair1 ('abab') has a 4-gram; clip 1
+    assert (got[4].cand_ngrams, got[4].match_ngrams) == (1, 1)
+    # order 5/6: no grams anywhere -> every metric NULL, counts 0
+    assert got[5].cand_ngrams == 0 and got[5].fscore is None
+    assert got[6].precision is None and got[6].recall is None
+    # whitespace is stripped before gramming
+    ws = spark.createDataFrame(
+        [(1, "a b", "ab")], "id long, cand string, ref string"
+    )
+    w1 = {r.order: r for r in chrf_report(ws, "cand", "ref", "id").collect()}
+    assert w1[2].match_ngrams == 1  # 'ab' == 'ab' after stripping
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        chrf_report(
+            spark.createDataFrame(
+                [(1, None, "x")], "id long, cand string, ref string"
+            ),
+            "cand", "ref", "id",
+        )
+    with pytest.raises(ValueError, match="max_n"):
+        chrf_report(df, "cand", "ref", "id", max_n=11)
+    with pytest.raises(ValueError, match="beta"):
+        chrf_report(df, "cand", "ref", "id", beta=0)
+
+
+def test_chrf_report_driver_shape_duckdb_replay(spark):
+    """chrF at the future query shape: every document graded as
+    candidate = its first 300 chars vs reference = chars 101-400 (the
+    sliding-window construction — real overlap at every order, exact
+    clipping exercised corpus-wide). Counts, both denominators, and
+    the single-division F replay per order."""
+    from healthcare_dbt_datamart_spark.llmops.evaluation import chrf_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = docs.select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("cand"),
+        F.substring("text", 101, 300).alias("ref"),
+    )
+    out = chrf_report(pairs, "cand", "ref", "doc_id")
+
+    sql = """
+WITH pairs AS (
+  SELECT doc_id AS pid,
+    regexp_replace(lower(trim(substr(text, 1, 300))), '\\s+', '', 'g') AS c,
+    regexp_replace(lower(trim(substr(text, 101, 300))), '\\s+', '', 'g') AS r
+  FROM documents
+),
+orders AS (SELECT unnest(range(1, 7)) AS n),
+cg AS (
+  SELECT pid, n,
+    unnest([substr(c, i, CAST(n AS INTEGER))
+            for i in range(1, greatest(length(c) - n + 1, 0) + 1)]) AS g
+  FROM pairs, orders
+),
+rg AS (
+  SELECT pid, n,
+    unnest([substr(r, i, CAST(n AS INTEGER))
+            for i in range(1, greatest(length(r) - n + 1, 0) + 1)]) AS g
+  FROM pairs, orders
+),
+cc AS (SELECT pid, n, g, COUNT(*) AS nc FROM cg GROUP BY ALL),
+rc AS (SELECT pid, n, g, COUNT(*) AS nr FROM rg GROUP BY ALL),
+j AS (
+  SELECT COALESCE(cc.n, rc.n) AS n,
+         COALESCE(nc, 0) AS nc, COALESCE(nr, 0) AS nr,
+         LEAST(COALESCE(nc, 0), COALESCE(nr, 0)) AS clip
+  FROM cc FULL OUTER JOIN rc
+    ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+),
+agg AS (
+  SELECT n, CAST(SUM(nc) AS BIGINT) AS cand_ngrams,
+         CAST(SUM(nr) AS BIGINT) AS ref_ngrams,
+         CAST(SUM(clip) AS BIGINT) AS match_ngrams
+  FROM j GROUP BY n
+),
+spine AS (SELECT unnest(range(1, 7)) AS n),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT CAST(spine.n AS INTEGER) AS "order",
+  np.n_pairs,
+  CAST(0 AS BIGINT) AS n_null_pairs,
+  COALESCE(cand_ngrams, 0) AS cand_ngrams,
+  COALESCE(ref_ngrams, 0) AS ref_ngrams,
+  COALESCE(match_ngrams, 0) AS match_ngrams,
+  CASE WHEN COALESCE(cand_ngrams, 0) > 0 THEN
+    round(COALESCE(match_ngrams, 0) / CAST(cand_ngrams AS DOUBLE), 6)
+  END AS precision,
+  CASE WHEN COALESCE(ref_ngrams, 0) > 0 THEN
+    round(COALESCE(match_ngrams, 0) / CAST(ref_ngrams AS DOUBLE), 6)
+  END AS recall,
+  CASE WHEN 4 * COALESCE(ref_ngrams, 0) + COALESCE(cand_ngrams, 0) > 0 THEN
+    round(5 * COALESCE(match_ngrams, 0)
+          / CAST(4 * ref_ngrams + cand_ngrams AS DOUBLE), 6)
+  END AS fscore
+FROM spine CROSS JOIN np LEFT JOIN agg ON agg.n = spine.n
+"""
+    _compare(out, sql)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-v"]))

@@ -283,5 +283,145 @@ FROM spine CROSS JOIN np LEFT JOIN agg ON agg.n = spine.n
     _compare(out, sql)
 
 
+def test_paired_bootstrap_driver_shape_duckdb_replay(spark):
+    """Koehn-style paired significance at the future query shape:
+    system A = n_chars + (doc_id mod 3) vs system B = n_chars on the
+    same documents — a small consistent gain under large item
+    variance, the test's reason to exist. The md5(seed:rep:id) draws,
+    Poisson CASE weights, replicate means, and ceil-rank walk replay
+    the driver-green bootstrap_diff_ci oracle machinery."""
+    from healthcare_dbt_datamart_spark.llmops.bootstrap import (
+        paired_bootstrap_test,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _P1_CASE,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        (F.col("n_chars") + F.pmod(F.col("doc_id"), F.lit(3))).alias(
+            "score_a"
+        ),
+        F.col("n_chars").alias("score_b"),
+    )
+    out = paired_bootstrap_test(
+        scored, "score_a", "score_b", "doc_id", n_boot=40, seed="pb"
+    )
+
+    sql = f"""
+WITH reps AS (SELECT unnest(range(40)) AS rep),
+items AS (
+  SELECT doc_id, CAST(n_chars + (doc_id % 3) AS BIGINT) AS a,
+         CAST(n_chars AS BIGINT) AS b
+  FROM documents
+),
+draws AS (
+  SELECT rep, a - b AS d,
+         ('0x' || substr(md5('pb:' || CAST(rep AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM items, reps
+),
+wtd AS (SELECT rep, d, CASE {_P1_CASE} ELSE 7 END AS w FROM draws),
+rm AS (
+  SELECT rep, CAST(SUM(w * d) AS DOUBLE) / SUM(w) AS m
+  FROM wtd GROUP BY 1 HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT rep, m, row_number() OVER (ORDER BY m, rep) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM rm
+),
+bounds AS (
+  SELECT round(MIN(m), 6) AS ci_lo, round(MAX(m), 6) AS ci_hi
+  FROM ranked
+  WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+     OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+    round(CAST(SUM(a) AS DOUBLE) / COUNT(*), 6) AS mean_a,
+    round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+    round(CAST(SUM(a - b) AS DOUBLE) / COUNT(*), 6) AS diff,
+    CAST(SUM(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_wins,
+    CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_wins,
+    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+  FROM items
+)
+SELECT n_items, mean_a, mean_b, diff, ci_lo, ci_hi,
+       (ci_lo > 0 OR ci_hi < 0) AS significant,
+       n_a_wins, n_b_wins, n_ties
+FROM base, bounds
+"""
+    _compare(out, sql)
+
+
+def test_source_overlap_kmv_driver_shape_duckdb_replay(spark):
+    """KMV source-overlap matrix at the future query shape: pairwise
+    content Jaccard estimates across the documents sources at k=64
+    (below per-source distinct counts, so the union-trick estimator
+    path — not the exact degenerate — is what replays). The 60-bit
+    md5 fingerprints, two-stage k-smallest, and union-slice arithmetic
+    all reproduce in window SQL."""
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        source_overlap_kmv,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = source_overlap_kmv(docs, "source", "text", k=64)
+
+    sql = """
+WITH hashes AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+),
+nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM hashes GROUP BY 1
+),
+sigs AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= 64
+),
+pairs AS (
+  SELECT DISTINCT a.source AS sa, b.source AS sb
+  FROM sigs a JOIN sigs b ON a.source < b.source
+),
+u AS (
+  SELECT DISTINCT p.sa, p.sb, s.h
+  FROM pairs p JOIN sigs s ON s.source IN (p.sa, p.sb)
+),
+uk AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 64
+),
+agg AS (
+  SELECT uk.sa, uk.sb, CAST(COUNT(*) AS INTEGER) AS k_union,
+         CAST(SUM(CASE WHEN s1.h IS NOT NULL AND s2.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS INTEGER) AS n_common_in_k
+  FROM uk
+  LEFT JOIN sigs s1 ON s1.source = uk.sa AND s1.h = uk.h
+  LEFT JOIN sigs s2 ON s2.source = uk.sb AND s2.h = uk.h
+  GROUP BY 1, 2
+)
+SELECT agg.sa AS source_a, agg.sb AS source_b,
+       na.n_distinct AS n_distinct_a, nb.n_distinct AS n_distinct_b,
+       k_union, n_common_in_k,
+       round(n_common_in_k / CAST(k_union AS DOUBLE), 6) AS jaccard_est
+FROM agg
+JOIN nd na ON na.source = agg.sa
+JOIN nd nb ON nb.source = agg.sb
+"""
+    _compare(out, sql)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

@@ -29,6 +29,7 @@ from .filtering import (  # noqa: F401
     importance_weights,
     kn_bigram_scores,
     lm_buckets,
+    min_k_prob,
     ngram_contamination,
     perplexity_buckets,
     redact_report,

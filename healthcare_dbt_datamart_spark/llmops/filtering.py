@@ -1006,3 +1006,128 @@ def domain_mixture_weights(
             F.round(F.col("_ew") / F.sum("_ew").over(w_all), 6).alias("weight"),
         )
     )
+
+
+def min_k_prob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_df: DataFrame | None = None,
+    k_pct: int = 20,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Min-K% Prob membership/contamination score (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models",
+    arXiv:2310.16789) — the decontamination-side detector beside
+    ``ngram_contamination``: a text the reference distribution has
+    SEEN has no surprisingly-unlikely spans, so the mean of its k%
+    LOWEST token log-probabilities sits high; unseen text carries at
+    least a few low-probability tokens that drag the tail mean down.
+    The paper scores under the suspect LLM; this engine-side proxy
+    scores under a Laplace-smoothed REFERENCE unigram LM (``ref_df``,
+    default: the corpus itself — the ``kn_bigram_scores`` fit/score
+    split applies when a held-out reference exists):
+
+        p(t)      = (c_ref(t) + 1) / (N_ref + V_ref)      [Laplace]
+        min_k(d)  = mean of the ceil(n_d·k/100) lowest ln p(t),
+                    ties on token position (deterministic)
+
+    Exactness discipline: each token's ln p quantizes ONCE to BIGINT
+    ``scale`` units (half-up — the ``logreg_train`` convention, ulp
+    absorbed), the per-doc tail selection is a rank window on
+    (lp_fp, pos), and both report means are single 6dp divisions of
+    exact integer sums — bit-identical on any layout, replayable in
+    SQL verbatim.
+
+    Scale shape: one explode + map-side join on the token key (the
+    TF-IDF shuffle class), one rank window PARTITIONED BY document
+    (never global), one partial-agg fold. The reference model is a
+    (token, count) relation — corpus-sized state kept distributed,
+    joined not collected; only N/V (two integers) ride the driver.
+
+    Docs with no tokens keep a row with NULL scores (fail-as-data).
+    Returns ``(<id>, n_tokens, n_lowest, min_k_logprob,
+    mean_logprob)`` — low ``min_k_logprob`` = likely UNSEEN text;
+    rank review candidates by ascending score."""
+    if not 0 < int(k_pct) <= 100:
+        raise ValueError(f"k_pct must be in (0, 100]: got {k_pct!r}")
+    scale = int(scale)
+    ref = ref_df if ref_df is not None else df
+
+    def toks(frame, with_pos):
+        arr = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        )
+        if with_pos:
+            return frame.select(
+                F.col(id_col), F.posexplode(arr).alias("pos", "t")
+            )
+        return frame.select(F.explode(arr).alias("t"))
+
+    rtoks = toks(ref, with_pos=False)
+    freq = rtoks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    head = freq.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_ref, v_ref = int(head.n), int(head.v)
+    if n_ref == 0:
+        raise ValueError("min_k_prob: the reference corpus has no tokens")
+    denom = n_ref + v_ref
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        toks(df, with_pos=True)
+        .join(freq, "t", "left")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.expr(
+                f"cast(floor(ln((coalesce(c, 0) + 1) / {float(denom)!r}d)"
+                f" * {scale} + 0.5d) as bigint)"
+            ).alias("lp_fp"),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("lp_fp").asc(), F.col("pos").asc()
+    )
+    w_doc = Window.partitionBy(id_col)
+    ranked = scored.withColumn("_r", F.row_number().over(w_rank)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_doc)
+    )
+    k_rows = F.greatest(
+        F.expr(f"cast(ceil(_n * {int(k_pct)} / 100.0) as bigint)"),
+        F.lit(1).cast("long"),
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.max("_n").cast("bigint").alias("n_tokens"),
+        F.max(
+            F.when(F.col("_r") <= k_rows, F.col("_r"))
+        ).cast("bigint").alias("n_lowest"),
+        F.sum(
+            F.when(F.col("_r") <= k_rows, F.col("lp_fp"))
+        ).alias("_tail_fp"),
+        F.sum("lp_fp").alias("_all_fp"),
+    )
+    out = agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_lowest",
+        F.round(
+            F.col("_tail_fp") / (F.col("n_lowest") * F.lit(float(scale))), 6
+        ).alias("min_k_logprob"),
+        F.round(
+            F.col("_all_fp") / (F.col("n_tokens") * F.lit(float(scale))), 6
+        ).alias("mean_logprob"),
+    )
+    # fail-as-data: docs with zero tokens keep a NULL-scored row
+    spine = df.select(F.col(id_col)).distinct()
+    return spine.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("n_lowest", F.lit(0).cast("bigint")).alias("n_lowest"),
+        "min_k_logprob",
+        "mean_logprob",
+    )

@@ -4403,7 +4403,13 @@ SCHEDULED_NEXT_WINDOW = [
 # compute the same integer, threshold as BIGINT cross-multiplication)
 # and chrf_report (Popović 2015 character n-gram F-score, corpus
 # micro counts, the (1+b2)m/(b2r+c) single-division identity — the
-# tokenizer-free generation-eval rung beside bleu_corpus/rouge_l).
+# tokenizer-free generation-eval rung beside bleu_corpus/rouge_l),
+# min_k_prob (Shi et al. 2023 Min-K% Prob membership/contamination
+# detector under a Laplace reference unigram LM — quantized per-token
+# logprobs, per-doc rank-window tail mean; the decontamination rung
+# beside ngram_contamination), paired_bootstrap_test, and
+# source_overlap_kmv (both pre-proven at driver shape in the same
+# file): a ready-made 5-query round-13 cohort.
 
 QUERIES = {
     # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==

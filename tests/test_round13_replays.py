@@ -423,5 +423,122 @@ JOIN nd nb ON nb.source = agg.sb
     _compare(out, sql)
 
 
+def test_min_k_prob_unit_and_guards(spark):
+    """Min-K% Prob against a hand-built Laplace unigram reference:
+    tail selection picks exactly the ceil(n·k/100) lowest-logprob
+    tokens (pos tie-break), quantized means replay bit-for-bit in
+    pure Python, unseen tokens get the 1/(N+V) floor, empty docs keep
+    NULL-scored rows, and the guards fire."""
+    import math
+
+    from healthcare_dbt_datamart_spark.llmops.filtering import min_k_prob
+
+    ref = spark.createDataFrame(
+        [(100, "a a a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b z a"), (2, "a a"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in min_k_prob(
+            docs, "text", "doc_id", ref_df=ref, k_pct=50
+        ).collect()
+    }
+    # reference: c(a)=3 c(b)=1, N=4, V=2 -> denom 6
+    q = lambda p: math.floor(math.log(p) * 10**9 + 0.5)  # noqa: E731
+    lp_a, lp_b, lp_z = q(4 / 6.0), q(2 / 6.0), q(1 / 6.0)
+    # doc 1: 4 tokens, k=50% -> 2 lowest = z then b
+    assert out[1].n_tokens == 4 and out[1].n_lowest == 2
+    assert out[1].min_k_logprob == round((lp_z + lp_b) / (2 * 1e9), 6)
+    assert out[1].mean_logprob == round(
+        (2 * lp_a + lp_b + lp_z) / (4 * 1e9), 6
+    )
+    # doc 2: 2 tokens -> 1 lowest (ceil(2*50/100)=1), both are 'a'
+    assert out[2].n_lowest == 1
+    assert out[2].min_k_logprob == round(lp_a / 1e9, 6)
+    # doc 3: no tokens -> NULL scores, zero counts (fail-as-data)
+    assert out[3].n_tokens == 0 and out[3].n_lowest == 0
+    assert out[3].min_k_logprob is None and out[3].mean_logprob is None
+    # a SEEN doc's tail mean sits above an unseen-token doc's
+    assert out[2].min_k_logprob > out[1].min_k_logprob
+
+    with pytest.raises(ValueError, match="k_pct"):
+        min_k_prob(docs, "text", "doc_id", ref_df=ref, k_pct=0)
+    with pytest.raises(ValueError, match="no tokens"):
+        min_k_prob(
+            docs, "text", "doc_id",
+            ref_df=spark.createDataFrame(
+                [(1, " ")], "doc_id long, text string"
+            ),
+        )
+
+
+def test_min_k_prob_driver_shape_duckdb_replay(spark):
+    """Min-K% Prob at the future query shape: reference = the src0
+    slice (the CCNet clean-reference convention shared with
+    kn_bigram_scores), every document scored at k=20 — quantized
+    per-token logprobs, per-doc rank-window tail selection, and both
+    integer-sum means replay field-for-field."""
+    from healthcare_dbt_datamart_spark.llmops.filtering import min_k_prob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = min_k_prob(
+        docs, "text", "doc_id",
+        ref_df=docs.filter(F.col("source") == "src0"), k_pct=20,
+    )
+
+    sql = """
+WITH rt AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+    '\\s+'), x -> x != '')) AS t
+  FROM documents WHERE source = 'src0'
+),
+freq AS (SELECT t, COUNT(*) AS c FROM rt GROUP BY t),
+hd AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+         + CAST(COUNT(*) AS BIGINT) AS denom
+  FROM freq
+),
+dt AS (
+  SELECT doc_id, i AS pos, w[CAST(i AS INTEGER)] AS t
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+          '\\s+'), x -> x != '') AS w
+        FROM documents),
+  unnest(range(1, len(w) + 1)) AS u(i)
+),
+scored AS (
+  SELECT doc_id, pos,
+    CAST(floor(ln((COALESCE(c, 0) + 1) / CAST(hd.denom AS DOUBLE))
+      * 1000000000 + 0.5) AS BIGINT) AS lp_fp
+  FROM dt LEFT JOIN freq USING (t), hd
+),
+ranked AS (
+  SELECT doc_id, lp_fp,
+    row_number() OVER (PARTITION BY doc_id ORDER BY lp_fp, pos) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM scored
+),
+agg AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+    CAST(MAX(CASE WHEN rn <= GREATEST(CAST(ceil(n * 20 / 100.0) AS
+      BIGINT), 1) THEN rn END) AS BIGINT) AS n_lowest,
+    CAST(SUM(CASE WHEN rn <= GREATEST(CAST(ceil(n * 20 / 100.0) AS
+      BIGINT), 1) THEN lp_fp END) AS BIGINT) AS tail_fp,
+    CAST(SUM(lp_fp) AS BIGINT) AS all_fp
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_lowest, 0) AS n_lowest,
+  round(tail_fp / (n_lowest * 1000000000.0), 6) AS min_k_logprob,
+  round(all_fp / (n_tokens * 1000000000.0), 6) AS mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+"""
+    _compare(out, sql)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

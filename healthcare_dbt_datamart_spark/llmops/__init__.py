@@ -140,6 +140,7 @@ from .splits import (  # noqa: F401
     curriculum_report,
     domain_concentration,
     leakage_safe_split,
+    mad_scores,
     stratified_sample,
     temperature_rebalance,
     temperature_weights,

@@ -818,3 +818,102 @@ def winsorize_scores(
         ),
     )
     return out
+
+
+def mad_scores(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    grp_col: str | None = None,
+    z_thresh_pct: int = 350,
+) -> DataFrame:
+    """Robust per-group score normalization at exact order statistics —
+    median + MAD (median absolute deviation) with the Iglewicz &
+    Hoaglin (1993) modified z-score,
+
+        M_i = 0.6745 · (x_i − median) / MAD,
+        outlier iff |M_i| > z_thresh_pct/100     (default 3.5)
+
+    — the mean/stddev z-score's robust twin for quality/length/LM
+    score columns whose tails are exactly what the filter is hunting:
+    one wild document moves a mean and explodes a stddev, but moves
+    neither the median nor the MAD. The companion to
+    [[winsorize_scores]] (clamp) — this one SCORES and FLAGS, leaving
+    values intact (fail-as-data).
+
+    Exactness discipline: median and MAD are REAL data values at exact
+    ceil ranks — median = the ((n+1) div 2)-th smallest (the lower
+    median, never an interpolated midpoint), MAD = the lower median of
+    |x − median|; both come from cumulative-count windows over the
+    bounded (grp, value, count) CELL table (the ``winsorize_scores``
+    collapse — no row-level window in any shape). |x − median| and the
+    modified z use only IEEE-exact −, ×, ÷ on those values, so the
+    whole report is hash-stable cross-engine with no quantization.
+    A zero MAD (over half the group shares one value) yields NULL
+    ``robust_z``/``outlier`` — visible, never a fabricated infinity.
+    NULL/NaN values raise (the winsorize rule). Returns
+    ``(<grp>, id, value, median, mad, robust_z, outlier)``."""
+    from pyspark.sql.window import Window
+
+    if int(z_thresh_pct) <= 0:
+        raise ValueError(
+            f"z_thresh_pct must be positive: got {z_thresh_pct!r}"
+        )
+    v = F.col(value_col).cast("double")
+    x = df.select(
+        *([F.col(grp_col).alias("grp")] if grp_col else [F.lit(0).alias("grp")]),
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+    )
+    bad = x.agg(
+        F.sum((F.col("v").isNull() | F.isnan("v")).cast("bigint")).alias("nb")
+    ).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"mad_scores: {bad.nb} rows have NULL/NaN {value_col!r} —"
+            " scoring them would fabricate medians"
+        )
+
+    def _median_of(frame, col):
+        # lower median from the bounded value-cell table: the k-th
+        # smallest value with k = (n+1) div 2 — a REAL data value
+        cells = frame.groupBy("grp", col).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        w_cum = (
+            Window.partitionBy("grp")
+            .orderBy(F.col(col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = cells.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+            "_n", F.sum("_c").over(Window.partitionBy("grp"))
+        )
+        k = F.expr("(_n + 1) div 2")
+        return cum.groupBy("grp").agg(
+            F.min(F.when(F.col("_cum") >= k, F.col(col))).alias("_med")
+        )
+    med = _median_of(x, "v").withColumnRenamed("_med", "median")
+    dev = x.join(med, "grp").withColumn(
+        "_d", F.abs(F.col("v") - F.col("median"))
+    )
+    mad = _median_of(dev, "_d").withColumnRenamed("_med", "mad")
+    z = (
+        F.lit(0.6745)
+        * (F.col("v") - F.col("median"))
+        / F.col("mad")
+    )
+    thresh = F.lit(int(z_thresh_pct) / 100.0)
+    return (
+        dev.join(mad, "grp")
+        .select(
+            *([F.col("grp").alias(grp_col)] if grp_col else []),
+            "id",
+            F.col("v").alias("value"),
+            "median",
+            "mad",
+            F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+            F.when(F.col("mad") > 0, F.abs(F.round(z, 6)) > thresh).alias(
+                "outlier"
+            ),
+        )
+    )

@@ -4407,9 +4407,11 @@ SCHEDULED_NEXT_WINDOW = [
 # min_k_prob (Shi et al. 2023 Min-K% Prob membership/contamination
 # detector under a Laplace reference unigram LM — quantized per-token
 # logprobs, per-doc rank-window tail mean; the decontamination rung
-# beside ngram_contamination), paired_bootstrap_test, and
-# source_overlap_kmv (both pre-proven at driver shape in the same
-# file): a ready-made 5-query round-13 cohort.
+# beside ngram_contamination), mad_scores (Iglewicz-Hoaglin modified
+# z at exact cell-table medians — the winsorize SCORE/FLAG companion),
+# paired_bootstrap_test, and source_overlap_kmv (all pre-proven at
+# driver shape in the same file): a ready-made 6-query round-13
+# cohort.
 
 QUERIES = {
     # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==

@@ -540,5 +540,104 @@ LEFT JOIN agg USING (doc_id)
     _compare(out, sql)
 
 
+def test_mad_scores_unit_and_guards(spark):
+    """Median/MAD robust scoring on hand-built groups: exact lower
+    medians at ceil ranks, the 0.6745 modified z, outlier flag at 3.5,
+    NULL robust_z on a zero-MAD group (never a fabricated infinity),
+    and the NULL/NaN guard."""
+    from healthcare_dbt_datamart_spark.llmops.splits import mad_scores
+
+    df = spark.createDataFrame(
+        [("g1", i, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])]
+        + [("g2", i, v) for i, v in enumerate([5.0, 5.0, 5.0, 9.0])],
+        "grp string, id long, v double",
+    )
+    got = {
+        (r.grp, r.id): r
+        for r in mad_scores(df, "v", "id", grp_col="grp").collect()
+    }
+    # g1: n=5 -> k=3 -> median 3; |dev| = [2,1,0,1,97] -> MAD 1
+    g1 = got[("g1", 4)]
+    assert (g1.median, g1.mad) == (3.0, 1.0)
+    assert g1.robust_z == round(0.6745 * 97 / 1.0, 6) and g1.outlier
+    assert got[("g1", 0)].robust_z == round(0.6745 * -2 / 1.0, 6)
+    assert not got[("g1", 0)].outlier
+    # g2: median 5, MAD 0 -> NULL score + flag, values intact
+    g2 = got[("g2", 3)]
+    assert (g2.median, g2.mad) == (5.0, 0.0)
+    assert g2.robust_z is None and g2.outlier is None and g2.value == 9.0
+
+    # global shape (grp_col=None) keeps one group, no grp column
+    glob = mad_scores(df, "v", "id").columns
+    assert glob == ["id", "value", "median", "mad", "robust_z", "outlier"]
+
+    with pytest.raises(ValueError, match="z_thresh_pct"):
+        mad_scores(df, "v", "id", grp_col="grp", z_thresh_pct=0)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        mad_scores(
+            df.unionByName(
+                spark.createDataFrame(
+                    [("g1", 99, float("nan"))], "grp string, id long, v double"
+                )
+            ),
+            "v", "id", grp_col="grp",
+        )
+
+
+def test_mad_scores_driver_shape_duckdb_replay(spark):
+    """Robust z-scores at the future query shape: per-language n_chars
+    over the whole documents corpus — exact cell-table medians, IEEE
+    modified z, and the 3.5 outlier flag replay field-for-field."""
+    from healthcare_dbt_datamart_spark.llmops.splits import mad_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mad_scores(
+        docs.select("lang", "doc_id", F.col("n_chars").cast("double").alias("v")),
+        "v", "doc_id", grp_col="lang",
+    )
+
+    sql = """
+WITH x AS (
+  SELECT lang AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+),
+vc AS (SELECT grp, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
+vcum AS (
+  SELECT grp, v,
+    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+    SUM(c) OVER (PARTITION BY grp) AS n
+  FROM vc
+),
+med AS (
+  SELECT grp, MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median
+  FROM vcum GROUP BY grp
+),
+dev AS (
+  SELECT x.grp, x.id, x.v, med.median, abs(x.v - med.median) AS d
+  FROM x JOIN med USING (grp)
+),
+dc AS (SELECT grp, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT grp, d,
+    SUM(c) OVER (PARTITION BY grp ORDER BY d) AS cum,
+    SUM(c) OVER (PARTITION BY grp) AS n
+  FROM dc
+),
+mad AS (
+  SELECT grp, MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+  FROM dcum GROUP BY grp
+)
+SELECT dev.grp AS lang, dev.id, dev.v AS value, dev.median, mad.mad,
+  CASE WHEN mad.mad > 0
+       THEN round(0.6745 * (dev.v - dev.median) / mad.mad, 6) END
+    AS robust_z,
+  CASE WHEN mad.mad > 0
+       THEN abs(round(0.6745 * (dev.v - dev.median) / mad.mad, 6)) > 3.5
+  END AS outlier
+FROM dev JOIN mad USING (grp)
+"""
+    _compare(out, sql)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

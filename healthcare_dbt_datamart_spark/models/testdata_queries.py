@@ -4409,9 +4409,13 @@ SCHEDULED_NEXT_WINDOW = [
 # logprobs, per-doc rank-window tail mean; the decontamination rung
 # beside ngram_contamination), mad_scores (Iglewicz-Hoaglin modified
 # z at exact cell-table medians — the winsorize SCORE/FLAG companion),
-# paired_bootstrap_test, and source_overlap_kmv (all pre-proven at
-# driver shape in the same file): a ready-made 6-query round-13
-# cohort.
+# paired_bootstrap_test, source_overlap_kmv, and index_scorecard (the
+# FOURTH release-gate DAG — Lloyd fit -> cell index -> batched IVF
+# panel -> brute oracle -> TREC-padded pool -> exact-integer verdict,
+# the whole DAG as ONE DuckDB statement; completes the release-gate
+# family beside the driver-green curation_dag / corpus_release /
+# leaderboard_gate) — all SEVEN pre-proven at driver shape in the same
+# file: the round-13 window picks its ≤6 from a stocked queue.
 
 QUERIES = {
     # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==

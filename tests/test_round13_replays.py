@@ -639,5 +639,149 @@ FROM dev JOIN mad USING (grp)
     _compare(out, sql)
 
 
+def test_index_scorecard_driver_shape_duckdb_replay(spark):
+    """The WHOLE ANN index-release gate DAG replayed as one DuckDB
+    statement at the future query shape: 2-round Lloyd fit -> cell
+    assignment -> batched IVF top-10 for the query panel [0, 7, 21]
+    at nprobe=2 -> brute cosine oracle -> TREC-padded judged pool
+    (misses at sentinel -2.0) -> per-query recall/MRR/NDCG -> the
+    exact-integer one-row release verdict. The fourth release-gate DAG
+    (curation_dag / corpus_release / leaderboard_gate are driver
+    queries already); a perturbed Lloyd round, probe rule, sentinel,
+    rank tie-break, metric rounding, or release floor flips the
+    hash."""
+    from healthcare_dbt_datamart_spark.models.index_release import (
+        build_index_scorecard,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _lloyd_ctes,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = build_index_scorecard(spark, emb, query_ids=[0, 7, 21]).build(
+        "index_scorecard"
+    )
+
+    sql = f"""
+WITH {_lloyd_ctes(2, 8)},
+qs AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 21)
+),
+qpair AS (
+  SELECT qs.qid, c.cid, unnest(c.cvec) AS x, unnest(qs.qv) AS y
+  FROM cent2 c CROSS JOIN qs
+),
+qsims AS (
+  SELECT qid, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS s
+  FROM qpair GROUP BY qid, cid
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid ASC)
+             AS rn
+    FROM qsims
+  ) WHERE rn <= 2
+),
+fpair AS (
+  SELECT p.qid, e.vec_id,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(qs.qv) AS y
+  FROM embeddings e
+  JOIN asgf a USING (vec_id)
+  JOIN probes p ON a.cell = p.cid
+  JOIN qs ON qs.qid = p.qid
+  WHERE e.vec_id != p.qid
+),
+fsims AS (
+  SELECT qid, vec_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM fpair GROUP BY qid, vec_id
+),
+ann AS (
+  SELECT qid, vec_id, s AS score FROM (
+    SELECT qid, vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS s,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                      vec_id ASC) AS rn
+    FROM fsims
+  ) WHERE rn <= 10
+),
+bpair AS (
+  SELECT qs.qid, e.vec_id,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(qs.qv) AS y
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.qid
+),
+bsims AS (
+  SELECT qid, vec_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM bpair GROUP BY qid, vec_id
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                      vec_id ASC) AS rn
+    FROM bsims
+  ) WHERE rn <= 10
+),
+pool AS (
+  SELECT a.qid, a.vec_id, a.score,
+         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ann a LEFT JOIN brute b USING (qid, vec_id)
+  UNION ALL
+  SELECT b.qid, b.vec_id, -2.0 AS score, 1 AS rel
+  FROM brute b LEFT JOIN ann a USING (qid, vec_id)
+  WHERE a.vec_id IS NULL
+),
+ranked AS (
+  SELECT qid, vec_id, rel,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY score DESC, vec_id ASC) AS r_sys,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY rel DESC, vec_id ASC) AS r_ideal
+  FROM pool
+),
+perq AS (
+  SELECT qid,
+    CAST(SUM(CASE WHEN r_sys <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS hits,
+    CAST(SUM(rel) AS BIGINT) AS n_rel,
+    MIN(CASE WHEN rel = 1 THEN r_sys END) AS frr,
+    round(SUM(CASE WHEN r_sys <= 10
+      THEN (pow(2, rel) - 1) / log2(r_sys + 1.0) ELSE 0 END), 6) AS dcg,
+    round(SUM(CASE WHEN r_ideal <= 10
+      THEN (pow(2, rel) - 1) / log2(r_ideal + 1.0) ELSE 0 END), 6) AS idcg
+  FROM ranked GROUP BY qid
+),
+metrics AS (
+  SELECT qid,
+    round(hits / CAST(n_rel AS DOUBLE), 6) AS recall,
+    round(1.0 / frr, 6) AS mrr,
+    CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+  FROM perq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(10 AS INTEGER) AS k,
+  round(SUM(CAST(floor(recall * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_recall,
+  MIN(recall) AS min_recall,
+  round(SUM(CAST(floor(mrr * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_mrr,
+  round(SUM(CAST(floor(ndcg * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_ndcg,
+  SUM(CAST(floor(recall * 1000000 + 0.5) AS BIGINT))
+    >= 600000 * COUNT(*) AS released
+FROM metrics
+"""
+    _compare(out, sql, tables=("embeddings",))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

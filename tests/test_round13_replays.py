@@ -783,5 +783,61 @@ FROM metrics
     _compare(out, sql, tables=("embeddings",))
 
 
+def test_implicit_preference_pairs_driver_shape_duckdb_replay(spark):
+    """Implicit-feedback preference mining at the future query shape:
+    the events table natively carries the purchase > signup > click >
+    view action ladder (plus 'error', which exercises the
+    unmapped-action drop on real data); item = a deterministic
+    event-id bucket per user. Strongest-action collapse, the 20-item
+    cap, and the strict-rank pair build replay row-for-row."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        implicit_preference_pairs,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("it"), F.pmod(F.col("event_id"), F.lit(12)).cast("string")
+            ).alias("item"),
+            F.col("event_type").alias("action"),
+        )
+    )
+    out = implicit_preference_pairs(
+        ev, "user_id", "item", "action",
+        {"purchase": 3, "signup": 2, "click": 1, "view": 0},
+    )
+
+    sql = """
+WITH ev AS (
+  SELECT user_id, 'it' || CAST(event_id % 12 AS VARCHAR) AS item,
+         event_type AS action
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, item, MAX(CASE action
+    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+    WHEN 'click' THEN 1 WHEN 'view' THEN 0 END) AS rank
+  FROM ev
+  WHERE action IN ('purchase', 'signup', 'click', 'view')
+  GROUP BY 1, 2
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY rank DESC, item ASC) AS rn
+    FROM ranked
+  ) WHERE rn <= 20
+)
+SELECT w.item AS winner_id, l.item AS loser_id, w.user_id,
+       CAST(w.rank - l.rank AS INTEGER) AS margin
+FROM capped w JOIN capped l USING (user_id)
+WHERE w.rank > l.rank
+"""
+    _compare(out, sql, tables=("events",))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

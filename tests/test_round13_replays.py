@@ -839,5 +839,84 @@ WHERE w.rank > l.rank
     _compare(out, sql, tables=("events",))
 
 
+def test_weighted_consensus_driver_shape_duckdb_replay(spark):
+    """Reliability-weighted consensus at the future query shape: the
+    driver-green dawid_skene rater panel (item = user mod 25, rater =
+    event-id mod 5, first-12 votes per item) re-voted with
+    agreement-rate weights — majority table, per-rater reliability,
+    decimal mass sums, and the flipped flag replay row-for-row."""
+    from pyspark.sql.window import Window
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        weighted_consensus,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "label")
+    )
+    out = weighted_consensus(
+        panel, item_col="item", annotator_col="rater", label_col="label"
+    )
+
+    sql = """
+WITH raw AS (
+  SELECT user_id % 25 AS item,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         event_type AS label,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS (SELECT item, rater, label FROM raw WHERE rn <= 12),
+c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+mj AS (
+  SELECT item, lab AS majority_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY n DESC, lab ASC) AS rn2,
+           CAST(SUM(n) OVER (PARTITION BY item) AS BIGINT) AS n_votes
+    FROM c
+  ) WHERE rn2 = 1
+),
+rel AS (
+  SELECT rater,
+         round(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0
+                   END) / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+  FROM v JOIN mj USING (item) GROUP BY 1
+),
+wts AS (
+  SELECT rater, GREATEST(CAST(rate AS DECIMAL(10,6)),
+                         CAST(0.05 AS DECIMAL(10,6))) AS wt
+  FROM rel
+),
+mass AS (
+  SELECT item, label AS lab, SUM(wt) AS m
+  FROM v JOIN wts USING (rater) GROUP BY 1, 2
+),
+win AS (
+  SELECT item, lab AS weighted_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY m DESC, lab ASC) AS rn3
+    FROM mass
+  ) WHERE rn3 = 1
+)
+SELECT win.item, weighted_label, majority_label, n_votes,
+       weighted_label != majority_label AS flipped
+FROM win JOIN mj USING (item)
+"""
+    _compare(out, sql, tables=("events",))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

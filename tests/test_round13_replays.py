@@ -918,5 +918,63 @@ FROM win JOIN mj USING (item)
     _compare(out, sql, tables=("events",))
 
 
+def test_annotator_agreement_driver_shape_duckdb_replay(spark):
+    """Per-rater reliability screen at the future query shape: the
+    same dawid_skene panel, each rater's agreement with the
+    (n desc, label asc) majority — counts BIGINT, one 6dp rate."""
+    from pyspark.sql.window import Window
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        annotator_agreement,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "label")
+    )
+    out = annotator_agreement(
+        panel, item_col="item", annotator_col="rater", label_col="label"
+    )
+
+    sql = """
+WITH raw AS (
+  SELECT user_id % 25 AS item,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         event_type AS label,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS (SELECT item, rater, label FROM raw WHERE rn <= 12),
+c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+mj AS (
+  SELECT item, lab AS majority_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY n DESC, lab ASC) AS rn2
+    FROM c
+  ) WHERE rn2 = 1
+)
+SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE), 6) AS agree_rate
+FROM v JOIN mj USING (item)
+GROUP BY rater
+"""
+    _compare(out, sql, tables=("events",))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

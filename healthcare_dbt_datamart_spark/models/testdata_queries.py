@@ -4414,8 +4414,14 @@ SCHEDULED_NEXT_WINDOW = [
 # panel -> brute oracle -> TREC-padded pool -> exact-integer verdict,
 # the whole DAG as ONE DuckDB statement; completes the release-gate
 # family beside the driver-green curation_dag / corpus_release /
-# leaderboard_gate) — all SEVEN pre-proven at driver shape in the same
-# file: the round-13 window picks its ≤6 from a stocked queue.
+# leaderboard_gate) — plus implicit_preference_pairs (the events
+# table natively carries the purchase/signup/click/view ladder),
+# weighted_consensus + annotator_agreement (both over the driver-green
+# dawid_skene rater panel), and rasch_fit (4 joint-ascent rounds fully
+# unrolled; Python floor-div re-anchor emulated via the mod identity):
+# ELEVEN pre-proven at driver shape in tests/test_round13_replays.py —
+# the round-13 and round-14 windows pick their ≤6 from a stocked
+# queue.
 
 QUERIES = {
     # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==

@@ -976,5 +976,97 @@ GROUP BY rater
     _compare(out, sql, tables=("events",))
 
 
+def test_rasch_fit_driver_shape_duckdb_replay(spark):
+    """Rasch 1PL IRT at the future query shape: the dawid_skene panel
+    as a binary outcome grid (correct = the click bit), 4 joint-ascent
+    rounds fully unrolled — per-vote half-up quantized errors, integer
+    gradient sums, quantized parameter updates, and the exact-integer
+    sum-to-zero re-anchor per round (Python FLOOR division emulated in
+    DuckDB via the mod identity, since DuckDB's // truncates). The
+    tagged item+rater estimate table replays field-for-field."""
+    from pyspark.sql.window import Window
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import rasch_fit
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        (F.col("event_type") == F.lit("click")).cast("int").alias("correct"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "correct")
+    )
+    out = rasch_fit(
+        panel, item_col="item", annotator_col="rater",
+        correct_col="correct", n_iter=4,
+    )
+
+    s = 10**6
+    sql = f"""
+WITH raw AS (
+  SELECT user_id % 25 AS item0,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS (
+  SELECT CAST(item0 AS VARCHAR) AS item, rater, y FROM raw WHERE rn <= 12
+),
+ni AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+nr AS (SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ni),
+b0 AS (SELECT item, CAST(0 AS BIGINT) AS b_fp FROM ni),
+t0 AS (SELECT rater, CAST(0 AS BIGINT) AS t_fp FROM nr)"""
+    for r in range(4):
+        sql += f""",
+q{r} AS (
+  SELECT v.item, v.rater,
+    CAST(floor((1.0 / (1.0 + exp(-(t.t_fp / {s}.0 - b.b_fp / {s}.0)))
+      - v.y) * {s} + 0.5) AS BIGINT) AS q
+  FROM v JOIN b{r} b USING (item) JOIN t{r} t USING (rater)
+),
+gi{r} AS (SELECT item, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+gr{r} AS (SELECT rater, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+nb{r} AS (
+  SELECT b.item,
+    CAST(floor((b.b_fp / {s}.0 + 1.0 *
+      (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
+      * {s} + 0.5) AS BIGINT) AS b_fp
+  FROM b{r} b JOIN gi{r} USING (item) JOIN ni n USING (item)
+),
+nt{r} AS (
+  SELECT t.rater,
+    CAST(floor((t.t_fp / {s}.0 - 1.0 *
+      (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
+      * {s} + 0.5) AS BIGINT) AS t_fp
+  FROM t{r} t JOIN gr{r} USING (rater) JOIN nr n USING (rater)
+),
+cr{r} AS (
+  SELECT CAST((sb - ((sb % n) + n) % n) // n AS BIGINT) AS c
+  FROM (SELECT CAST(COALESCE(SUM(b_fp), 0) AS BIGINT) AS sb FROM nb{r}),
+       nit
+),
+b{r + 1} AS (SELECT item, b_fp - cr{r}.c AS b_fp FROM nb{r}, cr{r}),
+t{r + 1} AS (SELECT rater, t_fp - cr{r}.c AS t_fp FROM nt{r}, cr{r})"""
+    sql += f"""
+SELECT 'item' AS kind, b.item AS key, ni.n_votes,
+       round(b.b_fp / {s}.0, 6) AS estimate
+FROM b4 b JOIN ni USING (item)
+UNION ALL
+SELECT 'rater', t.rater, nr.n_votes, round(t.t_fp / {s}.0, 6)
+FROM t4 t JOIN nr USING (rater)
+"""
+    _compare(out, sql, tables=("events",))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

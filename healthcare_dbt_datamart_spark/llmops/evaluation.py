@@ -619,6 +619,82 @@ def bleu_corpus(
     )
 
 
+def _chrf_gram_counts(
+    df: DataFrame, cand_col: str, ref_col: str, id_col: str, max_n: int
+) -> tuple[int, int, DataFrame]:
+    """The chrF counting core shared by ``chrf_report`` and the
+    streamed-cells twin: returns ``(n_pairs, n_null_pairs, per_n)``
+    where ``per_n`` is the bounded (n, cand_ngrams, ref_ngrams,
+    match_ngrams) integer-sum frame over whitespace-stripped
+    lowercased char grams (orders with no grams are absent — callers
+    join onto an order spine). All counts are associative BIGINT sums,
+    so per-batch cells SUM-merge to exactly the whole-corpus counts
+    (clipping is per-pair, inside one row)."""
+
+    def chars(c):
+        return F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", "")
+
+    ok = F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    base = df.select(
+        F.col(id_col).alias("_id"), ok.alias("_ok"),
+        chars(cand_col).alias("_c"), chars(ref_col).alias("_r"),
+    )
+    head = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("_ok")).cast("bigint")).alias("nulls"),
+    ).collect()[0]
+    n_nulls = int(head.nulls or 0)
+    n_pairs = int(head.total) - n_nulls
+
+    def grams(col):
+        # the bleu_corpus clamp: sequence(1, k) DESCENDS when k < 1,
+        # so clamp to 1 and trim the bogus entry with a 0-length slice
+        def one_order(n):
+            k = F.length(col) - F.lit(n - 1)
+
+            def mk(i, _n=int(n)):
+                return F.struct(
+                    F.lit(_n).alias("n"), col.substr(i, F.lit(_n)).alias("g")
+                )
+
+            return F.slice(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: mk(i),
+                ),
+                1,
+                F.greatest(k, F.lit(0)),
+            )
+
+        return F.flatten(
+            F.array(*[one_order(n) for n in range(1, max_n + 1)])
+        )
+
+    clean = base.filter("_ok")
+
+    def side_counts(col, name):
+        return (
+            clean.select("_id", F.explode(grams(F.col(col))).alias("e"))
+            .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    cc = side_counts("_c", "nc")
+    rc = side_counts("_r", "nr")
+    per_n = (
+        cc.join(rc, ["_id", "n", "g"], "full")
+        .groupBy("n")
+        .agg(
+            F.sum(F.coalesce("nc", F.lit(0))).alias("cand_ngrams"),
+            F.sum(F.coalesce("nr", F.lit(0))).alias("ref_ngrams"),
+            F.sum(
+                F.least(F.coalesce("nc", F.lit(0)), F.coalesce("nr", F.lit(0)))
+            ).alias("match_ngrams"),
+        )
+    )
+    return n_pairs, n_nulls, per_n
+
+
 def chrf_report(
     df: DataFrame,
     cand_col: str,
@@ -673,69 +749,23 @@ def chrf_report(
         raise ValueError(f"beta must be a positive integer: got {beta!r}")
     max_n, b2 = int(max_n), int(beta) ** 2
 
-    def chars(c):
-        return F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", "")
-
-    ok = F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
-    base = df.select(
-        F.col(id_col).alias("_id"), ok.alias("_ok"),
-        chars(cand_col).alias("_c"), chars(ref_col).alias("_r"),
+    n_pairs, n_nulls, per_n = _chrf_gram_counts(
+        df, cand_col, ref_col, id_col, max_n
     )
-    head = base.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum((~F.col("_ok")).cast("bigint")).alias("nulls"),
-    ).collect()[0]
-    n_pairs = int(head.total) - int(head.nulls or 0)
     if n_pairs == 0:
         raise ValueError("chrf_report: no non-NULL candidate/ref pairs")
-
-    def grams(col):
-        # the bleu_corpus clamp: sequence(1, k) DESCENDS when k < 1,
-        # so clamp to 1 and trim the bogus entry with a 0-length slice
-        def one_order(n):
-            k = F.length(col) - F.lit(n - 1)
-
-            def mk(i, _n=int(n)):
-                return F.struct(
-                    F.lit(_n).alias("n"), col.substr(i, F.lit(_n)).alias("g")
-                )
-
-            return F.slice(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                    lambda i: mk(i),
-                ),
-                1,
-                F.greatest(k, F.lit(0)),
-            )
-
-        return F.flatten(
-            F.array(*[one_order(n) for n in range(1, max_n + 1)])
-        )
-
-    clean = base.filter("_ok")
-
-    def side_counts(col, name):
-        return (
-            clean.select("_id", F.explode(grams(F.col(col))).alias("e"))
-            .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
-            .agg(F.count(F.lit(1)).cast("long").alias(name))
-        )
-
-    cc = side_counts("_c", "nc")
-    rc = side_counts("_r", "nr")
-    per_n = (
-        cc.join(rc, ["_id", "n", "g"], "full")
-        .groupBy("n")
-        .agg(
-            F.sum(F.coalesce("nc", F.lit(0))).alias("cand_ngrams"),
-            F.sum(F.coalesce("nr", F.lit(0))).alias("ref_ngrams"),
-            F.sum(
-                F.least(F.coalesce("nc", F.lit(0)), F.coalesce("nr", F.lit(0)))
-            ).alias("match_ngrams"),
-        )
+    return _chrf_assemble(
+        df.sparkSession, n_pairs, n_nulls, per_n, max_n, b2
     )
-    spine = df.sparkSession.range(1, max_n + 1).select(
+
+
+def _chrf_assemble(
+    spark, n_pairs: int, n_nulls: int, per_n: DataFrame, max_n: int, b2: int
+) -> DataFrame:
+    """Final chrF report from the per-order count frame — shared by
+    the batch operator and the streamed-cells read-back (identical
+    arithmetic by construction)."""
+    spine = spark.range(1, max_n + 1).select(
         F.col("id").cast("int").alias("n")
     )
     m, c, r = F.col("match_ngrams"), F.col("cand_ngrams"), F.col("ref_ngrams")
@@ -744,7 +774,7 @@ def chrf_report(
         .select(
             F.col("n").cast("int").alias("order"),
             F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-            F.lit(int(head.nulls or 0)).cast("bigint").alias("n_null_pairs"),
+            F.lit(n_nulls).cast("bigint").alias("n_null_pairs"),
             F.coalesce(c, F.lit(0)).cast("bigint").alias("cand_ngrams"),
             F.coalesce(r, F.lit(0)).cast("bigint").alias("ref_ngrams"),
             F.coalesce(m, F.lit(0)).cast("bigint").alias("match_ngrams"),

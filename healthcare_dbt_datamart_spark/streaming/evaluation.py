@@ -432,3 +432,135 @@ def mcnemar_from_cells(
     return mcnemar_report_from_counts(
         spark, r.rr, r.b, r.c, r.ww, alpha=alpha
     )
+
+
+_CHRF_SCHEMA = (
+    "kind string, n int, a bigint, b bigint, c bigint"
+)
+
+
+def chrf_cells_merge_batch(
+    spark: SparkSession,
+    target_table: str,
+    n_pairs: int,
+    n_nulls: int,
+    per_n_rows: list,
+    batch_id: int,
+    max_n: int = 6,
+) -> bool:
+    """Merge one micro-batch's chrF sufficient statistics into
+    ``target_table`` under the exactly-once ledger (the
+    ``mcnemar_cells_merge_batch`` discipline): state = one
+    ``kind='cell'`` row per char-gram order carrying the three
+    associative BIGINT sums (cand/ref/match as a/b/c), one
+    ``kind='pairs'`` row carrying (n_pairs, n_null_pairs), and the
+    ``kind='meta'`` marker whose ``a`` is the last applied batch id.
+    Clipping is PER PAIR (inside one row), so per-batch cells
+    sum-merge to exactly the whole-corpus counts as long as each
+    (cand, ref) pair arrives whole in one batch — the document-level
+    atomicity every row-shaped ingest has by construction."""
+    from ..operators.materialize import materialize_table
+
+    rows = [
+        ("cell", int(n), int(cn), int(rn), int(mn))
+        for (n, cn, rn, mn) in per_n_rows
+    ]
+    rows.append(("pairs", 0, int(n_pairs), int(n_nulls), 0))
+    cells = spark.createDataFrame(rows, _CHRF_SCHEMA)
+    if spark.catalog.tableExists(target_table):
+        cur = spark.table(target_table)
+        mark = cur.filter(F.col("kind") == "meta").select("a").collect()
+        if mark and batch_id <= mark[0][0]:
+            return False  # replay of an already-applied batch
+        merged = (
+            cur.filter(F.col("kind") != "meta")
+            .unionByName(cells)
+            .groupBy("kind", "n")
+            .agg(
+                F.sum("a").alias("a"),
+                F.sum("b").alias("b"),
+                F.sum("c").alias("c"),
+            )
+        )
+    else:
+        merged = cells
+    meta = spark.createDataFrame(
+        [("meta", 0, int(batch_id), 0, 0)], _CHRF_SCHEMA
+    )
+    materialize_table(spark, target_table, merged.unionByName(meta))
+    return True
+
+
+def streaming_chrf_ingest(
+    stream: DataFrame,
+    target_table: str,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 6,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Maintain corpus chrF over a live (candidate, reference) stream
+    — the generation-eval twin of ``streaming_mcnemar_ingest``: each
+    micro-batch folds to its bounded per-order count cells
+    (``llmops.evaluation._chrf_gram_counts``) and sum-merges under the
+    ledger. Read the live report any time with ``chrf_from_cells`` —
+    identical to ``chrf_report`` over everything ingested (associative
+    sums; per-pair clipping closed inside each batch row)."""
+    from ..llmops.evaluation import _chrf_gram_counts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_pairs, n_nulls, per_n = _chrf_gram_counts(
+            batch_df, cand_col, ref_col, id_col, int(max_n)
+        )
+        rows = [
+            (r["n"], r["cand_ngrams"], r["ref_ngrams"], r["match_ngrams"])
+            for r in per_n.collect()  # bounded: <= max_n rows
+        ]
+        chrf_cells_merge_batch(
+            batch_df.sparkSession, target_table, n_pairs, n_nulls, rows,
+            batch_id, max_n=int(max_n),
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def chrf_from_cells(
+    spark: SparkSession,
+    target_table: str,
+    max_n: int = 6,
+    beta: int = 2,
+) -> DataFrame:
+    """The chrF report off the streamed cells — batch-parity with
+    ``chrf_report`` over everything ingested (the shared
+    ``_chrf_assemble`` arithmetic on the summed integers). Raises when
+    nothing valid was ingested, exactly like the batch operator."""
+    from ..llmops.evaluation import _chrf_assemble
+
+    state = spark.table(target_table)
+    pr = state.filter(F.col("kind") == "pairs").collect()
+    if len(pr) != 1:
+        raise ValueError(
+            f"chrf_from_cells: expected exactly one pairs row in"
+            f" {target_table!r}, found {len(pr)} — ingest first"
+        )
+    n_pairs, n_nulls = int(pr[0].a), int(pr[0].b)
+    if n_pairs == 0:
+        raise ValueError("chrf_report: no non-NULL candidate/ref pairs")
+    per_n = state.filter(F.col("kind") == "cell").select(
+        F.col("n"),
+        F.col("a").alias("cand_ngrams"),
+        F.col("b").alias("ref_ngrams"),
+        F.col("c").alias("match_ngrams"),
+    )
+    return _chrf_assemble(
+        spark, n_pairs, n_nulls, per_n, int(max_n), int(beta) ** 2
+    )

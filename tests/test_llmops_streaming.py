@@ -3593,3 +3593,99 @@ def test_streaming_mcnemar_ingest_matches_batch_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="non-binary"):
         mcnemar_from_cells(spark, "mcn_stream_t")
     spark.sql("DROP TABLE IF EXISTS mcn_stream_t")
+
+
+def test_streaming_chrf_ingest_matches_batch_and_ledger(spark, tmp_path):
+    """Streamed corpus-chrF maintenance: the SUM-merged per-order count
+    cells reproduce batch chrf_report field-for-field over everything
+    ingested (clipping closes inside each pair row, so batch boundaries
+    cannot matter), the kind='meta' ledger makes replayed batch ids
+    no-ops, a new batch merges additively, and an empty state raises
+    like the batch operator."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.evaluation import (
+        _chrf_gram_counts,
+        chrf_report,
+    )
+    from healthcare_dbt_datamart_spark.streaming.evaluation import (
+        chrf_cells_merge_batch,
+        chrf_from_cells,
+        streaming_chrf_ingest,
+    )
+
+    rows = [
+        (
+            i,
+            f"the quick brown fox {i} jumps over",
+            f"the quick brown fox {i % 7} leaps over",
+        )
+        for i in range(90)
+    ] + [(900, None, "ref only")]  # NULL pair: excluded + counted
+    df = spark.createDataFrame(rows, "pid long, cand string, ref string")
+    expected = chrf_report(df, "cand", "ref", "pid").collect()
+
+    src = tmp_path / "chrf_src"
+    src.mkdir()
+    for part in range(3):
+        df.filter(F.col("pid") % 3 == part).write.mode("overwrite").parquet(
+            str(src / f"b{part}")
+        )
+    spark.sql("DROP TABLE IF EXISTS chrf_stream_t")
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    q = streaming_chrf_ingest(
+        stream, "chrf_stream_t", "cand", "ref", "pid",
+        checkpoint_dir=str(tmp_path / "chrf_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = chrf_from_cells(spark, "chrf_stream_t").collect()
+    key = lambda r: r["order"]  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
+        map(tuple, expected), key=lambda t: t[0]
+    )
+
+    # replayed batch id is a no-op (exactly-once ledger)
+    mark = int(
+        spark.table("chrf_stream_t")
+        .filter(F.col("kind") == "meta")
+        .collect()[0]
+        .a
+    )
+    n_p, n_n, per_n = _chrf_gram_counts(df, "cand", "ref", "pid", 6)
+    cells = [
+        (r["n"], r["cand_ngrams"], r["ref_ngrams"], r["match_ngrams"])
+        for r in per_n.collect()
+    ]
+    assert chrf_cells_merge_batch(
+        spark, "chrf_stream_t", n_p, n_n, cells, mark
+    ) is False
+    assert sorted(
+        map(tuple, chrf_from_cells(spark, "chrf_stream_t").collect()),
+        key=lambda t: t[0],
+    ) == sorted(map(tuple, expected), key=lambda t: t[0])
+
+    # a NEW batch merges additively: doubled counts keep every F-score
+    # identical (scale-free) while pair counts double
+    assert chrf_cells_merge_batch(
+        spark, "chrf_stream_t", n_p, n_n, cells, mark + 1
+    ) is True
+    doubled = {r["order"]: r for r in chrf_from_cells(
+        spark, "chrf_stream_t"
+    ).collect()}
+    base = {r["order"]: r for r in expected}
+    for n in base:
+        assert doubled[n].n_pairs == 2 * base[n].n_pairs
+        assert doubled[n].cand_ngrams == 2 * base[n].cand_ngrams
+        assert doubled[n].fscore == base[n].fscore
+    spark.sql("DROP TABLE IF EXISTS chrf_stream_t")
+
+    # empty state raises like batch
+    spark.sql("DROP TABLE IF EXISTS chrf_empty_t")
+    assert chrf_cells_merge_batch(spark, "chrf_empty_t", 0, 1, [], 0) is True
+    with pytest.raises(ValueError, match="no non-NULL"):
+        chrf_from_cells(spark, "chrf_empty_t")
+    spark.sql("DROP TABLE IF EXISTS chrf_empty_t")

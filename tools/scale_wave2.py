@@ -394,6 +394,54 @@ def op_chunk_text(spark, d):
     return chunk_text(_docs(spark, d), "text", "doc_id", 200, 40).count()
 
 
+def op_levenshtein_pairs(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.dedup import (
+        candidate_pairs,
+        levenshtein_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, d)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    return levenshtein_pairs(
+        pairs, docs, "text", "doc_id", threshold_pct=50
+    ).count()
+
+
+def op_chrf_report(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.evaluation import chrf_report
+
+    pairs = _docs(spark, d).select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("cand"),
+        F.substring("text", 101, 300).alias("ref"),
+    )
+    return chrf_report(pairs, "cand", "ref", "doc_id").count()
+
+
+def op_min_k_prob(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.filtering import min_k_prob
+
+    docs = _docs(spark, d)
+    return min_k_prob(
+        docs, "text", "doc_id",
+        ref_df=docs.filter(F.col("source") == "src0"), k_pct=20,
+    ).count()
+
+
+def op_mad_scores(spark, d):
+    from healthcare_dbt_datamart_spark.llmops.splits import mad_scores
+
+    return mad_scores(
+        _docs(spark, d).select(
+            "lang", "doc_id", F.col("n_chars").cast("double").alias("v")
+        ),
+        "v", "doc_id", grp_col="lang",
+    ).count()
+
+
 OPS = {
     "roc_auc": op_roc_auc,
     "ndcg_at_k": op_ndcg,
@@ -426,6 +474,10 @@ OPS = {
     "personalized_pagerank": op_ppr,
     "compare_relations": op_compare_relations,
     "chunk_text": op_chunk_text,
+    "levenshtein_pairs": op_levenshtein_pairs,
+    "chrf_report": op_chrf_report,
+    "min_k_prob": op_min_k_prob,
+    "mad_scores": op_mad_scores,
 }
 
 

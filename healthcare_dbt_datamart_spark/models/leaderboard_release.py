@@ -60,10 +60,20 @@ MIN_MATCHES = 10  # release bar: every ranked item has >= this many
 
 
 def build_leaderboard_release(
-    spark: SparkSession, raw_matches: DataFrame
+    spark: SparkSession,
+    raw_matches: DataFrame,
+    pair_periods: DataFrame | None = None,
 ) -> ModelRegistry:
+    """``pair_periods`` optionally injects an ALREADY-COLLAPSED
+    ``(winner_id, loser_id, period, n_m)`` pair-period relation (a
+    session cache or a streaming ingest's state table) — the release
+    then skips the raw-log scan entirely and only materializes the
+    artifact. Same rows by construction, so every downstream frame is
+    bit-identical."""
     r = ModelRegistry(spark)
     r.add_source("raw_matches", raw_matches)
+    if pair_periods is not None:
+        r.add_source("pair_periods_pre", pair_periods)
 
     @r.model()
     def stg_matches(ctx):
@@ -82,6 +92,15 @@ def build_leaderboard_release(
         # scanned exactly once per release, and Elo/Wilson/BT all
         # derive from the bounded pair table (items²·periods, model
         # state at leaderboard scale).
+        if pair_periods is not None:
+            # pre-collapsed injection: normalize types, keep the
+            # degenerate-row guard (cheap on the bounded pair table)
+            return ctx.source("pair_periods_pre").select(
+                F.col("winner_id").cast("string").alias("winner_id"),
+                F.col("loser_id").cast("string").alias("loser_id"),
+                F.col("period").cast("bigint").alias("period"),
+                F.col("n_m").cast("long").alias("n_m"),
+            ).filter(F.col("winner_id") != F.col("loser_id"))
         m = ctx.ref("stg_matches").filter(
             F.col("winner_id") != F.col("loser_id")
         )
@@ -89,11 +108,15 @@ def build_leaderboard_release(
             F.count(F.lit(1)).cast("long").alias("n_m")
         )
 
-    @r.model(materialized="table")
+    @r.model()
     def pair_counts(ctx):
         # doubled directed win counts, the SUM-mergeable shape a
         # streaming ingest maintains (bradley_terry_from_pairs input);
-        # re-aggregated from the period table, NOT the raw log
+        # re-aggregated from the period table, NOT the raw log. A VIEW:
+        # it is one groupBy of the materialized pair_period_counts
+        # table and is read exactly once (by bt_ratings, which persists
+        # its own pair frame) — a table write buys nothing at release
+        # cadence.
         return ctx.ref("pair_period_counts").groupBy(
             F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
         ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))

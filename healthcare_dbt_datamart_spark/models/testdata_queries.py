@@ -3967,6 +3967,7 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reads the cache). Reuse cannot change any oracle result: the cached
 # frame is the identical deterministic plan, only materialized.
 _MATCH_LOG_CACHE: dict = {}
+_PAIR_PERIOD_CACHE: dict = {}
 
 
 def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,6 +4021,31 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+def _supplier_pair_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus-scale collapse of the supplier match log —
+    ``(winner_id, loser_id, period, n_m)`` pair-period counts, the
+    sufficient statistics for EVERY rating frame (within a period all
+    (w, l) matches share one Elo expected score; BT and Wilson need
+    only the counts). Session-cached so the leaderboard family
+    (``leaderboard_gate``, ``elo_ratings``, ``wilson_winrate``,
+    ``kendall_tau``) pays the match-log scan + collapse ONCE per
+    session — at 100 TB this is the difference between one corpus
+    scan per release and one per query."""
+    hit = _PAIR_PERIOD_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from pyspark import StorageLevel
+
+    ppc = (
+        _supplier_matches(spark, sf_dir)
+        .groupBy("winner_id", "loser_id", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PAIR_PERIOD_CACHE[sf_dir] = (spark, ppc)
+    return ppc
+
+
 def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-batched Elo over cheaper-supplier-wins matches (period =
     order year) — the arena-leaderboard rating through time beside
@@ -4027,12 +4053,15 @@ def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up quantization per match, exact zero-sum conservation per
     period; the oracle unrolls one MATERIALIZED CTE round per rating
     period (the bradley_terry discipline). Body + oracle pre-proven
-    hash-green at driver shape in tests/test_round10_replays.py."""
+    hash-green at driver shape in tests/test_round10_replays.py.
+    Reads the session's shared pair-period collapse (weighted rows are
+    bit-identical to per-match rows — the shared-expected-score
+    argument on elo_ratings)."""
     from ..llmops.preferences import elo_ratings
 
-    return elo_ratings(_supplier_matches(spark, sf_dir), k=16).select(
-        "item", "n_matches", "wins", "rating_fp"
-    )
+    return elo_ratings(
+        _supplier_pair_periods(spark, sf_dir), k=16, n_col="n_m"
+    ).select("item", "n_matches", "wins", "rating_fp")
 
 
 def q_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4041,10 +4070,12 @@ def q_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the lower bound. IEEE-only arithmetic (+,−,×,÷,sqrt are all
     correctly rounded by the standard), so the report is hash-exact
     cross-engine with no quantization discipline. Pre-proven at
-    driver shape in tests/test_round10_replays.py."""
+    driver shape in tests/test_round10_replays.py. Reads the session's
+    shared pair-period collapse (integer sums over weighted rows are
+    identical to per-match rows)."""
     from ..llmops.preferences import wilson_winrate
 
-    return wilson_winrate(_supplier_matches(spark, sf_dir))
+    return wilson_winrate(_supplier_pair_periods(spark, sf_dir), n_col="n_m")
 
 
 def q_compare_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4237,11 +4268,16 @@ def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict) over the shared supplier match log. The fourth release
     DAG joins curation_dag/corpus_release/index gate in the window;
     its whole-DAG single-statement DuckDB replay is pre-proven at
-    driver shape in tests/test_round10_replays.py."""
+    driver shape in tests/test_round10_replays.py. The session's
+    shared pair-period collapse is injected as the DAG's sufficient
+    statistics, so the whole leaderboard family pays the match-log
+    scan once per session."""
     from .leaderboard_release import build_leaderboard_release
 
     m = _supplier_matches(spark, sf_dir)
-    return build_leaderboard_release(spark, m).build("leaderboard_gate")
+    return build_leaderboard_release(
+        spark, m, pair_periods=_supplier_pair_periods(spark, sf_dir)
+    ).build("leaderboard_gate")
 
 
 def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4282,249 +4318,293 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard agreement (llmops/evaluation.py::kendall_tau — the
+    tau-b form, Kendall 1945): exact BIGINT concordant/discordant/tie
+    counts and tau-b between the Bradley-Terry and Elo ratings of the
+    shared supplier match log — the list-level number behind the
+    release gate's tops_agree boolean. The sign-pair fold runs on the
+    bounded item frame (model state); the oracle composes the two
+    PROVEN rating replays (3 unrolled BT MM rounds, per-period unrolled
+    Elo). Pre-proven hash-green at driver shape in
+    tests/test_round12_replays.py. Both rating fits read the session's
+    shared pair-period collapse (the doubled pair counts and weighted
+    Elo rows are bit-identical to per-match rows)."""
+    from ..llmops.evaluation import kendall_tau
+    from ..llmops.preferences import bradley_terry_from_pairs, elo_ratings
+
+    ppc = _supplier_pair_periods(spark, sf_dir)
+    pc = ppc.groupBy(
+        F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
+    ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
+    bt = bradley_terry_from_pairs(pc, n_iter=3).select(
+        "item", F.col("rating_fp").alias("bt")
+    )
+    elo = elo_ratings(ppc, k=16, n_col="n_m").select(
+        "item", F.col("rating_fp").alias("elo")
+    )
+    return kendall_tau(bt.join(elo, "item"), "item", "bt", "elo")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality battery (llmops/textstats.py::gopher_rules —
+    Rae et al. 2021 A1.1): every counter and rule boolean over the
+    documents table in one projection pass — all-integer
+    cross-multiplied rules, fail-as-data rows (the synthetic corpus
+    carries no bullets/symbols, so those counters replay as exact
+    zeros while the word/stopword/alpha rules carry the variation).
+    Pre-proven at driver shape in tests/test_round12_replays.py."""
+    from ..llmops.textstats import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-classifier significance (llmops/evaluation.py::
+    mcnemar_test — Dietterich 1998): a length-threshold classifier vs
+    a token-budget classifier judged on lang='en' over documents —
+    four exact BIGINT contingency cells in ONE fold, the
+    continuity-corrected chi² and the 3.841 table verdict. Pre-proven
+    at driver shape in tests/test_round12_replays.py."""
+    from ..llmops.evaluation import mcnemar_test
+
+    docs = load(spark, sf_dir, "documents")
+    judged = docs.select(
+        ((F.col("n_chars") >= 250) == (F.col("lang") == "en"))
+        .cast("int")
+        .alias("ca"),
+        (
+            (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 40)
+            == (F.col("lang") == "en")
+        )
+        .cast("int")
+        .alias("cb"),
+    )
+    return mcnemar_test(judged, "ca", "cb")
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (llmops/evaluation.py::rbo — Webber et al.
+    2010 prefix form, p=0.9): top-weighted agreement between the EXACT
+    cosine top-10 and the IVF(nprobe=2) top-10 for the same query —
+    the list-level number behind an ANN release's recall gate. The
+    overlap series folds over the bounded top-k lists; the oracle
+    composes the two PROVEN board oracles (incl. the unrolled Lloyd
+    fit). Pre-proven at driver shape in tests/test_round12_replays.py."""
+    from ..llmops.evaluation import rbo
+    from ..llmops.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_id=0, k=10).select(
+        F.col("vec_id").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("ra"),
+    )
+    approx = ivf_topk(
+        emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2
+    ).select(
+        F.col("vec_id").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("rb"),
+    )
+    return rbo(exact.join(approx, "item", "full_outer"), "item", "ra", "rb")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splits (llmops/splits.py::
+    leakage_safe_split — the PREVENTION twin of split_contamination):
+    near-dup cluster members share a split keyed on the cluster-min
+    content fingerprint, so the contamination detector is empty BY
+    CONSTRUCTION. Full per-document (id, component, split) assignment;
+    the oracle composes the PROVEN recursive-closure component oracle
+    with the cluster-min-fp rule. Pre-proven at driver shape in
+    tests/test_round12_replays.py."""
+    from ..llmops.splits import leakage_safe_split
+
+    return leakage_safe_split(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (llmops/textstats.py::c4_line_filter —
+    Raffel et al. 2020 §2.2): line rules (terminal punctuation, ≥5
+    words, no 'javascript') + page rules (lorem ipsum, brace poison,
+    ≥min_sentences) + clean_text reconstruction. The synthetic corpus
+    carries no newlines, so the query builds a deterministic
+    line-shaped text per doc (content slices + a javascript line on
+    doc_id % 7 and a brace poison on doc_id % 13) — both engines
+    replicate the construction exactly and every rule fires somewhere
+    in the corpus. Pre-proven at driver shape in
+    tests/test_round12_replays.py."""
+    from ..llmops.textstats import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            nl,
+            F.concat(
+                F.substring("text", 61, 15),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(
+                    F.lit("")
+                ),
+            ),
+            nl,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("Enable javascript to view this content please."),
+            ).otherwise(
+                F.lit("Another proper sentence arrives with plenty of words.")
+            ),
+            nl,
+            F.concat(F.substring("text", 76, 60), F.lit("?")),
+        ).alias("text"),
+    )
+    return c4_line_filter(lined, "text", "doc_id", min_sentences=2)
+
+
 # Queries born AFTER a rotation locked the 50-slot window are exempt
 # from the never-checked-out-of-window flag for ONE round and MUST lead
 # the NEXT round's window (tools/audit_window.py enforces this; the
 # rotation plan reserves <= 6 new-operator slots). Locally they carry
-# the same evidence as everything else: oracle-green at
-# sf0.001/0.01/0.1 and across all fetch/session modes on arrival.
-# The round-9 scheduled cohort (elo_ratings, wilson_winrate,
-# compare_relations, chunk_text, domain_concentration, ndcg_at_k)
-# entered the round-10 window and gets its first driver rows; this is
-# the round-10 promotion cohort — the round-9 verdict's recommended
-# picks, every body PRE-PROVEN hash-green at driver shape before
-# promotion: unimax_allocation / conformal_report / vocab_richness /
-# personalized_pagerank in tests/test_round11_replays.py,
-# leaderboard_gate (the fourth release-gate DAG, whole-DAG
-# single-statement replay) in tests/test_round10_replays.py, and
-# rrf_fuse (the BM25+ANN hybrid board) in
-# tests/test_round12_replays.py.
+# the same evidence as everything else on arrival: oracle-green at
+# sf0.001/0.01/0.1 and across all fetch/session modes.
+# The round-10 scheduled cohort (unimax_allocation, conformal_report,
+# vocab_richness, personalized_pagerank, leaderboard_gate, rrf_fuse)
+# entered the round-11 window and gets its first driver rows; THIS is
+# the round-11 promotion cohort — the round-10 verdict's recommended
+# picks, every body + oracle PRE-PROVEN hash-green at driver shape in
+# tests/test_round12_replays.py before promotion.
 SCHEDULED_NEXT_WINDOW = [
-    "unimax_allocation",
-    "conformal_report",
-    "vocab_richness",
-    "personalized_pagerank",
-    "leaderboard_gate",
-    "rrf_fuse",
+    "kendall_tau",
+    "gopher_rules",
+    "mcnemar_test",
+    "rbo",
+    "leakage_safe_split",
+    "c4_line_filter",
 ]
-# zorder stays pytest-level by nature: its observable is parquet
-# footers, not a result hash — the footer test IS its strongest gate.
-# ROUND-11 window arithmetic (inventory 177, cycle ceil(177/50) = 4):
-# the 6 scheduled above lead + the 8 unsettled round-8 greens
-# (bigram_interp_scores, hll_by_group, bootstrap_diff_ci,
-# token_balanced_shards, pass_at_k, fleiss_kappa, pq_rerank,
-# multimodal_decode — age hits 4 = cycle at ROUND-12 judging, so they
-# MUST ride the round-11 window) + the 6 round-9 promotions (green r10
-# only, still strict tier, riding early keeps the strict pool small) +
-# 30 of the 42 settled round-8 greens (age 3 of 8 — rotating the
-# oldest settled evidence keeps the settled tail short of its
-# allowance) = 50. The round-12 window then takes the 44 unsettled
-# round-10-window re-greens (the r6-cohort queries at age 4 of their
-# strict/settled deadlines) + the remaining settled round-8 greens.
-# ROUND-10 PROMOTION QUEUE (next alternates, implemented + pytest'd
-# with DuckDB/pure-Python replays): annotator_agreement,
-# weighted_consensus, trigram_interp_scores (the recursive-JM rung),
-# best_of_n / dpo_pairs (RLHF data constructors),
-# unigram_lm_train/unigram_segment_report (SentencePiece inducer —
-# Viterbi DP, NOT SQL-expressible: stays pytest-gated with the
-# brute-force optimality test unless a rows-only driver row is ever
-# judged acceptable), calibration_summary / roc_auc_by_group /
-# calibration_by_group (grade logreg_quality output by lang),
-# hits_fixedpoint (integer hubs/authorities, pagerank-style unroll),
-# source_overlap_kmv (KMV source-pair Jaccard on documents),
-# curriculum_phases/report, pca_train/pca_apply +
-# matryoshka_truncate (whitened embeddings feeding cosine_topk),
-# retrieval_metrics / spearman_rho / bleu_corpus /
-# rouge_l / distinct_n (the round-7 evaluation wave), line_dedup,
-# mmr_rerank (driver greedy — bounded-pool, SQL-replayable via
-# unrolled selection rounds), source_data_card,
-# paired_bootstrap_test (Koehn-style paired significance — the
-# bootstrap_diff_ci sibling for same-items comparisons),
-# implicit_preference_pairs (clickthrough-preference mining feeding
-# bradley_terry/dpo), rasch_fit (1PL IRT item difficulty / rater
-# ability — distributed parameter frames, unrollable quantized loop),
-# index_scorecard (models/index_release.py — the ANN release gate:
-# batched IVF serving graded against the brute oracle; exact-integer
-# release arithmetic, so the whole DAG is oracle-able),
-# leaderboard_gate (models/leaderboard_release.py — the fourth
-# release-gate DAG; its WHOLE DAG already replays as one DuckDB
-# statement at driver shape in tests/test_round10_replays.py),
-# unimax_allocation (one-window integer water-filling),
-# conformal_report (order-stat threshold + coverage; NaN-guarded),
-# vocab_richness (Chao1 + quantized Zipf slope) — these three plus
-# personalized_pagerank are PRE-PROVEN hash-green at driver shape in
-# tests/test_round11_replays.py (the elo/wilson convention): with
-# leaderboard_gate that is a ready-made round-11 cohort.
-# bradley_terry_ties
-# (Rao-Kupper MM), brier_decomposition / isotonic_calibration+apply
-# (bounded-cell Fraction folds), sparse_logreg /
-# hashed_ngram_features (the fastText classifier shape),
-# procrustes_align (embedding-version migration), wilson_from_pairs
-# (streamed-counts board), bpe_token_counts (trained-merge token
-# budgets; replace-chain oracle), personalized_pagerank (seed-restart
-# walk; unrolled MATERIALIZED CTEs like pagerank_docs). Round-9 second
-# wave (implemented + DuckDB-replay-gated in pytest, exported):
-# gopher_rules (the Rae et al. 2021 A1.1 heuristic battery —
-# all-integer cross-multiplied rules, fail-as-data rows),
-# c4_line_filter (the Raffel et al. 2020 §2.2 cleaning recipe —
-# line + page rules, clean_text reconstruction), rrf_fuse
-# (reciprocal rank fusion over BM25/ANN boards — exact integer
-# scale-div terms, no float in the fold), kendall_tau (tau-b
-# leaderboard agreement — exact BIGINT pair counts over bounded
-# model state, the spearman_rho complement), mcnemar_test
-# (Dietterich's paired-classifier significance — four exact BIGINT
-# contingency cells, table-threshold verdict), rbo (rank-biased
-# overlap, Webber et al. 2010 prefix form — top-weighted list
-# agreement over bounded top-k lists, exact-Fraction fold),
-# leakage_safe_split (the PREVENTION twin of split_contamination:
-# near-dup cluster members share a split keyed on the cluster-min
-# content fingerprint; detector-empty by construction — composes the
-# driver-green near_dup_clusters oracle with the hash_split case, so
-# directly oracle-able). Of the wave, rrf_fuse (BM25+ANN hybrid
-# board), kendall_tau (BT-vs-Elo leaderboard agreement — the oracle
-# composes the two proven rating replays), gopher_rules, and
-# mcnemar_test are PRE-PROVEN hash-green at driver shape in
-# tests/test_round12_replays.py — as are rbo (exact-vs-IVF top-10
-# agreement, composing the two proven board oracles) and
-# leakage_safe_split (full per-doc assignment, composing the
-# recursive-closure component oracle with the cluster-min-fp rule):
-# six pre-proven round-12 candidates. Also implemented + replay-
-# gated: winsorize_scores (per-group robust clamping at exact
-# ceil-rank order statistics — real data values, no interpolation, so
-# nothing can disagree cross-engine; round-10 rewrite computes bounds
-# from the (grp, value, count) CELL table so no row-level window
-# exists in any shape), lsh_plan (the bands/rows S-curve
-# planner), streaming_mcnemar_ingest/mcnemar_from_cells (the streamed
-# paired-eval twin under the exactly-once ledger). Round-10 new-
-# operator wave (implemented + PRE-PROVEN hash-green at driver shape
-# in tests/test_round13_replays.py): levenshtein_pairs (edit-distance
-# near-dup verification over the LSH candidate set — the short-text
-# verifier beside jaccard_pairs; Spark's JVM levenshtein and DuckDB's
-# compute the same integer, threshold as BIGINT cross-multiplication)
-# and chrf_report (Popović 2015 character n-gram F-score, corpus
-# micro counts, the (1+b2)m/(b2r+c) single-division identity — the
-# tokenizer-free generation-eval rung beside bleu_corpus/rouge_l),
-# min_k_prob (Shi et al. 2023 Min-K% Prob membership/contamination
-# detector under a Laplace reference unigram LM — quantized per-token
-# logprobs, per-doc rank-window tail mean; the decontamination rung
-# beside ngram_contamination), mad_scores (Iglewicz-Hoaglin modified
-# z at exact cell-table medians — the winsorize SCORE/FLAG companion),
-# paired_bootstrap_test, source_overlap_kmv, and index_scorecard (the
-# FOURTH release-gate DAG — Lloyd fit -> cell index -> batched IVF
-# panel -> brute oracle -> TREC-padded pool -> exact-integer verdict,
-# the whole DAG as ONE DuckDB statement; completes the release-gate
-# family beside the driver-green curation_dag / corpus_release /
-# leaderboard_gate) — plus implicit_preference_pairs (the events
-# table natively carries the purchase/signup/click/view ladder),
-# weighted_consensus + annotator_agreement (both over the driver-green
-# dawid_skene rater panel), and rasch_fit (4 joint-ascent rounds fully
-# unrolled; Python floor-div re-anchor emulated via the mod identity):
-# ELEVEN pre-proven at driver shape in tests/test_round13_replays.py —
-# the round-13 and round-14 windows pick their ≤6 from a stocked
-# queue.
+# PROMOTION QUEUE (audit_window + SCHEDULED_NEXT_WINDOW are the machine
+# contract; this prose is a POINTER, not a ledger — pruned each round).
+# Next-after-next (round-13 window) picks its <= 6 from the ELEVEN
+# pre-proven hash-green at driver shape in tests/test_round13_replays.py:
+# levenshtein_pairs, chrf_report, min_k_prob, mad_scores,
+# index_scorecard, paired_bootstrap_test, source_overlap_kmv, rasch_fit,
+# implicit_preference_pairs, weighted_consensus, annotator_agreement.
+# Behind them, implemented + DuckDB/pure-Python replay-gated in pytest
+# (each needs a driver-shape pre-proof before scheduling):
+# winsorize_scores, lsh_plan, spearman_rho, bleu_corpus, rouge_l,
+# distinct_n, retrieval_metrics, mmr_rerank, line_dedup,
+# hits_fixedpoint, curriculum_phases/curriculum_report,
+# pca_train/pca_apply, matryoshka_truncate, best_of_n, dpo_pairs,
+# bradley_terry_ties, wilson_from_pairs, brier_decomposition,
+# isotonic_calibration, sparse_logreg, hashed_ngram_features,
+# procrustes_align, trigram_interp_scores, bpe_token_counts,
+# calibration_summary, roc_auc_by_group, calibration_by_group,
+# source_data_card, streaming_mcnemar_ingest/mcnemar_from_cells.
+# unigram_lm_train/unigram_segment_report stay pytest-gated (Viterbi
+# DP — not SQL-expressible; the brute-force optimality test is the
+# gate); zorder stays pytest-level by nature (its observable is
+# parquet footers, not a result hash — the footer test IS its
+# strongest gate).
 
 QUERIES = {
-    # === ROUND-10 WINDOW (first 50 keys = the driver's correctness gate) ==
+    # === ROUND-11 WINDOW (first 50 keys = the driver's correctness gate) ==
     #
-    # Rotation executed per the round-9 verdict contract (machine-checked
-    # by tools/audit_window.py): the 6 SCHEDULED_NEXT_WINDOW promotions
-    # from round 9 (born after the round-9 rotation, never driver-checked)
-    # MUST lead; ALL 40 unsettled round-7 greens are at their cycle-4
-    # cadence deadline (age 4 at round-10 judging); the 4 remaining
-    # settled-tier round-5 leftovers fill the rest. 6 + 40 + 4 = 50
-    # exactly. The 10 settled round-7 greens (age 3 of 8), the 11 settled
-    # round-6 greens (age 4 of 8), and the 42 settled round-8 greens stay
-    # safe under the doubled allowance, so audit_window flags NOTHING.
-    # -- (0) first driver rows: the round-9 promotion cohort ------------
-    #    (elo_ratings builds the shared supplier match log — whichever
-    #     leaderboard query runs first pays the one-time self-join;
-    #     wilson_winrate reads the cache)
+    # Rotation executed per the round-10 verdict contract (machine-checked
+    # by tools/audit_window.py): the 6 SCHEDULED promotions from round 10
+    # (born after the round-10 rotation, never driver-checked) MUST lead;
+    # the 8 unsettled round-8 greens are at their strict cycle-4 cadence
+    # deadline (age 4 at round-12 judging); the 6 round-9 promotions
+    # (green r10 only, strict tier) ride early to keep the strict pool
+    # small; 30 of the 42 settled round-8 greens rotate the oldest
+    # settled evidence. 6 + 8 + 6 + 30 = 50 exactly. Everything else sits
+    # safely under its allowance: the 12 strict r9 greens (age 2 of 4)
+    # and 12 leftover settled r8 greens anchor the round-12 window.
+    # -- (0) first driver rows: the round-10 promotion cohort -----------
+    #    (leaderboard_gate runs FIRST in the leaderboard family, so it
+    #     pays the one-time supplier match-log + pair-count build;
+    #     elo_ratings / wilson_winrate below read the session cache.
+    #     personalized_pagerank persists its LSH edge plan internally.)
+    "unimax_allocation": q_unimax_allocation,
+    "conformal_report": q_conformal_report,
+    "vocab_richness": q_vocab_richness,
+    "personalized_pagerank": q_personalized_pagerank,
+    "leaderboard_gate": q_leaderboard_gate,
+    "rrf_fuse": q_rrf_fuse,
+    # -- (1) round-8 green, strict tier, at their cycle-4 cadence
+    #    deadline (age 4 at round-12 judging): all 8 MUST re-enter ------
+    "bigram_interp_scores": q_bigram_interp_scores,
+    "hll_by_group": q_hll_by_group,
+    "bootstrap_diff_ci": q_bootstrap_diff_ci,
+    "token_balanced_shards": q_token_balanced_shards,
+    "pass_at_k": q_pass_at_k,
+    "fleiss_kappa": q_fleiss_kappa,
+    "pq_rerank": q_pq_rerank,
+    "multimodal_decode": q_multimodal_decode,
+    # -- (2) the round-9 promotions (green r10 only, strict tier):
+    #    riding early keeps the strict pool small ----------------------
     "elo_ratings": q_elo_ratings,
     "wilson_winrate": q_wilson_winrate,
     "compare_relations": q_compare_relations,
     "chunk_text": q_chunk_text,
     "domain_concentration": q_domain_concentration,
     "ndcg_at_k": q_ndcg_at_k,
-    # -- (1) round-7 green, strict tier, at their cycle-4 cadence
-    #    deadline: all 40 MUST re-enter this round ---------------------
-    #    (kmeans_cells is the session's first Lloyd-fit query in dict
-    #     order, so it pays the one-time coarse-quantizer fit in bench
-    #     attribution; bradley_terry / near_dup_clusters are the
-    #     iterative line items)
-    "bradley_terry": q_bradley_terry,
-    "sketch_drift_report": q_sketch_drift_report,
-    "bootstrap_ci": q_bootstrap_ci,
-    "temperature_rebalance": q_temperature_rebalance,
-    "logbucket_quantiles": q_logbucket_quantiles,
-    "majority_vote": q_majority_vote,
-    "ccnet_buckets": q_ccnet_buckets,
-    "bloom_prefilter": q_bloom_prefilter,
-    "stratified_sample": q_stratified_sample,
-    "length_batches": q_length_batches,
-    "quality_classifier": q_quality_classifier,
-    "doremi_weights": q_doremi_weights,
-    "waiting_orders_priority": q_waiting_orders_priority,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "sole_late_supplier": q_sole_late_supplier,
-    "clone_snapshot": q_clone_snapshot,
-    "corpus_release": q_corpus_release,
-    "bpe_merges": q_bpe_merges,
-    "substr_coverage": q_substr_coverage,
-    "curation_funnel": q_curation_funnel,
-    "curation_dag": q_curation_dag,
-    "unit_test_diff": q_unit_test_diff,
-    "doc_chunks": q_doc_chunks,
-    "append_run": q_append_run,
-    "seed_nation_csv": q_seed_nation_csv,
-    "pii_redact": q_pii_redact,
-    "ngram_contamination": q_ngram_contamination,
-    "dsir_weights": q_dsir_weights,
-    "epoch_order": q_epoch_order,
-    "embedding_outliers": q_embedding_outliers,
-    "delete_insert_orders": q_delete_insert_orders,
-    "insert_overwrite_events": q_insert_overwrite_events,
-    "schema_drift_append": q_schema_drift_append,
-    "dynamic_table_batch": q_dynamic_table_batch,
-    "listagg_ordered": q_listagg_ordered,
-    "except_fn": q_except_fn,
-    "test_harness_orders": q_test_harness_orders,
-    "scd2_hard_delete": q_scd2_hard_delete,
-    "near_dup_clusters": q_near_dup_clusters,
-    "kmeans_cells": q_kmeans_cells,
-    # -- (2) the 4 settled-tier round-5 greens at the end of their
-    #    deferral (last green r5, age 5 of allowance 8): rotate in now --
-    "date_spine_orders": q_date_spine_orders,
-    "listagg_nations": q_listagg_nations,
-    "set_except": q_set_except,
-    "set_intersect": q_set_intersect,
+    # -- (3) 30 of the 42 settled round-8 greens (age 3 of 8) —
+    #    rotating the oldest settled evidence; the other 12 anchor the
+    #    round-12 window ------------------------------------------------
+    "datamart_dag": q_datamart_dag,
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
+    "ivfadc_topk": q_ivfadc_topk,
+    "ivfadc_indexed": q_ivfadc_indexed,
+    "bm25_topk": q_bm25_topk,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "pq_encode": q_pq_encode,
+    "semantic_dedup": q_semantic_dedup,
+    "member_cost_summary": q_member_cost_summary,
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
     # === BELOW THE WINDOW =================================================
-    # -- (3) settled-tier round-7 greens riding the doubled allowance
-    #    (age 3 of 8) ---------------------------------------------------
-    "minhash_buckets": q_minhash_buckets,
-    "langid_stopwords": q_langid_stopwords,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "freshness_events": q_freshness_events,
-    "merge_upsert": q_merge_upsert,
-    "rollup_revenue": q_rollup_revenue,
-    "hash_split": q_hash_split,
-    "fct_claims": q_fct_claims,
-    "ivf_topk": q_ivf_topk,
-    # -- (4) settled-tier round-6 greens (age 4 of allowance 8) ---------
-    "embedding_near_dup": q_embedding_near_dup,
-    "gap_status": q_gap_status,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    # -- (5) round-9 green (the round-8 promotions' first driver rows,
-    #    the re-greened round-6 cohort, and 5 settled r5 fillers; the
-    #    round-12 window takes the unsettled among them at deadline) ----
+    # -- (4) the 12 remaining settled round-8 greens (round-12 window) --
+    "cosine_topk": q_cosine_topk,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk_label": q_cosine_topk_label,
+    "scd2_customers": q_scd2_customers,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "window_best_order": q_window_best_order,
+    # -- (5) round-9 green, strict tier (age 2 of 4 — MUST ride the
+    #    round-12 window at their cycle-4 deadline) ---------------------
     "roc_auc": q_roc_auc,
     "calibration_report": q_calibration_report,
     "dawid_skene": q_dawid_skene,
@@ -4537,6 +4617,7 @@ QUERIES = {
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
     "pagerank_docs": q_pagerank_docs,
+    # -- (6) settled round-9 greens (age 2 of 8) -------------------------
     "pq_topk": q_pq_topk,
     "dim_member": q_dim_member,
     "events_asof_error": q_events_asof_error,
@@ -4575,69 +4656,84 @@ QUERIES = {
     "date_functions": q_date_functions,
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
-    # -- (6) round-8 green (8 unsettled among them ride the round-11
-    #    window at their strict cycle-4 deadline; the 42 settled rotate
-    #    behind them under the doubled allowance) -----------------------
-    "bigram_interp_scores": q_bigram_interp_scores,
-    "hll_by_group": q_hll_by_group,
-    "bootstrap_diff_ci": q_bootstrap_diff_ci,
-    "token_balanced_shards": q_token_balanced_shards,
-    "pass_at_k": q_pass_at_k,
-    "fleiss_kappa": q_fleiss_kappa,
-    "pq_rerank": q_pq_rerank,
-    "multimodal_decode": q_multimodal_decode,
-    "datamart_dag": q_datamart_dag,
-    "cheapest_part_supplier": q_cheapest_part_supplier,
-    "part_value_concentration": q_part_value_concentration,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_supplier": q_dominant_part_supplier,
-    "cluster_keep_best": q_cluster_keep_best,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "token_budget_cap": q_token_budget_cap,
-    "claim_rollups": q_claim_rollups,
-    "claim_status": q_claim_status,
-    "member_enrollment": q_member_enrollment,
-    "gap_status_tri": q_gap_status_tri,
-    "semantic_contamination": q_semantic_contamination,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_trade_volume": q_nation_trade_volume,
-    "returned_item_customers": q_returned_item_customers,
-    "large_volume_customers": q_large_volume_customers,
-    "ivfadc_topk": q_ivfadc_topk,
-    "ivfadc_indexed": q_ivfadc_indexed,
-    "bm25_topk": q_bm25_topk,
-    "exact_substr_dedup": q_exact_substr_dedup,
-    "pq_encode": q_pq_encode,
-    "semantic_dedup": q_semantic_dedup,
-    "member_cost_summary": q_member_cost_summary,
-    "datediff_age_orders": q_datediff_age_orders,
-    "lang_agreement": q_lang_agreement,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_quality": q_text_quality,
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "scd2_customers": q_scd2_customers,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    # -- (7) born AFTER the round-10 rotation (window already at capacity:
-    #    6 round-9 promotions + 40 cadence round-7 greens + 4 settled
-    #    r5 fillers) — SCHEDULED to lead the round-11 window;
-    #    `SCHEDULED_NEXT_WINDOW` above is the machine-checked contract --
-    "unimax_allocation": q_unimax_allocation,
-    "conformal_report": q_conformal_report,
-    "vocab_richness": q_vocab_richness,
-    "personalized_pagerank": q_personalized_pagerank,
-    "leaderboard_gate": q_leaderboard_gate,
-    "rrf_fuse": q_rrf_fuse,
+    # -- (7) round-10 green, strict tier (age 1 of 4; round-13 deadline) -
+    "bradley_terry": q_bradley_terry,
+    "sketch_drift_report": q_sketch_drift_report,
+    "bootstrap_ci": q_bootstrap_ci,
+    "temperature_rebalance": q_temperature_rebalance,
+    "logbucket_quantiles": q_logbucket_quantiles,
+    "majority_vote": q_majority_vote,
+    # -- (8) settled round-10 greens (age 1 of 8) ------------------------
+    "ccnet_buckets": q_ccnet_buckets,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stratified_sample": q_stratified_sample,
+    "length_batches": q_length_batches,
+    "quality_classifier": q_quality_classifier,
+    "doremi_weights": q_doremi_weights,
+    "waiting_orders_priority": q_waiting_orders_priority,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "sole_late_supplier": q_sole_late_supplier,
+    "clone_snapshot": q_clone_snapshot,
+    "corpus_release": q_corpus_release,
+    "bpe_merges": q_bpe_merges,
+    "substr_coverage": q_substr_coverage,
+    "curation_funnel": q_curation_funnel,
+    "curation_dag": q_curation_dag,
+    "unit_test_diff": q_unit_test_diff,
+    "doc_chunks": q_doc_chunks,
+    "append_run": q_append_run,
+    "seed_nation_csv": q_seed_nation_csv,
+    "pii_redact": q_pii_redact,
+    "ngram_contamination": q_ngram_contamination,
+    "dsir_weights": q_dsir_weights,
+    "epoch_order": q_epoch_order,
+    "embedding_outliers": q_embedding_outliers,
+    "delete_insert_orders": q_delete_insert_orders,
+    "insert_overwrite_events": q_insert_overwrite_events,
+    "schema_drift_append": q_schema_drift_append,
+    "dynamic_table_batch": q_dynamic_table_batch,
+    "listagg_ordered": q_listagg_ordered,
+    "except_fn": q_except_fn,
+    "test_harness_orders": q_test_harness_orders,
+    "scd2_hard_delete": q_scd2_hard_delete,
+    "near_dup_clusters": q_near_dup_clusters,
+    "kmeans_cells": q_kmeans_cells,
+    "date_spine_orders": q_date_spine_orders,
+    "listagg_nations": q_listagg_nations,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    # -- (9) settled round-7 greens (age 4 of 8) -------------------------
+    "minhash_buckets": q_minhash_buckets,
+    "langid_stopwords": q_langid_stopwords,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "freshness_events": q_freshness_events,
+    "merge_upsert": q_merge_upsert,
+    "rollup_revenue": q_rollup_revenue,
+    "hash_split": q_hash_split,
+    "fct_claims": q_fct_claims,
+    "ivf_topk": q_ivf_topk,
+    # -- (10) settled round-6 greens (age 5 of 8 — ride by round 13) -----
+    "embedding_near_dup": q_embedding_near_dup,
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    # -- (11) born AFTER the round-11 rotation (window at capacity) —
+    #    SCHEDULED to lead the round-12 window; `SCHEDULED_NEXT_WINDOW`
+    #    above is the machine-checked contract ---------------------------
+    "kendall_tau": q_kendall_tau,
+    "gopher_rules": q_gopher_rules,
+    "mcnemar_test": q_mcnemar_test,
+    "rbo": q_rbo,
+    "leakage_safe_split": q_leakage_safe_split,
+    "c4_line_filter": q_c4_line_filter,
 }
 
 
@@ -8712,4 +8808,310 @@ f AS (
 SELECT *, CAST(row_number() OVER (ORDER BY rrf_fp DESC, id ASC) AS BIGINT)
   AS rank_fused
 FROM f
+"""
+
+
+def _kendall_tau_oracle_sql() -> str:
+    """Tau-b between the BT and Elo supplier ratings as ONE statement:
+    the oracle composes the two PROVEN rating replays — +1-smoothed
+    doubled pair counts -> 3 unrolled BT MM rounds (scale 1e6), and
+    per-period unrolled Elo (k=16, 1995-2001, the elo_ratings
+    static-unroll convention) — then folds the exact sign-pair counts
+    over the bounded item board. Pre-proven at driver shape in
+    tests/test_round12_replays.py."""
+    s2 = 10**12  # BT scale^2 at bradley_terry's default scale 1e6
+    sql = "WITH " + _MATCH_CTE + """,
+pc AS MATERIALIZED (
+  SELECT w AS i, l AS j, CAST(2 * COUNT(*) + 1 AS BIGINT) AS w2
+  FROM m GROUP BY 1, 2
+),
+obs AS (SELECT i, j FROM pc UNION SELECT j, i FROM pc),
+bth AS MATERIALIZED (
+  SELECT obs.i, obs.j, COALESCE(pc.w2, 1) AS w2
+  FROM obs LEFT JOIN pc ON pc.i = obs.i AND pc.j = obs.j
+),
+pairs AS MATERIALIZED (
+  SELECT a.i, a.j, a.w2, a.w2 + b.w2 AS n2
+  FROM bth a JOIN bth b ON b.i = a.j AND b.j = a.i
+),
+wt AS MATERIALIZED (
+  SELECT i, CAST(SUM(w2) AS BIGINT) AS wins2 FROM pairs GROUP BY 1
+),
+bt0 AS MATERIALIZED (
+  SELECT i AS id, CAST(1000000 AS BIGINT) AS p FROM wt
+)"""
+    for r in range(3):
+        sql += f""",
+btd{r} AS MATERIALIZED (
+  SELECT pairs.i,
+         CAST(SUM((n2 * CAST({s2} AS BIGINT)) // (ri.p + rj.p))
+              AS BIGINT) AS D
+  FROM pairs JOIN bt{r} ri ON ri.id = pairs.i
+             JOIN bt{r} rj ON rj.id = pairs.j
+  GROUP BY 1
+),
+bt{r + 1} AS MATERIALIZED (
+  SELECT btd{r}.i AS id,
+         CAST((wins2 * CAST({s2} AS BIGINT)) // D AS BIGINT) AS p
+  FROM btd{r} JOIN wt ON wt.i = btd{r}.i
+)"""
+    sql += """,
+er0 AS MATERIALIZED (
+  SELECT item, CAST(1000000000 AS BIGINT) AS r_fp FROM tot
+)"""
+    years = list(range(1995, 2002))
+    for idx, per in enumerate(years):
+        sql += f""",
+ec{idx} AS MATERIALIZED (
+  SELECT item, CAST(SUM(c) AS BIGINT) AS C FROM (
+    SELECT w AS item,
+           1000000 - CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) AS c
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+    UNION ALL
+    SELECT l,
+           CAST(floor(1000000.0 / (1.0 + pow(10.0,
+             CAST(rl.r_fp - rw.r_fp AS DOUBLE) / 400000000.0)) + 0.5)
+             AS BIGINT) - 1000000
+    FROM m JOIN er{idx} rw ON m.w = rw.item
+           JOIN er{idx} rl ON m.l = rl.item
+    WHERE m.p = {per}
+  ) GROUP BY item
+),
+er{idx + 1} AS MATERIALIZED (
+  SELECT r.item, CAST(r.r_fp + 16 * COALESCE(c.C, 0) AS BIGINT) AS r_fp
+  FROM er{idx} r LEFT JOIN ec{idx} c USING (item)
+)"""
+    sql += f""",
+board AS MATERIALIZED (
+  SELECT bt3.id AS item, CAST(bt3.p AS DOUBLE) AS sa,
+         CAST(er{len(years)}.r_fp AS DOUBLE) AS sb
+  FROM bt3 JOIN er{len(years)} ON er{len(years)}.item = bt3.id
+),
+p AS (
+  SELECT sign(x.sa - y.sa) AS da, sign(x.sb - y.sb) AS db
+  FROM board x JOIN board y ON x.item < y.item
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN da * db = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN da * db = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    CAST(SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+    CAST(SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tb,
+    CAST(SUM(CASE WHEN da = 0 AND db = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tboth
+  FROM p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM board) AS n_items,
+  n0 AS n_pairs, c AS concordant, d AS discordant,
+  ta AS tie_a, tb AS tie_b, tboth AS tie_both,
+  round((c - d) / sqrt(CAST(n0 - ta AS DOUBLE)
+    * CAST(n0 - tb AS DOUBLE)), 6) AS tau_b
+FROM agg"""
+    return sql
+
+
+ORACLE["kendall_tau"] = _kendall_tau_oracle_sql()
+
+# The Gopher battery (Rae et al. 2021 A1.1): all-integer counters and
+# cross-multiplied rules — pre-proven in tests/test_round12_replays.py.
+ORACLE["gopher_rules"] = """
+WITH base AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+      AS BIGINT) AS n_word_chars,
+    len(lns) AS n_lines,
+    (length(t) - length(replace(t, '#', '')))
+      + (length(t) - length(replace(t, '…', '')))
+      + (length(t) - length(replace(t, '...', ''))) // 3 AS n_symbols,
+    len(list_filter(lns, x -> substr(ltrim(x), 1, 1) IN ('•','-','*')))
+      AS n_bullet_lines,
+    len(list_filter(lns, x -> rtrim(x) LIKE '%...'
+      OR rtrim(x) LIKE '%…')) AS n_ellipsis_lines,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+    len(list_intersect(list_distinct(w),
+      ['the','be','to','of','and','that','have','with'])) AS n_stop_kinds
+  FROM (
+    SELECT doc_id, COALESCE(text, '') AS t,
+      list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+        '\\s+'), x -> x != '') AS w,
+      list_filter(string_split(COALESCE(text, ''), chr(10)),
+        x -> trim(x) != '') AS lns
+    FROM documents
+  )
+),
+rules AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words, n_word_chars,
+    CAST(n_lines AS BIGINT) AS n_lines, CAST(n_symbols AS BIGINT) AS n_symbols,
+    CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+    CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+    CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+    CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+    (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+      AND n_words > 0) AS r_mean_word_len,
+    (100 * n_symbols <= 10 * n_words) AS r_symbol_ratio,
+    (100 * n_bullet_lines <= 90 * n_lines) AS r_bullet_lines,
+    (100 * n_ellipsis_lines <= 30 * n_lines) AS r_ellipsis_lines,
+    (100 * n_alpha_words >= 80 * n_words) AS r_alpha_words,
+    (n_stop_kinds >= 2) AS r_stop_words
+  FROM base
+)
+SELECT *,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words) AS keep
+FROM rules
+"""
+
+# McNemar's continuity-corrected chi² from four exact BIGINT cells —
+# pre-proven in tests/test_round12_replays.py.
+ORACLE["mcnemar_test"] = """
+WITH j AS (
+  SELECT CAST((n_chars >= 250) = (lang = 'en') AS INT) AS ca,
+    CAST((len(string_split_regex(lower(trim(text)), '\\s+')) >= 40)
+      = (lang = 'en') AS INT) AS cb
+  FROM documents
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CASE WHEN ca=1 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_right,
+    CAST(SUM(CASE WHEN ca=1 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN ca=0 AND cb=1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN ca=0 AND cb=0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS both_wrong
+  FROM j
+)
+SELECT n_items, both_right, b AS only_a, c AS only_b, both_wrong,
+  CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END AS chi2,
+  (CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END) IS NOT NULL
+  AND (CASE WHEN b + c > 0 THEN round(
+    CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+      AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END) > 3.841459
+    AS significant
+FROM cells
+"""
+
+# RBO (Webber et al. 2010, prefix form, p=0.9) between the exact cosine
+# top-10 and the IVF(nprobe=2) top-10 — composes the two proven board
+# oracles (incl. the unrolled Lloyd fit); pre-proven in
+# tests/test_round12_replays.py.
+ORACLE["rbo"] = f"""
+WITH ex AS ({ORACLE["cosine_topk"]}),
+ap AS ({ORACLE["ivf_topk"]}),
+ra AS (
+  SELECT vec_id AS item,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ex
+),
+rb AS (
+  SELECT vec_id AS item,
+    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ap
+),
+j AS (
+  SELECT COALESCE(ra.item, rb.item) AS item, ra.r AS r1, rb.r AS r2
+  FROM ra FULL OUTER JOIN rb ON ra.item = rb.item
+),
+dep AS (
+  SELECT CAST(GREATEST(MAX(r1), MAX(r2)) AS BIGINT) AS d FROM j
+),
+series AS (SELECT unnest(range(1, (SELECT d FROM dep) + 1)) + 0 AS i),
+ov AS (
+  SELECT s.i, CAST(COUNT(j.item) AS BIGINT) AS o
+  FROM series s LEFT JOIN j
+    ON j.r1 IS NOT NULL AND j.r2 IS NOT NULL
+    AND GREATEST(j.r1, j.r2) <= s.i
+  GROUP BY s.i
+)
+SELECT (SELECT d FROM dep) AS depth,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+    WHERE r1 IS NOT NULL AND r2 IS NOT NULL) AS n_common,
+  round((1 - 0.9) * SUM(pow(0.9, i - 1) * o / i), 6) AS rbo
+FROM ov
+"""
+
+# Leakage-safe splits: the recursive-closure component oracle composed
+# with the cluster-min-fingerprint split rule — pre-proven in
+# tests/test_round12_replays.py.
+ORACLE["leakage_safe_split"] = f"""
+WITH comp AS ({ORACLE["near_dup_clusters"]}),
+fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+rep AS (
+  SELECT comp.component, MIN(fp.f) AS rf
+  FROM comp JOIN fp ON fp.doc_id = comp.doc_id
+  GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id AS id, comp.component,
+    COALESCE(rep.rf, fp.f) AS kf
+  FROM documents d
+  JOIN fp ON fp.doc_id = d.doc_id
+  LEFT JOIN comp ON comp.doc_id = d.doc_id
+  LEFT JOIN rep ON rep.component = comp.component
+)
+SELECT id, component,
+  CASE WHEN substr(kf, 1, 1) IN ('0','1','2','3','4','5','6','7','8',
+    '9','a','b') THEN 'train'
+  WHEN substr(kf, 1, 1) IN ('c','d') THEN 'val'
+  ELSE 'test' END AS split
+FROM keyed
+"""
+
+# C4 line/page cleaning over the deterministic line-shaped rebuild —
+# both engines replicate the construction exactly; pre-proven in
+# tests/test_round12_replays.py.
+ORACLE["c4_line_filter"] = """
+WITH lined AS (
+  SELECT doc_id,
+    substr(text, 1, 60) || '.' || chr(10)
+    || substr(text, 61, 15)
+    || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END || chr(10)
+    || CASE WHEN doc_id % 7 = 0
+       THEN 'Enable javascript to view this content please.'
+       ELSE 'Another proper sentence arrives with plenty of words.' END
+    || chr(10)
+    || substr(text, 76, 60) || '?' AS t
+  FROM documents
+),
+split AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lns FROM lined
+),
+kept AS (
+  SELECT doc_id, t, lns,
+    list_filter(lns, x -> regexp_matches(rtrim(x), '[.!?"]$')
+      AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+              y -> y != '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS k
+  FROM split
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(lns, x -> trim(x) != '')) AS BIGINT) AS n_lines,
+    CAST(len(k) AS BIGINT) AS n_kept_lines,
+    CAST(length(regexp_replace(COALESCE(array_to_string(k, chr(10)), ''),
+      '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+    contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(t, '{') AS has_brace,
+    COALESCE(array_to_string(k, chr(10)), '') AS clean
+  FROM kept
+)
+SELECT doc_id,
+  n_lines, n_kept_lines,
+  n_lines - n_kept_lines AS n_dropped_lines,
+  n_sentences, has_lorem_ipsum, has_brace,
+  (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 2
+   AND n_kept_lines > 0) AS keep,
+  CASE WHEN (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 2
+   AND n_kept_lines > 0) THEN clean ELSE '' END AS clean_text
+FROM base
 """

@@ -62,18 +62,27 @@ MIN_MATCHES = 10  # release bar: every ranked item has >= this many
 def build_leaderboard_release(
     spark: SparkSession,
     raw_matches: DataFrame,
-    pair_periods: DataFrame | None = None,
+    precomputed: dict[str, DataFrame] | None = None,
 ) -> ModelRegistry:
-    """``pair_periods`` optionally injects an ALREADY-COLLAPSED
-    ``(winner_id, loser_id, period, n_m)`` pair-period relation (a
-    session cache or a streaming ingest's state table) — the release
-    then skips the raw-log scan entirely and only materializes the
-    artifact. Same rows by construction, so every downstream frame is
-    bit-identical."""
+    """``precomputed`` optionally injects session-cached frames for the
+    state/rating models (keys: ``pair_period_counts``, ``bt_ratings``,
+    ``wilson_board``). Each must be the EXACT relation the model would
+    compute — a session cache or a streaming ingest's state/serving
+    table — so the release skips recomputation and only materializes
+    the artifact. A warm-start hook, not a semantic knob: downstream
+    frames are bit-identical by the caller's contract (the same hook a
+    production release uses to serve ratings maintained incrementally
+    between releases)."""
+    pre = precomputed or {}
+    unknown = set(pre) - {"pair_period_counts", "bt_ratings", "wilson_board"}
+    if unknown:
+        raise ValueError(
+            f"build_leaderboard_release: unknown precomputed keys {unknown}"
+        )
     r = ModelRegistry(spark)
     r.add_source("raw_matches", raw_matches)
-    if pair_periods is not None:
-        r.add_source("pair_periods_pre", pair_periods)
+    for k, df in pre.items():
+        r.add_source(f"{k}_pre", df)
 
     @r.model()
     def stg_matches(ctx):
@@ -92,10 +101,10 @@ def build_leaderboard_release(
         # scanned exactly once per release, and Elo/Wilson/BT all
         # derive from the bounded pair table (items²·periods, model
         # state at leaderboard scale).
-        if pair_periods is not None:
+        if "pair_period_counts" in pre:
             # pre-collapsed injection: normalize types, keep the
             # degenerate-row guard (cheap on the bounded pair table)
-            return ctx.source("pair_periods_pre").select(
+            return ctx.source("pair_period_counts_pre").select(
                 F.col("winner_id").cast("string").alias("winner_id"),
                 F.col("loser_id").cast("string").alias("loser_id"),
                 F.col("period").cast("bigint").alias("period"),
@@ -123,6 +132,8 @@ def build_leaderboard_release(
 
     @r.model()
     def bt_ratings(ctx):
+        if "bt_ratings" in pre:
+            return ctx.source("bt_ratings_pre")
         from ..llmops.preferences import bradley_terry_from_pairs
 
         return bradley_terry_from_pairs(
@@ -134,13 +145,18 @@ def build_leaderboard_release(
         from ..llmops.preferences import elo_ratings
 
         # weighted rows over the shared collapse — bit-identical to
-        # per-match rows (shared period expected score), one log scan
+        # per-match rows (shared period expected score), one log scan;
+        # pre_collapsed: the state table is unique by construction, so
+        # the internal re-aggregation would be a wasted shuffle
         return elo_ratings(
-            ctx.ref("pair_period_counts"), k=ELO_K, n_col="n_m"
+            ctx.ref("pair_period_counts"), k=ELO_K, n_col="n_m",
+            pre_collapsed=True,
         )
 
     @r.model()
     def wilson_board(ctx):
+        if "wilson_board" in pre:
+            return ctx.source("wilson_board_pre")
         from ..llmops.preferences import wilson_winrate
 
         return wilson_winrate(

@@ -4046,6 +4046,72 @@ def _supplier_pair_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppc
 
 
+_RATING_FRAME_CACHE: dict = {}
+
+
+def _session_rating_frame(spark, sf_dir: str, key: str, build) -> DataFrame:
+    """Session cache for the FITTED leaderboard rating frames (bounded
+    model state, one row per item). The leaderboard family publishes
+    the same fit through several queries (the board, the agreement
+    stat, the release gate) — a real serving session fits once and
+    joins many times, and the caches make the queries cost the same.
+    Keyed by (sf_dir, key) and invalidated on a new session, the
+    ``_supplier_matches`` convention."""
+    hit = _RATING_FRAME_CACHE.get((sf_dir, key))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from pyspark import StorageLevel
+
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _RATING_FRAME_CACHE[(sf_dir, key)] = (spark, df)
+    return df
+
+
+def _supplier_bt3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry MM fit (3 rounds, the release DAG's BT_ROUNDS)
+    over the doubled pair counts derived from the shared pair-period
+    collapse — the exact ``bt_ratings`` relation of
+    models/leaderboard_release.py, shared by ``leaderboard_gate`` and
+    ``kendall_tau``."""
+    from ..llmops.preferences import bradley_terry_from_pairs
+    from .leaderboard_release import BT_ROUNDS
+
+    def build():
+        pc = _supplier_pair_periods(spark, sf_dir).groupBy(
+            F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
+        ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
+        return bradley_terry_from_pairs(pc, n_iter=BT_ROUNDS)
+
+    return _session_rating_frame(spark, sf_dir, "bt3", build)
+
+
+def _supplier_elo16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-batched Elo (k=16) over the shared pair-period collapse —
+    the ``elo_ratings`` board, shared with ``kendall_tau``."""
+    from ..llmops.preferences import elo_ratings
+
+    return _session_rating_frame(
+        spark, sf_dir, "elo16",
+        lambda: elo_ratings(
+            _supplier_pair_periods(spark, sf_dir), k=16, n_col="n_m",
+            pre_collapsed=True,
+        ),
+    )
+
+
+def _supplier_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson winrate board over the shared pair-period collapse — the
+    ``wilson_winrate`` board, also the release DAG's ``wilson_board``."""
+    from ..llmops.preferences import wilson_winrate
+
+    return _session_rating_frame(
+        spark, sf_dir, "wilson",
+        lambda: wilson_winrate(
+            _supplier_pair_periods(spark, sf_dir), n_col="n_m"
+        ),
+    )
+
+
 def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-batched Elo over cheaper-supplier-wins matches (period =
     order year) — the arena-leaderboard rating through time beside
@@ -4054,14 +4120,12 @@ def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     period; the oracle unrolls one MATERIALIZED CTE round per rating
     period (the bradley_terry discipline). Body + oracle pre-proven
     hash-green at driver shape in tests/test_round10_replays.py.
-    Reads the session's shared pair-period collapse (weighted rows are
-    bit-identical to per-match rows — the shared-expected-score
-    argument on elo_ratings)."""
-    from ..llmops.preferences import elo_ratings
-
-    return elo_ratings(
-        _supplier_pair_periods(spark, sf_dir), k=16, n_col="n_m"
-    ).select("item", "n_matches", "wins", "rating_fp")
+    Reads the session's shared pair-period collapse and fit cache
+    (weighted rows are bit-identical to per-match rows — the
+    shared-expected-score argument on elo_ratings)."""
+    return _supplier_elo16(spark, sf_dir).select(
+        "item", "n_matches", "wins", "rating_fp"
+    )
 
 
 def q_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4071,11 +4135,9 @@ def q_wilson_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded by the standard), so the report is hash-exact
     cross-engine with no quantization discipline. Pre-proven at
     driver shape in tests/test_round10_replays.py. Reads the session's
-    shared pair-period collapse (integer sums over weighted rows are
-    identical to per-match rows)."""
-    from ..llmops.preferences import wilson_winrate
-
-    return wilson_winrate(_supplier_pair_periods(spark, sf_dir), n_col="n_m")
+    shared pair-period collapse and board cache (integer sums over
+    weighted rows are identical to per-match rows)."""
+    return _supplier_wilson(spark, sf_dir)
 
 
 def q_compare_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4269,14 +4331,21 @@ def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG joins curation_dag/corpus_release/index gate in the window;
     its whole-DAG single-statement DuckDB replay is pre-proven at
     driver shape in tests/test_round10_replays.py. The session's
-    shared pair-period collapse is injected as the DAG's sufficient
-    statistics, so the whole leaderboard family pays the match-log
-    scan once per session."""
+    shared pair-period collapse and the bt/wilson fit caches are
+    injected through the DAG's warm-start hook, so the whole
+    leaderboard family pays the match-log scan and each shared fit
+    once per session."""
     from .leaderboard_release import build_leaderboard_release
 
     m = _supplier_matches(spark, sf_dir)
     return build_leaderboard_release(
-        spark, m, pair_periods=_supplier_pair_periods(spark, sf_dir)
+        spark,
+        m,
+        precomputed={
+            "pair_period_counts": _supplier_pair_periods(spark, sf_dir),
+            "bt_ratings": _supplier_bt3(spark, sf_dir),
+            "wilson_board": _supplier_wilson(spark, sf_dir),
+        },
     ).build("leaderboard_gate")
 
 
@@ -4327,20 +4396,17 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded item frame (model state); the oracle composes the two
     PROVEN rating replays (3 unrolled BT MM rounds, per-period unrolled
     Elo). Pre-proven hash-green at driver shape in
-    tests/test_round12_replays.py. Both rating fits read the session's
-    shared pair-period collapse (the doubled pair counts and weighted
-    Elo rows are bit-identical to per-match rows)."""
+    tests/test_round12_replays.py. Both rating fits come from the
+    session's shared fit caches (derived from the pair-period
+    collapse — doubled pair counts and weighted Elo rows are
+    bit-identical to per-match rows), so the agreement stat costs one
+    bounded join + fold when the boards are already published."""
     from ..llmops.evaluation import kendall_tau
-    from ..llmops.preferences import bradley_terry_from_pairs, elo_ratings
 
-    ppc = _supplier_pair_periods(spark, sf_dir)
-    pc = ppc.groupBy(
-        F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
-    ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
-    bt = bradley_terry_from_pairs(pc, n_iter=3).select(
+    bt = _supplier_bt3(spark, sf_dir).select(
         "item", F.col("rating_fp").alias("bt")
     )
-    elo = elo_ratings(ppc, k=16, n_col="n_m").select(
+    elo = _supplier_elo16(spark, sf_dir).select(
         "item", F.col("rating_fp").alias("elo")
     )
     return kendall_tau(bt.join(elo, "item"), "item", "bt", "elo")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.battery  # opt-out: `-m "not battery"` fast path
+
 SF_DIR = "/root/testdata/sf0.001"
 
 TABLES = [

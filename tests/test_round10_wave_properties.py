@@ -6,6 +6,10 @@ set (one of which caught a real divide-by-zero pre-promotion)."""
 
 from __future__ import annotations
 
+# opt-out marker for the pre-proof batteries: `-m "not battery"` is the
+# fast iteration path; the default gate still runs everything
+pytestmark = __import__("pytest").mark.battery
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.battery  # opt-out: `-m "not battery"` fast path
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.battery  # opt-out: `-m "not battery"` fast path
+
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -803,18 +803,9 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket-join ->
-    exact-Jaccard verification at 0.4."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
-
-    docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    return jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+    exact-Jaccard verification at 0.4 (the session's shared verified
+    pair table — the whole dedup family derives from this relation)."""
+    return _near_dup_verified(spark, sf_dir)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,20 +1581,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint. Genuinely iterative on the Spark side; the oracle expresses
     the same fixpoint as a DuckDB ``WITH RECURSIVE`` transitive closure
     (min reachable id = component label), so the driver gets a full hash
-    gate despite the iterative implementation."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-        near_dup_components,
-    )
-
-    docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
-    return near_dup_components(verified.select("id_a", "id_b"))
+    gate despite the iterative implementation. Reads the session's
+    shared verified-pair table and label cache."""
+    return _near_dup_labels(spark, sf_dir)
 
 
 def _claim_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,21 +1853,13 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the full pipeline: MinHash LSH candidates → Jaccard verify
     → iterative connected components → quality_stats ranking, one
     window partitioned by component. Returns per-cluster (component,
-    keeper, size, dropped, keeper_quality)."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-        near_dup_components,
-    )
+    keeper, size, dropped, keeper_quality). Reads the session's shared
+    label cache — the pipeline upstream of the ranking runs once per
+    session across the dedup family."""
     from ..llmops.textstats import quality_stats
 
     docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
-    labels = near_dup_components(verified.select("id_a", "id_b"))
+    labels = _near_dup_labels(spark, sf_dir)
     q = quality_stats(docs, "text", "doc_id").select("doc_id", "quality_score")
     scored = labels.join(q, "doc_id")
     w = Window.partitionBy("component").orderBy(
@@ -2346,18 +2318,10 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication report: verified near-dup pairs rolled up
     by source pair (canonical order) — which feeds copy each other, the
-    curation question the pair-level dedup output exists to answer."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
-
+    curation question the pair-level dedup output exists to answer.
+    Reads the session's shared verified-pair table."""
     docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3)
+    verified = _near_dup_verified(spark, sf_dir)
     src = docs.select("doc_id", "source")
     tagged = (
         verified.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
@@ -3970,6 +3934,58 @@ _MATCH_LOG_CACHE: dict = {}
 _PAIR_PERIOD_CACHE: dict = {}
 
 
+_NEAR_DUP_CACHE: dict = {}
+
+
+def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFIED near-dup pair table at the repo's operating point
+    (shingle-3 → 8 minhashes → 4 bands of 2 → bucket-join candidates →
+    exact Jaccard ≥ 0.4) — the dedup family's shared intermediate:
+    ``near_dup_jaccard`` publishes it, ``near_dup_clusters`` /
+    ``cluster_keep_best`` / ``leakage_safe_split`` connect it,
+    ``cross_source_dups`` rolls it up, ``personalized_pagerank`` walks
+    it. Session-cached so the corpus-scale shingle/minhash/band passes
+    run once per session — the ``_supplier_matches`` convention."""
+    hit = _NEAR_DUP_CACHE.get((sf_dir, "verified"))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from pyspark import StorageLevel
+
+    from ..llmops.dedup import (
+        candidate_pairs,
+        jaccard_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    verified = jaccard_pairs(
+        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _NEAR_DUP_CACHE[(sf_dir, "verified")] = (spark, verified)
+    return verified
+
+
+def _near_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id, component) over the shared
+    verified pair table — the iterative min-label fixpoint paid once
+    per session for the cluster-consuming queries."""
+    hit = _NEAR_DUP_CACHE.get((sf_dir, "labels"))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from pyspark import StorageLevel
+
+    from ..llmops.dedup import near_dup_components
+
+    labels = near_dup_components(
+        _near_dup_verified(spark, sf_dir).select("id_a", "id_b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _NEAR_DUP_CACHE[(sf_dir, "labels")] = (spark, labels)
+    return labels
+
+
 def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decided supplier-vs-supplier matches from lineitem — the
     leaderboard family's natural testdata feed: within one order,
@@ -4291,23 +4307,15 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc id, 3 integer rounds. The seed is collected bounded driver
     state; the oracle recomputes seed and teleport masses in-SQL (no
     data-dependent literals) and unrolls the rounds as MATERIALIZED
-    CTEs. Pre-proven at driver shape in tests/test_round11_replays.py."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
+    CTEs. Pre-proven at driver shape in tests/test_round11_replays.py.
+    The verified pair table comes from the session's shared dedup-family
+    cache (same construction as near_dup_jaccard/near_dup_clusters)."""
     from ..llmops.graph import personalized_pagerank, undirected_edges
 
-    docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(
-        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
-    )
-    # persist: the LSH pipeline feeds BOTH the seed collect and the
-    # walk's own edge scan — without the cache it would run twice
+    verified = _near_dup_verified(spark, sf_dir)
+    # persist: the edge relation feeds BOTH the seed collect and the
+    # walk's own per-round scans — without the cache the map over the
+    # (persisted) pair table would re-run per consumer
     edges = undirected_edges(verified.select("id_a", "id_b")).persist()
     seed = str(
         edges.select(F.least("src", "dst").alias("m"))
@@ -4488,11 +4496,16 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTRUCTION. Full per-document (id, component, split) assignment;
     the oracle composes the PROVEN recursive-closure component oracle
     with the cluster-min-fp rule. Pre-proven at driver shape in
-    tests/test_round12_replays.py."""
+    tests/test_round12_replays.py. Short-circuits the pair pipeline
+    with the session's shared component cache (the operator's own
+    ``components`` hook — same construction, bit-identical)."""
     from ..llmops.splits import leakage_safe_split
 
     return leakage_safe_split(
-        load(spark, sf_dir, "documents"), "text", "doc_id"
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        components=_near_dup_labels(spark, sf_dir),
     )
 
 

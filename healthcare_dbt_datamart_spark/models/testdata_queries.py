@@ -4576,17 +4576,19 @@ SCHEDULED_NEXT_WINDOW = [
 # levenshtein_pairs, chrf_report, min_k_prob, mad_scores,
 # index_scorecard, paired_bootstrap_test, source_overlap_kmv, rasch_fit,
 # implicit_preference_pairs, weighted_consensus, annotator_agreement.
-# Behind them, implemented + DuckDB/pure-Python replay-gated in pytest
-# (each needs a driver-shape pre-proof before scheduling):
-# winsorize_scores, lsh_plan, spearman_rho, bleu_corpus, rouge_l,
-# distinct_n, retrieval_metrics, mmr_rerank, line_dedup,
-# hits_fixedpoint, curriculum_phases/curriculum_report,
-# pca_train/pca_apply, matryoshka_truncate, best_of_n, dpo_pairs,
-# bradley_terry_ties, wilson_from_pairs, brier_decomposition,
-# isotonic_calibration, sparse_logreg, hashed_ngram_features,
-# procrustes_align, trigram_interp_scores, bpe_token_counts,
-# calibration_summary, roc_auc_by_group, calibration_by_group,
-# source_data_card, streaming_mcnemar_ingest/mcnemar_from_cells.
+# The round-14 window's SIX are pre-proven in
+# tests/test_round14_replays.py: spearman_rho, distinct_n,
+# wilson_from_pairs, roc_auc_by_group, calibration_by_group,
+# source_data_card. Behind them, implemented + DuckDB/pure-Python
+# replay-gated in pytest (each needs a driver-shape pre-proof before
+# scheduling): winsorize_scores, lsh_plan, bleu_corpus, rouge_l,
+# retrieval_metrics, mmr_rerank, line_dedup, hits_fixedpoint,
+# curriculum_phases/curriculum_report, pca_train/pca_apply,
+# matryoshka_truncate, best_of_n, dpo_pairs, bradley_terry_ties,
+# brier_decomposition, isotonic_calibration, sparse_logreg,
+# hashed_ngram_features, procrustes_align, trigram_interp_scores,
+# bpe_token_counts, calibration_summary,
+# streaming_mcnemar_ingest/mcnemar_from_cells.
 # unigram_lm_train/unigram_segment_report stay pytest-gated (Viterbi
 # DP — not SQL-expressible; the brute-force optimality test is the
 # gate); zorder stays pytest-level by nature (its observable is

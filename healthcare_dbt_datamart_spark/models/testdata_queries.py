@@ -4579,17 +4579,18 @@ SCHEDULED_NEXT_WINDOW = [
 # The round-14 window's SIX are pre-proven in
 # tests/test_round14_replays.py: spearman_rho, distinct_n,
 # wilson_from_pairs, roc_auc_by_group, calibration_by_group,
-# source_data_card — and the round-15 window's FOUR in
+# source_data_card — the round-15 window's FOUR in
 # tests/test_round15_replays.py: retrieval_metrics,
-# trigram_interp_scores, line_dedup, hits_fixedpoint. Behind them,
-# implemented + DuckDB/pure-Python replay-gated in pytest (each needs
-# a driver-shape pre-proof before scheduling): winsorize_scores,
-# lsh_plan, bleu_corpus, rouge_l, mmr_rerank,
-# curriculum_phases/curriculum_report, pca_train/pca_apply,
-# matryoshka_truncate, best_of_n, dpo_pairs, bradley_terry_ties,
-# brier_decomposition, isotonic_calibration, sparse_logreg,
-# hashed_ngram_features, procrustes_align, bpe_token_counts,
-# calibration_summary, streaming_mcnemar_ingest/mcnemar_from_cells.
+# trigram_interp_scores, line_dedup, hits_fixedpoint — and the
+# round-16 window's FOUR in tests/test_round16_replays.py:
+# bradley_terry_ties, hashed_ngram_features, curriculum_report,
+# curriculum_phases. Behind them, implemented + DuckDB/pure-Python
+# replay-gated in pytest (each needs a driver-shape pre-proof before
+# scheduling): winsorize_scores, lsh_plan, bleu_corpus, rouge_l,
+# mmr_rerank, pca_train/pca_apply, matryoshka_truncate, best_of_n,
+# dpo_pairs, brier_decomposition, isotonic_calibration, sparse_logreg,
+# procrustes_align, bpe_token_counts, calibration_summary,
+# streaming_mcnemar_ingest/mcnemar_from_cells.
 # (mmr_rerank / calibration_summary / bleu_corpus / brier_decomposition
 # carry DOCUMENTED hash-gate blockers — float-addition order, Python
 # banker's-vs-half-up rounding on exact rationals, final

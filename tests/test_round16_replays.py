@@ -269,5 +269,93 @@ FROM documents
     _compare(out, sql, tables=("documents",))
 
 
+def test_bpe_token_counts_driver_shape_duckdb_replay(spark):
+    """Trained-merge BPE token budgets at the future query shape: 3
+    merges trained on the corpus (driver model state, the bpe_merges
+    construction), then per-document exact piece counts — the oracle
+    TRAINS the same 3 merges in SQL (the _bpe_ctes unroll) and applies
+    them as data-dependent three-replace chains over the distinct-word
+    table, so the whole train+encode loop is one statement."""
+    from healthcare_dbt_datamart_spark.llmops.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        _bpe_ctes,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=3)
+    assert len(merges) == 3
+    out = bpe_token_counts(docs, "text", "doc_id", merges)
+
+    enc = []
+    for k in range(3):
+        prev = "enc0" if k == 0 else f"enc{k}"
+        enc.append(f"""enc{k + 1} AS (
+  SELECT w, replace(replace(replace({prev}.syms, ' ', '  '),
+                 ' ' || b{k}.l || '  ' || b{k}.r || ' ',
+                 ' ' || b{k}.l || b{k}.r || ' '),
+                 '  ', ' ') AS syms
+  FROM {prev}, b{k}
+)""")
+    sql = (
+        "WITH "
+        + _bpe_ctes(3)
+        + r""",
+toks AS (
+  SELECT doc_id AS id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+enc0 AS (
+  SELECT w, ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> substr(w, i, 1)), ' ') || ' ' AS syms
+  FROM (SELECT DISTINCT w FROM toks)
+),
+"""
+        + ",\n".join(enc)
+        + """,
+pieces AS (
+  SELECT w, len(string_split(trim(syms), ' ')) AS n_pieces FROM enc3
+),
+counts AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_pieces) AS BIGINT) AS n_tokens
+  FROM toks JOIN pieces USING (w) GROUP BY id
+)
+SELECT d.doc_id AS id,
+       COALESCE(c.n_words, 0) AS n_words,
+       COALESCE(c.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN counts c ON c.id = d.doc_id
+"""
+    )
+    _compare(out, sql, tables=("documents",))
+    # the merges genuinely compress: total pieces < total characters
+    tot = out.agg(F.sum("n_tokens")).collect()[0][0]
+    chars = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                        lambda w: w != "",
+                    ),
+                    lambda w: F.length(w),
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert tot < chars
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

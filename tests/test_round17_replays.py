@@ -123,5 +123,101 @@ WHERE chosen != rejected
     assert all(r.reward_gap > 0.5 for r in rows)
 
 
+def test_sparse_logreg_driver_shape_duckdb_replay(spark):
+    """The fastText-shape classifier trainer at the future query shape:
+    sparse logistic regression over hashed unigram+bigram features
+    (labels = lang == 'en'), 3 quantized joint rounds — margins are
+    exact integers, the sigmoid quantizes once per id per round (the
+    driver-green logreg_quality discipline), per-feature gradients are
+    associative integer sums, and the intercept is one scalar CTE per
+    round. Returns the weight table with the intercept as the feat=-1
+    row; the oracle unrolls the whole loop."""
+    from healthcare_dbt_datamart_spark.llmops.textstats import (
+        hashed_ngram_features,
+        sparse_logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = hashed_ngram_features(docs, "text", "doc_id", n_buckets=2**18)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    model = sparse_logreg_train(feats, labels, n_iter=3)
+    out = model["weights"].unionByName(
+        spark.createDataFrame(
+            [(-1, int(model["intercept_fp"]))], "feat bigint, w_fp bigint"
+        )
+    )
+
+    lr, scale = 0.5, 10**6
+    sql = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT id, unnest(list_filter(w, x -> x != '')) AS g FROM toks
+  UNION ALL
+  SELECT id, g FROM (
+    SELECT id, unnest([w[i] || ' ' || w[i+1]
+      for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS g
+    FROM toks
+  ) WHERE NOT regexp_matches(g, '(^ )|( $)|(^$)')
+),
+f3 AS MATERIALIZED (
+  SELECT id, CAST(('0x' || substr(md5(g), 1, 5))::BIGINT % 262144
+           AS BIGINT) AS feat,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM grams GROUP BY 1, 2
+),
+lab AS MATERIALIZED (
+  SELECT doc_id AS id, CAST(lang = 'en' AS INT) AS y FROM documents
+),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT feat, CAST(0 AS BIGINT) AS w_fp FROM f3
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    for r in range(3):
+        sql += f""",
+z{r} AS MATERIALIZED (
+  SELECT id, CAST(SUM(w_fp * v) AS BIGINT) AS z_fp
+  FROM f3 JOIN w{r} USING (feat) GROUP BY id
+),
+err{r} AS MATERIALIZED (
+  SELECT lab.id,
+    CAST(floor((1.0 / (1.0 + exp(-((b0x.b + COALESCE(z_fp, 0))
+      / {scale}.0))) - y) * {scale} + 0.5) AS BIGINT) AS q
+  FROM lab LEFT JOIN z{r} ON z{r}.id = lab.id
+  CROSS JOIN (SELECT b FROM b{r}) b0x
+),
+g{r} AS MATERIALIZED (
+  SELECT feat, CAST(SUM(q * v) AS BIGINT) AS G
+  FROM f3 JOIN err{r} USING (id) GROUP BY feat
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT w{r}.feat,
+    CAST(floor((w_fp / {scale}.0 - {lr!r}
+      * (COALESCE(G, 0) / (nr.n * CAST({scale} AS BIGINT))
+         + 0.0 * (w_fp / {scale}.0))) * {scale} + 0.5) AS BIGINT) AS w_fp
+  FROM w{r} LEFT JOIN g{r} USING (feat) CROSS JOIN nr
+),
+b{r + 1} AS (
+  SELECT CAST(floor((b{r}.b / {scale}.0 - {lr!r}
+    * ((SELECT SUM(q) FROM err{r}) / (nr.n * CAST({scale} AS BIGINT))))
+    * {scale} + 0.5) AS BIGINT) AS b
+  FROM b{r}, nr
+)"""
+    sql += """
+SELECT feat, w_fp FROM w3
+UNION ALL
+SELECT CAST(-1 AS BIGINT), b FROM b3
+"""
+    _compare(out, sql, tables=("documents",))
+    # the trained model is non-trivial: weights moved off zero
+    assert out.filter("w_fp != 0").count() > 0
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))

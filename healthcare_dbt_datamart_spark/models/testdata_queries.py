@@ -4584,13 +4584,14 @@ SCHEDULED_NEXT_WINDOW = [
 # trigram_interp_scores, line_dedup, hits_fixedpoint — and the
 # round-16 window's FOUR in tests/test_round16_replays.py:
 # bradley_terry_ties, hashed_ngram_features, curriculum_report,
-# curriculum_phases; winsorize_scores and lsh_plan carry round-12-file
-# proofs (available alternates for any window). Behind them,
-# implemented + DuckDB/pure-Python replay-gated in pytest (each needs
-# a driver-shape pre-proof before scheduling): bleu_corpus, rouge_l,
-# mmr_rerank, pca_train/pca_apply, matryoshka_truncate, best_of_n,
-# dpo_pairs, brier_decomposition, isotonic_calibration, sparse_logreg,
-# procrustes_align, bpe_token_counts, calibration_summary,
+# curriculum_phases, bpe_token_counts — the round-17 window's THREE in
+# tests/test_round17_replays.py: best_of_n, dpo_pairs, sparse_logreg;
+# winsorize_scores and lsh_plan carry round-12-file proofs (available
+# alternates for any window). Behind them, implemented +
+# DuckDB/pure-Python replay-gated in pytest (each needs a driver-shape
+# pre-proof before scheduling): bleu_corpus, rouge_l, mmr_rerank,
+# pca_train/pca_apply, matryoshka_truncate, brier_decomposition,
+# isotonic_calibration, procrustes_align, calibration_summary,
 # streaming_mcnemar_ingest/mcnemar_from_cells.
 # (mmr_rerank / calibration_summary / bleu_corpus / brier_decomposition
 # carry DOCUMENTED hash-gate blockers — float-addition order, Python

@@ -4584,14 +4584,17 @@ SCHEDULED_NEXT_WINDOW = [
 # trigram_interp_scores, line_dedup, hits_fixedpoint — and the
 # round-16 window's FOUR in tests/test_round16_replays.py:
 # bradley_terry_ties, hashed_ngram_features, curriculum_report,
-# curriculum_phases, bpe_token_counts — the round-17 window's THREE in
-# tests/test_round17_replays.py: best_of_n, dpo_pairs, sparse_logreg;
-# winsorize_scores and lsh_plan carry round-12-file proofs (available
-# alternates for any window). Behind them, implemented +
-# DuckDB/pure-Python replay-gated in pytest (each needs a driver-shape
-# pre-proof before scheduling): bleu_corpus, rouge_l, mmr_rerank,
-# pca_train/pca_apply, matryoshka_truncate, brier_decomposition,
-# isotonic_calibration, procrustes_align, calibration_summary,
+# curriculum_phases, bpe_token_counts — the round-17 window's SIX in
+# tests/test_round17_replays.py: best_of_n, dpo_pairs, sparse_logreg,
+# matryoshka_truncate, mmr_rerank (list_reduce pins the SQL fold to
+# the driver's element order — the initial float-order doubt was
+# disproved by the proof itself); winsorize_scores and lsh_plan carry
+# round-12-file proofs (available alternates for any window). Behind
+# them, implemented + DuckDB/pure-Python replay-gated in pytest (each
+# needs a driver-shape pre-proof before scheduling, or carries a
+# DOCUMENTED hash-gate blocker): bleu_corpus, rouge_l,
+# pca_train/pca_apply, brier_decomposition, isotonic_calibration,
+# procrustes_align, calibration_summary,
 # streaming_mcnemar_ingest/mcnemar_from_cells.
 # (mmr_rerank / calibration_summary / bleu_corpus / brier_decomposition
 # carry DOCUMENTED hash-gate blockers — float-addition order, Python

@@ -10,13 +10,13 @@ bigram scorer), line_dedup (the CCNet paragraph-hash pass over a
 deterministic line-shaped rebuild — the c4_line_filter construction),
 and hits_fixedpoint (integer hubs/authorities over the verified
 near-dup graph, unrolled like the pagerank_docs oracle). Excluded with
-reasons: mmr_rerank's greedy driver fold sums pairwise float dot
-products whose ADDITION ORDER the SQL aggregate cannot pin (stays
-pytest-gated with its exact small-pool replay); calibration_summary
-rounds exact Fractions with Python banker's rounding where SQL rounds
-half-up doubles — its by-group sibling (round-14 file) is the
-hash-gateable form, and the streamed-cells twin replays the scalar in
-pytest.
+reasons: calibration_summary rounds exact Fractions with Python
+banker's rounding where SQL rounds half-up doubles — its by-group
+sibling (round-14 file) is the hash-gateable form, and the
+streamed-cells twin replays the scalar in pytest. (mmr_rerank was
+initially excluded here for float-addition-order doubt; the round-17
+file PROVES it hash-gateable — list_reduce pins the SQL fold to the
+driver's element order.)
 """
 
 from __future__ import annotations

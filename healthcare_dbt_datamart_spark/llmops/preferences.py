@@ -1707,13 +1707,25 @@ def wilson_from_pairs(
     depends on the absolute n — doubled units would fake twice the
     evidence). Ledger/self rows drop defensively. Output =
     ``wilson_winrate``'s shape, and streamed-vs-batch parity is exact
-    by construction (integer sums merge associatively)."""
+    by construction (integer sums merge associatively). Keys cast to
+    string at entry — ``wilson_winrate``'s typing — so ``rank_lb``'s
+    (ci_lo DESC, item ASC) tie-break orders identically from-pairs and
+    from-log (numeric keys would tie-break numerically where the
+    from-log board ties lexicographically; real ci_lo ties appear at
+    corpus scale — seen at sf0.1)."""
     from pyspark.sql import Window
 
     if not 0.0 < float(z):
         raise ValueError(f"z must be positive: got {z!r}")
-    w = pair_wins2.filter(F.col("i") != F.col("j")).groupBy("i", "j").agg(
-        F.sum("w2").alias("w2")
+    w = (
+        pair_wins2.select(
+            F.col("i").cast("string").alias("i"),
+            F.col("j").cast("string").alias("j"),
+            "w2",
+        )
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum("w2").alias("w2"))
     )
     rev = w.select(
         F.col("j").alias("i"), F.col("i").alias("j"),

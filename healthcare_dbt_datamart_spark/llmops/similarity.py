@@ -1495,6 +1495,15 @@ def build_ivfpq_index(
     (assignment + encode against broadcast quantizers, zero shuffle
     before the partitioned write), and every query after is partition
     pruning + a codes-only scan of ~nprobe/n_centroids of the rows."""
+    spark = emb.sparkSession
+    # stale-slot discipline (operators/materialize.py): a warehouse dir
+    # the CATALOG does not know about — a previous session's leftover,
+    # since in-memory catalogs evaporate with their session — wedges the
+    # CTAS with LOCATION_ALREADY_EXISTS forever
+    from ..operators.materialize import _drop_stale_location, _table_exists
+
+    if not _table_exists(spark, table):
+        _drop_stale_location(spark, table)
     (
         ivfpq_index_rows(emb, centroids, codebooks, id_col, vec_col, residual)
         .write.mode("overwrite")

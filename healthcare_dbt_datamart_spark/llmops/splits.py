@@ -847,8 +847,14 @@ def mad_scores(
     |x − median|; both come from cumulative-count windows over the
     bounded (grp, value, count) CELL table (the ``winsorize_scores``
     collapse — no row-level window in any shape). |x − median| and the
-    modified z use only IEEE-exact −, ×, ÷ on those values, so the
-    whole report is hash-stable cross-engine with no quantization.
+    modified z use only IEEE-exact −, ×, ÷ on those values; the
+    reported z is then HALF-UP QUANTIZED at 6dp in the integer domain
+    (floor(z·10⁶ + 0.5), the repo's quantization convention) and the
+    outlier flag compares integer fp against z_thresh_pct·10⁴ — a
+    rational input can land z exactly on a 6dp half-way point (seen at
+    sf0.01: 0.6745·(−48)/128), where engine ``round`` conventions
+    (decimal-string half-up vs binary half-even) disagree; floor(+0.5)
+    on the identical IEEE double is engine-independent.
     A zero MAD (over half the group shares one value) yields NULL
     ``robust_z``/``outlier`` — visible, never a fabricated infinity.
     NULL/NaN values raise (the winsorize rule). Returns
@@ -902,7 +908,8 @@ def mad_scores(
         * (F.col("v") - F.col("median"))
         / F.col("mad")
     )
-    thresh = F.lit(int(z_thresh_pct) / 100.0)
+    z_fp = F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    thresh_fp = F.lit(int(z_thresh_pct) * 10000)
     return (
         dev.join(mad, "grp")
         .select(
@@ -911,8 +918,10 @@ def mad_scores(
             F.col("v").alias("value"),
             "median",
             "mad",
-            F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
-            F.when(F.col("mad") > 0, F.abs(F.round(z, 6)) > thresh).alias(
+            F.when(F.col("mad") > 0, z_fp / F.lit(1000000.0)).alias(
+                "robust_z"
+            ),
+            F.when(F.col("mad") > 0, F.abs(z_fp) > thresh_fp).alias(
                 "outlier"
             ),
         )

@@ -66,15 +66,21 @@ def build_leaderboard_release(
 ) -> ModelRegistry:
     """``precomputed`` optionally injects session-cached frames for the
     state/rating models (keys: ``pair_period_counts``, ``bt_ratings``,
-    ``wilson_board``). Each must be the EXACT relation the model would
-    compute — a session cache or a streaming ingest's state/serving
-    table — so the release skips recomputation and only materializes
-    the artifact. A warm-start hook, not a semantic knob: downstream
-    frames are bit-identical by the caller's contract (the same hook a
-    production release uses to serve ratings maintained incrementally
-    between releases)."""
+    ``elo_snapshot``, ``wilson_board``). Each must be the EXACT
+    relation the model would compute — a session cache or a streaming
+    ingest's state/serving table — so the release skips recomputation
+    and only materializes the artifact. A warm-start hook, not a
+    semantic knob: downstream frames are bit-identical by the caller's
+    contract (the same hook a production release uses to serve ratings
+    maintained incrementally between releases). Every injected frame
+    passes through the same normalizing select as the computed path
+    (expected columns + casts — the ``pair_period_counts`` discipline),
+    so a caller-supplied frame with stray columns or drifted types
+    cannot flow silently into the leaderboard join and gate."""
     pre = precomputed or {}
-    unknown = set(pre) - {"pair_period_counts", "bt_ratings", "wilson_board"}
+    unknown = set(pre) - {
+        "pair_period_counts", "bt_ratings", "elo_snapshot", "wilson_board",
+    }
     if unknown:
         raise ValueError(
             f"build_leaderboard_release: unknown precomputed keys {unknown}"
@@ -133,7 +139,15 @@ def build_leaderboard_release(
     @r.model()
     def bt_ratings(ctx):
         if "bt_ratings" in pre:
-            return ctx.source("bt_ratings_pre")
+            # normalizing select: exactly bradley_terry_from_pairs'
+            # output shape, types pinned (item joins the string-keyed
+            # elo/wilson frames downstream)
+            return ctx.source("bt_ratings_pre").select(
+                F.col("item").cast("string").alias("item"),
+                F.col("wins2").cast("long").alias("wins2"),
+                F.col("comparisons2").cast("long").alias("comparisons2"),
+                F.col("rating_fp").cast("long").alias("rating_fp"),
+            )
         from ..llmops.preferences import bradley_terry_from_pairs
 
         return bradley_terry_from_pairs(
@@ -142,6 +156,16 @@ def build_leaderboard_release(
 
     @r.model()
     def elo_snapshot(ctx):
+        if "elo_snapshot" in pre:
+            # the published through-time board (k=ELO_K) served from a
+            # session cache or streaming state — normalized to
+            # elo_ratings' exact output shape
+            return ctx.source("elo_snapshot_pre").select(
+                F.col("item").cast("string").alias("item"),
+                F.col("n_matches").cast("long").alias("n_matches"),
+                F.col("wins").cast("long").alias("wins"),
+                F.col("rating_fp").cast("long").alias("rating_fp"),
+            )
         from ..llmops.preferences import elo_ratings
 
         # weighted rows over the shared collapse — bit-identical to
@@ -156,7 +180,16 @@ def build_leaderboard_release(
     @r.model()
     def wilson_board(ctx):
         if "wilson_board" in pre:
-            return ctx.source("wilson_board_pre")
+            # normalizing select: wilson_winrate's exact output shape
+            return ctx.source("wilson_board_pre").select(
+                F.col("item").cast("string").alias("item"),
+                F.col("n_matches").cast("long").alias("n_matches"),
+                F.col("wins").cast("long").alias("wins"),
+                F.col("winrate").cast("double").alias("winrate"),
+                F.col("ci_lo").cast("double").alias("ci_lo"),
+                F.col("ci_hi").cast("double").alias("ci_hi"),
+                F.col("rank_lb").cast("long").alias("rank_lb"),
+            )
         from ..llmops.preferences import wilson_winrate
 
         return wilson_winrate(

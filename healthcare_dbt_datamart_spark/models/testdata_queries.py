@@ -3937,6 +3937,28 @@ _PAIR_PERIOD_CACHE: dict = {}
 _NEAR_DUP_CACHE: dict = {}
 
 
+def _session_cached(cache: dict, spark, key, build) -> DataFrame:
+    """Shared lookup for the session caches: keyed by (key, id(session))
+    so two live sessions alternating on one sf_dir each keep their own
+    persisted entry instead of thrashing a single slot, and the one
+    supersede path (a new session object reusing a dead session's id)
+    unpersists the stale frame before rebuilding (round-11 ADVICE)."""
+    full = (key, id(spark))
+    hit = cache.get(full)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    if hit is not None:
+        try:  # id reuse by a new session: release the stale frame
+            hit[1].unpersist()
+        except Exception:
+            pass
+    from pyspark import StorageLevel
+
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    cache[full] = (spark, df)
+    return df
+
+
 def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VERIFIED near-dup pair table at the repo's operating point
     (shingle-3 → 8 minhashes → 4 bands of 2 → bucket-join candidates →
@@ -3946,44 +3968,42 @@ def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cross_source_dups`` rolls it up, ``personalized_pagerank`` walks
     it. Session-cached so the corpus-scale shingle/minhash/band passes
     run once per session — the ``_supplier_matches`` convention."""
-    hit = _NEAR_DUP_CACHE.get((sf_dir, "verified"))
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    from pyspark import StorageLevel
 
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
+    def build():
+        from ..llmops.dedup import (
+            candidate_pairs,
+            jaccard_pairs,
+            lsh_band_buckets,
+            minhash_signatures,
+        )
 
-    docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(
-        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _NEAR_DUP_CACHE[(sf_dir, "verified")] = (spark, verified)
-    return verified
+        docs = load_spread(spark, sf_dir, "documents")
+        sigs = minhash_signatures(
+            docs, "text", "doc_id", num_hashes=8, n_shingle=3
+        )
+        pairs = candidate_pairs(
+            lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id"
+        )
+        return jaccard_pairs(
+            pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
+        )
+
+    return _session_cached(_NEAR_DUP_CACHE, spark, (sf_dir, "verified"), build)
 
 
 def _near_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, component) over the shared
     verified pair table — the iterative min-label fixpoint paid once
     per session for the cluster-consuming queries."""
-    hit = _NEAR_DUP_CACHE.get((sf_dir, "labels"))
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    from pyspark import StorageLevel
 
-    from ..llmops.dedup import near_dup_components
+    def build():
+        from ..llmops.dedup import near_dup_components
 
-    labels = near_dup_components(
-        _near_dup_verified(spark, sf_dir).select("id_a", "id_b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _NEAR_DUP_CACHE[(sf_dir, "labels")] = (spark, labels)
-    return labels
+        return near_dup_components(
+            _near_dup_verified(spark, sf_dir).select("id_a", "id_b")
+        )
+
+    return _session_cached(_NEAR_DUP_CACHE, spark, (sf_dir, "labels"), build)
 
 
 def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3994,47 +4014,43 @@ def _supplier_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication, no division); period = order year (the
     FIDE/arena rating-period unit). This exact construction is
     pre-proven at driver shape in tests/test_round10_replays.py."""
-    hit = _MATCH_LOG_CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    # load_spread: the self-join reads lineitem twice, and the driver
-    # testdata is single-row-group parquet (one scan task) — the
-    # fan-out documented on load_spread() halves the cold build
-    li = load_spread(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    lx = li.select(
-        "l_orderkey",
-        F.col("l_suppkey").alias("supp"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
-            "cents"
-        ),
-        F.col("l_quantity").cast("bigint").alias("qty"),
-    )
-    a, b = lx.alias("a"), lx.alias("b")
-    matches = (
-        a.join(b, "l_orderkey")
-        .filter(
-            (F.col("a.supp") != F.col("b.supp"))
-            & (
-                F.col("a.cents") * F.col("b.qty")
-                < F.col("b.cents") * F.col("a.qty")
+
+    def build():
+        # load_spread: the self-join reads lineitem twice, and the
+        # driver testdata is single-row-group parquet (one scan task) —
+        # the fan-out documented on load_spread() halves the cold build
+        li = load_spread(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        lx = li.select(
+            "l_orderkey",
+            F.col("l_suppkey").alias("supp"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+                "cents"
+            ),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        a, b = lx.alias("a"), lx.alias("b")
+        return (
+            a.join(b, "l_orderkey")
+            .filter(
+                (F.col("a.supp") != F.col("b.supp"))
+                & (
+                    F.col("a.cents") * F.col("b.qty")
+                    < F.col("b.cents") * F.col("a.qty")
+                )
+            )
+            .join(
+                orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("a.supp").alias("winner_id"),
+                F.col("b.supp").alias("loser_id"),
+                F.year("o_orderdate").alias("period"),
             )
         )
-        .join(
-            orders.select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.col("a.supp").alias("winner_id"),
-            F.col("b.supp").alias("loser_id"),
-            F.year("o_orderdate").alias("period"),
-        )
-    )
-    from pyspark import StorageLevel
 
-    matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
-    _MATCH_LOG_CACHE[sf_dir] = (spark, matches)
-    return matches
+    return _session_cached(_MATCH_LOG_CACHE, spark, sf_dir, build)
 
 
 def _supplier_pair_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4047,19 +4063,15 @@ def _supplier_pair_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``kendall_tau``) pays the match-log scan + collapse ONCE per
     session — at 100 TB this is the difference between one corpus
     scan per release and one per query."""
-    hit = _PAIR_PERIOD_CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    from pyspark import StorageLevel
 
-    ppc = (
-        _supplier_matches(spark, sf_dir)
-        .groupBy("winner_id", "loser_id", "period")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_m"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _PAIR_PERIOD_CACHE[sf_dir] = (spark, ppc)
-    return ppc
+    def build():
+        return (
+            _supplier_matches(spark, sf_dir)
+            .groupBy("winner_id", "loser_id", "period")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+        )
+
+    return _session_cached(_PAIR_PERIOD_CACHE, spark, sf_dir, build)
 
 
 _RATING_FRAME_CACHE: dict = {}
@@ -4071,16 +4083,9 @@ def _session_rating_frame(spark, sf_dir: str, key: str, build) -> DataFrame:
     the same fit through several queries (the board, the agreement
     stat, the release gate) — a real serving session fits once and
     joins many times, and the caches make the queries cost the same.
-    Keyed by (sf_dir, key) and invalidated on a new session, the
-    ``_supplier_matches`` convention."""
-    hit = _RATING_FRAME_CACHE.get((sf_dir, key))
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    from pyspark import StorageLevel
-
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _RATING_FRAME_CACHE[(sf_dir, key)] = (spark, df)
-    return df
+    Keyed by (sf_dir, key, session), the ``_session_cached``
+    convention."""
+    return _session_cached(_RATING_FRAME_CACHE, spark, (sf_dir, key), build)
 
 
 def _supplier_bt3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4111,6 +4116,30 @@ def _supplier_elo16(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: elo_ratings(
             _supplier_pair_periods(spark, sf_dir), k=16, n_col="n_m",
             pre_collapsed=True,
+        ),
+    )
+
+
+def _supplier_elo32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-batched Elo at the release DAG's k (ELO_K=32) over the
+    shared pair-period collapse — the ``elo_snapshot`` board of
+    models/leaderboard_release.py, published once per session and
+    served back to the gate through its warm-start hook (the only
+    fitted frame the gate previously re-fit on every build). Items
+    cast to string to match the DAG's stg_matches typing, so the
+    injected frame is bit-identical to the computed model."""
+    from ..llmops.preferences import elo_ratings
+    from .leaderboard_release import ELO_K
+
+    return _session_rating_frame(
+        spark, sf_dir, "elo32",
+        lambda: elo_ratings(
+            _supplier_pair_periods(spark, sf_dir).select(
+                F.col("winner_id").cast("string").alias("winner_id"),
+                F.col("loser_id").cast("string").alias("loser_id"),
+                "period", "n_m",
+            ),
+            k=ELO_K, n_col="n_m", pre_collapsed=True,
         ),
     )
 
@@ -4339,10 +4368,12 @@ def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG joins curation_dag/corpus_release/index gate in the window;
     its whole-DAG single-statement DuckDB replay is pre-proven at
     driver shape in tests/test_round10_replays.py. The session's
-    shared pair-period collapse and the bt/wilson fit caches are
+    shared pair-period collapse and the bt/elo/wilson fit caches are
     injected through the DAG's warm-start hook, so the whole
     leaderboard family pays the match-log scan and each shared fit
-    once per session."""
+    once per session — the k=32 elo_snapshot was the last fitted
+    frame the gate still re-fit every build (round-11 verdict item
+    3)."""
     from .leaderboard_release import build_leaderboard_release
 
     m = _supplier_matches(spark, sf_dir)
@@ -4352,6 +4383,7 @@ def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         precomputed={
             "pair_period_counts": _supplier_pair_periods(spark, sf_dir),
             "bt_ratings": _supplier_bt3(spark, sf_dir),
+            "elo_snapshot": _supplier_elo32(spark, sf_dir),
             "wilson_board": _supplier_wilson(spark, sf_dir),
         },
     ).build("leaderboard_gate")
@@ -4549,46 +4581,398 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(lined, "text", "doc_id", min_sentences=2)
 
 
+# -- round-12 promotion cohort (the round-13 pre-proof file, promoted
+#    in-window per the round-11 verdict's backlog-drain order) -------------
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification (llmops/dedup.py::
+    levenshtein_pairs): character-level similarity over the
+    near_dup_jaccard LSH candidate set (8 hashes, 4 bands x 2 over
+    3-shingles) at a 50% integer cross-multiplied threshold — the
+    short-text fuzzy-dedup verifier beside jaccard_pairs. Runs ONLY on
+    LSH candidates (never all-pairs), JVM levenshtein kernel, loud
+    max_chars guard. DuckDB's levenshtein computes the same integer,
+    so every column replays. Pre-proven hash-green at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.dedup import (
+        candidate_pairs,
+        levenshtein_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
+    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    return levenshtein_pairs(pairs, docs, "text", "doc_id", threshold_pct=50)
+
+
+def q_chrf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF corpus report (llmops/evaluation.py::chrf_report — Popović
+    2015): candidate = each document's first 300 chars vs reference =
+    chars 101-400 (the sliding-window construction — real overlap at
+    every order, exact clipping exercised corpus-wide). Clipped counts,
+    both denominators, and the (1+b²)m/(b²r+c) single-division F
+    replay per order. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.evaluation import chrf_report
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("cand"),
+        F.substring("text", 101, 300).alias("ref"),
+    )
+    return chrf_report(pairs, "cand", "ref", "doc_id")
+
+
+def q_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob membership/contamination score (llmops/filtering.py
+    ::min_k_prob — Shi et al. 2024): reference = the src0 slice (the
+    CCNet clean-reference convention shared with kn_bigram_scores),
+    every document scored at k=20 — quantized per-token Laplace
+    logprobs, per-doc rank-window tail selection, both integer-sum
+    means. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.filtering import min_k_prob
+
+    docs = load(spark, sf_dir, "documents")
+    return min_k_prob(
+        docs, "text", "doc_id",
+        ref_df=docs.filter(F.col("source") == "src0"), k_pct=20,
+    )
+
+
+def q_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier scores (llmops/splits.py::mad_scores
+    — Iglewicz & Hoaglin 1993 modified z): per-language n_chars over
+    the whole documents corpus — exact cell-table lower medians at
+    ceil ranks, the 0.6745 modified z, outlier flag at 3.5, NULL
+    robust_z on zero-MAD groups (never a fabricated infinity).
+    Pre-proven at driver shape in tests/test_round13_replays.py."""
+    from ..llmops.splits import mad_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return mad_scores(
+        docs.select(
+            "lang", "doc_id", F.col("n_chars").cast("double").alias("v")
+        ),
+        "v", "doc_id", grp_col="lang",
+    )
+
+
+def q_index_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE ANN index-release gate DAG (models/index_release.py::
+    build_index_scorecard) as one terminal row: 2-round Lloyd fit →
+    cell assignment → batched IVF top-10 for the query panel [0, 7,
+    21] at nprobe=2 → brute cosine oracle → TREC-padded judged pool
+    (misses at sentinel −2.0) → per-query recall/MRR/NDCG → the
+    exact-integer release verdict. The fourth release-gate DAG beside
+    curation_dag / corpus_release / leaderboard_gate. Pre-proven at
+    driver shape (whole DAG as ONE DuckDB statement) in
+    tests/test_round13_replays.py."""
+    from .index_release import build_index_scorecard
+
+    emb = load(spark, sf_dir, "embeddings")
+    return build_index_scorecard(spark, emb, query_ids=[0, 7, 21]).build(
+        "index_scorecard"
+    )
+
+
+def q_paired_bootstrap_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Koehn-style paired bootstrap significance (llmops/bootstrap.py
+    ::paired_bootstrap_test): system A = n_chars + (doc_id mod 3) vs
+    system B = n_chars on the same documents — a small consistent gain
+    under large item variance, the test's reason to exist. The
+    md5(seed:rep:id) draws, Poisson CASE weights, replicate means, and
+    ceil-rank CI walk replay the driver-green bootstrap_diff_ci oracle
+    machinery. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.bootstrap import paired_bootstrap_test
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("n_chars") + F.pmod(F.col("doc_id"), F.lit(3))).alias(
+            "score_a"
+        ),
+        F.col("n_chars").alias("score_b"),
+    )
+    return paired_bootstrap_test(
+        scored, "score_a", "score_b", "doc_id", n_boot=40, seed="pb"
+    )
+
+
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch source-overlap matrix (llmops/dedup.py::
+    source_overlap_kmv — Beyer et al. 2007): pairwise content Jaccard
+    estimates across the documents sources at k=64 (below per-source
+    distinct counts, so the union-trick estimator path — not the exact
+    degenerate — is what runs). 60-bit md5 fingerprints, two-stage
+    k-smallest, union-slice arithmetic — sketch-sized state per
+    source, never a cross-source content join. Pre-proven at driver
+    shape in tests/test_round13_replays.py."""
+    from ..llmops.dedup import source_overlap_kmv
+
+    docs = load(spark, sf_dir, "documents")
+    return source_overlap_kmv(docs, "source", "text", k=64)
+
+
+def _events_rater_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dawid_skene rater panel construction shared by the
+    annotation-quality family (weighted_consensus /
+    annotator_agreement / rasch_fit): item = user mod 25, rater =
+    event-id mod 5, label = event_type, first-12 votes per item by
+    event_id order."""
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        F.col("event_type").alias("label"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "label")
+    )
+
+
+def q_implicit_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback preference mining (llmops/preferences.py::
+    implicit_preference_pairs): the events table natively carries the
+    purchase > signup > click > view action ladder (plus 'error',
+    which exercises the unmapped-action drop on real data); item = a
+    deterministic event-id bucket per user. Strongest-action collapse,
+    the 20-item cap, and the strict-rank pair build — the DPO/RLHF
+    pair-mining front end. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.preferences import implicit_preference_pairs
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("it"), F.pmod(F.col("event_id"), F.lit(12)).cast("string")
+            ).alias("item"),
+            F.col("event_type").alias("action"),
+        )
+    )
+    return implicit_preference_pairs(
+        ev, "user_id", "item", "action",
+        {"purchase": 3, "signup": 2, "click": 1, "view": 0},
+    )
+
+
+def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-weighted consensus labels (llmops/preferences.py::
+    weighted_consensus — the one-round Dawid-Skene relaxation): the
+    shared rater panel re-voted with agreement-rate weights — majority
+    table, per-rater reliability, decimal mass sums, and the flipped
+    flag. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.preferences import weighted_consensus
+
+    return weighted_consensus(
+        _events_rater_panel(spark, sf_dir),
+        item_col="item", annotator_col="rater", label_col="label",
+    )
+
+
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rater reliability screen (llmops/preferences.py::
+    annotator_agreement): each rater's agreement with the
+    (n desc, label asc) majority over the shared panel — counts
+    BIGINT, one 6dp rate. The annotation-quality triage beside
+    krippendorff_alpha/fleiss_kappa. Pre-proven at driver shape in
+    tests/test_round13_replays.py."""
+    from ..llmops.preferences import annotator_agreement
+
+    return annotator_agreement(
+        _events_rater_panel(spark, sf_dir),
+        item_col="item", annotator_col="rater", label_col="label",
+    )
+
+
+def q_rasch_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasch 1PL IRT joint fit (llmops/preferences.py::rasch_fit —
+    item difficulty + rater ability from a binary outcome grid): the
+    shared panel with correct = the click bit, 4 joint-ascent rounds —
+    per-vote half-up quantized errors, integer gradient sums,
+    quantized updates, exact-integer sum-to-zero re-anchor per round.
+    Bounded model state (items + raters rows). Pre-proven at driver
+    shape (fully unrolled oracle) in tests/test_round13_replays.py."""
+    from ..llmops.preferences import rasch_fit
+
+    ev = load(spark, sf_dir, "events")
+    votes = ev.select(
+        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+        F.concat(
+            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+        ).alias("rater"),
+        (F.col("event_type") == F.lit("click")).cast("int").alias("correct"),
+        "event_id",
+    )
+    w = Window.partitionBy("item").orderBy("event_id")
+    panel = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 12)
+        .select("item", "rater", "correct")
+    )
+    return rasch_fit(
+        panel, item_col="item", annotator_col="rater",
+        correct_col="correct", n_iter=4,
+    )
+
+
+# -- round-12 scheduled cohort (the round-14 pre-proof file; born after
+#    the round-12 rotation locked, SCHEDULED to lead the round-13
+#    window — `SCHEDULED_NEXT_WINDOW` below is the machine contract) ------
+
+
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (llmops/evaluation.py::spearman_rho —
+    the corpus-scale agreement route documented on kendall_tau's
+    max_items guard): does document LENGTH rank like TOKEN COUNT
+    (heavily tied short docs exercise the average-rank cells)? Both
+    axes quantized to BIGINT cells, five exact sums, one IEEE formula.
+    Pre-proven at driver shape in tests/test_round14_replays.py."""
+    from ..llmops.evaluation import spearman_rho
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("double")
+        .alias("y"),
+    )
+    return spearman_rho(docs, "x", "y")
+
+
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1/2/3 diversity report (llmops/evaluation.py::
+    distinct_n — Li et al. 2016, the mode-collapse diagnostic): exact
+    BIGINT gram counts over the documents corpus, one 6dp ratio per
+    order. Pre-proven at driver shape in
+    tests/test_round14_replays.py."""
+    from ..llmops.evaluation import distinct_n
+
+    return distinct_n(load(spark, sf_dir, "documents"), "text")
+
+
+def q_wilson_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed-state Wilson board (llmops/preferences.py::
+    wilson_from_pairs): the doubled pair-count table (the relation a
+    streaming arena ingest maintains) halves back to exact match
+    units, so from-pairs output IS from-log output — the proven
+    wilson_winrate oracle is the oracle, making the parity claim
+    itself the hash gate. Pre-proven at driver shape in
+    tests/test_round14_replays.py."""
+    from ..llmops.preferences import wilson_from_pairs
+
+    pc = _supplier_pair_periods(spark, sf_dir).groupBy(
+        F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
+    ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
+    return wilson_from_pairs(pc)
+
+
+def q_roc_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source AUC slices (llmops/evaluation.py::roc_auc_by_group —
+    the data-card slice of the driver-green roc_auc rank-sum): a
+    deterministic doc_id-hash score against the lang='en' label,
+    sliced by source — grouped rank-sum under a PARTITION BY window,
+    all-integer until the final division. Pre-proven at driver shape
+    in tests/test_round14_replays.py."""
+    from ..llmops.evaluation import roc_auc_by_group
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        (F.pmod(F.col("doc_id") * F.lit(31), F.lit(1000)) / F.lit(999.0))
+        .alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return roc_auc_by_group(docs, "score", "label", "source")
+
+
+def q_calibration_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus ECE/MCE/Brier slices (llmops/evaluation.py::
+    calibration_by_group — the data-card slice of the driver-green
+    calibration_report): the q_calibration_report scoring (mod-1000
+    key hash, returns-bit label) sliced by l_linestatus — per-group
+    integer bin cells, every metric a division of exact BIGINT sums.
+    Pre-proven at driver shape in tests/test_round14_replays.py."""
+    from ..llmops.evaluation import calibration_by_group
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("status"),
+        (
+            F.pmod(
+                F.col("l_orderkey") * F.lit(31)
+                + F.col("l_linenumber") * F.lit(17),
+                F.lit(1000),
+            )
+            / F.lit(999.0)
+        ).alias("score"),
+        (F.col("l_returnflag") == F.lit("R")).cast("int").alias("label"),
+    )
+    return calibration_by_group(li, "score", "label", "status", n_bins=10)
+
+
+def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source release data card (models/data_card.py::
+    source_data_card — Gebru et al. 2021 datasheet summary as a
+    relation): dup counts, token totals, majority language, and the
+    quality_classifier gate means, every ratio a 6dp division of exact
+    integer sums; the oracle composes the PROVEN quality_classifier
+    oracle for the score column. Pre-proven at driver shape in
+    tests/test_round14_replays.py."""
+    from .data_card import source_data_card
+
+    return source_data_card(load(spark, sf_dir, "documents"))
+
+
 # Queries born AFTER a rotation locked the 50-slot window are exempt
 # from the never-checked-out-of-window flag for ONE round and MUST lead
 # the NEXT round's window (tools/audit_window.py enforces this; the
 # rotation plan reserves <= 6 new-operator slots). Locally they carry
 # the same evidence as everything else on arrival: oracle-green at
 # sf0.001/0.01/0.1 and across all fetch/session modes.
-# The round-10 scheduled cohort (unimax_allocation, conformal_report,
-# vocab_richness, personalized_pagerank, leaderboard_gate, rrf_fuse)
-# entered the round-11 window and gets its first driver rows; THIS is
-# the round-11 promotion cohort — the round-10 verdict's recommended
-# picks, every body + oracle PRE-PROVEN hash-green at driver shape in
-# tests/test_round12_replays.py before promotion.
+# The round-11 scheduled cohort (kendall_tau, gopher_rules,
+# mcnemar_test, rbo, leakage_safe_split, c4_line_filter) entered the
+# round-12 window and gets its first driver rows; THIS is the round-12
+# scheduled cohort — the round-14 pre-proof file's six, every body +
+# oracle PRE-PROVEN hash-green at driver shape in
+# tests/test_round14_replays.py and re-proven at promotion time.
 SCHEDULED_NEXT_WINDOW = [
-    "kendall_tau",
-    "gopher_rules",
-    "mcnemar_test",
-    "rbo",
-    "leakage_safe_split",
-    "c4_line_filter",
+    "spearman_rho",
+    "distinct_n",
+    "wilson_from_pairs",
+    "roc_auc_by_group",
+    "calibration_by_group",
+    "source_data_card",
 ]
 # PROMOTION QUEUE (audit_window + SCHEDULED_NEXT_WINDOW are the machine
 # contract; this prose is a POINTER, not a ledger — pruned each round).
-# Next-after-next (round-13 window) picks its <= 6 from the ELEVEN
-# pre-proven hash-green at driver shape in tests/test_round13_replays.py:
-# levenshtein_pairs, chrf_report, min_k_prob, mad_scores,
-# index_scorecard, paired_bootstrap_test, source_overlap_kmv, rasch_fit,
-# implicit_preference_pairs, weighted_consensus, annotator_agreement.
-# The round-14 window's SIX are pre-proven in
-# tests/test_round14_replays.py: spearman_rho, distinct_n,
-# wilson_from_pairs, roc_auc_by_group, calibration_by_group,
-# source_data_card — the round-15 window's FOUR in
-# tests/test_round15_replays.py: retrieval_metrics,
-# trigram_interp_scores, line_dedup, hits_fixedpoint — and the
-# round-16 window's FOUR in tests/test_round16_replays.py:
-# bradley_terry_ties, hashed_ngram_features, curriculum_report,
-# curriculum_phases, bpe_token_counts — the round-17 window's SIX in
-# tests/test_round17_replays.py: best_of_n, dpo_pairs, sparse_logreg,
-# matryoshka_truncate, mmr_rerank (list_reduce pins the SQL fold to
-# the driver's element order — the initial float-order doubt was
-# disproved by the proof itself); winsorize_scores and lsh_plan carry
+# Round 12 drained the backlog per the round-11 verdict: the ELEVEN
+# round-13-file pre-proofs promoted straight into the round-12 window
+# (levenshtein_pairs, chrf_report, min_k_prob, mad_scores,
+# index_scorecard, paired_bootstrap_test, source_overlap_kmv,
+# rasch_fit, implicit_preference_pairs, weighted_consensus,
+# annotator_agreement) and the round-14 file's SIX scheduled above.
+# Remaining stock: the round-15 file's FOUR
+# (tests/test_round15_replays.py: retrieval_metrics,
+# trigram_interp_scores, line_dedup, hits_fixedpoint), the round-16
+# file's FIVE (tests/test_round16_replays.py: bradley_terry_ties,
+# hashed_ngram_features, curriculum_report, curriculum_phases,
+# bpe_token_counts), the round-17 file's FIVE
+# (tests/test_round17_replays.py: best_of_n, dpo_pairs, sparse_logreg,
+# matryoshka_truncate, mmr_rerank — list_reduce pins the SQL fold to
+# the driver's element order); winsorize_scores and lsh_plan carry
 # round-12-file proofs (available alternates for any window). Behind
 # them, implemented + DuckDB/pure-Python replay-gated in pytest (each
 # needs a driver-shape pre-proof before scheduling, or carries a
@@ -4596,8 +4980,8 @@ SCHEDULED_NEXT_WINDOW = [
 # pca_train/pca_apply, brier_decomposition, isotonic_calibration,
 # procrustes_align, calibration_summary,
 # streaming_mcnemar_ingest/mcnemar_from_cells.
-# (mmr_rerank / calibration_summary / bleu_corpus / brier_decomposition
-# carry DOCUMENTED hash-gate blockers — float-addition order, Python
+# (calibration_summary / bleu_corpus / brier_decomposition carry
+# DOCUMENTED hash-gate blockers — float-addition order, Python
 # banker's-vs-half-up rounding on exact rationals, final
 # transcendentals — see the round-14/15 replay file docstrings.)
 # unigram_lm_train/unigram_segment_report stay pytest-gated (Viterbi
@@ -4607,96 +4991,44 @@ SCHEDULED_NEXT_WINDOW = [
 # strongest gate).
 
 QUERIES = {
-    # === ROUND-11 WINDOW (first 50 keys = the driver's correctness gate) ==
+    # === ROUND-12 WINDOW (first 50 keys = the driver's correctness gate) ==
     #
-    # Rotation executed per the round-10 verdict contract (machine-checked
-    # by tools/audit_window.py): the 6 SCHEDULED promotions from round 10
-    # (born after the round-10 rotation, never driver-checked) MUST lead;
-    # the 8 unsettled round-8 greens are at their strict cycle-4 cadence
-    # deadline (age 4 at round-12 judging); the 6 round-9 promotions
-    # (green r10 only, strict tier) ride early to keep the strict pool
-    # small; 30 of the 42 settled round-8 greens rotate the oldest
-    # settled evidence. 6 + 8 + 6 + 30 = 50 exactly. Everything else sits
-    # safely under its allowance: the 12 strict r9 greens (age 2 of 4)
-    # and 12 leftover settled r8 greens anchor the round-12 window.
-    # -- (0) first driver rows: the round-10 promotion cohort -----------
-    #    (leaderboard_gate runs FIRST in the leaderboard family, so it
-    #     pays the one-time supplier match-log + pair-count build;
-    #     elo_ratings / wilson_winrate below read the session cache.
-    #     personalized_pagerank persists its LSH edge plan internally.)
-    "unimax_allocation": q_unimax_allocation,
-    "conformal_report": q_conformal_report,
-    "vocab_richness": q_vocab_richness,
-    "personalized_pagerank": q_personalized_pagerank,
-    "leaderboard_gate": q_leaderboard_gate,
-    "rrf_fuse": q_rrf_fuse,
-    # -- (1) round-8 green, strict tier, at their cycle-4 cadence
-    #    deadline (age 4 at round-12 judging): all 8 MUST re-enter ------
-    "bigram_interp_scores": q_bigram_interp_scores,
-    "hll_by_group": q_hll_by_group,
-    "bootstrap_diff_ci": q_bootstrap_diff_ci,
-    "token_balanced_shards": q_token_balanced_shards,
-    "pass_at_k": q_pass_at_k,
-    "fleiss_kappa": q_fleiss_kappa,
-    "pq_rerank": q_pq_rerank,
-    "multimodal_decode": q_multimodal_decode,
-    # -- (2) the round-9 promotions (green r10 only, strict tier):
-    #    riding early keeps the strict pool small ----------------------
-    "elo_ratings": q_elo_ratings,
-    "wilson_winrate": q_wilson_winrate,
-    "compare_relations": q_compare_relations,
-    "chunk_text": q_chunk_text,
-    "domain_concentration": q_domain_concentration,
-    "ndcg_at_k": q_ndcg_at_k,
-    # -- (3) 30 of the 42 settled round-8 greens (age 3 of 8) —
-    #    rotating the oldest settled evidence; the other 12 anchor the
-    #    round-12 window ------------------------------------------------
-    "datamart_dag": q_datamart_dag,
-    "cheapest_part_supplier": q_cheapest_part_supplier,
-    "part_value_concentration": q_part_value_concentration,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_supplier": q_dominant_part_supplier,
-    "cluster_keep_best": q_cluster_keep_best,
-    "user_retention_cohorts": q_user_retention_cohorts,
-    "token_budget_cap": q_token_budget_cap,
-    "claim_rollups": q_claim_rollups,
-    "claim_status": q_claim_status,
-    "member_enrollment": q_member_enrollment,
-    "gap_status_tri": q_gap_status_tri,
-    "semantic_contamination": q_semantic_contamination,
-    "shipping_priority": q_shipping_priority,
-    "forecast_revenue": q_forecast_revenue,
-    "nation_trade_volume": q_nation_trade_volume,
-    "returned_item_customers": q_returned_item_customers,
-    "large_volume_customers": q_large_volume_customers,
-    "ivfadc_topk": q_ivfadc_topk,
-    "ivfadc_indexed": q_ivfadc_indexed,
-    "bm25_topk": q_bm25_topk,
-    "exact_substr_dedup": q_exact_substr_dedup,
-    "pq_encode": q_pq_encode,
-    "semantic_dedup": q_semantic_dedup,
-    "member_cost_summary": q_member_cost_summary,
-    "datediff_age_orders": q_datediff_age_orders,
-    "lang_agreement": q_lang_agreement,
-    "split_contamination": q_split_contamination,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_quality": q_text_quality,
-    # === BELOW THE WINDOW =================================================
-    # -- (4) the 12 remaining settled round-8 greens (round-12 window) --
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "scd2_customers": q_scd2_customers,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    # -- (5) round-9 green, strict tier (age 2 of 4 — MUST ride the
-    #    round-12 window at their cycle-4 deadline) ---------------------
+    # Rotation executed per the round-11 verdict contract (machine-checked
+    # by tools/audit_window.py): the 6 SCHEDULED promotions from round 11
+    # lead; the 11-query round-13 pre-proof cohort promotes straight into
+    # the window (backlog drain, verdict item 4a/4b); the 12 strict round-9
+    # greens are at their cycle-4 cadence deadline; the 11 settled round-6
+    # and 10 settled round-7 greens rotate the oldest settled evidence.
+    # 6 + 11 + 12 + 11 + 10 = 50 exactly. Everything else sits safely
+    # under its allowance (cycle stays 4 at 200 queries).
+    # -- (0) first driver rows: the round-11 scheduled cohort (contract:
+    #    MUST lead — tools/audit_window.py). kendall_tau runs FIRST in
+    #    the leaderboard family, so it pays the one-time supplier
+    #    match-log + pair-period collapse + both rating fits; the
+    #    family queries below the window read the session caches. ------
+    "kendall_tau": q_kendall_tau,
+    "gopher_rules": q_gopher_rules,
+    "mcnemar_test": q_mcnemar_test,
+    "rbo": q_rbo,
+    "leakage_safe_split": q_leakage_safe_split,
+    "c4_line_filter": q_c4_line_filter,
+    # -- (1) the round-12 promotion cohort — the round-13 pre-proof file
+    #    promoted straight into the window (the round-11 verdict's
+    #    backlog-drain order); every body + oracle re-proven at
+    #    promotion time (tests/test_round13_replays.py) ------
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "chrf_report": q_chrf_report,
+    "min_k_prob": q_min_k_prob,
+    "mad_scores": q_mad_scores,
+    "index_scorecard": q_index_scorecard,
+    "paired_bootstrap_test": q_paired_bootstrap_test,
+    "source_overlap_kmv": q_source_overlap_kmv,
+    "rasch_fit": q_rasch_fit,
+    "implicit_preference_pairs": q_implicit_preference_pairs,
+    "weighted_consensus": q_weighted_consensus,
+    "annotator_agreement": q_annotator_agreement,
+    # -- (2) round-9 green, strict tier, at their cycle-4 cadence deadline
+    #    (age 4 at round-13 judging): all 12 MUST re-enter ------
     "roc_auc": q_roc_auc,
     "calibration_report": q_calibration_report,
     "dawid_skene": q_dawid_skene,
@@ -4709,7 +5041,47 @@ QUERIES = {
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
     "pagerank_docs": q_pagerank_docs,
-    # -- (6) settled round-9 greens (age 2 of 8) -------------------------
+    # -- (3) the 11 settled round-6 greens — the oldest settled evidence
+    #    in the inventory (age 7 of 8 at round-13 judging; riding now
+    #    clears the round-13 window for the scheduled cohort) ------
+    "embedding_near_dup": q_embedding_near_dup,
+    "gap_status": q_gap_status,
+    "gap_violations": q_gap_violations,
+    "gap_exceptions": q_gap_exceptions,
+    "gap_status_sql": q_gap_status_sql,
+    "gap_status_multi": q_gap_status_multi,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "codeset_semi_join": q_codeset_semi_join,
+    "anti_join_customers": q_anti_join_customers,
+    "unique_test_orders": q_unique_test_orders,
+    # -- (4) the 10 settled round-7 greens — next-oldest settled evidence
+    #    (age 6 of 8 at round-13 judging) ------
+    "minhash_buckets": q_minhash_buckets,
+    "langid_stopwords": q_langid_stopwords,
+    "events_sessionize": q_events_sessionize,
+    "scalar_surface": q_scalar_surface,
+    "freshness_events": q_freshness_events,
+    "merge_upsert": q_merge_upsert,
+    "rollup_revenue": q_rollup_revenue,
+    "hash_split": q_hash_split,
+    "fct_claims": q_fct_claims,
+    "ivf_topk": q_ivf_topk,
+    # === BELOW THE WINDOW =================================================
+    # -- (5) settled round-8 greens (age 5 of 8 — ride by round 15)) ------
+    "cosine_topk": q_cosine_topk,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "microbatch_events": q_microbatch_events,
+    "bpe_token_count": q_bpe_token_count,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_topk_label": q_cosine_topk_label,
+    "scd2_customers": q_scd2_customers,
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "relationships_test": q_relationships_test,
+    "window_best_order": q_window_best_order,
+    # -- (6) settled round-9 greens (age 4 of 8)) ------
     "pq_topk": q_pq_topk,
     "dim_member": q_dim_member,
     "events_asof_error": q_events_asof_error,
@@ -4748,14 +5120,15 @@ QUERIES = {
     "date_functions": q_date_functions,
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
-    # -- (7) round-10 green, strict tier (age 1 of 4; round-13 deadline) -
+    # -- (7) round-10 green, strict tier (age 3 of 4 — MUST ride the
+    #    round-13 window at their cycle-4 deadline)) ------
     "bradley_terry": q_bradley_terry,
     "sketch_drift_report": q_sketch_drift_report,
     "bootstrap_ci": q_bootstrap_ci,
     "temperature_rebalance": q_temperature_rebalance,
     "logbucket_quantiles": q_logbucket_quantiles,
     "majority_vote": q_majority_vote,
-    # -- (8) settled round-10 greens (age 1 of 8) ------------------------
+    # -- (8) settled round-10 greens (age 3 of 8)) ------
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -4794,38 +5167,67 @@ QUERIES = {
     "listagg_nations": q_listagg_nations,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
-    # -- (9) settled round-7 greens (age 4 of 8) -------------------------
-    "minhash_buckets": q_minhash_buckets,
-    "langid_stopwords": q_langid_stopwords,
-    "events_sessionize": q_events_sessionize,
-    "scalar_surface": q_scalar_surface,
-    "freshness_events": q_freshness_events,
-    "merge_upsert": q_merge_upsert,
-    "rollup_revenue": q_rollup_revenue,
-    "hash_split": q_hash_split,
-    "fct_claims": q_fct_claims,
-    "ivf_topk": q_ivf_topk,
-    # -- (10) settled round-6 greens (age 5 of 8 — ride by round 13) -----
-    "embedding_near_dup": q_embedding_near_dup,
-    "gap_status": q_gap_status,
-    "gap_violations": q_gap_violations,
-    "gap_exceptions": q_gap_exceptions,
-    "gap_status_sql": q_gap_status_sql,
-    "gap_status_multi": q_gap_status_multi,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "codeset_semi_join": q_codeset_semi_join,
-    "anti_join_customers": q_anti_join_customers,
-    "unique_test_orders": q_unique_test_orders,
-    # -- (11) born AFTER the round-11 rotation (window at capacity) —
-    #    SCHEDULED to lead the round-12 window; `SCHEDULED_NEXT_WINDOW`
-    #    above is the machine-checked contract ---------------------------
-    "kendall_tau": q_kendall_tau,
-    "gopher_rules": q_gopher_rules,
-    "mcnemar_test": q_mcnemar_test,
-    "rbo": q_rbo,
-    "leakage_safe_split": q_leakage_safe_split,
-    "c4_line_filter": q_c4_line_filter,
+    # -- (9) settled round-11 greens (age 2 of 8)) ------
+    "pq_rerank": q_pq_rerank,
+    "multimodal_decode": q_multimodal_decode,
+    "datamart_dag": q_datamart_dag,
+    "cheapest_part_supplier": q_cheapest_part_supplier,
+    "part_value_concentration": q_part_value_concentration,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_supplier": q_dominant_part_supplier,
+    "cluster_keep_best": q_cluster_keep_best,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "token_budget_cap": q_token_budget_cap,
+    "claim_rollups": q_claim_rollups,
+    "claim_status": q_claim_status,
+    "member_enrollment": q_member_enrollment,
+    "gap_status_tri": q_gap_status_tri,
+    "semantic_contamination": q_semantic_contamination,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "returned_item_customers": q_returned_item_customers,
+    "large_volume_customers": q_large_volume_customers,
+    "ivfadc_topk": q_ivfadc_topk,
+    "ivfadc_indexed": q_ivfadc_indexed,
+    "bm25_topk": q_bm25_topk,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "pq_encode": q_pq_encode,
+    "semantic_dedup": q_semantic_dedup,
+    "member_cost_summary": q_member_cost_summary,
+    "datediff_age_orders": q_datediff_age_orders,
+    "lang_agreement": q_lang_agreement,
+    "split_contamination": q_split_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
+    "text_quality": q_text_quality,
+    # -- (10) round-11 green, strict tier (age 2 of 4; round-14 deadline)) ------
+    "unimax_allocation": q_unimax_allocation,
+    "conformal_report": q_conformal_report,
+    "vocab_richness": q_vocab_richness,
+    "personalized_pagerank": q_personalized_pagerank,
+    "leaderboard_gate": q_leaderboard_gate,
+    "rrf_fuse": q_rrf_fuse,
+    "bigram_interp_scores": q_bigram_interp_scores,
+    "hll_by_group": q_hll_by_group,
+    "bootstrap_diff_ci": q_bootstrap_diff_ci,
+    "token_balanced_shards": q_token_balanced_shards,
+    "pass_at_k": q_pass_at_k,
+    "fleiss_kappa": q_fleiss_kappa,
+    "elo_ratings": q_elo_ratings,
+    "wilson_winrate": q_wilson_winrate,
+    "compare_relations": q_compare_relations,
+    "chunk_text": q_chunk_text,
+    "domain_concentration": q_domain_concentration,
+    "ndcg_at_k": q_ndcg_at_k,
+    # -- (11) born AFTER the round-12 rotation (window at capacity) —
+    #    SCHEDULED to lead the round-13 window; `SCHEDULED_NEXT_WINDOW`
+    #    above is the machine-checked contract) ------
+    "spearman_rho": q_spearman_rho,
+    "distinct_n": q_distinct_n,
+    "wilson_from_pairs": q_wilson_from_pairs,
+    "roc_auc_by_group": q_roc_auc_by_group,
+    "calibration_by_group": q_calibration_by_group,
+    "source_data_card": q_source_data_card,
 }
 
 
@@ -8261,7 +8663,7 @@ post{n} AS (
 # block is term-for-term the Spark round in preferences.py::dawid_skene.
 ORACLE["dawid_skene"] = (
     """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT user_id % 25 AS item,
          'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
          event_type AS obs,
@@ -9206,4 +9608,784 @@ SELECT doc_id,
   CASE WHEN (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 2
    AND n_kept_lines > 0) THEN clean ELSE '' END AS clean_text
 FROM base
+"""
+
+# ---------------------------------------------------------------------------
+# round-12 promotion-cohort oracles (bodies + SQL lifted from their
+# pre-proof replays: tests/test_round13_replays.py for the in-window
+# eleven, tests/test_round14_replays.py for the scheduled six)
+# ---------------------------------------------------------------------------
+
+# Edit-distance verification over the LSH candidate set — DuckDB's
+# levenshtein computes the same integer as Spark's JVM kernel.
+ORACLE["levenshtein_pairs"] = f"""
+WITH toks AS ({_TOKS_3}),
+sigs AS ({_SIGS}),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+lev AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS maxlen
+  FROM cand
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
+)
+SELECT id_a, id_b, dist, maxlen,
+       CASE WHEN maxlen = 0 THEN 1.0
+            ELSE round(1.0 - dist / CAST(maxlen AS DOUBLE), 6) END AS sim
+FROM lev
+WHERE 100 * (maxlen - dist) >= 50 * maxlen
+"""
+
+# chrF at the sliding-window construction (cand = chars 1-300, ref =
+# chars 101-400): clipped counts per order, both denominators, and the
+# (1+b²)m/(b²r+c) single-division F.
+ORACLE["chrf_report"] = """
+WITH pairs AS (
+  SELECT doc_id AS pid,
+    regexp_replace(lower(trim(substr(text, 1, 300))), '\\s+', '', 'g') AS c,
+    regexp_replace(lower(trim(substr(text, 101, 300))), '\\s+', '', 'g') AS r
+  FROM documents
+),
+orders AS (SELECT unnest(range(1, 7)) AS n),
+cg AS (
+  SELECT pid, n,
+    unnest([substr(c, i, CAST(n AS INTEGER))
+            for i in range(1, greatest(length(c) - n + 1, 0) + 1)]) AS g
+  FROM pairs, orders
+),
+rg AS (
+  SELECT pid, n,
+    unnest([substr(r, i, CAST(n AS INTEGER))
+            for i in range(1, greatest(length(r) - n + 1, 0) + 1)]) AS g
+  FROM pairs, orders
+),
+cc AS (SELECT pid, n, g, COUNT(*) AS nc FROM cg GROUP BY ALL),
+rc AS (SELECT pid, n, g, COUNT(*) AS nr FROM rg GROUP BY ALL),
+j AS (
+  SELECT COALESCE(cc.n, rc.n) AS n,
+         COALESCE(nc, 0) AS nc, COALESCE(nr, 0) AS nr,
+         LEAST(COALESCE(nc, 0), COALESCE(nr, 0)) AS clip
+  FROM cc FULL OUTER JOIN rc
+    ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+),
+agg AS (
+  SELECT n, CAST(SUM(nc) AS BIGINT) AS cand_ngrams,
+         CAST(SUM(nr) AS BIGINT) AS ref_ngrams,
+         CAST(SUM(clip) AS BIGINT) AS match_ngrams
+  FROM j GROUP BY n
+),
+spine AS (SELECT unnest(range(1, 7)) AS n),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT CAST(spine.n AS INTEGER) AS "order",
+  np.n_pairs,
+  CAST(0 AS BIGINT) AS n_null_pairs,
+  COALESCE(cand_ngrams, 0) AS cand_ngrams,
+  COALESCE(ref_ngrams, 0) AS ref_ngrams,
+  COALESCE(match_ngrams, 0) AS match_ngrams,
+  CASE WHEN COALESCE(cand_ngrams, 0) > 0 THEN
+    round(COALESCE(match_ngrams, 0) / CAST(cand_ngrams AS DOUBLE), 6)
+  END AS precision,
+  CASE WHEN COALESCE(ref_ngrams, 0) > 0 THEN
+    round(COALESCE(match_ngrams, 0) / CAST(ref_ngrams AS DOUBLE), 6)
+  END AS recall,
+  CASE WHEN 4 * COALESCE(ref_ngrams, 0) + COALESCE(cand_ngrams, 0) > 0 THEN
+    round(5 * COALESCE(match_ngrams, 0)
+          / CAST(4 * ref_ngrams + cand_ngrams AS DOUBLE), 6)
+  END AS fscore
+FROM spine CROSS JOIN np LEFT JOIN agg ON agg.n = spine.n
+"""
+
+# Min-K% Prob: Laplace unigram reference from the src0 slice, quantized
+# per-token logprobs, rank-window tail at k=20, integer-sum means.
+ORACLE["min_k_prob"] = """
+WITH rt AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+    '\\s+'), x -> x != '')) AS t
+  FROM documents WHERE source = 'src0'
+),
+freq AS (SELECT t, COUNT(*) AS c FROM rt GROUP BY t),
+hd AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+         + CAST(COUNT(*) AS BIGINT) AS denom
+  FROM freq
+),
+dt AS (
+  SELECT doc_id, i AS pos, w[CAST(i AS INTEGER)] AS t
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+          '\\s+'), x -> x != '') AS w
+        FROM documents),
+  unnest(range(1, len(w) + 1)) AS u(i)
+),
+scored AS (
+  SELECT doc_id, pos,
+    CAST(floor(ln((COALESCE(c, 0) + 1) / CAST(hd.denom AS DOUBLE))
+      * 1000000000 + 0.5) AS BIGINT) AS lp_fp
+  FROM dt LEFT JOIN freq USING (t), hd
+),
+ranked AS (
+  SELECT doc_id, lp_fp,
+    row_number() OVER (PARTITION BY doc_id ORDER BY lp_fp, pos) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM scored
+),
+agg AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+    CAST(MAX(CASE WHEN rn <= GREATEST(CAST(ceil(n * 20 / 100.0) AS
+      BIGINT), 1) THEN rn END) AS BIGINT) AS n_lowest,
+    CAST(SUM(CASE WHEN rn <= GREATEST(CAST(ceil(n * 20 / 100.0) AS
+      BIGINT), 1) THEN lp_fp END) AS BIGINT) AS tail_fp,
+    CAST(SUM(lp_fp) AS BIGINT) AS all_fp
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_lowest, 0) AS n_lowest,
+  round(tail_fp / (n_lowest * 1000000000.0), 6) AS min_k_logprob,
+  round(all_fp / (n_tokens * 1000000000.0), 6) AS mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+"""
+
+# Median/MAD robust z per language: exact cell-table lower medians at
+# ceil ranks, IEEE modified z, 3.5 outlier flag.
+ORACLE["mad_scores"] = """
+WITH x AS (
+  SELECT lang AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+),
+vc AS (SELECT grp, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
+vcum AS (
+  SELECT grp, v,
+    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+    SUM(c) OVER (PARTITION BY grp) AS n
+  FROM vc
+),
+med AS (
+  SELECT grp, MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median
+  FROM vcum GROUP BY grp
+),
+dev AS (
+  SELECT x.grp, x.id, x.v, med.median, abs(x.v - med.median) AS d
+  FROM x JOIN med USING (grp)
+),
+dc AS (SELECT grp, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT grp, d,
+    SUM(c) OVER (PARTITION BY grp ORDER BY d) AS cum,
+    SUM(c) OVER (PARTITION BY grp) AS n
+  FROM dc
+),
+mad AS (
+  SELECT grp, MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+  FROM dcum GROUP BY grp
+)
+SELECT dev.grp AS lang, dev.id, dev.v AS value, dev.median, mad.mad,
+  CASE WHEN mad.mad > 0
+       THEN CAST(floor((0.6745 * (dev.v - dev.median) / mad.mad)
+                       * 1000000 + 0.5) AS BIGINT) / 1000000.0 END
+    AS robust_z,
+  CASE WHEN mad.mad > 0
+       THEN abs(CAST(floor((0.6745 * (dev.v - dev.median) / mad.mad)
+                           * 1000000 + 0.5) AS BIGINT)) > 3500000
+  END AS outlier
+FROM dev JOIN mad USING (grp)
+"""
+
+# The whole ANN index-release gate DAG as ONE statement: unrolled Lloyd
+# fit, nprobe=2 probes, brute oracle, TREC-padded pool, exact-integer
+# release arithmetic.
+ORACLE["index_scorecard"] = f"""
+WITH {_lloyd_ctes(2, 8)},
+qs AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 21)
+),
+qpair AS (
+  SELECT qs.qid, c.cid, unnest(c.cvec) AS x, unnest(qs.qv) AS y
+  FROM cent2 c CROSS JOIN qs
+),
+qsims AS (
+  SELECT qid, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS s
+  FROM qpair GROUP BY qid, cid
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid ASC)
+             AS rn
+    FROM qsims
+  ) WHERE rn <= 2
+),
+fpair AS (
+  SELECT p.qid, e.vec_id,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(qs.qv) AS y
+  FROM embeddings e
+  JOIN asgf a USING (vec_id)
+  JOIN probes p ON a.cell = p.cid
+  JOIN qs ON qs.qid = p.qid
+  WHERE e.vec_id != p.qid
+),
+fsims AS (
+  SELECT qid, vec_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM fpair GROUP BY qid, vec_id
+),
+ann AS (
+  SELECT qid, vec_id, s AS score FROM (
+    SELECT qid, vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS s,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                      vec_id ASC) AS rn
+    FROM fsims
+  ) WHERE rn <= 10
+),
+bpair AS (
+  SELECT qs.qid, e.vec_id,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS x,
+         unnest(qs.qv) AS y
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.qid
+),
+bsims AS (
+  SELECT qid, vec_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM bpair GROUP BY qid, vec_id
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                      vec_id ASC) AS rn
+    FROM bsims
+  ) WHERE rn <= 10
+),
+pool AS (
+  SELECT a.qid, a.vec_id, a.score,
+         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ann a LEFT JOIN brute b USING (qid, vec_id)
+  UNION ALL
+  SELECT b.qid, b.vec_id, -2.0 AS score, 1 AS rel
+  FROM brute b LEFT JOIN ann a USING (qid, vec_id)
+  WHERE a.vec_id IS NULL
+),
+ranked AS (
+  SELECT qid, vec_id, rel,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY score DESC, vec_id ASC) AS r_sys,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY rel DESC, vec_id ASC) AS r_ideal
+  FROM pool
+),
+perq AS (
+  SELECT qid,
+    CAST(SUM(CASE WHEN r_sys <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS hits,
+    CAST(SUM(rel) AS BIGINT) AS n_rel,
+    MIN(CASE WHEN rel = 1 THEN r_sys END) AS frr,
+    round(SUM(CASE WHEN r_sys <= 10
+      THEN (pow(2, rel) - 1) / log2(r_sys + 1.0) ELSE 0 END), 6) AS dcg,
+    round(SUM(CASE WHEN r_ideal <= 10
+      THEN (pow(2, rel) - 1) / log2(r_ideal + 1.0) ELSE 0 END), 6) AS idcg
+  FROM ranked GROUP BY qid
+),
+metrics AS (
+  SELECT qid,
+    round(hits / CAST(n_rel AS DOUBLE), 6) AS recall,
+    round(1.0 / frr, 6) AS mrr,
+    CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+  FROM perq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(10 AS INTEGER) AS k,
+  round(SUM(CAST(floor(recall * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_recall,
+  MIN(recall) AS min_recall,
+  round(SUM(CAST(floor(mrr * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_mrr,
+  round(SUM(CAST(floor(ndcg * 1000000 + 0.5) AS BIGINT))
+    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) AS mean_ndcg,
+  SUM(CAST(floor(recall * 1000000 + 0.5) AS BIGINT))
+    >= 600000 * COUNT(*) AS released
+FROM metrics
+"""
+
+# Koehn paired bootstrap: md5(seed:rep:id) draws, Poisson CASE weights,
+# replicate means, ceil-rank CI walk (the bootstrap_diff_ci machinery).
+ORACLE["paired_bootstrap_test"] = f"""
+WITH reps AS (SELECT unnest(range(40)) AS rep),
+items AS (
+  SELECT doc_id, CAST(n_chars + (doc_id % 3) AS BIGINT) AS a,
+         CAST(n_chars AS BIGINT) AS b
+  FROM documents
+),
+draws AS (
+  SELECT rep, a - b AS d,
+         ('0x' || substr(md5('pb:' || CAST(rep AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM items, reps
+),
+wtd AS (SELECT rep, d, CASE {_P1_CASE} ELSE 7 END AS w FROM draws),
+rm AS (
+  SELECT rep, CAST(SUM(w * d) AS DOUBLE) / SUM(w) AS m
+  FROM wtd GROUP BY 1 HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT rep, m, row_number() OVER (ORDER BY m, rep) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM rm
+),
+bounds AS (
+  SELECT round(MIN(m), 6) AS ci_lo, round(MAX(m), 6) AS ci_hi
+  FROM ranked
+  WHERE rn = GREATEST(CAST(ceil(0.025 * nb) AS INTEGER), 1)
+     OR rn = CAST(ceil(0.975 * nb) AS INTEGER)
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+    round(CAST(SUM(a) AS DOUBLE) / COUNT(*), 6) AS mean_a,
+    round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+    round(CAST(SUM(a - b) AS DOUBLE) / COUNT(*), 6) AS diff,
+    CAST(SUM(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_wins,
+    CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_wins,
+    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+  FROM items
+)
+SELECT n_items, mean_a, mean_b, diff, ci_lo, ci_hi,
+       (ci_lo > 0 OR ci_hi < 0) AS significant,
+       n_a_wins, n_b_wins, n_ties
+FROM base, bounds
+"""
+
+# KMV source-overlap: 60-bit md5 fingerprints, two-stage k-smallest,
+# union-slice Jaccard estimate.
+ORACLE["source_overlap_kmv"] = """
+WITH hashes AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+),
+nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM hashes GROUP BY 1
+),
+sigs AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= 64
+),
+pairs AS (
+  SELECT DISTINCT a.source AS sa, b.source AS sb
+  FROM sigs a JOIN sigs b ON a.source < b.source
+),
+u AS (
+  SELECT DISTINCT p.sa, p.sb, s.h
+  FROM pairs p JOIN sigs s ON s.source IN (p.sa, p.sb)
+),
+uk AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h,
+           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 64
+),
+agg AS (
+  SELECT uk.sa, uk.sb, CAST(COUNT(*) AS INTEGER) AS k_union,
+         CAST(SUM(CASE WHEN s1.h IS NOT NULL AND s2.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS INTEGER) AS n_common_in_k
+  FROM uk
+  LEFT JOIN sigs s1 ON s1.source = uk.sa AND s1.h = uk.h
+  LEFT JOIN sigs s2 ON s2.source = uk.sb AND s2.h = uk.h
+  GROUP BY 1, 2
+)
+SELECT agg.sa AS source_a, agg.sb AS source_b,
+       na.n_distinct AS n_distinct_a, nb.n_distinct AS n_distinct_b,
+       k_union, n_common_in_k,
+       round(n_common_in_k / CAST(k_union AS DOUBLE), 6) AS jaccard_est
+FROM agg
+JOIN nd na ON na.source = agg.sa
+JOIN nd nb ON nb.source = agg.sb
+"""
+
+# The shared dawid_skene rater panel (item = user mod 25, rater =
+# event-id mod 5, first-12 votes) as a reusable CTE prefix.
+_RATER_PANEL_CTE = """raw AS MATERIALIZED (
+  SELECT user_id % 25 AS item,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         event_type AS label,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS MATERIALIZED (SELECT item, rater, label FROM raw WHERE rn <= 12)"""
+
+# Implicit-feedback preference mining over the events action ladder.
+ORACLE["implicit_preference_pairs"] = """
+WITH ev AS (
+  SELECT user_id, 'it' || CAST(event_id % 12 AS VARCHAR) AS item,
+         event_type AS action
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, item, MAX(CASE action
+    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+    WHEN 'click' THEN 1 WHEN 'view' THEN 0 END) AS rank
+  FROM ev
+  WHERE action IN ('purchase', 'signup', 'click', 'view')
+  GROUP BY 1, 2
+),
+capped AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY rank DESC, item ASC) AS rn
+    FROM ranked
+  ) WHERE rn <= 20
+)
+SELECT w.item AS winner_id, l.item AS loser_id, w.user_id,
+       CAST(w.rank - l.rank AS INTEGER) AS margin
+FROM capped w JOIN capped l USING (user_id)
+WHERE w.rank > l.rank
+"""
+
+# Reliability-weighted consensus over the shared rater panel.
+ORACLE["weighted_consensus"] = f"""
+WITH {_RATER_PANEL_CTE},
+c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+mj AS MATERIALIZED (
+  SELECT item, lab AS majority_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY n DESC, lab ASC) AS rn2,
+           CAST(SUM(n) OVER (PARTITION BY item) AS BIGINT) AS n_votes
+    FROM c
+  ) WHERE rn2 = 1
+),
+rel AS (
+  SELECT rater,
+         round(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0
+                   END) / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+  FROM v JOIN mj USING (item) GROUP BY 1
+),
+wts AS (
+  SELECT rater, GREATEST(CAST(rate AS DECIMAL(10,6)),
+                         CAST(0.05 AS DECIMAL(10,6))) AS wt
+  FROM rel
+),
+mass AS (
+  SELECT item, label AS lab, SUM(wt) AS m
+  FROM v JOIN wts USING (rater) GROUP BY 1, 2
+),
+win AS (
+  SELECT item, lab AS weighted_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY m DESC, lab ASC) AS rn3
+    FROM mass
+  ) WHERE rn3 = 1
+)
+SELECT win.item, weighted_label, majority_label, n_votes,
+       weighted_label != majority_label AS flipped
+FROM win JOIN mj USING (item)
+"""
+
+# Per-rater agreement with the (n desc, label asc) majority.
+ORACLE["annotator_agreement"] = f"""
+WITH {_RATER_PANEL_CTE},
+c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
+mj AS MATERIALIZED (
+  SELECT item, lab AS majority_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY n DESC, lab ASC) AS rn2
+    FROM c
+  ) WHERE rn2 = 1
+)
+SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE), 6) AS agree_rate
+FROM v JOIN mj USING (item)
+GROUP BY rater
+"""
+
+
+def _rasch_fit_oracle_sql() -> str:
+    """Rasch 1PL joint ascent fully unrolled (4 rounds): per-vote
+    half-up quantized errors, integer gradient sums, quantized
+    parameter updates, and the exact-integer sum-to-zero re-anchor per
+    round (Python FLOOR division emulated via the mod identity, since
+    DuckDB's // truncates). Pre-proven in
+    tests/test_round13_replays.py."""
+    s = 10**6
+    sql = """WITH raw AS MATERIALIZED (
+  SELECT user_id % 25 AS item0,
+         'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (PARTITION BY user_id % 25
+                            ORDER BY event_id) AS rn
+  FROM events
+),
+v AS MATERIALIZED (
+  SELECT CAST(item0 AS VARCHAR) AS item, rater, y FROM raw WHERE rn <= 12
+),
+ni AS MATERIALIZED (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+nr AS MATERIALIZED (SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ni),
+b0 AS MATERIALIZED (SELECT item, CAST(0 AS BIGINT) AS b_fp FROM ni),
+t0 AS MATERIALIZED (SELECT rater, CAST(0 AS BIGINT) AS t_fp FROM nr)"""
+    for r in range(4):
+        sql += f""",
+q{r} AS MATERIALIZED (
+  SELECT v.item, v.rater,
+    CAST(floor((1.0 / (1.0 + exp(-(t.t_fp / {s}.0 - b.b_fp / {s}.0)))
+      - v.y) * {s} + 0.5) AS BIGINT) AS q
+  FROM v JOIN b{r} b USING (item) JOIN t{r} t USING (rater)
+),
+gi{r} AS MATERIALIZED (SELECT item, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+gr{r} AS MATERIALIZED (SELECT rater, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+nb{r} AS MATERIALIZED (
+  SELECT b.item,
+    CAST(floor((b.b_fp / {s}.0 + 1.0 *
+      (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
+      * {s} + 0.5) AS BIGINT) AS b_fp
+  FROM b{r} b JOIN gi{r} USING (item) JOIN ni n USING (item)
+),
+nt{r} AS MATERIALIZED (
+  SELECT t.rater,
+    CAST(floor((t.t_fp / {s}.0 - 1.0 *
+      (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
+      * {s} + 0.5) AS BIGINT) AS t_fp
+  FROM t{r} t JOIN gr{r} USING (rater) JOIN nr n USING (rater)
+),
+cr{r} AS MATERIALIZED (
+  SELECT CAST((sb - ((sb % n) + n) % n) // n AS BIGINT) AS c
+  FROM (SELECT CAST(COALESCE(SUM(b_fp), 0) AS BIGINT) AS sb FROM nb{r}),
+       nit
+),
+b{r + 1} AS MATERIALIZED (SELECT item, b_fp - cr{r}.c AS b_fp FROM nb{r}, cr{r}),
+t{r + 1} AS MATERIALIZED (SELECT rater, t_fp - cr{r}.c AS t_fp FROM nt{r}, cr{r})"""
+    sql += f"""
+SELECT 'item' AS kind, b.item AS key, ni.n_votes,
+       round(b.b_fp / {s}.0, 6) AS estimate
+FROM b4 b JOIN ni USING (item)
+UNION ALL
+SELECT 'rater', t.rater, nr.n_votes, round(t.t_fp / {s}.0, 6)
+FROM t4 t JOIN nr USING (rater)
+"""
+    return sql
+
+
+ORACLE["rasch_fit"] = _rasch_fit_oracle_sql()
+
+# -- the round-12 SCHEDULED cohort's oracles (round-14 pre-proof file) -----
+
+# Spearman: both axes quantized to BIGINT cells, average ranks from
+# cumulative cell counts, five exact sums, one IEEE formula.
+ORACLE["spearman_rho"] = r"""
+WITH q AS (
+  SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS xq,
+         CAST(floor(CAST(len(string_split_regex(lower(trim(text)),
+           '\s+')) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS yq
+  FROM documents
+),
+rx AS (
+  SELECT xq, 2 * COALESCE(SUM(c) OVER (ORDER BY xq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS r_x
+  FROM (SELECT xq, COUNT(*) AS c FROM q GROUP BY 1)
+),
+ry AS (
+  SELECT yq, 2 * COALESCE(SUM(c) OVER (ORDER BY yq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS r_y
+  FROM (SELECT yq, COUNT(*) AS c FROM q GROUP BY 1)
+),
+j AS (SELECT r_x, r_y FROM q JOIN rx USING (xq) JOIN ry USING (yq)),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r_x AS HUGEINT)) AS sx, SUM(CAST(r_y AS HUGEINT)) AS sy,
+         SUM(CAST(r_x AS HUGEINT) * CAST(r_y AS HUGEINT)) AS sxy,
+         SUM(CAST(r_x AS HUGEINT) * CAST(r_x AS HUGEINT)) AS sxx,
+         SUM(CAST(r_y AS HUGEINT) * CAST(r_y AS HUGEINT)) AS syy,
+         CAST(COUNT(DISTINCT r_x) AS BIGINT) AS ncx,
+         CAST(COUNT(DISTINCT r_y) AS BIGINT) AS ncy
+  FROM j
+)
+SELECT n AS n_rows, ncx AS n_x_cells, ncy AS n_y_cells,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+FROM s
+"""
+
+
+def _distinct_n_order_cte(n: int) -> str:
+    return f"""
+SELECT {n} AS n, unnest([array_to_string(t[i:i+{n - 1}], ' ')
+  for i in range(1, greatest(len(t) - {n - 1}, 0) + 1)]) AS g
+FROM w"""
+
+
+ORACLE["distinct_n"] = (
+    r"""
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS ("""
+    + " UNION ALL ".join(_distinct_n_order_cte(n) for n in (1, 2, 3))
+    + """)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       round(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS distinct_ratio
+FROM g GROUP BY n
+"""
+)
+
+# From-pairs ≡ from-log parity IS the hash gate: the proven
+# wilson_winrate oracle is the oracle.
+ORACLE["wilson_from_pairs"] = ORACLE["wilson_winrate"]
+
+# Per-source AUC: grouped rank-sum under a PARTITION BY window.
+ORACLE["roc_auc_by_group"] = """
+WITH s AS (
+  SELECT source AS grp,
+         ((doc_id * 31) % 1000) / 999.0 AS score,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+cells AS (
+  SELECT grp, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS s_fp,
+         COUNT(*) AS cnt, SUM(y) AS pos
+  FROM s GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, cnt, pos,
+         2 * COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY s_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS rank2
+  FROM cells
+),
+agg AS (
+  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(pos * rank2) AS BIGINT) AS pr2,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS source, n AS n_rows, np AS n_pos, n - np AS n_neg,
+       CAST(0 AS BIGINT) AS n_bad, n_cells AS n_score_cells,
+       CASE WHEN np > 0 AND n - np > 0 THEN
+         round((pr2 - np * (np + 1))::DOUBLE / (2.0 * np * (n - np)), 6)
+       END AS auc
+FROM agg
+"""
+
+# Per-linestatus ECE/MCE/Brier: per-group integer bin cells, every
+# metric a division of exact BIGINT sums.
+ORACLE["calibration_by_group"] = """
+WITH s AS (
+  SELECT l_linestatus AS grp,
+         ((l_orderkey * 31 + l_linenumber * 17) % 1000) / 999.0 AS score,
+         CAST(l_returnflag = 'R' AS INT) AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT grp,
+         least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         COUNT(*) AS n, SUM(y) AS pos,
+         SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS s_sum,
+         SUM(CAST(floor(score * score * 1000000 + 0.5) AS BIGINT))
+           AS s2_sum,
+         SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT) * y) AS sy_sum
+  FROM s GROUP BY 1, 2
+),
+perbin AS (
+  SELECT grp, n, pos, s2_sum, sy_sum,
+         abs(s_sum - 1000000 * pos) AS gap_num,
+         abs(s_sum - 1000000 * pos)::DOUBLE / (n * 1000000.0) AS mce_term
+  FROM cells
+),
+agg AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(pos) AS BIGINT)
+           AS npos,
+         SUM(gap_num) AS gap_sum, MAX(mce_term) AS mce,
+         SUM(s2_sum) AS s2, SUM(sy_sum) AS sy,
+         CAST(COUNT(*) AS INT) AS n_bins_used
+  FROM perbin GROUP BY grp
+)
+SELECT grp AS status, N AS n_rows, npos AS n_pos,
+       CAST(0 AS BIGINT) AS n_bad, CAST(0 AS BIGINT) AS n_oob,
+       n_bins_used,
+       round(gap_sum::DOUBLE / (CAST(N AS DOUBLE) * 1000000), 6) AS ece,
+       round(mce, 6) AS mce,
+       round((s2 - 2 * sy + 1000000 * npos)::DOUBLE
+             / (CAST(N AS DOUBLE) * 1000000), 6) AS brier
+FROM agg
+"""
+
+# Per-source release data card — composes the PROVEN quality_classifier
+# oracle for the score column.
+ORACLE["source_data_card"] = f"""
+WITH qc AS ({ORACLE["quality_classifier"]}),
+toks AS (
+  SELECT doc_id, source, lang,
+         COALESCE(text, '') AS t,
+         len(list_filter(string_split_regex(lower(trim(COALESCE(text,
+           ''))), '\\s+'), x -> x != '')) AS n_toks
+  FROM documents
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source
+),
+dups AS (
+  SELECT source,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_exact_dup_docs
+  FROM (SELECT source, md5(t) AS fp, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2)
+  GROUP BY source
+),
+lang_cells AS (
+  SELECT source, lang, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+langs AS (
+  SELECT source,
+         MIN(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+         CAST(COUNT(*) AS INT) AS n_langs
+  FROM (SELECT source, lang,
+          row_number() OVER (PARTITION BY source
+            ORDER BY c DESC, lang ASC) AS rn
+        FROM lang_cells)
+  GROUP BY source
+),
+qual AS (
+  SELECT toks.source,
+         SUM(CAST(floor(qc.score * 1000000 + 0.5) AS BIGINT)) AS sq_sum,
+         SUM(qc.keep) AS kp_sum,
+         COUNT(*) AS nq
+  FROM toks JOIN qc ON qc.doc_id = toks.doc_id
+  GROUP BY 1
+)
+SELECT base.source, n_docs, n_exact_dup_docs,
+       round(n_exact_dup_docs::DOUBLE / n_docs, 6) AS dup_rate,
+       total_tokens,
+       round(total_tokens::DOUBLE / n_docs, 6) AS mean_tokens,
+       majority_lang, n_langs,
+       round(sq_sum::DOUBLE / (nq * 1000000.0), 6) AS mean_quality,
+       round(kp_sum::DOUBLE / nq, 6) AS keep_rate
+FROM base JOIN dups USING (source) JOIN langs USING (source)
+JOIN qual ON qual.source = base.source
 """

@@ -122,6 +122,12 @@ def materialize_table(
         # partition metadata stores absolute locations, which an ALTER
         # TABLE RENAME does not rewrite — the tmp+rename swap would strand
         # them. Direct overwrite instead; on Delta this is atomic anyway.
+        # Same stale-slot discipline as the swap path below: a warehouse
+        # dir the CATALOG does not know about (a previous session's
+        # leftover — in-memory catalogs evaporate with their session)
+        # would wedge the CTAS with LOCATION_ALREADY_EXISTS forever.
+        if not _table_exists(spark, name):
+            _drop_stale_location(spark, name)
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
     import os.path

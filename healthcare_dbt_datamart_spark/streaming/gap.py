@@ -73,6 +73,11 @@ def streaming_best_evidence(
         # recover_swap: a restart after a crash mid-swap must restore the
         # accumulated state table, not rebuild it from this batch alone
         if not recover_swap(spark, name):
+            from ..operators.materialize import _drop_stale_location
+
+            # stale-slot discipline (materialize.py): a leftover dir the
+            # catalog doesn't know about wedges the first-batch CTAS
+            _drop_stale_location(spark, name)
             batch_best.write.format("parquet").saveAsTable(name)
             return
         # re-rank ONLY members present in this batch (semi-join); the rest

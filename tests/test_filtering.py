@@ -4732,6 +4732,49 @@ def test_elo_ratings_conservation_and_within_period_order_invariance(
     assert out2 == out
 
 
+def test_elo_pre_collapsed_duplicate_rows_bit_identical(spark):
+    """The pre_collapsed docstring claim, exercised: duplicate
+    (w, l, p) rows in a caller-supplied pair table can never change a
+    rating — each duplicate carries the same period-start expected
+    score, so pre_collapsed=True (skip the internal re-aggregation)
+    over a DUPLICATED-row table equals the aggregated path over the
+    same rows bit-for-bit, including n_matches/wins totals
+    (round-11 ADVICE)."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import elo_ratings
+
+    # (w, l, p, n) rows where several (w, l, p) keys repeat with
+    # different multiplicities — the shape pre_collapsed=True trusts
+    dup_rows = [
+        ("a", "b", 1, 2), ("a", "b", 1, 3), ("b", "c", 1, 1),
+        ("c", "a", 2, 4), ("c", "a", 2, 1), ("a", "b", 2, 2),
+        ("b", "c", 2, 5), ("b", "c", 2, 1), ("a", "c", 3, 3),
+    ]
+    dup = spark.createDataFrame(
+        dup_rows, ["winner_id", "loser_id", "period", "n_m"]
+    )
+    fast = {
+        r.item: (r.n_matches, r.wins, r.rating_fp)
+        for r in elo_ratings(
+            dup, k=16, n_col="n_m", pre_collapsed=True
+        ).collect()
+    }
+    agg = {
+        r.item: (r.n_matches, r.wins, r.rating_fp)
+        for r in elo_ratings(dup, k=16, n_col="n_m").collect()
+    }
+    assert fast == agg
+    # and both equal the per-match expansion of the same log
+    expanded = spark.createDataFrame(
+        [(w, l, p) for w, l, p, n in dup_rows for _ in range(n)],
+        ["winner_id", "loser_id", "period"],
+    )
+    per_match = {
+        r.item: (r.n_matches, r.wins, r.rating_fp)
+        for r in elo_ratings(expanded, k=16).collect()
+    }
+    assert fast == per_match
+
+
 def test_domain_concentration_gini_entropy_and_replays(spark):
     """Concentration report: uniform domains give gini 0 and maximal
     entropy ln(N), a one-domain-dominates grid gives gini near 1 and

@@ -588,8 +588,11 @@ def test_mad_scores_unit_and_guards(spark):
 
 def test_mad_scores_driver_shape_duckdb_replay(spark):
     """Robust z-scores at the future query shape: per-language n_chars
-    over the whole documents corpus — exact cell-table medians, IEEE
-    modified z, and the 3.5 outlier flag replay field-for-field."""
+    over the whole documents corpus — exact cell-table medians, the
+    half-up 6dp-quantized modified z (a rational input can land z on
+    an exact 6dp half-way point where engine round conventions
+    diverge — seen at sf0.01), and the integer-fp 3.5 outlier flag
+    replay field-for-field."""
     from healthcare_dbt_datamart_spark.llmops.splits import mad_scores
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -631,10 +634,12 @@ mad AS (
 )
 SELECT dev.grp AS lang, dev.id, dev.v AS value, dev.median, mad.mad,
   CASE WHEN mad.mad > 0
-       THEN round(0.6745 * (dev.v - dev.median) / mad.mad, 6) END
+       THEN CAST(floor((0.6745 * (dev.v - dev.median) / mad.mad)
+                       * 1000000 + 0.5) AS BIGINT) / 1000000.0 END
     AS robust_z,
   CASE WHEN mad.mad > 0
-       THEN abs(round(0.6745 * (dev.v - dev.median) / mad.mad, 6)) > 3.5
+       THEN abs(CAST(floor((0.6745 * (dev.v - dev.median) / mad.mad)
+                           * 1000000 + 0.5) AS BIGINT)) > 3500000
   END AS outlier
 FROM dev JOIN mad USING (grp)
 """
@@ -826,7 +831,7 @@ ranked AS (
   WHERE action IN ('purchase', 'signup', 'click', 'view')
   GROUP BY 1, 2
 ),
-capped AS (
+capped AS MATERIALIZED (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY user_id
                ORDER BY rank DESC, item ASC) AS rn
@@ -873,7 +878,7 @@ def test_weighted_consensus_driver_shape_duckdb_replay(spark):
     )
 
     sql = """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT user_id % 25 AS item,
          'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
          event_type AS label,
@@ -881,9 +886,9 @@ WITH raw AS (
                             ORDER BY event_id) AS rn
   FROM events
 ),
-v AS (SELECT item, rater, label FROM raw WHERE rn <= 12),
+v AS MATERIALIZED (SELECT item, rater, label FROM raw WHERE rn <= 12),
 c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
-mj AS (
+mj AS MATERIALIZED (
   SELECT item, lab AS majority_label, n_votes FROM (
     SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY n DESC, lab ASC) AS rn2,
@@ -950,7 +955,7 @@ def test_annotator_agreement_driver_shape_duckdb_replay(spark):
     )
 
     sql = """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT user_id % 25 AS item,
          'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
          event_type AS label,
@@ -958,9 +963,9 @@ WITH raw AS (
                             ORDER BY event_id) AS rn
   FROM events
 ),
-v AS (SELECT item, rater, label FROM raw WHERE rn <= 12),
+v AS MATERIALIZED (SELECT item, rater, label FROM raw WHERE rn <= 12),
 c AS (SELECT item, label AS lab, COUNT(*) AS n FROM v GROUP BY 1, 2),
-mj AS (
+mj AS MATERIALIZED (
   SELECT item, lab AS majority_label FROM (
     SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY n DESC, lab ASC) AS rn2
@@ -1012,7 +1017,7 @@ def test_rasch_fit_driver_shape_duckdb_replay(spark):
 
     s = 10**6
     sql = f"""
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT user_id % 25 AS item0,
          'r' || CAST(event_id % 5 AS VARCHAR) AS rater,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
@@ -1020,45 +1025,45 @@ WITH raw AS (
                             ORDER BY event_id) AS rn
   FROM events
 ),
-v AS (
+v AS MATERIALIZED (
   SELECT CAST(item0 AS VARCHAR) AS item, rater, y FROM raw WHERE rn <= 12
 ),
-ni AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
-nr AS (SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+ni AS MATERIALIZED (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
+nr AS MATERIALIZED (SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes FROM v GROUP BY 1),
 nit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ni),
-b0 AS (SELECT item, CAST(0 AS BIGINT) AS b_fp FROM ni),
-t0 AS (SELECT rater, CAST(0 AS BIGINT) AS t_fp FROM nr)"""
+b0 AS MATERIALIZED (SELECT item, CAST(0 AS BIGINT) AS b_fp FROM ni),
+t0 AS MATERIALIZED (SELECT rater, CAST(0 AS BIGINT) AS t_fp FROM nr)"""
     for r in range(4):
         sql += f""",
-q{r} AS (
+q{r} AS MATERIALIZED (
   SELECT v.item, v.rater,
     CAST(floor((1.0 / (1.0 + exp(-(t.t_fp / {s}.0 - b.b_fp / {s}.0)))
       - v.y) * {s} + 0.5) AS BIGINT) AS q
   FROM v JOIN b{r} b USING (item) JOIN t{r} t USING (rater)
 ),
-gi{r} AS (SELECT item, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
-gr{r} AS (SELECT rater, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
-nb{r} AS (
+gi{r} AS MATERIALIZED (SELECT item, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+gr{r} AS MATERIALIZED (SELECT rater, CAST(SUM(q) AS BIGINT) AS G FROM q{r} GROUP BY 1),
+nb{r} AS MATERIALIZED (
   SELECT b.item,
     CAST(floor((b.b_fp / {s}.0 + 1.0 *
       (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
       * {s} + 0.5) AS BIGINT) AS b_fp
   FROM b{r} b JOIN gi{r} USING (item) JOIN ni n USING (item)
 ),
-nt{r} AS (
+nt{r} AS MATERIALIZED (
   SELECT t.rater,
     CAST(floor((t.t_fp / {s}.0 - 1.0 *
       (G / CAST(n.n_votes * CAST({s} AS BIGINT) AS DOUBLE)))
       * {s} + 0.5) AS BIGINT) AS t_fp
   FROM t{r} t JOIN gr{r} USING (rater) JOIN nr n USING (rater)
 ),
-cr{r} AS (
+cr{r} AS MATERIALIZED (
   SELECT CAST((sb - ((sb % n) + n) % n) // n AS BIGINT) AS c
   FROM (SELECT CAST(COALESCE(SUM(b_fp), 0) AS BIGINT) AS sb FROM nb{r}),
        nit
 ),
-b{r + 1} AS (SELECT item, b_fp - cr{r}.c AS b_fp FROM nb{r}, cr{r}),
-t{r + 1} AS (SELECT rater, t_fp - cr{r}.c AS t_fp FROM nt{r}, cr{r})"""
+b{r + 1} AS MATERIALIZED (SELECT item, b_fp - cr{r}.c AS b_fp FROM nb{r}, cr{r}),
+t{r + 1} AS MATERIALIZED (SELECT rater, t_fp - cr{r}.c AS t_fp FROM nt{r}, cr{r})"""
     sql += f"""
 SELECT 'item' AS kind, b.item AS key, ni.n_votes,
        round(b.b_fp / {s}.0, 6) AS estimate

@@ -186,7 +186,16 @@ def test_mad_scores_matches_python_order_stats(spark, vals):
         r = got[i]
         assert (r.median, r.mad) == (med, mad)
         if mad > 0:
-            z = _r6(0.6745 * (float(v) - med) / mad)
-            assert r.robust_z == z and r.outlier == (abs(z) > 3.5)
+            # mirror the engine's 6dp half-up integer-domain quantization
+            # (floor(z·10⁶ + 0.5) on the IEEE double — NOT decimal-string
+            # rounding, which disagrees on exact 6dp half-way cases like
+            # 0.6745·(−18)/16) and the integer-fp outlier compare
+            import math
+
+            z_fp = math.floor(
+                0.6745 * (float(v) - med) / mad * 1000000.0 + 0.5
+            )
+            z = z_fp / 1000000.0
+            assert r.robust_z == z and r.outlier == (abs(z_fp) > 3500000)
         else:
             assert r.robust_z is None and r.outlier is None

@@ -672,25 +672,46 @@ def _chrf_gram_counts(
 
     clean = base.filter("_ok")
 
-    def side_counts(col, name):
-        return (
-            clean.select("_id", F.explode(grams(F.col(col))).alias("e"))
-            .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
-            .agg(F.count(F.lit(1)).cast("long").alias(name))
-        )
-
-    cc = side_counts("_c", "nc")
-    rc = side_counts("_r", "nr")
-    per_n = (
-        cc.join(rc, ["_id", "n", "g"], "full")
-        .groupBy("n")
+    # ONE side-tagged explode + ONE (pair, n, gram) aggregation: both
+    # sides' grams live in the same row, so the per-(pair, n, gram)
+    # cand/ref counts are two conditional sums of one exploded stream —
+    # the per-side explode + per-side groupBy + full-outer clip join
+    # computed the identical integer table in two extra gram-stream
+    # shuffles and a join stage (guide §2.3/§2.4: aggregate before you
+    # shuffle, share the exchange). Same multisets in, associative
+    # BIGINT sums out — bit-identical per_n.
+    tagged = F.concat(
+        F.transform(
+            grams(F.col("_c")),
+            lambda e: F.struct(
+                e["n"].alias("n"), e["g"].alias("g"),
+                F.lit(0).alias("s"),
+            ),
+        ),
+        F.transform(
+            grams(F.col("_r")),
+            lambda e: F.struct(
+                e["n"].alias("n"), e["g"].alias("g"),
+                F.lit(1).alias("s"),
+            ),
+        ),
+    )
+    counts = (
+        clean.select("_id", F.explode(tagged).alias("e"))
+        .groupBy("_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
         .agg(
-            F.sum(F.coalesce("nc", F.lit(0))).alias("cand_ngrams"),
-            F.sum(F.coalesce("nr", F.lit(0))).alias("ref_ngrams"),
-            F.sum(
-                F.least(F.coalesce("nc", F.lit(0)), F.coalesce("nr", F.lit(0)))
-            ).alias("match_ngrams"),
+            F.sum(F.when(F.col("e.s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+            F.sum(F.when(F.col("e.s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nr"),
         )
+    )
+    per_n = counts.groupBy("n").agg(
+        F.sum("nc").alias("cand_ngrams"),
+        F.sum("nr").alias("ref_ngrams"),
+        F.sum(F.least("nc", "nr")).alias("match_ngrams"),
     )
     return n_pairs, n_nulls, per_n
 

@@ -1440,6 +1440,189 @@ def elo_ratings(
     )
 
 
+def elo_boards(
+    matches: DataFrame,
+    ks: tuple,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+    period_col: str = "period",
+    initial: int = 1000,
+    scale: int = 10**6,
+    reliable: bool = False,
+    checkpoint_every: int = 1,
+    n_col: str | None = None,
+    pre_collapsed: bool = False,
+) -> DataFrame:
+    """``elo_ratings`` for SEVERAL k values in ONE period loop — the
+    multi-board fit a release session runs when different consumers
+    publish boards at different k (e.g. a k=16 exploratory board next
+    to the release DAG's k=32 snapshot). Each board's arithmetic is
+    EXACTLY ``elo_ratings(k=k_i)``'s: within a round the k_i expected
+    score is computed from the k_i ratings alone and the per-item
+    contribution sums are independent per k — carrying all boards
+    through one join + one explode + one groupBy per period does the
+    same integer operations per board as N separate loops while
+    scanning the period relation and cutting lineage ONCE instead of N
+    times (guide §2.4: share the pass; parity pinned bit-for-bit in
+    tests/test_runtime.py). Same validation, same collapse, same
+    overflow bounds per board.
+
+    Returns ``(item, n_matches, wins, rating_fp_<k> ...)`` — one
+    rating column per requested k, ks de-duplicated and sorted."""
+    ks = sorted({int(k) for k in ks})
+    if not ks:
+        raise ValueError("elo_boards needs at least one k")
+    if any(k < 1 for k in ks):
+        raise ValueError(f"every k must be a positive integer: got {ks!r}")
+    if int(initial) <= 0:
+        raise ValueError(f"initial rating must be positive: got {initial!r}")
+    scale = int(scale)
+
+    cols = [
+        F.col(winner_col).cast("string").alias("w"),
+        F.col(loser_col).cast("string").alias("l"),
+        F.col(period_col).cast("bigint").alias("p"),
+    ]
+    if n_col is not None:
+        cols.append(F.col(n_col).cast("long").alias("n"))
+    m = matches.select(*cols)
+    bad_pred = (
+        F.col("w").isNull() | F.col("l").isNull() | F.col("p").isNull()
+    )
+    if n_col is not None:
+        bad_pred = bad_pred | F.col("n").isNull() | (F.col("n") < 1)
+    bad = m.agg(F.sum(bad_pred.cast("bigint")).alias("nb")).collect()[0]
+    if int(bad.nb or 0) > 0:
+        raise ValueError(
+            f"elo_boards: {bad.nb} matches have a NULL winner, loser or"
+            f" period (or a NULL/non-positive multiplicity) — clean the"
+            f" match log first"
+        )
+    m = m.filter(F.col("w") != F.col("l"))
+    if pre_collapsed and n_col is None:
+        raise ValueError("elo_boards: pre_collapsed requires n_col")
+    n_agg = F.sum("n") if n_col is not None else F.count(F.lit(1))
+    collapsed = (
+        m.select("w", "l", "p", F.col("n").cast("long").alias("n_m"))
+        if pre_collapsed
+        else m.groupBy("w", "l", "p").agg(n_agg.cast("long").alias("n_m"))
+    )
+    mp = collapsed.repartitionByRange("p", "w").persist()
+    periods = sorted(r[0] for r in mp.select("p").distinct().collect())
+
+    sides = mp.select(
+        F.col("w").alias("item"), F.col("n_m").alias("n"),
+        F.col("n_m").alias("win_n"),
+    ).unionByName(
+        mp.select(
+            F.col("l").alias("item"), F.col("n_m").alias("n"),
+            F.lit(0).cast("long").alias("win_n"),
+        )
+    )
+    tot = sides.groupBy("item").agg(
+        F.sum("n").alias("n_matches"), F.sum("win_n").alias("wins")
+    )
+    r_cols = [f"r_{k}" for k in ks]
+    ratings = tot.select(
+        "item",
+        *[
+            F.lit(int(initial) * scale).cast("long").alias(rc)
+            for rc in r_cols
+        ],
+    )
+    x = 400.0 * scale
+    for rnd, p in enumerate(periods):
+        pm = mp.filter(F.col("p") == p)
+        ri = ratings.select(
+            F.col("item").alias("w"),
+            *[F.col(rc).alias(f"{rc}_w") for rc in r_cols],
+        )
+        rj = ratings.select(
+            F.col("item").alias("l"),
+            *[F.col(rc).alias(f"{rc}_l") for rc in r_cols],
+        )
+        # one join + one expected score per board from a single pass
+        # over the period relation — elo_update_period's shape with the
+        # k axis carried as columns instead of separate loops
+        contrib = pm.join(F.broadcast(ri), "w").join(
+            F.broadcast(rj), "l"
+        ).select(
+            "w",
+            "l",
+            F.col("n_m").cast("long").alias("n_m"),
+            *[
+                F.expr(
+                    f"cast(floor({scale}.0d / (1.0d + power(10.0d,"
+                    f" cast({rc}_l - {rc}_w as double) / {x!r}d)) + 0.5d)"
+                    " as bigint)"
+                ).alias(f"e_{rc}")
+                for rc in r_cols
+            ],
+        )
+        per_item = (
+            contrib.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("w").alias("item"),
+                            *[
+                                (
+                                    F.col("n_m")
+                                    * (
+                                        F.lit(int(scale)).cast("long")
+                                        - F.col(f"e_{rc}")
+                                    )
+                                ).alias(f"c_{rc}")
+                                for rc in r_cols
+                            ],
+                        ),
+                        F.struct(
+                            F.col("l").alias("item"),
+                            *[
+                                (
+                                    F.col("n_m")
+                                    * (
+                                        F.col(f"e_{rc}")
+                                        - F.lit(int(scale)).cast("long")
+                                    )
+                                ).alias(f"c_{rc}")
+                                for rc in r_cols
+                            ],
+                        ),
+                    )
+                ).alias("x")
+            )
+            .select(
+                F.col("x.item").alias("item"),
+                *[F.col(f"x.c_{rc}").alias(f"c_{rc}") for rc in r_cols],
+            )
+            .groupBy("item")
+            .agg(*[F.sum(f"c_{rc}").alias(f"C_{rc}") for rc in r_cols])
+        )
+        ratings = ratings.join(per_item, "item", "left").select(
+            "item",
+            *[
+                (
+                    F.col(rc)
+                    + F.lit(int(k)).cast("long")
+                    * F.coalesce(F.col(f"C_{rc}"), F.lit(0).cast("long"))
+                ).alias(rc)
+                for k, rc in zip(ks, r_cols)
+            ],
+        )
+        ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
+    mp.unpersist()
+    return ratings.join(tot, "item").select(
+        "item",
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("wins").cast("bigint").alias("wins"),
+        *[
+            F.col(rc).alias(f"rating_fp_{k}")
+            for k, rc in zip(ks, r_cols)
+        ],
+    )
+
+
 def wilson_winrate(
     matches: DataFrame,
     winner_col: str = "winner_id",

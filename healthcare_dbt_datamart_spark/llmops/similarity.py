@@ -1506,6 +1506,13 @@ def build_ivfpq_index(
         _drop_stale_location(spark, table)
     (
         ivfpq_index_rows(emb, centroids, codebooks, id_col, vec_col, residual)
+        # REBALANCE on the partition key (materialize_table discipline):
+        # without it every encode task writes a file into every cell
+        # directory — tasks × cells small files; AQE's rebalance gives
+        # each cell directory as few files as its size needs and splits
+        # an oversized cell across reducers. Layout only; one exchange
+        # of the skinny (id, cell, codes) rows, never the raw vectors.
+        .hint("rebalance", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .format("parquet")

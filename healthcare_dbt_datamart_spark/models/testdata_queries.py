@@ -4106,17 +4106,34 @@ def _supplier_bt3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_rating_frame(spark, sf_dir, "bt3", build)
 
 
-def _supplier_elo16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Period-batched Elo (k=16) over the shared pair-period collapse —
-    the ``elo_ratings`` board, shared with ``kendall_tau``."""
-    from ..llmops.preferences import elo_ratings
+def _supplier_elo_boards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH published Elo boards (k=16 exploratory, k=ELO_K=32 release
+    snapshot) from ONE period loop over the shared pair-period
+    collapse (llmops/preferences.py::elo_boards — per-board arithmetic
+    identical to elo_ratings, parity pinned in tests/test_runtime.py):
+    the session previously ran two full 7-period fits over the same
+    pair table; one loop halves the Elo phase of a release session.
+    elo_ratings casts keys to string internally, so the boards are
+    bit-identical to the per-k fits either way."""
+    from ..llmops.preferences import elo_boards
+    from .leaderboard_release import ELO_K
 
     return _session_rating_frame(
-        spark, sf_dir, "elo16",
-        lambda: elo_ratings(
-            _supplier_pair_periods(spark, sf_dir), k=16, n_col="n_m",
-            pre_collapsed=True,
+        spark, sf_dir, "elo_boards",
+        lambda: elo_boards(
+            _supplier_pair_periods(spark, sf_dir), ks=(16, ELO_K),
+            n_col="n_m", pre_collapsed=True,
         ),
+    )
+
+
+def _supplier_elo16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-batched Elo (k=16) over the shared pair-period collapse —
+    the ``elo_ratings`` board, shared with ``kendall_tau``. Served from
+    the dual-k board fit."""
+    return _supplier_elo_boards(spark, sf_dir).select(
+        "item", "n_matches", "wins",
+        F.col("rating_fp_16").alias("rating_fp"),
     )
 
 
@@ -4124,23 +4141,14 @@ def _supplier_elo32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-batched Elo at the release DAG's k (ELO_K=32) over the
     shared pair-period collapse — the ``elo_snapshot`` board of
     models/leaderboard_release.py, published once per session and
-    served back to the gate through its warm-start hook (the only
-    fitted frame the gate previously re-fit on every build). Items
-    cast to string to match the DAG's stg_matches typing, so the
-    injected frame is bit-identical to the computed model."""
-    from ..llmops.preferences import elo_ratings
+    served back to the gate through its warm-start hook. Served from
+    the dual-k board fit (bit-identical to the per-k elo_ratings fit —
+    the elo_boards parity contract)."""
     from .leaderboard_release import ELO_K
 
-    return _session_rating_frame(
-        spark, sf_dir, "elo32",
-        lambda: elo_ratings(
-            _supplier_pair_periods(spark, sf_dir).select(
-                F.col("winner_id").cast("string").alias("winner_id"),
-                F.col("loser_id").cast("string").alias("loser_id"),
-                "period", "n_m",
-            ),
-            k=ELO_K, n_col="n_m", pre_collapsed=True,
-        ),
+    return _supplier_elo_boards(spark, sf_dir).select(
+        "item", "n_matches", "wins",
+        F.col(f"rating_fp_{ELO_K}").alias("rating_fp"),
     )
 
 
@@ -4509,7 +4517,11 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ra"),
     )
     approx = ivf_topk(
-        emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2
+        emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2,
+        # the session's train-once coarse quantizer (identical fit:
+        # kmeans_lloyd(k=8, n_iter=2) over the same embeddings) — the
+        # internal re-fit was a duplicate 2-round Lloyd per execution
+        centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
     ).select(
         F.col("vec_id").alias("item"),
         F.row_number()
@@ -4615,10 +4627,12 @@ def q_chrf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     every order, exact clipping exercised corpus-wide). Clipped counts,
     both denominators, and the (1+b²)m/(b²r+c) single-division F
     replay per order. Pre-proven at driver shape in
-    tests/test_round13_replays.py."""
+    tests/test_round13_replays.py. load_spread: the per-row char-gram
+    explode is the compute-dense shape the fan-out exists for (the
+    minhash-family measurement on load_spread's docstring)."""
     from ..llmops.evaluation import chrf_report
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id",
         F.substring("text", 1, 300).alias("cand"),
@@ -4675,9 +4689,15 @@ def q_index_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .index_release import build_index_scorecard
 
     emb = load(spark, sf_dir, "embeddings")
-    return build_index_scorecard(spark, emb, query_ids=[0, 7, 21]).build(
-        "index_scorecard"
-    )
+    # the DAG's own warm-start hook: the session's train-once coarse
+    # quantizer is the IDENTICAL fit (_lloyd_fit at N_CELLS=8,
+    # N_ITER=2 over the same vec_id/embedding values), so injecting it
+    # skips a duplicate per-build Lloyd fit — the leaderboard_gate
+    # warm-start discipline applied to the index gate
+    return build_index_scorecard(
+        spark, emb, query_ids=[0, 7, 21],
+        centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
+    ).build("index_scorecard")
 
 
 def q_paired_bootstrap_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4859,10 +4879,12 @@ def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_n — Li et al. 2016, the mode-collapse diagnostic): exact
     BIGINT gram counts over the documents corpus, one 6dp ratio per
     order. Pre-proven at driver shape in
-    tests/test_round14_replays.py."""
+    tests/test_round14_replays.py. load_spread: the tokenize +
+    tagged-gram explode is per-row compute-dense work (the
+    minhash-family measurement on load_spread's docstring)."""
     from ..llmops.evaluation import distinct_n
 
-    return distinct_n(load(spark, sf_dir, "documents"), "text")
+    return distinct_n(load_spread(spark, sf_dir, "documents"), "text")
 
 
 def q_wilson_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

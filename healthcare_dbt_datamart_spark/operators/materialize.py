@@ -128,6 +128,16 @@ def materialize_table(
         # would wedge the CTAS with LOCATION_ALREADY_EXISTS forever.
         if not _table_exists(spark, name):
             _drop_stale_location(spark, name)
+        # REBALANCE on the partition key before a hive-partitioned write:
+        # without it every write task emits a file into every directory
+        # (tasks × partitions small files — slow commit, slow downstream
+        # listing); with it each directory is written by as few tasks as
+        # its size needs. AQE's rebalance both coalesces small partition
+        # values and SPLITS oversized ones, so one giant partition value
+        # does not serialize onto a single reducer. Row content is
+        # untouched — layout only.
+        df = df.hint("rebalance", *partition_by)
+        writer = df.write.mode("overwrite").format("parquet")
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
     import os.path

@@ -2828,3 +2828,40 @@ def test_compare_relations_bucket_partition_invariants(spark, rows_a, rows_b):
     assert g.n_a == g.only_in_a + g.in_both
     assert g.n_b == g.only_in_b + g.in_both
     assert g.in_both == g.identical + g.changed
+
+
+def test_elo_boards_matches_per_k_elo_ratings_bitwise(spark):
+    """The dual-k board fit is bit-for-bit each single-k fit: one
+    period loop carrying both k columns does the identical integer
+    arithmetic per board (the elo_boards parity contract the
+    leaderboard session caches rely on)."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_boards,
+        elo_ratings,
+    )
+
+    rows = [
+        ("a", "b", 1, 3), ("b", "c", 1, 1), ("c", "a", 1, 2),
+        ("a", "c", 2, 5), ("b", "a", 2, 1), ("c", "b", 2, 1),
+        ("a", "b", 3, 1), ("d", "a", 3, 4),
+    ]
+    m = spark.createDataFrame(
+        rows, "winner_id string, loser_id string, period long, n_m long"
+    )
+    boards = {
+        r["item"]: r
+        for r in elo_boards(
+            m, ks=(16, 32), n_col="n_m", pre_collapsed=True
+        ).collect()
+    }
+    for k in (16, 32):
+        single = elo_ratings(
+            m, k=k, n_col="n_m", pre_collapsed=True
+        ).collect()
+        assert len(single) == len(boards)
+        for r in single:
+            b = boards[r["item"]]
+            assert (r["n_matches"], r["wins"]) == (
+                b["n_matches"], b["wins"],
+            )
+            assert r["rating_fp"] == b[f"rating_fp_{k}"]

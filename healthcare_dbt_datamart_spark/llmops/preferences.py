@@ -146,9 +146,12 @@ def bradley_terry(
         .groupBy(F.col(winner_col).alias("i"), F.col(loser_col).alias("j"))
         .agg((F.lit(2) * F.count(F.lit(1))).alias("w2"))
     )
+    # raw is unique per (i, j) by construction — skip from_pairs'
+    # defensive re-aggregation (one fewer shuffle of the pair table)
     return bradley_terry_from_pairs(
         raw, n_iter=n_iter, scale=scale, smoothing2=smoothing2,
         reliable=reliable, checkpoint_every=checkpoint_every,
+        pre_collapsed=True,
     )
 
 
@@ -159,6 +162,7 @@ def bradley_terry_from_pairs(
     smoothing2: int = 1,
     reliable: bool = False,
     checkpoint_every: int = 1,
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """The MM iteration from an ALREADY-AGGREGATED ``(i, j, w2)`` table
     of directed DOUBLED win counts (2 · wins, unsmoothed) — the
@@ -170,15 +174,29 @@ def bradley_terry_from_pairs(
     single-shot inputs rate identically. Degenerate i = j rows are
     dropped defensively (a self-pair cannot inform a rating, and the
     streamed counts table carries its batch ledger as a sentinel
-    self-row)."""
-    wins = (
-        pair_wins2.filter(F.col("i") != F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.sum("w2").alias("_w2raw"))
-        .select(
-            "i", "j", (F.col("_w2raw") + F.lit(smoothing2)).alias("w2")
+    self-row).
+
+    ``pre_collapsed=True`` skips the internal (i, j) re-aggregation —
+    pure shuffle avoidance for callers whose input IS already unique
+    per ordered pair (the output of a groupBy collapse, as
+    ``bradley_terry`` builds and the leaderboard DAG's ``pair_counts``
+    maintains). UNLIKE elo_ratings' flag this one is a CONTRACT:
+    smoothing applies once per (i, j) ROW, so duplicate pair rows
+    would each collect their own +smoothing mass and rate differently
+    — only set it for genuinely collapsed inputs."""
+    if pre_collapsed:
+        wins = pair_wins2.filter(F.col("i") != F.col("j")).select(
+            "i", "j", (F.col("w2") + F.lit(smoothing2)).alias("w2")
         )
-    )
+    else:
+        wins = (
+            pair_wins2.filter(F.col("i") != F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.sum("w2").alias("_w2raw"))
+            .select(
+                "i", "j", (F.col("_w2raw") + F.lit(smoothing2)).alias("w2")
+            )
+        )
     # mirror + smoothing + n_ij in ONE full-outer self-join: a row per
     # ordered direction of every observed pair, the unobserved mirror
     # getting exactly the smoothing mass, and n2(i,j) = w2(i,j) + w2(j,i)
@@ -637,10 +655,33 @@ def dawid_skene(
     """
     from pyspark.sql.window import Window
 
-    labels = sorted(
-        r[0] for r in votes.select(label_col).distinct().collect()
-        if r[0] is not None
+    v = votes.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("rater"),
+        F.col(label_col).alias("obs"),
     )
+    n_per_item = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    # ONE setup pass for BOTH bounded scalars (observed label set +
+    # max panel size): the per-item collapse carries each item's
+    # distinct labels, and the second fold runs on the already-bounded
+    # per-item frame — the old shape paid two separate corpus
+    # aggregations (distinct labels, then max votes). collect_set
+    # skips NULL labels exactly as the old distinct()/None filter did.
+    head = (
+        v.groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("obs").alias("ls"),
+        )
+        .agg(
+            F.max("n").alias("mx"),
+            F.array_distinct(F.flatten(F.collect_set("ls"))).alias(
+                "labels"
+            ),
+        )
+        .collect()[0]
+    )
+    labels = sorted(head.labels or [])
     n_labels = len(labels)
     if n_labels < 2:
         raise ValueError(
@@ -649,16 +690,8 @@ def dawid_skene(
     s_num = int(smoothing) * int(scale)
     scale = int(scale)
 
-    v = votes.select(
-        F.col(item_col).alias("item"),
-        F.col(annotator_col).alias("rater"),
-        F.col(label_col).alias("obs"),
-    )
-    n_per_item = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
     if not log_space:
-        max_votes = int(
-            n_per_item.agg(F.max("n_votes")).collect()[0][0] or 0
-        )  # one bounded scalar — the labels distinct-collect class
+        max_votes = int(head.mx or 0)
         if max_votes > 200:
             raise ValueError(
                 f"dawid_skene: an item has {max_votes} votes — the"
@@ -1006,17 +1039,46 @@ def rasch_fit(
             f" {correct_col!r} — clean the outcome grid first"
         )
 
+    # ONE tagged parameter frame (kind 'i'|'r', key, n_votes, p_fp)
+    # instead of separate b/theta frames: the loop-invariant vote
+    # counts ride the frame through every round (the old shape
+    # re-derived n_i/n_r FROM THE VOTES inside each round's update
+    # join — a per-round corpus aggregation at 100 TB), and both
+    # parameter vectors share one lineage cut per round instead of two.
     n_i = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
     n_r = v.groupBy("rater").agg(F.count(F.lit(1)).alias("n_votes"))
-    n_items = n_i.count()  # scalar for the integer re-anchor divisor
-    b = n_i.select("item", F.lit(0).cast("bigint").alias("b_fp"))
-    th = n_r.select("rater", F.lit(0).cast("bigint").alias("t_fp"))
+    params = n_i.select(
+        F.lit("i").alias("kind"), F.col("item").alias("key"),
+        F.col("n_votes"), F.lit(0).cast("bigint").alias("p_fp"),
+    ).unionByName(
+        n_r.select(
+            F.lit("r").alias("kind"), F.col("rater").alias("key"),
+            F.col("n_votes"), F.lit(0).cast("bigint").alias("p_fp"),
+        )
+    )
+    params = params.localCheckpoint(eager=True)
+    n_items = int(
+        params.agg(
+            F.sum((F.col("kind") == "i").cast("bigint"))
+        ).collect()[0][0]
+    )  # scalar for the integer re-anchor divisor
 
     lr_c = float(lr)
     for rnd in range(int(n_iter)):
+        bi = params.filter(F.col("kind") == "i").select(
+            F.col("key").alias("item"), F.col("p_fp").alias("b_fp")
+        )
+        th = params.filter(F.col("kind") == "r").select(
+            F.col("key").alias("rater"), F.col("p_fp").alias("t_fp")
+        )
+        # params are bounded model state: broadcast both sides so the
+        # votes relation is scanned ONCE per round — then one tagged
+        # explode feeds BOTH gradient sums from that single pass (the
+        # elo_update_period explode discipline; the old per-side
+        # groupBys re-ran the votes ⋈ params join twice per round)
         scored = (
-            v.join(b, "item")
-            .join(th, "rater")
+            v.join(F.broadcast(bi), "item")
+            .join(F.broadcast(th), "rater")
             .select(
                 "item",
                 "rater",
@@ -1027,56 +1089,78 @@ def rasch_fit(
                 ).alias("q"),
             )
         )
-        g_i = scored.groupBy("item").agg(F.sum("q").alias("G"))
-        g_r = scored.groupBy("rater").agg(F.sum("q").alias("G"))
-        new_b = (
-            b.join(g_i, "item")
-            .join(n_i, "item")
-            .select(
-                "item",
+        g = (
+            scored.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("i").alias("kind"),
+                            F.col("item").alias("key"),
+                            F.col("q"),
+                        ),
+                        F.struct(
+                            F.lit("r").alias("kind"),
+                            F.col("rater").alias("key"),
+                            F.col("q"),
+                        ),
+                    )
+                ).alias("x")
+            )
+            .select("x.kind", "x.key", "x.q")
+            .groupBy("kind", "key")
+            .agg(F.sum("q").alias("G"))
+        )
+        # item difficulty ASCENDS (+lr·G/n), rater ability DESCENDS
+        # (−lr·G/n) — same one-quantization-per-update expressions
+        new_params = params.join(g, ["kind", "key"]).select(
+            "kind",
+            "key",
+            "n_votes",
+            F.when(
+                F.col("kind") == "i",
                 F.expr(
-                    f"cast(floor((b_fp / {scale}.0d + {lr_c!r}d *"
+                    f"cast(floor((p_fp / {scale}.0d + {lr_c!r}d *"
                     f" (G / (n_votes * cast({scale} as bigint))))"
                     f" * {scale} + 0.5d) as bigint)"
-                ).alias("b_fp"),
+                ),
             )
-        )
-        new_th = (
-            th.join(g_r, "rater")
-            .join(n_r, "rater")
-            .select(
-                "rater",
+            .otherwise(
                 F.expr(
-                    f"cast(floor((t_fp / {scale}.0d - {lr_c!r}d *"
+                    f"cast(floor((p_fp / {scale}.0d - {lr_c!r}d *"
                     f" (G / (n_votes * cast({scale} as bigint))))"
                     f" * {scale} + 0.5d) as bigint)"
-                ).alias("t_fp"),
+                )
             )
+            .alias("p_fp"),
         )
-        # sum-to-zero re-anchor in exact integers (location invariance)
+        new_params = truncate_lineage(
+            new_params, rnd, reliable, checkpoint_every
+        )
+        # sum-to-zero re-anchor in exact integers (location invariance);
+        # read off the materialized round — one bounded scalar (model
+        # state), subtracted from BOTH vectors as before
         c_fp = int(
-            new_b.agg(F.sum("b_fp")).collect()[0][0] or 0
-        ) // n_items  # one bounded scalar per round (model state)
-        new_b = new_b.select(
-            "item", (F.col("b_fp") - F.lit(c_fp)).alias("b_fp")
+            new_params.agg(
+                F.sum(F.when(F.col("kind") == "i", F.col("p_fp")))
+            ).collect()[0][0]
+            or 0
+        ) // n_items
+        params = new_params.select(
+            "kind", "key", "n_votes",
+            (F.col("p_fp") - F.lit(c_fp)).alias("p_fp"),
         )
-        new_th = new_th.select(
-            "rater", (F.col("t_fp") - F.lit(c_fp)).alias("t_fp")
-        )
-        b = truncate_lineage(new_b, rnd, reliable, checkpoint_every)
-        th = truncate_lineage(new_th, rnd, reliable, checkpoint_every)
 
-    items = b.join(n_i, "item").select(
+    items = params.filter(F.col("kind") == "i").select(
         F.lit("item").alias("kind"),
-        F.col("item").alias("key"),
+        F.col("key"),
         F.col("n_votes").cast("bigint").alias("n_votes"),
-        F.round(F.col("b_fp") / F.lit(float(scale)), 6).alias("estimate"),
+        F.round(F.col("p_fp") / F.lit(float(scale)), 6).alias("estimate"),
     )
-    raters = th.join(n_r, "rater").select(
+    raters = params.filter(F.col("kind") == "r").select(
         F.lit("rater").alias("kind"),
-        F.col("rater").alias("key"),
+        F.col("key"),
         F.col("n_votes").cast("bigint").alias("n_votes"),
-        F.round(F.col("t_fp") / F.lit(float(scale)), 6).alias("estimate"),
+        F.round(F.col("p_fp") / F.lit(float(scale)), 6).alias("estimate"),
     )
     return items.unionByName(raters)
 

@@ -150,8 +150,10 @@ def build_leaderboard_release(
             )
         from ..llmops.preferences import bradley_terry_from_pairs
 
+        # pair_counts is one groupBy of the pair-period table — unique
+        # per (i, j) by construction; skip the defensive re-aggregation
         return bradley_terry_from_pairs(
-            ctx.ref("pair_counts"), n_iter=BT_ROUNDS
+            ctx.ref("pair_counts"), n_iter=BT_ROUNDS, pre_collapsed=True
         )
 
     @r.model()

@@ -3876,23 +3876,9 @@ def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~200-vote underflow bound."""
     from ..llmops.preferences import dawid_skene
 
-    ev = load(spark, sf_dir, "events")
-    votes = ev.select(
-        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
-        F.concat(
-            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
-        ).alias("rater"),
-        F.col("event_type").alias("label"),
-        "event_id",
-    )
-    w = Window.partitionBy("item").orderBy("event_id")
-    panel = (
-        votes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 12)
-        .select("item", "rater", "label")
-    )
+    # the family's shared session-cached panel (identical construction)
     return dawid_skene(
-        panel,
+        _events_rater_panel(spark, sf_dir),
         item_col="item",
         annotator_col="rater",
         label_col="label",
@@ -3959,20 +3945,18 @@ def _session_cached(cache: dict, spark, key, build) -> DataFrame:
     return df
 
 
-def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The VERIFIED near-dup pair table at the repo's operating point
-    (shingle-3 → 8 minhashes → 4 bands of 2 → bucket-join candidates →
-    exact Jaccard ≥ 0.4) — the dedup family's shared intermediate:
-    ``near_dup_jaccard`` publishes it, ``near_dup_clusters`` /
-    ``cluster_keep_best`` / ``leakage_safe_split`` connect it,
-    ``cross_source_dups`` rolls it up, ``personalized_pagerank`` walks
-    it. Session-cached so the corpus-scale shingle/minhash/band passes
-    run once per session — the ``_supplier_matches`` convention."""
+def _near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH CANDIDATE pair table at the repo's operating point
+    (shingle-3 → 8 minhashes → 4 bands of 2 → bucket collapse) — the
+    stage BEFORE verification, shared by the Jaccard verifier
+    (``_near_dup_verified``) and the edit-distance verifier
+    (``levenshtein_pairs``): one session pays the corpus-scale
+    shingle/minhash/band passes once, both verifiers join their text
+    evidence onto the same bounded candidate set."""
 
     def build():
         from ..llmops.dedup import (
             candidate_pairs,
-            jaccard_pairs,
             lsh_band_buckets,
             minhash_signatures,
         )
@@ -3981,11 +3965,32 @@ def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = minhash_signatures(
             docs, "text", "doc_id", num_hashes=8, n_shingle=3
         )
-        pairs = candidate_pairs(
+        return candidate_pairs(
             lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id"
         )
+
+    return _session_cached(
+        _NEAR_DUP_CACHE, spark, (sf_dir, "candidates"), build
+    )
+
+
+def _near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFIED near-dup pair table at the repo's operating point
+    (the shared candidate table → exact Jaccard ≥ 0.4) — the dedup
+    family's shared intermediate: ``near_dup_jaccard`` publishes it,
+    ``near_dup_clusters`` / ``cluster_keep_best`` /
+    ``leakage_safe_split`` connect it, ``cross_source_dups`` rolls it
+    up, ``personalized_pagerank`` walks it. Session-cached so the
+    corpus-scale passes run once per session — the
+    ``_supplier_matches`` convention."""
+
+    def build():
+        from ..llmops.dedup import jaccard_pairs
+
+        docs = load_spread(spark, sf_dir, "documents")
         return jaccard_pairs(
-            pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
+            _near_dup_candidates(spark, sf_dir), docs, "text", "doc_id",
+            threshold=0.4, n_shingle=3,
         )
 
     return _session_cached(_NEAR_DUP_CACHE, spark, (sf_dir, "verified"), build)
@@ -4101,7 +4106,11 @@ def _supplier_bt3(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc = _supplier_pair_periods(spark, sf_dir).groupBy(
             F.col("winner_id").alias("i"), F.col("loser_id").alias("j")
         ).agg((F.lit(2) * F.sum("n_m")).alias("w2"))
-        return bradley_terry_from_pairs(pc, n_iter=BT_ROUNDS)
+        # pc is unique per (i, j) by construction (it IS a groupBy) —
+        # skip from_pairs' defensive re-aggregation shuffle
+        return bradley_terry_from_pairs(
+            pc, n_iter=BT_ROUNDS, pre_collapsed=True
+        )
 
     return _session_rating_frame(spark, sf_dir, "bt3", build)
 
@@ -4607,16 +4616,13 @@ def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_chars guard. DuckDB's levenshtein computes the same integer,
     so every column replays. Pre-proven hash-green at driver shape in
     tests/test_round13_replays.py."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        levenshtein_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
+    from ..llmops.dedup import levenshtein_pairs
 
+    # the dedup family's shared session-cached LSH candidate set
+    # (identical construction: 8 hashes, 4 bands x 2, 3-shingles) —
+    # only the edit-distance verification runs per query
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
+    pairs = _near_dup_candidates(spark, sf_dir)
     return levenshtein_pairs(pairs, docs, "text", "doc_id", threshold_pct=50)
 
 
@@ -4739,27 +4745,38 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_kmv(docs, "source", "text", k=64)
 
 
+_PANEL_CACHE: dict = {}
+
+
 def _events_rater_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dawid_skene rater panel construction shared by the
-    annotation-quality family (weighted_consensus /
+    annotation-quality family (dawid_skene / weighted_consensus /
     annotator_agreement / rasch_fit): item = user mod 25, rater =
     event-id mod 5, label = event_type, first-12 votes per item by
-    event_id order."""
-    ev = load(spark, sf_dir, "events")
-    votes = ev.select(
-        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
-        F.concat(
-            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
-        ).alias("rater"),
-        F.col("event_type").alias("label"),
-        "event_id",
-    )
-    w = Window.partitionBy("item").orderBy("event_id")
-    return (
-        votes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 12)
-        .select("item", "rater", "label")
-    )
+    event_id order. SESSION-CACHED (the ``_supplier_matches``
+    convention): the panel is the family's shared input — a real
+    annotation session materializes it once and every aggregator
+    reads it; re-deriving it per query re-ran the corpus window pass
+    four times."""
+
+    def build():
+        ev = load(spark, sf_dir, "events")
+        votes = ev.select(
+            F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
+            F.concat(
+                F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
+            ).alias("rater"),
+            F.col("event_type").alias("label"),
+            "event_id",
+        )
+        w = Window.partitionBy("item").orderBy("event_id")
+        return (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 12)
+            .select("item", "rater", "label")
+        )
+
+    return _session_cached(_PANEL_CACHE, spark, sf_dir, build)
 
 
 def q_implicit_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4830,20 +4847,13 @@ def q_rasch_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (fully unrolled oracle) in tests/test_round13_replays.py."""
     from ..llmops.preferences import rasch_fit
 
-    ev = load(spark, sf_dir, "events")
-    votes = ev.select(
-        F.pmod(F.col("user_id"), F.lit(25)).cast("bigint").alias("item"),
-        F.concat(
-            F.lit("r"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")
-        ).alias("rater"),
-        (F.col("event_type") == F.lit("click")).cast("int").alias("correct"),
-        "event_id",
-    )
-    w = Window.partitionBy("item").orderBy("event_id")
-    panel = (
-        votes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 12)
-        .select("item", "rater", "correct")
+    # the family's shared session-cached panel: the selected rows are
+    # identical (the window ranks by event_id regardless of payload),
+    # and correct = the click bit derived from the panel's label
+    panel = _events_rater_panel(spark, sf_dir).select(
+        "item",
+        "rater",
+        (F.col("label") == F.lit("click")).cast("int").alias("correct"),
     )
     return rasch_fit(
         panel, item_col="item", annotator_col="rater",

@@ -2865,3 +2865,28 @@ def test_elo_boards_matches_per_k_elo_ratings_bitwise(spark):
                 b["n_matches"], b["wins"],
             )
             assert r["rating_fp"] == b[f"rating_fp_{k}"]
+
+
+def test_bradley_terry_pre_collapsed_parity_bitwise(spark):
+    """pre_collapsed=True over a genuinely collapsed (i, j, w2) table is
+    bit-for-bit the default path (the only difference is skipping the
+    defensive re-aggregation shuffle)."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        bradley_terry_from_pairs,
+    )
+
+    rows = [("a", "b", 6), ("b", "a", 2), ("a", "c", 4), ("c", "b", 2)]
+    pc = spark.createDataFrame(rows, "i string, j string, w2 long")
+    got = {
+        r["item"]: r
+        for r in bradley_terry_from_pairs(
+            pc, n_iter=3, pre_collapsed=True
+        ).collect()
+    }
+    want = bradley_terry_from_pairs(pc, n_iter=3).collect()
+    assert len(want) == len(got)
+    for r in want:
+        g = got[r["item"]]
+        assert (r["wins2"], r["comparisons2"], r["rating_fp"]) == (
+            g["wins2"], g["comparisons2"], g["rating_fp"],
+        )

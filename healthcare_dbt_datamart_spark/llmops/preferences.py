@@ -1984,34 +1984,34 @@ def wilson_from_pairs(
 
     if not 0.0 < float(z):
         raise ValueError(f"z must be positive: got {z!r}")
-    w = (
-        pair_wins2.select(
-            F.col("i").cast("string").alias("i"),
-            F.col("j").cast("string").alias("j"),
-            "w2",
+    # union-of-sides (wilson_winrate's shape): per item, Σ_j w2(i,j) +
+    # Σ_j w2(j,i) — the same integer totals the old (i, j) groupBy →
+    # full-outer mirror self-join → per-item groupBy chain computed,
+    # in ONE partial-agg pass (guide §2.4: both intermediate shuffles
+    # were redundant — associative sums per ITEM never needed the
+    # per-pair collapse, and duplicate pair rows sum identically).
+    w = pair_wins2.select(
+        F.col("i").cast("string").alias("i"),
+        F.col("j").cast("string").alias("j"),
+        F.col("w2").cast("long").alias("w2"),
+    ).filter(F.col("i") != F.col("j"))
+    sides = w.select(
+        F.col("i").alias("item"),
+        F.col("w2").alias("m2"),
+        F.col("w2").alias("win2"),
+    ).unionByName(
+        w.select(
+            F.col("j").alias("item"),
+            F.col("w2").alias("m2"),
+            F.lit(0).cast("long").alias("win2"),
         )
-        .filter(F.col("i") != F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.sum("w2").alias("w2"))
     )
-    rev = w.select(
-        F.col("j").alias("i"), F.col("i").alias("j"),
-        F.col("w2").alias("l2"),
-    )
-    tot = (
-        w.join(rev, ["i", "j"], "full_outer")
-        .groupBy(F.col("i").alias("item"))
-        .agg(
-            # integer `div`, never float `/`: a double intermediate
-            # loses exactness past 2^53 and would break the module's
-            # all-integer BIGINT discipline on the halved counts
-            F.expr(
-                "(sum(coalesce(w2, 0)) + sum(coalesce(l2, 0))) div 2"
-            ).cast("bigint").alias("n"),
-            F.expr("sum(coalesce(w2, 0)) div 2").cast("bigint").alias(
-                "wins"
-            ),
-        )
+    tot = sides.groupBy("item").agg(
+        # integer `div`, never float `/`: a double intermediate loses
+        # exactness past 2^53 and would break the module's all-integer
+        # BIGINT discipline on the halved counts
+        F.expr("sum(m2) div 2").cast("bigint").alias("n"),
+        F.expr("sum(win2) div 2").cast("bigint").alias("wins"),
     )
     zf = float(z)
     p = F.col("wins").cast("double") / F.col("n").cast("double")

@@ -133,28 +133,52 @@ CCS_PARAMS = GapParams(
 DEC = "decimal(18,2)"  # exact money arithmetic → bit-identical doubles
 
 
-def _gap_inputs(spark: SparkSession, sf_dir: str):
-    customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part")
+_GAP_INPUT_CACHE: dict = {}
 
-    # member spine: birth_date ≈ first order date (left join keeps
-    # order-less customers with NULL birth_date → NOT-QUALIFIED branch)
-    members = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy(customer.c_custkey.alias("member_id"))
-        .agg(F.min(F.col("o_orderdate").cast("date")).alias("birth_date"))
-    )
-    claims = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(part, lineitem.l_partkey == part.p_partkey)
-        .select(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("claim_id"),
-            F.col("o_custkey").alias("member_id"),
-            F.col("l_shipdate").cast("date").alias("service_date"),
-            F.upper("p_brand").alias("proc_code"),
+
+def _gap_inputs(spark: SparkSession, sf_dir: str):
+    """The datamart's two STAGING relations (member spine, typed claim
+    lines) + the code seed. members/claims are SESSION-CACHED (the
+    ``_supplier_matches`` convention): in the registry DAG these are
+    materialized staging models every mart reads; standalone, a dozen
+    gap/claims queries each re-ran the customer⋈orders spine build and
+    the lineitem⋈orders⋈part 3-way join before this cache."""
+
+    def build_members():
+        customer = load(spark, sf_dir, "customer")
+        orders = load(spark, sf_dir, "orders")
+        # member spine: birth_date ≈ first order date (left join keeps
+        # order-less customers with NULL birth_date → NOT-QUALIFIED)
+        return (
+            customer.join(
+                orders, customer.c_custkey == orders.o_custkey, "left"
+            )
+            .groupBy(customer.c_custkey.alias("member_id"))
+            .agg(F.min(F.col("o_orderdate").cast("date")).alias("birth_date"))
         )
+
+    def build_claims():
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part")
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(part, lineitem.l_partkey == part.p_partkey)
+            .select(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                    "claim_id"
+                ),
+                F.col("o_custkey").alias("member_id"),
+                F.col("l_shipdate").cast("date").alias("service_date"),
+                F.upper("p_brand").alias("proc_code"),
+            )
+        )
+
+    members = _session_cached(
+        _GAP_INPUT_CACHE, spark, (sf_dir, "members"), build_members
+    )
+    claims = _session_cached(
+        _GAP_INPUT_CACHE, spark, (sf_dir, "claims"), build_claims
     )
     codes = spark.createDataFrame(GAP_CODES, "code string, evidence_type string")
     return members, claims, codes
@@ -425,13 +449,12 @@ def q_fct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     a groupBy over the 4 grain columns with max(flag) — same hash as the
     5-wide DISTINCT (the flag is functionally dependent on proc_code)
     with one fewer column through the shuffle, and robust if a future
-    flag source ever disagreed within a grain."""
-    _, flagged = _screening_flagged_claims(spark, sf_dir)
-    grain = flagged.groupBy(
-        "claim_id", "member_id", "service_date", "proc_code"
-    ).agg(
-        F.max(F.coalesce("is_screening", F.lit(0))).alias("is_screening")
-    )
+    flag source ever disagreed within a grain. Reads the session's
+    shared deduped grain (``_claim_grain`` — the flag is functionally
+    dependent on proc_code, so the 5-wide DISTINCT grain is row-for-row
+    the groupBy/max grain, the equivalence this docstring already
+    relied on for the hash)."""
+    grain = _claim_grain(spark, sf_dir)
     return grain.select(
         surrogate_key(
             F.col("claim_id"),
@@ -479,20 +502,12 @@ def q_member_cost_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     further exchange (measured: 2.16s → 1.68s at sf0.1, one fewer
     Exchange in the executed plan; at scale it halves the shuffle
     passes over the claims fact). In the registry DAG the same effect
-    comes from fct_claims being TABLE-materialized; this standalone
-    query recomputes from the scan, so it pays the dedup inline."""
-    members, flagged = _screening_flagged_claims(spark, sf_dir)
-    grain = (
-        flagged.repartition("member_id")
-        .select(
-            "claim_id",
-            "member_id",
-            "service_date",
-            "proc_code",
-            F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
-        )
-        .distinct()
-    )
+    comes from fct_claims being TABLE-materialized; the session's
+    shared deduped grain (``_claim_grain`` — the IDENTICAL
+    construction, repartition + 5-wide DISTINCT) now plays that role
+    for the standalone queries too."""
+    members, _ = _screening_flagged_claims(spark, sf_dir)
+    grain = _claim_grain(spark, sf_dir)
     per = grain.groupBy("member_id").agg(
         F.count(F.lit(1)).alias("n_claim_lines"),
         F.sum("is_screening").alias("n_screening_lines"),
@@ -891,7 +906,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import ivf_topk
 
     return ivf_topk(
-        load(spark, sf_dir, "embeddings"),
+        load_spread(spark, sf_dir, "embeddings"),
         query_id=0,
         k=10,
         n_centroids=8,
@@ -911,7 +926,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import semantic_dedup
 
     return semantic_dedup(
-        load(spark, sf_dir, "embeddings"),
+        load_spread(spark, sf_dir, "embeddings"),
         _trained_centroids(spark, sf_dir, k=8, n_iter=2),
         threshold=0.4,
     )
@@ -947,7 +962,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import pq_encode_report
 
     return pq_encode_report(
-        load(spark, sf_dir, "embeddings"), m=8, k=16,
+        load_spread(spark, sf_dir, "embeddings"), m=8, k=16,
         codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
     )
 
@@ -962,7 +977,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import pq_topk
 
     return pq_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16,
+        load_spread(spark, sf_dir, "embeddings"), query_id=0, k=10, m=8, n_codes=16,
         codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
     )
 
@@ -976,7 +991,7 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import pq_rerank
 
     return pq_rerank(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=30,
+        load_spread(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=30,
         m=8, n_codes=16,
         codebooks=_trained_pq_books(spark, sf_dir, m=8, k=16, n_iter=2),
     )
@@ -995,7 +1010,7 @@ def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.similarity import ivfadc_topk
 
     return ivfadc_topk(
-        load(spark, sf_dir, "embeddings"),
+        load_spread(spark, sf_dir, "embeddings"),
         query_id=0, k=10, shortlist=30, n_centroids=8, nprobe=2,
         m=8, n_codes=16,
         centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
@@ -1586,6 +1601,9 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_labels(spark, sf_dir)
 
 
+_CLAIMS_CACHE: dict = {}
+
+
 def _claim_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduped claim-line grain (fct_claims' at-least-once rule).
 
@@ -1594,15 +1612,27 @@ def _claim_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's grouping key (claim_rollups groups by (header, member),
     member_enrollment by member), so the single explicit hash exchange
     satisfies the distribution of the dedup and the downstream rollup —
-    the claims fact crosses the network once per query, not twice."""
-    _, flagged = _screening_flagged_claims(spark, sf_dir)
-    return flagged.repartition("member_id").select(
-        "claim_id",
-        "member_id",
-        "service_date",
-        "proc_code",
-        F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
-    ).distinct()
+    the claims fact crosses the network once per query, not twice.
+
+    SESSION-CACHED (the ``_supplier_matches`` convention): this is the
+    marts' shared upstream — in the registry DAG the same role is
+    played by the TABLE-materialized fct_claims, which every mart
+    reads instead of re-scanning claim lines; the cache gives the
+    standalone queries the identical build-once/read-many shape
+    (claim_rollups, claim_status, member_enrollment,
+    member_cost_summary, fct_claims all consume it)."""
+
+    def build():
+        _, flagged = _screening_flagged_claims(spark, sf_dir)
+        return flagged.repartition("member_id").select(
+            "claim_id",
+            "member_id",
+            "service_date",
+            "proc_code",
+            F.coalesce("is_screening", F.lit(0)).alias("is_screening"),
+        ).distinct()
+
+    return _session_cached(_CLAIMS_CACHE, spark, sf_dir, build)
 
 
 def q_claim_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3481,20 +3511,12 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the result bit-exact under any partitioning, so the oracle
     replays the three rounds as unrolled CTEs and the driver gets a
     full hash gate (the kmeans_cells/bpe_merges pattern)."""
-    from ..llmops.dedup import (
-        candidate_pairs,
-        jaccard_pairs,
-        lsh_band_buckets,
-        minhash_signatures,
-    )
     from ..llmops.graph import pagerank_fixedpoint, undirected_edges
 
-    docs = load_spread(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, n_shingle=3)
-    pairs = candidate_pairs(lsh_band_buckets(sigs, "doc_id", 8, 2), "doc_id")
-    verified = jaccard_pairs(
-        pairs, docs, "text", "doc_id", threshold=0.4, n_shingle=3
-    )
+    # the session's shared verified pair table (identical construction:
+    # spread docs → 8 hashes → 4 bands × 2 → Jaccard ≥ 0.4) — the walk
+    # previously re-ran the whole LSH pipeline per execution
+    verified = _near_dup_verified(spark, sf_dir)
     ranks = pagerank_fixedpoint(
         undirected_edges(verified.select("id_a", "id_b")), n_iter=3
     )

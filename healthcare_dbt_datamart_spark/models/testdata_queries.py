@@ -3517,8 +3517,15 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread docs → 8 hashes → 4 bands × 2 → Jaccard ≥ 0.4) — the walk
     # previously re-ran the whole LSH pipeline per execution
     verified = _near_dup_verified(spark, sf_dir)
+    # checkpoint_every = n_iter: ONE lineage cut at the final round —
+    # the 3-round chain has no per-round collects/broadcasts (unlike
+    # the Elo/BT loops, where fusing re-executes lineage per round), so
+    # the intermediate eager materializations were 2 extra jobs for a
+    # depth-3 plan (measured 2.3-3.8 s → 1.6-1.9 s); bit-identical
+    # (integer sums, truncation parity is pytest-pinned)
     ranks = pagerank_fixedpoint(
-        undirected_edges(verified.select("id_a", "id_b")), n_iter=3
+        undirected_edges(verified.select("id_a", "id_b")), n_iter=3,
+        checkpoint_every=3,
     )
     return ranks.select(
         F.col("id").alias("doc_id"),
@@ -4381,22 +4388,19 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.graph import personalized_pagerank, undirected_edges
 
     verified = _near_dup_verified(spark, sf_dir)
-    # persist: the edge relation feeds BOTH the seed collect and the
-    # walk's own per-round scans — without the cache the map over the
-    # (persisted) pair table would re-run per consumer
-    edges = undirected_edges(verified.select("id_a", "id_b")).persist()
+    # no query-level persist: edges are one cheap map over the
+    # session-cached verified pair table, and the walk persists its own
+    # typed edge relation internally — the extra persist+materialize
+    # here was a redundant job on top of the family cache
+    edges = undirected_edges(verified.select("id_a", "id_b"))
     seed = str(
         edges.select(F.least("src", "dst").alias("m"))
         .agg(F.min("m"))
         .collect()[0][0]
     )
-    out = personalized_pagerank(edges, [seed], n_iter=3).select(
+    return personalized_pagerank(edges, [seed], n_iter=3).select(
         F.col("id").cast("bigint").alias("doc_id"), "rank_fp"
     )
-    # the returned ranks are checkpointed by the walk's lineage cuts,
-    # so the edge cache can be released immediately
-    edges.unpersist()
-    return out
 
 
 def q_leaderboard_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

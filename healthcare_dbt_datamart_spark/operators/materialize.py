@@ -114,6 +114,20 @@ def materialize_table(
         df = zorder_cluster(df, *zorder_by)
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    if partition_by and not (bucket_by or cluster_by or zorder_by):
+        # REBALANCE on the partition key before a hive-partitioned write:
+        # without it every write task emits a file into every directory
+        # (tasks × partitions small files — slow commit, slow downstream
+        # listing); with it each directory is written by as few tasks as
+        # its size needs. AQE's rebalance both coalesces small partition
+        # values and SPLITS oversized ones, so one giant partition value
+        # does not serialize onto a single reducer. Row content is
+        # untouched — layout only. SKIPPED when a sort/bucket layout is
+        # also declared: the rebalance shuffle would silently destroy the
+        # cluster_by/zorder_by row order (and a bucketed write already
+        # groups rows by bucket), the exact silent-layout-loss failure
+        # this function exists to prevent (round-12 ADVICE).
+        df = df.hint("rebalance", *partition_by)
     writer = df.write.mode("overwrite").format("parquet")
     if bucket_by:
         n, cols = bucket_by
@@ -128,16 +142,6 @@ def materialize_table(
         # would wedge the CTAS with LOCATION_ALREADY_EXISTS forever.
         if not _table_exists(spark, name):
             _drop_stale_location(spark, name)
-        # REBALANCE on the partition key before a hive-partitioned write:
-        # without it every write task emits a file into every directory
-        # (tasks × partitions small files — slow commit, slow downstream
-        # listing); with it each directory is written by as few tasks as
-        # its size needs. AQE's rebalance both coalesces small partition
-        # values and SPLITS oversized ones, so one giant partition value
-        # does not serialize onto a single reducer. Row content is
-        # untouched — layout only.
-        df = df.hint("rebalance", *partition_by)
-        writer = df.write.mode("overwrite").format("parquet")
         writer.partitionBy(*partition_by).saveAsTable(name)
         return
     import os.path

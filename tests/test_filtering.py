@@ -5913,3 +5913,79 @@ def test_winsorize_scores_order_stat_bounds_and_replays(spark):
         )
     with _pt.raises(ValueError, match="lo_pct"):
         winsorize_scores(df, "v", "id", lo_pct=50, hi_pct=50)
+
+
+def test_elo_all_self_period_skips_empty_round_bitwise(spark):
+    """A period holding ONLY self-matches (w == l, dropped by the
+    bradley_terry convention) schedules no loop round at all — the
+    calendar counts non-self rows per period — and the ratings are
+    bit-for-bit what the log WITHOUT those rows produces (an empty
+    round is the identity update). Covers elo_ratings and elo_boards."""
+    from healthcare_dbt_datamart_spark.llmops.preferences import (
+        elo_boards,
+        elo_ratings,
+    )
+
+    real = [
+        ("a", "b", 0), ("b", "c", 0), ("c", "a", 2),
+        ("a", "c", 2), ("b", "a", 2),
+    ]
+    selfy = [("a", "a", 1), ("b", "b", 1), ("c", "c", 1)]
+    schema = "winner_id string, loser_id string, period long"
+    with_self = spark.createDataFrame(real + selfy, schema)
+    without = spark.createDataFrame(real, schema)
+
+    got = {r.item: tuple(r) for r in elo_ratings(with_self, k=32).collect()}
+    want = {r.item: tuple(r) for r in elo_ratings(without, k=32).collect()}
+    assert got == want
+
+    got_b = {
+        r.item: tuple(r)
+        for r in elo_boards(with_self, ks=(16, 32)).collect()
+    }
+    want_b = {
+        r.item: tuple(r) for r in elo_boards(without, ks=(16, 32)).collect()
+    }
+    assert got_b == want_b
+
+    # the validation still fires on a NULL hiding in the all-self period
+    import pytest
+
+    poisoned = spark.createDataFrame(
+        real + [("a", None, 1)], schema
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        elo_ratings(poisoned, k=32).collect()
+
+
+def test_rasch_fit_reliable_checkpoint_parity(spark, tmp_path):
+    """rasch_fit honors the fault-tolerance contract end to end: with
+    reliable=True every lineage cut (the setup frame included) goes
+    through checkpoint() to the reliable dir, results bit-identical to
+    the localCheckpoint default; without a checkpoint dir it raises up
+    front."""
+    import pytest
+
+    from healthcare_dbt_datamart_spark.llmops.preferences import rasch_fit
+
+    rows = [
+        (f"i{i}", f"r{r}", 1 if (2 * r - i + ((i * 7 + r * 3) % 3) - 1) > 0 else 0)
+        for r in range(3)
+        for i in range(6)
+    ]
+    votes = spark.createDataFrame(rows, ["item_id", "annotator_id", "correct"])
+    base = {
+        (r.kind, r.key): (r.n_votes, r.estimate)
+        for r in rasch_fit(votes, n_iter=3).collect()
+    }
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            rasch_fit(votes, n_iter=1, reliable=True).collect()
+        sc.setCheckpointDir(str(tmp_path / "ckpt_rasch"))
+    rel = {
+        (r.kind, r.key): (r.n_votes, r.estimate)
+        for r in rasch_fit(votes, n_iter=3, reliable=True).collect()
+    }
+    assert rel == base

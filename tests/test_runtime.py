@@ -2890,3 +2890,58 @@ def test_bradley_terry_pre_collapsed_parity_bitwise(spark):
         assert (r["wins2"], r["comparisons2"], r["rating_fp"]) == (
             g["wins2"], g["comparisons2"], g["rating_fp"],
         )
+
+
+def test_materialize_partition_by_keeps_bucket_and_sort_layouts(spark):
+    """partition_by combined with bucket_by must still write BUCKETED
+    parquet (the silent-layout-loss regression round-12 ADVICE flagged:
+    the rebalance hint rebuilt the writer and dropped bucketBy/sortBy).
+    The pre-write rebalance now applies ONLY to plain partition_by
+    writes, where no declared row order exists to destroy."""
+    df = _df(
+        spark,
+        [(i % 3, i, float(i)) for i in range(30)],
+        "p long, k long, v double",
+    )
+    mat.materialize_table(
+        spark, "t_pb", df, partition_by=["p"], bucket_by=(4, ["k"])
+    )
+    spec = mat._bucket_spec(spark, "t_pb")
+    assert spec is not None and spec[0] == 4 and spec[1] == ["k"]
+    parts = [c.name for c in spark.catalog.listColumns("t_pb") if c.isPartition]
+    assert parts == ["p"]
+    assert spark.table("t_pb").count() == 30
+
+    # plain partition_by (the rebalance path): same rows, same layout
+    mat.materialize_table(spark, "t_pp", df, partition_by=["p"])
+    assert spark.table("t_pp").count() == 30
+    assert sorted(
+        r.p for r in spark.table("t_pp").select("p").distinct().collect()
+    ) == [0, 1, 2]
+
+    # cluster_by + partition_by: the range-sort layout is the declared
+    # contract — the writer must not inject a post-sort rebalance
+    mat.materialize_table(
+        spark, "t_pc", df, partition_by=["p"], cluster_by=["k"]
+    )
+    assert spark.table("t_pc").count() == 30
+
+
+def test_fct_claims_grain_unique_on_testdata(spark):
+    """The 4-column grain of fct_claims is UNIQUE on the deterministic
+    testdata — the invariant that makes the shared 5-wide DISTINCT
+    _claim_grain row-for-row identical to the old groupBy(grain)+
+    max(is_screening) collapse (round-12 ADVICE asked for exactly this
+    guard on the fact's grain)."""
+    from healthcare_dbt_datamart_spark.models.testdata_queries import (
+        q_fct_claims,
+    )
+
+    fct = q_fct_claims(spark, "/root/testdata/sf0.001")
+    dup = (
+        fct.groupBy("claim_id", "member_id", "service_date", "proc_code")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0

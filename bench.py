@@ -46,7 +46,20 @@ def main() -> None:
         # the bloom bitset build + bit-test probe compile codegen no other
         # query shape covers (instr-hex arithmetic, element_at bit tests)
         "bloom_prefilter",
+        # the leaderboard family's one-time session build (supplier match
+        # log -> pair-period collapse -> BT + dual-k Elo fits). Every
+        # round since the warm convention existed excluded this build
+        # from the timed region because the family's build-payer sat in
+        # the dict-leader slot (warmed twice); the round-13 window
+        # rotation moved the leader elsewhere, which would silently
+        # relocate ~15 s of one-time build INTO two queries' timed slots
+        # and destroy round-over-round comparability. Warming kendall_tau
+        # (it transitively builds all four family caches) keeps the
+        # timed boundary IDENTICAL to rounds 7-12; warmup_sec below
+        # accounts the excluded work instead of hiding it.
+        "kendall_tau",
     ]
+    w0 = time.perf_counter()
     for wname in dict.fromkeys(warm):
         if wname in qs:
             qs[wname](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -57,6 +70,11 @@ def main() -> None:
     # steady state. One extra warm pass makes the leader's timed number
     # third-execution, comparable to the rest of the inventory.
     qs[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup_sec makes the UNTIMED region visible: any one-time family
+    # build (session caches, quantizer fits) a warm query triggers is
+    # excluded from the per-query numbers but accounted here, so the
+    # timed boundary is auditable instead of silent.
+    warmup_sec = round(time.perf_counter() - w0, 3)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -71,6 +89,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warmup_sec": warmup_sec,
     }))
 
 

@@ -240,11 +240,17 @@ def personalized_pagerank(
     — associative integer sums, bit-exact under any partitioning,
     unrollable into SQL. The walk starts AT the restart distribution
     (all mass on seeds), so few rounds already separate reachable from
-    unreachable. Per round: one join of ranks onto the persisted
-    edge×degree relation + one partial-agg groupBy + a left-join back
-    to the node frame (nodes with no inbound flow this round keep only
-    their seed mass — non-seeds go to 0, the PPR semantic that plain
-    PageRank's teleport hides). Same overflow bound as the plain
+    unreachable. Per round: ONE join of ranks onto the persisted
+    edge×degree relation + one partial-agg groupBy; the constant seed
+    mass rides the same aggregation as |S| tagged union rows instead of
+    a per-round left-join against the node universe (guide §2.4 — that
+    join shuffled every node id every round for a value that never
+    changes). The loop therefore carries only the SUPPORT of the rank
+    vector (seeds + nodes with inbound flow); a zero-rank node
+    contributes exactly 0 downstream, so dropping its row changes no
+    sum, and the full universe is re-joined ONCE after the loop to emit
+    the rank-0 rows (non-seeds with no inflow — the PPR semantic that
+    plain PageRank's teleport hides). Same overflow bound as the plain
     operator.
 
     ``seeds`` is bounded driver model state (the operator's point: a
@@ -293,34 +299,54 @@ def personalized_pagerank(
     pre = e.join(deg, "src").persist()
     pre.count()
     e.unpersist()
-    is_seed = F.col("id").isin(seed_list)
-    ranks = nodes.select(
-        "id",
-        F.when(is_seed, F.lit(int(t_seed))).otherwise(F.lit(0))
-        .cast("long").alias("r"),
-    )
     d = int(damping_pct)
+    # |S| bounded driver rows: the constant restart mass, re-injected
+    # each round through the SAME aggregation as the edge flow (cf_/cs_
+    # columns keep the damping exact: rank = seed + (d·Σflow) div 100,
+    # never a second rounding)
+    seed_rows = edges.sparkSession.createDataFrame(
+        [(s,) for s in seed_list], "dst string"
+    ).select(
+        "dst",
+        F.lit(0).cast("long").alias("cf"),
+        F.lit(int(t_seed)).cast("long").alias("cs"),
+    )
+    # round 0's restart distribution: all mass on the seeds — the
+    # support-only invariant starts here (zero-rank rows are absent)
+    ranks = seed_rows.select(
+        F.col("dst").alias("id"), F.col("cs").alias("r")
+    )
     for rnd in range(int(n_iter)):
-        contribs = (
+        flow = (
             pre.join(ranks, pre["src"] == ranks["id"])
-            .select("dst", F.expr("r div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
+            .select(
+                "dst",
+                F.expr("r div deg").alias("cf"),
+                F.lit(0).cast("long").alias("cs"),
+            )
+            .unionByName(seed_rows)
         )
         ranks = (
-            nodes.join(
-                contribs.withColumnsRenamed({"dst": "id"}), "id", "left"
-            )
+            flow.groupBy("dst")
+            .agg(F.sum("cf").alias("s"), F.sum("cs").alias("sm"))
             .select(
-                "id",
-                (
-                    F.when(is_seed, F.lit(int(t_seed)))
-                    .otherwise(F.lit(0)).cast("long")
-                    + F.expr(f"({d} * coalesce(s, 0)) div 100")
-                ).alias("r"),
+                F.col("dst").alias("id"),
+                (F.col("sm") + F.expr(f"({d} * s) div 100")).alias("r"),
             )
         )
         ranks = truncate_lineage(ranks, rnd, reliable, checkpoint_every)
+    # ONE universe join total (vs one per round): emit rank-0 rows for
+    # unreachable non-seeds, then cut so the returned plan reads a
+    # bounded materialization instead of re-deriving nodes/pre after
+    # their unpersist below
+    out = (
+        nodes.join(ranks, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("r"), F.lit(0).cast("long")).alias("rank_fp"),
+        )
+    )
+    out = truncate_lineage(out, 0, reliable, 1)
     pre.unpersist()
     nodes.unpersist()
-    return ranks.select("id", F.col("r").alias("rank_fp"))
+    return out

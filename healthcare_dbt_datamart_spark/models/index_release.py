@@ -223,6 +223,12 @@ def build_index_scorecard(
 
     @r.model()
     def ann_results(ctx):
+        # |panel|·k rows — materialize ONCE: judged_pool references this
+        # frame twice (hits + anti-join misses) and the terminal gate
+        # references the pool twice (retrieval_metrics + ndcg); as a
+        # bare view each reference re-ran the whole probe scan (guide
+        # §1.2 — the similarity.py "k rows; materialize before release"
+        # convention applied at the DAG layer)
         idx = ctx.ref("ann_index")
         return ivf_topk_batch(
             idx,
@@ -231,13 +237,16 @@ def build_index_scorecard(
             nprobe=NPROBE,
             centroids=_state["centroids"],
             assigned=idx,
-        )
+        ).localCheckpoint(eager=True)
 
     @r.model()
     def brute_topk(ctx):
+        # |panel|·k rows — the exact-oracle scan runs ONCE per release
+        # instead of once per downstream reference (same reasoning as
+        # ann_results; the full-corpus cosine scan is the expensive part)
         return cosine_topk_batch(
             ctx.ref("stg_vectors"), query_ids, k=K_EVAL
-        )
+        ).localCheckpoint(eager=True)
 
     @r.model()
     def judged_pool(ctx):

@@ -44,7 +44,28 @@ from .gap_pipeline import GapParams, fct_gap_exceptions, gap_status, gap_tri_sta
 # shared helpers
 # ---------------------------------------------------------------------------
 
+# Resolved-scan memo: spark.read.parquet eagerly lists the directory and
+# reads the footer schema (~80-95 ms measured per call on this host), and
+# a 200-query bench session re-pays that for every query touching the
+# same 10 tables. Memoize the RESOLVED DataFrame per (sf_dir, table,
+# session) — guide §1.2's "don't redo identical work", applied to plan
+# construction. NO persist() and no data caching: the DataFrame object
+# only carries the analyzed scan relation, every action still reads the
+# parquet from disk. Keyed like _session_cached (id-reuse safe).
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    full = ((sf_dir, name), id(spark))
+    hit = _LOAD_CACHE.get(full)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load_fresh(spark, sf_dir, name)
+    _LOAD_CACHE[full] = (spark, df)
+    return df
+
+
+def _load_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
@@ -76,11 +97,28 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     minhash/simhash family). NOT used for scan-bound queries, Python
     worker paths (mapInPandas — per-partition worker startup dominates),
     or queries that driver-collect tiny model state first. On a real
-    cluster with multi-row-group files the scan splits naturally and this
-    fan-out merely re-balances."""
-    return load(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cluster with multi-row-group files the scan splits naturally — so the
+    fan-out is GATED on the planned scan parallelism: only when the scan
+    yields fewer splits than the executor cores is the repartition added
+    (guide §2.4: at 100 TB an unconditional repartition would be a pure
+    extra full shuffle of the corpus bytes before map-only work). The
+    split count comes from the physical scan's partitioning, computed
+    once per (table, session) and memoized alongside the scan itself."""
+    base = load(spark, sf_dir, name)
+    full = ((sf_dir, name), id(spark))
+    hit = _SPREAD_CACHE.get(full)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        df = base.repartition(par)
+    else:
+        df = base
+    _SPREAD_CACHE[full] = (spark, df)
+    return df
+
+
+_SPREAD_CACHE: dict = {}
 
 
 # The COL code set recast onto part brands (FIXTURES.md §B role mapping).
@@ -886,6 +924,25 @@ def _bm25_board15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_board10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED IVF(nprobe=2) top-10 board for vec_id=0 — the
+    approximate twin of ``_cosine_board10``: ``ivf_topk`` publishes it,
+    ``rbo`` grades it against the exact board. Same session-cached
+    serving-artifact convention; the construction is byte-for-byte the
+    standalone ``q_ivf_topk`` call (load_spread input, the session's
+    train-once quantizer — layout-invariance is property-tested)."""
+    from ..llmops.similarity import ivf_topk
+
+    return _session_cached(
+        _BOARD_CACHE, spark, (sf_dir, "ivf10"),
+        lambda: ivf_topk(
+            load_spread(spark, sf_dir, "embeddings"),
+            query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2,
+            centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
+        ),
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against vec_id=0 (exact ANN baseline).
     Publishes the session's shared board (``_cosine_board10``)."""
@@ -936,18 +993,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning on a cell-partitioned table). The quantizer comes from the
     session's train-once cache (shared with q_kmeans_cells — the
     index-build/probe split of a real ANN deployment); the oracle unrolls
-    the same 2 Lloyd rounds in SQL."""
-    from ..llmops.similarity import ivf_topk
-
-    return ivf_topk(
-        load_spread(spark, sf_dir, "embeddings"),
-        query_id=0,
-        k=10,
-        n_centroids=8,
-        nprobe=2,
-        n_iter=2,
-        centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
-    )
+    the same 2 Lloyd rounds in SQL. Publishes the session's shared
+    approximate board (``_ivf_board10`` — the ``_cosine_board10``
+    convention; ``rbo`` grades this exact ranking)."""
+    return _ivf_board10(spark, sf_dir)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4569,11 +4618,11 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes the two PROVEN board oracles (incl. the unrolled Lloyd
     fit). Pre-proven at driver shape in tests/test_round12_replays.py."""
     from ..llmops.evaluation import rbo
-    from ..llmops.similarity import ivf_topk
 
-    emb = load(spark, sf_dir, "embeddings")
-    # the session's published exact board (shared with cosine_topk /
-    # rrf_fuse — the _cosine_board10 convention)
+    # the session's published boards (shared with cosine_topk /
+    # ivf_topk / rrf_fuse — the _cosine_board10 convention): grading
+    # the SAME rankings the serving session published, instead of
+    # re-running a private persist+assign+probe pipeline per execution
     exact = _cosine_board10(spark, sf_dir).select(
         F.col("vec_id").alias("item"),
         F.row_number()
@@ -4581,13 +4630,7 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ra"),
     )
-    approx = ivf_topk(
-        emb, query_id=0, k=10, n_centroids=8, nprobe=2, n_iter=2,
-        # the session's train-once coarse quantizer (identical fit:
-        # kmeans_lloyd(k=8, n_iter=2) over the same embeddings) — the
-        # internal re-fit was a duplicate 2-round Lloyd per execution
-        centroids=_trained_centroids(spark, sf_dir, k=8, n_iter=2),
-    ).select(
+    approx = _ivf_board10(spark, sf_dir).select(
         F.col("vec_id").alias("item"),
         F.row_number()
         .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
@@ -5030,20 +5073,14 @@ def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotation plan reserves <= 6 new-operator slots). Locally they carry
 # the same evidence as everything else on arrival: oracle-green at
 # sf0.001/0.01/0.1 and across all fetch/session modes.
-# The round-11 scheduled cohort (kendall_tau, gopher_rules,
-# mcnemar_test, rbo, leakage_safe_split, c4_line_filter) entered the
-# round-12 window and gets its first driver rows; THIS is the round-12
-# scheduled cohort — the round-14 pre-proof file's six, every body +
-# oracle PRE-PROVEN hash-green at driver shape in
-# tests/test_round14_replays.py and re-proven at promotion time.
-SCHEDULED_NEXT_WINDOW = [
-    "spearman_rho",
-    "distinct_n",
-    "wilson_from_pairs",
-    "roc_auc_by_group",
-    "calibration_by_group",
-    "source_data_card",
-]
+# The round-12 scheduled cohort (spearman_rho, distinct_n,
+# wilson_from_pairs, roc_auc_by_group, calibration_by_group,
+# source_data_card) entered the round-13 window and gets its first
+# driver rows. EMPTY this round: round 13 is an optimization round —
+# no new operators are born, so nothing is scheduled ahead; the next
+# build round's promotions (the round-15/16/17 pre-proof stock below)
+# re-fill this list when they land.
+SCHEDULED_NEXT_WINDOW: list = []
 # PROMOTION QUEUE (audit_window + SCHEDULED_NEXT_WINDOW are the machine
 # contract; this prose is a POINTER, not a ledger — pruned each round).
 # Round 12 drained the backlog per the round-11 verdict: the ELEVEN
@@ -5079,31 +5116,76 @@ SCHEDULED_NEXT_WINDOW = [
 # strongest gate).
 
 QUERIES = {
-    # === ROUND-12 WINDOW (first 50 keys = the driver's correctness gate) ==
+    # === ROUND-13 WINDOW (first 50 keys = the driver's correctness gate) ==
     #
-    # Rotation executed per the round-11 verdict contract (machine-checked
-    # by tools/audit_window.py): the 6 SCHEDULED promotions from round 11
-    # lead; the 11-query round-13 pre-proof cohort promotes straight into
-    # the window (backlog drain, verdict item 4a/4b); the 12 strict round-9
-    # greens are at their cycle-4 cadence deadline; the 11 settled round-6
-    # and 10 settled round-7 greens rotate the oldest settled evidence.
-    # 6 + 11 + 12 + 11 + 10 = 50 exactly. Everything else sits safely
-    # under its allowance (cycle stays 4 at 200 queries).
-    # -- (0) first driver rows: the round-11 scheduled cohort (contract:
-    #    MUST lead — tools/audit_window.py). kendall_tau runs FIRST in
-    #    the leaderboard family, so it pays the one-time supplier
-    #    match-log + pair-period collapse + both rating fits; the
-    #    family queries below the window read the session caches. ------
+    # Rotation executed per the round-12 verdict contract (machine-checked
+    # by tools/audit_window.py): the 6 SCHEDULED round-12 promotions lead
+    # (first driver rows); the 12 round-8 greens are at their strict
+    # cycle-4 cadence deadline (age 5); the 32 oldest round-9 greens
+    # rotate next (the 6 round-9 greens left out are settled tier,
+    # allowance 8 — safely under). 6 + 12 + 32 = 50 exactly.
+    # -- (0) first driver rows: the round-12 scheduled cohort (contract:
+    #    MUST lead — tools/audit_window.py) ------
+    "spearman_rho": q_spearman_rho,
+    "distinct_n": q_distinct_n,
+    "wilson_from_pairs": q_wilson_from_pairs,
+    "roc_auc_by_group": q_roc_auc_by_group,
+    "calibration_by_group": q_calibration_by_group,
+    "source_data_card": q_source_data_card,
+    # -- (1) round-8 evidence at the strict cadence deadline ------
+    "accepted_values_returnflag": q_accepted_values_returnflag,
+    "bpe_token_count": q_bpe_token_count,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_label": q_cosine_topk_label,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "microbatch_events": q_microbatch_events,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "relationships_test": q_relationships_test,
+    "scd2_customers": q_scd2_customers,
+    "simhash_docs": q_simhash_docs,
+    "window_best_order": q_window_best_order,
+    # -- (2) oldest round-9 evidence ------
+    "bigram_pmi": q_bigram_pmi,
+    "brand_size_revenue": q_brand_size_revenue,
+    "clean_docs": q_clean_docs,
+    "cross_source_dups": q_cross_source_dups,
+    "customer_order_running": q_customer_order_running,
+    "dim_member": q_dim_member,
+    "embedding_quantize": q_embedding_quantize,
+    "event_funnel": q_event_funnel,
+    "events_asof_error": q_events_asof_error,
+    "events_follow_error": q_events_follow_error,
+    "events_json": q_events_json,
+    "events_sliding": q_events_sliding,
+    "gap_status_excl": q_gap_status_excl,
+    "idle_rich_customers": q_idle_rich_customers,
+    "mixture_sample": q_mixture_sample,
+    "multimodal_features": q_multimodal_features,
+    "order_count_distribution": q_order_count_distribution,
+    "pack_docs": q_pack_docs,
+    "pq_topk": q_pq_topk,
+    "price_histogram": q_price_histogram,
+    "priority_status_pivot": q_priority_status_pivot,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "quantiles_price": q_quantiles_price,
+    "repetition_docs": q_repetition_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "scd2_check_customers": q_scd2_check_customers,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "stats_profile": q_stats_profile,
+    "stg_claim_lines": q_stg_claim_lines,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "unigram_logprob": q_unigram_logprob,
+    "union_all_tagged": q_union_all_tagged,
+    # === BELOW THE WINDOW (driver-green in recent rounds; next rotation
+    #     re-schedules by evidence age — tools/audit_window.py) ==
     "kendall_tau": q_kendall_tau,
     "gopher_rules": q_gopher_rules,
     "mcnemar_test": q_mcnemar_test,
     "rbo": q_rbo,
     "leakage_safe_split": q_leakage_safe_split,
     "c4_line_filter": q_c4_line_filter,
-    # -- (1) the round-12 promotion cohort — the round-13 pre-proof file
-    #    promoted straight into the window (the round-11 verdict's
-    #    backlog-drain order); every body + oracle re-proven at
-    #    promotion time (tests/test_round13_replays.py) ------
     "levenshtein_pairs": q_levenshtein_pairs,
     "chrf_report": q_chrf_report,
     "min_k_prob": q_min_k_prob,
@@ -5115,8 +5197,6 @@ QUERIES = {
     "implicit_preference_pairs": q_implicit_preference_pairs,
     "weighted_consensus": q_weighted_consensus,
     "annotator_agreement": q_annotator_agreement,
-    # -- (2) round-9 green, strict tier, at their cycle-4 cadence deadline
-    #    (age 4 at round-13 judging): all 12 MUST re-enter ------
     "roc_auc": q_roc_auc,
     "calibration_report": q_calibration_report,
     "dawid_skene": q_dawid_skene,
@@ -5129,9 +5209,6 @@ QUERIES = {
     "product_type_profit": q_product_type_profit,
     "ship_delay_classes": q_ship_delay_classes,
     "pagerank_docs": q_pagerank_docs,
-    # -- (3) the 11 settled round-6 greens — the oldest settled evidence
-    #    in the inventory (age 7 of 8 at round-13 judging; riding now
-    #    clears the round-13 window for the scheduled cohort) ------
     "embedding_near_dup": q_embedding_near_dup,
     "gap_status": q_gap_status,
     "gap_violations": q_gap_violations,
@@ -5143,8 +5220,6 @@ QUERIES = {
     "codeset_semi_join": q_codeset_semi_join,
     "anti_join_customers": q_anti_join_customers,
     "unique_test_orders": q_unique_test_orders,
-    # -- (4) the 10 settled round-7 greens — next-oldest settled evidence
-    #    (age 6 of 8 at round-13 judging) ------
     "minhash_buckets": q_minhash_buckets,
     "langid_stopwords": q_langid_stopwords,
     "events_sessionize": q_events_sessionize,
@@ -5155,68 +5230,18 @@ QUERIES = {
     "hash_split": q_hash_split,
     "fct_claims": q_fct_claims,
     "ivf_topk": q_ivf_topk,
-    # === BELOW THE WINDOW =================================================
-    # -- (5) settled round-8 greens (age 5 of 8 — ride by round 15)) ------
-    "cosine_topk": q_cosine_topk,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "microbatch_events": q_microbatch_events,
-    "bpe_token_count": q_bpe_token_count,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "simhash_docs": q_simhash_docs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_topk_label": q_cosine_topk_label,
-    "scd2_customers": q_scd2_customers,
-    "accepted_values_returnflag": q_accepted_values_returnflag,
-    "relationships_test": q_relationships_test,
-    "window_best_order": q_window_best_order,
-    # -- (6) settled round-9 greens (age 4 of 8)) ------
-    "pq_topk": q_pq_topk,
-    "dim_member": q_dim_member,
-    "events_asof_error": q_events_asof_error,
-    "events_follow_error": q_events_follow_error,
-    "mixture_sample": q_mixture_sample,
-    "repetition_docs": q_repetition_docs,
-    "pack_docs": q_pack_docs,
-    "revenue_by_nation": q_revenue_by_nation,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "order_count_distribution": q_order_count_distribution,
-    "priority_status_pivot": q_priority_status_pivot,
-    "price_histogram": q_price_histogram,
-    "idle_rich_customers": q_idle_rich_customers,
-    "clean_docs": q_clean_docs,
-    "cross_source_dups": q_cross_source_dups,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "brand_size_revenue": q_brand_size_revenue,
-    "stats_profile": q_stats_profile,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "event_funnel": q_event_funnel,
-    "customer_order_running": q_customer_order_running,
-    "unigram_logprob": q_unigram_logprob,
-    "events_sliding": q_events_sliding,
-    "quantiles_price": q_quantiles_price,
-    "gap_status_excl": q_gap_status_excl,
-    "multimodal_features": q_multimodal_features,
-    "stg_claim_lines": q_stg_claim_lines,
-    "union_all_tagged": q_union_all_tagged,
-    "events_json": q_events_json,
-    "scd2_check_customers": q_scd2_check_customers,
-    "bigram_pmi": q_bigram_pmi,
     "vocab_ranked": q_vocab_ranked,
-    "embedding_quantize": q_embedding_quantize,
     "agg_any_bool": q_agg_any_bool,
     "nullsafe_join": q_nullsafe_join,
     "date_functions": q_date_functions,
     "events_hourly": q_events_hourly,
     "surrogate_keys": q_surrogate_keys,
-    # -- (7) round-10 green, strict tier (age 3 of 4 — MUST ride the
-    #    round-13 window at their cycle-4 deadline)) ------
     "bradley_terry": q_bradley_terry,
     "sketch_drift_report": q_sketch_drift_report,
     "bootstrap_ci": q_bootstrap_ci,
     "temperature_rebalance": q_temperature_rebalance,
     "logbucket_quantiles": q_logbucket_quantiles,
     "majority_vote": q_majority_vote,
-    # -- (8) settled round-10 greens (age 3 of 8)) ------
     "ccnet_buckets": q_ccnet_buckets,
     "bloom_prefilter": q_bloom_prefilter,
     "stratified_sample": q_stratified_sample,
@@ -5255,7 +5280,6 @@ QUERIES = {
     "listagg_nations": q_listagg_nations,
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
-    # -- (9) settled round-11 greens (age 2 of 8)) ------
     "pq_rerank": q_pq_rerank,
     "multimodal_decode": q_multimodal_decode,
     "datamart_dag": q_datamart_dag,
@@ -5288,7 +5312,6 @@ QUERIES = {
     "split_contamination": q_split_contamination,
     "dedup_keep_best": q_dedup_keep_best,
     "text_quality": q_text_quality,
-    # -- (10) round-11 green, strict tier (age 2 of 4; round-14 deadline)) ------
     "unimax_allocation": q_unimax_allocation,
     "conformal_report": q_conformal_report,
     "vocab_richness": q_vocab_richness,
@@ -5307,15 +5330,6 @@ QUERIES = {
     "chunk_text": q_chunk_text,
     "domain_concentration": q_domain_concentration,
     "ndcg_at_k": q_ndcg_at_k,
-    # -- (11) born AFTER the round-12 rotation (window at capacity) —
-    #    SCHEDULED to lead the round-13 window; `SCHEDULED_NEXT_WINDOW`
-    #    above is the machine-checked contract) ------
-    "spearman_rho": q_spearman_rho,
-    "distinct_n": q_distinct_n,
-    "wilson_from_pairs": q_wilson_from_pairs,
-    "roc_auc_by_group": q_roc_auc_by_group,
-    "calibration_by_group": q_calibration_by_group,
-    "source_data_card": q_source_data_card,
 }
 
 

@@ -2945,3 +2945,39 @@ def test_fct_claims_grain_unique_on_testdata(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_load_memo_and_spread_gate(spark, tmp_path):
+    """load() memoizes the RESOLVED scan per (sf_dir, table, session) —
+    plan-level reuse only, no persist — and load_spread() fans out ONLY
+    when the planned scan parallelism is below the executor cores: on
+    the single-row-group testdata it repartitions to defaultParallelism;
+    on an input whose scan already plans >= cores splits it returns the
+    scan untouched (no repartition Exchange at 100 TB)."""
+    from healthcare_dbt_datamart_spark.models import testdata_queries as tq
+
+    sf = "/root/testdata/sf0.001"
+    a = tq.load(spark, sf, "documents")
+    assert tq.load(spark, sf, "documents") is a  # memo hit
+    assert a.storageLevel.useMemory is False  # never persisted
+
+    par = spark.sparkContext.defaultParallelism
+    spread = tq.load_spread(spark, sf, "documents")
+    assert spread.rdd.getNumPartitions() == par  # 1-split file → fan-out
+    assert tq.load_spread(spark, sf, "documents") is spread  # memo hit
+
+    # multi-split input: shrink maxPartitionBytes so the same bytes plan
+    # >= par splits; the gate must return the bare scan (is-identity)
+    big = str(tmp_path / "sfmulti")
+    a.write.parquet(f"{big}/documents.parquet")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        base = tq.load(spark, big, "documents")
+        assert base.rdd.getNumPartitions() >= par
+        assert tq.load_spread(spark, big, "documents") is base
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)

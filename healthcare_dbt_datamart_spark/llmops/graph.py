@@ -281,11 +281,19 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
-    known = {
-        r.id
-        for r in nodes.filter(F.col("id").isin(seed_list)).collect()
-    }
+    # ONE job over the cached node frame for BOTH the node count and
+    # the seed-presence check (collect_set skips the non-seed NULLs, so
+    # the collected set is bounded at |S|) — the count-then-filter
+    # shape paid a second full pass over the universe for a bounded
+    # answer (guide §1.2)
+    row = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(
+            F.when(F.col("id").isin(seed_list), F.col("id"))
+        ).alias("ks"),
+    ).collect()[0]
+    n_nodes = int(row["n"])
+    known = set(row["ks"])
     missing = [s for s in seed_list if s not in known]
     if missing:
         raise ValueError(

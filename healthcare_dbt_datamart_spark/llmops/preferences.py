@@ -224,6 +224,13 @@ def bradley_terry_from_pairs(
     tot = pairs.groupBy("i").agg(
         F.sum("w2").alias("wins2"), F.sum("n2").alias("comparisons2")
     )
+    # materialize the bounded per-item totals ONCE while pairs is still
+    # cached: the returned plan joins tot AFTER pairs.unpersist(), so
+    # without this cut every consumer action re-executed the whole
+    # outcome/pair pipeline just to re-derive the totals (the elo
+    # `tot` fix, round-12 verdict item 6, applied to the BT twin).
+    # reliable-aware like every other cut; integer sums unchanged.
+    tot = truncate_lineage(tot, 0, reliable, 1)
     w_tot = tot.select("i", "wins2")
 
     s2 = scale * scale
@@ -1978,6 +1985,9 @@ def bradley_terry_ties(
             "comparisons2"
         ),
     )
+    # bounded totals cut once while pairs is cached — the returned plan
+    # joins tot after unpersist (see bradley_terry_from_pairs)
+    tot = truncate_lineage(tot, 0, reliable, 1)
     a_tot = tot.select("i", "A")
 
     s2 = scale * scale
